@@ -1,13 +1,512 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{IndexConfig, EmbeddingField, Metric}
+import graft.embed.HashEmbeddingBackend
+import graft.functions.textfn._
+import graft.functions.vector._
+import graft.ops.{Dedup, Events, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.pipeline.IndexBuild
+import graft.query.Retrieval
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 inventory + the LLM-data-pipeline extensions), each with a
+  * DuckDB-oracle SQL twin where the semantics are SQL-expressible.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - hashes are md5-derived (identical everywhere);
+  *  - double sums go through DECIMAL casts (order-independent, exact);
+  *  - similarity scores are computed in double, ROUNDED to 6 dp, and every
+  *    ordering is by the rounded value with an id tie-break;
+  *  - timestamps are compared as epoch seconds (parquet ns vs µs truncation).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark reads as a nano-epoch
+    * long under `spark.sql.legacy.parquet.nanosAsLong`; normalize to a true
+    * timestamp (microsecond truncation — sub-second analytics unaffected).
+    */
+  private def eventsTbl(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "events")
+    e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        e.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => e
+    }
+  }
+
+  /** Driver-side single-row lookup of the canonical probe vector (vec_id=0) —
+    * the analog of embedding the query string (reference base.py:307-310).
+    */
+  private def probeVec(s: SparkSession, dir: String): Seq[Float] =
+    tbl(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+
+  /** DuckDB SQL fragment: exact cosine over DOUBLE[] (same double-accumulation
+    * order as the native CosineSimilarity expression).
+    */
+  private def sqlCos(a: String, b: String): String =
+    s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
+  private def sqlL2(a: String, b: String): String =
+    s"sqrt(list_dot_product(list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> p[1] - p[2]), " +
+      s"list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> p[1] - p[2])))"
+  /** DuckDB words twin of textfn.words. */
+  private val sqlWords = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+  /** DuckDB twin of textfn.hexhash60. */
+  private def sqlHex60(s: String): String = s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
+  private def sqlHex32(s: String): String = s"CAST(concat('0x', substr(md5($s), 1, 8)) AS BIGINT)"
+
+  // ---------------------------------------------------------------- flagship
+
+  /** Flagship on sf0.001: full reference lifecycle — chunk the documents
+    * table under a token budget, embed with the deterministic hash backend,
+    * build the Document index, run a semantic search and hydrate scores.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = tbl(spark, dir, "documents")
+    val config = IndexConfig(name = "docs", keyColumn = "doc_id",
+      fields = Seq(EmbeddingField("source", important = true), EmbeddingField("text")),
+      tokenLimit = 64, chunkOverlap = 8, dims = 64)
+    val backend = HashEmbeddingBackend(config.dims)
+    val index = IndexBuild.buildDocuments(docs, config, backend, "documents", "doc_id")
+    Retrieval.search(index, "spark vector join query", backend, k = 5, threshold = -1.0)
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- KNN retrieval (J1/J2, P6, O1; metrics cosine/L2/MIP) ----
+    "q_knn_cosine" -> { (s, dir) =>
+      val qv = probeVec(s, dir)
+      tbl(s, dir, "embeddings")
+        .withColumn("score", round(vec_cosine(col("embedding"), typedLit(qv)), 6))
+        .filter(col("score") >= -1.0)
+        .orderBy(desc("score"), col("vec_id").asc).limit(10)
+        .select("vec_id", "score")
+    },
+    "q_knn_l2" -> { (s, dir) =>
+      val qv = probeVec(s, dir)
+      tbl(s, dir, "embeddings")
+        .withColumn("dist", round(vec_l2(col("embedding"), typedLit(qv)), 6))
+        .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+        .select("vec_id", "dist")
+    },
+    "q_knn_mip" -> { (s, dir) =>
+      val qv = probeVec(s, dir)
+      tbl(s, dir, "embeddings")
+        .withColumn("score", round(vec_dot(col("embedding"), typedLit(qv)), 6))
+        .orderBy(desc("score"), col("vec_id").asc).limit(10)
+        .select("vec_id", "score")
+    },
+    // similarity-threshold filter counts (reference threshold table,
+    // tests/test_index.py:256-284)
+    "q_knn_threshold" -> { (s, dir) =>
+      val qv = probeVec(s, dir)
+      val scored = tbl(s, dir, "embeddings")
+        .withColumn("score", round(vec_cosine(col("embedding"), typedLit(qv)), 6))
+      scored.select(explode(typedLit(Seq(0.9, 0.6, 0.1, -1.0))).as("threshold"), col("score"))
+        .groupBy("threshold").agg(count(when(col("score") >= col("threshold"), 1)).as("n"))
+        .orderBy(desc("threshold"))
+    },
+    // batched brute-force top-k (similarity join over a probe set)
+    "q_topk_batch" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      SimilaritySearch.bruteForceTopK(emb, probes, k = 5)
+        .orderBy(col("qid").asc, col("rank").asc)
+        .select("qid", "vec_id", "rank", "score")
+    },
+    // find_similar: probe = vec 0's own vector, self excluded (J5/J6)
+    "q_find_similar" -> { (s, dir) =>
+      val qv = probeVec(s, dir)
+      tbl(s, dir, "embeddings")
+        .withColumn("score", round(vec_cosine(col("embedding"), typedLit(qv)), 6))
+        .filter(col("vec_id") =!= 0)
+        .orderBy(desc("score"), col("vec_id").asc).limit(5)
+        .select("vec_id", "score")
+    },
+    // A5: order-preserving first-per-key dedup (window row_number)
+    "q_dedup_first_per_key" -> { (s, dir) =>
+      val qv = probeVec(s, dir)
+      val scored = tbl(s, dir, "embeddings")
+        .withColumn("score", round(vec_cosine(col("embedding"), typedLit(qv)), 6))
+      Retrieval.dedupByKey(scored, keyCol = "label", tieBreaker = "vec_id")
+        .orderBy(desc("score"), col("vec_id").asc)
+        .select("label", "vec_id", "score")
+    },
+    // S3/S4: key lookup via object_keys array membership
+    "q_key_lookup" -> { (s, dir) =>
+      tbl(s, dir, "documents")
+        .withColumn("object_keys", array(concat(lit("documents:"), col("doc_id")),
+          concat(lit("source:"), col("source"))))
+        .filter(array_contains(col("object_keys"), "source:src5"))
+        .orderBy(col("doc_id").asc)
+        .select(col("doc_id"), col("object_keys").getItem(0).as("primary_key"))
+    },
+    // J4: hydration join back to a source table
+    "q_hydrate" -> { (s, dir) =>
+      val qv = probeVec(s, dir)
+      val hits = tbl(s, dir, "embeddings")
+        .withColumn("score", round(vec_cosine(col("embedding"), typedLit(qv)), 6))
+        .orderBy(desc("score"), col("vec_id").asc).limit(20)
+        .withColumn("key", concat(lit("customer:"), col("vec_id") % 100 + 1))
+      Retrieval.hydrate(hits, tbl(s, dir, "customer"), "customer", "c_custkey")
+        .orderBy(desc("score"), col("vec_id").asc)
+        .select("vec_id", "score", "c_custkey", "c_name", "c_mktsegment")
+    },
+    // R1: RAG context assembly (top-5 contents merged with \n)
+    "q_rag_context" -> { (s, dir) =>
+      val qv = probeVec(s, dir)
+      val top = tbl(s, dir, "embeddings")
+        .join(tbl(s, dir, "documents"), col("vec_id") === col("doc_id"))
+        .withColumn("score", round(vec_cosine(col("embedding"), typedLit(qv)), 6))
+        .orderBy(desc("score"), col("vec_id").asc).limit(5)
+        .select(col("vec_id"), col("score"), col("text"))
+      top.agg(
+        array_join(transform(array_sort(collect_list(struct(-col("score"), col("vec_id"), col("text")))),
+          x => x.getField("text")), "\n").as("context"),
+        count(lit(1)).cast("long").as("n_sources"))
+    },
+    // A3/A4: incremental content-hash change detection
+    "q_incremental_diff" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val newChunks = docs.select(col("doc_id").cast("string").as("key"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" [updated]")))
+          .otherwise(col("text")).as("content"))
+      val stored = docs.select(col("doc_id"),
+        array(col("doc_id").cast("string")).as("object_keys"),
+        lit(null).cast("array<float>").as("vector"),
+        col("text").as("content"),
+        map().cast("map<string,string>").as("metadata"))
+      val (changed, _) = IndexBuild.diffAgainstIndex(newChunks, Some(stored))
+      changed.select(col("key").cast("long").as("doc_id")).distinct().orderBy("doc_id")
+    },
+    // ---- dedup family ----
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(tbl(s, dir, "documents")).orderBy("content_hash")
+        .select(col("content_hash"), col("n_dups").cast("long").as("n_dups"), col("canonical_id"))
+    },
+    "q_minhash_sig" -> { (s, dir) =>
+      Dedup.minhashSignature(tbl(s, dir, "documents"), numHashes = 8)
+        .drop("__shingles").orderBy("doc_id")
+    },
+    "q_simhash" -> { (s, dir) =>
+      Dedup.simhashDocs(tbl(s, dir, "documents"), bits = 16).orderBy("doc_id")
+    },
+    "q_lsh_pairs" -> { (s, dir) =>
+      Dedup.minhashLsh(tbl(s, dir, "documents"), threshold = 0.0, numHashes = 8,
+        rowsPerBand = 2, shingleSize = 3)
+        .orderBy(desc("jaccard"), col("id_a").asc, col("id_b").asc).limit(100)
+    },
+    "q_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardJoin(tbl(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        blockCol = "lang", threshold = 0.0)
+        .orderBy(desc("jaccard"), col("id_a").asc, col("id_b").asc).limit(100)
+    },
+    "q_near_dup_embedding" -> { (s, dir) =>
+      Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), threshold = -1.0)
+        .orderBy(desc("cos"), col("id_a").asc, col("id_b").asc).limit(100)
+    },
+    // ---- text analysis ----
+    "q_token_stats" -> { (s, dir) =>
+      TextAnalysis.tokenStats(tbl(s, dir, "documents")).orderBy("doc_id")
+    },
+    "q_quality" -> { (s, dir) =>
+      TextAnalysis.qualityScore(tbl(s, dir, "documents")).orderBy("doc_id")
+    },
+    "q_lang_id" -> { (s, dir) =>
+      TextAnalysis.langId(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("en_hits").cast("long").as("en_hits"),
+          col("de_hits").cast("long").as("de_hits"), col("fr_hits").cast("long").as("fr_hits"),
+          col("es_hits").cast("long").as("es_hits"), col("lang_pred"))
+        .orderBy("doc_id")
+    },
+    "q_fingerprint" -> { (s, dir) =>
+      TextAnalysis.fingerprint(tbl(s, dir, "documents")).orderBy("doc_id")
+    },
+    "q_word_freq" -> { (s, dir) =>
+      TextAnalysis.wordFrequency(tbl(s, dir, "documents"), k = 50)
+        .select(col("word"), col("cnt").cast("long"))
+    },
+    // deterministic hash-embedding pipeline, relational form (bucket weights)
+    "q_hash_embed" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+      docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .withColumn("bucket", hexhash32(col("w")) % 64)
+        .withColumn("sign", when(hexhash32substr2(col("w")).bitwiseAND(lit(1L)) === 1L, -1L).otherwise(1L))
+        .groupBy("doc_id", "bucket").agg(sum(col("sign")).as("weight"))
+        .filter(col("weight") =!= 0)
+        .orderBy(col("doc_id").asc, col("bucket").asc)
+    },
+    // ---- multimodal (binary column plumbing; decode stubbed) ----
+    "q_multimodal_meta" -> { (s, dir) =>
+      val media = tbl(s, dir, "documents")
+        .withColumn("media", encode(col("text"), "UTF-8"))
+      Multimodal.mediaStats(media, "doc_id")
+        .select(col("doc_id"), col("n_bytes"), col("digest"),
+          col("fake_width").cast("long").as("fake_width"),
+          col("fake_height").cast("long").as("fake_height"))
+        .orderBy("doc_id")
+    },
+    // ---- event-time analytics (batch twins of the streaming ops) ----
+    "q_events_daily" -> { (s, dir) =>
+      Events.tumblingDaily(eventsTbl(s, dir))
+        .withColumn("sum_value", round(col("sum_value"), 4))
+        .orderBy(col("day").asc, col("event_type").asc)
+    },
+    "q_sessionize" -> { (s, dir) =>
+      Events.sessionize(eventsTbl(s, dir).filter(col("user_id") < 50))
+        .select(col("user_id"), col("session_index").cast("long").as("session_index"),
+          col("n_events").cast("long").as("n_events"),
+          unix_timestamp(col("session_start")).as("start_s"),
+          unix_timestamp(col("session_end")).as("end_s"))
+        .orderBy(col("user_id").asc, col("session_index").asc)
+    },
+    "q_events_props" -> { (s, dir) =>
+      Events.extractProps(eventsTbl(s, dir))
+        .groupBy("k").agg(count(lit(1)).as("n")).orderBy(col("k").asc)
+    },
+    // ---- relational baseline (hydration-source tables; exact decimal sums) ----
+    "q1_agg" -> { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(28,4)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    "q_join_agg" -> { (s, dir) =>
+      val orders = tbl(s, dir, "orders")
+      val customer = tbl(s, dir, "customer")
+      val nation = tbl(s, dir, "nation")
+      orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("n_name")
+    }
+  )
+
+  /** helper for the sign byte (hex chars 9-10 of md5) used by q_hash_embed */
+  private def hexhash32substr2(c: Column): Column =
+    conv(substring(md5(c), 9, 2), 16, 10).cast("long")
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private val minhashSigSql: String = {
+    val shingles = s"list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
+    val mhCols = (0 until 8).map(j =>
+      s"list_min(list_transform(sh, s -> ${sqlHex60(s"'$j:' || s")})) AS mh$j").mkString(", ")
+    s"WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents), " +
+      s"t2 AS (SELECT doc_id, $shingles AS sh FROM t) " +
+      s"SELECT doc_id, $mhCols FROM t2 ORDER BY doc_id"
+  }
+
+  private val simhashSql: String = {
+    val bitTerms = (0 until 16).map(j =>
+      s"(CASE WHEN list_sum(list_transform(dw, w -> CASE WHEN ((${sqlHex32("w")} >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"WITH t AS (SELECT doc_id, list_distinct($sqlWords) AS dw FROM documents) " +
+      s"SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM t ORDER BY doc_id"
+  }
+
+  private val lshPairsSql: String = {
+    val shingles = s"list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
+    val mhCols = (0 until 8).map(j =>
+      s"list_min(list_transform(sh, s -> ${sqlHex60(s"'$j:' || s")})) AS mh$j").mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, sh, $b AS band, md5(mh${2 * b} || '_' || mh${2 * b + 1}) AS bucket FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+       | t2 AS (SELECT doc_id, $shingles AS sh FROM t),
+       | sig AS (SELECT doc_id, sh, $mhCols FROM t2 WHERE len(sh) > 0),
+       | buckets AS ($bandRows),
+       | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+       |   FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, round(CASE WHEN len(list_distinct(sh_a || sh_b)) = 0 THEN 0.0
+       |  ELSE len(list_intersect(sh_a, sh_b)) / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) END, 6) AS jaccard
+       |FROM cand WHERE jaccard >= 0.0
+       |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
+  }
+
+  private val ngramJaccardSql: String = {
+    val shingles = s"list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
+    s"""WITH t AS (SELECT doc_id, lang, $sqlWords AS w FROM documents WHERE doc_id % 5 = 0),
+       | t2 AS (SELECT doc_id, lang, $shingles AS sh FROM t)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+       |    ELSE len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END, 6) AS jaccard
+       |FROM t2 a JOIN t2 b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE jaccard >= 0.0
+       |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_knn_cosine" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${sqlCos("e.embedding", "q.qv")}, 6) AS score
+         |FROM embeddings e, q WHERE round(${sqlCos("e.embedding", "q.qv")}, 6) >= -1.0
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q_knn_l2" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${sqlL2("e.embedding", "q.qv")}, 6) AS dist
+         |FROM embeddings e, q ORDER BY dist ASC, e.vec_id LIMIT 10""".stripMargin,
+    "q_knn_mip" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+         |FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q_knn_threshold" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         | scored AS (SELECT e.vec_id, round(${sqlCos("e.embedding", "q.qv")}, 6) AS score FROM embeddings e, q),
+         | th AS (SELECT unnest([0.9, 0.6, 0.1, -1.0]) AS threshold)
+         |SELECT th.threshold, CAST(count(CASE WHEN scored.score >= th.threshold THEN 1 END) AS BIGINT) AS n
+         |FROM th, scored GROUP BY th.threshold ORDER BY th.threshold DESC""".stripMargin,
+    "q_topk_batch" ->
+      s"""WITH p AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         | scored AS (SELECT p.qid, e.vec_id, round(${sqlCos("e.embedding", "p.qv")}, 6) AS score FROM embeddings e, p),
+         | ranked AS (SELECT qid, vec_id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank FROM scored)
+         |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q_find_similar" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${sqlCos("e.embedding", "q.qv")}, 6) AS score
+         |FROM embeddings e, q WHERE e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 5""".stripMargin,
+    "q_dedup_first_per_key" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         | scored AS (SELECT e.label, e.vec_id, round(${sqlCos("e.embedding", "q.qv")}, 6) AS score FROM embeddings e, q),
+         | ranked AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id ASC) AS rn FROM scored)
+         |SELECT label, vec_id, score FROM ranked WHERE rn = 1 ORDER BY score DESC, vec_id""".stripMargin,
+    "q_key_lookup" ->
+      """SELECT doc_id, 'documents:' || doc_id AS primary_key FROM documents
+        |WHERE list_contains(['documents:' || doc_id, 'source:' || source], 'source:src5')
+        |ORDER BY doc_id""".stripMargin,
+    "q_hydrate" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         | hits AS (SELECT e.vec_id, round(${sqlCos("e.embedding", "q.qv")}, 6) AS score
+         |   FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT 20)
+         |SELECT h.vec_id, h.score, c.c_custkey, c.c_name, c.c_mktsegment
+         |FROM hits h JOIN customer c ON c.c_custkey = h.vec_id % 100 + 1
+         |ORDER BY h.score DESC, h.vec_id""".stripMargin,
+    "q_rag_context" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         | top AS (SELECT e.vec_id, round(${sqlCos("e.embedding", "q.qv")}, 6) AS score, d.text
+         |   FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id, q
+         |   ORDER BY score DESC, e.vec_id LIMIT 5)
+         |SELECT string_agg(text, chr(10) ORDER BY score DESC, vec_id) AS context,
+         |  CAST(count(*) AS BIGINT) AS n_sources FROM top""".stripMargin,
+    "q_incremental_diff" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id",
+    "q_dedup_exact" ->
+      s"""SELECT md5(array_to_string($sqlWords, ' ')) AS content_hash,
+         |  CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS canonical_id
+         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q_minhash_sig" -> minhashSigSql,
+    "q_simhash" -> simhashSql,
+    "q_lsh_pairs" -> lshPairsSql,
+    "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_near_dup_embedding" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(${sqlCos("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(${sqlCos("a.embedding", "b.embedding")}, 6) >= -1.0
+         |ORDER BY cos DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(ceil(greatest(ceil(length(text) / 4.0), ceil(len(regexp_extract_all(text, '[^\w\s]|\w+')) * 0.75))) AS BIGINT) AS n_tokens_naive,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $sqlWords AS w FROM documents),
+         | m AS (SELECT doc_id,
+         |   CAST(len(w) AS DOUBLE) AS n_words,
+         |   CAST(len(regexp_extract_all(text, '[.,;:!?''"()]')) AS DOUBLE) AS punct,
+         |   CAST(length(text) AS DOUBLE) AS chars,
+         |   CAST(len(list_filter(w, x -> list_contains(['the','a','an','of','and','to','in','is','it','that','for'], x))) AS DOUBLE) AS stop_hits
+         |  FROM t)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  round(CASE WHEN chars = 0 THEN 0.0 ELSE punct / chars END, 6) AS punct_ratio,
+         |  round(CASE WHEN n_words = 0 THEN 0.0 ELSE stop_hits / n_words END, 6) AS stop_ratio,
+         |  round(least(1.0, n_words / 100.0) * (0.5 + 0.5 * least(1.0, (CASE WHEN n_words = 0 THEN 0.0 ELSE stop_hits / n_words END) * 10.0)) * (1.0 - least(0.5, CASE WHEN chars = 0 THEN 0.0 ELSE punct / chars END)), 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_lang_id" -> {
+      def h(lang: String, markers: Seq[String]): String =
+        s"CAST(len(list_filter(w, x -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], x))) AS BIGINT) AS ${lang}_hits"
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         | m AS (SELECT doc_id, ${h("en", TextAnalysis.LangMarkers("en"))}, ${h("de", TextAnalysis.LangMarkers("de"))},
+         |   ${h("fr", TextAnalysis.LangMarkers("fr"))}, ${h("es", TextAnalysis.LangMarkers("es"))} FROM t)
+         |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+         |  CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+         |       WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+         |       WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+         |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+         |       ELSE 'es' END AS lang_pred
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "q_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, array_to_string($sqlWords, ' ') AS norm FROM documents),
+         | g AS (SELECT doc_id, norm, CASE WHEN length(norm) >= 5
+         |   THEN list_transform(range(1, length(norm) - 3), i -> substr(norm, i, 5)) ELSE [norm] END AS grams FROM t)
+         |SELECT doc_id, md5(norm) AS exact_fp,
+         |  list_min(list_transform(grams, x -> ${sqlHex60("x")})) AS winnow_fp
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "q_word_freq" ->
+      s"""SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+         |FROM (SELECT unnest($sqlWords) AS w FROM documents) WHERE w <> ''
+         |GROUP BY w ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+    "q_hash_embed" ->
+      s"""WITH w AS (SELECT doc_id, unnest($sqlWords) AS w FROM documents WHERE doc_id < 100),
+         | h AS (SELECT doc_id, ${sqlHex32("w")} % 64 AS bucket,
+         |   CASE WHEN CAST(concat('0x', substr(md5(w), 9, 2)) AS BIGINT) & 1 = 1 THEN -1 ELSE 1 END AS sign FROM w)
+         |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS weight FROM h
+         |GROUP BY doc_id, bucket HAVING sum(sign) <> 0 ORDER BY doc_id, bucket""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS digest,
+        |  CAST(16 + length(text) % 640 AS BIGINT) AS fake_width,
+        |  CAST(16 + (length(text) // 640) % 480 AS BIGINT) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_events_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS DOUBLE) AS sum_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT * FROM events WHERE user_id < 50),
+        | g AS (SELECT user_id, ts, event_id,
+        |   CASE WHEN lag(ts) OVER w IS NULL OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (SELECT user_id, ts, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_index FROM g)
+        |SELECT user_id, CAST(session_index AS BIGINT) AS session_index, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s, CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
+        |FROM s GROUP BY user_id, session_index ORDER BY user_id, session_index""".stripMargin,
+    "q_events_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_agg" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
 }

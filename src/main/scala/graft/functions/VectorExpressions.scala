@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.SparkInternals.{toColumn, toExpression, AbstractDataType}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for vector distance/similarity over
+  * `array<float>` columns — the engine's hot path (brute-force KNN is a full
+  * scan × distance per row; reference numpy provider storage/numpy/provider.py:38-59
+  * is an interpreted Python loop; here it's whole-stage-codegen'd Java).
+  *
+  * All math accumulates in double, left-to-right in array index order, so a
+  * DuckDB oracle computing over `embedding::DOUBLE[]` is bit-identical.
+  *
+  * The reference numpy provider has an operator-precedence bug
+  * (`dot/‖q‖*‖d‖`, provider.py:47-51); we implement true cosine
+  * `dot/(‖q‖·‖d‖)` (SURVEY.md §7 risk 3 — intentional divergence).
+  */
+abstract class VectorBinaryExpression extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+}
+
+/** dot(a, b) = Σ a(i)·b(i) over the common prefix length. */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "vec_dot"
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}_s = 0.0;
+         |for (int i = 0; i < ${ev.value}_n; i++) {
+         |  ${ev.value}_s += (double)$a.getFloat(i) * (double)$b.getFloat(i);
+         |}
+         |${ev.value} = ${ev.value}_s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine(a, b) = dot/(‖a‖·‖b‖); 0.0 when either norm is zero. */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "vec_cosine"
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val v = ev.value
+      s"""
+         |int ${v}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${v}_dot = 0.0; double ${v}_na = 0.0; double ${v}_nb = 0.0;
+         |for (int i = 0; i < ${v}_n; i++) {
+         |  double x = (double)$a.getFloat(i);
+         |  double y = (double)$b.getFloat(i);
+         |  ${v}_dot += x * y; ${v}_na += x * x; ${v}_nb += y * y;
+         |}
+         |double ${v}_den = java.lang.Math.sqrt(${v}_na) * java.lang.Math.sqrt(${v}_nb);
+         |$v = (${v}_den == 0.0) ? 0.0 : ${v}_dot / ${v}_den;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Euclidean distance ‖a-b‖₂. */
+case class L2Distance(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "vec_l2"
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val v = ev.value
+      s"""
+         |int ${v}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${v}_s = 0.0;
+         |for (int i = 0; i < ${v}_n; i++) {
+         |  double d = (double)$a.getFloat(i) - (double)$b.getFloat(i);
+         |  ${v}_s += d * d;
+         |}
+         |$v = java.lang.Math.sqrt(${v}_s);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): L2Distance =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm ‖a‖₂ of a float vector. */
+case class L2Norm(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "vec_norm"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  protected override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < x.numElements()) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ev.value
+      s"""
+         |double ${v}_s = 0.0;
+         |for (int i = 0; i < $a.numElements(); i++) {
+         |  double x = (double)$a.getFloat(i);
+         |  ${v}_s += x * x;
+         |}
+         |$v = java.lang.Math.sqrt(${v}_s);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): L2Norm = copy(child = newChild)
+}
+
+/** Column-level API. */
+object vector {
+  def vec_dot(a: Column, b: Column): Column = toColumn(DotProduct(toExpression(a), toExpression(b)))
+  def vec_cosine(a: Column, b: Column): Column = toColumn(CosineSimilarity(toExpression(a), toExpression(b)))
+  def vec_l2(a: Column, b: Column): Column = toColumn(L2Distance(toExpression(a), toExpression(b)))
+  def vec_norm(a: Column): Column = toColumn(L2Norm(toExpression(a)))
+}

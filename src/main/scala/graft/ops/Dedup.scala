@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.textfn._
+import graft.functions.vector._
+
+/** Deduplication operators for training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design: every near-dup variant is CANDIDATE GENERATION (an equi-join
+  * on a bucket key — hash-partitioned shuffle, no cross join) followed by
+  * exact verification on the candidate pairs only. At 100 TB the bucket join
+  * is the only shuffle and its width is the candidate-pair count, not N².
+  * All hashes are md5-derived so results are deterministic across engines.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content: md5 of the lower-cased word stream.
+    * Map-side-combined groupBy on the digest; canonical = min doc_id.
+    */
+  def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), md5(concat_ws(" ", words(col(textCol)))).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("canonical_id"))
+
+  /** Per-document MinHash signature: `numHashes` min-hashes over distinct
+    * word `shingleSize`-shingles. NULL signature entries when the doc has
+    * fewer than `shingleSize` words.
+    */
+  def minhashSignature(docs: DataFrame, textCol: String = "text",
+                       numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
+    val sh = wordShingles(words(col(textCol)), shingleSize)
+    val sigCols = (0 until numHashes).map(j => minhash(col("__shingles"), j).as(s"mh$j"))
+    docs.withColumn("__shingles", sh)
+      .select(col("doc_id") +: col("__shingles") +: sigCols: _*)
+  }
+
+  /** MinHash+LSH near-dup candidate pairs with exact Jaccard verification.
+    *
+    * Banding: `numHashes` hashes in bands of `rowsPerBand`; docs sharing ANY
+    * band bucket become candidates (standard LSH S-curve). The band-bucket
+    * join is an equi-join on (band_index, bucket_hash) — shuffle on the
+    * bucket key only. Candidates are deduped then verified with exact
+    * Jaccard over the shingle sets; pairs below `threshold` are dropped.
+    */
+  def minhashLsh(docs: DataFrame, textCol: String = "text", threshold: Double = 0.5,
+                 numHashes: Int = 16, rowsPerBand: Int = 2, shingleSize: Int = 3): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sig = minhashSignature(docs, textCol, numHashes, shingleSize)
+      .filter(col("mh0").isNotNull)
+    // one row per (doc, band): bucket = md5 of the band's concatenated hashes
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("_", parts: _*)).as("bucket"))
+    }
+    val buckets = sig.select(col("doc_id"), col("__shingles"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("__shingles"), col("bb.band"), col("bb.bucket"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.__shingles").as("sh_a"), col("b.__shingles").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash per document (bit-sampled fingerprint of the word set). */
+  def simhashDocs(docs: DataFrame, textCol: String = "text", bits: Int = 16): DataFrame =
+    docs.select(col("doc_id"), simhash(words(col(textCol)), bits).as("simhash"))
+
+  /** SimHash near-dup pairs: band the fingerprint into `bits/bandBits`
+    * bands; docs equal on any band are candidates (multi-probe for Hamming
+    * tolerance); verify Hamming distance ≤ maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, textCol: String = "text",
+                   bits: Int = 16, bandBits: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val sh = simhashDocs(docs, textCol, bits)
+    val numBands = bits / bandBits
+    val mask = (1L << bandBits) - 1
+    val bandCols = (0 until numBands).map(bi =>
+      struct(lit(bi).as("band"), shiftright(col("simhash"), bi * bandBits).bitwiseAND(lit(mask)).as("bucket")))
+    val banded = sh.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity join within a blocking key (e.g. same
+    * source bucket). Blocking keeps the pair space linear-ish; the join is an
+    * equi-join on the block key. Use [[minhashLsh]] when no natural blocking
+    * key exists.
+    */
+  def ngramJaccardJoin(docs: DataFrame, blockCol: String, textCol: String = "text",
+                       shingleSize: Int = 3, threshold: Double = 0.0): DataFrame = {
+    val withSh = docs.select(col("doc_id"), col(blockCol).as("__block"),
+      wordShingles(words(col(textCol)), shingleSize).as("__sh"))
+    val a = withSh.as("a"); val b = withSh.as("b")
+    a.join(b, col("a.__block") === col("b.__block") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(jaccard(col("a.__sh"), col("b.__sh")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup pairs within a blocking key (label / LSH
+    * bucket): equi-join on the block, exact cosine on candidates.
+    */
+  def embeddingNearDup(emb: DataFrame, blockCol: String = "label",
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       threshold: Double = 0.9): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(blockCol).as("__block"), col(vecCol).as("__v"))
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b, col("a.__block") === col("b.__block") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(vec_cosine(col("a.__v"), col("b.__v")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

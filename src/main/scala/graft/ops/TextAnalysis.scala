@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.textfn._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language-ID heuristic, document fingerprinting.
+  * All are narrow per-row column pipelines (no shuffle, fully codegen'd,
+  * filter/projection pushdown applies) — at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Per-document token statistics (naive estimator ports the reference's
+    * splitter length function — ai_utils/text_splitting/naive.py:31-55).
+    */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      naiveTokenCount(col(textCol)).as("n_tokens_naive"),
+      whitespaceTokenCount(col(textCol)).cast("long").as("n_tokens_ws"),
+      bpeishTokenCount(col(textCol)).cast("long").as("n_tokens_bpe"))
+
+  /** English-ish stopwords for quality scoring. */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** Heuristic quality score in [0,1] from length / punctuation / stopword
+    * ratios. Deterministic formula (mirrored by the SQL oracle):
+    * len_score = min(1, n_words/100); punct_ratio = punct_chars/chars;
+    * stop_ratio = stopwords/words; quality = len_score*(0.5 + 0.5*min(1, 10*stop_ratio))*(1 - punct_penalty)
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val nWords = size(ws).cast("double")
+    val punct = size(regexp_extract_all(col(textCol), lit("[.,;:!?'\"()]"), lit(0))).cast("double")
+    val chars = length(col(textCol)).cast("double")
+    val stopHits = size(filter(ws, w => w.isin(Stopwords.map(s => s: Any): _*))).cast("double")
+    val lenScore = least(lit(1.0), nWords / lit(100.0))
+    val punctRatio = when(chars === 0, lit(0.0)).otherwise(punct / chars)
+    val stopRatio = when(nWords === 0, lit(0.0)).otherwise(stopHits / nWords)
+    val quality = lenScore * (lit(0.5) + lit(0.5) * least(lit(1.0), stopRatio * lit(10.0))) * (lit(1.0) - least(lit(0.5), punctRatio))
+    docs.select(
+      col("doc_id"),
+      size(ws).cast("long").as("n_words"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(quality, 6).as("quality"))
+  }
+
+  /** Marker-word lists per language for the n-gram/stopword language-ID
+    * heuristic. Scored by hit count over word tokens; deterministic
+    * tie-break: en > de > fr > es > und.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"))
+
+  private def hits(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, w => w.isin(markers.map(s => s: Any): _*)))
+
+  /** Language identification: argmax of marker-word hits; "und" when no
+    * marker appears. Per-row projection, no shuffle.
+    */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val en = hits(ws, LangMarkers("en")); val de = hits(ws, LangMarkers("de"))
+    val fr = hits(ws, LangMarkers("fr")); val es = hits(ws, LangMarkers("es"))
+    val best = greatest(en, de, fr, es)
+    val pred = when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(de === best, lit("de"))
+      .when(fr === best, lit("fr"))
+      .otherwise(lit("es"))
+    docs.select(col("doc_id"), en.as("en_hits"), de.as("de_hits"),
+      fr.as("fr_hits"), es.as("es_hits"), pred.as("lang_pred"))
+  }
+
+  /** Document fingerprints: (a) md5 of the normalized word stream (exact
+    * near-identity after whitespace/case/punct normalization) and (b) a
+    * rolling min-hash over character 5-grams of the normalized text
+    * (winnowing-style content fingerprint robust to local edits).
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = concat_ws(" ", words(col(textCol)))
+    val grams = when(length(norm) >= 5,
+      transform(sequence(lit(1), length(norm) - lit(4)), i => norm.substr(i, lit(5))))
+      .otherwise(array(norm))
+    docs.select(
+      col("doc_id"),
+      md5(norm).as("exact_fp"),
+      array_min(transform(grams, g => hexhash60(g))).as("winnow_fp"))
+  }
+
+  /** Corpus-level word frequency: explode word tokens, count, top-k.
+    * The groupBy is map-side combined (partial aggregation) — the shuffle
+    * carries one row per distinct word per partition, not per token.
+    */
+  def wordFrequency(docs: DataFrame, textCol: String = "text", k: Int = 50): DataFrame =
+    docs.select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("word").asc)
+      .limit(k)
+}
