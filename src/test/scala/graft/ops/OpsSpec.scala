@@ -1,0 +1,237 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "The quick  brown FOX jumps over the lazy dog again and again today"), // exact dup after normalization
+    (3L, "the quick brown fox jumps over the lazy cat again and again today"),  // near dup
+    (4L, "completely different text about spark engines and vector indexes now"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates") {
+    val r = Dedup.exact(docs).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val dupGroup = r.find(_._2 == 2)
+    assert(dupGroup.isDefined && dupGroup.get._3 == 1L) // canonical = min id
+    assert(r.length == 3)
+  }
+
+  test("minhash LSH finds the exact and near duplicate, not the unrelated doc") {
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))     // identical shingles → always a candidate
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signature of normalized duplicates is identical") {
+    val sig = Dedup.minhashSignature(docs, numHashes = 8).drop("__shingles").collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i)))
+    val m = sig.toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(4L))
+  }
+
+  test("simhash: identical docs equal; near dups within small hamming distance") {
+    val sh = Dedup.simhashDocs(docs, bits = 16).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) <= 6)
+    assert(ham(sh(1L), sh(4L)) > ham(sh(1L), sh(3L)))
+  }
+
+  test("ngram jaccard join scores pairs within a block") {
+    val blocked = docs.withColumn("block", lit(1))
+    val got = Dedup.ngramJaccardJoin(blocked, "block").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((1L, 3L)) > 0.3 && got((1L, 3L)) < 1.0)
+    assert(got((1L, 4L)) == 0.0)
+  }
+
+  test("embedding near-dup join respects threshold and blocking") {
+    val emb = Seq(
+      (1L, 0, Seq(1f, 0f, 0f)), (2L, 0, Seq(0.99f, 0.1f, 0f)),
+      (3L, 0, Seq(0f, 1f, 0f)), (4L, 1, Seq(1f, 0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingNearDup(emb, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // (1,4) blocked apart; (1,3) orthogonal
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "The cat is on the mat, and it is happy!"),
+    (2L, "der hund ist nicht ein katze und das ist gut"),
+    (3L, "xyzzy plugh")) // no markers
+    .toDF("doc_id", "text")
+
+  test("tokenStats naive estimator matches the pure Scala counter") {
+    val got = TextAnalysis.tokenStats(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = Map(1L -> "The cat is on the mat, and it is happy!",
+      2L -> "der hund ist nicht ein katze und das ist gut", 3L -> "xyzzy plugh")
+    texts.foreach { case (id, t) =>
+      assert(got(id) == graft.text.NaiveTokenCounter.count(t).toLong)
+    }
+  }
+
+  test("langId picks the marker-dominant language with und fallback") {
+    val got = TextAnalysis.langId(docs).collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+  }
+
+  test("quality score is in [0,1] and rewards stopword-rich longer text") {
+    val q = TextAnalysis.qualityScore(docs).collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(3L))
+  }
+
+  test("fingerprint: normalization-invariant exact_fp") {
+    val two = Seq((1L, "Hello  World!"), (2L, "hello world")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(two).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+  }
+
+  test("wordFrequency returns ordered counts") {
+    val wf = TextAnalysis.wordFrequency(docs, k = 3).collect()
+    assert(wf.length == 3)
+    assert(wf.head.getString(0) == "is") // 4 occurrences (2 en + 2... 'is' appears 3x doc1 + 'ist'? no)
+  }
+}
+
+class SimilaritySearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val rnd = new scala.util.Random(3)
+  val items = (0L until 100L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK: rank 1 of a probe equal to an item is that item") {
+    val probeVec = items.filter(col("vec_id") === 42).select("embedding").head().getSeq[Float](0)
+    val probes = Seq((42L, probeVec)).toDF("qid", "qv")
+    val top = SimilaritySearch.bruteForceTopK(items, probes, k = 3)
+      .filter(col("rank") === 1).select("vec_id").as[Long].head()
+    assert(top == 42L)
+  }
+
+  test("lshTopK approximates brute force with decent recall on self-probes") {
+    val probes = items.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = SimilaritySearch.bruteForceTopK(items, probes, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = SimilaritySearch.lshTopK(items, probes, dims = 16, k = 5, bits = 8, maxHamming = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    // self must always be found (same bucket, hamming 0)
+    (0L until 5L).foreach(q => assert(approx.contains((q, q))))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
+  test("ivfTopK: probes find their own cell's vectors; self in top-1") {
+    val (assigned, centroids) = SimilaritySearch.ivfAssign(items, nCells = 8)
+    assert(assigned.count() == 100)
+    val probes = items.filter(col("vec_id") === 7).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = SimilaritySearch.ivfTopK(assigned, centroids, probes, k = 1, nProbe = 8)
+      .select("vec_id").as[Long].head()
+    assert(top == 7L)
+  }
+
+  test("TopKAggregator matches window top-k") {
+    import graft.functions.TopKAggregator
+    import graft.functions.TopKAggregator.Scored
+    val data = (1 to 500).map(i => Scored(i.toLong, (i * 37 % 101).toDouble))
+    val ds = spark.createDataset(data)
+    val agg = ds.groupByKey(_.id % 3).agg(TopKAggregator.topK(4)).collect()
+      .map { case (k, v) => k -> v.map(_.id) }.toMap
+    val expected = data.groupBy(_.id % 3).map { case (k, vs) =>
+      k -> vs.sortBy(s => (-s.score, s.id)).take(4).map(_.id).toSeq }
+    assert(agg == expected)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val media = Seq(
+    (1L, Array[Byte](0x89.toByte, 'P', 'N', 'G') ++ Array.fill[Byte](1000)(7)),
+    (2L, Array[Byte](0xFF.toByte, 0xD8.toByte) ++ Array.fill[Byte](300)(9)),
+    (3L, "RIFFdata".getBytes("UTF-8")))
+    .toDF("media_id", "media")
+
+  test("extractMeta decodes deterministic typed metadata") {
+    val got = Multimodal.extractMeta(media).select("media_id", "meta.format")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "png")
+    assert(got(2L) == "jpeg")
+    assert(got(3L) == "wav")
+  }
+
+  test("sampleFrames expands video bytes into frame rows") {
+    val frames = Multimodal.sampleFrames(media, "media_id", everyN = 2)
+    assert(frames.count() > 0)
+    val perDoc = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("extractFeatures yields fixed-dim deterministic vectors") {
+    val f1 = Multimodal.extractFeatures(media, dims = 16).select("features").collect()
+      .map(_.getSeq[Float](0))
+    assert(f1.forall(_.length == 16))
+    val f2 = Multimodal.extractFeatures(media, dims = 16).select("features").collect()
+      .map(_.getSeq[Float](0))
+    assert(f1.map(_.toSeq).toSeq == f2.map(_.toSeq).toSeq)
+  }
+
+  test("mediaStats is pure column math over the bytes") {
+    val stats = Multimodal.mediaStats(media, "media_id").collect()
+    assert(stats.length == 3)
+    assert(stats.forall(_.getLong(1) > 0))
+  }
+}
+
+class EventsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  val events = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100L, "view", 1.0, """{"k": 5}"""),
+    (2L, ts("2024-01-01 10:10:00"), 100L, "click", 2.0, """{"k": 6}"""),
+    (3L, ts("2024-01-01 11:30:00"), 100L, "view", 3.0, """{"k": 5}"""),  // > 30min gap → new session
+    (4L, ts("2024-01-02 09:00:00"), 200L, "view", 4.0, """{"k": 7}"""))
+    .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("sessionize splits on inactivity gaps per user") {
+    val sessions = Events.sessionize(events, gapMinutes = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sessions.count(_._1 == 100L) == 2)
+    assert(sessions.count(_._1 == 200L) == 1)
+  }
+
+  test("tumblingDaily aggregates by day and type") {
+    val daily = Events.tumblingDaily(events).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(daily(("2024-01-01", "view")) == 2L)
+    assert(daily(("2024-01-02", "view")) == 1L)
+  }
+
+  test("extractProps parses JSON k") {
+    val ks = Events.extractProps(events).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ks(1L) == 5L && ks(4L) == 7L)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.core.{EmbeddingField, IndexConfig}
+import graft.embed.HashEmbeddingBackend
+
+class StreamingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  final case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates a micro-batched stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.windowedCounts(input.toDF(), watermark = "1 hour", windowLength = "1 day")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    input.addData(
+      Ev(ts("2024-01-01 01:00:00"), "view", 1.0),
+      Ev(ts("2024-01-01 02:00:00"), "view", 2.0),
+      Ev(ts("2024-01-02 01:00:00"), "click", 5.0))
+    query.processAllAvailable()
+    val got = spark.sql("SELECT event_type, n_events, sum_value FROM wc").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    query.stop()
+    assert(got("view") == (2L, 3.0))
+    assert(got("click") == (1L, 5.0))
+  }
+
+  test("incrementalIndex maintains a parquet index across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val indexPath = s"$tmp/idx"
+    val input = MemoryStream[(Long, String, String)]
+    val config = IndexConfig("s", "id", Seq(EmbeddingField("title", important = true),
+      EmbeddingField("body")), tokenLimit = 64, chunkOverlap = 8, dims = 16)
+    val q = StreamingOps.incrementalIndex(
+      input.toDF().toDF("id", "title", "body"), config, HashEmbeddingBackend(16),
+      "page", "id", indexPath, s"$tmp/chk")
+    input.addData((1L, "T1", "first page body"), (2L, "T2", "second page body"))
+    q.processAllAvailable()
+    val after1 = spark.read.parquet(indexPath)
+    assert(after1.count() == 2)
+    // update object 1, add object 3
+    input.addData((1L, "T1", "first page body CHANGED"), (3L, "T3", "third page"))
+    q.processAllAvailable()
+    q.stop()
+    val after2 = spark.read.parquet(indexPath)
+    assert(after2.count() == 3)
+    val keys = after2.select(col("object_keys").getItem(0)).as[String].collect().toSet
+    assert(keys == Set("page:1", "page:2", "page:3"))
+    val c1 = after2.filter(array_contains(col("object_keys"), "page:1"))
+      .select("content").as[String].head()
+    assert(c1.contains("CHANGED"))
+  }
+}
