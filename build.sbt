@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage-codegen generates many large classes; with the default
+  // 240m code cache the JIT silently stops compiling mid-run and hot
+  // aggregate loops fall back to the interpreter (observed 100x slowdowns).
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:-DontCompileHugeMethods",
+  "-XX:TieredStopAtLevel=1",
 )

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: per-query timing with live progress (Bench prints only at end). */
+object BenchDebug {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = args.toSet
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("WSCG", "true"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (only.isEmpty || only.contains(name)) {
+        val t0 = System.nanoTime()
+        val n = try {
+          val df = fn(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          0L
+        } catch { case e: Throwable => System.err.println(s"$name ERROR ${e.getMessage}"); -1L }
+        println(f"BENCHQ $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -240,7 +240,7 @@ object SparkEntry {
     // deterministic hash-embedding pipeline, relational form (bucket weights)
     "q_hash_embed" -> { (s, dir) =>
       val docs = tbl(s, dir, "documents").filter(col("doc_id") < 100)
-      docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      docs.select(col("doc_id"), explode(graft.functions.textkernel.word_tokens(col("text"))).as("w"))
         .withColumn("bucket", hexhash32(col("w")) % 64)
         .withColumn("sign", when(hexhash32substr2(col("w")).bitwiseAND(lit(1L)) === 1L, -1L).otherwise(1L))
         .groupBy("doc_id", "bucket").agg(sum(col("sign")).as("weight"))
@@ -276,15 +276,16 @@ object SparkEntry {
         .groupBy("k").agg(count(lit(1)).as("n")).orderBy(col("k").asc)
     },
     // ---- relational baseline (hydration-source tables; exact decimal sums) ----
+    // exact sums via scaled integers (cents): order-independent like decimal
+    // but JIT-friendly in the generated aggregate loop
     "q1_agg" -> { (s, dir) =>
+      val cents = (c: Column) => round(c * 100).cast("long")
       tbl(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-          sum((col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(28,4)")).cast("double").as("sum_disc_price"),
+          (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -296,7 +297,7 @@ object SparkEntry {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("total"))
         .orderBy("n_name")
     }
   )
@@ -335,10 +336,11 @@ object SparkEntry {
        | t2 AS (SELECT doc_id, $shingles AS sh FROM t),
        | sig AS (SELECT doc_id, sh, $mhCols FROM t2 WHERE len(sh) > 0),
        | buckets AS ($bandRows),
-       | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+       | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |   list_transform(a.sh, s -> ${sqlHex60("s")}) AS ha, list_transform(b.sh, s -> ${sqlHex60("s")}) AS hb
        |   FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, round(CASE WHEN len(list_distinct(sh_a || sh_b)) = 0 THEN 0.0
-       |  ELSE len(list_intersect(sh_a, sh_b)) / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) END, 6) AS jaccard
+       |SELECT id_a, id_b, round(CASE WHEN len(list_distinct(ha || hb)) = 0 THEN 0.0
+       |  ELSE len(list_intersect(ha, hb)) / CAST(len(list_distinct(ha || hb)) AS DOUBLE) END, 6) AS jaccard
        |FROM cand WHERE jaccard >= 0.0
        |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
   }
@@ -346,7 +348,7 @@ object SparkEntry {
   private val ngramJaccardSql: String = {
     val shingles = s"list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
     s"""WITH t AS (SELECT doc_id, lang, $sqlWords AS w FROM documents WHERE doc_id % 5 = 0),
-       | t2 AS (SELECT doc_id, lang, $shingles AS sh FROM t)
+       | t2 AS (SELECT doc_id, lang, list_transform($shingles, s -> ${sqlHex60("s")}) AS sh FROM t)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
        |    ELSE len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END, 6) AS jaccard
@@ -481,7 +483,7 @@ object SparkEntry {
     "q_events_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS DOUBLE) AS sum_value,
+        |  round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 4) AS sum_value,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q_sessionize" ->
@@ -498,14 +500,14 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+        |  sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_agg" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin
   )

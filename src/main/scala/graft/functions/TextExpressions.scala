@@ -1,0 +1,335 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.SparkInternals.{toColumn, toExpression, AbstractDataType}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled text/hash kernels for the dedup & text-analysis hot path.
+  *
+  * Why these exist: the same pipelines are expressible with Spark
+  * higher-order functions (filter/transform/aggregate — see the SQL twins in
+  * SparkEntry), but HOF lambdas are evaluated INTERPRETED per array element.
+  * MinHash at sf0.1 is ~12M lambda evaluations (~50µs each ⇒ minutes); these
+  * expressions do the same work in one tight JVM loop per row (~µs). They are
+  * `CodegenFallback` (compiled eval, no codegen splice) — the per-element
+  * interpretation is what mattered, not the per-row call.
+  *
+  * Semantics are bit-identical to the column/SQL formulations (md5-derived
+  * hashes, first-15-hex-chars 60-bit values), verified by TextExpressionsSpec
+  * and the DuckDB oracle.
+  */
+object TextKernel {
+  private val digests = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+
+  /** Lower-cased alphanumeric tokens; equals
+    * `filter(split(lower(s),"[^a-z0-9]+"), _ != "")` for BMP input.
+    */
+  def tokens(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = Character.toLowerCase(s.charAt(i))
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
+  private def md5bytes(s: String): Array[Byte] = {
+    val d = digests.get()
+    d.reset()
+    d.digest(s.getBytes("UTF-8"))
+  }
+
+  /** First 15 hex chars of md5 as a 60-bit non-negative long —
+    * equals `conv(substr(md5(s),1,15),16,10)`.
+    */
+  def hex60(s: String): Long = {
+    val b = md5bytes(s)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    (v << 4) | ((b(7) & 0xffL) >>> 4)
+  }
+
+  /** First 8 hex chars of md5 as an unsigned 32-bit value in a long. */
+  def hex32(s: String): Long = {
+    val b = md5bytes(s)
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) | ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+  }
+
+  /** Distinct word n-gram shingles (first-occurrence order). */
+  def shingles(s: String, n: Int): Array[String] = {
+    val ws = tokens(s)
+    if (ws.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= ws.length) {
+      val sb = new java.lang.StringBuilder(ws(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** MinHash signature: for seed j, min over shingles of hex60(s"$j:$sh"). */
+  def minhashSig(sh: Array[String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var j = 0
+      while (j < numHashes) {
+        val h = hex60(j + ":" + sh(i))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** bits-bit SimHash over distinct tokens (same convention as
+    * textfn.simhash: bit j set iff Σ ±1 by bit j of hex32(word) > 0).
+    */
+  def simhash(s: String, bits: Int): Long = {
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Int](bits)
+    for (w <- tokens(s)) {
+      if (seen.add(w)) {
+        val h = hex32(w)
+        var j = 0
+        while (j < bits) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+    }
+    var v = 0L
+    var j = 0
+    while (j < bits) { if (counts(j) > 0) v |= (1L << j); j += 1 }
+    v
+  }
+
+  /** Naive token estimate — char-scan twin of the regex formulation
+    * `ceil(max(ceil(chars/4), ceil(count('[^\w\s]|\w+')*0.75)))` with ASCII
+    * \w and Java \s classes (see NaiveTokenCounter).
+    */
+  def naiveTokens(s: String): Long = {
+    var words = 0
+    var inWord = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val isW = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+      val isS = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (isW) { if (!inWord) { words += 1; inWord = true } }
+      else { inWord = false; if (!isS) words += 1 }
+      i += 1
+    }
+    math.ceil(math.max(math.ceil(s.length / 4.0), math.ceil(words * 0.75))).toLong
+  }
+
+  /** Whitespace token count — twin of size(split(trim(s), "\\s+")). */
+  def wsTokens(s: String): Long = {
+    var i = 0; var j = s.length
+    def isS(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    while (i < j && isS(s.charAt(i))) i += 1
+    while (j > i && isS(s.charAt(j - 1))) j -= 1
+    if (i == j) return 1L // split("") yields one empty token
+    var n = 1L
+    var inGap = false
+    var k = i
+    while (k < j) {
+      if (isS(s.charAt(k))) { if (!inGap) { n += 1; inGap = true } }
+      else inGap = false
+      k += 1
+    }
+    n
+  }
+
+  /** BPE-ish pre-token count — twin of
+    * count('[a-z]+|[0-9]+|[^a-z0-9\s]') over lower(s).
+    */
+  def bpeishTokens(s: String): Long = {
+    var n = 0L
+    var state = 0 // 0 none, 1 letters, 2 digits
+    var i = 0
+    while (i < s.length) {
+      val c = Character.toLowerCase(s.charAt(i))
+      val isS = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (c >= 'a' && c <= 'z') { if (state != 1) { n += 1; state = 1 } }
+      else if (c >= '0' && c <= '9') { if (state != 2) { n += 1; state = 2 } }
+      else { state = 0; if (!isS) n += 1 }
+      i += 1
+    }
+    n
+  }
+
+  /** Winnowing fingerprint: min over char 5-gram windows of the normalized
+    * (space-joined token) text of hex60; whole-text hash when shorter than 5.
+    */
+  def winnowFp(s: String): Long = {
+    val norm = tokens(s).mkString(" ")
+    if (norm.length < 5) return hex60(norm)
+    var min = Long.MaxValue
+    var i = 0
+    while (i + 5 <= norm.length) {
+      val h = hex60(norm.substring(i, i + 5))
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+}
+
+abstract class StringKernelExpression extends UnaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  protected def input(v: Any): String = v.asInstanceOf[UTF8String].toString
+  protected def strArray(a: Array[String]): ArrayData =
+    new GenericArrayData(a.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+}
+
+/** words(text) → array<string> (compiled twin of textfn.words). */
+case class WordTokens(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  protected override def nullSafeEval(v: Any): Any = strArray(TextKernel.tokens(input(v)))
+  override protected def withNewChildInternal(c: Expression): WordTokens = copy(child = c)
+}
+
+/** word n-gram distinct shingles → array<string>. */
+case class WordShinglesExpr(child: Expression, n: Int) extends StringKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  protected override def nullSafeEval(v: Any): Any = strArray(TextKernel.shingles(input(v), n))
+  override protected def withNewChildInternal(c: Expression): WordShinglesExpr = copy(child = c)
+}
+
+/** minhash signature over word shingles → array<long>; NULL when the doc has
+  * fewer than `shingleSize` words (matches the HOF/SQL formulation where
+  * array_min of an empty list is NULL).
+  */
+case class MinHashSigExpr(child: Expression, numHashes: Int, shingleSize: Int)
+    extends StringKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected override def nullSafeEval(v: Any): Any = {
+    val sh = TextKernel.shingles(input(v), shingleSize)
+    if (sh.isEmpty) null
+    else new GenericArrayData(TextKernel.minhashSig(sh, numHashes))
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
+}
+
+/** simhash over distinct words → long. */
+case class SimHashExpr(child: Expression, bits: Int) extends StringKernelExpression {
+  override def dataType: DataType = LongType
+  protected override def nullSafeEval(v: Any): Any = TextKernel.simhash(input(v), bits)
+  override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
+}
+
+/** the three token-count estimators in one pass → struct(naive, ws, bpe). */
+case class TokenStatsExpr(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens_naive", LongType, nullable = false),
+    StructField("n_tokens_ws", LongType, nullable = false),
+    StructField("n_tokens_bpe", LongType, nullable = false)))
+  protected override def nullSafeEval(v: Any): Any = {
+    val s = input(v)
+    org.apache.spark.sql.catalyst.InternalRow(
+      TextKernel.naiveTokens(s), TextKernel.wsTokens(s), TextKernel.bpeishTokens(s))
+  }
+  override protected def withNewChildInternal(c: Expression): TokenStatsExpr = copy(child = c)
+}
+
+/** winnowing min-hash fingerprint over normalized char 5-grams → long. */
+case class WinnowFpExpr(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = LongType
+  protected override def nullSafeEval(v: Any): Any = TextKernel.winnowFp(input(v))
+  override protected def withNewChildInternal(c: Expression): WinnowFpExpr = copy(child = c)
+}
+
+/** sorted distinct hex60 hashes of word n-gram shingles → array<long>.
+  * Shuffle- and compare-friendly form of WordShinglesExpr (8 bytes/shingle
+  * instead of a ~20-byte string; Jaccard over two sorted arrays is a linear
+  * merge). Empty array when the doc has fewer than n words.
+  */
+case class ShingleHashesExpr(child: Expression, n: Int) extends StringKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected override def nullSafeEval(v: Any): Any = {
+    val sh = TextKernel.shingles(input(v), n)
+    val hs = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { hs(i) = TextKernel.hex60(sh(i)); i += 1 }
+    java.util.Arrays.sort(hs)
+    new GenericArrayData(hs)
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(child = c)
+}
+
+/** Jaccard similarity of two SORTED long arrays (set semantics) via a
+  * two-pointer merge — no per-element lambda interpretation, no hash sets.
+  */
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedExpr =
+    copy(left = l, right = r)
+}
+
+/** count of tokens contained in a fixed marker set → long (compiled twin of
+  * size(filter(words, w -> w isin markers))).
+  */
+case class MarkerHitsExpr(child: Expression, markers: Seq[String]) extends StringKernelExpression {
+  @transient private lazy val markerSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    markers.foreach(s.add)
+    s
+  }
+  override def dataType: DataType = LongType
+  protected override def nullSafeEval(v: Any): Any = {
+    var n = 0L
+    for (w <- TextKernel.tokens(input(v))) if (markerSet.contains(w)) n += 1
+    n
+  }
+  override protected def withNewChildInternal(c: Expression): MarkerHitsExpr = copy(child = c)
+}
+
+object textkernel {
+  def word_tokens(c: Column): Column = toColumn(WordTokens(toExpression(c)))
+  def marker_hits(c: Column, markers: Seq[String]): Column =
+    toColumn(MarkerHitsExpr(toExpression(c), markers))
+  def shingle_hashes(c: Column, n: Int): Column = toColumn(ShingleHashesExpr(toExpression(c), n))
+  def token_stats(c: Column): Column = toColumn(TokenStatsExpr(toExpression(c)))
+  def jaccard_sorted(a: Column, b: Column): Column =
+    toColumn(JaccardSortedExpr(toExpression(a), toExpression(b)))
+  def word_shingles(c: Column, n: Int): Column = toColumn(WordShinglesExpr(toExpression(c), n))
+  def minhash_sig(c: Column, numHashes: Int, shingleSize: Int): Column =
+    toColumn(MinHashSigExpr(toExpression(c), numHashes, shingleSize))
+  def simhash_fast(c: Column, bits: Int): Column = toColumn(SimHashExpr(toExpression(c), bits))
+  def winnow_fp(c: Column): Column = toColumn(WinnowFpExpr(toExpression(c)))
+}

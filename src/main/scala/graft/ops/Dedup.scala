@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.textfn._
+import graft.functions.textkernel._
 import graft.functions.vector._
 
 /** Deduplication operators for training-data pipelines:
@@ -22,7 +23,7 @@ object Dedup {
     * Map-side-combined groupBy on the digest; canonical = min doc_id.
     */
   def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"), md5(concat_ws(" ", words(col(textCol)))).as("content_hash"))
+    docs.select(col("doc_id"), md5(concat_ws(" ", word_tokens(col(textCol)))).as("content_hash"))
       .groupBy("content_hash")
       .agg(count(lit(1)).as("n_dups"), min("doc_id").as("canonical_id"))
 
@@ -32,9 +33,9 @@ object Dedup {
     */
   def minhashSignature(docs: DataFrame, textCol: String = "text",
                        numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
-    val sh = wordShingles(words(col(textCol)), shingleSize)
-    val sigCols = (0 until numHashes).map(j => minhash(col("__shingles"), j).as(s"mh$j"))
-    docs.withColumn("__shingles", sh)
+    val sigCols = (0 until numHashes).map(j => element_at(col("__sig"), j + 1).as(s"mh$j"))
+    docs.withColumn("__shingles", word_shingles(col(textCol), shingleSize))
+      .withColumn("__sig", minhash_sig(col(textCol), numHashes, shingleSize))
       .select(col("doc_id") +: col("__shingles") +: sigCols: _*)
   }
 
@@ -49,32 +50,36 @@ object Dedup {
   def minhashLsh(docs: DataFrame, textCol: String = "text", threshold: Double = 0.5,
                  numHashes: Int = 16, rowsPerBand: Int = 2, shingleSize: Int = 3): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sig = minhashSignature(docs, textCol, numHashes, shingleSize)
-      .filter(col("mh0").isNotNull)
-    // one row per (doc, band): bucket = md5 of the band's concatenated hashes
+    val sig = docs
+      .withColumn("__sh", shingle_hashes(col(textCol), shingleSize))
+      .withColumn("__sig", minhash_sig(col(textCol), numHashes, shingleSize))
+      .filter(col("__sig").isNotNull)
+    // one row per (doc, band): bucket = md5 of the band's concatenated hashes;
+    // shingle hashes (8B each) ride along for the verify step
     val bandCols = (0 until numBands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      val parts = (0 until rowsPerBand).map(r => element_at(col("__sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), md5(concat_ws("_", parts: _*)).as("bucket"))
     }
-    val buckets = sig.select(col("doc_id"), col("__shingles"),
+    val buckets = sig.select(col("doc_id"), col("__sh"),
         explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("__shingles"), col("bb.band"), col("bb.bucket"))
+      .select(col("doc_id"), col("__sh"), col("bb.band"), col("bb.bucket"))
     val a = buckets.as("a")
     val b = buckets.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.__shingles").as("sh_a"), col("b.__shingles").as("sh_b"))
+        col("a.__sh").as("sh_a"), col("b.__sh").as("sh_b"))
       .dropDuplicates("id_a", "id_b")
     candidates
-      .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard_sorted(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash per document (bit-sampled fingerprint of the word set). */
   def simhashDocs(docs: DataFrame, textCol: String = "text", bits: Int = 16): DataFrame =
-    docs.select(col("doc_id"), simhash(words(col(textCol)), bits).as("simhash"))
+    docs.select(col("doc_id"), simhash_fast(col(textCol), bits).as("simhash"))
 
   /** SimHash near-dup pairs: band the fingerprint into `bits/bandBits`
     * bands; docs equal on any band are candidates (multi-probe for Hamming
@@ -106,11 +111,11 @@ object Dedup {
   def ngramJaccardJoin(docs: DataFrame, blockCol: String, textCol: String = "text",
                        shingleSize: Int = 3, threshold: Double = 0.0): DataFrame = {
     val withSh = docs.select(col("doc_id"), col(blockCol).as("__block"),
-      wordShingles(words(col(textCol)), shingleSize).as("__sh"))
+      shingle_hashes(col(textCol), shingleSize).as("__sh"))
     val a = withSh.as("a"); val b = withSh.as("b")
     a.join(b, col("a.__block") === col("b.__block") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        round(jaccard(col("a.__sh"), col("b.__sh")), 6).as("jaccard"))
+        round(jaccard_sorted(col("a.__sh"), col("b.__sh")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

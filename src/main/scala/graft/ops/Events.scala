@@ -11,15 +11,17 @@ import org.apache.spark.sql.functions._
 object Events {
 
   /** Tumbling event-time window aggregation: per (day, event_type) counts
-    * and value sums. Decimal-cast before summing makes the sum exact and
-    * engine-order-independent (double sums are shuffle-order dependent).
+    * and value sums. Values are summed as scaled integers (micro-units) so
+    * the sum is exact and engine/shuffle-order independent — double sums are
+    * order-dependent, and decimal sums proved JIT-hostile in the generated
+    * aggregate loop (interpreter fallbacks under code-cache pressure).
     */
   def tumblingDaily(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 day").getField("start").cast("date").as("day"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        (sum(round(col("value") * 1000000).cast("long")) / 1000000.0).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
   /** Sessionization (batch form): a new session starts after a gap of more

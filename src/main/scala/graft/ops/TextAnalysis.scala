@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.textfn._
+import graft.functions.textkernel._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
   * counting, quality scoring, language-ID heuristic, document fingerprinting.
@@ -16,11 +17,9 @@ object TextAnalysis {
     * splitter length function — ai_utils/text_splitting/naive.py:31-55).
     */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(
-      col("doc_id"),
-      naiveTokenCount(col(textCol)).as("n_tokens_naive"),
-      whitespaceTokenCount(col(textCol)).cast("long").as("n_tokens_ws"),
-      bpeishTokenCount(col(textCol)).cast("long").as("n_tokens_bpe"))
+    docs.select(col("doc_id"), token_stats(col(textCol)).as("__ts"))
+      .select(col("doc_id"), col("__ts.n_tokens_naive").as("n_tokens_naive"),
+        col("__ts.n_tokens_ws").as("n_tokens_ws"), col("__ts.n_tokens_bpe").as("n_tokens_bpe"))
 
   /** English-ish stopwords for quality scoring. */
   val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that", "for")
@@ -31,11 +30,11 @@ object TextAnalysis {
     * stop_ratio = stopwords/words; quality = len_score*(0.5 + 0.5*min(1, 10*stop_ratio))*(1 - punct_penalty)
     */
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val ws = words(col(textCol))
+    val ws = word_tokens(col(textCol))
     val nWords = size(ws).cast("double")
     val punct = size(regexp_extract_all(col(textCol), lit("[.,;:!?'\"()]"), lit(0))).cast("double")
     val chars = length(col(textCol)).cast("double")
-    val stopHits = size(filter(ws, w => w.isin(Stopwords.map(s => s: Any): _*))).cast("double")
+    val stopHits = marker_hits(col(textCol), Stopwords).cast("double")
     val lenScore = least(lit(1.0), nWords / lit(100.0))
     val punctRatio = when(chars === 0, lit(0.0)).otherwise(punct / chars)
     val stopRatio = when(nWords === 0, lit(0.0)).otherwise(stopHits / nWords)
@@ -58,16 +57,13 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
     "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"))
 
-  private def hits(ws: Column, markers: Seq[String]): Column =
-    size(filter(ws, w => w.isin(markers.map(s => s: Any): _*)))
-
   /** Language identification: argmax of marker-word hits; "und" when no
     * marker appears. Per-row projection, no shuffle.
     */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val ws = words(col(textCol))
-    val en = hits(ws, LangMarkers("en")); val de = hits(ws, LangMarkers("de"))
-    val fr = hits(ws, LangMarkers("fr")); val es = hits(ws, LangMarkers("es"))
+    val t = col(textCol)
+    val en = marker_hits(t, LangMarkers("en")); val de = marker_hits(t, LangMarkers("de"))
+    val fr = marker_hits(t, LangMarkers("fr")); val es = marker_hits(t, LangMarkers("es"))
     val best = greatest(en, de, fr, es)
     val pred = when(best === 0, lit("und"))
       .when(en === best, lit("en"))
@@ -83,23 +79,18 @@ object TextAnalysis {
     * rolling min-hash over character 5-grams of the normalized text
     * (winnowing-style content fingerprint robust to local edits).
     */
-  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val norm = concat_ws(" ", words(col(textCol)))
-    val grams = when(length(norm) >= 5,
-      transform(sequence(lit(1), length(norm) - lit(4)), i => norm.substr(i, lit(5))))
-      .otherwise(array(norm))
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(
       col("doc_id"),
-      md5(norm).as("exact_fp"),
-      array_min(transform(grams, g => hexhash60(g))).as("winnow_fp"))
-  }
+      md5(concat_ws(" ", word_tokens(col(textCol)))).as("exact_fp"),
+      winnow_fp(col(textCol)).as("winnow_fp"))
 
   /** Corpus-level word frequency: explode word tokens, count, top-k.
     * The groupBy is map-side combined (partial aggregation) — the shuffle
     * carries one row per distinct word per partition, not per token.
     */
   def wordFrequency(docs: DataFrame, textCol: String = "text", k: Int = 50): DataFrame =
-    docs.select(explode(words(col(textCol))).as("word"))
+    docs.select(explode(word_tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("word").asc)
       .limit(k)
