@@ -190,6 +190,56 @@ object SparkEntry {
       val (changed, _) = IndexBuild.diffAgainstIndex(newChunks, Some(stored))
       changed.select(col("key").cast("long").as("doc_id")).distinct().orderBy("doc_id")
     },
+    // T2/T3: recursive character splitter (pure-Scala algorithm — no SQL
+    // twin; driver records the weaker rows-only check)
+    "q_chunk" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val config = graft.core.IndexConfig(name = "docs", keyColumn = "doc_id",
+        fields = Seq(EmbeddingField("source", important = true), EmbeddingField("text")),
+        tokenLimit = 32, chunkOverlap = 8)
+      val keyed = docs.withColumn("key", concat_ws(":", lit("documents"), col("doc_id")))
+      IndexBuild.chunk(IndexBuild.extractFields(keyed, config), config)
+        .select(col("key"), col("chunk_index"), length(col("content")).as("chunk_chars"))
+        .orderBy(col("key"), col("chunk_index"))
+    },
+    // S6: dimension pre-filter scan (multi-model index support)
+    "q_dims_filter" -> { (s, dir) =>
+      tbl(s, dir, "embeddings")
+        .filter(size(col("embedding")) === 64)
+        .groupBy("label").agg(count(lit(1)).as("n"))
+        .orderBy("label")
+    },
+    // scale path for batched top-k: bounded-buffer typed aggregator instead
+    // of a window over all scored pairs (shuffle carries k rows per group)
+    "q_topk_agg" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.TopKAggregator
+      import graft.functions.TopKAggregator.Scored
+      val qv = probeVec(s, dir)
+      val scored = tbl(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"),
+          round(vec_cosine(col("embedding"), typedLit(qv)), 6).as("score"))
+      val byLabel = scored.as[(Int, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues { case (_, id, sc) => Scored(id, sc) }
+        .agg(TopKAggregator.topK(3))
+      byLabel.flatMap { case (label, top) =>
+        top.zipWithIndex.map { case (sc, i) => (label, sc.id, i + 1, sc.score) }
+      }.toDF("label", "vec_id", "rank", "score")
+        .orderBy("label", "rank")
+    },
+    // ---- ANN scale paths (deterministic md5-seeded LSH / IVF) ----
+    "q_ann_lsh" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      SimilaritySearch.lshTopK(emb, probes, dims = 64, k = 5, bits = 8, maxHamming = 2)
+        .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
+    },
+    "q_ann_ivf_assign" -> { (s, dir) =>
+      val (assigned, _) = SimilaritySearch.ivfAssign(tbl(s, dir, "embeddings"), nCells = 16)
+      assigned.select(col("vec_id"), col("cell")).orderBy("vec_id")
+    },
     // ---- dedup family ----
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(tbl(s, dir, "documents")).orderBy("content_hash")
@@ -357,7 +407,49 @@ object SparkEntry {
        |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
   }
 
+  /** DuckDB twin of SimilaritySearch.lshBucket: the md5-seeded ±1 hyperplane
+    * matrix is baked in as literals (bits×dims terms, same left-to-right
+    * double accumulation as the Column formulation).
+    */
+  private def lshBucketSql(vecExpr: String, dims: Int = 64, bits: Int = 8): String =
+    (0 until bits).map { j =>
+      val terms = (0 until dims).map { i =>
+        val sign = if (SimilaritySearch.hyperplaneSign(j, i)) "" else "-"
+        s"$sign$vecExpr[${i + 1}]::DOUBLE"
+      }.mkString(" + ")
+      s"(CASE WHEN ($terms) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val annLshSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS b FROM embeddings),
+       | p AS (SELECT vec_id AS qid, embedding AS qv, b AS pb FROM e WHERE vec_id < 5),
+       | joined AS (SELECT p.qid, e.vec_id, round(${sqlCos("e.embedding", "p.qv")}, 6) AS score
+       |   FROM e JOIN p ON bit_count(xor(e.b, p.pb)) <= 2),
+       | ranked AS (SELECT qid, vec_id, score,
+       |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank FROM joined)
+       |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  private val annIvfSql: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |   ORDER BY ${sqlHex60("'ivf:' || vec_id")} ASC, vec_id ASC LIMIT 16),
+       | d AS (SELECT e.vec_id, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist FROM embeddings e, c),
+       | a AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d)
+       |SELECT vec_id, cid AS cell FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_dims_filter" ->
+      """SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings
+        |WHERE len(embedding) = 64 GROUP BY label ORDER BY label""".stripMargin,
+    "q_topk_agg" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         | scored AS (SELECT e.label, e.vec_id, round(${sqlCos("e.embedding", "q.qv")}, 6) AS score FROM embeddings e, q),
+         | ranked AS (SELECT label, vec_id, score,
+         |   row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id ASC) AS rank FROM scored)
+         |SELECT label, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 3
+         |ORDER BY label, rank""".stripMargin,
+    "q_ann_lsh" -> annLshSql,
+    "q_ann_ivf_assign" -> annIvfSql,
     "q_knn_cosine" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${sqlCos("e.embedding", "q.qv")}, 6) AS score
