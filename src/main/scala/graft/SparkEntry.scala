@@ -28,6 +28,15 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** documents.parquet is a single row-group at these scale factors, so a
+    * bare scan gives ONE task; the text/dedup kernels are CPU-bound per row,
+    * so spread rows across cores first (a cheap round-robin shuffle of the
+    * id+text columns). At real scale the same holds whenever upstream
+    * produced few/large files before a compute-heavy stage.
+    */
+  private def docsPar(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
   /** events.parquet stores TIMESTAMP(NANOS) which Spark reads as a nano-epoch
     * long under `spark.sql.legacy.parquet.nanosAsLong`; normalize to a true
     * timestamp (microsecond truncation — sub-second analytics unaffected).
@@ -242,23 +251,23 @@ object SparkEntry {
     },
     // ---- dedup family ----
     "q_dedup_exact" -> { (s, dir) =>
-      Dedup.exact(tbl(s, dir, "documents")).orderBy("content_hash")
+      Dedup.exact(docsPar(s, dir)).orderBy("content_hash")
         .select(col("content_hash"), col("n_dups").cast("long").as("n_dups"), col("canonical_id"))
     },
     "q_minhash_sig" -> { (s, dir) =>
-      Dedup.minhashSignature(tbl(s, dir, "documents"), numHashes = 8)
+      Dedup.minhashSignature(docsPar(s, dir), numHashes = 8)
         .drop("__shingles").orderBy("doc_id")
     },
     "q_simhash" -> { (s, dir) =>
-      Dedup.simhashDocs(tbl(s, dir, "documents"), bits = 16).orderBy("doc_id")
+      Dedup.simhashDocs(docsPar(s, dir), bits = 16).orderBy("doc_id")
     },
     "q_lsh_pairs" -> { (s, dir) =>
-      Dedup.minhashLsh(tbl(s, dir, "documents"), threshold = 0.0, numHashes = 8,
+      Dedup.minhashLsh(docsPar(s, dir), threshold = 0.0, numHashes = 8,
         rowsPerBand = 2, shingleSize = 3)
         .orderBy(desc("jaccard"), col("id_a").asc, col("id_b").asc).limit(100)
     },
     "q_ngram_jaccard" -> { (s, dir) =>
-      Dedup.ngramJaccardJoin(tbl(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+      Dedup.ngramJaccardJoin(docsPar(s, dir).filter(col("doc_id") % 5 === 0),
         blockCol = "lang", threshold = 0.0)
         .orderBy(desc("jaccard"), col("id_a").asc, col("id_b").asc).limit(100)
     },
@@ -268,28 +277,28 @@ object SparkEntry {
     },
     // ---- text analysis ----
     "q_token_stats" -> { (s, dir) =>
-      TextAnalysis.tokenStats(tbl(s, dir, "documents")).orderBy("doc_id")
+      TextAnalysis.tokenStats(docsPar(s, dir)).orderBy("doc_id")
     },
     "q_quality" -> { (s, dir) =>
-      TextAnalysis.qualityScore(tbl(s, dir, "documents")).orderBy("doc_id")
+      TextAnalysis.qualityScore(docsPar(s, dir)).orderBy("doc_id")
     },
     "q_lang_id" -> { (s, dir) =>
-      TextAnalysis.langId(tbl(s, dir, "documents"))
+      TextAnalysis.langId(docsPar(s, dir))
         .select(col("doc_id"), col("en_hits").cast("long").as("en_hits"),
           col("de_hits").cast("long").as("de_hits"), col("fr_hits").cast("long").as("fr_hits"),
           col("es_hits").cast("long").as("es_hits"), col("lang_pred"))
         .orderBy("doc_id")
     },
     "q_fingerprint" -> { (s, dir) =>
-      TextAnalysis.fingerprint(tbl(s, dir, "documents")).orderBy("doc_id")
+      TextAnalysis.fingerprint(docsPar(s, dir)).orderBy("doc_id")
     },
     "q_word_freq" -> { (s, dir) =>
-      TextAnalysis.wordFrequency(tbl(s, dir, "documents"), k = 50)
+      TextAnalysis.wordFrequency(docsPar(s, dir), k = 50)
         .select(col("word"), col("cnt").cast("long"))
     },
     // deterministic hash-embedding pipeline, relational form (bucket weights)
     "q_hash_embed" -> { (s, dir) =>
-      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+      val docs = docsPar(s, dir).filter(col("doc_id") < 100)
       docs.select(col("doc_id"), explode(graft.functions.textkernel.word_tokens(col("text"))).as("w"))
         .withColumn("bucket", hexhash32(col("w")) % 64)
         .withColumn("sign", when(hexhash32substr2(col("w")).bitwiseAND(lit(1L)) === 1L, -1L).otherwise(1L))
