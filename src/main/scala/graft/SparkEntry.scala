@@ -84,9 +84,11 @@ object SparkEntry {
     val config = IndexConfig(name = "docs", keyColumn = "doc_id",
       fields = Seq(EmbeddingField("source", important = true), EmbeddingField("text")),
       tokenLimit = 64, chunkOverlap = 8, dims = 64)
-    val backend = HashEmbeddingBackend(config.dims)
-    val index = IndexBuild.buildDocuments(docs, config, backend, "documents", "doc_id")
-    Retrieval.search(index, "spark vector join query", backend, k = 5, threshold = -1.0)
+    val indexPath = java.nio.file.Files.createTempDirectory("graft-entry").toString + "/docs"
+    val index = graft.api.VectorIndex.local(spark, config, indexPath, "documents", "doc_id")
+    graft.api.IndexRegistry.register(index, () => docs)
+    graft.api.IndexRegistry.rebuildAll()
+    index.search("spark vector join query", k = 5, threshold = -1.0)
   }
 
   // ---------------------------------------------------------------- queries

@@ -1,0 +1,90 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.core.{EmbeddingField, IndexConfig}
+
+/** End-to-end lifecycle through the public API — the reference's
+  * test_model_index.py shape: rebuild → search/query counts, incremental
+  * update, delete/clear, registry rebuild-all.
+  */
+class VectorIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newIndex(name: String): VectorIndex = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-api").toString
+    VectorIndex.local(spark,
+      IndexConfig(name, "id", Seq(EmbeddingField("title", important = true), EmbeddingField("body")),
+        tokenLimit = 64, chunkOverlap = 8, dims = 32),
+      s"$tmp/$name", "page", "id")
+  }
+
+  private def source = Seq(
+    (1L, "Spark Engines", "distributed query processing with catalyst and tungsten"),
+    (2L, "Vector Search", "nearest neighbour retrieval over embeddings"),
+    (3L, "Cooking Pasta", "boil water add salt and cook the noodles"))
+    .toDF("id", "title", "body")
+
+  test("rebuild + search returns hydratable hits in similarity order") {
+    val idx = newIndex("t1")
+    idx.rebuild(source)
+    assert(idx.documents.count() == 3)
+    val hits = idx.search("nearest neighbour retrieval embeddings", k = 2, threshold = -1.0)
+    assert(hits.count() == 2)
+    assert(hits.orderBy(desc("score")).select("key").as[String].head() == "page:2")
+  }
+
+  test("query assembles a RAG response with sources") {
+    val idx = newIndex("t2")
+    idx.rebuild(source)
+    val resp = idx.query("how do i cook pasta", sourcesLimit = 1, threshold = -1.0)
+    assert(resp.response.startsWith("This is an echo backend:"))
+    assert(resp.sources.count() == 1)
+  }
+
+  test("incremental update re-embeds only changed rows and handles new rows") {
+    val idx = newIndex("t3")
+    idx.rebuild(source)
+    val before = idx.documents.select("doc_id").as[Long].collect().toSet
+    val updated = Seq(
+      (1L, "Spark Engines", "distributed query processing with catalyst and tungsten"), // unchanged
+      (2L, "Vector Search", "CHANGED body entirely now"),
+      (4L, "New Page", "completely new content"))
+      .toDF("id", "title", "body")
+    idx.update(updated)
+    val after = idx.documents
+    val keys = after.select(col("object_keys").getItem(0)).as[String].collect().toSet
+    assert(keys == Set("page:1", "page:2", "page:4")) // page:3 no longer in source
+    // unchanged page keeps its original doc_id
+    val page1After = after.filter(array_contains(col("object_keys"), "page:1"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(page1After.subsetOf(before))
+    assert(after.filter(array_contains(col("object_keys"), "page:2"))
+      .select("content").as[String].head().contains("CHANGED"))
+  }
+
+  test("findSimilar excludes self; delete and clear shrink the index") {
+    val idx = newIndex("t4")
+    idx.rebuild(source)
+    val sim = idx.findSimilar("page:1", k = 3, threshold = -1.0)
+    assert(!sim.select("key").as[String].collect().contains("page:1"))
+    val someId = idx.documents.select("doc_id").as[Long].head()
+    idx.delete(Seq(someId))
+    assert(idx.documents.count() == 2)
+    idx.clear()
+    intercept[Throwable] { idx.documents.count() }
+  }
+
+  test("registry rebuilds all registered indexes") {
+    IndexRegistry.clearRegistry()
+    val a = IndexRegistry.register(newIndex("reg_a"), () => source)
+    val b = IndexRegistry.register(newIndex("reg_b"), () => source.limit(2))
+    assert(IndexRegistry.registered == Seq("reg_a", "reg_b"))
+    IndexRegistry.rebuildAll()
+    assert(IndexRegistry.get("reg_a").get.documents.count() == 3)
+    assert(IndexRegistry.get("reg_b").get.documents.count() == 2)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.functions.{textfn, textkernel}
+
+/** Equivalence of the compiled kernels with their higher-order-function
+  * column formulations (which are the semantic reference — they mirror the
+  * DuckDB oracle SQL 1:1). Any drift here would silently break oracles.
+  */
+class TextKernelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val samples: Seq[String] = Seq(
+    "The quick brown Fox! jumps; over 42 lazy dogs...",
+    "",
+    "   leading and trailing   ",
+    "one",
+    "a b",
+    "tab\tsep\nnewline  double  space",
+    "punct-only !!! ??? ...",
+    "numbers 123 456 mixed a1b2c3",
+    "repeat repeat repeat repeat words words",
+    (1 to 200).map(i => s"w$i").mkString(" ")
+  ) ++ {
+    val rnd = new scala.util.Random(11)
+    (1 to 40).map(_ => (0 until rnd.nextInt(60)).map(_ =>
+      (1 to 1 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(28)).toChar).mkString).mkString(" "))
+  }
+
+  def df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("word_tokens == filter(split(lower, regex))") {
+    val rows = df.select(
+      textkernel.word_tokens(col("text")).as("k"),
+      textfn.words(col("text")).as("h")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("token_stats == regex token-count columns") {
+    val rows = df.select(
+      textkernel.token_stats(col("text")).as("k"),
+      textfn.naiveTokenCount(col("text")).as("naive"),
+      textfn.whitespaceTokenCount(col("text")).cast("long").as("ws"),
+      textfn.bpeishTokenCount(col("text")).cast("long").as("bpe")).collect()
+    rows.foreach { r =>
+      val k = r.getStruct(0)
+      assert(k.getLong(0) == r.getLong(1), s"naive mismatch: $r")
+      assert(k.getLong(1) == r.getLong(2), s"ws mismatch: $r")
+      assert(k.getLong(2) == r.getLong(3), s"bpe mismatch: $r")
+    }
+  }
+
+  test("shingle_hashes == sorted hex60 over wordShingles") {
+    val rows = df.select(
+      textkernel.shingle_hashes(col("text"), 3).as("k"),
+      sort_array(transform(textfn.wordShingles(textfn.words(col("text")), 3),
+        s => textfn.hexhash60(s))).as("h")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("minhash_sig == array_min of per-seed hex60 over shingles") {
+    val hof = (0 until 4).map(j => textfn.minhash(
+      textfn.wordShingles(textfn.words(col("text")), 3), j).as(s"h$j"))
+    val rows = df.select(textkernel.minhash_sig(col("text"), 4, 3).as("k") +: hof: _*).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(0)) (1 to 4).foreach(i => assert(r.isNullAt(i)))
+      else {
+        val sig = r.getSeq[Long](0)
+        (0 until 4).foreach(j => assert(sig(j) == r.getLong(j + 1)))
+      }
+    }
+  }
+
+  test("simhash_fast == HOF simhash") {
+    val rows = df.select(
+      textkernel.simhash_fast(col("text"), 16).as("k"),
+      textfn.simhash(textfn.words(col("text")), 16).as("h")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("jaccard_sorted == set jaccard on the same shingle sets") {
+    val pairs = df.as("a").crossJoin(df.limit(5).as("b"))
+      .select(
+        textkernel.jaccard_sorted(
+          textkernel.shingle_hashes(col("a.text"), 3),
+          textkernel.shingle_hashes(col("b.text"), 3)).as("k"),
+        textfn.jaccard(
+          transform(textfn.wordShingles(textfn.words(col("a.text")), 3), s => textfn.hexhash60(s)),
+          transform(textfn.wordShingles(textfn.words(col("b.text")), 3), s => textfn.hexhash60(s))).as("h"))
+      .collect()
+    pairs.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("marker_hits == size(filter(words, isin))") {
+    val markers = Seq("the", "a", "and", "w1", "w42")
+    val rows = df.select(
+      textkernel.marker_hits(col("text"), markers).as("k"),
+      size(filter(textfn.words(col("text")), w => w.isin(markers.map(x => x: Any): _*))).cast("long").as("h"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("winnow_fp == array_min of hex60 over char 5-grams of normalized text") {
+    val norm = concat_ws(" ", textfn.words(col("text")))
+    val grams = when(length(norm) >= 5,
+      transform(sequence(lit(1), length(norm) - lit(4)), i => norm.substr(i, lit(5))))
+      .otherwise(array(norm))
+    val rows = df.select(
+      textkernel.winnow_fp(col("text")).as("k"),
+      array_min(transform(grams, g => textfn.hexhash60(g))).as("h")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"winnow mismatch"))
+  }
+}
