@@ -1,22 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
-    def ex(name: String): Unit = {
-      println(s"===== $name =====")
-      println(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString.take(3500))
+    val dir = "/root/testdata/sf0.1"
+    def run(name: String): Unit = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      println(f"TIME $name%-24s ${(System.nanoTime()-t0)/1e9}%8.2f s")
     }
-    ex("q_knn_cosine")
-    ex("q_hydrate")
-    ex("q_key_lookup")
-    ex("q_dedup_first_per_key")
+    for (i <- 1 to 3) run("q_ann_lsh")
+    for (i <- 1 to 2) run("q_word_freq")
     spark.stop()
   }
 }

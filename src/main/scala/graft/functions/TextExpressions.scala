@@ -237,6 +237,43 @@ case class SimHashExpr(child: Expression, bits: Int) extends StringKernelExpress
   override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
 }
 
+/** Random-hyperplane LSH bucket of a float vector → long. The ±1 hyperplane
+  * matrix is derived from md5 parity (same convention as
+  * SimilaritySearch.hyperplaneSign) and precomputed at plan time; evaluation
+  * is one tight dims×bits loop with left-to-right double accumulation —
+  * bit-identical to the literal-matrix column/SQL formulation, without the
+  * bits×dims-term generated expression (which took seconds of janino/JIT
+  * compilation per plan).
+  */
+case class LshBucketExpr(child: Expression, dims: Int, bits: Int) extends UnaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  @transient private lazy val signs: Array[Array[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(bits, dims) { (j, i) =>
+      val h = md.digest(s"$j:$i".getBytes("UTF-8"))
+      md.reset()
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+  }
+  protected override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(dims, arr.numElements())
+    var bucket = 0L
+    var j = 0
+    while (j < bits) {
+      val s = signs(j)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += arr.getFloat(i).toDouble * s(i); i += 1 }
+      if (dot > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+  override protected def withNewChildInternal(c: Expression): LshBucketExpr = copy(child = c)
+}
+
 /** the three token-count estimators in one pass → struct(naive, ws, bpe). */
 case class TokenStatsExpr(child: Expression) extends StringKernelExpression {
   override def dataType: DataType = StructType(Seq(
@@ -325,6 +362,8 @@ object textkernel {
     toColumn(MarkerHitsExpr(toExpression(c), markers))
   def shingle_hashes(c: Column, n: Int): Column = toColumn(ShingleHashesExpr(toExpression(c), n))
   def token_stats(c: Column): Column = toColumn(TokenStatsExpr(toExpression(c)))
+  def lsh_bucket(c: Column, dims: Int, bits: Int): Column =
+    toColumn(LshBucketExpr(toExpression(c), dims, bits))
   def jaccard_sorted(a: Column, b: Column): Column =
     toColumn(JaccardSortedExpr(toExpression(a), toExpression(b)))
   def word_shingles(c: Column, n: Int): Column = toColumn(WordShinglesExpr(toExpression(c), n))

@@ -46,19 +46,12 @@ object SimilaritySearch {
 
   /** Deterministic random-hyperplane LSH bucket id (`bits`-bit SimHash of the
     * embedding): bit j = sign of <v, h_j> where hyperplane h_j components are
-    * ±1 derived from md5(j:i). Identical across engines and runs.
+    * ±1 derived from md5(j:i). Identical across engines and runs — the SQL
+    * twin bakes the same sign matrix in as literals, and the compiled kernel
+    * accumulates in the same left-to-right double order.
     */
-  def lshBucket(vecCol: Column, dims: Int, bits: Int = 8): Column = {
-    val terms = (0 until bits).map { j =>
-      // <v, h_j> with h_j(i) = ±1 from md5 parity of "j:i"
-      val dot = (0 until dims).map { i =>
-        val sign = if (hyperplaneSign(j, i)) 1.0 else -1.0
-        element_at(vecCol, i + 1).cast("double") * lit(sign)
-      }.reduce(_ + _)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    terms.reduce(_ + _)
-  }
+  def lshBucket(vecCol: Column, dims: Int, bits: Int = 8): Column =
+    graft.functions.textkernel.lsh_bucket(vecCol, dims, bits)
 
   /** ±1 hyperplane component: parity of the first md5 byte of "j:i". */
   def hyperplaneSign(j: Int, i: Int): Boolean = {

@@ -32,13 +32,16 @@ object StreamingOps {
     * timeout drives the flush). Streaming twin of
     * [[graft.ops.Events.sessionize]].
     */
-  def sessions(events: DataFrame, gapSeconds: Long = 1800)(implicit spark: SparkSession): DataFrame = {
+  def sessions(events: DataFrame, gapSeconds: Long = 1800,
+               timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+              (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
     events.selectExpr("user_id", "CAST(ts AS LONG) AS ts_sec")
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val out = state.getOption.map(s => SessionOut(userId, s.start, s.last, s.n))
@@ -60,7 +63,7 @@ object StreamingOps {
               }
             }
             cur.foreach(state.update)
-            state.setTimeoutDuration(gapSeconds * 1000)
+            if (useTimeout) state.setTimeoutDuration(gapSeconds * 1000)
             closed.reverseIterator
           }
       }.toDF()

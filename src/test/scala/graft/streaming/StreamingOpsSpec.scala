@@ -32,6 +32,27 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got("click") == (1L, 5.0))
   }
 
+  test("sessions emits closed sessions via flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    // NoTimeout keeps processAllAvailable from spinning on timeout batches;
+    // production uses the default processing-time timeout to flush idle keys
+    val query = StreamingOps.sessions(events, gapSeconds = 1800,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    val t0 = ts("2024-01-01 10:00:00")
+    def plus(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    // user 100: two events 10s apart, then a 2h gap -> first session closes
+    input.addData((100L, t0), (100L, plus(10)), (100L, plus(7200)))
+    query.processAllAvailable()
+    val got = spark.sql("SELECT user_id, n_events FROM sess").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    query.stop()
+    assert(got.toSeq == Seq((100L, 2L)))
+  }
+
   test("incrementalIndex maintains a parquet index across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
