@@ -235,3 +235,40 @@ class EventsSpec extends AnyFunSuite {
     assert(ks(1L) == 5L && ks(4L) == 7L)
   }
 }
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin equals plain join on skewed data") {
+    // one hot key (90% of rows) + tail
+    val big = ((1 to 900).map(i => (1L, i.toLong)) ++ (1 to 100).map(i => (i.toLong % 7 + 2, i.toLong)))
+      .toDF("k", "row_id")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("k", "v")
+    val plain = big.join(small, "k").groupBy("k", "v").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val salted = Skew.saltedJoin(big, small, "k", col("row_id"), saltFactor = 4)
+      .groupBy("k", "v").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(salted == plain)
+    assert(plain.exists { case (k, _, n) => k == 1L && n == 900 })
+  }
+
+  test("saltedSum equals plain aggregation") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) 99L else i.toLong % 5, i.toLong, i * 1.5))
+      .toDF("k", "row_id", "value")
+    val plain = df.groupBy("k").agg(sum("value"), count(lit(1)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toMap2
+    val salted = Skew.saltedSum(df, "k", "value", col("row_id"), saltFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toMap2
+    assert(plain.keySet == salted.keySet)
+    plain.foreach { case (k, (s, n)) =>
+      assert(math.abs(salted(k)._1 - s) < 1e-6)
+      assert(salted(k)._2 == n)
+    }
+  }
+
+  implicit class TupMap(rows: Array[(Long, Double, Long)]) {
+    def toMap2: Map[Long, (Double, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+}
