@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{EmbeddingField, IndexConfig}
@@ -50,12 +49,13 @@ object IndexBuild {
   def chunk(df: DataFrame, config: IndexConfig): DataFrame = {
     val splitter = new RecursiveCharacterTextSplitter(config.tokenLimit, config.chunkOverlap)
     val splitUdf = udf((s: String) => if (s == null) Seq.empty[String] else splitter.splitText(s))
-    df.withColumn("__chunk", explode(splitUdf(col("splittable_text"))))
+    // posexplode keeps the splitter's positional order as chunk_index — the
+    // reference's input-order restore (O3, storage/django.py:377-383) for
+    // free, with no window/shuffle
+    df.select(col("*"), posexplode(splitUdf(col("splittable_text"))).as(Seq("chunk_index", "__chunk")))
       .withColumn("content",
         when(col("important_text") === "", col("__chunk"))
           .otherwise(concat(col("important_text"), lit("\n"), col("__chunk"))))
-      .withColumn("chunk_index",
-        row_number().over(Window.partitionBy(col("key")).orderBy(col("__chunk"))) - 1)
       .drop("__chunk")
   }
 
