@@ -39,13 +39,15 @@ object SparkEntry {
 
   /** events.parquet stores TIMESTAMP(NANOS) which Spark reads as a nano-epoch
     * long under `spark.sql.legacy.parquet.nanosAsLong`; normalize to a true
-    * timestamp (microsecond truncation — sub-second analytics unaffected).
+    * timestamp. Integer `div` — a double-promoting `/` would round-trip
+    * current-era nano epochs (~1.7e18 > 2^53) through double's 53-bit
+    * mantissa and could land ±1 µs off at window boundaries.
     */
   private def eventsTbl(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "events")
     e.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        e.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => e
     }
   }
@@ -247,9 +249,40 @@ object SparkEntry {
       SimilaritySearch.lshTopK(emb, probes, dims = 64, k = 5, bits = 8, maxHamming = 2)
         .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
     },
+    // scale path proper: index written partitionBy(bucket), probe buckets
+    // computed driver-side → static partition pruning on the scan (S5)
+    "q_ann_lsh_pruned" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft-lsh").toString + "/idx"
+      SimilaritySearch.lshIndexWrite(emb, path, dims = 64, bits = 8)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      SimilaritySearch.lshTopKPruned(s, path, probes, dims = 64, k = 5, bits = 8, maxHamming = 2)
+        .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
+    },
     "q_ann_ivf_assign" -> { (s, dir) =>
       val (assigned, _) = SimilaritySearch.ivfAssign(tbl(s, dir, "embeddings"), nCells = 16)
       assigned.select(col("vec_id"), col("cell")).orderBy("vec_id")
+    },
+    "q_ann_ivf_topk" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val (assigned, centroids) = SimilaritySearch.ivfAssign(emb, nCells = 16)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      SimilaritySearch.ivfTopK(assigned, centroids, probes, k = 5, nProbe = 4)
+        .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
+    },
+    // J5 union path: probe object has many chunks (vec_id % 50 == 7), all
+    // searched in ONE broadcast scan, then first-per-key dedup + self-exclude
+    "q_find_similar_multi" -> { (s, dir) =>
+      val idx = tbl(s, dir, "embeddings").select(
+        col("vec_id").as("doc_id"),
+        array(concat(lit("obj:"), col("vec_id") % 50)).as("object_keys"),
+        col("embedding").as("vector"))
+      Retrieval.findSimilar(idx, "obj:7", k = 5, threshold = -2.0)
+        .select(col("doc_id"), col("key"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), col("doc_id").asc)
     },
     // ---- dedup family ----
     "q_dedup_exact" -> { (s, dir) =>
@@ -448,6 +481,35 @@ object SparkEntry {
        | a AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d)
        |SELECT vec_id, cid AS cell FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  private val annIvfTopkSql: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |   ORDER BY ${sqlHex60("'ivf:' || vec_id")} ASC, vec_id ASC LIMIT 16),
+       | pd AS (SELECT e.vec_id AS qid, e.embedding AS qv, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist
+       |   FROM embeddings e, c WHERE e.vec_id < 5),
+       | pc AS (SELECT qid, qv, cid AS cell FROM (SELECT qid, qv, cid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rn FROM pd) WHERE rn <= 4),
+       | ad AS (SELECT e.vec_id, e.embedding, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist FROM embeddings e, c),
+       | assign AS (SELECT vec_id, embedding, cid AS cell FROM (SELECT vec_id, embedding, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM ad) WHERE rn = 1),
+       | joined AS (SELECT pc.qid, assign.vec_id, round(${sqlCos("assign.embedding", "pc.qv")}, 6) AS score
+       |   FROM assign JOIN pc ON assign.cell = pc.cell),
+       | ranked AS (SELECT qid, vec_id, score,
+       |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank FROM joined)
+       |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  private val findSimilarMultiSql: String =
+    s"""WITH idx AS (SELECT vec_id AS doc_id, 'obj:' || (vec_id % 50) AS key, embedding AS v FROM embeddings),
+       | probes AS (SELECT doc_id AS qid, v AS qv FROM idx WHERE key = 'obj:7'),
+       | scored AS (SELECT i.doc_id, i.key, p.qid, ${sqlCos("i.v", "p.qv")} AS score FROM idx i, probes p),
+       | perchunk AS (SELECT doc_id, key, score,
+       |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rn FROM scored),
+       | kept AS (SELECT doc_id, key, score FROM perchunk WHERE rn <= 5),
+       | dedup AS (SELECT doc_id, key, score,
+       |   row_number() OVER (PARTITION BY key ORDER BY score DESC, doc_id ASC) AS rn2 FROM kept)
+       |SELECT doc_id, key, round(score, 6) AS score FROM dedup WHERE rn2 = 1 AND key <> 'obj:7'
+       |ORDER BY round(score, 6) DESC, doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dims_filter" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings
@@ -460,7 +522,10 @@ object SparkEntry {
          |SELECT label, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 3
          |ORDER BY label, rank""".stripMargin,
     "q_ann_lsh" -> annLshSql,
+    "q_ann_lsh_pruned" -> annLshSql,
     "q_ann_ivf_assign" -> annIvfSql,
+    "q_ann_ivf_topk" -> annIvfTopkSql,
+    "q_find_similar_multi" -> findSimilarMultiSql,
     "q_knn_cosine" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${sqlCos("e.embedding", "q.qv")}, 6) AS score

@@ -151,10 +151,88 @@ case class L2Norm(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): L2Norm = copy(child = newChild)
 }
 
+/** Per-row nearest-centroid assignment against a plan-time centroid table:
+  * returns the id of the L2-closest centroid (ties → smallest id). One
+  * projection, zero joins/shuffles — the scale-correct IVF assignment (the
+  * centroid set is tiny by construction, nCells ≤ a few thousand).
+  *
+  * Distance accumulates exactly like [[L2Distance]] (left-to-right double
+  * over the common prefix, then sqrt), so the result is bit-identical to
+  * the crossJoin+argmin formulation and its DuckDB twin.
+  */
+case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Float]], cids: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(centroids.length == cids.length && centroids.nonEmpty, "need >= 1 centroid")
+  override def prettyName: String = "nearest_centroid"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  private def dist(x: ArrayData, c: Array[Float]): Double = {
+    val n = math.min(x.numElements(), c.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - c(i).toDouble
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+  protected override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var bestCid = cids(0)
+    var bestD = dist(x, centroids(0))
+    var j = 1
+    while (j < centroids.length) {
+      val d = dist(x, centroids(j))
+      if (d < bestD || (d == bestD && cids(j) < bestCid)) { bestD = d; bestCid = cids(j) }
+      j += 1
+    }
+    bestCid
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
+    copy(child = newChild)
+}
+
+/** The `nProbe` nearest centroid ids (L2 asc, id-asc ties), in rank order —
+  * the probe-side cell selection of IVF search, again one projection.
+  */
+case class NearestCellsExpr(child: Expression, centroids: Array[Array[Float]], cids: Array[Long], nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(centroids.length == cids.length && centroids.nonEmpty, "need >= 1 centroid")
+  override def prettyName: String = "nearest_cells"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  protected override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val scored = Array.tabulate(centroids.length) { j =>
+      val c = centroids(j)
+      val n = math.min(x.numElements(), c.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { val d = x.getFloat(i).toDouble - c(i).toDouble; s += d * d; i += 1 }
+      (math.sqrt(s), cids(j))
+    }
+    val top = scored.sortBy { case (d, cid) => (d, cid) }.take(nProbe).map(_._2)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(top)
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsExpr =
+    copy(child = newChild)
+}
+
 /** Column-level API. */
 object vector {
   def vec_dot(a: Column, b: Column): Column = toColumn(DotProduct(toExpression(a), toExpression(b)))
   def vec_cosine(a: Column, b: Column): Column = toColumn(CosineSimilarity(toExpression(a), toExpression(b)))
   def vec_l2(a: Column, b: Column): Column = toColumn(L2Distance(toExpression(a), toExpression(b)))
   def vec_norm(a: Column): Column = toColumn(L2Norm(toExpression(a)))
+  def nearest_centroid(v: Column, centroids: Array[Array[Float]], cids: Array[Long]): Column =
+    toColumn(NearestCentroidExpr(toExpression(v), centroids, cids))
+  def nearest_cells(v: Column, centroids: Array[Array[Float]], cids: Array[Long], nProbe: Int): Column =
+    toColumn(NearestCellsExpr(toExpression(v), centroids, cids, nProbe))
 }

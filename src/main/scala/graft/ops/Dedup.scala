@@ -50,28 +50,30 @@ object Dedup {
   def minhashLsh(docs: DataFrame, textCol: String = "text", threshold: Double = 0.5,
                  numHashes: Int = 16, rowsPerBand: Int = 2, shingleSize: Int = 3): DataFrame = {
     val numBands = numHashes / rowsPerBand
+    // candidate generation carries (doc_id, band, bucket) ONLY — the shingle
+    // sets do NOT ride the ×numBands explode through the shuffle (at scale
+    // that payload dominates shuffle bytes); they are joined back by id on
+    // the already-deduped candidate pairs for the verify step
     val sig = docs
-      .withColumn("__sh", shingle_hashes(col(textCol), shingleSize))
       .withColumn("__sig", minhash_sig(col(textCol), numHashes, shingleSize))
       .filter(col("__sig").isNotNull)
-    // one row per (doc, band): bucket = md5 of the band's concatenated hashes;
-    // shingle hashes (8B each) ride along for the verify step
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => element_at(col("__sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), md5(concat_ws("_", parts: _*)).as("bucket"))
     }
-    val buckets = sig.select(col("doc_id"), col("__sh"),
-        explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("__sh"), col("bb.band"), col("bb.bucket"))
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val a = buckets.as("a")
     val b = buckets.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.__sh").as("sh_a"), col("b.__sh").as("sh_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val shingles = docs.select(col("doc_id"), shingle_hashes(col(textCol), shingleSize).as("__sh"))
     candidates
+      .join(shingles.select(col("doc_id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(shingles.select(col("doc_id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccard_sorted(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)

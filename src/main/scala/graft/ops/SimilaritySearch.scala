@@ -1,10 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.textfn._
 import graft.functions.vector._
 
 /** Approximate/exact nearest-neighbour search over an embedding column.
@@ -14,13 +13,17 @@ import graft.functions.vector._
   * its pgvector schema creates no ANN index, pgvector/models.py:86-87).
   *
   * Scale paths:
-  *  - [[lshBuckets]]/[[lshTopK]]: random-hyperplane (SimHash) bucketing — the
-  *    probe only scans its own bucket(s); bucket key is an equi-join key so
-  *    the scan is partition-pruned at 100 TB when the index is written
-  *    partitioned by bucket.
-  *  - [[ivfTopK]]: inverted-file: k-means-style centroids (deterministically
-  *    seeded sample), each vector assigned to nearest centroid; probes scan
-  *    `nProbe` nearest cells only.
+  *  - [[lshBuckets]]/[[lshTopK]]: random-hyperplane (SimHash) bucketing. The
+  *    probe is expanded into its Hamming-ball of candidate buckets
+  *    (Σ_{i≤h} C(bits,i) rows per probe — 37 at bits=8, h≤2), so the
+  *    probe↔item match is a plain EQUI-JOIN on `bucket`: hash-partitioned,
+  *    broadcastable, and — against an index written `partitionBy("bucket")`
+  *    via [[lshIndexWrite]] — partition-PRUNED ([[lshTopKPruned]]): only the
+  *    candidate buckets' files are read at all.
+  *  - [[ivfAssign]]/[[ivfTopK]]: inverted-file: deterministically-seeded
+  *    centroids, each vector assigned to its nearest centroid by a single
+  *    per-row projection (a [[graft.functions.NearestCentroidExpr]] kernel —
+  *    no join, no shuffle); probes scan the `nProbe` nearest cells only.
   */
 object SimilaritySearch {
 
@@ -60,25 +63,117 @@ object SimilaritySearch {
     (h(0) & 1) == 0
   }
 
+  /** Driver-side twin of [[lshBucket]] for probe vectors already on the
+    * driver (the embedded query string) — same sign matrix, same
+    * left-to-right double accumulation as LshBucketExpr, so driver- and
+    * executor-computed buckets agree bitwise.
+    */
+  def lshBucketLocal(v: Seq[Float], dims: Int, bits: Int = 8): Long = {
+    val n = math.min(dims, v.length)
+    var bucket = 0L
+    var j = 0
+    while (j < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += v(i).toDouble * (if (hyperplaneSign(j, i)) 1.0 else -1.0)
+        i += 1
+      }
+      if (dot > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  /** All XOR masks within Hamming distance `maxHamming` of zero, i.e. the
+    * Hamming ball a multi-probe query expands into: Σ_{i≤h} C(bits,i) masks
+    * (37 at bits=8, h=2). Enumerated by choosing bit positions — never 2^bits
+    * work — so it stays cheap at any realistic `bits`.
+    */
+  def hammingMasks(bits: Int, maxHamming: Int): Seq[Long] = {
+    def choose(start: Int, remaining: Int): Seq[Long] =
+      if (remaining == 0) Seq(0L)
+      else (start to bits - remaining).flatMap(i => choose(i + 1, remaining - 1).map(_ | (1L << i)))
+    (0 to maxHamming).flatMap(h => choose(0, h))
+  }
+
   /** Assign every item its LSH bucket — the index-build side. Written
-    * partitioned by `bucket`, probes read one partition (partition pruning).
+    * partitioned by `bucket` ([[lshIndexWrite]]), probes read only their
+    * candidate partitions.
     */
   def lshBuckets(items: DataFrame, dims: Int, bits: Int = 8,
                  itemVec: String = "embedding"): DataFrame =
     items.withColumn("bucket", lshBucket(col(itemVec), dims, bits))
 
-  /** Approximate top-k: probe scans only items whose bucket is within
-    * `maxHamming` of the probe's bucket (multi-probe LSH), then exact
-    * rerank. Equi-join on bucket when maxHamming=0.
+  /** Write the LSH-bucketed index partitioned by bucket: the physical layout
+    * that makes [[lshTopKPruned]]'s candidate-bucket filter a partition-
+    * pruning scan (S5; the scale posture the reference's pgvector schema
+    * lacks by admission — pgvector/models.py:86-87 TODO).
+    */
+  def lshIndexWrite(items: DataFrame, path: String, dims: Int, bits: Int = 8,
+                    itemVec: String = "embedding"): Unit =
+    lshBuckets(items, dims, bits, itemVec)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Approximate top-k: each probe is expanded into its Hamming-≤h candidate
+    * buckets (`pb XOR mask` for every mask in [[hammingMasks]]), then items
+    * are matched by a plain equi-join on the bucket id — identical candidate
+    * set to the Hamming-distance θ-join (ib = pb^m with popcount(m) ≤ h ⟺
+    * hamming(ib,pb) ≤ h) but planned as a broadcast HASH join over the item
+    * scan, not a nested loop. Exact cosine rerank on the candidates.
     */
   def lshTopK(items: DataFrame, probes: DataFrame, dims: Int, k: Int = 10,
               bits: Int = 8, maxHamming: Int = 1,
               itemId: String = "vec_id", itemVec: String = "embedding",
               probeId: String = "qid", probeVec: String = "qv"): DataFrame = {
-    val bucketed = items.withColumn("__ib", lshBucket(col(itemVec), dims, bits))
-    val probed = probes.withColumn("__pb", lshBucket(col(probeVec), dims, bits))
-    val joined = bucketed.join(broadcast(probed),
-      hamming(col("__ib"), col("__pb")) <= maxHamming)
+    val bucketed = items.withColumn("__bkt", lshBucket(col(itemVec), dims, bits))
+    val masks = hammingMasks(bits, maxHamming)
+    val probed = probes
+      .withColumn("__pb", lshBucket(col(probeVec), dims, bits))
+      .select(col(probeId), col(probeVec), col("__pb"), explode(typedLit(masks)).as("__m"))
+      .withColumn("__bkt", col("__pb").bitwiseXOR(col("__m")))
+      .drop("__m", "__pb")
+    rerank(bucketed.join(broadcast(probed), Seq("__bkt")),
+      k, itemId, itemVec, probeId, probeVec)
+  }
+
+  /** Query a [[lshIndexWrite]]-written index with partition pruning: the
+    * probe batch is collected (a query batch is driver-resident by
+    * construction — the analog of embedding the query string), its candidate
+    * buckets are computed driver-side, and the scan carries
+    * `bucket IN (candidates)` — a static partition filter, so only those
+    * directories are listed/read. `.explain` shows the PartitionFilters.
+    */
+  def lshTopKPruned(spark: SparkSession, indexPath: String, probes: Seq[(Long, Seq[Float])],
+                    dims: Int, k: Int = 10, bits: Int = 8, maxHamming: Int = 1,
+                    itemId: String = "vec_id", itemVec: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val masks = hammingMasks(bits, maxHamming)
+    val expanded = probes.flatMap { case (qid, qv) =>
+      val pb = lshBucketLocal(qv, dims, bits)
+      masks.map(m => (qid, qv, pb ^ m))
+    }
+    val probeDf = expanded.toDF("qid", "qv", "__bkt")
+      .select(col("qid"), col("qv").cast("array<float>"), col("__bkt"))
+    val raw = spark.read.parquet(indexPath)
+    // partition-column type inference reads small bucket dirs back as int;
+    // filter with literals of the inferred type so the In stays a bare
+    // partition filter (no cast wrapper → static pruning guaranteed)
+    val candBuckets: Seq[Any] = raw.schema("bucket").dataType match {
+      case org.apache.spark.sql.types.IntegerType => expanded.map(_._3.toInt).distinct
+      case _                                      => expanded.map(_._3).distinct
+    }
+    val index = raw
+      .filter(col("bucket").isin(candBuckets: _*))
+      .withColumn("__bkt", col("bucket").cast("long"))
+      .drop("bucket")
+    rerank(index.join(broadcast(probeDf), Seq("__bkt")),
+      k, itemId, itemVec, "qid", "qv")
+  }
+
+  /** Shared exact-rerank tail: cosine score, per-probe top-k window. */
+  private def rerank(joined: DataFrame, k: Int, itemId: String, itemVec: String,
+                     probeId: String, probeVec: String): DataFrame = {
     val scored = joined.select(col(probeId), col(itemId),
       round(vec_cosine(col(itemVec), col(probeVec)), 6).as("score"))
     val w = Window.partitionBy(col(probeId)).orderBy(desc("score"), col(itemId).asc)
@@ -86,40 +181,49 @@ object SimilaritySearch {
   }
 
   /** IVF: pick `nCells` deterministic centroid seeds (lowest md5 of id —
-    * a deterministic uniform sample), assign every item to its nearest
-    * centroid, and for each probe scan the `nProbe` nearest cells only.
-    * The centroid table is tiny and broadcast everywhere; the cell id is the
-    * partition key at scale.
+    * a deterministic uniform sample; collected to the driver, tiny by
+    * design), then assign every item to its nearest centroid with ONE
+    * per-row kernel projection — zero joins, zero exchanges before the
+    * output (vs. the crossJoin+window argmin this replaces). The cell id is
+    * the partition key at scale.
     */
   def ivfAssign(items: DataFrame, nCells: Int = 16,
                 itemId: String = "vec_id", itemVec: String = "embedding"): (DataFrame, DataFrame) = {
     val centroids = items
-      .withColumn("__h", hexhash60(concat(lit("ivf:"), col(itemId))))
+      .withColumn("__h", graft.functions.textfn.hexhash60(concat(lit("ivf:"), col(itemId))))
       .orderBy(col("__h").asc, col(itemId).asc).limit(nCells)
       .select(col(itemId).as("cid"), col(itemVec).as("cv"))
-    val assigned = items.crossJoin(broadcast(centroids))
-      .withColumn("__d", vec_l2(col(itemVec), col("cv")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(itemId)).orderBy(col("__d").asc, col("cid").asc)))
-      .filter(col("__rn") === 1)
-      .select(items.columns.map(col) :+ col("cid").as("cell"): _*)
+    val rows = centroids.collect()
+    val cids = rows.map(r => r.get(0) match {
+      case l: Long => l
+      case i: Int  => i.toLong
+      case other   => other.toString.toLong
+    })
+    val cvs = rows.map(_.getSeq[Float](1).toArray)
+    val assigned = items.withColumn("cell", nearest_centroid(col(itemVec), cvs, cids))
     (assigned, centroids)
   }
 
+  /** Probe-side IVF search: each probe selects its `nProbe` nearest cells
+    * with one kernel projection (array of cell ids, exploded), then an
+    * equi-join on `cell` against the assigned items — partition-prunable
+    * when the index is stored partitioned by cell — and exact rerank.
+    */
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, probes: DataFrame,
               k: Int = 10, nProbe: Int = 4,
               itemId: String = "vec_id", itemVec: String = "embedding",
               probeId: String = "qid", probeVec: String = "qv"): DataFrame = {
-    val probeCells = probes.crossJoin(broadcast(centroids))
-      .withColumn("__d", vec_l2(col(probeVec), col("cv")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(probeId)).orderBy(col("__d").asc, col("cid").asc)))
-      .filter(col("__rn") <= nProbe)
-      .select(col(probeId), col(probeVec), col("cid").as("cell"))
-    val scored = assigned.join(broadcast(probeCells), Seq("cell"))
-      .select(col(probeId), col(itemId),
-        round(vec_cosine(col(itemVec), col(probeVec)), 6).as("score"))
-    val w = Window.partitionBy(col(probeId)).orderBy(desc("score"), col(itemId).asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val rows = centroids.collect()
+    val cids = rows.map(r => r.get(0) match {
+      case l: Long => l
+      case i: Int  => i.toLong
+      case other   => other.toString.toLong
+    })
+    val cvs = rows.map(_.getSeq[Float](1).toArray)
+    val probeCells = probes
+      .withColumn("cell", explode(nearest_cells(col(probeVec), cvs, cids, nProbe)))
+      .select(col(probeId), col(probeVec), col("cell"))
+    rerank(assigned.join(broadcast(probeCells), Seq("cell")),
+      k, itemId, itemVec, probeId, probeVec)
   }
 }

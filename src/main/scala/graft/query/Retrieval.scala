@@ -21,14 +21,16 @@ import graft.functions.vector._
 object Retrieval {
 
   /** Similarity score column for a (vectorCol, query literal vector) pair. */
-  def scoreCol(vectorCol: Column, queryVec: Seq[Float], metric: Metric = Metric.Cosine): Column = {
-    val q = typedLit(queryVec)
+  def scoreCol(vectorCol: Column, queryVec: Seq[Float], metric: Metric = Metric.Cosine): Column =
+    scoreColOf(vectorCol, typedLit(queryVec), metric)
+
+  /** Column-vs-column variant (probe vectors coming from another table). */
+  def scoreColOf(vectorCol: Column, queryCol: Column, metric: Metric): Column =
     metric match {
-      case Metric.Cosine          => vec_cosine(vectorCol, q)
-      case Metric.L2              => -vec_l2(vectorCol, q)
-      case Metric.MaxInnerProduct => vec_dot(vectorCol, q)
+      case Metric.Cosine          => vec_cosine(vectorCol, queryCol)
+      case Metric.L2              => -vec_l2(vectorCol, queryCol)
+      case Metric.MaxInnerProduct => vec_dot(vectorCol, queryCol)
     }
-  }
 
   /** Brute-force exact KNN: score every row, threshold, take top-k.
     *
@@ -97,21 +99,27 @@ object Retrieval {
     dedupByKey(hits)
   }
 
-  /** find_similar(obj): KNN per chunk-document of the probe object, union,
-    * dedup, exclude self (reference storage/base.py:278-301). Probe vectors
-    * are the object's own indexed chunks — a driver-side handful — so this is
-    * a union of k-limited scans, one per chunk, then a global re-rank.
+  /** find_similar(obj): per-chunk KNN of the probe object's own chunks,
+    * union, dedup, exclude self (reference storage/base.py:278-301 — which
+    * loops one similarity query per chunk). Here the probe chunks stay a
+    * DataFrame and are BROADCAST into a single index scan: score every
+    * (probe-chunk, doc) pair, per-chunk top-k via a window on the chunk id,
+    * then the global first-per-key dedup. One scan total, however many
+    * chunks the object has — vs. the reference's (and round 1's) m scans.
     */
   def findSimilar(index: DataFrame, probeKey: String, k: Int = 5,
                   threshold: Double = 0.0, metric: Metric = Metric.Cosine,
                   includeSelf: Boolean = false): DataFrame = {
-    val probeChunks = index
+    val probes = index
       .filter(array_contains(col("object_keys"), probeKey))
-      .select("vector").collect()
-      .map(_.getSeq[Float](0))
-    val unioned = probeChunks.map(qv => knn(index, qv, k, threshold, metric))
-      .reduceOption(_.unionByName(_))
-      .getOrElse(index.limit(0).withColumn("score", lit(0.0d)))
+      .select(col("doc_id").as("__qid"), col("vector").as("__qv"))
+    val scored = index.crossJoin(broadcast(probes))
+      .withColumn("score", scoreColOf(col("vector"), col("__qv"), metric))
+      .filter(col("score") >= lit(threshold))
+    val perChunk = Window.partitionBy(col("__qid")).orderBy(desc("score"), col("doc_id").asc)
+    val unioned = scored.withColumn("__rn", row_number().over(perChunk))
+      .filter(col("__rn") <= k)
+      .drop("__rn", "__qid", "__qv")
     val keyed = unioned.withColumn("key", col("object_keys").getItem(0))
     val deduped = dedupByKey(keyed)
     if (includeSelf) deduped else deduped.filter(col("key") =!= lit(probeKey))
@@ -123,16 +131,22 @@ object Retrieval {
     "You are a helpful assistant. Use the following context to answer the question. Don't mention the context in your reply."
 
   /** RAG query: search → merge contexts with "\n" → 3-message prompt → chat
-    * (reference storage/base.py:194-228). `sourcesLimit` IS honored here —
-    * the reference accepts it but drops it (base.py:197,208-212, quirk O4);
-    * divergence documented in SURVEY.md §7 risk 3.
+    * (reference storage/base.py:194-228). The merged context is built from
+    * the RAW top-k chunk hits BEFORE object dedup — the reference assembles
+    * merged_context from similar_documents (base.py:214) and dedups only the
+    * sources list — so two chunks of one object both contribute content.
+    * `sourcesLimit` IS honored here — the reference accepts it but drops it
+    * (base.py:197,208-212, quirk O4); divergence documented in SURVEY.md §7.
     */
   def ragQuery(index: DataFrame, query: String, embedBackend: EmbeddingBackend,
                chatBackend: ChatBackend, sourcesLimit: Int = 5,
                threshold: Double = 0.0, systemPrompt: String = DefaultSystemPrompt): QueryResponse = {
-    val sources = search(index, query, embedBackend, k = sourcesLimit, threshold = threshold)
-    val context = sources.orderBy(desc("score"), col("doc_id").asc)
+    val qv = embedBackend.embedOne(query).toSeq
+    val hits = knn(index, qv, sourcesLimit, threshold)
+      .withColumn("key", col("object_keys").getItem(0))
+    val context = hits.orderBy(desc("score"), col("doc_id").asc)
       .select("content").collect().map(_.getString(0)).mkString("\n")
+    val sources = dedupByKey(hits)
     val messages = Seq(
       ChatMessage("system", systemPrompt),
       ChatMessage("system", context),
