@@ -30,63 +30,44 @@ final class VectorIndex(
     val chatBackend: ChatBackend,
     val indexPath: String,
     val sourceTable: String,
-    val idColumn: String
+    val idColumn: String,
+    storeOverride: Option[IndexStore] = None
 ) {
 
-  def documents: DataFrame = IndexBuild.readIndex(spark, indexPath)
+  /** Provider seam (reference StorageProvider, storage/base.py:48-71):
+    * all physical index ops go through here — swap in another [[IndexStore]]
+    * for a different backend.
+    */
+  val store: IndexStore = storeOverride.getOrElse(new ParquetIndexStore(spark, indexPath))
+
+  def documents: DataFrame = store.read()
 
   /** Full rebuild: clear + build from scratch (reference rebuild_index,
     * pgvector provider.py:61-63).
     */
-  def rebuild(source: DataFrame): Unit = {
-    val docs = IndexBuild.buildDocuments(source, config, backend, sourceTable, idColumn)
-    IndexBuild.writeIndex(docs, indexPath, mode = "overwrite")
-  }
+  def rebuild(source: DataFrame): Unit =
+    store.replace(IndexBuild.buildDocuments(source, config, backend, sourceTable, idColumn))
 
   /** Incremental update: diff against the stored index, re-embed only
     * changed objects, keep the rest (reference A4 incremental path,
-    * storage/django.py:320-383).
+    * storage/django.py:320-383). The store's versioned replace means the
+    * stored read and the new write never race — no cache, no swap window.
     */
   def update(source: DataFrame): Unit = {
-    val stored =
-      try Some(documents.cache())
-      catch { case _: Throwable => None }
-    val docs = IndexBuild.buildDocuments(source, config, backend, sourceTable, idColumn, stored)
-    // write to a fresh path then swap, so the read and overwrite don't race
-    val tmp = indexPath + ".tmp"
-    IndexBuild.writeIndex(docs, tmp, mode = "overwrite")
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(indexPath))
-    stored.foreach(_.unpersist())
+    val stored = store.readOption()
+    store.replace(IndexBuild.buildDocuments(source, config, backend, sourceTable, idColumn, stored))
   }
 
-  /** Upsert pre-built Document rows (reference provider upsert, S7). */
-  def upsert(docs: DataFrame): Unit = {
-    val merged = documents.unionByName(docs).dropDuplicates("doc_id")
-    val tmp = indexPath + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(indexPath))
-  }
+  /** Upsert pre-built Document rows (reference provider upsert, S7) —
+    * conflict-ignore, old-wins, deterministic (see [[IndexStore.upsert]]).
+    */
+  def upsert(docs: DataFrame): Unit = store.upsert(docs)
 
   /** Delete documents by doc_id (S10). */
-  def delete(docIds: Seq[Long]): Unit = {
-    import spark.implicits._
-    val remaining = IndexBuild.deleteByDocIds(documents, docIds.toDF("doc_id"))
-    val tmp = indexPath + ".tmp"
-    remaining.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(indexPath))
-  }
+  def delete(docIds: Seq[Long]): Unit = store.delete(docIds)
 
   /** Remove every document (S11). */
-  def clear(): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
-  }
+  def clear(): Unit = store.clear()
 
   def search(query: String, k: Int = 5, threshold: Double = 0.0,
              metric: Metric = Metric.Cosine): DataFrame =

@@ -75,6 +75,12 @@ object Metric {
 /** Index configuration: fields to embed, chunking budget, metric.
   * `tokenLimit` drives chunk_size exactly as in the reference
   * (storage/django.py:292-295 — chunk_size = embedding backend token_limit).
+  *
+  * `parentTables`: the source type's ancestors in MRO order, most specific
+  * first — every Document carries `"<parent>:<id>"` keys for each, so a
+  * multi-model index resolves lookups by base-class key (reference
+  * `_keys_for_instance`, storage/django.py:279-285 — the normal Wagtail
+  * `Page`-inheritance case).
   */
 final case class IndexConfig(
     name: String,
@@ -83,7 +89,8 @@ final case class IndexConfig(
     tokenLimit: Int = 8191,
     chunkOverlap: Int = 100,
     dims: Int = 64,
-    metric: Metric = Metric.Cosine
+    metric: Metric = Metric.Cosine,
+    parentTables: Seq[String] = Nil
 ) {
   def importantCols: Seq[String] = EmbeddingField.dedup(fields).filter(_.important).map(_.column)
   def splittableCols: Seq[String] = EmbeddingField.dedup(fields).filterNot(_.important).map(_.column)

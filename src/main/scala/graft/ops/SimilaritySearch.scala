@@ -113,6 +113,10 @@ object SimilaritySearch {
   def lshIndexWrite(items: DataFrame, path: String, dims: Int, bits: Int = 8,
                     itemVec: String = "embedding"): Unit =
     lshBuckets(items, dims, bits, itemVec)
+      // co-locate each bucket before the partitioned write: one file per
+      // bucket dir instead of (#tasks × #buckets) shards — at scale, tune
+      // with an additional range/hash split inside hot buckets
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Approximate top-k: each probe is expanded into its Hamming-≤h candidate

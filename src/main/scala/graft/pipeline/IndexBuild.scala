@@ -52,10 +52,13 @@ object IndexBuild {
     // posexplode keeps the splitter's positional order as chunk_index — the
     // reference's input-order restore (O3, storage/django.py:377-383) for
     // free, with no window/shuffle
+    // the prefix is UNCONDITIONAL, exactly as the reference formats
+    // f"{important_text}\n{chunk}" (storage/django.py:429-432) — objects
+    // with no important fields get a leading "\n", keeping content (and
+    // hence content hashes in diffAgainstIndex) byte-identical to a
+    // reference-faithful port
     df.select(col("*"), posexplode(splitUdf(col("splittable_text"))).as(Seq("chunk_index", "__chunk")))
-      .withColumn("content",
-        when(col("important_text") === "", col("__chunk"))
-          .otherwise(concat(col("important_text"), lit("\n"), col("__chunk"))))
+      .withColumn("content", concat(col("important_text"), lit("\n"), col("__chunk")))
       .drop("__chunk")
   }
 
@@ -89,8 +92,11 @@ object IndexBuild {
   }
 
   /** Full build: chunks → embed → Document rows. `keyCol` provides the
-    * source identity; object_keys = [ "<table>:<id>" ] (parent keys would be
-    * appended here — reference storage/django.py:279-285).
+    * source identity; object_keys = [ "<table>:<id>", "<parent>:<id>", … ]
+    * in MRO order, most specific first (reference `_keys_for_instance`,
+    * storage/django.py:279-285), so hydration/lookup by a base-class key
+    * finds the document. Metadata carries the object identity beyond the
+    * table name (reference storage/models.py:34-53 usage).
     */
   def buildDocuments(source: DataFrame, config: IndexConfig, backend: EmbeddingBackend,
                      table: String, idCol: String,
@@ -101,25 +107,29 @@ object IndexBuild {
       .select(col("key"), col("chunk_index"), col("content"))
     val (changed, unchanged) = diffAgainstIndex(chunks, storedIndex)
     val embedded = EmbedStage.embed(changed, "content", backend, embedBatchSize)
+    val objId = split(col("key"), ":", 2).getItem(1)
+    val keyCols = (lit(table) +: config.parentTables.map(lit)).map(t => concat_ws(":", t, objId))
     val docs = embedded.select(
       xxhash64(col("key"), col("chunk_index")).as("doc_id"),
-      array(col("key")).as("object_keys"),
+      array(keyCols: _*).as("object_keys"),
       col("vector"),
       col("content"),
-      map(lit("table"), lit(table)).as("metadata"))
+      map(lit("table"), lit(table), lit("object_id"), objId,
+        lit("chunk_index"), col("chunk_index").cast("string")).as("metadata"))
     if (storedIndex.isEmpty) docs
     else docs.unionByName(unchanged.select("doc_id", "object_keys", "vector", "content", "metadata"))
   }
 
-  /** S7/S10-S12 sinks: upsert = dropDuplicates + append; rebuild = overwrite;
-    * delete = anti-join + rewrite (reference pgvector provider.py:61-81,
-    * 125-130). Parquet path partitioned by nothing at this scale; at 100 TB
-    * partition by index_name / key-hash bucket.
+  /** S7/S10-S12 sinks, routed through the versioned
+    * [[graft.api.ParquetIndexStore]] (atomic replace; readers of a prior
+    * version keep working). At 100 TB additionally partition each version
+    * by index_name / key-hash bucket.
     */
   def writeIndex(docs: DataFrame, path: String, mode: String = "overwrite"): Unit =
-    docs.dropDuplicates("doc_id").write.mode(mode).parquet(path)
+    new graft.api.ParquetIndexStore(docs.sparkSession, path).replace(docs)
 
-  def readIndex(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    new graft.api.ParquetIndexStore(spark, path).read()
 
   def deleteByDocIds(index: DataFrame, docIds: DataFrame): DataFrame =
     index.join(docIds, Seq("doc_id"), "left_anti")

@@ -82,11 +82,11 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val stored =
-          try Some(IndexBuild.readIndex(spark, indexPath))
-          catch { case _: Throwable => None }
+        val store = new graft.api.ParquetIndexStore(spark, indexPath)
+        val stored = store.readOption()
         val docs = IndexBuild.buildDocuments(batch, config, backend, table, idCol, stored)
-        // overwrite-with-union = upsert for the touched keys
+        // overwrite-with-union = upsert for the touched keys; the store's
+        // versioned replace keeps concurrent readers on the prior version
         val merged = stored match {
           case Some(s) =>
             val touched = docs.select(explode(col("object_keys")).as("k")).distinct()
@@ -94,11 +94,7 @@ object StreamingOps {
               .drop("k").unionByName(docs)
           case None => docs
         }
-        val tmp = indexPath + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(indexPath))
+        store.replace(merged)
         ()
       }
       .start()

@@ -1,0 +1,75 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Versioned parquet store: atomic swaps (concurrent readers never observe a
+  * missing index), deterministic old-wins upsert (reference conflict-ignore,
+  * pgvector provider.py:65-72), version pruning, legacy-layout read.
+  */
+class IndexStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "content")
+      .withColumn("object_keys", array(concat(lit("t:"), col("doc_id"))))
+      .withColumn("vector", typedLit(Seq(1.0f, 0.0f)))
+      .withColumn("metadata", map(lit("table"), lit("t")))
+
+  private def newStore(name: String): ParquetIndexStore = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store").toString
+    new ParquetIndexStore(spark, s"$tmp/$name")
+  }
+
+  test("replace keeps a concurrent reader's version readable (atomic swap)") {
+    val store = newStore("swap")
+    store.replace(docs(1L -> "one", 2L -> "two"))
+    val reader = store.read() // resolves v00001
+    reader.count()            // materialize the file listing
+    store.replace(docs(3L -> "three"))
+    // the old version must still be fully readable after the flip
+    assert(reader.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(store.read().select("doc_id").as[Long].collect().toSet == Set(3L))
+  }
+
+  test("upsert is old-wins on doc_id conflict and inserts new rows") {
+    val store = newStore("upsert")
+    store.replace(docs(1L -> "original", 2L -> "two"))
+    store.upsert(docs(1L -> "conflicting rewrite", 3L -> "three"))
+    val m = store.read().select("doc_id", "content").as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "original", 2L -> "two", 3L -> "three"))
+  }
+
+  test("delete and clear; read after clear throws") {
+    val store = newStore("del")
+    store.replace(docs(1L -> "a", 2L -> "b", 3L -> "c"))
+    store.delete(Seq(2L))
+    assert(store.read().select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    store.clear()
+    assert(!store.exists)
+    intercept[Throwable] { store.read().count() }
+  }
+
+  test("old versions are pruned, keeping current + previous") {
+    val store = newStore("prune")
+    (1 to 4).foreach(i => store.replace(docs(i.toLong -> s"v$i")))
+    assert(store.read().select("content").as[String].head() == "v4")
+    // only the last two version dirs remain on disk
+    val root = new org.apache.hadoop.fs.Path(
+      store.read().inputFiles.head).getParent.getParent
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(root).map(_.getPath.getName).filter(_.startsWith("v")).sorted
+    assert(versions.toSeq == Seq("v00003", "v00004"))
+  }
+
+  test("legacy flat parquet layout is still readable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store").toString
+    docs(7L -> "legacy").write.parquet(s"$tmp/flat")
+    val store = new ParquetIndexStore(spark, s"$tmp/flat")
+    assert(store.exists)
+    assert(store.read().select("doc_id").as[Long].head() == 7L)
+  }
+}

@@ -44,6 +44,30 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(n1 > 1)
   }
 
+  test("chunk format matches reference with NO important fields (leading newline)") {
+    // reference formats f"{important_text}\n{chunk}" unconditionally
+    // (storage/django.py:429-432)
+    val cfg = IndexConfig("t", "id", Seq(EmbeddingField("body")), tokenLimit = 30, chunkOverlap = 5)
+    val keyed = Seq((1L, "just a body")).toDF("id", "body")
+      .withColumn("key", concat_ws(":", lit("page"), col("id")))
+    val contents = IndexBuild.chunk(IndexBuild.extractFields(keyed, cfg), cfg)
+      .select("content").as[String].collect()
+    assert(contents.toSeq == Seq("\njust a body"))
+  }
+
+  test("object_keys carries parent-class keys in MRO order; lookup by parent key works") {
+    val cfg = config.copy(parentTables = Seq("page", "basepage"))
+    val docs = IndexBuild.buildDocuments(
+      Seq((5L, "Title Five", "short body")).toDF("id", "title", "body"),
+      cfg, ConstantEmbeddingBackend(Seq(1f)), "blogpage", "id")
+    val keys = docs.select("object_keys").head().getSeq[String](0)
+    assert(keys == Seq("blogpage:5", "page:5", "basepage:5"))
+    // base-class lookup (the reference's for_key / hydrate-by-superclass path)
+    assert(docs.filter(array_contains(col("object_keys"), "page:5")).count() == 1)
+    val meta = docs.select("metadata").head().getMap[String, String](0)
+    assert(meta("table") == "blogpage" && meta("object_id") == "5")
+  }
+
   test("buildDocuments: one Document per short object, stable doc_ids") {
     val docs = IndexBuild.buildDocuments(
       Seq((2L, "Title Two", "short body")).toDF("id", "title", "body"),

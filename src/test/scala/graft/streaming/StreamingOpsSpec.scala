@@ -65,13 +65,13 @@ class StreamingOpsSpec extends AnyFunSuite {
       "page", "id", indexPath, s"$tmp/chk")
     input.addData((1L, "T1", "first page body"), (2L, "T2", "second page body"))
     q.processAllAvailable()
-    val after1 = spark.read.parquet(indexPath)
+    val after1 = graft.pipeline.IndexBuild.readIndex(spark, indexPath)
     assert(after1.count() == 2)
     // update object 1, add object 3
     input.addData((1L, "T1", "first page body CHANGED"), (3L, "T3", "third page"))
     q.processAllAvailable()
     q.stop()
-    val after2 = spark.read.parquet(indexPath)
+    val after2 = graft.pipeline.IndexBuild.readIndex(spark, indexPath)
     assert(after2.count() == 3)
     val keys = after2.select(col("object_keys").getItem(0)).as[String].collect().toSet
     assert(keys == Set("page:1", "page:2", "page:3"))
