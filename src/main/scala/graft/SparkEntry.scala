@@ -203,8 +203,12 @@ object SparkEntry {
       val (changed, _) = IndexBuild.diffAgainstIndex(newChunks, Some(stored))
       changed.select(col("key").cast("long").as("doc_id")).distinct().orderBy("doc_id")
     },
-    // T2/T3: recursive character splitter (pure-Scala algorithm — no SQL
-    // twin; driver records the weaker rows-only check)
+    // T2/T3: recursive character splitter, DuckDB-verified: the fixture
+    // corpus has no newlines/tabs, every doc contains spaces, and no word's
+    // token length reaches the chunk budget (asserted over all SFs), so
+    // splitText reduces exactly to one mergeSplits pass over words — a
+    // sequential greedy fold with overlap backtracking that the oracle
+    // replays as a recursive-CTE state machine (see chunkOracleSql)
     "q_chunk" -> { (s, dir) =>
       val docs = tbl(s, dir, "documents")
       val config = graft.core.IndexConfig(name = "docs", keyColumn = "doc_id",
@@ -523,7 +527,64 @@ object SparkEntry {
        |SELECT doc_id, key, round(score, 6) AS score FROM dedup WHERE rn2 = 1 AND key <> 'obj:7'
        |ORDER BY round(score, 6) DESC, doc_id""".stripMargin
 
+  /** DuckDB twin of q_chunk: an exact replay of
+    * RecursiveCharacterTextSplitter.mergeSplits (the only path the fixture
+    * corpus exercises — no '\n' in any text, every doc has spaces, every
+    * word's naive token length < chunkSize, checked at sf0.001/0.01/0.1) as
+    * a recursive-CTE state machine. The buffer is always a contiguous word
+    * window [s, i), so the state is (i, s, total, popping, chunks):
+    *  - 'append'  : word fits → extend window, total += len + sep(1);
+    *  - 'emitpop' : overflow → emit trim(join(buf)), pop the first word;
+    *  - 'pop'     : keep popping while total > overlap(8) or next word
+    *                still would not fit — langchain.py:128-168 semantics.
+    * chunk_chars finally counts important_text + "\n" + chunk (P2 prefix).
+    */
+  private val chunkOracleSql: String =
+    """WITH RECURSIVE
+      | base AS (SELECT 'documents:' || doc_id AS key, source AS src, text FROM documents),
+      | lw AS (SELECT key, src,
+      |    list_filter(string_split(text, ' '), w -> w <> '') AS words,
+      |    list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+      |      w -> CAST(ceil(greatest(ceil(length(w) / 4.0), ceil(len(regexp_extract_all(w, '[^\w\s]|\w+')) * 0.75))) AS INT)) AS lens
+      |  FROM base),
+      | sm AS (
+      |  SELECT key, src, words, lens, len(words) AS n,
+      |    1 AS i, 1 AS s, 0 AS total, FALSE AS popping, CAST([] AS VARCHAR[]) AS chunks
+      |  FROM lw
+      |  UNION ALL
+      |  SELECT key, src, words, lens, n,
+      |    CASE WHEN act = 'append' THEN i + 1 ELSE i END,
+      |    CASE WHEN act IN ('pop', 'emitpop') THEN s + 1 ELSE s END,
+      |    CASE WHEN act = 'append' THEN total + li + CASE WHEN i > s THEN 1 ELSE 0 END
+      |         ELSE total - lens[s] - CASE WHEN i - s > 1 THEN 1 ELSE 0 END END,
+      |    CASE WHEN act = 'append' THEN FALSE
+      |         ELSE ((total - lens[s] - CASE WHEN i - s > 1 THEN 1 ELSE 0 END) > 8
+      |               OR ((total - lens[s] - CASE WHEN i - s > 1 THEN 1 ELSE 0 END) + li
+      |                   + CASE WHEN i > s + 1 THEN 1 ELSE 0 END > 32
+      |                   AND (total - lens[s] - CASE WHEN i - s > 1 THEN 1 ELSE 0 END) > 0))
+      |              AND i > s + 1 END,
+      |    CASE WHEN act = 'emitpop' AND trim(array_to_string(words[s:i-1], ' ')) <> ''
+      |         THEN list_append(chunks, trim(array_to_string(words[s:i-1], ' ')))
+      |         ELSE chunks END
+      |  FROM (
+      |    SELECT *, lens[i] AS li,
+      |      CASE WHEN popping THEN 'pop'
+      |           WHEN (total + lens[i] + CASE WHEN i > s THEN 1 ELSE 0 END) > 32 AND i > s THEN 'emitpop'
+      |           ELSE 'append' END AS act
+      |    FROM sm WHERE i <= n) step
+      | ),
+      | fin AS (
+      |  SELECT key, src,
+      |    CASE WHEN i > s AND trim(array_to_string(words[s:i-1], ' ')) <> ''
+      |         THEN list_append(chunks, trim(array_to_string(words[s:i-1], ' ')))
+      |         ELSE chunks END AS chunks
+      |  FROM sm WHERE i = n + 1)
+      |SELECT key, CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS chunk_index,
+      |  CAST(length(src) + 1 + length(unnest(chunks)) AS INT) AS chunk_chars
+      |FROM fin ORDER BY key, chunk_index""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_chunk" -> chunkOracleSql,
     "q_dims_filter" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings
         |WHERE len(embedding) = 64 GROUP BY label ORDER BY label""".stripMargin,
