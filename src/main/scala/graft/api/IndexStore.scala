@@ -126,3 +126,43 @@ final class ParquetIndexStore(spark: SparkSession, root: String) extends IndexSt
     if (f.exists(rootPath)) f.delete(rootPath, true)
   }
 }
+
+/** Driver-memory store — the second [[IndexStore]] impl, proving the
+  * provider seam the reference gets from its numpy in-memory provider
+  * (storage/numpy/provider.py; storage/__init__.py:29-49). Holds collected
+  * Document rows on the driver; suitable for tests and small indexes only
+  * (an external qdrant/weaviate/pgvector connector implements the same five
+  * ops against its service API).
+  */
+final class InMemoryIndexStore(spark: SparkSession) extends IndexStore {
+  @volatile private var rows: Option[(Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)] = None
+
+  override def exists: Boolean = rows.isDefined
+
+  override def read(): DataFrame = rows match {
+    case Some((rs, schema)) =>
+      spark.createDataFrame(spark.sparkContext.parallelize(rs, math.max(1, rs.size / 1000 + 1)), schema)
+    case None => throw new IllegalStateException("index does not exist")
+  }
+
+  override def replace(docs: DataFrame): Unit = {
+    val d = docs.dropDuplicates("doc_id")
+    rows = Some((d.collect().toSeq, d.schema))
+  }
+
+  override def upsert(docs: DataFrame): Unit = rows match {
+    case None => replace(docs)
+    case Some(_) =>
+      val existing = read()
+      replace(docs.join(existing.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(existing))
+  }
+
+  override def delete(docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    if (rows.isDefined)
+      replace(read().join(docIds.toDF("doc_id"), Seq("doc_id"), "left_anti"))
+  }
+
+  override def clear(): Unit = rows = None
+}

@@ -79,6 +79,11 @@ final class VectorIndex(
 
   def query(question: String, sourcesLimit: Int = 5, threshold: Double = 0.0): Retrieval.QueryResponse =
     Retrieval.ragQuery(documents, question, backend, chatBackend, sourcesLimit, threshold)
+
+  /** R4: streaming RAG query (reference aquery, storage/base.py:230-276). */
+  def queryStream(question: String, sourcesLimit: Int = 5,
+                  threshold: Double = 0.0): Retrieval.StreamingQueryResponse =
+    Retrieval.ragQueryStream(documents, question, backend, chatBackend, sourcesLimit, threshold)
 }
 
 /** Index registry + rebuild-all — the reference's registry of indexes

@@ -55,6 +55,20 @@ object ModelKey {
   def id(key: String): String = { val p = key.split(":", 2); if (p.length > 1) p(1) else "" }
 }
 
+/** Name-generation util (P8): snake_case → CamelCase, used by the reference
+  * to synthesize per-provider index class names
+  * (storage/django.py:513-516, build_vector_index_base_for_storage_provider).
+  * The reference's own implementation `"".join(*map(str.title, parts))`
+  * unpacks the mapped parts into join() and therefore raises TypeError for
+  * any alias containing '_' — we implement the evident intent (documented
+  * divergence; single-word aliases behave identically).
+  */
+object Naming {
+  def camelCase(snake: String): String =
+    snake.split("_").filter(_.nonEmpty).map(_.capitalize).mkString
+  def indexClassName(providerAlias: String): String = s"${camelCase(providerAlias)}VectorIndex"
+}
+
 /** Distance metric enum — reference pgvector supports cosine / L2 / max inner
   * product (storage/pgvector/types.py:4-7). We standardize scores on
   * "similarity: higher is better" (SURVEY.md §7 risk 4).

@@ -84,15 +84,28 @@ final case class ChatMessage(role: String, content: String)
 
 trait ChatBackend extends Serializable {
   def chat(messages: Seq[ChatMessage]): String
+  /** Streaming variant (R4): yield the response incrementally — the analog
+    * of the reference's `achat(stream=True)` chunk iterator
+    * (ai_utils/backends/base.py:169-213; consumed by aquery,
+    * storage/base.py:267-276). Default: the whole response as one chunk.
+    */
+  def chatStream(messages: Seq[ChatMessage]): Iterator[String] =
+    Iterator.single(chat(messages))
 }
 
 /** Echo chat backend (reference ai_utils/backends/echo.py:88-94 prepends
   * "This is an echo backend:"; test mock returns a fixed string,
-  * tests/conftest.py:56-67).
+  * tests/conftest.py:56-67). Streams one chunk per message part, like the
+  * reference echo backend's chunk-wise streaming.
   */
 final case class EchoChatBackend() extends ChatBackend {
-  override def chat(messages: Seq[ChatMessage]): String =
-    (Seq("This is an echo backend:") ++ messages.map(_.content)).mkString(" ")
+  private def parts(messages: Seq[ChatMessage]): Seq[String] =
+    Seq("This is an echo backend:") ++ messages.map(_.content)
+  override def chat(messages: Seq[ChatMessage]): String = parts(messages).mkString(" ")
+  override def chatStream(messages: Seq[ChatMessage]): Iterator[String] = {
+    val p = parts(messages)
+    p.zipWithIndex.map { case (s, i) => if (i == 0) s else " " + s }.iterator
+  }
 }
 
 final case class FixedChatBackend(response: String = "AI! Don't talk to me about AI!")

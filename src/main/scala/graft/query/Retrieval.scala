@@ -127,6 +127,11 @@ object Retrieval {
 
   final case class QueryResponse(response: String, sources: DataFrame)
 
+  /** R4: streaming twin of [[QueryResponse]] — `response` yields the chat
+    * reply incrementally (reference AsyncQueryResponse, storage/base.py:37-44).
+    */
+  final case class StreamingQueryResponse(response: Iterator[String], sources: DataFrame)
+
   val DefaultSystemPrompt: String =
     "You are a helpful assistant. Use the following context to answer the question. Don't mention the context in your reply."
 
@@ -152,5 +157,27 @@ object Retrieval {
       ChatMessage("system", context),
       ChatMessage("user", query))
     QueryResponse(chatBackend.chat(messages), sources)
+  }
+
+  /** R4: streaming RAG query — identical retrieval/prompt assembly to
+    * [[ragQuery]], but the chat response arrives as a chunk iterator
+    * (reference aquery with stream=True, storage/base.py:230-276; the
+    * stream wrapper yields chunk contents, base.py:269-276).
+    */
+  def ragQueryStream(index: DataFrame, query: String, embedBackend: EmbeddingBackend,
+                     chatBackend: ChatBackend, sourcesLimit: Int = 5,
+                     threshold: Double = 0.0,
+                     systemPrompt: String = DefaultSystemPrompt): StreamingQueryResponse = {
+    val qv = embedBackend.embedOne(query).toSeq
+    val hits = knn(index, qv, sourcesLimit, threshold)
+      .withColumn("key", col("object_keys").getItem(0))
+    val context = hits.orderBy(desc("score"), col("doc_id").asc)
+      .select("content").collect().map(_.getString(0)).mkString("\n")
+    val sources = dedupByKey(hits)
+    val messages = Seq(
+      ChatMessage("system", systemPrompt),
+      ChatMessage("system", context),
+      ChatMessage("user", query))
+    StreamingQueryResponse(chatBackend.chatStream(messages), sources)
   }
 }

@@ -65,6 +65,29 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(versions.toSeq == Seq("v00003", "v00004"))
   }
 
+  test("InMemoryIndexStore implements the same provider contract (S8/S9 seam)") {
+    val store = new InMemoryIndexStore(spark)
+    assert(!store.exists)
+    store.replace(docs(1L -> "one", 2L -> "two"))
+    assert(store.read().count() == 2)
+    store.upsert(docs(1L -> "rewrite", 3L -> "three"))
+    val m = store.read().select("doc_id", "content").as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "one", 2L -> "two", 3L -> "three")) // old-wins, like parquet store
+    store.delete(Seq(2L))
+    assert(store.read().select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    store.clear()
+    intercept[Throwable] { store.read() }
+    // a VectorIndex runs its full lifecycle against the alternate provider
+    val cfg = graft.core.IndexConfig("mem", "id",
+      Seq(graft.core.EmbeddingField("title", important = true), graft.core.EmbeddingField("body")),
+      tokenLimit = 64, chunkOverlap = 8, dims = 16)
+    val idx = new VectorIndex(spark, cfg, graft.embed.HashEmbeddingBackend(16),
+      graft.embed.EchoChatBackend(), "unused://path", "page", "id",
+      storeOverride = Some(new InMemoryIndexStore(spark)))
+    idx.rebuild(Seq((1L, "T", "some body text")).toDF("id", "title", "body"))
+    assert(idx.documents.count() == 1)
+  }
+
   test("legacy flat parquet layout is still readable") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-store").toString
     docs(7L -> "legacy").write.parquet(s"$tmp/flat")

@@ -45,6 +45,17 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(resp.sources.count() == 1)
   }
 
+  test("queryStream yields the chat response incrementally with the same sources (R4)") {
+    val idx = newIndex("t2s")
+    idx.rebuild(source)
+    val resp = idx.queryStream("how do i cook pasta", sourcesLimit = 1, threshold = -1.0)
+    val chunks = resp.response.toSeq
+    assert(chunks.size > 1) // actually streamed, not one blob
+    assert(chunks.mkString.startsWith("This is an echo backend:"))
+    assert(chunks.mkString == idx.query("how do i cook pasta", 1, -1.0).response)
+    assert(resp.sources.count() == 1)
+  }
+
   test("incremental update re-embeds only changed rows and handles new rows") {
     val idx = newIndex("t3")
     idx.rebuild(source)

@@ -35,6 +35,14 @@ class CoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { BackendRegistry.tokenLimit("unknown-model") }
   }
 
+  test("camelCase generates provider index class names (P8; reference django.py:513-529)") {
+    assert(Naming.camelCase("default") == "Default")
+    assert(Naming.indexClassName("default") == "DefaultVectorIndex")
+    // the reference's own join(*map(...)) raises TypeError on multi-part
+    // aliases; we implement the evident intent (documented divergence)
+    assert(Naming.camelCase("my_pgvector_alias") == "MyPgvectorAlias")
+  }
+
   test("Metric.fromString accepts the reference's distance names") {
     assert(Metric.fromString("cosine") == Metric.Cosine)
     assert(Metric.fromString("euclidean") == Metric.L2)
