@@ -8,7 +8,7 @@ import graft.core.{IndexConfig, EmbeddingField, Metric}
 import graft.embed.HashEmbeddingBackend
 import graft.functions.textfn._
 import graft.functions.vector._
-import graft.ops.{Dedup, Events, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.ops.{Dedup, Events, Multimodal, SimilaritySearch, Skew, TextAnalysis}
 import graft.pipeline.IndexBuild
 import graft.query.Retrieval
 
@@ -389,6 +389,17 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
+    // deterministic salted join: hot-key mitigation whose result is exactly
+    // the plain join (salt from a row-id hash, not rand()) — oracle-checked
+    "q_skew_join" -> { (s, dir) =>
+      val li = tbl(s, dir, "lineitem")
+      val supp = tbl(s, dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+      Skew.saltedJoin(li, supp, "l_suppkey", col("l_orderkey"), saltFactor = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"))
+        .orderBy("s_name")
+    },
     "q_join_agg" -> { (s, dir) =>
       val orders = tbl(s, dir, "orders")
       val customer = tbl(s, dir, "customer")
@@ -747,6 +758,11 @@ object SparkEntry {
         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_skew_join" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
     "q_join_agg" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total

@@ -208,6 +208,14 @@ object SimilaritySearch {
     (assigned, centroids)
   }
 
+  /** Write an IVF-assigned index partitioned by cell — symmetric to
+    * [[lshIndexWrite]]: probe-side cell selection becomes a partition
+    * filter on the read.
+    */
+  def ivfIndexWrite(assigned: DataFrame, path: String): Unit =
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
   /** Probe-side IVF search: each probe selects its `nProbe` nearest cells
     * with one kernel projection (array of cell ids, exploded), then an
     * equi-join on `cell` against the assigned items — partition-prunable
