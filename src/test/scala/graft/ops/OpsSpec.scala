@@ -148,6 +148,54 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(top == 7L)
   }
 
+  test("hammingMasks enumerates exactly the Hamming ball") {
+    val masks = SimilaritySearch.hammingMasks(8, 2)
+    assert(masks.size == 1 + 8 + 28)                       // Σ C(8,i), i≤2
+    assert(masks.distinct.size == masks.size)
+    assert(masks.forall(m => java.lang.Long.bitCount(m) <= 2 && m < 256))
+    // probe expansion ⟺ Hamming predicate: pb^m covers every ib with
+    // hamming(ib,pb) ≤ h and nothing else
+    val pb = 0xA5L
+    val expanded = masks.map(pb ^ _).toSet
+    val byPredicate = (0L until 256L).filter(ib => java.lang.Long.bitCount(ib ^ pb) <= 2).toSet
+    assert(expanded == byPredicate)
+  }
+
+  test("lshBucketLocal (driver) agrees bitwise with the LshBucketExpr kernel") {
+    val kernelBuckets = SimilaritySearch.lshBuckets(items, dims = 16, bits = 8)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val local = items.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> SimilaritySearch.lshBucketLocal(v, dims = 16, bits = 8) }.toMap
+    assert(local == kernelBuckets)
+  }
+
+  test("lshTopKPruned over a partitioned index equals in-memory lshTopK") {
+    val path = java.nio.file.Files.createTempDirectory("lsh-spec").toString + "/idx"
+    SimilaritySearch.lshIndexWrite(items, path, dims = 16, bits = 8)
+    val probes = items.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val inMem = SimilaritySearch.lshTopK(items, probes, dims = 16, k = 5, bits = 8, maxHamming = 2)
+      .select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val probeRows = probes.as[(Long, Seq[Float])].collect().toSeq
+    val pruned = SimilaritySearch.lshTopKPruned(spark, path, probeRows, dims = 16, k = 5, bits = 8, maxHamming = 2)
+      .select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(pruned == inMem)
+    // and the scan really is partition-pruned
+    val plan = SimilaritySearch.lshTopKPruned(spark, path, probeRows.take(1), dims = 16, k = 5, bits = 8, maxHamming = 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("NearestCentroidExpr: argmin with smallest-id tie-break, zero-exchange plan") {
+    import graft.functions.vector._
+    val cvs = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(1.0f, 0.0f)) // cid 30 duplicates cid 10
+    val cids = Array(10L, 20L, 30L)
+    val df = Seq((1L, Seq(0.9f, 0.1f)), (2L, Seq(0.1f, 0.9f))).toDF("id", "v")
+      .withColumn("cell", nearest_centroid(col("v"), cvs, cids))
+    val got = df.select("id", "cell").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 20L)) // tie between 10 and 30 → 10
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("TopKAggregator matches window top-k") {
     import graft.functions.TopKAggregator
     import graft.functions.TopKAggregator.Scored
