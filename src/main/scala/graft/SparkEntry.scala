@@ -279,6 +279,17 @@ object SparkEntry {
       SimilaritySearch.ivfTopK(assigned, centroids, probes, k = 5, nProbe = 4)
         .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
     },
+    // IVF twin of q_ann_lsh_pruned: cell-partitioned index, probe cells
+    // computed driver-side → static partition pruning (memoized ingest)
+    "q_ann_ivf_pruned" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val (path, centroids) = ivfIndexFor(s, dir)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      SimilaritySearch.ivfTopKPruned(s, path, centroids, probes, k = 5, nProbe = 4)
+        .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
+    },
     // J5 union path: probe object has many chunks (vec_id % 50 == 7), all
     // searched in ONE broadcast scan, then first-per-key dedup + self-exclude
     "q_find_similar_multi" -> { (s, dir) =>
@@ -426,6 +437,16 @@ object SparkEntry {
       val path = java.nio.file.Files.createTempDirectory("graft-lsh").toString + "/idx"
       SimilaritySearch.lshIndexWrite(tbl(s, dir, "embeddings"), path, dims = 64, bits = 8)
       path
+    })
+
+  /** Cell-partitioned IVF index + its centroid table, built once per JVM. */
+  private val ivfIndexPaths = scala.collection.concurrent.TrieMap.empty[String, (String, org.apache.spark.sql.DataFrame)]
+  private def ivfIndexFor(s: SparkSession, dir: String): (String, org.apache.spark.sql.DataFrame) =
+    ivfIndexPaths.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+      val (assigned, centroids) = SimilaritySearch.ivfAssign(tbl(s, dir, "embeddings"), nCells = 16)
+      SimilaritySearch.ivfIndexWrite(assigned, path)
+      (path, centroids)
     })
 
   // ------------------------------------------------------------- oracle SQL
@@ -610,6 +631,7 @@ object SparkEntry {
     "q_ann_lsh_pruned" -> annLshSql,
     "q_ann_ivf_assign" -> annIvfSql,
     "q_ann_ivf_topk" -> annIvfTopkSql,
+    "q_ann_ivf_pruned" -> annIvfTopkSql,
     "q_find_similar_multi" -> findSimilarMultiSql,
     "q_knn_cosine" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

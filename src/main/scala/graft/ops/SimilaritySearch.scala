@@ -225,17 +225,64 @@ object SimilaritySearch {
               k: Int = 10, nProbe: Int = 4,
               itemId: String = "vec_id", itemVec: String = "embedding",
               probeId: String = "qid", probeVec: String = "qv"): DataFrame = {
+    val (cvs, cids) = collectCentroids(centroids)
+    val probeCells = probes
+      .withColumn("cell", explode(nearest_cells(col(probeVec), cvs, cids, nProbe)))
+      .select(col(probeId), col(probeVec), col("cell"))
+    rerank(assigned.join(broadcast(probeCells), Seq("cell")),
+      k, itemId, itemVec, probeId, probeVec)
+  }
+
+  /** Query an [[ivfIndexWrite]]-written index with partition pruning —
+    * the IVF twin of [[lshTopKPruned]]: probe cells are computed
+    * driver-side against the collected centroid table, the scan carries
+    * `cell IN (…)` as a static partition filter, then the equi-join +
+    * exact rerank.
+    */
+  def ivfTopKPruned(spark: SparkSession, indexPath: String, centroids: DataFrame,
+                    probes: Seq[(Long, Seq[Float])], k: Int = 10, nProbe: Int = 4,
+                    itemId: String = "vec_id", itemVec: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val (cvs, cids) = collectCentroids(centroids)
+    val expanded = probes.flatMap { case (qid, qv) =>
+      nearestCellsLocal(qv, cvs, cids, nProbe).map(c => (qid, qv, c))
+    }
+    val probeDf = expanded.toDF("qid", "qv", "__cell")
+      .select(col("qid"), col("qv").cast("array<float>"), col("__cell"))
+    val raw = spark.read.parquet(indexPath)
+    val candCells: Seq[Any] = raw.schema("cell").dataType match {
+      case org.apache.spark.sql.types.IntegerType => expanded.map(_._3.toInt).distinct
+      case _                                      => expanded.map(_._3).distinct
+    }
+    val index = raw.filter(col("cell").isin(candCells: _*))
+      .withColumn("__cell", col("cell").cast("long")).drop("cell")
+    rerank(index.join(broadcast(probeDf), Seq("__cell")),
+      k, itemId, itemVec, "qid", "qv")
+  }
+
+  /** Driver-side twin of NearestCellsExpr (same distance accumulation and
+    * (dist, cid) tie order) for probe vectors already on the driver.
+    */
+  def nearestCellsLocal(v: Seq[Float], cvs: Array[Array[Float]], cids: Array[Long],
+                        nProbe: Int): Seq[Long] = {
+    val scored = Array.tabulate(cvs.length) { j =>
+      val c = cvs(j)
+      val n = math.min(v.length, c.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { val d = v(i).toDouble - c(i).toDouble; s += d * d; i += 1 }
+      (math.sqrt(s), cids(j))
+    }
+    scored.sortBy { case (d, cid) => (d, cid) }.take(nProbe).map(_._2).toSeq
+  }
+
+  private def collectCentroids(centroids: DataFrame): (Array[Array[Float]], Array[Long]) = {
     val rows = centroids.collect()
     val cids = rows.map(r => r.get(0) match {
       case l: Long => l
       case i: Int  => i.toLong
       case other   => other.toString.toLong
     })
-    val cvs = rows.map(_.getSeq[Float](1).toArray)
-    val probeCells = probes
-      .withColumn("cell", explode(nearest_cells(col(probeVec), cvs, cids, nProbe)))
-      .select(col(probeId), col(probeVec), col("cell"))
-    rerank(assigned.join(broadcast(probeCells), Seq("cell")),
-      k, itemId, itemVec, probeId, probeVec)
+    (rows.map(_.getSeq[Float](1).toArray), cids)
   }
 }
