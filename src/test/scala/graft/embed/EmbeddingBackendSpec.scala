@@ -6,6 +6,17 @@ import org.apache.spark.sql.functions._
 import graft.TestSpark
 import graft.functions.textfn
 
+class ChatStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("chatStream default yields the whole response as one chunk; echo streams parts") {
+    val msgs = Seq(ChatMessage("system", "ctx"), ChatMessage("user", "q"))
+    val fixed = FixedChatBackend("resp")
+    assert(fixed.chatStream(msgs).toSeq == Seq("resp"))
+    val echo = EchoChatBackend()
+    val chunks = echo.chatStream(msgs).toSeq
+    assert(chunks.size == 3 && chunks.mkString == echo.chat(msgs))
+  }
+}
+
 class EmbeddingBackendSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
