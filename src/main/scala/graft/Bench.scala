@@ -1,23 +1,35 @@
 package graft
 
+import scala.collection.mutable
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * `SPARK_GRAFT_SF_DIR`, reports per-query min-of-N seconds as ONE JSON
-  * line on stdout AND writes the same JSON to `SPARK_GRAFT_BENCH_OUT`
-  * (default `bench_out.json` in the working directory) so the harness never
-  * has to scrape it out of sbt-prefixed logs.
+  * `SPARK_GRAFT_SF_DIR`, reports per-query seconds as ONE JSON line on
+  * stdout AND writes the same JSON to `SPARK_GRAFT_BENCH_OUT` (default
+  * `bench_out.json` in the working directory) so the harness never has to
+  * scrape it out of sbt-prefixed logs.
   *
-  * The JSON carries every per-pass time (`passes`) plus the effective
-  * config (`config`: cores, shuffle partitions, the forked JVM's actual
-  * arguments) so a one-off JVM stall is distinguishable from a real
-  * regression round-over-round.
+  * Stall-proofing (this host exhibits documented 100-220s roving JVM/host
+  * stall bursts that poison contiguous time windows):
+  *   - every pass runs the queries in a DIFFERENT deterministic order
+  *     (shuffled with seed = pass index), so a stall window can never poison
+  *     the same query in every pass;
+  *   - a fixed tiny heartbeat job runs between queries; a slow heartbeat
+  *     marks the adjacent measurements as `stall_suspect`;
+  *   - the reported per-query number is min over stall-clean measurements,
+  *     falling back to min-of-all (and flagging the query) only if every
+  *     pass was suspect.
+  *
+  * The JSON carries every per-pass time (`passes`), per-pass suspect flags
+  * (`suspect`), heartbeat stats, and the effective config (`config`: cores,
+  * shuffle partitions, the forked JVM's actual arguments) so a one-off stall
+  * is distinguishable from a real regression round-over-round.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,25 +40,59 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // noop sink forces full evaluation of every output column (count() would
-    // let Catalyst prune the projections being measured). Deterministic name
-    // order + per-query stderr progress: if a JVM stall strikes, the tail
-    // shows exactly where. min-of-N shields the headline number from
-    // transient stalls; the per-pass arrays expose them.
-    def pass(p: Int): Map[String, Double] = names.map { name =>
-      val fn = SparkEntry.queries(name)
+
+    // Fixed tiny job (~tens of ms warm). If the host stall pathology is
+    // active it takes orders of magnitude longer — that's the signal.
+    def heartbeat(): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] pass $p $name%-28s $dt%8.3f s")
-      name -> dt
+      spark.range(1 << 16).selectExpr("sum(id * 3)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    heartbeat(); heartbeat() // warm the heartbeat path itself
+
+    // noop sink forces full evaluation of every output column (count() would
+    // let Catalyst prune the projections being measured).
+    case class Pass(times: Map[String, Double], hbBefore: Map[String, Double],
+                    hbAfter: Map[String, Double], hbs: Seq[Double])
+    def runPass(p: Int): Pass = {
+      val order = new scala.util.Random(p).shuffle(names)
+      val times = mutable.Map[String, Double]()
+      val before = mutable.Map[String, Double]()
+      val after = mutable.Map[String, Double]()
+      val hbs = mutable.ArrayBuffer[Double]()
+      var hb = heartbeat(); hbs += hb
+      for (name <- order) {
+        before(name) = hb
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = dt
+        hb = heartbeat(); hbs += hb
+        after(name) = hb
+        System.err.println(f"[bench] pass $p $name%-28s $dt%8.3f s  (hb $hb%6.3f s)")
+      }
+      Pass(times.toMap, before.toMap, after.toMap, hbs.toSeq)
+    }
+    val passes = (1 to nPasses).map(runPass)
+
+    val allHbs = passes.flatMap(_.hbs).sorted
+    val medianHb = allHbs(allHbs.size / 2)
+    val hbThreshold = math.max(0.5, 10 * medianHb)
+    def suspect(pass: Pass, n: String): Boolean =
+      pass.hbBefore(n) > hbThreshold || pass.hbAfter(n) > hbThreshold
+
+    // min over stall-clean measurements; fall back to min-of-all + flag.
+    val results = names.map { n =>
+      val clean = passes.filter(p => !suspect(p, n)).map(_.times(n))
+      if (clean.nonEmpty) n -> (clean.min, false)
+      else n -> (passes.map(_.times(n)).min, true)
     }.toMap
-    val passes = (1 to nPasses).map(pass)
-    val results = names.map(n => n -> passes.map(_(n)).min).toMap
-    def qjson(m: Map[String, Double]): String =
-      names.map(n => s"\"$n\":" + m(n)).mkString("{", ",", "}")
-    val total = results.values.sum
+    val total = results.values.map(_._1).sum
+
+    def qjson(f: String => String): String =
+      names.map(n => s"\"$n\":" + f(n)).mkString("{", ",", "}")
     val jvmArgs = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
@@ -55,8 +101,18 @@ object Bench {
     }
     val config = s"""{"master":"local[$cpus]","shuffle_partitions":$cpus,""" +
       s""""available_cores":${Runtime.getRuntime.availableProcessors()},"jvm_args":$jvmArgs}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},""" +
-      s""""sf":"$sfDir","passes":[${passes.map(qjson).mkString(",")}],"config":$config}"""
+    val hbStats = passes.map { p =>
+      val s = p.hbs.sorted
+      s"""{"min":${s.head},"median":${s(s.size / 2)},"max":${s.last}}"""
+    }.mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${qjson(n => results(n)._1.toString)},""" +
+      s""""stall_suspect":${qjson(n => results(n)._2.toString)},""" +
+      s""""sf":"$sfDir","n_passes":$nPasses,""" +
+      s""""passes":[${passes.map(p => qjson(n => p.times(n).toString)).mkString(",")}],""" +
+      s""""suspect":[${passes.map(p => qjson(n => suspect(p, n).toString)).mkString(",")}],""" +
+      s""""heartbeats":$hbStats,"heartbeat_threshold":$hbThreshold,""" +
+      s""""config":$config}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     println(json)

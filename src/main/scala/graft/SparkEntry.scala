@@ -315,8 +315,13 @@ object SparkEntry {
     },
     "q_lsh_pairs" -> { (s, dir) =>
       Dedup.minhashLsh(docsPar(s, dir), threshold = 0.0, numHashes = 8,
-        rowsPerBand = 2, shingleSize = 3)
+        rowsPerBand = 2, shingleSize = 3, hotBucketCap = HotBucketCap)
         .orderBy(desc("jaccard"), col("id_a").asc, col("id_b").asc).limit(100)
+    },
+    "q_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(docsPar(s, dir), bits = 16, bandBits = 4,
+        maxHamming = 3, hotBucketCap = HotBucketCap)
+        .orderBy(col("id_a").asc, col("id_b").asc).limit(500)
     },
     "q_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardJoin(docsPar(s, dir).filter(col("doc_id") % 5 === 0),
@@ -468,24 +473,64 @@ object SparkEntry {
       s"SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM t ORDER BY doc_id"
   }
 
+  /** Mirrors Dedup.hotBucketCap default: buckets ≤ cap do all-pairs; hot
+    * buckets pair members against the bucket-min representative only.
+    */
+  private val HotBucketCap = 64
+
+  /** DuckDB twin of Dedup.cappedBucketPairs over a `$src` CTE with columns
+    * (doc_id, band, bucket): emits CTEs `bsized` and `cand` (id_a, id_b).
+    */
+  private def cappedCandSql(src: String): String =
+    s""" bsized AS (SELECT doc_id, band, bucket,
+       |   count(*) OVER (PARTITION BY band, bucket) AS bsz,
+       |   min(doc_id) OVER (PARTITION BY band, bucket) AS rep FROM $src),
+       | cand AS (SELECT DISTINCT id_a, id_b FROM (
+       |   SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |     FROM bsized a JOIN bsized b ON a.band = b.band AND a.bucket = b.bucket
+       |      AND a.doc_id < b.doc_id WHERE a.bsz <= $HotBucketCap AND b.bsz <= $HotBucketCap
+       |   UNION ALL
+       |   SELECT rep AS id_a, doc_id AS id_b FROM bsized
+       |     WHERE bsz > $HotBucketCap AND doc_id <> rep))""".stripMargin
+
   private val lshPairsSql: String = {
     val shingles = s"list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
     val mhCols = (0 until 8).map(j =>
       s"list_min(list_transform(sh, s -> ${sqlHex60(s"'$j:' || s")})) AS mh$j").mkString(", ")
     val bandRows = (0 until 4).map(b =>
-      s"SELECT doc_id, sh, $b AS band, md5(mh${2 * b} || '_' || mh${2 * b + 1}) AS bucket FROM sig")
+      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '_' || mh${2 * b + 1}) AS bucket FROM sig")
       .mkString(" UNION ALL ")
     s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
        | t2 AS (SELECT doc_id, $shingles AS sh FROM t),
        | sig AS (SELECT doc_id, sh, $mhCols FROM t2 WHERE len(sh) > 0),
        | buckets AS ($bandRows),
-       | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |   list_transform(a.sh, s -> ${sqlHex60("s")}) AS ha, list_transform(b.sh, s -> ${sqlHex60("s")}) AS hb
-       |   FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, round(CASE WHEN len(list_distinct(ha || hb)) = 0 THEN 0.0
-       |  ELSE len(list_intersect(ha, hb)) / CAST(len(list_distinct(ha || hb)) AS DOUBLE) END, 6) AS jaccard
-       |FROM cand WHERE jaccard >= 0.0
+       |${cappedCandSql("buckets")},
+       | shj AS (SELECT doc_id, list_transform(sh, s -> ${sqlHex60("s")}) AS h FROM t2)
+       |SELECT c.id_a, c.id_b, round(CASE WHEN len(list_distinct(sa.h || sb.h)) = 0 THEN 0.0
+       |  ELSE len(list_intersect(sa.h, sb.h)) / CAST(len(list_distinct(sa.h || sb.h)) AS DOUBLE) END, 6) AS jaccard
+       |FROM cand c JOIN shj sa ON sa.doc_id = c.id_a JOIN shj sb ON sb.doc_id = c.id_b
+       |WHERE jaccard >= 0.0
        |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
+  }
+
+  /** DuckDB twin of Dedup.simhashPairs (16 bits, 4-bit bands, maxHamming 3,
+    * capped buckets).
+    */
+  private val simhashPairsSql: String = {
+    val bitTerms = (0 until 16).map(j =>
+      s"(CASE WHEN list_sum(list_transform(dw, w -> CASE WHEN ((${sqlHex32("w")} >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val bandRows = (0 until 4).map(bi =>
+      s"SELECT doc_id, $bi AS band, (simhash >> ${bi * 4}) & 15 AS bucket FROM s")
+      .mkString(" UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, list_distinct($sqlWords) AS dw FROM documents),
+       | s AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM t),
+       | banded AS ($bandRows),
+       |${cappedCandSql("banded")}
+       |SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+       |FROM cand c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+       |ORDER BY id_a, id_b LIMIT 500""".stripMargin
   }
 
   private val ngramJaccardSql: String = {
@@ -693,6 +738,7 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "q_minhash_sig" -> minhashSigSql,
     "q_simhash" -> simhashSql,
+    "q_simhash_pairs" -> simhashPairsSql,
     "q_lsh_pairs" -> lshPairsSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_near_dup_embedding" ->

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.textfn._
@@ -39,16 +40,47 @@ object Dedup {
       .select(col("doc_id") +: col("__shingles") +: sigCols: _*)
   }
 
-  /** MinHash+LSH near-dup candidate pairs with exact Jaccard verification.
+  /** Within-bucket candidate pairing with a hot-bucket escape hatch.
     *
-    * Banding: `numHashes` hashes in bands of `rowsPerBand`; docs sharing ANY
-    * band bucket become candidates (standard LSH S-curve). The band-bucket
-    * join is an equi-join on (band_index, bucket_hash) — shuffle on the
-    * bucket key only. Candidates are deduped then verified with exact
-    * Jaccard over the shingle sets; pairs below `threshold` are dropped.
+    * `buckets` must have columns (doc_id, band, bucket). Buckets with at most
+    * `hotBucketCap` members generate exact all-pairs (B²/2 — fine when B is
+    * small, and it preserves full LSH recall). Buckets ABOVE the cap switch to
+    * compare-to-representative: every member pairs with the bucket's min
+    * doc_id only — linear per bucket. Real 100 TB corpora make huge buckets
+    * routinely (boilerplate duplicated millions of times lands on ONE
+    * (band,bucket) key; all-pairs there is a 10¹²-pair join from a single
+    * key), and such buckets are near-total dup clusters, where the near-dup
+    * relation is transitive enough that the star around the representative
+    * recovers the cluster.
+    *
+    * The bucket-size window and the self-join hash-partition on the same
+    * (band, bucket) key, so the stats pass adds no extra shuffle over the r2
+    * all-pairs plan. Output keeps the id_a < id_b invariant (rep = min id).
     */
-  def minhashLsh(docs: DataFrame, textCol: String = "text", threshold: Double = 0.5,
-                 numHashes: Int = 16, rowsPerBand: Int = 2, shingleSize: Int = 3): DataFrame = {
+  private[graft] def cappedBucketPairs(buckets: DataFrame, hotBucketCap: Int): DataFrame = {
+    val w = Window.partitionBy("band", "bucket")
+    val sized = buckets
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__rep", min("doc_id").over(w))
+    val small = sized.filter(col("__bsz") <= hotBucketCap)
+    val a = small.as("a")
+    val b = small.as("b")
+    val smallPairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val hotPairs = sized
+      .filter(col("__bsz") > hotBucketCap && col("doc_id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("doc_id").as("id_b"))
+    smallPairs.union(hotPairs).dropDuplicates("id_a", "id_b")
+  }
+
+  /** Candidate-pair stage of [[minhashLsh]], exposed so specs can assert the
+    * candidate count stays O(B) on a hot bucket (not B²/2).
+    */
+  private[graft] def minhashLshCandidates(docs: DataFrame, textCol: String, numHashes: Int,
+                                          rowsPerBand: Int, shingleSize: Int,
+                                          hotBucketCap: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     // candidate generation carries (doc_id, band, bucket) ONLY — the shingle
     // sets do NOT ride the ×numBands explode through the shuffle (at scale
@@ -63,13 +95,24 @@ object Dedup {
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    cappedBucketPairs(buckets, hotBucketCap)
+  }
+
+  /** MinHash+LSH near-dup candidate pairs with exact Jaccard verification.
+    *
+    * Banding: `numHashes` hashes in bands of `rowsPerBand`; docs sharing ANY
+    * band bucket become candidates (standard LSH S-curve). The band-bucket
+    * join is an equi-join on (band_index, bucket_hash) — shuffle on the
+    * bucket key only. Buckets larger than `hotBucketCap` degrade to linear
+    * compare-to-representative pairing (see [[cappedBucketPairs]]).
+    * Candidates are deduped then verified with exact Jaccard over the
+    * shingle sets; pairs below `threshold` are dropped.
+    */
+  def minhashLsh(docs: DataFrame, textCol: String = "text", threshold: Double = 0.5,
+                 numHashes: Int = 16, rowsPerBand: Int = 2, shingleSize: Int = 3,
+                 hotBucketCap: Int = 64): DataFrame = {
+    val candidates = minhashLshCandidates(docs, textCol, numHashes, rowsPerBand,
+      shingleSize, hotBucketCap)
     val shingles = docs.select(col("doc_id"), shingle_hashes(col(textCol), shingleSize).as("__sh"))
     candidates
       .join(shingles.select(col("doc_id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
@@ -83,25 +126,37 @@ object Dedup {
   def simhashDocs(docs: DataFrame, textCol: String = "text", bits: Int = 16): DataFrame =
     docs.select(col("doc_id"), simhash_fast(col(textCol), bits).as("simhash"))
 
-  /** SimHash near-dup pairs: band the fingerprint into `bits/bandBits`
-    * bands; docs equal on any band are candidates (multi-probe for Hamming
-    * tolerance); verify Hamming distance ≤ maxHamming.
+  /** Candidate-pair stage of [[simhashPairs]] (ids only), exposed for the
+    * hot-bucket O(B) spec.
     */
-  def simhashPairs(docs: DataFrame, textCol: String = "text",
-                   bits: Int = 16, bandBits: Int = 4, maxHamming: Int = 3): DataFrame = {
+  private[graft] def simhashCandidates(docs: DataFrame, textCol: String, bits: Int,
+                                       bandBits: Int, hotBucketCap: Int): DataFrame = {
     val sh = simhashDocs(docs, textCol, bits)
     val numBands = bits / bandBits
     val mask = (1L << bandBits) - 1
     val bandCols = (0 until numBands).map(bi =>
       struct(lit(bi).as("band"), shiftright(col("simhash"), bi * bandBits).bitwiseAND(lit(mask)).as("bucket")))
-    val banded = sh.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+    val banded = sh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    cappedBucketPairs(banded, hotBucketCap)
+  }
+
+  /** SimHash near-dup pairs: band the fingerprint into `bits/bandBits`
+    * bands; docs equal on any band are candidates (multi-probe for Hamming
+    * tolerance); verify Hamming distance ≤ maxHamming. Buckets larger than
+    * `hotBucketCap` degrade to linear compare-to-representative pairing
+    * (see [[cappedBucketPairs]]). Like [[minhashLsh]], candidates carry ids
+    * only; fingerprints are joined back for the Hamming verify.
+    */
+  def simhashPairs(docs: DataFrame, textCol: String = "text",
+                   bits: Int = 16, bandBits: Int = 4, maxHamming: Int = 3,
+                   hotBucketCap: Int = 64): DataFrame = {
+    val sh = simhashDocs(docs, textCol, bits)
+    val candidates = simhashCandidates(docs, textCol, bits, bandBits, hotBucketCap)
+    candidates
+      .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -30,6 +30,34 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  // 100 TB scale guard: a single hot (band,bucket) — e.g. boilerplate
+  // duplicated across the whole corpus — must generate O(B) candidate pairs
+  // (star around the bucket-min representative), never B²/2.
+  test("hot bucket degrades to linear compare-to-representative candidates") {
+    val n = 10000
+    val hot = spark.range(1, n + 1).select(col("id").as("doc_id"),
+      lit("same boilerplate text repeated verbatim on every single page here").as("text"))
+    val cands = Dedup.minhashLshCandidates(hot, "text", numHashes = 8,
+      rowsPerBand = 2, shingleSize = 3, hotBucketCap = 64)
+    // all n docs share every band bucket → hot path: (1, id) per member
+    assert(cands.count() === (n - 1).toLong)
+    assert(cands.agg(min("id_a"), max("id_a")).as[(Long, Long)].head() === ((1L, 1L)))
+
+    val sCands = Dedup.simhashCandidates(hot, "text", bits = 16, bandBits = 4,
+      hotBucketCap = 64)
+    assert(sCands.count() === (n - 1).toLong)
+    // end-to-end: identical docs verify at hamming 0 without a quadratic join
+    assert(Dedup.simhashPairs(hot, hotBucketCap = 64).count() === (n - 1).toLong)
+  }
+
+  test("capped bucket pairs keep exact all-pairs below the cap and match uncapped results") {
+    val uncapped = Dedup.minhashLsh(docs, threshold = 0.3, hotBucketCap = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashLsh(docs, threshold = 0.3, hotBucketCap = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === uncapped) // fixture buckets are all below the cap
+  }
+
   test("minhash signature of normalized duplicates is identical") {
     val sig = Dedup.minhashSignature(docs, numHashes = 8).drop("__shingles").collect()
       .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i)))
