@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.api.{SearchMode, VectorIndex}
 import graft.core.{IndexConfig, EmbeddingField, Metric}
 import graft.embed.HashEmbeddingBackend
 import graft.functions.textfn._
@@ -267,6 +268,16 @@ object SparkEntry {
       SimilaritySearch.lshTopKPruned(s, path, probes, dims = 64, k = 5, bits = 8, maxHamming = 2)
         .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
     },
+    // ANN through the PUBLIC API (r2 verdict #3): VectorIndex.searchVector
+    // with mode=Lsh — the store-maintained, versioned, partition-pruned
+    // side index; output is the search() shape (hydrated + key-deduped)
+    "q_ann_vi_lsh" -> { (s, dir) =>
+      val vi = viIndexFor(s, dir)
+      vi.searchVector(probeVec(s, dir), k = 5, threshold = -2.0,
+          mode = SearchMode.Lsh(bits = 8, maxHamming = 2))
+        .select(col("doc_id"), col("score"), col("key"))
+        .orderBy(desc("score"), col("doc_id").asc)
+    },
     "q_ann_ivf_assign" -> { (s, dir) =>
       val (assigned, _) = SimilaritySearch.ivfAssign(tbl(s, dir, "embeddings"), nCells = 16)
       assigned.select(col("vec_id"), col("cell")).orderBy("vec_id")
@@ -444,6 +455,29 @@ object SparkEntry {
       path
     })
 
+  /** Public-API ANN route (r2 verdict gap #2): a [[VectorIndex]] whose
+    * documents are the embeddings table and whose LSH side index is
+    * maintained through the versioned store by `upsert` — the gate query
+    * goes through `VectorIndex.searchVector(mode = Lsh)` rather than any
+    * hand-plumbed index path. Built once per JVM (ingest state).
+    */
+  private val viIndexes = scala.collection.concurrent.TrieMap.empty[String, VectorIndex]
+  private def viIndexFor(s: SparkSession, dir: String): VectorIndex =
+    viIndexes.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-vi").toString + "/idx"
+      val vi = new VectorIndex(s,
+        IndexConfig("emb", "vec_id", Seq(EmbeddingField("text"))),
+        HashEmbeddingBackend(64), graft.embed.EchoChatBackend(),
+        path, "emb", "vec_id", ann = Seq(SearchMode.Lsh(bits = 8, maxHamming = 2)))
+      vi.upsert(tbl(s, dir, "embeddings").select(
+        col("vec_id").as("doc_id"),
+        array(concat(lit("emb:"), col("vec_id"))).as("object_keys"),
+        col("embedding").as("vector"),
+        concat(lit("doc "), col("vec_id")).as("content"),
+        map(lit("table"), lit("emb")).as("metadata")))
+      vi
+    })
+
   /** Cell-partitioned IVF index + its centroid table, built once per JVM. */
   private val ivfIndexPaths = scala.collection.concurrent.TrieMap.empty[String, (String, org.apache.spark.sql.DataFrame)]
   private def ivfIndexFor(s: SparkSession, dir: String): (String, org.apache.spark.sql.DataFrame) =
@@ -568,6 +602,20 @@ object SparkEntry {
        |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  /** Oracle for the VectorIndex public-API ANN route: same Hamming-≤2 LSH
+    * candidate semantics as annLshSql, single probe (vec_id 0), search-shaped
+    * output (doc_id, score, key; keys are unique so the dedup is identity).
+    */
+  private val annViLshSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS b FROM embeddings),
+       | p AS (SELECT embedding AS qv, b AS pb FROM e WHERE vec_id = 0),
+       | joined AS (SELECT e.vec_id, round(${sqlCos("e.embedding", "p.qv")}, 6) AS score
+       |   FROM e JOIN p ON bit_count(xor(e.b, p.pb)) <= 2),
+       | ranked AS (SELECT vec_id, score,
+       |   row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rank FROM joined)
+       |SELECT vec_id AS doc_id, score, 'emb:' || vec_id AS key FROM ranked WHERE rank <= 5
+       |ORDER BY score DESC, doc_id""".stripMargin
+
   private val annIvfSql: String =
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
        |   ORDER BY ${sqlHex60("'ivf:' || vec_id")} ASC, vec_id ASC LIMIT 16),
@@ -674,6 +722,7 @@ object SparkEntry {
          |ORDER BY label, rank""".stripMargin,
     "q_ann_lsh" -> annLshSql,
     "q_ann_lsh_pruned" -> annLshSql,
+    "q_ann_vi_lsh" -> annViLshSql,
     "q_ann_ivf_assign" -> annIvfSql,
     "q_ann_ivf_topk" -> annIvfTopkSql,
     "q_ann_ivf_pruned" -> annIvfTopkSql,

@@ -9,12 +9,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * provider op, so a qdrant/weaviate/pgvector-shaped connector only has to
   * implement this trait; the engine and [[VectorIndex]] never touch the
   * physical layout directly.
+  *
+  * Writer contract: compound mutations (`upsert`/`delete` are
+  * read-then-replace) assume a SINGLE writer at a time. Concurrent writers
+  * never corrupt storage (version dirs are reservation-protected), but the
+  * last manifest flip wins, so one racing mutation's effect can be lost.
+  * Serialize writers externally (e.g. one streaming query per index).
   */
 trait IndexStore {
   /** Current index contents; throws if the index does not exist. */
   def read(): DataFrame
-  def readOption(): Option[DataFrame] =
-    try Some(read()) catch { case _: Throwable => None }
+
+  /** None iff the index verifiably does NOT exist. A transient read failure
+    * (FS hiccup, corrupt footer, permissions) PROPAGATES instead of being
+    * mistaken for an empty index — `upsert`'s None branch would otherwise
+    * replace the whole index with just the new batch.
+    */
+  def readOption(): Option[DataFrame] = if (exists) Some(read()) else None
+
   /** Atomically replace the whole index with `docs` (doc_id-deduped).
     * Readers holding a DataFrame from a previous `read()` keep working.
     */
@@ -32,50 +44,23 @@ trait IndexStore {
   def exists: Boolean
 }
 
-/** Parquet-backed store with versioned atomic swaps.
-  *
-  * Layout under `root`:
-  * {{{
-  *   root/v00001/…parquet       immutable version directories
-  *   root/v00002/…parquet
-  *   root/_CURRENT              manifest: name of the active version dir
-  * }}}
-  *
-  * Mutations write a NEW version directory, then flip the manifest — no
-  * point at which the active data is deleted (the delete-then-rename swap
-  * this replaces had a window where the index path was absent, and an
-  * unchecked rename). Readers that resolved an older version keep reading
-  * its still-present files; only versions older than current-1 are pruned.
+/** Parquet-backed store with versioned atomic swaps (see [[VersionedDir]]
+  * for the layout and reader/writer guarantees). `keepVersions` controls how
+  * many versions stay readable for in-flight readers (default 2 = current +
+  * previous; raise it for long-running readers that may lag more rebuilds).
   * A legacy flat layout (parquet directly under `root`) is still readable.
   */
-final class ParquetIndexStore(spark: SparkSession, root: String) extends IndexStore {
+final class ParquetIndexStore(spark: SparkSession, root: String,
+                              keepVersions: Int = 2) extends IndexStore {
+
+  private val dir = new VersionedDir(spark, root, keepVersions)
 
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val rootPath = new Path(root)
-  private def manifestPath = new Path(rootPath, "_CURRENT")
 
-  private def currentVersion: Option[String] = {
-    val f = fs
-    if (f.exists(manifestPath)) {
-      val in = f.open(manifestPath)
-      try {
-        val v = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        if (v.nonEmpty) Some(v) else None
-      } finally in.close()
-    } else listVersions.lastOption // manifest flip window / crash: newest wins
-  }
-
-  private def listVersions: Seq[String] = {
-    val f = fs
-    if (!f.exists(rootPath)) Seq.empty
-    else f.listStatus(rootPath).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.matches("v\\d{5}")).sorted
-  }
-
-  override def exists: Boolean = currentVersion.isDefined || legacyExists
+  override def exists: Boolean = dir.exists || legacyExists
 
   private def legacyExists: Boolean = {
     val f = fs
@@ -83,28 +68,15 @@ final class ParquetIndexStore(spark: SparkSession, root: String) extends IndexSt
       s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
 
-  override def read(): DataFrame = currentVersion match {
-    case Some(v) => spark.read.parquet(new Path(rootPath, v).toString)
+  override def read(): DataFrame = dir.currentDir match {
+    case Some(d) => spark.read.parquet(d)
     case None    => spark.read.parquet(root) // legacy flat layout (or throw)
   }
 
-  override def replace(docs: DataFrame): Unit = {
-    val f = fs
-    val next = "v%05d".format(
-      listVersions.lastOption.map(_.drop(1).toInt).getOrElse(0) + 1)
-    docs.dropDuplicates("doc_id").write.mode("overwrite")
-      .parquet(new Path(rootPath, next).toString)
-    // flip the manifest: write-new + delete-old + rename; the only window is
-    // on the one-line manifest, and currentVersion falls back to the newest
-    // version dir, so a crash mid-flip still resolves to `next`
-    val tmp = new Path(rootPath, "_CURRENT_tmp")
-    val out = f.create(tmp, true)
-    try out.write(next.getBytes("UTF-8")) finally out.close()
-    if (f.exists(manifestPath)) f.delete(manifestPath, false)
-    require(f.rename(tmp, manifestPath), s"manifest flip failed for $root -> $next")
-    // keep current + previous for in-flight readers, prune the rest
-    listVersions.dropRight(2).foreach(v => f.delete(new Path(rootPath, v), true))
-  }
+  override def replace(docs: DataFrame): Unit =
+    dir.replaceWith { versionDir =>
+      docs.dropDuplicates("doc_id").write.mode("overwrite").parquet(versionDir)
+    }
 
   override def upsert(docs: DataFrame): Unit = readOption() match {
     case None => replace(docs)
@@ -121,10 +93,7 @@ final class ParquetIndexStore(spark: SparkSession, root: String) extends IndexSt
     }
   }
 
-  override def clear(): Unit = {
-    val f = fs
-    if (f.exists(rootPath)) f.delete(rootPath, true)
-  }
+  override def clear(): Unit = dir.deleteAll()
 }
 
 /** Driver-memory store — the second [[IndexStore]] impl, proving the
@@ -132,7 +101,8 @@ final class ParquetIndexStore(spark: SparkSession, root: String) extends IndexSt
   * (storage/numpy/provider.py; storage/__init__.py:29-49). Holds collected
   * Document rows on the driver; suitable for tests and small indexes only
   * (an external qdrant/weaviate/pgvector connector implements the same five
-  * ops against its service API).
+  * ops against its service API). Mutators are synchronized so interleaved
+  * read-then-replace sequences can't drop one side's rows.
   */
 final class InMemoryIndexStore(spark: SparkSession) extends IndexStore {
   @volatile private var rows: Option[(Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)] = None
@@ -145,24 +115,26 @@ final class InMemoryIndexStore(spark: SparkSession) extends IndexStore {
     case None => throw new IllegalStateException("index does not exist")
   }
 
-  override def replace(docs: DataFrame): Unit = {
+  override def replace(docs: DataFrame): Unit = synchronized {
     val d = docs.dropDuplicates("doc_id")
     rows = Some((d.collect().toSeq, d.schema))
   }
 
-  override def upsert(docs: DataFrame): Unit = rows match {
-    case None => replace(docs)
-    case Some(_) =>
-      val existing = read()
-      replace(docs.join(existing.select("doc_id"), Seq("doc_id"), "left_anti")
-        .unionByName(existing))
+  override def upsert(docs: DataFrame): Unit = synchronized {
+    rows match {
+      case None => replace(docs)
+      case Some(_) =>
+        val existing = read()
+        replace(docs.join(existing.select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionByName(existing))
+    }
   }
 
-  override def delete(docIds: Seq[Long]): Unit = {
+  override def delete(docIds: Seq[Long]): Unit = synchronized {
     import spark.implicits._
     if (rows.isDefined)
       replace(read().join(docIds.toDF("doc_id"), Seq("doc_id"), "left_anti"))
   }
 
-  override def clear(): Unit = rows = None
+  override def clear(): Unit = synchronized { rows = None }
 }

@@ -6,8 +6,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.{IndexConfig, Metric}
 import graft.embed.{ChatBackend, EchoChatBackend, EmbeddingBackend, HashEmbeddingBackend}
+import graft.ops.SimilaritySearch
 import graft.pipeline.IndexBuild
 import graft.query.Retrieval
+
+/** How [[VectorIndex.search]] matches candidates. `Exact` (the default, and
+  * the reference's own posture — its numpy provider is a full scan,
+  * storage/numpy/provider.py:38-59) scans every vector. The ANN modes
+  * query the bucket/cell-partitioned side indexes maintained at
+  * rebuild/update/upsert/delete time — partition-PRUNED reads
+  * ([[graft.ops.SimilaritySearch.lshTopKPruned]] / `ivfTopKPruned`), the
+  * 100 TB path. ANN modes score cosine (rerank convention).
+  */
+sealed trait SearchMode
+object SearchMode {
+  case object Exact extends SearchMode
+  final case class Lsh(bits: Int = 8, maxHamming: Int = 1) extends SearchMode
+  final case class Ivf(nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 1) extends SearchMode
+}
 
 /** User-facing index handle — the Spark re-expression of the reference's
   * VectorIndex public API (storage/base.py:174-354): `search`, `find_similar`,
@@ -31,7 +47,12 @@ final class VectorIndex(
     val indexPath: String,
     val sourceTable: String,
     val idColumn: String,
-    storeOverride: Option[IndexStore] = None
+    storeOverride: Option[IndexStore] = None,
+    /** ANN structures maintained alongside the documents at every mutation;
+      * a [[SearchMode.Lsh]]/[[SearchMode.Ivf]] here makes the matching
+      * `search(..., mode = ...)` partition-pruned.
+      */
+    val ann: Seq[SearchMode] = Nil
 ) {
 
   /** Provider seam (reference StorageProvider, storage/base.py:48-71):
@@ -45,8 +66,10 @@ final class VectorIndex(
   /** Full rebuild: clear + build from scratch (reference rebuild_index,
     * pgvector provider.py:61-63).
     */
-  def rebuild(source: DataFrame): Unit =
+  def rebuild(source: DataFrame): Unit = {
     store.replace(IndexBuild.buildDocuments(source, config, backend, sourceTable, idColumn))
+    refreshAnn()
+  }
 
   /** Incremental update: diff against the stored index, re-embed only
     * changed objects, keep the rest (reference A4 incremental path,
@@ -56,22 +79,93 @@ final class VectorIndex(
   def update(source: DataFrame): Unit = {
     val stored = store.readOption()
     store.replace(IndexBuild.buildDocuments(source, config, backend, sourceTable, idColumn, stored))
+    refreshAnn()
   }
 
   /** Upsert pre-built Document rows (reference provider upsert, S7) —
     * conflict-ignore, old-wins, deterministic (see [[IndexStore.upsert]]).
     */
-  def upsert(docs: DataFrame): Unit = store.upsert(docs)
+  def upsert(docs: DataFrame): Unit = { store.upsert(docs); refreshAnn() }
 
   /** Delete documents by doc_id (S10). */
-  def delete(docIds: Seq[Long]): Unit = store.delete(docIds)
+  def delete(docIds: Seq[Long]): Unit = { store.delete(docIds); refreshAnn() }
 
-  /** Remove every document (S11). */
-  def clear(): Unit = store.clear()
+  /** Remove every document (S11), including ANN side indexes. */
+  def clear(): Unit = {
+    store.clear()
+    if (ann.nonEmpty) {
+      new VersionedDir(spark, annLshPath).deleteAll()
+      new VersionedDir(spark, annIvfPath).deleteAll()
+    }
+  }
+
+  /** Versioned roots of the ANN side indexes (underscore-free siblings of
+    * nothing — they live UNDER indexPath; the document store's version
+    * listing ignores non-v\d+ names).
+    */
+  def annLshPath: String = s"$indexPath/__ann_lsh"
+  def annIvfPath: String = s"$indexPath/__ann_ivf"
+
+  /** Rebuild every configured ANN structure from the CURRENT documents —
+    * called after each mutation, so ANN search always reflects the store.
+    * Each write is a versioned atomic swap: a search planned against the
+    * previous ANN version still completes mid-refresh.
+    */
+  def refreshAnn(): Unit = if (ann.nonEmpty && store.exists) {
+    val docs = store.read()
+    ann.foreach {
+      case SearchMode.Lsh(bits, _) =>
+        SimilaritySearch.lshIndexWrite(docs, annLshPath, config.dims, bits, itemVec = "vector")
+      case SearchMode.Ivf(nCells, _, lloydIters) =>
+        val (assigned, centroids) = SimilaritySearch.ivfAssign(docs, nCells,
+          itemId = "doc_id", itemVec = "vector", lloydIters = lloydIters)
+        SimilaritySearch.ivfIndexWrite(assigned, annIvfPath, Some(centroids))
+      case SearchMode.Exact => ()
+    }
+  }
 
   def search(query: String, k: Int = 5, threshold: Double = 0.0,
-             metric: Metric = Metric.Cosine): DataFrame =
-    Retrieval.search(documents, query, backend, k, threshold, metric)
+             metric: Metric = Metric.Cosine,
+             mode: SearchMode = SearchMode.Exact): DataFrame = mode match {
+    case SearchMode.Exact => Retrieval.search(documents, query, backend, k, threshold, metric)
+    case m                => searchVector(backend.embedOne(query).toSeq, k, threshold, metric, m)
+  }
+
+  /** Search by a raw query vector (the reference's get_similar_documents
+    * takes a query_vector, storage/base.py:311-315). ANN modes route through
+    * the partition-pruned index paths; the k hit ids are then hydrated back
+    * to full documents with a broadcast join and deduped per object key,
+    * so every mode returns the same shape as [[search]].
+    */
+  def searchVector(queryVec: Seq[Float], k: Int = 5, threshold: Double = 0.0,
+                   metric: Metric = Metric.Cosine,
+                   mode: SearchMode = SearchMode.Exact): DataFrame = mode match {
+    case SearchMode.Exact =>
+      val hits = Retrieval.knn(documents, queryVec, k, threshold, metric)
+        .withColumn("key", org.apache.spark.sql.functions.col("object_keys").getItem(0))
+      Retrieval.dedupByKey(hits)
+    case m =>
+      require(metric == Metric.Cosine, s"ANN modes rerank by cosine; got $metric")
+      require(ann.exists(_.getClass == m.getClass),
+        s"index was not built with ANN mode $m — pass it in VectorIndex(ann = ...)")
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val probes = Seq((0L, queryVec))
+      val topk = m match {
+        case SearchMode.Lsh(bits, maxHamming) =>
+          SimilaritySearch.lshTopKPruned(spark, annLshPath, probes, config.dims, k,
+            bits, maxHamming, itemId = "doc_id", itemVec = "vector")
+        case SearchMode.Ivf(_, nProbe, _) =>
+          val centroids = SimilaritySearch.ivfCentroidsRead(spark, annIvfPath)
+          SimilaritySearch.ivfTopKPruned(spark, annIvfPath, centroids, probes, k,
+            nProbe, itemId = "doc_id", itemVec = "vector")
+        case SearchMode.Exact => throw new IllegalStateException("unreachable")
+      }
+      val hits = broadcast(topk.filter(col("score") >= threshold)
+          .select(col("doc_id"), col("score")))
+        .join(documents, Seq("doc_id"))
+        .withColumn("key", col("object_keys").getItem(0))
+      Retrieval.dedupByKey(hits)
+  }
 
   def findSimilar(objectKey: String, k: Int = 5, threshold: Double = 0.0,
                   includeSelf: Boolean = false): DataFrame =

@@ -1,0 +1,136 @@
+package graft.api
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned directory with atomic manifest swaps — the storage mechanic
+  * shared by [[ParquetIndexStore]] (document indexes) and the ANN index
+  * writes (bucket/cell-partitioned layouts,
+  * [[graft.ops.SimilaritySearch.lshIndexWrite]] / `ivfIndexWrite`).
+  *
+  * Layout under `root`:
+  * {{{
+  *   root/v00001/…            immutable version directories (any layout,
+  *   root/v00002/…            including partitionBy subdirs)
+  *   root/_CURRENT            manifest: name of the active version dir
+  * }}}
+  *
+  * Guarantees:
+  *  - readers: a reader that resolved a version keeps reading its files;
+  *    `keepVersions` versions are retained (default 2 = current + previous),
+  *    so a reader at most one rebuild behind always completes. Longer-lived
+  *    readers need a larger `keepVersions` (reader-lease is the caller's
+  *    contract).
+  *  - writers: the next version NAME is reserved via an atomic marker-file
+  *    create, so two racing writers can never write into the same version
+  *    directory (no clobber). Manifest flips are last-writer-wins: a
+  *    read-modify-write sequence (e.g. upsert) still needs single-writer
+  *    discipline for SEMANTIC atomicity — that is the documented contract.
+  */
+final class VersionedDir(spark: SparkSession, val root: String, keepVersions: Int = 2) {
+  require(keepVersions >= 1, "keepVersions must be >= 1")
+
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val rootPath = new Path(root)
+  private def manifestPath = new Path(rootPath, "_CURRENT")
+
+  def currentVersion: Option[String] = {
+    val f = fs
+    if (f.exists(manifestPath)) {
+      val in = f.open(manifestPath)
+      try {
+        val v = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        if (v.nonEmpty) Some(v) else None
+      } finally in.close()
+    } else listVersions.lastOption // manifest flip window / crash: newest wins
+  }
+
+  /** Absolute path of the active version directory. */
+  def currentDir: Option[String] =
+    currentVersion.map(v => new Path(rootPath, v).toString)
+
+  /** Version names, NUMERICALLY sorted (v\d+ of any width — "v%05d" is only
+    * a cosmetic default; past v99999 names grow a digit and lexicographic
+    * order would misorder them).
+    */
+  def listVersions: Seq[String] = {
+    val f = fs
+    if (!f.exists(rootPath)) Seq.empty
+    else f.listStatus(rootPath).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).sortBy(_.drop(1).toLong)
+  }
+
+  def exists: Boolean = currentVersion.isDefined
+
+  def read(): DataFrame = currentDir match {
+    case Some(d) => spark.read.parquet(d)
+    case None    => throw new IllegalStateException(s"no version present under $root")
+  }
+
+  /** Atomically reserve the next version name: an atomic create of a marker
+    * file fails on collision, so a concurrent writer moves on to the next
+    * number instead of writing into the same directory.
+    */
+  private def reserve(f: FileSystem): (String, Path) = {
+    var n = listVersions.lastOption.map(_.drop(1).toLong).getOrElse(0L) + 1
+    var attempts = 0
+    while (attempts < 10000) {
+      val name = "v%05d".format(n)
+      val marker = new Path(rootPath, s".reserve_$name")
+      if (f.createNewFile(marker)) return (name, marker)
+      n += 1; attempts += 1
+    }
+    throw new IllegalStateException(s"could not reserve a version dir under $root")
+  }
+
+  /** Write a new version via `write(versionDirPath)`, flip the manifest to
+    * it, prune versions beyond `keepVersions`. The active data is never
+    * deleted mid-swap; the only window is on the one-line manifest, and
+    * [[currentVersion]] falls back to the newest version dir, so a crash
+    * mid-flip still resolves to the new version.
+    */
+  def replaceWith(write: String => Unit): Unit = {
+    val f = fs
+    f.mkdirs(rootPath)
+    // the marker is NOT deleted on success — it guards its number until the
+    // version is pruned. Deleting it early would let a racing writer that
+    // computed a stale next-number re-claim an existing version dir.
+    val (next, _) = reserve(f)
+    try write(new Path(rootPath, next).toString)
+    catch { case e: Throwable =>
+      // remove the partial version dir so the no-manifest newest-wins
+      // fallback can never resolve to a half-written version; the burned
+      // marker just makes the next writer skip this number
+      f.delete(new Path(rootPath, next), true)
+      throw e
+    }
+    val tmp = new Path(rootPath, s"_CURRENT_tmp_$next")
+    val out = f.create(tmp, true)
+    try out.write(next.getBytes("UTF-8")) finally out.close()
+    if (f.exists(manifestPath)) f.delete(manifestPath, false)
+    require(f.rename(tmp, manifestPath), s"manifest flip failed for $root -> $next")
+    listVersions.dropRight(keepVersions).foreach { v =>
+      f.delete(new Path(rootPath, v), true)
+      f.delete(new Path(rootPath, s".reserve_$v"), false)
+    }
+  }
+
+  def deleteAll(): Unit = {
+    val f = fs
+    if (f.exists(rootPath)) f.delete(rootPath, true)
+  }
+}
+
+object VersionedDir {
+  /** Resolve a path that may be a versioned root OR a plain directory: the
+    * active version dir if a manifest/version layout is present, the path
+    * itself otherwise. Readers pin the resolved CONCRETE version dir, so a
+    * concurrent `replaceWith` cannot pull files out from under a plan built
+    * from the resolved path (within `keepVersions` rebuilds).
+    */
+  def resolve(spark: SparkSession, root: String): String =
+    new VersionedDir(spark, root).currentDir.getOrElse(root)
+}

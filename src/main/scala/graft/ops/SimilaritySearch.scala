@@ -109,15 +109,22 @@ object SimilaritySearch {
     * that makes [[lshTopKPruned]]'s candidate-bucket filter a partition-
     * pruning scan (S5; the scale posture the reference's pgvector schema
     * lacks by admission — pgvector/models.py:86-87 TODO).
+    *
+    * Versioned like the document store ([[graft.api.VersionedDir]]): the new
+    * bucket layout lands in a fresh version dir and the manifest flips —
+    * a reader querying mid-rebuild never sees a partial directory, and a
+    * reader that resolved the previous version still completes.
     */
   def lshIndexWrite(items: DataFrame, path: String, dims: Int, bits: Int = 8,
-                    itemVec: String = "embedding"): Unit =
-    lshBuckets(items, dims, bits, itemVec)
-      // co-locate each bucket before the partitioned write: one file per
-      // bucket dir instead of (#tasks × #buckets) shards — at scale, tune
-      // with an additional range/hash split inside hot buckets
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+                    itemVec: String = "embedding", keepVersions: Int = 2): Unit =
+    new graft.api.VersionedDir(items.sparkSession, path, keepVersions).replaceWith { dir =>
+      lshBuckets(items, dims, bits, itemVec)
+        // co-locate each bucket before the partitioned write: one file per
+        // bucket dir instead of (#tasks × #buckets) shards — at scale, tune
+        // with an additional range/hash split inside hot buckets
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    }
 
   /** Approximate top-k: each probe is expanded into its Hamming-≤h candidate
     * buckets (`pb XOR mask` for every mask in [[hammingMasks]]), then items
@@ -159,7 +166,8 @@ object SimilaritySearch {
     }
     val probeDf = expanded.toDF("qid", "qv", "__bkt")
       .select(col("qid"), col("qv").cast("array<float>"), col("__bkt"))
-    val raw = spark.read.parquet(indexPath)
+    // pin the concrete version dir (plain dirs resolve to themselves)
+    val raw = spark.read.parquet(graft.api.VersionedDir.resolve(spark, indexPath))
     // partition-column type inference reads small bucket dirs back as int;
     // filter with literals of the inferred type so the In stays a bare
     // partition filter (no cast wrapper → static pruning guaranteed)
@@ -192,29 +200,89 @@ object SimilaritySearch {
     * the partition key at scale.
     */
   def ivfAssign(items: DataFrame, nCells: Int = 16,
-                itemId: String = "vec_id", itemVec: String = "embedding"): (DataFrame, DataFrame) = {
-    val centroids = items
+                itemId: String = "vec_id", itemVec: String = "embedding",
+                lloydIters: Int = 0, seedSample: Int = 0): (DataFrame, DataFrame) = {
+    val ordered = items
       .withColumn("__h", graft.functions.textfn.hexhash60(concat(lit("ivf:"), col(itemId))))
-      .orderBy(col("__h").asc, col(itemId).asc).limit(nCells)
-      .select(col(itemId).as("cid"), col(itemVec).as("cv"))
-    val rows = centroids.collect()
-    val cids = rows.map(r => r.get(0) match {
-      case l: Long => l
-      case i: Int  => i.toLong
-      case other   => other.toString.toLong
-    })
-    val cvs = rows.map(_.getSeq[Float](1).toArray)
+      .orderBy(col("__h").asc, col(itemId).asc)
+      .select(col(itemId).cast("long").as("cid"), col(itemVec).as("cv"))
+    val seeds =
+      if (seedSample <= 0) ordered.limit(nCells)
+      else {
+        // kmeans++-flavoured deterministic seeding: farthest-first over an
+        // md5-min sample (one job; the sample is driver-resident). Spreads
+        // seeds across natural clusters instead of letting the uniform
+        // sample drop two seeds in one cluster and none in another.
+        val spark = items.sparkSession
+        import spark.implicits._
+        val sample = ordered.limit(math.max(nCells, seedSample)).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+        def d2(a: Array[Float], b: Array[Float]): Double = {
+          var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+          while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+          s
+        }
+        while (chosen.size < math.min(nCells, sample.length)) {
+          // farthest point from its nearest chosen seed; ties → smaller id
+          val next = sample.filterNot(s => chosen.exists(_._1 == s._1))
+            .map(s => (s, chosen.map(c => d2(s._2, c._2)).min))
+            .maxBy { case ((id, _), dist) => (dist, -id) }._1
+          chosen += next
+        }
+        chosen.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("cid", "cv")
+          .select(col("cid"), col("cv").cast("array<float>"))
+      }
+    val centroids = (1 to lloydIters).foldLeft(seeds)((c, _) => lloydStep(items, c, itemVec))
+    val (cvs, cids) = collectCentroids(centroids)
     val assigned = items.withColumn("cell", nearest_centroid(col(itemVec), cvs, cids))
     (assigned, centroids)
   }
 
-  /** Write an IVF-assigned index partitioned by cell — symmetric to
-    * [[lshIndexWrite]]: probe-side cell selection becomes a partition
-    * filter on the read.
+  /** One deterministic Lloyd iteration: assign each item to its nearest
+    * current centroid (per-row kernel, no join), then recompute each cell's
+    * mean. Per-dimension sums accumulate as SCALED LONGS (round(x·10⁶)) so
+    * the reduction is associative+commutative — bit-identical regardless of
+    * partition/merge order, unlike a double sum. The (cell,pos) aggregation
+    * is map-side combined (≤ nCells·dims rows leave each task), so an
+    * iteration costs one scan + one tiny shuffle at any scale. Empty cells
+    * keep their previous centroid; `cid` stays the stable seed label.
     */
-  def ivfIndexWrite(assigned: DataFrame, path: String): Unit =
-    assigned.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  private def lloydStep(items: DataFrame, centroids: DataFrame, itemVec: String): DataFrame = {
+    val (cvs, cids) = collectCentroids(centroids)
+    val scale = 1e6
+    val means = items
+      .select(nearest_centroid(col(itemVec), cvs, cids).as("cell"),
+        posexplode(col(itemVec)).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(sum(round(col("x").cast("double") * scale).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+        e => (e.getField("s").cast("double") / scale / e.getField("n")).cast("float")).as("mv"))
+    centroids.join(means, centroids("cid") === means("cell"), "left")
+      .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+  }
+
+  /** Write an IVF-assigned index partitioned by cell — symmetric to
+    * [[lshIndexWrite]], and versioned the same way. The centroid table the
+    * assignment was computed against rides INSIDE the same version dir
+    * (`_centroids` — underscore-prefixed, so data reads of the version dir
+    * ignore it): centroids and assignment flip atomically together.
+    */
+  def ivfIndexWrite(assigned: DataFrame, path: String,
+                    centroids: Option[DataFrame] = None, keepVersions: Int = 2): Unit =
+    new graft.api.VersionedDir(assigned.sparkSession, path, keepVersions).replaceWith { dir =>
+      assigned.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      centroids.foreach(_.coalesce(1).write.mode("overwrite").parquet(s"$dir/_centroids"))
+    }
+
+  /** Read back the centroid table written by [[ivfIndexWrite]] from the
+    * ACTIVE version (guaranteed consistent with that version's cells).
+    */
+  def ivfCentroidsRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"${graft.api.VersionedDir.resolve(spark, path)}/_centroids")
 
   /** Probe-side IVF search: each probe selects its `nProbe` nearest cells
     * with one kernel projection (array of cell ids, exploded), then an
@@ -249,7 +317,7 @@ object SimilaritySearch {
     }
     val probeDf = expanded.toDF("qid", "qv", "__cell")
       .select(col("qid"), col("qv").cast("array<float>"), col("__cell"))
-    val raw = spark.read.parquet(indexPath)
+    val raw = spark.read.parquet(graft.api.VersionedDir.resolve(spark, indexPath))
     val candCells: Seq[Any] = raw.schema("cell").dataType match {
       case org.apache.spark.sql.types.IntegerType => expanded.map(_._3.toInt).distinct
       case _                                      => expanded.map(_._3).distinct

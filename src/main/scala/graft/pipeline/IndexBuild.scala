@@ -125,8 +125,15 @@ object IndexBuild {
     * version keep working). At 100 TB additionally partition each version
     * by index_name / key-hash bucket.
     */
-  def writeIndex(docs: DataFrame, path: String, mode: String = "overwrite"): Unit =
-    new graft.api.ParquetIndexStore(docs.sparkSession, path).replace(docs)
+  def writeIndex(docs: DataFrame, path: String, mode: String = "overwrite"): Unit = {
+    val store = new graft.api.ParquetIndexStore(docs.sparkSession, path)
+    mode match {
+      case "overwrite" => store.replace(docs)
+      case "append"    => store.upsert(docs) // old-wins conflict-ignore
+      case other       => throw new IllegalArgumentException(
+        s"writeIndex mode must be overwrite|append, got $other")
+    }
+  }
 
   def readIndex(spark: SparkSession, path: String): DataFrame =
     new graft.api.ParquetIndexStore(spark, path).read()

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, SimilaritySearch}
+import graft.query.Retrieval
+
+/** PLANS.md's physical-plan claims as executable invariants (r2 verdict #6):
+  * a plan regression (e.g. an ANN join degrading back to a nested loop, or a
+  * pruned read losing its partition filter) fails `sbt test` instead of
+  * waiting for bench archaeology. Asserts SHAPE, not timings.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private val nonEmptyPartitionFilter = "PartitionFilters: \\[[^\\]]".r
+
+  private val rnd = new scala.util.Random(7)
+  private lazy val items = (0L until 200L)
+    .map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+  private lazy val probes = items.filter(col("vec_id") < 3)
+    .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  test("knn plans as TakeOrderedAndProject — per-partition top-k, no global sort") {
+    val index = items.select(col("vec_id").as("doc_id"), col("embedding").as("vector"))
+    val qv = Seq.fill(16)(0.1f)
+    val p = plan(Retrieval.knn(index, qv, k = 5, threshold = -1.0))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), s"knn should not shuffle:\n$p")
+  }
+
+  test("dedupByKey plans a WindowGroupLimit (map-side per-key top-1)") {
+    val scored = items.select(col("vec_id").as("doc_id"),
+      (col("vec_id") % 10).cast("string").as("key"), rand(1).as("score"))
+    val p = plan(Retrieval.dedupByKey(scored))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("lshTopK is a broadcast HASH join on the bucket id, never a nested loop") {
+    val p = plan(SimilaritySearch.lshTopK(items, probes, dims = 16, k = 5, bits = 8, maxHamming = 2))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("both pruned ANN paths carry a non-empty static partition filter") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planspec").toString
+    val probeRows = probes.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+
+    SimilaritySearch.lshIndexWrite(items, s"$tmp/lsh", dims = 16, bits = 8)
+    val lsh = plan(SimilaritySearch.lshTopKPruned(spark, s"$tmp/lsh", probeRows,
+      dims = 16, k = 5, bits = 8, maxHamming = 1))
+    assert(nonEmptyPartitionFilter.findFirstIn(lsh).isDefined, lsh)
+    assert(!lsh.contains("BroadcastNestedLoopJoin"), lsh)
+
+    val (assigned, centroids) = SimilaritySearch.ivfAssign(items, nCells = 8)
+    SimilaritySearch.ivfIndexWrite(assigned, s"$tmp/ivf", Some(centroids))
+    val ivf = plan(SimilaritySearch.ivfTopKPruned(spark, s"$tmp/ivf",
+      SimilaritySearch.ivfCentroidsRead(spark, s"$tmp/ivf"), probeRows, k = 5, nProbe = 2))
+    assert(nonEmptyPartitionFilter.findFirstIn(ivf).isDefined, ivf)
+    assert(!ivf.contains("BroadcastNestedLoopJoin"), ivf)
+  }
+
+  test("LSH dedup candidate generation is an equi-join shuffle, not a cross join") {
+    val docs = (1L to 40L).map(i => (i, s"words making up document number $i with shared tail"))
+      .toDF("doc_id", "text")
+    val p = plan(Dedup.minhashLshCandidates(docs, "text", numHashes = 8,
+      rowsPerBand = 2, shingleSize = 3, hotBucketCap = 64))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ivfAssign is zero-exchange up to the assignment (per-row kernel argmin)") {
+    val (assigned, _) = SimilaritySearch.ivfAssign(items, nCells = 8)
+    assert(!plan(assigned).contains("Exchange"), plan(assigned))
+  }
+}

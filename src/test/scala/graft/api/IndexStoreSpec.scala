@@ -65,6 +65,45 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(versions.toSeq == Seq("v00003", "v00004"))
   }
 
+  test("keepVersions=3 keeps a reader two rebuilds behind readable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val store = new ParquetIndexStore(spark, s"$tmp/lease", keepVersions = 3)
+    store.replace(docs(1L -> "v1"))
+    val laggard = store.read() // resolves v00001
+    laggard.count()
+    store.replace(docs(2L -> "v2"))
+    store.replace(docs(3L -> "v3")) // laggard now two rebuilds behind
+    assert(laggard.select("content").as[String].head() == "v1")
+    store.replace(docs(4L -> "v4")) // v00001 pruned now (4 - keepVersions)
+    intercept[Throwable] { laggard.count() }
+  }
+
+  test("version names sort numerically past five digits (v99999 -> v100000)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val root = s"$tmp/wide"
+    val dir = new VersionedDir(spark, root, keepVersions = 2)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "v99999"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "v100000"))
+    assert(dir.listVersions == Seq("v99999", "v100000")) // numeric, not lexicographic
+    assert(dir.currentVersion.contains("v100000"))       // no-manifest fallback = newest
+    dir.replaceWith(d => docs(1L -> "next").write.parquet(d))
+    assert(dir.currentVersion.contains("v100001"))       // derives past the 5-digit width
+    assert(dir.read().select("content").as[String].head() == "next")
+  }
+
+  test("racing writers reserve distinct version dirs (no clobber)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val dir = new VersionedDir(spark, s"$tmp/race", keepVersions = 10)
+    val threads = (1 to 4).map { i =>
+      new Thread(() => dir.replaceWith(d => docs(i.toLong -> s"w$i").write.parquet(d)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(dir.listVersions.size == 4) // four distinct dirs, none overwritten
+    assert(dir.listVersions == Seq("v00001", "v00002", "v00003", "v00004"))
+  }
+
   test("InMemoryIndexStore implements the same provider contract (S8/S9 seam)") {
     val store = new InMemoryIndexStore(spark)
     assert(!store.exists)

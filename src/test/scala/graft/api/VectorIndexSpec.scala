@@ -89,6 +89,74 @@ class VectorIndexSpec extends AnyFunSuite {
     intercept[Throwable] { idx.documents.count() }
   }
 
+  // --- ANN through the public API (S5 / r2 verdict #3) ---
+
+  /** 60 docs with distinct bodies; ANN structures maintained by rebuild. */
+  private def annIndex(name: String, modes: Seq[SearchMode]): VectorIndex = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-api").toString
+    new VectorIndex(spark,
+      IndexConfig(name, "id", Seq(EmbeddingField("body")), tokenLimit = 64,
+        chunkOverlap = 8, dims = 32),
+      graft.embed.HashEmbeddingBackend(32), graft.embed.EchoChatBackend(),
+      s"$tmp/$name", "page", "id", ann = modes)
+  }
+
+  private def annSource = (1 to 60)
+    .map(i => (i.toLong, s"document number $i about topic${i % 7} detail$i"))
+    .toDF("id", "body")
+
+  test("ANN-mode search is partition-pruned and full-width matches exact search") {
+    val idx = annIndex("ann1", Seq(SearchMode.Lsh(bits = 4, maxHamming = 1),
+      SearchMode.Ivf(nCells = 4, nProbe = 2, lloydIters = 1)))
+    idx.rebuild(annSource)
+    val q = "document number 17 about topic3 detail17"
+
+    // full probe width (Hamming ball = all buckets / all cells) ⇒ candidate
+    // set is the whole index ⇒ ANN must equal the exact top-k
+    // exact search scores are raw doubles, ANN reranks round to 6dp — round both
+    val exact = idx.search(q, k = 5, threshold = -1.0)
+      .select(col("doc_id"), round(col("score"), 6)).as[(Long, Double)].collect().toSet
+    val lshFull = idx.search(q, k = 5, threshold = -1.0, mode = SearchMode.Lsh(4, 4))
+      .select(col("doc_id"), round(col("score"), 6)).as[(Long, Double)].collect().toSet
+    val ivfFull = idx.search(q, k = 5, threshold = -1.0, mode = SearchMode.Ivf(4, 4, 1))
+      .select(col("doc_id"), round(col("score"), 6)).as[(Long, Double)].collect().toSet
+    assert(lshFull == exact)
+    assert(ivfFull == exact)
+
+    // narrow probe ⇒ the scan carries a NON-EMPTY partition filter
+    val nonEmptyPf = "PartitionFilters: \\[[^\\]]".r
+    val lshPlan = idx.search(q, k = 5, mode = SearchMode.Lsh(4, 1))
+      .queryExecution.executedPlan.toString
+    assert(nonEmptyPf.findFirstIn(lshPlan).isDefined, s"no partition filter in:\n$lshPlan")
+    val ivfPlan = idx.search(q, k = 5, mode = SearchMode.Ivf(4, 2, 1))
+      .queryExecution.executedPlan.toString
+    assert(nonEmptyPf.findFirstIn(ivfPlan).isDefined, s"no partition filter in:\n$ivfPlan")
+  }
+
+  test("searching an ANN mode the index was not built with fails fast") {
+    val idx = annIndex("ann2", Seq(SearchMode.Lsh()))
+    idx.rebuild(annSource)
+    intercept[IllegalArgumentException] {
+      idx.search("anything", mode = SearchMode.Ivf())
+    }
+  }
+
+  // r2 verdict #4: ANN writes are versioned swaps — a reader that planned
+  // against the pre-rebuild version still completes after a rebuild.
+  test("ANN search planned before a rebuild survives the rebuild (versioned swap)") {
+    val idx = annIndex("ann3", Seq(SearchMode.Lsh(bits = 4, maxHamming = 1)))
+    idx.rebuild(annSource)
+    val planned = idx.search("document number 3 about topic3 detail3",
+      k = 3, threshold = -1.0, mode = SearchMode.Lsh(4, 4))
+    planned.count() // resolve the concrete version dir into the plan
+    idx.rebuild(annSource.withColumn("body", concat(col("body"), lit(" v2"))))
+    assert(planned.count() == 3) // old version files still present (keepVersions=2)
+    // and a fresh search sees the new content
+    val fresh = idx.search("document number 3", k = 3, threshold = -1.0,
+      mode = SearchMode.Lsh(4, 4))
+    assert(fresh.select("content").as[String].collect().forall(_.contains("v2")))
+  }
+
   test("registry rebuilds all registered indexes") {
     IndexRegistry.clearRegistry()
     val a = IndexRegistry.register(newIndex("reg_a"), () => source)
