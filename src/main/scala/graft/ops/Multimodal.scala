@@ -9,11 +9,13 @@ import graft.embed.HashEmbeddingBackend
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata. The Spark-side mechanics — schema, batch iteration,
-  * partition-local processing, feature vectors — are real and tested; the
-  * actual codec calls are STUBBED with deterministic fakes (the image/audio
-  * libraries are not available in this environment). Swap
-  * [[StubCodec]] for a real decoder (e.g. javacv / TwelveMonkeys) to
-  * productionize; nothing else changes.
+  * partition-local processing, feature vectors — are real and tested.
+  * Container/codec HEADER parsing (PNG IHDR, JPEG SOFn, WAV fmt/data) is
+  * REAL pure-JVM code ([[HeaderCodec]]); only frame DECODE and feature
+  * extraction are stubbed with deterministic fakes (the pixel/audio decode
+  * libraries are not available in this environment). Swap [[StubCodec]] for
+  * a real decoder (e.g. javacv / TwelveMonkeys) to productionize; nothing
+  * else changes.
   *
   * Scale notes: media bytes never leave their partition (mapPartitions, no
   * shuffle); metadata extraction is projection-shaped; feature vectors are
@@ -23,25 +25,103 @@ object Multimodal {
 
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
-    StructField("width", IntegerType),
+    StructField("width", IntegerType),      // images; null for audio
     StructField("height", IntegerType),
-    StructField("n_frames", IntegerType)))
+    StructField("n_frames", IntegerType),   // audio sample frames; 1 for stills
+    StructField("sample_rate", IntegerType), // audio; null for images
+    StructField("channels", IntegerType)))
 
-  /** ======= STUB: deterministic fake codec =======
-    * A real implementation would parse the container/codec headers and
-    * decode frames. The fake derives all values deterministically from the
-    * bytes so tests are stable.
+  /** ======= REAL header parsing (no external libs) =======
+    * Best-effort: the format is sniffed from magic bytes; fields that can't
+    * be parsed out of a truncated/malformed header stay null rather than
+    * failing the row (a 100 TB media crawl always contains garbage).
     */
-  object StubCodec {
+  object HeaderCodec {
     def sniffFormat(bytes: Array[Byte]): String =
       if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
       else if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
       else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I') "wav"
       else "bin"
-    def decodeMeta(bytes: Array[Byte]): Row = {
-      val n = bytes.length
-      Row(sniffFormat(bytes), 16 + n % 640, 16 + (n / 640) % 480, 1 + n % 32)
+
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) | ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+    /** PNG: 8-byte signature, then the IHDR chunk (must be first): 4-byte
+      * length, "IHDR", width/height as big-endian u32 (PNG spec §11.2.2).
+      */
+    private def png(b: Array[Byte]): Row =
+      if (b.length >= 24 && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Row("png", be32(b, 16), be32(b, 20), 1, null, null)
+      else Row("png", null, null, null, null, null)
+
+    /** JPEG: walk the marker segments from offset 2; any SOFn
+      * (C0-CF except C4/C8/CC) carries precision(1), height(2), width(2)
+      * big-endian after the 2-byte segment length (ITU T.81 §B.2.2).
+      */
+    private def jpeg(b: Array[Byte]): Row = {
+      var i = 2
+      while (i + 3 < b.length && (b(i) & 0xFF) == 0xFF) {
+        val m = b(i + 1) & 0xFF
+        if (m == 0xFF) i += 1                      // fill byte
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) i += 2 // stand-alone
+        else {
+          val len = be16(b, i + 2)
+          if (len < 2) return Row("jpeg", null, null, null, null, null)
+          val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+          if (isSof && i + 9 < b.length)
+            return Row("jpeg", be16(b, i + 7), be16(b, i + 5), 1, null, null)
+          i += 2 + len
+        }
+      }
+      Row("jpeg", null, null, null, null, null)
     }
+
+    /** WAV: RIFF/WAVE container; "fmt " chunk carries channels (u16 LE) and
+      * sample rate (u32 LE), block align at +12; "data" chunk size /
+      * blockAlign = sample-frame count (RIFF WAVE spec).
+      */
+    private def wav(b: Array[Byte]): Row = {
+      if (b.length < 12 || !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+        return Row("wav", null, null, null, null, null)
+      var channels: Any = null; var rate: Any = null; var frames: Any = null
+      var blockAlign = 0
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val size = le32(b, i + 4)
+        if (id == "fmt " && i + 8 + 16 <= b.length) {
+          channels = le16(b, i + 10)
+          rate = le32(b, i + 12)
+          blockAlign = le16(b, i + 20)
+        } else if (id == "data" && blockAlign > 0) {
+          frames = size / blockAlign
+        }
+        if (size < 0) return Row("wav", null, null, frames, rate, channels)
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      Row("wav", null, null, frames, rate, channels)
+    }
+
+    def decodeMeta(bytes: Array[Byte]): Row = sniffFormat(bytes) match {
+      case "png"  => png(bytes)
+      case "jpeg" => jpeg(bytes)
+      case "wav"  => wav(bytes)
+      case f      => Row(f, null, null, null, null, null)
+    }
+  }
+
+  /** ======= STUB: deterministic fake decode =======
+    * A real implementation would decode pixels/samples. The fake derives
+    * frame bytes deterministically from the input so tests are stable.
+    */
+  object StubCodec {
+    def sniffFormat(bytes: Array[Byte]): String = HeaderCodec.sniffFormat(bytes)
     /** "Decode" a frame: deterministic byte slice standing in for pixels. */
     def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] = {
       val nFrames = 1 + bytes.length % 32
@@ -52,9 +132,10 @@ object Multimodal {
     }
   }
 
-  /** Extract typed metadata from a binary media column. Partition-local;
-    * batch-shaped like a Pandas-UDF `mapInPandas` (iterator of batches in,
-    * iterator out) but in JVM-native form.
+  /** Extract typed metadata from a binary media column by REAL header
+    * parsing ([[HeaderCodec]]). Partition-local; batch-shaped like a
+    * Pandas-UDF `mapInPandas` (iterator of batches in, iterator out) but in
+    * JVM-native form.
     */
   def extractMeta(df: DataFrame, binaryCol: String = "media"): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("meta", mediaMetaSchema))
@@ -63,7 +144,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        Row.fromSeq(r.toSeq :+ (if (bytes == null) null else StubCodec.decodeMeta(bytes)))
+        Row.fromSeq(r.toSeq :+ (if (bytes == null) null else HeaderCodec.decodeMeta(bytes)))
       }
     }
   }

@@ -280,12 +280,51 @@ class MultimodalSpec extends AnyFunSuite {
     (3L, "RIFFdata".getBytes("UTF-8")))
     .toDF("media_id", "media")
 
-  test("extractMeta decodes deterministic typed metadata") {
-    val got = Multimodal.extractMeta(media).select("media_id", "meta.format")
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(got(1L) == "png")
-    assert(got(2L) == "jpeg")
-    assert(got(3L) == "wav")
+  test("extractMeta sniffs formats; malformed headers yield null fields, not failures") {
+    val got = Multimodal.extractMeta(media).select("media_id", "meta.format", "meta.width")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2))))).toMap
+    assert(got(1L) == (("png", None)))  // magic only, no valid IHDR
+    assert(got(2L) == (("jpeg", None)))
+    assert(got(3L) == (("wav", None)))
+  }
+
+  // --- golden headers: REAL pure-JVM codec header parsing (r2 verdict #7) ---
+
+  private def goldenPng(w: Int, h: Int): Array[Byte] = {
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    val be32 = (v: Int) => Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    sig ++ be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 6, 0, 0, 0) // bit depth, color type, compression, filter, interlace
+  }
+
+  private def goldenJpeg(w: Int, h: Int): Array[Byte] = {
+    val be16 = (v: Int) => Array[Byte]((v >>> 8).toByte, v.toByte)
+    Array[Byte](0xFF.toByte, 0xD8.toByte) ++                     // SOI
+      Array[Byte](0xFF.toByte, 0xE0.toByte) ++ be16(16) ++ Array.fill[Byte](14)(0) ++ // APP0
+      Array[Byte](0xFF.toByte, 0xC0.toByte) ++ be16(8) ++        // SOF0
+      Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array[Byte](1)     // precision, H, W, ncomp
+  }
+
+  private def goldenWav(channels: Int, rate: Int, blockAlign: Int, dataBytes: Int): Array[Byte] = {
+    val le16 = (v: Int) => Array[Byte](v.toByte, (v >>> 8).toByte)
+    val le32 = (v: Int) => Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + dataBytes) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++ le32(rate) ++
+      le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(dataBytes) // body may be absent; header declares it
+  }
+
+  test("HeaderCodec parses real PNG IHDR, JPEG SOF0 and WAV fmt/data headers") {
+    val golden = Seq(
+      (1L, goldenPng(320, 200)), (2L, goldenJpeg(9, 7)), (3L, goldenWav(2, 44100, 4, 400)))
+      .toDF("media_id", "media")
+    val got = Multimodal.extractMeta(golden)
+      .select("media_id", "meta.format", "meta.width", "meta.height",
+        "meta.n_frames", "meta.sample_rate", "meta.channels")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got(1L) == Seq("png", 320, 200, 1, null, null))
+    assert(got(2L) == Seq("jpeg", 9, 7, 1, null, null))
+    assert(got(3L) == Seq("wav", null, null, 100, 44100, 2)) // 400 bytes / blockAlign 4
   }
 
   test("sampleFrames expands video bytes into frame rows") {
