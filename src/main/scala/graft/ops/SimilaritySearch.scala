@@ -180,16 +180,30 @@ object SimilaritySearch {
       .withColumn("__bkt", col("bucket").cast("long"))
       .drop("bucket")
     rerank(index.join(broadcast(probeDf), Seq("__bkt")),
-      k, itemId, itemVec, "qid", "qv")
+      k, itemId, itemVec, "qid", "qv", singleProbe = probes.size == 1)
   }
 
-  /** Shared exact-rerank tail: cosine score, per-probe top-k window. */
+  /** Shared exact-rerank tail: cosine score, per-probe top-k window.
+    *
+    * `singleProbe = true` (a one-element probe batch, e.g. the public
+    * `VectorIndex.search`) swaps the window — which would funnel EVERY
+    * candidate into one task — for `orderBy+limit`, which Catalyst plans as
+    * TakeOrderedAndProject: per-partition top-k, driver merges partitions×k
+    * rows. The trailing rank window then runs over k rows only.
+    */
   private def rerank(joined: DataFrame, k: Int, itemId: String, itemVec: String,
-                     probeId: String, probeVec: String): DataFrame = {
+                     probeId: String, probeVec: String,
+                     singleProbe: Boolean = false): DataFrame = {
     val scored = joined.select(col(probeId), col(itemId),
       round(vec_cosine(col(itemVec), col(probeVec)), 6).as("score"))
-    val w = Window.partitionBy(col(probeId)).orderBy(desc("score"), col(itemId).asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    if (singleProbe) {
+      val topk = scored.orderBy(desc("score"), col(itemId).asc).limit(k)
+      val w = Window.orderBy(desc("score"), col(itemId).asc) // k rows only
+      topk.withColumn("rank", row_number().over(w))
+    } else {
+      val w = Window.partitionBy(col(probeId)).orderBy(desc("score"), col(itemId).asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
   }
 
   /** IVF: pick `nCells` deterministic centroid seeds (lowest md5 of id —
@@ -325,7 +339,7 @@ object SimilaritySearch {
     val index = raw.filter(col("cell").isin(candCells: _*))
       .withColumn("__cell", col("cell").cast("long")).drop("cell")
     rerank(index.join(broadcast(probeDf), Seq("__cell")),
-      k, itemId, itemVec, "qid", "qv")
+      k, itemId, itemVec, "qid", "qv", singleProbe = probes.size == 1)
   }
 
   /** Driver-side twin of NearestCellsExpr (same distance accumulation and

@@ -65,6 +65,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!ivf.contains("BroadcastNestedLoopJoin"), ivf)
   }
 
+  test("single-probe pruned search reranks via TakeOrderedAndProject, not a global window") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planspec1").toString
+    SimilaritySearch.lshIndexWrite(items, s"$tmp/lsh", dims = 16, bits = 8)
+    val one = probes.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).take(1).toSeq
+    val p = plan(SimilaritySearch.lshTopKPruned(spark, s"$tmp/lsh", one,
+      dims = 16, k = 5, bits = 8, maxHamming = 2))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // plan prints root-first: the candidate join must sit BELOW the top-k
+    // (fed into it), and the only Window sits ABOVE it (k rows only)
+    assert(p.indexOf("BroadcastHashJoin") > p.indexOf("TakeOrderedAndProject"), p)
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"), p)
+  }
+
   test("LSH dedup candidate generation is an equi-join shuffle, not a cross join") {
     val docs = (1L to 40L).map(i => (i, s"words making up document number $i with shared tail"))
       .toDF("doc_id", "text")
