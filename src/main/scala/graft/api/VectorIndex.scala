@@ -131,6 +131,31 @@ final class VectorIndex(
     case m                => searchVector(backend.embedOne(query).toSeq, k, threshold, metric, m)
   }
 
+  /** ANN candidate top-k for a driver-resident probe batch, hydrated back to
+    * full documents (+`key`, per-chunk `rank`) with a broadcast join of the
+    * ≤ probes·k hit ids — the shared tail of every ANN-routed query method.
+    */
+  private def annHits(probes: Seq[(Long, Seq[Float])], k: Int, threshold: Double,
+                      m: SearchMode): DataFrame = {
+    require(ann.exists(_.getClass == m.getClass),
+      s"index was not built with ANN mode $m — pass it in VectorIndex(ann = ...)")
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val topk = m match {
+      case SearchMode.Lsh(bits, maxHamming) =>
+        SimilaritySearch.lshTopKPruned(spark, annLshPath, probes, config.dims, k,
+          bits, maxHamming, itemId = "doc_id", itemVec = "vector")
+      case SearchMode.Ivf(_, nProbe, _) =>
+        val centroids = SimilaritySearch.ivfCentroidsRead(spark, annIvfPath)
+        SimilaritySearch.ivfTopKPruned(spark, annIvfPath, centroids, probes, k,
+          nProbe, itemId = "doc_id", itemVec = "vector")
+      case SearchMode.Exact => throw new IllegalStateException("unreachable")
+    }
+    broadcast(topk.filter(col("score") >= threshold)
+        .select(col("doc_id"), col("score")))
+      .join(documents, Seq("doc_id"))
+      .withColumn("key", col("object_keys").getItem(0))
+  }
+
   /** Search by a raw query vector (the reference's get_similar_documents
     * takes a query_vector, storage/base.py:311-315). ANN modes route through
     * the partition-pruned index paths; the k hit ids are then hydrated back
@@ -146,38 +171,68 @@ final class VectorIndex(
       Retrieval.dedupByKey(hits)
     case m =>
       require(metric == Metric.Cosine, s"ANN modes rerank by cosine; got $metric")
-      require(ann.exists(_.getClass == m.getClass),
-        s"index was not built with ANN mode $m — pass it in VectorIndex(ann = ...)")
-      import org.apache.spark.sql.functions.{broadcast, col}
-      val probes = Seq((0L, queryVec))
-      val topk = m match {
-        case SearchMode.Lsh(bits, maxHamming) =>
-          SimilaritySearch.lshTopKPruned(spark, annLshPath, probes, config.dims, k,
-            bits, maxHamming, itemId = "doc_id", itemVec = "vector")
-        case SearchMode.Ivf(_, nProbe, _) =>
-          val centroids = SimilaritySearch.ivfCentroidsRead(spark, annIvfPath)
-          SimilaritySearch.ivfTopKPruned(spark, annIvfPath, centroids, probes, k,
-            nProbe, itemId = "doc_id", itemVec = "vector")
-        case SearchMode.Exact => throw new IllegalStateException("unreachable")
-      }
-      val hits = broadcast(topk.filter(col("score") >= threshold)
-          .select(col("doc_id"), col("score")))
-        .join(documents, Seq("doc_id"))
-        .withColumn("key", col("object_keys").getItem(0))
-      Retrieval.dedupByKey(hits)
+      Retrieval.dedupByKey(annHits(Seq((0L, queryVec)), k, threshold, m))
   }
 
+  /** find_similar with an optional ANN route: the probe object's chunk
+    * vectors are collected driver-side (an object has FEW chunks — the
+    * reference itself runs one query per chunk, storage/base.py:278-301) and
+    * searched as one multi-probe pruned batch; per-chunk top-k, union,
+    * first-per-key dedup, self-exclusion — same semantics as the exact path,
+    * but only the candidate buckets/cells are read.
+    */
   def findSimilar(objectKey: String, k: Int = 5, threshold: Double = 0.0,
-                  includeSelf: Boolean = false): DataFrame =
-    Retrieval.findSimilar(documents, objectKey, k, threshold, config.metric, includeSelf)
+                  includeSelf: Boolean = false,
+                  mode: SearchMode = SearchMode.Exact): DataFrame = mode match {
+    case SearchMode.Exact =>
+      Retrieval.findSimilar(documents, objectKey, k, threshold, config.metric, includeSelf)
+    case m =>
+      import org.apache.spark.sql.functions.{array_contains, col, lit}
+      val probes = documents.filter(array_contains(col("object_keys"), objectKey))
+        .select(col("doc_id"), col("vector")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      require(probes.nonEmpty, s"no documents found for object key $objectKey")
+      val deduped = Retrieval.dedupByKey(annHits(probes, k, threshold, m))
+      if (includeSelf) deduped else deduped.filter(col("key") =!= lit(objectKey))
+  }
 
-  def query(question: String, sourcesLimit: Int = 5, threshold: Double = 0.0): Retrieval.QueryResponse =
-    Retrieval.ragQuery(documents, question, backend, chatBackend, sourcesLimit, threshold)
+  /** RAG query; ANN modes retrieve through the pruned index. Reference
+    * semantics preserved: the merged context is built from the RAW top-k
+    * chunk hits BEFORE object dedup, sources are the deduped list
+    * (storage/base.py:194-228; see [[Retrieval.ragQuery]]).
+    */
+  def query(question: String, sourcesLimit: Int = 5, threshold: Double = 0.0,
+            mode: SearchMode = SearchMode.Exact): Retrieval.QueryResponse = mode match {
+    case SearchMode.Exact =>
+      Retrieval.ragQuery(documents, question, backend, chatBackend, sourcesLimit, threshold)
+    case m =>
+      val (messages, sources) = annRagPrompt(question, sourcesLimit, threshold, m)
+      Retrieval.QueryResponse(chatBackend.chat(messages), sources)
+  }
 
   /** R4: streaming RAG query (reference aquery, storage/base.py:230-276). */
-  def queryStream(question: String, sourcesLimit: Int = 5,
-                  threshold: Double = 0.0): Retrieval.StreamingQueryResponse =
-    Retrieval.ragQueryStream(documents, question, backend, chatBackend, sourcesLimit, threshold)
+  def queryStream(question: String, sourcesLimit: Int = 5, threshold: Double = 0.0,
+                  mode: SearchMode = SearchMode.Exact): Retrieval.StreamingQueryResponse = mode match {
+    case SearchMode.Exact =>
+      Retrieval.ragQueryStream(documents, question, backend, chatBackend, sourcesLimit, threshold)
+    case m =>
+      val (messages, sources) = annRagPrompt(question, sourcesLimit, threshold, m)
+      Retrieval.StreamingQueryResponse(chatBackend.chatStream(messages), sources)
+  }
+
+  private def annRagPrompt(question: String, sourcesLimit: Int, threshold: Double,
+                           m: SearchMode): (Seq[graft.embed.ChatMessage], DataFrame) = {
+    import org.apache.spark.sql.functions.{col, desc}
+    val qv = backend.embedOne(question).toSeq
+    val hits = annHits(Seq((0L, qv)), sourcesLimit, threshold, m)
+    val context = hits.orderBy(desc("score"), col("doc_id").asc)
+      .select("content").collect().map(_.getString(0)).mkString("\n")
+    val messages = Seq(
+      graft.embed.ChatMessage("system", Retrieval.DefaultSystemPrompt),
+      graft.embed.ChatMessage("system", context),
+      graft.embed.ChatMessage("user", question))
+    (messages, Retrieval.dedupByKey(hits))
+  }
 }
 
 /** Index registry + rebuild-all — the reference's registry of indexes

@@ -133,6 +133,30 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(nonEmptyPf.findFirstIn(ivfPlan).isDefined, s"no partition filter in:\n$ivfPlan")
   }
 
+  test("findSimilar and RAG query route through ANN with exact-parity at full width") {
+    val idx = annIndex("ann4", Seq(SearchMode.Lsh(bits = 4, maxHamming = 1)))
+    idx.rebuild(annSource)
+    val full = SearchMode.Lsh(4, 4) // Hamming ball covers every bucket
+
+    val exactSim = idx.findSimilar("page:17", k = 4, threshold = -1.0)
+      .select(col("key"), round(col("score"), 6)).as[(String, Double)].collect().toSet
+    val annSim = idx.findSimilar("page:17", k = 4, threshold = -1.0, mode = full)
+      .select(col("key"), round(col("score"), 6)).as[(String, Double)].collect().toSet
+    assert(annSim == exactSim)
+    assert(!annSim.exists(_._1 == "page:17")) // self excluded on the ANN route too
+
+    val exactResp = idx.query("document number 17 about topic3", sourcesLimit = 3, threshold = -1.0)
+    val annResp = idx.query("document number 17 about topic3", sourcesLimit = 3,
+      threshold = -1.0, mode = full)
+    assert(annResp.response == exactResp.response) // same context → same echo reply
+    assert(annResp.sources.select("doc_id").as[Long].collect().toSet ==
+      exactResp.sources.select("doc_id").as[Long].collect().toSet)
+
+    val annStream = idx.queryStream("document number 17 about topic3", sourcesLimit = 3,
+      threshold = -1.0, mode = full)
+    assert(annStream.response.mkString == exactResp.response)
+  }
+
   test("searching an ANN mode the index was not built with fails fast") {
     val idx = annIndex("ann2", Seq(SearchMode.Lsh()))
     idx.rebuild(annSource)
