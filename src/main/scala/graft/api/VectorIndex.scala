@@ -258,6 +258,13 @@ object IndexRegistry {
   def rebuildAll(): Unit =
     indexes.values.foreach { case (idx, src) => idx.rebuild(src()) }
 
+  /** Incremental twin of [[rebuildAll]]: every registered index runs the A4
+    * diff-and-embed update against its current source — only changed objects
+    * re-embed.
+    */
+  def updateAll(): Unit =
+    indexes.values.foreach { case (idx, src) => idx.update(src()) }
+
   def clearRegistry(): Unit = indexes.clear()
 }
 

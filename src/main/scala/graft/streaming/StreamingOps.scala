@@ -77,12 +77,29 @@ object StreamingOps {
   def incrementalIndex(sourceStream: DataFrame, config: IndexConfig,
                        backend: EmbeddingBackend, table: String, idCol: String,
                        indexPath: String, checkpoint: String): StreamingQuery =
+    incrementalIndexInto(sourceStream, checkpoint,
+      new graft.api.ParquetIndexStore(sourceStream.sparkSession, indexPath),
+      config, backend, table, idCol, () => ())
+
+  /** [[incrementalIndex]] against a full [[graft.api.VectorIndex]]: each
+    * micro-batch goes through the index's own store AND refreshes its ANN
+    * side structures, so a `search(mode = Lsh/Ivf)` issued after a batch
+    * sees the stream's documents through the pruned path. Versioned swaps
+    * mean a search planned mid-batch still completes.
+    */
+  def incrementalIndex(sourceStream: DataFrame, index: graft.api.VectorIndex,
+                       checkpoint: String): StreamingQuery =
+    incrementalIndexInto(sourceStream, checkpoint, index.store, index.config,
+      index.backend, index.sourceTable, index.idColumn, () => index.refreshAnn())
+
+  private def incrementalIndexInto(sourceStream: DataFrame, checkpoint: String,
+                                   store: graft.api.IndexStore, config: IndexConfig,
+                                   backend: EmbeddingBackend, table: String, idCol: String,
+                                   afterBatch: () => Unit): StreamingQuery =
     sourceStream.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val store = new graft.api.ParquetIndexStore(spark, indexPath)
         val stored = store.readOption()
         val docs = IndexBuild.buildDocuments(batch, config, backend, table, idCol, stored)
         // overwrite-with-union = upsert for the touched keys; the store's
@@ -95,7 +112,7 @@ object StreamingOps {
           case None => docs
         }
         store.replace(merged)
-        ()
+        afterBatch()
       }
       .start()
 }

@@ -189,5 +189,9 @@ class VectorIndexSpec extends AnyFunSuite {
     IndexRegistry.rebuildAll()
     assert(IndexRegistry.get("reg_a").get.documents.count() == 3)
     assert(IndexRegistry.get("reg_b").get.documents.count() == 2)
+    // incremental twin: unchanged sources keep their doc_ids (nothing re-embeds)
+    val before = a.documents.select("doc_id").as[Long].collect().toSet
+    IndexRegistry.updateAll()
+    assert(a.documents.select("doc_id").as[Long].collect().toSet == before)
   }
 }

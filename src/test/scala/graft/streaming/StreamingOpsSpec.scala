@@ -79,4 +79,30 @@ class StreamingOpsSpec extends AnyFunSuite {
       .select("content").as[String].head()
     assert(c1.contains("CHANGED"))
   }
+
+  test("incrementalIndex(VectorIndex) keeps the ANN side index current per batch") {
+    import graft.api.{SearchMode, VectorIndex}
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ann").toString
+    val config = IndexConfig("sann", "id", Seq(EmbeddingField("body")),
+      tokenLimit = 64, chunkOverlap = 8, dims = 16)
+    val idx = new VectorIndex(spark, config, HashEmbeddingBackend(16),
+      graft.embed.EchoChatBackend(), s"$tmp/idx", "page", "id",
+      ann = Seq(SearchMode.Lsh(bits = 4, maxHamming = 1)))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.incrementalIndex(
+      input.toDF().toDF("id", "body"), idx, s"$tmp/chk")
+    input.addData((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+    q.processAllAvailable()
+    // full-width ANN search (Hamming ball = all buckets) sees batch 1
+    val hit1 = idx.search("alpha beta gamma", k = 1, threshold = -1.0,
+      mode = SearchMode.Lsh(4, 4))
+    assert(hit1.select("key").as[String].head() == "page:1")
+    input.addData((3L, "eta theta iota"))
+    q.processAllAvailable()
+    q.stop()
+    val keys = idx.search("eta theta iota", k = 3, threshold = -1.0,
+      mode = SearchMode.Lsh(4, 4)).select("key").as[String].collect().toSet
+    assert(keys.contains("page:3")) // ANN structure refreshed by the batch
+  }
 }
