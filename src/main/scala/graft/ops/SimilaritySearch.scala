@@ -42,9 +42,29 @@ object SimilaritySearch {
     val scored = items.crossJoin(broadcast(probes))
       .select(col(probeId), col(itemId),
         round(vec_cosine(col(itemVec), col(probeVec)), 6).as("score"))
-    val w = Window.partitionBy(col(probeId)).orderBy(desc("score"), col(itemId).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKByProbe(scored, k, probeId, itemId)
+  }
+
+  /** Bounded per-probe top-k via [[graft.functions.TopKAggregator]]: partial
+    * aggregation keeps ≤ k rows per (partition, probe), so the one shuffle
+    * carries O(probes·k) — a window row_number would shuffle EVERY scored
+    * row (at 100 TB, the entire scored corpus). Same ordering contract as
+    * the window it replaces: score DESC, id ASC.
+    */
+  private def topKByProbe(scored: DataFrame, k: Int,
+                          probeId: String, itemId: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .select(col(probeId).cast("long"), col(itemId).cast("long"), col("score").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.TopKAggregator.Scored(t._2, t._3))
+      .agg(graft.functions.TopKAggregator.topK(k))
+      .toDF(probeId, "__topk")
+      .select(col(probeId), posexplode(col("__topk")).as(Seq("__pos", "__s")))
+      .select(col(probeId), col("__s.id").as(itemId), col("__s.score").as("score"),
+        (col("__pos") + 1).cast("int").as("rank"))
   }
 
   /** Deterministic random-hyperplane LSH bucket id (`bits`-bit SimHash of the
@@ -200,10 +220,7 @@ object SimilaritySearch {
       val topk = scored.orderBy(desc("score"), col(itemId).asc).limit(k)
       val w = Window.orderBy(desc("score"), col(itemId).asc) // k rows only
       topk.withColumn("rank", row_number().over(w))
-    } else {
-      val w = Window.partitionBy(col(probeId)).orderBy(desc("score"), col(itemId).asc)
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-    }
+    } else topKByProbe(scored, k, probeId, itemId)
   }
 
   /** IVF: pick `nCells` deterministic centroid seeds (lowest md5 of id —
