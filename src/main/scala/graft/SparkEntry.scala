@@ -9,7 +9,7 @@ import graft.core.{IndexConfig, EmbeddingField, Metric}
 import graft.embed.HashEmbeddingBackend
 import graft.functions.textfn._
 import graft.functions.vector._
-import graft.ops.{Dedup, Events, Multimodal, SimilaritySearch, Skew, TextAnalysis}
+import graft.ops.{Dedup, Events, Multimodal, ProductQuantization, SimilaritySearch, Skew, TextAnalysis}
 import graft.pipeline.IndexBuild
 import graft.query.Retrieval
 
@@ -52,6 +52,12 @@ object SparkEntry {
       case _ => e
     }
   }
+
+  /** PQ layout for the 64-dim fixture embeddings: 8 subspaces × 8 dims,
+    * 16 codewords each — codes are 8 small ints where the vector was 64
+    * floats (32× smaller through scan and shuffle).
+    */
+  private val PqCfg = ProductQuantization.PqConfig(dims = 64, m = 8, ksub = 16)
 
   /** Driver-side single-row lookup of the canonical probe vector (vec_id=0) —
     * the analog of embedding the query string (reference base.py:307-310).
@@ -299,6 +305,24 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
       SimilaritySearch.ivfTopKPruned(s, path, centroids, probes, k = 5, nProbe = 4)
+        .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
+    },
+    // ---- product quantization: 32×-compressed codes, integer-exact ADC ----
+    "q_pq_encode" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val cb = ProductQuantization.pqTrain(emb, PqCfg)
+      ProductQuantization.pqEncode(emb, cb, PqCfg)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .orderBy("vec_id", "sub")
+    },
+    "q_pq_topk" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val cb = ProductQuantization.pqTrain(emb, PqCfg)
+      val encoded = ProductQuantization.pqEncode(emb, cb, PqCfg)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      ProductQuantization.adcTopK(encoded, emb, cb, probes, PqCfg, k = 5, refine = 4)
         .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
     },
     // J5 union path: probe object has many chunks (vec_id % 50 == 7), all
@@ -640,6 +664,59 @@ object SparkEntry {
        |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  /** DuckDB fragment: squared L2 (no sqrt — argmin-equivalent), same
+    * elementwise double accumulation as PqEncodeExpr / adcLut.
+    */
+  private def sqlL2Sq(a: String, b: String): String =
+    s"list_dot_product(list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> p[1] - p[2]), " +
+      s"list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> p[1] - p[2]))"
+
+  /** Shared PQ CTE block: md5-min sample codebooks (code = sample rank) per
+    * subspace, then per-(vec_id, subspace) argmin encoding — the DuckDB twin
+    * of ProductQuantization.pqTrain (lloydIters=0) + pqEncode with the same
+    * tie rules (d2 ASC, code ASC).
+    */
+  private val pqCtes: String =
+    s"""cb0 AS (SELECT embedding AS cv, row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS code
+       |   FROM (SELECT vec_id, embedding, ${sqlHex60("'pq:' || vec_id")} AS h FROM embeddings
+       |         ORDER BY h ASC, vec_id ASC LIMIT 16)),
+       | subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+       | cb AS (SELECT s.sub, c.code, c.cv[s.sub*8 + 1 : s.sub*8 + 8] AS scv FROM cb0 c, subs s),
+       | encd AS (SELECT e.vec_id, e.embedding, cb.sub, cb.code,
+       |     ${sqlL2Sq("e.embedding[cb.sub*8 + 1 : cb.sub*8 + 8]", "cb.scv")} AS d2
+       |   FROM embeddings e, cb),
+       | enc AS (SELECT vec_id, embedding, sub, code FROM (SELECT *,
+       |     row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM encd)
+       |   WHERE rn = 1)""".stripMargin
+
+  private val pqEncodeSql: String =
+    s"""WITH $pqCtes
+       |SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+       |FROM enc ORDER BY vec_id, sub""".stripMargin
+
+  /** ADC top-k oracle: per-probe LUT of round(d²·10⁶) BIGINTs (exact —
+    * integer sums cannot disagree across engines), candidate top-20 by
+    * (adc ASC, vec_id ASC), exact cosine rerank top-5.
+    */
+  private val pqTopkSql: String =
+    s"""WITH $pqCtes,
+       | p AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       | lut AS (SELECT p.qid, cb.sub, cb.code,
+       |     CAST(round(${sqlL2Sq("p.qv[cb.sub*8 + 1 : cb.sub*8 + 8]", "cb.scv")} * 1e6) AS BIGINT) AS d
+       |   FROM p, cb),
+       | adc AS (SELECT l.qid, enc.vec_id, sum(l.d) AS dist
+       |   FROM enc JOIN lut l ON enc.sub = l.sub AND enc.code = l.code
+       |   GROUP BY l.qid, enc.vec_id),
+       | cand AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |     row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn FROM adc)
+       |   WHERE rn <= 20),
+       | rer AS (SELECT c.qid, c.vec_id, round(${sqlCos("e.embedding", "p.qv")}, 6) AS score
+       |   FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN p ON p.qid = c.qid),
+       | ranked AS (SELECT qid, vec_id, score,
+       |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank FROM rer)
+       |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   private val findSimilarMultiSql: String =
     s"""WITH idx AS (SELECT vec_id AS doc_id, 'obj:' || (vec_id % 50) AS key, embedding AS v FROM embeddings),
        | probes AS (SELECT doc_id AS qid, v AS qv FROM idx WHERE key = 'obj:7'),
@@ -726,6 +803,8 @@ object SparkEntry {
     "q_ann_ivf_assign" -> annIvfSql,
     "q_ann_ivf_topk" -> annIvfTopkSql,
     "q_ann_ivf_pruned" -> annIvfTopkSql,
+    "q_pq_encode" -> pqEncodeSql,
+    "q_pq_topk" -> pqTopkSql,
     "q_find_similar_multi" -> findSimilarMultiSql,
     "q_knn_cosine" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

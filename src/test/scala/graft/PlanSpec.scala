@@ -90,4 +90,26 @@ class PlanSpec extends AnyFunSuite {
     val (assigned, _) = SimilaritySearch.ivfAssign(items, nCells = 8)
     assert(!plan(assigned).contains("Exchange"), plan(assigned))
   }
+
+  test("PQ ADC scoring reads codes only (embedding pruned out) and stays codegen'd") {
+    import graft.ops.ProductQuantization
+    val cfg = ProductQuantization.PqConfig(dims = 16, m = 4, ksub = 8)
+    val cb = ProductQuantization.pqTrain(items, cfg)
+    // a stored codes index: (vec_id, codes) parquet — the deployment shape
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planspec-pq").toString
+    ProductQuantization.pqEncode(items, cb, cfg).select("vec_id", "codes")
+      .write.parquet(s"$tmp/codes")
+    // embedding table lives elsewhere; only the rerank may touch it
+    items.write.parquet(s"$tmp/full")
+    val probeRows = probes.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val df = ProductQuantization.adcTopK(
+      spark.read.parquet(s"$tmp/codes"), spark.read.parquet(s"$tmp/full"),
+      cb, probeRows, cfg, k = 5, refine = 2)
+    val p = plan(df)
+    // the codes scan must not read a vector column; pq_adc runs inside
+    // whole-stage codegen (it has doGenCode)
+    val codesScan = p.linesIterator.find(l => l.contains(s"$tmp/codes")).getOrElse("")
+    assert(!codesScan.contains("embedding"), s"codes scan reads embeddings:\n$codesScan")
+    assert(p.contains("pq_adc"), p)
+  }
 }

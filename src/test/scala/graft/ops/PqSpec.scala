@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.functions.vector._
+import graft.ops.ProductQuantization.{PqConfig, adcLut, collectCodebooks}
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dims = 16
+  private val cfg = PqConfig(dims = dims, m = 4, ksub = 8)
+
+  /** Deterministic pseudo-random vectors: component = seeded hash → [-1, 1]. */
+  private def vec(id: Long): Seq[Float] =
+    (0 until dims).map { i =>
+      val h = new scala.util.Random(id * 1000 + i).nextDouble()
+      (h * 2 - 1).toFloat
+    }
+
+  private lazy val items = (0L until 200L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    .select(col("vec_id"), col("embedding").cast("array<float>"))
+
+  test("codes have m entries in [0, ksub)") {
+    val cb = ProductQuantization.pqTrain(items, cfg)
+    val codes = ProductQuantization.pqEncode(items, cb, cfg)
+      .select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(_.length == cfg.m))
+    assert(codes.flatten.forall(c => c >= 0 && c < cfg.ksub))
+    assert(codes.flatten.distinct.length > 1) // not degenerate
+  }
+
+  test("a sampled codeword vector encodes to its own code in every subspace") {
+    val cb = ProductQuantization.pqTrain(items, cfg)
+    val cbs = collectCodebooks(cb, cfg)
+    // reconstruct sample item 0's full vector from code-0 codewords
+    val v0 = (0 until cfg.m).flatMap(s => cbs(s)(0))
+    val df = Seq((0L, v0)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val codes = ProductQuantization.pqEncode(df, cb, cfg).select("codes").as[Seq[Int]].head()
+    assert(codes == Seq.fill(cfg.m)(0))
+  }
+
+  test("pq_adc kernel equals a driver-side LUT sum") {
+    val cb = ProductQuantization.pqTrain(items, cfg)
+    val cbs = collectCodebooks(cb, cfg)
+    val probe = vec(7L)
+    val lut = adcLut(probe, cbs, cfg)
+    val enc = ProductQuantization.pqEncode(items, cb, cfg)
+      .withColumn("lut", typedLit(lut.toSeq))
+      .select(col("vec_id"), col("codes"),
+        pq_adc(col("codes"), col("lut"), cfg.ksub).as("adc"))
+      .as[(Long, Seq[Int], Long)].collect()
+    enc.foreach { case (_, codes, adc) =>
+      val expected = codes.zipWithIndex.map { case (c, s) => lut(s * cfg.ksub + c) }.sum
+      assert(adc == expected)
+    }
+  }
+
+  test("ADC top-k with exact rerank recovers most brute-force neighbours") {
+    val cb = ProductQuantization.pqTrain(items, cfg, lloydIters = 1)
+    val encoded = ProductQuantization.pqEncode(items, cb, cfg)
+    val probes = (0L until 5L).map(i => (i, vec(i)))
+    val pq = ProductQuantization.adcTopK(encoded, items, cb, probes, cfg, k = 5, refine = 8)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = SimilaritySearch.bruteForceTopK(items, probes.toDF("qid", "qv")
+        .select(col("qid"), col("qv").cast("array<float>")), k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val recall = probes.map { case (q, _) =>
+      (pq(q) intersect exact(q)).size.toDouble / exact(q).size
+    }.sum / probes.size
+    assert(recall >= 0.8, s"recall@5 $recall") // refine=8 reranks 40 of 200 rows exactly
+  }
+
+  test("one Lloyd iteration does not increase total quantization error") {
+    def qerror(cb: org.apache.spark.sql.DataFrame): Double = {
+      val cbs = collectCodebooks(cb, cfg)
+      ProductQuantization.pqEncode(items, cb, cfg)
+        .select(col("vec_id"), col("codes"), col("embedding")).as[(Long, Seq[Int], Seq[Float])]
+        .collect().map { case (_, codes, v) =>
+          codes.zipWithIndex.map { case (c, s) =>
+            val cw = cbs(s)(c)
+            (0 until cfg.dsub).map { i =>
+              val d = v(s * cfg.dsub + i).toDouble - cw(i).toDouble; d * d
+            }.sum
+          }.sum
+        }.sum
+    }
+    val cb0 = ProductQuantization.pqTrain(items, cfg)
+    val cb1 = ProductQuantization.pqTrain(items, cfg, lloydIters = 1)
+    assert(qerror(cb1) <= qerror(cb0) + 1e-9)
+  }
+
+  test("pqIndexWrite versions codes + codebooks together; reader survives a rebuild") {
+    val path = java.nio.file.Files.createTempDirectory("graft-pq").toString + "/idx"
+    val cb = ProductQuantization.pqTrain(items, cfg)
+    val enc = ProductQuantization.pqEncode(items, cb, cfg).select("vec_id", "codes")
+    ProductQuantization.pqIndexWrite(enc, cb, path)
+    val resolved = graft.api.VersionedDir.resolve(spark, path)
+    val reader = spark.read.parquet(resolved) // pins v00001 files
+    assert(ProductQuantization.pqCodebooksRead(spark, path).count() == cfg.m * cfg.ksub)
+    // rebuild flips to v00002; the pinned reader must still complete
+    ProductQuantization.pqIndexWrite(enc.limit(50), cb, path)
+    assert(reader.count() == 200)
+    assert(spark.read.parquet(graft.api.VersionedDir.resolve(spark, path)).count() == 50)
+  }
+}
