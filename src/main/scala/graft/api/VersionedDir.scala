@@ -73,14 +73,29 @@ final class VersionedDir(spark: SparkSession, val root: String, keepVersions: In
   /** Atomically reserve the next version name: an atomic create of a marker
     * file fails on collision, so a concurrent writer moves on to the next
     * number instead of writing into the same directory.
+    *
+    * On HDFS-like filesystems `create(overwrite = false)` is atomic, but the
+    * LOCAL filesystem implements it as a non-atomic exists-then-create — two
+    * racing writers could both "win" the same marker and clobber one
+    * version. Local paths therefore go through NIO `Files.createFile`
+    * (O_CREAT|O_EXCL — a true atomic claim).
     */
+  private def atomicCreate(f: FileSystem, p: Path): Boolean = f match {
+    case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try { java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath)); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    case other =>
+      try other.createNewFile(p)
+      catch { case _: java.io.IOException => false }
+  }
+
   private def reserve(f: FileSystem): (String, Path) = {
     var n = listVersions.lastOption.map(_.drop(1).toLong).getOrElse(0L) + 1
     var attempts = 0
     while (attempts < 10000) {
       val name = "v%05d".format(n)
       val marker = new Path(rootPath, s".reserve_$name")
-      if (f.createNewFile(marker)) return (name, marker)
+      if (atomicCreate(f, marker)) return (name, marker)
       n += 1; attempts += 1
     }
     throw new IllegalStateException(s"could not reserve a version dir under $root")

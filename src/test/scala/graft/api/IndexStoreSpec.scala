@@ -96,10 +96,22 @@ class IndexStoreSpec extends AnyFunSuite {
   test("racing writers reserve distinct version dirs (no clobber)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-store").toString
     val dir = new VersionedDir(spark, s"$tmp/race", keepVersions = 10)
+    // plain-file payloads: the property under test is the version-name
+    // reservation, and a concurrent Spark write job failing for unrelated
+    // reasons (observed flake) would silently drop a version via the bare
+    // Thread and fail the count
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (1 to 4).map { i =>
-      new Thread(() => dir.replaceWith(d => docs(i.toLong -> s"w$i").write.parquet(d)))
+      new Thread(() => try {
+        dir.replaceWith { d =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+          java.nio.file.Files.write(java.nio.file.Paths.get(d, "payload"),
+            s"w$i".getBytes("UTF-8"))
+        }
+      } catch { case t: Throwable => failures.add(t) })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
     assert(dir.listVersions.size == 4) // four distinct dirs, none overwritten
     assert(dir.listVersions == Seq("v00001", "v00002", "v00003", "v00004"))
   }
