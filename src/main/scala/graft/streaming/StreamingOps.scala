@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import graft.core.IndexConfig
 import graft.embed.EmbeddingBackend
+import graft.functions.textkernel._
 import graft.pipeline.IndexBuild
 
 /** Structured Streaming extensions (SURVEY.md §2.10: the reference has no
@@ -66,6 +67,77 @@ object StreamingOps {
             if (useTimeout) state.setTimeoutDuration(gapSeconds * 1000)
             closed.reverseIterator
           }
+      }.toDF()
+  }
+
+  /** Exact dedup over a document stream: normalized-content hash (same
+    * md5-of-word-stream as [[graft.ops.Dedup.exact]]) deduplicated with
+    * WATERMARK-BOUNDED state — the state store holds one entry per distinct
+    * hash seen within the watermark horizon and is evicted as event time
+    * advances. A plain `dropDuplicates` on an unbounded ingest stream grows
+    * state forever; at 100 TB/day this is the difference between a working
+    * pipeline and an OOM.
+    */
+  def streamingExactDedup(docs: DataFrame, textCol: String = "text",
+                          tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("content_hash", md5(concat_ws(" ", word_tokens(col(textCol)))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  final case class BucketRep(repId: Long, sig: Seq[Long])
+  final case class NearDupCand(id_a: Long, id_b: Long, band: Int, est_jaccard: Double)
+
+  /** Streaming near-dup candidates: MinHash band buckets with a per-bucket
+    * REPRESENTATIVE kept in keyed state — the streaming twin of the batch
+    * hot-bucket discipline ([[graft.ops.Dedup.cappedBucketPairs]]). The
+    * first-seen doc (min id within its arrival batch) becomes the bucket's
+    * star center; every later arrival emits one candidate pair
+    * `(rep, doc)` with the signature-agreement Jaccard estimate. State is
+    * one (id, signature) per OCCUPIED (band, bucket) — O(#buckets), and
+    * each arriving doc does O(bands) state lookups — never a growing join,
+    * never B² pairs, no matter how hot a bucket runs.
+    *
+    * Downstream: exact-verify candidate pairs in batch (join shingles by
+    * id) or act on the estimate directly for aggressive ingest filtering.
+    */
+  def streamingNearDupCandidates(docs: DataFrame, textCol: String = "text",
+                                 numHashes: Int = 8, rowsPerBand: Int = 2,
+                                 shingleSize: Int = 3)
+                                (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val numBands = numHashes / rowsPerBand
+    val sig = docs
+      .withColumn("__sig", minhash_sig(col(textCol), numHashes, shingleSize))
+      .filter(col("__sig").isNotNull && forall(col("__sig"), x => x.isNotNull))
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => element_at(col("__sig"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), md5(concat_ws("_", parts: _*)).as("bucket"))
+    }
+    sig.select(col("doc_id").cast("long"), explode(array(bandCols: _*)).as("bb"), col("__sig"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"), col("__sig"))
+      .as[(Long, Int, String, Seq[Long])]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[BucketRep, NearDupCand](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, _), rows, state: GroupState[BucketRep]) =>
+          // sort within the micro-batch so the representative choice (and
+          // therefore the emitted pairs) is deterministic under re-execution
+          val sorted = rows.toSeq.sortBy(_._1)
+          var rep = state.getOption
+          val out = Seq.newBuilder[NearDupCand]
+          for ((id, _, _, s) <- sorted) {
+            rep match {
+              case None => rep = Some(BucketRep(id, s))
+              case Some(r0) if r0.repId == id => () // replay of the rep itself
+              case Some(r0) =>
+                val n = math.min(r0.sig.length, s.length)
+                val agree = (0 until n).count(i => r0.sig(i) == s(i))
+                out += NearDupCand(r0.repId, id, band,
+                  if (n == 0) 0.0 else agree.toDouble / n)
+            }
+          }
+          rep.foreach(state.update)
+          out.result().iterator
       }.toDF()
   }
 

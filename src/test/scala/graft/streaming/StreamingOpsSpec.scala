@@ -80,6 +80,53 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(c1.contains("CHANGED"))
   }
 
+  test("streamingExactDedup drops same-content arrivals within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val t0 = ts("2024-03-01 12:00:00")
+    def plus(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    val q = StreamingOps.streamingExactDedup(
+        input.toDF().toDF("doc_id", "text", "ts"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    // same normalized content (case/extra-space-insensitive), one unique doc
+    input.addData(
+      (1L, "The quick brown fox", t0),
+      (2L, "the quick  BROWN fox", plus(10)),
+      (3L, "something else entirely", plus(20)))
+    q.processAllAvailable()
+    // a later batch replays the same content inside the watermark horizon
+    input.addData((4L, "the quick brown FOX", plus(60)))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id FROM sdedup").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(got == Set(1L, 3L)) // 2 (same batch) and 4 (later batch) deduped
+  }
+
+  test("streamingNearDupCandidates pairs arrivals with the bucket representative, O(B) state") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val input = MemoryStream[(Long, String)]
+    val boiler = "same boilerplate text repeated verbatim on every single page here"
+    val q = StreamingOps.streamingNearDupCandidates(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("snear").outputMode("append").start()
+    input.addData(
+      (1L, boiler), (2L, boiler),
+      (5L, "completely different text about spark engines and vector indexes now"))
+    q.processAllAvailable()
+    // new copy in a LATER batch must pair against the remembered rep (1)
+    input.addData((7L, boiler))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT id_a, id_b, est_jaccard FROM snear").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    val pairs = got.map(p => (p._1, p._2)).distinct.sorted.toSeq
+    assert(pairs == Seq((1L, 2L), (1L, 7L))) // star around rep; doc 5 never pairs
+    assert(got.forall(_._3 == 1.0))          // identical signatures
+    // every pair is rep-anchored: candidate count is linear in bucket size
+    assert(got.forall(_._1 == 1L))
+  }
+
   test("incrementalIndex(VectorIndex) keeps the ANN side index current per batch") {
     import graft.api.{SearchMode, VectorIndex}
     implicit val sqlCtx = spark.sqlContext
