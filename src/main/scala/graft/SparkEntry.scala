@@ -325,6 +325,18 @@ object SparkEntry {
       ProductQuantization.adcTopK(encoded, emb, cb, probes, PqCfg, k = 5, refine = 4)
         .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
     },
+    // IVF × PQ composition: cell-PRUNED scan of the 8-byte codes index,
+    // ADC candidate scoring, exact rerank (memoized stored index — the
+    // real deployment read path, partition filter and all)
+    "q_pq_ivf_topk" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      ProductQuantization.ivfPqTopKPruned(s, pqIndexFor(s, dir), emb, probes,
+          PqCfg, k = 5, nProbe = 4, refine = 4)
+        .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
+    },
     // J5 union path: probe object has many chunks (vec_id % 50 == 7), all
     // searched in ONE broadcast scan, then first-per-key dedup + self-exclude
     "q_find_similar_multi" -> { (s, dir) =>
@@ -510,6 +522,22 @@ object SparkEntry {
       val (assigned, centroids) = SimilaritySearch.ivfAssign(tbl(s, dir, "embeddings"), nCells = 16)
       SimilaritySearch.ivfIndexWrite(assigned, path)
       (path, centroids)
+    })
+
+  /** Cell-partitioned PQ-codes index (IVF × PQ composition) for `dir` —
+    * ingest state like the other memoized side indexes.
+    */
+  private val pqIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def pqIndexFor(s: SparkSession, dir: String): String =
+    pqIndexPaths.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-pq").toString + "/idx"
+      val emb = tbl(s, dir, "embeddings")
+      val (assigned, centroids) = SimilaritySearch.ivfAssign(emb, nCells = 16)
+      val cb = ProductQuantization.pqTrain(emb, PqCfg)
+      val encoded = ProductQuantization.pqEncode(assigned, cb, PqCfg)
+        .select(col("vec_id"), col("cell"), col("codes"))
+      ProductQuantization.pqIndexWrite(encoded, cb, path, Some(centroids))
+      path
     })
 
   // ------------------------------------------------------------- oracle SQL
@@ -717,6 +745,39 @@ object SparkEntry {
        |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  /** IVF × PQ oracle: md5-min IVF cells (annIvfSql pattern) restrict the
+    * candidate set, ADC scores candidates with the scaled-long LUT, top
+    * k·refine by (adc ASC, id ASC), exact cosine rerank top-5.
+    */
+  private val pqIvfTopkSql: String =
+    s"""WITH $pqCtes,
+       | c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |   ORDER BY ${sqlHex60("'ivf:' || vec_id")} ASC, vec_id ASC LIMIT 16),
+       | ad AS (SELECT e.vec_id, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist FROM embeddings e, c),
+       | assign AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM ad) WHERE rn = 1),
+       | p AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       | pd AS (SELECT p.qid, c.cid, ${sqlL2("p.qv", "c.cv")} AS dist FROM p, c),
+       | pc AS (SELECT qid, cid AS cell FROM (SELECT qid, cid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rn FROM pd) WHERE rn <= 4),
+       | lut AS (SELECT p.qid, cb.sub, cb.code,
+       |     CAST(round(${sqlL2Sq("p.qv[cb.sub*8 + 1 : cb.sub*8 + 8]", "cb.scv")} * 1e6) AS BIGINT) AS d
+       |   FROM p, cb),
+       | adc AS (SELECT pc.qid, a.vec_id, sum(l.d) AS dist
+       |   FROM pc JOIN assign a ON a.cell = pc.cell
+       |   JOIN enc ON enc.vec_id = a.vec_id
+       |   JOIN lut l ON l.qid = pc.qid AND l.sub = enc.sub AND l.code = enc.code
+       |   GROUP BY pc.qid, a.vec_id),
+       | cand AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |   row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn FROM adc)
+       |   WHERE rn <= 20),
+       | rer AS (SELECT cd.qid, cd.vec_id, round(${sqlCos("e.embedding", "p.qv")}, 6) AS score
+       |   FROM cand cd JOIN embeddings e ON e.vec_id = cd.vec_id JOIN p ON p.qid = cd.qid),
+       | ranked AS (SELECT qid, vec_id, score,
+       |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank FROM rer)
+       |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   private val findSimilarMultiSql: String =
     s"""WITH idx AS (SELECT vec_id AS doc_id, 'obj:' || (vec_id % 50) AS key, embedding AS v FROM embeddings),
        | probes AS (SELECT doc_id AS qid, v AS qv FROM idx WHERE key = 'obj:7'),
@@ -805,6 +866,7 @@ object SparkEntry {
     "q_ann_ivf_pruned" -> annIvfTopkSql,
     "q_pq_encode" -> pqEncodeSql,
     "q_pq_topk" -> pqTopkSql,
+    "q_pq_ivf_topk" -> pqIvfTopkSql,
     "q_find_similar_multi" -> findSimilarMultiSql,
     "q_knn_cosine" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

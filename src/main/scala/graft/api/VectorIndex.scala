@@ -23,6 +23,13 @@ object SearchMode {
   case object Exact extends SearchMode
   final case class Lsh(bits: Int = 8, maxHamming: Int = 1) extends SearchMode
   final case class Ivf(nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 1) extends SearchMode
+  /** IVF cell pruning × product-quantized candidate scoring: the scan
+    * reads only candidate cell PARTITIONS and only 8-byte CODES (not the
+    * full vectors); exact cosine rerank touches the top k·refine ids. The
+    * 100 TB path when even the pruned candidate read is vector-bound.
+    */
+  final case class IvfPq(nCells: Int = 16, nProbe: Int = 4, m: Int = 8,
+                         ksub: Int = 16, refine: Int = 4, lloydIters: Int = 1) extends SearchMode
 }
 
 /** User-facing index handle — the Spark re-expression of the reference's
@@ -96,6 +103,7 @@ final class VectorIndex(
     if (ann.nonEmpty) {
       new VersionedDir(spark, annLshPath).deleteAll()
       new VersionedDir(spark, annIvfPath).deleteAll()
+      new VersionedDir(spark, annIvfPqPath).deleteAll()
     }
   }
 
@@ -105,6 +113,7 @@ final class VectorIndex(
     */
   def annLshPath: String = s"$indexPath/__ann_lsh"
   def annIvfPath: String = s"$indexPath/__ann_ivf"
+  def annIvfPqPath: String = s"$indexPath/__ann_ivfpq"
 
   /** Rebuild every configured ANN structure from the CURRENT documents —
     * called after each mutation, so ANN search always reflects the store.
@@ -120,6 +129,17 @@ final class VectorIndex(
         val (assigned, centroids) = SimilaritySearch.ivfAssign(docs, nCells,
           itemId = "doc_id", itemVec = "vector", lloydIters = lloydIters)
         SimilaritySearch.ivfIndexWrite(assigned, annIvfPath, Some(centroids))
+      case SearchMode.IvfPq(nCells, _, m, ksub, _, lloydIters) =>
+        val cfg = graft.ops.ProductQuantization.PqConfig(config.dims, m, ksub)
+        val (assigned, centroids) = SimilaritySearch.ivfAssign(docs, nCells,
+          itemId = "doc_id", itemVec = "vector", lloydIters = lloydIters)
+        val cb = graft.ops.ProductQuantization.pqTrain(docs, cfg,
+          itemId = "doc_id", itemVec = "vector", lloydIters = lloydIters)
+        val encoded = graft.ops.ProductQuantization.pqEncode(assigned, cb, cfg, itemVec = "vector")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("cell"),
+            org.apache.spark.sql.functions.col("codes"))
+        graft.ops.ProductQuantization.pqIndexWrite(encoded, cb, annIvfPqPath, Some(centroids))
       case SearchMode.Exact => ()
     }
   }
@@ -148,6 +168,10 @@ final class VectorIndex(
         val centroids = SimilaritySearch.ivfCentroidsRead(spark, annIvfPath)
         SimilaritySearch.ivfTopKPruned(spark, annIvfPath, centroids, probes, k,
           nProbe, itemId = "doc_id", itemVec = "vector")
+      case SearchMode.IvfPq(_, nProbe, pm, ksub, refine, _) =>
+        graft.ops.ProductQuantization.ivfPqTopKPruned(spark, annIvfPqPath, documents,
+          probes, graft.ops.ProductQuantization.PqConfig(config.dims, pm, ksub),
+          k, nProbe, refine, itemId = "doc_id", itemVec = "vector")
       case SearchMode.Exact => throw new IllegalStateException("unreachable")
     }
     broadcast(topk.filter(col("score") >= threshold)

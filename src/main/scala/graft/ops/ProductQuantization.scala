@@ -100,18 +100,20 @@ object ProductQuantization {
     items.withColumn("codes", pq_encode(col(itemVec), collectCodebooks(codebooks, cfg), cfg.dsub))
 
   /** Write a PQ-encoded index (optionally IVF-cell-partitioned when the
-    * input carries a `cell` column) with the codebooks riding INSIDE the
-    * same version dir (`_codebooks`) — codes and the codebooks they were
-    * computed against flip atomically together, like IVF's `_centroids`.
+    * input carries a `cell` column) with the codebooks — and, when
+    * composed with IVF, the centroid table — riding INSIDE the same
+    * version dir (`_codebooks`/`_centroids`): codes and the structures
+    * they were computed against flip atomically together.
     */
   def pqIndexWrite(encoded: DataFrame, codebooks: DataFrame, path: String,
-                   keepVersions: Int = 2): Unit =
+                   centroids: Option[DataFrame] = None, keepVersions: Int = 2): Unit =
     new graft.api.VersionedDir(encoded.sparkSession, path, keepVersions).replaceWith { dir =>
       val w =
         if (encoded.columns.contains("cell")) encoded.repartition(col("cell")).write.partitionBy("cell")
         else encoded.write
       w.mode("overwrite").parquet(dir)
       codebooks.coalesce(1).write.mode("overwrite").parquet(s"$dir/_codebooks")
+      centroids.foreach(_.coalesce(1).write.mode("overwrite").parquet(s"$dir/_centroids"))
     }
 
   /** Codebooks of the ACTIVE index version. */
@@ -171,16 +173,66 @@ object ProductQuantization {
       // (≪ 2^53, so the double negation is still exact)
       .select(col("qid"), col(itemId),
         (-pq_adc(col("codes"), col("lut"), cfg.ksub)).cast("double").as("score"))
+    rerankExact(scored, items, probeDf, k, refine, itemId, itemVec)
+  }
+
+  /** Shared exact-rerank tail: bounded candidate selection on the ADC
+    * score, then cosine over the full vectors of the ≤ probes·k·refine
+    * candidate ids only (both candidate sides broadcast — tiny).
+    */
+  private def rerankExact(scored: DataFrame, items: DataFrame, probeDf: DataFrame,
+                          k: Int, refine: Int, itemId: String, itemVec: String): DataFrame = {
     val cand = SimilaritySearch.topKByProbe(scored, k * refine, "qid", itemId)
       .select(col("qid"), col(itemId))
+    // probeDf may carry one row per (probe, cell) — dedupe to one qv per qid
     val rer = items.join(broadcast(cand), Seq(itemId))
-      .join(broadcast(probeDf.select(col("qid"), col("qv"))), Seq("qid"))
+      .join(broadcast(probeDf.select(col("qid"), col("qv")).dropDuplicates("qid")), Seq("qid"))
       .select(col("qid"), col(itemId),
         round(vec_cosine(col(itemVec), col("qv")), 6).as("score"))
     val w = Window.partitionBy("qid").orderBy(desc("score"), col(itemId).asc)
     rer.withColumn("rank", row_number().over(w)) // ≤ probes·k·refine rows
       .filter(col("rank") <= k)
       .select(col("qid"), col(itemId), col("rank"), col("score"))
+  }
+
+  /** IVF × PQ — the full 100 TB read path: probe cells are picked
+    * driver-side against the version's own centroids (static partition
+    * pruning on the cell-partitioned CODES index — only candidate cell
+    * directories are listed/read, and they carry 8-byte codes, not
+    * 256-byte vectors), candidates are ADC-scored via the probe's LUT on
+    * an equi-join of probe↔cell, and the top k·refine ids rerank exactly
+    * against the full-vector table. The index must have been written by
+    * [[pqIndexWrite]] with a `cell` column and centroids.
+    */
+  def ivfPqTopKPruned(spark: SparkSession, indexPath: String, items: DataFrame,
+                      probes: Seq[(Long, Seq[Float])], cfg: PqConfig,
+                      k: Int = 10, nProbe: Int = 4, refine: Int = 4,
+                      itemId: String = "vec_id", itemVec: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val resolved = graft.api.VersionedDir.resolve(spark, indexPath)
+    val (cvs, cids) = SimilaritySearch.collectCentroids(
+      spark.read.parquet(s"$resolved/_centroids"))
+    val cbs = collectCodebooks(spark.read.parquet(s"$resolved/_codebooks"), cfg)
+    val expanded = probes.flatMap { case (qid, qv) =>
+      val lut = adcLut(qv, cbs, cfg).toSeq
+      SimilaritySearch.nearestCellsLocal(qv, cvs, cids, nProbe)
+        .map(c => (qid, qv, c, lut))
+    }
+    val probeDf = expanded.toDF("qid", "qv", "__cell", "lut")
+      .select(col("qid"), col("qv").cast("array<float>"), col("__cell"), col("lut"))
+    val raw = spark.read.parquet(resolved)
+    // literals of the parquet-inferred partition-column type keep the IN a
+    // bare partition filter (same discipline as ivfTopKPruned)
+    val candCells: Seq[Any] = raw.schema("cell").dataType match {
+      case org.apache.spark.sql.types.IntegerType => expanded.map(_._3.toInt).distinct
+      case _                                      => expanded.map(_._3).distinct
+    }
+    val index = raw.filter(col("cell").isin(candCells: _*))
+      .withColumn("__cell", col("cell").cast("long")).drop("cell")
+    val scored = index.join(broadcast(probeDf.select(col("qid"), col("__cell"), col("lut"))), Seq("__cell"))
+      .select(col("qid"), col(itemId),
+        (-pq_adc(col("codes"), col("lut"), cfg.ksub)).cast("double").as("score"))
+    rerankExact(scored, items, probeDf, k, refine, itemId, itemVec)
   }
 
   /** (sub, code, cv) rows → `cbs(sub)(code)` float arrays (tiny by design:

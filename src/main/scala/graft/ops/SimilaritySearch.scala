@@ -375,7 +375,7 @@ object SimilaritySearch {
     scored.sortBy { case (d, cid) => (d, cid) }.take(nProbe).map(_._2).toSeq
   }
 
-  private def collectCentroids(centroids: DataFrame): (Array[Array[Float]], Array[Long]) = {
+  private[ops] def collectCentroids(centroids: DataFrame): (Array[Array[Float]], Array[Long]) = {
     val rows = centroids.collect()
     val cids = rows.map(r => r.get(0) match {
       case l: Long => l

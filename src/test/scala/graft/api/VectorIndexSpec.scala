@@ -133,6 +133,31 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(nonEmptyPf.findFirstIn(ivfPlan).isDefined, s"no partition filter in:\n$ivfPlan")
   }
 
+  test("IvfPq search prunes cells, scans codes only, and matches exact at full width+refine") {
+    // dims=32: m=4 subspaces of 8; refine wide enough to rerank everything
+    val mode = SearchMode.IvfPq(nCells = 4, nProbe = 4, m = 4, ksub = 16,
+      refine = 12, lloydIters = 1)
+    val idx = annIndex("annpq", Seq(mode))
+    idx.rebuild(annSource)
+    val q = "document number 17 about topic3 detail17"
+    // nProbe = nCells and k·refine = 60 = |index| ⇒ every row is reranked
+    // exactly ⇒ result must equal the exact top-k
+    val exact = idx.search(q, k = 5, threshold = -1.0)
+      .select(col("doc_id"), round(col("score"), 6)).as[(Long, Double)].collect().toSet
+    val pqFull = idx.search(q, k = 5, threshold = -1.0, mode = mode)
+      .select(col("doc_id"), round(col("score"), 6)).as[(Long, Double)].collect().toSet
+    assert(pqFull == exact)
+
+    // narrow probe: static partition filter on the CODES scan, and that
+    // scan must not read a vector column (codes are the 32×-smaller read)
+    val narrow = idx.search(q, k = 5,
+      mode = SearchMode.IvfPq(nCells = 4, nProbe = 2, m = 4, ksub = 16, refine = 2, lloydIters = 1))
+    val p = narrow.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(p).isDefined, s"no partition filter in:\n$p")
+    val codesScan = p.linesIterator.find(l => l.contains("__ann_ivfpq")).getOrElse("")
+    assert(!codesScan.contains("vector"), s"codes scan reads vectors:\n$codesScan")
+  }
+
   test("findSimilar and RAG query route through ANN with exact-parity at full width") {
     val idx = annIndex("ann4", Seq(SearchMode.Lsh(bits = 4, maxHamming = 1)))
     idx.rebuild(annSource)
