@@ -94,6 +94,12 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
   }
 
   override def clear(): Unit = dir.deleteAll()
+
+  /** Rewrite the active version bin-packed to `targetFileMB` files — heals
+    * the small-file accretion of repeated upsert/replace cycles without
+    * interrupting readers (atomic versioned swap, like any other write).
+    */
+  def compact(targetFileMB: Int = 128): Unit = dir.compact(spark, None, targetFileMB)
 }
 
 /** Driver-memory store — the second [[IndexStore]] impl, proving the

@@ -137,6 +137,43 @@ final class VersionedDir(spark: SparkSession, val root: String, keepVersions: In
     val f = fs
     if (f.exists(rootPath)) f.delete(rootPath, true)
   }
+
+  /** Compact the ACTIVE version into a new version with `targetFileMB`-sized
+    * files (bin-packed read → coalesced write; per partition-dir layouts the
+    * repartition keys on the partition column, keeping one file per dir).
+    * Small-file accretion is the silent killer of long-lived indexes at
+    * scale: every streaming upsert/rebuild cycle writes task-count files,
+    * and a year of micro-batches turns a scan into millions of opens.
+    * Compaction is just `replaceWith` — readers keep their version, the
+    * swap is atomic, old versions prune by `keepVersions`.
+    */
+  def compact(spark: SparkSession, partitionCol: Option[String] = None,
+              targetFileMB: Int = 128): Unit = {
+    val src = currentDir.getOrElse(
+      throw new IllegalStateException(s"nothing to compact under $root"))
+    val f = fs
+    def dirBytes(p: Path): Long = f.getContentSummary(p).getLength
+    val bytes = dirBytes(new Path(src))
+    val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt +
+      (if (bytes % (targetFileMB.toLong << 20) > 0) 1 else 0))
+    replaceWith { dir =>
+      val df = spark.read.parquet(src)
+      partitionCol match {
+        case Some(c) =>
+          df.repartition(org.apache.spark.sql.functions.col(c))
+            .write.mode("overwrite").partitionBy(c).parquet(dir)
+        case None =>
+          df.repartition(nFiles).write.mode("overwrite").parquet(dir)
+      }
+      // side tables (_codebooks/_centroids, tiny by design) carry over so
+      // the compacted version stays self-contained
+      f.listStatus(new Path(src)).filter(s => s.isDirectory && s.getPath.getName.startsWith("_"))
+        .foreach { s =>
+          spark.read.parquet(s.getPath.toString).coalesce(1)
+            .write.mode("overwrite").parquet(s"$dir/${s.getPath.getName}")
+        }
+    }
+  }
 }
 
 object VersionedDir {

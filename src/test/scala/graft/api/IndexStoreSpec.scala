@@ -116,6 +116,31 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(dir.listVersions == Seq("v00001", "v00002", "v00003", "v00004"))
   }
 
+  test("compact bin-packs a fragmented version; pinned readers survive the swap") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val store = new ParquetIndexStore(spark, s"$tmp/cmp")
+    // fragment: several files for 100 tiny rows (AQE small-partition
+    // coalescing would heal the fixture before compact gets to prove itself)
+    val many = spark.range(100).selectExpr("id AS doc_id", "'c' || id AS content")
+      .repartition(16)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try store.replace(many)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val dir = new VersionedDir(spark, s"$tmp/cmp")
+    def parquetFiles(p: String): Int = {
+      val f = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.listStatus(new org.apache.hadoop.fs.Path(p))
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    assert(parquetFiles(dir.currentDir.get) > 1)
+    val pinned = spark.read.parquet(dir.currentDir.get) // reader on v1
+    store.compact()
+    assert(parquetFiles(dir.currentDir.get) == 1) // 100 rows ≪ 128 MB target
+    assert(store.read().count() == 100)           // contents unchanged
+    assert(pinned.count() == 100)                 // v1 retained (keepVersions=2)
+  }
+
   test("InMemoryIndexStore implements the same provider contract (S8/S9 seam)") {
     val store = new InMemoryIndexStore(spark)
     assert(!store.exists)
