@@ -11,11 +11,13 @@ import graft.embed.HashEmbeddingBackend
   * with typed metadata. The Spark-side mechanics — schema, batch iteration,
   * partition-local processing, feature vectors — are real and tested.
   * Container/codec HEADER parsing (PNG IHDR, JPEG SOFn, WAV fmt/data) is
-  * REAL pure-JVM code ([[HeaderCodec]]); only frame DECODE and feature
-  * extraction are stubbed with deterministic fakes (the pixel/audio decode
-  * libraries are not available in this environment). Swap [[StubCodec]] for
-  * a real decoder (e.g. javacv / TwelveMonkeys) to productionize; nothing
-  * else changes.
+  * REAL pure-JVM code ([[HeaderCodec]]), and uncompressed PCM WAV gets REAL
+  * sample decode + frame-level DSP features ([[PcmCodec]],
+  * [[audioFrameFeatures]]). Only compressed-codec decode (JPEG/PNG pixels,
+  * MP3/video) is stubbed with deterministic fakes (those decode libraries
+  * are not available in this environment). Swap [[StubCodec]] for a real
+  * decoder (e.g. javacv / TwelveMonkeys) to productionize; nothing else
+  * changes.
   *
   * Scale notes: media bytes never leave their partition (mapPartitions, no
   * shuffle); metadata extraction is projection-shaped; feature vectors are
@@ -116,6 +118,86 @@ object Multimodal {
     }
   }
 
+  /** ======= REAL PCM audio decode (no external libs) =======
+    * Uncompressed WAV (format code 1, 8/16-bit PCM) is fully specified by
+    * the RIFF header — decode and frame-level feature extraction here are
+    * REAL signal processing, not a stub: only compressed codecs (MP3/AAC/
+    * video) remain behind [[StubCodec]].
+    */
+  object PcmCodec {
+    final case class Pcm(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                         samples: Array[Float]) // interleaved, normalized [-1, 1]
+
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+    /** None for anything that is not an uncompressed PCM WAV. */
+    def decode(b: Array[Byte]): Option[Pcm] = {
+      if (b.length < 12 || HeaderCodec.sniffFormat(b) != "wav" ||
+          !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+      var fmt = 0; var channels = 0; var rate = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val size = le32(b, i + 4)
+        if (size < 0) return None
+        if (id == "fmt " && i + 8 + 16 <= b.length) {
+          fmt = le16(b, i + 8); channels = le16(b, i + 10)
+          rate = le32(b, i + 12); bits = le16(b, i + 22)
+        } else if (id == "data") {
+          dataOff = i + 8; dataLen = math.min(size, b.length - dataOff)
+        }
+        i += 8 + size + (size & 1)
+      }
+      if (fmt != 1 || channels <= 0 || dataOff < 0 || (bits != 8 && bits != 16)) None
+      else {
+        val n = if (bits == 16) dataLen / 2 else dataLen
+        val out = new Array[Float](n)
+        var j = 0
+        while (j < n) {
+          out(j) =
+            if (bits == 16) (le16(b, dataOff + j * 2).toShort).toFloat / 32768f
+            else ((b(dataOff + j) & 0xFF) - 128).toFloat / 128f
+          j += 1
+        }
+        Some(Pcm(channels, rate, bits, out))
+      }
+    }
+
+    /** Per-frame features over `frameSize` sample-frame windows (channel-
+      * interleaved input; mono-mixed first): RMS energy, zero-crossing
+      * rate, peak amplitude — the classic cheap audio descriptors.
+      */
+    def frameFeatures(p: Pcm, frameSize: Int): Seq[(Int, Float, Float, Float)] = {
+      val mono: Array[Float] =
+        if (p.channels == 1) p.samples
+        else {
+          val n = p.samples.length / p.channels
+          Array.tabulate(n) { i =>
+            var s = 0f; var c = 0
+            while (c < p.channels) { s += p.samples(i * p.channels + c); c += 1 }
+            s / p.channels
+          }
+        }
+      mono.grouped(frameSize).zipWithIndex.map { case (w, fi) =>
+        var sumSq = 0.0; var zc = 0; var peak = 0f
+        var i = 0
+        while (i < w.length) {
+          val x = w(i)
+          sumSq += x.toDouble * x.toDouble
+          if (math.abs(x) > peak) peak = math.abs(x)
+          if (i > 0 && ((w(i - 1) >= 0) != (x >= 0))) zc += 1
+          i += 1
+        }
+        (fi, math.sqrt(sumSq / math.max(1, w.length)).toFloat,
+          if (w.length > 1) zc.toFloat / (w.length - 1) else 0f, peak)
+      }.toSeq
+    }
+  }
+
   /** ======= STUB: deterministic fake decode =======
     * A real implementation would decode pixels/samples. The fake derives
     * frame bytes deterministically from the input so tests are stable.
@@ -191,6 +273,37 @@ object Multimodal {
         }
         val vecs = backend.embedBatch(texts)
         batch.lazyZip(vecs).map { (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
+      }
+    }
+  }
+
+  /** REAL audio feature extraction over PCM WAV bytes: one row per analysis
+    * frame with (rms, zero-crossing rate, peak). Decode and DSP happen
+    * inside the partition; only small (id, frame, 3-float) rows flow on —
+    * the audio bytes never cross a shuffle. Non-PCM rows yield no frames
+    * (a 100 TB crawl mixes codecs; unsupported ones are someone else's
+    * decoder, surfaced by [[extractMeta]]'s format column).
+    */
+  def audioFrameFeatures(df: DataFrame, idCol: String, binaryCol: String = "media",
+                         frameSize: Int = 1024): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_index", IntegerType),
+      StructField("rms", FloatType),
+      StructField("zcr", FloatType),
+      StructField("peak", FloatType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else PcmCodec.decode(bytes).iterator.flatMap { pcm =>
+          PcmCodec.frameFeatures(pcm, frameSize).iterator.map {
+            case (fi, rms, zcr, peak) => Row(r.get(idIdx), fi, rms, zcr, peak)
+          }
+        }
       }
     }
   }

@@ -327,6 +327,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L) == Seq("wav", null, null, 100, 44100, 2)) // 400 bytes / blockAlign 4
   }
 
+  /** 16-bit mono PCM WAV with the given normalized samples as real body. */
+  private def pcmWav(rate: Int, samples: Seq[Float]): Array[Byte] = {
+    val le16 = (v: Int) => Array[Byte](v.toByte, (v >>> 8).toByte)
+    val le32 = (v: Int) => Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    val body = samples.flatMap(s => le16(math.round(s * 32768f).toShort & 0xFFFF)).toArray
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + body.length) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(rate) ++
+      le32(rate * 2) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("PcmCodec decodes real PCM and audioFrameFeatures computes true RMS/ZCR/peak") {
+    // alternating ±0.5 square wave: rms = 0.5, zcr = 1.0, peak = 0.5
+    val square = (0 until 256).map(i => if (i % 2 == 0) 0.5f else -0.5f)
+    // silence: all zeros
+    val silent = Seq.fill(128)(0.0f)
+    val df = Seq((10L, pcmWav(8000, square)), (11L, pcmWav(8000, silent)),
+      (12L, goldenPng(8, 8))) // non-audio row must yield no frames
+      .toDF("media_id", "media")
+    val got = Multimodal.audioFrameFeatures(df, "media_id", frameSize = 128)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getFloat(2), r.getFloat(3), r.getFloat(4)))
+    assert(got.count(_._1 == 10L) == 2)      // 256 samples / 128 frame
+    assert(got.count(_._1 == 12L) == 0)
+    val sq = got.filter(_._1 == 10L)
+    assert(sq.forall(f => math.abs(f._3 - 0.5f) < 1e-3)) // rms
+    assert(sq.forall(f => math.abs(f._4 - 1.0f) < 1e-2)) // zcr: flips every sample
+    assert(sq.forall(f => math.abs(f._5 - 0.5f) < 1e-3)) // peak
+    val si = got.filter(_._1 == 11L)
+    assert(si.length == 1 && si.head._3 == 0.0f && si.head._5 == 0.0f)
+    // stereo mixes down: L=+0.5/R=-0.5 constant → mono 0 → silence
+    val stereoBody = (0 until 128).flatMap(_ => Seq(0.5f, -0.5f))
+    val stereo = {
+      val le16 = (v: Int) => Array[Byte](v.toByte, (v >>> 8).toByte)
+      val le32 = (v: Int) => Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+      val body = stereoBody.flatMap(s => le16(math.round(s * 32768f).toShort & 0xFFFF)).toArray
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + body.length) ++ "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(8000) ++
+        le32(8000 * 4) ++ le16(4) ++ le16(16) ++
+        "data".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val pcm = Multimodal.PcmCodec.decode(stereo)
+    assert(pcm.exists(_.channels == 2))
+    val feats = Multimodal.PcmCodec.frameFeatures(pcm.get, 128)
+    assert(feats.forall(f => math.abs(f._2) < 1e-4)) // mono mix cancels
+  }
+
   test("sampleFrames expands video bytes into frame rows") {
     val frames = Multimodal.sampleFrames(media, "media_id", everyN = 2)
     assert(frames.count() > 0)
