@@ -379,6 +379,21 @@ object SparkEntry {
       Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), threshold = -1.0)
         .orderBy(desc("cos"), col("id_a").asc, col("id_b").asc).limit(100)
     },
+    // pairs → clusters: connected components, canonical = min id (edges
+    // from the blocked embedding near-dup join — cos ≥ 0.3 exists at every SF)
+    "q_dup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), threshold = 0.3)
+      Dedup.dupClusters(pairs).orderBy("doc_id")
+    },
+    // fused one-scan keep/drop decision pass (lang + quality + tokens + canonicality)
+    "q_clean_pipeline" -> { (s, dir) =>
+      TextAnalysis.cleanPipeline(docsPar(s, dir))
+        .select(col("doc_id"), col("lang_pred"), col("quality"),
+          col("n_tokens").cast("long").as("n_tokens"), col("exact_fp"),
+          col("is_canonical").cast("int").as("is_canonical"),
+          col("keep").cast("int").as("keep"))
+        .orderBy("doc_id")
+    },
     // ---- text analysis ----
     "q_token_stats" -> { (s, dir) =>
       TextAnalysis.tokenStats(docsPar(s, dir)).orderBy("doc_id")
@@ -631,6 +646,57 @@ object SparkEntry {
        |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
   }
 
+  /** DuckDB twin of q_dup_clusters: the ngram-Jaccard pair CTE (threshold
+    * 0.2) fed into a recursive reachability CTE; cluster id = min reachable
+    * node — exactly the fixpoint of Spark's min-label propagation.
+    */
+  private val dupClustersSql: String =
+    s"""WITH RECURSIVE e AS (
+       |   SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |   FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |   WHERE round(${sqlCos("a.embedding", "b.embedding")}, 6) >= 0.3),
+       | und AS (SELECT id_a AS s, id_b AS d FROM e UNION SELECT id_b AS s, id_a AS d FROM e),
+       | n AS (SELECT DISTINCT s AS id FROM und),
+       | reach AS (SELECT id, id AS lbl FROM n
+       |   UNION
+       |   SELECT u.s AS id, r.lbl FROM und u JOIN reach r ON u.d = r.id)
+       |SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of q_clean_pipeline: the fused signals recomputed from the
+    * proven fragment twins (lang hits, quality formula, naive token count,
+    * normalized-word md5) + the canonicality window + the keep predicate.
+    */
+  private val cleanPipelineSql: String = {
+    def h(lang: String, markers: Seq[String]): String =
+      s"CAST(len(list_filter(w, x -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], x))) AS BIGINT) AS ${lang}_hits"
+    s"""WITH t AS (SELECT doc_id, text, $sqlWords AS w FROM documents),
+       | m AS (SELECT doc_id, text, w,
+       |   CAST(len(w) AS DOUBLE) AS n_words,
+       |   CAST(len(regexp_extract_all(text, '[.,;:!?''"()]')) AS DOUBLE) AS punct,
+       |   CAST(length(text) AS DOUBLE) AS chars,
+       |   CAST(len(list_filter(w, x -> list_contains(['the','a','an','of','and','to','in','is','it','that','for'], x))) AS DOUBLE) AS stop_hits,
+       |   ${h("en", TextAnalysis.LangMarkers("en"))}, ${h("de", TextAnalysis.LangMarkers("de"))},
+       |   ${h("fr", TextAnalysis.LangMarkers("fr"))}, ${h("es", TextAnalysis.LangMarkers("es"))}
+       |  FROM t),
+       | sig AS (SELECT doc_id,
+       |   CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+       |        WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+       |        WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+       |        WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+       |        ELSE 'es' END AS lang_pred,
+       |   round(least(1.0, n_words / 100.0) * (0.5 + 0.5 * least(1.0, (CASE WHEN n_words = 0 THEN 0.0 ELSE stop_hits / n_words END) * 10.0)) * (1.0 - least(0.5, CASE WHEN chars = 0 THEN 0.0 ELSE punct / chars END)), 6) AS quality,
+       |   CAST(ceil(greatest(ceil(length(text) / 4.0), ceil(len(regexp_extract_all(text, '[^\\w\\s]|\\w+')) * 0.75))) AS BIGINT) AS n_tokens,
+       |   md5(array_to_string(w, ' ')) AS exact_fp
+       |  FROM m),
+       | canon AS (SELECT *, CASE WHEN row_number() OVER (PARTITION BY exact_fp ORDER BY doc_id) = 1
+       |   THEN 1 ELSE 0 END AS is_canonical FROM sig)
+       |SELECT doc_id, lang_pred, quality, n_tokens, exact_fp,
+       |  CAST(is_canonical AS INT) AS is_canonical,
+       |  CAST(CASE WHEN is_canonical = 1 AND quality >= 0.1 AND n_tokens >= 5
+       |    AND lang_pred IN ('en') THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM canon ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB twin of SimilaritySearch.lshBucket: the md5-seeded ±1 hyperplane
     * matrix is baked in as literals (bits×dims terms, same left-to-right
     * double accumulation as the Column formulation).
@@ -867,6 +933,8 @@ object SparkEntry {
     "q_pq_encode" -> pqEncodeSql,
     "q_pq_topk" -> pqTopkSql,
     "q_pq_ivf_topk" -> pqIvfTopkSql,
+    "q_dup_clusters" -> dupClustersSql,
+    "q_clean_pipeline" -> cleanPipelineSql,
     "q_find_similar_multi" -> findSimilarMultiSql,
     "q_knn_cosine" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -176,6 +176,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Resolve candidate PAIRS into duplicate CLUSTERS: connected components
+    * with cluster id = min doc_id in the component (the canonical document
+    * — "keep the lowest id, drop the rest" is the standard dedup policy).
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbours' labels (an equi-join + min-agg,
+    * both map-side combinable). Rounds needed = graph diameter; dup
+    * clusters from representative-star pairing ([[cappedBucketPairs]] hot
+    * path, [[graft.streaming.StreamingOps.streamingNearDupCandidates]])
+    * have diameter ≤ 2, and organic near-dup clusters are shallow — the
+    * loop converges in a handful of rounds, each a bounded-size shuffle
+    * over the PAIR set (≪ corpus). `localCheckpoint` truncates lineage so
+    * plans don't grow with iterations. Deterministic: integer labels only.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+        .join(labels, Seq("doc_id"))
+        .select(col("doc_id"), least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") < col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking key (label / LSH
     * bucket): equi-join on the block, exact cosine on candidates.
     */

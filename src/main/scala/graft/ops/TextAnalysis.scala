@@ -85,6 +85,47 @@ object TextAnalysis {
       md5(concat_ws(" ", word_tokens(col(textCol)))).as("exact_fp"),
       winnow_fp(col(textCol)).as("winnow_fp"))
 
+  /** Fused cleaning pipeline — the decision pass a training-data pipeline
+    * runs over every crawled document, computed in ONE scan: language-ID,
+    * quality score, token count, and exact-dup canonicality, then a single
+    * `keep` verdict. All scalar signals fuse into one codegen'd projection;
+    * the only shuffle is the per-fingerprint window for canonicality (one
+    * row per doc, map-side WindowGroupLimit shape). Running four separate
+    * passes at 100 TB costs four scans; this costs one.
+    */
+  def cleanPipeline(docs: DataFrame, textCol: String = "text",
+                    minQuality: Double = 0.1, minTokens: Long = 5,
+                    keepLangs: Seq[String] = Seq("en")): DataFrame = {
+    val t = col(textCol)
+    val en = marker_hits(t, LangMarkers("en")); val de = marker_hits(t, LangMarkers("de"))
+    val fr = marker_hits(t, LangMarkers("fr")); val es = marker_hits(t, LangMarkers("es"))
+    val best = greatest(en, de, fr, es)
+    val lang = when(best === 0, lit("und"))
+      .when(en === best, lit("en")).when(de === best, lit("de"))
+      .when(fr === best, lit("fr")).otherwise(lit("es"))
+    val ws = word_tokens(t)
+    val nWords = size(ws).cast("double")
+    val punct = size(regexp_extract_all(t, lit("[.,;:!?'\"()]"), lit(0))).cast("double")
+    val chars = length(t).cast("double")
+    val stopHits = marker_hits(t, Stopwords).cast("double")
+    val punctRatio = when(chars === 0, lit(0.0)).otherwise(punct / chars)
+    val stopRatio = when(nWords === 0, lit(0.0)).otherwise(stopHits / nWords)
+    val quality = least(lit(1.0), nWords / lit(100.0)) *
+      (lit(0.5) + lit(0.5) * least(lit(1.0), stopRatio * lit(10.0))) *
+      (lit(1.0) - least(lit(0.5), punctRatio))
+    val scanned = docs.select(
+      col("doc_id"), lang.as("lang_pred"), round(quality, 6).as("quality"),
+      token_stats(t).getField("n_tokens_naive").as("n_tokens"),
+      md5(concat_ws(" ", ws)).as("exact_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("exact_fp").orderBy(col("doc_id").asc)
+    scanned
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .withColumn("keep",
+        col("is_canonical") && col("quality") >= minQuality &&
+        col("n_tokens") >= minTokens && col("lang_pred").isin(keepLangs: _*))
+  }
+
   /** Corpus-level word frequency: explode word tokens, count, top-k.
     * The groupBy is map-side combined (partial aggregation) — the shuffle
     * carries one row per distinct word per partition, not per token.

@@ -94,6 +94,48 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class DupClustersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dupClusters resolves chains and keeps disjoint components apart") {
+    // chain 1-2-3 (diameter 2), disjoint pair 5-6, long chain 10..14
+    // (diameter 4 — forces multiple propagation rounds)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
+  }
+
+  test("cluster id is the min doc_id regardless of pair orientation") {
+    val pairs = Seq((9L, 2L), (2L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(2L))
+  }
+}
+
+class CleanPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cleanPipeline keeps one canonical good-English doc and drops junk in one pass") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it is a fine day for that in the field"),
+      (2L, "The  quick brown FOX jumps over the lazy dog and it is a fine day for that in the field"), // dup of 1
+      (3L, "ja!!"),                                                 // short junk
+      (4L, "der hund ist nicht auf der wiese und das ist gut mit allem")) // German
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.cleanPipeline(docs, minQuality = 0.01, minTokens = 5)
+      .select("doc_id", "lang_pred", "is_canonical", "keep")
+      .as[(Long, String, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._4)                       // canonical good doc kept
+    assert(got(2L)._3 == false && !got(2L)._4) // dup dropped (non-canonical)
+    assert(!got(3L)._4)                      // junk dropped
+    assert(got(4L)._2 == "de" && !got(4L)._4) // language-filtered
+  }
+}
+
 class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
