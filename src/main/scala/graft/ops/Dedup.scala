@@ -200,20 +200,37 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val next = edges
+      // the change flag rides the propagation step itself — no second join
+      val stepped = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
         .join(labels, Seq("doc_id"))
-        .select(col("doc_id"), least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
+        .select(col("doc_id"),
+          least(col("cluster_id"), col("nbr_min")).as("cluster_id"),
+          (col("nbr_min") < col("cluster_id")).as("__changed"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") < col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      converged = stepped.filter(col("__changed")).limit(1).count() == 0
+      labels = stepped.drop("__changed")
       it += 1
     }
     labels
+  }
+
+  /** End-to-end near-dup DEDUP: MinHash-LSH candidate pairs (verified at
+    * `threshold` Jaccard) → [[dupClusters]] → drop every non-canonical
+    * cluster member. The anti-join touches only clustered ids (≪ corpus);
+    * untouched documents pass through unscanned by the join.
+    */
+  def dedupCorpus(docs: DataFrame, textCol: String = "text",
+                  threshold: Double = 0.7, numHashes: Int = 16,
+                  rowsPerBand: Int = 2, shingleSize: Int = 3,
+                  hotBucketCap: Int = 64): DataFrame = {
+    val pairs = minhashLsh(docs, textCol, threshold, numHashes, rowsPerBand,
+      shingleSize, hotBucketCap)
+    val losers = dupClusters(pairs.select(col("id_a"), col("id_b")))
+      .filter(col("doc_id") =!= col("cluster_id")) // canonical survives
+    docs.join(losers.select(col("doc_id")), Seq("doc_id"), "left_anti")
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key (label / LSH

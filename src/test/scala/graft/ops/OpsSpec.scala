@@ -113,6 +113,18 @@ class DupClustersSpec extends AnyFunSuite {
     val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
     assert(got.values.toSet == Set(2L))
   }
+
+  test("dedupCorpus keeps the min-id copy of each dup cluster and all unique docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (4L, base), (2L, base), (9L, base + "!"),              // near-dup cluster → keep 2
+      (5L, "completely different text about spark engines and vector indexes now"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs, threshold = 0.5).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept.contains(2L) && kept.contains(5L))
+    assert(!kept.contains(4L)) // exact dup of 2 always pairs → dropped
+  }
 }
 
 class CleanPipelineSpec extends AnyFunSuite {
