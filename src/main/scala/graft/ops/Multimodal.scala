@@ -93,19 +93,23 @@ object Multimodal {
         return Row("wav", null, null, null, null, null)
       var channels: Any = null; var rate: Any = null; var frames: Any = null
       var blockAlign = 0
-      var i = 12
+      // Chunk sizes are UNSIGNED u32 and attacker-controlled: walk with Long
+      // offsets so a size near 2^32 ends the walk (offset past length)
+      // instead of wrapping Int-negative and re-entering the loop at a
+      // garbage offset (out-of-bounds throw on hostile input).
+      var i = 12L
       while (i + 8 <= b.length) {
-        val id = new String(b, i, 4, "US-ASCII")
-        val size = le32(b, i + 4)
+        val o = i.toInt
+        val id = new String(b, o, 4, "US-ASCII")
+        val size = le32(b, o + 4).toLong & 0xFFFFFFFFL
         if (id == "fmt " && i + 8 + 16 <= b.length) {
-          channels = le16(b, i + 10)
-          rate = le32(b, i + 12)
-          blockAlign = le16(b, i + 20)
+          channels = le16(b, o + 10)
+          rate = le32(b, o + 12)
+          blockAlign = le16(b, o + 20)
         } else if (id == "data" && blockAlign > 0) {
-          frames = size / blockAlign
+          frames = math.min(size / blockAlign, Int.MaxValue.toLong).toInt // header-declared count
         }
-        if (size < 0) return Row("wav", null, null, frames, rate, channels)
-        i += 8 + size + (size & 1) // chunks are word-aligned
+        i += 8 + size + (size & 1L) // chunks are word-aligned
       }
       Row("wav", null, null, frames, rate, channels)
     }
@@ -139,18 +143,22 @@ object Multimodal {
           !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
       var fmt = 0; var channels = 0; var rate = 0; var bits = 0
       var dataOff = -1; var dataLen = 0
-      var i = 12
+      // Long offsets + unsigned u32 sizes: a hostile declared size walks the
+      // offset past the buffer and exits cleanly instead of wrapping Int-
+      // negative and indexing out of bounds (decode contract: garbage → None,
+      // never a thrown executor error).
+      var i = 12L
       while (i + 8 <= b.length) {
-        val id = new String(b, i, 4, "US-ASCII")
-        val size = le32(b, i + 4)
-        if (size < 0) return None
+        val o = i.toInt
+        val id = new String(b, o, 4, "US-ASCII")
+        val size = le32(b, o + 4).toLong & 0xFFFFFFFFL
         if (id == "fmt " && i + 8 + 16 <= b.length) {
-          fmt = le16(b, i + 8); channels = le16(b, i + 10)
-          rate = le32(b, i + 12); bits = le16(b, i + 22)
+          fmt = le16(b, o + 8); channels = le16(b, o + 10)
+          rate = le32(b, o + 12); bits = le16(b, o + 22)
         } else if (id == "data") {
-          dataOff = i + 8; dataLen = math.min(size, b.length - dataOff)
+          dataOff = o + 8; dataLen = math.min(size, (b.length - dataOff).toLong).toInt
         }
-        i += 8 + size + (size & 1)
+        i += 8 + size + (size & 1L)
       }
       if (fmt != 1 || channels <= 0 || dataOff < 0 || (bits != 8 && bits != 16)) None
       else {
@@ -226,7 +234,13 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        Row.fromSeq(r.toSeq :+ (if (bytes == null) null else HeaderCodec.decodeMeta(bytes)))
+        // per-row Try: one hostile header must not fail the whole scan —
+        // fall back to format sniff (bounds-safe) with null fields
+        val meta =
+          if (bytes == null) null
+          else scala.util.Try(HeaderCodec.decodeMeta(bytes)).getOrElse(
+            Row(HeaderCodec.sniffFormat(bytes), null, null, null, null, null))
+        Row.fromSeq(r.toSeq :+ meta)
       }
     }
   }
@@ -299,7 +313,8 @@ object Multimodal {
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null) Iterator.empty
-        else PcmCodec.decode(bytes).iterator.flatMap { pcm =>
+        // per-row Try: a corrupt container yields no frames, not a job failure
+        else scala.util.Try(PcmCodec.decode(bytes)).toOption.flatten.iterator.flatMap { pcm =>
           PcmCodec.frameFeatures(pcm, frameSize).iterator.map {
             case (fi, rms, zcr, peak) => Row(r.get(idIdx), fi, rms, zcr, peak)
           }

@@ -236,12 +236,20 @@ object ProductQuantization {
   }
 
   /** (sub, code, cv) rows → `cbs(sub)(code)` float arrays (tiny by design:
-    * m·ksub rows).
+    * ≤ m·ksub rows). A corpus with fewer than `ksub` training rows yields
+    * only codes 0..n-1 (contiguous by construction — sample rank IS the
+    * code), so each subspace is trimmed to its filled prefix: encode and
+    * ADC loops are bounded by the codewords that exist, never indexing an
+    * empty placeholder. (An empty corpus trims to zero codewords, which
+    * [[graft.functions.PqEncodeExpr]] rejects with a clear message.)
     */
   def collectCodebooks(codebooks: DataFrame, cfg: PqConfig): Array[Array[Array[Float]]] = {
     val out = Array.fill(cfg.m, cfg.ksub)(Array.empty[Float])
     codebooks.select(col("sub").cast("int"), col("code").cast("int"), col("cv")).collect()
       .foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray)
-    out
+    out.map { cb =>
+      val filled = cb.indexWhere(_.isEmpty) match { case -1 => cb.length; case i => i }
+      cb.take(filled)
+    }
   }
 }

@@ -158,6 +158,18 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(!codesScan.contains("vector"), s"codes scan reads vectors:\n$codesScan")
   }
 
+  // r5 verdict crash #1: an IvfPq index over fewer docs than ksub used to
+  // crash on rebuild/search with ArrayIndexOutOfBoundsException.
+  test("IvfPq over a corpus smaller than ksub rebuilds and searches without crashing") {
+    val mode = SearchMode.IvfPq(nCells = 2, nProbe = 2, m = 4, ksub = 16,
+      refine = 4, lloydIters = 1)
+    val idx = annIndex("annpq_tiny", Seq(mode))
+    idx.rebuild(annSource.limit(8)) // 8 docs < ksub=16
+    val hits = idx.search("document number 3 about topic3 detail3",
+      k = 3, threshold = -1.0, mode = mode)
+    assert(hits.count() == 3)
+  }
+
   test("findSimilar and RAG query route through ANN with exact-parity at full width") {
     val idx = annIndex("ann4", Seq(SearchMode.Lsh(bits = 4, maxHamming = 1)))
     idx.rebuild(annSource)

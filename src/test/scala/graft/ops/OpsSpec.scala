@@ -427,6 +427,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(f => math.abs(f._2) < 1e-4)) // mono mix cancels
   }
 
+  // r5 verdict crash #2: a hostile u32 chunk size near Int.MaxValue used to
+  // wrap the Int chunk offset negative and throw out of bounds in the
+  // executor, failing the whole job on one corrupt file.
+  test("hostile WAV chunk sizes yield no frames / null meta, not a job failure") {
+    val le16 = (v: Int) => Array[Byte](v.toByte, (v >>> 8).toByte)
+    val le32 = (v: Int) => Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    // declared fmt-chunk size 0x7FFFFFFC is a positive Int, but
+    // 8 + size + (size & 1) wraps negative, so the old walk re-entered the
+    // loop at a negative offset and threw out of bounds
+    val hostile = "RIFF".getBytes("US-ASCII") ++ le32(100) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(0x7FFFFFFC) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(64) ++ Array.fill[Byte](64)(1)
+    assert(Multimodal.PcmCodec.decode(hostile).isEmpty) // garbage → None, no throw
+    val df = Seq((1L, hostile)).toDF("media_id", "media")
+    assert(Multimodal.audioFrameFeatures(df, "media_id").count() == 0)
+    // extractMeta still sniffs the format without throwing
+    val meta = Multimodal.extractMeta(df).select("meta.format").as[String].head()
+    assert(meta == "wav")
+  }
+
   test("sampleFrames expands video bytes into frame rows") {
     val frames = Multimodal.sampleFrames(media, "media_id", everyN = 2)
     assert(frames.count() > 0)
