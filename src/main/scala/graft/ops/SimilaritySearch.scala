@@ -51,8 +51,8 @@ object SimilaritySearch {
     * row (at 100 TB, the entire scored corpus). Same ordering contract as
     * the window it replaces: score DESC, id ASC.
     */
-  private[ops] def topKByProbe(scored: DataFrame, k: Int,
-                               probeId: String, itemId: String): DataFrame = {
+  def topKByProbe(scored: DataFrame, k: Int,
+                  probeId: String, itemId: String): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     scored

@@ -103,9 +103,14 @@ object Retrieval {
     * union, dedup, exclude self (reference storage/base.py:278-301 — which
     * loops one similarity query per chunk). Here the probe chunks stay a
     * DataFrame and are BROADCAST into a single index scan: score every
-    * (probe-chunk, doc) pair, per-chunk top-k via a window on the chunk id,
-    * then the global first-per-key dedup. One scan total, however many
-    * chunks the object has — vs. the reference's (and round 1's) m scans.
+    * (probe-chunk, doc) pair over a NARROW (doc_id, vector) projection,
+    * bounded per-chunk top-k via [[graft.ops.SimilaritySearch.topKByProbe]]
+    * (partial aggregation keeps ≤ k rows per chunk per partition — the one
+    * shuffle carries O(chunks·k), where a window row_number would shuffle
+    * every row passing the threshold, i.e. the scored corpus), then a
+    * broadcast join of the ≤ chunks·k hit ids hydrates full documents for
+    * the global first-per-key dedup. One narrow scan + one semi-join-shaped
+    * hydration scan, however many chunks the object has.
     */
   def findSimilar(index: DataFrame, probeKey: String, k: Int = 5,
                   threshold: Double = 0.0, metric: Metric = Metric.Cosine,
@@ -113,14 +118,16 @@ object Retrieval {
     val probes = index
       .filter(array_contains(col("object_keys"), probeKey))
       .select(col("doc_id").as("__qid"), col("vector").as("__qv"))
-    val scored = index.crossJoin(broadcast(probes))
-      .withColumn("score", scoreColOf(col("vector"), col("__qv"), metric))
+    val scored = index.select(col("doc_id"), col("vector")).crossJoin(broadcast(probes))
+      .select(col("__qid"), col("doc_id"),
+        scoreColOf(col("vector"), col("__qv"), metric).as("score"))
       .filter(col("score") >= lit(threshold))
-    val perChunk = Window.partitionBy(col("__qid")).orderBy(desc("score"), col("doc_id").asc)
-    val unioned = scored.withColumn("__rn", row_number().over(perChunk))
-      .filter(col("__rn") <= k)
-      .drop("__rn", "__qid", "__qv")
-    val keyed = unioned.withColumn("key", col("object_keys").getItem(0))
+    val topk = graft.ops.SimilaritySearch.topKByProbe(scored, k, "__qid", "doc_id")
+    // a doc hit by several probe chunks keeps its best score for the dedup
+    val hits = topk.groupBy(col("doc_id")).agg(max(col("score")).as("score"))
+    val keyed = broadcast(hits)
+      .join(index, Seq("doc_id"))
+      .withColumn("key", col("object_keys").getItem(0))
     val deduped = dedupByKey(keyed)
     if (includeSelf) deduped else deduped.filter(col("key") =!= lit(probeKey))
   }

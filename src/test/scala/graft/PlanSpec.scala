@@ -78,6 +78,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"), p)
   }
 
+  // r5 verdict #1: the per-chunk rerank must be the bounded TopK aggregator
+  // (shuffle carries O(chunks·k)), never a corpus-wide window row_number
+  // (shuffle carries every scored row).
+  test("findSimilar reranks via the bounded TopK aggregator, not a corpus-wide window") {
+    val index = items.select(col("vec_id").as("doc_id"),
+      array(concat(lit("obj:"), col("vec_id") % 50)).as("object_keys"),
+      col("embedding").as("vector"))
+    val p = plan(Retrieval.findSimilar(index, "obj:7", k = 5, threshold = -2.0))
+    // exactly one window remains: dedupByKey's WindowGroupLimit over the
+    // ≤ chunks·k hydrated hits — the full-width per-chunk window is gone
+    assert("Window ".r.findAllIn(p).size <= 1, s"extra window in findSimilar plan:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.toLowerCase.contains("topk"), s"TopK aggregator missing from plan:\n$p")
+  }
+
   test("LSH dedup candidate generation is an equi-join shuffle, not a cross join") {
     val docs = (1L to 40L).map(i => (i, s"words making up document number $i with shared tail"))
       .toDF("doc_id", "text")
