@@ -187,16 +187,30 @@ object Dedup {
     * path, [[graft.streaming.StreamingOps.streamingNearDupCandidates]])
     * have diameter ≤ 2, and organic near-dup clusters are shallow — the
     * loop converges in a handful of rounds, each a bounded-size shuffle
-    * over the PAIR set (≪ corpus). `localCheckpoint` truncates lineage so
-    * plans don't grow with iterations. Deterministic: integer labels only.
+    * over the PAIR set (≪ corpus). Lineage is truncated per round (local
+    * RDD checkpoint) so plans don't grow with iterations, and the
+    * convergence probe rides THAT materialization job via an accumulator —
+    * exactly ONE Spark job per round, not a checkpoint job plus a probe
+    * job. (Accumulator overcount on a task retry can only inflate a
+    * positive changed-count, never fake convergence.) Deterministic:
+    * integer labels only.
+    *
+    * Hitting `maxIters` without converging means labels are NOT final
+    * cluster ids (silent under-dedup); with `strict` (default) that raises,
+    * otherwise it logs a warning and returns the partial labels.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20, strict: Boolean = true): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .localCheckpoint(true)
+    val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType, nullable = false)))
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
+    val changed = spark.sparkContext.longAccumulator("graft.dupClusters.changed")
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -209,10 +223,26 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), col("nbr_min")).as("cluster_id"),
           (col("nbr_min") < col("cluster_id")).as("__changed"))
-        .localCheckpoint(true)
-      converged = stepped.filter(col("__changed")).limit(1).count() == 0
-      labels = stepped.drop("__changed")
+      changed.reset()
+      // fold the changed-count into the checkpoint materialization itself:
+      // the count() below is the round's ONLY job
+      val rdd = stepped.queryExecution.toRdd.mapPartitions { rows =>
+        rows.map { r =>
+          if (r.getBoolean(2)) changed.add(1L)
+          org.apache.spark.sql.Row(r.getLong(0), r.getLong(1))
+        }
+      }
+      rdd.localCheckpoint()
+      rdd.count()
+      converged = changed.value == 0
+      labels = spark.createDataFrame(rdd, labelSchema)
       it += 1
+    }
+    if (!converged) {
+      val msg = s"dupClusters did not converge within maxIters=$maxIters " +
+        "— labels are NOT final cluster ids (chain deeper than the iteration budget)"
+      if (strict) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels
   }

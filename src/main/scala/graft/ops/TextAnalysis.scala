@@ -88,10 +88,15 @@ object TextAnalysis {
   /** Fused cleaning pipeline — the decision pass a training-data pipeline
     * runs over every crawled document, computed in ONE scan: language-ID,
     * quality score, token count, and exact-dup canonicality, then a single
-    * `keep` verdict. All scalar signals fuse into one codegen'd projection;
-    * the only shuffle is the per-fingerprint window for canonicality (one
-    * row per doc, map-side WindowGroupLimit shape). Running four separate
-    * passes at 100 TB costs four scans; this costs one.
+    * `keep` verdict. All scalar signals fuse into one codegen'd projection.
+    * Canonicality (lowest doc_id per exact fingerprint) is a map-side-
+    * combined `groupBy(exact_fp).agg(min(doc_id))` joined back — NOT a
+    * window over `partitionBy(exact_fp)`: a duplicate-heavy corpus makes
+    * exact_fp hot BY CONSTRUCTION (that is what the dedup is for), and a
+    * window would drag every duplicate row into one partition while the
+    * partial agg reduces each to one row per fingerprint per task, and the
+    * join back is AQE-skew-splittable. Running four separate passes at
+    * 100 TB costs four scans; this costs one.
     */
   def cleanPipeline(docs: DataFrame, textCol: String = "text",
                     minQuality: Double = 0.1, minTokens: Long = 5,
@@ -117,13 +122,15 @@ object TextAnalysis {
       col("doc_id"), lang.as("lang_pred"), round(quality, 6).as("quality"),
       token_stats(t).getField("n_tokens_naive").as("n_tokens"),
       md5(concat_ws(" ", ws)).as("exact_fp"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("exact_fp").orderBy(col("doc_id").asc)
-    scanned
-      .withColumn("is_canonical", row_number().over(w) === 1)
+    val canon = scanned.groupBy(col("exact_fp"))
+      .agg(min(col("doc_id")).as("__canonical_id"))
+    scanned.join(canon, Seq("exact_fp"))
+      .withColumn("is_canonical", col("doc_id") === col("__canonical_id"))
+      .drop("__canonical_id")
       .withColumn("keep",
         col("is_canonical") && col("quality") >= minQuality &&
         col("n_tokens") >= minTokens && col("lang_pred").isin(keepLangs: _*))
+      .select((scanned.columns.map(col) :+ col("is_canonical") :+ col("keep")): _*)
   }
 
   /** Corpus-level word frequency: explode word tokens, count, top-k.

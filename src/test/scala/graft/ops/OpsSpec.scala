@@ -114,6 +114,22 @@ class DupClustersSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(2L))
   }
 
+  // r5 verdict #7: exhausting the iteration budget must be loud, never a
+  // silent under-dedup.
+  test("a chain deeper than maxIters raises in strict mode and warns otherwise") {
+    // path 0-1-2-...-12: min-label needs ~12 rounds to reach the far end
+    val deep = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] { Dedup.dupClusters(deep, maxIters = 3) }
+    assert(ex.getMessage.contains("did not converge"))
+    // non-strict: partial labels come back (13 nodes), not all collapsed to 0
+    val partial = Dedup.dupClusters(deep, maxIters = 3, strict = false)
+      .as[(Long, Long)].collect().toMap
+    assert(partial.size == 13 && partial.values.toSet.size > 1)
+    // and the same chain within budget fully converges to cluster 0
+    val full = Dedup.dupClusters(deep, maxIters = 20).as[(Long, Long)].collect().toMap
+    assert(full.values.toSet == Set(0L))
+  }
+
   test("dedupCorpus keeps the min-id copy of each dup cluster and all unique docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
@@ -145,6 +161,22 @@ class CleanPipelineSpec extends AnyFunSuite {
     assert(got(2L)._3 == false && !got(2L)._4) // dup dropped (non-canonical)
     assert(!got(3L)._4)                      // junk dropped
     assert(got(4L)._2 == "de" && !got(4L)._4) // language-filtered
+  }
+
+  // r5 verdict #6: canonicality must not window over the exact fingerprint —
+  // that key is hot by construction on duplicate-heavy corpora. The plan must
+  // carry the map-side-combined agg + join instead.
+  test("canonicality on a duplicate-heavy corpus plans agg+join, not a window") {
+    val hot = (1L to 1000L).map(i =>
+        (i, "the quick brown fox jumps over the lazy dog and it is a fine day"))
+      .toDF("doc_id", "text") // one fingerprint for every row
+    val out = TextAnalysis.cleanPipeline(hot, minQuality = 0.01, minTokens = 5)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"cleanPipeline still windows on exact_fp:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+    val canon = out.filter(col("is_canonical")).select("doc_id").as[Long].collect()
+    assert(canon.toSeq == Seq(1L)) // lowest id canonical, all 1000 rows survive
+    assert(out.count() == 1000)
   }
 }
 
