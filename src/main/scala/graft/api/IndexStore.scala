@@ -69,9 +69,57 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
   }
 
   override def read(): DataFrame = dir.currentDir match {
-    case Some(d) => spark.read.parquet(d)
-    case None    => spark.read.parquet(root) // legacy flat layout (or throw)
+    case Some(d) =>
+      val base = spark.read.parquet(d)
+      val deltas = dir.listDeltas
+      if (deltas.isEmpty) base else mergeOnRead(base, deltas)
+    case None => spark.read.parquet(root) // legacy flat layout (or throw)
   }
+
+  /** NEW-WINS merge of the base version with its delta sidecars: per doc_id
+    * the highest-sequence copy survives, and any row (base or older delta)
+    * sharing an object key with a LATER delta is shadowed — the same
+    * semantics as the full-rewrite upsert it replaces, computed with
+    * equi-joins only (the delta side is small by construction, so the join
+    * build sides broadcast under AQE).
+    */
+  private def mergeOnRead(base: DataFrame, deltas: Seq[(Long, String)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val all = (base.withColumn("__seq", lit(0L)) +: deltas.map { case (s, p) =>
+      spark.read.parquet(p).withColumn("__seq", lit(s)) }).reduce(_.unionByName(_))
+    // latest copy per doc_id (an unchanged object re-batched keeps one row)
+    val latestSeq = all.groupBy("doc_id").agg(max("__seq").as("__seq"))
+    val latest = all.join(latestSeq, Seq("doc_id", "__seq"))
+    val touched = deltas.map { case (s, p) =>
+        spark.read.parquet(p).select(explode(col("object_keys")).as("__key"), lit(s).as("__tseq")) }
+      .reduce(_.unionByName(_))
+      .groupBy("__key").agg(max("__tseq").as("__max_seq"))
+    val shadowed = latest
+      .select(col("doc_id"), col("__seq"), explode(col("object_keys")).as("__key"))
+      .join(touched, Seq("__key"))
+      .filter(col("__max_seq") > col("__seq"))
+      .select("doc_id").distinct()
+    latest.join(shadowed, Seq("doc_id"), "left_anti").drop("__seq")
+  }
+
+  /** O(batch) incremental write: the batch lands as a delta sidecar of the
+    * active version instead of rewriting the index; [[read]] resolves
+    * new-wins. First write (no base) falls back to [[replace]]. Fold the
+    * accumulated deltas into a full version with [[foldDeltas]].
+    */
+  def appendDelta(docs: DataFrame): Unit =
+    if (!dir.exists) replace(docs)
+    else dir.appendDelta { tmpDir =>
+      docs.dropDuplicates("doc_id").write.mode("overwrite").parquet(tmpDir)
+    }
+
+  /** Number of delta sidecars pending against the active version. */
+  def deltaCount: Int = dir.listDeltas.size
+
+  /** Fold pending deltas into a full base version (readers keep the prior
+    * version + its sidecars; the swap is atomic as ever).
+    */
+  def foldDeltas(): Unit = if (deltaCount > 0) replace(read())
 
   override def replace(docs: DataFrame): Unit =
     dir.replaceWith { versionDir =>
@@ -99,7 +147,10 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
     * the small-file accretion of repeated upsert/replace cycles without
     * interrupting readers (atomic versioned swap, like any other write).
     */
-  def compact(targetFileMB: Int = 128): Unit = dir.compact(spark, None, targetFileMB)
+  def compact(targetFileMB: Int = 128): Unit = {
+    foldDeltas() // dir.compact reads the base version only — fold first
+    dir.compact(spark, None, targetFileMB)
+  }
 }
 
 /** Driver-memory store — the second [[IndexStore]] impl, proving the

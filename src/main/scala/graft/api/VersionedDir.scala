@@ -129,6 +129,7 @@ final class VersionedDir(spark: SparkSession, val root: String, keepVersions: In
     require(f.rename(tmp, manifestPath), s"manifest flip failed for $root -> $next")
     listVersions.dropRight(keepVersions).foreach { v =>
       f.delete(new Path(rootPath, v), true)
+      f.delete(new Path(rootPath, s"$v.deltas"), true) // sidecars die with their base
       f.delete(new Path(rootPath, s".reserve_$v"), false)
     }
   }
@@ -136,6 +137,52 @@ final class VersionedDir(spark: SparkSession, val root: String, keepVersions: In
   def deleteAll(): Unit = {
     val f = fs
     if (f.exists(rootPath)) f.delete(rootPath, true)
+  }
+
+  // ------- delta sidecars: O(batch) appends beside the ACTIVE version -------
+  //
+  // Layout: root/<version>.deltas/d00000001/… — immutable, sequence-numbered
+  // delta directories belonging to ONE base version ("v\d+\.deltas" does not
+  // match the version regex, so they are invisible to listVersions). A new
+  // base version starts with zero deltas; pruning a version prunes its
+  // sidecars. Writes land in a dot-prefixed temp dir and RENAME into place,
+  // so a reader listing deltas never sees a half-written one. How deltas
+  // merge with the base (shadowing, tombstones) is the CALLER's semantics —
+  // this class only provides the atomic append + listing.
+
+  private def deltaRoot(version: String) = new Path(rootPath, s"$version.deltas")
+
+  /** Sequence-numbered delta dirs of the ACTIVE version, oldest first. */
+  def listDeltas: Seq[(Long, String)] = currentVersion match {
+    case None => Seq.empty
+    case Some(v) =>
+      val f = fs
+      val dr = deltaRoot(v)
+      if (!f.exists(dr)) Seq.empty
+      else f.listStatus(dr).toSeq
+        .filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.matches("d\\d+"))
+        .map(p => (p.getName.drop(1).toLong, p.toString))
+        .sortBy(_._1)
+  }
+
+  /** Append one delta beside the active version via `write(tmpDir)`; the
+    * temp dir renames into its final sequence-numbered name on success.
+    * Single-writer contract (same as replaceWith read-modify-write).
+    */
+  def appendDelta(write: String => Unit): Unit = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no base version to append a delta to under $root"))
+    val f = fs
+    val dr = deltaRoot(v)
+    f.mkdirs(dr)
+    val next = listDeltas.lastOption.map(_._1).getOrElse(0L) + 1
+    val name = "d%08d".format(next)
+    val tmp = new Path(dr, s".tmp_$name")
+    f.delete(tmp, true)
+    try write(tmp.toString)
+    catch { case e: Throwable => f.delete(tmp, true); throw e }
+    require(f.rename(tmp, new Path(dr, name)), s"delta rename failed for $root/$v/$name")
   }
 
   /** Compact the ACTIVE version into a new version with `targetFileMB`-sized

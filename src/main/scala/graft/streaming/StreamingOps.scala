@@ -95,17 +95,28 @@ object StreamingOps {
     * `(rep, doc)` with the signature-agreement Jaccard estimate. State is
     * one (id, signature) per OCCUPIED (band, bucket) — O(#buckets), and
     * each arriving doc does O(bands) state lookups — never a growing join,
-    * never B² pairs, no matter how hot a bucket runs.
+    * never B² pairs, no matter how hot a bucket runs. Idle bucket
+    * representatives are EVICTED after `idleTimeout` of processing-time
+    * inactivity (r5 verdict #8: `NoTimeout` state grows with every bucket
+    * ever occupied — unbounded on unbounded ingest). A doc arriving after
+    * its bucket's representative expired just becomes the fresh
+    * representative — candidate recall across quiet periods traded for
+    * bounded state, the same trade the watermark-bounded exact dedup above
+    * makes. Tests driving via `processAllAvailable` pass `NoTimeout` (that
+    * combination never settles otherwise).
     *
     * Downstream: exact-verify candidate pairs in batch (join shingles by
     * id) or act on the estimate directly for aggressive ingest filtering.
     */
   def streamingNearDupCandidates(docs: DataFrame, textCol: String = "text",
                                  numHashes: Int = 8, rowsPerBand: Int = 2,
-                                 shingleSize: Int = 3)
+                                 shingleSize: Int = 3,
+                                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout(),
+                                 idleTimeout: String = "1 hour")
                                 (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val numBands = numHashes / rowsPerBand
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
     val sig = docs
       .withColumn("__sig", minhash_sig(col(textCol), numHashes, shingleSize))
       .filter(col("__sig").isNotNull && forall(col("__sig"), x => x.isNotNull))
@@ -118,73 +129,110 @@ object StreamingOps {
       .as[(Long, Int, String, Seq[Long])]
       .groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[BucketRep, NearDupCand](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         case ((band, _), rows, state: GroupState[BucketRep]) =>
-          // sort within the micro-batch so the representative choice (and
-          // therefore the emitted pairs) is deterministic under re-execution
-          val sorted = rows.toSeq.sortBy(_._1)
-          var rep = state.getOption
-          val out = Seq.newBuilder[NearDupCand]
-          for ((id, _, _, s) <- sorted) {
-            rep match {
-              case None => rep = Some(BucketRep(id, s))
-              case Some(r0) if r0.repId == id => () // replay of the rep itself
-              case Some(r0) =>
-                val n = math.min(r0.sig.length, s.length)
-                val agree = (0 until n).count(i => r0.sig(i) == s(i))
-                out += NearDupCand(r0.repId, id, band,
-                  if (n == 0) 0.0 else agree.toDouble / n)
+          if (state.hasTimedOut) {
+            state.remove() // idle bucket: evict the representative
+            Iterator.empty
+          } else {
+            // sort within the micro-batch so the representative choice (and
+            // therefore the emitted pairs) is deterministic under re-execution
+            val sorted = rows.toSeq.sortBy(_._1)
+            var rep = state.getOption
+            val out = Seq.newBuilder[NearDupCand]
+            for ((id, _, _, s) <- sorted) {
+              rep match {
+                case None => rep = Some(BucketRep(id, s))
+                case Some(r0) if r0.repId == id => () // replay of the rep itself
+                case Some(r0) =>
+                  val n = math.min(r0.sig.length, s.length)
+                  val agree = (0 until n).count(i => r0.sig(i) == s(i))
+                  out += NearDupCand(r0.repId, id, band,
+                    if (n == 0) 0.0 else agree.toDouble / n)
+              }
             }
+            rep.foreach(state.update)
+            if (useTimeout) state.setTimeoutDuration(idleTimeout)
+            out.result().iterator
           }
-          rep.foreach(state.update)
-          out.result().iterator
       }.toDF()
   }
 
   /** Incremental index maintenance: every micro-batch of changed source rows
-    * runs the batch diff-and-embed pipeline and upserts the index — the A4
-    * incremental rebuild (reference storage/django.py:320-383) lifted onto
-    * `foreachBatch`, exactly as SURVEY.md §2.10 reserves.
+    * runs the batch diff-and-embed pipeline and lands as an O(batch) DELTA
+    * sidecar of the versioned index ([[graft.api.ParquetIndexStore
+    * .appendDelta]]); readers resolve new-wins merge-on-read, and every
+    * `compactEvery` batches the deltas fold into a full base version. The
+    * A4 incremental rebuild (reference storage/django.py:320-383) lifted
+    * onto `foreachBatch` — without the full-index rewrite per batch the
+    * naive lift would cost.
     */
   def incrementalIndex(sourceStream: DataFrame, config: IndexConfig,
                        backend: EmbeddingBackend, table: String, idCol: String,
-                       indexPath: String, checkpoint: String): StreamingQuery =
+                       indexPath: String, checkpoint: String,
+                       compactEvery: Int = 10): StreamingQuery =
     incrementalIndexInto(sourceStream, checkpoint,
       new graft.api.ParquetIndexStore(sourceStream.sparkSession, indexPath),
-      config, backend, table, idCol, () => ())
+      config, backend, table, idCol, compactEvery, (_, _) => ())
 
   /** [[incrementalIndex]] against a full [[graft.api.VectorIndex]]: each
-    * micro-batch goes through the index's own store AND refreshes its ANN
-    * side structures, so a `search(mode = Lsh/Ivf)` issued after a batch
-    * sees the stream's documents through the pruned path. Versioned swaps
-    * mean a search planned mid-batch still completes.
+    * micro-batch goes through the index's own store AND patches its ANN
+    * side structures incrementally (changed vectors assigned against the
+    * EXISTING centroids/codebooks/hyperplanes — no per-batch retrain), so a
+    * `search(mode = Lsh/Ivf)` issued after a batch sees the stream's
+    * documents through the pruned path. Versioned swaps mean a search
+    * planned mid-batch still completes.
     */
   def incrementalIndex(sourceStream: DataFrame, index: graft.api.VectorIndex,
                        checkpoint: String): StreamingQuery =
+    incrementalIndex(sourceStream, index, checkpoint, compactEvery = 10)
+
+  /** [[incrementalIndex]] with an explicit delta-fold cadence. */
+  def incrementalIndex(sourceStream: DataFrame, index: graft.api.VectorIndex,
+                       checkpoint: String, compactEvery: Int): StreamingQuery =
     incrementalIndexInto(sourceStream, checkpoint, index.store, index.config,
-      index.backend, index.sourceTable, index.idColumn, () => index.refreshAnn())
+      index.backend, index.sourceTable, index.idColumn, compactEvery,
+      (docs, removed) => index.refreshAnnIncremental(docs, removed))
 
   private def incrementalIndexInto(sourceStream: DataFrame, checkpoint: String,
                                    store: graft.api.IndexStore, config: IndexConfig,
                                    backend: EmbeddingBackend, table: String, idCol: String,
-                                   afterBatch: () => Unit): StreamingQuery =
+                                   compactEvery: Int,
+                                   afterBatch: (DataFrame, DataFrame) => Unit): StreamingQuery =
     sourceStream.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
         val stored = store.readOption()
         val docs = IndexBuild.buildDocuments(batch, config, backend, table, idCol, stored)
-        // overwrite-with-union = upsert for the touched keys; the store's
-        // versioned replace keeps concurrent readers on the prior version
-        val merged = stored match {
+        // stored doc_ids displaced by this batch (their object key was
+        // re-embedded under new ids) — EQUI-join on the exploded key, never
+        // an array_contains θ-join (which plans as a nested loop over the
+        // whole stored index)
+        val removed = stored match {
           case Some(s) =>
-            val touched = docs.select(explode(col("object_keys")).as("k")).distinct()
-            s.join(touched, array_contains(s("object_keys"), col("k")), "left_anti")
-              .drop("k").unionByName(docs)
-          case None => docs
+            val touched = docs.select(explode(col("object_keys")).as("__k")).distinct()
+            s.select(col("doc_id"), explode(col("object_keys")).as("__k"))
+              .join(touched, Seq("__k")).select("doc_id").distinct()
+              .join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+          case None => spark.range(0).select(col("id").as("doc_id"))
         }
-        store.replace(merged)
-        afterBatch()
+        store match {
+          case p: graft.api.ParquetIndexStore =>
+            p.appendDelta(docs) // O(batch); merge-on-read shadows old copies
+            if (p.deltaCount >= compactEvery) p.foldDeltas()
+          case other =>
+            // stores without delta support get the same semantics as one
+            // equi-join merge + replace through the provider seam
+            val merged = stored match {
+              case Some(s) => s.join(removed.unionByName(docs.select("doc_id")),
+                  Seq("doc_id"), "left_anti").unionByName(docs)
+              case None => docs
+            }
+            other.replace(merged)
+        }
+        afterBatch(docs, removed)
       }
       .start()
 }

@@ -108,7 +108,8 @@ class StreamingOpsSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, String)]
     val boiler = "same boilerplate text repeated verbatim on every single page here"
     val q = StreamingOps.streamingNearDupCandidates(
-        input.toDF().toDF("doc_id", "text"))
+        input.toDF().toDF("doc_id", "text"),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
       .writeStream.format("memory").queryName("snear").outputMode("append").start()
     input.addData(
       (1L, boiler), (2L, boiler),
@@ -125,6 +126,75 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got.forall(_._3 == 1.0))          // identical signatures
     // every pair is rep-anchored: candidate count is linear in bucket size
     assert(got.forall(_._1 == 1L))
+  }
+
+  // r5 verdict #8: state must not grow with every bucket ever occupied —
+  // an idle bucket's representative is evicted on the processing-time
+  // timeout, so a later copy becomes a fresh rep instead of pairing.
+  test("idle bucket representatives are evicted after the idle timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val input = MemoryStream[(Long, String)]
+    val boiler = "same boilerplate text repeated verbatim on every single page here"
+    val q = StreamingOps.streamingNearDupCandidates(
+        input.toDF().toDF("doc_id", "text"), idleTimeout = "50 milliseconds")
+      .writeStream.format("memory").queryName("snear_evict").outputMode("append").start()
+    def awaitTrue(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what")
+    }
+    input.addData((1L, boiler))
+    awaitTrue("batch 1 processed")(q.recentProgress.exists(_.numInputRows > 0))
+    Thread.sleep(2000) // idle timeout elapses; a no-data micro-batch evicts rep 1
+    input.addData((2L, boiler), (3L, boiler))
+    awaitTrue("post-eviction pair emitted")(
+      spark.sql("SELECT * FROM snear_evict").count() > 0)
+    val pairs = spark.sql("SELECT id_a, id_b FROM snear_evict").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.sorted.toSeq
+    q.stop()
+    // rep 1 was evicted: 2 became the fresh representative; had state been
+    // unbounded the pairs would be (1,2) and (1,3)
+    assert(pairs == Seq((2L, 3L)), s"got $pairs")
+  }
+
+  // r5 verdict #4: a micro-batch must cost O(batch), not a rewrite of the
+  // whole stored index — batches land as delta sidecars of the unchanged
+  // base version and fold on the compactEvery cadence.
+  test("incrementalIndex appends O(batch) deltas and folds on the cadence") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-delta").toString
+    val indexPath = s"$tmp/idx"
+    val input = MemoryStream[(Long, String, String)]
+    val config = IndexConfig("sd", "id", Seq(EmbeddingField("title", important = true),
+      EmbeddingField("body")), tokenLimit = 64, chunkOverlap = 8, dims = 16)
+    val q = StreamingOps.incrementalIndex(
+      input.toDF().toDF("id", "title", "body"), config, HashEmbeddingBackend(16),
+      "page", "id", indexPath, s"$tmp/chk", compactEvery = 3)
+    val vd = new graft.api.VersionedDir(spark, indexPath)
+    input.addData((1L, "T1", "first page body"))
+    q.processAllAvailable()
+    assert(vd.currentVersion.contains("v00001") && vd.listDeltas.isEmpty) // first write = base
+    input.addData((2L, "T2", "second page body"))
+    q.processAllAvailable()
+    // batch 2 is a delta sidecar: base version UNCHANGED (no index rewrite)
+    assert(vd.currentVersion.contains("v00001") && vd.listDeltas.size == 1)
+    // reader merges base + delta
+    assert(graft.pipeline.IndexBuild.readIndex(spark, indexPath).count() == 2)
+    // update object 1 in a delta; merge-on-read resolves new-wins
+    input.addData((1L, "T1", "first page body CHANGED"))
+    q.processAllAvailable()
+    assert(vd.currentVersion.contains("v00001") && vd.listDeltas.size == 2)
+    val merged = graft.pipeline.IndexBuild.readIndex(spark, indexPath)
+    assert(merged.count() == 2)
+    assert(merged.filter(array_contains(col("object_keys"), "page:1"))
+      .select("content").as[String].head().contains("CHANGED"))
+    // third delta hits compactEvery=3 → folds into a fresh base version
+    input.addData((3L, "T3", "third page body"))
+    q.processAllAvailable()
+    q.stop()
+    assert(vd.currentVersion.exists(_ != "v00001") && vd.listDeltas.isEmpty)
+    assert(graft.pipeline.IndexBuild.readIndex(spark, indexPath).count() == 3)
   }
 
   test("incrementalIndex(VectorIndex) keeps the ANN side index current per batch") {
