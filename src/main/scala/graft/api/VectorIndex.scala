@@ -91,11 +91,40 @@ final class VectorIndex(
 
   /** Upsert pre-built Document rows (reference provider upsert, S7) —
     * conflict-ignore, old-wins, deterministic (see [[IndexStore.upsert]]).
+    * ANN structures are patched INCREMENTALLY: only the rows actually
+    * inserted (old-wins drops conflicts) are assigned against the existing
+    * hyperplanes/centroids/codebooks — a 1-row upsert never rescans the
+    * corpus.
     */
-  def upsert(docs: DataFrame): Unit = { store.upsert(docs); refreshAnn() }
+  def upsert(docs: DataFrame): Unit = {
+    val preIds = store.readOption().map(_.select("doc_id"))
+    store.upsert(docs)
+    val inserted = preIds match {
+      case Some(ids) => docs.join(ids, Seq("doc_id"), "left_anti")
+      case None      => docs
+    }
+    refreshAnnIncremental(inserted, emptyIds)
+  }
 
-  /** Delete documents by doc_id (S10). */
-  def delete(docIds: Seq[Long]): Unit = { store.delete(docIds); refreshAnn() }
+  /** Delete documents by doc_id (S10) — ANN side indexes get tombstone
+    * deltas, not a retrain.
+    */
+  def delete(docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    store.delete(docIds)
+    refreshAnnIncremental(emptyDocs, docIds.toDF("doc_id"))
+  }
+
+  private def emptyIds: DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.range(0).select(col("id").as("doc_id"))
+  }
+
+  private def emptyDocs: DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    spark.range(0).select(col("id").as("doc_id"),
+      lit(null).cast("array<float>").as("vector"))
+  }
 
   /** Remove every document (S11), including ANN side indexes. */
   def clear(): Unit = {
@@ -144,6 +173,95 @@ final class VectorIndex(
     }
   }
 
+  /** Incremental ANN maintenance (the 100 TB mutation path): changed rows
+    * are assigned against the EXISTING structures — LSH hyperplanes are
+    * static by construction, IVF centroids and PQ codebooks are read from
+    * the active version — and land as O(batch) delta sidecars beside the
+    * versioned layout ([[VersionedDir.appendDelta]]); removed ids become
+    * tombstones. Search merges deltas new-wins over the pruned base scan.
+    * A full retrain (re-seeded centroids/codebooks + rewrite) happens only
+    * on [[rebuild]]/[[update]] or when `foldEvery` deltas accumulate —
+    * never on a 1-row upsert/delete.
+    */
+  def refreshAnnIncremental(changedDocs: DataFrame, removedIds: DataFrame,
+                            foldEvery: Int = 10): Unit = if (ann.nonEmpty && store.exists) {
+    import org.apache.spark.sql.functions._
+    val anyMissingBase = ann.exists {
+      case SearchMode.Lsh(_, _)      => !new VersionedDir(spark, annLshPath).exists
+      case SearchMode.Ivf(_, _, _)   => !new VersionedDir(spark, annIvfPath).exists
+      case SearchMode.IvfPq(_, _, _, _, _, _) => !new VersionedDir(spark, annIvfPqPath).exists
+      case SearchMode.Exact          => false
+    }
+    if (anyMissingBase) { refreshAnn(); return }
+    val tombIds = removedIds.select(col("doc_id").cast("long").as("doc_id"))
+    ann.foreach {
+      case SearchMode.Lsh(bits, _) =>
+        val adds = SimilaritySearch
+          .lshBuckets(changedDocs.select(col("doc_id"), col("vector")),
+            config.dims, bits, itemVec = "vector")
+          .select(col("doc_id"), col("vector"),
+            col("bucket").cast("long").as("bucket"), lit(false).as("deleted"))
+        val tombs = tombIds.select(col("doc_id"),
+          lit(null).cast("array<float>").as("vector"),
+          lit(null).cast("long").as("bucket"), lit(true).as("deleted"))
+        annDeltaWrite(annLshPath, adds.unionByName(tombs))
+      case SearchMode.Ivf(_, _, _) =>
+        val (cvs, cids) = SimilaritySearch.collectCentroids(
+          SimilaritySearch.ivfCentroidsRead(spark, annIvfPath))
+        val adds = changedDocs.select(col("doc_id"), col("vector"),
+            graft.functions.vector.nearest_centroid(col("vector"), cvs, cids).as("cell"),
+            lit(false).as("deleted"))
+        val tombs = tombIds.select(col("doc_id"),
+          lit(null).cast("array<float>").as("vector"),
+          lit(null).cast("long").as("cell"), lit(true).as("deleted"))
+        annDeltaWrite(annIvfPath, adds.unionByName(tombs))
+      case SearchMode.IvfPq(_, _, m, ksub, _, _) =>
+        val cfg = graft.ops.ProductQuantization.PqConfig(config.dims, m, ksub)
+        val resolved = VersionedDir.resolve(spark, annIvfPqPath)
+        val (cvs, cids) = SimilaritySearch.collectCentroids(
+          spark.read.parquet(s"$resolved/_centroids"))
+        val cbs = graft.ops.ProductQuantization.collectCodebooks(
+          spark.read.parquet(s"$resolved/_codebooks"), cfg)
+        val adds = changedDocs.select(col("doc_id"),
+            graft.functions.vector.nearest_centroid(col("vector"), cvs, cids).as("cell"),
+            graft.functions.vector.pq_encode(col("vector"), cbs, cfg.dsub).as("codes"),
+            lit(false).as("deleted"))
+        val tombs = tombIds.select(col("doc_id"), lit(null).cast("long").as("cell"),
+          lit(null).cast("array<int>").as("codes"), lit(true).as("deleted"))
+        annDeltaWrite(annIvfPqPath, adds.unionByName(tombs))
+      case SearchMode.Exact => ()
+    }
+    // fold: when enough deltas accumulate, retrain + rewrite once — the
+    // amortized cost of staying incremental between folds
+    val maxPending = ann.map {
+      case SearchMode.Lsh(_, _)    => new VersionedDir(spark, annLshPath).listDeltas.size
+      case SearchMode.Ivf(_, _, _) => new VersionedDir(spark, annIvfPath).listDeltas.size
+      case SearchMode.IvfPq(_, _, _, _, _, _) => new VersionedDir(spark, annIvfPqPath).listDeltas.size
+      case SearchMode.Exact        => 0
+    }.maxOption.getOrElse(0)
+    if (maxPending >= foldEvery) refreshAnn()
+  }
+
+  private def annDeltaWrite(root: String, rows: DataFrame): Unit =
+    new VersionedDir(spark, root).appendDelta { tmp =>
+      rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Latest-per-doc merge view of an ANN structure's pending deltas (None
+    * when the structure has no deltas — the common, zero-overhead case).
+    */
+  private def annDeltaRead(root: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val deltas = new VersionedDir(spark, root).listDeltas
+    if (deltas.isEmpty) None
+    else {
+      val all = deltas.map { case (s, p) =>
+        spark.read.parquet(p).withColumn("__seq", lit(s)) }.reduce(_.unionByName(_))
+      val latest = all.groupBy("doc_id").agg(max("__seq").as("__seq"))
+      Some(all.join(latest, Seq("doc_id", "__seq")).drop("__seq"))
+    }
+  }
+
   def search(query: String, k: Int = 5, threshold: Double = 0.0,
              metric: Metric = Metric.Cosine,
              mode: SearchMode = SearchMode.Exact): DataFrame = mode match {
@@ -163,15 +281,18 @@ final class VectorIndex(
     val topk = m match {
       case SearchMode.Lsh(bits, maxHamming) =>
         SimilaritySearch.lshTopKPruned(spark, annLshPath, probes, config.dims, k,
-          bits, maxHamming, itemId = "doc_id", itemVec = "vector")
+          bits, maxHamming, itemId = "doc_id", itemVec = "vector",
+          delta = annDeltaRead(annLshPath))
       case SearchMode.Ivf(_, nProbe, _) =>
         val centroids = SimilaritySearch.ivfCentroidsRead(spark, annIvfPath)
         SimilaritySearch.ivfTopKPruned(spark, annIvfPath, centroids, probes, k,
-          nProbe, itemId = "doc_id", itemVec = "vector")
+          nProbe, itemId = "doc_id", itemVec = "vector",
+          delta = annDeltaRead(annIvfPath))
       case SearchMode.IvfPq(_, nProbe, pm, ksub, refine, _) =>
         graft.ops.ProductQuantization.ivfPqTopKPruned(spark, annIvfPqPath, documents,
           probes, graft.ops.ProductQuantization.PqConfig(config.dims, pm, ksub),
-          k, nProbe, refine, itemId = "doc_id", itemVec = "vector")
+          k, nProbe, refine, itemId = "doc_id", itemVec = "vector",
+          delta = annDeltaRead(annIvfPqPath))
       case SearchMode.Exact => throw new IllegalStateException("unreachable")
     }
     broadcast(topk.filter(col("score") >= threshold)

@@ -177,7 +177,8 @@ object SimilaritySearch {
     */
   def lshTopKPruned(spark: SparkSession, indexPath: String, probes: Seq[(Long, Seq[Float])],
                     dims: Int, k: Int = 10, bits: Int = 8, maxHamming: Int = 1,
-                    itemId: String = "vec_id", itemVec: String = "embedding"): DataFrame = {
+                    itemId: String = "vec_id", itemVec: String = "embedding",
+                    delta: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val masks = hammingMasks(bits, maxHamming)
     val expanded = probes.flatMap { case (qid, qv) =>
@@ -199,8 +200,32 @@ object SimilaritySearch {
       .filter(col("bucket").isin(candBuckets: _*))
       .withColumn("__bkt", col("bucket").cast("long"))
       .drop("bucket")
-    rerank(index.join(broadcast(probeDf), Seq("__bkt")),
+    val live = mergeDelta(index, delta, "bucket", "__bkt",
+      expanded.map(_._3).distinct, itemId, itemVec)
+    rerank(live.join(broadcast(probeDf), Seq("__bkt")),
       k, itemId, itemVec, "qid", "qv", singleProbe = probes.size == 1)
+  }
+
+  /** New-wins overlay of an incremental-maintenance delta onto a pruned ANN
+    * base scan ([[graft.api.VectorIndex.refreshAnnIncremental]]): every
+    * doc_id present in the delta shadows its base copies (broadcast anti
+    * equi-join — the delta is small by construction, and the base scan's
+    * partition filter survives untouched), then the delta's LIVE rows in
+    * candidate buckets/cells union in. Tombstones (`deleted = true`)
+    * contribute only the shadowing.
+    */
+  private[graft] def mergeDelta(prunedBase: DataFrame, delta: Option[DataFrame],
+                                keyCol: String, outCol: String, candKeys: Seq[Long],
+                                itemId: String, itemVec: String): DataFrame = delta match {
+    case None => prunedBase
+    case Some(d) =>
+      val dIds = broadcast(d.select(col(itemId)).distinct())
+      val adds = d.filter(!col("deleted"))
+        .filter(col(keyCol).isin(candKeys: _*))
+        .select(col(itemId), col(itemVec), col(keyCol).cast("long").as(outCol))
+      prunedBase.select(col(itemId), col(itemVec), col(outCol))
+        .join(dIds, Seq(itemId), "left_anti")
+        .unionByName(adds)
   }
 
   /** Shared exact-rerank tail: cosine score, per-probe top-k window.
@@ -340,7 +365,8 @@ object SimilaritySearch {
     */
   def ivfTopKPruned(spark: SparkSession, indexPath: String, centroids: DataFrame,
                     probes: Seq[(Long, Seq[Float])], k: Int = 10, nProbe: Int = 4,
-                    itemId: String = "vec_id", itemVec: String = "embedding"): DataFrame = {
+                    itemId: String = "vec_id", itemVec: String = "embedding",
+                    delta: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val (cvs, cids) = collectCentroids(centroids)
     val expanded = probes.flatMap { case (qid, qv) =>
@@ -355,7 +381,9 @@ object SimilaritySearch {
     }
     val index = raw.filter(col("cell").isin(candCells: _*))
       .withColumn("__cell", col("cell").cast("long")).drop("cell")
-    rerank(index.join(broadcast(probeDf), Seq("__cell")),
+    val live = mergeDelta(index, delta, "cell", "__cell",
+      expanded.map(_._3).distinct, itemId, itemVec)
+    rerank(live.join(broadcast(probeDf), Seq("__cell")),
       k, itemId, itemVec, "qid", "qv", singleProbe = probes.size == 1)
   }
 
@@ -375,7 +403,7 @@ object SimilaritySearch {
     scored.sortBy { case (d, cid) => (d, cid) }.take(nProbe).map(_._2).toSeq
   }
 
-  private[ops] def collectCentroids(centroids: DataFrame): (Array[Array[Float]], Array[Long]) = {
+  private[graft] def collectCentroids(centroids: DataFrame): (Array[Array[Float]], Array[Long]) = {
     val rows = centroids.collect()
     val cids = rows.map(r => r.get(0) match {
       case l: Long => l

@@ -89,6 +89,56 @@ class VectorIndexSpec extends AnyFunSuite {
     intercept[Throwable] { idx.documents.count() }
   }
 
+  // --- provider seam: the SAME lifecycle over BOTH IndexStore impls ---
+  // (r5 verdict #9 / reference StorageProvider contract, storage/base.py:48-71
+  // — a provider swap must be invisible to every public API call)
+  for (storeKind <- Seq("parquet", "in-memory"))
+    test(s"full lifecycle through the $storeKind store: rebuild/search/query/findSimilar/update/upsert/delete/clear") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-seam").toString
+      val cfg = IndexConfig(s"seam_$storeKind", "id",
+        Seq(EmbeddingField("title", important = true), EmbeddingField("body")),
+        tokenLimit = 64, chunkOverlap = 8, dims = 32)
+      val store = storeKind match {
+        case "parquet"   => None // VectorIndex's default ParquetIndexStore
+        case "in-memory" => Some(new InMemoryIndexStore(spark))
+      }
+      val idx = new VectorIndex(spark, cfg, graft.embed.HashEmbeddingBackend(32),
+        graft.embed.EchoChatBackend(), s"$tmp/idx", "page", "id", storeOverride = store)
+
+      idx.rebuild(source)
+      assert(idx.documents.count() == 3)
+      val hits = idx.search("nearest neighbour retrieval embeddings", k = 2, threshold = -1.0)
+      assert(hits.orderBy(desc("score")).select("key").as[String].head() == "page:2")
+      val resp = idx.query("how do i cook pasta", sourcesLimit = 1, threshold = -1.0)
+      assert(resp.response.startsWith("This is an echo backend:") && resp.sources.count() == 1)
+      assert(!idx.findSimilar("page:1", k = 3, threshold = -1.0)
+        .select("key").as[String].collect().contains("page:1"))
+
+      // incremental update: changed row re-embedded, unchanged row kept
+      idx.update(Seq(
+        (1L, "Spark Engines", "distributed query processing with catalyst and tungsten"),
+        (2L, "Vector Search", "CHANGED body entirely now"),
+        (4L, "New Page", "completely new content")).toDF("id", "title", "body"))
+      assert(idx.documents.select(col("object_keys").getItem(0)).as[String].collect().toSet ==
+        Set("page:1", "page:2", "page:4"))
+
+      // upsert is old-wins on conflict, inserts the genuinely new
+      val extra = graft.pipeline.IndexBuild.buildDocuments(
+        Seq((5L, "Fifth", "fifth page body")).toDF("id", "title", "body"),
+        cfg, idx.backend, "page", "id")
+      idx.upsert(extra)
+      assert(idx.documents.count() == 4)
+      idx.upsert(extra) // replay: conflict-ignore, no growth
+      assert(idx.documents.count() == 4)
+
+      val someId = idx.documents.filter(array_contains(col("object_keys"), "page:5"))
+        .select("doc_id").as[Long].head()
+      idx.delete(Seq(someId))
+      assert(idx.documents.count() == 3)
+      idx.clear()
+      intercept[Throwable] { idx.documents.count() }
+    }
+
   // --- ANN through the public API (S5 / r2 verdict #3) ---
 
   /** 60 docs with distinct bodies; ANN structures maintained by rebuild. */
@@ -192,6 +242,57 @@ class VectorIndexSpec extends AnyFunSuite {
     val annStream = idx.queryStream("document number 17 about topic3", sourcesLimit = 3,
       threshold = -1.0, mode = full)
     assert(annStream.response.mkString == exactResp.response)
+  }
+
+  // r5 verdict #5: a 1-doc upsert/delete must not retrain or rewrite the ANN
+  // structures — changed rows are assigned against the existing hyperplanes/
+  // centroids/codebooks and land as delta sidecars; search overlays them.
+  test("upsert/delete patch ANN with deltas — no retrain, searches stay correct") {
+    val pqMode = SearchMode.IvfPq(nCells = 4, nProbe = 4, m = 4, ksub = 16,
+      refine = 16, lloydIters = 1)
+    val idx = annIndex("ann_incr", Seq(SearchMode.Lsh(bits = 4, maxHamming = 1),
+      SearchMode.Ivf(nCells = 4, nProbe = 2, lloydIters = 1), pqMode))
+    idx.rebuild(annSource)
+    val vds = Seq(idx.annLshPath, idx.annIvfPath, idx.annIvfPqPath)
+      .map(p => new VersionedDir(spark, p))
+    val v0 = vds.map(_.currentVersion.get)
+
+    val newDoc = graft.pipeline.IndexBuild.buildDocuments(
+      Seq((100L, "completely new page about quasars and pulsars today")).toDF("id", "body"),
+      idx.config, idx.backend, "page", "id")
+    idx.upsert(newDoc)
+    // every ANN base version is untouched; each grew one delta sidecar
+    vds.zip(v0).foreach { case (vd, v) =>
+      assert(vd.currentVersion.contains(v) && vd.listDeltas.size == 1, vd.root)
+    }
+    // full-width searches see the new doc through the delta overlay
+    val probe = "completely new page about quasars and pulsars today"
+    for (m <- Seq(SearchMode.Lsh(4, 4), SearchMode.Ivf(4, 4, 1), pqMode)) {
+      val keys = idx.search(probe, k = 3, threshold = -1.0, mode = m)
+        .select("key").as[String].collect().toSet
+      assert(keys.contains("page:100"), s"$m misses the upserted doc")
+    }
+    // and stay in exact-parity at full width
+    val q = "document number 17 about topic3 detail17"
+    val exact = idx.search(q, k = 5, threshold = -1.0)
+      .select(col("doc_id"), round(col("score"), 6)).as[(Long, Double)].collect().toSet
+    for (m <- Seq(SearchMode.Lsh(4, 4), SearchMode.Ivf(4, 4, 1), pqMode)) {
+      val got = idx.search(q, k = 5, threshold = -1.0, mode = m)
+        .select(col("doc_id"), round(col("score"), 6)).as[(Long, Double)].collect().toSet
+      assert(got == exact, s"$m diverged from exact after upsert")
+    }
+
+    // delete → tombstone deltas; the doc disappears from every ANN route
+    val newIds = newDoc.select("doc_id").as[Long].collect().toSeq
+    idx.delete(newIds)
+    vds.zip(v0).foreach { case (vd, v) =>
+      assert(vd.currentVersion.contains(v) && vd.listDeltas.size == 2, vd.root)
+    }
+    for (m <- Seq(SearchMode.Lsh(4, 4), SearchMode.Ivf(4, 4, 1), pqMode)) {
+      val keys = idx.search(probe, k = 10, threshold = -1.0, mode = m)
+        .select("key").as[String].collect().toSet
+      assert(!keys.contains("page:100"), s"$m still returns the deleted doc")
+    }
   }
 
   test("searching an ANN mode the index was not built with fails fast") {
