@@ -4,10 +4,17 @@ import scala.collection.mutable
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * `SPARK_GRAFT_SF_DIR`, reports per-query seconds as ONE JSON line on
-  * stdout AND writes the same JSON to `SPARK_GRAFT_BENCH_OUT` (default
-  * `bench_out.json` in the working directory) so the harness never has to
-  * scrape it out of sbt-prefixed logs.
+  * `SPARK_GRAFT_SF_DIR`. Writes the FULL result JSON (per-pass times,
+  * suspect flags, heartbeats, config) to `SPARK_GRAFT_BENCH_OUT` (default
+  * `bench_out.json`), and prints a COMPACT one-line JSON summary as the
+  * final stdout line — the harness keeps only the last 2000 chars of
+  * stdout, so the printed line must stay well under that (the full JSON is
+  * ~10 KB; printing it is why rounds 1-5 recorded `parsed: null`).
+  *
+  * Reported statistics per query: `queries` = min over stall-clean passes
+  * (best-case, what the hardware can do), `queries_median` (full JSON
+  * only) = median over stall-clean passes (the round-over-round comparison
+  * number); `value`/`value_median` are the corresponding totals.
   *
   * Stall-proofing (this host exhibits documented 100-220s roving JVM/host
   * stall bursts that poison contiguous time windows):
@@ -83,13 +90,19 @@ object Bench {
     def suspect(pass: Pass, n: String): Boolean =
       pass.hbBefore(n) > hbThreshold || pass.hbAfter(n) > hbThreshold
 
-    // min over stall-clean measurements; fall back to min-of-all + flag.
+    // min AND median over stall-clean measurements; fall back to all-passes
+    // (+ flag) only if every pass was suspect. Median-of-clean is the
+    // round-over-round comparison statistic (min rewards lucky passes;
+    // median is stable against one noisy one).
     val results = names.map { n =>
       val clean = passes.filter(p => !suspect(p, n)).map(_.times(n))
-      if (clean.nonEmpty) n -> (clean.min, false)
-      else n -> (passes.map(_.times(n)).min, true)
+      val (xs, flagged) =
+        if (clean.nonEmpty) (clean.sorted, false)
+        else (passes.map(_.times(n)).sorted, true)
+      n -> ((xs.head, xs(xs.size / 2), flagged))
     }.toMap
     val total = results.values.map(_._1).sum
+    val totalMedian = results.values.map(_._2).sum
 
     def qjson(f: String => String): String =
       names.map(n => s"\"$n\":" + f(n)).mkString("{", ",", "}")
@@ -105,9 +118,10 @@ object Bench {
       val s = p.hbs.sorted
       s"""{"min":${s.head},"median":${s(s.size / 2)},"max":${s.last}}"""
     }.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val json = s"""{"metric":"total","value":$total,"value_median":$totalMedian,"unit":"sec",""" +
       s""""queries":${qjson(n => results(n)._1.toString)},""" +
-      s""""stall_suspect":${qjson(n => results(n)._2.toString)},""" +
+      s""""queries_median":${qjson(n => results(n)._2.toString)},""" +
+      s""""stall_suspect":${qjson(n => results(n)._3.toString)},""" +
       s""""sf":"$sfDir","n_passes":$nPasses,""" +
       s""""passes":[${passes.map(p => qjson(n => p.times(n).toString)).mkString(",")}],""" +
       s""""suspect":[${passes.map(p => qjson(n => suspect(p, n).toString)).mkString(",")}],""" +
@@ -115,7 +129,24 @@ object Bench {
       s""""config":$config}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
-    println(json)
+    // The harness keeps only the last 2000 chars of stdout and parses the
+    // final line (observed across BENCH_r01..r05: `tail` is exactly 2000
+    // chars and starts MID-line — the full JSON above is ~10 KB, so the
+    // parse failed every round). Print a COMPACT final line that fits the
+    // window with room to spare: totals, per-query min (4 dp), suspect
+    // names only. Full detail stays in `outPath`.
+    def r4(x: Double): String = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val flaggedNames = names.filter(n => results(n)._3)
+    def compactLine(withQueries: Boolean): String =
+      s"""{"metric":"total","value":${r4(total)},"value_median":${r4(totalMedian)},""" +
+        s""""unit":"sec","queries":${if (withQueries) qjson(n => r4(results(n)._1)) else "{}"},""" +
+        s""""sf":"$sfDir","n_passes":$nPasses,""" +
+        s""""stall_suspect":${flaggedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""detail":"$outPath"}"""
+    val full = compactLine(withQueries = true)
+    // if the query map ever grows past the window, keep totals parseable
+    println(if (full.length < 1900) full else compactLine(withQueries = false))
+    System.out.flush()
     spark.stop()
   }
 }
