@@ -97,7 +97,19 @@ object SparkEntry {
     val index = graft.api.VectorIndex.local(spark, config, indexPath, "documents", "doc_id")
     graft.api.IndexRegistry.register(index, () => docs)
     graft.api.IndexRegistry.rebuildAll()
-    index.search("spark vector join query", k = 5, threshold = -1.0)
+    val hits = index.search("spark vector join query", k = 5, threshold = -1.0)
+    // the same lifecycle through the OTHER IndexStore impl — the provider
+    // seam (reference StorageProvider, storage/base.py:48-71) exercised
+    // end-to-end in the flagship, not just in specs: a store swap must be
+    // invisible to rebuild/search
+    val memIndex = new graft.api.VectorIndex(spark, config,
+      graft.embed.HashEmbeddingBackend(config.dims), graft.embed.EchoChatBackend(),
+      indexPath + "_mem", "documents", "doc_id",
+      storeOverride = Some(new graft.api.InMemoryIndexStore(spark)))
+    memIndex.rebuild(docs)
+    val memHits = memIndex.search("spark vector join query", k = 5, threshold = -1.0)
+    hits.withColumn("store", lit("parquet"))
+      .unionByName(memHits.withColumn("store", lit("in-memory")))
   }
 
   // ---------------------------------------------------------------- queries
