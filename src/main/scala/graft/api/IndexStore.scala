@@ -51,7 +51,16 @@ trait IndexStore {
   * A legacy flat layout (parquet directly under `root`) is still readable.
   */
 final class ParquetIndexStore(spark: SparkSession, root: String,
-                              keepVersions: Int = 2) extends IndexStore {
+                              keepVersions: Int = 2,
+                              /** Auto-fold threshold: when an upsert/delete
+                                * leaves this many delta sidecars pending,
+                                * they fold into a fresh base version (one
+                                * amortized rewrite instead of a rewrite per
+                                * mutation; merge-on-read depth stays
+                                * bounded). Streaming drives its own cadence
+                                * via `compactEvery` instead.
+                                */
+                              foldEvery: Int = 16) extends IndexStore {
 
   private val dir = new VersionedDir(spark, root, keepVersions)
 
@@ -76,30 +85,51 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
     case None => spark.read.parquet(root) // legacy flat layout (or throw)
   }
 
-  /** NEW-WINS merge of the base version with its delta sidecars: per doc_id
-    * the highest-sequence copy survives, and any row (base or older delta)
-    * sharing an object key with a LATER delta is shadowed — the same
-    * semantics as the full-rewrite upsert it replaces, computed with
-    * equi-joins only (the delta side is small by construction, so the join
-    * build sides broadcast under AQE).
+  /** Merge of the base version with its delta sidecars, by delta kind
+    * (all equi-joins; every delta-derived join side is small by
+    * construction, so the build sides broadcast under AQE):
+    *
+    *  - "put" (streaming batch): per doc_id the highest-sequence copy
+    *    survives, and any row sharing an object key with a LATER put delta
+    *    is shadowed — the batch REPLACES all documents of its touched keys
+    *    (same semantics as the full-rewrite it replaces);
+    *  - "add" (conflict-checked upsert insert): rows simply union in — the
+    *    writer already dropped doc_id conflicts (old-wins), and an insert
+    *    must NOT shadow other chunks sharing its object key;
+    *  - "del" (tombstones, doc_id-only rows): a doc_id is dropped unless a
+    *    LATER delta re-introduced it.
     */
-  private def mergeOnRead(base: DataFrame, deltas: Seq[(Long, String)]): DataFrame = {
+  private def mergeOnRead(base: DataFrame, deltas: Seq[VersionedDir.DeltaRef]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val all = (base.withColumn("__seq", lit(0L)) +: deltas.map { case (s, p) =>
-      spark.read.parquet(p).withColumn("__seq", lit(s)) }).reduce(_.unionByName(_))
+    val (dels, lives) = deltas.partition(_.kind == "del")
+    val all = (base.withColumn("__seq", lit(0L)) +: lives.map { d =>
+      spark.read.parquet(d.path).withColumn("__seq", lit(d.seq)) }).reduce(_.unionByName(_))
     // latest copy per doc_id (an unchanged object re-batched keeps one row)
     val latestSeq = all.groupBy("doc_id").agg(max("__seq").as("__seq"))
     val latest = all.join(latestSeq, Seq("doc_id", "__seq"))
-    val touched = deltas.map { case (s, p) =>
-        spark.read.parquet(p).select(explode(col("object_keys")).as("__key"), lit(s).as("__tseq")) }
-      .reduce(_.unionByName(_))
-      .groupBy("__key").agg(max("__tseq").as("__max_seq"))
-    val shadowed = latest
-      .select(col("doc_id"), col("__seq"), explode(col("object_keys")).as("__key"))
-      .join(touched, Seq("__key"))
-      .filter(col("__max_seq") > col("__seq"))
-      .select("doc_id").distinct()
-    latest.join(shadowed, Seq("doc_id"), "left_anti").drop("__seq")
+    val puts = lives.filter(_.kind == "put")
+    val unshadowed = if (puts.isEmpty) latest else {
+      val touched = puts.map { d =>
+          spark.read.parquet(d.path).select(explode(col("object_keys")).as("__key"), lit(d.seq).as("__tseq")) }
+        .reduce(_.unionByName(_))
+        .groupBy("__key").agg(max("__tseq").as("__max_seq"))
+      val shadowed = latest
+        .select(col("doc_id"), col("__seq"), explode(col("object_keys")).as("__key"))
+        .join(touched, Seq("__key"))
+        .filter(col("__max_seq") > col("__seq"))
+        .select("doc_id").distinct()
+      latest.join(shadowed, Seq("doc_id"), "left_anti")
+    }
+    val surviving = if (dels.isEmpty) unshadowed else {
+      val tombs = dels.map { d =>
+          spark.read.parquet(d.path).select(col("doc_id"), lit(d.seq).as("__dseq")) }
+        .reduce(_.unionByName(_))
+        .groupBy("doc_id").agg(max("__dseq").as("__dseq"))
+      unshadowed.join(tombs, Seq("doc_id"), "left")
+        .filter(col("__dseq").isNull || col("__dseq") < col("__seq"))
+        .drop("__dseq")
+    }
+    surviving.drop("__seq")
   }
 
   /** O(batch) incremental write: the batch lands as a delta sidecar of the
@@ -126,17 +156,35 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
       docs.dropDuplicates("doc_id").write.mode("overwrite").parquet(versionDir)
     }
 
+  /** O(batch) write: the conflict check reads the index (a scan — at scale,
+    * the layout's min/max doc_id footer stats prune it), but only the
+    * genuinely-new rows are WRITTEN, as an "add" delta. The legacy flat
+    * layout (no versioned base to append to) falls back to read-and-replace.
+    */
   override def upsert(docs: DataFrame): Unit = readOption() match {
     case None => replace(docs)
     case Some(existing) =>
       // old-wins: only doc_ids not already present are inserted
-      replace(docs.join(existing.select("doc_id"), Seq("doc_id"), "left_anti")
-        .unionByName(existing))
+      val inserted = docs.join(existing.select("doc_id"), Seq("doc_id"), "left_anti")
+      if (dir.exists) {
+        dir.appendDelta({ tmp =>
+          inserted.dropDuplicates("doc_id").write.mode("overwrite").parquet(tmp)
+        }, kind = "add")
+        if (deltaCount >= foldEvery) foldDeltas()
+      } else replace(inserted.unionByName(existing))
   }
 
+  /** O(batch) write: ids land as a "del" tombstone delta; the rows vanish
+    * at merge-on-read and physically at the next fold/compact.
+    */
   override def delete(docIds: Seq[Long]): Unit = {
     import spark.implicits._
-    readOption().foreach { existing =>
+    if (dir.exists) {
+      dir.appendDelta({ tmp =>
+        docIds.toDF("doc_id").write.mode("overwrite").parquet(tmp)
+      }, kind = "del")
+      if (deltaCount >= foldEvery) foldDeltas()
+    } else readOption().foreach { existing =>
       replace(existing.join(docIds.toDF("doc_id"), Seq("doc_id"), "left_anti"))
     }
   }

@@ -255,8 +255,8 @@ final class VectorIndex(
     val deltas = new VersionedDir(spark, root).listDeltas
     if (deltas.isEmpty) None
     else {
-      val all = deltas.map { case (s, p) =>
-        spark.read.parquet(p).withColumn("__seq", lit(s)) }.reduce(_.unionByName(_))
+      val all = deltas.map { d =>
+        spark.read.parquet(d.path).withColumn("__seq", lit(d.seq)) }.reduce(_.unionByName(_))
       val latest = all.groupBy("doc_id").agg(max("__seq").as("__seq"))
       Some(all.join(latest, Seq("doc_id", "__seq")).drop("__seq"))
     }

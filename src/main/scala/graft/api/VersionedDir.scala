@@ -152,8 +152,12 @@ final class VersionedDir(spark: SparkSession, val root: String, keepVersions: In
 
   private def deltaRoot(version: String) = new Path(rootPath, s"$version.deltas")
 
-  /** Sequence-numbered delta dirs of the ACTIVE version, oldest first. */
-  def listDeltas: Seq[(Long, String)] = currentVersion match {
+  /** Sequence-numbered delta dirs of the ACTIVE version, oldest first. A
+    * `_kind` suffix on the dir name tags the delta's merge semantics for
+    * the caller (unsuffixed dirs read back as kind "put" — the original
+    * replace-touched-keys kind, so pre-kind layouts stay readable).
+    */
+  def listDeltas: Seq[VersionedDir.DeltaRef] = currentVersion match {
     case None => Seq.empty
     case Some(v) =>
       val f = fs
@@ -161,23 +165,30 @@ final class VersionedDir(spark: SparkSession, val root: String, keepVersions: In
       if (!f.exists(dr)) Seq.empty
       else f.listStatus(dr).toSeq
         .filter(_.isDirectory).map(_.getPath)
-        .filter(_.getName.matches("d\\d+"))
-        .map(p => (p.getName.drop(1).toLong, p.toString))
-        .sortBy(_._1)
+        .filter(_.getName.matches("d\\d+(_[a-z]+)?"))
+        .map { p =>
+          val (num, kind) = p.getName.drop(1).split("_", 2) match {
+            case Array(n)    => (n.toLong, "put")
+            case Array(n, k) => (n.toLong, k)
+          }
+          VersionedDir.DeltaRef(num, kind, p.toString)
+        }
+        .sortBy(_.seq)
   }
 
   /** Append one delta beside the active version via `write(tmpDir)`; the
     * temp dir renames into its final sequence-numbered name on success.
     * Single-writer contract (same as replaceWith read-modify-write).
     */
-  def appendDelta(write: String => Unit): Unit = {
+  def appendDelta(write: String => Unit, kind: String = "put"): Unit = {
+    require(kind.matches("[a-z]+"), s"delta kind must be lowercase letters: $kind")
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no base version to append a delta to under $root"))
     val f = fs
     val dr = deltaRoot(v)
     f.mkdirs(dr)
-    val next = listDeltas.lastOption.map(_._1).getOrElse(0L) + 1
-    val name = "d%08d".format(next)
+    val next = listDeltas.lastOption.map(_.seq).getOrElse(0L) + 1
+    val name = "d%08d".format(next) + (if (kind == "put") "" else s"_$kind")
     val tmp = new Path(dr, s".tmp_$name")
     f.delete(tmp, true)
     try write(tmp.toString)
@@ -224,6 +235,12 @@ final class VersionedDir(spark: SparkSession, val root: String, keepVersions: In
 }
 
 object VersionedDir {
+  /** One delta sidecar of a base version: its sequence number (merge order),
+    * its merge-semantics kind ("put" replace-touched-keys / "add" old-wins
+    * insert / "del" tombstones — interpreted by the caller), and its path.
+    */
+  final case class DeltaRef(seq: Long, kind: String, path: String)
+
   /** Resolve a path that may be a versioned root OR a plain directory: the
     * active version dir if a manifest/version layout is present, the path
     * itself otherwise. Readers pin the resolved CONCRETE version dir, so a

@@ -43,6 +43,63 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(m == Map(1L -> "original", 2L -> "two", 3L -> "three"))
   }
 
+  // --- O(batch) mutations: upsert/delete land as typed delta sidecars ---
+
+  test("upsert writes an add-delta, not a rewrite; shared object keys are NOT shadowed") {
+    val store = newStore("updelta")
+    // two docs sharing one object key (multi-chunk) — an insert with that
+    // key must coexist with them, unlike a streaming put-batch
+    val multi = Seq(10L -> "chunk a", 11L -> "chunk b").toDF("doc_id", "content")
+      .withColumn("object_keys", array(lit("t:X")))
+      .withColumn("vector", typedLit(Seq(1.0f, 0.0f)))
+      .withColumn("metadata", map(lit("table"), lit("t")))
+    store.replace(multi)
+    val vd = new VersionedDir(spark, storeRoot(store))
+    val v0 = vd.currentVersion.get
+    val more = docs(11L -> "conflict", 12L -> "new").drop("object_keys")
+      .withColumn("object_keys", array(lit("t:X")))
+    store.upsert(more)
+    assert(vd.currentVersion.contains(v0), "upsert rewrote the base version")
+    assert(vd.listDeltas.map(d => (d.seq, d.kind)) == Seq((1L, "add")))
+    val m = store.read().select("doc_id", "content").as[(Long, String)].collect().toMap
+    // 11 old-wins; 10 kept despite sharing key t:X with the inserted 12
+    assert(m == Map(10L -> "chunk a", 11L -> "chunk b", 12L -> "new"))
+  }
+
+  test("delete writes a del tombstone; a later re-insert revives the id") {
+    val store = newStore("deldelta")
+    store.replace(docs(1L -> "a", 2L -> "b"))
+    val vd = new VersionedDir(spark, storeRoot(store))
+    val v0 = vd.currentVersion.get
+    store.delete(Seq(2L))
+    assert(vd.currentVersion.contains(v0), "delete rewrote the base version")
+    assert(vd.listDeltas.map(_.kind) == Seq("del"))
+    assert(store.read().select("doc_id").as[Long].collect().toSet == Set(1L))
+    // re-insert the deleted id: the add-delta outsequences the tombstone
+    store.upsert(docs(2L -> "b2"))
+    assert(store.read().select("doc_id", "content").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b2"))
+    // and a later delete wins again over that add
+    store.delete(Seq(2L))
+    assert(store.read().select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("deltas auto-fold into a fresh base version at foldEvery") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val store = new ParquetIndexStore(spark, s"$tmp/fold", foldEvery = 3)
+    store.replace(docs(1L -> "a"))
+    val vd = new VersionedDir(spark, s"$tmp/fold")
+    store.upsert(docs(2L -> "b"))
+    store.delete(Seq(1L))
+    assert(vd.currentVersion.contains("v00001") && vd.listDeltas.size == 2)
+    store.upsert(docs(3L -> "c")) // third delta trips foldEvery=3
+    assert(vd.currentVersion.exists(_ != "v00001") && vd.listDeltas.isEmpty)
+    assert(store.read().select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
+  private def storeRoot(store: ParquetIndexStore): String =
+    new org.apache.hadoop.fs.Path(store.read().inputFiles.head).getParent.getParent.toString
+
   test("delete and clear; read after clear throws") {
     val store = newStore("del")
     store.replace(docs(1L -> "a", 2L -> "b", 3L -> "c"))
