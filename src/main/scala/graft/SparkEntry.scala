@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.api.{SearchMode, VectorIndex}
+import graft.api.{ParquetIndexStore, SearchMode, VectorIndex}
 import graft.core.{IndexConfig, EmbeddingField, Metric}
 import graft.embed.HashEmbeddingBackend
 import graft.functions.textfn._
@@ -349,6 +349,38 @@ object SparkEntry {
           PqCfg, k = 5, nProbe = 4, refine = 4)
         .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
     },
+    // S7/S10 through the O(batch) delta path (r5 verdict #3's machinery):
+    // upsert lands as an "add" sidecar (conflicts dropped old-wins), delete
+    // as a "del" tombstone; read() resolves the merge WITHOUT having
+    // rewritten the base version
+    "q_store_delta" -> { (s, dir) =>
+      deltaStoreFor(s, dir, fold = false).read()
+        .select(col("doc_id"), col("content")).orderBy("doc_id")
+    },
+    // fold equivalence: compact() folds the sidecars into a fresh bin-packed
+    // base version — the merged view must not change by a single row
+    "q_store_fold" -> { (s, dir) =>
+      deltaStoreFor(s, dir, fold = true).read()
+        .select(col("doc_id"), col("content")).orderBy("doc_id")
+    },
+    // incremental ANN (r5 verdict #5's machinery) through the public API:
+    // post-mutation IVF search overlays the delta sidecars — the upserted
+    // vector is findable, the deleted one is gone, no structure retrained
+    "q_ann_vi_ivf_incr" -> { (s, dir) =>
+      val vi = viIvfIndexFor(s, dir)
+      vi.searchVector(probeVec(s, dir), k = 5, threshold = -2.0,
+          mode = SearchMode.Ivf(nCells = 16, nProbe = 4, lloydIters = 0))
+        .select(col("doc_id"), col("score"), col("key"))
+        .orderBy(desc("score"), col("doc_id").asc)
+    },
+    // the LSH variant of the same overlay (Hamming-ball bucket pruning)
+    "q_ann_vi_lsh_incr" -> { (s, dir) =>
+      val vi = viLshIncrIndexFor(s, dir)
+      vi.searchVector(probeVec(s, dir), k = 5, threshold = -2.0,
+          mode = SearchMode.Lsh(bits = 8, maxHamming = 2))
+        .select(col("doc_id"), col("score"), col("key"))
+        .orderBy(desc("score"), col("doc_id").asc)
+    },
     // J5 union path: probe object has many chunks (vec_id % 50 == 7), all
     // searched in ONE broadcast scan, then first-per-key dedup + self-exclude
     "q_find_similar_multi" -> { (s, dir) =>
@@ -565,6 +597,92 @@ object SparkEntry {
         .select(col("vec_id"), col("cell"), col("codes"))
       ProductQuantization.pqIndexWrite(encoded, cb, path, Some(centroids))
       path
+    })
+
+  /** Delta-sidecar store lifecycle (S7/S10 through the O(batch) path): base
+    * replace, then an upsert whose batch mixes doc_id CONFLICTS (old-wins —
+    * the modified copies must NOT surface) with genuinely-new rows (an "add"
+    * sidecar), then a delete spanning base rows AND a delta row (a "del"
+    * tombstone). Mutations run once per JVM (ingest state, like the memoized
+    * ANN indexes); the gate queries measure the merge-on-read — and, for the
+    * `fold` twin, that compaction folds the sidecars into a fresh base
+    * version without changing a single row.
+    */
+  private val deltaStores = scala.collection.concurrent.TrieMap.empty[(String, Boolean), ParquetIndexStore]
+  private def deltaStoreFor(s: SparkSession, dir: String, fold: Boolean): ParquetIndexStore =
+    deltaStores.getOrElseUpdate((dir, fold), {
+      val path = java.nio.file.Files.createTempDirectory("graft-store").toString + "/idx"
+      val store = new ParquetIndexStore(s, path)
+      val base = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        array(concat(lit("doc:"), col("doc_id"))).as("object_keys"),
+        col("text").as("content"))
+      store.replace(base)
+      val mods = base.filter(col("doc_id") % 10 === 3)
+      store.upsert(
+        mods.withColumn("content", concat(lit("MOD: "), col("content")))
+          .unionByName(mods.select(
+            (col("doc_id") + 1000000L).as("doc_id"),
+            array(concat(lit("doc:"), col("doc_id") + 1000000L)).as("object_keys"),
+            concat(lit("new: "), col("content")).as("content"))))
+      store.delete(Seq(3L, 13L, 23L, 33L, 43L, 1000003L))
+      if (fold) store.compact()
+      store
+    })
+
+  /** Incremental-ANN lifecycle through the public [[VectorIndex]] (r5
+    * verdict #5's gate): full ingest trains the IVF structure once, then a
+    * 1-row upsert and a 1-row delete land as O(batch) ANN delta sidecars —
+    * the new vector is assigned against the EXISTING centroids, no retrain —
+    * and the gate query searches through the delta overlay (new row
+    * findable, deleted row gone, base scan still partition-pruned).
+    */
+  /** Document-shaped view of the embeddings table (shared by the public-API
+    * ANN index fixtures).
+    */
+  private def embDocs(df: DataFrame): DataFrame = df.select(
+    col("vec_id").as("doc_id"),
+    array(concat(lit("emb:"), col("vec_id"))).as("object_keys"),
+    col("embedding").as("vector"),
+    concat(lit("doc "), col("vec_id")).as("content"),
+    map(lit("table"), lit("emb")).as("metadata"))
+
+  /** Shared mutation script of the incremental-ANN fixtures: full ingest
+    * (trains the structures once), a 1-row upsert re-using vec 1's vector
+    * under a fresh id, a 1-row delete — both landing as delta sidecars.
+    */
+  private def viIncrMutations(s: SparkSession, dir: String, vi: VectorIndex): VectorIndex = {
+    val emb = tbl(s, dir, "embeddings")
+    vi.upsert(embDocs(emb)) // full ingest: trains structures over the corpus
+    vi.upsert(embDocs(emb.filter(col("vec_id") === 1)
+      .withColumn("vec_id", lit(1000001L)))) // re-uses vec 1's vector
+    vi.delete(Seq(2L))
+    vi
+  }
+
+  private val viIvfIndexes = scala.collection.concurrent.TrieMap.empty[String, VectorIndex]
+  private def viIvfIndexFor(s: SparkSession, dir: String): VectorIndex =
+    viIvfIndexes.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-vi-ivf").toString + "/idx"
+      viIncrMutations(s, dir, new VectorIndex(s,
+        IndexConfig("emb_ivf", "vec_id", Seq(EmbeddingField("text"))),
+        HashEmbeddingBackend(64), graft.embed.EchoChatBackend(),
+        path, "emb", "vec_id",
+        ann = Seq(SearchMode.Ivf(nCells = 16, nProbe = 4, lloydIters = 0))))
+    })
+
+  /** LSH twin of [[viIvfIndexFor]] — the delta overlay's OTHER base variant
+    * (Hamming-ball bucket pruning instead of cell pruning).
+    */
+  private val viLshIncrIndexes = scala.collection.concurrent.TrieMap.empty[String, VectorIndex]
+  private def viLshIncrIndexFor(s: SparkSession, dir: String): VectorIndex =
+    viLshIncrIndexes.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-vi-lshi").toString + "/idx"
+      viIncrMutations(s, dir, new VectorIndex(s,
+        IndexConfig("emb_lshi", "vec_id", Seq(EmbeddingField("text"))),
+        HashEmbeddingBackend(64), graft.embed.EchoChatBackend(),
+        path, "emb", "vec_id",
+        ann = Seq(SearchMode.Lsh(bits = 8, maxHamming = 2))))
     })
 
   // ------------------------------------------------------------- oracle SQL
@@ -924,7 +1042,66 @@ object SparkEntry {
       |  CAST(length(src) + 1 + length(unnest(chunks)) AS INT) AS chunk_chars
       |FROM fin ORDER BY key, chunk_index""".stripMargin
 
+  /** Oracle for the delta-sidecar store lifecycle: base minus deletes, plus
+    * the genuinely-new upsert rows (conflicting copies lost old-wins), minus
+    * the tombstoned delta row. Shared by the merge-on-read and post-fold
+    * gates — folding must not change a row.
+    */
+  private val storeDeltaSql: String =
+    """WITH base AS (SELECT doc_id, text AS content FROM documents),
+      | ups AS (SELECT doc_id + 1000000 AS doc_id, 'new: ' || text AS content
+      |   FROM documents WHERE doc_id % 10 = 3),
+      | merged AS (SELECT * FROM base UNION ALL SELECT * FROM ups)
+      |SELECT doc_id, content FROM merged
+      |WHERE doc_id NOT IN (3, 13, 23, 33, 43, 1000003)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Oracle for the incremental-ANN gate: centroids are md5-min-16 seeds of
+    * the FULL ingest corpus (they persist across the incremental mutations),
+    * the live corpus drops vec 2 and gains 1000001 (vec 1's vector), probe =
+    * vec 0 against its 4 nearest cells, cosine rerank top-5 — the SQL twin
+    * of ivfTopKPruned over base+delta.
+    */
+  private val annViIvfIncrSql: String =
+    s"""WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 2
+       |   UNION ALL SELECT 1000001 AS vec_id, embedding FROM embeddings WHERE vec_id = 1),
+       | c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |   ORDER BY ${sqlHex60("'ivf:' || vec_id")} ASC, vec_id ASC LIMIT 16),
+       | q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       | pd AS (SELECT c.cid, ${sqlL2("q.qv", "c.cv")} AS dist FROM q, c),
+       | pc AS (SELECT cid AS cell FROM (SELECT cid,
+       |   row_number() OVER (ORDER BY dist ASC, cid ASC) AS rn FROM pd) WHERE rn <= 4),
+       | ad AS (SELECT e.vec_id, e.embedding, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist FROM corp e, c),
+       | assign AS (SELECT vec_id, embedding, cid AS cell FROM (SELECT vec_id, embedding, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM ad) WHERE rn = 1),
+       | joined AS (SELECT a.vec_id, round(${sqlCos("a.embedding", "q.qv")}, 6) AS score
+       |   FROM assign a JOIN pc ON a.cell = pc.cell, q),
+       | ranked AS (SELECT vec_id, score,
+       |   row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rn FROM joined)
+       |SELECT vec_id AS doc_id, score, 'emb:' || vec_id AS key FROM ranked WHERE rn <= 5
+       |ORDER BY score DESC, doc_id""".stripMargin
+
+  /** LSH twin of [[annViIvfIncrSql]]: hyperplane buckets over the LIVE corpus
+    * (minus vec 2, plus 1000001), probe = vec 0, Hamming ≤ 2 candidates,
+    * cosine rerank top-5.
+    */
+  private val annViLshIncrSql: String =
+    s"""WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 2
+       |   UNION ALL SELECT 1000001 AS vec_id, embedding FROM embeddings WHERE vec_id = 1),
+       | e AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS b FROM corp),
+       | p AS (SELECT embedding AS qv, ${lshBucketSql("embedding")} AS pb FROM embeddings WHERE vec_id = 0),
+       | joined AS (SELECT e.vec_id, round(${sqlCos("e.embedding", "p.qv")}, 6) AS score
+       |   FROM e, p WHERE bit_count(xor(e.b, p.pb)) <= 2),
+       | ranked AS (SELECT vec_id, score,
+       |   row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rank FROM joined)
+       |SELECT vec_id AS doc_id, score, 'emb:' || vec_id AS key FROM ranked WHERE rank <= 5
+       |ORDER BY score DESC, doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_store_delta" -> storeDeltaSql,
+    "q_store_fold" -> storeDeltaSql,
+    "q_ann_vi_ivf_incr" -> annViIvfIncrSql,
+    "q_ann_vi_lsh_incr" -> annViLshIncrSql,
     "q_chunk" -> chunkOracleSql,
     "q_dims_filter" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings

@@ -93,6 +93,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("topk"), s"TopK aggregator missing from plan:\n$p")
   }
 
+  // r5 verdict #3's plan half: the merge-on-read of delta sidecars — put
+  // shadowing, add union, del tombstones — must be equi-joins throughout;
+  // the old touched-key theta join planned a BroadcastNestedLoopJoin.
+  test("store merge-on-read over all three delta kinds plans equi-joins only") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planspec-store").toString
+    val store = new graft.api.ParquetIndexStore(spark, s"$tmp/idx")
+    val docs = (0L until 50L).map(i => (i, Seq(s"k${i % 10}"), s"c$i"))
+      .toDF("doc_id", "object_keys", "content")
+    store.replace(docs)
+    new graft.api.VersionedDir(spark, s"$tmp/idx").appendDelta({ d =>
+      docs.filter(col("doc_id") < 3).write.mode("overwrite").parquet(d)
+    }, kind = "put")
+    store.upsert(docs.filter(col("doc_id") >= 48).withColumn("doc_id", col("doc_id") + 100))
+    store.delete(Seq(5L))
+    val p = plan(store.read())
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  // r5 verdict #5's plan half: overlaying an incremental-ANN delta must not
+  // cost the base scan its static partition filter (the pruned read stays
+  // pruned; the delta rides in as a broadcast-side union).
+  test("pruned ANN read keeps its static partition filter under a delta overlay") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planspec-delta").toString
+    SimilaritySearch.lshIndexWrite(items, s"$tmp/lsh", dims = 16, bits = 8)
+    val probeRows = probes.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val delta = items.filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding"),
+        lit(3L).as("bucket"), lit(false).as("deleted"))
+    val p = plan(SimilaritySearch.lshTopKPruned(spark, s"$tmp/lsh", probeRows,
+      dims = 16, k = 5, bits = 8, maxHamming = 1, delta = Some(delta)))
+    assert(nonEmptyPartitionFilter.findFirstIn(p).isDefined, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("LSH dedup candidate generation is an equi-join shuffle, not a cross join") {
     val docs = (1L to 40L).map(i => (i, s"words making up document number $i with shared tail"))
       .toDF("doc_id", "text")
