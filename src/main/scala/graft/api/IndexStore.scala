@@ -85,9 +85,13 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
     case None => spark.read.parquet(root) // legacy flat layout (or throw)
   }
 
-  /** Merge of the base version with its delta sidecars, by delta kind
-    * (all equi-joins; every delta-derived join side is small by
-    * construction, so the build sides broadcast under AQE):
+  /** Merge of the base version with its delta sidecars, by delta kind.
+    * The base relation is never shuffled or widened: every resolution step
+    * is a BROADCAST equi-join against a delta-derived side (small by
+    * construction — O(pending mutations), never O(index)); only delta rows
+    * themselves go through a (tiny) latest-per-doc aggregation. At 100 TB a
+    * merge-on-read therefore costs one pruned base scan + broadcast
+    * hash-join filters, not an index-wide shuffle.
     *
     *  - "put" (streaming batch): per doc_id the highest-sequence copy
     *    survives, and any row sharing an object key with a LATER put delta
@@ -102,11 +106,21 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
   private def mergeOnRead(base: DataFrame, deltas: Seq[VersionedDir.DeltaRef]): DataFrame = {
     import org.apache.spark.sql.functions._
     val (dels, lives) = deltas.partition(_.kind == "del")
-    val all = (base.withColumn("__seq", lit(0L)) +: lives.map { d =>
-      spark.read.parquet(d.path).withColumn("__seq", lit(d.seq)) }).reduce(_.unionByName(_))
-    // latest copy per doc_id (an unchanged object re-batched keeps one row)
-    val latestSeq = all.groupBy("doc_id").agg(max("__seq").as("__seq"))
-    val latest = all.join(latestSeq, Seq("doc_id", "__seq"))
+    val deltaRows = lives.map { d =>
+      spark.read.parquet(d.path).withColumn("__seq", lit(d.seq)) }
+      .reduceOption(_.unionByName(_))
+    // latest copy per doc_id AMONG DELTAS (an unchanged object re-batched
+    // keeps one row); base copies of those ids are shadowed by an anti-join
+    val deltaLatest = deltaRows.map { rows =>
+      rows.join(rows.groupBy("doc_id").agg(max("__seq").as("__seq")),
+        Seq("doc_id", "__seq"))
+    }
+    val baseLive = deltaRows match {
+      case Some(rows) =>
+        base.join(broadcast(rows.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
+      case None => base
+    }
+    val latest = deltaLatest.foldLeft(baseLive.withColumn("__seq", lit(0L)))(_.unionByName(_))
     val puts = lives.filter(_.kind == "put")
     val unshadowed = if (puts.isEmpty) latest else {
       val touched = puts.map { d =>
@@ -115,17 +129,17 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
         .groupBy("__key").agg(max("__tseq").as("__max_seq"))
       val shadowed = latest
         .select(col("doc_id"), col("__seq"), explode(col("object_keys")).as("__key"))
-        .join(touched, Seq("__key"))
+        .join(broadcast(touched), Seq("__key"))
         .filter(col("__max_seq") > col("__seq"))
         .select("doc_id").distinct()
-      latest.join(shadowed, Seq("doc_id"), "left_anti")
+      latest.join(broadcast(shadowed), Seq("doc_id"), "left_anti")
     }
     val surviving = if (dels.isEmpty) unshadowed else {
       val tombs = dels.map { d =>
           spark.read.parquet(d.path).select(col("doc_id"), lit(d.seq).as("__dseq")) }
         .reduce(_.unionByName(_))
         .groupBy("doc_id").agg(max("__dseq").as("__dseq"))
-      unshadowed.join(tombs, Seq("doc_id"), "left")
+      unshadowed.join(broadcast(tombs), Seq("doc_id"), "left")
         .filter(col("__dseq").isNull || col("__dseq") < col("__seq"))
         .drop("__dseq")
     }
