@@ -178,8 +178,15 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
   override def upsert(docs: DataFrame): Unit = readOption() match {
     case None => replace(docs)
     case Some(existing) =>
-      // old-wins: only doc_ids not already present are inserted
-      val inserted = docs.join(existing.select("doc_id"), Seq("doc_id"), "left_anti")
+      import org.apache.spark.sql.functions.broadcast
+      // old-wins: only doc_ids not already present are inserted. The
+      // conflict set is found by probing the column-pruned index id scan
+      // with a BROADCAST of the batch ids (left_semi, index streamed) —
+      // never by making the index the build side of an anti-join, which
+      // would shuffle O(index) ids per upsert.
+      val conflicts = existing.select("doc_id")
+        .join(broadcast(docs.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
+      val inserted = docs.join(broadcast(conflicts), Seq("doc_id"), "left_anti")
       if (dir.exists) {
         dir.appendDelta({ tmp =>
           inserted.dropDuplicates("doc_id").write.mode("overwrite").parquet(tmp)
@@ -199,7 +206,9 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
       }, kind = "del")
       if (deltaCount >= foldEvery) foldDeltas()
     } else readOption().foreach { existing =>
-      replace(existing.join(docIds.toDF("doc_id"), Seq("doc_id"), "left_anti"))
+      replace(existing.join(
+        org.apache.spark.sql.functions.broadcast(docIds.toDF("doc_id")),
+        Seq("doc_id"), "left_anti"))
     }
   }
 

@@ -97,11 +97,18 @@ final class VectorIndex(
     * corpus.
     */
   def upsert(docs: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.broadcast
     val preIds = store.readOption().map(_.select("doc_id"))
     store.upsert(docs)
     val inserted = preIds match {
-      case Some(ids) => docs.join(ids, Seq("doc_id"), "left_anti")
-      case None      => docs
+      // same join shape as IndexStore.upsert: probe the index id scan with
+      // a broadcast of the batch ids, anti-join the batch against the tiny
+      // conflict set — the index is never an anti-join build side
+      case Some(ids) =>
+        val conflicts = ids.join(broadcast(docs.select("doc_id").distinct()),
+          Seq("doc_id"), "left_semi")
+        docs.join(broadcast(conflicts), Seq("doc_id"), "left_anti")
+      case None => docs
     }
     refreshAnnIncremental(inserted, emptyIds)
   }

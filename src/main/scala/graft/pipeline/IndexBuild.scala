@@ -139,5 +139,5 @@ object IndexBuild {
     new graft.api.ParquetIndexStore(spark, path).read()
 
   def deleteByDocIds(index: DataFrame, docIds: DataFrame): DataFrame =
-    index.join(docIds, Seq("doc_id"), "left_anti")
+    index.join(org.apache.spark.sql.functions.broadcast(docIds), Seq("doc_id"), "left_anti")
 }

@@ -214,8 +214,8 @@ object StreamingOps {
           case Some(s) =>
             val touched = docs.select(explode(col("object_keys")).as("__k")).distinct()
             s.select(col("doc_id"), explode(col("object_keys")).as("__k"))
-              .join(touched, Seq("__k")).select("doc_id").distinct()
-              .join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+              .join(broadcast(touched), Seq("__k")).select("doc_id").distinct()
+              .join(broadcast(docs.select("doc_id")), Seq("doc_id"), "left_anti")
           case None => spark.range(0).select(col("id").as("doc_id"))
         }
         store match {
@@ -226,7 +226,7 @@ object StreamingOps {
             // stores without delta support get the same semantics as one
             // equi-join merge + replace through the provider seam
             val merged = stored match {
-              case Some(s) => s.join(removed.unionByName(docs.select("doc_id")),
+              case Some(s) => s.join(broadcast(removed.unionByName(docs.select("doc_id"))),
                   Seq("doc_id"), "left_anti").unionByName(docs)
               case None => docs
             }
