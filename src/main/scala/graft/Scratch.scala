@@ -1,10 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ops.SimilaritySearch
 
-/** Dev harness (not part of the driver contract): current use — IVF
-  * recall@5 vs brute force across lloydIters/nProbe on sf0.01 embeddings.
+/** Dev harness (not part of the driver contract): current use — does
+  * dropDuplicates after repartitionByRange reuse the range exchange, and
+  * what file-level min/max stats does the sorted layout give?
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -12,23 +12,23 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    val probes = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val exact = SimilaritySearch.bruteForceTopK(emb, probes, k = 5)
-      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    println("labels: " + emb.select(countDistinct("label")).head().getLong(0) +
-      " rows: " + emb.count())
-    for ((nCells, lloyd, nProbe) <- Seq((16, 0, 4), (16, 2, 4), (16, 2, 8), (16, 3, 8), (16, 2, 9), (16, 3, 9))) {
-      val (assigned, centroids) = SimilaritySearch.ivfAssign(emb, nCells = nCells, lloydIters = lloyd)
-      val approx = SimilaritySearch.ivfTopK(assigned, centroids, probes, k = 5, nProbe = nProbe)
-        .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      val recall = exact.map { case (q, s) => (s intersect approx.getOrElse(q, Set.empty)).size / 5.0 }
-        .sum / exact.size
-      println(f"nCells=$nCells lloyd=$lloyd nProbe=$nProbe recall@5=${recall}%.3f")
-    }
+    import spark.implicits._
+    val docs = (0L until 100000L).map(i => (i % 60000, s"content $i")).toDF("doc_id", "content")
+
+    println("=== A: repartitionByRange -> dropDuplicates ===")
+    docs.repartitionByRange(col("doc_id")).dropDuplicates("doc_id")
+      .sortWithinPartitions("doc_id")
+      .explain("formatted")
+
+    println("=== B: dropDuplicates only (baseline) ===")
+    docs.dropDuplicates("doc_id").explain("formatted")
+
+    // write and probe: does a doc_id range filter skip files?
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scratch").toString
+    docs.repartitionByRange(8, col("doc_id")).dropDuplicates("doc_id")
+      .sortWithinPartitions("doc_id").write.parquet(s"$tmp/sorted")
+    val back = spark.read.parquet(s"$tmp/sorted").filter(col("doc_id") === 1234L)
+    println("probe rows: " + back.count())
     spark.stop()
   }
 }

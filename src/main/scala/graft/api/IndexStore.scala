@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Pluggable index storage — the Spark analog of the reference's
   * StorageProvider seam (storage/base.py:48-71, storage/__init__.py:29-49):
@@ -165,9 +166,18 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
     */
   def foldDeltas(): Unit = if (deltaCount > 0) replace(read())
 
+  /** Full versions are laid out RANGE-partitioned and sorted by doc_id:
+    * every file carries a tight, non-overlapping doc_id min/max footer, so
+    * id-probing reads (upsert's conflict semi-join, key lookups, hydration)
+    * skip whole files instead of scanning the index. Costs nothing extra —
+    * dropDuplicates reuses the range exchange (RangePartitioning satisfies
+    * the aggregation's clustering), so it's one shuffle either way.
+    */
   override def replace(docs: DataFrame): Unit =
     dir.replaceWith { versionDir =>
-      docs.dropDuplicates("doc_id").write.mode("overwrite").parquet(versionDir)
+      docs.repartitionByRange(col("doc_id")).dropDuplicates("doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(versionDir)
     }
 
   /** O(batch) write: the conflict check reads the index (a scan — at scale,
@@ -220,7 +230,7 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
     */
   def compact(targetFileMB: Int = 128): Unit = {
     foldDeltas() // dir.compact reads the base version only — fold first
-    dir.compact(spark, None, targetFileMB)
+    dir.compact(spark, None, targetFileMB, sortCol = Some("doc_id"))
   }
 }
 

@@ -206,7 +206,7 @@ final class VersionedDir(spark: SparkSession, val root: String, keepVersions: In
     * swap is atomic, old versions prune by `keepVersions`.
     */
   def compact(spark: SparkSession, partitionCol: Option[String] = None,
-              targetFileMB: Int = 128): Unit = {
+              targetFileMB: Int = 128, sortCol: Option[String] = None): Unit = {
     val src = currentDir.getOrElse(
       throw new IllegalStateException(s"nothing to compact under $root"))
     val f = fs
@@ -216,11 +216,16 @@ final class VersionedDir(spark: SparkSession, val root: String, keepVersions: In
       (if (bytes % (targetFileMB.toLong << 20) > 0) 1 else 0))
     replaceWith { dir =>
       val df = spark.read.parquet(src)
-      partitionCol match {
-        case Some(c) =>
+      (partitionCol, sortCol) match {
+        case (Some(c), _) =>
           df.repartition(org.apache.spark.sql.functions.col(c))
             .write.mode("overwrite").partitionBy(c).parquet(dir)
-        case None =>
+        case (None, Some(s)) =>
+          // keep the store's zone-map layout: range-partitioned to the
+          // bin-packed file count, sorted within files → tight min/max
+          df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(s))
+            .sortWithinPartitions(s).write.mode("overwrite").parquet(dir)
+        case (None, None) =>
           df.repartition(nFiles).write.mode("overwrite").parquet(dir)
       }
       // side tables (_codebooks/_centroids, tiny by design) carry over so
