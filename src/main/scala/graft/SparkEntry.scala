@@ -423,6 +423,13 @@ object SparkEntry {
       Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), threshold = -1.0)
         .orderBy(desc("cos"), col("id_a").asc, col("id_b").asc).limit(100)
     },
+    // content-derived blocking (no label needed): hyperplane-LSH bucket
+    // self-join with the capped hot-bucket discipline, exact cosine verify
+    "q_near_dup_lsh" -> { (s, dir) =>
+      Dedup.embeddingNearDupLsh(tbl(s, dir, "embeddings"), dims = 64, bits = 8,
+        threshold = -1.0, hotBucketCap = HotBucketCap)
+        .orderBy(desc("cos"), col("id_a").asc, col("id_b").asc).limit(100)
+    },
     // pairs → clusters: connected components, canonical = min id (edges
     // from the blocked embedding near-dup join — cos ≥ 0.3 exists at every SF)
     "q_dup_clusters" -> { (s, dir) =>
@@ -763,6 +770,19 @@ object SparkEntry {
        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
        |ORDER BY id_a, id_b LIMIT 500""".stripMargin
   }
+
+  /** DuckDB twin of Dedup.embeddingNearDupLsh: single-band hyperplane-LSH
+    * bucket blocking (same baked-in md5 hyperplanes as the ANN oracles) with
+    * the shared capped-bucket candidate rule, exact cosine on candidates.
+    */
+  private val nearDupLshSql: String =
+    s"""WITH e AS (SELECT vec_id AS doc_id, embedding FROM embeddings),
+       | buckets AS (SELECT doc_id, 0 AS band, ${lshBucketSql("embedding")} AS bucket FROM e),
+       |${cappedCandSql("buckets")}
+       |SELECT c.id_a, c.id_b, round(${sqlCos("ea.embedding", "eb.embedding")}, 6) AS cos
+       |FROM cand c JOIN e ea ON ea.doc_id = c.id_a JOIN e eb ON eb.doc_id = c.id_b
+       |WHERE round(${sqlCos("ea.embedding", "eb.embedding")}, 6) >= -1.0
+       |ORDER BY cos DESC, id_a, id_b LIMIT 100""".stripMargin
 
   private val ngramJaccardSql: String = {
     val shingles = s"list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
@@ -1188,6 +1208,7 @@ object SparkEntry {
     "q_simhash_pairs" -> simhashPairsSql,
     "q_lsh_pairs" -> lshPairsSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_near_dup_lsh" -> nearDupLshSql,
     "q_near_dup_embedding" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(${sqlCos("a.embedding", "b.embedding")}, 6) AS cos
          |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id

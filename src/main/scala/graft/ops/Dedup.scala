@@ -276,4 +276,31 @@ object Dedup {
         round(vec_cosine(col("a.__v"), col("b.__v")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Embedding near-dup when NO natural blocking attribute exists — the
+    * content-derived scale path: block by the random-hyperplane LSH bucket
+    * of the vector itself ([[SimilaritySearch.lshBucket]], the same md5
+    * hyperplanes the ANN index uses), candidate pairs under the same capped
+    * hot-bucket discipline as the text LSH ([[cappedBucketPairs]] — dense
+    * embedding regions degrade to compare-to-representative, linear per
+    * bucket), exact cosine verification on candidates only. One band (the
+    * bucket is a pure function of the vector), so a pair can collide at
+    * most once. Recall is bucket-local by construction — near-identical
+    * vectors land in the same bucket; raise `bits` for finer blocks or run
+    * multiple rotations for multi-probe recall.
+    */
+  def embeddingNearDupLsh(emb: DataFrame, dims: Int, bits: Int = 8,
+                          threshold: Double = 0.9,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          hotBucketCap: Int = 64): DataFrame = {
+    val buckets = emb.select(col(idCol).as("doc_id"), lit(0).as("band"),
+      graft.ops.SimilaritySearch.lshBucket(col(vecCol), dims, bits).as("bucket"))
+    val cand = cappedBucketPairs(buckets, hotBucketCap)
+    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(vec_cosine(col("__va"), col("__vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 }

@@ -92,6 +92,26 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L))) // (1,4) blocked apart; (1,3) orthogonal
   }
+
+  test("LSH-blocked embedding near-dup finds same-bucket pairs without an attribute") {
+    // identical vectors share an LSH bucket by construction; an orthogonal
+    // vector (overwhelmingly) lands elsewhere — and even when it collides,
+    // the cosine threshold drops it
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0.99f, 0.14f, 0f, 0f)), (4L, Seq(-1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupLsh(emb, dims = 4, bits = 8, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"identical vectors must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"opposite vector must not survive the cosine verify: $pairs")
+    // hot-bucket cap: 100 copies of one vector degrade to rep-star pairs
+    val hot = (0L until 100L).map(i => (i, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val hotPairs = Dedup.embeddingNearDupLsh(hot, dims = 4, bits = 8,
+      threshold = 0.9, hotBucketCap = 10).count()
+    assert(hotPairs == 99L, s"expected 99 rep-star pairs, got $hotPairs")
+  }
 }
 
 class DupClustersSpec extends AnyFunSuite {
