@@ -436,6 +436,13 @@ object SparkEntry {
       val pairs = Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), threshold = 0.3)
       Dedup.dupClusters(pairs).orderBy("doc_id")
     },
+    // the END-TO-END dedup pipeline (the operator a training-data run
+    // actually calls): minhash-LSH pairs at 0.7 → clusters → survivors
+    "q_dedup_corpus" -> { (s, dir) =>
+      Dedup.dedupCorpus(docsPar(s, dir), threshold = 0.7, numHashes = 8,
+        rowsPerBand = 2, shingleSize = 3, hotBucketCap = HotBucketCap)
+        .select("doc_id").orderBy("doc_id")
+    },
     // fused one-scan keep/drop decision pass (lang + quality + tokens + canonicality)
     "q_clean_pipeline" -> { (s, dir) =>
       TextAnalysis.cleanPipeline(docsPar(s, dir))
@@ -731,25 +738,53 @@ object SparkEntry {
        |   SELECT rep AS id_a, doc_id AS id_b FROM bsized
        |     WHERE bsz > $HotBucketCap AND doc_id <> rep))""".stripMargin
 
-  private val lshPairsSql: String = {
+  /** Shared MinHash-LSH CTE chain (8 hashes, 4 bands × 2 rows, 3-shingles,
+    * capped buckets): shingle sets → signatures → band buckets → capped
+    * candidates → `vp` = Jaccard-verified pairs at `threshold`. The DuckDB
+    * twin of Dedup.minhashLsh, reused by the pair gate and the end-to-end
+    * corpus-dedup gate.
+    */
+  private def minhashPairCtes(threshold: Double): String = {
     val shingles = s"list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
     val mhCols = (0 until 8).map(j =>
       s"list_min(list_transform(sh, s -> ${sqlHex60(s"'$j:' || s")})) AS mh$j").mkString(", ")
     val bandRows = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '_' || mh${2 * b + 1}) AS bucket FROM sig")
       .mkString(" UNION ALL ")
-    s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+    s"""t AS (SELECT doc_id, $sqlWords AS w FROM documents),
        | t2 AS (SELECT doc_id, $shingles AS sh FROM t),
        | sig AS (SELECT doc_id, sh, $mhCols FROM t2 WHERE len(sh) > 0),
        | buckets AS ($bandRows),
        |${cappedCandSql("buckets")},
-       | shj AS (SELECT doc_id, list_transform(sh, s -> ${sqlHex60("s")}) AS h FROM t2)
-       |SELECT c.id_a, c.id_b, round(CASE WHEN len(list_distinct(sa.h || sb.h)) = 0 THEN 0.0
-       |  ELSE len(list_intersect(sa.h, sb.h)) / CAST(len(list_distinct(sa.h || sb.h)) AS DOUBLE) END, 6) AS jaccard
-       |FROM cand c JOIN shj sa ON sa.doc_id = c.id_a JOIN shj sb ON sb.doc_id = c.id_b
-       |WHERE jaccard >= 0.0
-       |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
+       | shj AS (SELECT doc_id, list_transform(sh, s -> ${sqlHex60("s")}) AS h FROM t2),
+       | vp AS (SELECT * FROM (
+       |   SELECT c.id_a, c.id_b, round(CASE WHEN len(list_distinct(sa.h || sb.h)) = 0 THEN 0.0
+       |     ELSE len(list_intersect(sa.h, sb.h)) / CAST(len(list_distinct(sa.h || sb.h)) AS DOUBLE) END, 6) AS jaccard
+       |   FROM cand c JOIN shj sa ON sa.doc_id = c.id_a JOIN shj sb ON sb.doc_id = c.id_b)
+       |  WHERE jaccard >= $threshold)""".stripMargin
   }
+
+  private val lshPairsSql: String =
+    s"""WITH ${minhashPairCtes(0.0)}
+       |SELECT id_a, id_b, jaccard FROM vp
+       |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
+
+  /** End-to-end corpus dedup oracle: verified pairs at 0.7 → connected
+    * components (recursive reachability, min label — the fixpoint of
+    * Spark's min-label propagation) → survivors = everything except
+    * non-canonical cluster members.
+    */
+  private val dedupCorpusSql: String =
+    s"""WITH RECURSIVE ${minhashPairCtes(0.7)},
+       | und AS (SELECT id_a AS s, id_b AS d FROM vp UNION SELECT id_b AS s, id_a AS d FROM vp),
+       | n AS (SELECT DISTINCT s AS id FROM und),
+       | reach AS (SELECT id, id AS lbl FROM n
+       |   UNION
+       |   SELECT u.s AS id, r.lbl FROM und u JOIN reach r ON u.d = r.id),
+       | clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+       |SELECT d.doc_id FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB twin of Dedup.simhashPairs (16 bits, 4-bit bands, maxHamming 3,
     * capped buckets).
@@ -1143,6 +1178,7 @@ object SparkEntry {
     "q_pq_topk" -> pqTopkSql,
     "q_pq_ivf_topk" -> pqIvfTopkSql,
     "q_dup_clusters" -> dupClustersSql,
+    "q_dedup_corpus" -> dedupCorpusSql,
     "q_clean_pipeline" -> cleanPipelineSql,
     "q_find_similar_multi" -> findSimilarMultiSql,
     "q_knn_cosine" ->
