@@ -282,7 +282,7 @@ object SparkEntry {
       val path = lshIndexFor(s, dir)
       val probes = emb.filter(col("vec_id") < 5)
         .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
       SimilaritySearch.lshTopKPruned(s, path, probes, dims = 64, k = 5, bits = 8, maxHamming = 2)
         .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
     },

@@ -91,7 +91,7 @@ object TextKernel {
     while (i < sh.length) {
       var j = 0
       while (j < numHashes) {
-        val h = hex60(j + ":" + sh(i))
+        val h = hex60(s"$j:${sh(i)}")
         if (h < sig(j)) sig(j) = h
         j += 1
       }

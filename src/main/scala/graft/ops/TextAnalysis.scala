@@ -130,7 +130,7 @@ object TextAnalysis {
       .withColumn("keep",
         col("is_canonical") && col("quality") >= minQuality &&
         col("n_tokens") >= minTokens && col("lang_pred").isin(keepLangs: _*))
-      .select((scanned.columns.map(col) :+ col("is_canonical") :+ col("keep")): _*)
+      .select((scanned.columns.toIndexedSeq.map(col) :+ col("is_canonical") :+ col("keep")): _*)
   }
 
   /** Corpus-level word frequency: explode word tokens, count, top-k.
