@@ -430,6 +430,13 @@ object SparkEntry {
         threshold = -1.0, hotBucketCap = HotBucketCap)
         .orderBy(desc("cos"), col("id_a").asc, col("id_b").asc).limit(100)
     },
+    // the recall knob: two independent hyperplane rotations (bands), pairs
+    // deduped across bands before the single cosine verify
+    "q_near_dup_lsh_multi" -> { (s, dir) =>
+      Dedup.embeddingNearDupLsh(tbl(s, dir, "embeddings"), dims = 64, bits = 8,
+        threshold = -1.0, hotBucketCap = HotBucketCap, rotations = 2)
+        .orderBy(desc("cos"), col("id_a").asc, col("id_b").asc).limit(100)
+    },
     // pairs → clusters: connected components, canonical = min id (edges
     // from the blocked embedding near-dup join — cos ≥ 0.3 exists at every SF)
     "q_dup_clusters" -> { (s, dir) =>
@@ -810,14 +817,19 @@ object SparkEntry {
     * bucket blocking (same baked-in md5 hyperplanes as the ANN oracles) with
     * the shared capped-bucket candidate rule, exact cosine on candidates.
     */
-  private val nearDupLshSql: String =
+  private def nearDupLshSqlFor(rotations: Int): String = {
+    val bands = (0 until rotations).map { r =>
+      s"SELECT doc_id, $r AS band, ${lshBucketSql("embedding", planeOffset = r * 8)} AS bucket FROM e"
+    }.mkString(" UNION ALL ")
     s"""WITH e AS (SELECT vec_id AS doc_id, embedding FROM embeddings),
-       | buckets AS (SELECT doc_id, 0 AS band, ${lshBucketSql("embedding")} AS bucket FROM e),
+       | buckets AS ($bands),
        |${cappedCandSql("buckets")}
        |SELECT c.id_a, c.id_b, round(${sqlCos("ea.embedding", "eb.embedding")}, 6) AS cos
        |FROM cand c JOIN e ea ON ea.doc_id = c.id_a JOIN e eb ON eb.doc_id = c.id_b
        |WHERE round(${sqlCos("ea.embedding", "eb.embedding")}, 6) >= -1.0
        |ORDER BY cos DESC, id_a, id_b LIMIT 100""".stripMargin
+  }
+  private val nearDupLshSql: String = nearDupLshSqlFor(1)
 
   private val ngramJaccardSql: String = {
     val shingles = s"list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
@@ -886,10 +898,11 @@ object SparkEntry {
     * matrix is baked in as literals (bits×dims terms, same left-to-right
     * double accumulation as the Column formulation).
     */
-  private def lshBucketSql(vecExpr: String, dims: Int = 64, bits: Int = 8): String =
+  private def lshBucketSql(vecExpr: String, dims: Int = 64, bits: Int = 8,
+                           planeOffset: Int = 0): String =
     (0 until bits).map { j =>
       val terms = (0 until dims).map { i =>
-        val sign = if (SimilaritySearch.hyperplaneSign(j, i)) "" else "-"
+        val sign = if (SimilaritySearch.hyperplaneSign(planeOffset + j, i)) "" else "-"
         s"$sign$vecExpr[${i + 1}]::DOUBLE"
       }.mkString(" + ")
       s"(CASE WHEN ($terms) > 0 THEN ${1L << j} ELSE 0 END)"
@@ -1245,6 +1258,7 @@ object SparkEntry {
     "q_lsh_pairs" -> lshPairsSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_near_dup_lsh" -> nearDupLshSql,
+    "q_near_dup_lsh_multi" -> nearDupLshSqlFor(2),
     "q_near_dup_embedding" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(${sqlCos("a.embedding", "b.embedding")}, 6) AS cos
          |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id

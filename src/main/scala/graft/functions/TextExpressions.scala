@@ -245,13 +245,16 @@ case class SimHashExpr(child: Expression, bits: Int) extends StringKernelExpress
   * bits×dims-term generated expression (which took seconds of janino/JIT
   * compilation per plan).
   */
-case class LshBucketExpr(child: Expression, dims: Int, bits: Int) extends UnaryExpression with CodegenFallback {
+case class LshBucketExpr(child: Expression, dims: Int, bits: Int,
+                         planeOffset: Int = 0) extends UnaryExpression with CodegenFallback {
   override def nullable: Boolean = true
   override def dataType: DataType = LongType
   @transient private lazy val signs: Array[Array[Double]] = {
     val md = MessageDigest.getInstance("MD5")
+    // planeOffset shifts into an INDEPENDENT hyperplane set (rotation r uses
+    // planes r·bits … r·bits+bits-1) — multi-rotation blocking for recall
     Array.tabulate(bits, dims) { (j, i) =>
-      val h = md.digest(s"$j:$i".getBytes("UTF-8"))
+      val h = md.digest(s"${planeOffset + j}:$i".getBytes("UTF-8"))
       md.reset()
       if ((h(0) & 1) == 0) 1.0 else -1.0
     }
@@ -362,8 +365,8 @@ object textkernel {
     toColumn(MarkerHitsExpr(toExpression(c), markers))
   def shingle_hashes(c: Column, n: Int): Column = toColumn(ShingleHashesExpr(toExpression(c), n))
   def token_stats(c: Column): Column = toColumn(TokenStatsExpr(toExpression(c)))
-  def lsh_bucket(c: Column, dims: Int, bits: Int): Column =
-    toColumn(LshBucketExpr(toExpression(c), dims, bits))
+  def lsh_bucket(c: Column, dims: Int, bits: Int, planeOffset: Int = 0): Column =
+    toColumn(LshBucketExpr(toExpression(c), dims, bits, planeOffset))
   def jaccard_sorted(a: Column, b: Column): Column =
     toColumn(JaccardSortedExpr(toExpression(a), toExpression(b)))
   def word_shingles(c: Column, n: Int): Column = toColumn(WordShinglesExpr(toExpression(c), n))

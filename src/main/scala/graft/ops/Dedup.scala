@@ -285,16 +285,25 @@ object Dedup {
     * embedding regions degrade to compare-to-representative, linear per
     * bucket), exact cosine verification on candidates only. One band (the
     * bucket is a pure function of the vector), so a pair can collide at
-    * most once. Recall is bucket-local by construction — near-identical
-    * vectors land in the same bucket; raise `bits` for finer blocks or run
-    * multiple rotations for multi-probe recall.
+    * most once per rotation. Recall is bucket-local by construction —
+    * near-identical vectors land in the same bucket; raise `bits` for finer
+    * blocks, or raise `rotations` for recall: each rotation hashes against
+    * an INDEPENDENT hyperplane set (planes r·bits…) and contributes its own
+    * band of buckets — a pair near-missed by one rotation's cut gets
+    * another chance in the next (the vector analog of MinHash banding;
+    * P[blocked together] = 1-(1-p)^r for per-rotation collision p).
+    * Cross-rotation duplicate candidates collapse in [[cappedBucketPairs]].
     */
   def embeddingNearDupLsh(emb: DataFrame, dims: Int, bits: Int = 8,
                           threshold: Double = 0.9,
                           idCol: String = "vec_id", vecCol: String = "embedding",
-                          hotBucketCap: Int = 64): DataFrame = {
-    val buckets = emb.select(col(idCol).as("doc_id"), lit(0).as("band"),
-      graft.ops.SimilaritySearch.lshBucket(col(vecCol), dims, bits).as("bucket"))
+                          hotBucketCap: Int = 64, rotations: Int = 1): DataFrame = {
+    require(rotations >= 1, s"need >= 1 rotation, got $rotations")
+    val buckets = (0 until rotations).map { r =>
+      emb.select(col(idCol).as("doc_id"), lit(r).as("band"),
+        graft.ops.SimilaritySearch.lshBucket(col(vecCol), dims, bits,
+          planeOffset = r * bits).as("bucket"))
+    }.reduce(_.unionByName(_))
     val cand = cappedBucketPairs(buckets, hotBucketCap)
     val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))

@@ -73,8 +73,8 @@ object SimilaritySearch {
     * twin bakes the same sign matrix in as literals, and the compiled kernel
     * accumulates in the same left-to-right double order.
     */
-  def lshBucket(vecCol: Column, dims: Int, bits: Int = 8): Column =
-    graft.functions.textkernel.lsh_bucket(vecCol, dims, bits)
+  def lshBucket(vecCol: Column, dims: Int, bits: Int = 8, planeOffset: Int = 0): Column =
+    graft.functions.textkernel.lsh_bucket(vecCol, dims, bits, planeOffset)
 
   /** ±1 hyperplane component: parity of the first md5 byte of "j:i". */
   def hyperplaneSign(j: Int, i: Int): Boolean = {

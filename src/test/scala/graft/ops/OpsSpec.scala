@@ -112,6 +112,20 @@ class DedupSpec extends AnyFunSuite {
       threshold = 0.9, hotBucketCap = 10).count()
     assert(hotPairs == 99L, s"expected 99 rep-star pairs, got $hotPairs")
   }
+
+  test("multi-rotation LSH blocking adds recall and collapses cross-band duplicates") {
+    val rnd = new scala.util.Random(42)
+    val emb = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    def pairs(rot: Int) = Dedup.embeddingNearDupLsh(emb, dims = 16, bits = 6,
+      threshold = -1.0, rotations = rot).select("id_a", "id_b").as[(Long, Long)].collect()
+    val p1 = pairs(1).toSet
+    val p2list = pairs(2)
+    val p2 = p2list.toSet
+    assert(p2list.length == p2.size, "cross-band duplicate candidates must collapse")
+    assert(p1.subsetOf(p2), "rotation-0 pairs must survive adding a rotation")
+    assert(p2.size > p1.size, "an independent rotation should block new pairs together")
+  }
 }
 
 class DupClustersSpec extends AnyFunSuite {
