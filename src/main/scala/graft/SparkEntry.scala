@@ -381,6 +381,16 @@ object SparkEntry {
         .select(col("doc_id"), col("score"), col("key"))
         .orderBy(desc("score"), col("doc_id").asc)
     },
+    // the IVF×PQ variant: the delta row rides the codes index (kernel-encoded
+    // against the stored codebooks), search stays cell-pruned ADC + rerank
+    "q_ann_vi_pq_incr" -> { (s, dir) =>
+      val vi = viPqIncrIndexFor(s, dir)
+      vi.searchVector(probeVec(s, dir), k = 5, threshold = -2.0,
+          mode = SearchMode.IvfPq(nCells = 16, nProbe = 4, m = 8, ksub = 16,
+            refine = 4, lloydIters = 0))
+        .select(col("doc_id"), col("score"), col("key"))
+        .orderBy(desc("score"), col("doc_id").asc)
+    },
     // J5 union path: probe object has many chunks (vec_id % 50 == 7), all
     // searched in ONE broadcast scan, then first-per-key dedup + self-exclude
     "q_find_similar_multi" -> { (s, dir) =>
@@ -706,6 +716,22 @@ object SparkEntry {
         ann = Seq(SearchMode.Lsh(bits = 8, maxHamming = 2))))
     })
 
+  /** IVF×PQ twin — the most complex incremental path: the delta row's CODES
+    * are produced by the compiled encode kernel against the STORED
+    * codebooks, and search overlays them into the cell-pruned ADC scan.
+    */
+  private val viPqIncrIndexes = scala.collection.concurrent.TrieMap.empty[String, VectorIndex]
+  private def viPqIncrIndexFor(s: SparkSession, dir: String): VectorIndex =
+    viPqIncrIndexes.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-vi-pqi").toString + "/idx"
+      viIncrMutations(s, dir, new VectorIndex(s,
+        IndexConfig("emb_pqi", "vec_id", Seq(EmbeddingField("text"))),
+        HashEmbeddingBackend(64), graft.embed.EchoChatBackend(),
+        path, "emb", "vec_id",
+        ann = Seq(SearchMode.IvfPq(nCells = 16, nProbe = 4, m = 8, ksub = 16,
+          refine = 4, lloydIters = 0))))
+    })
+
   // ------------------------------------------------------------- oracle SQL
 
   private val minhashSigSql: String = {
@@ -968,7 +994,7 @@ object SparkEntry {
     * of ProductQuantization.pqTrain (lloydIters=0) + pqEncode with the same
     * tie rules (d2 ASC, code ASC).
     */
-  private val pqCtes: String =
+  private def pqCtesFor(corpus: String): String =
     s"""cb0 AS (SELECT embedding AS cv, row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS code
        |   FROM (SELECT vec_id, embedding, ${sqlHex60("'pq:' || vec_id")} AS h FROM embeddings
        |         ORDER BY h ASC, vec_id ASC LIMIT 16)),
@@ -976,10 +1002,16 @@ object SparkEntry {
        | cb AS (SELECT s.sub, c.code, c.cv[s.sub*8 + 1 : s.sub*8 + 8] AS scv FROM cb0 c, subs s),
        | encd AS (SELECT e.vec_id, e.embedding, cb.sub, cb.code,
        |     ${sqlL2Sq("e.embedding[cb.sub*8 + 1 : cb.sub*8 + 8]", "cb.scv")} AS d2
-       |   FROM embeddings e, cb),
+       |   FROM $corpus e, cb),
        | enc AS (SELECT vec_id, embedding, sub, code FROM (SELECT *,
        |     row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM encd)
        |   WHERE rn = 1)""".stripMargin
+
+  /** Codebooks always train on the base `embeddings` corpus; `encd` encodes
+    * whatever corpus relation a gate needs (the live corpus for the
+    * incremental-overlay gate).
+    */
+  private val pqCtes: String = pqCtesFor("embeddings")
 
   private val pqEncodeSql: String =
     s"""WITH $pqCtes
@@ -1165,11 +1197,49 @@ object SparkEntry {
        |SELECT vec_id AS doc_id, score, 'emb:' || vec_id AS key FROM ranked WHERE rank <= 5
        |ORDER BY score DESC, doc_id""".stripMargin
 
+  /** IVF×PQ twin of [[annViIvfIncrSql]]: codebooks and centroids train on
+    * the base corpus (they persist across mutations), the live corpus
+    * (minus vec 2, plus 1000001) is encoded/assigned against them, probe =
+    * vec 0 → 4 cells → integer-exact ADC over candidate codes → top
+    * k·refine → exact cosine rerank against the LIVE corpus (the new row's
+    * vector hydrates from the merged document store).
+    */
+  private val annViPqIncrSql: String =
+    s"""WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 2
+       |   UNION ALL SELECT 1000001 AS vec_id, embedding FROM embeddings WHERE vec_id = 1),
+       | ${pqCtesFor("corp")},
+       | c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |   ORDER BY ${sqlHex60("'ivf:' || vec_id")} ASC, vec_id ASC LIMIT 16),
+       | ad AS (SELECT e.vec_id, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist FROM corp e, c),
+       | assign AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM ad) WHERE rn = 1),
+       | q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       | pd AS (SELECT c.cid, ${sqlL2("q.qv", "c.cv")} AS dist FROM q, c),
+       | pc AS (SELECT cid AS cell FROM (SELECT cid,
+       |   row_number() OVER (ORDER BY dist ASC, cid ASC) AS rn FROM pd) WHERE rn <= 4),
+       | lut AS (SELECT cb.sub, cb.code,
+       |     CAST(round(${sqlL2Sq("q.qv[cb.sub*8 + 1 : cb.sub*8 + 8]", "cb.scv")} * 1e6) AS BIGINT) AS d
+       |   FROM q, cb),
+       | adc AS (SELECT a.vec_id, sum(l.d) AS dist
+       |   FROM pc JOIN assign a ON a.cell = pc.cell
+       |   JOIN enc ON enc.vec_id = a.vec_id
+       |   JOIN lut l ON l.sub = enc.sub AND l.code = enc.code
+       |   GROUP BY a.vec_id),
+       | cand AS (SELECT vec_id FROM (SELECT vec_id,
+       |   row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS rn FROM adc) WHERE rn <= 20),
+       | rer AS (SELECT cd.vec_id, round(${sqlCos("e.embedding", "q.qv")}, 6) AS score
+       |   FROM cand cd JOIN corp e ON e.vec_id = cd.vec_id, q),
+       | ranked AS (SELECT vec_id, score,
+       |   row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rn FROM rer)
+       |SELECT vec_id AS doc_id, score, 'emb:' || vec_id AS key FROM ranked WHERE rn <= 5
+       |ORDER BY score DESC, doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_store_delta" -> storeDeltaSql,
     "q_store_fold" -> storeDeltaSql,
     "q_ann_vi_ivf_incr" -> annViIvfIncrSql,
     "q_ann_vi_lsh_incr" -> annViLshIncrSql,
+    "q_ann_vi_pq_incr" -> annViPqIncrSql,
     "q_chunk" -> chunkOracleSql,
     "q_dims_filter" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings
