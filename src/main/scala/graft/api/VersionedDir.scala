@@ -125,8 +125,20 @@ final class VersionedDir(spark: SparkSession, val root: String, keepVersions: In
     val tmp = new Path(rootPath, s"_CURRENT_tmp_$next")
     val out = f.create(tmp, true)
     try out.write(next.getBytes("UTF-8")) finally out.close()
-    if (f.exists(manifestPath)) f.delete(manifestPath, false)
-    require(f.rename(tmp, manifestPath), s"manifest flip failed for $root -> $next")
+    // delete+rename is not atomic: a racing writer can install its manifest
+    // between our delete and rename, failing the rename (dest exists). Each
+    // failed attempt means someone else just flipped — delete and retry, so
+    // every writer completes and the LAST flip wins (the documented
+    // concurrent-writer contract). Bounded: one failure per concurrent
+    // writer is the worst case.
+    var attempts = 0
+    var flipped = false
+    while (!flipped) {
+      attempts += 1
+      require(attempts <= 64, s"manifest flip failed for $root -> $next after $attempts attempts")
+      if (f.exists(manifestPath)) f.delete(manifestPath, false)
+      flipped = f.rename(tmp, manifestPath)
+    }
     listVersions.dropRight(keepVersions).foreach { v =>
       f.delete(new Path(rootPath, v), true)
       f.delete(new Path(rootPath, s"$v.deltas"), true) // sidecars die with their base
