@@ -61,6 +61,28 @@ class VectorExpressionSpec extends AnyFunSuite {
     assert(n == 50)
   }
 
+  test("text kernels registered for SQL (literal config args parameterize the kernel)") {
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text").createOrReplaceTempView("tt")
+    val row = spark.sql(
+      """SELECT minhash_sig(text, 8, 3) AS mh, simhash(text, 16) AS sh,
+        |  token_stats(text) AS ts, word_shingles(text, 3) AS ws,
+        |  winnow_fp(text) AS fp,
+        |  jaccard_sorted(shingle_hashes(text, 3), shingle_hashes(text, 3)) AS j
+        |FROM tt""".stripMargin).head()
+    assert(row.getSeq[Long](0).length == 8)
+    assert(row.getStruct(2).getLong(1) == 9L) // whitespace token count
+    assert(row.getDouble(5) == 1.0)
+    // lsh_bucket on a float array column, with the rotation offset arg
+    Seq((1L, Seq(1f, -2f, 3f, -4f))).toDF("id", "v").createOrReplaceTempView("vv")
+    val b = spark.sql("SELECT lsh_bucket(v, 4, 8) AS b0, lsh_bucket(v, 4, 8, 8) AS b1 FROM vv").head()
+    assert(!b.isNullAt(0) && !b.isNullAt(1))
+    // non-literal config arg is rejected loudly
+    val err = intercept[Exception](
+      spark.sql("SELECT minhash_sig(text, CAST(id AS INT), 3) FROM tt").head())
+    assert(err.getMessage.contains("literal"), err.getMessage)
+  }
+
   test("interpreted eval matches codegen result") {
     // force interpreted path through the expression's eval directly
     val a = rows.head._1; val b = rows.head._2
