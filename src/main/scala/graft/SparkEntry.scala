@@ -460,6 +460,13 @@ object SparkEntry {
         rowsPerBand = 2, shingleSize = 3, hotBucketCap = HotBucketCap)
         .select("doc_id").orderBy("doc_id")
     },
+    // sequence packing under a 512-token budget — the global cumsum is a
+    // parallel prefix sum over data-derived id-range groups, never a
+    // single-partition window (targetGroups forced > 1 at this corpus size)
+    "q_pack_sequences" -> { (s, dir) =>
+      TextAnalysis.packSequences(docsPar(s, dir), tokenBudget = 512,
+        targetGroups = 64).orderBy("doc_id")
+    },
     // fused one-scan keep/drop decision pass (lang + quality + tokens + canonicality)
     "q_clean_pipeline" -> { (s, dir) =>
       TextAnalysis.cleanPipeline(docsPar(s, dir))
@@ -1262,6 +1269,15 @@ object SparkEntry {
     "q_pq_ivf_topk" -> pqIvfTopkSql,
     "q_dup_clusters" -> dupClustersSql,
     "q_dedup_corpus" -> dedupCorpusSql,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(ceil(greatest(ceil(length(text) / 4.0), ceil(len(regexp_extract_all(text, '[^\w\s]|\w+')) * 0.75))) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | c AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+        |  FROM t)
+        |SELECT doc_id, n_tokens, tok_before, CAST(tok_before // 512 AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_clean_pipeline" -> cleanPipelineSql,
     "q_find_similar_multi" -> findSimilarMultiSql,
     "q_knn_cosine" ->

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.textfn._
@@ -142,4 +143,49 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("word").asc)
       .limit(k)
+
+  /** Sequence packing for training-data assembly: documents in
+    * deterministic `idCol` order fill fixed-token-budget bins — a document
+    * lands in bin `tokens_before div budget` (contiguous greedy fill;
+    * documents stay atomic, a bin absorbs the doc that crosses its
+    * boundary). Returns (doc_id, n_tokens, tok_before, bin).
+    *
+    * The global running total is a PARALLEL prefix sum, never a
+    * single-partition window: rows group into DATA-DERIVED id-range chunks
+    * (`(doc_id - minId) div span`, ≤ ~1k groups — deterministic, unlike
+    * spark_partition_id(), which is re-sampled per action under a range
+    * exchange), group totals are map-side-combined and collected (one tiny
+    * row per group), and each group runs a LOCAL cumsum window shifted by
+    * the preceding groups' totals. Two scans of the sized projection + one
+    * tiny collect — at any scale the windows are parallel across groups and
+    * each is bounded by the group's id span.
+    */
+  def packSequences(docs: DataFrame, tokenBudget: Long,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    targetGroups: Long = 1024L): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive: $tokenBudget")
+    val sized = docs.select(col(idCol).cast("long").as("doc_id"),
+      token_stats(col(textCol)).getField("n_tokens_naive").as("n_tokens"))
+    val bounds = sized.agg(min("doc_id"), max("doc_id")).head()
+    if (bounds.isNullAt(0)) // empty corpus: empty result, stable schema
+      return sized.select(col("doc_id"), col("n_tokens"),
+        lit(0L).as("tok_before"), lit(0L).as("bin")).limit(0)
+    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, (maxId - minId + targetGroups) / targetGroups)
+    val grouped = sized.withColumn("__grp", expr(s"(doc_id - $minId) div $span"))
+    val totals = grouped.groupBy("__grp").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Long, Long] = totals
+      .scanLeft((-1L, 0L)) { case ((_, acc), (g, t)) => (g, acc + t) }
+      .sliding(2).collect { case Array((_, acc), (g, _)) => g -> acc }.toMap
+    val offCol = typedLit(if (offsets.isEmpty) Map(0L -> 0L) else offsets)
+    val w = Window.partitionBy("__grp").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grouped
+      .withColumn("tok_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)) +
+          coalesce(element_at(offCol, col("__grp")), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("tok_before"),
+        expr(s"tok_before div $tokenBudget").as("bin"))
+  }
 }

@@ -212,6 +212,34 @@ class CleanPipelineSpec extends AnyFunSuite {
     assert(canon.toSeq == Seq(1L)) // lowest id canonical, all 1000 rows survive
     assert(out.count() == 1000)
   }
+
+  test("packSequences: parallel prefix sum matches the naive global cumsum; docs stay atomic") {
+    val docs = (0L until 300L).map(i => (i, ("word " * (1 + (i % 37).toInt)).trim))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs, tokenBudget = 100, targetGroups = 11)
+      .orderBy("doc_id").collect()
+    assert(got.length == 300)
+    var cum = 0L
+    got.foreach { r =>
+      assert(r.getLong(2) == cum, s"tok_before mismatch at doc ${r.getLong(0)}")
+      assert(r.getLong(3) == cum / 100, s"bin rule violated at doc ${r.getLong(0)}")
+      cum += r.getLong(1)
+    }
+    // its Window is partitioned by the id-range group — never global
+    val p = TextAnalysis.packSequences(docs, 100, targetGroups = 11)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition(doc_id"), p)
+    // sparse, non-contiguous ids still order + accumulate correctly
+    val sparse = Seq((5L, "a b c"), (1000000L, "d e"), (7L, "x y z w")).toDF("doc_id", "text")
+    val s2 = TextAnalysis.packSequences(sparse, 4, targetGroups = 4)
+      .orderBy("doc_id").collect()
+    assert(s2.map(_.getLong(0)).toSeq == Seq(5L, 7L, 1000000L))
+    var c2 = 0L
+    s2.foreach { r => assert(r.getLong(2) == c2); c2 += r.getLong(1) }
+    // empty corpus: empty result, stable schema
+    assert(TextAnalysis.packSequences(docs.filter(col("doc_id") < 0), 10).count() == 0)
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
