@@ -467,6 +467,13 @@ object SparkEntry {
       TextAnalysis.packSequences(docsPar(s, dir), tokenBudget = 512,
         targetGroups = 64).orderBy("doc_id")
     },
+    // deterministic train/val/test split: md5-derived draw per id, binary-
+    // exact cuts (0.75/0.125/0.125) — membership stable under corpus growth
+    "q_split_assign" -> { (s, dir) =>
+      graft.ops.Sampling.splitAssign(tbl(s, dir, "documents").select("doc_id"),
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .orderBy("doc_id")
+    },
     // fused one-scan keep/drop decision pass (lang + quality + tokens + canonicality)
     "q_clean_pipeline" -> { (s, dir) =>
       TextAnalysis.cleanPipeline(docsPar(s, dir))
@@ -1278,6 +1285,13 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tokens, tok_before, CAST(tok_before // 512 AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_split_assign" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    ${sqlHex60("'split:' || doc_id")} / 1152921504606846976.0 AS u
+         |  FROM documents)
+         |SELECT doc_id, CASE WHEN u < 0.75 THEN 'train'
+         |  WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split
+         |FROM t ORDER BY doc_id""".stripMargin,
     "q_clean_pipeline" -> cleanPipelineSql,
     "q_find_similar_multi" -> findSimilarMultiSql,
     "q_knn_cosine" ->

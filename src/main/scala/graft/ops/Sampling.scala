@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.textfn._
+
+/** Deterministic sampling/splitting for training-data assembly. Every draw
+  * is a pure function of (salt, id) via md5 — stable across runs, engines,
+  * partitionings, and corpus growth: a document's split/sample membership
+  * NEVER changes when other documents arrive, unlike `randomSplit`/
+  * `sample`, which re-deal on any partitioning change. All per-row
+  * projections/filters — no shuffle, scan-speed at any scale.
+  */
+object Sampling {
+
+  private val Hex60Range = (1L << 60).toDouble
+
+  /** Uniform draw u(id) in [0,1): 60-bit md5 hash of "salt:id" over 2^60.
+    * SQL twin: CAST('0x' || substr(md5('salt:' || id), 1, 15) AS BIGINT) /
+    * 1152921504606846976.0
+    */
+  private def draw(idCol: Column, salt: String): Column =
+    hexhash60(concat(lit(s"$salt:"), idCol.cast("string"))) / lit(Hex60Range)
+
+  /** Train/val/test assignment: the id's draw falls into the cumulative-
+    * weight interval of a split. Weights that are exact in binary (0.75,
+    * 0.125, …) give bit-identical cut points across engines; arbitrary
+    * weights are fine operationally (the ~1-ulp cut fuzz moves a ~1e-17
+    * sliver of draws).
+    */
+  def splitAssign(df: DataFrame, splits: Seq[(String, Double)],
+                  idCol: String = "doc_id", salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"positive split weights required: $splits")
+    val total = splits.map(_._2).sum
+    val cuts = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val u = draw(col(idCol), salt)
+    val assigned = splits.zip(cuts).init
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), cut), acc) => when(u < lit(cut), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
+  /** Deterministic Bernoulli sample: keep ids whose draw < fraction.
+    * Different salts give independent samples; the same salt gives NESTED
+    * samples (fraction 0.1 ⊂ fraction 0.2) — handy for scaling-law subsets.
+    */
+  def sampleFraction(df: DataFrame, fraction: Double,
+                     idCol: String = "doc_id", salt: String = "sample"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
+    df.filter(draw(col(idCol), salt) < lit(fraction))
+  }
+
+  /** Stable pseudo-random training order: a `shuffle_key` column to sort or
+    * range-partition by — the deterministic analog of shuffling the corpus
+    * before sequence packing.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String = "doc_id",
+                   salt: String = "shuffle"): DataFrame =
+    df.withColumn("shuffle_key",
+      hexhash60(concat(lit(s"$salt:"), col(idCol).cast("string"))))
+}

@@ -635,3 +635,38 @@ class SkewSpec extends AnyFunSuite {
     def toMap2: Map[Long, (Double, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 }
+
+class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  test("splitAssign is stable under corpus growth and roughly proportional") {
+    val splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val s1 = Sampling.splitAssign((0L until 500L).toDF("doc_id"), splits)
+      .as[(Long, String)].collect().toMap
+    val s2 = Sampling.splitAssign((0L until 2000L).toDF("doc_id"), splits)
+      .as[(Long, String)].collect().toMap
+    assert(s1.forall { case (id, sp) => s2(id) == sp }, "growth must never re-deal")
+    val counts = s2.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 1400 && counts("train") < 1600, counts.toString)
+  }
+
+  test("sampleFraction nests for the same salt; a different salt re-deals") {
+    val ids = (0L until 2000L).toDF("doc_id")
+    val s10 = Sampling.sampleFraction(ids, 0.1).as[Long].collect().toSet
+    val s20 = Sampling.sampleFraction(ids, 0.2).as[Long].collect().toSet
+    assert(s10.subsetOf(s20), "same-salt samples must nest")
+    assert(s20.size > 300 && s20.size < 500, s"~400 expected: ${s20.size}")
+    assert(Sampling.sampleFraction(ids, 0.2, salt = "other").as[Long].collect().toSet != s20)
+  }
+
+  test("shuffleOrder is deterministic, collision-free here, and actually shuffles") {
+    val ids = (0L until 1000L).toDF("doc_id")
+    def keys() = Sampling.shuffleOrder(ids).orderBy("shuffle_key")
+      .as[(Long, Long)].collect()
+    val k1 = keys(); val k2 = keys()
+    assert(k1.toSeq == k2.toSeq)
+    assert(k1.map(_._2).distinct.length == 1000)
+    assert(k1.map(_._1).toSeq != (0L until 1000L).toSeq)
+  }
+}
