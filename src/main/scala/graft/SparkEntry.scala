@@ -467,6 +467,11 @@ object SparkEntry {
       TextAnalysis.packSequences(docsPar(s, dir), tokenBudget = 512,
         targetGroups = 64).orderBy("doc_id")
     },
+    // per-language packing: each group gets its own prefix sum + bins
+    "q_pack_by_lang" -> { (s, dir) =>
+      TextAnalysis.packSequences(docsPar(s, dir), tokenBudget = 512,
+        targetGroups = 64, groupCol = Some("lang")).orderBy("lang", "doc_id")
+    },
     // deterministic train/val/test split: md5-derived draw per id, binary-
     // exact cuts (0.75/0.125/0.125) — membership stable under corpus growth
     "q_split_assign" -> { (s, dir) =>
@@ -1285,6 +1290,15 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tokens, tok_before, CAST(tok_before // 512 AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_pack_by_lang" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |    CAST(ceil(greatest(ceil(length(text) / 4.0), ceil(len(regexp_extract_all(text, '[^\w\s]|\w+')) * 0.75))) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | c AS (SELECT lang, doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+        |  FROM t)
+        |SELECT lang, doc_id, n_tokens, tok_before, CAST(tok_before // 512 AS BIGINT) AS bin
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
     "q_split_assign" ->
       s"""WITH t AS (SELECT doc_id,
          |    ${sqlHex60("'split:' || doc_id")} / 1152921504606846976.0 AS u

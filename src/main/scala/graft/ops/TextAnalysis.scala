@@ -162,30 +162,44 @@ object TextAnalysis {
     */
   def packSequences(docs: DataFrame, tokenBudget: Long,
                     idCol: String = "doc_id", textCol: String = "text",
-                    targetGroups: Long = 1024L): DataFrame = {
+                    targetGroups: Long = 1024L,
+                    /** Pack WITHIN each value of this column (per-source /
+                      * per-language bins — each group gets its own
+                      * independent prefix sum and bin numbering).
+                      */
+                    groupCol: Option[String] = None): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget must be positive: $tokenBudget")
-    val sized = docs.select(col(idCol).cast("long").as("doc_id"),
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val gk = groupCol.map(c => col(c).cast("string")).getOrElse(lit(""))
+    val sized = docs.select(gk.as("__gk"), col(idCol).cast("long").as("doc_id"),
       token_stats(col(textCol)).getField("n_tokens_naive").as("n_tokens"))
+    val outCols = groupCol.map(c => col("__gk").as(c)).toSeq ++ Seq(
+      col("doc_id"), col("n_tokens"), col("tok_before"),
+      expr(s"tok_before div $tokenBudget").as("bin"))
     val bounds = sized.agg(min("doc_id"), max("doc_id")).head()
     if (bounds.isNullAt(0)) // empty corpus: empty result, stable schema
-      return sized.select(col("doc_id"), col("n_tokens"),
-        lit(0L).as("tok_before"), lit(0L).as("bin")).limit(0)
+      return sized.withColumn("tok_before", lit(0L)).select(outCols: _*).limit(0)
     val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1L, (maxId - minId + targetGroups) / targetGroups)
     val grouped = sized.withColumn("__grp", expr(s"(doc_id - $minId) div $span"))
-    val totals = grouped.groupBy("__grp").agg(sum("n_tokens").as("t"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets: Map[Long, Long] = totals
-      .scanLeft((-1L, 0L)) { case ((_, acc), (g, t)) => (g, acc + t) }
-      .sliding(2).collect { case Array((_, acc), (g, _)) => g -> acc }.toMap
-    val offCol = typedLit(if (offsets.isEmpty) Map(0L -> 0L) else offsets)
-    val w = Window.partitionBy("__grp").orderBy("doc_id")
+    // one tiny row per (group, chunk); per-group running offsets driver-side
+    val totals = grouped.groupBy("__gk", "__grp").agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(totals.length <= 4_000_000,
+      s"groupCol cardinality x id chunks too large to collect (${totals.length}); lower targetGroups")
+    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      rows.toSeq.sortBy(_._2)
+        .scanLeft((-1L, 0L)) { case ((_, acc), (_, grp, t)) => (grp, acc + t) }
+        .sliding(2).collect { case Seq((_, acc), (grp, _)) => (g, grp, acc) }
+    }
+    val offsetsDf = offsets.toDF("__gk", "__grp", "__off")
+    val w = Window.partitionBy("__gk", "__grp").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     grouped
+      .join(broadcast(offsetsDf), Seq("__gk", "__grp"), "left")
       .withColumn("tok_before",
-        coalesce(sum("n_tokens").over(w), lit(0L)) +
-          coalesce(element_at(offCol, col("__grp")), lit(0L)))
-      .select(col("doc_id"), col("n_tokens"), col("tok_before"),
-        expr(s"tok_before div $tokenBudget").as("bin"))
+        coalesce(sum("n_tokens").over(w), lit(0L)) + coalesce(col("__off"), lit(0L)))
+      .select(outCols: _*)
   }
 }
