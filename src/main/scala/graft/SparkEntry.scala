@@ -472,6 +472,13 @@ object SparkEntry {
       TextAnalysis.packSequences(docsPar(s, dir), tokenBudget = 512,
         targetGroups = 64, groupCol = Some("lang")).orderBy("lang", "doc_id")
     },
+    // deterministic domain mixing: en upsampled 2x, de downsampled 0.5x,
+    // order = ascending per-group rank/weight (parallel prefix rank)
+    "q_mixture_order" -> { (s, dir) =>
+      TextAnalysis.mixtureOrder(docsPar(s, dir),
+        Map("en" -> 2.0, "de" -> 0.5), groupCol = "lang", targetGroups = 64)
+        .orderBy(col("pos").asc, col("lang").asc, col("doc_id").asc)
+    },
     // deterministic train/val/test split: md5-derived draw per id, binary-
     // exact cuts (0.75/0.125/0.125) — membership stable under corpus growth
     "q_split_assign" -> { (s, dir) =>
@@ -1299,6 +1306,13 @@ object SparkEntry {
         |  FROM t)
         |SELECT lang, doc_id, n_tokens, tok_before, CAST(tok_before // 512 AS BIGINT) AS bin
         |FROM c ORDER BY lang, doc_id""".stripMargin,
+    "q_mixture_order" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rank_in_group
+        |  FROM documents)
+        |SELECT lang, doc_id, CAST(rank_in_group AS BIGINT) AS rank_in_group,
+        |  round(rank_in_group / (CASE lang WHEN 'en' THEN 2.0 WHEN 'de' THEN 0.5 ELSE 1.0 END), 6) AS pos
+        |FROM r ORDER BY pos ASC, lang ASC, doc_id ASC""".stripMargin,
     "q_split_assign" ->
       s"""WITH t AS (SELECT doc_id,
          |    ${sqlHex60("'split:' || doc_id")} / 1152921504606846976.0 AS u

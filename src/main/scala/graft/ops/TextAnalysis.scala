@@ -169,25 +169,43 @@ object TextAnalysis {
                       */
                     groupCol: Option[String] = None): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget must be positive: $tokenBudget")
-    val spark = docs.sparkSession
-    import spark.implicits._
     val gk = groupCol.map(c => col(c).cast("string")).getOrElse(lit(""))
     val sized = docs.select(gk.as("__gk"), col(idCol).cast("long").as("doc_id"),
       token_stats(col(textCol)).getField("n_tokens_naive").as("n_tokens"))
     val outCols = groupCol.map(c => col("__gk").as(c)).toSeq ++ Seq(
       col("doc_id"), col("n_tokens"), col("tok_before"),
       expr(s"tok_before div $tokenBudget").as("bin"))
+    prefixSum(sized, targetGroups, "tok_before") match {
+      case None      => sized.withColumn("tok_before", lit(0L)).select(outCols: _*).limit(0)
+      case Some(cum) => cum.select(outCols: _*)
+    }
+  }
+
+  /** Parallel prefix sum of `n_tokens` in (group `__gk`, doc_id) order —
+    * the shared core of [[packSequences]] and [[mixtureOrder]]. Input needs
+    * (__gk: string, doc_id: long, n_tokens: long); output adds `outCol` =
+    * sum of n_tokens over STRICTLY PRECEDING docs of the same __gk. None
+    * for an empty input (caller shapes the empty frame).
+    *
+    * Mechanics: rows chunk into data-derived id ranges (never
+    * spark_partition_id — a range exchange re-samples boundaries per
+    * action), per-(group, chunk) totals are map-side-combined and collected
+    * (tiny), running offsets computed driver-side, then each (group, chunk)
+    * runs a LOCAL cumsum window shifted by its offset via a broadcast join.
+    */
+  private def prefixSum(sized: DataFrame, targetGroups: Long,
+                        outCol: String): Option[DataFrame] = {
+    val spark = sized.sparkSession
+    import spark.implicits._
     val bounds = sized.agg(min("doc_id"), max("doc_id")).head()
-    if (bounds.isNullAt(0)) // empty corpus: empty result, stable schema
-      return sized.withColumn("tok_before", lit(0L)).select(outCols: _*).limit(0)
+    if (bounds.isNullAt(0)) return None
     val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(1L, (maxId - minId + targetGroups) / targetGroups)
     val grouped = sized.withColumn("__grp", expr(s"(doc_id - $minId) div $span"))
-    // one tiny row per (group, chunk); per-group running offsets driver-side
     val totals = grouped.groupBy("__gk", "__grp").agg(sum("n_tokens").as("t"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     require(totals.length <= 4_000_000,
-      s"groupCol cardinality x id chunks too large to collect (${totals.length}); lower targetGroups")
+      s"group cardinality x id chunks too large to collect (${totals.length}); lower targetGroups")
     val offsets = totals.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
       rows.toSeq.sortBy(_._2)
         .scanLeft((-1L, 0L)) { case ((_, acc), (_, grp, t)) => (grp, acc + t) }
@@ -196,10 +214,40 @@ object TextAnalysis {
     val offsetsDf = offsets.toDF("__gk", "__grp", "__off")
     val w = Window.partitionBy("__gk", "__grp").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    grouped
+    Some(grouped
       .join(broadcast(offsetsDf), Seq("__gk", "__grp"), "left")
-      .withColumn("tok_before",
-        coalesce(sum("n_tokens").over(w), lit(0L)) + coalesce(col("__off"), lit(0L)))
-      .select(outCols: _*)
+      .withColumn(outCol,
+        coalesce(sum("n_tokens").over(w), lit(0L)) + coalesce(col("__off"), lit(0L))))
+  }
+
+  /** Deterministic mixture interleave (domain mixing): emit groups'
+    * documents in an order where group g appears in proportion to
+    * `weights(g)` — document r (1-based rank within its group, id order)
+    * gets position `r / weight`, and the global training order is
+    * ascending position. A weight-2.0 group places a doc every 0.5
+    * positions; a weight-0.5 group every 2 — upsampling without
+    * materializing repeats. Rank is the same parallel prefix machinery as
+    * [[packSequences]] with count-1 payloads (never a per-group global
+    * window, which would funnel a giant domain into one task). Groups
+    * absent from `weights` get weight 1.
+    */
+  def mixtureOrder(docs: DataFrame, weights: Map[String, Double],
+                   groupCol: String, idCol: String = "doc_id",
+                   targetGroups: Long = 1024L): DataFrame = {
+    require(weights.values.forall(_ > 0), s"positive weights required: $weights")
+    val sized = docs.select(col(groupCol).cast("string").as("__gk"),
+      col(idCol).cast("long").as("doc_id"), lit(1L).as("n_tokens"))
+    val wCol = weights.foldLeft(lit(1.0)) { case (acc, (g, wt)) =>
+      when(col("__gk") === g, lit(wt)).otherwise(acc)
+    }
+    prefixSum(sized, targetGroups, "__rank0") match {
+      case None => sized.select(col("__gk").as(groupCol), col("doc_id"),
+        lit(0L).as("rank_in_group"), lit(0.0).as("pos")).limit(0)
+      case Some(cum) => cum
+        .withColumn("rank_in_group", col("__rank0") + 1)
+        .withColumn("pos", round(col("rank_in_group") / wCol, 6))
+        .select(col("__gk").as(groupCol), col("doc_id"),
+          col("rank_in_group"), col("pos"))
+    }
   }
 }

@@ -240,6 +240,23 @@ class CleanPipelineSpec extends AnyFunSuite {
     // empty corpus: empty result, stable schema
     assert(TextAnalysis.packSequences(docs.filter(col("doc_id") < 0), 10).count() == 0)
   }
+
+  test("mixtureOrder interleaves groups in weight proportion") {
+    val docs = ((0L until 100L).map(i => (i, "a")) ++ (100L until 200L).map(i => (i, "b")))
+      .toDF("doc_id", "lang")
+    val out = TextAnalysis.mixtureOrder(docs, Map("a" -> 2.0), groupCol = "lang",
+      targetGroups = 7).orderBy("pos", "lang", "doc_id").collect()
+    assert(out.length == 200)
+    // within the first 30 emitted docs, weight-2 group a appears twice as
+    // often as weight-1 group b (a fills positions 0.5,1.0,…; b 1,2,…)
+    val first30 = out.take(30).map(_.getString(0))
+    assert(first30.count(_ == "a") == 20 && first30.count(_ == "b") == 10,
+      first30.mkString(","))
+    // rank_in_group follows id order within each group
+    val aRanks = out.filter(_.getString(0) == "a").sortBy(_.getLong(1))
+      .map(_.getLong(2)).toSeq
+    assert(aRanks == (1L to 100L))
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
