@@ -193,22 +193,31 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
       // conflict set is found by probing the column-pruned index id scan
       // with a BROADCAST of the batch ids (left_semi, index streamed) —
       // never by making the index the build side of an anti-join, which
-      // would shuffle O(index) ids per upsert.
+      // would shuffle O(index) ids per upsert. Persisted: the emptiness
+      // check and the write must not each re-run the probe.
       val conflicts = existing.select("doc_id")
         .join(broadcast(docs.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
       val inserted = docs.join(broadcast(conflicts), Seq("doc_id"), "left_anti")
-      if (dir.exists) {
-        dir.appendDelta({ tmp =>
-          inserted.dropDuplicates("doc_id").write.mode("overwrite").parquet(tmp)
-        }, kind = "add")
-        if (deltaCount >= foldEvery) foldDeltas()
-      } else replace(inserted.unionByName(existing))
+        .dropDuplicates("doc_id").persist()
+      try {
+        // an all-conflict batch is a NO-OP: writing an empty "add" sidecar
+        // would still tick foldEvery, so idempotent replays would trigger
+        // pointless full folds
+        if (!inserted.isEmpty) {
+          if (dir.exists) {
+            dir.appendDelta({ tmp =>
+              inserted.write.mode("overwrite").parquet(tmp)
+            }, kind = "add")
+            if (deltaCount >= foldEvery) foldDeltas()
+          } else replace(inserted.unionByName(existing))
+        }
+      } finally inserted.unpersist(false)
   }
 
   /** O(batch) write: ids land as a "del" tombstone delta; the rows vanish
     * at merge-on-read and physically at the next fold/compact.
     */
-  override def delete(docIds: Seq[Long]): Unit = {
+  override def delete(docIds: Seq[Long]): Unit = if (docIds.nonEmpty) {
     import spark.implicits._
     if (dir.exists) {
       dir.appendDelta({ tmp =>

@@ -100,23 +100,29 @@ final class VectorIndex(
     import org.apache.spark.sql.functions.broadcast
     val preIds = store.readOption().map(_.select("doc_id"))
     store.upsert(docs)
-    val inserted = preIds match {
-      // same join shape as IndexStore.upsert: probe the index id scan with
-      // a broadcast of the batch ids, anti-join the batch against the tiny
-      // conflict set — the index is never an anti-join build side
+    // PERSISTED + deduped: `inserted` probes the index id scan (same join
+    // shape as IndexStore.upsert — the index is never an anti-join build
+    // side); without the cache that scan would re-run once per ANN
+    // structure's delta write. Dedup mirrors the store write, so an
+    // in-batch duplicate id can't occupy two top-k slots via the overlay.
+    val inserted = (preIds match {
       case Some(ids) =>
         val conflicts = ids.join(broadcast(docs.select("doc_id").distinct()),
           Seq("doc_id"), "left_semi")
         docs.join(broadcast(conflicts), Seq("doc_id"), "left_anti")
       case None => docs
-    }
-    refreshAnnIncremental(inserted, emptyIds)
+    }).dropDuplicates("doc_id").persist()
+    try {
+      // all-conflict (no-op) batches write no ANN deltas and tick no fold
+      // counter — idempotent replays must not trigger retrains
+      if (!inserted.isEmpty) refreshAnnIncremental(inserted, emptyIds)
+    } finally inserted.unpersist(false)
   }
 
   /** Delete documents by doc_id (S10) — ANN side indexes get tombstone
     * deltas, not a retrain.
     */
-  def delete(docIds: Seq[Long]): Unit = {
+  def delete(docIds: Seq[Long]): Unit = if (docIds.nonEmpty) {
     import spark.implicits._
     store.delete(docIds)
     refreshAnnIncremental(emptyDocs, docIds.toDF("doc_id"))
@@ -200,11 +206,15 @@ final class VectorIndex(
       case SearchMode.Exact          => false
     }
     if (anyMissingBase) { refreshAnn(); return }
+    // one overlay row per doc: a duplicate id in the delta would occupy two
+    // top-k candidate slots (the store write is deduped; mirror it here for
+    // callers invoking this directly)
+    val changedDocs1 = changedDocs.dropDuplicates("doc_id")
     val tombIds = removedIds.select(col("doc_id").cast("long").as("doc_id"))
     ann.foreach {
       case SearchMode.Lsh(bits, _) =>
         val adds = SimilaritySearch
-          .lshBuckets(changedDocs.select(col("doc_id"), col("vector")),
+          .lshBuckets(changedDocs1.select(col("doc_id"), col("vector")),
             config.dims, bits, itemVec = "vector")
           .select(col("doc_id"), col("vector"),
             col("bucket").cast("long").as("bucket"), lit(false).as("deleted"))
@@ -215,7 +225,7 @@ final class VectorIndex(
       case SearchMode.Ivf(_, _, _) =>
         val (cvs, cids) = SimilaritySearch.collectCentroids(
           SimilaritySearch.ivfCentroidsRead(spark, annIvfPath))
-        val adds = changedDocs.select(col("doc_id"), col("vector"),
+        val adds = changedDocs1.select(col("doc_id"), col("vector"),
             graft.functions.vector.nearest_centroid(col("vector"), cvs, cids).as("cell"),
             lit(false).as("deleted"))
         val tombs = tombIds.select(col("doc_id"),
@@ -229,7 +239,7 @@ final class VectorIndex(
           spark.read.parquet(s"$resolved/_centroids"))
         val cbs = graft.ops.ProductQuantization.collectCodebooks(
           spark.read.parquet(s"$resolved/_codebooks"), cfg)
-        val adds = changedDocs.select(col("doc_id"),
+        val adds = changedDocs1.select(col("doc_id"),
             graft.functions.vector.nearest_centroid(col("vector"), cvs, cids).as("cell"),
             graft.functions.vector.pq_encode(col("vector"), cbs, cfg.dsub).as("codes"),
             lit(false).as("deleted"))

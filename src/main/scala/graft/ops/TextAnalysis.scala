@@ -214,8 +214,14 @@ object TextAnalysis {
     val offsetsDf = offsets.toDF("__gk", "__grp", "__off")
     val w = Window.partitionBy("__gk", "__grp").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // NULL-SAFE group-key join: a null group value (crawled data routinely
+    // has null lang/source) is a real group — a plain equi-join would never
+    // match its offsets row and silently restart its cumsum every chunk
     Some(grouped
-      .join(broadcast(offsetsDf), Seq("__gk", "__grp"), "left")
+      .join(broadcast(offsetsDf),
+        grouped("__gk") <=> offsetsDf("__gk") && grouped("__grp") === offsetsDf("__grp"),
+        "left")
+      .drop(offsetsDf("__gk")).drop(offsetsDf("__grp"))
       .withColumn(outCol,
         coalesce(sum("n_tokens").over(w), lit(0L)) + coalesce(col("__off"), lit(0L))))
   }

@@ -28,6 +28,17 @@ object StreamingOps {
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, start: Long, end: Long, n_events: Long)
 
+  /** These state functions drive eviction with `setTimeoutDuration`, which
+    * is only legal under ProcessingTimeTimeout — an EventTimeTimeout would
+    * throw in the executor and fail every micro-batch. Reject it at plan
+    * time with a clear message instead.
+    */
+  private def requireProcessingTimeOrNone(timeout: GroupStateTimeout): Unit =
+    require(timeout == GroupStateTimeout.NoTimeout() ||
+      timeout == GroupStateTimeout.ProcessingTimeTimeout(),
+      s"only NoTimeout or ProcessingTimeTimeout is supported (eviction uses " +
+        s"setTimeoutDuration, a processing-time mechanism); got $timeout")
+
   /** Custom per-key session state via flatMapGroupsWithState: emits a session
     * when `gapSeconds` of event-time inactivity elapse (processing-time
     * timeout drives the flush). Streaming twin of
@@ -37,6 +48,7 @@ object StreamingOps {
                timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
               (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    requireProcessingTimeOrNone(timeout)
     val useTimeout = timeout != GroupStateTimeout.NoTimeout()
     events.selectExpr("user_id", "CAST(ts AS LONG) AS ts_sec")
       .as[(Long, Long)]
@@ -115,6 +127,7 @@ object StreamingOps {
                                  idleTimeout: String = "1 hour")
                                 (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    requireProcessingTimeOrNone(timeout)
     val numBands = numHashes / rowsPerBand
     val useTimeout = timeout != GroupStateTimeout.NoTimeout()
     val sig = docs
@@ -203,36 +216,50 @@ object StreamingOps {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val stored = store.readOption()
-        val docs = IndexBuild.buildDocuments(batch, config, backend, table, idCol, stored)
-        // stored doc_ids displaced by this batch (their object key was
-        // re-embedded under new ids) — EQUI-join on the exploded key, never
-        // an array_contains θ-join (which plans as a nested loop over the
-        // whole stored index)
-        val removed = stored match {
-          case Some(s) =>
-            val touched = docs.select(explode(col("object_keys")).as("__k")).distinct()
-            s.select(col("doc_id"), explode(col("object_keys")).as("__k"))
-              .join(broadcast(touched), Seq("__k")).select("doc_id").distinct()
-              .join(broadcast(docs.select("doc_id")), Seq("doc_id"), "left_anti")
-          case None => spark.range(0).select(col("id").as("doc_id"))
-        }
-        store match {
-          case p: graft.api.ParquetIndexStore =>
-            p.appendDelta(docs) // O(batch); merge-on-read shadows old copies
-            if (p.deltaCount >= compactEvery) p.foldDeltas()
-          case other =>
-            // stores without delta support get the same semantics as one
-            // equi-join merge + replace through the provider seam
-            val merged = stored match {
-              case Some(s) => s.join(broadcast(removed.unionByName(docs.select("doc_id"))),
-                  Seq("doc_id"), "left_anti").unionByName(docs)
-              case None => docs
+        if (!batch.isEmpty) { // an empty trigger must not accrete empty deltas
+          val spark = batch.sparkSession
+          val stored = store.readOption()
+          // PERSIST for the batch: docs is consumed by the store write, the
+          // removed-ids computation, and (via afterBatch) one ANN delta per
+          // structure — without the cache the chunk+diff+EMBED pipeline (the
+          // expensive stage, possibly a remote model call per row) would
+          // re-run up to ~5x per micro-batch, and a non-deterministic
+          // backend could even store a different vector than the ANN deltas
+          val docs = IndexBuild.buildDocuments(batch, config, backend, table, idCol, stored)
+            .persist()
+          // stored doc_ids displaced by this batch (their object key was
+          // re-embedded under new ids) — EQUI-join on the exploded key, never
+          // an array_contains θ-join (which plans as a nested loop over the
+          // whole stored index)
+          val removed = (stored match {
+            case Some(s) =>
+              val touched = docs.select(explode(col("object_keys")).as("__k")).distinct()
+              s.select(col("doc_id"), explode(col("object_keys")).as("__k"))
+                .join(broadcast(touched), Seq("__k")).select("doc_id").distinct()
+                .join(broadcast(docs.select("doc_id")), Seq("doc_id"), "left_anti")
+            case None => spark.range(0).select(col("id").as("doc_id"))
+          }).persist()
+          try {
+            store match {
+              case p: graft.api.ParquetIndexStore =>
+                p.appendDelta(docs) // O(batch); merge-on-read shadows old copies
+                if (p.deltaCount >= compactEvery) p.foldDeltas()
+              case other =>
+                // stores without delta support get the same semantics as one
+                // equi-join merge + replace through the provider seam
+                val merged = stored match {
+                  case Some(s) => s.join(broadcast(removed.unionByName(docs.select("doc_id"))),
+                      Seq("doc_id"), "left_anti").unionByName(docs)
+                  case None => docs
+                }
+                other.replace(merged)
             }
-            other.replace(merged)
+            afterBatch(docs, removed)
+          } finally {
+            docs.unpersist(false)
+            removed.unpersist(false)
+          }
         }
-        afterBatch(docs, removed)
       }
       .start()
 }

@@ -241,6 +241,23 @@ class CleanPipelineSpec extends AnyFunSuite {
     assert(TextAnalysis.packSequences(docs.filter(col("doc_id") < 0), 10).count() == 0)
   }
 
+  test("grouped packing treats a NULL group value as a real group (null-safe offsets join)") {
+    // crawled data routinely has null lang/source: the null group's cumsum
+    // must run across id chunks like any other group's
+    val docs = (0L until 120L)
+      .map(i => (i, if (i % 3 == 0) null else s"g${i % 2}", "one two three four"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.packSequences(docs, tokenBudget = 10,
+      targetGroups = 9, groupCol = Some("lang")).orderBy("doc_id").collect()
+    val perTok = got.head.getLong(2) // every doc has the same token count
+    var cumNull = 0L
+    got.filter(_.isNullAt(0)).sortBy(_.getLong(1)).foreach { r =>
+      assert(r.getLong(3) == cumNull, s"null-group cumsum broke at doc ${r.getLong(1)}")
+      cumNull += perTok
+    }
+    assert(cumNull == 40L * perTok) // all 40 null-group docs accumulated
+  }
+
   test("mixtureOrder interleaves groups in weight proportion") {
     val docs = ((0L until 100L).map(i => (i, "a")) ++ (100L until 200L).map(i => (i, "b")))
       .toDF("doc_id", "lang")
