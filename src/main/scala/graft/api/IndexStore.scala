@@ -199,20 +199,35 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
         .join(broadcast(docs.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
       val inserted = docs.join(broadcast(conflicts), Seq("doc_id"), "left_anti")
         .dropDuplicates("doc_id").persist()
-      try {
-        // an all-conflict batch is a NO-OP: writing an empty "add" sidecar
-        // would still tick foldEvery, so idempotent replays would trigger
-        // pointless full folds
-        if (!inserted.isEmpty) {
-          if (dir.exists) {
-            dir.appendDelta({ tmp =>
-              inserted.write.mode("overwrite").parquet(tmp)
-            }, kind = "add")
-            if (deltaCount >= foldEvery) foldDeltas()
-          } else replace(inserted.unionByName(existing))
-        }
-      } finally inserted.unpersist(false)
+      try writeInserted(inserted, existing)
+      finally inserted.unpersist(false)
   }
+
+  /** Write rows the CALLER already proved conflict-free (and doc_id-deduped)
+    * — [[graft.api.VectorIndex.upsert]] performs the old-wins probe once for
+    * its own ANN maintenance, and this entry point spares the second
+    * identical index id scan `upsert` would run. Same delta kind, fold
+    * cadence, and no-op skip as [[upsert]].
+    */
+  private[graft] def insertPrechecked(inserted: DataFrame): Unit = readOption() match {
+    case None           => replace(inserted)
+    case Some(existing) => writeInserted(inserted, existing)
+  }
+
+  /** Shared tail of [[upsert]]/[[insertPrechecked]]: `inserted` must be
+    * conflict-free and deduped. An all-conflict batch is a NO-OP — writing
+    * an empty "add" sidecar would still tick foldEvery, so idempotent
+    * replays would trigger pointless full folds.
+    */
+  private def writeInserted(inserted: DataFrame, existing: DataFrame): Unit =
+    if (!inserted.isEmpty) {
+      if (dir.exists) {
+        dir.appendDelta({ tmp =>
+          inserted.write.mode("overwrite").parquet(tmp)
+        }, kind = "add")
+        if (deltaCount >= foldEvery) foldDeltas()
+      } else replace(inserted.unionByName(existing))
+    }
 
   /** O(batch) write: ids land as a "del" tombstone delta; the rows vanish
     * at merge-on-read and physically at the next fold/compact.

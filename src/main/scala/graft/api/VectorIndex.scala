@@ -99,12 +99,13 @@ final class VectorIndex(
   def upsert(docs: DataFrame): Unit = {
     import org.apache.spark.sql.functions.broadcast
     val preIds = store.readOption().map(_.select("doc_id"))
-    store.upsert(docs)
-    // PERSISTED + deduped: `inserted` probes the index id scan (same join
-    // shape as IndexStore.upsert — the index is never an anti-join build
-    // side); without the cache that scan would re-run once per ANN
-    // structure's delta write. Dedup mirrors the store write, so an
-    // in-batch duplicate id can't occupy two top-k slots via the overlay.
+    // ONE old-wins probe per upsert: `inserted` probes the index id scan
+    // (broadcast of the batch ids; the index is never an anti-join build
+    // side), PERSISTED so the store write, the emptiness check, and each
+    // ANN structure's delta write reuse it — a ParquetIndexStore takes the
+    // prechecked rows directly instead of re-running the identical probe.
+    // Dedup mirrors the store write, so an in-batch duplicate id can't
+    // occupy two top-k slots via the overlay.
     val inserted = (preIds match {
       case Some(ids) =>
         val conflicts = ids.join(broadcast(docs.select("doc_id").distinct()),
@@ -113,6 +114,10 @@ final class VectorIndex(
       case None => docs
     }).dropDuplicates("doc_id").persist()
     try {
+      store match {
+        case p: ParquetIndexStore => p.insertPrechecked(inserted)
+        case other                => other.upsert(docs)
+      }
       // all-conflict (no-op) batches write no ANN deltas and tick no fold
       // counter — idempotent replays must not trigger retrains
       if (!inserted.isEmpty) refreshAnnIncremental(inserted, emptyIds)
