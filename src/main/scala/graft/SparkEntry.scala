@@ -472,6 +472,15 @@ object SparkEntry {
       TextAnalysis.packSequences(docsPar(s, dir), tokenBudget = 512,
         targetGroups = 64, groupCol = Some("lang")).orderBy("lang", "doc_id")
     },
+    // the materialized packing artifact: per-bin ordered text concat
+    // (hashed here to keep gate rows small), doc + token counts
+    "q_pack_assemble" -> { (s, dir) =>
+      TextAnalysis.assemblePacked(docsPar(s, dir), tokenBudget = 512,
+          targetGroups = 64)
+        .select(col("bin"), col("n_docs"), col("n_tokens"),
+          md5(col("content")).as("packed_md5"))
+        .orderBy("bin")
+    },
     // deterministic domain mixing: en upsampled 2x, de downsampled 0.5x,
     // order = ascending per-group rank/weight (parallel prefix rank)
     "q_mixture_order" -> { (s, dir) =>
@@ -1306,6 +1315,17 @@ object SparkEntry {
         |  FROM t)
         |SELECT lang, doc_id, n_tokens, tok_before, CAST(tok_before // 512 AS BIGINT) AS bin
         |FROM c ORDER BY lang, doc_id""".stripMargin,
+    "q_pack_assemble" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    CAST(ceil(greatest(ceil(length(text) / 4.0), ceil(len(regexp_extract_all(text, '[^\w\s]|\w+')) * 0.75))) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | c AS (SELECT doc_id, text, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+        |  FROM t),
+        | b AS (SELECT CAST(tok_before // 512 AS BIGINT) AS bin, doc_id, text, n_tokens FROM c)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS packed_md5
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q_mixture_order" ->
       """WITH r AS (SELECT lang, doc_id,
         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rank_in_group

@@ -226,6 +226,31 @@ object TextAnalysis {
         coalesce(sum("n_tokens").over(w), lit(0L)) + coalesce(col("__off"), lit(0L))))
   }
 
+  /** Materialize the packed training sequences [[packSequences]] plans: one
+    * row per bin with the member documents' text concatenated in id order,
+    * plus doc/token counts. The concat is a map-side-combinable
+    * collect_list + a deterministic array_sort — same content at any
+    * parallelism — and per-bin state is BOUNDED by the token budget (a bin
+    * holds ≤ budget tokens plus the one doc that crosses the boundary), so
+    * the aggregation never accumulates unbounded rows per key.
+    */
+  def assemblePacked(docs: DataFrame, tokenBudget: Long,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     targetGroups: Long = 1024L,
+                     groupCol: Option[String] = None,
+                     sep: String = "\n\n"): DataFrame = {
+    val packed = packSequences(docs, tokenBudget, idCol, textCol, targetGroups, groupCol)
+    val joined = packed.join(
+      docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text")),
+      Seq("doc_id"))
+    val keys = groupCol.toSeq :+ "bin"
+    joined.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("__text")))),
+          x => x.getField("__text")), sep).as("content"))
+  }
+
   /** Deterministic mixture interleave (domain mixing): emit groups'
     * documents in an order where group g appears in proportion to
     * `weights(g)` — document r (1-based rank within its group, id order)
