@@ -225,11 +225,13 @@ class CleanPipelineSpec extends AnyFunSuite {
       assert(r.getLong(3) == cum / 100, s"bin rule violated at doc ${r.getLong(0)}")
       cum += r.getLong(1)
     }
-    // its Window is partitioned by the id-range group — never global
+    // every window in the plan is partitioned by the id-range group key —
+    // a partition-less (single-task, corpus-wide) window must never appear
     val p = TextAnalysis.packSequences(docs, 100, targetGroups = 11)
       .queryExecution.executedPlan.toString
-    assert(p.contains("Window"), p)
-    assert(!p.contains("Window [") || !p.contains("windowspecdefinition(doc_id"), p)
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__gk")),
+      s"global window in packSequences plan: $specs")
     // sparse, non-contiguous ids still order + accumulate correctly
     val sparse = Seq((5L, "a b c"), (1000000L, "d e"), (7L, "x y z w")).toDF("doc_id", "text")
     val s2 = TextAnalysis.packSequences(sparse, 4, targetGroups = 4)
