@@ -106,6 +106,19 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
     */
   private def mergeOnRead(base: DataFrame, deltas: Seq[VersionedDir.DeltaRef]): DataFrame = {
     import org.apache.spark.sql.functions._
+    // The explicit broadcast hint bypasses autoBroadcastJoinThreshold, so it
+    // is only safe while the pending delta set is genuinely small. Streaming
+    // "put" sidecars are whole micro-batches and up to foldEvery can be
+    // pending: measure them (cheap FS metadata sum) and drop the hint past
+    // the cap — AQE then picks the join strategy from actual runtime sizes.
+    val hint: DataFrame => DataFrame = {
+      val f = fs
+      val pendingBytes = deltas.iterator
+        .map(d => f.getContentSummary(new Path(d.path)).getLength).sum
+      val cap = spark.conf.getOption("graft.store.broadcastDeltaMaxBytes")
+        .map(_.toLong).getOrElse(64L << 20)
+      if (pendingBytes <= cap) broadcast _ else identity _
+    }
     val (dels, lives) = deltas.partition(_.kind == "del")
     val deltaRows = lives.map { d =>
       spark.read.parquet(d.path).withColumn("__seq", lit(d.seq)) }
@@ -118,7 +131,7 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
     }
     val baseLive = deltaRows match {
       case Some(rows) =>
-        base.join(broadcast(rows.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
+        base.join(hint(rows.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
       case None => base
     }
     val latest = deltaLatest.foldLeft(baseLive.withColumn("__seq", lit(0L)))(_.unionByName(_))
@@ -130,17 +143,17 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
         .groupBy("__key").agg(max("__tseq").as("__max_seq"))
       val shadowed = latest
         .select(col("doc_id"), col("__seq"), explode(col("object_keys")).as("__key"))
-        .join(broadcast(touched), Seq("__key"))
+        .join(hint(touched), Seq("__key"))
         .filter(col("__max_seq") > col("__seq"))
         .select("doc_id").distinct()
-      latest.join(broadcast(shadowed), Seq("doc_id"), "left_anti")
+      latest.join(hint(shadowed), Seq("doc_id"), "left_anti")
     }
     val surviving = if (dels.isEmpty) unshadowed else {
       val tombs = dels.map { d =>
           spark.read.parquet(d.path).select(col("doc_id"), lit(d.seq).as("__dseq")) }
         .reduce(_.unionByName(_))
         .groupBy("doc_id").agg(max("__dseq").as("__dseq"))
-      unshadowed.join(broadcast(tombs), Seq("doc_id"), "left")
+      unshadowed.join(hint(tombs), Seq("doc_id"), "left")
         .filter(col("__dseq").isNull || col("__dseq") < col("__seq"))
         .drop("__dseq")
     }

@@ -116,7 +116,13 @@ final class VectorIndex(
     try {
       store match {
         case p: ParquetIndexStore => p.insertPrechecked(inserted)
-        case other                => other.upsert(docs)
+        // the PERSISTED conflict-free rows go to the store too — handing it
+        // raw `docs` would let the store's own dropDuplicates pick a
+        // DIFFERENT survivor for an in-batch duplicate id than the ANN
+        // overlay did, leaving the overlay inconsistent with the stored
+        // document. `upsert` on a conflict-free batch degenerates to the
+        // plain insert it would have computed anyway.
+        case other                => other.upsert(inserted)
       }
       // all-conflict (no-op) batches write no ANN deltas and tick no fold
       // counter — idempotent replays must not trigger retrains

@@ -127,17 +127,28 @@ final class VersionedDir(spark: SparkSession, val root: String, keepVersions: In
     try out.write(next.getBytes("UTF-8")) finally out.close()
     // delete+rename is not atomic: a racing writer can install its manifest
     // between our delete and rename, failing the rename (dest exists). Each
-    // failed attempt means someone else just flipped — delete and retry, so
-    // every writer completes and the LAST flip wins (the documented
-    // concurrent-writer contract). Bounded: one failure per concurrent
-    // writer is the worst case.
+    // failed attempt means someone else just flipped — re-check and retry.
+    // The winner is DETERMINISTIC by version number: a writer only
+    // overwrites a manifest pointing at a NUMERICALLY OLDER version, and
+    // abandons its flip when a newer one is already installed (its version
+    // dir stays readable until pruned, its data is simply superseded). This
+    // keeps the retry's liveness while never regressing the manifest to
+    // older data — the documented newest-flip-wins contract.
     var attempts = 0
     var flipped = false
-    while (!flipped) {
+    var superseded = false
+    val nextNum = next.drop(1).toLong
+    while (!flipped && !superseded) {
       attempts += 1
       require(attempts <= 64, s"manifest flip failed for $root -> $next after $attempts attempts")
-      if (f.exists(manifestPath)) f.delete(manifestPath, false)
-      flipped = f.rename(tmp, manifestPath)
+      currentVersion.filter(_.matches("v\\d+")).map(_.drop(1).toLong) match {
+        case Some(installed) if installed > nextNum =>
+          f.delete(tmp, false)
+          superseded = true
+        case _ =>
+          if (f.exists(manifestPath)) f.delete(manifestPath, false)
+          flipped = f.rename(tmp, manifestPath)
+      }
     }
     listVersions.dropRight(keepVersions).foreach { v =>
       f.delete(new Path(rootPath, v), true)

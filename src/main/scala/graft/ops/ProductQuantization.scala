@@ -53,19 +53,23 @@ object ProductQuantization {
   def pqTrain(items: DataFrame, cfg: PqConfig,
               itemId: String = "vec_id", itemVec: String = "embedding",
               lloydIters: Int = 0): DataFrame = {
-    val subIdx = (0 until cfg.m).map(s => lit(s))
-    val seeds = items
+    val spark = items.sparkSession
+    import spark.implicits._
+    // sample rank = code id. The sample is ≤ ksub rows by construction, so
+    // ranks are assigned on the DRIVER from the ordered collect (a
+    // TakeOrderedAndProject — no window at all; an unpartitioned
+    // Window.orderBy here would be a single-task pattern begging to be
+    // copy-pasted into unbounded contexts)
+    val sample = items
       .withColumn("__h", graft.functions.textfn.hexhash60(concat(lit("pq:"), col(itemId))))
       .orderBy(col("__h").asc, col(itemId).asc)
       .limit(cfg.ksub)
-      // sample rank = code id, assigned deterministically post-limit (the
-      // limit output order is the orderBy order; re-sort to be explicit)
-      .select(col("__h"), col(itemId).cast("long").as("__id"), col(itemVec).as("__v"))
-      .withColumn("code", (row_number().over(
-        Window.orderBy(col("__h").asc, col("__id").asc)) - 1).cast("int"))
-      .select(col("code"), explode(array(subIdx: _*)).as("sub"), col("__v"))
-      .select(col("sub"), col("code"),
-        slice(col("__v"), col("sub") * cfg.dsub + 1, lit(cfg.dsub)).as("cv"))
+      .select(col(itemVec).as("__v"))
+      .collect()
+    val seeds = sample.toSeq.zipWithIndex.flatMap { case (r, code) =>
+      val v = r.getSeq[Float](0)
+      (0 until cfg.m).map(s => (s, code, v.slice(s * cfg.dsub, (s + 1) * cfg.dsub)))
+    }.toDF("sub", "code", "cv")
     (1 to lloydIters).foldLeft(seeds)((cb, _) => pqLloydStep(items, cb, cfg, itemVec))
   }
 

@@ -154,11 +154,12 @@ object TextAnalysis {
     * single-partition window: rows group into DATA-DERIVED id-range chunks
     * (`(doc_id - minId) div span`, ≤ ~1k groups — deterministic, unlike
     * spark_partition_id(), which is re-sampled per action under a range
-    * exchange), group totals are map-side-combined and collected (one tiny
-    * row per group), and each group runs a LOCAL cumsum window shifted by
-    * the preceding groups' totals. Two scans of the sized projection + one
-    * tiny collect — at any scale the windows are parallel across groups and
-    * each is bounded by the group's id span.
+    * exchange), chunk totals stay distributed and roll up through a second
+    * superblock level (only superblock totals reach the driver), and each
+    * group runs a LOCAL cumsum window shifted by the preceding groups'
+    * totals. Two scans of the sized projection + one tiny collect — at any
+    * scale the windows are parallel across groups and each is bounded by
+    * the group's id span.
     */
   def packSequences(docs: DataFrame, tokenBudget: Long,
                     idCol: String = "doc_id", textCol: String = "text",
@@ -187,41 +188,71 @@ object TextAnalysis {
     * sum of n_tokens over STRICTLY PRECEDING docs of the same __gk. None
     * for an empty input (caller shapes the empty frame).
     *
-    * Mechanics: rows chunk into data-derived id ranges (never
-    * spark_partition_id — a range exchange re-samples boundaries per
-    * action), per-(group, chunk) totals are map-side-combined and collected
-    * (tiny), running offsets computed driver-side, then each (group, chunk)
-    * runs a LOCAL cumsum window shifted by its offset via a broadcast join.
+    * Mechanics — a TWO-LEVEL prefix sum, fully distributed: rows chunk into
+    * data-derived id ranges (never spark_partition_id — a range exchange
+    * re-samples boundaries per action); per-(group, chunk) totals stay a
+    * distributed relation; chunks roll up into superblocks of 1024 and ONLY
+    * the superblock totals are collected (1024x fewer rows than the chunk
+    * count — the driver never holds a per-chunk array). Chunk offsets are a
+    * bounded cumsum window within each (group, superblock) (≤ 1024 rows per
+    * window partition) plus the broadcast superblock offset; each (group,
+    * chunk) then runs a LOCAL cumsum window shifted by its offset. The
+    * offsets join is UNHINTED — AQE broadcasts it when small, and its
+    * shuffle clustering is reused by the final window either way.
+    *
+    * Ids must be unique per group — duplicate (group, id) pairs would make
+    * the within-chunk cumsum order nondeterministic, so they FAIL LOUDLY
+    * (checked on the same scan that finds the id bounds).
     */
   private def prefixSum(sized: DataFrame, targetGroups: Long,
                         outCol: String): Option[DataFrame] = {
     val spark = sized.sparkSession
     import spark.implicits._
-    val bounds = sized.agg(min("doc_id"), max("doc_id")).head()
+    val bounds = sized.agg(min("doc_id"), max("doc_id"), count(lit(1)),
+      countDistinct(struct(col("__gk"), col("doc_id")))).head()
     if (bounds.isNullAt(0)) return None
     val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    require(bounds.getLong(2) == bounds.getLong(3),
+      s"duplicate ids: ${bounds.getLong(2)} rows but ${bounds.getLong(3)} distinct " +
+        "(group, id) pairs — prefix order would be nondeterministic; dropDuplicates first")
     val span = math.max(1L, (maxId - minId + targetGroups) / targetGroups)
     val grouped = sized.withColumn("__grp", expr(s"(doc_id - $minId) div $span"))
-    val totals = grouped.groupBy("__gk", "__grp").agg(sum("n_tokens").as("t"))
+    val totals = grouped.groupBy("__gk", "__grp").agg(sum("n_tokens").as("__t"))
+    val sbSpan = 1024L
+    val withSb = totals.withColumn("__sb", expr(s"__grp div $sbSpan"))
+    val sbTotals = withSb.groupBy("__gk", "__sb").agg(sum("__t").as("__st"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    require(totals.length <= 4_000_000,
-      s"group cardinality x id chunks too large to collect (${totals.length}); lower targetGroups")
-    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+    require(sbTotals.length <= 4_000_000,
+      s"group cardinality x id superblocks too large to collect (${sbTotals.length}); lower targetGroups")
+    val sbOffsets = sbTotals.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
       rows.toSeq.sortBy(_._2)
-        .scanLeft((-1L, 0L)) { case ((_, acc), (_, grp, t)) => (grp, acc + t) }
-        .sliding(2).collect { case Seq((_, acc), (grp, _)) => (g, grp, acc) }
+        .scanLeft((-1L, 0L)) { case ((_, acc), (_, sb, t)) => (sb, acc + t) }
+        .sliding(2).collect { case Seq((_, acc), (sb, _)) => (g, sb, acc) }
     }
-    val offsetsDf = offsets.toDF("__gk", "__grp", "__off")
+    val sbOffsetsDf = sbOffsets.toDF("__gk", "__sb", "__sboff")
+    val wChunk = Window.partitionBy("__gk", "__sb").orderBy("__grp")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // NULL-SAFE group-key joins throughout: a null group value (crawled data
+    // routinely has null lang/source) is a real group — a plain equi-join
+    // would never match its offsets row and silently restart its cumsum
+    val localCum = withSb.withColumn("__local", coalesce(sum("__t").over(wChunk), lit(0L)))
+    // the offsets relation shares `grouped`'s lineage (unlike the old
+    // driver-collected offsets), so its join keys are RENAMED — leaving the
+    // ambiguity to Spark's self-join fallback resolution would be fragile
+    val offsetsDf = localCum
+      .join(broadcast(sbOffsetsDf),
+        localCum("__gk") <=> sbOffsetsDf("__gk") && localCum("__sb") === sbOffsetsDf("__sb"),
+        "left")
+      .drop(sbOffsetsDf("__gk")).drop(sbOffsetsDf("__sb"))
+      .select(col("__gk").as("__ogk"), col("__grp").as("__ogrp"),
+        (col("__local") + coalesce(col("__sboff"), lit(0L))).as("__off"))
     val w = Window.partitionBy("__gk", "__grp").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // NULL-SAFE group-key join: a null group value (crawled data routinely
-    // has null lang/source) is a real group — a plain equi-join would never
-    // match its offsets row and silently restart its cumsum every chunk
     Some(grouped
-      .join(broadcast(offsetsDf),
-        grouped("__gk") <=> offsetsDf("__gk") && grouped("__grp") === offsetsDf("__grp"),
+      .join(offsetsDf,
+        col("__gk") <=> col("__ogk") && col("__grp") === col("__ogrp"),
         "left")
-      .drop(offsetsDf("__gk")).drop(offsetsDf("__grp"))
+      .drop("__ogk", "__ogrp")
       .withColumn(outCol,
         coalesce(sum("n_tokens").over(w), lit(0L)) + coalesce(col("__off"), lit(0L))))
   }

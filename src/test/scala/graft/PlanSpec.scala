@@ -136,6 +136,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  // r6 verdict nit #1: no operator may plan a partition-less window — a
+  // single-task, whole-relation sort is the pattern that dies first at scale.
+  // pqTrain (the one past offender, ≤ ksub rows) now ranks driver-side.
+  test("no gate-path plan contains an unpartitioned window") {
+    import graft.ops.{ProductQuantization, TextAnalysis}
+    val cfg = ProductQuantization.PqConfig(dims = 16, m = 4, ksub = 8)
+    val docs = (0L until 60L).map(i => (i, s"some words for document $i"))
+      .toDF("doc_id", "text")
+    val plans = Seq(
+      plan(ProductQuantization.pqEncode(items, ProductQuantization.pqTrain(items, cfg), cfg)),
+      plan(TextAnalysis.packSequences(docs, tokenBudget = 20)),
+      plan(TextAnalysis.mixtureOrder(docs.withColumn("lang", lit("a")),
+        Map.empty, groupCol = "lang")),
+      plan(Retrieval.dedupByKey(items.select(col("vec_id").as("doc_id"),
+        (col("vec_id") % 10).cast("string").as("key"), rand(1).as("score")))))
+    // windowspecdefinition(...) prints its partition spec first; an empty
+    // partition spec starts straight at the ordering clause's ASC/DESC args
+    val unpartitioned = "windowspecdefinition\\([^)]*".r
+    plans.foreach { p =>
+      unpartitioned.findAllIn(p).foreach { spec =>
+        assert(spec.contains("#"), s"window lacks a partition spec: $spec\n$p")
+        val head = spec.drop("windowspecdefinition(".length).takeWhile(_ != ',')
+        assert(!head.contains("ASC") && !head.contains("DESC"),
+          s"unpartitioned window (order-only spec): $spec\n$p")
+      }
+    }
+  }
+
   test("ivfAssign is zero-exchange up to the assignment (per-row kernel argmin)") {
     val (assigned, _) = SimilaritySearch.ivfAssign(items, nCells = 8)
     assert(!plan(assigned).contains("Exchange"), plan(assigned))

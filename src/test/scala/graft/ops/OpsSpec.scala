@@ -276,6 +276,33 @@ class CleanPipelineSpec extends AnyFunSuite {
       .map(_.getLong(2)).toSeq
     assert(aRanks == (1L to 100L))
   }
+
+  test("packSequences fails loudly on duplicate ids instead of packing nondeterministically") {
+    val dup = Seq((1L, "a b"), (1L, "c d e"), (2L, "f")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.packSequences(dup, tokenBudget = 10)
+    }
+    assert(e.getMessage.contains("duplicate ids"), e.getMessage)
+    // duplicate ids in DIFFERENT groups are legal — each group's order is unique
+    val crossGroup = Seq((1L, "x", "a b"), (1L, "y", "c"), (2L, "x", "d"))
+      .toDF("doc_id", "lang", "text")
+    assert(TextAnalysis.packSequences(crossGroup, 10, groupCol = Some("lang")).count() == 3)
+  }
+
+  test("two-level prefix sum: chunk cardinality above the old 4M driver cap") {
+    // 4.2M rows, one chunk each (span 1): the r6 implementation collected one
+    // tuple per chunk and threw its 4M require here; the two-level sum
+    // collects only the ~4.1k superblock totals and must sail through
+    val n = 4_200_000L
+    val big = spark.range(n).select(col("id").as("doc_id"), lit("a").as("lang"))
+    val out = TextAnalysis.mixtureOrder(big, Map.empty, groupCol = "lang", targetGroups = n)
+    val probes = out.filter(col("doc_id").isin(0L, 1_234_567L, n - 1))
+      .orderBy("doc_id").collect()
+    // rank_in_group = doc_id + 1 exactly iff every preceding chunk's total
+    // crossed both prefix levels correctly
+    assert(probes.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 1L), (1_234_567L, 1_234_568L), (n - 1, n)))
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
