@@ -46,7 +46,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run (iteration aid; the
+    // driver's per-round bench leaves it unset and measures everything)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq)
+      .getOrElse(SparkEntry.queries.keys.toSeq).sorted
 
     // Fixed tiny job (~tens of ms warm). If the host stall pathology is
     // active it takes orders of magnitude longer — that's the signal.

@@ -2,33 +2,35 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev harness (not part of the driver contract): current use — does
-  * dropDuplicates after repartitionByRange reuse the range exchange, and
-  * what file-level min/max stats does the sorted layout give?
+/** Dev harness (not part of the driver contract): current use — phase
+  * timing of q_dup_clusters at sf0.1 (pair generation vs cluster rounds).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    val docs = (0L until 100000L).map(i => (i % 60000, s"content $i")).toDF("doc_id", "content")
-
-    println("=== A: repartitionByRange -> dropDuplicates ===")
-    docs.repartitionByRange(col("doc_id")).dropDuplicates("doc_id")
-      .sortWithinPartitions("doc_id")
-      .explain("formatted")
-
-    println("=== B: dropDuplicates only (baseline) ===")
-    docs.dropDuplicates("doc_id").explain("formatted")
-
-    // write and probe: does a doc_id range filter skip files?
-    val tmp = java.nio.file.Files.createTempDirectory("graft-scratch").toString
-    docs.repartitionByRange(8, col("doc_id")).dropDuplicates("doc_id")
-      .sortWithinPartitions("doc_id").write.parquet(s"$tmp/sorted")
-    val back = spark.read.parquet(s"$tmp/sorted").filter(col("doc_id") === 1234L)
-    println("probe rows: " + back.count())
+    val dir = "/root/testdata/sf0.1"
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scratch] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s"); r
+    }
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // warm
+    emb.count()
+    for (_ <- 1 to 3) {
+      val pairs = ops.Dedup.embeddingNearDup(emb, threshold = 0.3)
+      val cached = time("pairs materialize") { pairs.localCheckpoint(true) }
+      println("[scratch] n_pairs=" + cached.count())
+      time("dupClusters") {
+        ops.Dedup.dupClusters(cached).write.format("noop").mode("overwrite").save()
+      }
+      time("full query") {
+        ops.Dedup.dupClusters(ops.Dedup.embeddingNearDup(emb, threshold = 0.3))
+          .orderBy("doc_id").write.format("noop").mode("overwrite").save()
+      }
+    }
     spark.stop()
   }
 }

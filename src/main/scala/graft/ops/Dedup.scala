@@ -180,15 +180,31 @@ object Dedup {
     * with cluster id = min doc_id in the component (the canonical document
     * — "keep the lowest id, drop the rest" is the standard dedup policy).
     *
-    * Iterative min-label propagation: each round every node takes the min
-    * of its own label and its neighbours' labels (an equi-join + min-agg,
-    * both map-side combinable). Rounds needed = graph diameter; dup
+    * ADAPTIVE, like a broadcast join: the pair set is materialized once
+    * (it is iterated either way); at or under `driverCap` pairs it is
+    * collected and solved with a driver union-find (path-compressed,
+    * min-id representative — microseconds, no per-round Spark jobs at
+    * all), above the cap the distributed loop below runs. LSH/near-dup
+    * pair sets are ≪ corpus by construction, so the driver path is the
+    * common case; the cap bounds driver memory explicitly (4M pairs ≈
+    * 64 MB of longs) and the distributed path is spec-pinned by forcing
+    * `driverCap = 0`.
+    *
+    * Distributed regime — min-label propagation WITH POINTER DOUBLING: each round
+    * every node takes the min of its own label and its neighbours' labels
+    * (ONE equi-join + min-agg via flagged self-loops, map-side combinable),
+    * and from round 2 also its representative's previous label. The
+    * shortcut is what the large-star move of star-contraction algorithms
+    * buys — a node adopts its representative's representative — so the
+    * label-to-root distance roughly DOUBLES per round and rounds are
+    * O(log diameter), not O(diameter): a 1k-node path chain converges in
+    * ~13 rounds where plain propagation needs 999 (spec-pinned). Dup
     * clusters from representative-star pairing ([[cappedBucketPairs]] hot
     * path, [[graft.streaming.StreamingOps.streamingNearDupCandidates]])
-    * have diameter ≤ 2, and organic near-dup clusters are shallow — the
-    * loop converges in a handful of rounds, each a bounded-size shuffle
-    * over the PAIR set (≪ corpus). Lineage is truncated per round (local
-    * RDD checkpoint) so plans don't grow with iterations, and the
+    * have diameter ≤ 2 and converge in ~3 rounds with NO jump join at all
+    * (the jump only engages from round 2); each round is a bounded-size
+    * shuffle over the PAIR set (≪ corpus). Lineage is truncated per round
+    * (local RDD checkpoint) so plans don't grow with iterations, and the
     * convergence probe rides THAT materialization job via an accumulator —
     * exactly ONE Spark job per round, not a checkpoint job plus a probe
     * job. (Accumulator overcount on a task retry can only inflate a
@@ -199,30 +215,78 @@ object Dedup {
     * cluster ids (silent under-dedup); with `strict` (default) that raises,
     * otherwise it logs a warning and returns the partial labels.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 20, strict: Boolean = true): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20, strict: Boolean = true,
+                  driverCap: Long = 4_000_000L): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+    import spark.implicits._
+    // materialize the directed pair set ONCE (the loop would iterate over
+    // it anyway); its checkpointed count decides the regime for free
+    val directed = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .localCheckpoint(true)
+    if (directed.count() <= driverCap) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      directed.select("src", "dst").as[(Long, Long)].collect().foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // min-id root: the canonical-representative policy falls out of the
+        // union itself, no relabel pass
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      return parent.keys.toSeq.sorted.map(k => (k, find(k)))
+        .toDF("doc_id", "cluster_id")
+    }
+    val sym = directed
+      .union(directed.select(col("dst").as("src"), col("src").as("dst")))
+    // flagged SELF-LOOP per node: the neighbour join then carries each
+    // node's own label through the same aggregation (min = propagation
+    // step, min-over-self-loop = previous label for the change flag) — one
+    // join + one agg per round, not two joins
+    val edges = sym
+      .union(sym.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
+      .withColumn("__self", col("src") === col("dst"))
       .localCheckpoint(true)
     val labelSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType, nullable = false)))
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    var labels = edges.filter(col("__self")).select(col("src").as("doc_id"))
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
     val changed = spark.sparkContext.longAccumulator("graft.dupClusters.changed")
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      // the change flag rides the propagation step itself — no second join
-      val stepped = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+      // neighbour-min step: labels only ever DECREASE, toward the component
+      // min; the self-loop row carries the node's previous label
+      val half = edges
+        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("cluster_id", "__l"),
+          Seq("dst"))
         .groupBy(col("src").as("doc_id"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-        .join(labels, Seq("doc_id"))
-        .select(col("doc_id"),
-          least(col("cluster_id"), col("nbr_min")).as("cluster_id"),
-          (col("nbr_min") < col("cluster_id")).as("__changed"))
+        .agg(min(col("__l")).as("__new"),
+          min(when(col("__self"), col("__l"))).as("__old"))
+      // pointer-doubling from round 2 on: adopt the representative's label
+      // from the PREVIOUS (checkpointed) round, so the label-to-root
+      // distance roughly doubles per round — O(log diameter) rounds on deep
+      // chains. Rounds 0-1 skip it: the jump is a no-op while labels are ≤ 2
+      // hops deep, and the designed hot path (star pairing, diameter ≤ 2)
+      // then converges with no extra join at all.
+      val stepped = (if (it < 2) half.select(col("doc_id"), col("__new").as("cluster_id"),
+          (col("__new") < col("__old")).as("__changed"))
+        else half
+          .join(labels.select(col("doc_id").as("__pid"), col("cluster_id").as("__pl")),
+            col("__new") === col("__pid"), "left")
+          .select(col("doc_id"),
+            least(col("__new"), coalesce(col("__pl"), col("__new"))).as("cluster_id"),
+            (least(col("__new"), coalesce(col("__pl"), col("__new"))) < col("__old")).as("__changed")))
       changed.reset()
       // fold the changed-count into the checkpoint materialization itself:
       // the count() below is the round's ONLY job

@@ -137,9 +137,12 @@ class DupClustersSpec extends AnyFunSuite {
     // (diameter 4 — forces multiple propagation rounds)
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("id_a", "id_b")
-    val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L)
+    // both regimes must agree: driver union-find (default cap) and the
+    // distributed doubling loop (cap forced to 0)
+    assert(Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap == want)
+    assert(Dedup.dupClusters(pairs, driverCap = 0).as[(Long, Long)].collect().toMap == want)
   }
 
   test("cluster id is the min doc_id regardless of pair orientation") {
@@ -151,17 +154,30 @@ class DupClustersSpec extends AnyFunSuite {
   // r5 verdict #7: exhausting the iteration budget must be loud, never a
   // silent under-dedup.
   test("a chain deeper than maxIters raises in strict mode and warns otherwise") {
-    // path 0-1-2-...-12: min-label needs ~12 rounds to reach the far end
-    val deep = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val ex = intercept[IllegalStateException] { Dedup.dupClusters(deep, maxIters = 3) }
+    // path 0-1-...-60: pointer doubling covers distance 2^(k+1)-2 after k
+    // rounds, so 3 rounds reach ~14 hops — far short of diameter 60
+    val deep = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] { Dedup.dupClusters(deep, maxIters = 3, driverCap = 0) }
     assert(ex.getMessage.contains("did not converge"))
-    // non-strict: partial labels come back (13 nodes), not all collapsed to 0
-    val partial = Dedup.dupClusters(deep, maxIters = 3, strict = false)
+    // non-strict: partial labels come back (61 nodes), not all collapsed to 0
+    val partial = Dedup.dupClusters(deep, maxIters = 3, strict = false, driverCap = 0)
       .as[(Long, Long)].collect().toMap
-    assert(partial.size == 13 && partial.values.toSet.size > 1)
+    assert(partial.size == 61 && partial.values.toSet.size > 1)
     // and the same chain within budget fully converges to cluster 0
-    val full = Dedup.dupClusters(deep, maxIters = 20).as[(Long, Long)].collect().toMap
+    val full = Dedup.dupClusters(deep, maxIters = 20, driverCap = 0).as[(Long, Long)].collect().toMap
     assert(full.values.toSet == Set(0L))
+  }
+
+  // r6 verdict #6: rounds must be O(log diameter), not O(diameter) — an
+  // adversarially deep chain may not eat a round per hop.
+  test("a 1k-node path chain converges in O(log n) rounds (pointer doubling)") {
+    // diameter 999: plain propagation needs 999 rounds; two plain rounds
+    // then doubling (coverage 2,5,11,23,…,1535 at round 11) + one no-change
+    // probe round converges by round 13
+    val path = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(path, maxIters = 13, driverCap = 0).as[(Long, Long)].collect()
+    assert(got.length == 1000)
+    assert(got.forall(_._2 == 0L))
   }
 
   test("dedupCorpus keeps the min-id copy of each dup cluster and all unique docs") {
