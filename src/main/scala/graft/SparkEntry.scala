@@ -308,6 +308,17 @@ object SparkEntry {
       SimilaritySearch.ivfTopK(assigned, centroids, probes, k = 5, nProbe = 4)
         .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
     },
+    // the Lloyd-refinement path end-to-end: one deterministic iteration
+    // (scaled-long means — the oracle replays it integer-exactly), then the
+    // same probe/top-k read as q_ann_ivf_topk against the REFINED centroids
+    "q_ann_ivf_lloyd" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val (assigned, centroids) = SimilaritySearch.ivfAssign(emb, nCells = 16, lloydIters = 1)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      SimilaritySearch.ivfTopK(assigned, centroids, probes, k = 5, nProbe = 4)
+        .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
+    },
     // IVF twin of q_ann_lsh_pruned: cell-partitioned index, probe cells
     // computed driver-side → static partition pruning (memoized ingest)
     "q_ann_ivf_pruned" -> { (s, dir) =>
@@ -1017,6 +1028,40 @@ object SparkEntry {
        |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  /** Lloyd-refined IVF oracle: replay ONE deterministic Lloyd iteration —
+    * seed assignment (L2 asc, cid asc), per-(cell, dim) SCALED-LONG sums
+    * (CAST(round(x·10⁶) AS BIGINT) — integer-exact across engines, the same
+    * trick as the PQ ADC LUT), float means, empty cells keep their seed —
+    * then the q_ann_ivf_topk probe/top-k shape against the refined
+    * centroids. Twin of SimilaritySearch.lloydStep.
+    */
+  private val annIvfLloydSql: String =
+    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |   ORDER BY ${sqlHex60("'ivf:' || vec_id")} ASC, vec_id ASC LIMIT 16),
+       | d0 AS (SELECT e.vec_id, e.embedding, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist FROM embeddings e, c0 c),
+       | a0 AS (SELECT vec_id, embedding, cid AS cell FROM (SELECT vec_id, embedding, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d0) WHERE rn = 1),
+       | dims AS (SELECT unnest(generate_series(1, 64)) AS pos),
+       | sums AS (SELECT a0.cell, dims.pos,
+       |     sum(CAST(round(a0.embedding[dims.pos]::DOUBLE * 1000000.0) AS BIGINT)) AS s,
+       |     count(*) AS n
+       |   FROM a0, dims GROUP BY a0.cell, dims.pos),
+       | mv AS (SELECT cell, list((s::DOUBLE / 1000000.0 / n)::FLOAT ORDER BY pos) AS mv FROM sums GROUP BY cell),
+       | c1 AS (SELECT c0.cid, coalesce(mv.mv, c0.cv) AS cv FROM c0 LEFT JOIN mv ON c0.cid = mv.cell),
+       | pd AS (SELECT e.vec_id AS qid, e.embedding AS qv, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist
+       |   FROM embeddings e, c1 c WHERE e.vec_id < 5),
+       | pc AS (SELECT qid, qv, cid AS cell FROM (SELECT qid, qv, cid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rn FROM pd) WHERE rn <= 4),
+       | ad AS (SELECT e.vec_id, e.embedding, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist FROM embeddings e, c1 c),
+       | assign AS (SELECT vec_id, embedding, cid AS cell FROM (SELECT vec_id, embedding, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM ad) WHERE rn = 1),
+       | joined AS (SELECT pc.qid, assign.vec_id, round(${sqlCos("assign.embedding", "pc.qv")}, 6) AS score
+       |   FROM assign JOIN pc ON assign.cell = pc.cell),
+       | ranked AS (SELECT qid, vec_id, score,
+       |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank FROM joined)
+       |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   /** DuckDB fragment: squared L2 (no sqrt — argmin-equivalent), same
     * elementwise double accumulation as PqEncodeExpr / adcLut.
     */
@@ -1290,6 +1335,7 @@ object SparkEntry {
     "q_ann_lsh_pruned" -> annLshSql,
     "q_ann_vi_lsh" -> annViLshSql,
     "q_ann_ivf_assign" -> annIvfSql,
+    "q_ann_ivf_lloyd" -> annIvfLloydSql,
     "q_ann_ivf_topk" -> annIvfTopkSql,
     "q_ann_ivf_pruned" -> annIvfTopkSql,
     "q_pq_encode" -> pqEncodeSql,
