@@ -31,7 +31,8 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * Exhausted retries surface the LAST status/body loudly.
   */
 object HttpSupport {
-  private[embed] val mapper = new ObjectMapper()
+  /** Shared across graft's HTTP connectors (thread-safe after config). */
+  val mapper = new ObjectMapper()
 
   def client(requestTimeoutMs: Long): HttpClient =
     HttpClient.newBuilder()
@@ -40,33 +41,34 @@ object HttpSupport {
 
   private def retriable(status: Int): Boolean = status == 429 || status >= 500
 
-  private def request(endpoint: String, body: String, apiKey: Option[String],
-                      requestTimeoutMs: Long): HttpRequest = {
+  private def request(method: String, endpoint: String, body: Option[String],
+                      apiKey: Option[String], requestTimeoutMs: Long): HttpRequest = {
     val b = HttpRequest.newBuilder(URI.create(endpoint))
       .timeout(Duration.ofMillis(requestTimeoutMs))
       .header("Content-Type", "application/json")
-      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .method(method, body.map(s => HttpRequest.BodyPublishers.ofString(s, StandardCharsets.UTF_8))
+        .getOrElse(HttpRequest.BodyPublishers.noBody()))
     apiKey.foreach(k => b.header("Authorization", s"Bearer $k"))
     b.build()
   }
 
-  /** POST `body`, return the response body string; retry per the policy
-    * above. `maxRetries` counts RE-tries (0 = single attempt).
+  /** Send a request, return (status, body); retry 429/5xx and IO errors per
+    * the policy above, surfacing the last failure after `maxRetries`
+    * RE-tries (0 = single attempt). Any other status RETURNS — what a 404
+    * means (missing collection vs hard error) is the caller's semantics.
     */
-  def postWithRetry(http: HttpClient, endpoint: String, body: String,
-                    apiKey: Option[String], maxRetries: Int, backoffMs: Long,
-                    requestTimeoutMs: Long): String = {
+  def sendWithRetry(http: HttpClient, method: String, endpoint: String,
+                    body: Option[String], apiKey: Option[String],
+                    maxRetries: Int, backoffMs: Long,
+                    requestTimeoutMs: Long): (Int, String) = {
     var attempt = 0
     while (true) {
       val outcome: Either[Throwable, HttpResponse[String]] =
-        try Right(http.send(request(endpoint, body, apiKey, requestTimeoutMs),
+        try Right(http.send(request(method, endpoint, body, apiKey, requestTimeoutMs),
           HttpResponse.BodyHandlers.ofString()))
         catch { case e: java.io.IOException => Left(e) }
       outcome match {
-        case Right(r) if r.statusCode() == 200 => return r.body()
-        case Right(r) if !retriable(r.statusCode()) =>
-          throw new IllegalStateException(
-            s"$endpoint returned ${r.statusCode()} (not retriable): ${r.body().take(500)}")
+        case Right(r) if !retriable(r.statusCode()) => return (r.statusCode(), r.body())
         case Right(r) if attempt >= maxRetries =>
           throw new IllegalStateException(
             s"$endpoint still failing after ${attempt + 1} attempts: " +
@@ -82,6 +84,19 @@ object HttpSupport {
     throw new IllegalStateException("unreachable")
   }
 
+  /** POST expecting 200: convenience over [[sendWithRetry]] that fails
+    * loudly on any non-200 (non-retriable statuses never heal by retrying).
+    */
+  def postWithRetry(http: HttpClient, endpoint: String, body: String,
+                    apiKey: Option[String], maxRetries: Int, backoffMs: Long,
+                    requestTimeoutMs: Long): String =
+    sendWithRetry(http, "POST", endpoint, Some(body), apiKey, maxRetries,
+      backoffMs, requestTimeoutMs) match {
+      case (200, b) => b
+      case (status, b) => throw new IllegalStateException(
+        s"$endpoint returned $status (not retriable): ${b.take(500)}")
+    }
+
   /** Streaming POST: returns (status, body stream). The caller owns the
     * stream; retry handling for streams lives in the caller because a
     * stream can only fail-before-first-byte cheaply.
@@ -89,7 +104,7 @@ object HttpSupport {
   def postStream(http: HttpClient, endpoint: String, body: String,
                  apiKey: Option[String],
                  requestTimeoutMs: Long): HttpResponse[java.io.InputStream] =
-    http.send(request(endpoint, body, apiKey, requestTimeoutMs),
+    http.send(request("POST", endpoint, Some(body), apiKey, requestTimeoutMs),
       HttpResponse.BodyHandlers.ofInputStream())
 }
 
