@@ -59,6 +59,19 @@ object SparkEntry {
     */
   private val PqCfg = ProductQuantization.PqConfig(dims = 64, m = 8, ksub = 16)
 
+  /** Deterministic grey PNG for q_png_decode: dimensions and pixel values
+    * are pure functions of the doc id, and the scanline filter cycles
+    * through all five types — the DuckDB oracle (which cannot decode PNG)
+    * replays the generator formula, so matching aggregates prove the real
+    * decode inverted the real encode.
+    */
+  private[graft] def synthPng(id: Long): Array[Byte] = {
+    val w = (4 + id % 13).toInt
+    val h = (3 + id % 7).toInt
+    val px = Array.tabulate(w * h)(i => ((id * 31 + i) % 256).toByte)
+    ops.PngCodec.encode(w, h, 1, px, r => ((id + r) % 5).toInt)
+  }
+
   /** Driver-side single-row lookup of the canonical probe vector (vec_id=0) —
     * the analog of embedding the query string (reference base.py:307-310).
     */
@@ -555,6 +568,20 @@ object SparkEntry {
           col("fake_width").cast("long").as("fake_width"),
           col("fake_height").cast("long").as("fake_height"))
         .orderBy("doc_id")
+    },
+    // REAL PNG pixel decode, gated: a grey PNG is synthesized per doc
+    // (content a pure function of doc_id, every scanline filter type
+    // exercised across rows) and decoded back by PngCodec — inflate +
+    // unfilter. The oracle predicts the DECODED pixel aggregates from the
+    // generator formula, so the hash match proves the decoder inverts a
+    // spec-conformant encoder bit-exactly.
+    "q_png_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthPng(id)))
+        .toDF("doc_id", "media")
+      Multimodal.imagePixelStats(media, "doc_id").orderBy("doc_id")
     },
     // ---- event-time analytics (batch twins of the streaming ops) ----
     "q_events_daily" -> { (s, dir) =>
@@ -1513,6 +1540,17 @@ object SparkEntry {
         |  CAST(16 + length(text) % 640 AS BIGINT) AS fake_width,
         |  CAST(16 + (length(text) // 640) % 480 AS BIGINT) AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_png_decode" ->
+      """WITH d AS (SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS width,
+        |    CAST(3 + doc_id % 7 AS BIGINT) AS height
+        |  FROM documents WHERE doc_id < 100),
+        | px AS (SELECT d.doc_id, d.width, d.height, (d.doc_id * 31 + g.i) % 256 AS v
+        |   FROM d, (SELECT unnest(generate_series(0, 143)) AS i) g
+        |   WHERE g.i < d.width * d.height)
+        |SELECT doc_id, width, height, CAST(1 AS BIGINT) AS channels,
+        |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+        |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
     "q_events_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,

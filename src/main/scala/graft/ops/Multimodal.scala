@@ -11,13 +11,15 @@ import graft.embed.HashEmbeddingBackend
   * with typed metadata. The Spark-side mechanics — schema, batch iteration,
   * partition-local processing, feature vectors — are real and tested.
   * Container/codec HEADER parsing (PNG IHDR, JPEG SOFn, WAV fmt/data) is
-  * REAL pure-JVM code ([[HeaderCodec]]), and uncompressed PCM WAV gets REAL
+  * REAL pure-JVM code ([[HeaderCodec]]); uncompressed PCM WAV gets REAL
   * sample decode + frame-level DSP features ([[PcmCodec]],
-  * [[audioFrameFeatures]]). Only compressed-codec decode (JPEG/PNG pixels,
-  * MP3/video) is stubbed with deterministic fakes (those decode libraries
-  * are not available in this environment). Swap [[StubCodec]] for a real
-  * decoder (e.g. javacv / TwelveMonkeys) to productionize; nothing else
-  * changes.
+  * [[audioFrameFeatures]]); and PNG gets REAL pixel decode — inflate +
+  * all five scanline filters, every 8-bit color type — via [[PngCodec]]
+  * ([[imagePixelStats]]). Only inherently-licensed/complex compressed
+  * codecs (JPEG pixels, MP3/video) remain behind [[StubCodec]]'s
+  * deterministic fakes (those decode libraries are not available in this
+  * environment); swap it for a real decoder (e.g. javacv / TwelveMonkeys)
+  * to productionize — nothing else changes.
   *
   * Scale notes: media bytes never leave their partition (mapPartitions, no
   * shuffle); metadata extraction is projection-shaped; feature vectors are
@@ -318,6 +320,46 @@ object Multimodal {
           PcmCodec.frameFeatures(pcm, frameSize).iterator.map {
             case (fi, rms, zcr, peak) => Row(r.get(idIdx), fi, rms, zcr, peak)
           }
+        }
+      }
+    }
+  }
+
+  /** REAL image pixel statistics over PNG bytes ([[PngCodec]] decode —
+    * inflate + unfilter, no external libs): per image the decoded
+    * dimensions, channel count, and pixel-value aggregates over every
+    * 8-bit sample. Decode happens inside the partition; only the small
+    * stats row flows on (the 100 TB discipline: media bytes never cross a
+    * shuffle). Non-PNG / unsupported / corrupt rows yield nothing, like
+    * [[audioFrameFeatures]].
+    */
+  def imagePixelStats(df: DataFrame, idCol: String, binaryCol: String = "media"): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("channels", LongType),
+      StructField("n_px", LongType),
+      StructField("px_sum", LongType),
+      StructField("px_min", LongType),
+      StructField("px_max", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else PngCodec.decode(bytes).iterator.map { img =>
+          var sum = 0L; var mn = 255L; var mx = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = (img.pixels(i) & 0xFF).toLong
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            i += 1
+          }
+          Row(r.get(idIdx), img.width.toLong, img.height.toLong, img.channels.toLong,
+            (img.pixels.length / img.channels).toLong, sum, mn, mx)
         }
       }
     }

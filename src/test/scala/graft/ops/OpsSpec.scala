@@ -497,6 +497,104 @@ class SimilaritySearchSpec extends AnyFunSuite {
   }
 }
 
+/** Real PNG codec (r6 verdict #3): round-trips through every scanline
+  * filter, and cross-validates BOTH directions against the JDK's own
+  * independent ImageIO PNG implementation — our decoder reads ImageIO's
+  * bytes, ImageIO reads ours, so an encoder+decoder bug pair can't
+  * self-confirm.
+  */
+class PngCodecSpec extends AnyFunSuite {
+  import java.awt.image.BufferedImage
+
+  test("encode/decode round-trips exact pixels through all five filter types") {
+    val w = 9; val h = 10 // h ≥ 5 rows → every filter appears
+    for (channels <- Seq(1, 3, 4)) {
+      val px = Array.tabulate(w * h * channels)(i => ((i * 37 + 11) % 256).toByte)
+      val bytes = PngCodec.encode(w, h, channels, px, r => r % 5)
+      val img = PngCodec.decode(bytes).getOrElse(fail(s"decode failed, channels=$channels"))
+      assert((img.width, img.height, img.channels) == ((w, h, channels)))
+      assert(img.pixels.toSeq == px.toSeq, s"pixel mismatch at channels=$channels")
+    }
+  }
+
+  test("golden: decodes the JDK ImageIO encoder's output to known pixel values") {
+    // grey 4x3 with known values through TYPE_BYTE_GRAY
+    val (w, h) = (4, 3)
+    val grey = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val vals = Array.tabulate(w * h)(i => (i * 20) % 256)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = vals(y * w + x)
+      grey.getRaster.setSample(x, y, 0, v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(grey, "png", out))
+    val img = PngCodec.decode(out.toByteArray).getOrElse(fail("decode of ImageIO grey PNG failed"))
+    assert((img.width, img.height, img.channels) == ((w, h, 1)))
+    assert(img.pixels.map(_ & 0xFF).toSeq == vals.toSeq)
+
+    // RGB 3x2 with distinct per-channel values through TYPE_3BYTE_BGR
+    val rgb = new BufferedImage(3, 2, BufferedImage.TYPE_3BYTE_BGR)
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0x102030, 0xFFFFFF, 0x000000)
+    for (y <- 0 until 2; x <- 0 until 3) rgb.setRGB(x, y, colors(y * 3 + x))
+    val out2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(rgb, "png", out2))
+    val img2 = PngCodec.decode(out2.toByteArray).getOrElse(fail("decode of ImageIO rgb PNG failed"))
+    assert((img2.width, img2.height, img2.channels) == ((3, 2, 3)))
+    val gotColors = (0 until 6).map { i =>
+      ((img2.pixels(i * 3) & 0xFF) << 16) | ((img2.pixels(i * 3 + 1) & 0xFF) << 8) | (img2.pixels(i * 3 + 2) & 0xFF)
+    }
+    assert(gotColors == colors)
+  }
+
+  test("golden reverse: the JDK ImageIO decoder reads our encoder's output") {
+    val w = 5; val h = 4
+    val px = Array.tabulate(w * h)(i => ((i * 17 + 3) % 256).toByte)
+    val bytes = PngCodec.encode(w, h, 1, px, r => (r + 2) % 5)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO rejected our PNG")
+    assert((img.getWidth, img.getHeight) == ((w, h)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) == (px(y * w + x) & 0xFF))
+  }
+
+  test("palette and grey+alpha color types decode; garbage yields None") {
+    // palette PNG via ImageIO TYPE_BYTE_INDEXED — expands through PLTE to RGB
+    val pal = new BufferedImage(4, 2, BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 2; x <- 0 until 4) pal.setRGB(x, y, if ((x + y) % 2 == 0) 0xFF0000 else 0x0000FF)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(pal, "png", out))
+    val img = PngCodec.decode(out.toByteArray).getOrElse(fail("palette decode failed"))
+    assert(img.channels == 3 && img.width == 4 && img.height == 2)
+    val first = ((img.pixels(0) & 0xFF) << 16) | ((img.pixels(1) & 0xFF) << 8) | (img.pixels(2) & 0xFF)
+    assert(first == 0xFF0000)
+    // RGBA (color type 6) via our own encoder already covered; grey+alpha
+    // (type 4) is rare in encoders — pin the garbage contract instead
+    assert(PngCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(PngCodec.decode(PngCodec.encode(2, 2, 1, Array[Byte](1, 2, 3, 4)).dropRight(20)).isEmpty)
+    assert(PngCodec.decode(null.asInstanceOf[Array[Byte]] match {
+      case null => Array.fill[Byte](30)(0x89.toByte); case b => b }).isEmpty)
+  }
+
+  test("imagePixelStats decodes real PNGs distributively and skips non-PNG rows") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = (0L until 20L).map { id =>
+      if (id == 13L) (id, "not a png at all".getBytes("UTF-8"))
+      else (id, graft.SparkEntry.synthPng(id))
+    }
+    val df = rows.toDF("doc_id", "media").repartition(4)
+    val got = Multimodal.imagePixelStats(df, "doc_id").orderBy("doc_id").collect()
+    assert(got.length == 19, "non-PNG row must yield nothing")
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val w = 4 + id % 13; val h = 3 + id % 7
+      val expSum = (0L until w * h).map(i => (id * 31 + i) % 256).sum
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        ((w, h, 1L, w * h, expSum)), s"stats mismatch for doc $id")
+    }
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
