@@ -2,8 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev harness (not part of the driver contract): current use — phase
-  * timing of q_dup_clusters at sf0.1 (pair generation vs cluster rounds).
+/** Dev harness (not part of the driver contract): current use — where does
+  * q_pack_sequences spend its time at sf0.1 (dup-id check vs two-level
+  * prefix machinery)?
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -14,21 +15,30 @@ object Scratch {
     val dir = "/root/testdata/sf0.1"
     def time[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s"); r
+      println(f"[scratch] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s"); r
     }
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    // warm
-    emb.count()
-    for (_ <- 1 to 3) {
-      val pairs = ops.Dedup.embeddingNearDup(emb, threshold = 0.3)
-      val cached = time("pairs materialize") { pairs.localCheckpoint(true) }
-      println("[scratch] n_pairs=" + cached.count())
-      time("dupClusters") {
-        ops.Dedup.dupClusters(cached).write.format("noop").mode("overwrite").save()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    println("[scratch] n_docs=" + docs.count())
+    import graft.functions.textkernel.token_stats
+    val sized = docs.select(lit("").as("__gk"), col("doc_id").cast("long").as("doc_id"),
+      token_stats(col("text")).getField("n_tokens_naive").as("n_tokens"))
+    for (pass <- 1 to 3) {
+      time("bounds min/max only") {
+        sized.agg(min("doc_id"), max("doc_id")).head()
       }
-      time("full query") {
-        ops.Dedup.dupClusters(ops.Dedup.embeddingNearDup(emb, threshold = 0.3))
-          .orderBy("doc_id").write.format("noop").mode("overwrite").save()
+      time("bounds + dup check") {
+        sized.agg(min("doc_id"), max("doc_id"), count(lit(1)),
+          countDistinct(struct(col("__gk"), col("doc_id")))).head()
+      }
+      time("packSequences full") {
+        ops.TextAnalysis.packSequences(docs, tokenBudget = 512, targetGroups = 64)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("mixtureOrder gate-shaped") {
+        ops.TextAnalysis.mixtureOrder(docs, Map("en" -> 2.0, "de" -> 0.5),
+            groupCol = "lang", targetGroups = 64)
+          .orderBy(col("pos").asc, col("lang").asc, col("doc_id").asc)
+          .write.format("noop").mode("overwrite").save()
       }
     }
     spark.stop()

@@ -243,7 +243,10 @@ object SimilaritySearch {
       round(vec_cosine(col(itemVec), col(probeVec)), 6).as("score"))
     if (singleProbe) {
       val topk = scored.orderBy(desc("score"), col(itemId).asc).limit(k)
-      val w = Window.orderBy(desc("score"), col(itemId).asc) // k rows only
+      // partitioned by the (single) probe id: operates on the k limited
+      // rows either way, but keeps the no-unpartitioned-window invariant
+      // (and the WindowExec warning) out of the engine entirely
+      val w = Window.partitionBy(probeId).orderBy(desc("score"), col(itemId).asc)
       topk.withColumn("rank", row_number().over(w))
     } else topKByProbe(scored, k, probeId, itemId)
   }

@@ -201,23 +201,29 @@ object TextAnalysis {
     * shuffle clustering is reused by the final window either way.
     *
     * Ids must be unique per group — duplicate (group, id) pairs would make
-    * the within-chunk cumsum order nondeterministic, so they FAIL LOUDLY
-    * (checked on the same scan that finds the id bounds).
+    * the within-chunk cumsum order nondeterministic, so they FAIL LOUDLY.
+    * The check is FREE: duplicates share a chunk and sit adjacent in the
+    * final window's existing (group, chunk, id) sort, so a lag-based
+    * raise_error guard rides that sort — no extra job, shuffle, or
+    * distinct aggregation (the naive count-vs-countDistinct probe costs a
+    * full extra shuffle of the id set).
     */
   private def prefixSum(sized: DataFrame, targetGroups: Long,
                         outCol: String): Option[DataFrame] = {
     val spark = sized.sparkSession
     import spark.implicits._
-    val bounds = sized.agg(min("doc_id"), max("doc_id"), count(lit(1)),
-      countDistinct(struct(col("__gk"), col("doc_id")))).head()
+    val bounds = sized.agg(min("doc_id"), max("doc_id")).head()
     if (bounds.isNullAt(0)) return None
     val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
-    require(bounds.getLong(2) == bounds.getLong(3),
-      s"duplicate ids: ${bounds.getLong(2)} rows but ${bounds.getLong(3)} distinct " +
-        "(group, id) pairs — prefix order would be nondeterministic; dropDuplicates first")
     val span = math.max(1L, (maxId - minId + targetGroups) / targetGroups)
     val grouped = sized.withColumn("__grp", expr(s"(doc_id - $minId) div $span"))
+    // chunk totals are MATERIALIZED once (one row per (group, chunk) — tiny
+    // next to the data): the superblock collect, the offsets window, and
+    // the final join all read this checkpoint instead of re-running the
+    // sized scan, keeping the whole prefix sum at the same three data
+    // scans as a single-level design
     val totals = grouped.groupBy("__gk", "__grp").agg(sum("n_tokens").as("__t"))
+      .localCheckpoint(true)
     val sbSpan = 1024L
     val withSb = totals.withColumn("__sb", expr(s"__grp div $sbSpan"))
     val sbTotals = withSb.groupBy("__gk", "__sb").agg(sum("__t").as("__st"))
@@ -248,13 +254,21 @@ object TextAnalysis {
         (col("__local") + coalesce(col("__sboff"), lit(0L))).as("__off"))
     val w = Window.partitionBy("__gk", "__grp").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // same partitioning and sort as `w` — the duplicate guard adds no
+    // exchange; raise_error fires at execution on the first adjacent
+    // duplicate id, folded into the output column so it cannot be pruned
+    val wLag = Window.partitionBy("__gk", "__grp").orderBy("doc_id")
+    val dupGuard = when(lag(col("doc_id"), 1).over(wLag) === col("doc_id"),
+      raise_error(concat(lit("duplicate (group, id) pair: prefix order would be "),
+        lit("nondeterministic; dropDuplicates first (group="), col("__gk"),
+        lit(", id="), col("doc_id"), lit(")")))).otherwise(lit(0L))
     Some(grouped
       .join(offsetsDf,
         col("__gk") <=> col("__ogk") && col("__grp") === col("__ogrp"),
         "left")
       .drop("__ogk", "__ogrp")
       .withColumn(outCol,
-        coalesce(sum("n_tokens").over(w), lit(0L)) + coalesce(col("__off"), lit(0L))))
+        coalesce(sum("n_tokens").over(w), lit(0L)) + coalesce(col("__off"), lit(0L)) + dupGuard))
   }
 
   /** Materialize the packed training sequences [[packSequences]] plans: one

@@ -295,10 +295,15 @@ class CleanPipelineSpec extends AnyFunSuite {
 
   test("packSequences fails loudly on duplicate ids instead of packing nondeterministically") {
     val dup = Seq((1L, "a b"), (1L, "c d e"), (2L, "f")).toDF("doc_id", "text")
-    val e = intercept[IllegalArgumentException] {
-      TextAnalysis.packSequences(dup, tokenBudget = 10)
+    // the guard rides the execution window (no extra job), so it fires at
+    // action time — and only when the output column is actually evaluated
+    // (count() would let Catalyst prune it along with the values it guards)
+    val e = intercept[Throwable] {
+      TextAnalysis.packSequences(dup, tokenBudget = 10).collect()
     }
-    assert(e.getMessage.contains("duplicate ids"), e.getMessage)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate (group, id)")), e.getMessage)
     // duplicate ids in DIFFERENT groups are legal — each group's order is unique
     val crossGroup = Seq((1L, "x", "a b"), (1L, "y", "c"), (2L, "x", "d"))
       .toDF("doc_id", "lang", "text")
