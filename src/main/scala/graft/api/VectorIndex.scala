@@ -410,8 +410,10 @@ final class VectorIndex(
 
 /** Index registry + rebuild-all — the reference's registry of indexes
   * (storage/django.py:603-611) and the `update_vector_indexes` management
-  * command (management/commands/update_vector_indexes.py:18-44), minus the
-  * interactive confirmation (pass force=true semantics).
+  * command (management/commands/update_vector_indexes.py:18-44), including
+  * its interactive confirmation gate: a rebuild fans out chargeable
+  * embedding-API calls and ships indexed content to third parties, so the
+  * command asks before proceeding unless forced.
   */
 object IndexRegistry {
   private val indexes = TrieMap.empty[String, (VectorIndex, () => DataFrame)]
@@ -427,9 +429,32 @@ object IndexRegistry {
   def get(name: String): Option[VectorIndex] = indexes.get(name).map(_._1)
   def registered: Seq[String] = indexes.keys.toSeq.sorted
 
-  /** Rebuild every registered index from its source. */
-  def rebuildAll(): Unit =
-    indexes.values.foreach { case (idx, src) => idx.rebuild(src()) }
+  /** The reference command's confirmation prompt, verbatim in spirit
+    * (update_vector_indexes.py:22-33).
+    */
+  val confirmationWarning: String =
+    """WARNING:
+      |You are triggering a vector index update.
+      |
+      |Depending on your configured AI backend;
+      | * Multiple API calls will be triggered to chargeable services.
+      | * Contents from every indexed model will be sent to third-party APIs.
+      |
+      |Are you sure you want to do this?
+      |Type 'yes' to continue, or 'no' to cancel: """.stripMargin
+
+  /** Rebuild every registered index from its source. `confirm` is the
+    * interactive seam (update_vector_indexes.py:18-44): it receives the
+    * warning text and returns the operator's answer — only the exact
+    * string "yes" proceeds, anything else cancels (the reference's rule).
+    * The default is force semantics (non-interactive `--noinput`).
+    * Returns true iff the rebuild ran.
+    */
+  def rebuildAll(confirm: String => String = _ => "yes"): Boolean =
+    if (confirm(confirmationWarning) == "yes") {
+      indexes.values.foreach { case (idx, src) => idx.rebuild(src()) }
+      true
+    } else false
 
   /** Incremental twin of [[rebuildAll]]: every registered index runs the A4
     * diff-and-embed update against its current source — only changed objects

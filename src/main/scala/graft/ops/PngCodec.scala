@@ -124,17 +124,17 @@ object PngCodec {
     } else Some(Image(width, height, channels, out))
   }.toOption.flatten
 
-  /** Encode 8-bit samples (channels 1 = grey, 3 = RGB, 4 = RGBA) as a
-    * spec-conformant PNG. `filterForRow` picks the filter type (0-4) per
+  /** Encode 8-bit samples (channels 1 = grey, 2 = grey+alpha, 3 = RGB,
+    * 4 = RGBA) as a spec-conformant PNG. `filterForRow` picks the filter type (0-4) per
     * scanline — the forward filter is applied here, so a decoder must
     * implement the matching reconstruction to recover the pixels.
     */
   def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
              filterForRow: Int => Int = _ => 0): Array[Byte] = {
-    require(Set(1, 3, 4).contains(channels), s"unsupported channel count $channels")
+    require(Set(1, 2, 3, 4).contains(channels), s"unsupported channel count $channels")
     require(pixels.length == width * height * channels,
       s"${pixels.length} samples for ${width}x$height x$channels")
-    val colorType = channels match { case 1 => 0; case 3 => 2; case 4 => 6 }
+    val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
     val stride = width * channels
     val bpp = channels
     val raw = new Array[Byte]((stride + 1) * height)

@@ -360,4 +360,18 @@ class VectorIndexSpec extends AnyFunSuite {
     IndexRegistry.updateAll()
     assert(a.documents.select("doc_id").as[Long].collect().toSet == before)
   }
+
+  // reference update_vector_indexes.py:18-44: the interactive confirmation
+  // — only the exact answer "yes" rebuilds; anything else cancels
+  test("rebuildAll confirmation gate: non-yes answers cancel the rebuild") {
+    IndexRegistry.clearRegistry()
+    IndexRegistry.register(newIndex("reg_c"), () => source)
+    var prompted: String = null
+    assert(!IndexRegistry.rebuildAll { warning => prompted = warning; "no" })
+    assert(prompted.contains("chargeable services"), "operator must see the warning")
+    assert(!IndexRegistry.get("reg_c").get.store.exists, "cancelled rebuild must not run")
+    assert(!IndexRegistry.rebuildAll(_ => "YES"), "the reference accepts only exactly 'yes'")
+    assert(IndexRegistry.rebuildAll(_ => "yes"))
+    assert(IndexRegistry.get("reg_c").get.documents.count() == 3)
+  }
 }

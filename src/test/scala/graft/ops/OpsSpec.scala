@@ -513,7 +513,7 @@ class PngCodecSpec extends AnyFunSuite {
 
   test("encode/decode round-trips exact pixels through all five filter types") {
     val w = 9; val h = 10 // h ≥ 5 rows → every filter appears
-    for (channels <- Seq(1, 3, 4)) {
+    for (channels <- Seq(1, 2, 3, 4)) { // grey, grey+alpha, RGB, RGBA
       val px = Array.tabulate(w * h * channels)(i => ((i * 37 + 11) % 256).toByte)
       val bytes = PngCodec.encode(w, h, channels, px, r => r % 5)
       val img = PngCodec.decode(bytes).getOrElse(fail(s"decode failed, channels=$channels"))
