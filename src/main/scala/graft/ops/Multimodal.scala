@@ -15,11 +15,11 @@ import graft.embed.HashEmbeddingBackend
   * sample decode + frame-level DSP features ([[PcmCodec]],
   * [[audioFrameFeatures]]); and PNG gets REAL pixel decode — inflate +
   * all five scanline filters, every 8-bit color type — via [[PngCodec]]
-  * ([[imagePixelStats]]). Only inherently-licensed/complex compressed
-  * codecs (JPEG pixels, MP3/video) remain behind [[StubCodec]]'s
-  * deterministic fakes (those decode libraries are not available in this
-  * environment); swap it for a real decoder (e.g. javacv / TwelveMonkeys)
-  * to productionize — nothing else changes.
+  * ([[imagePixelStats]]); JPEG/BMP/GIF pixels decode through the JDK's
+  * own `javax.imageio` readers ([[decodeImage]] — part of the JDK, not an
+  * external library). Only MP3/video decode remains behind
+  * [[StubCodec]]'s deterministic fakes (no JDK codec exists); swap it for
+  * a real decoder (e.g. javacv) to productionize — nothing else changes.
   *
   * Scale notes: media bytes never leave their partition (mapPartitions, no
   * shuffle); metadata extraction is projection-shaped; feature vectors are
@@ -325,13 +325,45 @@ object Multimodal {
     }
   }
 
-  /** REAL image pixel statistics over PNG bytes ([[PngCodec]] decode —
-    * inflate + unfilter, no external libs): per image the decoded
-    * dimensions, channel count, and pixel-value aggregates over every
-    * 8-bit sample. Decode happens inside the partition; only the small
-    * stats row flows on (the 100 TB discipline: media bytes never cross a
-    * shuffle). Non-PNG / unsupported / corrupt rows yield nothing, like
-    * [[audioFrameFeatures]].
+  /** Full image decode for the formats closable WITHOUT external
+    * dependencies: PNG through [[PngCodec]] (our own inflate + unfilter —
+    * deterministic, oracle-gated), everything else through the JDK's own
+    * `javax.imageio` readers (REAL baseline JPEG/BMP/GIF decode — ImageIO
+    * is part of the JDK, not an external library). Only video/MP3 remain
+    * stubbed. Returns 8-bit channel-interleaved samples.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[PngCodec.Image] =
+    PngCodec.decode(bytes).orElse(scala.util.Try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val ch = raster.getNumBands
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Byte](w * h * ch)
+        val buf = new Array[Int](ch)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.getPixel(x, y, buf)
+            var c = 0
+            while (c < ch) { out((y * w + x) * ch + c) = (buf(c) & 0xFF).toByte; c += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        Some(PngCodec.Image(w, h, ch, out))
+      }
+    }.toOption.flatten)
+
+  /** REAL image pixel statistics ([[decodeImage]]: own PNG codec, JDK
+    * ImageIO for JPEG/BMP/GIF): per image the decoded dimensions, channel
+    * count, and pixel-value aggregates over every 8-bit sample. Decode
+    * happens inside the partition; only the small stats row flows on (the
+    * 100 TB discipline: media bytes never cross a shuffle). Unsupported /
+    * corrupt rows yield nothing, like [[audioFrameFeatures]].
     */
   def imagePixelStats(df: DataFrame, idCol: String, binaryCol: String = "media"): DataFrame = {
     val outSchema = StructType(Seq(
@@ -350,7 +382,7 @@ object Multimodal {
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null) Iterator.empty
-        else PngCodec.decode(bytes).iterator.map { img =>
+        else decodeImage(bytes).iterator.map { img =>
           var sum = 0L; var mn = 255L; var mx = 0L
           var i = 0
           while (i < img.pixels.length) {

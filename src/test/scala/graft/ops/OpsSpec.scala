@@ -580,6 +580,22 @@ class PngCodecSpec extends AnyFunSuite {
       case null => Array.fill[Byte](30)(0x89.toByte); case b => b }).isEmpty)
   }
 
+  test("decodeImage reads real JPEG bytes through the JDK's ImageIO reader") {
+    import java.awt.image.BufferedImage
+    // flat mid-grey compresses losslessly enough that every decoded sample
+    // must land within JPEG's quantization error of the original
+    val img = new BufferedImage(16, 8, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 8; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val bytes = out.toByteArray
+    assert(Multimodal.HeaderCodec.sniffFormat(bytes) == "jpeg")
+    val got = Multimodal.decodeImage(bytes).getOrElse(fail("jpeg decode failed"))
+    assert((got.width, got.height, got.channels) == ((16, 8, 3)))
+    assert(got.pixels.forall(b => math.abs((b & 0xFF) - 0x80) <= 4),
+      "decoded samples must stay within quantization error of the flat grey")
+  }
+
   test("imagePixelStats decodes real PNGs distributively and skips non-PNG rows") {
     val spark = TestSpark.spark
     import spark.implicits._
