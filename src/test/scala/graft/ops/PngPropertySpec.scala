@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style coverage for the PNG codec (deterministic seeded sweeps —
+  * no generator framework needed): arbitrary sizes × channel counts ×
+  * filter choices must round-trip bit-exactly, and the decoder must honor
+  * its garbage-in contract (None, never a throw) under systematic
+  * corruption of REAL files — the adversarial-input discipline the other
+  * codecs already follow.
+  */
+class PngPropertySpec extends AnyFunSuite {
+
+  test("round-trip sweep: sizes 1..24, every channel count, every filter mix") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 80) {
+      val w = 1 + rnd.nextInt(24)
+      val h = 1 + rnd.nextInt(24)
+      val channels = Seq(1, 2, 3, 4)(trial % 4)
+      val filterSalt = trial % 5
+      val px = Array.fill[Byte](w * h * channels)(rnd.nextInt(256).toByte)
+      val bytes = PngCodec.encode(w, h, channels, px, r => (r + filterSalt) % 5)
+      val img = PngCodec.decode(bytes)
+      assert(img.isDefined, s"decode failed for ${w}x$h x$channels filterSalt=$filterSalt")
+      assert(img.get.pixels.toSeq == px.toSeq,
+        s"pixel mismatch for ${w}x$h x$channels filterSalt=$filterSalt")
+    }
+  }
+
+  test("corruption sweep: mangled real PNGs yield None or valid output, never a throw") {
+    val base = PngCodec.encode(8, 8, 3,
+      Array.tabulate(8 * 8 * 3)(i => (i * 11 % 256).toByte), r => r % 5)
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 300) {
+      val pos = rnd.nextInt(base.length)
+      val mangled = trial % 3 match {
+        case 0 => base.take(pos)
+        case 1 => val c = base.clone(); c(pos) = (c(pos) ^ 0x5A).toByte; c
+        case 2 => val c = base.clone(); c(pos) = 0; c
+      }
+      // a single flipped byte may land in pixel data and still decode (we
+      // do not verify chunk CRCs, by design — a crawl-scale decoder keeps
+      // readable pixels); the contract under test is NO THROW
+      PngCodec.decode(mangled) match {
+        case Some(img) => assert(img.width > 0 && img.height > 0)
+        case None      => ()
+      }
+    }
+  }
+
+  test("pure-garbage sweep: random bytes never throw, signature or not") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 300) {
+      val n = rnd.nextInt(200)
+      val junk = Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      if (trial % 2 == 0 && n >= 8) // force the signature path too
+        Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+          .copyToArray(junk)
+      PngCodec.decode(junk) // must not throw
+      Multimodal.decodeImage(junk) // ImageIO fallback must not throw either
+    }
+  }
+}

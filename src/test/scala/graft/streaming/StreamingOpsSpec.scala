@@ -80,6 +80,39 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(c1.contains("CHANGED"))
   }
 
+  // the r7 HTTP connector under the streaming pipeline: every micro-batch's
+  // embed stage calls the wire (executor-side), including a retried 429 —
+  // the full offline proof that the production embedding path and the
+  // streaming index machinery compose
+  test("incrementalIndex embeds each micro-batch through the HTTP connector") {
+    implicit val sqlCtx = spark.sqlContext
+    val stub = new graft.embed.HttpStub(failFirst = 1, failStatus = 429)
+    try {
+      val backend = graft.embed.HttpEmbeddingBackend(
+        stub.embeddingsUrl, "stub-model", dims = 16, maxRetries = 3, backoffMs = 1)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-http").toString
+      val input = MemoryStream[(Long, String, String)]
+      val config = IndexConfig("sh", "id", Seq(EmbeddingField("title", important = true),
+        EmbeddingField("body")), tokenLimit = 64, chunkOverlap = 8, dims = 16)
+      val q = StreamingOps.incrementalIndex(
+        input.toDF().toDF("id", "title", "body"), config, backend,
+        "page", "id", s"$tmp/idx", s"$tmp/chk")
+      input.addData((1L, "T1", "first page body"), (2L, "T2", "second page body"))
+      q.processAllAvailable()
+      input.addData((3L, "T3", "third page"))
+      q.processAllAvailable()
+      q.stop()
+      val idx = graft.pipeline.IndexBuild.readIndex(spark, s"$tmp/idx")
+      assert(idx.count() == 3)
+      // vectors are exactly what the wire returned for each stored content
+      idx.select("content", "vector").collect().foreach { r =>
+        assert(r.getSeq[Float](1) == stub.vectorFor(r.getString(0)).toSeq)
+      }
+      assert(stub.embedCalls.get() >= 2, "each batch must hit the wire")
+      assert(stub.calls.get() > stub.embedCalls.get(), "the injected 429 was retried")
+    } finally stub.stop()
+  }
+
   test("streamingExactDedup drops same-content arrivals within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
