@@ -221,6 +221,70 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(idx.documents.count() == 1)
   }
 
+  // r7 advice #1: the merge-on-read broadcast hint must be conditional on
+  // pending delta size — an unbounded hint bypasses the broadcast threshold
+  // and OOMs the driver at exactly the scale the store exists for
+  test("merge-on-read drops its broadcast hints when pending deltas exceed the cap") {
+    // hints are consumed during optimization — count them in the analyzed
+    // plan, where an explicit broadcast() still shows as ResolvedHint
+    def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+      "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).size
+    val store = newStore("bcap")
+    store.replace(docs(1L -> "a", 2L -> "b"))
+    store.upsert(docs(3L -> "c"))
+    store.delete(Seq(2L))
+    assert(hintCount(store.read()) > 0, "small pending deltas keep the explicit hint")
+    spark.conf.set("graft.store.broadcastDeltaMaxBytes", "0")
+    try {
+      assert(hintCount(store.read()) == 0, "over-cap deltas must go unhinted (AQE decides)")
+      // and the unhinted path returns the same rows
+      assert(store.read().select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    } finally spark.conf.unset("graft.store.broadcastDeltaMaxBytes")
+  }
+
+  // r7 advice #4: racing writers may interleave flips in any order, but the
+  // manifest must end at the NUMERICALLY NEWEST version — an older writer
+  // finishing late abandons rather than regressing the pointer
+  test("racing manifest flips resolve to the newest version, never a regression") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val dir = new VersionedDir(spark, s"$tmp/newest", keepVersions = 10)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 6).map { i =>
+      new Thread(() => try {
+        dir.replaceWith { d =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+          java.nio.file.Files.write(java.nio.file.Paths.get(d, "payload"),
+            s"w$i".getBytes("UTF-8"))
+        }
+      } catch { case t: Throwable => failures.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+    assert(dir.currentVersion.contains(dir.listVersions.last),
+      s"manifest ${dir.currentVersion} regressed below newest ${dir.listVersions.last}")
+  }
+
+  // r7 advice #3: an in-batch duplicate id must resolve to ONE survivor
+  // shared by the store and the ANN overlay (the store receives the same
+  // persisted conflict-free rows the overlay was built from)
+  test("VectorIndex.upsert hands non-parquet stores its deduped conflict-free rows") {
+    val cfg = graft.core.IndexConfig("updup", "id",
+      Seq(graft.core.EmbeddingField("title")), tokenLimit = 64, dims = 4)
+    val idx = new VectorIndex(spark, cfg, graft.embed.HashEmbeddingBackend(4),
+      graft.embed.EchoChatBackend(), "unused://path", "page", "id",
+      storeOverride = Some(new InMemoryIndexStore(spark)))
+    val dupBatch = Seq(
+      (10L, "first copy", Seq(1.0f, 0f, 0f, 0f)),
+      (10L, "second copy", Seq(0f, 1.0f, 0f, 0f)),
+      (11L, "unique", Seq(0f, 0f, 1.0f, 0f)))
+      .toDF("doc_id", "content", "vector")
+      .withColumn("object_keys", array(concat(lit("page:"), col("doc_id"))))
+      .withColumn("metadata", map(lit("table"), lit("page")))
+    idx.upsert(dupBatch)
+    val stored = idx.documents.select("doc_id").as[Long].collect().toSeq.sorted
+    assert(stored == Seq(10L, 11L), s"one survivor per id, got $stored")
+  }
+
   test("legacy flat parquet layout is still readable") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-store").toString
     docs(7L -> "legacy").write.parquet(s"$tmp/flat")
