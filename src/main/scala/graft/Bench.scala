@@ -47,9 +47,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run (iteration aid; the
-    // driver's per-round bench leaves it unset and measures everything)
+    // driver's per-round bench leaves it unset and measures everything).
+    // Unknown names fail LOUDLY — a typo silently benching nothing would
+    // waste an iteration cycle and write a misleading bench_out.json.
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq)
+      .map { only =>
+        val asked = only.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = asked.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+        asked
+      }
       .getOrElse(SparkEntry.queries.keys.toSeq).sorted
 
     // Fixed tiny job (~tens of ms warm). If the host stall pathology is

@@ -43,6 +43,15 @@ trait IndexStore {
   /** Remove every document; subsequent `read()` throws until re-written. */
   def clear(): Unit
   def exists: Boolean
+
+  /** Insert rows the CALLER already proved conflict-free and doc_id-deduped
+    * ([[VectorIndex.upsert]] runs the old-wins probe once for its ANN
+    * maintenance) — impls override to skip re-deriving the conflict set
+    * (the parquet store's second index scan, a REST store's second
+    * full-collection download). Default: a plain `upsert`, which on a
+    * conflict-free batch degenerates to the same insert.
+    */
+  private[graft] def insertPrechecked(inserted: DataFrame): Unit = upsert(inserted)
 }
 
 /** Parquet-backed store with versioned atomic swaps (see [[VersionedDir]]
@@ -222,7 +231,7 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
     * identical index id scan `upsert` would run. Same delta kind, fold
     * cadence, and no-op skip as [[upsert]].
     */
-  private[graft] def insertPrechecked(inserted: DataFrame): Unit = readOption() match {
+  override private[graft] def insertPrechecked(inserted: DataFrame): Unit = readOption() match {
     case None           => replace(inserted)
     case Some(existing) => writeInserted(inserted, existing)
   }

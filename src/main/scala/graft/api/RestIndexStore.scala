@@ -18,9 +18,15 @@ import graft.embed.HttpSupport
   * adapter must map onto):
   * {{{
   *   GET    {base}/collections/{name}               -> 200 {"schema": <json>} | 404
-  *   PUT    {base}/collections/{name}               {"schema": <json>}
+  *   PUT    {base}/collections/{name}               {"schema": <json>, "points": [...]}
+  *                                                  — ONE request recreates the
+  *                                                  collection: schema and points
+  *                                                  replace together (the server
+  *                                                  applies both atomically, like
+  *                                                  qdrant recreate_collection), so
+  *                                                  no reader can observe the new
+  *                                                  schema over the old points
   *   GET    {base}/collections/{name}/points        -> 200 {"points": [<rowJson>...]}
-  *   PUT    {base}/collections/{name}/points        {"points": [...]}   replace all
   *   POST   {base}/collections/{name}/points        {"points": [...]}   append (pre-deduped)
   *   POST   {base}/collections/{name}/points/delete {"ids": [...]}
   *   DELETE {base}/collections/{name}
@@ -80,33 +86,47 @@ final class RestIndexStore(spark: SparkSession, base: String, collection: String
     spark.read.schema(schema).json(spark.createDataset(rows)(Encoders.STRING))
   }
 
-  private def rowsJson(docs: DataFrame): String = {
-    val root = mapper.createObjectNode()
-    val pts = root.putArray("points")
+  private def pointsNode(docs: DataFrame): com.fasterxml.jackson.databind.node.ArrayNode = {
+    val pts = mapper.createArrayNode()
     // driver-mediated by design (see class doc) — rows ship through the API
     docs.toJSON.collect().foreach(r => pts.add(mapper.readTree(r)))
-    mapper.writeValueAsString(root)
+    pts
   }
 
   override def replace(docs: DataFrame): Unit = {
     val d = docs.dropDuplicates("doc_id")
-    val meta = mapper.createObjectNode()
-    meta.put("schema", d.schema.json)
-    expect200("PUT", collectionUrl, Some(mapper.writeValueAsString(meta)))
-    expect200("PUT", pointsUrl, Some(rowsJson(d)))
+    // ONE request: schema and points replace together (server-side atomic),
+    // so a concurrent reader sees either the old collection or the new one
+    // — never the new schema parsed over the old points, and a failed call
+    // leaves the old collection fully intact
+    val body = mapper.createObjectNode()
+    body.put("schema", d.schema.json)
+    body.set[com.fasterxml.jackson.databind.JsonNode]("points", pointsNode(d))
+    expect200("PUT", collectionUrl, Some(mapper.writeValueAsString(body)))
   }
 
   override def upsert(docs: DataFrame): Unit = readOption() match {
     case None => replace(docs)
     case Some(existing) =>
       import org.apache.spark.sql.functions.broadcast
-      val inserted = docs
+      insertPrechecked(docs
         .join(broadcast(existing.select("doc_id")), Seq("doc_id"), "left_anti")
-        .dropDuplicates("doc_id")
-      val json = rowsJson(inserted)
-      if (mapper.readTree(json).path("points").size() > 0)
-        expect200("POST", pointsUrl, Some(json))
+        .dropDuplicates("doc_id"))
   }
+
+  /** Conflict-free pre-deduped rows append with ONE POST — no second
+    * full-collection download (the caller already holds the conflict set).
+    */
+  override private[graft] def insertPrechecked(inserted: DataFrame): Unit =
+    if (!exists) replace(inserted)
+    else {
+      val pts = pointsNode(inserted)
+      if (pts.size() > 0) {
+        val body = mapper.createObjectNode()
+        body.set[com.fasterxml.jackson.databind.JsonNode]("points", pts)
+        expect200("POST", pointsUrl, Some(mapper.writeValueAsString(body)))
+      }
+    }
 
   override def delete(docIds: Seq[Long]): Unit = if (docIds.nonEmpty && exists) {
     val root = mapper.createObjectNode()

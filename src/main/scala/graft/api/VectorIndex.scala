@@ -114,16 +114,13 @@ final class VectorIndex(
       case None => docs
     }).dropDuplicates("doc_id").persist()
     try {
-      store match {
-        case p: ParquetIndexStore => p.insertPrechecked(inserted)
-        // the PERSISTED conflict-free rows go to the store too — handing it
-        // raw `docs` would let the store's own dropDuplicates pick a
-        // DIFFERENT survivor for an in-batch duplicate id than the ANN
-        // overlay did, leaving the overlay inconsistent with the stored
-        // document. `upsert` on a conflict-free batch degenerates to the
-        // plain insert it would have computed anyway.
-        case other                => other.upsert(inserted)
-      }
+      // the PERSISTED conflict-free rows go to the store — handing it raw
+      // `docs` would let the store's own dropDuplicates pick a DIFFERENT
+      // survivor for an in-batch duplicate id than the ANN overlay did,
+      // and `insertPrechecked` lets impls skip re-deriving the conflict
+      // set this method already computed (a second index id scan for
+      // parquet, a second full-collection download for a REST connector)
+      store.insertPrechecked(inserted)
       // all-conflict (no-op) batches write no ANN deltas and tick no fold
       // counter — idempotent replays must not trigger retrains
       if (!inserted.isEmpty) refreshAnnIncremental(inserted, emptyIds)

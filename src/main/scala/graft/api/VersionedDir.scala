@@ -12,7 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * {{{
   *   root/v00001/…            immutable version directories (any layout,
   *   root/v00002/…            including partitionBy subdirs)
-  *   root/_CURRENT            manifest: name of the active version dir
+  *   root/_FLIP_v00002        install markers: atomic-created AFTER the
+  *                            version's data is complete, never mutated;
+  *                            active version = newest marker with a dir
+  *   root/_CURRENT            legacy single-file manifest (read-only compat)
   * }}}
   *
   * Guarantees:
@@ -23,9 +26,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    contract).
   *  - writers: the next version NAME is reserved via an atomic marker-file
   *    create, so two racing writers can never write into the same version
-  *    directory (no clobber). Manifest flips are last-writer-wins: a
-  *    read-modify-write sequence (e.g. upsert) still needs single-writer
-  *    discipline for SEMANTIC atomicity — that is the documented contract.
+  *    directory (no clobber). Installation is one atomic marker create per
+  *    version — nothing shared is deleted or renamed, so racing flips
+  *    resolve to the numerically NEWEST installed version in every
+  *    interleaving. A read-modify-write sequence (e.g. upsert) still needs
+  *    single-writer discipline for SEMANTIC atomicity — that is the
+  *    documented contract.
   */
 final class VersionedDir(spark: SparkSession, val root: String, keepVersions: Int = 2) {
   require(keepVersions >= 1, "keepVersions must be >= 1")
@@ -36,15 +42,32 @@ final class VersionedDir(spark: SparkSession, val root: String, keepVersions: In
   private val rootPath = new Path(root)
   private def manifestPath = new Path(rootPath, "_CURRENT")
 
+  /** Active version resolution, newest-installed-wins: the highest-numbered
+    * `_FLIP_v*` marker whose version dir still exists. Markers are written
+    * by ATOMIC CREATE after the version's data is complete and are NEVER
+    * overwritten or renamed, so there is no window in which two writers can
+    * regress each other (the delete+rename single-manifest scheme this
+    * replaces had an unfixable check-then-act race). Fallbacks, in order:
+    * a legacy `_CURRENT` manifest (pre-marker layouts stay readable), then
+    * the newest version dir (crash between data write and marker create —
+    * the data is complete at that point).
+    */
   def currentVersion: Option[String] = {
     val f = fs
-    if (f.exists(manifestPath)) {
-      val in = f.open(manifestPath)
-      try {
-        val v = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        if (v.nonEmpty) Some(v) else None
-      } finally in.close()
-    } else listVersions.lastOption // manifest flip window / crash: newest wins
+    val markers =
+      if (!f.exists(rootPath)) Seq.empty
+      else f.listStatus(rootPath).toSeq.map(_.getPath.getName)
+        .filter(_.matches("_FLIP_v\\d+")).map(_.drop("_FLIP_".length))
+    val dirs = listVersions.toSet
+    markers.filter(dirs.contains).sortBy(_.drop(1).toLong).lastOption.orElse {
+      if (f.exists(manifestPath)) {
+        val in = f.open(manifestPath)
+        try {
+          val v = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          if (v.nonEmpty && dirs.contains(v)) Some(v) else listVersions.lastOption
+        } finally in.close()
+      } else listVersions.lastOption
+    }
   }
 
   /** Absolute path of the active version directory. */
@@ -101,11 +124,10 @@ final class VersionedDir(spark: SparkSession, val root: String, keepVersions: In
     throw new IllegalStateException(s"could not reserve a version dir under $root")
   }
 
-  /** Write a new version via `write(versionDirPath)`, flip the manifest to
-    * it, prune versions beyond `keepVersions`. The active data is never
-    * deleted mid-swap; the only window is on the one-line manifest, and
-    * [[currentVersion]] falls back to the newest version dir, so a crash
-    * mid-flip still resolves to the new version.
+  /** Write a new version via `write(versionDirPath)`, install its flip
+    * marker, prune versions beyond `keepVersions`. The active data is never
+    * deleted mid-swap; a crash between data write and marker create still
+    * resolves to the new version via the newest-dir fallback.
     */
   def replaceWith(write: String => Unit): Unit = {
     val f = fs
@@ -122,37 +144,23 @@ final class VersionedDir(spark: SparkSession, val root: String, keepVersions: In
       f.delete(new Path(rootPath, next), true)
       throw e
     }
-    val tmp = new Path(rootPath, s"_CURRENT_tmp_$next")
-    val out = f.create(tmp, true)
-    try out.write(next.getBytes("UTF-8")) finally out.close()
-    // delete+rename is not atomic: a racing writer can install its manifest
-    // between our delete and rename, failing the rename (dest exists). Each
-    // failed attempt means someone else just flipped — re-check and retry.
-    // The winner is DETERMINISTIC by version number: a writer only
-    // overwrites a manifest pointing at a NUMERICALLY OLDER version, and
-    // abandons its flip when a newer one is already installed (its version
-    // dir stays readable until pruned, its data is simply superseded). This
-    // keeps the retry's liveness while never regressing the manifest to
-    // older data — the documented newest-flip-wins contract.
-    var attempts = 0
-    var flipped = false
-    var superseded = false
-    val nextNum = next.drop(1).toLong
-    while (!flipped && !superseded) {
-      attempts += 1
-      require(attempts <= 64, s"manifest flip failed for $root -> $next after $attempts attempts")
-      currentVersion.filter(_.matches("v\\d+")).map(_.drop(1).toLong) match {
-        case Some(installed) if installed > nextNum =>
-          f.delete(tmp, false)
-          superseded = true
-        case _ =>
-          if (f.exists(manifestPath)) f.delete(manifestPath, false)
-          flipped = f.rename(tmp, manifestPath)
-      }
-    }
+    // install = one ATOMIC CREATE of this version's own marker file. No
+    // shared manifest is ever deleted or renamed, so concurrent writers
+    // cannot regress each other: resolution ([[currentVersion]]) picks the
+    // newest installed marker deterministically, whatever order flips land
+    // in. (The previous single-file delete+rename had a check-then-act
+    // window in which a slow older writer could overwrite a newer one's
+    // manifest — unfixable without filesystem compare-and-swap.)
+    require(atomicCreate(f, new Path(rootPath, s"_FLIP_$next")) ||
+        f.exists(new Path(rootPath, s"_FLIP_$next")),
+      s"could not install flip marker for $root/$next")
+    // a stale legacy manifest would shadow nothing (markers win resolution)
+    // but clean it up so pre-marker readers of this layout don't misresolve
+    if (f.exists(manifestPath)) f.delete(manifestPath, false)
     listVersions.dropRight(keepVersions).foreach { v =>
       f.delete(new Path(rootPath, v), true)
       f.delete(new Path(rootPath, s"$v.deltas"), true) // sidecars die with their base
+      f.delete(new Path(rootPath, s"_FLIP_$v"), false) // marker dies with its version
       f.delete(new Path(rootPath, s".reserve_$v"), false)
     }
   }

@@ -242,26 +242,32 @@ final case class HttpChatBackend(
     }
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(resp.body(), StandardCharsets.UTF_8))
-    new Iterator[String] {
+    // AutoCloseable so a consumer that abandons the stream early (preview
+    // UIs, exceptions mid-consumption) can release the socket instead of
+    // leaking it until GC; full consumption closes on [DONE]/EOF, and any
+    // mid-stream failure closes before propagating
+    new Iterator[String] with AutoCloseable {
       private var nextChunk: String = null
       private var done = false
-      private def advance(): Unit = {
-        while (nextChunk == null && !done) {
-          val line = reader.readLine()
-          if (line == null) { done = true; reader.close() }
-          else if (line.startsWith("data:")) {
-            val payload = line.drop(5).trim
-            if (payload == "[DONE]") { done = true; reader.close() }
-            else if (payload.nonEmpty) {
-              val content = HttpSupport.mapper.readTree(payload)
-                .path("choices").path(0).path("delta").path("content")
-              // empty/absent delta (role-only first chunk, keep-alives) → skip
-              if (!content.isMissingNode && !content.isNull && content.asText().nonEmpty)
-                nextChunk = content.asText()
-            }
-          } // non-data lines (SSE comments, blank separators) → skip
-        }
-      }
+      override def close(): Unit = if (!done) { done = true; reader.close() }
+      private def advance(): Unit =
+        try {
+          while (nextChunk == null && !done) {
+            val line = reader.readLine()
+            if (line == null) close()
+            else if (line.startsWith("data:")) {
+              val payload = line.drop(5).trim
+              if (payload == "[DONE]") close()
+              else if (payload.nonEmpty) {
+                val content = HttpSupport.mapper.readTree(payload)
+                  .path("choices").path(0).path("delta").path("content")
+                // empty/absent delta (role-only first chunk, keep-alives) → skip
+                if (!content.isMissingNode && !content.isNull && content.asText().nonEmpty)
+                  nextChunk = content.asText()
+              }
+            } // non-data lines (SSE comments, blank separators) → skip
+          }
+        } catch { case t: Throwable => close(); throw t }
       override def hasNext: Boolean = { advance(); nextChunk != null }
       override def next(): String = {
         advance()

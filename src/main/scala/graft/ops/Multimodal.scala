@@ -334,9 +334,22 @@ object Multimodal {
     */
   def decodeImage(bytes: Array[Byte]): Option[PngCodec.Image] =
     PngCodec.decode(bytes).orElse(scala.util.Try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
+      val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (decoded == null) None
       else {
+        // indexed rasters (GIF, indexed BMP) carry palette INDICES in their
+        // bands, and >8-bit samples would truncate — convert through the
+        // color model to true 8-bit RGB first so stats are pixel VALUES
+        val needsConvert =
+          decoded.getColorModel.isInstanceOf[java.awt.image.IndexColorModel] ||
+            decoded.getColorModel.getComponentSize.exists(_ > 8)
+        val img = if (!needsConvert) decoded else {
+          val conv = new java.awt.image.BufferedImage(
+            decoded.getWidth, decoded.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val g = conv.createGraphics()
+          try g.drawImage(decoded, 0, 0, null) finally g.dispose()
+          conv
+        }
         val raster = img.getRaster
         val ch = raster.getNumBands
         val w = img.getWidth

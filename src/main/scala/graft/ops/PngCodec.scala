@@ -64,15 +64,28 @@ object PngCodec {
     if (bitDepth != 8 || interlace != 0 || width <= 0 || height <= 0) return None
     if (colorType == 3 && palette == null) return None
 
-    // zlib-inflate the concatenated IDAT stream into (1 + w·ch) · h bytes
+    // zlib-inflate the concatenated IDAT stream into (1 + w·ch) · h bytes.
+    // Dimensions are ATTACKER-CONTROLLED: bound the allocation by zlib's
+    // maximum expansion (1032:1) of the actual IDAT payload before touching
+    // it — a 60-byte file declaring a 100M-wide image must yield None, not
+    // a 2 GB allocation (OutOfMemoryError escapes the Try and kills the
+    // executor, breaking the garbage-in contract).
+    val idatBytes = idat.toByteArray
     val stride = width * channels
-    val raw = new Array[Byte]((stride + 1) * height)
+    val rawLen = (stride + 1).toLong * height
+    if (rawLen > idatBytes.length.toLong * 1032L + 4096L || rawLen > Int.MaxValue)
+      return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new Inflater()
-    inf.setInput(idat.toByteArray)
+    inf.setInput(idatBytes)
     var got = 0
     while (got < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, got, raw.length - got)
-      if (n == 0 && inf.needsInput()) return None // truncated stream
+      // any zero-progress state ends the decode: truncated stream
+      // (needsInput), FDICT preset-dictionary header (needsDictionary —
+      // inflate() returns 0 with needsInput()=false FOREVER, a confirmed
+      // infinite-loop vector for crafted files), or any other stall
+      if (n == 0 && !inf.finished()) { inf.end(); return None }
       got += n
     }
     inf.end()

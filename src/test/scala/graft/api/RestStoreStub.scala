@@ -47,9 +47,20 @@ final class RestStoreStub {
           case None => send(ex, 404, """{"error":"no such collection"}""")
         }
       case (Nil, "PUT") =>
-        val schema = mapper.readTree(readBody(ex)).path("schema").asText()
-        collections.compute(name, (_, prev) =>
-          (schema, if (prev == null) new java.util.LinkedHashMap[Long, String]() else prev._2))
+        // schema + points land in ONE compute — atomic under the map's lock,
+        // like qdrant's recreate_collection
+        val body = mapper.readTree(readBody(ex))
+        val schema = body.path("schema").asText()
+        collections.compute(name, (_, prev) => {
+          val pts =
+            if (body.has("points")) {
+              val m = new java.util.LinkedHashMap[Long, String]()
+              body.path("points").forEach(p => m.put(p.path("doc_id").asLong(), p.toString))
+              m
+            } else if (prev == null) new java.util.LinkedHashMap[Long, String]()
+            else prev._2
+          (schema, pts)
+        })
         send(ex, 200, "{}")
       case (Nil, "DELETE") =>
         if (collections.remove(name) != null) send(ex, 200, "{}")
@@ -63,12 +74,11 @@ final class RestStoreStub {
             send(ex, 200, mapper.writeValueAsString(o))
           case None => send(ex, 404, """{"error":"no such collection"}""")
         }
-      case (List("points"), "PUT") | (List("points"), "POST") =>
+      case (List("points"), "POST") =>
         Option(collections.get(name)) match {
           case Some((_, pts)) =>
             val incoming = mapper.readTree(readBody(ex)).path("points")
             pts.synchronized {
-              if (method == "PUT") pts.clear()
               incoming.forEach { p => pts.put(p.path("doc_id").asLong(), p.toString) }
             }
             send(ex, 200, "{}")

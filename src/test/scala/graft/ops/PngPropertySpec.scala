@@ -48,6 +48,51 @@ class PngPropertySpec extends AnyFunSuite {
     }
   }
 
+  private def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val len = payload.length
+    Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte) ++
+      typ.getBytes("US-ASCII") ++ payload ++ Array[Byte](0, 0, 0, 0) // CRC unchecked
+  }
+
+  test("a zlib FDICT header terminates decode instead of spinning forever") {
+    // 0x78 0x20: valid FCHECK, FDICT set — Inflater.inflate returns 0 with
+    // needsInput()=false indefinitely; the decode loop must bail to None
+    val base = PngCodec.encode(4, 4, 1, Array.fill[Byte](16)(7))
+    val sigAndIhdr = base.take(8 + 25)
+    val crafted = sigAndIhdr ++
+      chunk("IDAT", Array[Byte](0x78, 0x20, 1, 2, 3, 4)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(PngCodec.decode(crafted).isEmpty) // and returns promptly
+  }
+
+  test("hostile IHDR dimensions are rejected before allocation") {
+    // declare a ~100M-wide image in an otherwise tiny file: the raw-size
+    // bound (zlib max expansion of the actual IDAT) must refuse it without
+    // attempting the multi-GB allocation
+    val base = PngCodec.encode(4, 4, 1, Array.fill[Byte](16)(7))
+    val crafted = base.clone()
+    val w = 100_000_000
+    crafted(16) = (w >>> 24).toByte; crafted(17) = (w >>> 16).toByte
+    crafted(18) = (w >>> 8).toByte; crafted(19) = w.toByte
+    assert(PngCodec.decode(crafted).isEmpty)
+  }
+
+  test("indexed images decode to pixel VALUES, not palette indices (GIF via ImageIO)") {
+    // 8x8 — the JDK's own GIF writer corrupts rows of smaller odd-sized
+    // frames (a 5x3 solid white comes back with a black middle row), so
+    // the fixture sticks to a size the writer round-trips faithfully
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", out))
+    val got = Multimodal.decodeImage(out.toByteArray)
+      .getOrElse(fail("gif decode failed"))
+    assert(got.channels == 3 && got.width == 8 && got.height == 8)
+    assert(got.pixels.forall(b => (b & 0xFF) == 255),
+      "a solid-white GIF must decode to 255s — palette indices would be 0s")
+  }
+
   test("pure-garbage sweep: random bytes never throw, signature or not") {
     val rnd = new scala.util.Random(29)
     for (trial <- 0 until 300) {
