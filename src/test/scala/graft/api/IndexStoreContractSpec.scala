@@ -140,4 +140,29 @@ class RestIndexStoreContractSpec extends IndexStoreContract
       .select("doc_id").as[Long].collect().toSeq)
     assert(idx.documents.count() == 1)
   }
+
+  test("RestIndexStore: re-sending a points batch is idempotent (doc_id-keyed upsert wire)") {
+    val s = makeStore("retry")
+    s.replace(docs(1L -> "a"))
+    // an ambiguous failure replays the POST: the id-keyed wire rewrites
+    // instead of duplicating
+    s.insertPrechecked(docs(2L -> "b"))
+    s.insertPrechecked(docs(2L -> "b"))
+    assert(s.read().count() == 2)
+    assert(s.read().filter(col("doc_id") === 2L).count() == 1)
+  }
+
+  test("RestIndexStore: large batches POST per-partition from executors") {
+    import spark.implicits._
+    val s = new RestIndexStore(spark, stub.baseUrl, s"dist-${n.incrementAndGet()}",
+      backoffMs = 1, executorUploadMinRows = 1)
+    s.replace(docs(1L -> "a").repartition(1)) // replace also distributes: schema PUT + partition POSTs
+    val six = docs(10L -> "j", 11L -> "k", 12L -> "l", 13L -> "m", 14L -> "n", 15L -> "o")
+      .repartition(3)
+    val before = stub.pointsPostCount
+    s.insertPrechecked(six)
+    assert(stub.pointsPostCount - before == 3,
+      s"expected one points POST per partition, got ${stub.pointsPostCount - before}")
+    assert(s.read().count() == 7)
+  }
 }

@@ -15,6 +15,12 @@ final class RestStoreStub {
   private val mapper = new ObjectMapper()
   private val collections =
     new java.util.concurrent.ConcurrentHashMap[String, (String, java.util.LinkedHashMap[Long, String])]()
+  private val pointsPosts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Number of POST /points append requests served (spec probe for the
+    * executor-side per-partition upload path).
+    */
+  def pointsPostCount: Int = pointsPosts.get()
 
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -75,6 +81,7 @@ final class RestStoreStub {
           case None => send(ex, 404, """{"error":"no such collection"}""")
         }
       case (List("points"), "POST") =>
+        pointsPosts.incrementAndGet()
         Option(collections.get(name)) match {
           case Some((_, pts)) =>
             val incoming = mapper.readTree(readBody(ex)).path("points")
