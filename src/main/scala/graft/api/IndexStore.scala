@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions.col
   * Writer contract: compound mutations (`upsert`/`delete` are
   * read-then-replace) assume a SINGLE writer at a time. Concurrent writers
   * never corrupt storage (version dirs are reservation-protected), but the
-  * last manifest flip wins, so one racing mutation's effect can be lost.
-  * Serialize writers externally (e.g. one streaming query per index).
+  * HIGHEST-NUMBERED installed version wins resolution — a slower writer
+  * holding a lower reserved number loses even if its flip marker lands
+  * last — so one racing mutation's effect can be lost. Serialize writers
+  * externally (e.g. one streaming query per index).
   */
 trait IndexStore {
   /** Current index contents; throws if the index does not exist. */

@@ -126,8 +126,10 @@ final class VersionedDir(spark: SparkSession, val root: String, keepVersions: In
 
   /** Write a new version via `write(versionDirPath)`, install its flip
     * marker, prune versions beyond `keepVersions`. The active data is never
-    * deleted mid-swap; a crash between data write and marker create still
-    * resolves to the new version via the newest-dir fallback.
+    * deleted mid-swap. A crash between data write and marker create leaves
+    * the PREVIOUS installed version active (the written-but-unmarked dir is
+    * simply never resolved); only a first, never-installed root falls back
+    * to newest-dir resolution.
     */
   def replaceWith(write: String => Unit): Unit = {
     val f = fs

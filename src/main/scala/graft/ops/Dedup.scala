@@ -186,8 +186,10 @@ object Dedup {
     * min-id representative — microseconds, no per-round Spark jobs at
     * all), above the cap the distributed loop below runs. LSH/near-dup
     * pair sets are ≪ corpus by construction, so the driver path is the
-    * common case; the cap bounds driver memory explicitly (4M pairs ≈
-    * 64 MB of longs) and the distributed path is spec-pinned by forcing
+    * common case. Driver state is PRIMITIVE arrays only (sorted long[]
+    * ids + int[] parents, ~12 B/node — no boxed map), so the default cap
+    * (1M pairs, ≤ 2M nodes) costs ~24 MB of heap plus the transient
+    * collected pair array; the distributed path is spec-pinned by forcing
     * `driverCap = 0`.
     *
     * Distributed regime — min-label propagation WITH POINTER DOUBLING: each round
@@ -216,7 +218,7 @@ object Dedup {
     * otherwise it logs a warning and returns the partial labels.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20, strict: Boolean = true,
-                  driverCap: Long = 4_000_000L): DataFrame = {
+                  driverCap: Long = 1_000_000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     // materialize the directed pair set ONCE (the loop would iterate over
@@ -225,23 +227,48 @@ object Dedup {
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .localCheckpoint(true)
     if (directed.count() <= driverCap) {
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
+      // PRIMITIVE-ARRAY union-find: the only per-node state is a sorted
+      // long[] of distinct ids (slot = binary search) and an int[] parent
+      // of slot indices — ~12 B/node, no boxing, no hash map. At the
+      // default cap (1M pairs ≤ 2M nodes) that is ~24 MB of driver heap;
+      // a boxed HashMap[Long,Long] of the same nodes costs ~10× that.
+      val pairArr = directed.select("src", "dst").as[(Long, Long)].collect()
+      val ids = {
+        val all = new Array[Long](pairArr.length * 2)
+        var i = 0
+        while (i < pairArr.length) {
+          all(2 * i) = pairArr(i)._1; all(2 * i + 1) = pairArr(i)._2; i += 1
+        }
+        java.util.Arrays.sort(all)
+        var n = 0
+        var j = 0
+        while (j < all.length) {
+          if (n == 0 || all(j) != all(n - 1)) { all(n) = all(j); n += 1 }
+          j += 1
+        }
+        java.util.Arrays.copyOf(all, n)
+      }
+      val parent = Array.tabulate(ids.length)(identity)
+      def find(s: Int): Int = {
+        var r = s
         while (parent(r) != r) r = parent(r)
-        var c = x
+        var c = s
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      directed.select("src", "dst").as[(Long, Long)].collect().foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
+      var i = 0
+      while (i < pairArr.length) {
+        val ra = find(java.util.Arrays.binarySearch(ids, pairArr(i)._1))
+        val rb = find(java.util.Arrays.binarySearch(ids, pairArr(i)._2))
         // min-id root: the canonical-representative policy falls out of the
-        // union itself, no relabel pass
+        // union itself, no relabel pass (slot order = id order, ids sorted)
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        i += 1
       }
-      return parent.keys.toSeq.sorted.map(k => (k, find(k)))
+      return spark.createDataset(
+          ids.indices.map(s => (ids(s), ids(find(s))))) (
+          org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
         .toDF("doc_id", "cluster_id")
     }
     val sym = directed

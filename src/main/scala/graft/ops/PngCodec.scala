@@ -71,10 +71,14 @@ object PngCodec {
     // a 2 GB allocation (OutOfMemoryError escapes the Try and kills the
     // executor, breaking the garbage-in contract).
     val idatBytes = idat.toByteArray
-    val stride = width * channels
-    val rawLen = (stride + 1).toLong * height
+    // stride/rawLen in LONG first: crafted IHDR dims (width ≈ 2^30, RGBA)
+    // overflow an Int stride to a small positive number, which would decode
+    // "successfully" into a buffer inconsistent with width·height·channels
+    val strideL = width.toLong * channels
+    val rawLen = (strideL + 1L) * height
     if (rawLen > idatBytes.length.toLong * 1032L + 4096L || rawLen > Int.MaxValue)
       return None
+    val stride = strideL.toInt
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new Inflater()
     inf.setInput(idatBytes)

@@ -77,6 +77,65 @@ class PngPropertySpec extends AnyFunSuite {
     assert(PngCodec.decode(crafted).isEmpty)
   }
 
+  test("IHDR width that overflows an Int stride is rejected, not decoded with garbage dims") {
+    // width = 2^30+1 with RGBA: stride computed in Int wraps to 4, so the
+    // raw-size bound would pass and decode could return Some(Image) whose
+    // buffer disagrees with width·height·channels — the Long-stride guard
+    // must refuse before allocating
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(Array.fill[Byte](20)(1)); d.finish()
+      val buf = new Array[Byte](64)
+      val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    val w = 0x40000001
+    val ihdr = Array(
+      (w >>> 24).toByte, (w >>> 16).toByte, (w >>> 8).toByte, w.toByte, // width
+      0, 0, 0, 4, // height
+      8, 6, 0, 0, 0 // bit depth 8, RGBA, compression, filter, no interlace
+    ).map(_.toByte)
+    val crafted = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++ chunk("IEND", Array.emptyByteArray)
+    assert(PngCodec.decode(crafted).isEmpty)
+  }
+
+  test("16-bit and Adam7-interlaced PNGs hand off from PngCodec to the ImageIO fallback") {
+    // PngCodec deliberately covers only 8-bit non-interlaced images; the
+    // decodeImage seam must still decode the rest via ImageIO — pin the
+    // handoff so neither side regresses
+    val gray16 = new java.awt.image.BufferedImage(6, 5,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 5; x <- 0 until 6) gray16.getRaster.setSample(x, y, 0, (x + y) * 4096)
+    val out16 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray16, "png", out16))
+    val bytes16 = out16.toByteArray
+    assert(PngCodec.decode(bytes16).isEmpty, "16-bit must be out of PngCodec's scope")
+    val img16 = Multimodal.decodeImage(bytes16).getOrElse(fail("ImageIO must cover 16-bit PNG"))
+    assert(img16.width == 6 && img16.height == 5)
+
+    val rgb = new java.awt.image.BufferedImage(7, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 7) rgb.setRGB(x, y, x * 36 << 16 | y * 63)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT) // Adam7
+    val outI = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(outI)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(rgb, null, null), param)
+    writer.dispose(); ios.close()
+    val bytesI = outI.toByteArray
+    assert(bytesI(8 + 8 + 12) == 1, "fixture must actually be interlaced") // IHDR interlace byte
+    assert(PngCodec.decode(bytesI).isEmpty, "interlaced must be out of PngCodec's scope")
+    val imgI = Multimodal.decodeImage(bytesI).getOrElse(fail("ImageIO must cover Adam7 PNG"))
+    assert(imgI.width == 7 && imgI.height == 4 && imgI.channels == 3)
+    // pixel fidelity through the fallback: ImageIO must reproduce the RGB we wrote
+    assert((imgI.pixels(0) & 0xFF) == 0 && (imgI.pixels(2) & 0xFF) == 0)
+    val lastPx = (3 * 7 + 6) * 3
+    assert((imgI.pixels(lastPx) & 0xFF) == 216 && (imgI.pixels(lastPx + 2) & 0xFF) == 189)
+  }
+
   test("indexed images decode to pixel VALUES, not palette indices (GIF via ImageIO)") {
     // 8x8 — the JDK's own GIF writer corrupts rows of smaller odd-sized
     // frames (a 5x3 solid white comes back with a black middle row), so
