@@ -72,6 +72,36 @@ object SparkEntry {
     ops.PngCodec.encode(w, h, 1, px, r => ((id + r) % 5).toInt)
   }
 
+  /** Deterministic GIF for q_gif_decode: a 256-level GRAYSCALE palette
+    * (palette index == gray value, so LZW round-trips the formula exactly)
+    * with the same id-driven pixel formula as [[synthPng]]. Dimensions stay
+    * even and ≥ 8 — the JDK GIF writer corrupts rows of small odd-sized
+    * frames (see PngPropertySpec) — and the ImageIO decode path expands the
+    * palette to 3-channel RGB with r=g=b=v, so the oracle replays the
+    * formula with a 3× sample multiplier.
+    */
+  private[graft] def synthGif(id: Long): Array[Byte] = {
+    val w = (8 + 2 * (id % 8)).toInt
+    val h = (8 + 2 * (id % 4)).toInt
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((id * 31 + (y * w + x)) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "gif", out), "JDK GIF writer unavailable")
+    out.toByteArray
+  }
+
   /** Driver-side single-row lookup of the canonical probe vector (vec_id=0) —
     * the analog of embedding the query string (reference base.py:307-310).
     */
@@ -580,6 +610,20 @@ object SparkEntry {
       val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id")).as[Long]
         .map(id => (id, synthPng(id)))
+        .toDF("doc_id", "media")
+      Multimodal.imagePixelStats(media, "doc_id").orderBy("doc_id")
+    },
+    // REAL GIF pixel decode, gated like q_png_decode: a grayscale-palette
+    // GIF is synthesized per doc (pixels a pure function of doc_id; LZW is
+    // lossless and palette index == gray level) and decoded through the
+    // ImageIO fallback, which expands the palette to RGB. The oracle
+    // replays the generator formula with the 3-channel multiplier, so the
+    // hash match proves real LZW decode + palette expansion.
+    "q_gif_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthGif(id)))
         .toDF("doc_id", "media")
       Multimodal.imagePixelStats(media, "doc_id").orderBy("doc_id")
     },
@@ -1549,6 +1593,17 @@ object SparkEntry {
         |   WHERE g.i < d.width * d.height)
         |SELECT doc_id, width, height, CAST(1 AS BIGINT) AS channels,
         |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+        |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+    "q_gif_decode" ->
+      """WITH d AS (SELECT doc_id, CAST(8 + 2 * (doc_id % 8) AS BIGINT) AS width,
+        |    CAST(8 + 2 * (doc_id % 4) AS BIGINT) AS height
+        |  FROM documents WHERE doc_id < 100),
+        | px AS (SELECT d.doc_id, d.width, d.height, (d.doc_id * 31 + g.i) % 256 AS v
+        |   FROM d, (SELECT unnest(generate_series(0, 307)) AS i) g
+        |   WHERE g.i < d.width * d.height)
+        |SELECT doc_id, width, height, CAST(3 AS BIGINT) AS channels,
+        |  CAST(count(*) AS BIGINT) AS n_px, CAST(3 * sum(v) AS BIGINT) AS px_sum,
         |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
         |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
     "q_events_daily" ->
