@@ -56,6 +56,21 @@ trait IndexStore {
   private[graft] def insertPrechecked(inserted: DataFrame): Unit = upsert(inserted)
 }
 
+/** Connector capability: the backing service answers similarity search
+  * SERVER-side (qdrant `POST /points/search`, weaviate GraphQL
+  * `nearVector`) — the reference's `get_similar_documents` runs there too
+  * (storage/qdrant/provider.py:63-104, storage/weaviate/provider.py:65-121).
+  * [[VectorIndex]] routes exact cosine searches through this instead of
+  * downloading the collection and scanning it in Spark: only the k hits
+  * cross the wire. Scores are cosine similarity; `similarityThreshold`
+  * must be in [0, 1] and is only enforced server-side when > 0 (the
+  * reference's convention — 0 means unfiltered).
+  */
+trait ServerSideSearch { this: IndexStore =>
+  def searchSimilar(queryVector: Seq[Float], limit: Int = 5,
+                    similarityThreshold: Double = 0.0): DataFrame
+}
+
 /** Parquet-backed store with versioned atomic swaps (see [[VersionedDir]]
   * for the layout and reader/writer guarantees). `keepVersions` controls how
   * many versions stay readable for in-flight readers (default 2 = current +

@@ -127,7 +127,8 @@ final class QdrantIndexStore(spark: SparkSession, base: String,
                              requestTimeoutMs: Long = 60000,
                              uploadBatchRows: Int = 500,
                              executorUploadMinRows: Long = 10000,
-                             scrollBatchRows: Int = 1000) extends IndexStore {
+                             scrollBatchRows: Int = 1000)
+    extends IndexStore with ServerSideSearch {
   import QdrantIndexStore.SchemaPointId
 
   private val wire = QdrantWire(base, collection, apiKey, maxRetries,
@@ -301,8 +302,8 @@ final class QdrantIndexStore(spark: SparkSession, base: String,
     * stored document schema plus a `score` double column; the meta point is
     * excluded with a `must_not has_id` filter.
     */
-  def searchSimilar(queryVector: Seq[Float], limit: Int = 5,
-                    similarityThreshold: Double = 0.0): DataFrame = {
+  override def searchSimilar(queryVector: Seq[Float], limit: Int = 5,
+                             similarityThreshold: Double = 0.0): DataFrame = {
     require(similarityThreshold >= 0 && similarityThreshold <= 1,
       "similarity_threshold must be between 0 and 1") // provider.py:88-89
     val schema = storedSchema()

@@ -289,9 +289,14 @@ final class VectorIndex(
 
   def search(query: String, k: Int = 5, threshold: Double = 0.0,
              metric: Metric = Metric.Cosine,
-             mode: SearchMode = SearchMode.Exact): DataFrame = mode match {
-    case SearchMode.Exact => Retrieval.search(documents, query, backend, k, threshold, metric)
-    case m                => searchVector(backend.embedOne(query).toSeq, k, threshold, metric, m)
+             mode: SearchMode = SearchMode.Exact): DataFrame = (mode, store) match {
+    // server-side-capable connectors answer exact cosine searches on the
+    // service (same embed-then-route shape as the ANN modes)
+    case (SearchMode.Exact, _: ServerSideSearch) if metric == Metric.Cosine =>
+      searchVector(backend.embedOne(query).toSeq, k, threshold, metric, mode)
+    case (SearchMode.Exact, _) =>
+      Retrieval.search(documents, query, backend, k, threshold, metric)
+    case (m, _) => searchVector(backend.embedOne(query).toSeq, k, threshold, metric, m)
   }
 
   /** ANN candidate top-k for a driver-resident probe batch, hydrated back to
@@ -336,9 +341,23 @@ final class VectorIndex(
                    metric: Metric = Metric.Cosine,
                    mode: SearchMode = SearchMode.Exact): DataFrame = mode match {
     case SearchMode.Exact =>
-      val hits = Retrieval.knn(documents, queryVec, k, threshold, metric)
-        .withColumn("key", org.apache.spark.sql.functions.col("object_keys").getItem(0))
-      Retrieval.dedupByKey(hits)
+      import org.apache.spark.sql.functions.col
+      val hits = store match {
+        // a connector that searches SERVER-side (qdrant points/search,
+        // weaviate nearVector) answers exact cosine queries itself — the
+        // reference's get_similar_documents does exactly this; routing
+        // through read() would download the whole collection per search.
+        // The client-side threshold re-filter keeps the semantics byte-
+        // identical to the Spark scan (the engine allows thresholds the
+        // wire does not, e.g. negative = unfiltered).
+        case s: ServerSideSearch if metric == Metric.Cosine =>
+          s.searchSimilar(queryVec, k,
+              similarityThreshold = math.min(math.max(threshold, 0.0), 1.0))
+            .filter(col("score") >= threshold)
+        case _ =>
+          Retrieval.knn(documents, queryVec, k, threshold, metric)
+      }
+      Retrieval.dedupByKey(hits.withColumn("key", col("object_keys").getItem(0)))
     case m =>
       require(metric == Metric.Cosine, s"ANN modes rerank by cosine; got $metric")
       Retrieval.dedupByKey(annHits(Seq((0L, queryVec)), k, threshold, m))

@@ -124,7 +124,8 @@ final class WeaviateIndexStore(spark: SparkSession, base: String,
                                requestTimeoutMs: Long = 60000,
                                uploadBatchRows: Int = 500,
                                executorUploadMinRows: Long = 10000,
-                               listBatchRows: Int = 1000) extends IndexStore {
+                               listBatchRows: Int = 1000)
+    extends IndexStore with ServerSideSearch {
 
   val className: String = WeaviateIndexStore.classNameOf(collection)
   private val wire = WeaviateWire(base, className, apiKey, maxRetries,
@@ -259,8 +260,8 @@ final class WeaviateIndexStore(spark: SparkSession, base: String,
     * document schema plus a `score` double (1 - distance, back in
     * similarity terms).
     */
-  def searchSimilar(queryVector: Seq[Float], limit: Int = 5,
-                    similarityThreshold: Double = 0.0): DataFrame = {
+  override def searchSimilar(queryVector: Seq[Float], limit: Int = 5,
+                             similarityThreshold: Double = 0.0): DataFrame = {
     require(similarityThreshold >= 0 && similarityThreshold <= 1,
       "similarity_threshold must be between 0 and 1") // provider.py:90-91
     val schema = storedSchema()

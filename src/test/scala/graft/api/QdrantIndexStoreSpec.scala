@@ -151,6 +151,38 @@ class QdrantIndexStoreSpec extends org.scalatest.funsuite.AnyFunSuite with Befor
     assert(!idx.store.exists)
   }
 
+  test("VectorIndex exact cosine search routes SERVER-side through the connector") {
+    val cfg = graft.core.IndexConfig("qroute", "id",
+      Seq(graft.core.EmbeddingField("title", important = true), graft.core.EmbeddingField("body")),
+      tokenLimit = 64, chunkOverlap = 8, dims = 16)
+    val qstore = new QdrantIndexStore(spark, stub.baseUrl, "vi-route",
+      dims = 16, backoffMs = 1)
+    val idx = new VectorIndex(spark, cfg, graft.embed.HashEmbeddingBackend(16),
+      graft.embed.EchoChatBackend(), "unused://path", "page", "id",
+      storeOverride = Some(qstore))
+    idx.rebuild(Seq(
+      (1L, "alpha", "first topic text"),
+      (2L, "beta", "second subject text"),
+      (3L, "gamma", "third theme text")).toDF("id", "title", "body"))
+    assert(idx.documents.count() == 3, "rebuild must land 3 documents")
+    val before = stub.requestLog.count(_.path == "/collections/vi-route/points/search")
+    val hits = idx.search("second subject text", k = 2, threshold = -1.0)
+    val keys = hits.select("key").as[String].collect()
+    assert(stub.requestLog.count(_.path == "/collections/vi-route/points/search") > before,
+      "exact search must go through POST /points/search, not a collection download")
+    assert(keys.nonEmpty && keys.forall(_.startsWith("page:")))
+    // server route and Spark-side scan agree exactly
+    val local = graft.query.Retrieval.search(idx.documents, "second subject text",
+      graft.embed.HashEmbeddingBackend(16), k = 2, threshold = -1.0)
+    assert(hits.select("doc_id").as[Long].collect().toSet ==
+      local.select("doc_id").as[Long].collect().toSet)
+    // non-cosine metrics must NOT route (the wire is cosine-only)
+    val b2 = stub.requestLog.count(_.path == "/collections/vi-route/points/search")
+    idx.search("second subject text", k = 2, threshold = -9.0,
+      metric = graft.core.Metric.L2).collect()
+    assert(stub.requestLog.count(_.path == "/collections/vi-route/points/search") == b2)
+  }
+
   test("scroll pages through large collections (read crosses the scroll batch boundary)") {
     val s = new QdrantIndexStore(spark, stub.baseUrl, "paged", dims = 2,
       backoffMs = 1, scrollBatchRows = 7)

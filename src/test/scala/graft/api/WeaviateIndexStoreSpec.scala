@@ -151,6 +151,30 @@ class WeaviateIndexStoreSpec extends org.scalatest.funsuite.AnyFunSuite with Bef
     assert(lists >= 6, s"expected cursor-paged listings, got $lists")
   }
 
+  test("VectorIndex exact cosine search routes SERVER-side through GraphQL nearVector") {
+    val cfg = graft.core.IndexConfig("wroute", "id",
+      Seq(graft.core.EmbeddingField("title", important = true), graft.core.EmbeddingField("body")),
+      tokenLimit = 64, chunkOverlap = 8, dims = 16)
+    val idx = new VectorIndex(spark, cfg, graft.embed.HashEmbeddingBackend(16),
+      graft.embed.EchoChatBackend(), "unused://path", "page", "id",
+      storeOverride = Some(new WeaviateIndexStore(spark, stub.baseUrl, "vi-route",
+        backoffMs = 1)))
+    idx.rebuild(Seq(
+      (1L, "alpha", "first topic text"),
+      (2L, "beta", "second subject text"),
+      (3L, "gamma", "third theme text")).toDF("id", "title", "body"))
+    val before = stub.requestLog.count(_.path == "/v1/graphql")
+    val hits = idx.search("second subject text", k = 2, threshold = -1.0)
+    assert(stub.requestLog.count(_.path == "/v1/graphql") > before,
+      "exact search must go through GraphQL nearVector, not an object download")
+    // server route and Spark-side scan agree exactly
+    val local = graft.query.Retrieval.search(idx.documents, "second subject text",
+      graft.embed.HashEmbeddingBackend(16), k = 2, threshold = -1.0)
+    assert(hits.select("doc_id").as[Long].collect().toSet ==
+      local.select("doc_id").as[Long].collect().toSet)
+    assert(hits.count() == 2)
+  }
+
   test("a VectorIndex runs its full lifecycle against the weaviate connector") {
     val cfg = graft.core.IndexConfig("weaviate", "id",
       Seq(graft.core.EmbeddingField("title", important = true), graft.core.EmbeddingField("body")),
