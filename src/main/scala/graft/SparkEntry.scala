@@ -102,6 +102,51 @@ object SparkEntry {
     out.toByteArray
   }
 
+  /** Deterministic MPEG-1 Layer III frame chain for q_mp3_meta (128 kbps,
+    * 44.1 kHz → 417-byte frames) behind an ID3v2 tag: frame count, channel
+    * mode, and tag padding are pure functions of the doc id, so the oracle
+    * predicts the PARSED metadata and a match proves the real frame-chain
+    * walk (sync + header decode + frame-length arithmetic).
+    */
+  private[graft] def synthMp3(id: Long): Array[Byte] = {
+    val frames = (1 + id % 9).toInt
+    val mono = id % 2 == 1
+    val pad = (id % 40).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ID3".getBytes("US-ASCII")); out.write(Array[Byte](3, 0, 0))
+    out.write(Array[Byte](((pad >> 21) & 0x7F).toByte, ((pad >> 14) & 0x7F).toByte,
+      ((pad >> 7) & 0x7F).toByte, (pad & 0x7F).toByte))
+    out.write(new Array[Byte](pad))
+    val frameLen = 144 * 128000 / 44100 // 417
+    (0 until frames).foreach { _ =>
+      out.write(Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte,
+        if (mono) 0xC0.toByte else 0x00.toByte))
+      out.write(new Array[Byte](frameLen - 4))
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic minimal ISO-BMFF tree for q_mp4_meta: ftyp + moov with
+    * mvhd (id-derived timescale) and one or two trak/tkhd boxes (id-derived
+    * 16.16 fixed-point dimensions) — the oracle predicts the parsed box
+    * fields, proving the real recursive box walk.
+    */
+  private[graft] def synthMp4(id: Long): Array[Byte] = {
+    val w = (160 + 16 * (id % 20)).toInt
+    val h = (90 + 9 * (id % 15)).toInt
+    val timescale = (1000 * (1 + id % 5)).toInt
+    val be32 = (v: Int) => Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++
+      be32(9000) ++ new Array[Byte](80))
+    def tkhd(tw: Int, th: Int) = box("tkhd",
+      new Array[Byte](76) ++ be32(tw << 16) ++ be32(th << 16))
+    val traks = box("trak", tkhd(w, h)) ++
+      (if (id % 3 == 0) box("trak", tkhd(0, 0)) else Array.emptyByteArray)
+    box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++ box("moov", mvhd ++ traks)
+  }
+
   /** Driver-side single-row lookup of the canonical probe vector (vec_id=0) —
     * the analog of embedding the query string (reference base.py:307-310).
     */
@@ -626,6 +671,38 @@ object SparkEntry {
         .map(id => (id, synthGif(id)))
         .toDF("doc_id", "media")
       Multimodal.imagePixelStats(media, "doc_id").orderBy("doc_id")
+    },
+    // REAL MP3 frame-chain metadata, gated: the parser must skip the
+    // id-sized ID3v2 tag, decode the frame header, and walk the 417-byte
+    // frame chain to count frames — all predicted by the oracle formula.
+    "q_mp3_meta" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthMp3(id)))
+        .toDF("doc_id", "media")
+      Multimodal.extractMeta(media)
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.n_frames").cast("long").as("n_frames"),
+          col("meta.sample_rate").cast("long").as("sample_rate"),
+          col("meta.channels").cast("long").as("channels"))
+        .orderBy("doc_id")
+    },
+    // REAL MP4 box-tree metadata, gated: recursive ISO-BMFF walk must find
+    // tkhd dims (16.16 fixed), mvhd timescale, and the track count.
+    "q_mp4_meta" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthMp4(id)))
+        .toDF("doc_id", "media")
+      Multimodal.extractMeta(media)
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.sample_rate").cast("long").as("timescale"),
+          col("meta.channels").cast("long").as("n_tracks"))
+        .orderBy("doc_id")
     },
     // ---- event-time analytics (batch twins of the streaming ops) ----
     "q_events_daily" -> { (s, dir) =>
@@ -1606,6 +1683,18 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_px, CAST(3 * sum(v) AS BIGINT) AS px_sum,
         |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
         |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+    "q_mp3_meta" ->
+      """SELECT doc_id, 'mp3' AS format, CAST(1 + doc_id % 9 AS BIGINT) AS n_frames,
+        |  CAST(44100 AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS BIGINT) AS channels
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q_mp4_meta" ->
+      """SELECT doc_id, 'mp4' AS format,
+        |  CAST(160 + 16 * (doc_id % 20) AS BIGINT) AS width,
+        |  CAST(90 + 9 * (doc_id % 15) AS BIGINT) AS height,
+        |  CAST(1000 * (1 + doc_id % 5) AS BIGINT) AS timescale,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "q_events_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,

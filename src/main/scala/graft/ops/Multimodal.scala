@@ -17,7 +17,10 @@ import graft.embed.HashEmbeddingBackend
   * all five scanline filters, every 8-bit color type — via [[PngCodec]]
   * ([[imagePixelStats]]); JPEG/BMP/GIF pixels decode through the JDK's
   * own `javax.imageio` readers ([[decodeImage]] — part of the JDK, not an
-  * external library). Only MP3/video decode remains behind
+  * external library). MP3 frame headers (sample rate, channel mode, frame
+  * count via the frame-chain walk) and MP4/ISO-BMFF boxes (tkhd
+  * dimensions, mvhd timescale, track count) are REAL parses too — only
+  * the SAMPLE/PIXEL decode of compressed audio/video remains behind
   * [[StubCodec]]'s deterministic fakes (no JDK codec exists); swap it for
   * a real decoder (e.g. javacv) to productionize — nothing else changes.
   *
@@ -45,6 +48,11 @@ object Multimodal {
       if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
       else if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
       else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I') "wav"
+      else if (bytes.length >= 8 && bytes(4) == 'f' && bytes(5) == 't' &&
+        bytes(6) == 'y' && bytes(7) == 'p') "mp4"
+      else if (bytes.length >= 3 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') "mp3"
+      else if (bytes.length >= 2 && bytes(0) == 0xFF.toByte &&
+        (bytes(1) & 0xE0) == 0xE0) "mp3"
       else "bin"
 
     private def be16(b: Array[Byte], i: Int): Int =
@@ -116,10 +124,117 @@ object Multimodal {
       Row("wav", null, null, frames, rate, channels)
     }
 
+    /** MP3 (MPEG-1/2/2.5 audio): skip an ID3v2 tag (10-byte header with a
+      * syncsafe u28 size), find the first valid Layer III frame sync, read
+      * sample rate and channel mode from the 4-byte frame header (ISO
+      * 11172-3 §2.4.1.3 layout), then WALK the frame chain via the layer-III
+      * frame-length formula to count frames — n_frames · 1152 (or 576)
+      * samples over sample_rate gives duration without decoding a sample.
+      */
+    private def mp3(b: Array[Byte]): Row = {
+      val v1Rates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+      val v2Rates = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+      var off = 0L
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+        off = 10L + (((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+          ((b(8) & 0x7F) << 7) | (b(9) & 0x7F))
+      // resync scan: tags can be followed by padding before the first frame
+      while (off + 4 <= b.length &&
+        !((b(off.toInt) & 0xFF) == 0xFF && (b(off.toInt + 1) & 0xE0) == 0xE0)) off += 1
+      var rate: Any = null; var channels: Any = null
+      var frames = 0
+      var ok = off + 4 <= b.length
+      while (ok && off + 4 <= b.length) {
+        val o = off.toInt
+        val h1 = b(o + 1) & 0xFF; val h2 = b(o + 2) & 0xFF; val h3 = b(o + 3) & 0xFF
+        val versionBits = (h1 >> 3) & 3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+        val layerBits = (h1 >> 1) & 3   // 1=Layer III
+        val bitrateIdx = h2 >> 4
+        val rateIdx = (h2 >> 2) & 3
+        val padding = (h2 >> 1) & 1
+        val valid = (b(o) & 0xFF) == 0xFF && (h1 & 0xE0) == 0xE0 &&
+          versionBits != 1 && layerBits == 1 && bitrateIdx != 0 && bitrateIdx != 15 &&
+          rateIdx != 3
+        if (!valid) ok = false
+        else {
+          val sr = (versionBits match {
+            case 3 => Array(44100, 48000, 32000)
+            case 2 => Array(22050, 24000, 16000)
+            case _ => Array(11025, 12000, 8000)
+          })(rateIdx)
+          val kbps = (if (versionBits == 3) v1Rates else v2Rates)(bitrateIdx)
+          if (frames == 0) {
+            rate = sr
+            channels = if (((h3 >> 6) & 3) == 3) 1 else 2
+          }
+          val factor = if (versionBits == 3) 144 else 72
+          val len = factor * kbps * 1000 / sr + padding
+          if (len <= 4) ok = false
+          else { frames += 1; off += len }
+        }
+      }
+      if (frames == 0) Row("mp3", null, null, null, null, null)
+      else Row("mp3", null, null, frames, rate, channels)
+    }
+
+    /** MP4 / ISO base media file format: recursive box walk (u32 BE size +
+      * fourcc, 64-bit sizes honored). moov/mvhd yields the movie timescale
+      * (reported as sample_rate), each trak counts toward `channels`
+      * (track count), and the first non-zero tkhd width/height (16.16
+      * fixed point) yields the visual dimensions — real container-level
+      * metadata without any codec work (ISO/IEC 14496-12 §8.2-8.3).
+      */
+    private def mp4(b: Array[Byte]): Row = {
+      var width: Any = null; var height: Any = null
+      var timescale: Any = null; var tracks = 0
+      def be64(i: Int): Long =
+        ((be32(b, i).toLong & 0xFFFFFFFFL) << 32) | (be32(b, i + 4).toLong & 0xFFFFFFFFL)
+      def walk(start: Long, end: Long, depth: Int): Unit = {
+        if (depth > 8) return
+        var i = start
+        var live = true
+        while (live && i + 8 <= end) {
+          val o = i.toInt
+          var size = be32(b, o).toLong & 0xFFFFFFFFL
+          val typ = new String(b, o + 4, 4, "ISO-8859-1")
+          var hdr = 8L
+          if (size == 0) size = end - i // box runs to end of enclosing space
+          else if (size == 1) {
+            if (i + 16 > end) return
+            size = be64(o + 8); hdr = 16L
+          }
+          if (size < hdr || i + size > end) live = false
+          else {
+            typ match {
+              case "moov" | "trak" | "mdia" => walk(i + hdr, i + size, depth + 1)
+              case "mvhd" if timescale == null && i + hdr + 16 <= end =>
+                val version = b((i + hdr).toInt) & 0xFF
+                val tsOff = if (version == 1) i + hdr + 4 + 16 else i + hdr + 4 + 8
+                if (tsOff + 4 <= end) timescale = be32(b, tsOff.toInt)
+              case "tkhd" =>
+                tracks += 1
+                // width/height are the box's last 8 bytes, 16.16 fixed point
+                if (width == null && size >= hdr + 80) {
+                  val w = be32(b, (i + size - 8).toInt) >>> 16
+                  val h = be32(b, (i + size - 4).toInt) >>> 16
+                  if (w > 0 && h > 0) { width = w; height = h }
+                }
+              case _ => ()
+            }
+            i += size
+          }
+        }
+      }
+      walk(0L, b.length.toLong, 0)
+      Row("mp4", width, height, null, timescale, if (tracks > 0) tracks else null)
+    }
+
     def decodeMeta(bytes: Array[Byte]): Row = sniffFormat(bytes) match {
       case "png"  => png(bytes)
       case "jpeg" => jpeg(bytes)
       case "wav"  => wav(bytes)
+      case "mp3"  => mp3(bytes)
+      case "mp4"  => mp4(bytes)
       case f      => Row(f, null, null, null, null, null)
     }
   }

@@ -673,6 +673,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L) == Seq("wav", null, null, 100, 44100, 2)) // 400 bytes / blockAlign 4
   }
 
+  /** MPEG-1 Layer III frame chain (128 kbps, 44.1 kHz → 417-byte frames),
+    * optionally behind an ID3v2 tag with `id3Pad` bytes of tag body.
+    */
+  private def goldenMp3(frames: Int, mono: Boolean, id3Pad: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Pad >= 0) {
+      out.write("ID3".getBytes("US-ASCII")); out.write(Array[Byte](3, 0, 0))
+      // syncsafe u28 size (7 bits per byte)
+      out.write(Array[Byte](((id3Pad >> 21) & 0x7F).toByte, ((id3Pad >> 14) & 0x7F).toByte,
+        ((id3Pad >> 7) & 0x7F).toByte, (id3Pad & 0x7F).toByte))
+      out.write(new Array[Byte](id3Pad))
+    }
+    val frameLen = 144 * 128000 / 44100 // 417, no padding bit
+    (0 until frames).foreach { _ =>
+      // FF FB: sync + MPEG1 + Layer III + no CRC; 90: bitrate idx 9 (128),
+      // rate idx 0 (44100), no padding; channel mode stereo 00 / mono 11
+      out.write(Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte,
+        if (mono) 0xC0.toByte else 0x00.toByte))
+      out.write(new Array[Byte](frameLen - 4))
+    }
+    out.toByteArray
+  }
+
+  /** Minimal ISO-BMFF: ftyp + moov { mvhd(v0, timescale) + trak { tkhd } }. */
+  private def goldenMp4(w: Int, h: Int, timescale: Int, extraAudioTrack: Boolean = false): Array[Byte] = {
+    val be32 = (v: Int) => Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++
+      be32(9000) ++ new Array[Byte](80)) // version/flags, ctime, mtime, timescale, duration, rest
+    def tkhd(tw: Int, th: Int) = box("tkhd",
+      new Array[Byte](76) ++ be32(tw << 16) ++ be32(th << 16)) // v0 body is 84 bytes; dims last
+    val traks = box("trak", tkhd(w, h)) ++
+      (if (extraAudioTrack) box("trak", tkhd(0, 0)) else Array.emptyByteArray)
+    box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++ box("moov", mvhd ++ traks)
+  }
+
+  test("HeaderCodec parses real MP3 frame chains and MP4 box trees") {
+    val golden = Seq(
+      (1L, goldenMp3(5, mono = false)),
+      (2L, goldenMp3(3, mono = true, id3Pad = 57)),
+      (3L, goldenMp4(640, 360, 48000)),
+      (4L, goldenMp4(1280, 720, 90000, extraAudioTrack = true)),
+      (5L, Array[Byte](0xFF.toByte, 0xE2.toByte, 0, 0)), // sync but reserved version
+      (6L, goldenMp4(0, 0, 0).take(20))) // truncated moov
+      .toDF("media_id", "media")
+    val got = Multimodal.extractMeta(golden)
+      .select("media_id", "meta.format", "meta.width", "meta.height",
+        "meta.n_frames", "meta.sample_rate", "meta.channels")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got(1L) == Seq("mp3", null, null, 5, 44100, 2))
+    assert(got(2L) == Seq("mp3", null, null, 3, 44100, 1)) // ID3 tag skipped
+    assert(got(3L) == Seq("mp4", 640, 360, null, 48000, 1))
+    assert(got(4L) == Seq("mp4", 1280, 720, null, 90000, 2)) // zero-dim audio track counted, dims from video
+    assert(got(5L) == Seq("mp3", null, null, null, null, null)) // garbage → nulls, no throw
+    assert(got(6L) == Seq("mp4", null, null, null, null, null))
+  }
+
   /** 16-bit mono PCM WAV with the given normalized samples as real body. */
   private def pcmWav(rate: Int, samples: Seq[Float]): Array[Byte] = {
     val le16 = (v: Int) => Array[Byte](v.toByte, (v >>> 8).toByte)
