@@ -240,10 +240,11 @@ object Multimodal {
   }
 
   /** ======= REAL PCM audio decode (no external libs) =======
-    * Uncompressed WAV (format code 1, 8/16-bit PCM) is fully specified by
-    * the RIFF header — decode and frame-level feature extraction here are
-    * REAL signal processing, not a stub: only compressed codecs (MP3/AAC/
-    * video) remain behind [[StubCodec]].
+    * Uncompressed WAV (format 1 integer PCM at 8/16/24/32 bits, format 3
+    * IEEE float32) is fully specified by the RIFF header — decode and
+    * frame-level feature extraction here are REAL signal processing, not a
+    * stub: only compressed codecs (MP3/AAC/video) remain behind
+    * [[StubCodec]].
     */
   object PcmCodec {
     final case class Pcm(channels: Int, sampleRate: Int, bitsPerSample: Int,
@@ -277,15 +278,29 @@ object Multimodal {
         }
         i += 8 + size + (size & 1L)
       }
-      if (fmt != 1 || channels <= 0 || dataOff < 0 || (bits != 8 && bits != 16)) None
+      // integer PCM (format 1): 8-bit unsigned, 16/24/32-bit signed LE;
+      // IEEE float PCM (format 3): 32-bit LE — the full uncompressed WAV
+      // family a media crawl actually contains
+      val supported = (fmt == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) ||
+        (fmt == 3 && bits == 32)
+      if (!supported || channels <= 0 || dataOff < 0) None
       else {
-        val n = if (bits == 16) dataLen / 2 else dataLen
+        val bytesPer = bits / 8
+        val n = dataLen / bytesPer
         val out = new Array[Float](n)
         var j = 0
         while (j < n) {
-          out(j) =
-            if (bits == 16) (le16(b, dataOff + j * 2).toShort).toFloat / 32768f
-            else ((b(dataOff + j) & 0xFF) - 128).toFloat / 128f
+          val o = dataOff + j * bytesPer
+          out(j) = bits match {
+            case 8  => ((b(o) & 0xFF) - 128).toFloat / 128f
+            case 16 => le16(b, o).toShort.toFloat / 32768f
+            case 24 =>
+              val u = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16)
+              (if ((u & 0x800000) != 0) u - 0x1000000 else u).toFloat / 8388608f
+            case _ =>
+              if (fmt == 3) java.lang.Float.intBitsToFloat(le32(b, o))
+              else le32(b, o).toFloat / 2147483648f
+          }
           j += 1
         }
         Some(Pcm(channels, rate, bits, out))

@@ -777,6 +777,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(f => math.abs(f._2) < 1e-4)) // mono mix cancels
   }
 
+  /** Mono WAV with arbitrary sample width/format: fmt 1 @ 24/32-bit
+    * (signed LE) or fmt 3 @ float32.
+    */
+  private def pcmWavWide(fmt: Int, bits: Int, samples: Seq[Float]): Array[Byte] = {
+    val le16 = (v: Int) => Array[Byte](v.toByte, (v >>> 8).toByte)
+    val le32 = (v: Int) => Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    val body = samples.flatMap { s =>
+      (fmt, bits) match {
+        case (1, 24) =>
+          val v = math.round(s * 8388608f).max(-8388608).min(8388607)
+          Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+        case (1, 32) => le32(math.round(s.toDouble * 2147483648.0).toInt)
+        case (3, 32) => le32(java.lang.Float.floatToIntBits(s))
+        case _       => fail(s"unsupported fixture ($fmt, $bits)")
+      }
+    }.toArray
+    val bytesPer = bits / 8
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + body.length) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(fmt) ++ le16(1) ++ le32(8000) ++
+      le32(8000 * bytesPer) ++ le16(bytesPer) ++ le16(bits) ++
+      "data".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("PcmCodec covers the full uncompressed family: 24/32-bit integer and float32 WAV") {
+    val samples = Seq(0.25f, -0.75f, 0.5f, -0.125f, 1.0f - 1e-7f, -1.0f)
+    for ((fmt, bits) <- Seq((1, 24), (1, 32), (3, 32))) {
+      val pcm = Multimodal.PcmCodec.decode(pcmWavWide(fmt, bits, samples))
+        .getOrElse(fail(s"decode must support fmt=$fmt bits=$bits"))
+      assert(pcm.bitsPerSample == bits && pcm.samples.length == samples.length)
+      samples.zip(pcm.samples).foreach { case (want, got) =>
+        assert(math.abs(want - got) < 2e-4, s"fmt=$fmt bits=$bits: $want vs $got")
+      }
+    }
+    // float32 round-trips EXACTLY (bit pattern preserved)
+    val f = Multimodal.PcmCodec.decode(pcmWavWide(3, 32, samples)).get
+    assert(f.samples.toSeq == samples)
+    // unsupported combos still refuse: fmt 3 must be 32-bit
+    assert(Multimodal.PcmCodec.decode(pcmWavWide(3, 32, samples)
+      .patch(34, Array[Byte](24, 0), 2)).isEmpty) // declare fmt3/24-bit
+  }
+
   // r5 verdict crash #2: a hostile u32 chunk size near Int.MaxValue used to
   // wrap the Int chunk offset negative and throw out of bounds in the
   // executor, failing the whole job on one corrupt file.
