@@ -183,6 +183,37 @@ class QdrantIndexStoreSpec extends org.scalatest.funsuite.AnyFunSuite with Befor
     assert(stub.requestLog.count(_.path == "/collections/vi-route/points/search") == b2)
   }
 
+  test("streaming incrementalIndex maintains a qdrant collection across micro-batches") {
+    // the full composition: Structured Streaming foreachBatch → diff-and-
+    // embed pipeline → the wire-literal connector (via the provider seam's
+    // generic merge+replace path for stores without delta sidecars)
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qstream").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val cfg = graft.core.IndexConfig("qstream", "id",
+      Seq(graft.core.EmbeddingField("title", important = true), graft.core.EmbeddingField("body")),
+      tokenLimit = 64, chunkOverlap = 8, dims = 16)
+    val qstore = new QdrantIndexStore(spark, stub.baseUrl, "stream-idx",
+      dims = 16, backoffMs = 1)
+    val idx = new VectorIndex(spark, cfg, graft.embed.HashEmbeddingBackend(16),
+      graft.embed.EchoChatBackend(), "unused://path", "page", "id",
+      storeOverride = Some(qstore))
+    val q = graft.streaming.StreamingOps.incrementalIndex(
+      input.toDF().toDF("id", "title", "body"), idx, s"$tmp/chk")
+    try {
+      input.addData((1L, "T1", "first page body"), (2L, "T2", "second page body"))
+      q.processAllAvailable()
+      assert(qstore.read().count() == 2)
+      input.addData((1L, "T1", "first page body CHANGED"), (3L, "T3", "third page"))
+      q.processAllAvailable()
+      val after = qstore.read()
+      assert(after.select(col("object_keys").getItem(0)).as[String].collect().toSet ==
+        Set("page:1", "page:2", "page:3"))
+      assert(after.filter(array_contains(col("object_keys"), "page:1"))
+        .select("content").as[String].head().contains("CHANGED"))
+    } finally q.stop()
+  }
+
   test("scroll pages through large collections (read crosses the scroll batch boundary)") {
     val s = new QdrantIndexStore(spark, stub.baseUrl, "paged", dims = 2,
       backoffMs = 1, scrollBatchRows = 7)
