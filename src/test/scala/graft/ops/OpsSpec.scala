@@ -731,6 +731,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(6L) == Seq("mp4", null, null, null, null, null))
   }
 
+  test("hostile MP3/MP4 bytes never throw: mangled goldens and magic-prefixed garbage") {
+    val rnd = new scala.util.Random(31)
+    val mp3Base = goldenMp3(4, mono = false, id3Pad = 20)
+    val mp4Base = goldenMp4(320, 240, 1000, extraAudioTrack = true)
+    for (trial <- 0 until 400) {
+      val base = if (trial % 2 == 0) mp3Base else mp4Base
+      val mangled = trial % 4 match {
+        case 0 => base.take(rnd.nextInt(base.length))
+        case 1 => val c = base.clone(); c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte; c
+        case 2 => // magic-prefixed pure garbage
+          val junk = Array.fill[Byte](rnd.nextInt(120))(rnd.nextInt(256).toByte)
+          if (trial % 2 == 0) Array[Byte](0xFF.toByte, 0xFB.toByte) ++ junk
+          else Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes("US-ASCII") ++ junk
+        case 3 => // hostile declared sizes: u32 box size / syncsafe near-max
+          val c = base.clone()
+          val pos = rnd.nextInt(math.max(1, c.length - 4))
+          c(pos) = 0xFF.toByte; c(pos + 1) = 0xFF.toByte
+          c(pos + 2) = 0xFF.toByte; c(pos + 3) = 0xFE.toByte
+          c
+      }
+      // contract: garbage → a row with nulls (or partial fields), never a throw
+      Multimodal.HeaderCodec.decodeMeta(mangled)
+    }
+  }
+
   /** 16-bit mono PCM WAV with the given normalized samples as real body. */
   private def pcmWav(rate: Int, samples: Seq[Float]): Array[Byte] = {
     val le16 = (v: Int) => Array[Byte](v.toByte, (v >>> 8).toByte)
