@@ -84,14 +84,36 @@ object TextKernel {
     seen.toArray(new Array[String](seen.size))
   }
 
-  /** MinHash signature: for seed j, min over shingles of hex60(s"$j:$sh"). */
+  private val minhashPrefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def minhashPrefixes(numHashes: Int): Array[Array[Byte]] =
+    minhashPrefixCache.computeIfAbsent(numHashes,
+      n => Array.tabulate(n)(j => s"$j:".getBytes("UTF-8")))
+
+  /** MinHash signature: for seed j, min over shingles of hex60(s"$j:$sh") —
+    * value-identical to that formula (the DuckDB oracle replays it), but
+    * the shingle is UTF-8-encoded ONCE and the seed prefixes are cached
+    * byte arrays streamed into the digest, instead of building and
+    * re-encoding a fresh `"$j:$sh"` string per (seed, shingle) pair. At
+    * 100× scale this kernel is the honest CPU floor of the dedup family
+    * (SCALING.md), so the constant factor matters.
+    */
   def minhashSig(sh: Array[String], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
+    val d = digests.get()
+    val prefixes = minhashPrefixes(numHashes)
     var i = 0
     while (i < sh.length) {
+      val shb = sh(i).getBytes("UTF-8")
       var j = 0
       while (j < numHashes) {
-        val h = hex60(s"$j:${sh(i)}")
+        d.reset()
+        d.update(prefixes(j))
+        val b = d.digest(shb)
+        var v = 0L
+        var k = 0
+        while (k < 7) { v = (v << 8) | (b(k) & 0xffL); k += 1 }
+        val h = (v << 4) | ((b(7) & 0xffL) >>> 4)
         if (h < sig(j)) sig(j) = h
         j += 1
       }
