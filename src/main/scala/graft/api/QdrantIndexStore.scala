@@ -55,10 +55,14 @@ final case class QdrantWire(base: String, collection: String,
     }
 
   /** Document row JSON → qdrant PointStruct: id = doc_id, vector = the
-    * vector column, payload = every remaining column (the reference maps
-    * id=document.pk / vector / payload=metadata the same way,
-    * provider.py:45-52). doc_id and vector round-trip through the point's
-    * own id/vector fields, so the payload never duplicates them.
+    * vector column, payload = every remaining column INCLUDING the vector
+    * (the reference maps id=document.pk / vector / payload=metadata the
+    * same way, provider.py:45-52). The vector is deliberately duplicated
+    * into the payload: a real qdrant server NORMALIZES stored vectors for
+    * Cosine collections and returns the normalized copy on
+    * scroll/retrieve/search, so round-tripping through the point's own
+    * vector field would alter non-unit vectors — the payload copy is what
+    * `read()` restores, keeping write/read fidelity exact.
     */
   def pointOf(rowJson: String): ObjectNode = {
     val row = mapper.readTree(rowJson).asInstanceOf[ObjectNode]
@@ -70,9 +74,8 @@ final case class QdrantWire(base: String, collection: String,
       s"document row lacks a vector array column: ${rowJson.take(200)}")
     val pt = mapper.createObjectNode()
     pt.put("id", id.asLong())
-    pt.set[JsonNode]("vector", vector)
+    pt.set[JsonNode]("vector", vector.deepCopy[JsonNode]())
     row.remove("doc_id")
-    row.remove("vector")
     pt.set[JsonNode]("payload", row)
     pt
   }
@@ -163,16 +166,22 @@ final class QdrantIndexStore(spark: SparkSession, base: String,
   }
 
   /** Upload document rows as points — driver-side in one JVM below
-    * `executorUploadMinRows` (no job, no shuffle for small batches),
-    * per-partition from executors at or above it. The executor closure
-    * captures only [[QdrantWire]] (strings/numbers), never this store.
+    * `executorUploadMinRows` (one request, no distributed job for small
+    * batches), per-partition from executors at or above it. The executor
+    * closure captures only [[QdrantWire]] (strings/numbers), never this
+    * store. The JSON rows are persisted across the count and the ship so
+    * the upstream plan (for `upsert`, a broadcast anti-join) computes once.
     */
   private def upload(docs: DataFrame): Unit = {
-    val n = docs.count()
-    if (n == 0) return
-    val w = wire
-    if (n < executorUploadMinRows) w.uploadRowJsons(docs.toJSON.collect().iterator)
-    else docs.toJSON.foreachPartition((it: Iterator[String]) => w.uploadRowJsons(it))
+    val json = docs.toJSON.persist()
+    try {
+      val n = json.count()
+      if (n > 0) {
+        val w = wire
+        if (n < executorUploadMinRows) w.uploadRowJsons(json.collect().iterator)
+        else json.foreachPartition((it: Iterator[String]) => w.uploadRowJsons(it))
+      }
+    } finally json.unpersist(false)
   }
 
   override def replace(docs: DataFrame): Unit = {
@@ -180,7 +189,13 @@ final class QdrantIndexStore(spark: SparkSession, base: String,
     // reference rebuild_index: delete_collection + create_collection + upsert
     // (provider.py:34-42). Not atomic — qdrant has no versioned swap; a
     // failed upload leaves a partial collection, exactly like the reference.
-    wire.send("DELETE", wire.collectionUrl, None) // 404-tolerant
+    // 404-tolerant, but a real failure (5xx after retries, 403) must surface
+    // HERE, not as a baffling 409 from the create that follows
+    wire.send("DELETE", wire.collectionUrl, None) match {
+      case (200, _) | (404, _) => ()
+      case (status, b) => throw new IllegalStateException(
+        s"DELETE ${wire.collectionUrl} returned $status: ${b.take(500)}")
+    }
     createCollection()
     putSchemaPoint(d.schema)
     upload(d)
@@ -235,13 +250,14 @@ final class QdrantIndexStore(spark: SparkSession, base: String,
     DataType.fromJson(json).asInstanceOf[StructType]
   }
 
-  /** Point → document row JSON: payload columns + doc_id from the point id +
-    * vector from the point vector (inverse of [[QdrantWire.pointOf]]).
+  /** Point → document row JSON: payload columns (the vector comes from the
+    * payload copy, NOT the point's vector field, which a real Cosine
+    * collection returns normalized) + doc_id from the point id — inverse of
+    * [[QdrantWire.pointOf]].
     */
   private def rowJsonOf(p: JsonNode): String = {
     val row = p.path("payload").asInstanceOf[ObjectNode]
     row.put("doc_id", p.path("id").asLong())
-    row.set[JsonNode]("vector", p.path("vector"))
     row.toString
   }
 
@@ -250,7 +266,9 @@ final class QdrantIndexStore(spark: SparkSession, base: String,
       s"collection $collection does not exist")
     var schemaJson: Option[String] = None
     val rows = scala.collection.mutable.ArrayBuffer.empty[String]
-    scroll(withPayload = true, withVector = true) { p =>
+    // vectors restore from the payload copy — no need to ship the (possibly
+    // normalized) stored vectors over the wire at all
+    scroll(withPayload = true, withVector = false) { p =>
       val id = p.path("id")
       if (id.isTextual && id.asText() == SchemaPointId)
         schemaJson = Some(p.path("payload").path("__graft_schema").asText())

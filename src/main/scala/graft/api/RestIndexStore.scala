@@ -128,27 +128,29 @@ final class RestIndexStore(spark: SparkSession, base: String, collection: String
   }
 
   override def replace(docs: DataFrame): Unit = {
-    val d = docs.dropDuplicates("doc_id")
-    val n = d.count()
-    if (n < executorUploadMinRows) {
-      // ONE request: schema and points replace together (server-side atomic),
-      // so a concurrent reader sees either the old collection or the new one
-      // — never the new schema parsed over the old points, and a failed call
-      // leaves the old collection fully intact
-      val body = mapper.createObjectNode()
-      body.put("schema", d.schema.json)
-      val pts = body.putArray("points")
-      d.toJSON.collect().foreach(r => pts.add(mapper.readTree(r)))
-      wire.expect200("PUT", wire.collectionUrl, Some(mapper.writeValueAsString(body)))
-    } else {
-      // distributed replace: recreate empty driver-side, append per-partition
-      val body = mapper.createObjectNode()
-      body.put("schema", d.schema.json)
-      body.putArray("points")
-      wire.expect200("PUT", wire.collectionUrl, Some(mapper.writeValueAsString(body)))
-      val w = wire
-      d.toJSON.foreachPartition((it: Iterator[String]) => w.uploadRowJsons(it))
-    }
+    val json = docs.dropDuplicates("doc_id").toJSON.persist()
+    try {
+      val n = json.count() // persisted: count + ship compute the plan once
+      if (n < executorUploadMinRows) {
+        // ONE request: schema and points replace together (server-side atomic),
+        // so a concurrent reader sees either the old collection or the new one
+        // — never the new schema parsed over the old points, and a failed call
+        // leaves the old collection fully intact
+        val body = mapper.createObjectNode()
+        body.put("schema", docs.schema.json)
+        val pts = body.putArray("points")
+        json.collect().foreach(r => pts.add(mapper.readTree(r)))
+        wire.expect200("PUT", wire.collectionUrl, Some(mapper.writeValueAsString(body)))
+      } else {
+        // distributed replace: recreate empty driver-side, append per-partition
+        val body = mapper.createObjectNode()
+        body.put("schema", docs.schema.json)
+        body.putArray("points")
+        wire.expect200("PUT", wire.collectionUrl, Some(mapper.writeValueAsString(body)))
+        val w = wire
+        json.foreachPartition((it: Iterator[String]) => w.uploadRowJsons(it))
+      }
+    } finally json.unpersist(false)
   }
 
   override def upsert(docs: DataFrame): Unit = readOption() match {
@@ -168,14 +170,15 @@ final class RestIndexStore(spark: SparkSession, base: String, collection: String
   override private[graft] def insertPrechecked(inserted: DataFrame): Unit =
     if (!exists) replace(inserted)
     else {
-      val n = inserted.count()
-      if (n == 0) ()
-      else if (n < executorUploadMinRows)
-        wire.uploadRowJsons(inserted.toJSON.collect().iterator)
-      else {
-        val w = wire
-        inserted.toJSON.foreachPartition((it: Iterator[String]) => w.uploadRowJsons(it))
-      }
+      val json = inserted.toJSON.persist()
+      try {
+        val n = json.count() // persisted: the upsert anti-join computes once
+        if (n > 0) {
+          val w = wire
+          if (n < executorUploadMinRows) w.uploadRowJsons(json.collect().iterator)
+          else json.foreachPartition((it: Iterator[String]) => w.uploadRowJsons(it))
+        }
+      } finally json.unpersist(false)
     }
 
   override def delete(docIds: Seq[Long]): Unit = if (docIds.nonEmpty && exists) {

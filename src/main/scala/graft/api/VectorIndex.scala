@@ -347,9 +347,13 @@ final class VectorIndex(
         // weaviate nearVector) answers exact cosine queries itself — the
         // reference's get_similar_documents does exactly this; routing
         // through read() would download the whole collection per search.
-        // The client-side threshold re-filter keeps the semantics byte-
-        // identical to the Spark scan (the engine allows thresholds the
-        // wire does not, e.g. negative = unfiltered).
+        // The client-side threshold re-filter restores the engine's
+        // threshold semantics (the wire rejects thresholds the engine
+        // allows, e.g. negative = unfiltered). One DOCUMENTED divergence
+        // from the Spark scan: which hits survive an equal-score tie at
+        // the k boundary is the server's choice (the wire carries only
+        // `limit`, no doc_id tie-break) — ordering WITHIN the returned
+        // set stays deterministic via dedupByKey's (score, doc_id) sort.
         case s: ServerSideSearch if metric == Metric.Cosine =>
           s.searchSimilar(queryVec, k,
               similarityThreshold = math.min(math.max(threshold, 0.0), 1.0))

@@ -80,14 +80,28 @@ final case class WeaviateWire(base: String, className: String,
     o
   }
 
-  /** Batched id-keyed batch-objects POST, safe to call from executors. */
+  /** Batched id-keyed batch-objects POST, safe to call from executors.
+    * A real weaviate batch insert reports PER-OBJECT failures inside a 200
+    * response (each element carries result.status / result.errors — e.g. a
+    * vector length mismatch fails only that object), so the response array
+    * is inspected and any FAILED element raises loudly instead of being
+    * silently dropped from the index.
+    */
   def uploadRowJsons(rows: Iterator[String]): Unit =
     rows.grouped(uploadBatchRows).foreach { batch =>
       val root = mapper.createObjectNode()
       val objs = root.putArray("objects")
       batch.foreach(r => objs.add(objectOf(r)))
-      expect200("POST", "/v1/batch/objects",
+      val resp = expect200("POST", "/v1/batch/objects",
         Some(mapper.writeValueAsString(root)))
+      val results = mapper.readTree(resp)
+      if (results.isArray) results.forEach { r =>
+        val status = r.path("result").path("status").asText("")
+        if (status == "FAILED")
+          throw new IllegalStateException(
+            s"batch object ${r.path("id").asText()} failed: " +
+              r.path("result").path("errors").toString.take(500))
+      }
     }
 }
 
@@ -150,19 +164,31 @@ final class WeaviateIndexStore(spark: SparkSession, base: String,
     wire.expect200("POST", "/v1/schema", Some(mapper.writeValueAsString(root)))
   }
 
+  /** Same single-computation upload discipline as the qdrant connector:
+    * persist the JSON rows across the count and the ship.
+    */
   private def upload(docs: DataFrame): Unit = {
-    val n = docs.count()
-    if (n == 0) return
-    val w = wire
-    if (n < executorUploadMinRows) w.uploadRowJsons(docs.toJSON.collect().iterator)
-    else docs.toJSON.foreachPartition((it: Iterator[String]) => w.uploadRowJsons(it))
+    val json = docs.toJSON.persist()
+    try {
+      val n = json.count()
+      if (n > 0) {
+        val w = wire
+        if (n < executorUploadMinRows) w.uploadRowJsons(json.collect().iterator)
+        else json.foreachPartition((it: Iterator[String]) => w.uploadRowJsons(it))
+      }
+    } finally json.unpersist(false)
   }
 
   override def replace(docs: DataFrame): Unit = {
     val d = docs.dropDuplicates("doc_id")
     // reference rebuild_index: delete_class + create_class + upsert
-    // (provider.py:35-44); like it, not atomic
-    wire.send("DELETE", s"/v1/schema/$className", None) // 404-tolerant
+    // (provider.py:35-44); like it, not atomic. 404-tolerant, but a real
+    // failure surfaces here instead of as a confusing duplicate-class error
+    wire.send("DELETE", s"/v1/schema/$className", None) match {
+      case (200, _) | (404, _) => ()
+      case (status, b) => throw new IllegalStateException(
+        s"DELETE /v1/schema/$className returned $status: ${b.take(500)}")
+    }
     createClass(d.schema)
     upload(d)
   }
@@ -230,8 +256,10 @@ final class WeaviateIndexStore(spark: SparkSession, base: String,
     if (!exists) replace(inserted) else upload(inserted)
 
   /** Batch delete by where-filter — `ContainsAny` over the embedding_pk
-    * property, weaviate's real bulk-delete dialect. (The reference's
-    * weaviate delete is NotImplementedError, provider.py:61-63.)
+    * property with the array-typed `valueIntArray` operand weaviate's
+    * filter dialect requires for array operators (scalar `valueInt` is for
+    * Equal-style operators). (The reference's weaviate delete is
+    * NotImplementedError, provider.py:61-63.)
     */
   override def delete(docIds: Seq[Long]): Unit = if (docIds.nonEmpty && exists) {
     val root = mapper.createObjectNode()
@@ -240,7 +268,7 @@ final class WeaviateIndexStore(spark: SparkSession, base: String,
     val where = m.putObject("where")
     val path = where.putArray("path"); path.add("embedding_pk")
     where.put("operator", "ContainsAny")
-    val vals = where.putArray("valueInt")
+    val vals = where.putArray("valueIntArray")
     docIds.foreach(vals.add)
     wire.expect200("DELETE", "/v1/batch/objects",
       Some(mapper.writeValueAsString(root)))
@@ -293,13 +321,25 @@ object WeaviateIndexStore {
   /** Deterministic weaviate-legal class name (`[A-Z][_0-9A-Za-z]*`) for a
     * collection name: illegal characters become `_`, and a leading
     * lowercase letter is uppercased (a non-letter start gains a `C_`
-    * prefix). Distinct sane collection names stay distinct.
+    * prefix). A name the sanitization had to CHANGE gets a short md5
+    * suffix of the original, so distinct collection names can never
+    * silently share one class ("foo" vs "Foo", "a-b" vs "a_b" — without
+    * the suffix a replace on one would destroy the other's documents).
+    * Already-legal names pass through untouched.
     */
   def classNameOf(collection: String): String = {
     require(collection.nonEmpty, "collection name must be non-empty")
-    val cleaned = collection.replaceAll("[^0-9A-Za-z_]", "_")
-    if (cleaned.head.isLower) cleaned.head.toUpper + cleaned.tail
-    else if (cleaned.head.isUpper) cleaned
-    else "C_" + cleaned
+    if (collection.matches("[A-Z][_0-9A-Za-z]*")) collection
+    else {
+      val cleaned = collection.replaceAll("[^0-9A-Za-z_]", "_")
+      val base =
+        if (cleaned.head.isLower) cleaned.head.toUpper + cleaned.tail
+        else if (cleaned.head.isUpper) cleaned
+        else "C_" + cleaned
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(collection.getBytes("UTF-8"))
+      val suffix = md.take(3).map(b => f"${b & 0xFF}%02x").mkString
+      s"${base}_$suffix"
+    }
   }
 }

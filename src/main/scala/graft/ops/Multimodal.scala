@@ -51,9 +51,23 @@ object Multimodal {
       else if (bytes.length >= 8 && bytes(4) == 'f' && bytes(5) == 't' &&
         bytes(6) == 'y' && bytes(7) == 'p') "mp4"
       else if (bytes.length >= 3 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') "mp3"
-      else if (bytes.length >= 2 && bytes(0) == 0xFF.toByte &&
-        (bytes(1) & 0xE0) == 0xE0) "mp3"
+      else if (bytes.length >= 4 && isMp3FrameHeader(bytes, 0)) "mp3"
       else "bin"
+
+    /** Full 4-byte MPEG Layer III frame-header validation — a bare sync
+      * prefix (0xFF + 3 bits) matches too much (a UTF-16LE BOM, random
+      * binaries), so the sniff demands valid version/layer/bitrate/rate
+      * fields, same rule the frame walk applies.
+      */
+    private def isMp3FrameHeader(b: Array[Byte], o: Int): Boolean = {
+      if ((b(o) & 0xFF) != 0xFF) return false
+      val h1 = b(o + 1) & 0xFF; val h2 = b(o + 2) & 0xFF
+      (h1 & 0xE0) == 0xE0 &&
+        ((h1 >> 3) & 3) != 1 &&       // version not reserved
+        ((h1 >> 1) & 3) == 1 &&       // Layer III
+        (h2 >> 4) != 0 && (h2 >> 4) != 15 && // bitrate index valid
+        ((h2 >> 2) & 3) != 3          // sample-rate index valid
+    }
 
     private def be16(b: Array[Byte], i: Int): Int =
       ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)

@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   * The replication is designed so the WORKLOAD SHAPE scales linearly and
   * nothing degenerates into an artifact of copying:
   *
-  *  - documents: replica k salts every word with a `_k` suffix — a
-  *    bijective shingle-set transform, so WITHIN-replica Jaccard structure
+  *  - documents: replica k salts every word with an ALPHANUMERIC `zqk`
+  *    suffix — the tokenizer splits on non-alphanumerics, so an `_k` salt
+  *    would tokenize as a separate token and distort every n-gram; the
+  *    in-word suffix keeps each salted word ONE token, making the
+  *    shingle-set transform bijective: WITHIN-replica Jaccard structure
   *    (dup clusters, LSH bucket shapes) is preserved exactly while
   *    CROSS-replica shingle overlap is zero (no fake 10-way dup explosion);
   *  - embeddings: replica k ROTATES each vector's dimensions by k — within
@@ -43,12 +46,23 @@ object ScalingFixture {
         docs.select(
           (col("doc_id") + lit(k * offset)).as("doc_id"),
           (if (k == 0) col("text")
-           else regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1_" + k)).as("text"),
+           else regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1zq" + k)).as("text"),
           col("lang"), col("source"))
           .withColumn("n_chars", length(col("text")).cast(docs.schema("n_chars").dataType))
       }.reduce(_.unionByName(_))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+      // Pin the bijectivity invariant: salting must keep each word ONE
+      // token, so the fixture's token count is exactly replicas × base.
+      // (A separator-introducing salt like `_k` would double it and
+      // silently distort every n-gram workload measured on the fixture.)
+      val tokens = (df: org.apache.spark.sql.DataFrame) =>
+        df.select(sum(size(split(col("text"), "[^A-Za-z0-9]+")))).head().getLong(0)
+      val baseTok = tokens(docs)
+      val fixTok = tokens(spark.read.parquet(s"$out/documents.parquet"))
+      require(fixTok == baseTok * replicas,
+        s"salt broke token bijectivity: $fixTok tokens, expected ${baseTok * replicas}")
 
       val embs = spark.read.parquet(s"$src/embeddings.parquet")
       val dims = embs.select(size(col("embedding"))).head().getInt(0)

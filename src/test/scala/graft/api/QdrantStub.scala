@@ -132,7 +132,16 @@ final class QdrantStub {
               pts.forEach { p =>
                 val key = idKey(p.path("id"))
                 val vec = parseVector(p.path("vector"), c.size)
-                c.points.put(key, (vec, p.path("payload").toString))
+                // REAL qdrant NORMALIZES stored vectors for Cosine
+                // collections and returns the normalized copy on
+                // scroll/retrieve/search — reproduce that so clients
+                // cannot silently depend on vector round-trip through the
+                // point's own vector field
+                val stored = if (c.distance == "Cosine") {
+                  val n = math.sqrt(vec.map(x => x.toDouble * x).sum)
+                  if (n > 0) vec.map(x => (x / n).toFloat) else vec
+                } else vec
+                c.points.put(key, (stored, p.path("payload").toString))
               }
             }
             val r = mapper.createObjectNode()

@@ -50,32 +50,41 @@ class WeaviateIndexStoreSpec extends org.scalatest.funsuite.AnyFunSuite with Bef
     new WeaviateIndexStore(spark, stub.baseUrl, name, backoffMs = 1,
       executorUploadMinRows = minRows)
 
-  test("collection names sanitize to weaviate-legal class names deterministically") {
-    assert(WeaviateIndexStore.classNameOf("my-index") == "My_index")
+  test("collection names sanitize to weaviate-legal class names without collisions") {
+    // already-legal names pass through untouched
     assert(WeaviateIndexStore.classNameOf("Already_Fine") == "Already_Fine")
-    assert(WeaviateIndexStore.classNameOf("9lives") == "C_9lives")
+    // sanitized names gain a deterministic suffix of the ORIGINAL, so
+    // distinct collections can never share a class
+    val sanitized = Seq("my-index", "my_index", "My_index", "foo", "Foo", "9lives")
+      .map(WeaviateIndexStore.classNameOf)
+    sanitized.foreach(c => assert(c.matches("[A-Z][_0-9A-Za-z]*"), c))
+    assert(sanitized.distinct.size == sanitized.size, s"collision in $sanitized")
+    assert(WeaviateIndexStore.classNameOf("my-index") ==
+      WeaviateIndexStore.classNameOf("my-index")) // deterministic
+    assert(WeaviateIndexStore.classNameOf("My_index") == "My_index")
     intercept[IllegalArgumentException] { WeaviateIndexStore.classNameOf("") }
   }
 
   test("replace emits weaviate's wire sequence: delete class, create class, batched objects") {
     val s = store("wire")
+    val clsName = s.className
     s.replace(docs(1L -> "a", 2L -> "b"))
     val reqs = stub.requestLog
     val kinds = reqs.map(r => (r.method, r.path)).filter {
       case (_, p) => p.contains("/v1/schema") || p.contains("/v1/batch")
     }
     assert(kinds.takeRight(3) == Seq(
-      ("DELETE", "/v1/schema/Wire"), ("POST", "/v1/schema"), ("POST", "/v1/batch/objects")))
+      ("DELETE", s"/v1/schema/$clsName"), ("POST", "/v1/schema"), ("POST", "/v1/batch/objects")))
     val create = reqs.filter(r => r.method == "POST" && r.path == "/v1/schema").last
     val cls = mapper.readTree(create.body)
-    assert(cls.path("class").asText() == "Wire")
+    assert(cls.path("class").asText() == clsName)
     assert(cls.path("vectorizer").asText() == "none")
     assert(cls.path("description").asText().contains("doc_id")) // Spark schema JSON
     val batch = reqs.filter(r => r.method == "POST" && r.path == "/v1/batch/objects").last
     val objs = mapper.readTree(batch.body).path("objects")
     assert(objs.size() == 2)
     objs.forEach { o =>
-      assert(o.path("class").asText() == "Wire")
+      assert(o.path("class").asText() == clsName)
       assert(o.path("id").asText().matches("[0-9a-f-]{36}"))
       assert(o.path("properties").has("doc_json") && o.path("properties").has("embedding_pk"))
       assert(o.path("vector").isArray)
@@ -87,8 +96,19 @@ class WeaviateIndexStoreSpec extends org.scalatest.funsuite.AnyFunSuite with Bef
     s.replace(docs(1L -> "a"))
     s.insertPrechecked(docs(2L -> "b"))
     s.insertPrechecked(docs(2L -> "b"))
-    assert(stub.objectCount("Idem") == 2)
+    assert(stub.objectCount(s.className) == 2)
     assert(s.read().count() == 2)
+  }
+
+  test("a per-object FAILED inside a 200 batch response raises instead of dropping rows") {
+    val s = store("objfail")
+    s.replace(docs(1L -> "a"))
+    // weaviate fails INDIVIDUAL objects inside a 200 (result.status=FAILED);
+    // an empty vector triggers the stub's per-object failure path
+    val bad = Seq((2L, "b", Seq.empty[Float])).toDF("doc_id", "content", "vector")
+    val e = intercept[IllegalStateException] { s.insertPrechecked(bad) }
+    assert(e.getMessage.contains("failed"))
+    assert(s.read().count() == 1, "the failed object must not silently count as stored")
   }
 
   test("large batches upload per-partition from executors") {
@@ -115,7 +135,7 @@ class WeaviateIndexStoreSpec extends org.scalatest.funsuite.AnyFunSuite with Bef
     val where = mapper.readTree(delReq.body).path("match").path("where")
     assert(where.path("operator").asText() == "ContainsAny")
     assert(where.path("path").path(0).asText() == "embedding_pk")
-    assert(where.path("valueInt").size() == 2)
+    assert(where.path("valueIntArray").size() == 2) // array-typed operand, not scalar valueInt
   }
 
   test("searchSimilar runs server-side GraphQL nearVector with a distance threshold") {

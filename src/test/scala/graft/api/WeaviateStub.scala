@@ -108,16 +108,25 @@ final class WeaviateStub {
             throw new IllegalArgumentException(s"class $name does not exist"))
           val id = o.path("id").asText()
           require(id.matches("[0-9a-f-]{36}"), s"object id must be a UUID: $id")
-          val vn = o.path("vector")
-          require(vn.isArray && vn.size() > 0, "object must carry a vector")
-          val vec = new Array[Float](vn.size())
-          var i = 0; vn.forEach { x => vec(i) = x.floatValue(); i += 1 }
-          c.objects.synchronized {
-            c.objects.put(id, (vec, o.path("properties").toString))
-          }
           val r = results.addObject()
           r.put("id", id)
-          r.putObject("result").put("status", "SUCCESS")
+          val vn = o.path("vector")
+          // REAL weaviate reports per-object failures INSIDE a 200 response
+          // (result.status=FAILED + errors) — e.g. an invalid vector fails
+          // only that object; reproduce it so clients must check
+          if (!vn.isArray || vn.size() == 0) {
+            val res = r.putObject("result")
+            res.put("status", "FAILED")
+            res.putObject("errors").putArray("error")
+              .addObject().put("message", "object must carry a non-empty vector")
+          } else {
+            val vec = new Array[Float](vn.size())
+            var i = 0; vn.forEach { x => vec(i) = x.floatValue(); i += 1 }
+            c.objects.synchronized {
+              c.objects.put(id, (vec, o.path("properties").toString))
+            }
+            r.putObject("result").put("status", "SUCCESS")
+          }
         }
         send(ex, 200, mapper.writeValueAsString(results))
       case ("/v1/batch/objects", "DELETE") =>
@@ -130,8 +139,11 @@ final class WeaviateStub {
           s"unsupported operator: ${where.path("operator").asText()}")
         require(where.path("path").path(0).asText() == "embedding_pk",
           "only embedding_pk where-paths are supported")
+        // weaviate's array operators take the array-typed operand field
+        require(where.has("valueIntArray"),
+          "ContainsAny requires valueIntArray (scalar valueInt is for Equal-style operators)")
         val wanted = scala.collection.mutable.Set.empty[Long]
-        where.path("valueInt").forEach(v => wanted += v.asLong())
+        where.path("valueIntArray").forEach(v => wanted += v.asLong())
         var matched = 0
         c.objects.synchronized {
           val it = c.objects.entrySet().iterator()

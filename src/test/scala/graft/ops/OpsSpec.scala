@@ -716,8 +716,9 @@ class MultimodalSpec extends AnyFunSuite {
       (2L, goldenMp3(3, mono = true, id3Pad = 57)),
       (3L, goldenMp4(640, 360, 48000)),
       (4L, goldenMp4(1280, 720, 90000, extraAudioTrack = true)),
-      (5L, Array[Byte](0xFF.toByte, 0xE2.toByte, 0, 0)), // sync but reserved version
-      (6L, goldenMp4(0, 0, 0).take(20))) // truncated moov
+      (5L, Array[Byte](0xFF.toByte, 0xE2.toByte, 0, 0)), // sync prefix, invalid header fields
+      (6L, goldenMp4(0, 0, 0).take(20)), // truncated moov
+      (7L, Array[Byte](0xFF.toByte, 0xFE.toByte) ++ "hello".getBytes("UTF-16LE"))) // UTF-16LE BOM
       .toDF("media_id", "media")
     val got = Multimodal.extractMeta(golden)
       .select("media_id", "meta.format", "meta.width", "meta.height",
@@ -727,8 +728,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L) == Seq("mp3", null, null, 3, 44100, 1)) // ID3 tag skipped
     assert(got(3L) == Seq("mp4", 640, 360, null, 48000, 1))
     assert(got(4L) == Seq("mp4", 1280, 720, null, 90000, 2)) // zero-dim audio track counted, dims from video
-    assert(got(5L) == Seq("mp3", null, null, null, null, null)) // garbage → nulls, no throw
+    // a bare sync prefix with invalid header fields is NOT mp3 — the sniff
+    // validates version/layer/bitrate/rate so BOMs and random binaries
+    // keep sniffing as "bin"
+    assert(got(5L) == Seq("bin", null, null, null, null, null))
     assert(got(6L) == Seq("mp4", null, null, null, null, null))
+    assert(got(7L) == Seq("bin", null, null, null, null, null))
   }
 
   test("hostile MP3/MP4 bytes never throw: mangled goldens and magic-prefixed garbage") {
