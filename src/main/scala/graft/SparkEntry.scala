@@ -624,6 +624,23 @@ object SparkEntry {
       TextAnalysis.wordFrequency(docsPar(s, dir), k = 50)
         .select(col("word"), col("cnt").cast("long"))
     },
+    // Gopher-style repetition filters: one compiled kernel pass per doc
+    "q_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionSignals(docsPar(s, dir)).orderBy("doc_id")
+    },
+    // benchmark decontamination: eval set = every 7th document, 3-gram
+    // collision (13-gram default shrunk to the fixture's ~60-word docs)
+    "q_decontam" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      TextAnalysis.decontaminate(docs, docs.filter(col("doc_id") % 7 === 3), n = 3)
+        .orderBy("doc_id")
+    },
+    // BPE round-0 pair statistics over the corpus vocabulary (the trainer's
+    // first merge decision rides exactly these counts — BpeSpec pins that)
+    "q_bpe_pairs" -> { (s, dir) =>
+      graft.text.Bpe.pairCounts(docsPar(s, dir))
+        .orderBy(desc("cnt"), col("pair").asc).limit(100)
+    },
     // deterministic hash-embedding pipeline, relational form (bucket weights)
     "q_hash_embed" -> { (s, dir) =>
       val docs = docsPar(s, dir).filter(col("doc_id") < 100)
@@ -1650,6 +1667,42 @@ object SparkEntry {
       s"""SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
          |FROM (SELECT unnest($sqlWords) AS w FROM documents) WHERE w <> ''
          |GROUP BY w ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+    "q_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         | big AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+         |   THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) ELSE [] END) AS g FROM t),
+         | bigc AS (SELECT doc_id, max(c) AS top_cnt FROM
+         |   (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g) GROUP BY doc_id),
+         | tri AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+         |   THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END) AS g FROM t),
+         | tric AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ FROM
+         |   (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g) GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |  round(CASE WHEN len(w) = 0 THEN 0.0 ELSE (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE) END, 6) AS dup_word_frac,
+         |  round(CASE WHEN len(w) <= 1 THEN 0.0 ELSE coalesce(bigc.top_cnt, 0) / CAST(len(w) - 1 AS DOUBLE) END, 6) AS top_bigram_frac,
+         |  round(CASE WHEN len(w) <= 2 THEN 0.0 ELSE coalesce(tric.dup_occ, 0) / CAST(len(w) - 2 AS DOUBLE) END, 6) AS dup_trigram_frac
+         |FROM t LEFT JOIN bigc USING (doc_id) LEFT JOIN tric USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_decontam" -> {
+      val shingles3 = "list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         | t2 AS (SELECT doc_id, list_transform($shingles3, s -> ${sqlHex60("s")}) AS sh FROM t),
+         | ev AS (SELECT DISTINCT unnest(sh) AS h FROM t2 WHERE doc_id % 7 = 3),
+         | ex AS (SELECT doc_id, unnest(sh) AS h FROM t2),
+         | hits AS (SELECT ex.doc_id, count(*) AS n_hits FROM ex JOIN ev USING (h) GROUP BY ex.doc_id)
+         |SELECT t2.doc_id, CAST(len(t2.sh) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CASE WHEN len(t2.sh) = 0 THEN 0.0 ELSE coalesce(hits.n_hits, 0) / CAST(len(t2.sh) AS DOUBLE) END, 6) AS overlap_frac,
+         |  CAST(CASE WHEN coalesce(hits.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+         |FROM t2 LEFT JOIN hits ON t2.doc_id = hits.doc_id ORDER BY t2.doc_id""".stripMargin
+    },
+    "q_bpe_pairs" ->
+      s"""WITH t AS (SELECT $sqlWords AS w FROM documents),
+         | wc AS (SELECT word, count(*) AS wcnt FROM (SELECT unnest(w) AS word FROM t) GROUP BY word),
+         | p AS (SELECT wcnt, unnest(list_transform(range(1, length(word) + 1), i ->
+         |   word[i] || ' ' || CASE WHEN i = length(word) THEN '</w>' ELSE word[i+1] END)) AS pair FROM wc)
+         |SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt FROM p
+         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 100""".stripMargin,
     "q_hash_embed" ->
       s"""WITH w AS (SELECT doc_id, unnest($sqlWords) AS w FROM documents WHERE doc_id < 100),
          | h AS (SELECT doc_id, ${sqlHex32("w")} % 64 AS bucket,

@@ -199,6 +199,42 @@ object TextKernel {
     n
   }
 
+  /** One-pass word/bigram/trigram repetition counters (the Gopher-style
+    * repetition quality filters ride these counts — Rae et al. 2021,
+    * "Scaling Language Models", table A1): returns
+    * [n_words, n_uniq_words, n_bigrams, top_bigram_cnt, n_trigrams,
+    * dup_trigram_occ] where top_bigram_cnt is the occurrence count of the
+    * most frequent bigram and dup_trigram_occ counts every occurrence of a
+    * trigram that appears more than once. Counts only — the fraction
+    * arithmetic (and its rounding) lives in the query so the SQL oracle
+    * replays it exactly.
+    */
+  def repetitionStats(s: String): Array[Long] = {
+    val ws = tokens(s)
+    val n = ws.length
+    val uniq = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n) { uniq.add(ws(i)); i += 1 }
+    val bi = new java.util.HashMap[String, Int]()
+    i = 0
+    while (i + 2 <= n) {
+      bi.merge(ws(i) + " " + ws(i + 1), 1, (a, b) => a + b)
+      i += 1
+    }
+    var topBi = 0L
+    bi.forEach((_, c) => if (c > topBi) topBi = c)
+    val tri = new java.util.HashMap[String, Int]()
+    i = 0
+    while (i + 3 <= n) {
+      tri.merge(ws(i) + " " + ws(i + 1) + " " + ws(i + 2), 1, (a, b) => a + b)
+      i += 1
+    }
+    var dupTri = 0L
+    tri.forEach((_, c) => if (c > 1) dupTri += c)
+    Array(n.toLong, uniq.size.toLong, math.max(0, n - 1).toLong, topBi,
+      math.max(0, n - 2).toLong, dupTri)
+  }
+
   /** Winnowing fingerprint: min over char 5-gram windows of the normalized
     * (space-joined token) text of hex60; whole-text hash when shorter than 5.
     */
@@ -313,6 +349,22 @@ case class TokenStatsExpr(child: Expression) extends StringKernelExpression {
   override protected def withNewChildInternal(c: Expression): TokenStatsExpr = copy(child = c)
 }
 
+/** one-pass repetition counters → struct (see TextKernel.repetitionStats). */
+case class RepetitionStatsExpr(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_uniq_words", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("top_bigram_cnt", LongType, nullable = false),
+    StructField("n_trigrams", LongType, nullable = false),
+    StructField("dup_trigram_occ", LongType, nullable = false)))
+  protected override def nullSafeEval(v: Any): Any = {
+    val c = TextKernel.repetitionStats(input(v))
+    org.apache.spark.sql.catalyst.InternalRow(c(0), c(1), c(2), c(3), c(4), c(5))
+  }
+  override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr = copy(child = c)
+}
+
 /** winnowing min-hash fingerprint over normalized char 5-grams → long. */
 case class WinnowFpExpr(child: Expression) extends StringKernelExpression {
   override def dataType: DataType = LongType
@@ -363,6 +415,41 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** BPE-encode text with a learned merge table → array<string> (token stream
+  * of every word's subword symbols, words in order, each word ending in its
+  * `</w>`-bearing final symbol). The merge ranks are plan-time constants;
+  * per-word encodings are memoized per expression instance (Zipf: the memo
+  * turns O(tokens) apply-loops into ~O(distinct words) per executor). The
+  * memo is capped — a crawl's unbounded distinct-word tail must not grow an
+  * unbounded executor-side map.
+  */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends StringKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val ranks: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    merges.zipWithIndex.foreach { case ((a, b), r) => m.putIfAbsent(a + " " + b, r) }
+    m
+  }
+  @transient private lazy val memo =
+    new java.util.HashMap[String, Array[String]]()
+  private val MemoCap = 1 << 16
+  protected override def nullSafeEval(v: Any): Any = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    for (w <- TextKernel.tokens(input(v))) {
+      var enc = memo.get(w)
+      if (enc == null) {
+        enc = graft.text.Bpe.encodeWord(w, ranks)
+        if (memo.size < MemoCap) memo.put(w, enc)
+      }
+      var i = 0
+      while (i < enc.length) { out += UTF8String.fromString(enc(i)); i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): BpeEncodeExpr = copy(child = c)
+}
+
 /** count of tokens contained in a fixed marker set → long (compiled twin of
   * size(filter(words, w -> w isin markers))).
   */
@@ -396,4 +483,7 @@ object textkernel {
     toColumn(MinHashSigExpr(toExpression(c), numHashes, shingleSize))
   def simhash_fast(c: Column, bits: Int): Column = toColumn(SimHashExpr(toExpression(c), bits))
   def winnow_fp(c: Column): Column = toColumn(WinnowFpExpr(toExpression(c)))
+  def repetition_stats(c: Column): Column = toColumn(RepetitionStatsExpr(toExpression(c)))
+  def bpe_tokens(c: Column, merges: Seq[(String, String)]): Column =
+    toColumn(BpeEncodeExpr(toExpression(c), merges))
 }

@@ -134,6 +134,71 @@ object TextAnalysis {
       .select((scanned.columns.toIndexedSeq.map(col) :+ col("is_canonical") :+ col("keep")): _*)
   }
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021, table A1
+    * adapted to single-line documents): duplicate-word fraction,
+    * most-frequent-bigram fraction, and the fraction of trigram occurrences
+    * whose trigram appears more than once. All counts come from ONE compiled
+    * per-row kernel pass ([[graft.functions.RepetitionStatsExpr]]) — no
+    * explode, no shuffle, runs at scan speed at any corpus size; the
+    * fraction arithmetic stays in the projection so the SQL oracle replays
+    * it bit-exactly.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val r = repetition_stats(col(textCol)).as("__r")
+    docs.select(col("doc_id"), r)
+      .select(
+        col("doc_id"),
+        col("__r.n_words").as("n_words"),
+        round(when(col("__r.n_words") === 0, lit(0.0)).otherwise(
+          (col("__r.n_words") - col("__r.n_uniq_words")).cast("double") / col("__r.n_words")),
+          6).as("dup_word_frac"),
+        round(when(col("__r.n_bigrams") === 0, lit(0.0)).otherwise(
+          col("__r.top_bigram_cnt").cast("double") / col("__r.n_bigrams")),
+          6).as("top_bigram_frac"),
+        round(when(col("__r.n_trigrams") === 0, lit(0.0)).otherwise(
+          col("__r.dup_trigram_occ").cast("double") / col("__r.n_trigrams")),
+          6).as("dup_trigram_frac"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing word
+    * n-grams with an evaluation set (the GPT-3 appendix-C / PaLM method —
+    * exact n-gram collision against the benchmark, n=13 there; n is a
+    * parameter because short documents need shorter grams). Returns one row
+    * per corpus document: total distinct n-grams, how many collide with ANY
+    * eval document, the overlap fraction, and a contaminated flag.
+    *
+    * Scale shape: the eval side (a benchmark — thousands of documents) is
+    * exploded to DISTINCT n-gram hashes and BROADCAST; the corpus side is
+    * one kernel pass (sorted distinct 60-bit gram hashes per row —
+    * [[graft.functions.ShingleHashesExpr]], 8 bytes per gram) + a narrow
+    * explode + the broadcast hash join + a map-side-combined groupBy
+    * (a document's grams are co-partitioned by construction, so the partial
+    * agg emits ONE row per document). The 100 TB corpus is never shuffled
+    * by content — the one exchange carries a row per document.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 13,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    evalTextCol: String = "text"): DataFrame = {
+    require(n > 0, s"n-gram size must be positive: $n")
+    val evalGrams = broadcast(
+      evalSet.select(explode(shingle_hashes(col(evalTextCol), n)).as("__h"))
+        .distinct().withColumn("__hit", lit(1L)))
+    corpus
+      .select(col(idCol), shingle_hashes(col(textCol), n).as("__sh"))
+      // explode_outer keeps documents with fewer than n words (empty gram
+      // set) in the output with n_grams = 0
+      .select(col(idCol), size(col("__sh")).cast("long").as("__n"),
+        explode_outer(col("__sh")).as("__h"))
+      .join(evalGrams, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(max(col("__n")).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .withColumn("overlap_frac",
+        round(when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_hits").cast("double") / col("n_grams")), 6))
+      .withColumn("contaminated", (col("n_hits") > 0).cast("int"))
+  }
+
   /** Corpus-level word frequency: explode word tokens, count, top-k.
     * The groupBy is map-side combined (partial aggregation) — the shuffle
     * carries one row per distinct word per partition, not per token.

@@ -136,6 +136,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("repetitionSignals is one kernel scan — zero exchanges") {
+    val docs = (1L to 40L).map(i => (i, s"words for document $i repeated words"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.ops.TextAnalysis.repetitionSignals(docs))
+    assert(!p.contains("Exchange"), s"repetition must run at scan speed:\n$p")
+  }
+
+  test("decontaminate broadcasts the eval grams; corpus shuffles one row per doc") {
+    val docs = (1L to 40L).map(i => (i, s"words making up document number $i here"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.ops.TextAnalysis.decontaminate(docs, docs.limit(5), n = 3))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must never shuffle by gram:\n$p")
+    // the corpus lineage shuffles exactly once, keyed by doc — one row per
+    // document after the map-side partial agg; the only other hash exchange
+    // is the EVAL-sized distinct feeding the BroadcastExchange
+    val docShuffles = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length
+    val allShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(docShuffles == 1, s"expected one groupBy(doc) exchange, got $docShuffles:\n$p")
+    assert(allShuffles == 2, s"unexpected extra exchange (corpus grams must not shuffle):\n$p")
+  }
+
   // r6 verdict nit #1: no operator may plan a partition-less window — a
   // single-task, whole-relation sort is the pattern that dies first at scale.
   // pqTrain (the one past offender, ≤ ksub rows) now ranks driver-side.

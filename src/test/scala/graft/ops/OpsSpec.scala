@@ -370,6 +370,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(wf.length == 3)
     assert(wf.head.getString(0) == "is") // 4 occurrences (2 en + 2... 'is' appears 3x doc1 + 'ist'? no)
   }
+
+  test("repetitionSignals: hand-computed fractions, empty/short-doc zeros") {
+    val d = Seq(
+      (1L, "a a a a"),           // 4 words 1 uniq; bigrams "a a"x3; trigrams "a a a"x2 (both dup)
+      (2L, "a b c d"),           // all unique; top bigram 1/3; no dup trigram
+      (3L, ""),                  // no words at all
+      (4L, "hello"))             // single word: both gram denominators are 0
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r(1L) == ((4L, 0.75, 1.0, 1.0)))
+    assert(r(2L) == ((4L, 0.0, 0.333333, 0.0))) // round(1/3, 6)
+    assert(r(3L) == ((0L, 0.0, 0.0, 0.0)))
+    assert(r(4L) == ((1L, 0.0, 0.0, 0.0)))
+  }
+
+  test("decontaminate flags n-gram collisions with the eval set only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"),  // shares "the quick brown"… with eval doc 10
+      (2L, "totally unrelated words appear here now"),
+      (3L, "too few"))                         // < n words → zero grams
+      .toDF("doc_id", "text")
+    val eval = Seq((10L, "the quick brown fox sleeps")).toDF("doc_id", "text")
+    val r = TextAnalysis.decontaminate(corpus, eval, n = 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getInt(4)))).toMap
+    // doc 1: grams {the quick brown, quick brown fox, brown fox jumps, fox jumps high};
+    // eval grams {the quick brown, quick brown fox, brown fox sleeps} → 2 hits
+    assert(r(1L) == ((4L, 2L, 1)))
+    assert(r(2L)._2 == 0L && r(2L)._3 == 0)
+    assert(r(3L) == ((0L, 0L, 0)))
+  }
+
+  test("decontaminate of a corpus against itself flags every eligible doc") {
+    val corpus = Seq((1L, "one two three four"), (2L, "five six seven eight"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.decontaminate(corpus, corpus, n = 3).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) == 1.0 && r(2L) == 1.0) // full overlap with itself
+  }
 }
 
 class SimilaritySearchSpec extends AnyFunSuite {

@@ -1,0 +1,90 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** BPE trainer + encoder: the classic subword-nmt golden (Sennrich et al.
+  * 2016 §3.2 worked example), trainer/relational round-0 parity, and the
+  * encode kernel's fixpoint behavior.
+  */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** The paper's vocabulary: low×5, lower×2, newest×6, widest×3. */
+  private def sennrichDocs = {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+  }
+
+  test("train reproduces the subword-nmt golden merge sequence") {
+    val merges = Bpe.train(sennrichDocs, numMerges = 5)
+    assert(merges.map(m => (m.a, m.b, m.count)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)))
+    // selected-pair counts never increase across the sequence
+    assert(merges.map(_.count) == merges.map(_.count).sorted.reverse)
+  }
+
+  test("trainer round 0 equals the relational pairCounts surface") {
+    val rel = Bpe.pairCounts(sennrichDocs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the trainer's first merge must be the relational table's top pair
+    // under the same (count desc, pair asc) order
+    val topRel = rel.toSeq.sortBy { case (p, c) => (-c, p) }.head
+    val first = Bpe.train(sennrichDocs, numMerges = 1).head
+    assert(topRel == (s"${first.a} ${first.b}", first.count))
+    assert(rel("e s") == 9L && rel("t </w>") == 9L && rel("w e") == 8L)
+  }
+
+  test("encodeWord applies merges to fixpoint in rank order") {
+    val merges = Bpe.train(sennrichDocs, numMerges = 5)
+    val ranks = new java.util.HashMap[String, Int]()
+    merges.zipWithIndex.foreach { case (m, r) => ranks.put(s"${m.a} ${m.b}", r) }
+    assert(Bpe.encodeWord("lowest", ranks).toSeq == Seq("low", "est</w>"))
+    assert(Bpe.encodeWord("newest", ranks).toSeq == Seq("n", "e", "w", "est</w>"))
+    assert(Bpe.encodeWord("low", ranks).toSeq == Seq("low", "</w>"))
+    assert(Bpe.encodeWord("unseen", ranks).toSeq ==
+      Seq("u", "n", "s", "e", "e", "n", "</w>")) // no applicable merges
+  }
+
+  test("encode kernel: per-document token stream, learned-token count") {
+    val merges = Bpe.train(sennrichDocs, numMerges = 5)
+    val docs = Seq((1L, "lowest low"), (2L, "")).toDF("doc_id", "text")
+    val r = Bpe.encode(docs, merges).collect()
+      .map(x => x.getLong(0) -> ((x.getSeq[String](1), x.getLong(2)))).toMap
+    assert(r(1L)._1 == Seq("low", "est</w>", "low", "</w>"))
+    assert(r(1L)._2 == 4L)
+    assert(r(2L) == ((Seq.empty[String], 0L)))
+  }
+
+  test("encoding is reversible: concatenated symbols reconstruct the words") {
+    val merges = Bpe.train(sennrichDocs, numMerges = 5)
+    val ranks = new java.util.HashMap[String, Int]()
+    merges.zipWithIndex.foreach { case (m, r) => ranks.put(s"${m.a} ${m.b}", r) }
+    for (w <- Seq("low", "lower", "newest", "widest", "lowest", "zzz"))
+      assert(Bpe.encodeWord(w, ranks).mkString == w + Bpe.Eow)
+  }
+
+  test("minCount stops merges that would memorize a single occurrence") {
+    val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text") // every pair count 1
+    assert(Bpe.train(docs, numMerges = 10).isEmpty)
+  }
+
+  test("train is deterministic across invocations") {
+    val a = Bpe.train(sennrichDocs, numMerges = 8)
+    val b = Bpe.train(sennrichDocs, numMerges = 8)
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("maxVocab cap fails loudly") {
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.train(docs, numMerges = 1, maxVocab = 3)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
+}
