@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CosineSimilarity, DotProduct, L2Distance, L2Norm}
 import graft.functions.{JaccardSortedExpr, LshBucketExpr, MinHashSigExpr,
-  ShingleHashesExpr, SimHashExpr, TokenStatsExpr, WinnowFpExpr, WordShinglesExpr}
+  RepetitionStatsExpr, ShingleHashesExpr, SimHashExpr, TokenStatsExpr,
+  WinnowFpExpr, WordShinglesExpr}
 
 /** SparkSessionExtensions entry point: registers the native vector AND text
   * kernel expressions as SQL functions so e.g.
@@ -45,5 +46,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("shingle_hashes", es => ShingleHashesExpr(es(0), intArg(es, 1, "shingle_hashes")))
     reg("jaccard_sorted", es => JaccardSortedExpr(es(0), es(1)))
     reg("winnow_fp", es => WinnowFpExpr(es(0)))
+    reg("repetition_stats", es => RepetitionStatsExpr(es(0)))
   }
 }

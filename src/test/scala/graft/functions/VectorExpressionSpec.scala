@@ -68,11 +68,15 @@ class VectorExpressionSpec extends AnyFunSuite {
       """SELECT minhash_sig(text, 8, 3) AS mh, simhash(text, 16) AS sh,
         |  token_stats(text) AS ts, word_shingles(text, 3) AS ws,
         |  winnow_fp(text) AS fp,
-        |  jaccard_sorted(shingle_hashes(text, 3), shingle_hashes(text, 3)) AS j
+        |  jaccard_sorted(shingle_hashes(text, 3), shingle_hashes(text, 3)) AS j,
+        |  repetition_stats(text) AS rep
         |FROM tt""".stripMargin).head()
     assert(row.getSeq[Long](0).length == 8)
     assert(row.getStruct(2).getLong(1) == 9L) // whitespace token count
     assert(row.getDouble(5) == 1.0)
+    // 9 words, 8 distinct ("the" twice), 8 bigrams all distinct
+    assert(row.getStruct(6).getLong(0) == 9L && row.getStruct(6).getLong(1) == 8L &&
+      row.getStruct(6).getLong(3) == 1L)
     // lsh_bucket on a float array column, with the rotation offset arg
     Seq((1L, Seq(1f, -2f, 3f, -4f))).toDF("id", "v").createOrReplaceTempView("vv")
     val b = spark.sql("SELECT lsh_bucket(v, 4, 8) AS b0, lsh_bucket(v, 4, 8, 8) AS b1 FROM vv").head()
