@@ -641,6 +641,21 @@ object SparkEntry {
       graft.text.Bpe.pairCounts(docsPar(s, dir))
         .orderBy(desc("cnt"), col("pair").asc).limit(100)
     },
+    // PII scrubbing: the corpus has no natural PII, so the fixture embeds
+    // synthetic email/IP/phone as a pure function of doc_id (same synth
+    // pattern as the media codec gates) and the oracle replays the formula
+    "q_pii" -> { (s, dir) =>
+      val withPii = docsPar(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".1 tel +1 555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("text"))
+      TextAnalysis.redactPii(withPii)
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
     // deterministic hash-embedding pipeline, relational form (bucket weights)
     "q_hash_embed" -> { (s, dir) =>
       val docs = docsPar(s, dir).filter(col("doc_id") < 100)
@@ -1703,6 +1718,23 @@ object SparkEntry {
          |   word[i] || ' ' || CASE WHEN i = length(word) THEN '</w>' ELSE word[i+1] END)) AS pair FROM wc)
          |SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt FROM p
          |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 100""".stripMargin,
+    "q_pii" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\+\\d[\\d\\- ]{5,}\\d"
+      s"""WITH p AS (SELECT doc_id, text || ' contact user' || doc_id ||
+         |   '@example.com or 10.0.' || (doc_id % 256) || '.1 tel +1 555-01' ||
+         |   lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text FROM documents),
+         | s1 AS (SELECT doc_id, len(regexp_extract_all(text, '$email')) AS n_emails,
+         |   regexp_replace(text, '$email', '[EMAIL]', 'g') AS t1 FROM p),
+         | s2 AS (SELECT doc_id, n_emails, len(regexp_extract_all(t1, '$ip')) AS n_ipv4,
+         |   regexp_replace(t1, '$ip', '[IP]', 'g') AS t2 FROM s1),
+         | s3 AS (SELECT doc_id, n_emails, n_ipv4, len(regexp_extract_all(t2, '$phone')) AS n_phones,
+         |   regexp_replace(t2, '$phone', '[PHONE]', 'g') AS t3 FROM s2)
+         |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails, CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+         |  CAST(n_phones AS BIGINT) AS n_phones, md5(t3) AS redacted_md5
+         |FROM s3 ORDER BY doc_id""".stripMargin
+    },
     "q_hash_embed" ->
       s"""WITH w AS (SELECT doc_id, unnest($sqlWords) AS w FROM documents WHERE doc_id < 100),
          | h AS (SELECT doc_id, ${sqlHex32("w")} % 64 AS bucket,

@@ -199,6 +199,33 @@ object TextAnalysis {
       .withColumn("contaminated", (col("n_hits") > 0).cast("int"))
   }
 
+  /** PII patterns for [[redactPii]]: (kind, regex, replacement), applied in
+    * order. Patterns stay inside the Java-regex ∩ RE2 common subset (char
+    * classes, bounded quantifiers, ASCII \b) so the DuckDB oracle replays
+    * them verbatim.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("phones", "\\+\\d[\\d\\- ]{5,}\\d", "[PHONE]"))
+
+  /** PII scrubbing (the redaction pass a crawled-corpus pipeline runs
+    * before training): sequentially count-and-replace emails, IPv4
+    * addresses, and international-format phone numbers. Sequential
+    * semantics — each count applies to the text with the PRIOR kinds
+    * already redacted, so an address inside an email never double-counts.
+    * Pure per-row `regexp_count`/`regexp_replace` projections: codegen'd,
+    * zero exchanges, scan speed at any corpus size.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val (counts, redacted) = PiiPatterns.foldLeft(
+      (Seq.empty[Column], col(textCol))) { case ((cs, t), (kind, pat, repl)) =>
+      (cs :+ regexp_count(t, lit(pat)).cast("long").as(s"n_$kind"),
+        regexp_replace(t, lit(pat), lit(repl)))
+    }
+    docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
+  }
+
   /** Corpus-level word frequency: explode word tokens, count, top-k.
     * The groupBy is map-side combined (partial aggregation) — the shuffle
     * carries one row per distinct word per partition, not per token.

@@ -402,6 +402,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(3L) == ((0L, 0L, 0)))
   }
 
+  test("redactPii: sequential count-and-replace, no double counting") {
+    val d = Seq(
+      (1L, "mail bob.smith@corp.example.org or 192.168.0.1 tel +44 20-7946-0958 end"),
+      (2L, "server at 10.0.0.7 and 8.8.8.8"),
+      (3L, "email hidden@10.1.2.3.example.com only"), // IP-shaped domain is part of the EMAIL
+      (4L, "nothing sensitive here"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))).toMap
+    assert(r(1L) == ((1L, 1L, 1L, "mail [EMAIL] or [IP] tel [PHONE] end")))
+    assert(r(2L) == ((0L, 2L, 0L, "server at [IP] and [IP]")))
+    // sequential semantics: the email consumes its IP-shaped domain first
+    assert(r(3L) == ((1L, 0L, 0L, "email [EMAIL] only")))
+    assert(r(4L) == ((0L, 0L, 0L, "nothing sensitive here")))
+  }
+
   test("decontaminate of a corpus against itself flags every eligible doc") {
     val corpus = Seq((1L, "one two three four"), (2L, "five six seven eight"))
       .toDF("doc_id", "text")
