@@ -260,11 +260,20 @@ object TextAnalysis {
                       * per-language bins — each group gets its own
                       * independent prefix sum and bin numbering).
                       */
-                    groupCol: Option[String] = None): DataFrame = {
+                    groupCol: Option[String] = None,
+                    /** Precomputed per-document token-count column (e.g.
+                      * `n_tokens_bpe_learned` from [[graft.text.Bpe.encode]]
+                      * — pack by the tokenizer the pipeline just trained,
+                      * not the estimator). None = the naive estimate of
+                      * `textCol`.
+                      */
+                    tokenCol: Option[String] = None): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget must be positive: $tokenBudget")
     val gk = groupCol.map(c => col(c).cast("string")).getOrElse(lit(""))
+    val tokens = tokenCol.map(c => col(c).cast("long"))
+      .getOrElse(token_stats(col(textCol)).getField("n_tokens_naive"))
     val sized = docs.select(gk.as("__gk"), col(idCol).cast("long").as("doc_id"),
-      token_stats(col(textCol)).getField("n_tokens_naive").as("n_tokens"))
+      tokens.as("n_tokens"))
     val outCols = groupCol.map(c => col("__gk").as(c)).toSeq ++ Seq(
       col("doc_id"), col("n_tokens"), col("tok_before"),
       expr(s"tok_before div $tokenBudget").as("bin"))
@@ -375,8 +384,10 @@ object TextAnalysis {
                      idCol: String = "doc_id", textCol: String = "text",
                      targetGroups: Long = 1024L,
                      groupCol: Option[String] = None,
-                     sep: String = "\n\n"): DataFrame = {
-    val packed = packSequences(docs, tokenBudget, idCol, textCol, targetGroups, groupCol)
+                     sep: String = "\n\n",
+                     tokenCol: Option[String] = None): DataFrame = {
+    val packed = packSequences(docs, tokenBudget, idCol, textCol, targetGroups,
+      groupCol, tokenCol)
     val joined = packed.join(
       docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text")),
       Seq("doc_id"))

@@ -80,6 +80,21 @@ class BpeSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("BPE composes with sequence packing: pack by LEARNED token counts") {
+    val merges = Bpe.train(sennrichDocs, numMerges = 5)
+    // "low" → [low, </w>] = 2 learned tokens; naive estimate would be 1
+    val docs = (1L to 10L).map(i => (i, "low lowest newest")).toDF("doc_id", "text")
+    val encoded = Bpe.encode(docs, merges) // 2 + 2 + 4 = 8 learned tokens/doc
+      .join(docs, "doc_id")
+    val packed = graft.ops.TextAnalysis.packSequences(encoded, tokenBudget = 16,
+      tokenCol = Some("n_tokens_bpe_learned"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(packed(1L) == ((8L, 0L))) // 8 tokens each, 2 docs per 16-token bin
+    assert(packed(2L) == ((8L, 0L)))
+    assert(packed(3L) == ((8L, 1L)))
+    assert(packed(10L) == ((8L, 4L)))
+  }
+
   test("maxVocab cap fails loudly") {
     val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
