@@ -102,18 +102,23 @@ object TextKernel {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val d = digests.get()
     val prefixes = minhashPrefixes(numHashes)
+    // digest(out, 0, 16) writes into this scratch buffer — the no-arg
+    // digest() allocates a fresh 16-byte array per call, which at the 1000×
+    // measurement point is ~35 GB of garbage (2.2B digests; SCALING.md
+    // attributes the minhash row's excess over linear to exactly this)
+    val out = new Array[Byte](16)
     var i = 0
     while (i < sh.length) {
       val shb = sh(i).getBytes("UTF-8")
       var j = 0
       while (j < numHashes) {
-        d.reset()
         d.update(prefixes(j))
-        val b = d.digest(shb)
+        d.update(shb)
+        d.digest(out, 0, 16)
         var v = 0L
         var k = 0
-        while (k < 7) { v = (v << 8) | (b(k) & 0xffL); k += 1 }
-        val h = (v << 4) | ((b(7) & 0xffL) >>> 4)
+        while (k < 7) { v = (v << 8) | (out(k) & 0xffL); k += 1 }
+        val h = (v << 4) | ((out(7) & 0xffL) >>> 4)
         if (h < sig(j)) sig(j) = h
         j += 1
       }
