@@ -32,6 +32,28 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got("click") == (1L, 5.0))
   }
 
+  test("stateless cleaning ops (redactPii, repetitionSignals) run unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // the batch operators ARE the streaming operators: pure projections
+    // (kernel + regexp), no aggregation state — append mode, no watermark
+    val q1 = graft.ops.TextAnalysis.redactPii(docs)
+      .writeStream.format("memory").queryName("pii_stream").outputMode("append").start()
+    val q2 = graft.ops.TextAnalysis.repetitionSignals(docs)
+      .writeStream.format("memory").queryName("rep_stream").outputMode("append").start()
+    input.addData((1L, "mail a@b.io now"), (2L, "a a a a"))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val pii = spark.sql("SELECT doc_id, n_emails, redacted FROM pii_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(pii(1L) == ((1L, "mail [EMAIL] now")))
+    assert(pii(2L) == ((0L, "a a a a")))
+    val rep = spark.sql("SELECT doc_id, dup_word_frac FROM rep_stream").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rep(2L) == 0.75)
+  }
+
   test("sessions emits closed sessions via flatMapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
