@@ -33,6 +33,20 @@ class TextKernelSpec extends AnyFunSuite {
 
   def df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
 
+  test("repetition_stats == naive grouped-count reference over the sample set") {
+    samples.foreach { s =>
+      val got = TextKernel.repetitionStats(s).toSeq
+      val ws = TextKernel.tokens(s).toSeq
+      val bi = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val tri = ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val expect = Seq[Long](
+        ws.length, ws.distinct.length,
+        bi.length, if (bi.isEmpty) 0 else bi.groupBy(identity).values.map(_.length).max,
+        tri.length, tri.groupBy(identity).values.map(_.length).filter(_ > 1).sum)
+      assert(got == expect, s"text=$s")
+    }
+  }
+
   test("word_tokens == filter(split(lower, regex))") {
     val rows = df.select(
       textkernel.word_tokens(col("text")).as("k"),
