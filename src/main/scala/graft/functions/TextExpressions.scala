@@ -45,10 +45,18 @@ object TextKernel {
     out.toArray
   }
 
+  // per-thread 16-byte scratch output: MessageDigest.digest() allocates a
+  // fresh array per call, and the hex60 consumers (winnowing, shingle
+  // hashing) issue one digest per char/word gram — the 1000× SCALING point
+  // showed that allocation rate dominating (same finding as minhashSig)
+  private val scratch = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16))
   private def md5bytes(s: String): Array[Byte] = {
     val d = digests.get()
+    val out = scratch.get()
     d.reset()
-    d.digest(s.getBytes("UTF-8"))
+    d.update(s.getBytes("UTF-8"))
+    d.digest(out, 0, 16)
+    out
   }
 
   /** First 15 hex chars of md5 as a 60-bit non-negative long —
@@ -242,14 +250,30 @@ object TextKernel {
 
   /** Winnowing fingerprint: min over char 5-gram windows of the normalized
     * (space-joined token) text of hex60; whole-text hash when shorter than 5.
+    *
+    * Value-identical to `min(hex60(norm.substring(i, i+5)))`, but the
+    * normalized text is pure ASCII by construction (tokens are [a-z0-9],
+    * joined by spaces), so each gram's UTF-8 bytes are a SLICE of one
+    * pre-encoded array — zero per-gram allocations where the substring
+    * formulation allocated a String + char[] + byte[] per window (~1.7B
+    * allocations at the 1000× point; the digest output reuses the shared
+    * scratch the same way as minhashSig).
     */
   def winnowFp(s: String): Long = {
     val norm = tokens(s).mkString(" ")
     if (norm.length < 5) return hex60(norm)
+    val bytes = norm.getBytes("UTF-8") // ASCII: byte i == char i
+    val d = digests.get()
+    val out = scratch.get()
     var min = Long.MaxValue
     var i = 0
-    while (i + 5 <= norm.length) {
-      val h = hex60(norm.substring(i, i + 5))
+    while (i + 5 <= bytes.length) {
+      d.update(bytes, i, 5)
+      d.digest(out, 0, 16)
+      var v = 0L
+      var k = 0
+      while (k < 7) { v = (v << 8) | (out(k) & 0xffL); k += 1 }
+      val h = (v << 4) | ((out(7) & 0xffL) >>> 4)
       if (h < min) min = h
       i += 1
     }
