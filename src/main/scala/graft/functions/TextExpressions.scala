@@ -479,6 +479,40 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(c: Expression): BpeEncodeExpr = copy(child = c)
 }
 
+/** per-set counts of tokens contained in EACH of several marker sets →
+  * array<long>, one tokenization pass. `marker_hits` called k times
+  * re-tokenizes the text k times (the tokenize lives inside the kernel,
+  * invisible to Catalyst's subexpression elimination) — language-ID with 4
+  * marker lists plus a stopword list was 5 passes per row. Tokens map to
+  * their member sets through one prebuilt hash map (sets may overlap:
+  * 'la' is both French and Spanish).
+  */
+case class MultiMarkerHitsExpr(child: Expression, markerSets: Seq[Seq[String]])
+    extends StringKernelExpression {
+  @transient private lazy val membership: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    markerSets.zipWithIndex.foreach { case (set, i) =>
+      set.foreach { w =>
+        m.merge(w, Array(i), (a, b) => a ++ b)
+      }
+    }
+    m
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected override def nullSafeEval(v: Any): Any = {
+    val counts = new Array[Long](markerSets.length)
+    for (w <- TextKernel.tokens(input(v))) {
+      val sets = membership.get(w)
+      if (sets != null) {
+        var i = 0
+        while (i < sets.length) { counts(sets(i)) += 1; i += 1 }
+      }
+    }
+    new GenericArrayData(counts)
+  }
+  override protected def withNewChildInternal(c: Expression): MultiMarkerHitsExpr = copy(child = c)
+}
+
 /** count of tokens contained in a fixed marker set → long (compiled twin of
   * size(filter(words, w -> w isin markers))).
   */
@@ -501,6 +535,8 @@ object textkernel {
   def word_tokens(c: Column): Column = toColumn(WordTokens(toExpression(c)))
   def marker_hits(c: Column, markers: Seq[String]): Column =
     toColumn(MarkerHitsExpr(toExpression(c), markers))
+  def multi_marker_hits(c: Column, markerSets: Seq[Seq[String]]): Column =
+    toColumn(MultiMarkerHitsExpr(toExpression(c), markerSets))
   def shingle_hashes(c: Column, n: Int): Column = toColumn(ShingleHashesExpr(toExpression(c), n))
   def token_stats(c: Column): Column = toColumn(TokenStatsExpr(toExpression(c)))
   def lsh_bucket(c: Column, dims: Int, bits: Int, planeOffset: Int = 0): Column =

@@ -59,20 +59,26 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"))
 
   /** Language identification: argmax of marker-word hits; "und" when no
-    * marker appears. Per-row projection, no shuffle.
+    * marker appears. Per-row projection, no shuffle — ONE tokenization
+    * pass for all four marker sets (`multi_marker_hits`; four separate
+    * `marker_hits` calls each re-tokenize inside the kernel, where
+    * Catalyst's subexpression elimination cannot see it).
     */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    val en = marker_hits(t, LangMarkers("en")); val de = marker_hits(t, LangMarkers("de"))
-    val fr = marker_hits(t, LangMarkers("fr")); val es = marker_hits(t, LangMarkers("es"))
+    val hits = multi_marker_hits(col(textCol),
+      Seq(LangMarkers("en"), LangMarkers("de"), LangMarkers("fr"), LangMarkers("es")))
+    val withHits = docs.select(col("doc_id"), hits.as("__h"))
+      .select(col("doc_id"), col("__h")(0).as("en_hits"), col("__h")(1).as("de_hits"),
+        col("__h")(2).as("fr_hits"), col("__h")(3).as("es_hits"))
+    val en = col("en_hits"); val de = col("de_hits")
+    val fr = col("fr_hits"); val es = col("es_hits")
     val best = greatest(en, de, fr, es)
     val pred = when(best === 0, lit("und"))
       .when(en === best, lit("en"))
       .when(de === best, lit("de"))
       .when(fr === best, lit("fr"))
       .otherwise(lit("es"))
-    docs.select(col("doc_id"), en.as("en_hits"), de.as("de_hits"),
-      fr.as("fr_hits"), es.as("es_hits"), pred.as("lang_pred"))
+    withHits.select(col("doc_id"), en, de, fr, es, pred.as("lang_pred"))
   }
 
   /** Document fingerprints: (a) md5 of the normalized word stream (exact
@@ -103,8 +109,13 @@ object TextAnalysis {
                     minQuality: Double = 0.1, minTokens: Long = 5,
                     keepLangs: Seq[String] = Seq("en")): DataFrame = {
     val t = col(textCol)
-    val en = marker_hits(t, LangMarkers("en")); val de = marker_hits(t, LangMarkers("de"))
-    val fr = marker_hits(t, LangMarkers("fr")); val es = marker_hits(t, LangMarkers("es"))
+    // all five marker lists counted in ONE tokenization pass (was five)
+    val mh = multi_marker_hits(t,
+      Seq(LangMarkers("en"), LangMarkers("de"), LangMarkers("fr"),
+        LangMarkers("es"), Stopwords))
+    val pre = docs.select(col("doc_id"), t, mh.as("__mh"))
+    val en = col("__mh")(0); val de = col("__mh")(1)
+    val fr = col("__mh")(2); val es = col("__mh")(3)
     val best = greatest(en, de, fr, es)
     val lang = when(best === 0, lit("und"))
       .when(en === best, lit("en")).when(de === best, lit("de"))
@@ -113,13 +124,13 @@ object TextAnalysis {
     val nWords = size(ws).cast("double")
     val punct = size(regexp_extract_all(t, lit("[.,;:!?'\"()]"), lit(0))).cast("double")
     val chars = length(t).cast("double")
-    val stopHits = marker_hits(t, Stopwords).cast("double")
+    val stopHits = col("__mh")(4).cast("double")
     val punctRatio = when(chars === 0, lit(0.0)).otherwise(punct / chars)
     val stopRatio = when(nWords === 0, lit(0.0)).otherwise(stopHits / nWords)
     val quality = least(lit(1.0), nWords / lit(100.0)) *
       (lit(0.5) + lit(0.5) * least(lit(1.0), stopRatio * lit(10.0))) *
       (lit(1.0) - least(lit(0.5), punctRatio))
-    val scanned = docs.select(
+    val scanned = pre.select(
       col("doc_id"), lang.as("lang_pred"), round(quality, 6).as("quality"),
       token_stats(t).getField("n_tokens_naive").as("n_tokens"),
       md5(concat_ws(" ", ws)).as("exact_fp"))
