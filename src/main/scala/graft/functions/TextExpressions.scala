@@ -487,7 +487,12 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
   * their member sets through one prebuilt hash map (sets may overlap:
   * 'la' is both French and Spanish).
   */
-case class MultiMarkerHitsExpr(child: Expression, markerSets: Seq[Seq[String]])
+case class MultiMarkerHitsExpr(child: Expression, markerSets: Seq[Seq[String]],
+                               /** append the TOTAL token count as the final
+                                 * array element — callers needing both word
+                                 * count and marker hits (quality scoring)
+                                 * get them from the same pass */
+                               includeTotal: Boolean = false)
     extends StringKernelExpression {
   @transient private lazy val membership: java.util.HashMap[String, Array[Int]] = {
     val m = new java.util.HashMap[String, Array[Int]]()
@@ -500,17 +505,47 @@ case class MultiMarkerHitsExpr(child: Expression, markerSets: Seq[Seq[String]])
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   protected override def nullSafeEval(v: Any): Any = {
-    val counts = new Array[Long](markerSets.length)
+    val counts = new Array[Long](markerSets.length + (if (includeTotal) 1 else 0))
+    var total = 0L
     for (w <- TextKernel.tokens(input(v))) {
+      total += 1
       val sets = membership.get(w)
       if (sets != null) {
         var i = 0
         while (i < sets.length) { counts(sets(i)) += 1; i += 1 }
       }
     }
+    if (includeTotal) counts(markerSets.length) = total
     new GenericArrayData(counts)
   }
   override protected def withNewChildInternal(c: Expression): MultiMarkerHitsExpr = copy(child = c)
+}
+
+/** count of characters belonging to a fixed set → long (the counting twin
+  * of `size(regexp_extract_all(s, '[chars]', 0))`, which materializes an
+  * array of every match just to take its length — at ×1700 char volume
+  * that allocation dominated the quality scan).
+  */
+case class CharsInSetCountExpr(child: Expression, chars: String)
+    extends StringKernelExpression {
+  @transient private lazy val member: Array[Boolean] = {
+    val m = new Array[Boolean](128)
+    chars.foreach(c => if (c < 128) m(c) = true)
+    m
+  }
+  override def dataType: DataType = LongType
+  protected override def nullSafeEval(v: Any): Any = {
+    val s = input(v)
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 128 && member(c)) n += 1
+      i += 1
+    }
+    n
+  }
+  override protected def withNewChildInternal(c: Expression): CharsInSetCountExpr = copy(child = c)
 }
 
 /** count of tokens contained in a fixed marker set → long (compiled twin of
@@ -535,8 +570,11 @@ object textkernel {
   def word_tokens(c: Column): Column = toColumn(WordTokens(toExpression(c)))
   def marker_hits(c: Column, markers: Seq[String]): Column =
     toColumn(MarkerHitsExpr(toExpression(c), markers))
-  def multi_marker_hits(c: Column, markerSets: Seq[Seq[String]]): Column =
-    toColumn(MultiMarkerHitsExpr(toExpression(c), markerSets))
+  def multi_marker_hits(c: Column, markerSets: Seq[Seq[String]],
+                        includeTotal: Boolean = false): Column =
+    toColumn(MultiMarkerHitsExpr(toExpression(c), markerSets, includeTotal))
+  def chars_in_set_count(c: Column, chars: String): Column =
+    toColumn(CharsInSetCountExpr(toExpression(c), chars))
   def shingle_hashes(c: Column, n: Int): Column = toColumn(ShingleHashesExpr(toExpression(c), n))
   def token_stats(c: Column): Column = toColumn(TokenStatsExpr(toExpression(c)))
   def lsh_bucket(c: Column, dims: Int, bits: Int, planeOffset: Int = 0): Column =

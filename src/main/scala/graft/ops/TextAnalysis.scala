@@ -31,18 +31,22 @@ object TextAnalysis {
     * stop_ratio = stopwords/words; quality = len_score*(0.5 + 0.5*min(1, 10*stop_ratio))*(1 - punct_penalty)
     */
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val ws = word_tokens(col(textCol))
-    val nWords = size(ws).cast("double")
-    val punct = size(regexp_extract_all(col(textCol), lit("[.,;:!?'\"()]"), lit(0))).cast("double")
-    val chars = length(col(textCol)).cast("double")
-    val stopHits = marker_hits(col(textCol), Stopwords).cast("double")
+    // stop hits AND the word count from one tokenization pass; punctuation
+    // counted by a char-class kernel (the regexp_extract_all formulation
+    // materializes an array of every match just to take its length)
+    val mh = multi_marker_hits(col(textCol), Seq(Stopwords), includeTotal = true)
+    val pre = docs.select(col("doc_id"), col(textCol).as("__t"), mh.as("__mh"))
+    val nWords = pre("__mh")(1).cast("double")
+    val stopHits = pre("__mh")(0).cast("double")
+    val punct = chars_in_set_count(col("__t"), ".,;:!?'\"()").cast("double")
+    val chars = length(col("__t")).cast("double")
     val lenScore = least(lit(1.0), nWords / lit(100.0))
     val punctRatio = when(chars === 0, lit(0.0)).otherwise(punct / chars)
     val stopRatio = when(nWords === 0, lit(0.0)).otherwise(stopHits / nWords)
     val quality = lenScore * (lit(0.5) + lit(0.5) * least(lit(1.0), stopRatio * lit(10.0))) * (lit(1.0) - least(lit(0.5), punctRatio))
-    docs.select(
+    pre.select(
       col("doc_id"),
-      size(ws).cast("long").as("n_words"),
+      pre("__mh")(1).cast("long").as("n_words"),
       round(punctRatio, 6).as("punct_ratio"),
       round(stopRatio, 6).as("stop_ratio"),
       round(quality, 6).as("quality"))
@@ -122,7 +126,7 @@ object TextAnalysis {
       .when(fr === best, lit("fr")).otherwise(lit("es"))
     val ws = word_tokens(t)
     val nWords = size(ws).cast("double")
-    val punct = size(regexp_extract_all(t, lit("[.,;:!?'\"()]"), lit(0))).cast("double")
+    val punct = chars_in_set_count(t, ".,;:!?'\"()").cast("double")
     val chars = length(t).cast("double")
     val stopHits = col("__mh")(4).cast("double")
     val punctRatio = when(chars === 0, lit(0.0)).otherwise(punct / chars)
