@@ -9,7 +9,7 @@ import graft.core.{IndexConfig, EmbeddingField, Metric}
 import graft.embed.HashEmbeddingBackend
 import graft.functions.textfn._
 import graft.functions.vector._
-import graft.ops.{Dedup, Events, Multimodal, ProductQuantization, SimilaritySearch, Skew, TextAnalysis}
+import graft.ops.{Dedup, Events, FullText, Multimodal, ProductQuantization, Sampling, SimilaritySearch, Skew, TextAnalysis}
 import graft.pipeline.IndexBuild
 import graft.query.Retrieval
 
@@ -789,8 +789,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("total"))
         .orderBy("n_name")
+    },
+    // ---- lexical retrieval / hybrid ranking (round 9) ----
+    "q_tfidf" -> { (s, dir) =>
+      FullText.tfIdfTopTerms(docsPar(s, dir), k = 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
+          col("tf"), col("score"))
+        .orderBy("doc_id", "rank")
+    },
+    "q_bm25" -> { (s, dir) =>
+      FullText.bm25TopK(docsPar(s, dir), LexicalQuery, k = 20)
+        .select(col("doc_id"), col("n_terms"), col("score"))
+    },
+    "q_hybrid_rrf" -> { (s, dir) =>
+      FullText.hybridRrf(docsPar(s, dir), LexicalQuery, k = 10, kCand = 20)
+    },
+    "q_mmr" -> { (s, dir) =>
+      FullText.mmrRerank(docsPar(s, dir), LexicalQuery, k = 5, kCand = 15)
+        .select(col("pick").cast("long").as("pick"), col("doc_id"), col("rel"),
+          col("mmr_score"))
+        .orderBy("pick")
+    },
+    "q_perplexity" -> { (s, dir) =>
+      FullText.bigramSurprisal(docsPar(s, dir)).orderBy("doc_id")
+    },
+    "q_stratified" -> { (s, dir) =>
+      Sampling.stratifiedSample(tbl(s, dir, "documents"), StratFractions, groupCol = "lang")
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
     }
   )
+
+  /** Keyword query for the lexical-retrieval gates (terms from the fixture
+    * vocabulary so BM25/hybrid rank lists are non-trivial at every sf).
+    */
+  private val LexicalQuery = "spark hash join window stream fast"
+  /** Per-language keep fractions for q_stratified — exact binary fractions,
+    * so the draw<cut comparison is bit-identical across engines.
+    */
+  private val StratFractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.125)
 
   /** helper for the sign byte (hex chars 9-10 of md5) used by q_hash_embed */
   private def hexhash32substr2(c: Column): Column =
@@ -1814,6 +1850,139 @@ object SparkEntry {
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest($sqlWords) AS term FROM documents),
+         | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term),
+         | dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         | n AS (SELECT count(*) AS n_docs FROM documents),
+         | s AS (SELECT doc_id, term, tf, round(tf * ln((n_docs + 1) / (df + 1.0)), 6) AS score
+         |   FROM tf JOIN dfc USING (term), n),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, n_terms, score FROM bs ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH $hashCosCtes,
+         | $bm25CtesBody,
+         | vtop AS (SELECT doc_id, vec_rank FROM (SELECT doc_id,
+         |     row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank FROM cosd) WHERE vec_rank <= 20),
+         | btop AS (SELECT doc_id, bm25_rank FROM (SELECT doc_id,
+         |     row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank FROM bs) WHERE bm25_rank <= 20),
+         | f AS (SELECT doc_id, vec_rank, bm25_rank FROM vtop FULL JOIN btop USING (doc_id))
+         |SELECT doc_id, CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank,
+         |  CAST(coalesce(bm25_rank, 0) AS BIGINT) AS bm25_rank,
+         |  round(coalesce(1.0 / (vec_rank + 60), 0) + coalesce(1.0 / (bm25_rank + 60), 0), 6) AS rrf_score
+         |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+    "q_mmr" -> mmrSql,
+    "q_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         | inst AS (SELECT doc_id,
+         |     unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+         |     unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+         |   FROM t WHERE len(w) >= 2),
+         | uni AS (SELECT w1, count(*) AS uc FROM (SELECT unnest(w) AS w1 FROM t) GROUP BY w1),
+         | voc AS (SELECT count(*) AS v FROM uni),
+         | big AS (SELECT w1, w2, count(*) AS bc FROM inst GROUP BY w1, w2),
+         | sc AS (SELECT i.doc_id,
+         |     CAST(round(-ln((coalesce(bc, 0) + 1.0) / (coalesce(uc, 0) + v)) * 1000000) AS BIGINT) AS m
+         |   FROM inst i LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1), voc),
+         | agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(m) AS s FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  coalesce(round(s / (n_bigrams * 1000000.0), 6), 0.0) AS avg_neg_logp
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${sqlHex60("'sample:' || doc_id")} / 1152921504606846976.0
+         |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.25
+         |    WHEN 'es' THEN 0.125 ELSE 0.0 END
+         |ORDER BY doc_id""".stripMargin
   )
+
+  // ------------------------- lexical-retrieval oracle SQL (shared fragments)
+
+  /** ±1 sign from bit 0 of md5 hex chars 9-10 — twin of FullText's hashSign. */
+  private val sqlSign =
+    "CASE WHEN CAST(concat('0x', substr(md5(w), 9, 2)) AS BIGINT) & 1 = 1 THEN -1 ELSE 1 END"
+  private def lexQueryTermsSql: String =
+    graft.ops.FullText.queryTerms(LexicalQuery).map("'" + _ + "'").mkString(", ")
+
+  /** BM25 CTE chain ending in `bs(doc_id, n_terms, score)` — the operation
+    * ORDER inside the score mirrors FullText.bm25TermScores exactly (double
+    * arithmetic is non-associative; a re-association would drift ulps).
+    */
+  private def bm25CtesBody: String =
+    s"""base AS (SELECT doc_id, $sqlWords AS w FROM documents),
+       | dstat AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM base),
+       | stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dstat),
+       | inst AS (SELECT doc_id, dl, unnest(w) AS term FROM dstat),
+       | tfq AS (SELECT doc_id, term, dl, count(*) AS tf FROM inst
+       |   WHERE term IN ($lexQueryTermsSql) GROUP BY doc_id, term, dl),
+       | dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+       | ts AS (SELECT tfq.doc_id,
+       |     CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1)
+       |       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(tot_dl AS DOUBLE) / n_docs)))
+       |       * 1000000) AS BIGINT) AS sm
+       |   FROM tfq JOIN dfq USING (term), stats),
+       | bs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |     round(sum(sm) / 1000000.0, 6) AS score FROM ts GROUP BY doc_id)""".stripMargin
+  private def bm25Ctes: String = bm25CtesBody
+
+  /** Hash-embedding cosine CTE chain ending in `cosd(doc_id, cos)` — twin of
+    * FullText.hashEmbedCosine (integer dot/norms, one IEEE sqrt + divide).
+    */
+  private def hashCosCtes: String =
+    s"""dw AS (SELECT doc_id, unnest($sqlWords) AS w FROM documents),
+       | db AS (SELECT doc_id, ${sqlHex32("w")} % 64 AS bucket, sum($sqlSign) AS weight
+       |   FROM dw GROUP BY doc_id, bucket HAVING sum($sqlSign) <> 0),
+       | qt AS (SELECT unnest([$lexQueryTermsSql]) AS w),
+       | qb AS (SELECT ${sqlHex32("w")} % 64 AS bucket, sum($sqlSign) AS qw
+       |   FROM qt GROUP BY bucket HAVING sum($sqlSign) <> 0),
+       | nbq AS (SELECT sum(qw * qw) AS nb FROM qb),
+       | dv AS (SELECT doc_id, sum(weight * coalesce(qw, 0)) AS dot,
+       |     sum(weight * weight) AS na FROM db LEFT JOIN qb USING (bucket) GROUP BY doc_id),
+       | cosd AS (SELECT doc_id, CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cos
+       |   FROM dv, nbq)""".stripMargin
+
+  /** MMR oracle: candidate page + pairwise sims, then the k greedy steps
+    * UNROLLED as chained CTEs (each step's argmax is ORDER BY score DESC,
+    * doc_id LIMIT 1 — deterministic, unlike arg_max's unspecified ties).
+    * Missing pairwise sims count as 0 inside the max, exactly like the
+    * driver loop's getOrElse.
+    */
+  private def mmrSql: String = {
+    val k = 5
+    val steps = (2 to k).map { i =>
+      s""" ms$i AS (SELECT c.doc_id, max(coalesce(s.sim, 0)) AS m
+         |   FROM cand c CROSS JOIN sel${i - 1} sp
+         |   LEFT JOIN sims s ON s.a = c.doc_id AND s.b = sp.doc_id
+         |   GROUP BY c.doc_id),
+         | s$i AS (SELECT c.doc_id, c.rel, 0.5 * c.rel - 0.5 * ms.m AS sc
+         |   FROM cand c JOIN ms$i ms USING (doc_id)
+         |   WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})),
+         | p$i AS (SELECT doc_id, rel, sc FROM s$i ORDER BY sc DESC, doc_id LIMIT 1),
+         | sel$i AS (SELECT doc_id FROM sel${i - 1} UNION ALL SELECT doc_id FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    val picks = (1 to k).map(i => s"SELECT $i AS pick, doc_id, rel, sc FROM p$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $hashCosCtes,
+       | cand AS (SELECT doc_id, cos AS rel FROM (SELECT doc_id, cos,
+       |     row_number() OVER (ORDER BY cos DESC, doc_id) AS r FROM cosd) WHERE r <= 15),
+       | cb AS (SELECT db.doc_id, db.bucket, db.weight FROM db JOIN cand USING (doc_id)),
+       | nn AS (SELECT doc_id, sum(weight * weight) AS nn FROM cb GROUP BY doc_id),
+       | dots AS (SELECT a.doc_id AS a, b.doc_id AS b, sum(a.weight * b.weight) AS dot
+       |   FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.doc_id <> b.doc_id
+       |   GROUP BY a.doc_id, b.doc_id),
+       | sims AS (SELECT a, b, CAST(dot AS DOUBLE) / sqrt(CAST(x.nn * y.nn AS DOUBLE)) AS sim
+       |   FROM dots JOIN nn x ON x.doc_id = a JOIN nn y ON y.doc_id = b),
+       | p1 AS (SELECT doc_id, rel, 0.5 * rel - 0.5 * 0 AS sc FROM cand
+       |   ORDER BY sc DESC, doc_id LIMIT 1),
+       | sel1 AS (SELECT doc_id FROM p1),
+       |$steps
+       |SELECT CAST(pick AS BIGINT) AS pick, doc_id, round(rel, 6) AS rel,
+       |  round(sc, 6) AS mmr_score
+       |FROM ($picks) ORDER BY pick""".stripMargin
+  }
 }

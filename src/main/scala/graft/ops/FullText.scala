@@ -1,0 +1,316 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.{textfn, textkernel, TextKernel}
+
+/** Lexical retrieval and ranking over the `documents` corpus: TF-IDF terms,
+  * Okapi BM25 keyword search, hybrid keyword+vector fusion (reciprocal-rank
+  * fusion), and MMR diversification re-ranking.
+  *
+  * The reference ships pure vector retrieval (storage/base.py:283-346 —
+  * `search`/`find_similar` are embedding-only); production vector stores it
+  * targets (qdrant ≥1.10 hybrid queries, weaviate `hybrid` GraphQL) pair that
+  * with a lexical scorer and rank fusion, so a migrating user needs these
+  * alongside KNN/ANN. Formulas are the published ones: BM25 (Robertson &
+  * Spärck Jones' probabilistic idf with tf saturation k1 and length
+  * normalization b), RRF score Σ 1/(K + rank) with K=60 (Cormack et al.
+  * 2009), MMR argmax λ·rel − (1−λ)·max-sim-to-selected (Carbonell &
+  * Goldstein 1998).
+  *
+  * Cross-engine determinism (the oracle gate): tokens and hashes are the
+  * repo-wide md5 conventions from [[graft.functions.textfn]]; per-term BM25
+  * scores are rounded to 6 dp and summed as SCALED LONGS (order-independent
+  * — a raw double sum would depend on row order); every ordering is by
+  * (score DESC, doc_id ASC); cosines divide exact integer dot products by
+  * IEEE-exact sqrt, so they are bit-identical in any engine.
+  *
+  * Scale shape: tf/df aggregations are map-side-combined `groupBy`s keyed by
+  * (doc, term) / term; the df and query-side tables are vocabulary- or
+  * query-bound and BROADCAST; top-k is orderBy+limit (TakeOrderedAndProject
+  * — per-partition top-k, driver merges partitions×k rows). Only the final
+  * ≤`kCand`-row rank windows are single-partition, and MMR's greedy loop
+  * collects exactly the candidate page (bounded by construction, like the
+  * reference's k≤5 RAG context merge).
+  */
+object FullText {
+
+  private val Micro = 1e6
+
+  /** words of a query string, driver-side (same kernel as the column twin). */
+  private[graft] def queryTerms(query: String): Seq[String] =
+    TextKernel.tokens(query).toSeq
+
+  /** md5-parity ±1 sign for the hashing-trick embedding: bit 0 of md5 hex
+    * chars 9-10 (the q_hash_embed convention). SQL twin:
+    * CASE WHEN CAST('0x' || substr(md5(w), 9, 2) AS BIGINT) & 1 = 1 THEN -1 ELSE 1 END
+    */
+  private def hashSign(w: Column): Column =
+    when(conv(substring(md5(w), 9, 2), 16, 10).cast(LongType).bitwiseAND(lit(1L)) === 1L,
+      lit(-1L)).otherwise(lit(1L))
+
+  /** Sparse hashing-trick embedding of each document: (id, bucket, weight),
+    * bucket = hexhash32(word) % dims, weight = Σ ±1 over token OCCURRENCES
+    * (multiplicity counts, like the dense [[graft.embed.HashEmbeddingBackend]]).
+    * Zero-weight buckets are dropped. One token explode + one map-side-combined
+    * agg keyed (id, bucket).
+    */
+  def hashEmbedBuckets(docs: DataFrame, dims: Int = 64, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), explode(textkernel.word_tokens(col(textCol))).as("w"))
+      .select(col(idCol), (textfn.hexhash32(col("w")) % dims).as("bucket"),
+        hashSign(col("w")).as("sign"))
+      .groupBy(col(idCol), col("bucket")).agg(sum(col("sign")).as("weight"))
+      .filter(col("weight") =!= 0)
+
+  /** The same sparse embedding for a literal query string — a ≤dims-row
+    * DataFrame built through the SAME column kernels (convention parity by
+    * construction, not by re-implementation).
+    */
+  private def queryBuckets(docs: DataFrame, query: String, dims: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    queryTerms(query).toDF("w")
+      .select((textfn.hexhash32(col("w")) % dims).as("bucket"), hashSign(col("w")).as("sign"))
+      .groupBy("bucket").agg(sum(col("sign")).as("qw"))
+      .filter(col("qw") =!= 0)
+  }
+
+  // ------------------------------------------------------------- TF-IDF
+
+  /** Top-k terms per document by tf·idf, idf = ln((N+1)/(df+1)).
+    * Plan: tf agg keyed (doc, term) → BROADCAST vocabulary-bound df table →
+    * per-doc rank window (WindowGroupLimit forwards ≤k rows per doc through
+    * the window shuffle). Returns (doc_id, rank, term, tf, score).
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 5, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val tf = docs.select(col(idCol), explode(textkernel.word_tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("score"), asc("term"))
+    tf.join(broadcast(df), "term")
+      .join(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1) / (col("df") + lit(1.0))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("score"))
+  }
+
+  // ------------------------------------------------------------- BM25
+
+  /** Okapi BM25 per-(doc, query-term) partial scores — shared by
+    * [[bm25TopK]] and tested directly. Returns one row per matched
+    * (doc, term): (id, term, tf, dl, df, score_micro).
+    */
+  private def bm25TermScores(docs: DataFrame, query: String, k1: Double, b: Double,
+                             textCol: String, idCol: String): DataFrame = {
+    val terms = queryTerms(query).distinct
+    require(terms.nonEmpty, s"query has no tokens: '$query'")
+    val base = docs.select(col(idCol), textkernel.word_tokens(col(textCol)).as("w"))
+      .select(col(idCol), col("w"), size(col("w")).cast(LongType).as("dl"))
+    // corpus stats: ONE tiny broadcast row; avgdl division is IEEE-exact given
+    // the exact integer inputs, so both engines compute the same double
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    // the explode is filtered to the query's terms BEFORE the agg: the
+    // (doc, term) shuffle carries only query-term occurrences, not the corpus
+    val tf = base.select(col(idCol), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term"), col("dl")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val termScore = idf * col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(df), "term")
+      .join(broadcast(stats))
+      // round-then-scale to LONG micro-units: the per-doc sum below is an
+      // exact integer sum, independent of row order (a double sum is not)
+      .withColumn("score_micro", round(termScore * Micro).cast(LongType))
+      .select(col(idCol), col("term"), col("tf"), col("dl"), col("df"), col("score_micro"))
+  }
+
+  /** BM25 top-k for a query string: Σ over matched query terms of
+    * idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), idf = ln(1+(N−df+0.5)/(df+0.5)).
+    * Docs matching no term never enter the plan. Returns
+    * (doc_id, n_terms, score) via TakeOrderedAndProject.
+    */
+  def bm25TopK(docs: DataFrame, query: String, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    bm25TermScores(docs, query, k1, b, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("score_micro")) / Micro, 6).as("score"))
+      .orderBy(desc("score"), col(idCol).asc)
+      .limit(k)
+
+  // ------------------------------------------------------------- hybrid RRF
+
+  /** Hash-embedding cosine of every document against a literal query, from
+    * exact integers: cos = dot / sqrt(na·nb) over the sparse bucket weights.
+    * Returns (id, dot, na, cos); docs with no overlapping bucket score
+    * through dot=0. One agg shuffle keyed by id.
+    */
+  def hashEmbedCosine(docs: DataFrame, query: String, dims: Int = 64,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val qb = queryBuckets(docs, query, dims)
+    val nb = qb.agg(sum(col("qw") * col("qw")).as("nb"))
+    hashEmbedBuckets(docs, dims, textCol, idCol)
+      .join(broadcast(qb), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("weight") * coalesce(col("qw"), lit(0L))).as("dot"),
+        sum(col("weight") * col("weight")).as("na"))
+      .join(broadcast(nb))
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double")))
+      .select(col(idCol), col("dot"), col("na"), col("cos"))
+  }
+
+  /** Hybrid retrieval: BM25 rank list ⊕ hash-embedding-cosine rank list,
+    * fused by reciprocal-rank fusion score = Σ 1/(rrfK + rank). Each side
+    * first takes its top `kCand` DISTRIBUTED (TakeOrderedAndProject); the
+    * rank row_number windows then run on those ≤kCand-row results (the only
+    * single-partition step, bounded by construction). Absent ranks
+    * contribute 0 and surface as rank 0. Returns
+    * (doc_id, vec_rank, bm25_rank, rrf_score).
+    */
+  def hybridRrf(docs: DataFrame, query: String, k: Int = 10, kCand: Int = 20,
+                dims: Int = 64, rrfK: Int = 60,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vecTop = hashEmbedCosine(docs, query, dims, textCol, idCol)
+      .orderBy(desc("cos"), col(idCol).asc).limit(kCand)
+      .withColumn("vec_rank",
+        row_number().over(Window.orderBy(desc("cos"), col(idCol).asc)))
+      .select(col(idCol), col("vec_rank"))
+    val bmTop = bm25TopK(docs, query, kCand, textCol = textCol, idCol = idCol)
+      .withColumn("bm25_rank",
+        row_number().over(Window.orderBy(desc("score"), col(idCol).asc)))
+      .select(col(idCol), col("bm25_rank"))
+    vecTop.join(bmTop, Seq(idCol), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (col("vec_rank") + rrfK), lit(0.0)) +
+          coalesce(lit(1.0) / (col("bm25_rank") + rrfK), lit(0.0)), 6))
+      .withColumn("vec_rank", coalesce(col("vec_rank"), lit(0)).cast(LongType))
+      .withColumn("bm25_rank", coalesce(col("bm25_rank"), lit(0)).cast(LongType))
+      .orderBy(desc("rrf_score"), col(idCol).asc)
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------- MMR
+
+  /** MMR diversification over the hash-embedding candidate page: take the
+    * top `kCand` docs by query cosine (distributed), then greedily pick k
+    * docs maximizing λ·rel − (1−λ)·max-sim-to-already-picked (Carbonell &
+    * Goldstein; maxSim over the empty set is 0, so pick 1 is argmax rel).
+    *
+    * The greedy loop is inherently sequential in k and runs DRIVER-side on
+    * exactly the candidate page (kCand rows + their kCand² pairwise
+    * cosines) — the same bounded-collect posture as the reference's RAG
+    * context merge. Candidate selection and all similarity math stay
+    * distributed and integer-exact; driver arithmetic is the same IEEE
+    * mul/sub the oracle replays, so scores are bit-identical.
+    *
+    * Returns (pick, doc_id, rel, mmr_score) with pick = 1..k in selection
+    * order.
+    */
+  def mmrRerank(docs: DataFrame, query: String, k: Int = 5, kCand: Int = 20,
+                lambda: Double = 0.5, dims: Int = 64,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k >= 1 && kCand >= k, s"need kCand >= k >= 1: k=$k kCand=$kCand")
+    val cand = hashEmbedCosine(docs, query, dims, textCol, idCol)
+      .orderBy(desc("cos"), col(idCol).asc).limit(kCand)
+      .select(col(idCol), col("cos").as("rel"))
+    val candIds = cand.select(col(idCol)).as[Long].collect().toSeq
+    val buckets = hashEmbedBuckets(docs, dims, textCol, idCol)
+      .filter(col(idCol).isin(candIds: _*))
+    // pairwise candidate cosines from exact integers: one self-equi-join on
+    // bucket over the ≤kCand·dims candidate rows, agg keyed (a, b)
+    val a = buckets.select(col(idCol).as("a"), col("bucket"), col("weight").as("wa"))
+    val bSide = buckets.select(col(idCol).as("b"), col("bucket"), col("weight").as("wb"))
+    val norms = buckets.groupBy(col(idCol)).agg(sum(col("weight") * col("weight")).as("nn"))
+    val sims = a.join(bSide, "bucket").filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col(idCol).as("a"), col("nn").as("na")), "a")
+      .join(norms.select(col(idCol).as("b"), col("nn").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double"))).as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (x, y, s) => (x, y) -> s }.toMap
+    val rel = cand.as[(Long, Double)].collect().toMap
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val remaining = scala.collection.mutable.SortedSet[Long](candIds: _*)
+    for (step <- 1 to math.min(k, candIds.size)) {
+      // argmax over remaining, ties to the smallest id (SortedSet order +
+      // strict > keeps the first maximum)
+      var bestId = -1L; var bestScore = Double.NegativeInfinity
+      for (id <- remaining) {
+        val maxSim = if (picked.isEmpty) 0.0
+          else picked.map(p => sims.getOrElse((id, p._2), 0.0)).max
+        val s = lambda * rel(id) - (1 - lambda) * maxSim
+        if (s > bestScore) { bestScore = s; bestId = id }
+      }
+      // HALF_UP like Spark round()/DuckDB round() — rint's half-even differs
+      val rounded = BigDecimal(bestScore).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      picked += ((step, bestId, rel(bestId), rounded))
+      remaining -= bestId
+    }
+    picked.toSeq.toDF("pick", idCol, "rel", "mmr_score")
+      .withColumn("rel", round(col("rel"), 6))
+  }
+
+  // ------------------------------------------------------------- bigram LM
+
+  /** Self-trained bigram-LM surprisal per document — the n-gram-LM quality
+    * signal of CCNet-style pipelines (Wenzek et al. 2020 score corpora with a
+    * KenLM 5-gram; the 2-gram here is the same filter shape with the model
+    * trained ON the corpus, like [[TextAnalysis.decontaminate]]'s self-gate).
+    * P(w2|w1) = (B(w1,w2)+1) / (U(w1)+V)  (add-one smoothing; U = corpus
+    * occurrences of w1, V = vocabulary size), per-doc score = mean −ln P over
+    * the doc's bigram positions.
+    *
+    * Determinism: each position's −ln P is rounded to LONG micro-nats —
+    * the per-doc sum is an exact integer sum (order-independent), and the
+    * distinct (B, U) input pairs are few, so the round boundary is touched
+    * with negligible probability in ANY engine pair.
+    *
+    * Scale shape: counts are map-side-combined aggs; scoring joins instances
+    * to the counts tables on (w1,w2) / w1 — both sides shuffle-keyed by the
+    * join key (counts tables ≪ instance table; Spark broadcasts them when
+    * small). Low-surprisal docs ≈ repetitive/templated; high ≈ OOV-heavy.
+    * Returns one row per input doc: (doc_id, n_bigrams, avg_neg_logp).
+    */
+  def bigramSurprisal(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), textkernel.word_tokens(col(textCol)).as("w"))
+    val pairs = toks.select(col(idCol), explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"), element_at(col("w"), i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+    val uni = toks.select(explode(col("w")).as("w1")).groupBy("w1")
+      .agg(count(lit(1)).as("uc"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val scored = pairs
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .join(broadcast(vocab))
+      .withColumn("neg_logp_micro",
+        round(-log((coalesce(col("bc"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("uc"), lit(0L)) + col("v"))) * Micro).cast(LongType))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("neg_logp_micro")).as("s"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("s") / (col("n_bigrams") * Micro), 6), lit(0.0))
+          .as("avg_neg_logp"))
+  }
+}

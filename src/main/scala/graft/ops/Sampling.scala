@@ -53,6 +53,26 @@ object Sampling {
     df.filter(draw(col(idCol), salt) < lit(fraction))
   }
 
+  /** Stratified deterministic sample: per-group keep fractions over the SAME
+    * per-id draw (groups share draws, so the nesting property holds across
+    * strata too: raising one group's fraction only ADDS members). Groups not
+    * in `fractions` keep `default` (drop by default — loud would reject
+    * legitimate "sample only these sources" use). The standard corpus-mixing
+    * move: downsample overrepresented languages/sources to a target mix
+    * without a shuffle — still one scan, one per-row filter.
+    */
+  def stratifiedSample(df: DataFrame, fractions: Map[String, Double],
+                       groupCol: String, default: Double = 0.0,
+                       idCol: String = "doc_id", salt: String = "sample"): DataFrame = {
+    require(fractions.nonEmpty && (fractions.values ++ Seq(default)).forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0,1]: $fractions default=$default")
+    // fold in sorted key order so the generated plan is deterministic
+    val frac = fractions.toSeq.sortBy(_._1).foldRight(lit(default): Column) {
+      case ((g, f), acc) => when(col(groupCol) === lit(g), lit(f)).otherwise(acc)
+    }
+    df.filter(draw(col(idCol), salt) < frac)
+  }
+
   /** Stable pseudo-random training order: a `shuffle_key` column to sort or
     * range-partition by — the deterministic analog of shuffling the corpus
     * before sequence packing.

