@@ -816,6 +816,11 @@ object SparkEntry {
     "q_stratified" -> { (s, dir) =>
       Sampling.stratifiedSample(tbl(s, dir, "documents"), StratFractions, groupCol = "lang")
         .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    },
+    "q_seg_dedup" -> { (s, dir) =>
+      Dedup.segmentDedup(docsPar(s, dir))
+        .select(col("doc_id"), col("n_segments"), col("n_kept"), col("clean_text"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1898,7 +1903,22 @@ object SparkEntry {
          |WHERE ${sqlHex60("'sample:' || doc_id")} / 1152921504606846976.0
          |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.25
          |    WHEN 'es' THEN 0.125 ELSE 0.0 END
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    // C4-style segment dedup: corpus-wide first instance of each 10-word
+    // segment survives (min (doc_id, pos) struct), docs reassemble in order
+    "q_seg_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         | n AS (SELECT doc_id, w, unnest(range(0, (len(w)-1)//10 + 1)) AS pos FROM t WHERE len(w) >= 1),
+         | seg AS (SELECT doc_id, pos, array_to_string(w[pos*10+1 : pos*10+10], ' ') AS seg FROM n),
+         | fst AS (SELECT seg, min(struct_pack(d := doc_id, p := pos)) AS f FROM seg GROUP BY seg),
+         | keep AS (SELECT s.doc_id, s.pos, s.seg FROM seg s JOIN fst f ON s.seg = f.seg
+         |   WHERE s.doc_id = (f.f).d AND s.pos = (f.f).p),
+         | reb AS (SELECT doc_id, count(*) AS n_kept, string_agg(seg, ' ' ORDER BY pos) AS clean_text
+         |   FROM keep GROUP BY doc_id),
+         | tot AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(n_segments AS BIGINT) AS n_segments,
+         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, coalesce(clean_text, '') AS clean_text
+         |FROM tot t LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 
   // ------------------------- lexical-retrieval oracle SQL (shared fragments)

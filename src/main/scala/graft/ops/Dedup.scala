@@ -403,4 +403,57 @@ object Dedup {
         round(vec_cosine(col("__va"), col("__vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Sub-document (segment-level) corpus dedup — the C4 rule ("discard any
+    * repeated three-sentence span, keeping one occurrence", Raffel et al.
+    * 2020 §2.2; RefinedWeb/Gopher do the same at line level) re-expressed
+    * over fixed `segWords`-word segments so it applies to text without
+    * sentence/line structure. Each document is cut into consecutive
+    * non-overlapping word windows; for every distinct segment the corpus-wide
+    * FIRST instance (minimal (doc_id, pos)) survives and every other instance
+    * is dropped; surviving segments reassemble in document order.
+    *
+    * Plan shape: one token-kernel scan → per-segment rows (n/segWords rows
+    * per doc, not per-token) → the min-instance resolution is ONE map-side-
+    * combined groupBy on the segment digest, and the keep-join is an
+    * equi-join of the instance table against that aggregate on the SAME key
+    * (sort-merge at scale; never broadcast — the digest table is
+    * corpus-bound). Reassembly is one groupBy(doc) with an order-restoring
+    * sort_array. Nothing is ever all-pairs, and full text never shuffles
+    * twice: instances carry the segment text only until the digest agg, and
+    * the rebuild joins digests back to surviving instances.
+    *
+    * Returns one row per input doc: (doc_id, n_segments, n_kept, clean_text)
+    * — clean_text is "" when every segment of the doc was a repeat.
+    */
+  def segmentDedup(docs: DataFrame, segWords: Int = 10,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(segWords >= 1, s"segWords must be >= 1: $segWords")
+    val toks = docs.select(col(idCol), word_tokens(col(textCol)).as("w"))
+    // consecutive non-overlapping windows; the final partial window is a
+    // segment too (same rule in the oracle). slice is 1-based.
+    val segs = toks
+      .filter(size(col("w")) >= 1)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), ((size(col("w")) - 1) / segWords).cast("int")),
+          i => concat_ws(" ", slice(col("w"), i * segWords + 1, lit(segWords))))))
+      .select(col(idCol), col("pos"), md5(col("col")).as("seg_hash"), col("col").as("seg"))
+    // corpus-wide first instance per digest: min over the (doc, pos) pair —
+    // one shuffle keyed by the digest, map-side combined
+    val first = segs.groupBy("seg_hash")
+      .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("f"))
+      .select(col("seg_hash"), col("f.d").as("keep_doc"), col("f.p").as("keep_pos"))
+    val kept = segs.join(first, "seg_hash")
+      .filter(col(idCol) === col("keep_doc") && col("pos") === col("keep_pos"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        // order restore without a window: sort (pos, seg) structs, then strip
+        concat_ws(" ", transform(sort_array(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg"))).as("clean_text"))
+    segs.groupBy(col(idCol)).agg(count(lit(1)).as("n_segments"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

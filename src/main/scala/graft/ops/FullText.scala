@@ -82,9 +82,12 @@ object FullText {
   // ------------------------------------------------------------- TF-IDF
 
   /** Top-k terms per document by tf·idf, idf = ln((N+1)/(df+1)).
-    * Plan: tf agg keyed (doc, term) → BROADCAST vocabulary-bound df table →
-    * per-doc rank window (WindowGroupLimit forwards ≤k rows per doc through
-    * the window shuffle). Returns (doc_id, rank, term, tf, score).
+    * Plan: tf agg keyed (doc, term) → shuffle join with the df table on term
+    * (df is VOCABULARY-bound — web-scale corpora have 10⁸-10⁹ distinct terms,
+    * far past broadcast range, so no hint: AQE broadcasts it when it happens
+    * to be small) → per-doc rank window (WindowGroupLimit forwards ≤k rows
+    * per doc through the window shuffle). Returns (doc_id, rank, term, tf,
+    * score).
     */
   def tfIdfTopTerms(docs: DataFrame, k: Int = 5, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
@@ -93,7 +96,7 @@ object FullText {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col(idCol)).orderBy(desc("score"), asc("term"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .join(broadcast(n))
       .withColumn("score",
         round(col("tf") * log((col("n_docs") + 1) / (col("df") + lit(1.0))), 6))

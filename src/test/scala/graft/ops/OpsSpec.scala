@@ -197,6 +197,27 @@ class CleanPipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("segmentDedup: corpus-wide first instance survives, later repeats drop, order restored") {
+    // segWords=3: doc 1 = [abc][def]; doc 2 repeats [abc] then unique [xyz];
+    // doc 3 is entirely doc 1's segments reordered — all repeats
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "d e f a b c"))
+      .toDF("doc_id", "text")
+    val r = Dedup.segmentDedup(d, segWords = 3).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r(0) == ((1L, 2L, 2L, "a b c d e f")))     // first instances: all kept
+    assert(r(1) == ((2L, 2L, 1L, "x y z")))           // repeat of [a b c] dropped
+    assert(r(2) == ((3L, 2L, 0L, "")))                // fully boilerplate doc
+  }
+
+  test("segmentDedup: partial trailing segment is a segment; within-doc repeats keep first") {
+    val d = Seq((7L, "p q p q p")).toDF("doc_id", "text") // segs: [p q][p q][p]
+    val r = Dedup.segmentDedup(d, segWords = 2).collect()(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L && r.getString(3) == "p q p")
+  }
+
   test("cleanPipeline keeps one canonical good-English doc and drops junk in one pass") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and it is a fine day for that in the field"),
