@@ -161,10 +161,16 @@ object FullText {
     * through dot=0. One agg shuffle keyed by id.
     */
   def hashEmbedCosine(docs: DataFrame, query: String, dims: Int = 64,
-                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val qb = queryBuckets(docs, query, dims)
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    cosineFromBuckets(hashEmbedBuckets(docs, dims, textCol, idCol),
+      queryBuckets(docs, query, dims), idCol)
+
+  /** cosine scoring given prebuilt doc buckets — lets callers that also need
+    * the buckets themselves (MMR's pairwise sims) compute them ONCE.
+    */
+  private def cosineFromBuckets(buckets: DataFrame, qb: DataFrame, idCol: String): DataFrame = {
     val nb = qb.agg(sum(col("qw") * col("qw")).as("nb"))
-    hashEmbedBuckets(docs, dims, textCol, idCol)
+    buckets
       .join(broadcast(qb), Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("weight") * coalesce(col("qw"), lit(0L))).as("dot"),
@@ -228,45 +234,51 @@ object FullText {
     val spark = docs.sparkSession
     import spark.implicits._
     require(k >= 1 && kCand >= k, s"need kCand >= k >= 1: k=$k kCand=$kCand")
-    val cand = hashEmbedCosine(docs, query, dims, textCol, idCol)
-      .orderBy(desc("cos"), col(idCol).asc).limit(kCand)
-      .select(col(idCol), col("cos").as("rel"))
-    val candIds = cand.select(col(idCol)).as[Long].collect().toSeq
-    val buckets = hashEmbedBuckets(docs, dims, textCol, idCol)
-      .filter(col(idCol).isin(candIds: _*))
-    // pairwise candidate cosines from exact integers: one self-equi-join on
-    // bucket over the ≤kCand·dims candidate rows, agg keyed (a, b)
-    val a = buckets.select(col(idCol).as("a"), col("bucket"), col("weight").as("wa"))
-    val bSide = buckets.select(col(idCol).as("b"), col("bucket"), col("weight").as("wb"))
-    val norms = buckets.groupBy(col(idCol)).agg(sum(col("weight") * col("weight")).as("nn"))
-    val sims = a.join(bSide, "bucket").filter(col("a") =!= col("b"))
-      .groupBy(col("a"), col("b")).agg(sum(col("wa") * col("wb")).as("dot"))
-      .join(norms.select(col(idCol).as("a"), col("nn").as("na")), "a")
-      .join(norms.select(col(idCol).as("b"), col("nn").as("nb")), "b")
-      .select(col("a"), col("b"),
-        (col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double"))).as("sim"))
-      .as[(Long, Long, Double)].collect()
-      .map { case (x, y, s) => (x, y) -> s }.toMap
-    val rel = cand.as[(Long, Double)].collect().toMap
-    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
-    val remaining = scala.collection.mutable.SortedSet[Long](candIds: _*)
-    for (step <- 1 to math.min(k, candIds.size)) {
-      // argmax over remaining, ties to the smallest id (SortedSet order +
-      // strict > keeps the first maximum)
-      var bestId = -1L; var bestScore = Double.NegativeInfinity
-      for (id <- remaining) {
-        val maxSim = if (picked.isEmpty) 0.0
-          else picked.map(p => sims.getOrElse((id, p._2), 0.0)).max
-        val s = lambda * rel(id) - (1 - lambda) * maxSim
-        if (s > bestScore) { bestScore = s; bestId = id }
+    // the corpus-wide bucket table feeds BOTH the query cosine and the
+    // pairwise candidate sims — compute the token scan + agg once
+    val allBuckets = hashEmbedBuckets(docs, dims, textCol, idCol).persist()
+    try {
+      // ONE collect of the candidate page: (id, rel) pairs, kCand rows
+      val candPage = cosineFromBuckets(allBuckets, queryBuckets(docs, query, dims), idCol)
+        .orderBy(desc("cos"), col(idCol).asc).limit(kCand)
+        .select(col(idCol), col("cos").as("rel"))
+        .as[(Long, Double)].collect()
+      val candIds = candPage.map(_._1).toSeq
+      val buckets = allBuckets.filter(col(idCol).isin(candIds: _*))
+      // pairwise candidate cosines from exact integers: one self-equi-join on
+      // bucket over the ≤kCand·dims candidate rows, agg keyed (a, b)
+      val a = buckets.select(col(idCol).as("a"), col("bucket"), col("weight").as("wa"))
+      val bSide = buckets.select(col(idCol).as("b"), col("bucket"), col("weight").as("wb"))
+      val norms = buckets.groupBy(col(idCol)).agg(sum(col("weight") * col("weight")).as("nn"))
+      val sims = a.join(bSide, "bucket").filter(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b")).agg(sum(col("wa") * col("wb")).as("dot"))
+        .join(norms.select(col(idCol).as("a"), col("nn").as("na")), "a")
+        .join(norms.select(col(idCol).as("b"), col("nn").as("nb")), "b")
+        .select(col("a"), col("b"),
+          (col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double"))).as("sim"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (x, y, s) => (x, y) -> s }.toMap
+      val rel = candPage.toMap
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+      val remaining = scala.collection.mutable.SortedSet[Long](candIds: _*)
+      for (step <- 1 to math.min(k, candIds.size)) {
+        // argmax over remaining, ties to the smallest id (SortedSet order +
+        // strict > keeps the first maximum)
+        var bestId = -1L; var bestScore = Double.NegativeInfinity
+        for (id <- remaining) {
+          val maxSim = if (picked.isEmpty) 0.0
+            else picked.map(p => sims.getOrElse((id, p._2), 0.0)).max
+          val s = lambda * rel(id) - (1 - lambda) * maxSim
+          if (s > bestScore) { bestScore = s; bestId = id }
+        }
+        // HALF_UP like Spark round()/DuckDB round() — rint's half-even differs
+        val rounded = BigDecimal(bestScore).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        picked += ((step, bestId, rel(bestId), rounded))
+        remaining -= bestId
       }
-      // HALF_UP like Spark round()/DuckDB round() — rint's half-even differs
-      val rounded = BigDecimal(bestScore).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      picked += ((step, bestId, rel(bestId), rounded))
-      remaining -= bestId
-    }
-    picked.toSeq.toDF("pick", idCol, "rel", "mmr_score")
-      .withColumn("rel", round(col("rel"), 6))
+      picked.toSeq.toDF("pick", idCol, "rel", "mmr_score")
+        .withColumn("rel", round(col("rel"), 6))
+    } finally allBuckets.unpersist()
   }
 
   // ------------------------------------------------------------- bigram LM
