@@ -187,6 +187,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("lexical retrieval plan shapes: filtered shuffle, WindowGroupLimit rank, windowless seg-dedup") {
+    import graft.ops.{Dedup, FullText}
+    val docs = (0L until 60L).map(i => (i, s"some words w$i for document number $i"))
+      .toDF("doc_id", "text")
+    // BM25: the (doc,term) shuffle is prefiltered to the query's terms and the
+    // top-k is per-partition (TakeOrderedAndProject), never a global sort+limit
+    val bm = plan(FullText.bm25TopK(docs, "words document", k = 5))
+    assert(bm.contains("TakeOrderedAndProject"), bm)
+    assert(bm.contains("IN (words,document)"), bm)
+    // (the only keyless join is the 1-row stats attach — a broadcast
+    // nested-loop against a single-row build side, which is the right plan)
+    assert(!bm.contains("CartesianProduct"), bm)
+    // TF-IDF: the rank<=k filter reaches the window as a WindowGroupLimit
+    // (<=k rows per doc forwarded through the shuffle, not every term)
+    val tf = plan(FullText.tfIdfTopTerms(docs, k = 3))
+    assert(tf.contains("WindowGroupLimit"), tf)
+    // segment dedup: order restore is sort_array over collected structs —
+    // the plan must contain NO window and no cartesian anything
+    val sd = plan(Dedup.segmentDedup(docs, segWords = 3))
+    assert(!sd.contains("windowspecdefinition"), sd)
+    assert(!sd.contains("CartesianProduct") && !sd.contains("BroadcastNestedLoopJoin"), sd)
+  }
+
   test("ivfAssign is zero-exchange up to the assignment (per-row kernel argmin)") {
     val (assigned, _) = SimilaritySearch.ivfAssign(items, nCells = 8)
     assert(!plan(assigned).contains("Exchange"), plan(assigned))
