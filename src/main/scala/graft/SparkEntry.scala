@@ -226,6 +226,18 @@ object SparkEntry {
         .orderBy(desc("score"), col("vec_id").asc).limit(10)
         .select("vec_id", "score")
     },
+    // metadata-filtered exact KNN (qdrant filter + query_vector semantics):
+    // the payload predicate lands BEFORE the top-k and is an In — pushdown-
+    // eligible, so it reaches the parquet scan (PlanSpec pins PushedFilters)
+    // — true top-k of the filtered set, never a post-filtered page
+    "q_knn_filtered" -> { (s, dir) =>
+      val qv = probeVec(s, dir)
+      tbl(s, dir, "embeddings")
+        .filter(col("label").isin(1, 3, 5, 7, 9))
+        .withColumn("score", round(vec_cosine(col("embedding"), typedLit(qv)), 6))
+        .orderBy(desc("score"), col("vec_id").asc).limit(10)
+        .select("vec_id", "label", "score")
+    },
     // similarity-threshold filter counts (reference threshold table,
     // tests/test_index.py:256-284)
     "q_knn_threshold" -> { (s, dir) =>
@@ -394,6 +406,18 @@ object SparkEntry {
       val probes = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       SimilaritySearch.ivfTopK(assigned, centroids, probes, k = 5, nProbe = 4)
+        .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
+    },
+    // filtered IVF ANN: payload predicate on the item side BEFORE the probe
+    // join — candidates are (probed cells ∩ filter), top-k ranks only
+    // filter-satisfying rows (pre-filtering, not a post-filtered page)
+    "q_ann_ivf_filtered" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val (assigned, centroids) = SimilaritySearch.ivfAssign(emb, nCells = 16)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      SimilaritySearch.ivfTopK(assigned, centroids, probes, k = 5, nProbe = 4,
+          candidateFilter = Some(col("label") % 2 === 0))
         .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
     },
     // the Lloyd-refinement path end-to-end: one deterministic iteration
@@ -1249,6 +1273,27 @@ object SparkEntry {
        |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  /** Filtered-IVF oracle: the q_ann_ivf_topk replay with the payload
+    * predicate applied to the assigned items BEFORE the probe-cell join —
+    * the same pre-filter point as ivfTopK(candidateFilter).
+    */
+  private val annIvfFilteredSql: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |   ORDER BY ${sqlHex60("'ivf:' || vec_id")} ASC, vec_id ASC LIMIT 16),
+       | pd AS (SELECT e.vec_id AS qid, e.embedding AS qv, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist
+       |   FROM embeddings e, c WHERE e.vec_id < 5),
+       | pc AS (SELECT qid, qv, cid AS cell FROM (SELECT qid, qv, cid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rn FROM pd) WHERE rn <= 4),
+       | ad AS (SELECT e.vec_id, e.embedding, e.label, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist FROM embeddings e, c),
+       | assign AS (SELECT vec_id, embedding, label, cid AS cell FROM (SELECT vec_id, embedding, label, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM ad) WHERE rn = 1),
+       | joined AS (SELECT pc.qid, assign.vec_id, round(${sqlCos("assign.embedding", "pc.qv")}, 6) AS score
+       |   FROM assign JOIN pc ON assign.cell = pc.cell WHERE assign.label % 2 = 0),
+       | ranked AS (SELECT qid, vec_id, score,
+       |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank FROM joined)
+       |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   /** Lloyd-refined IVF oracle: replay ONE deterministic Lloyd iteration —
     * seed assignment (L2 asc, cid asc), per-(cell, dim) SCALED-LONG sums
     * (CAST(round(x·10⁶) AS BIGINT) — integer-exact across engines, the same
@@ -1559,6 +1604,7 @@ object SparkEntry {
     "q_ann_ivf_lloyd" -> annIvfLloydSql,
     "q_ann_ivf_topk" -> annIvfTopkSql,
     "q_ann_ivf_pruned" -> annIvfTopkSql,
+    "q_ann_ivf_filtered" -> annIvfFilteredSql,
     "q_pq_encode" -> pqEncodeSql,
     "q_pq_topk" -> pqTopkSql,
     "q_pq_ivf_topk" -> pqIvfTopkSql,
@@ -1613,6 +1659,11 @@ object SparkEntry {
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${sqlCos("e.embedding", "q.qv")}, 6) AS score
          |FROM embeddings e, q WHERE round(${sqlCos("e.embedding", "q.qv")}, 6) >= -1.0
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q_knn_filtered" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, round(${sqlCos("e.embedding", "q.qv")}, 6) AS score
+         |FROM embeddings e, q WHERE e.label IN (1, 3, 5, 7, 9)
          |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
     "q_knn_l2" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

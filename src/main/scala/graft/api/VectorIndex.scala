@@ -2,7 +2,7 @@ package graft.api
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.core.{IndexConfig, Metric}
 import graft.embed.{ChatBackend, EchoChatBackend, EmbeddingBackend, HashEmbeddingBackend}
@@ -289,14 +289,20 @@ final class VectorIndex(
 
   def search(query: String, k: Int = 5, threshold: Double = 0.0,
              metric: Metric = Metric.Cosine,
-             mode: SearchMode = SearchMode.Exact): DataFrame = (mode, store) match {
+             mode: SearchMode = SearchMode.Exact,
+             filter: Option[Column] = None): DataFrame = (mode, store) match {
     // server-side-capable connectors answer exact cosine searches on the
-    // service (same embed-then-route shape as the ANN modes)
-    case (SearchMode.Exact, _: ServerSideSearch) if metric == Metric.Cosine =>
+    // service (same embed-then-route shape as the ANN modes); a payload
+    // filter routes through the Spark scan instead — our wire clients carry
+    // no filter clause, and a silent post-filter would change which k
+    // survive (documented divergence from qdrant's native filtered search)
+    case (SearchMode.Exact, _: ServerSideSearch) if metric == Metric.Cosine && filter.isEmpty =>
       searchVector(backend.embedOne(query).toSeq, k, threshold, metric, mode)
     case (SearchMode.Exact, _) =>
-      Retrieval.search(documents, query, backend, k, threshold, metric)
-    case (m, _) => searchVector(backend.embedOne(query).toSeq, k, threshold, metric, m)
+      Retrieval.search(filter.fold(documents)(documents.filter), query, backend,
+        k, threshold, metric)
+    case (m, _) =>
+      searchVector(backend.embedOne(query).toSeq, k, threshold, metric, m, filter)
   }
 
   /** ANN candidate top-k for a driver-resident probe batch, hydrated back to
@@ -339,7 +345,17 @@ final class VectorIndex(
     */
   def searchVector(queryVec: Seq[Float], k: Int = 5, threshold: Double = 0.0,
                    metric: Metric = Metric.Cosine,
-                   mode: SearchMode = SearchMode.Exact): DataFrame = mode match {
+                   mode: SearchMode = SearchMode.Exact,
+                   filter: Option[Column] = None): DataFrame = mode match {
+    case SearchMode.Exact if filter.nonEmpty =>
+      // metadata-filtered exact search: the predicate lands BEFORE the knn
+      // top-k, pushed into the documents scan — results are the true top-k
+      // of the filtered set (PRE-filtering; qdrant's `filter` +
+      // `query_vector` semantics), never a post-filtered page
+      val hits = Retrieval.knn(documents.filter(filter.get), queryVec, k,
+        threshold, metric)
+      Retrieval.dedupByKey(hits.withColumn("key",
+        org.apache.spark.sql.functions.col("object_keys").getItem(0)))
     case SearchMode.Exact =>
       import org.apache.spark.sql.functions.col
       val hits = store match {
@@ -364,7 +380,23 @@ final class VectorIndex(
       Retrieval.dedupByKey(hits.withColumn("key", col("object_keys").getItem(0)))
     case m =>
       require(metric == Metric.Cosine, s"ANN modes rerank by cosine; got $metric")
-      Retrieval.dedupByKey(annHits(Seq((0L, queryVec)), k, threshold, m))
+      filter match {
+        case None => Retrieval.dedupByKey(annHits(Seq((0L, queryVec)), k, threshold, m))
+        case Some(pred) =>
+          // ANN + filter = POST-filtering with overfetch: the candidate page
+          // is k·overfetch hits of the unfiltered index, filtered after
+          // hydration, re-limited to k. A very selective predicate can
+          // return < k rows — the documented ANN/filter trade-off (the
+          // pre-filtering alternative is the exact path above, or
+          // ivfTopKPruned(payloadFilter) when the payload rides in the index)
+          import org.apache.spark.sql.functions.{col, desc}
+          val page = annHits(Seq((0L, queryVec)), k * VectorIndex.AnnFilterOverfetch,
+              threshold, m)
+            .filter(pred)
+            .orderBy(desc("score"), col("doc_id").asc)
+            .limit(k)
+          Retrieval.dedupByKey(page)
+      }
   }
 
   /** find_similar with an optional ANN route: the probe object's chunk
@@ -487,6 +519,11 @@ object IndexRegistry {
 }
 
 object VectorIndex {
+  /** Candidate-page multiplier for ANN + post-filter searches: fetch
+    * k·overfetch hits before the payload predicate re-limits to k.
+    */
+  val AnnFilterOverfetch = 4
+
   /** Convenience constructor with the dev/test backends. */
   def local(spark: SparkSession, config: IndexConfig, indexPath: String,
             sourceTable: String, idColumn: String,

@@ -178,8 +178,12 @@ object SimilaritySearch {
   def lshTopKPruned(spark: SparkSession, indexPath: String, probes: Seq[(Long, Seq[Float])],
                     dims: Int, k: Int = 10, bits: Int = 8, maxHamming: Int = 1,
                     itemId: String = "vec_id", itemVec: String = "embedding",
-                    delta: Option[DataFrame] = None): DataFrame = {
+                    delta: Option[DataFrame] = None,
+                    payloadFilter: Option[Column] = None): DataFrame = {
     import spark.implicits._
+    require(payloadFilter.isEmpty || delta.isEmpty,
+      "payloadFilter over a delta overlay is unsupported: delta sidecars carry " +
+        "only (id, vector) — fold the deltas first, or filter the hydrated results")
     val masks = hammingMasks(bits, maxHamming)
     val expanded = probes.flatMap { case (qid, qv) =>
       val pb = lshBucketLocal(qv, dims, bits)
@@ -196,7 +200,9 @@ object SimilaritySearch {
       case org.apache.spark.sql.types.IntegerType => expanded.map(_._3.toInt).distinct
       case _                                      => expanded.map(_._3).distinct
     }
-    val index = raw
+    // payload predicate pushes to parquet inside the surviving buckets —
+    // same composition as ivfTopKPruned (partition prune × pushed filter)
+    val index = payloadFilter.fold(raw)(raw.filter)
       .filter(col("bucket").isin(candBuckets: _*))
       .withColumn("__bkt", col("bucket").cast("long"))
       .drop("bucket")
@@ -351,12 +357,22 @@ object SimilaritySearch {
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, probes: DataFrame,
               k: Int = 10, nProbe: Int = 4,
               itemId: String = "vec_id", itemVec: String = "embedding",
-              probeId: String = "qid", probeVec: String = "qv"): DataFrame = {
+              probeId: String = "qid", probeVec: String = "qv",
+              candidateFilter: Option[Column] = None): DataFrame = {
     val (cvs, cids) = collectCentroids(centroids)
     val probeCells = probes
       .withColumn("cell", explode(nearest_cells(col(probeVec), cvs, cids, nProbe)))
       .select(col(probeId), col(probeVec), col("cell"))
-    rerank(assigned.join(broadcast(probeCells), Seq("cell")),
+    // Filtered ANN (qdrant-style payload filter + vector search): the
+    // predicate lands on the item side BEFORE the probe join — Catalyst
+    // evaluates it in the scan's codegen stage (and pushes pushdown-eligible
+    // shapes like In/comparisons into parquet) — so candidates are
+    // (probed cells ∩ filter), and top-k ranks only rows satisfying the
+    // filter. This is PRE-filtering: the k results are the true top-k of the
+    // filtered set within the probed cells (vs post-filtering a top-k page,
+    // which can return < k rows for selective filters).
+    val items = candidateFilter.fold(assigned)(assigned.filter)
+    rerank(items.join(broadcast(probeCells), Seq("cell")),
       k, itemId, itemVec, probeId, probeVec)
   }
 
@@ -369,8 +385,12 @@ object SimilaritySearch {
   def ivfTopKPruned(spark: SparkSession, indexPath: String, centroids: DataFrame,
                     probes: Seq[(Long, Seq[Float])], k: Int = 10, nProbe: Int = 4,
                     itemId: String = "vec_id", itemVec: String = "embedding",
-                    delta: Option[DataFrame] = None): DataFrame = {
+                    delta: Option[DataFrame] = None,
+                    payloadFilter: Option[Column] = None): DataFrame = {
     import spark.implicits._
+    require(payloadFilter.isEmpty || delta.isEmpty,
+      "payloadFilter over a delta overlay is unsupported: delta sidecars carry " +
+        "only (id, vector) — fold the deltas first, or filter the hydrated results")
     val (cvs, cids) = collectCentroids(centroids)
     val expanded = probes.flatMap { case (qid, qv) =>
       nearestCellsLocal(qv, cvs, cids, nProbe).map(c => (qid, qv, c))
@@ -382,7 +402,13 @@ object SimilaritySearch {
       case org.apache.spark.sql.types.IntegerType => expanded.map(_._3.toInt).distinct
       case _                                      => expanded.map(_._3).distinct
     }
-    val index = raw.filter(col("cell").isin(candCells: _*))
+    // Payload filter composes with the partition filter: `cell IN (…)` prunes
+    // directories, the payload predicate pushes to the parquet row groups
+    // INSIDE the surviving cells (the index write carries the item's payload
+    // columns through, so the predicate is scan-native). This is the
+    // 100 TB filtered-ANN shape: cells × filter, never a corpus scan.
+    val index = payloadFilter.fold(raw)(raw.filter)
+      .filter(col("cell").isin(candCells: _*))
       .withColumn("__cell", col("cell").cast("long")).drop("cell")
     val live = mergeDelta(index, delta, "cell", "__cell",
       expanded.map(_._3).distinct, itemId, itemVec)

@@ -128,6 +128,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  // filtered search (round 8): the payload predicate must reach the parquet
+  // scan — as PushedFilters on the exact path, and COMPOSED with the static
+  // partition filter on the pruned-ANN path. A regression to a post-scan (or
+  // post-topk) filter changes both semantics and the 100 TB read volume.
+  test("filtered search: payload predicate composes with pruning and parquet pushdown") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planspec-filt").toString
+    val labeled = items.withColumn("label", (col("vec_id") % 2).cast("int"))
+    labeled.write.parquet(s"$tmp/emb")
+    val emb = spark.read.parquet(s"$tmp/emb")
+    val pushedLabel = "PushedFilters: \\[[^\\]]*label".r
+
+    // exact path (q_knn_filtered shape): In(label, …) lands in PushedFilters
+    // and the plan still tops out at TakeOrderedAndProject with no shuffle
+    val index = emb.filter(col("label").isin(1))
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vector"))
+    val pExact = plan(Retrieval.knn(index, Seq.fill(16)(0.1f), k = 5, threshold = -1.0))
+    assert(pushedLabel.findFirstIn(pExact).isDefined, pExact)
+    assert(pExact.contains("TakeOrderedAndProject") && !pExact.contains("Exchange"), pExact)
+
+    // pruned-IVF path: PartitionFilters (cell IN …) AND PushedFilters (label)
+    // on the same scan
+    val (assigned, centroids) = SimilaritySearch.ivfAssign(labeled, nCells = 8)
+    SimilaritySearch.ivfIndexWrite(assigned, s"$tmp/ivf", Some(centroids))
+    val probeRows = probes.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val pIvf = plan(SimilaritySearch.ivfTopKPruned(spark, s"$tmp/ivf",
+      SimilaritySearch.ivfCentroidsRead(spark, s"$tmp/ivf"), probeRows,
+      k = 5, nProbe = 2, payloadFilter = Some(col("label") === 1)))
+    assert(nonEmptyPartitionFilter.findFirstIn(pIvf).isDefined, pIvf)
+    assert(pushedLabel.findFirstIn(pIvf).isDefined, pIvf)
+  }
+
   test("LSH dedup candidate generation is an equi-join shuffle, not a cross join") {
     val docs = (1L to 40L).map(i => (i, s"words making up document number $i with shared tail"))
       .toDF("doc_id", "text")

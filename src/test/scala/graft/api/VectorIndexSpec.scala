@@ -211,6 +211,33 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(nonEmptyPf.findFirstIn(ivfPlan).isDefined, s"no partition filter in:\n$ivfPlan")
   }
 
+  test("metadata-filtered search: exact pre-filters the scan; ANN post-filters an overfetched page") {
+    val idx = annIndex("annFilt", Seq(SearchMode.Lsh(bits = 4, maxHamming = 1)))
+    idx.rebuild(annSource)
+    val q = "document number 17 about topic3 detail17"
+    val selfKey = idx.search(q, k = 1, threshold = -1.0)
+      .select("key").as[String].head()
+
+    // exact + filter: the self hit is excluded BEFORE the top-k, so k hits
+    // still come back — the true top-k of the filtered set
+    val pred = col("object_keys").getItem(0) =!= selfKey
+    val exactF = idx.search(q, k = 3, threshold = -1.0, filter = Some(pred))
+      .select(col("doc_id"), col("key")).as[(Long, String)].collect()
+    assert(exactF.length == 3)
+    assert(exactF.forall(_._2 != selfKey), exactF.mkString(","))
+
+    // ANN + filter: overfetched page, post-filtered — every hit satisfies
+    // the predicate, and at full probe width the survivors match the
+    // exact filtered search
+    val annF = idx.search(q, k = 3, threshold = -1.0,
+        mode = SearchMode.Lsh(4, 4), filter = Some(pred))
+      .select(col("key"), round(col("score"), 6)).as[(String, Double)].collect().toSet
+    assert(annF.forall(_._1 != selfKey), annF.mkString(","))
+    val exactSet = idx.search(q, k = 3, threshold = -1.0, filter = Some(pred))
+      .select(col("key"), round(col("score"), 6)).as[(String, Double)].collect().toSet
+    assert(annF == exactSet)
+  }
+
   test("IvfPq search prunes cells, scans codes only, and matches exact at full width+refine") {
     // dims=32: m=4 subspaces of 8; refine wide enough to rerank everything
     val mode = SearchMode.IvfPq(nCells = 4, nProbe = 4, m = 4, ksub = 16,

@@ -508,6 +508,46 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(nineProbe >= 0.9, s"recall@5(16 cells, nProbe=9, lloyd=2) = $nineProbe")
   }
 
+  test("ivfTopK candidateFilter: pre-filter semantics — true top-k of the filtered set") {
+    val labeled = items.withColumn("label", (col("vec_id") % 2).cast("int"))
+    val (assigned, centroids) = SimilaritySearch.ivfAssign(labeled, nCells = 8)
+    val probes = items.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val filtered = SimilaritySearch.ivfTopK(assigned, centroids, probes, k = 5,
+        nProbe = 8, candidateFilter = Some(col("label") === 1))
+      .select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    // every hit satisfies the predicate
+    assert(filtered.forall { case (_, v, _) => v % 2 == 1 }, filtered.mkString(","))
+    assert(filtered.count(_._1 == 0L) == 5)
+    // nProbe = all cells ⇒ filtered ANN ≡ brute force over the filtered set
+    val exact = SimilaritySearch.bruteForceTopK(
+        labeled.filter(col("label") === 1), probes, k = 5)
+      .select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(filtered.toSet == exact)
+  }
+
+  test("pruned search payloadFilter: filters survive pruning; delta overlay is rejected loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-filtered").toString
+    val labeled = items.withColumn("label", (col("vec_id") % 2).cast("int"))
+    val (assigned, centroids) = SimilaritySearch.ivfAssign(labeled, nCells = 8)
+    SimilaritySearch.ivfIndexWrite(assigned, s"$tmp/ivf", Some(centroids))
+    val probeRows = items.filter(col("vec_id") < 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val hits = SimilaritySearch.ivfTopKPruned(spark, s"$tmp/ivf",
+        SimilaritySearch.ivfCentroidsRead(spark, s"$tmp/ivf"), probeRows,
+        k = 5, nProbe = 8, payloadFilter = Some(col("label") === 0))
+      .select("vec_id").as[Long].collect()
+    assert(hits.nonEmpty && hits.forall(_ % 2 == 0), hits.mkString(","))
+    val delta = items.filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding"), lit(3L).as("cell"), lit(false).as("deleted"))
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfTopKPruned(spark, s"$tmp/ivf",
+        SimilaritySearch.ivfCentroidsRead(spark, s"$tmp/ivf"), probeRows,
+        k = 5, nProbe = 8, delta = Some(delta), payloadFilter = Some(col("label") === 0))
+    }
+    assert(e.getMessage.contains("payloadFilter"))
+  }
+
   test("ivfTopK: probes find their own cell's vectors; self in top-1") {
     val (assigned, centroids) = SimilaritySearch.ivfAssign(items, nCells = 8)
     assert(assigned.count() == 100)
