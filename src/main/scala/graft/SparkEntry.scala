@@ -9,7 +9,7 @@ import graft.core.{IndexConfig, EmbeddingField, Metric}
 import graft.embed.HashEmbeddingBackend
 import graft.functions.textfn._
 import graft.functions.vector._
-import graft.ops.{Dedup, Events, FullText, Multimodal, ProductQuantization, Sampling, SimilaritySearch, Skew, TextAnalysis}
+import graft.ops.{Dedup, Events, FullText, Multimodal, ProductQuantization, Sampling, ScalarQuantization, SimilaritySearch, Skew, TextAnalysis}
 import graft.pipeline.IndexBuild
 import graft.query.Retrieval
 
@@ -458,6 +458,26 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
       ProductQuantization.adcTopK(encoded, emb, cb, probes, PqCfg, k = 5, refine = 4)
+        .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
+    },
+    // ---- scalar quantization: 4×-compressed int8 codes, integer-exact ADC ----
+    // (qdrant's scalar-quantization mode: per-dim affine byte map + exact
+    // rescore; no codebook training — the low-friction quantization tier)
+    "q_sq_encode" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val (mins, maxs) = ScalarQuantization.collectParams(ScalarQuantization.sqTrain(emb))
+      ScalarQuantization.sqEncode(emb, mins, maxs)
+        .select(col("vec_id"), posexplode(sq_codes(col("sq"))).as(Seq("pos", "code")))
+        .orderBy("vec_id", "pos")
+    },
+    "q_sq_topk" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val (mins, maxs) = ScalarQuantization.collectParams(ScalarQuantization.sqTrain(emb))
+      val encoded = ScalarQuantization.sqEncode(emb, mins, maxs)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      ScalarQuantization.sqTopK(encoded, emb, mins, maxs, probes, k = 5, refine = 4)
         .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
     },
     // IVF × PQ composition: cell-PRUNED scan of the 8-byte codes index,
@@ -1335,6 +1355,52 @@ object SparkEntry {
     s"list_dot_product(list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> p[1] - p[2]), " +
       s"list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), p -> p[1] - p[2]))"
 
+  /** Shared SQ CTE block: per-dimension float min/max (exact extremes — no
+    * summation order to disagree on) and the byte-encode replay, `pos`
+    * 0-based to match posexplode. Twin of ScalarQuantization.sqTrain +
+    * SqEncodeExpr (same double op order, same non-negative round, same
+    * degenerate-dimension rule).
+    */
+  private val sqCtes: String =
+    s"""sqdims AS (SELECT unnest(generate_series(1, 64)) AS pos),
+       | mm AS (SELECT d.pos, min(e.embedding[d.pos]) AS mn, max(e.embedding[d.pos]) AS mx
+       |   FROM embeddings e, sqdims d GROUP BY d.pos),
+       | enc AS (SELECT e.vec_id, m.pos - 1 AS pos,
+       |     CASE WHEN m.mx > m.mn THEN LEAST(255, GREATEST(0,
+       |       CAST(round((e.embedding[m.pos]::DOUBLE - m.mn::DOUBLE) * 255.0 / (m.mx::DOUBLE - m.mn::DOUBLE)) AS BIGINT)))
+       |     ELSE 0 END AS code
+       |   FROM embeddings e, mm m)""".stripMargin
+
+  private val sqEncodeSql: String =
+    s"""WITH $sqCtes
+       |SELECT vec_id, CAST(pos AS INT) AS pos, CAST(code AS INT) AS code
+       |FROM enc ORDER BY vec_id, pos""".stripMargin
+
+  /** SQ ADC top-k oracle: per-(probe, dim) LUT of three scaled longs (the
+    * (q−mn)² / 2(q−mn)Δ/255 / (Δ/255)² expansion of the dequantized L2²),
+    * exact integer candidate distances, top-20 by (dist ASC, vec_id ASC),
+    * exact cosine rerank top-5 — twin of ScalarQuantization.sqLut + sqTopK.
+    */
+  private val sqTopkSql: String =
+    s"""WITH $sqCtes,
+       | p AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       | lut AS (SELECT p.qid, m.pos - 1 AS pos,
+       |     CAST(round((p.qv[m.pos]::DOUBLE - m.mn::DOUBLE) * (p.qv[m.pos]::DOUBLE - m.mn::DOUBLE) * 1000000.0) AS BIGINT) AS a,
+       |     CAST(round(2.0 * (p.qv[m.pos]::DOUBLE - m.mn::DOUBLE) * ((m.mx::DOUBLE - m.mn::DOUBLE) / 255.0) * 1000000.0) AS BIGINT) AS b,
+       |     CAST(round(((m.mx::DOUBLE - m.mn::DOUBLE) / 255.0) * ((m.mx::DOUBLE - m.mn::DOUBLE) / 255.0) * 1000000.0) AS BIGINT) AS cc
+       |   FROM p, mm m),
+       | adc AS (SELECT l.qid, enc.vec_id, sum(l.a - l.b * enc.code + l.cc * enc.code * enc.code) AS dist
+       |   FROM enc JOIN lut l ON enc.pos = l.pos GROUP BY l.qid, enc.vec_id),
+       | cand AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |     row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn FROM adc)
+       |   WHERE rn <= 20),
+       | rer AS (SELECT c.qid, c.vec_id, round(${sqlCos("e.embedding", "p.qv")}, 6) AS score
+       |   FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN p ON p.qid = c.qid),
+       | ranked AS (SELECT qid, vec_id, score,
+       |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank FROM rer)
+       |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   /** Shared PQ CTE block: md5-min sample codebooks (code = sample rank) per
     * subspace, then per-(vec_id, subspace) argmin encoding — the DuckDB twin
     * of ProductQuantization.pqTrain (lloydIters=0) + pqEncode with the same
@@ -1607,6 +1673,8 @@ object SparkEntry {
     "q_ann_ivf_filtered" -> annIvfFilteredSql,
     "q_pq_encode" -> pqEncodeSql,
     "q_pq_topk" -> pqTopkSql,
+    "q_sq_encode" -> sqEncodeSql,
+    "q_sq_topk" -> sqTopkSql,
     "q_pq_ivf_topk" -> pqIvfTopkSql,
     "q_dup_clusters" -> dupClustersSql,
     "q_dedup_corpus" -> dedupCorpusSql,

@@ -320,6 +320,115 @@ case class PqAdcExpr(left: Expression, right: Expression, ksub: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Scalar quantization (SQ8) encode: per-dimension affine map of a float
+  * vector onto one byte — `code_i = round((x_i − min_i) · 255 / (max_i −
+  * min_i))`, clamped to [0, 255]; degenerate dimensions (max = min) encode
+  * as 0. Output is `binary` of length d: exactly 1 byte per dimension (4×
+  * smaller than float32) — the qdrant "scalar quantization" storage mode.
+  * All arithmetic is double, left-to-right, so a DuckDB twin over
+  * `DOUBLE` casts is bit-identical; `Math.round` ties and SQL `round` ties
+  * agree because the pre-clamp value is non-negative.
+  */
+case class SqEncodeExpr(child: Expression, mins: Array[Float], maxs: Array[Float])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(mins.length == maxs.length && mins.nonEmpty, "per-dimension min/max required")
+  override def prettyName: String = "sq_encode"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  protected override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val d = math.min(mins.length, x.numElements())
+    val out = new Array[Byte](d)
+    var i = 0
+    while (i < d) {
+      val mn = mins(i).toDouble
+      val mx = maxs(i).toDouble
+      val code =
+        if (mx > mn) {
+          val t = (x.getFloat(i).toDouble - mn) * 255.0 / (mx - mn)
+          math.min(255L, math.max(0L, Math.round(t)))
+        } else 0L
+      out(i) = code.toByte
+      i += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression): SqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** SQ asymmetric distance: exact scaled-long L2² between a probe and a
+  * quantized row, computed from the codes alone. Per dimension the LUT
+  * carries three longs (`lut[3i] = round((q_i−min_i)²·10⁶)`,
+  * `lut[3i+1] = round(2(q_i−min_i)·Δ_i/255·10⁶)`,
+  * `lut[3i+2] = round((Δ_i/255)²·10⁶)`), and the candidate distance is
+  * `Σ_i a_i − b_i·c_i + cc_i·c_i²` — integer adds/multiplies only, so the
+  * sum is exact and order-independent (a SQL oracle summing the same longs
+  * hash-matches bit-for-bit). Codegen'd: the hot loop stays inside
+  * whole-stage codegen like [[PqAdcExpr]].
+  */
+case class SqAdcExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "sq_adc"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[Array[Byte]]
+    val lut = b.asInstanceOf[ArrayData]
+    var s = 0L
+    var i = 0
+    while (i < codes.length) {
+      val c = (codes(i) & 0xFF).toLong
+      s += lut.getLong(3 * i) - lut.getLong(3 * i + 1) * c + lut.getLong(3 * i + 2) * c * c
+      i += 1
+    }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val v = ev.value
+      s"""
+         |long ${v}_s = 0L;
+         |for (int i = 0; i < $a.length; i++) {
+         |  long ${v}_c = (long) ($a[i] & 0xFF);
+         |  ${v}_s += $b.getLong(3 * i) - $b.getLong(3 * i + 1) * ${v}_c
+         |      + $b.getLong(3 * i + 2) * ${v}_c * ${v}_c;
+         |}
+         |$v = ${v}_s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SqAdcExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Unpack SQ codes (`binary`) to `array<int>` of 0..255 — the gate/debug
+  * view of a quantized column (posexplode-able; the scan path never needs
+  * this, it scores bytes directly via [[SqAdcExpr]]).
+  */
+case class SqCodesExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "sq_codes"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  protected override def nullSafeEval(a: Any): Any = {
+    val codes = a.asInstanceOf[Array[Byte]]
+    val out = new Array[Int](codes.length)
+    var i = 0
+    while (i < codes.length) { out(i) = codes(i) & 0xFF; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): SqCodesExpr =
+    copy(child = newChild)
+}
+
 /** Column-level API. */
 object vector {
   def vec_dot(a: Column, b: Column): Column = toColumn(DotProduct(toExpression(a), toExpression(b)))
@@ -334,4 +443,9 @@ object vector {
     toColumn(PqEncodeExpr(toExpression(v), codebooks, dsub))
   def pq_adc(codes: Column, lut: Column, ksub: Int): Column =
     toColumn(PqAdcExpr(toExpression(codes), toExpression(lut), ksub))
+  def sq_encode(v: Column, mins: Array[Float], maxs: Array[Float]): Column =
+    toColumn(SqEncodeExpr(toExpression(v), mins, maxs))
+  def sq_adc(codes: Column, lut: Column): Column =
+    toColumn(SqAdcExpr(toExpression(codes), toExpression(lut)))
+  def sq_codes(codes: Column): Column = toColumn(SqCodesExpr(toExpression(codes)))
 }

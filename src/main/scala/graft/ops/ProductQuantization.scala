@@ -184,7 +184,7 @@ object ProductQuantization {
     * score, then cosine over the full vectors of the ≤ probes·k·refine
     * candidate ids only (both candidate sides broadcast — tiny).
     */
-  private def rerankExact(scored: DataFrame, items: DataFrame, probeDf: DataFrame,
+  private[ops] def rerankExact(scored: DataFrame, items: DataFrame, probeDf: DataFrame,
                           k: Int, refine: Int, itemId: String, itemVec: String): DataFrame = {
     val cand = SimilaritySearch.topKByProbe(scored, k * refine, "qid", itemId)
       .select(col("qid"), col(itemId))

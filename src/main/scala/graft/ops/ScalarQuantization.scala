@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.vector._
+
+/** Scalar quantization (SQ8) — the lightweight sibling of
+  * [[ProductQuantization]], and the second of qdrant's two quantization
+  * modes (its "scalar quantization": int8 per dimension, asymmetric
+  * scoring against the original query, optional exact rescore — the same
+  * recipe as here). Each dimension is affinely mapped onto one byte using
+  * per-dimension corpus min/max, so a 64-dim float32 vector becomes 64
+  * bytes: a 4× reduction in scan/shuffle volume with near-lossless
+  * ranking, no codebook training, and O(1) encode per element (PQ trades
+  * more compression, 32×, for codebook training and m-argmin encodes).
+  *
+  * Scale shape: training is ONE map-side-combined aggregation over
+  * (dim → min/max), d rows total, collected to the driver (d is tiny —
+  * embedding width, not corpus size). Encoding is a per-row kernel
+  * projection, zero exchanges. Scoring reads the 1-byte/dim codes only
+  * ([[graft.functions.SqAdcExpr]] — integer math inside whole-stage
+  * codegen), keeps a bounded per-probe candidate page, and reranks
+  * exactly over the full vectors of the candidates alone.
+  *
+  * Determinism (the oracle contract): min/max are exact float extremes
+  * (no summation order); encode rounds a non-negative double, so JVM
+  * `Math.round` and SQL `round` agree; ADC distances are scaled-long
+  * integer sums — order-independent, engine-exact.
+  */
+object ScalarQuantization {
+
+  /** Per-dimension quantization params: one row per `pos` (0-based) with
+    * the corpus `mn`/`mx` float extremes of that dimension.
+    */
+  def sqTrain(items: DataFrame, itemVec: String = "embedding"): DataFrame =
+    items.select(posexplode(col(itemVec)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** Collect the params table to (mins, maxs) arrays indexed by pos. */
+  def collectParams(params: DataFrame): (Array[Float], Array[Float]) = {
+    val rows = params.select(col("pos"), col("mn"), col("mx"))
+      .collect().sortBy(_.getInt(0))
+    (rows.map(_.getFloat(1)), rows.map(_.getFloat(2)))
+  }
+
+  /** Encode every item: adds an `sq` column (`binary`, 1 byte per dim). */
+  def sqEncode(items: DataFrame, mins: Array[Float], maxs: Array[Float],
+               itemVec: String = "embedding"): DataFrame =
+    items.withColumn("sq", sq_encode(col(itemVec), mins, maxs))
+
+  /** The per-probe flattened ADC lookup table (3 longs per dimension):
+    * `lut[3i] = round((q_i−mn_i)²·10⁶)`,
+    * `lut[3i+1] = round(2(q_i−mn_i)·(Δ_i/255)·10⁶)`,
+    * `lut[3i+2] = round((Δ_i/255)²·10⁶)` — the expansion of
+    * `(q_i − x̂_i)²` with `x̂_i = mn_i + c_i·Δ_i/255`, so
+    * `Σ_i lut[3i] − lut[3i+1]·c_i + lut[3i+2]·c_i²` is the scaled L2²
+    * against the dequantized row, in exact integers. Driver-side — a
+    * probe batch is driver-resident by construction.
+    */
+  def sqLut(qv: Seq[Float], mins: Array[Float], maxs: Array[Float]): Array[Long] = {
+    val d = math.min(qv.length, mins.length)
+    val lut = new Array[Long](3 * d)
+    var i = 0
+    while (i < d) {
+      val q = qv(i).toDouble
+      val mn = mins(i).toDouble
+      val mx = maxs(i).toDouble
+      val step = (mx - mn) / 255.0
+      lut(3 * i) = Math.round((q - mn) * (q - mn) * 1e6)
+      lut(3 * i + 1) = Math.round(2.0 * (q - mn) * step * 1e6)
+      lut(3 * i + 2) = Math.round(step * step * 1e6)
+      i += 1
+    }
+    lut
+  }
+
+  /** SQ top-k with exact rerank — same staging as
+    * [[ProductQuantization.adcTopK]]: broadcast probes carrying their LUTs,
+    * score the codes-only scan with [[graft.functions.SqAdcExpr]] (integer
+    * kernel, 1 byte/dim read), bounded per-probe top-(k·refine)
+    * candidates, exact cosine rerank over the candidates' full vectors.
+    *
+    * `encoded` needs (itemId, sq); `items` needs (itemId, itemVec).
+    */
+  def sqTopK(encoded: DataFrame, items: DataFrame,
+             mins: Array[Float], maxs: Array[Float],
+             probes: Seq[(Long, Seq[Float])],
+             k: Int = 10, refine: Int = 4,
+             itemId: String = "vec_id", itemVec: String = "embedding"): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val probeDf = probes
+      .map { case (qid, qv) => (qid, qv, sqLut(qv, mins, maxs).toSeq) }
+      .toDF("qid", "qv", "lut")
+      .select(col("qid"), col("qv").cast("array<float>"), col("lut"))
+    val scored = encoded.select(col(itemId), col("sq"))
+      .crossJoin(broadcast(probeDf.select(col("qid"), col("lut"))))
+      // negate: the TopK aggregator keeps LARGEST scores; the ADC long is
+      // ≪ 2^53, so the double negation is still exact
+      .select(col("qid"), col(itemId),
+        (-sq_adc(col("sq"), col("lut"))).cast("double").as("score"))
+    ProductQuantization.rerankExact(scored, items, probeDf, k, refine, itemId, itemVec)
+  }
+
+  /** Write an SQ-encoded index with its params riding INSIDE the version
+    * dir (`_sqparams`) — codes and the extremes they were computed against
+    * flip atomically together, like [[ProductQuantization.pqIndexWrite]].
+    */
+  def sqIndexWrite(encoded: DataFrame, params: DataFrame, path: String,
+                   keepVersions: Int = 2): Unit =
+    new graft.api.VersionedDir(encoded.sparkSession, path, keepVersions).replaceWith { dir =>
+      encoded.write.mode("overwrite").parquet(dir)
+      params.coalesce(1).write.mode("overwrite").parquet(s"$dir/_sqparams")
+    }
+
+  /** Params of the ACTIVE index version. */
+  def sqParamsRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"${graft.api.VersionedDir.resolve(spark, path)}/_sqparams")
+}
