@@ -861,6 +861,13 @@ object SparkEntry {
       Sampling.stratifiedSample(tbl(s, dir, "documents"), StratFractions, groupCol = "lang")
         .select(col("doc_id"), col("lang")).orderBy("doc_id")
     },
+    // DSIR importance weights: hashed unigram+bigram bag models, target =
+    // the src5 slice, λ per bucket in micro-nats, per-doc exact long sums
+    "q_dsir" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      TextAnalysis.dsirWeights(docs, docs.filter(col("source") === "src5"))
+        .orderBy("doc_id")
+    },
     "q_seg_dedup" -> { (s, dir) =>
       Dedup.segmentDedup(docsPar(s, dir))
         .select(col("doc_id"), col("n_segments"), col("n_kept"), col("clean_text"))
@@ -2016,6 +2023,31 @@ object SparkEntry {
          | agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(m) AS s FROM sc GROUP BY doc_id)
          |SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
          |  coalesce(round(s / (n_bigrams * 1000000.0), 6), 0.0) AS avg_neg_logp
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // DSIR: full replay — hashed unigram+bigram features, add-one-smoothed
+    // bucket models for target (src5) and raw, per-bucket micro-nat
+    // log-ratios rounded once, per-doc exact integer sums
+    "q_dsir" ->
+      s"""WITH t AS (SELECT doc_id, source, $sqlWords AS w FROM documents),
+         | uni AS (SELECT doc_id, source, unnest(w) AS f FROM t),
+         | big AS (SELECT doc_id, source,
+         |     unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS f
+         |   FROM t WHERE len(w) >= 2),
+         | feats AS (SELECT doc_id, source, ${sqlHex32("f")} % 1024 AS bucket
+         |   FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+         | db AS (SELECT doc_id, bucket, count(*) AS n FROM feats GROUP BY doc_id, bucket),
+         | rc AS (SELECT bucket, sum(n) AS rc FROM db GROUP BY bucket),
+         | tcn AS (SELECT bucket, count(*) AS tc FROM feats WHERE source = 'src5' GROUP BY bucket),
+         | rt AS (SELECT coalesce(sum(rc), 0) AS rt FROM rc),
+         | tt AS (SELECT coalesce(sum(tc), 0) AS tt FROM tcn),
+         | lam AS (SELECT rc.bucket,
+         |     CAST(round((ln((coalesce(tcn.tc, 0) + 1.0) / (tt.tt + 1024)) -
+         |                 ln((rc.rc + 1.0) / (rt.rt + 1024))) * 1000000) AS BIGINT) AS lam
+         |   FROM rc LEFT JOIN tcn ON rc.bucket = tcn.bucket, rt, tt),
+         | agg AS (SELECT db.doc_id, sum(db.n) AS n_feats, sum(db.n * lam.lam) AS s
+         |   FROM db JOIN lam ON db.bucket = lam.bucket GROUP BY db.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
+         |  coalesce(round(s / 1000000.0, 6), 0.0) AS log_ratio
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_stratified" ->
       s"""SELECT doc_id, lang FROM documents

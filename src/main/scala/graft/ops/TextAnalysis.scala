@@ -444,4 +444,60 @@ object TextAnalysis {
           col("rank_in_group"), col("pos"))
     }
   }
+
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling" —
+    * public method; implementation original): per-document
+    * `log p_target(x) − log p_raw(x)` under bag-of-hashed-ngram models.
+    * Features are unigrams + bigrams hashed into `buckets` buckets (the
+    * repo-wide md5 hash conventions, so the oracle replays them); both
+    * distributions are add-one smoothed over the bucket space. A document's
+    * weight is `Σ_b n_doc[b] · λ[b]` with
+    * `λ[b] = round((ln p_t[b] − ln p_r[b])·10⁶)` — per-bucket log-ratios
+    * rounded to micro-nats ONCE, then summed as exact longs
+    * (order-independent, engine-exact; the q_perplexity convention).
+    * Selecting the top-weight fraction of a raw corpus approximates
+    * sampling from the target distribution — the standard
+    * domain-targeting / quality-targeting selection step before training.
+    *
+    * Scale shape: one token+bigram explode per side; per-(doc, bucket)
+    * and per-bucket aggregations are map-side combined; the λ table is
+    * BUCKETS-bounded (≤ `buckets` rows) and broadcast into the per-doc
+    * join; the final exchange carries one row per (doc, bucket) —
+    * vocabulary-bounded per doc, never corpus×corpus. No global window:
+    * rank/cutoff selection composes downstream (orderBy+limit, or
+    * [[Sampling.splitAssign]]-style threshold on the weight).
+    */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, buckets: Int = 1024,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def feats(df: DataFrame): DataFrame = {
+      val toks = df.select(col(idCol), word_tokens(col(textCol)).as("w"))
+      val uni = toks.select(col(idCol), explode(col("w")).as("f"))
+      val big = toks.select(col(idCol), explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat(element_at(col("w"), i), lit(" "), element_at(col("w"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("f"))
+      uni.unionByName(big)
+        .select(col(idCol), (hexhash32(col("f")) % buckets).as("bucket"))
+    }
+    val docBuckets = feats(corpus)
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("n"))
+    val rawCnt = docBuckets.groupBy("bucket").agg(sum(col("n")).as("rc"))
+    val tgtCnt = feats(target).groupBy("bucket").agg(count(lit(1)).as("tc"))
+    val rawTot = rawCnt.agg(coalesce(sum("rc"), lit(0L)).as("rt"))
+    val tgtTot = tgtCnt.agg(coalesce(sum("tc"), lit(0L)).as("tt"))
+    val lam = rawCnt.join(tgtCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("bucket"),
+        round((log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("tt") + lit(buckets))) -
+               log((col("rc") + lit(1.0)) / (col("rt") + lit(buckets)))) * 1e6)
+          .cast("long").as("lam"))
+    val perDoc = docBuckets.join(broadcast(lam), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_feats"), sum(col("n") * col("lam")).as("s"))
+    corpus.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(round(col("s") / 1e6, 6), lit(0.0)).as("log_ratio"))
+  }
 }

@@ -446,6 +446,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(x => x.getLong(0) -> x.getDouble(3)).toMap
     assert(r(1L) == 1.0 && r(2L) == 1.0) // full overlap with itself
   }
+
+  test("dsirWeights: target ≡ corpus cancels to zero; n_feats = 2·words − 1") {
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"), (3L, ""))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.dsirWeights(corpus, corpus).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    // identical models ⇒ every per-bucket log-ratio is exactly 0
+    assert(r(1L) == ((5L, 0.0)))  // 3 unigrams + 2 bigrams
+    assert(r(2L) == ((3L, 0.0)))
+    assert(r(3L) == ((0L, 0.0)))  // empty doc: no features, weight 0
+  }
+
+  test("dsirWeights: documents matching the target distribution score higher") {
+    val corpus = Seq(
+      (1L, "physics quantum electron field theory"),
+      (2L, "physics quantum particle wave"),
+      (3L, "football soccer goal match referee"),
+      (4L, "football stadium crowd goal"))
+      .toDF("doc_id", "text")
+    val target = corpus.filter($"doc_id" <= 2)  // physics is the target domain
+    val r = TextAnalysis.dsirWeights(corpus, target).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) > r(3L) && r(1L) > r(4L), r.toString)
+    assert(r(2L) > r(3L) && r(2L) > r(4L), r.toString)
+  }
 }
 
 class SimilaritySearchSpec extends AnyFunSuite {
