@@ -9,7 +9,7 @@ import graft.core.{IndexConfig, EmbeddingField, Metric}
 import graft.embed.HashEmbeddingBackend
 import graft.functions.textfn._
 import graft.functions.vector._
-import graft.ops.{Dedup, Events, FullText, Multimodal, ProductQuantization, Sampling, ScalarQuantization, SimilaritySearch, Skew, TextAnalysis}
+import graft.ops.{BinaryQuantization, Dedup, Events, FullText, Multimodal, ProductQuantization, Sampling, ScalarQuantization, SimilaritySearch, Skew, TextAnalysis}
 import graft.pipeline.IndexBuild
 import graft.query.Retrieval
 
@@ -478,6 +478,18 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
       ScalarQuantization.sqTopK(encoded, emb, mins, maxs, probes, k = 5, refine = 4)
+        .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
+    },
+    // binary quantization: 1 bit/dim (32×), Hamming-popcount candidates,
+    // exact rerank — qdrant's binary-quantization overfetch-rescore recipe
+    "q_bq_topk" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val thr = BinaryQuantization.collectThresholds(BinaryQuantization.bqTrain(emb))
+      val encoded = BinaryQuantization.bqEncode(emb, thr)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      BinaryQuantization.bqTopK(encoded, emb, thr, probes, k = 5, refine = 4)
         .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
     },
     // IVF × PQ composition: cell-PRUNED scan of the 8-byte codes index,
@@ -1408,6 +1420,33 @@ object SparkEntry {
        |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  /** BQ top-k oracle: per-dim mean thresholds from scaled-long sums (the
+    * Lloyd-oracle integer trick), bit = x > thr for items and probes alike,
+    * Hamming = count of differing bits, top-20 by (hamming ASC, vec_id ASC),
+    * exact cosine rerank top-5 — twin of BinaryQuantization.bqTrain/bqTopK.
+    */
+  private val bqTopkSql: String =
+    s"""WITH bqdims AS (SELECT unnest(generate_series(1, 64)) AS pos),
+       | bm AS (SELECT d.pos, sum(CAST(round(e.embedding[d.pos]::DOUBLE * 1000000.0) AS BIGINT)) AS s, count(*) AS n
+       |   FROM embeddings e, bqdims d GROUP BY d.pos),
+       | thr AS (SELECT pos, (s::DOUBLE / 1000000.0) / n AS thr FROM bm),
+       | bits AS (SELECT e.vec_id, t.pos, CASE WHEN e.embedding[t.pos]::DOUBLE > t.thr THEN 1 ELSE 0 END AS b
+       |   FROM embeddings e, thr t),
+       | p AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       | qbits AS (SELECT p.qid, t.pos, CASE WHEN p.qv[t.pos]::DOUBLE > t.thr THEN 1 ELSE 0 END AS qb
+       |   FROM p, thr t),
+       | ham AS (SELECT q.qid, b.vec_id, sum(CASE WHEN b.b <> q.qb THEN 1 ELSE 0 END) AS h
+       |   FROM bits b JOIN qbits q ON b.pos = q.pos GROUP BY q.qid, b.vec_id),
+       | cand AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |     row_number() OVER (PARTITION BY qid ORDER BY h ASC, vec_id ASC) AS rn FROM ham)
+       |   WHERE rn <= 20),
+       | rer AS (SELECT c.qid, c.vec_id, round(${sqlCos("e.embedding", "p.qv")}, 6) AS score
+       |   FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN p ON p.qid = c.qid),
+       | ranked AS (SELECT qid, vec_id, score,
+       |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank FROM rer)
+       |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   /** Shared PQ CTE block: md5-min sample codebooks (code = sample rank) per
     * subspace, then per-(vec_id, subspace) argmin encoding — the DuckDB twin
     * of ProductQuantization.pqTrain (lloydIters=0) + pqEncode with the same
@@ -1682,6 +1721,7 @@ object SparkEntry {
     "q_pq_topk" -> pqTopkSql,
     "q_sq_encode" -> sqEncodeSql,
     "q_sq_topk" -> sqTopkSql,
+    "q_bq_topk" -> bqTopkSql,
     "q_pq_ivf_topk" -> pqIvfTopkSql,
     "q_dup_clusters" -> dupClustersSql,
     "q_dedup_corpus" -> dedupCorpusSql,

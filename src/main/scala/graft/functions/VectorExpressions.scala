@@ -406,6 +406,72 @@ case class SqAdcExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Binary quantization (BQ) encode: one bit per dimension — `bit_i =
+  * x_i > thr_i` — packed LSB-first into `binary` of ⌈d/8⌉ bytes (32×
+  * smaller than float32 at d=64: 8 bytes). Thresholds are per-dimension
+  * corpus means computed from scaled-long sums, so they replay exactly in
+  * SQL; the comparison is double > double — engine-exact.
+  */
+case class BqEncodeExpr(child: Expression, thresholds: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(thresholds.nonEmpty, "per-dimension thresholds required")
+  override def prettyName: String = "bq_encode"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  protected override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val d = math.min(thresholds.length, x.numElements())
+    val out = new Array[Byte]((d + 7) / 8)
+    var i = 0
+    while (i < d) {
+      if (x.getFloat(i).toDouble > thresholds(i))
+        out(i / 8) = (out(i / 8) | (1 << (i % 8))).toByte
+      i += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression): BqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two packed bit codes: popcount of the bytewise
+  * XOR — a handful of integer ops per row inside whole-stage codegen; the
+  * BQ candidate scorer.
+  */
+case class BqHammingExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "bq_hamming"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var s = 0
+    var i = 0
+    while (i < n) { s += Integer.bitCount((x(i) ^ y(i)) & 0xFF); i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val v = ev.value
+      s"""
+         |int ${v}_s = 0;
+         |int ${v}_n = Math.min($a.length, $b.length);
+         |for (int i = 0; i < ${v}_n; i++) {
+         |  ${v}_s += Integer.bitCount(($a[i] ^ $b[i]) & 0xFF);
+         |}
+         |$v = ${v}_s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BqHammingExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Unpack SQ codes (`binary`) to `array<int>` of 0..255 — the gate/debug
   * view of a quantized column (posexplode-able; the scan path never needs
   * this, it scores bytes directly via [[SqAdcExpr]]).
@@ -448,4 +514,8 @@ object vector {
   def sq_adc(codes: Column, lut: Column): Column =
     toColumn(SqAdcExpr(toExpression(codes), toExpression(lut)))
   def sq_codes(codes: Column): Column = toColumn(SqCodesExpr(toExpression(codes)))
+  def bq_encode(v: Column, thresholds: Array[Double]): Column =
+    toColumn(BqEncodeExpr(toExpression(v), thresholds))
+  def bq_hamming(a: Column, b: Column): Column =
+    toColumn(BqHammingExpr(toExpression(a), toExpression(b)))
 }

@@ -119,3 +119,79 @@ object ScalarQuantization {
   def sqParamsRead(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"${graft.api.VersionedDir.resolve(spark, path)}/_sqparams")
 }
+
+/** Binary quantization (BQ) — the most aggressive quantization tier
+  * (qdrant's "binary quantization"): ONE bit per dimension, thresholded at
+  * the per-dimension corpus mean, so a 64-dim float32 vector becomes 8
+  * bytes (32×). Candidates are ranked by Hamming distance — popcount of a
+  * bytewise XOR, the cheapest possible scorer — and survivors are reranked
+  * exactly, the same overfetch-then-rescore recipe qdrant documents for
+  * its binary mode.
+  *
+  * Determinism: thresholds are means from SCALED-LONG sums (round(x·10⁶)
+  * longs — order-independent), divided out in a pinned double op order, so
+  * the `x > thr` bit replays exactly in SQL; Hamming distances are small
+  * exact integers.
+  */
+object BinaryQuantization {
+
+  /** Per-dimension mean thresholds: one row per `pos` (0-based) with the
+    * scaled-long sum `s`, count `n`, and the threshold `thr` =
+    * `(s / 10⁶) / n` in double — the exact expression the oracle replays.
+    */
+  def bqTrain(items: DataFrame, itemVec: String = "embedding"): DataFrame =
+    items.select(posexplode(col(itemVec)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sum(round(col("x").cast("double") * 1e6).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("pos"), (col("s").cast("double") / 1e6 / col("n")).as("thr"))
+
+  /** Collect thresholds to an array indexed by pos. */
+  def collectThresholds(params: DataFrame): Array[Double] =
+    params.select(col("pos"), col("thr")).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(1))
+
+  /** Encode every item: adds a `bq` column (`binary`, 1 bit per dim). */
+  def bqEncode(items: DataFrame, thresholds: Array[Double],
+               itemVec: String = "embedding"): DataFrame =
+    items.withColumn("bq", bq_encode(col(itemVec), thresholds))
+
+  /** Driver-side twin of [[graft.functions.BqEncodeExpr]] (same packing,
+    * same comparison) for probe vectors already on the driver.
+    */
+  def bqEncodeLocal(qv: Seq[Float], thresholds: Array[Double]): Array[Byte] = {
+    val d = math.min(qv.length, thresholds.length)
+    val out = new Array[Byte]((d + 7) / 8)
+    var i = 0
+    while (i < d) {
+      if (qv(i).toDouble > thresholds(i))
+        out(i / 8) = (out(i / 8) | (1 << (i % 8))).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** BQ top-k with exact rerank: broadcast probes carrying their packed
+    * query bits, Hamming-score the 1-bit/dim codes
+    * ([[graft.functions.BqHammingExpr]] — popcount-XOR in codegen),
+    * bounded per-probe top-(k·refine) candidates (ties → smaller id via
+    * the shared TopK aggregator), exact cosine rerank.
+    */
+  def bqTopK(encoded: DataFrame, items: DataFrame, thresholds: Array[Double],
+             probes: Seq[(Long, Seq[Float])],
+             k: Int = 10, refine: Int = 4,
+             itemId: String = "vec_id", itemVec: String = "embedding"): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val probeDf = probes
+      .map { case (qid, qv) => (qid, qv, bqEncodeLocal(qv, thresholds)) }
+      .toDF("qid", "qv", "qb")
+      .select(col("qid"), col("qv").cast("array<float>"), col("qb"))
+    val scored = encoded.select(col(itemId), col("bq"))
+      .crossJoin(broadcast(probeDf.select(col("qid"), col("qb"))))
+      // negate: the TopK aggregator keeps LARGEST scores; hamming ≤ dims
+      .select(col("qid"), col(itemId),
+        (-bq_hamming(col("bq"), col("qb"))).cast("double").as("score"))
+    ProductQuantization.rerankExact(scored, items, probeDf, k, refine, itemId, itemVec)
+  }
+}

@@ -91,6 +91,53 @@ class SqSpec extends AnyFunSuite {
     (0 until 4).foreach { i => assert(lut(3 * i + 1) == 0L && lut(3 * i + 2) == 0L) }
   }
 
+  test("BQ: kernel and driver-side encode agree bit-for-bit; hamming kernel equals bit count") {
+    val thr = BinaryQuantization.collectThresholds(BinaryQuantization.bqTrain(items))
+    assert(thr.length == dims)
+    val enc = BinaryQuantization.bqEncode(items, thr)
+      .select(col("vec_id"), col("bq")).as[(Long, Array[Byte])].collect().toMap
+    val vecs = items.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      assert(java.util.Arrays.equals(enc(id), BinaryQuantization.bqEncodeLocal(v, thr)),
+        s"vec $id kernel/local mismatch")
+    }
+    // hamming kernel vs naive per-bit comparison against probe 7
+    val qb = BinaryQuantization.bqEncodeLocal(vecs(7L), thr)
+    val probeDf = Seq((7L, qb)).toDF("qid", "qb")
+    val kernel = BinaryQuantization.bqEncode(items, thr)
+      .crossJoin(broadcast(probeDf.select(col("qb"))))
+      .select(col("vec_id"), bq_hamming(col("bq"), col("qb")).as("h"))
+      .as[(Long, Int)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val manual = (0 until dims).count { i =>
+        (v(i).toDouble > thr(i)) != (vecs(7L)(i).toDouble > thr(i))
+      }
+      assert(kernel(id) == manual, s"vec $id: kernel ${kernel(id)} != manual $manual")
+    }
+    assert(kernel(7L) == 0)
+  }
+
+  test("BQ full-width refine equals brute force; moderate refine keeps decent recall") {
+    val thr = BinaryQuantization.collectThresholds(BinaryQuantization.bqTrain(items))
+    val enc = BinaryQuantization.bqEncode(items, thr)
+    val probes = (0L until 5L).map(i => (i, vec(i)))
+    val probeDf = probes.toDF("qid", "qv")
+      .select(col("qid"), col("qv").cast("array<float>").as("qv"))
+    val exact = SimilaritySearch.bruteForceTopK(items, probeDf, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val full = BinaryQuantization.bqTopK(enc, items, thr, probes, k = 5, refine = 40)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+    // 1 bit/dim is lossy — hamming is only a coarse proxy for cosine, so
+    // the floor is lower than SQ's (it exists to catch regressions, not to
+    // promise recall)
+    val bq = BinaryQuantization.bqTopK(enc, items, thr, probes, k = 5, refine = 8)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(bq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("sqIndexWrite versions codes + params together; reader survives a rebuild") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sq").toString
     val (mins, maxs) = params
