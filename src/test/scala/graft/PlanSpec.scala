@@ -159,6 +159,27 @@ class PlanSpec extends AnyFunSuite {
     assert(pushedLabel.findFirstIn(pIvf).isDefined, pIvf)
   }
 
+  // the SQ/BQ candidate scans must read the CODES column only — pulling the
+  // float vector back into the scored scan silently forfeits the 4×/32×
+  // bytes-per-row win that is the whole point of quantization.
+  test("SQ/BQ candidate scoring scans codes only — no vector column before the rerank") {
+    import graft.ops.{BinaryQuantization, ScalarQuantization}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planspec-q").toString
+    val probes1 = probes.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).take(1).toSeq
+    val (mins, maxs) = ScalarQuantization.collectParams(ScalarQuantization.sqTrain(items))
+    ScalarQuantization.sqIndexWrite(
+      ScalarQuantization.sqEncode(items, mins, maxs).select("vec_id", "sq"),
+      ScalarQuantization.sqTrain(items), s"$tmp/sq")
+    val codes = spark.read.parquet(graft.api.VersionedDir.resolve(spark, s"$tmp/sq"))
+    val p = plan(ScalarQuantization.sqTopK(codes, items, mins, maxs, probes1, k = 5))
+    // exactly one scan mentions `embedding` (the rerank join); the scored
+    // scan reads (vec_id, sq) only
+    val codeScans = "ReadSchema: [^\\n]*sq:binary".r.findAllIn(p).toSeq
+    assert(codeScans.nonEmpty, s"no codes-only scan in:\n$p")
+    assert(codeScans.forall(!_.contains("embedding")),
+      s"quantized scan drags the float vector along:\n$p")
+  }
+
   test("LSH dedup candidate generation is an equi-join shuffle, not a cross join") {
     val docs = (1L to 40L).map(i => (i, s"words making up document number $i with shared tail"))
       .toDF("doc_id", "text")
