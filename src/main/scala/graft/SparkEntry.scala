@@ -546,6 +546,24 @@ object SparkEntry {
         .select(col("doc_id"), col("score"), col("key"))
         .orderBy(desc("score"), col("doc_id").asc)
     },
+    // SQ variant: the delta row is byte-encoded against the STORED min/max
+    // params; search overlays it into the codes-only ADC scan + rerank
+    "q_ann_vi_sq_incr" -> { (s, dir) =>
+      val vi = viSqIncrIndexFor(s, dir)
+      vi.searchVector(probeVec(s, dir), k = 5, threshold = -2.0,
+          mode = SearchMode.Sq(refine = 4))
+        .select(col("doc_id"), col("score"), col("key"))
+        .orderBy(desc("score"), col("doc_id").asc)
+    },
+    // BQ variant: the delta row is bit-encoded against the STORED mean
+    // thresholds; search overlays it into the Hamming scan + rerank
+    "q_ann_vi_bq_incr" -> { (s, dir) =>
+      val vi = viBqIncrIndexFor(s, dir)
+      vi.searchVector(probeVec(s, dir), k = 5, threshold = -2.0,
+          mode = SearchMode.Bq(refine = 4))
+        .select(col("doc_id"), col("score"), col("key"))
+        .orderBy(desc("score"), col("doc_id").asc)
+    },
     // J5 union path: probe object has many chunks (vec_id % 50 == 7), all
     // searched in ONE broadcast scan, then first-per-key dedup + self-exclude
     "q_find_similar_multi" -> { (s, dir) =>
@@ -876,8 +894,7 @@ object SparkEntry {
     // DSIR importance weights: hashed unigram+bigram bag models, target =
     // the src5 slice, λ per bucket in micro-nats, per-doc exact long sums
     "q_dsir" -> { (s, dir) =>
-      val docs = docsPar(s, dir)
-      TextAnalysis.dsirWeights(docs, docs.filter(col("source") === "src5"))
+      TextAnalysis.dsirWeightsSlice(docsPar(s, dir), col("source") === "src5")
         .orderBy("doc_id")
     },
     "q_seg_dedup" -> { (s, dir) =>
@@ -1060,6 +1077,32 @@ object SparkEntry {
         path, "emb", "vec_id",
         ann = Seq(SearchMode.IvfPq(nCells = 16, nProbe = 4, m = 8, ksub = 16,
           refine = 4, lloydIters = 0))))
+    })
+
+  /** SQ twin — params (min/max) trained at first ingest; the delta row
+    * rides byte-encoded against them.
+    */
+  private val viSqIncrIndexes = scala.collection.concurrent.TrieMap.empty[String, VectorIndex]
+  private def viSqIncrIndexFor(s: SparkSession, dir: String): VectorIndex =
+    viSqIncrIndexes.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-vi-sqi").toString + "/idx"
+      viIncrMutations(s, dir, new VectorIndex(s,
+        IndexConfig("emb_sqi", "vec_id", Seq(EmbeddingField("text"))),
+        HashEmbeddingBackend(64), graft.embed.EchoChatBackend(),
+        path, "emb", "vec_id", ann = Seq(SearchMode.Sq(refine = 4))))
+    })
+
+  /** BQ twin — mean thresholds trained at first ingest; the delta row
+    * rides bit-encoded against them.
+    */
+  private val viBqIncrIndexes = scala.collection.concurrent.TrieMap.empty[String, VectorIndex]
+  private def viBqIncrIndexFor(s: SparkSession, dir: String): VectorIndex =
+    viBqIncrIndexes.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-vi-bqi").toString + "/idx"
+      viIncrMutations(s, dir, new VectorIndex(s,
+        IndexConfig("emb_bqi", "vec_id", Seq(EmbeddingField("text"))),
+        HashEmbeddingBackend(64), graft.embed.EchoChatBackend(),
+        path, "emb", "vec_id", ann = Seq(SearchMode.Bq(refine = 4))))
     })
 
   // ------------------------------------------------------------- oracle SQL
@@ -1380,7 +1423,11 @@ object SparkEntry {
     * SqEncodeExpr (same double op order, same non-negative round, same
     * degenerate-dimension rule).
     */
-  private val sqCtes: String =
+  /** Params (min/max) always train on the base `embeddings` corpus; `enc`
+    * encodes whatever corpus relation a gate needs (the live corpus for the
+    * incremental-overlay gate — same split as [[pqCtesFor]]).
+    */
+  private def sqCtesFor(corpus: String): String =
     s"""sqdims AS (SELECT unnest(generate_series(1, 64)) AS pos),
        | mm AS (SELECT d.pos, min(e.embedding[d.pos]) AS mn, max(e.embedding[d.pos]) AS mx
        |   FROM embeddings e, sqdims d GROUP BY d.pos),
@@ -1388,7 +1435,9 @@ object SparkEntry {
        |     CASE WHEN m.mx > m.mn THEN LEAST(255, GREATEST(0,
        |       CAST(round((e.embedding[m.pos]::DOUBLE - m.mn::DOUBLE) * 255.0 / (m.mx::DOUBLE - m.mn::DOUBLE)) AS BIGINT)))
        |     ELSE 0 END AS code
-       |   FROM embeddings e, mm m)""".stripMargin
+       |   FROM $corpus e, mm m)""".stripMargin
+
+  private val sqCtes: String = sqCtesFor("embeddings")
 
   private val sqEncodeSql: String =
     s"""WITH $sqCtes
@@ -1446,6 +1495,58 @@ object SparkEntry {
        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank FROM rer)
        |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
+
+  /** SQ incremental-overlay oracle: params from the BASE corpus, encode over
+    * the LIVE corpus (minus vec 2, plus 1000001 = vec 1's vector), probe =
+    * vec 0, exact-integer ADC top-20, cosine rerank top-5 — twin of the
+    * post-mutation `SearchMode.Sq` search through the delta overlay.
+    */
+  private val annViSqIncrSql: String =
+    s"""WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 2
+       |   UNION ALL SELECT 1000001 AS vec_id, embedding FROM embeddings WHERE vec_id = 1),
+       | ${sqCtesFor("corp")},
+       | q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       | lut AS (SELECT m.pos - 1 AS pos,
+       |     CAST(round((q.qv[m.pos]::DOUBLE - m.mn::DOUBLE) * (q.qv[m.pos]::DOUBLE - m.mn::DOUBLE) * 1000000.0) AS BIGINT) AS a,
+       |     CAST(round(2.0 * (q.qv[m.pos]::DOUBLE - m.mn::DOUBLE) * ((m.mx::DOUBLE - m.mn::DOUBLE) / 255.0) * 1000000.0) AS BIGINT) AS b,
+       |     CAST(round(((m.mx::DOUBLE - m.mn::DOUBLE) / 255.0) * ((m.mx::DOUBLE - m.mn::DOUBLE) / 255.0) * 1000000.0) AS BIGINT) AS cc
+       |   FROM q, mm m),
+       | adc AS (SELECT enc.vec_id, sum(l.a - l.b * enc.code + l.cc * enc.code * enc.code) AS dist
+       |   FROM enc JOIN lut l ON enc.pos = l.pos GROUP BY enc.vec_id),
+       | cand AS (SELECT vec_id FROM (SELECT vec_id,
+       |     row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS rn FROM adc) WHERE rn <= 20),
+       | rer AS (SELECT c.vec_id, round(${sqlCos("e.embedding", "q.qv")}, 6) AS score
+       |   FROM cand c JOIN corp e ON e.vec_id = c.vec_id, q),
+       | ranked AS (SELECT vec_id, score,
+       |   row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rn FROM rer)
+       |SELECT vec_id AS doc_id, score, 'emb:' || vec_id AS key FROM ranked WHERE rn <= 5
+       |ORDER BY score DESC, doc_id""".stripMargin
+
+  /** BQ incremental-overlay oracle: mean thresholds from the BASE corpus,
+    * bits over the LIVE corpus, Hamming top-20, cosine rerank top-5.
+    */
+  private val annViBqIncrSql: String =
+    s"""WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 2
+       |   UNION ALL SELECT 1000001 AS vec_id, embedding FROM embeddings WHERE vec_id = 1),
+       | bqdims AS (SELECT unnest(generate_series(1, 64)) AS pos),
+       | bm AS (SELECT d.pos, sum(CAST(round(e.embedding[d.pos]::DOUBLE * 1000000.0) AS BIGINT)) AS s, count(*) AS n
+       |   FROM embeddings e, bqdims d GROUP BY d.pos),
+       | thr AS (SELECT pos, (s::DOUBLE / 1000000.0) / n AS thr FROM bm),
+       | bits AS (SELECT e.vec_id, t.pos, CASE WHEN e.embedding[t.pos]::DOUBLE > t.thr THEN 1 ELSE 0 END AS b
+       |   FROM corp e, thr t),
+       | q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       | qbits AS (SELECT t.pos, CASE WHEN q.qv[t.pos]::DOUBLE > t.thr THEN 1 ELSE 0 END AS qb
+       |   FROM q, thr t),
+       | ham AS (SELECT b.vec_id, sum(CASE WHEN b.b <> qb.qb THEN 1 ELSE 0 END) AS h
+       |   FROM bits b JOIN qbits qb ON b.pos = qb.pos GROUP BY b.vec_id),
+       | cand AS (SELECT vec_id FROM (SELECT vec_id,
+       |     row_number() OVER (ORDER BY h ASC, vec_id ASC) AS rn FROM ham) WHERE rn <= 20),
+       | rer AS (SELECT c.vec_id, round(${sqlCos("e.embedding", "q.qv")}, 6) AS score
+       |   FROM cand c JOIN corp e ON e.vec_id = c.vec_id, q),
+       | ranked AS (SELECT vec_id, score,
+       |   row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rn FROM rer)
+       |SELECT vec_id AS doc_id, score, 'emb:' || vec_id AS key FROM ranked WHERE rn <= 5
+       |ORDER BY score DESC, doc_id""".stripMargin
 
   /** Shared PQ CTE block: md5-min sample codebooks (code = sample rank) per
     * subspace, then per-(vec_id, subspace) argmin encoding — the DuckDB twin
@@ -1698,6 +1799,8 @@ object SparkEntry {
     "q_ann_vi_ivf_incr" -> annViIvfIncrSql,
     "q_ann_vi_lsh_incr" -> annViLshIncrSql,
     "q_ann_vi_pq_incr" -> annViPqIncrSql,
+    "q_ann_vi_sq_incr" -> annViSqIncrSql,
+    "q_ann_vi_bq_incr" -> annViBqIncrSql,
     "q_chunk" -> chunkOracleSql,
     "q_dims_filter" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings

@@ -30,6 +30,16 @@ object SearchMode {
     */
   final case class IvfPq(nCells: Int = 16, nProbe: Int = 4, m: Int = 8,
                          ksub: Int = 16, refine: Int = 4, lloydIters: Int = 1) extends SearchMode
+  /** Scalar-quantized scan: 1 byte/dim codes (4× less read than floats),
+    * integer-exact asymmetric scoring, exact cosine rerank of the top
+    * k·refine. No training beyond a d-row min/max aggregation.
+    */
+  final case class Sq(refine: Int = 4) extends SearchMode
+  /** Binary-quantized scan: 1 bit/dim codes (32× less read),
+    * popcount-Hamming candidates, exact cosine rerank — the
+    * overfetch-rescore recipe of qdrant's binary mode.
+    */
+  final case class Bq(refine: Int = 4) extends SearchMode
 }
 
 /** User-facing index handle — the Spark re-expression of the reference's
@@ -164,6 +174,8 @@ final class VectorIndex(
   def annLshPath: String = s"$indexPath/__ann_lsh"
   def annIvfPath: String = s"$indexPath/__ann_ivf"
   def annIvfPqPath: String = s"$indexPath/__ann_ivfpq"
+  def annSqPath: String = s"$indexPath/__ann_sq"
+  def annBqPath: String = s"$indexPath/__ann_bq"
 
   /** Rebuild every configured ANN structure from the CURRENT documents —
     * called after each mutation, so ANN search always reflects the store.
@@ -190,6 +202,22 @@ final class VectorIndex(
             org.apache.spark.sql.functions.col("cell"),
             org.apache.spark.sql.functions.col("codes"))
         graft.ops.ProductQuantization.pqIndexWrite(encoded, cb, annIvfPqPath, Some(centroids))
+      case SearchMode.Sq(_) =>
+        val params = graft.ops.ScalarQuantization.sqTrain(docs, itemVec = "vector")
+        val (mins, maxs) = graft.ops.ScalarQuantization.collectParams(params)
+        graft.ops.ScalarQuantization.sqIndexWrite(
+          graft.ops.ScalarQuantization.sqEncode(docs, mins, maxs, itemVec = "vector")
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("sq")),
+          params, annSqPath)
+      case SearchMode.Bq(_) =>
+        val params = graft.ops.BinaryQuantization.bqTrain(docs, itemVec = "vector")
+        val thr = graft.ops.BinaryQuantization.collectThresholds(params)
+        graft.ops.BinaryQuantization.bqIndexWrite(
+          graft.ops.BinaryQuantization.bqEncode(docs, thr, itemVec = "vector")
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("bq")),
+          params, annBqPath)
       case SearchMode.Exact => ()
     }
   }
@@ -211,6 +239,8 @@ final class VectorIndex(
       case SearchMode.Lsh(_, _)      => !new VersionedDir(spark, annLshPath).exists
       case SearchMode.Ivf(_, _, _)   => !new VersionedDir(spark, annIvfPath).exists
       case SearchMode.IvfPq(_, _, _, _, _, _) => !new VersionedDir(spark, annIvfPqPath).exists
+      case SearchMode.Sq(_)          => !new VersionedDir(spark, annSqPath).exists
+      case SearchMode.Bq(_)          => !new VersionedDir(spark, annBqPath).exists
       case SearchMode.Exact          => false
     }
     if (anyMissingBase) { refreshAnn(); return }
@@ -254,6 +284,25 @@ final class VectorIndex(
         val tombs = tombIds.select(col("doc_id"), lit(null).cast("long").as("cell"),
           lit(null).cast("array<int>").as("codes"), lit(true).as("deleted"))
         annDeltaWrite(annIvfPqPath, adds.unionByName(tombs))
+      case SearchMode.Sq(_) =>
+        // encode against the STORED params — no retrain on a 1-row upsert
+        val (mins, maxs) = graft.ops.ScalarQuantization.collectParams(
+          graft.ops.ScalarQuantization.sqParamsRead(spark, annSqPath))
+        val adds = changedDocs1.select(col("doc_id"),
+          graft.functions.vector.sq_encode(col("vector"), mins, maxs).as("sq"),
+          lit(false).as("deleted"))
+        val tombs = tombIds.select(col("doc_id"),
+          lit(null).cast("binary").as("sq"), lit(true).as("deleted"))
+        annDeltaWrite(annSqPath, adds.unionByName(tombs))
+      case SearchMode.Bq(_) =>
+        val thr = graft.ops.BinaryQuantization.collectThresholds(
+          graft.ops.BinaryQuantization.bqParamsRead(spark, annBqPath))
+        val adds = changedDocs1.select(col("doc_id"),
+          graft.functions.vector.bq_encode(col("vector"), thr).as("bq"),
+          lit(false).as("deleted"))
+        val tombs = tombIds.select(col("doc_id"),
+          lit(null).cast("binary").as("bq"), lit(true).as("deleted"))
+        annDeltaWrite(annBqPath, adds.unionByName(tombs))
       case SearchMode.Exact => ()
     }
     // fold: when enough deltas accumulate, retrain + rewrite once — the
@@ -262,9 +311,25 @@ final class VectorIndex(
       case SearchMode.Lsh(_, _)    => new VersionedDir(spark, annLshPath).listDeltas.size
       case SearchMode.Ivf(_, _, _) => new VersionedDir(spark, annIvfPath).listDeltas.size
       case SearchMode.IvfPq(_, _, _, _, _, _) => new VersionedDir(spark, annIvfPqPath).listDeltas.size
+      case SearchMode.Sq(_)        => new VersionedDir(spark, annSqPath).listDeltas.size
+      case SearchMode.Bq(_)        => new VersionedDir(spark, annBqPath).listDeltas.size
       case SearchMode.Exact        => 0
     }.maxOption.getOrElse(0)
     if (maxPending >= foldEvery) refreshAnn()
+  }
+
+  /** New-wins overlay of a codes delta onto an UNPARTITIONED codes scan
+    * (SQ/BQ — full-scan structures, so there is no partition filter to
+    * preserve): every delta doc shadows its base row (broadcast anti
+    * equi-join — the delta is O(batch)), live delta rows union in.
+    */
+  private def annCodesOverlay(base: DataFrame, delta: Option[DataFrame],
+                              codeCol: String): DataFrame = delta match {
+    case None => base
+    case Some(d) =>
+      import org.apache.spark.sql.functions.{broadcast, col, not}
+      base.join(broadcast(d.select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+        .unionByName(d.filter(not(col("deleted"))).select(col("doc_id"), col(codeCol)))
   }
 
   private def annDeltaWrite(root: String, rows: DataFrame): Unit =
@@ -329,6 +394,24 @@ final class VectorIndex(
           probes, graft.ops.ProductQuantization.PqConfig(config.dims, pm, ksub),
           k, nProbe, refine, itemId = "doc_id", itemVec = "vector",
           delta = annDeltaRead(annIvfPqPath))
+      case SearchMode.Sq(refine) =>
+        val resolved = VersionedDir.resolve(spark, annSqPath)
+        val (mins, maxs) = graft.ops.ScalarQuantization.collectParams(
+          spark.read.parquet(s"$resolved/_sqparams"))
+        val codes = annCodesOverlay(
+          spark.read.parquet(resolved).select(col("doc_id"), col("sq")),
+          annDeltaRead(annSqPath), "sq")
+        graft.ops.ScalarQuantization.sqTopK(codes, documents, mins, maxs,
+          probes, k, refine, itemId = "doc_id", itemVec = "vector")
+      case SearchMode.Bq(refine) =>
+        val resolved = VersionedDir.resolve(spark, annBqPath)
+        val thr = graft.ops.BinaryQuantization.collectThresholds(
+          spark.read.parquet(s"$resolved/_bqparams"))
+        val codes = annCodesOverlay(
+          spark.read.parquet(resolved).select(col("doc_id"), col("bq")),
+          annDeltaRead(annBqPath), "bq")
+        graft.ops.BinaryQuantization.bqTopK(codes, documents, thr,
+          probes, k, refine, itemId = "doc_id", itemVec = "vector")
       case SearchMode.Exact => throw new IllegalStateException("unreachable")
     }
     broadcast(topk.filter(col("score") >= threshold)

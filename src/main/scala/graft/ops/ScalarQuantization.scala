@@ -194,4 +194,19 @@ object BinaryQuantization {
         (-bq_hamming(col("bq"), col("qb"))).cast("double").as("score"))
     ProductQuantization.rerankExact(scored, items, probeDf, k, refine, itemId, itemVec)
   }
+
+  /** Write a BQ-encoded index with its thresholds riding INSIDE the
+    * version dir (`_bqparams`) — codes and params flip atomically, like
+    * [[ScalarQuantization.sqIndexWrite]].
+    */
+  def bqIndexWrite(encoded: DataFrame, params: DataFrame, path: String,
+                   keepVersions: Int = 2): Unit =
+    new graft.api.VersionedDir(encoded.sparkSession, path, keepVersions).replaceWith { dir =>
+      encoded.write.mode("overwrite").parquet(dir)
+      params.coalesce(1).write.mode("overwrite").parquet(s"$dir/_bqparams")
+    }
+
+  /** Thresholds of the ACTIVE index version. */
+  def bqParamsRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"${graft.api.VersionedDir.resolve(spark, path)}/_bqparams")
 }

@@ -471,26 +471,65 @@ object TextAnalysis {
   def dsirWeights(corpus: DataFrame, target: DataFrame, buckets: Int = 1024,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    def feats(df: DataFrame): DataFrame = {
-      val toks = df.select(col(idCol), word_tokens(col(textCol)).as("w"))
-      val uni = toks.select(col(idCol), explode(col("w")).as("f"))
-      val big = toks.select(col(idCol), explode(when(size(col("w")) >= 2,
-          transform(sequence(lit(1), size(col("w")) - 1),
-            i => concat(element_at(col("w"), i), lit(" "), element_at(col("w"), i + 1))))
-        .otherwise(array().cast("array<string>"))).as("f"))
-      uni.unionByName(big)
-        .select(col(idCol), (hexhash32(col("f")) % buckets).as("bucket"))
-    }
-    val docBuckets = feats(corpus)
+    val docBuckets = dsirFeatBuckets(corpus, textCol, idCol, buckets)
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("n"))
     val rawCnt = docBuckets.groupBy("bucket").agg(sum(col("n")).as("rc"))
-    val tgtCnt = feats(target).groupBy("bucket").agg(count(lit(1)).as("tc"))
-    val rawTot = rawCnt.agg(coalesce(sum("rc"), lit(0L)).as("rt"))
-    val tgtTot = tgtCnt.agg(coalesce(sum("tc"), lit(0L)).as("tt"))
-    val lam = rawCnt.join(tgtCnt, Seq("bucket"), "left")
-      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+    val tgtCnt = dsirFeatBuckets(target, textCol, idCol, buckets)
+      .groupBy("bucket").agg(count(lit(1)).as("tc"))
+    val modelCnt = rawCnt.join(tgtCnt, Seq("bucket"), "left")
+      .select(col("bucket"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
+    dsirScore(corpus, docBuckets, modelCnt, buckets, idCol)
+  }
+
+  /** [[dsirWeights]] when the target is a SLICE of the corpus (the common
+    * in-pipeline case: "docs that look like wiki" / "lang = en" / "label =
+    * high-quality"): ONE tokenize+explode pass feeds BOTH models — the
+    * target flag rides the exploded features, and one fused aggregation
+    * produces raw and target counts together. Identical math and output to
+    * `dsirWeights(corpus, corpus.filter(isTarget))`, half the scans.
+    */
+  def dsirWeightsSlice(corpus: DataFrame, isTarget: Column, buckets: Int = 1024,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val docBuckets = dsirFeatBuckets(corpus, textCol, idCol, buckets, Some(isTarget))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("tn"))
+    val modelCnt = docBuckets.groupBy("bucket")
+      .agg(sum(col("n")).as("rc"), sum(col("tn")).as("tc"))
+    dsirScore(corpus, docBuckets.select(col(idCol), col("bucket"), col("n")),
+      modelCnt, buckets, idCol)
+  }
+
+  /** One tokenize + ONE explode per document: unigrams and bigrams ride the
+    * same concatenated array (the projections stay separate, so the token
+    * kernel runs once per row — CollapseProject keeps non-cheap refs).
+    */
+  private def dsirFeatBuckets(df: DataFrame, textCol: String, idCol: String,
+                              buckets: Int, isTarget: Option[Column] = None): DataFrame = {
+    val w = col("__w")
+    val bigrams = when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val base = df.select(Seq(col(idCol), word_tokens(col(textCol)).as("__w")) ++
+      isTarget.map(_.as("__t")).toSeq: _*)
+    base.select(Seq(col(idCol), explode(concat(w, bigrams)).as("f")) ++
+        isTarget.map(_ => col("__t")).toSeq: _*)
+      .select(Seq(col(idCol), (hexhash32(col("f")) % buckets).as("bucket")) ++
+        isTarget.map(_ => col("__t")).toSeq: _*)
+  }
+
+  /** Shared scoring tail: λ[b] = micro-nat rounded log-ratio of the add-one
+    * smoothed models (BUCKETS-bounded, broadcast), per-doc exact long sums.
+    */
+  private def dsirScore(corpus: DataFrame, docBuckets: DataFrame, modelCnt: DataFrame,
+                        buckets: Int, idCol: String): DataFrame = {
+    val tots = modelCnt.agg(coalesce(sum("rc"), lit(0L)).as("rt"),
+      coalesce(sum("tc"), lit(0L)).as("tt"))
+    val lam = modelCnt.crossJoin(broadcast(tots))
       .select(col("bucket"),
-        round((log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("tt") + lit(buckets))) -
+        round((log((col("tc") + lit(1.0)) / (col("tt") + lit(buckets))) -
                log((col("rc") + lit(1.0)) / (col("rt") + lit(buckets)))) * 1e6)
           .cast("long").as("lam"))
     val perDoc = docBuckets.join(broadcast(lam), Seq("bucket"))

@@ -211,6 +211,39 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(nonEmptyPf.findFirstIn(ivfPlan).isDefined, s"no partition filter in:\n$ivfPlan")
   }
 
+  test("Sq/Bq modes: full-refine parity with exact search; mutations ride the delta overlay") {
+    val idx = annIndex("annSqBq", Seq(SearchMode.Sq(refine = 4), SearchMode.Bq(refine = 4)))
+    idx.rebuild(annSource)
+    val q = "document number 17 about topic3 detail17"
+    val exact = idx.search(q, k = 5, threshold = -1.0)
+      .select(col("doc_id"), round(col("score"), 6)).as[(Long, Double)].collect().toSet
+    // refine wide enough to rerank the whole corpus ⇒ quantized == exact
+    val sqFull = idx.search(q, k = 5, threshold = -1.0, mode = SearchMode.Sq(refine = 60))
+      .select(col("doc_id"), round(col("score"), 6)).as[(Long, Double)].collect().toSet
+    val bqFull = idx.search(q, k = 5, threshold = -1.0, mode = SearchMode.Bq(refine = 60))
+      .select(col("doc_id"), round(col("score"), 6)).as[(Long, Double)].collect().toSet
+    assert(sqFull == exact)
+    assert(bqFull == exact)
+
+    // mutations land as O(batch) deltas — codes encoded against the STORED
+    // params, no retrain — and both searches see them immediately
+    val bestKey = idx.search(q, k = 1, threshold = -1.0).select("key").as[String].head()
+    val newDoc = graft.pipeline.IndexBuild.buildDocuments(
+      Seq((1000L, q)).toDF("id", "body"),   // a perfect-match doc
+      idx.config, idx.backend, "page", "id")
+    idx.upsert(newDoc)
+    val bestChunkIds = idx.documents
+      .filter(col("object_keys").getItem(0) === bestKey)
+      .select("doc_id").as[Long].collect().toSeq
+    idx.delete(bestChunkIds)
+    Seq(SearchMode.Sq(refine = 60), SearchMode.Bq(refine = 60)).foreach { m =>
+      val keys = idx.search(q, k = 5, threshold = -1.0, mode = m)
+        .select("key").as[String].collect().toSet
+      assert(keys.contains("page:1000"), s"$m misses the upserted doc: $keys")
+      assert(!keys.contains(bestKey), s"$m still returns the deleted doc: $keys")
+    }
+  }
+
   test("metadata-filtered search: exact pre-filters the scan; ANN post-filters an overfetched page") {
     val idx = annIndex("annFilt", Seq(SearchMode.Lsh(bits = 4, maxHamming = 1)))
     idx.rebuild(annSource)

@@ -458,6 +458,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(3L) == ((0L, 0.0)))  // empty doc: no features, weight 0
   }
 
+  test("dsirWeightsSlice equals dsirWeights on the filtered corpus (one-pass fusion parity)") {
+    val corpus = Seq(
+      (1L, "physics quantum electron field theory"),
+      (2L, "physics quantum particle wave"),
+      (3L, "football soccer goal match referee"),
+      (4L, "football stadium crowd goal"),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val twoPass = TextAnalysis.dsirWeights(corpus, corpus.filter($"doc_id" <= 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val onePass = TextAnalysis.dsirWeightsSlice(corpus, $"doc_id" <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(onePass == twoPass)
+  }
+
   test("dsirWeights: documents matching the target distribution score higher") {
     val corpus = Seq(
       (1L, "physics quantum electron field theory"),
