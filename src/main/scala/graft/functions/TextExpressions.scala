@@ -419,6 +419,34 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends StringKernelExpr
   override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(child = c)
 }
 
+/** DSIR hashed-feature buckets → array<long>: every unigram then every
+  * bigram of the tokenized text, hashed to `hex32(feature) % buckets` — a
+  * MULTISET (occurrence counts carry the model weights), value-identical to
+  * exploding the feature strings through `hexhash32 % buckets` but with one
+  * tokenization, no per-feature string column, and an 8-byte/feature
+  * explode. The bigram digest streams `w1 + ' ' + w2` without building the
+  * joined string.
+  */
+case class DsirBucketsExpr(child: Expression, buckets: Int) extends StringKernelExpression {
+  require(buckets > 0, "buckets must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected override def nullSafeEval(v: Any): Any = {
+    val ws = TextKernel.tokens(input(v))
+    val n = ws.length
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](if (n >= 2) 2 * n - 1 else n)
+    var i = 0
+    while (i < n) { out(i) = TextKernel.hex32(ws(i)) % buckets; i += 1 }
+    var j = 0
+    while (j + 1 < n) {
+      out(n + j) = TextKernel.hex32(ws(j) + " " + ws(j + 1)) % buckets
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): DsirBucketsExpr = copy(child = c)
+}
+
 /** Jaccard similarity of two SORTED long arrays (set semantics) via a
   * two-pointer merge — no per-element lambda interpretation, no hash sets.
   */
@@ -576,6 +604,8 @@ object textkernel {
   def chars_in_set_count(c: Column, chars: String): Column =
     toColumn(CharsInSetCountExpr(toExpression(c), chars))
   def shingle_hashes(c: Column, n: Int): Column = toColumn(ShingleHashesExpr(toExpression(c), n))
+  def dsir_buckets(c: Column, buckets: Int): Column =
+    toColumn(DsirBucketsExpr(toExpression(c), buckets))
   def token_stats(c: Column): Column = toColumn(TokenStatsExpr(toExpression(c)))
   def lsh_bucket(c: Column, dims: Int, bits: Int, planeOffset: Int = 0): Column =
     toColumn(LshBucketExpr(toExpression(c), dims, bits, planeOffset))

@@ -501,24 +501,16 @@ object TextAnalysis {
       modelCnt, buckets, idCol)
   }
 
-  /** One tokenize + ONE explode per document: unigrams and bigrams ride the
-    * same concatenated array (the projections stay separate, so the token
-    * kernel runs once per row — CollapseProject keeps non-cheap refs).
+  /** One compiled kernel pass + ONE 8-byte/feature explode per document:
+    * [[graft.functions.DsirBucketsExpr]] tokenizes once and emits the
+    * hashed unigram+bigram bucket MULTISET directly — no per-feature
+    * string column ever materializes.
     */
   private def dsirFeatBuckets(df: DataFrame, textCol: String, idCol: String,
-                              buckets: Int, isTarget: Option[Column] = None): DataFrame = {
-    val w = col("__w")
-    val bigrams = when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1),
-          i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val base = df.select(Seq(col(idCol), word_tokens(col(textCol)).as("__w")) ++
+                              buckets: Int, isTarget: Option[Column] = None): DataFrame =
+    df.select(Seq(col(idCol),
+      explode(dsir_buckets(col(textCol), buckets)).as("bucket")) ++
       isTarget.map(_.as("__t")).toSeq: _*)
-    base.select(Seq(col(idCol), explode(concat(w, bigrams)).as("f")) ++
-        isTarget.map(_ => col("__t")).toSeq: _*)
-      .select(Seq(col(idCol), (hexhash32(col("f")) % buckets).as("bucket")) ++
-        isTarget.map(_ => col("__t")).toSeq: _*)
-  }
 
   /** Shared scoring tail: λ[b] = micro-nat rounded log-ratio of the add-one
     * smoothed models (BUCKETS-bounded, broadcast), per-doc exact long sums.
