@@ -47,5 +47,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("jaccard_sorted", es => JaccardSortedExpr(es(0), es(1)))
     reg("winnow_fp", es => WinnowFpExpr(es(0)))
     reg("repetition_stats", es => RepetitionStatsExpr(es(0)))
+    reg("dsir_buckets", es => graft.functions.DsirBucketsExpr(es(0),
+      intArg(es, 1, "dsir_buckets")))
+    reg("bq_hamming", es => graft.functions.BqHammingExpr(es(0), es(1)))
   }
 }

@@ -85,6 +85,15 @@ class VectorExpressionSpec extends AnyFunSuite {
     val err = intercept[Exception](
       spark.sql("SELECT minhash_sig(text, CAST(id AS INT), 3) FROM tt").head())
     assert(err.getMessage.contains("literal"), err.getMessage)
+    // round-10 registrations: dsir_buckets multiset (2n−1 features for n
+    // words), bq_hamming over binary codes
+    val db = spark.sql("SELECT dsir_buckets(text, 64) AS f FROM tt").head()
+    assert(db.getSeq[Long](0).length == 17) // 9 unigrams + 8 bigrams
+    assert(db.getSeq[Long](0).forall(b => b >= 0 && b < 64))
+    val hm = spark.sql(
+      "SELECT bq_hamming(CAST('ab' AS BINARY), CAST('ac' AS BINARY)) AS h").head()
+    // 'b'(0x62) xor 'c'(0x63) = 0x01 → 1 differing bit
+    assert(hm.getInt(0) == 1)
   }
 
   test("interpreted eval matches codegen result") {

@@ -77,6 +77,25 @@ class SqSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("SQ quantization error is bounded by half a step per dimension") {
+    val (mins, maxs) = params
+    val enc = ScalarQuantization.sqEncode(items, mins, maxs)
+      .select(col("vec_id"), sq_codes(col("sq")).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val vecs = items.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val cs = enc(id)
+      (0 until dims).foreach { i =>
+        val step = (maxs(i).toDouble - mins(i).toDouble) / 255.0
+        val dequant = mins(i).toDouble + cs(i) * step
+        // round-to-nearest: |x − dequant| ≤ step/2 (+ ε for the float cast)
+        assert(math.abs(v(i).toDouble - dequant) <= step / 2 + 1e-9,
+          s"vec $id dim $i: x=${v(i)} dequant=$dequant step=$step")
+      }
+    }
+  }
+
   test("degenerate dimensions (max = min) encode as 0 and contribute a constant") {
     val flat = (0L until 20L).map(i => (i, Seq.fill(4)(0.25f) ++ vec(i).take(4)))
       .toDF("vec_id", "embedding")
