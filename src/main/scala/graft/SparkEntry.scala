@@ -480,6 +480,17 @@ object SparkEntry {
       ScalarQuantization.sqTopK(encoded, emb, mins, maxs, probes, k = 5, refine = 4)
         .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
     },
+    // IVF × SQ composition: cell-PRUNED scan of the 1-byte/dim codes index,
+    // SQ-LUT candidate scoring, exact rerank — the SQ sibling of q_pq_ivf_topk
+    "q_sq_ivf_topk" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      ScalarQuantization.ivfSqTopKPruned(s, sqIndexFor(s, dir), emb, probes,
+          k = 5, nProbe = 4, refine = 4)
+        .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
+    },
     // binary quantization: 1 bit/dim (32×), Hamming-popcount candidates,
     // exact rerank — qdrant's binary-quantization overfetch-rescore recipe
     "q_bq_topk" -> { (s, dir) =>
@@ -977,6 +988,21 @@ object SparkEntry {
       path
     })
 
+  /** Cell-partitioned SQ-codes index (IVF × SQ composition) for `dir`. */
+  private val sqIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def sqIndexFor(s: SparkSession, dir: String): String =
+    sqIndexPaths.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-sq").toString + "/idx"
+      val emb = tbl(s, dir, "embeddings")
+      val (assigned, centroids) = SimilaritySearch.ivfAssign(emb, nCells = 16)
+      val (mins, maxs) = ScalarQuantization.collectParams(ScalarQuantization.sqTrain(emb))
+      val encoded = ScalarQuantization.sqEncode(assigned, mins, maxs)
+        .select(col("vec_id"), col("cell"), col("sq"))
+      ScalarQuantization.sqIndexWrite(encoded, ScalarQuantization.sqTrain(emb),
+        path, Some(centroids))
+      path
+    })
+
   /** Delta-sidecar store lifecycle (S7/S10 through the O(batch) path): base
     * replace, then an upsert whose batch mixes doc_id CONFLICTS (old-wins —
     * the modified copies must NOT surface) with genuinely-new rows (an "add"
@@ -1469,6 +1495,43 @@ object SparkEntry {
        |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  /** IVF × SQ oracle: the q_ann_ivf_topk cell replay (seeds, probe cells,
+    * assignment) composed with the SQ encode + LUT replay — candidates are
+    * (probed cells ∩ corpus), scored by exact-integer SQ ADC, cosine-
+    * reranked top-5.
+    */
+  private val sqIvfTopkSql: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |   ORDER BY ${sqlHex60("'ivf:' || vec_id")} ASC, vec_id ASC LIMIT 16),
+       | pd AS (SELECT e.vec_id AS qid, e.embedding AS qv, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist
+       |   FROM embeddings e, c WHERE e.vec_id < 5),
+       | pc AS (SELECT qid, qv, cid AS cell FROM (SELECT qid, qv, cid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rn FROM pd) WHERE rn <= 4),
+       | ad AS (SELECT e.vec_id, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist FROM embeddings e, c),
+       | assign AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM ad) WHERE rn = 1),
+       | $sqCtes,
+       | p AS (SELECT qid, any_value(qv) AS qv FROM pc GROUP BY qid),
+       | lut AS (SELECT p.qid, m.pos - 1 AS pos,
+       |     CAST(round((p.qv[m.pos]::DOUBLE - m.mn::DOUBLE) * (p.qv[m.pos]::DOUBLE - m.mn::DOUBLE) * 1000000.0) AS BIGINT) AS a,
+       |     CAST(round(2.0 * (p.qv[m.pos]::DOUBLE - m.mn::DOUBLE) * ((m.mx::DOUBLE - m.mn::DOUBLE) / 255.0) * 1000000.0) AS BIGINT) AS b,
+       |     CAST(round(((m.mx::DOUBLE - m.mn::DOUBLE) / 255.0) * ((m.mx::DOUBLE - m.mn::DOUBLE) / 255.0) * 1000000.0) AS BIGINT) AS cc
+       |   FROM p, mm m),
+       | cand0 AS (SELECT DISTINCT pc.qid, a.vec_id FROM assign a JOIN pc ON a.cell = pc.cell),
+       | adc AS (SELECT c0.qid, c0.vec_id, sum(l.a - l.b * e.code + l.cc * e.code * e.code) AS dist
+       |   FROM cand0 c0 JOIN enc e ON e.vec_id = c0.vec_id
+       |   JOIN lut l ON l.qid = c0.qid AND l.pos = e.pos
+       |   GROUP BY c0.qid, c0.vec_id),
+       | cand AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |     row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn FROM adc)
+       |   WHERE rn <= 20),
+       | rer AS (SELECT c.qid, c.vec_id, round(${sqlCos("e.embedding", "p.qv")}, 6) AS score
+       |   FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN p ON p.qid = c.qid),
+       | ranked AS (SELECT qid, vec_id, score,
+       |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank FROM rer)
+       |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   /** BQ top-k oracle: per-dim mean thresholds from scaled-long sums (the
     * Lloyd-oracle integer trick), bit = x > thr for items and probes alike,
     * Hamming = count of differing bits, top-20 by (hamming ASC, vec_id ASC),
@@ -1824,6 +1887,7 @@ object SparkEntry {
     "q_pq_topk" -> pqTopkSql,
     "q_sq_encode" -> sqEncodeSql,
     "q_sq_topk" -> sqTopkSql,
+    "q_sq_ivf_topk" -> sqIvfTopkSql,
     "q_bq_topk" -> bqTopkSql,
     "q_pq_ivf_topk" -> pqIvfTopkSql,
     "q_dup_clusters" -> dupClustersSql,

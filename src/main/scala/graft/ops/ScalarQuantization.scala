@@ -107,13 +107,58 @@ object ScalarQuantization {
   /** Write an SQ-encoded index with its params riding INSIDE the version
     * dir (`_sqparams`) — codes and the extremes they were computed against
     * flip atomically together, like [[ProductQuantization.pqIndexWrite]].
+    * When the input carries a `cell` column (IVF composition) the codes are
+    * partitioned by cell, and the centroids ride in-dir too.
     */
   def sqIndexWrite(encoded: DataFrame, params: DataFrame, path: String,
-                   keepVersions: Int = 2): Unit =
+                   centroids: Option[DataFrame] = None, keepVersions: Int = 2): Unit =
     new graft.api.VersionedDir(encoded.sparkSession, path, keepVersions).replaceWith { dir =>
-      encoded.write.mode("overwrite").parquet(dir)
+      val w =
+        if (encoded.columns.contains("cell")) encoded.repartition(col("cell")).write.partitionBy("cell")
+        else encoded.write
+      w.mode("overwrite").parquet(dir)
       params.coalesce(1).write.mode("overwrite").parquet(s"$dir/_sqparams")
+      centroids.foreach(_.coalesce(1).write.mode("overwrite").parquet(s"$dir/_centroids"))
     }
+
+  /** IVF × SQ — cell pruning over the 1-byte/dim codes index: probe cells
+    * are picked driver-side against the version's own centroids (static
+    * partition pruning — only candidate cell directories are read, carrying
+    * d bytes/row instead of 4d), candidates are scored by the probe's SQ
+    * LUT on a probe↔cell equi-join, and the top k·refine ids rerank
+    * exactly. The index must have been written by [[sqIndexWrite]] with a
+    * `cell` column and centroids — the SQ sibling of
+    * [[ProductQuantization.ivfPqTopKPruned]].
+    */
+  def ivfSqTopKPruned(spark: SparkSession, indexPath: String, items: DataFrame,
+                      probes: Seq[(Long, Seq[Float])],
+                      k: Int = 10, nProbe: Int = 4, refine: Int = 4,
+                      itemId: String = "vec_id", itemVec: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val resolved = graft.api.VersionedDir.resolve(spark, indexPath)
+    val (cvs, cids) = SimilaritySearch.collectCentroids(
+      spark.read.parquet(s"$resolved/_centroids"))
+    val (mins, maxs) = collectParams(spark.read.parquet(s"$resolved/_sqparams"))
+    val expanded = probes.flatMap { case (qid, qv) =>
+      val lut = sqLut(qv, mins, maxs).toSeq
+      SimilaritySearch.nearestCellsLocal(qv, cvs, cids, nProbe)
+        .map(c => (qid, qv, c, lut))
+    }
+    val probeDf = expanded.toDF("qid", "qv", "__cell", "lut")
+      .select(col("qid"), col("qv").cast("array<float>"), col("__cell"), col("lut"))
+    val raw = spark.read.parquet(resolved)
+    val candCells: Seq[Any] = raw.schema("cell").dataType match {
+      case org.apache.spark.sql.types.IntegerType => expanded.map(_._3.toInt).distinct
+      case _                                      => expanded.map(_._3).distinct
+    }
+    val index = raw.filter(col("cell").isin(candCells: _*))
+      .withColumn("__cell", col("cell").cast("long")).drop("cell")
+    val scored = index
+      .join(broadcast(probeDf.select(col("qid"), col("__cell"), col("lut"))), Seq("__cell"))
+      .select(col("qid"), col(itemId),
+        (-sq_adc(col("sq"), col("lut"))).cast("double").as("score"))
+    ProductQuantization.rerankExact(scored, items, probeDf, k, refine, itemId, itemVec)
+  }
 
   /** Params of the ACTIVE index version. */
   def sqParamsRead(spark: SparkSession, path: String): DataFrame =

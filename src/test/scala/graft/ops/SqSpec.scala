@@ -157,6 +157,32 @@ class SqSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("IVF × SQ pruned: partition filter + codes-only scan; full width equals brute force") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sqivf").toString
+    val (assigned, centroids) = SimilaritySearch.ivfAssign(items, nCells = 8)
+    val (mins, maxs) = params
+    ScalarQuantization.sqIndexWrite(
+      ScalarQuantization.sqEncode(assigned, mins, maxs).select("vec_id", "cell", "sq"),
+      ScalarQuantization.sqTrain(items), s"$tmp/sqivf", Some(centroids))
+    val probes = (0L until 3L).map(i => (i, vec(i)))
+    // full probe width + full refine ⇒ identical to brute force
+    val full = ScalarQuantization.ivfSqTopKPruned(spark, s"$tmp/sqivf", items,
+        probes, k = 5, nProbe = 8, refine = 40)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = SimilaritySearch.bruteForceTopK(items,
+        probes.toDF("qid", "qv").select(col("qid"), col("qv").cast("array<float>").as("qv")),
+        k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+    // narrow probe: the scan carries a static partition filter AND reads
+    // codes only (the float vector never enters the candidate scan)
+    val p = ScalarQuantization.ivfSqTopKPruned(spark, s"$tmp/sqivf", items,
+      probes, k = 5, nProbe = 2).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(p).isDefined, p)
+    val codeScans = "ReadSchema: [^\\n]*sq:binary".r.findAllIn(p).toSeq
+    assert(codeScans.nonEmpty && codeScans.forall(!_.contains("embedding")), p)
+  }
+
   test("sqIndexWrite versions codes + params together; reader survives a rebuild") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sq").toString
     val (mins, maxs) = params
