@@ -587,6 +587,14 @@ object SparkEntry {
         .orderBy(desc("score"), col("doc_id").asc)
     },
     // ---- dedup family ----
+    // semantic decontamination: corpus rows too close (max cosine) to any
+    // eval-set embedding — the label=0 slice stands in for the benchmark
+    "q_semantic_decontam" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Dedup.semanticDecontaminate(emb.filter(col("label") =!= 0),
+          emb.filter(col("label") === 0), threshold = 0.3)
+        .orderBy("vec_id")
+    },
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(docsPar(s, dir)).orderBy("content_hash")
         .select(col("content_hash"), col("n_dups").cast("long").as("n_dups"), col("canonical_id"))
@@ -2256,6 +2264,13 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
          |  coalesce(round(s / 1000000.0, 6), 0.0) AS log_ratio
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_semantic_decontam" ->
+      s"""WITH ev AS (SELECT embedding AS evv FROM embeddings WHERE label = 0),
+         | sc AS (SELECT c.vec_id, round(${sqlCos("c.embedding", "ev.evv")}, 6) AS cs
+         |   FROM embeddings c, ev WHERE c.label <> 0),
+         | mx AS (SELECT vec_id, max(cs) AS max_cos FROM sc GROUP BY vec_id)
+         |SELECT vec_id, max_cos, max_cos >= 0.3 AS contaminated
+         |FROM mx ORDER BY vec_id""".stripMargin,
     "q_stratified" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${sqlHex60("'sample:' || doc_id")} / 1152921504606846976.0

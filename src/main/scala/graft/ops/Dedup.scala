@@ -368,6 +368,30 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Semantic benchmark decontamination: flag corpus items whose embedding
+    * is too close to ANY eval-set embedding (max cosine ≥ threshold) — the
+    * embedding-space complement of the n-gram
+    * [[TextAnalysis.decontaminate]]: n-gram collision misses paraphrased
+    * eval leakage; cosine catches it. Same scale discipline as the n-gram
+    * side: the EVAL set (a fixed benchmark — bounded by construction) is
+    * BROADCAST; the corpus is scanned once, each row scored against the
+    * broadcast rows by the codegen cosine kernel, and the one exchange is
+    * the map-side-combined per-id max — one row per corpus item. The
+    * corpus is never self-joined and never shuffled by anything
+    * eval-sized.
+    */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            threshold: Double = 0.95,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val ev = broadcast(evalSet.select(col(vecCol).as("__ev")))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(ev)
+      .select(col(idCol), round(vec_cosine(col(vecCol), col("__ev")), 6).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("max_cos"))
+      .withColumn("contaminated", col("max_cos") >= threshold)
+  }
+
   /** Embedding near-dup when NO natural blocking attribute exists — the
     * content-derived scale path: block by the random-hyperplane LSH bucket
     * of the vector itself ([[SimilaritySearch.lshBucket]], the same md5

@@ -23,6 +23,23 @@ class DedupSpec extends AnyFunSuite {
     assert(r.length == 3)
   }
 
+  test("semanticDecontaminate flags corpus rows near an eval embedding, not orthogonal ones") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),      // identical to eval row → max_cos 1.0
+      (2L, Seq(0.7f, 0.7f, 0f, 0f)),  // cos ≈ 0.707 to each eval row
+      (3L, Seq(0f, 0f, 1f, 0f)))      // orthogonal to both eval rows
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val ev = Seq((10L, Seq(1f, 0f, 0f, 0f)), (11L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val r = Dedup.semanticDecontaminate(corpus, ev, threshold = 0.95)
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getBoolean(2)))).toMap
+    assert(r(1L) == ((1.0, true)))
+    assert(r(2L)._2 == false && r(2L)._1 > 0.7)  // related but under 0.95
+    assert(r(3L) == ((0.0, false)))
+  }
+
   test("minhash LSH finds the exact and near duplicate, not the unrelated doc") {
     val pairs = Dedup.minhashLsh(docs, threshold = 0.3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
