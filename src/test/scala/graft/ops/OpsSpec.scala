@@ -33,8 +33,12 @@ class DedupSpec extends AnyFunSuite {
     val ev = Seq((10L, Seq(1f, 0f, 0f, 0f)), (11L, Seq(0f, 1f, 0f, 0f)))
       .toDF("vec_id", "embedding")
       .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
-    val r = Dedup.semanticDecontaminate(corpus, ev, threshold = 0.95)
-      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getBoolean(2)))).toMap
+    val df = Dedup.semanticDecontaminate(corpus, ev, threshold = 0.95)
+    // the eval side must ride as a BROADCAST nested loop (no equi-key
+    // exists) — a shuffled CartesianProduct would move the corpus
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val r = df.collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getBoolean(2)))).toMap
     assert(r(1L) == ((1.0, true)))
     assert(r(2L)._2 == false && r(2L)._1 > 0.7)  // related but under 0.95
     assert(r(3L) == ((0.0, false)))
