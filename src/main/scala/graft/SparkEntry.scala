@@ -503,6 +503,18 @@ object SparkEntry {
       BinaryQuantization.bqTopK(encoded, emb, thr, probes, k = 5, refine = 4)
         .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
     },
+    // IVF × BQ composition: cell-PRUNED scan of the 1-BIT/dim codes index
+    // (8 bytes/row at d=64), Hamming candidates, exact rerank — completes
+    // the IVF × {PQ, SQ, BQ} matrix
+    "q_bq_ivf_topk" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      BinaryQuantization.ivfBqTopKPruned(s, bqIndexFor(s, dir), emb, probes,
+          k = 5, nProbe = 4, refine = 4)
+        .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
+    },
     // IVF × PQ composition: cell-PRUNED scan of the 8-byte codes index,
     // ADC candidate scoring, exact rerank (memoized stored index — the
     // real deployment read path, partition filter and all)
@@ -1007,6 +1019,21 @@ object SparkEntry {
       val encoded = ScalarQuantization.sqEncode(assigned, mins, maxs)
         .select(col("vec_id"), col("cell"), col("sq"))
       ScalarQuantization.sqIndexWrite(encoded, ScalarQuantization.sqTrain(emb),
+        path, Some(centroids))
+      path
+    })
+
+  /** Cell-partitioned BQ-codes index (IVF × BQ composition) for `dir`. */
+  private val bqIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def bqIndexFor(s: SparkSession, dir: String): String =
+    bqIndexPaths.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-bq").toString + "/idx"
+      val emb = tbl(s, dir, "embeddings")
+      val (assigned, centroids) = SimilaritySearch.ivfAssign(emb, nCells = 16)
+      val thr = BinaryQuantization.collectThresholds(BinaryQuantization.bqTrain(emb))
+      val encoded = BinaryQuantization.bqEncode(assigned, thr)
+        .select(col("vec_id"), col("cell"), col("bq"))
+      BinaryQuantization.bqIndexWrite(encoded, BinaryQuantization.bqTrain(emb),
         path, Some(centroids))
       path
     })
@@ -1540,6 +1567,44 @@ object SparkEntry {
        |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  /** IVF × BQ oracle: cell replay composed with the BQ threshold/bit
+    * replay — candidates are (probed cells ∩ corpus), Hamming-scored,
+    * cosine-reranked top-5.
+    */
+  private val bqIvfTopkSql: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |   ORDER BY ${sqlHex60("'ivf:' || vec_id")} ASC, vec_id ASC LIMIT 16),
+       | pd AS (SELECT e.vec_id AS qid, e.embedding AS qv, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist
+       |   FROM embeddings e, c WHERE e.vec_id < 5),
+       | pc AS (SELECT qid, qv, cid AS cell FROM (SELECT qid, qv, cid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rn FROM pd) WHERE rn <= 4),
+       | ad AS (SELECT e.vec_id, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist FROM embeddings e, c),
+       | assign AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM ad) WHERE rn = 1),
+       | bqdims AS (SELECT unnest(generate_series(1, 64)) AS pos),
+       | bm AS (SELECT d.pos, sum(CAST(round(e.embedding[d.pos]::DOUBLE * 1000000.0) AS BIGINT)) AS s, count(*) AS n
+       |   FROM embeddings e, bqdims d GROUP BY d.pos),
+       | thr AS (SELECT pos, (s::DOUBLE / 1000000.0) / n AS thr FROM bm),
+       | bits AS (SELECT e.vec_id, t.pos, CASE WHEN e.embedding[t.pos]::DOUBLE > t.thr THEN 1 ELSE 0 END AS b
+       |   FROM embeddings e, thr t),
+       | p AS (SELECT qid, any_value(qv) AS qv FROM pc GROUP BY qid),
+       | qbits AS (SELECT p.qid, t.pos, CASE WHEN p.qv[t.pos]::DOUBLE > t.thr THEN 1 ELSE 0 END AS qb
+       |   FROM p, thr t),
+       | cand0 AS (SELECT DISTINCT pc.qid, a.vec_id FROM assign a JOIN pc ON a.cell = pc.cell),
+       | ham AS (SELECT c0.qid, c0.vec_id, sum(CASE WHEN b.b <> q.qb THEN 1 ELSE 0 END) AS h
+       |   FROM cand0 c0 JOIN bits b ON b.vec_id = c0.vec_id
+       |   JOIN qbits q ON q.qid = c0.qid AND q.pos = b.pos
+       |   GROUP BY c0.qid, c0.vec_id),
+       | cand AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |     row_number() OVER (PARTITION BY qid ORDER BY h ASC, vec_id ASC) AS rn FROM ham)
+       |   WHERE rn <= 20),
+       | rer AS (SELECT c.qid, c.vec_id, round(${sqlCos("e.embedding", "p.qv")}, 6) AS score
+       |   FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN p ON p.qid = c.qid),
+       | ranked AS (SELECT qid, vec_id, score,
+       |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank FROM rer)
+       |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   /** BQ top-k oracle: per-dim mean thresholds from scaled-long sums (the
     * Lloyd-oracle integer trick), bit = x > thr for items and probes alike,
     * Hamming = count of differing bits, top-20 by (hamming ASC, vec_id ASC),
@@ -1897,6 +1962,7 @@ object SparkEntry {
     "q_sq_topk" -> sqTopkSql,
     "q_sq_ivf_topk" -> sqIvfTopkSql,
     "q_bq_topk" -> bqTopkSql,
+    "q_bq_ivf_topk" -> bqIvfTopkSql,
     "q_pq_ivf_topk" -> pqIvfTopkSql,
     "q_dup_clusters" -> dupClustersSql,
     "q_dedup_corpus" -> dedupCorpusSql,

@@ -242,14 +242,54 @@ object BinaryQuantization {
 
   /** Write a BQ-encoded index with its thresholds riding INSIDE the
     * version dir (`_bqparams`) — codes and params flip atomically, like
-    * [[ScalarQuantization.sqIndexWrite]].
+    * [[ScalarQuantization.sqIndexWrite]]. Cell-partitions when the input
+    * carries a `cell` column (IVF composition), centroids riding in-dir.
     */
   def bqIndexWrite(encoded: DataFrame, params: DataFrame, path: String,
-                   keepVersions: Int = 2): Unit =
+                   centroids: Option[DataFrame] = None, keepVersions: Int = 2): Unit =
     new graft.api.VersionedDir(encoded.sparkSession, path, keepVersions).replaceWith { dir =>
-      encoded.write.mode("overwrite").parquet(dir)
+      val w =
+        if (encoded.columns.contains("cell")) encoded.repartition(col("cell")).write.partitionBy("cell")
+        else encoded.write
+      w.mode("overwrite").parquet(dir)
       params.coalesce(1).write.mode("overwrite").parquet(s"$dir/_bqparams")
+      centroids.foreach(_.coalesce(1).write.mode("overwrite").parquet(s"$dir/_centroids"))
     }
+
+  /** IVF × BQ — cell pruning over the 1-BIT/dim codes index (d/8 bytes per
+    * row; at d=64 an 8-byte row, the smallest candidate representation in
+    * the engine), Hamming-scored on the probe↔cell equi-join, exact cosine
+    * rerank — completing the IVF × {PQ, SQ, BQ} composition matrix.
+    */
+  def ivfBqTopKPruned(spark: SparkSession, indexPath: String, items: DataFrame,
+                      probes: Seq[(Long, Seq[Float])],
+                      k: Int = 10, nProbe: Int = 4, refine: Int = 4,
+                      itemId: String = "vec_id", itemVec: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val resolved = graft.api.VersionedDir.resolve(spark, indexPath)
+    val (cvs, cids) = SimilaritySearch.collectCentroids(
+      spark.read.parquet(s"$resolved/_centroids"))
+    val thr = collectThresholds(spark.read.parquet(s"$resolved/_bqparams"))
+    val expanded = probes.flatMap { case (qid, qv) =>
+      val qb = bqEncodeLocal(qv, thr)
+      SimilaritySearch.nearestCellsLocal(qv, cvs, cids, nProbe)
+        .map(c => (qid, qv, c, qb))
+    }
+    val probeDf = expanded.toDF("qid", "qv", "__cell", "qb")
+      .select(col("qid"), col("qv").cast("array<float>"), col("__cell"), col("qb"))
+    val raw = spark.read.parquet(resolved)
+    val candCells: Seq[Any] = raw.schema("cell").dataType match {
+      case org.apache.spark.sql.types.IntegerType => expanded.map(_._3.toInt).distinct
+      case _                                      => expanded.map(_._3).distinct
+    }
+    val index = raw.filter(col("cell").isin(candCells: _*))
+      .withColumn("__cell", col("cell").cast("long")).drop("cell")
+    val scored = index
+      .join(broadcast(probeDf.select(col("qid"), col("__cell"), col("qb"))), Seq("__cell"))
+      .select(col("qid"), col(itemId),
+        (-bq_hamming(col("bq"), col("qb"))).cast("double").as("score"))
+    ProductQuantization.rerankExact(scored, items, probeDf, k, refine, itemId, itemVec)
+  }
 
   /** Thresholds of the ACTIVE index version. */
   def bqParamsRead(spark: SparkSession, path: String): DataFrame =

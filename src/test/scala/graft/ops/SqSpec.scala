@@ -183,6 +183,29 @@ class SqSpec extends AnyFunSuite {
     assert(codeScans.nonEmpty && codeScans.forall(!_.contains("embedding")), p)
   }
 
+  test("IVF × BQ pruned: partition filter + bit-codes-only scan; full width equals brute force") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bqivf").toString
+    val (assigned, centroids) = SimilaritySearch.ivfAssign(items, nCells = 8)
+    val thr = BinaryQuantization.collectThresholds(BinaryQuantization.bqTrain(items))
+    BinaryQuantization.bqIndexWrite(
+      BinaryQuantization.bqEncode(assigned, thr).select("vec_id", "cell", "bq"),
+      BinaryQuantization.bqTrain(items), s"$tmp/bqivf", Some(centroids))
+    val probes = (0L until 3L).map(i => (i, vec(i)))
+    val full = BinaryQuantization.ivfBqTopKPruned(spark, s"$tmp/bqivf", items,
+        probes, k = 5, nProbe = 8, refine = 40)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = SimilaritySearch.bruteForceTopK(items,
+        probes.toDF("qid", "qv").select(col("qid"), col("qv").cast("array<float>").as("qv")),
+        k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+    val p = BinaryQuantization.ivfBqTopKPruned(spark, s"$tmp/bqivf", items,
+      probes, k = 5, nProbe = 2).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(p).isDefined, p)
+    val codeScans = "ReadSchema: [^\\n]*bq:binary".r.findAllIn(p).toSeq
+    assert(codeScans.nonEmpty && codeScans.forall(!_.contains("embedding")), p)
+  }
+
   test("sqIndexWrite versions codes + params together; reader survives a rebuild") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sq").toString
     val (mins, maxs) = params
