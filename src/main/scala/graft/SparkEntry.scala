@@ -147,6 +147,70 @@ object SparkEntry {
     box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++ box("moov", mvhd ++ traks)
   }
 
+  /** Deterministic HTML wrapper for q_html_extract: one shared piece list
+    * drives BOTH the Spark generator column and the DuckDB `||` twin, so the
+    * fixture is a pure function of (doc_id, text) by construction. The
+    * markup exercises every extraction pass: script with a RAW `<` inside
+    * (generic tag strip would mangle it — script strip must run first),
+    * style, a comment, block tags, attributes, entities including the
+    * escaped-escape `&amp;lt;` (pins amp-LAST decode order: one level only).
+    */
+  private sealed trait HtmlPiece
+  private case class HLit(s: String) extends HtmlPiece
+  private case class HCol(name: String) extends HtmlPiece
+  private case object HNl extends HtmlPiece
+  private val HtmlGenPieces: Seq[HtmlPiece] = Seq(
+    HLit("<html><head><title> Doc &amp; "), HCol("doc_id"),
+    HLit(" </title><style>p{x:1}</style></head><body>"), HNl,
+    HLit("<script>if(1<2){alert(\"x\")}</script><h1 class=\"t\">Doc "),
+    HCol("doc_id"), HLit("</h1>"), HNl,
+    HLit("<p>"), HCol("text"),
+    HLit("</p> <div>see <a href=\"http://e.x/"), HCol("doc_id"),
+    HLit("\">link</a> &lt;raw&gt; &amp;lt; &nbsp;&quot;q&#39; </div><!-- note "),
+    HCol("doc_id"), HLit(" --></body></html>"))
+  private[graft] def synthHtmlCol: Column = concat(HtmlGenPieces.map {
+    case HLit(s) => lit(s)
+    case HCol(n) => col(n).cast("string")
+    case HNl => lit("\n")
+  }: _*)
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+  private def synthHtmlSql: String = HtmlGenPieces.map {
+    case HLit(s) => sqlStr(s)
+    case HCol(n) => s"CAST($n AS VARCHAR)"
+    case HNl => "chr(10)"
+  }.mkString(" || ")
+  /** DuckDB replacement-arg twin (regex replacements never contain `$`/`\`
+    * here, so literal splicing is exact in both engines).
+    */
+  private def sqlRepl(r: String): String = if (r == "\n") "chr(10)" else sqlStr(r)
+  /** DuckDB CTE chain replaying [[ops.Html.extractColumn]] pass-for-pass
+    * over column `t` of CTE `h`; yields the name of the final CTE exposing
+    * (doc_id, t).
+    */
+  private def htmlExtractSqlCtes: (Seq[String], String) = {
+    val strip = ops.Html.StripPasses.zipWithIndex.map { case ((p, r), i) =>
+      val src = if (i == 0) "h" else s"st${i - 1}"
+      s"st$i AS (SELECT doc_id, regexp_replace(t, ${sqlStr(p)}, ${sqlRepl(r)}, 'g') AS t FROM $src)"
+    }
+    val entExpr = ops.Html.EntityPasses.foldLeft("t") { case (e, (f, to)) =>
+      s"replace($e, ${sqlStr(f)}, ${sqlRepl(to)})"
+    }
+    val ent = s"ent AS (SELECT doc_id, $entExpr AS t FROM st${ops.Html.StripPasses.size - 1})"
+    val space = ops.Html.SpacePasses.zipWithIndex.map { case ((p, r), i) =>
+      val src = if (i == 0) "ent" else s"sp${i - 1}"
+      s"sp$i AS (SELECT doc_id, regexp_replace(t, ${sqlStr(p)}, ${sqlRepl(r)}, 'g') AS t FROM $src)"
+    }
+    (strip ++ Seq(ent) ++ space, s"sp${ops.Html.SpacePasses.size - 1}")
+  }
+  /** DuckDB twin of [[ops.Html.titleColumn]] over raw-html column ref `c`. */
+  private def htmlTitleSql(c: String): String = {
+    val raw = s"regexp_extract($c, ${sqlStr("(?is)<title\\b[^>]*>(.*?)</title>")}, 1)"
+    val dec = ops.Html.EntityPasses.foldLeft(raw) { case (e, (f, to)) =>
+      s"replace($e, ${sqlStr(f)}, ${sqlRepl(to)})"
+    }
+    s"trim(regexp_replace($dec, ${sqlStr("[ \\t\\r\\n]+")}, ' ', 'g'))"
+  }
+
   /** Driver-side single-row lookup of the canonical probe vector (vec_id=0) —
     * the analog of embedding the query string (reference base.py:307-310).
     */
@@ -759,6 +823,32 @@ object SparkEntry {
       TextAnalysis.redactPii(withPii)
         .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
           md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+    // HTML -> text extraction (the crawled-corpus FRONT END): each doc is
+    // wrapped in deterministic markup (script/style/comment/entities, a pure
+    // function of (doc_id, text)) and extracted by the real pass pipeline;
+    // the oracle replays the SAME generator and the SAME passes from the
+    // SHARED constants, so a hash match proves extraction pass-for-pass
+    "q_html_extract" -> { (s, dir) =>
+      val html = docsPar(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("html", synthHtmlCol)
+      ops.Html.extractText(html)
+        .select(col("doc_id"), col("title"), col("n_links"),
+          length(col("text")).cast("long").as("n_chars_ext"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+    // line-level boilerplate filter over the extracted text (jusText-lite:
+    // a line survives with >= 5 words or terminal punctuation)
+    "q_boilerplate" -> { (s, dir) =>
+      val html = docsPar(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("html", synthHtmlCol)
+      val filtered = ops.Html.dropBoilerplateLines(ops.Html.extractText(html))
+      filtered.select(col("doc_id"),
+        when(length(col("text")) === 0, lit(0L))
+          .otherwise(size(split(col("text"), "\n")).cast("long")).as("n_lines_kept"),
+        md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     },
     // deterministic hash-embedding pipeline, relational form (bucket weights)
@@ -2182,6 +2272,27 @@ object SparkEntry {
          |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails, CAST(n_ipv4 AS BIGINT) AS n_ipv4,
          |  CAST(n_phones AS BIGINT) AS n_phones, md5(t3) AS redacted_md5
          |FROM s3 ORDER BY doc_id""".stripMargin
+    },
+    "q_html_extract" -> {
+      val (ctes, last) = htmlExtractSqlCtes
+      s"""WITH h AS (SELECT doc_id, $synthHtmlSql AS t FROM documents),
+         | ${ctes.mkString(",\n ")}
+         |SELECT h.doc_id, ${htmlTitleSql("h.t")} AS title,
+         |  CAST(len(regexp_extract_all(h.t, '(?i)<a\\b')) AS BIGINT) AS n_links,
+         |  CAST(length($last.t) AS BIGINT) AS n_chars_ext, md5($last.t) AS text_md5
+         |FROM h JOIN $last USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "q_boilerplate" -> {
+      val (ctes, last) = htmlExtractSqlCtes
+      s"""WITH h AS (SELECT doc_id, $synthHtmlSql AS t FROM documents),
+         | ${ctes.mkString(",\n ")},
+         | kept AS (SELECT doc_id, array_to_string(list_filter(string_split(t, chr(10)),
+         |   ln -> len(regexp_extract_all(ln, '[^ ]+')) >= 5 OR regexp_matches(ln, '[.!?]${"$"}')), chr(10)) AS t
+         |  FROM $last)
+         |SELECT doc_id, CASE WHEN length(t) = 0 THEN 0
+         |    ELSE CAST(len(string_split(t, chr(10))) AS BIGINT) END AS n_lines_kept,
+         |  md5(t) AS text_md5
+         |FROM kept ORDER BY doc_id""".stripMargin
     },
     "q_hash_embed" ->
       s"""WITH w AS (SELECT doc_id, unnest($sqlWords) AS w FROM documents WHERE doc_id < 100),
