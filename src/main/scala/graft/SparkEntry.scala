@@ -211,6 +211,42 @@ object SparkEntry {
     s"trim(regexp_replace($dec, ${sqlStr("[ \\t\\r\\n]+")}, ' ', 'g'))"
   }
 
+  /** Scala twin of [[synthHtmlCol]] for fixtures that need the html STRING
+    * per row (the WARC gate builds record bytes around it) — same shared
+    * piece list, so all three forms (Column, SQL, String) are one definition.
+    */
+  private[graft] def synthHtmlString(id: Long, text: String): String =
+    HtmlGenPieces.map {
+      case HLit(s) => s
+      case HCol("doc_id") => id.toString
+      case HCol(_) => text
+      case HNl => "\n"
+    }.mkString
+
+  /** HTTP response head for the WARC fixture (ASCII, so its byte length is
+    * its char length — the SQL twin embeds the constant).
+    */
+  private val WarcHttpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n"
+
+  /** One Common-Crawl-shaped record per doc: the [[synthHtmlString]] page
+    * inside an HTTP/1.1 200 response inside a WARC/1.0 response record
+    * inside its own gzip member. Every layer is a pure function of
+    * (doc_id, text), so the oracle predicts all parsed fields — a match
+    * proves gzip member read, WARC header walk + Content-Length byte math,
+    * and the HTTP header/body split against a spec-conformant writer.
+    */
+  private[graft] def synthWarcGz(id: Long, text: String): Array[Byte] = {
+    import graft.sources.WarcCodec
+    val html = synthHtmlString(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val head = WarcHttpHead.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val http = new Array[Byte](head.length + html.length)
+    System.arraycopy(head, 0, http, 0, head.length)
+    System.arraycopy(html, 0, http, head.length, html.length)
+    WarcCodec.gzipMember(WarcCodec.writeRecord(WarcCodec.WarcRecord(
+      "response", s"http://example.com/doc/$id", "2024-01-01T00:00:00Z",
+      s"<urn:uuid:$id>", "application/http; msgtype=response", http)))
+  }
+
   /** Driver-side single-row lookup of the canonical probe vector (vec_id=0) —
     * the analog of embedding the query string (reference base.py:307-310).
     */
@@ -837,6 +873,24 @@ object SparkEntry {
         .select(col("doc_id"), col("title"), col("n_links"),
           length(col("text")).cast("long").as("n_chars_ext"),
           md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+    // WARC ingestion, end-to-end front end: per-doc synthetic .warc.gz
+    // bytes (gzip member > WARC record > HTTP response > HTML page, every
+    // layer a pure function of (doc_id, text)) parsed by the real streaming
+    // codec, HTTP-split, and the body extracted to text — the oracle
+    // predicts every parsed field and replays extraction from the shared
+    // constants, proving the whole decode chain inverts the writer
+    "q_warc_extract" -> { (s, dir) =>
+      import s.implicits._
+      val warc = docsPar(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id, synthWarcGz(id, t)) }.toDF("doc_id", "warc")
+      sources.Warc.parseRecords(warc, "doc_id")
+        .select(col("doc_id"), col("warc_type"), col("target_uri"),
+          col("http_status").cast("long").as("http_status"),
+          col("http_content_type"), col("content_length"),
+          md5(col("body")).as("body_md5"),
+          md5(ops.Html.extractColumn(decode(col("body"), "UTF-8"))).as("ext_md5"))
         .orderBy("doc_id")
     },
     // line-level boilerplate filter over the extracted text (jusText-lite:
@@ -2280,6 +2334,18 @@ object SparkEntry {
          |SELECT h.doc_id, ${htmlTitleSql("h.t")} AS title,
          |  CAST(len(regexp_extract_all(h.t, '(?i)<a\\b')) AS BIGINT) AS n_links,
          |  CAST(length($last.t) AS BIGINT) AS n_chars_ext, md5($last.t) AS text_md5
+         |FROM h JOIN $last USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "q_warc_extract" -> {
+      val (ctes, last) = htmlExtractSqlCtes
+      s"""WITH h AS (SELECT doc_id, $synthHtmlSql AS t FROM documents),
+         | ${ctes.mkString(",\n ")}
+         |SELECT h.doc_id, 'response' AS warc_type,
+         |  'http://example.com/doc/' || doc_id AS target_uri,
+         |  CAST(200 AS BIGINT) AS http_status,
+         |  'text/html; charset=UTF-8' AS http_content_type,
+         |  CAST(${WarcHttpHead.length} + strlen(h.t) AS BIGINT) AS content_length,
+         |  md5(h.t) AS body_md5, md5($last.t) AS ext_md5
          |FROM h JOIN $last USING (doc_id) ORDER BY doc_id""".stripMargin
     },
     "q_boilerplate" -> {

@@ -1,0 +1,352 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types._
+
+/** WARC (ISO 28500 Web ARChive) ingestion — the on-disk format of Common
+  * Crawl, the canonical 100 TB training-corpus input. This is the step
+  * BEFORE [[graft.ops.Html]]: archive bytes in, (uri, date, http status,
+  * body) rows out, feeding extract → langID → quality → dedup → pack.
+  *
+  * Own from-scratch codec (headers per the WARC/1.0 spec; no external
+  * parser): a WARC file is a sequence of records, each `WARC/1.0` + CRLF
+  * header lines + empty line + `Content-Length` payload bytes + CRLF CRLF.
+  * Common Crawl compresses each record as its OWN gzip member, concatenated
+  * — member boundaries let readers resume mid-file; the JDK's
+  * `GZIPInputStream` transparently walks concatenated members, so one
+  * inflating stream yields the raw record sequence.
+  *
+  * Garbage-in contract (same as the media codecs): crawled archives carry
+  * truncation and corruption; the parser NEVER throws on malformed input —
+  * it skips to the next `WARC/` version line (bounded resync) and yields
+  * only complete records. Memory stays bounded per record: a declared
+  * Content-Length above `maxRecordBytes` is SKIPPED via stream-skip (no
+  * allocation — a crafted 100 GB length cannot OOM an executor), and header
+  * lines are capped at 64 KiB.
+  */
+object WarcCodec {
+
+  final case class WarcRecord(warcType: String, targetUri: String,
+                              warcDate: String, recordId: String,
+                              contentType: String, content: Array[Byte])
+
+  final case class HttpResponse(status: Int, contentType: String,
+                                body: Array[Byte])
+
+  private val MaxHeaderLine = 64 * 1024
+
+  // ---- writer (re-archiving sink + deterministic fixtures) ----
+
+  /** One record in wire form (headers only for non-empty fields). */
+  def writeRecord(r: WarcRecord): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append("WARC-Type: ").append(r.warcType).append("\r\n")
+    if (r.targetUri.nonEmpty) sb.append("WARC-Target-URI: ").append(r.targetUri).append("\r\n")
+    if (r.warcDate.nonEmpty) sb.append("WARC-Date: ").append(r.warcDate).append("\r\n")
+    if (r.recordId.nonEmpty) sb.append("WARC-Record-ID: ").append(r.recordId).append("\r\n")
+    if (r.contentType.nonEmpty) sb.append("Content-Type: ").append(r.contentType).append("\r\n")
+    sb.append("Content-Length: ").append(r.content.length).append("\r\n\r\n")
+    val head = sb.toString.getBytes(US_ASCII)
+    val out = new Array[Byte](head.length + r.content.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(r.content, 0, out, head.length, r.content.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** Wrap bytes as one gzip member (the Common Crawl per-record layout). */
+  def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  /** Serialize records as a `.warc.gz` byte stream: one gzip member each. */
+  def writeWarcGz(records: Seq[WarcRecord]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    records.foreach(r => bos.write(gzipMember(writeRecord(r))))
+    bos.toByteArray
+  }
+
+  // ---- parser ----
+
+  /** Streaming record iterator over raw (already-inflated) WARC bytes.
+    * One record in memory at a time; never throws on malformed input.
+    */
+  def parse(in: InputStream, maxRecordBytes: Long = 1L << 30): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private val bin = new BufferedInputStream(in, 64 * 1024)
+      private var nextRec: WarcRecord = _
+      private var done = false
+
+      /** Read one CRLF/LF-terminated ASCII line, capped; None at EOF.
+        * Returns the line without its terminator. Overlong lines are
+        * truncated in place (the tail reads as garbage lines and resync
+        * handles them) — a binary blob with no newlines cannot buffer
+        * unboundedly.
+        */
+      private def readLine(): Option[String] = {
+        val buf = new ArrayBuffer[Byte](128)
+        var c = bin.read()
+        if (c < 0) return None
+        while (c >= 0 && c != '\n') {
+          if (buf.length < MaxHeaderLine) buf += c.toByte
+          c = bin.read()
+        }
+        var n = buf.length
+        if (n > 0 && buf(n - 1) == '\r') n -= 1
+        Some(new String(buf.toArray, 0, n, US_ASCII))
+      }
+
+      private def readFully(len: Int): Option[Array[Byte]] = {
+        val out = new Array[Byte](len)
+        var got = 0
+        while (got < len) {
+          val n = bin.read(out, got, len - got)
+          if (n < 0) return None // truncated mid-payload
+          got += n
+        }
+        Some(out)
+      }
+
+      private def skipFully(len: Long): Boolean = {
+        var left = len
+        while (left > 0) {
+          val n = bin.skip(left)
+          if (n > 0) left -= n
+          else if (bin.read() < 0) return false // EOF mid-skip
+          else left -= 1
+        }
+        true
+      }
+
+      /** Advance to the next complete record; sets done at EOF. Malformed
+        * headers / missing lengths / oversized payloads resync forward to
+        * the next `WARC/` version line.
+        */
+      @annotation.tailrec
+      private def advance(): Unit = {
+        // resync: find a version line (the common case hits immediately)
+        var line = readLine()
+        while (line.isDefined && !line.get.startsWith("WARC/")) line = readLine()
+        if (line.isEmpty) { done = true; return }
+        // header block: Name: value until the empty line
+        var warcType = ""; var uri = ""; var date = ""; var rid = ""; var ctype = ""
+        var clen = -1L
+        var ok = true
+        var h = readLine()
+        while (ok && h.isDefined && h.get.nonEmpty) {
+          val ln = h.get
+          val i = ln.indexOf(':')
+          if (i > 0) {
+            val k = ln.substring(0, i).trim.toLowerCase
+            val v = ln.substring(i + 1).trim
+            k match {
+              case "warc-type" => warcType = v
+              case "warc-target-uri" => uri = v
+              case "warc-date" => date = v
+              case "warc-record-id" => rid = v
+              case "content-type" => ctype = v
+              case "content-length" =>
+                clen = try v.toLong catch { case _: NumberFormatException => -1L }
+              case _ => () // unknown headers pass through
+            }
+          } else ok = false // non-header junk before the blank line: resync
+          h = readLine()
+        }
+        if (h.isEmpty) { done = true; return } // EOF inside headers
+        if (!ok || clen < 0) advance() // malformed: resync from here
+        else if (clen > maxRecordBytes) {
+          // oversized payload: skip WITHOUT allocating, then continue
+          if (skipFully(clen)) advance() else done = true
+        } else readFully(clen.toInt) match {
+          case None => done = true // truncated payload
+          case Some(content) =>
+            nextRec = WarcRecord(warcType, uri, date, rid, ctype, content)
+          // trailing CRLFCRLF is consumed by the next advance()'s resync
+        }
+      }
+
+      override def hasNext: Boolean = {
+        if (nextRec == null && !done) {
+          try advance()
+          catch { case _: EOFException => done = true }
+        }
+        nextRec != null
+      }
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException("end of WARC stream")
+        val r = nextRec; nextRec = null; r
+      }
+    }
+
+  /** Parse a byte array, auto-detecting gzip (0x1f 0x8b magic — plain
+    * `.warc` and per-member `.warc.gz` both work). Corrupt gzip data ends
+    * the iteration cleanly instead of throwing.
+    */
+  def parseBytes(bytes: Array[Byte], maxRecordBytes: Long = 1L << 30): Iterator[WarcRecord] = {
+    if (bytes == null || bytes.length < 2) return Iterator.empty
+    val in: InputStream =
+      if ((bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B) {
+        try new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
+        catch { case _: java.io.IOException => return Iterator.empty }
+      } else new ByteArrayInputStream(bytes)
+    val inner = parse(in, maxRecordBytes)
+    // inflater errors surface from hasNext on corrupt members: end cleanly
+    new Iterator[WarcRecord] {
+      private var dead = false
+      override def hasNext: Boolean = !dead && {
+        try inner.hasNext
+        catch { case _: java.io.IOException => dead = true; false }
+      }
+      override def next(): WarcRecord =
+        if (hasNext) inner.next() else throw new NoSuchElementException
+    }
+  }
+
+  /** Split an `application/http; msgtype=response` payload into status /
+    * Content-Type / body. None when no HTTP status line or no blank-line
+    * separator exists (garbage in, None out).
+    */
+  def parseHttp(content: Array[Byte]): Option[HttpResponse] = {
+    // find the CRLFCRLF (tolerate bare LFLF) header/body boundary
+    var i = 0; var boundary = -1; var bodyStart = -1
+    while (boundary < 0 && i + 1 < content.length) {
+      if (content(i) == '\n') {
+        if (content(i + 1) == '\n') { boundary = i; bodyStart = i + 2 }
+        else if (i + 2 < content.length && content(i + 1) == '\r' && content(i + 2) == '\n') {
+          boundary = i; bodyStart = i + 3
+        }
+      }
+      i += 1
+    }
+    if (boundary < 0) return None
+    val head = new String(content, 0, boundary, US_ASCII)
+    val lines = head.split("\r?\n")
+    if (lines.isEmpty || !lines(0).startsWith("HTTP/")) return None
+    val parts = lines(0).split(" ")
+    val status = if (parts.length >= 2) {
+      try parts(1).toInt catch { case _: NumberFormatException => return None }
+    } else return None
+    val ctype = lines.iterator.drop(1)
+      .map(l => (l, l.indexOf(':')))
+      .collectFirst {
+        case (l, i2) if i2 > 0 && l.substring(0, i2).trim.equalsIgnoreCase("content-type") =>
+          l.substring(i2 + 1).trim
+      }.getOrElse("")
+    Some(HttpResponse(status, ctype, java.util.Arrays.copyOfRange(content, bodyStart, content.length)))
+  }
+}
+
+/** DataFrame-level WARC readers. */
+object Warc {
+
+  val RecordSchemaFields: Seq[StructField] = Seq(
+    StructField("warc_type", StringType),
+    StructField("target_uri", StringType),
+    StructField("warc_date", StringType),
+    StructField("record_id", StringType),
+    StructField("content_type", StringType),
+    StructField("content_length", LongType),
+    StructField("http_status", IntegerType),
+    StructField("http_content_type", StringType),
+    StructField("body", BinaryType))
+
+  private def recordRow(prefix: Seq[Any], r: WarcCodec.WarcRecord): Row = {
+    val http = if (r.contentType.startsWith("application/http")) WarcCodec.parseHttp(r.content) else None
+    Row.fromSeq(prefix ++ Seq(
+      r.warcType, r.targetUri, r.warcDate, r.recordId, r.contentType,
+      r.content.length.toLong,
+      http.map(h => Int.box(h.status)).orNull,
+      http.map(_.contentType).orNull,
+      http.map(_.body).getOrElse(r.content)))
+  }
+
+  /** Parse a binary column of WARC bytes (one archive per row — e.g. from
+    * `spark.read.format("binaryFile")` or an upstream fetch), exploding to
+    * one row per record. Bytes never shuffle: parse is partition-local and
+    * only the (pruned) record fields flow on.
+    */
+  def parseRecords(df: DataFrame, idCol: String, bytesCol: String = "warc",
+                   maxRecordBytes: Long = 1L << 30): DataFrame = {
+    val outSchema = StructType(df.schema(idCol) +: RecordSchemaFields)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(bytesCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        WarcCodec.parseBytes(bytes, maxRecordBytes)
+          .map(rec => recordRow(Seq(r.get(idIdx)), rec))
+      }
+    }
+  }
+
+  /** Read a directory of `.warc` / `.warc.gz` files as a record DataFrame.
+    *
+    * Scale posture: files are listed driver-side (names only) and OPENED ON
+    * EXECUTORS — each task streams its archive record-by-record through the
+    * inflating iterator, so peak memory is one record, not one file (the
+    * `binaryFile` source would materialize whole 1 GB archives). The
+    * parallelism unit is the FILE — exactly how Common Crawl shards (a
+    * segment is ~thousands of ~1 GB members), so a 1000-executor cluster
+    * saturates on any real crawl. Gzip members are not split WITHIN a file
+    * (member boundaries are not indexed); one pathological multi-TB file
+    * would serialize — reshard upstream.
+    */
+  def readWarcFiles(spark: SparkSession, dir: String,
+                    maxRecordBytes: Long = 1L << 30,
+                    minPartitions: Int = 0): DataFrame = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isFile && (s.getPath.getName.endsWith(".warc") ||
+        s.getPath.getName.endsWith(".warc.gz")))
+      .map(_.getPath.toString).sorted.toSeq
+    val par = math.max(if (minPartitions > 0) minPartitions
+      else spark.sparkContext.defaultParallelism, 1)
+    import spark.implicits._
+    val paths = spark.createDataset(files).repartition(math.min(par, math.max(files.size, 1)))
+    val outSchema = StructType(StructField("path", StringType) +: RecordSchemaFields)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    paths.toDF("path").mapPartitions { it =>
+      it.flatMap { pr =>
+        val pathStr = pr.getString(0)
+        val p = new org.apache.hadoop.fs.Path(pathStr)
+        val in: InputStream = {
+          val raw = p.getFileSystem(conf.value).open(p)
+          if (pathStr.endsWith(".gz")) {
+            try new GZIPInputStream(raw, 64 * 1024)
+            catch { case _: java.io.IOException => raw.close(); new ByteArrayInputStream(Array.emptyByteArray) }
+          } else raw
+        }
+        val inner = WarcCodec.parse(in, maxRecordBytes)
+        // corrupt member mid-file: end this file's iteration, never throw
+        new Iterator[Row] {
+          private var dead = false
+          override def hasNext: Boolean = !dead && {
+            val h = try inner.hasNext
+              catch { case _: java.io.IOException => dead = true; false }
+            if (!h) { try in.close() catch { case _: java.io.IOException => () } }
+            h
+          }
+          override def next(): Row =
+            if (hasNext) recordRow(Seq(pathStr), inner.next())
+            else throw new NoSuchElementException
+        }
+      }
+    }
+  }
+}

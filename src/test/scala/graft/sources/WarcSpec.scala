@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import WarcCodec.{WarcRecord, parseBytes, writeRecord, writeWarcGz}
+
+class WarcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def rec(i: Int, typ: String = "response",
+                  body: String = ""): WarcRecord = {
+    val content =
+      if (typ == "response")
+        (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>doc $i</p>$body").getBytes(UTF_8)
+      else s"payload $i $body".getBytes(UTF_8)
+    WarcRecord(typ, s"http://e.x/$i", "2024-01-01T00:00:00Z", s"<urn:uuid:$i>",
+      if (typ == "response") "application/http; msgtype=response" else "text/plain",
+      content)
+  }
+
+  test("plain round-trip: write N records, parse back exactly") {
+    val recs = Seq(rec(1), rec(2, "request"), rec(3, "warcinfo"), rec(4))
+    val raw = recs.flatMap(r => writeRecord(r).toSeq).toArray
+    val back = parseBytes(raw).toSeq
+    assert(back.map(_.targetUri) == recs.map(_.targetUri))
+    assert(back.map(_.warcType) == recs.map(_.warcType))
+    assert(back.zip(recs).forall { case (a, b) => a.content.sameElements(b.content) })
+  }
+
+  test("gzip multi-member round-trip (the Common Crawl layout)") {
+    val recs = (1 to 20).map(i => rec(i, body = "x" * (i * 37)))
+    val back = parseBytes(writeWarcGz(recs)).toSeq
+    assert(back.size == 20)
+    assert(back.zip(recs).forall { case (a, b) => a.content.sameElements(b.content) })
+  }
+
+  test("truncation at every byte boundary never throws, yields only complete records") {
+    val full = (1 to 3).flatMap(r => writeRecord(rec(r)).toSeq).toArray
+    (0 until full.length by 7).foreach { cut =>
+      val n = parseBytes(java.util.Arrays.copyOf(full, cut)).size
+      assert(n <= 3)
+    }
+    // cutting inside record 3's payload keeps records 1-2
+    val r12 = writeRecord(rec(1)).length + writeRecord(rec(2)).length
+    assert(parseBytes(java.util.Arrays.copyOf(full, r12 + 30)).size == 2)
+  }
+
+  test("corrupt gzip data ends cleanly; random garbage yields zero records") {
+    val gz = writeWarcGz(Seq(rec(1), rec(2)))
+    val flipped = gz.clone(); flipped(gz.length / 2) = (flipped(gz.length / 2) ^ 0x55).toByte
+    parseBytes(flipped).size // must not throw (count is whatever survived)
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(2048))(rnd.nextInt().toByte)
+      parseBytes(junk).size // never throws
+    }
+    assert(parseBytes(Array.emptyByteArray).isEmpty)
+    assert(parseBytes(null).isEmpty)
+  }
+
+  test("resync: a malformed record between two valid ones is skipped, not fatal") {
+    val good1 = writeRecord(rec(1))
+    val bad = "WARC/1.0\r\nWARC-Type: response\r\nno content length here\r\n\r\n".getBytes(UTF_8)
+    val good2 = writeRecord(rec(2))
+    val back = parseBytes(good1 ++ bad ++ good2).toSeq
+    assert(back.map(_.targetUri) == Seq("http://e.x/1", "http://e.x/2"))
+  }
+
+  test("declared Content-Length above maxRecordBytes is skipped without allocation") {
+    val big = rec(1, body = "y" * 5000)
+    val small = rec(2)
+    val raw = writeRecord(big) ++ writeRecord(small)
+    val back = parseBytes(raw, maxRecordBytes = 1024).toSeq
+    assert(back.map(_.targetUri) == Seq("http://e.x/2"))
+    // a crafted header declaring 100 GB must parse (skip to EOF) instantly
+    val crafted = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 107374182400\r\n\r\n").getBytes(UTF_8) ++ writeRecord(small)
+    assert(parseBytes(crafted).isEmpty) // skip hits EOF: no surviving record
+  }
+
+  test("http split: status + content-type parse; garbage yields None") {
+    val h = WarcCodec.parseHttp(
+      "HTTP/1.1 404 Not Found\r\ncontent-TYPE:  text/plain \r\nX: y\r\n\r\nbody!".getBytes(UTF_8))
+    assert(h.exists(r => r.status == 404 && r.contentType == "text/plain" &&
+      new String(r.body, UTF_8) == "body!"))
+    assert(WarcCodec.parseHttp("no status line\r\n\r\nx".getBytes(UTF_8)).isEmpty)
+    assert(WarcCodec.parseHttp("HTTP/1.1 200 OK\r\nnever a blank line".getBytes(UTF_8)).isEmpty)
+    assert(WarcCodec.parseHttp("HTTP/1.1 abc\r\n\r\nx".getBytes(UTF_8)).isEmpty)
+  }
+
+  test("readWarcFiles: executor-opened streaming read over a directory") {
+    val dir = Files.createTempDirectory("warc_spec").toFile
+    try {
+      (0 until 4).foreach { f =>
+        val recs = (0 until 5).map(i => rec(f * 100 + i))
+        val bytes = if (f % 2 == 0) writeWarcGz(recs)
+          else recs.flatMap(r => writeRecord(r).toSeq).toArray
+        val name = if (f % 2 == 0) s"part-$f.warc.gz" else s"part-$f.warc"
+        Files.write(new java.io.File(dir, name).toPath, bytes)
+      }
+      // a non-warc file must be ignored
+      Files.write(new java.io.File(dir, "_SUCCESS").toPath, Array[Byte](1))
+      val df = Warc.readWarcFiles(spark, dir.getAbsolutePath)
+      val rows = df.collect()
+      assert(rows.length == 20)
+      assert(rows.forall(_.getAs[Int]("http_status") == 200))
+      assert(rows.map(_.getAs[String]("target_uri")).distinct.length == 20)
+      // bodies really are the html payload (http head split off)
+      val b = rows.find(_.getAs[String]("target_uri") == "http://e.x/101").get
+      assert(new String(b.getAs[Array[Byte]]("body"), UTF_8) == "<p>doc 101</p>")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("parseRecords keeps the id column and prunes to record rows") {
+    import spark.implicits._
+    val df = Seq((7L, writeWarcGz(Seq(rec(70), rec(71)))),
+      (8L, writeWarcGz(Seq(rec(80))))).toDF("doc_id", "warc")
+    val out = Warc.parseRecords(df, "doc_id").orderBy("target_uri").collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[String]("target_uri"))).toSeq ==
+      Seq((7L, "http://e.x/70"), (7L, "http://e.x/71"), (8L, "http://e.x/80")))
+  }
+}
