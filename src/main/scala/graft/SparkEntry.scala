@@ -247,6 +247,39 @@ object SparkEntry {
       s"<urn:uuid:$id>", "application/http; msgtype=response", http)))
   }
 
+  /** Deterministic URL fixture for q_url_canon / q_url_dedup: three
+    * id-driven shapes covering uppercase scheme/host, `www.`, default
+    * ports, fragments, and tracking params in first/middle/only positions.
+    */
+  private[graft] def synthUrlCol: Column = {
+    val v = col("doc_id") % 3
+    when(v === 0, concat(lit("http://Site"), (col("doc_id") % 20).cast("string"),
+        lit(".ORG:80/index.html#frag")))
+      .when(v === 1, concat(lit("HTTPS://WWW.Example"), (col("doc_id") % 50).cast("string"),
+        lit(".COM:443/Path/"), col("doc_id").cast("string"), lit("?utm_source=x&gclid=1")))
+      .otherwise(concat(lit("https://blog.example"), (col("doc_id") % 50).cast("string"),
+        lit(".com/post?id="), (col("doc_id") % 10).cast("string"),
+        lit("&utm_campaign=y&ref=z&page=2")))
+  }
+  /** DuckDB twin PREDICTING the canonical output of [[synthUrlCol]]. */
+  private def synthUrlCanonSql: String =
+    """CASE doc_id % 3
+      |  WHEN 0 THEN 'http://site' || (doc_id % 20) || '.org/index.html'
+      |  WHEN 1 THEN 'https://example' || (doc_id % 50) || '.com/Path/' || doc_id
+      |  ELSE 'https://blog.example' || (doc_id % 50) || '.com/post?id=' || (doc_id % 10) || '&page=2'
+      |END""".stripMargin.replace("\n", " ")
+  private def synthUrlHostSql: String =
+    """CASE doc_id % 3
+      |  WHEN 0 THEN 'site' || (doc_id % 20) || '.org'
+      |  WHEN 1 THEN 'example' || (doc_id % 50) || '.com'
+      |  ELSE 'blog.example' || (doc_id % 50) || '.com'
+      |END""".stripMargin.replace("\n", " ")
+  private def synthUrlDomainSql: String =
+    """CASE doc_id % 3
+      |  WHEN 0 THEN 'site' || (doc_id % 20) || '.org'
+      |  ELSE 'example' || (doc_id % 50) || '.com'
+      |END""".stripMargin.replace("\n", " ")
+
   /** Driver-side single-row lookup of the canonical probe vector (vec_id=0) —
     * the analog of embedding the query string (reference base.py:307-310).
     */
@@ -892,6 +925,22 @@ object SparkEntry {
           md5(col("body")).as("body_md5"),
           md5(ops.Html.extractColumn(decode(col("body"), "UTF-8"))).as("ext_md5"))
         .orderBy("doc_id")
+    },
+    // URL canonicalization: three id-driven URL shapes exercise every pass
+    // (case, www, default ports, fragments, tracking params incl. a
+    // consumed-'?' fix-up). The oracle PREDICTS the canonical form
+    // outright — stronger than a pass replay
+    "q_url_canon" -> { (s, dir) =>
+      ops.Urls.canonicalize(docsPar(s, dir).select(col("doc_id"), synthUrlCol.as("url")))
+        .select(col("doc_id"), col("url_canon"), col("url_host"), col("url_domain"))
+        .orderBy("doc_id")
+    },
+    // URL-level dedup over the same fixture (v0/v2 shapes collide after
+    // canonicalization, v1 stays unique): map-side-combined groupBy on the
+    // canonical form, keeper = min doc_id
+    "q_url_dedup" -> { (s, dir) =>
+      ops.Urls.dedupByUrl(docsPar(s, dir).select(col("doc_id"), synthUrlCol.as("url")))
+        .orderBy("url_canon")
     },
     // line-level boilerplate filter over the extracted text (jusText-lite:
     // a line survives with >= 5 words or terminal punctuation)
@@ -2348,6 +2397,15 @@ object SparkEntry {
          |  md5(h.t) AS body_md5, md5($last.t) AS ext_md5
          |FROM h JOIN $last USING (doc_id) ORDER BY doc_id""".stripMargin
     },
+    "q_url_canon" ->
+      s"""SELECT doc_id, $synthUrlCanonSql AS url_canon,
+         |  $synthUrlHostSql AS url_host, $synthUrlDomainSql AS url_domain
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_url_dedup" ->
+      s"""WITH c AS (SELECT doc_id, $synthUrlCanonSql AS url_canon FROM documents)
+         |SELECT url_canon, CAST(count(*) AS BIGINT) AS n_dups,
+         |  min(doc_id) AS keeper_id
+         |FROM c GROUP BY url_canon ORDER BY url_canon""".stripMargin,
     "q_boilerplate" -> {
       val (ctes, last) = htmlExtractSqlCtes
       s"""WITH h AS (SELECT doc_id, $synthHtmlSql AS t FROM documents),

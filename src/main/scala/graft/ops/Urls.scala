@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization, URL-level dedup, and domain filtering — the crawl
+  * bookkeeping stage of a training-data pipeline (CCNet/C4 both dedup at
+  * the URL level and drop blocklisted domains before any content work,
+  * because it is orders of magnitude cheaper than content dedup: one
+  * string-normalize + one hash-groupBy vs shingling the text).
+  *
+  * Canonicalization is DETERMINISTIC sequential decomposition + passes
+  * (same oracle discipline as [[Html]]/[[TextAnalysis.redactPii]]): parts
+  * are extracted with shared regexes, then the query string loses tracking
+  * parameters via ordered regex passes that stay in the Java-regex ∩ RE2
+  * common subset. Everything is a per-row codegen'd projection — zero
+  * exchanges until the (map-side-combined) dedup groupBy.
+  */
+object Urls {
+
+  /** `scheme://` grammar prefix (RFC 3986 scheme chars). */
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Query parameters that vary per-visitor, not per-content: analytics
+    * campaign tags and click ids. Dropping them is what makes URL dedup
+    * actually fire on crawl data (the same article arrives once per
+    * campaign otherwise).
+    */
+  val TrackingParams: Seq[String] =
+    Seq("utm_[a-z]+", "fbclid", "gclid", "msclkid", "ref")
+
+  private def trackingPat: String =
+    s"(?i)[?&](${TrackingParams.mkString("|")})=[^&#]*"
+
+  /** Lowercased `host[:port]` authority (empty string for non-URL input). */
+  def hostColumn(url: Column): Column =
+    lower(regexp_extract(trim(url), SchemeRe + "([^/?#]*)", 2))
+
+  /** Canonical form, null for input that is not `scheme://...`:
+    *  1. scheme and host lowercase (path/query case is significant — kept);
+    *  2. leading `www.` and a scheme-default port (`:80` http / `:443`
+    *     https) drop from the host;
+    *  3. the `#fragment` drops (client-side only — same resource);
+    *  4. tracking parameters ([[TrackingParams]]) drop with their
+    *     separator, then the query tidies: run of `&` collapses, a first
+    *     separator that survived as `&` becomes `?`, trailing `?`/`&`
+    *     drops;
+    *  5. an empty path becomes `/` (`http://a.com` ≡ `http://a.com/`).
+    */
+  def canonicalColumn(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, SchemeRe, 1))
+    val host0 = hostColumn(url)
+    val host1 = regexp_replace(host0, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host1, ":443$", ""))
+      .otherwise(host1)
+    val rest0 = regexp_extract(u, SchemeRe + "[^/?#]*((?s).*)$", 2)
+    val rest1 = regexp_replace(rest0, "(?s)#.*$", "")
+    val rest2 = regexp_replace(rest1, trackingPat, "")
+    val rest3 = regexp_replace(rest2, "&{2,}", "&")
+    // a surviving first parameter whose `?` was consumed by a dropped
+    // tracking param gets its `?` back ($1-capture: Java syntax here, the
+    // DuckDB twin writes \1 — semantics identical, syntax per engine)
+    val rest4 = regexp_replace(rest3, "^([^?]*)&", "$1?")
+    val rest5 = regexp_replace(rest4, "[?&]+$", "")
+    val rest = when(rest5 === "", lit("/")).otherwise(rest5)
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, rest))
+  }
+
+  /** Registrable-domain HEURISTIC: the last two dot-labels of the
+    * canonical host (`blog.example.com` → `example.com`). A faithful
+    * implementation needs the Public Suffix List (`co.uk` breaks the
+    * heuristic) — documented trade-off, the PSL is a data file this
+    * environment cannot fetch; the seam is this one function.
+    */
+  def domainColumn(canonicalHost: Column): Column =
+    regexp_extract(canonicalHost, "([^.:]+\\.[^.:]+)(?::\\d+)?$", 1)
+
+  /** Canonicalize a URL column: adds `url_canon`, `url_host`, `url_domain`
+    * (null/empty for rows whose url does not parse — keep them visible for
+    * a quality gate rather than silently dropping).
+    */
+  def canonicalize(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val canon = canonicalColumn(col(urlCol))
+    val host = when(canon.isNull, lit("")).otherwise(
+      regexp_extract(canon, SchemeRe + "([^/?#]*)", 2))
+    docs.withColumn("url_canon", canon)
+      .withColumn("url_host", host)
+      .withColumn("url_domain", domainColumn(host))
+  }
+
+  /** URL-level dedup: one map-side-combined groupBy on the canonical form
+    * (the [[Dedup.exact]] shape — shuffle carries one row per distinct
+    * canonical URL per partition). Returns (url_canon, n_dups, keeper_id)
+    * with keeper = min id; unparseable rows (null canon) are excluded —
+    * they have no meaningful URL identity.
+    */
+  def dedupByUrl(docs: DataFrame, urlCol: String = "url",
+                 idCol: String = "doc_id"): DataFrame =
+    canonicalize(docs, urlCol)
+      .filter(col("url_canon").isNotNull)
+      .groupBy("url_canon")
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper_id"))
+
+  /** Drop rows whose registrable domain is blocklisted. The blocklist is a
+    * fixed curated set (thousands of rows at most) — BROADCAST anti-join,
+    * the corpus never moves.
+    */
+  def domainFilter(docs: DataFrame, blockedDomains: DataFrame,
+                   urlCol: String = "url"): DataFrame = {
+    require(blockedDomains.columns.contains("domain"),
+      s"blocklist needs a 'domain' column: ${blockedDomains.columns.mkString(",")}")
+    canonicalize(docs, urlCol)
+      .join(broadcast(blockedDomains.select(lower(col("domain")).as("url_domain")).distinct()),
+        Seq("url_domain"), "left_anti")
+  }
+}

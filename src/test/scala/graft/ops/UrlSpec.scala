@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class UrlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canon(url: String): String = {
+    val r = Urls.canonicalize(Seq((1L, url)).toDF("doc_id", "url")).head()
+    r.getAs[String]("url_canon")
+  }
+
+  test("golden canonicalization table") {
+    val cases = Seq(
+      "HTTP://WWW.Example.COM" -> "http://example.com/",
+      "http://example.com:80/a" -> "http://example.com/a",
+      "https://example.com:443/a" -> "https://example.com/a",
+      "https://example.com:8443/a" -> "https://example.com:8443/a", // non-default port kept
+      "http://example.com:443/a" -> "http://example.com:443/a",    // 443 is not http's default
+      "http://example.com/A/B?Q=1" -> "http://example.com/A/B?Q=1", // path/query case kept
+      "http://example.com/a#frag" -> "http://example.com/a",
+      "http://example.com/a?utm_source=x" -> "http://example.com/a",
+      "http://example.com/a?utm_source=x&b=2" -> "http://example.com/a?b=2",
+      "http://example.com/a?b=2&utm_source=x" -> "http://example.com/a?b=2",
+      "http://example.com/a?b=2&ref=z&c=3" -> "http://example.com/a?b=2&c=3",
+      "  http://example.com/a  " -> "http://example.com/a")
+    cases.foreach { case (in, want) => assert(canon(in) == want, s"for $in") }
+  }
+
+  test("non-URL input canonicalizes to null, not garbage") {
+    assert(canon("not a url") == null)
+    assert(canon("") == null)
+    assert(canon("mailto:a@b.c") == null) // no ://
+    assert(canon("://missing-scheme.com") == null)
+  }
+
+  test("domain heuristic: last two labels; single-label hosts yield empty") {
+    val r = Urls.canonicalize(Seq(
+      (1L, "https://a.b.news.example.com/x"),
+      (2L, "http://localhost/x")).toDF("doc_id", "url")).orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("url_domain") == "example.com")
+    assert(r(1).getAs[String]("url_domain") == "")
+  }
+
+  test("dedupByUrl groups tracking-variant URLs; unparseable rows excluded") {
+    val docs = Seq(
+      (1L, "http://a.com/x?utm_source=tw"),
+      (2L, "http://WWW.A.com/x"),
+      (3L, "http://a.com/x#top"),
+      (4L, "http://a.com/y"),
+      (5L, "garbage")).toDF("doc_id", "url")
+    val out = Urls.dedupByUrl(docs).orderBy("url_canon").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq == Seq(
+      ("http://a.com/x", 3L, 1L), ("http://a.com/y", 1L, 4L)))
+  }
+
+  test("domainFilter drops blocklisted registrable domains via broadcast anti-join") {
+    val docs = Seq(
+      (1L, "http://spam.bad-site.com/x"),
+      (2L, "http://www.bad-site.com/y"),
+      (3L, "http://good.com/z")).toDF("doc_id", "url")
+    val block = Seq("BAD-SITE.com").toDF("domain")
+    val kept = Urls.domainFilter(docs, block)
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
+  test("canonicalization is a zero-exchange projection; dedup shuffle is partial-agg") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("url", concat(lit("http://h"), $"doc_id" % 10, lit(".com/p")))
+    val c = Urls.canonicalize(docs)
+    assert(!c.queryExecution.executedPlan.toString.contains("Exchange"))
+    val d = Urls.dedupByUrl(docs)
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+  }
+}
