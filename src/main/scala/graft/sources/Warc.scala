@@ -252,6 +252,9 @@ object WarcCodec {
 object Warc {
 
   val RecordSchemaFields: Seq[StructField] = Seq(
+    StructField("rec_idx", LongType), // ordinal within the archive: WARC
+    // files are ordered streams, and (path, rec_idx) is the stable record
+    // identity downstream dedup needs for deterministic first-wins
     StructField("warc_type", StringType),
     StructField("target_uri", StringType),
     StructField("warc_date", StringType),
@@ -262,10 +265,10 @@ object Warc {
     StructField("http_content_type", StringType),
     StructField("body", BinaryType))
 
-  private def recordRow(prefix: Seq[Any], r: WarcCodec.WarcRecord): Row = {
+  private def recordRow(prefix: Seq[Any], idx: Long, r: WarcCodec.WarcRecord): Row = {
     val http = if (r.contentType.startsWith("application/http")) WarcCodec.parseHttp(r.content) else None
     Row.fromSeq(prefix ++ Seq(
-      r.warcType, r.targetUri, r.warcDate, r.recordId, r.contentType,
+      idx, r.warcType, r.targetUri, r.warcDate, r.recordId, r.contentType,
       r.content.length.toLong,
       http.map(h => Int.box(h.status)).orNull,
       http.map(_.contentType).orNull,
@@ -286,8 +289,8 @@ object Warc {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        WarcCodec.parseBytes(bytes, maxRecordBytes)
-          .map(rec => recordRow(Seq(r.get(idIdx)), rec))
+        WarcCodec.parseBytes(bytes, maxRecordBytes).zipWithIndex
+          .map { case (rec, i) => recordRow(Seq(r.get(idIdx)), i.toLong, rec) }
       }
     }
   }
@@ -336,6 +339,7 @@ object Warc {
         // corrupt member mid-file: end this file's iteration, never throw
         new Iterator[Row] {
           private var dead = false
+          private var idx = 0L
           override def hasNext: Boolean = !dead && {
             val h = try inner.hasNext
               catch { case _: java.io.IOException => dead = true; false }
@@ -343,7 +347,7 @@ object Warc {
             h
           }
           override def next(): Row =
-            if (hasNext) recordRow(Seq(pathStr), inner.next())
+            if (hasNext) { val r = recordRow(Seq(pathStr), idx, inner.next()); idx += 1; r }
             else throw new NoSuchElementException
         }
       }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.WarcCodec
+import graft.sources.WarcCodec.WarcRecord
+
+class CrawlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def respRec(uri: String, html: String,
+                      status: Int = 200,
+                      ctype: String = "text/html; charset=UTF-8"): WarcRecord = {
+    val http = (s"HTTP/1.1 $status X\r\nContent-Type: $ctype\r\n\r\n" + html).getBytes(UTF_8)
+    WarcRecord("response", uri, "2024-01-01T00:00:00Z", s"<urn:$uri>",
+      "application/http; msgtype=response", http)
+  }
+
+  test("end-to-end: archives to clean deduplicated training docs") {
+    val dir = Files.createTempDirectory("crawl_spec").toFile
+    try {
+      val page = "<html><head><title>T</title></head><body>" +
+        "<p>This page has a real paragraph with many words inside it.</p>" +
+        "<p>Menu</p></body></html>"
+      // file 0: the page + a tracking-variant duplicate + a 404 + an image
+      Files.write(new java.io.File(dir, "a.warc.gz").toPath, WarcCodec.writeWarcGz(Seq(
+        respRec("http://GOOD.com/x", page),
+        respRec("http://good.com/x?utm_source=tw", "<p>recrawl variant later alphabetically</p>"),
+        respRec("http://good.com/404", "<p>gone</p>", status = 404),
+        respRec("http://good.com/img", "fakepng", ctype = "image/png"))))
+      // file 1: a blocklisted domain + a second good page
+      Files.write(new java.io.File(dir, "b.warc.gz").toPath, WarcCodec.writeWarcGz(Seq(
+        respRec("http://www.spam.biz/y", "<p>buy stuff now cheap deals forever and ever</p>"),
+        respRec("http://other.org/z", "<p>Another genuine sentence with plenty of words here.</p>"))))
+      val out = Crawl.ingest(spark, dir.getAbsolutePath,
+        blockedDomains = Some(Seq("spam.biz").toDF("domain")))
+        .orderBy("url_canon").collect()
+      assert(out.map(_.getAs[String]("url_canon")).toSeq ==
+        Seq("http://good.com/x", "http://other.org/z"))
+      val good = out(0)
+      // tracking variant deduped to the FIRST record (path a.warc.gz, page),
+      // boilerplate line "Menu" dropped, title extracted
+      assert(good.getAs[String]("text") ==
+        "This page has a real paragraph with many words inside it.")
+      assert(good.getAs[String]("title") == "T")
+      assert(good.getAs[String]("url_domain") == "good.com")
+      // doc_id is the deterministic url hash: stable across runs
+      val again = Crawl.ingest(spark, dir.getAbsolutePath,
+        blockedDomains = Some(Seq("spam.biz").toDF("domain")))
+        .orderBy("url_canon").collect()
+      assert(out.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
+  }
+
+  test("plan: one exchange (url dedup), blocklist broadcast, bytes never shuffle") {
+    val dir = Files.createTempDirectory("crawl_plan").toFile
+    try {
+      // multiple files => multiple partitions, so the dedup distribution is
+      // NOT trivially satisfied (with one file Spark correctly elides it)
+      (0 until 4).foreach(f =>
+        Files.write(new java.io.File(dir, s"p$f.warc.gz").toPath,
+          WarcCodec.writeWarcGz(Seq(respRec(s"http://a$f.com/1", "<p>words here</p>")))))
+      val df = Crawl.ingest(spark, dir.getAbsolutePath,
+        blockedDomains = Some(Seq("x.y").toDF("domain")))
+      val plan = df.queryExecution.executedPlan.toString
+      val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nHash == 1, s"want exactly the dedup exchange, got $nHash:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+      // the one hash exchange carries only the partial-aggregate columns
+      // (url/domain + min_by state) — record metadata is projected away
+      // before it (the raw names appear only inside the partition-local
+      // SerializeFromObject that materializes parser output)
+      val exchangeLine = plan.linesIterator.find(_.contains("Exchange hashpartitioning")).get
+      assert(!exchangeLine.contains("content_type") && !exchangeLine.contains("record_id"), exchangeLine)
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
+  }
+}
