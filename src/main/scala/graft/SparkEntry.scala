@@ -926,6 +926,15 @@ object SparkEntry {
           md5(ops.Html.extractColumn(decode(col("body"), "UTF-8"))).as("ext_md5"))
         .orderBy("doc_id")
     },
+    // exact substring dedup (Lee et al. 2021 repeated-span rule): stride-1
+    // windowed hashing + maximal-span merging; only the corpus-wide first
+    // occurrence of a duplicated >=10-word span survives
+    "q_span_dedup" -> { (s, dir) =>
+      Dedup.spanDedup(docsPar(s, dir), windowWords = 10)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
     // URL canonicalization: three id-driven URL shapes exercise every pass
     // (case, www, default ports, fragments, tracking params incl. a
     // consumed-'?' fix-up). The oracle PREDICTS the canonical form
@@ -2396,6 +2405,28 @@ object SparkEntry {
          |  CAST(${WarcHttpHead.length} + strlen(h.t) AS BIGINT) AS content_length,
          |  md5(h.t) AS body_md5, md5($last.t) AS ext_md5
          |FROM h JOIN $last USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "q_span_dedup" -> {
+      val w = 10
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         | e AS (SELECT doc_id, w, unnest(range(1, len(w) - $w + 2)) AS i FROM t WHERE len(w) >= $w),
+         | wn AS (SELECT doc_id, i - 1 AS pos, ${sqlHex60(s"array_to_string(w[i:i+$w-1], ' ')")} AS h FROM e),
+         | dk AS (SELECT doc_id, pos,
+         |   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         |   count(*) OVER (PARTITION BY h) AS c FROM wn),
+         | mk AS (SELECT doc_id, pos FROM dk WHERE c > 1 AND rn > 1),
+         | isl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM mk),
+         | sp AS (SELECT doc_id, min(pos) AS s, max(pos) + $w - 1 AS e2 FROM isl GROUP BY doc_id, g),
+         | cov AS (SELECT DISTINCT doc_id, unnest(range(s, e2 + 1)) AS pos FROM sp),
+         | tk AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t),
+         | tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS word FROM tk),
+         | kept AS (SELECT doc_id, pos, word FROM tok ANTI JOIN cov USING (doc_id, pos)),
+         | reb AS (SELECT doc_id, count(*) AS n_kept,
+         |   array_to_string(list(word ORDER BY pos), ' ') AS clean FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.w) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed,
+         |  md5(coalesce(reb.clean, '')) AS clean_md5
+         |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id ORDER BY t.doc_id""".stripMargin
     },
     "q_url_canon" ->
       s"""SELECT doc_id, $synthUrlCanonSql AS url_canon,

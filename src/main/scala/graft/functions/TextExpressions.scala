@@ -419,6 +419,34 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends StringKernelExpr
   override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(child = c)
 }
 
+/** hex60 hashes of word n-gram shingles in POSITION order (stride 1, index
+  * i = window starting at token i) → array<long>. The positional sibling of
+  * [[ShingleHashesExpr]] (which sorts for set comparison): span-level dedup
+  * needs to know WHERE a duplicated window sits to merge runs into maximal
+  * spans. Empty array when the doc has fewer than n words.
+  */
+case class PositionalShingleHashesExpr(child: Expression, n: Int) extends StringKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected override def nullSafeEval(v: Any): Any = {
+    // own stride-1 loop: TextKernel.shingles DEDUPES (set semantics for
+    // Jaccard/minhash) — here index i must be the window at token i, so a
+    // within-doc repeat must keep every occurrence
+    val ws = TextKernel.tokens(input(v))
+    if (ws.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](ws.length - n + 1)
+    var i = 0
+    while (i + n <= ws.length) {
+      val sb = new java.lang.StringBuilder(ws(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+      hs(i) = TextKernel.hex60(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(hs)
+  }
+  override protected def withNewChildInternal(c: Expression): PositionalShingleHashesExpr = copy(child = c)
+}
+
 /** DSIR hashed-feature buckets → array<long>: every unigram then every
   * bigram of the tokenized text, hashed to `hex32(feature) % buckets` — a
   * MULTISET (occurrence counts carry the model weights), value-identical to
@@ -604,6 +632,7 @@ object textkernel {
   def chars_in_set_count(c: Column, chars: String): Column =
     toColumn(CharsInSetCountExpr(toExpression(c), chars))
   def shingle_hashes(c: Column, n: Int): Column = toColumn(ShingleHashesExpr(toExpression(c), n))
+  def positional_shingle_hashes(c: Column, n: Int): Column = toColumn(PositionalShingleHashesExpr(toExpression(c), n))
   def dsir_buckets(c: Column, buckets: Int): Column =
     toColumn(DsirBucketsExpr(toExpression(c), buckets))
   def token_stats(c: Column): Column = toColumn(TokenStatsExpr(toExpression(c)))

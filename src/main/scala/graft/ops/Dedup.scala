@@ -480,4 +480,73 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Exact SUBSTRING dedup — the repeated-span rule of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better"): any
+    * word span of ≥ `windowWords` tokens that occurs more than once in the
+    * corpus keeps only its FIRST occurrence (min (doc_id, pos)); every
+    * other occurrence is cut out of its document, words outside the span
+    * survive. Stronger than [[segmentDedup]]'s fixed non-overlapping
+    * windows: stride-1 windows detect spans at ANY alignment, and runs of
+    * duplicated windows merge into MAXIMAL spans before removal.
+    *
+    * Their suffix array is a single in-memory structure over the corpus;
+    * the distributed re-expression is windowed hashing:
+    *  1. one compiled-kernel pass emits the hex60 hash of every stride-1
+    *     `windowWords`-window ([[graft.functions.textkernel.positional_shingle_hashes]]);
+    *  2. ONE map-side-combined groupBy on the window hash finds duplicated
+    *     windows and their corpus-wide first instance — the shuffle
+    *     carries one row per distinct window per partition (8 B hashes,
+    *     never window text);
+    *  3. every non-canonical instance of a duplicated window marks its
+    *     start position; per doc, runs of marked positions merge into
+    *     maximal spans via the islands trick (pos − rank over the MARKED
+    *     positions only — a per-doc window bounded by the doc's own
+    *     duplicated-window count, not the corpus);
+    *  4. covered token positions explode from the spans (bounded by
+    *     removed-token count) and anti-join the token stream; survivors
+    *     reassemble with sort_array — no corpus-wide window anywhere.
+    *
+    * Returns (doc_id, n_tokens, n_removed, clean_text). Documents shorter
+    * than `windowWords` have no windows and pass through whole.
+    */
+  def spanDedup(docs: DataFrame, windowWords: Int = 20,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(windowWords >= 2, s"windowWords must be >= 2: $windowWords")
+    val toks = docs.select(col(idCol),
+      word_tokens(col(textCol)).as("w"),
+      positional_shingle_hashes(col(textCol), windowWords).as("h"))
+    val wins = toks.select(col(idCol), posexplode(col("h")))
+      .select(col(idCol), col("pos"), col("col").as("win_hash"))
+    // duplicated windows + their corpus-wide first instance, one combined agg
+    val dupFirst = wins.groupBy("win_hash")
+      .agg(count(lit(1)).as("n_inst"),
+        min(struct(col(idCol).as("d"), col("pos").as("p"))).as("f"))
+      .filter(col("n_inst") > 1)
+      .select(col("win_hash"), col("f.d").as("keep_doc"), col("f.p").as("keep_pos"))
+    val marked = wins.join(dupFirst, "win_hash")
+      .filter(!(col(idCol) === col("keep_doc") && col("pos") === col("keep_pos")))
+      .select(col(idCol), col("pos"))
+    // islands: consecutive marked positions share (pos - rank); spans are
+    // [min, max + W - 1] per island
+    val isl = marked.withColumn("g",
+      col("pos") - row_number().over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+    val spans = isl.groupBy(col(idCol), col("g"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + windowWords - 1).as("e"))
+    val covered = spans
+      .select(col(idCol), explode(sequence(col("s"), col("e"))).as("pos"))
+      .distinct()
+    val tokens = toks.select(col(idCol), posexplode(col("w")))
+      .select(col(idCol), col("pos"), col("col").as("word"))
+    val kept = tokens.join(covered, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(sort_array(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word"))).as("clean_text"))
+    toks.select(col(idCol), size(col("w")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -239,6 +239,69 @@ class CleanPipelineSpec extends AnyFunSuite {
     assert(r.getLong(1) == 3L && r.getLong(2) == 2L && r.getString(3) == "p q p")
   }
 
+  test("spanDedup: later occurrence of a shared span is cut, surrounding words survive") {
+    // W=4: docs 1 and 2 share the 5-word span "v w x y z" (two stride-1
+    // windows in each). Doc 2's copy is non-canonical: its marked positions
+    // merge into ONE maximal island covering exactly the 5 span tokens.
+    val d = Seq(
+      (1L, "v w x y z tail1 tail2"),
+      (2L, "lead1 lead2 v w x y z tail3"))
+      .toDF("doc_id", "text")
+    val r = Dedup.spanDedup(d, windowWords = 4).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r(0) == ((1L, 7L, 0L, "v w x y z tail1 tail2"))) // first occurrence: whole doc kept
+    assert(r(1) == ((2L, 8L, 5L, "lead1 lead2 tail3")))
+  }
+
+  test("spanDedup: stride-1 windows catch MISALIGNED repeats that fixed segments miss") {
+    // the shared span sits at offset 0 in doc 1 but offset 1 in doc 2 —
+    // segmentDedup(segWords=4) would see different segment contents
+    val d = Seq(
+      (1L, "s1 s2 s3 s4 only1"),
+      (2L, "pad s1 s2 s3 s4"))
+      .toDF("doc_id", "text")
+    val r = Dedup.spanDedup(d, windowWords = 4).orderBy("doc_id").collect()
+    assert(r(0).getString(3) == "s1 s2 s3 s4 only1")
+    assert(r(1).getString(3) == "pad" && r(1).getLong(2) == 4L)
+    val seg = Dedup.segmentDedup(d, segWords = 4).orderBy("doc_id").collect()
+    // segmentDedup output is (id, n_segments, n_kept, clean): everything kept
+    assert(seg(1).getLong(2) == seg(1).getLong(1),
+      "fixed segments must NOT catch the misaligned repeat")
+  }
+
+  test("spanDedup: within-doc repeat keeps the first occurrence only") {
+    val d = Seq((9L, "r1 r2 r3 r4 mid r1 r2 r3 r4")).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(d, windowWords = 4).collect()(0)
+    assert(r.getLong(1) == 9L && r.getLong(2) == 4L)
+    assert(r.getString(3) == "r1 r2 r3 r4 mid")
+  }
+
+  test("spanDedup: docs shorter than the window pass through whole; empty doc safe") {
+    val d = Seq((1L, "too short"), (2L, "")).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(d, windowWords = 4).orderBy("doc_id").collect()
+    assert(r(0).getLong(2) == 0L && r(0).getString(3) == "too short")
+    assert(r(1).getLong(1) == 0L && r(1).getString(3) == "")
+  }
+
+  test("spanDedup plan: no corpus-wide window — the only Window partitions by doc") {
+    val d = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = Dedup.spanDedup(d, windowWords = 4).queryExecution.optimizedPlan.toString
+    // row_number over marked positions is per-doc; nothing windows over an
+    // unpartitioned or hash-only-partitioned corpus
+    assert(!plan.contains("windowspecdefinition()"), plan)
+  }
+
+  test("positional_shingle_hashes: position order, within-doc repeats kept, short-doc empty") {
+    import graft.functions.textkernel.positional_shingle_hashes
+    val r = Seq(("a b a b a", 0)).toDF("t", "z")
+      .select(positional_shingle_hashes($"t", 2)).head().getSeq[Long](0)
+    assert(r.length == 4)
+    assert(r(0) == r(2) && r(1) == r(3) && r(0) != r(1)) // "a b","b a","a b","b a"
+    val empty = Seq(("a", 0)).toDF("t", "z")
+      .select(positional_shingle_hashes($"t", 2)).head().getSeq[Long](0)
+    assert(empty.isEmpty)
+  }
+
   test("cleanPipeline keeps one canonical good-English doc and drops junk in one pass") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and it is a fine day for that in the field"),
