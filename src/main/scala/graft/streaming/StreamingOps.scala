@@ -96,6 +96,23 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming URL-level dedup for a live crawl feed: canonicalize
+    * ([[graft.ops.Urls.canonicalColumn]] — tracking params, fragments,
+    * case, default ports all collapse) and keep the first arrival per
+    * canonical URL within the watermark. State is bounded exactly like
+    * [[streamingExactDedup]]: `dropDuplicatesWithinWatermark` evicts keys
+    * older than the watermark, so re-crawls inside the horizon drop and
+    * state never grows with the full URL history (an unbounded crawl
+    * frontier would OOM plain `dropDuplicates`). Unparseable URLs
+    * (null canonical) are dropped — they carry no dedup identity.
+    */
+  def streamingUrlDedup(docs: DataFrame, urlCol: String = "url",
+                        tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("url_canon", graft.ops.Urls.canonicalColumn(col(urlCol)))
+      .filter(col("url_canon").isNotNull)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("url_canon")
+
   final case class BucketRep(repId: Long, sig: Seq[Long])
   final case class NearDupCand(id_a: Long, id_b: Long, band: Int, est_jaccard: Double)
 

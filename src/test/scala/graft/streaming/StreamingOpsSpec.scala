@@ -157,6 +157,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == Set(1L, 3L)) // 2 (same batch) and 4 (later batch) deduped
   }
 
+  test("streamingUrlDedup: tracking variants collapse on the stream; front-end ops run stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val t0 = ts("2024-03-01 12:00:00")
+    def plus(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    val docs = input.toDF().toDF("doc_id", "url", "html", "ts")
+    val q = StreamingOps.streamingUrlDedup(docs, watermark = "1 hour")
+      .writeStream.format("memory").queryName("surl").outputMode("append").start()
+    // the HTML extraction path is pure projection: runs on the SAME stream
+    val q2 = graft.ops.Html.extractText(docs.select($"doc_id", $"html"))
+      .writeStream.format("memory").queryName("shtml").outputMode("append").start()
+    input.addData(
+      (1L, "http://A.com/x?utm_source=t", "<p>first crawl words</p>", t0),
+      (2L, "http://a.com/x", "<p>tracking twin</p>", plus(5)),
+      (3L, "garbage-url", "<p>no identity</p>", plus(6)),
+      (4L, "http://b.org/y#frag", "<p>other site</p>", plus(7)))
+    q.processAllAvailable()
+    input.addData((5L, "http://a.com/x#top", "<p>recrawl</p>", plus(50)))
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM surl").collect().map(_.getLong(0)).toSet
+    q.stop(); q2.processAllAvailable(); q2.stop()
+    assert(kept == Set(1L, 4L)) // 2/5 dedup to 1; 3 unparseable dropped
+    val html = spark.sql("SELECT doc_id, text FROM shtml").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(html(1L) == "first crawl words")
+  }
+
   test("streamingNearDupCandidates pairs arrivals with the bucket representative, O(B) state") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
