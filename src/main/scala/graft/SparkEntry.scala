@@ -660,6 +660,19 @@ object SparkEntry {
           PqCfg, k = 5, nProbe = 4, refine = 4)
         .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
     },
+    // RESIDUAL IVF×PQ (the FAISS IVFPQ construction): codebooks train on
+    // and codes encode v − centroid, each (probe, cell) gets its own LUT
+    // from the query's residual in that cell's frame — same pruned
+    // codes-only read shape, better recall per bit
+    "q_rpq_ivf_topk" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      ProductQuantization.residualIvfPqTopKPruned(s, rpqIndexFor(s, dir), emb, probes,
+          PqCfg, k = 5, nProbe = 4, refine = 4)
+        .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
+    },
     // S7/S10 through the O(batch) delta path (r5 verdict #3's machinery):
     // upsert lands as an "add" sidecar (conflicts dropped old-wins), delete
     // as a "del" tombstone; read() resolves the merge WITHOUT having
@@ -1205,6 +1218,23 @@ object SparkEntry {
       val (assigned, centroids) = SimilaritySearch.ivfAssign(emb, nCells = 16)
       val cb = ProductQuantization.pqTrain(emb, PqCfg)
       val encoded = ProductQuantization.pqEncode(assigned, cb, PqCfg)
+        .select(col("vec_id"), col("cell"), col("codes"))
+      ProductQuantization.pqIndexWrite(encoded, cb, path, Some(centroids))
+      path
+    })
+
+  /** Cell-partitioned RESIDUAL-PQ codes index (the FAISS IVFPQ
+    * construction): codebooks train on and codes encode `v − centroid`.
+    */
+  private val rpqIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def rpqIndexFor(s: SparkSession, dir: String): String =
+    rpqIndexPaths.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-rpq").toString + "/idx"
+      val emb = tbl(s, dir, "embeddings")
+      val (assigned, centroids) = SimilaritySearch.ivfAssign(emb, nCells = 16)
+      val res = ProductQuantization.residualize(assigned, centroids)
+      val cb = ProductQuantization.pqTrain(res, PqCfg, itemVec = "residual")
+      val encoded = ProductQuantization.pqEncode(res, cb, PqCfg, itemVec = "residual")
         .select(col("vec_id"), col("cell"), col("codes"))
       ProductQuantization.pqIndexWrite(encoded, cb, path, Some(centroids))
       path
@@ -1971,6 +2001,57 @@ object SparkEntry {
        |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  /** Residual IVF×PQ oracle: the pqIvfTopkSql replay with codebooks trained
+    * on and codes encoding `v − centroid(cell)` (double subtract, one
+    * rounding to FLOAT — bit-identical to native float32 subtraction), and
+    * a per-(probe, cell) LUT from the probe's residual in that cell.
+    */
+  private val rpqIvfTopkSql: String = {
+    val sub = "p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS FLOAT)"
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |   ORDER BY ${sqlHex60("'ivf:' || vec_id")} ASC, vec_id ASC LIMIT 16),
+       | ad AS (SELECT e.vec_id, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist FROM embeddings e, c),
+       | assign AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM ad) WHERE rn = 1),
+       | res AS (SELECT e.vec_id, e.embedding, a.cell,
+       |     list_transform(list_zip(e.embedding, c.cv), $sub) AS r
+       |   FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id JOIN c ON c.cid = a.cell),
+       | rcb0 AS (SELECT r AS cv0, row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS code
+       |   FROM (SELECT vec_id, r, ${sqlHex60("'pq:' || vec_id")} AS h FROM res
+       |         ORDER BY h ASC, vec_id ASC LIMIT 16)),
+       | subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+       | cb AS (SELECT s.sub, c2.code, c2.cv0[s.sub*8 + 1 : s.sub*8 + 8] AS scv FROM rcb0 c2, subs s),
+       | encd AS (SELECT res.vec_id, cb.sub, cb.code,
+       |     ${sqlL2Sq("res.r[cb.sub*8 + 1 : cb.sub*8 + 8]", "cb.scv")} AS d2
+       |   FROM res, cb),
+       | enc AS (SELECT vec_id, sub, code FROM (SELECT *,
+       |     row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM encd)
+       |   WHERE rn = 1),
+       | p AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       | pd AS (SELECT p.qid, c.cid, ${sqlL2("p.qv", "c.cv")} AS dist FROM p, c),
+       | pc AS (SELECT qid, cid AS cell FROM (SELECT qid, cid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rn FROM pd) WHERE rn <= 4),
+       | rp AS (SELECT pc.qid, pc.cell, list_transform(list_zip(p.qv, c.cv), $sub) AS rq
+       |   FROM pc JOIN p ON p.qid = pc.qid JOIN c ON c.cid = pc.cell),
+       | lut AS (SELECT rp.qid, rp.cell, cb.sub, cb.code,
+       |     CAST(round(${sqlL2Sq("rp.rq[cb.sub*8 + 1 : cb.sub*8 + 8]", "cb.scv")} * 1e6) AS BIGINT) AS d
+       |   FROM rp, cb),
+       | adc AS (SELECT l.qid, a.vec_id, sum(l.d) AS dist
+       |   FROM assign a
+       |   JOIN enc ON enc.vec_id = a.vec_id
+       |   JOIN lut l ON l.cell = a.cell AND l.sub = enc.sub AND l.code = enc.code
+       |   GROUP BY l.qid, a.vec_id),
+       | cand AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |   row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn FROM adc)
+       |   WHERE rn <= 20),
+       | rer AS (SELECT cd.qid, cd.vec_id, round(${sqlCos("e.embedding", "p.qv")}, 6) AS score
+       |   FROM cand cd JOIN embeddings e ON e.vec_id = cd.vec_id JOIN p ON p.qid = cd.qid),
+       | ranked AS (SELECT qid, vec_id, score,
+       |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank FROM rer)
+       |SELECT qid, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   private val findSimilarMultiSql: String =
     s"""WITH idx AS (SELECT vec_id AS doc_id, 'obj:' || (vec_id % 50) AS key, embedding AS v FROM embeddings),
        | probes AS (SELECT doc_id AS qid, v AS qv FROM idx WHERE key = 'obj:7'),
@@ -2166,6 +2247,7 @@ object SparkEntry {
     "q_bq_topk" -> bqTopkSql,
     "q_bq_ivf_topk" -> bqIvfTopkSql,
     "q_pq_ivf_topk" -> pqIvfTopkSql,
+    "q_rpq_ivf_topk" -> rpqIvfTopkSql,
     "q_dup_clusters" -> dupClustersSql,
     "q_dedup_corpus" -> dedupCorpusSql,
     "q_pack_sequences" ->

@@ -120,6 +120,65 @@ object ProductQuantization {
       centroids.foreach(_.coalesce(1).write.mode("overwrite").parquet(s"$dir/_centroids"))
     }
 
+  /** Residual vectors for the FAISS-style IVFPQ construction: each assigned
+    * item gains `residual = v − centroid(cell)`. Residuals concentrate near
+    * zero (the centroid already explains the coarse position), so a PQ
+    * codebook of the same size quantizes them with far lower error than raw
+    * vectors — the reason FAISS's IVFPQ encodes residuals, not vectors
+    * (Jégou et al. 2011 §IV; public method, original implementation).
+    *
+    * Centroid table is ≤ nCells rows → BROADCAST join; the subtraction is
+    * computed in double and rounded once to float, which is bit-identical
+    * to native float32 subtraction (both are correctly-rounded IEEE) — the
+    * property the DuckDB oracle's `CAST(… AS FLOAT)` replay relies on.
+    */
+  def residualize(assigned: DataFrame, centroids: DataFrame,
+                  itemVec: String = "embedding"): DataFrame =
+    assigned.join(broadcast(centroids.select(col("cid").cast("long").as("cell"), col("cv"))), "cell")
+      .withColumn("residual",
+        zip_with(col(itemVec), col("cv"),
+          (a, b) => (a.cast("double") - b.cast("double")).cast("float")))
+      .drop("cv")
+
+  /** IVF×PQ search over a RESIDUAL-encoded index ([[residualize]] +
+    * [[pqTrain]]/[[pqEncode]] on the residual column): identical read shape
+    * to [[ivfPqTopKPruned]] — static cell partition pruning, codes-only
+    * scan, integer ADC, exact rerank — except each (probe, cell) pair gets
+    * its OWN lookup table built from the probe's residual `q − centroid`
+    * (the residual of the query in that cell's frame). Same plan, better
+    * recall per bit.
+    */
+  def residualIvfPqTopKPruned(spark: SparkSession, indexPath: String, items: DataFrame,
+                              probes: Seq[(Long, Seq[Float])], cfg: PqConfig,
+                              k: Int = 10, nProbe: Int = 4, refine: Int = 4,
+                              itemId: String = "vec_id", itemVec: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val resolved = graft.api.VersionedDir.resolve(spark, indexPath)
+    val (cvs, cids) = SimilaritySearch.collectCentroids(
+      spark.read.parquet(s"$resolved/_centroids"))
+    val cbs = collectCodebooks(spark.read.parquet(s"$resolved/_codebooks"), cfg)
+    val expanded = probes.flatMap { case (qid, qv) =>
+      SimilaritySearch.nearestCellsLocal(qv, cvs, cids, nProbe).map { c =>
+        val cv = cvs(cids.indexOf(c))
+        val rq = Seq.tabulate(qv.length)(i => (qv(i).toDouble - cv(i).toDouble).toFloat)
+        (qid, qv, c, adcLut(rq, cbs, cfg).toSeq)
+      }
+    }
+    val probeDf = expanded.toDF("qid", "qv", "__cell", "lut")
+      .select(col("qid"), col("qv").cast("array<float>"), col("__cell"), col("lut"))
+    val raw = spark.read.parquet(resolved)
+    val candCells: Seq[Any] = raw.schema("cell").dataType match {
+      case org.apache.spark.sql.types.IntegerType => expanded.map(_._3.toInt).distinct
+      case _                                      => expanded.map(_._3).distinct
+    }
+    val index = raw.filter(col("cell").isin(candCells: _*))
+      .withColumn("__cell", col("cell").cast("long")).drop("cell")
+    val scored = index.join(broadcast(probeDf.select(col("qid"), col("__cell"), col("lut"))), Seq("__cell"))
+      .select(col("qid"), col(itemId),
+        (-pq_adc(col("codes"), col("lut"), cfg.ksub)).cast("double").as("score"))
+    rerankExact(scored, items, probeDf, k, refine, itemId, itemVec)
+  }
+
   /** Codebooks of the ACTIVE index version. */
   def pqCodebooksRead(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"${graft.api.VersionedDir.resolve(spark, path)}/_codebooks")

@@ -125,4 +125,75 @@ class PqSpec extends AnyFunSuite {
     assert(reader.count() == 200)
     assert(spark.read.parquet(graft.api.VersionedDir.resolve(spark, path)).count() == 50)
   }
+
+  /** Clustered fixture: 8 well-separated centers + small noise — the data
+    * shape where residual encoding earns its keep (uniform data has no
+    * coarse structure for the centroid to explain).
+    */
+  private def cvec(id: Long): Seq[Float] = {
+    val cluster = (id % 8).toInt
+    (0 until dims).map { i =>
+      val center = if (i % 8 == cluster) 4f else 0f
+      val noise = (new scala.util.Random(id * 7919 + i).nextDouble() * 0.4 - 0.2).toFloat
+      center + noise
+    }
+  }
+  private lazy val clustered = (0L until 200L).map(i => (i, cvec(i))).toDF("vec_id", "embedding")
+    .select(col("vec_id"), col("embedding").cast("array<float>"))
+
+  test("residual PQ reconstructs clustered data with lower error than raw PQ") {
+    // Lloyd-refined, farthest-first-seeded centroids: residuals only shrink
+    // when the centroid actually explains the coarse position (raw md5-min
+    // seed centroids are arbitrary corpus items — v − randomItem can be
+    // LARGER than v, measured here before choosing this config)
+    val (assigned, centroids) = SimilaritySearch.ivfAssign(clustered, nCells = 8,
+      lloydIters = 10, seedSample = 32)
+    val res = ProductQuantization.residualize(assigned, centroids)
+    // spot-check the residual arithmetic itself
+    val row = res.select(col("embedding"), col("residual"), col("cell")).head()
+    val (v, r) = (row.getSeq[Float](0), row.getSeq[Float](1))
+    val cvMap = centroids.collect().map(x => x.getLong(0) -> x.getSeq[Float](1)).toMap
+    val cv = cvMap(row.getLong(2))
+    (0 until dims).foreach(i => assert(math.abs(r(i) - (v(i) - cv(i))) < 1e-6))
+
+    def err(encodedVecCol: String, base: org.apache.spark.sql.DataFrame,
+            cb: org.apache.spark.sql.DataFrame, addCentroid: Boolean): Double = {
+      val cbs = collectCodebooks(cb, cfg)
+      val rows = ProductQuantization.pqEncode(base, cb, cfg, itemVec = encodedVecCol)
+        .select(col("embedding"), col("codes"),
+          if (addCentroid) col("cell") else lit(0L).as("cell"))
+        .collect()
+      rows.map { x =>
+        val v = x.getSeq[Float](0); val codes = x.getSeq[Int](1)
+        val dec = (0 until cfg.m).flatMap(s => cbs(s)(codes(s)))
+        val cv = if (addCentroid) cvMap(x.getLong(2)) else Seq.fill(dims)(0f)
+        (0 until dims).map(i => math.pow(v(i) - (dec(i) + cv(i)), 2)).sum
+      }.sum / rows.length
+    }
+    val rawErr = err("embedding", clustered, ProductQuantization.pqTrain(clustered, cfg), addCentroid = false)
+    val resErr = err("residual", res,
+      ProductQuantization.pqTrain(res, cfg, itemVec = "residual"), addCentroid = true)
+    assert(resErr < rawErr * 0.5,
+      s"residual encoding should at least halve the error on clustered data: raw $rawErr residual $resErr")
+  }
+
+  test("residual IVF-PQ search at full probe width + full refine equals brute force") {
+    val path = java.nio.file.Files.createTempDirectory("rpq_spec").toString + "/idx"
+    val (assigned, centroids) = SimilaritySearch.ivfAssign(clustered, nCells = 8)
+    val res = ProductQuantization.residualize(assigned, centroids)
+    val cb = ProductQuantization.pqTrain(res, cfg, itemVec = "residual")
+    val encoded = ProductQuantization.pqEncode(res, cb, cfg, itemVec = "residual")
+      .select(col("vec_id"), col("cell"), col("codes"))
+    ProductQuantization.pqIndexWrite(encoded, cb, path, Some(centroids))
+    val probes = (0L until 4L).map(i => (i, cvec(i)))
+    val got = ProductQuantization.residualIvfPqTopKPruned(spark, path, clustered,
+        probes, cfg, k = 5, nProbe = 8, refine = 40)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = SimilaritySearch.bruteForceTopK(clustered, probes.toDF("qid", "qv")
+        .select(col("qid"), col("qv").cast("array<float>")), k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    probes.foreach { case (q, _) => assert(got(q) == exact(q), s"probe $q") }
+  }
 }
