@@ -715,6 +715,17 @@ object SparkEntry {
         .select(col("doc_id"), col("score"), col("key"))
         .orderBy(desc("score"), col("doc_id").asc)
     },
+    // residual-IVFPQ variant (the FAISS construction): the delta row's codes
+    // are residual-encoded in its assigned cell's frame against the STORED
+    // codebooks; search builds a per-(probe, cell) residual LUT
+    "q_ann_vi_rpq_incr" -> { (s, dir) =>
+      val vi = viRpqIncrIndexFor(s, dir)
+      vi.searchVector(probeVec(s, dir), k = 5, threshold = -2.0,
+          mode = SearchMode.RpqIvf(nCells = 16, nProbe = 4, m = 8, ksub = 16,
+            refine = 4, lloydIters = 0))
+        .select(col("doc_id"), col("score"), col("key"))
+        .orderBy(desc("score"), col("doc_id").asc)
+    },
     // SQ variant: the delta row is byte-encoded against the STORED min/max
     // params; search overlays it into the codes-only ADC scan + rerank
     "q_ann_vi_sq_incr" -> { (s, dir) =>
@@ -1369,6 +1380,22 @@ object SparkEntry {
         HashEmbeddingBackend(64), graft.embed.EchoChatBackend(),
         path, "emb", "vec_id",
         ann = Seq(SearchMode.IvfPq(nCells = 16, nProbe = 4, m = 8, ksub = 16,
+          refine = 4, lloydIters = 0))))
+    })
+
+  /** Residual-IVFPQ twin — the FAISS IVFPQ construction through the public
+    * API: the delta row is residualized in its assigned cell's frame and
+    * kernel-encoded against the STORED residual codebooks.
+    */
+  private val viRpqIncrIndexes = scala.collection.concurrent.TrieMap.empty[String, VectorIndex]
+  private def viRpqIncrIndexFor(s: SparkSession, dir: String): VectorIndex =
+    viRpqIncrIndexes.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-vi-rpqi").toString + "/idx"
+      viIncrMutations(s, dir, new VectorIndex(s,
+        IndexConfig("emb_rpqi", "vec_id", Seq(EmbeddingField("text"))),
+        HashEmbeddingBackend(64), graft.embed.EchoChatBackend(),
+        path, "emb", "vec_id",
+        ann = Seq(SearchMode.RpqIvf(nCells = 16, nProbe = 4, m = 8, ksub = 16,
           refine = 4, lloydIters = 0))))
     })
 
@@ -2212,12 +2239,70 @@ object SparkEntry {
        |SELECT vec_id AS doc_id, score, 'emb:' || vec_id AS key FROM ranked WHERE rn <= 5
        |ORDER BY score DESC, doc_id""".stripMargin
 
+  /** Residual-IVFPQ twin of [[annViPqIncrSql]] (the FAISS construction):
+    * centroids and residual codebooks train on the full-ingest corpus
+    * (= base `embeddings`); the live corpus — minus the deleted row, plus
+    * the upserted copy of vec 1 — is assigned and residual-encoded against
+    * those STORED structures, exactly what the delta overlay replays.
+    */
+  private val annViRpqIncrSql: String = {
+    val sub = "p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS FLOAT)"
+    s"""WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 2
+       |   UNION ALL SELECT 1000001 AS vec_id, embedding FROM embeddings WHERE vec_id = 1),
+       | c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |   ORDER BY ${sqlHex60("'ivf:' || vec_id")} ASC, vec_id ASC LIMIT 16),
+       | ad0 AS (SELECT e.vec_id, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist FROM embeddings e, c),
+       | assign0 AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM ad0) WHERE rn = 1),
+       | res0 AS (SELECT e.vec_id, list_transform(list_zip(e.embedding, c.cv), $sub) AS r
+       |   FROM embeddings e JOIN assign0 a ON a.vec_id = e.vec_id JOIN c ON c.cid = a.cell),
+       | rcb0 AS (SELECT r AS cv0, row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS code
+       |   FROM (SELECT vec_id, r, ${sqlHex60("'pq:' || vec_id")} AS h FROM res0
+       |         ORDER BY h ASC, vec_id ASC LIMIT 16)),
+       | subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+       | cb AS (SELECT s.sub, c2.code, c2.cv0[s.sub*8 + 1 : s.sub*8 + 8] AS scv FROM rcb0 c2, subs s),
+       | ad AS (SELECT e.vec_id, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist FROM corp e, c),
+       | assign AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM ad) WHERE rn = 1),
+       | res AS (SELECT e.vec_id, a.cell, list_transform(list_zip(e.embedding, c.cv), $sub) AS r
+       |   FROM corp e JOIN assign a ON a.vec_id = e.vec_id JOIN c ON c.cid = a.cell),
+       | encd AS (SELECT res.vec_id, cb.sub, cb.code,
+       |     ${sqlL2Sq("res.r[cb.sub*8 + 1 : cb.sub*8 + 8]", "cb.scv")} AS d2
+       |   FROM res, cb),
+       | enc AS (SELECT vec_id, sub, code FROM (SELECT *,
+       |     row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM encd)
+       |   WHERE rn = 1),
+       | q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       | pd AS (SELECT c.cid, ${sqlL2("q.qv", "c.cv")} AS dist FROM q, c),
+       | pc AS (SELECT cid AS cell FROM (SELECT cid,
+       |   row_number() OVER (ORDER BY dist ASC, cid ASC) AS rn FROM pd) WHERE rn <= 4),
+       | rp AS (SELECT pc.cell, list_transform(list_zip(q.qv, c.cv), $sub) AS rq
+       |   FROM pc JOIN c ON c.cid = pc.cell, q),
+       | lut AS (SELECT rp.cell, cb.sub, cb.code,
+       |     CAST(round(${sqlL2Sq("rp.rq[cb.sub*8 + 1 : cb.sub*8 + 8]", "cb.scv")} * 1e6) AS BIGINT) AS d
+       |   FROM rp, cb),
+       | adc AS (SELECT a.vec_id, sum(l.d) AS dist
+       |   FROM assign a
+       |   JOIN enc ON enc.vec_id = a.vec_id
+       |   JOIN lut l ON l.cell = a.cell AND l.sub = enc.sub AND l.code = enc.code
+       |   GROUP BY a.vec_id),
+       | cand AS (SELECT vec_id FROM (SELECT vec_id,
+       |   row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS rn FROM adc) WHERE rn <= 20),
+       | rer AS (SELECT cd.vec_id, round(${sqlCos("e.embedding", "q.qv")}, 6) AS score
+       |   FROM cand cd JOIN corp e ON e.vec_id = cd.vec_id, q),
+       | ranked AS (SELECT vec_id, score,
+       |   row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rn FROM rer)
+       |SELECT vec_id AS doc_id, score, 'emb:' || vec_id AS key FROM ranked WHERE rn <= 5
+       |ORDER BY score DESC, doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_store_delta" -> storeDeltaSql,
     "q_store_fold" -> storeDeltaSql,
     "q_ann_vi_ivf_incr" -> annViIvfIncrSql,
     "q_ann_vi_lsh_incr" -> annViLshIncrSql,
     "q_ann_vi_pq_incr" -> annViPqIncrSql,
+    "q_ann_vi_rpq_incr" -> annViRpqIncrSql,
     "q_ann_vi_sq_incr" -> annViSqIncrSql,
     "q_ann_vi_bq_incr" -> annViBqIncrSql,
     "q_chunk" -> chunkOracleSql,

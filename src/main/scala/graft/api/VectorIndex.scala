@@ -214,6 +214,21 @@ final class VectorIndex(
             org.apache.spark.sql.functions.col("cell"),
             org.apache.spark.sql.functions.col("codes"))
         graft.ops.ProductQuantization.pqIndexWrite(encoded, cb, annIvfPqPath, Some(centroids))
+      case SearchMode.RpqIvf(nCells, _, m, ksub, _, lloydIters) =>
+        // FAISS IVFPQ construction: codebooks train on and codes encode the
+        // RESIDUAL v − centroid(cell), not the raw vector
+        val cfg = graft.ops.ProductQuantization.PqConfig(config.dims, m, ksub)
+        val (assigned, centroids) = SimilaritySearch.ivfAssign(docs, nCells,
+          itemId = "doc_id", itemVec = "vector", lloydIters = lloydIters)
+        val res = graft.ops.ProductQuantization.residualize(assigned, centroids,
+          itemVec = "vector")
+        val cb = graft.ops.ProductQuantization.pqTrain(res, cfg,
+          itemId = "doc_id", itemVec = "residual", lloydIters = lloydIters)
+        val encoded = graft.ops.ProductQuantization.pqEncode(res, cb, cfg, itemVec = "residual")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("cell"),
+            org.apache.spark.sql.functions.col("codes"))
+        graft.ops.ProductQuantization.pqIndexWrite(encoded, cb, annRpqPath, Some(centroids))
       case SearchMode.Sq(_) =>
         val params = graft.ops.ScalarQuantization.sqTrain(docs, itemVec = "vector")
         val (mins, maxs) = graft.ops.ScalarQuantization.collectParams(params)
@@ -251,6 +266,7 @@ final class VectorIndex(
       case SearchMode.Lsh(_, _)      => !new VersionedDir(spark, annLshPath).exists
       case SearchMode.Ivf(_, _, _)   => !new VersionedDir(spark, annIvfPath).exists
       case SearchMode.IvfPq(_, _, _, _, _, _) => !new VersionedDir(spark, annIvfPqPath).exists
+      case SearchMode.RpqIvf(_, _, _, _, _, _) => !new VersionedDir(spark, annRpqPath).exists
       case SearchMode.Sq(_)          => !new VersionedDir(spark, annSqPath).exists
       case SearchMode.Bq(_)          => !new VersionedDir(spark, annBqPath).exists
       case SearchMode.Exact          => false
@@ -296,6 +312,26 @@ final class VectorIndex(
         val tombs = tombIds.select(col("doc_id"), lit(null).cast("long").as("cell"),
           lit(null).cast("array<int>").as("codes"), lit(true).as("deleted"))
         annDeltaWrite(annIvfPqPath, adds.unionByName(tombs))
+      case SearchMode.RpqIvf(_, _, m, ksub, _, _) =>
+        // assign against the STORED centroids, residualize in the assigned
+        // cell's frame, encode against the STORED residual codebooks — no
+        // retrain on a 1-row upsert (the FAISS IVFPQ add path)
+        val cfg = graft.ops.ProductQuantization.PqConfig(config.dims, m, ksub)
+        val resolved = VersionedDir.resolve(spark, annRpqPath)
+        val centroidsDf = spark.read.parquet(s"$resolved/_centroids")
+        val (cvs, cids) = SimilaritySearch.collectCentroids(centroidsDf)
+        val cbs = graft.ops.ProductQuantization.collectCodebooks(
+          spark.read.parquet(s"$resolved/_codebooks"), cfg)
+        val assigned = changedDocs1.select(col("doc_id"), col("vector"),
+          graft.functions.vector.nearest_centroid(col("vector"), cvs, cids).as("cell"))
+        val adds = graft.ops.ProductQuantization.residualize(assigned, centroidsDf,
+            itemVec = "vector")
+          .select(col("doc_id"), col("cell"),
+            graft.functions.vector.pq_encode(col("residual"), cbs, cfg.dsub).as("codes"),
+            lit(false).as("deleted"))
+        val tombs = tombIds.select(col("doc_id"), lit(null).cast("long").as("cell"),
+          lit(null).cast("array<int>").as("codes"), lit(true).as("deleted"))
+        annDeltaWrite(annRpqPath, adds.unionByName(tombs))
       case SearchMode.Sq(_) =>
         // encode against the STORED params — no retrain on a 1-row upsert
         val (mins, maxs) = graft.ops.ScalarQuantization.collectParams(
@@ -323,6 +359,7 @@ final class VectorIndex(
       case SearchMode.Lsh(_, _)    => new VersionedDir(spark, annLshPath).listDeltas.size
       case SearchMode.Ivf(_, _, _) => new VersionedDir(spark, annIvfPath).listDeltas.size
       case SearchMode.IvfPq(_, _, _, _, _, _) => new VersionedDir(spark, annIvfPqPath).listDeltas.size
+      case SearchMode.RpqIvf(_, _, _, _, _, _) => new VersionedDir(spark, annRpqPath).listDeltas.size
       case SearchMode.Sq(_)        => new VersionedDir(spark, annSqPath).listDeltas.size
       case SearchMode.Bq(_)        => new VersionedDir(spark, annBqPath).listDeltas.size
       case SearchMode.Exact        => 0
@@ -406,6 +443,11 @@ final class VectorIndex(
           probes, graft.ops.ProductQuantization.PqConfig(config.dims, pm, ksub),
           k, nProbe, refine, itemId = "doc_id", itemVec = "vector",
           delta = annDeltaRead(annIvfPqPath))
+      case SearchMode.RpqIvf(_, nProbe, pm, ksub, refine, _) =>
+        graft.ops.ProductQuantization.residualIvfPqTopKPruned(spark, annRpqPath, documents,
+          probes, graft.ops.ProductQuantization.PqConfig(config.dims, pm, ksub),
+          k, nProbe, refine, itemId = "doc_id", itemVec = "vector",
+          delta = annDeltaRead(annRpqPath))
       case SearchMode.Sq(refine) =>
         val resolved = VersionedDir.resolve(spark, annSqPath)
         val (mins, maxs) = graft.ops.ScalarQuantization.collectParams(

@@ -151,7 +151,8 @@ object ProductQuantization {
   def residualIvfPqTopKPruned(spark: SparkSession, indexPath: String, items: DataFrame,
                               probes: Seq[(Long, Seq[Float])], cfg: PqConfig,
                               k: Int = 10, nProbe: Int = 4, refine: Int = 4,
-                              itemId: String = "vec_id", itemVec: String = "embedding"): DataFrame = {
+                              itemId: String = "vec_id", itemVec: String = "embedding",
+                              delta: Option[org.apache.spark.sql.DataFrame] = None): DataFrame = {
     import spark.implicits._
     val resolved = graft.api.VersionedDir.resolve(spark, indexPath)
     val (cvs, cids) = SimilaritySearch.collectCentroids(
@@ -173,7 +174,12 @@ object ProductQuantization {
     }
     val index = raw.filter(col("cell").isin(candCells: _*))
       .withColumn("__cell", col("cell").cast("long")).drop("cell")
-    val scored = index.join(broadcast(probeDf.select(col("qid"), col("__cell"), col("lut"))), Seq("__cell"))
+    // incremental-maintenance overlay: delta rows carry codes encoded
+    // against THIS version's (residual-trained) codebooks in their assigned
+    // cell's frame — same shadow-new-wins merge as [[ivfPqTopKPruned]]
+    val live = SimilaritySearch.mergeDelta(index, delta, "cell", "__cell",
+      expanded.map(_._3).distinct, itemId, itemVec = "codes")
+    val scored = live.join(broadcast(probeDf.select(col("qid"), col("__cell"), col("lut"))), Seq("__cell"))
       .select(col("qid"), col(itemId),
         (-pq_adc(col("codes"), col("lut"), cfg.ksub)).cast("double").as("score"))
     rerankExact(scored, items, probeDf, k, refine, itemId, itemVec)

@@ -296,6 +296,52 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(!codesScan.contains("vector"), s"codes scan reads vectors:\n$codesScan")
   }
 
+  // r8 advice: SearchMode.RpqIvf was declared but unwired — an index
+  // configured with it crashed with MatchError on rebuild/upsert/delete/
+  // search. This pins the FULL lifecycle through the public API.
+  test("RpqIvf lifecycle: rebuild, pruned search, delta upsert/delete — exact parity at full width") {
+    val mode = SearchMode.RpqIvf(nCells = 4, nProbe = 4, m = 4, ksub = 16,
+      refine = 12, lloydIters = 1)
+    val idx = annIndex("annrpq", Seq(mode))
+    idx.rebuild(annSource)
+    val q = "document number 17 about topic3 detail17"
+    // nProbe = nCells and k·refine = 60 = |index| ⇒ everything reranks
+    // exactly ⇒ residual-PQ must equal the exact top-k
+    val exact = idx.search(q, k = 5, threshold = -1.0)
+      .select(col("doc_id"), round(col("score"), 6)).as[(Long, Double)].collect().toSet
+    val rpqFull = idx.search(q, k = 5, threshold = -1.0, mode = mode)
+      .select(col("doc_id"), round(col("score"), 6)).as[(Long, Double)].collect().toSet
+    assert(rpqFull == exact)
+
+    // narrow probe: static partition filter on the residual-codes scan,
+    // and that scan must not read a vector column
+    val narrow = idx.search(q, k = 5,
+      mode = SearchMode.RpqIvf(nCells = 4, nProbe = 2, m = 4, ksub = 16, refine = 2, lloydIters = 1))
+    val p = narrow.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(p).isDefined, s"no partition filter in:\n$p")
+    val codesScan = p.linesIterator.find(_.contains("__ann_rpq")).getOrElse("")
+    assert(!codesScan.contains("vector"), s"codes scan reads vectors:\n$codesScan")
+
+    // upsert lands as a delta sidecar (no retrain), searchable through the
+    // overlay; delete tombstones it back out
+    val vd = new VersionedDir(spark, idx.annRpqPath)
+    val v0 = vd.currentVersion.get
+    val newDoc = graft.pipeline.IndexBuild.buildDocuments(
+      Seq((100L, "completely new page about quasars and pulsars today")).toDF("id", "body"),
+      idx.config, idx.backend, "page", "id")
+    idx.upsert(newDoc)
+    assert(vd.currentVersion.contains(v0) && vd.listDeltas.size == 1)
+    val probe = "completely new page about quasars and pulsars today"
+    val keys = idx.search(probe, k = 3, threshold = -1.0, mode = mode)
+      .select("key").as[String].collect().toSet
+    assert(keys.contains("page:100"), s"RpqIvf misses the upserted doc: $keys")
+    idx.delete(newDoc.select("doc_id").as[Long].collect().toSeq)
+    assert(vd.currentVersion.contains(v0) && vd.listDeltas.size == 2)
+    val keys2 = idx.search(probe, k = 10, threshold = -1.0, mode = mode)
+      .select("key").as[String].collect().toSet
+    assert(!keys2.contains("page:100"), s"RpqIvf still returns the deleted doc: $keys2")
+  }
+
   // r5 verdict crash #1: an IvfPq index over fewer docs than ksub used to
   // crash on rebuild/search with ArrayIndexOutOfBoundsException.
   test("IvfPq over a corpus smaller than ksub rebuilds and searches without crashing") {
