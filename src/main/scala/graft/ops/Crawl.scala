@@ -33,10 +33,14 @@ object Crawl {
   def ingest(spark: SparkSession, warcDir: String,
              blockedDomains: Option[DataFrame] = None,
              minTextChars: Int = 1): DataFrame = {
+    // header names/values are case-insensitive (RFC 9110): match
+    // 'Text/HTML' too, and honour a declared charset parameter
     val records = Warc.readWarcFiles(spark, warcDir)
       .filter(col("http_status") === 200 &&
-        col("http_content_type").startsWith("text/html"))
-      .select(col("path"), col("rec_idx"), col("target_uri").as("url"), col("body"))
+        lower(col("http_content_type")).startsWith("text/html"))
+      .select(col("path"), col("rec_idx"), col("target_uri").as("url"), col("body"),
+        lower(regexp_extract(col("http_content_type"),
+          "(?i)charset=\"?([A-Za-z0-9_\\-]+)", 1)).as("charset"))
     val canon = Urls.canonicalize(records).filter(col("url_canon").isNotNull)
     val allowed = blockedDomains match {
       case Some(bl) =>
@@ -52,10 +56,21 @@ object Crawl {
     // because (archive name, record ordinal) totally orders the crawl
     val deduped = allowed
       .groupBy("url_canon", "url_domain")
-      .agg(min_by(col("body"), struct(col("path"), col("rec_idx"))).as("body"))
+      .agg(min_by(col("body"), struct(col("path"), col("rec_idx"))).as("body"),
+        min_by(col("charset"), struct(col("path"), col("rec_idx"))).as("charset"))
     // extraction columns inlined (not Html.extractText) so url_domain rides
-    // the same projection — no join back, nothing after the dedup shuffles
-    val withHtml = deduped.withColumn("html", decode(col("body"), "UTF-8"))
+    // the same projection — no join back, nothing after the dedup shuffles.
+    // Decode honours the surviving record's declared charset for the
+    // latin-1 family (the common non-UTF-8 crawl encodings — decoding them
+    // as UTF-8 produced mojibake, r8 advice); anything else falls back to
+    // UTF-8 (which also covers its ASCII-compatible supersets well enough
+    // for the text stages — documented boundary, not a full charset table)
+    val withHtml = deduped.withColumn("html",
+      when(col("charset").isin("iso-8859-1", "iso8859-1", "latin1", "latin-1"),
+        decode(col("body"), "ISO-8859-1"))
+      .when(col("charset").isin("windows-1252", "cp1252"),
+        decode(col("body"), "windows-1252"))
+      .otherwise(decode(col("body"), "UTF-8")))
     val extracted = withHtml.select(col("url_canon"), col("url_domain"),
       Html.titleColumn(col("html")).as("title"),
       regexp_count(col("html"), lit("(?i)<a\\b")).cast("long").as("n_links"),

@@ -29,9 +29,6 @@ object Urls {
   val TrackingParams: Seq[String] =
     Seq("utm_[a-z]+", "fbclid", "gclid", "msclkid", "ref")
 
-  private def trackingPat: String =
-    s"(?i)[?&](${TrackingParams.mkString("|")})=[^&#]*"
-
   /** Lowercased `host[:port]` authority (empty string for non-URL input). */
   def hostColumn(url: Column): Column =
     lower(regexp_extract(trim(url), SchemeRe + "([^/?#]*)", 2))
@@ -41,10 +38,12 @@ object Urls {
     *  2. leading `www.` and a scheme-default port (`:80` http / `:443`
     *     https) drop from the host;
     *  3. the `#fragment` drops (client-side only — same resource);
-    *  4. tracking parameters ([[TrackingParams]]) drop with their
-    *     separator, then the query tidies: run of `&` collapses, a first
-    *     separator that survived as `&` becomes `?`, trailing `?`/`&`
-    *     drops;
+    *  4. tracking parameters ([[TrackingParams]]) drop from the QUERY
+    *     part only (path and query split at the first `?` first — a
+    *     literal `&` in a query-less path is legal per RFC 3986 pchar and
+    *     must survive untouched), then the query tidies: runs of `&`
+    *     collapse, leading/trailing `&` drop, an emptied query drops its
+    *     `?`;
     *  5. an empty path becomes `/` (`http://a.com` ≡ `http://a.com/`).
     */
   def canonicalColumn(url: Column): Column = {
@@ -57,13 +56,18 @@ object Urls {
       .otherwise(host1)
     val rest0 = regexp_extract(u, SchemeRe + "[^/?#]*((?s).*)$", 2)
     val rest1 = regexp_replace(rest0, "(?s)#.*$", "")
-    val rest2 = regexp_replace(rest1, trackingPat, "")
-    val rest3 = regexp_replace(rest2, "&{2,}", "&")
-    // a surviving first parameter whose `?` was consumed by a dropped
-    // tracking param gets its `?` back ($1-capture: Java syntax here, the
-    // DuckDB twin writes \1 — semantics identical, syntax per engine)
-    val rest4 = regexp_replace(rest3, "^([^?]*)&", "$1?")
-    val rest5 = regexp_replace(rest4, "[?&]+$", "")
+    // split path/query at the FIRST `?` before touching tracking params:
+    // stripping `?utm=x` textually and restoring the `?` afterwards turned
+    // a legal literal `&` in a query-less path (http://a.com/a&b, RFC 3986
+    // pchar) into a bogus `?` (r8 advice)
+    val path = regexp_extract(rest1, "(?s)^([^?]*)", 1)
+    val query0 = when(instr(rest1, "?") > 0,
+      regexp_replace(rest1, "(?s)^[^?]*\\?", "")).otherwise(lit(""))
+    // uniform `&name=value` matching via a sentinel `&`, then tidy
+    val query1 = regexp_replace(concat(lit("&"), query0),
+      s"(?i)&(${TrackingParams.mkString("|")})=[^&#]*", "")
+    val query2 = regexp_replace(regexp_replace(query1, "&{2,}", "&"), "^&|&$", "")
+    val rest5 = when(query2 === "", path).otherwise(concat(path, lit("?"), query2))
     val rest = when(rest5 === "", lit("/")).otherwise(rest5)
     when(scheme === "" || host === "", lit(null).cast("string"))
       .otherwise(concat(scheme, lit("://"), host, rest))

@@ -325,6 +325,17 @@ object Warc {
     val outSchema = StructType(StructField("path", StringType) +: RecordSchemaFields)
     implicit val enc = RowEncoder.encoderFor(outSchema)
     paths.toDF("path").mapPartitions { it =>
+      // the drained-to-exhaustion close below never fires when a downstream
+      // limit()/take() stops early — the task-completion listener closes
+      // whatever stream is still open so the FS handle doesn't outlive the
+      // task (r8 advice)
+      var open: InputStream = null
+      def closeOpen(): Unit = if (open != null) {
+        try open.close() catch { case _: java.io.IOException => () }
+        open = null
+      }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOpen()))
       it.flatMap { pr =>
         val pathStr = pr.getString(0)
         val p = new org.apache.hadoop.fs.Path(pathStr)
@@ -335,6 +346,7 @@ object Warc {
             catch { case _: java.io.IOException => raw.close(); new ByteArrayInputStream(Array.emptyByteArray) }
           } else raw
         }
+        open = in
         val inner = WarcCodec.parse(in, maxRecordBytes)
         // corrupt member mid-file: end this file's iteration, never throw
         new Iterator[Row] {
@@ -343,7 +355,8 @@ object Warc {
           override def hasNext: Boolean = !dead && {
             val h = try inner.hasNext
               catch { case _: java.io.IOException => dead = true; false }
-            if (!h) { try in.close() catch { case _: java.io.IOException => () } }
+            if (!h) { try in.close() catch { case _: java.io.IOException => () }
+              if (open eq in) open = null }
             h
           }
           override def next(): Row =

@@ -57,6 +57,32 @@ class CrawlSpec extends AnyFunSuite {
     } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
   }
 
+  // r8 advice: header values are case-insensitive (RFC 9110) and a declared
+  // latin-1 charset must not be decoded as UTF-8 (mojibake)
+  test("content-type match is case-insensitive; declared latin-1 charset decodes correctly") {
+    val dir = Files.createTempDirectory("crawl_charset").toFile
+    try {
+      val latinHtml = "<html><body><p>café naïve résumé words and more words here.</p></body></html>"
+      val latinBytes = latinHtml.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val http = ("HTTP/1.1 200 X\r\nContent-Type: Text/HTML; Charset=ISO-8859-1\r\n\r\n"
+        .getBytes(UTF_8) ++ latinBytes)
+      val rec = WarcRecord("response", "http://latin.example/p", "2024-01-01T00:00:00Z",
+        "<urn:latin>", "application/http; msgtype=response", http)
+      Files.write(new java.io.File(dir, "l.warc.gz").toPath, WarcCodec.writeWarcGz(Seq(
+        rec,
+        respRec("http://upper.example/q",
+          "<p>an uppercase content type page with several words in it.</p>",
+          ctype = "TEXT/HTML"))))
+      val out = Crawl.ingest(spark, dir.getAbsolutePath).orderBy("url_canon").collect()
+      // both survive the filter (Text/HTML and TEXT/HTML), and the latin-1
+      // body round-trips its accented characters
+      assert(out.map(_.getAs[String]("url_canon")).toSeq ==
+        Seq("http://latin.example/p", "http://upper.example/q"))
+      assert(out(0).getAs[String]("text").contains("café naïve résumé"),
+        out(0).getAs[String]("text"))
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
+  }
+
   test("plan: one exchange (url dedup), blocklist broadcast, bytes never shuffle") {
     val dir = Files.createTempDirectory("crawl_plan").toFile
     try {

@@ -27,6 +27,11 @@ class UrlSpec extends AnyFunSuite {
       "http://example.com/a?utm_source=x&b=2" -> "http://example.com/a?b=2",
       "http://example.com/a?b=2&utm_source=x" -> "http://example.com/a?b=2",
       "http://example.com/a?b=2&ref=z&c=3" -> "http://example.com/a?b=2&c=3",
+      // literal `&` in a query-less path is legal (RFC 3986 pchar) and must
+      // NOT become a `?` (r8 advice fix) — with or without tracking params
+      "http://a.com/a&b" -> "http://a.com/a&b",
+      "http://a.com/a&b?utm_source=x" -> "http://a.com/a&b",
+      "http://a.com/a&b?utm_source=x&c=1" -> "http://a.com/a&b?c=1",
       "  http://example.com/a  " -> "http://example.com/a")
     cases.foreach { case (in, want) => assert(canon(in) == want, s"for $in") }
   }
