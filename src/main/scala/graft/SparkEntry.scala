@@ -959,6 +959,23 @@ object SparkEntry {
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")
     },
+    // THE END-TO-END TRAINING-CORPUS PIPELINE (r8 verdict #1): crawl
+    // archives → Crawl.ingest (streaming WARC parse, URL canon+dedup, HTML
+    // extract, boilerplate drop) → fused clean pass (lang/quality/tokens/
+    // canonicality keep) → exact-substring span dedup (Lee et al.) →
+    // 3-gram benchmark decontamination → packed 512-token training bins.
+    // Every stage is individually oracle-gated; this gates the COMPOSITION:
+    // one lazy Catalyst plan end-to-end (fixture write aside), and the
+    // DuckDB oracle replays all five stages from the shared constants, so
+    // the final packed_md5 only matches if every inter-stage handoff
+    // (schemas, ids, text normalization) is exactly right
+    "q_corpus_e2e" -> { (s, dir) =>
+      TextAnalysis.assemblePacked(corpusE2eSurvivors(s, dir),
+          tokenBudget = 512, targetGroups = 64)
+        .select(col("bin"), col("n_docs"), col("n_tokens"),
+          md5(col("content")).as("packed_md5"))
+        .orderBy("bin")
+    },
     // URL canonicalization: three id-driven URL shapes exercise every pass
     // (case, www, default ports, fragments, tracking params incl. a
     // consumed-'?' fix-up). The oracle PREDICTS the canonical form
@@ -1232,6 +1249,60 @@ object SparkEntry {
         .select(col("vec_id"), col("cell"), col("codes"))
       ProductQuantization.pqIndexWrite(encoded, cb, path, Some(centroids))
       path
+    })
+
+  /** Per-dir synthetic crawl archive for the end-to-end corpus gate: every
+    * document becomes one Common-Crawl-shaped record ([[synthWarcGz]] — the
+    * SAME generator the q_warc_extract gate already proves the codec
+    * inverts), written executor-side as a handful of .warc.gz shards.
+    * Output is invariant to the doc→shard assignment: URLs are unique, so
+    * the ingest dedup keeps every record regardless of file layout.
+    */
+  private val corpusWarcDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def corpusWarcDirFor(s: SparkSession, dir: String): String =
+    corpusWarcDirs.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-e2e-warc").toString
+      docsPar(s, dir).select(col("doc_id"), col("text"))
+        .rdd.foreachPartition { it =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val f = new java.io.FileOutputStream(s"$out/part-$pid.warc.gz")
+            try it.foreach(r => f.write(synthWarcGz(r.getLong(0), r.getString(1))))
+            finally f.close()
+          }
+        }
+      out
+    })
+
+  /** The crawl→train-ready pipeline up to its last stage boundary, with
+    * every boundary PERSISTED: each super-stage (ingest, clean-keep, span
+    * dedup, decontaminated survivors) is referenced 2-3× by its consumer
+    * (signals + text join, corpus + eval slice), so an unbounded lazy
+    * composition re-plans the whole upstream per reference — measured 121
+    * hash exchanges at 5 stages, multiplying with pipeline depth. Caching
+    * the boundary is the scale design (a production pipeline writes these
+    * very boundaries to storage): each stage executes exactly ONCE and the
+    * composition's total shuffle work is the sum of its stages'.
+    * [[graft.PlanSpec]] pins both properties.
+    */
+  private val corpusE2eCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private[graft] def corpusE2eSurvivors(s: SparkSession, dir: String): DataFrame =
+    corpusE2eCache.getOrElseUpdate(dir, {
+      val ingested = ops.Crawl.ingest(s, corpusWarcDirFor(s, dir)).persist()
+      val keep = TextAnalysis.cleanPipeline(ingested)
+        .filter(col("keep")).select("doc_id")
+      val kept = ingested.select(col("doc_id"), col("text"))
+        .join(keep, Seq("doc_id"), "left_semi").persist()
+      val cleaned = Dedup.spanDedup(kept, windowWords = 10)
+        .select(col("doc_id"), col("clean_text").as("text")).persist()
+      // n = 6: the html fixture injects a common ~5-word trailer into every
+      // page, so any n <= 5 marks the whole corpus contaminated (a 0-row
+      // gate); 6-grams must straddle genuinely shared doc text to hit
+      val decon = TextAnalysis.decontaminate(cleaned,
+        cleaned.filter(col("doc_id") % 7 === 3), n = 6)
+      cleaned.join(
+        decon.filter(col("contaminated") === 0).select("doc_id"),
+        Seq("doc_id"), "left_semi").persist()
     })
 
   /** Cell-partitioned RESIDUAL-PQ codes index (the FAISS IVFPQ
@@ -1611,6 +1682,89 @@ object SparkEntry {
        |  CAST(CASE WHEN is_canonical = 1 AND quality >= 0.1 AND n_tokens >= 5
        |    AND lang_pred IN ('en') THEN 1 ELSE 0 END AS INT) AS keep
        |FROM canon ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB replay of the ENTIRE q_corpus_e2e composition, stage by stage
+    * from the same shared constants as the per-stage oracles: ingest
+    * (html wrap → extraction passes → boilerplate → minTextChars → url-hash
+    * ids), fused clean keep, span dedup (w=10), 3-gram decontamination
+    * (eval = doc_id % 7 = 3 over the hashed ids), 512-token packing. The
+    * final packed_md5 matches only if every inter-stage handoff is right.
+    */
+  private val corpusE2eSql: String = {
+    val (ctes, last) = htmlExtractSqlCtes
+    def langHits(lang: String, markers: Seq[String]): String =
+      s"CAST(len(list_filter(w, x -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], x))) AS BIGINT) AS ${lang}_hits"
+    // 6-gram twin of the q_decontam 3-gram macro (see the n = 6 note at the
+    // q_corpus_e2e query definition)
+    val shingles6 = {
+      val terms = (0 until 6).map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+      s"list_distinct(CASE WHEN len(w) >= 6 THEN list_transform(range(1, len(w) - 4), i -> $terms) ELSE [] END)"
+    }
+    s"""WITH h AS (SELECT doc_id, $synthHtmlSql AS t FROM documents),
+       | ${ctes.mkString(",\n ")},
+       | bkept AS (SELECT doc_id, array_to_string(list_filter(string_split(t, chr(10)),
+       |   ln -> len(regexp_extract_all(ln, '[^ ]+')) >= 5 OR regexp_matches(ln, '[.!?]${"$"}')), chr(10)) AS t
+       |  FROM $last),
+       | ing AS (SELECT ${sqlHex60("'http://example.com/doc/' || doc_id")} AS doc_id, t AS text
+       |  FROM bkept WHERE length(t) >= 1),
+       | ct AS (SELECT doc_id, text, $sqlWords AS w FROM ing),
+       | cm AS (SELECT doc_id, text, w,
+       |   CAST(len(w) AS DOUBLE) AS n_words,
+       |   CAST(len(regexp_extract_all(text, '[.,;:!?''"()]')) AS DOUBLE) AS punct,
+       |   CAST(length(text) AS DOUBLE) AS chars,
+       |   CAST(len(list_filter(w, x -> list_contains(['the','a','an','of','and','to','in','is','it','that','for'], x))) AS DOUBLE) AS stop_hits,
+       |   ${langHits("en", TextAnalysis.LangMarkers("en"))}, ${langHits("de", TextAnalysis.LangMarkers("de"))},
+       |   ${langHits("fr", TextAnalysis.LangMarkers("fr"))}, ${langHits("es", TextAnalysis.LangMarkers("es"))}
+       |  FROM ct),
+       | csig AS (SELECT doc_id,
+       |   CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+       |        WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+       |        WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+       |        WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+       |        ELSE 'es' END AS lang_pred,
+       |   round(least(1.0, n_words / 100.0) * (0.5 + 0.5 * least(1.0, (CASE WHEN n_words = 0 THEN 0.0 ELSE stop_hits / n_words END) * 10.0)) * (1.0 - least(0.5, CASE WHEN chars = 0 THEN 0.0 ELSE punct / chars END)), 6) AS quality,
+       |   CAST(ceil(greatest(ceil(length(text) / 4.0), ceil(len(regexp_extract_all(text, '[^\\w\\s]|\\w+')) * 0.75))) AS BIGINT) AS n_tokens,
+       |   md5(array_to_string(w, ' ')) AS exact_fp
+       |  FROM cm),
+       | ccanon AS (SELECT *, CASE WHEN row_number() OVER (PARTITION BY exact_fp ORDER BY doc_id) = 1
+       |   THEN 1 ELSE 0 END AS is_canonical FROM csig),
+       | keptd AS (SELECT ing.doc_id, ing.text FROM ing JOIN ccanon USING (doc_id)
+       |  WHERE ccanon.is_canonical = 1 AND ccanon.quality >= 0.1
+       |    AND ccanon.n_tokens >= 5 AND ccanon.lang_pred IN ('en')),
+       | sdt AS (SELECT doc_id, $sqlWords AS w FROM keptd),
+       | sde AS (SELECT doc_id, w, unnest(range(1, len(w) - 10 + 2)) AS i FROM sdt WHERE len(w) >= 10),
+       | sdwn AS (SELECT doc_id, i - 1 AS pos, ${sqlHex60("array_to_string(w[i:i+10-1], ' ')")} AS wh FROM sde),
+       | sddk AS (SELECT doc_id, pos,
+       |   row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
+       |   count(*) OVER (PARTITION BY wh) AS c FROM sdwn),
+       | sdmk AS (SELECT doc_id, pos FROM sddk WHERE c > 1 AND rn > 1),
+       | sdisl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM sdmk),
+       | sdsp AS (SELECT doc_id, min(pos) AS s, max(pos) + 10 - 1 AS e2 FROM sdisl GROUP BY doc_id, g),
+       | sdcov AS (SELECT DISTINCT doc_id, unnest(range(s, e2 + 1)) AS pos FROM sdsp),
+       | sdtk AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM sdt),
+       | sdtok AS (SELECT doc_id, i - 1 AS pos, w[i] AS word FROM sdtk),
+       | sdkept AS (SELECT doc_id, pos, word FROM sdtok ANTI JOIN sdcov USING (doc_id, pos)),
+       | sdreb AS (SELECT doc_id, array_to_string(list(word ORDER BY pos), ' ') AS clean FROM sdkept GROUP BY doc_id),
+       | cleaned AS (SELECT sdt.doc_id, coalesce(sdreb.clean, '') AS text
+       |  FROM sdt LEFT JOIN sdreb ON sdt.doc_id = sdreb.doc_id),
+       | dct AS (SELECT doc_id, $sqlWords AS w FROM cleaned),
+       | dct2 AS (SELECT doc_id, list_transform($shingles6, s -> ${sqlHex60("s")}) AS sh FROM dct),
+       | dcev AS (SELECT DISTINCT unnest(sh) AS hh FROM dct2 WHERE doc_id % 7 = 3),
+       | dcex AS (SELECT doc_id, unnest(sh) AS hh FROM dct2),
+       | dchits AS (SELECT dcex.doc_id, count(*) AS n_hits FROM dcex JOIN dcev USING (hh) GROUP BY dcex.doc_id),
+       | surv AS (SELECT c.doc_id, c.text FROM cleaned c LEFT JOIN dchits USING (doc_id)
+       |  WHERE coalesce(n_hits, 0) = 0),
+       | pkt AS (SELECT doc_id, text,
+       |   CAST(ceil(greatest(ceil(length(text) / 4.0), ceil(len(regexp_extract_all(text, '[^\\w\\s]|\\w+')) * 0.75))) AS BIGINT) AS n_tokens
+       |  FROM surv),
+       | pkc AS (SELECT doc_id, text, n_tokens,
+       |   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+       |  FROM pkt),
+       | pkb AS (SELECT CAST(tok_before // 512 AS BIGINT) AS bin, doc_id, text, n_tokens FROM pkc)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS packed_md5
+       |FROM pkb GROUP BY bin ORDER BY bin""".stripMargin
   }
 
   /** DuckDB twin of SimilaritySearch.lshBucket: the md5-seeded ±1 hyperplane
@@ -2379,6 +2533,7 @@ object SparkEntry {
          |  WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split
          |FROM t ORDER BY doc_id""".stripMargin,
     "q_clean_pipeline" -> cleanPipelineSql,
+    "q_corpus_e2e" -> corpusE2eSql,
     "q_find_similar_multi" -> findSimilarMultiSql,
     "q_knn_cosine" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

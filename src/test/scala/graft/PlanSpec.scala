@@ -239,6 +239,45 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  // r8 verdict #1: the e2e corpus composition must not multiply upstream
+  // work. Every super-stage boundary is persisted (each consumer references
+  // its input 2-3×; unbounded lazy composition measured 121 hash exchanges
+  // — re-planning the whole upstream per reference), so the runtime stage
+  // count is the SUM of the stages' own work, and a re-run over the cached
+  // boundary executes only the final packing.
+  test("corpus e2e pipeline executes each stage once: bounded stages, cached boundaries") {
+    val stages = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = SparkEntry.queries("q_corpus_e2e")(spark, "/root/testdata/sf0.001")
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.contains("InMemoryTableScan"), s"stage boundaries are not cached:\n$p")
+      assert(df.collect().nonEmpty)
+      Thread.sleep(2000) // listener bus is async
+      val first = stages.get()
+      // measured 44 at sf0.001 (fixture write + one materialization per
+      // boundary + final pack); 60 leaves AQE drift room while still
+      // failing on any return to per-reference recompute (121+ exchanges)
+      assert(first <= 60, s"first run executed $first stages — stage reuse regressed")
+      stages.set(0)
+      assert(SparkEntry.queries("q_corpus_e2e")(spark, "/root/testdata/sf0.001")
+        .collect().nonEmpty)
+      Thread.sleep(2000)
+      val second = stages.get()
+      // the final packing alone re-plans ~15 stages (prefix-sum machinery +
+      // assemble + sort); 20 bounds it well under the 44-stage full run
+      assert(second <= 20,
+        s"re-run executed $second stages — boundaries not served from cache")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("lexical retrieval plan shapes: filtered shuffle, WindowGroupLimit rank, windowless seg-dedup") {
     import graft.ops.{Dedup, FullText}
     val docs = (0L until 60L).map(i => (i, s"some words w$i for document number $i"))
