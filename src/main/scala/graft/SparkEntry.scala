@@ -768,6 +768,14 @@ object SparkEntry {
       Dedup.exact(docsPar(s, dir)).orderBy("content_hash")
         .select(col("content_hash"), col("n_dups").cast("long").as("n_dups"), col("canonical_id"))
     },
+    // SemDeDup (Abbas et al. 2023): IVF-cluster the embeddings, drop items
+    // with a >= 0.3-cosine lower-id cluster-mate (triu rule; threshold set
+    // where the fixture has real in-cell near-pairs — max in-cell cos 0.49)
+    "q_semdedup" -> { (s, dir) =>
+      Dedup.semDedup(tbl(s, dir, "embeddings"), nCells = 16, threshold = 0.3,
+          hotCellCap = HotBucketCap)
+        .orderBy("vec_id")
+    },
     "q_minhash_sig" -> { (s, dir) =>
       Dedup.minhashSignature(docsPar(s, dir), numHashes = 8)
         .drop("__shingles").orderBy("doc_id")
@@ -1607,6 +1615,30 @@ object SparkEntry {
     * bucket blocking (same baked-in md5 hyperplanes as the ANN oracles) with
     * the shared capped-bucket candidate rule, exact cosine on candidates.
     */
+  /** SemDeDup oracle: IVF cell-assignment replay (seed centroids, 0 Lloyd
+    * iters — the annIvfSql construction) → capped within-cell candidate
+    * pairs (band 0, bucket = cell) → cosine ≥ 0.3 → the paper's
+    * upper-triangular drop rule (item drops iff ANY lower-id cluster-mate
+    * is ≥ ε, independent of that mate's own fate).
+    */
+  private val semDedupSql: String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |   ORDER BY ${sqlHex60("'ivf:' || vec_id")} ASC, vec_id ASC LIMIT 16),
+       | ad AS (SELECT e.vec_id, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist FROM embeddings e, c),
+       | assign AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM ad) WHERE rn = 1),
+       | bk AS (SELECT vec_id AS doc_id, 0 AS band, cell AS bucket FROM assign),
+       |${cappedCandSql("bk")},
+       | dup AS (SELECT c2.id_b AS vec_id, count(*) AS n_dup_prev
+       |   FROM cand c2 JOIN embeddings ea ON ea.vec_id = c2.id_a
+       |   JOIN embeddings eb ON eb.vec_id = c2.id_b
+       |   WHERE round(${sqlCos("ea.embedding", "eb.embedding")}, 6) >= 0.3
+       |   GROUP BY c2.id_b)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       |  CAST(coalesce(d.n_dup_prev, 0) AS BIGINT) AS n_dup_prev,
+       |  CAST(CASE WHEN coalesce(d.n_dup_prev, 0) = 0 THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM assign a LEFT JOIN dup d USING (vec_id) ORDER BY a.vec_id""".stripMargin
+
   private def nearDupLshSqlFor(rotations: Int): String = {
     val bands = (0 until rotations).map { r =>
       s"SELECT doc_id, $r AS band, ${lshBucketSql("embedding", planeOffset = r * 8)} AS bucket FROM e"
@@ -2598,6 +2630,7 @@ object SparkEntry {
       s"""SELECT md5(array_to_string($sqlWords, ' ')) AS content_hash,
          |  CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS canonical_id
          |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q_semdedup" -> semDedupSql,
     "q_minhash_sig" -> minhashSigSql,
     "q_simhash" -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql,

@@ -428,6 +428,48 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-based SEMANTIC
+    * corpus dedup, the method used on LAION/LLM-scale corpora — k-means
+    * cluster the embeddings (the SAME deterministic IVF assignment the ANN
+    * family uses, so one clustering can serve both), then within each
+    * cluster drop every item whose cosine to ANY lower-id cluster-mate is
+    * ≥ `threshold` (the paper's upper-triangular-matrix rule: item i drops
+    * iff max_{j<i} sim(i,j) > ε, independent of whether j itself dropped).
+    * Keep-choice ordering is ascending id — the engine-wide first-wins
+    * dedup convention; the paper keeps the member FARTHEST from the
+    * centroid, an ordering detail (documented divergence).
+    *
+    * Scale: candidate pairs come from [[cappedBucketPairs]] over the cell
+    * assignment — small cells do all-pairs, hot cells (> hotCellCap)
+    * compare members against the cell's min-id representative only, so the
+    * pair count is O(Σ min(cell, cap)·cell), never Σ cell². The paper runs
+    * with cells of ~12k on 600M items — cap-free all-pairs within a cell
+    * is its own posture; the cap is this engine's hot-key guard, same as
+    * every other dedup family here.
+    *
+    * Output: one row per item — (idCol, cell, n_dup_prev, kept).
+    */
+  def semDedup(emb: DataFrame, nCells: Int = 16, threshold: Double = 0.9,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               lloydIters: Int = 0, hotCellCap: Int = 64): DataFrame = {
+    val (assigned, _) = graft.ops.SimilaritySearch.ivfAssign(emb, nCells,
+      itemId = idCol, itemVec = vecCol, lloydIters = lloydIters)
+    val buckets = assigned.select(col(idCol).as("doc_id"),
+      lit(0L).as("band"), col("cell").cast("long").as("bucket"))
+    val cand = cappedBucketPairs(buckets, hotCellCap)
+    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val drops = cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .filter(round(vec_cosine(col("__va"), col("__vb")), 6) >= threshold)
+      .groupBy(col("id_b").as(idCol))
+      .agg(count(lit(1)).as("n_dup_prev"))
+    assigned.select(col(idCol), col("cell").cast("long").as("cell"))
+      .join(drops, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("n_dup_prev"), lit(0L)).as("n_dup_prev"),
+        (coalesce(col("n_dup_prev"), lit(0L)) === 0).cast("int").as("kept"))
+  }
+
   /** Sub-document (segment-level) corpus dedup — the C4 rule ("discard any
     * repeated three-sentence span, keeping one occurrence", Raffel et al.
     * 2020 §2.2; RefinedWeb/Gopher do the same at line level) re-expressed

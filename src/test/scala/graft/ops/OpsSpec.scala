@@ -134,6 +134,36 @@ class DedupSpec extends AnyFunSuite {
     assert(hotPairs == 99L, s"expected 99 rep-star pairs, got $hotPairs")
   }
 
+  test("semDedup: triu drop rule within cells, first-wins by id, hot-cell cap") {
+    // one cell (nCells = 1) so the rule itself is isolated from seeding:
+    // 2 and 3 are near 1; 5 is near 2 but NOT near 1. SemDeDup's triu rule
+    // drops 5 (it has a lower-id near-mate, 2) even though 2 itself
+    // dropped; a greedy-survivor rule would keep it. 4 is near-orthogonal.
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.44f, 0f, 0f)),       // cos(1,2) ≈ 0.90
+      (3L, Seq(0.99f, 0.14f, 0f, 0f)),      // cos(1,3) ≈ 0.99
+      (4L, Seq(0.1f, 0f, 0.99f, 0f)),       // far from everything
+      (5L, Seq(0.63f, 0.77f, 0f, 0f)))      // cos(2,5) ≈ 0.91, cos(1,5) ≈ 0.63
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(emb, nCells = 1, threshold = 0.85)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out(1L) == 1, "lowest id in its cluster always survives")
+    // 2, 3, 5 all have a lower-id near-mate (1 or 2) — all drop; in
+    // particular 5 drops via the DROPPED 2 (the paper's triu-matrix rule)
+    assert(out(2L) == 0 && out(3L) == 0 && out(5L) == 0, out.toString)
+    assert(out(4L) == 1, "orthogonal vector survives")
+
+    // hot-cell cap: 100 copies of one vector → rep-star comparisons only,
+    // 99 drops, O(cell) pairs not cell²
+    val hot = (0L until 100L).map(i => (i, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val hotOut = Dedup.semDedup(hot, nCells = 1, threshold = 0.9, hotCellCap = 10)
+    assert(hotOut.filter(col("kept") === 1).count() == 1L)
+    val p = hotOut.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("multi-rotation LSH blocking adds recall and collapses cross-band duplicates") {
     val rnd = new scala.util.Random(42)
     val emb = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
