@@ -911,6 +911,21 @@ object SparkEntry {
       graft.text.Bpe.pairCounts(docsPar(s, dir))
         .orderBy(desc("cnt"), col("pair").asc).limit(100)
     },
+    // Unigram-LM (Kudo 2018) Viterbi encode of the corpus vocabulary
+    // against the deterministic SEED model (frequency probabilities over
+    // the top-200 substring candidates + all chars, scaled-long log-probs).
+    // The oracle replays seeding AND the full Viterbi DP (unrolled to word
+    // length 20); EM refinement is spec-gated, like BPE's merge loop
+    "q_unigram_encode" -> { (s, dir) =>
+      val m = unigramModelFor(s, dir)
+      graft.text.Bpe.wordCounts(docsPar(s, dir))
+        .select("word").filter(length(col("word")) <= 20)
+        .select(col("word"),
+          graft.functions.textkernel.unigram_encode(col("word"), m).as("__p"))
+        .select(col("word"), concat_ws("/", col("__p")).as("pieces"),
+          size(col("__p")).cast("long").as("n_pieces"))
+        .orderBy("word")
+    },
     // PII scrubbing: the corpus has no natural PII, so the fixture embeds
     // synthetic email/IP/phone as a pure function of doc_id (same synth
     // pattern as the media codec gates) and the oracle replays the formula
@@ -1313,6 +1328,19 @@ object SparkEntry {
         Seq("doc_id"), "left_semi").persist()
     })
 
+  /** Per-dir unigram-LM seed model: frequency probabilities over the
+    * corpus's substring candidates ([[graft.text.Unigram.seedModel]] — one
+    * distributed word-count pass, bounded driver-side seeding).
+    */
+  private val unigramModels = scala.collection.concurrent.TrieMap.empty[String, graft.text.Unigram.Model]
+  private def unigramModelFor(s: SparkSession, dir: String): graft.text.Unigram.Model =
+    unigramModels.getOrElseUpdate(dir, {
+      val rows = graft.text.Bpe.wordCounts(docsPar(s, dir)).collect()
+      graft.text.Unigram.seedModel(
+        rows.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq,
+        maxPieceLen = 4, seedSize = 200)
+    })
+
   /** Cell-partitioned RESIDUAL-PQ codes index (the FAISS IVFPQ
     * construction): codebooks train on and codes encode `v − centroid`.
     */
@@ -1615,6 +1643,52 @@ object SparkEntry {
     * bucket blocking (same baked-in md5 hyperplanes as the ANN oracles) with
     * the shared capped-bucket candidate rule, exact cosine on candidates.
     */
+  /** Unigram-encode oracle: replays the SEED model construction (substring
+    * candidate counts → top-200 + all chars → scaled-long log-probs) and
+    * the full Viterbi DP, unrolled position-by-position to word length 20
+    * (`dp_i` = best path to position i; per-(word, i) argmax with the
+    * `score DESC, j ASC` tie-break that mirrors the kernel's ascending-j
+    * strict-greater scan). The pieces string only matches if seeding,
+    * scoring, AND path selection agree everywhere.
+    */
+  private val unigramEncodeSql: String = {
+    val maxLen = 20; val maxPiece = 4; val seedSize = 200
+    val dps = (1 to maxLen).map { i =>
+      val branches = (math.max(0, i - maxPiece) until i).map { j =>
+        s"""SELECT d.word, d.score + v.lp AS score, d.pieces || '/' || v.piece AS pieces, $j AS j
+           |  FROM dp$j d JOIN vocab v ON v.piece = substr(d.word, ${j + 1}, ${i - j})
+           |  WHERE length(d.word) >= $i""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""dp$i AS MATERIALIZED (SELECT word, score, pieces FROM (
+         |  SELECT word, score, pieces,
+         |    row_number() OVER (PARTITION BY word ORDER BY score DESC, j ASC) AS rn
+         |  FROM (
+         |$branches)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n ")
+    val finals = (1 to maxLen)
+      .map(i => s"SELECT word, pieces FROM dp$i WHERE length(word) = $i")
+      .mkString(" UNION ALL ")
+    s"""WITH wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |   FROM (SELECT unnest($sqlWords) AS word FROM documents) GROUP BY word),
+       | st AS (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS s FROM wc),
+       | pc AS (SELECT word, cnt, s,
+       |   unnest(range(1, least($maxPiece, length(word) - s + 1) + 1)) AS l FROM st),
+       | seed0 AS (SELECT substr(word, s, l) AS piece, CAST(sum(cnt) AS BIGINT) AS pcnt
+       |   FROM pc GROUP BY 1),
+       | ranked AS (SELECT piece, pcnt,
+       |   row_number() OVER (ORDER BY pcnt DESC, piece ASC) AS rn FROM seed0),
+       | seed AS (SELECT piece, pcnt FROM ranked WHERE rn <= $seedSize OR length(piece) = 1),
+       | tot AS (SELECT CAST(sum(pcnt) AS DOUBLE) AS t FROM seed),
+       | vocab AS MATERIALIZED (SELECT piece, CAST(round(ln(pcnt / t) * 1e6) AS BIGINT) AS lp FROM seed, tot),
+       | w20 AS MATERIALIZED (SELECT word FROM wc WHERE length(word) <= $maxLen),
+       | dp0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS score, '' AS pieces FROM w20),
+       | $dps,
+       | res AS ($finals)
+       |SELECT word, substr(pieces, 2) AS pieces,
+       |  CAST(len(string_split(substr(pieces, 2), '/')) AS BIGINT) AS n_pieces
+       |FROM res ORDER BY word""".stripMargin
+  }
+
   /** SemDeDup oracle: IVF cell-assignment replay (seed centroids, 0 Lloyd
     * iters — the annIvfSql construction) → capped within-cell candidate
     * pairs (band 0, bucket = cell) → cosine ≥ 0.3 → the paper's
@@ -2631,6 +2705,7 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS canonical_id
          |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "q_semdedup" -> semDedupSql,
+    "q_unigram_encode" -> unigramEncodeSql,
     "q_minhash_sig" -> minhashSigSql,
     "q_simhash" -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql,

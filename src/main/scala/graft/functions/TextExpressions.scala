@@ -535,6 +535,36 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(c: Expression): BpeEncodeExpr = copy(child = c)
 }
 
+/** Unigram-LM (Kudo 2018) Viterbi encode → array<string> (piece stream of
+  * every word, words in order). The piece score table is a plan-time
+  * constant; per-word segmentations are memoized per expression instance
+  * with the same Zipf rationale and cap as [[BpeEncodeExpr]].
+  */
+case class UnigramEncodeExpr(child: Expression, pieces: Seq[(String, Long)],
+                             maxPieceLen: Int)
+    extends StringKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val model =
+    graft.text.Unigram.Model(pieces.toMap, maxPieceLen)
+  @transient private lazy val memo =
+    new java.util.HashMap[String, Array[String]]()
+  private val MemoCap = 1 << 16
+  protected override def nullSafeEval(v: Any): Any = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    for (w <- TextKernel.tokens(input(v))) {
+      var enc = memo.get(w)
+      if (enc == null) {
+        enc = graft.text.Unigram.viterbi(w, model)
+        if (memo.size < MemoCap) memo.put(w, enc)
+      }
+      var i = 0
+      while (i < enc.length) { out += UTF8String.fromString(enc(i)); i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): UnigramEncodeExpr = copy(child = c)
+}
+
 /** per-set counts of tokens contained in EACH of several marker sets →
   * array<long>, one tokenization pass. `marker_hits` called k times
   * re-tokenizes the text k times (the tokenize lives inside the kernel,
@@ -648,4 +678,7 @@ object textkernel {
   def repetition_stats(c: Column): Column = toColumn(RepetitionStatsExpr(toExpression(c)))
   def bpe_tokens(c: Column, merges: Seq[(String, String)]): Column =
     toColumn(BpeEncodeExpr(toExpression(c), merges))
+  def unigram_encode(c: Column, m: graft.text.Unigram.Model): Column =
+    toColumn(UnigramEncodeExpr(toExpression(c),
+      m.scores.toSeq.sortBy(_._1), m.maxPieceLen))
 }
