@@ -535,6 +535,16 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(c: Expression): BpeEncodeExpr = copy(child = c)
 }
 
+/** Registrable domain of a `host[:port]` authority via the embedded
+  * public-suffix snapshot ([[graft.ops.PublicSuffix]]) → string.
+  */
+case class RegistrableDomainExpr(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = StringType
+  protected override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(graft.ops.PublicSuffix.registrableDomain(input(v)))
+  override protected def withNewChildInternal(c: Expression): RegistrableDomainExpr = copy(child = c)
+}
+
 /** Unigram-LM (Kudo 2018) Viterbi encode → array<string> (piece stream of
   * every word, words in order). The piece score table is a plan-time
   * constant; per-word segmentations are memoized per expression instance
@@ -681,4 +691,6 @@ object textkernel {
   def unigram_encode(c: Column, m: graft.text.Unigram.Model): Column =
     toColumn(UnigramEncodeExpr(toExpression(c),
       m.scores.toSeq.sortBy(_._1), m.maxPieceLen))
+  def registrable_domain(c: Column): Column =
+    toColumn(RegistrableDomainExpr(toExpression(c)))
 }

@@ -73,14 +73,15 @@ object Urls {
       .otherwise(concat(scheme, lit("://"), host, rest))
   }
 
-  /** Registrable-domain HEURISTIC: the last two dot-labels of the
-    * canonical host (`blog.example.com` → `example.com`). A faithful
-    * implementation needs the Public Suffix List (`co.uk` breaks the
-    * heuristic) — documented trade-off, the PSL is a data file this
-    * environment cannot fetch; the seam is this one function.
+  /** Registrable domain of the canonical host, resolved against the
+    * embedded Public Suffix List snapshot ([[PublicSuffix]]): longest
+    * matching public suffix plus one label, so `blog.example.co.uk` →
+    * `example.co.uk` (the last-two-labels heuristic collapsed every co.uk
+    * site to `co.uk`, merging unrelated domains — r8 advice). Extending
+    * coverage = swapping the snapshot data behind this seam.
     */
   def domainColumn(canonicalHost: Column): Column =
-    regexp_extract(canonicalHost, "([^.:]+\\.[^.:]+)(?::\\d+)?$", 1)
+    graft.functions.textkernel.registrable_domain(canonicalHost)
 
   /** Canonicalize a URL column: adds `url_canon`, `url_host`, `url_domain`
     * (null/empty for rows whose url does not parse — keep them visible for

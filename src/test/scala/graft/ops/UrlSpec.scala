@@ -43,12 +43,23 @@ class UrlSpec extends AnyFunSuite {
     assert(canon("://missing-scheme.com") == null)
   }
 
-  test("domain heuristic: last two labels; single-label hosts yield empty") {
+  test("registrable domain: PSL snapshot handles co.uk-style registries; single labels empty") {
     val r = Urls.canonicalize(Seq(
       (1L, "https://a.b.news.example.com/x"),
-      (2L, "http://localhost/x")).toDF("doc_id", "url")).orderBy("doc_id").collect()
-    assert(r(0).getAs[String]("url_domain") == "example.com")
-    assert(r(1).getAs[String]("url_domain") == "")
+      (2L, "http://localhost/x"),
+      (3L, "https://blog.example.co.uk/y"),     // r8 advice golden
+      (4L, "http://shop.papers.com.au/z"),      // r8 advice golden
+      (5L, "http://www.example.co.jp:8080/p"),  // suffix + port
+      (6L, "http://co.uk/"),                    // host IS a public suffix
+      (7L, "http://deep.a.b.gov.uk/x")).toDF("doc_id", "url"))
+      .orderBy("doc_id").collect().map(_.getAs[String]("url_domain"))
+    assert(r(0) == "example.com")
+    assert(r(1) == "")
+    assert(r(2) == "example.co.uk", r(2))
+    assert(r(3) == "papers.com.au", r(3))
+    assert(r(4) == "example.co.jp", r(4))
+    assert(r(5) == "", r(5))
+    assert(r(6) == "b.gov.uk", r(6))
   }
 
   test("dedupByUrl groups tracking-variant URLs; unparseable rows excluded") {
