@@ -144,6 +144,16 @@ object Multimodal {
       * 11172-3 §2.4.1.3 layout), then WALK the frame chain via the layer-III
       * frame-length formula to count frames — n_frames · 1152 (or 576)
       * samples over sample_rate gives duration without decoding a sample.
+      *
+      * VBR files: encoders stamp the declared frame count into the FIRST
+      * frame — a Xing/Info tag right after the layer-III side info
+      * (LAME/Xing convention: 32 bytes for MPEG-1 stereo, 17 mono; 17/9
+      * for MPEG-2; flags bit 0 = frame-count-present), or a VBRI tag at a
+      * fixed 32-byte offset (Fraunhofer). When present, the declared count
+      * is authoritative (exact even when the tail is truncated mid-chain)
+      * and the walk is skipped; the count convention is the tag's raw
+      * `frames` field, which every mainstream encoder writes as the total
+      * audio-frame count.
       */
     private def mp3(b: Array[Byte]): Row = {
       val v1Rates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
@@ -179,7 +189,19 @@ object Multimodal {
           val kbps = (if (versionBits == 3) v1Rates else v2Rates)(bitrateIdx)
           if (frames == 0) {
             rate = sr
-            channels = if (((h3 >> 6) & 3) == 3) 1 else 2
+            val mono = ((h3 >> 6) & 3) == 3
+            channels = if (mono) 1 else 2
+            // VBR header probe inside the first frame
+            val sideInfo =
+              if (versionBits == 3) { if (mono) 17 else 32 } else { if (mono) 9 else 17 }
+            def tag4(off: Int, t: String): Boolean =
+              off + 12 <= b.length && (0 until 4).forall(k => b(off + k) == t(k).toByte)
+            val xo = o + 4 + sideInfo
+            if ((tag4(xo, "Xing") || tag4(xo, "Info")) && (be32(b, xo + 4) & 1) != 0)
+              return Row("mp3", null, null, be32(b, xo + 8), rate, channels)
+            val vo = o + 4 + 32
+            if (tag4(vo, "VBRI") && vo + 18 <= b.length)
+              return Row("mp3", null, null, be32(b, vo + 14), rate, channels)
           }
           val factor = if (versionBits == 3) 144 else 72
           val len = factor * kbps * 1000 / sr + padding

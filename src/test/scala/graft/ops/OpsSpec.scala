@@ -1006,6 +1006,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(7L) == Seq("bin", null, null, null, null, null))
   }
 
+  /** VBR chain: the first frame carries a Xing/Info tag (after the
+    * layer-III side info: 32 bytes stereo, 17 mono for MPEG-1) or a VBRI
+    * tag (fixed 32-byte offset) declaring the total frame count; following
+    * frames use varying bitrate indices.
+    */
+  private def goldenVbrMp3(declared: Int, tag: String, mono: Boolean = false,
+                           followBitrateIdxs: Seq[Int] = Seq(5, 9, 12)): Array[Byte] = {
+    val be32 = (v: Int) => Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val v1Rates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte,
+      if (mono) 0xC0.toByte else 0x00.toByte))
+    val body = new Array[Byte](144 * 128000 / 44100 - 4)
+    val off = if (tag == "VBRI") 32 else (if (mono) 17 else 32)
+    tag.getBytes("US-ASCII").copyToArray(body, off)
+    if (tag == "VBRI") be32(declared).copyToArray(body, off + 14) // ver/delay/qual/bytes, then frames
+    else { be32(1).copyToArray(body, off + 4); be32(declared).copyToArray(body, off + 8) } // flags bit0, frames
+    out.write(body)
+    followBitrateIdxs.foreach { idx =>
+      out.write(Array[Byte](0xFF.toByte, 0xFB.toByte, ((idx << 4) | 0).toByte, 0x00.toByte))
+      out.write(new Array[Byte](144 * v1Rates(idx) * 1000 / 44100 - 4))
+    }
+    out.toByteArray
+  }
+
+  test("VBR MP3: Xing/Info/VBRI declared frame counts are authoritative; tagless VBR chains walk") {
+    val golden = Seq(
+      (1L, goldenVbrMp3(250, "Xing")),               // declared ≫ physical (truncated tail)
+      (2L, goldenVbrMp3(7, "Info", mono = true)),    // Info tag, mono side-info offset
+      (3L, goldenVbrMp3(99, "VBRI")),                // Fraunhofer variant
+      // no tag: the walker must still count a MIXED-bitrate chain exactly
+      // (per-frame length from each frame's own bitrate index)
+      (4L, goldenVbrMp3(0, "none", followBitrateIdxs = Seq(5, 9, 12, 14))))
+      .toDF("media_id", "media")
+    val got = Multimodal.extractMeta(golden)
+      .select("media_id", "meta.format", "meta.n_frames", "meta.sample_rate", "meta.channels")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got(1L) == Seq("mp3", 250, 44100, 2), got(1L).toString)
+    assert(got(2L) == Seq("mp3", 7, 44100, 1), got(2L).toString)
+    assert(got(3L) == Seq("mp3", 99, 44100, 2), got(3L).toString)
+    assert(got(4L) == Seq("mp3", 5, 44100, 2), got(4L).toString) // 1 first + 4 follow
+  }
+
   test("hostile MP3/MP4 bytes never throw: mangled goldens and magic-prefixed garbage") {
     val rnd = new scala.util.Random(31)
     val mp3Base = goldenMp3(4, mono = false, id3Pad = 20)
