@@ -135,6 +135,12 @@ object Bench {
       s""""queries_median":${qjson(n => results(n)._2.toString)},""" +
       s""""stall_suspect":${qjson(n => results(n)._3.toString)},""" +
       s""""sf":"$sfDir","n_passes":$nPasses,""" +
+      // per-pass totals + per-query spread (max−min across passes): host
+      // drift shows as a wide spread with a stable min, a real regression
+      // as a shifted min — distinguishable without a rerun (r8 verdict #6)
+      s""""pass_totals":[${passes.map(_.times.values.sum).mkString(",")}],""" +
+      s""""queries_spread":${qjson { n =>
+        val xs = passes.map(_.times(n)); (xs.max - xs.min).toString }},""" +
       s""""passes":[${passes.map(p => qjson(n => p.times(n).toString)).mkString(",")}],""" +
       s""""suspect":[${passes.map(p => qjson(n => suspect(p, n).toString)).mkString(",")}],""" +
       s""""heartbeats":$hbStats,"heartbeat_threshold":$hbThreshold,""" +
