@@ -911,6 +911,21 @@ object SparkEntry {
       graft.text.Bpe.pairCounts(docsPar(s, dir))
         .orderBy(desc("cnt"), col("pair").asc).limit(100)
     },
+    // WordPiece (BERT) greedy longest-match encode of the corpus
+    // vocabulary against the frequency-seeded two-class vocab (initial vs
+    // ## continuation pieces). No scores at all — membership + longest
+    // match — so the oracle replays it without a rounding convention; the
+    // likelihood-ratio trainer is spec-gated (exact BigInt rationals)
+    "q_wordpiece" -> { (s, dir) =>
+      val v = wordpieceVocabFor(s, dir)
+      graft.text.Bpe.wordCounts(docsPar(s, dir))
+        .select("word").filter(length(col("word")) <= 20)
+        .select(col("word"),
+          graft.functions.textkernel.wordpiece_tokens(col("word"), v).as("__p"))
+        .select(col("word"), concat_ws("/", col("__p")).as("pieces"),
+          size(col("__p")).cast("long").as("n_pieces"))
+        .orderBy("word")
+    },
     // Unigram-LM (Kudo 2018) Viterbi encode of the corpus vocabulary
     // against the deterministic SEED model (frequency probabilities over
     // the top-200 substring candidates + all chars, scaled-long log-probs).
@@ -1341,6 +1356,18 @@ object SparkEntry {
         maxPieceLen = 4, seedSize = 200)
     })
 
+  /** Per-dir WordPiece seed vocabulary (frequency-seeded two-class
+    * candidates, [[graft.text.WordPiece.seedVocab]]).
+    */
+  private val wordpieceVocabs = scala.collection.concurrent.TrieMap.empty[String, graft.text.WordPiece.Vocab]
+  private def wordpieceVocabFor(s: SparkSession, dir: String): graft.text.WordPiece.Vocab =
+    wordpieceVocabs.getOrElseUpdate(dir, {
+      val rows = graft.text.Bpe.wordCounts(docsPar(s, dir)).collect()
+      graft.text.WordPiece.seedVocab(
+        rows.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq,
+        maxPieceLen = 4, seedSize = 200)
+    })
+
   /** Cell-partitioned RESIDUAL-PQ codes index (the FAISS IVFPQ
     * construction): codebooks train on and codes encode `v − centroid`.
     */
@@ -1687,6 +1714,46 @@ object SparkEntry {
        |SELECT word, substr(pieces, 2) AS pieces,
        |  CAST(len(string_split(substr(pieces, 2), '/')) AS BIGINT) AS n_pieces
        |FROM res ORDER BY word""".stripMargin
+  }
+
+  /** WordPiece oracle: two-class frequency seeding (word-start substrings
+    * are INITIAL candidates, later positions CONTINUATION candidates,
+    * pooled top-200 + all single chars in both classes) and the greedy
+    * longest-match walk unrolled one piece per step — each step joins the
+    * in-flight position against the vocab and keeps the longest match
+    * (unique per (class, position): vocab rows are distinct strings).
+    * 20 steps suffice: every step advances ≥ 1 char and encoded words are
+    * ≤ 20 chars.
+    */
+  private val wordpieceSql: String = {
+    val maxLen = 20; val maxPiece = 4; val seedSize = 200
+    val steps = (1 to maxLen).map { k =>
+      s"""g$k AS MATERIALIZED (
+         |  SELECT word, pos, pieces FROM (
+         |    SELECT g.word, g.pos + length(v.raw) AS pos,
+         |      g.pieces || '/' || CASE WHEN g.pos = 0 THEN v.raw ELSE '##' || v.raw END AS pieces,
+         |      row_number() OVER (PARTITION BY g.word ORDER BY length(v.raw) DESC) AS rn
+         |    FROM g${k - 1} g JOIN vocab v
+         |      ON v.is_cont = (g.pos > 0) AND v.raw = substr(g.word, g.pos + 1, length(v.raw))
+         |    WHERE g.pos < length(g.word)) WHERE rn = 1
+         |  UNION ALL SELECT word, pos, pieces FROM g${k - 1} WHERE pos >= length(word))""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |   FROM (SELECT unnest($sqlWords) AS word FROM documents) GROUP BY word),
+       | st AS (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS s FROM wc),
+       | pc AS (SELECT word, cnt, s,
+       |   unnest(range(1, least($maxPiece, length(word) - s + 1) + 1)) AS l FROM st),
+       | seed0 AS (SELECT substr(word, s, l) AS raw, s > 1 AS is_cont,
+       |   CAST(sum(cnt) AS BIGINT) AS pcnt FROM pc GROUP BY 1, 2),
+       | ranked AS (SELECT raw, is_cont, pcnt, row_number() OVER (ORDER BY pcnt DESC,
+       |   CASE WHEN is_cont THEN '##' || raw ELSE raw END ASC) AS rn FROM seed0),
+       | vocab AS MATERIALIZED (SELECT raw, is_cont FROM ranked
+       |   WHERE rn <= $seedSize OR length(raw) = 1),
+       | g0 AS (SELECT word, 0 AS pos, '' AS pieces FROM wc WHERE length(word) <= $maxLen),
+       | $steps
+       |SELECT word, substr(pieces, 2) AS pieces,
+       |  CAST(len(string_split(substr(pieces, 2), '/')) AS BIGINT) AS n_pieces
+       |FROM g$maxLen ORDER BY word""".stripMargin
   }
 
   /** SemDeDup oracle: IVF cell-assignment replay (seed centroids, 0 Lloyd
@@ -2706,6 +2773,7 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "q_semdedup" -> semDedupSql,
     "q_unigram_encode" -> unigramEncodeSql,
+    "q_wordpiece" -> wordpieceSql,
     "q_minhash_sig" -> minhashSigSql,
     "q_simhash" -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql,

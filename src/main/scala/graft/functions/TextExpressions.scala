@@ -535,6 +535,36 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(c: Expression): BpeEncodeExpr = copy(child = c)
 }
 
+/** WordPiece greedy longest-match encode → array<string> (BERT surface:
+  * word-initial pieces plain, continuations `##`-prefixed, unmatchable
+  * words as `[UNK]`). Vocab is a plan-time constant; same capped per-word
+  * memo as [[BpeEncodeExpr]].
+  */
+case class WordPieceEncodeExpr(child: Expression, initial: Seq[String],
+                               cont: Seq[String], maxPieceLen: Int)
+    extends StringKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val vocab =
+    graft.text.WordPiece.Vocab(initial.toSet, cont.toSet, maxPieceLen)
+  @transient private lazy val memo =
+    new java.util.HashMap[String, Array[String]]()
+  private val MemoCap = 1 << 16
+  protected override def nullSafeEval(v: Any): Any = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    for (w <- TextKernel.tokens(input(v))) {
+      var enc = memo.get(w)
+      if (enc == null) {
+        enc = graft.text.WordPiece.encodeWord(w, vocab)
+        if (memo.size < MemoCap) memo.put(w, enc)
+      }
+      var i = 0
+      while (i < enc.length) { out += UTF8String.fromString(enc(i)); i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): WordPieceEncodeExpr = copy(child = c)
+}
+
 /** Registrable domain of a `host[:port]` authority via the embedded
   * public-suffix snapshot ([[graft.ops.PublicSuffix]]) → string.
   */
@@ -693,4 +723,7 @@ object textkernel {
       m.scores.toSeq.sortBy(_._1), m.maxPieceLen))
   def registrable_domain(c: Column): Column =
     toColumn(RegistrableDomainExpr(toExpression(c)))
+  def wordpiece_tokens(c: Column, v: graft.text.WordPiece.Vocab): Column =
+    toColumn(WordPieceEncodeExpr(toExpression(c),
+      v.initial.toSeq.sorted, v.cont.toSeq.sorted, v.maxPieceLen))
 }
