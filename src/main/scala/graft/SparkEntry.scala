@@ -1076,6 +1076,20 @@ object SparkEntry {
         .toDF("doc_id", "media")
       Multimodal.imagePixelStats(media, "doc_id").orderBy("doc_id")
     },
+    // Image-level perceptual dedup over REAL decoded pixels: 25 distinct
+    // synthetic PNGs shared by ~4 ids each (id % 25 keys the generator) are
+    // decoded by the own-codec path and dHashed — integer luma, 9×8
+    // box-mean downscale, one bit per horizontal gradient — then grouped.
+    // The oracle replays luma/downscale/bits/grouping from the generator
+    // formula, so a match proves decode AND the whole hash pipeline
+    "q_image_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthPng(id % 25)))
+        .toDF("doc_id", "media")
+      Multimodal.imageDedup(media, "doc_id").orderBy("doc_id")
+    },
     // REAL GIF pixel decode, gated like q_png_decode: a grayscale-palette
     // GIF is synthesized per doc (pixels a pure function of doc_id; LZW is
     // lossless and palette index == gray level) and decoded through the
@@ -2958,6 +2972,32 @@ object SparkEntry {
         |  CAST(16 + length(text) % 640 AS BIGINT) AS fake_width,
         |  CAST(16 + (length(text) // 640) % 480 AS BIGINT) AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_image_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 25 AS k FROM documents WHERE doc_id < 100),
+        | img AS MATERIALIZED (SELECT DISTINCT k, CAST(4 + k % 13 AS BIGINT) AS w,
+        |   CAST(3 + k % 7 AS BIGINT) AS h FROM d),
+        | cb AS (SELECT i.k, i.w, i.h, c.tx, r.ty,
+        |     (c.tx * i.w) // 9 AS sx0, greatest((c.tx * i.w) // 9 + 1, ((c.tx + 1) * i.w) // 9) AS sx1,
+        |     (r.ty * i.h) // 8 AS sy0, greatest((r.ty * i.h) // 8 + 1, ((r.ty + 1) * i.h) // 8) AS sy1
+        |   FROM img i, (SELECT unnest(generate_series(0, 8)) AS tx) c,
+        |        (SELECT unnest(generate_series(0, 7)) AS ty) r),
+        | xs AS (SELECT *, unnest(generate_series(sx0, sx1 - 1)) AS x FROM cb),
+        | ys AS (SELECT *, unnest(generate_series(sy0, sy1 - 1)) AS y FROM xs),
+        | cells AS MATERIALIZED (SELECT k, tx, ty,
+        |   sum((k * 31 + (y * w + x)) % 256) // count(*) AS cv FROM ys GROUP BY k, tx, ty),
+        | bits AS (SELECT a.k, a.ty, a.tx, CASE WHEN a.cv < b.cv THEN 1 ELSE 0 END AS bit
+        |   FROM cells a JOIN cells b ON a.k = b.k AND a.ty = b.ty AND b.tx = a.tx + 1),
+        | dh AS MATERIALIZED (SELECT k,
+        |   CAST(sum(CASE WHEN ty * 8 + tx >= 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << (ty * 8 + tx - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |   CAST(sum(CASE WHEN ty * 8 + tx < 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << (ty * 8 + tx)) ELSE 0 END) AS BIGINT) AS dhash_lo
+        |  FROM bits GROUP BY k),
+        | r0 AS (SELECT d.doc_id, dh.dhash_hi, dh.dhash_lo FROM d JOIN dh USING (k)),
+        | grp AS (SELECT dhash_hi, dhash_lo, CAST(count(*) AS BIGINT) AS n_dups,
+        |   min(doc_id) AS canonical_id FROM r0 GROUP BY 1, 2)
+        |SELECT r0.doc_id, r0.dhash_hi, r0.dhash_lo, grp.n_dups, grp.canonical_id
+        |FROM r0 JOIN grp USING (dhash_hi, dhash_lo) ORDER BY r0.doc_id""".stripMargin,
     "q_png_decode" ->
       """WITH d AS (SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS width,
         |    CAST(3 + doc_id % 7 AS BIGINT) AS height

@@ -576,6 +576,120 @@ object Multimodal {
     }
   }
 
+  /** 64-bit dHash (difference hash — the published perceptual-hash
+    * construction popularized by Krawetz's "Kind of Like That"; the one
+    * image-dedup hash that needs no DCT): integer luma → 9×8 box-mean
+    * downscale → one bit per horizontal gradient (`cell < right neighbour`).
+    * Everything is EXACT integer arithmetic (luma = (299r+587g+114b)/1000,
+    * box mean = floor(sum/count)), so the DuckDB oracle replays the hash
+    * bit-for-bit from the fixture generator formula. Identical images
+    * collide exactly; light recompression/resize lands within a small
+    * Hamming distance.
+    */
+  private[ops] def dhash64(img: PngCodec.Image): Long = {
+    val w = img.width; val h = img.height; val c = img.channels
+    def luma(x: Int, y: Int): Long = {
+      val o = (y * w + x) * c
+      if (c >= 3)
+        (299L * (img.pixels(o) & 0xFF) + 587L * (img.pixels(o + 1) & 0xFF) +
+          114L * (img.pixels(o + 2) & 0xFF)) / 1000L
+      else (img.pixels(o) & 0xFF).toLong
+    }
+    val cells = Array.ofDim[Long](8, 9)
+    var ty = 0
+    while (ty < 8) {
+      val sy0 = ty * h / 8; val sy1 = math.max(sy0 + 1, (ty + 1) * h / 8)
+      var tx = 0
+      while (tx < 9) {
+        val sx0 = tx * w / 9; val sx1 = math.max(sx0 + 1, (tx + 1) * w / 9)
+        var sum = 0L; var n = 0L
+        var y = sy0
+        while (y < sy1) {
+          var x = sx0
+          while (x < sx1) { sum += luma(x, y); n += 1; x += 1 }
+          y += 1
+        }
+        cells(ty)(tx) = sum / n
+        tx += 1
+      }
+      ty += 1
+    }
+    var hash = 0L
+    ty = 0
+    while (ty < 8) {
+      var tx = 0
+      while (tx < 8) {
+        if (cells(ty)(tx) < cells(ty)(tx + 1)) hash |= 1L << (ty * 8 + tx)
+        tx += 1
+      }
+      ty += 1
+    }
+    hash
+  }
+
+  /** Per-image dHash rows: (id, width, height, dhash). Decode + hash run
+    * inside the partition — only 28 bytes per image flow on (media bytes
+    * never cross a shuffle); undecodable rows yield nothing.
+    */
+  def imageDHash(df: DataFrame, idCol: String, binaryCol: String = "media"): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("dhash", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else decodeImage(bytes).iterator.map(img =>
+          Row(r.get(idIdx), img.width.toLong, img.height.toLong, dhash64(img)))
+      }
+    }
+  }
+
+  /** Image-level perceptual dedup: group by dHash (one map-side-combined
+    * exchange carrying 8-byte hashes), keeper = min id — the image twin of
+    * [[Dedup.exact]]. Output: (id, dhash_hi, dhash_lo, n_dups,
+    * canonical_id); the hash rides as two non-negative 32-bit halves so
+    * integer replays never touch the sign bit.
+    */
+  def imageDedup(df: DataFrame, idCol: String, binaryCol: String = "media"): DataFrame = {
+    val hashed = imageDHash(df, idCol, binaryCol)
+      .select(col(idCol), shiftrightunsigned(col("dhash"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_hi"),
+        col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+    val groups = hashed.groupBy("dhash_hi", "dhash_lo")
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
+    hashed.join(groups, Seq("dhash_hi", "dhash_lo"))
+      .select(col(idCol), col("dhash_hi"), col("dhash_lo"),
+        col("n_dups"), col("canonical_id"))
+  }
+
+  /** Near-duplicate image pairs by dHash Hamming distance: 16-bit bands of
+    * the 64-bit hash block candidates (an exact-cover banding — any pair
+    * within Hamming ≤ 3 shares at least one intact band), capped hot
+    * buckets, exact popcount verify. The image twin of
+    * [[Dedup.simhashPairs]], same scale posture.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, binaryCol: String = "media",
+                        maxHamming: Int = 3, hotBucketCap: Int = 64): DataFrame = {
+    val hashed = imageDHash(df, idCol, binaryCol)
+      .select(col(idCol).as("doc_id"), col("dhash"))
+    val bands = (0 until 4).map(bnd =>
+      hashed.select(col("doc_id"), lit(bnd.toLong).as("band"),
+        shiftrightunsigned(col("dhash"), bnd * 16).bitwiseAND(lit(0xFFFFL)).as("bucket")))
+      .reduce(_.unionByName(_))
+    val cand = Dedup.cappedBucketPairs(bands, hotBucketCap)
+    val ha = hashed.select(col("doc_id").as("id_a"), col("dhash").as("__ha"))
+    val hb = hashed.select(col("doc_id").as("id_b"), col("dhash").as("__hb"))
+    cand.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Column-only metadata over binary media (no decode): byte size + digest.
     * Fully codegen'd, SQL-expressible — this is what a catalog scan over
     * 100 TB of media would run (no bytes ever decoded).

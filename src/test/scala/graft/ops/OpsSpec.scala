@@ -1049,6 +1049,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(4L) == Seq("mp3", 5, 44100, 2), got(4L).toString) // 1 first + 4 follow
   }
 
+  test("dHash image dedup: identical pixels collide, perturbations stay near, hot caps hold") {
+    // two byte-identical images, one lightly perturbed (one pixel nudged),
+    // one completely different
+    // dHash is a GRADIENT hash: a phase-shifted copy of the same ramp is
+    // (correctly) perceptually close, so the far image must differ in
+    // STRUCTURE (checkerboard vs ramp), not just pixel values
+    def png(px: Array[Byte], w: Int = 16, h: Int = 12): Array[Byte] =
+      PngCodec.encode(w, h, 1, px, _ => 0)
+    val ramp = Array.tabulate(16 * 12)(i => ((7 * 31 + i) % 256).toByte)
+    val nudged = ramp.clone(); nudged(0) = ((nudged(0) & 0xFF) + 4).toByte
+    val checker = Array.tabulate(16 * 12)(i =>
+      (if ((i % 16 + i / 16) % 2 == 0) 230 else 20).toByte)
+    val media = Seq(
+      (1L, png(ramp)), (2L, png(ramp)), (3L, png(nudged)), (4L, png(checker)))
+      .toDF("doc_id", "media")
+    val hashed = Multimodal.imageDHash(media, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(hashed(1L) == hashed(2L), "identical images must collide")
+    assert(java.lang.Long.bitCount(hashed(1L) ^ hashed(3L)) <= 3,
+      s"one-pixel nudge moved ${java.lang.Long.bitCount(hashed(1L) ^ hashed(3L))} bits")
+    assert(java.lang.Long.bitCount(hashed(1L) ^ hashed(4L)) > 10,
+      "unrelated image should be far in Hamming space")
+
+    // dedup groups the exact collision; near-dup pairs find the nudge too
+    val groups = Multimodal.imageDedup(media, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(groups(1L) == ((2L, 1L)) && groups(2L) == ((2L, 1L)))
+    assert(groups(4L)._1 == 1L)
+    val pairs = Multimodal.imageNearDupPairs(media, "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), pairs.toString)
+
+    // no cartesian anywhere; candidate generation is the capped band join
+    val p = Multimodal.imageNearDupPairs(media, "doc_id").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("hostile MP3/MP4 bytes never throw: mangled goldens and magic-prefixed garbage") {
     val rnd = new scala.util.Random(31)
     val mp3Base = goldenMp3(4, mono = false, id3Pad = 20)
