@@ -1352,9 +1352,20 @@ object SparkEntry {
       // gate); 6-grams must straddle genuinely shared doc text to hit
       val decon = TextAnalysis.decontaminate(cleaned,
         cleaned.filter(col("doc_id") % 7 === 3), n = 6)
-      cleaned.join(
+      // the LAST boundary is an EAGER localCheckpoint, not a persist: a
+      // cached plan still carries the whole upstream LOGICAL tree, and at
+      // 5 pipeline stages that tree is big enough that every downstream
+      // driver action (the packing's bounds/checkpoint/collect steps) pays
+      // ~2 s re-optimizing it — measured 17 s to re-pack 114 cached rows.
+      // Checkpointing truncates lineage to the materialized rows (exactly
+      // what writing the stage boundary to storage does in production);
+      // the intermediate caches only feed this one materialization and
+      // free immediately after.
+      val survivors = cleaned.join(
         decon.filter(col("contaminated") === 0).select("doc_id"),
-        Seq("doc_id"), "left_semi").persist()
+        Seq("doc_id"), "left_semi").localCheckpoint()
+      Seq(ingested, kept, cleaned).foreach(_.unpersist(false))
+      survivors
     })
 
   /** Per-dir unigram-LM seed model: frequency probabilities over the

@@ -258,7 +258,10 @@ class PlanSpec extends AnyFunSuite {
       val df = SparkEntry.queries("q_corpus_e2e")(spark, "/root/testdata/sf0.001")
       val p = plan(df)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-      assert(p.contains("InMemoryTableScan"), s"stage boundaries are not cached:\n$p")
+      // the survivors boundary is an eager localCheckpoint: the packing
+      // plans over materialized rows with TRUNCATED lineage (re-planning
+      // the full 5-stage tree per driver action cost ~2 s each)
+      assert(p.contains("ExistingRDD"), s"survivors boundary is not checkpointed:\n$p")
       assert(df.collect().nonEmpty)
       Thread.sleep(2000) // listener bus is async
       val first = stages.get()
