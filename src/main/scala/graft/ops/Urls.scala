@@ -88,12 +88,17 @@ object Urls {
     * a quality gate rather than silently dropping).
     */
   def canonicalize(docs: DataFrame, urlCol: String = "url"): DataFrame = {
-    val canon = canonicalColumn(col(urlCol))
-    val host = when(canon.isNull, lit("")).otherwise(
-      regexp_extract(canon, SchemeRe + "([^/?#]*)", 2))
-    docs.withColumn("url_canon", canon)
-      .withColumn("url_host", host)
-      .withColumn("url_domain", domainColumn(host))
+    // host derives from the url_canon COLUMN and domain from url_host —
+    // NOT from re-embedded expression trees: inlining the ~10-regex canon
+    // chain into host (and again, twice, under the interpreted-eval domain
+    // kernel) evaluated it ~4x per row, a measured 4.4x slowdown of the
+    // whole projection. Referencing the alias keeps one evaluation per
+    // row; CollapseProject leaves multiply-referenced non-cheap aliases
+    // staged, which is exactly the layout wanted here.
+    docs.withColumn("url_canon", canonicalColumn(col(urlCol)))
+      .withColumn("url_host", when(col("url_canon").isNull, lit("")).otherwise(
+        regexp_extract(col("url_canon"), SchemeRe + "([^/?#]*)", 2)))
+      .withColumn("url_domain", domainColumn(col("url_host")))
   }
 
   /** URL-level dedup: one map-side-combined groupBy on the canonical form
