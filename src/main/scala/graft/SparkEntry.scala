@@ -1014,6 +1014,25 @@ object SparkEntry {
           md5(col("content")).as("packed_md5"))
         .orderBy("bin")
     },
+    // robots.txt politeness decisions (RFC 9309): two robots shapes (one
+    // with a dedicated graftbot group whose '*' group disallows all — group
+    // selection matters; one '*'-only) × six path shapes exercising
+    // longest-match, Allow-wins-tie, '*' wildcards and '$' anchors. The
+    // oracle PREDICTS every decision (the q_url_canon convention)
+    "q_robots" -> { (s, dir) =>
+      val robotsA = "User-agent: graftbot\nDisallow: /private\nAllow: /private/pub$\n" +
+        "Disallow: /tmp*\n\nUser-agent: *\nDisallow: /\n"
+      val robotsB = "User-agent: *\nDisallow: /tmp*2\nAllow: /private\n"
+      val paths = array(lit("/index.html"), lit("/private/x"), lit("/private/pub"),
+        lit("/tmp12/y"), lit("/a/tmp32"), lit("/"))
+      val docs = docsPar(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, robotsA).otherwise(robotsB).as("robots"),
+        element_at(paths, (col("doc_id") % 6 + 1).cast("int")).as("path"))
+      docs.select(col("doc_id"), col("path"),
+          ops.Robots.allowedColumn(col("robots"), col("path"), "graftbot")
+            .cast("int").as("allowed"))
+        .orderBy("doc_id")
+    },
     // URL canonicalization: three id-driven URL shapes exercise every pass
     // (case, www, default ports, fragments, tracking params incl. a
     // consumed-'?' fix-up). The oracle PREDICTS the canonical form
@@ -2951,6 +2970,21 @@ object SparkEntry {
          |  md5(coalesce(reb.clean, '')) AS clean_md5
          |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id ORDER BY t.doc_id""".stripMargin
     },
+    // predictions per (robots shape, path shape): shape A obeys the
+    // graftbot group (/private disallowed at len 8, /private/pub$ allowed
+    // at len 13 — longest wins; /tmp* catches /tmp12/y but not /a/tmp32);
+    // shape B has no graftbot group, so '*' applies (/tmp*2 catches
+    // /tmp12/y via the wildcard, /private is explicitly allowed)
+    "q_robots" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6 WHEN 0 THEN '/index.html' WHEN 1 THEN '/private/x'
+        |    WHEN 2 THEN '/private/pub' WHEN 3 THEN '/tmp12/y'
+        |    WHEN 4 THEN '/a/tmp32' ELSE '/' END AS path,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN CASE doc_id % 6 WHEN 1 THEN 0 WHEN 3 THEN 0 ELSE 1 END
+        |    ELSE CASE doc_id % 6 WHEN 3 THEN 0 ELSE 1 END
+        |  END AS INT) AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_url_canon" ->
       s"""SELECT doc_id, $synthUrlCanonSql AS url_canon,
          |  $synthUrlHostSql AS url_host, $synthUrlDomainSql AS url_domain

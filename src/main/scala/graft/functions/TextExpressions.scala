@@ -535,6 +535,32 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(c: Expression): BpeEncodeExpr = copy(child = c)
 }
 
+/** robots.txt decision kernel: allowed(robotsTxt, path) under a constant
+  * agent → boolean (RFC 9309 longest-match semantics via
+  * [[graft.ops.Robots]]). The PARSE is memoized per distinct robots body
+  * (capped) — a crawl partition carries one body per domain, so parsing is
+  * ~O(distinct domains), matching O(rules) per row.
+  */
+case class RobotsAllowedExpr(left: Expression, right: Expression, agent: String)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  @transient private lazy val memo =
+    new java.util.HashMap[String, Seq[graft.ops.Robots.Rule]]()
+  private val MemoCap = 1 << 12
+  protected override def nullSafeEval(robotsV: Any, pathV: Any): Any = {
+    val txt = robotsV.asInstanceOf[UTF8String].toString
+    var rules = memo.get(txt)
+    if (rules == null) {
+      rules = graft.ops.Robots.rulesFor(txt, agent)
+      if (memo.size < MemoCap) memo.put(txt, rules)
+    }
+    graft.ops.Robots.isAllowed(rules, pathV.asInstanceOf[UTF8String].toString)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RobotsAllowedExpr =
+    copy(left = l, right = r)
+}
+
 /** WordPiece greedy longest-match encode → array<string> (BERT surface:
   * word-initial pieces plain, continuations `##`-prefixed, unmatchable
   * words as `[UNK]`). Vocab is a plan-time constant; same capped per-word
@@ -726,4 +752,6 @@ object textkernel {
   def wordpiece_tokens(c: Column, v: graft.text.WordPiece.Vocab): Column =
     toColumn(WordPieceEncodeExpr(toExpression(c),
       v.initial.toSeq.sorted, v.cont.toSeq.sorted, v.maxPieceLen))
+  def robots_allowed(robotsTxt: Column, path: Column, agent: String): Column =
+    toColumn(RobotsAllowedExpr(toExpression(robotsTxt), toExpression(path), agent))
 }

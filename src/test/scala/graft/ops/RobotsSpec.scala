@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.ops.Robots.Rule
+
+/** RFC 9309 semantics: group selection, longest-match with Allow-wins
+  * ties, wildcard/anchor patterns, parser edge cases, and the kernel's
+  * equivalence to the driver evaluator.
+  */
+class RobotsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rfcExample =
+    """# comment line
+      |User-agent: examplebot
+      |Disallow: /foo
+      |Allow: /foo/bar$
+      |
+      |User-agent: *
+      |Disallow: /
+      |""".stripMargin
+
+  test("group selection: dedicated group beats *, prefix token match, * fallback") {
+    val exRules = Robots.rulesFor(rfcExample, "ExampleBot")
+    assert(exRules == Seq(Rule(false, "/foo"), Rule(true, "/foo/bar$")))
+    // prefix-token match: 'examplebot-news/2.1' obeys the examplebot group
+    assert(Robots.rulesFor(rfcExample, "examplebot-news/2.1") == exRules)
+    // unrelated agent falls back to the * group
+    assert(Robots.rulesFor(rfcExample, "otherbot") == Seq(Rule(false, "/")))
+    // no applicable group at all => no rules => everything allowed
+    assert(Robots.rulesFor("User-agent: x\nDisallow: /\n", "y").isEmpty)
+  }
+
+  test("longest match wins; Allow wins length ties; no match allows") {
+    val rules = Robots.rulesFor(rfcExample, "examplebot")
+    assert(Robots.isAllowed(rules, "/other"))          // no rule matches
+    assert(!Robots.isAllowed(rules, "/foo/baz"))       // /foo disallows
+    assert(Robots.isAllowed(rules, "/foo/bar"))        // longer Allow wins
+    assert(!Robots.isAllowed(rules, "/foo/bar/deeper")) // $ anchor excludes
+    // equal length: Allow wins (RFC §2.2.2)
+    val tie = Seq(Rule(false, "/page"), Rule(true, "/page"))
+    assert(Robots.isAllowed(tie, "/page/x"))
+  }
+
+  test("wildcard and anchor patterns") {
+    assert(Robots.matches("/tmp*", "/tmp12/y"))
+    assert(!Robots.matches("/tmp*", "/a/tmp32"))       // patterns anchor at start
+    assert(Robots.matches("/*/private", "/a/private"))
+    assert(Robots.matches("/a*b*c", "/a-x-b-y-c-z"))
+    assert(Robots.matches("/doc$", "/doc"))
+    assert(!Robots.matches("/doc$", "/docs"))
+    assert(Robots.matches("/*.php$", "/index.php"))
+    assert(!Robots.matches("/*.php$", "/index.php?x=1"))
+  }
+
+  test("parser: multi-agent groups, empty Disallow, comments, unknown fields") {
+    val txt =
+      """User-agent: a
+        |User-agent: b
+        |Crawl-delay: 10
+        |Disallow: /x  # trailing comment
+        |Disallow:
+        |Sitemap: http://e.x/s.xml
+        |""".stripMargin
+    // both agents share the group; the empty Disallow adds no rule;
+    // the trailing comment strips from the pattern
+    assert(Robots.rulesFor(txt, "a") == Seq(Rule(false, "/x")))
+    assert(Robots.rulesFor(txt, "b") == Seq(Rule(false, "/x")))
+  }
+
+  test("filterAllowed kernel matches the driver evaluator; projection-only plan") {
+    val docs = Seq(
+      (1L, rfcExample, "/foo/bar"), (2L, rfcExample, "/foo/baz"),
+      (3L, rfcExample, "/ok"), (4L, "User-agent: *\nDisallow: /\n", "/anything"))
+      .toDF("doc_id", "robots", "path")
+    val kept = Robots.filterAllowed(docs, "robots", "path", "examplebot")
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val p = kept.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+}
