@@ -1014,6 +1014,31 @@ object SparkEntry {
           md5(col("content")).as("packed_md5"))
         .orderBy("bin")
     },
+    // outlink extraction (the link-graph edge producer): three id-driven
+    // anchors per doc — attributes before/after href, messy inner
+    // whitespace, a relative href, inner markup — each predicted outright
+    "q_links" -> { (s, dir) =>
+      val html = concat(
+        lit("<p>see <a href=\"http://h"), col("doc_id") % 10, lit(".com/p"), col("doc_id"),
+        lit("\">first  link "), col("doc_id"), lit("</a> then <a class=\"x\" href=\"http://h"),
+        (col("doc_id") + 3) % 10, lit(".com/q\">second\nlink</a>"),
+        lit(" <a href=\"/rel/"), col("doc_id") % 5, lit("\"><b>rel</b></a></p>"))
+      ops.Html.extractLinks(docsPar(s, dir).select(col("doc_id")).withColumn("html", html))
+        .orderBy("doc_id", "link_idx")
+    },
+    // deterministic fixed-point PageRank over a synthetic id-derived edge
+    // list (3 out-links per doc, modulo the id space): every step is
+    // integer arithmetic (rank div outdeg, damped by (85·x) div 100), so
+    // the oracle replays all three iterations EXACTLY — no float tolerance
+    "q_pagerank" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select("doc_id")
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val edges = docs.select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .select(col("src"), ((col("src") * 31 + col("j") * 7 + 1) % n).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      ops.LinkGraph.pageRank(edges, iters = 3).orderBy("node")
+    },
     // robots.txt politeness decisions (RFC 9309): two robots shapes (one
     // with a dedicated graftbot group whose '*' group disallows all — group
     // selection matters; one '*'-only) × six path shapes exercising
@@ -2975,6 +3000,36 @@ object SparkEntry {
     // at len 13 — longest wins; /tmp* catches /tmp12/y but not /a/tmp32);
     // shape B has no graftbot group, so '*' applies (/tmp*2 catches
     // /tmp12/y via the wildcard, /private is explicitly allowed)
+    "q_links" ->
+      """WITH l AS (
+        |  SELECT doc_id, 0 AS link_idx,
+        |    'http://h' || (doc_id % 10) || '.com/p' || doc_id AS href,
+        |    'first link ' || doc_id AS anchor FROM documents
+        |  UNION ALL SELECT doc_id, 1,
+        |    'http://h' || ((doc_id + 3) % 10) || '.com/q', 'second link' FROM documents
+        |  UNION ALL SELECT doc_id, 2, '/rel/' || (doc_id % 5), '<b>rel</b>' FROM documents)
+        |SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, href, anchor
+        |FROM l ORDER BY doc_id, link_idx""".stripMargin,
+    "q_pagerank" -> {
+      def iter(prev: String, cur: String): String =
+        s"""c$cur AS (SELECT e.dst, sum(r$prev.rank // d.od) AS s
+           |   FROM e JOIN r$prev ON r$prev.node = e.src JOIN od d ON d.src = e.src
+           |   GROUP BY e.dst),
+           | r$cur AS (SELECT nodes.node, 150000 + (85 * coalesce(c$cur.s, 0)) // 100 AS rank
+           |   FROM nodes LEFT JOIN c$cur ON c$cur.dst = nodes.node)""".stripMargin
+      s"""WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         | e AS (SELECT DISTINCT src, dst FROM (
+         |   SELECT doc_id AS src, (doc_id * 31 + j * 7 + 1) % n.n AS dst
+         |   FROM documents, n, (SELECT unnest([1, 2, 3]) AS j)) WHERE src <> dst),
+         | nodes AS (SELECT DISTINCT node FROM
+         |   (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         | od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY src),
+         | r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         | ${iter("0", "1")},
+         | ${iter("1", "2")},
+         | ${iter("2", "3")}
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin
+    },
     "q_robots" ->
       """SELECT doc_id,
         |  CASE doc_id % 6 WHEN 0 THEN '/index.html' WHEN 1 THEN '/private/x'

@@ -110,4 +110,27 @@ object Html {
       ln => regexp_count(ln, lit("[^ ]+")) >= minWords || ln.rlike("[.!?]$"))
     extracted.withColumn(textCol, array_join(kept, "\n"))
   }
+
+  /** Anchor pattern shared by the Spark extraction and the DuckDB twin
+    * (Java-regex ∩ RE2 subset): double-quoted href, lazy inner text.
+    */
+  val AnchorRe = "(?is)<a\\b[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+
+  /** Outlink extraction — the edge-list producer for link-graph work
+    * (anchor-text corpora, [[LinkGraph.pageRank]]): one row per
+    * `<a href="...">` with the href and its whitespace-normalized anchor
+    * text. Both captures come from the SAME pattern's match sequence, so
+    * `arrays_zip` aligns them positionally by construction. Explode is the
+    * only row-multiplying step; the plan stays exchange-free.
+    */
+  def extractLinks(docs: DataFrame, htmlCol: String = "html",
+                   idCol: String = "doc_id"): DataFrame = {
+    val pairs = arrays_zip(
+      regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(1)),
+      regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(2)))
+    docs.select(col(idCol), posexplode(pairs).as(Seq("link_idx", "__p")))
+      .select(col(idCol), col("link_idx").cast("long").as("link_idx"),
+        col("__p.0").as("href"),
+        trim(regexp_replace(col("__p.1"), "[ \\t\\r\\n]+", " ")).as("anchor"))
+  }
 }

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class LinkGraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int,
+                      checkpointEvery: Int = 0): Map[Long, Long] =
+    LinkGraph.pageRank(edges.toDF("src", "dst"), iters,
+        checkpointEvery = checkpointEvery)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("hand-computed two-node exchange: one exact integer iteration") {
+    // 1 -> 2, 2 -> 1, both outdeg 1: after one iteration each rank is
+    // base + (85 * (1000000 div 1)) div 100 = 150000 + 850000 = 1000000
+    val r1 = ranksOf(Seq((1L, 2L), (2L, 1L)), iters = 1)
+    assert(r1 == Map(1L -> 1000000L, 2L -> 1000000L))
+    // star 1->3, 2->3: node 3 receives two full contributions,
+    // 150000 + (85 * 2000000) div 100 = 1850000; 1 and 2 receive none
+    val r2 = ranksOf(Seq((1L, 3L), (2L, 3L)), iters = 1)
+    assert(r2 == Map(1L -> 150000L, 2L -> 150000L, 3L -> 1850000L))
+    // split outdeg: 1 -> {2, 3}: each gets 1000000 div 2
+    val r3 = ranksOf(Seq((1L, 2L), (1L, 3L)), iters = 1)
+    assert(r3(2L) == 150000L + 85L * 500000L / 100L)
+    assert(r3(2L) == r3(3L))
+  }
+
+  test("hub centrality: the most-linked node ranks highest after iterations") {
+    // 0..4 all link to 5; 5 links back to 0 only
+    val edges = (0L to 4L).map(i => (i, 5L)) :+ ((5L, 0L))
+    val r = ranksOf(edges, iters = 3)
+    val top = r.maxBy(_._2)._1
+    assert(top == 5L, r.toString)
+    assert(r(0L) > r(1L), "the hub's sole target outranks plain sources")
+  }
+
+  test("duplicate edges collapse; checkpointed iterations are value-identical") {
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L)) // duplicate must not double-count
+    assert(ranksOf(edges, 2) == ranksOf(Seq((1L, 2L), (2L, 1L)), 2))
+    assert(ranksOf(edges, 3) == ranksOf(edges, 3, checkpointEvery = 1))
+  }
+
+  test("plan: equi-joins + partial aggregation, no cartesian") {
+    val edges = (0L until 100L).map(i => (i, (i * 7 + 1) % 100)).toDF("src", "dst")
+    val df = LinkGraph.pageRank(edges, iters = 2)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("extractLinks golden: positional alignment, messy whitespace, inner markup") {
+    val docs = Seq(
+      (1L, "<p><a href=\"http://a.com/1\">one</a> <a class=\"z\" href=\"http://b.com\">two\n words</a></p>"),
+      (2L, "no links here"),
+      (3L, "<a href=\"/rel\"><b>bold</b></a>"))
+      .toDF("doc_id", "html")
+    val out = Html.extractLinks(docs).orderBy("doc_id", "link_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "http://a.com/1", "one"),
+      (1L, 1L, "http://b.com", "two words"),
+      (3L, 0L, "/rel", "<b>bold</b>")))
+    val p = Html.extractLinks(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+}
