@@ -873,6 +873,19 @@ object SparkEntry {
           col("keep").cast("int").as("keep"))
         .orderBy("doc_id")
     },
+    // corpus health report: per-language doc/token/keep/dup counts and an
+    // exact micro-unit quality sum in ONE aggregation over the fused clean
+    // pass — the executive-summary scan a curation run starts from
+    "q_corpus_report" -> { (s, dir) =>
+      TextAnalysis.cleanPipeline(docsPar(s, dir))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum(round(col("quality") * 1e6).cast("long")).as("quality_micro"),
+          sum(col("keep").cast("long")).as("n_keep"),
+          sum(when(col("is_canonical"), 0L).otherwise(1L)).as("n_dups"))
+        .orderBy("lang_pred")
+    },
     // ---- text analysis ----
     "q_token_stats" -> { (s, dir) =>
       TextAnalysis.tokenStats(docsPar(s, dir)).orderBy("doc_id")
@@ -2775,6 +2788,14 @@ object SparkEntry {
          |  WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split
          |FROM t ORDER BY doc_id""".stripMargin,
     "q_clean_pipeline" -> cleanPipelineSql,
+    "q_corpus_report" ->
+      s"""WITH rep AS (${cleanPipelineSql.replace("ORDER BY doc_id", "")})
+         |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS BIGINT) AS quality_micro,
+         |  CAST(sum(keep) AS BIGINT) AS n_keep,
+         |  CAST(sum(CASE WHEN is_canonical = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dups
+         |FROM rep GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
     "q_corpus_e2e" -> corpusE2eSql,
     "q_find_similar_multi" -> findSimilarMultiSql,
     "q_knn_cosine" ->
