@@ -1031,13 +1031,22 @@ object SparkEntry {
     // anchors per doc — attributes before/after href, messy inner
     // whitespace, a relative href, inner markup — each predicted outright
     "q_links" -> { (s, dir) =>
-      val html = concat(
-        lit("<p>see <a href=\"http://h"), col("doc_id") % 10, lit(".com/p"), col("doc_id"),
-        lit("\">first  link "), col("doc_id"), lit("</a> then <a class=\"x\" href=\"http://h"),
-        (col("doc_id") + 3) % 10, lit(".com/q\">second\nlink</a>"),
-        lit(" <a href=\"/rel/"), col("doc_id") % 5, lit("\"><b>rel</b></a></p>"))
-      ops.Html.extractLinks(docsPar(s, dir).select(col("doc_id")).withColumn("html", html))
+      ops.Html.extractLinks(docsPar(s, dir).select(col("doc_id"))
+          .withColumn("html", synthLinksHtml))
         .orderBy("doc_id", "link_idx")
+    },
+    // anchor-text corpus: anchors aggregated per canonical TARGET url (the
+    // web's own document labeling — search-training pairs). The /q target
+    // is shared by ~a tenth of the corpus (many inlinks, one distinct
+    // anchor); per-doc /p targets get their unique anchor; the relative
+    // href canonicalizes to null and drops
+    "q_anchors" -> { (s, dir) =>
+      val links = ops.Html.extractLinks(docsPar(s, dir).select(col("doc_id"))
+        .withColumn("html", synthLinksHtml))
+      ops.LinkGraph.anchorCorpus(links)
+        .select(col("url_canon"), col("n_inlinks"),
+          concat_ws("|", col("anchors")).as("anchors"))
+        .orderBy("url_canon")
     },
     // deterministic fixed-point PageRank over a synthetic id-derived edge
     // list (3 out-links per doc, modulo the id space): every step is
@@ -1437,6 +1446,16 @@ object SparkEntry {
         rows.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq,
         maxPieceLen = 4, seedSize = 200)
     })
+
+  /** Shared link fixture for q_links/q_anchors: three id-driven anchors —
+    * attributes before/after href, messy inner whitespace, a relative
+    * href, inner markup.
+    */
+  private def synthLinksHtml: Column = concat(
+    lit("<p>see <a href=\"http://h"), col("doc_id") % 10, lit(".com/p"), col("doc_id"),
+    lit("\">first  link "), col("doc_id"), lit("</a> then <a class=\"x\" href=\"http://h"),
+    (col("doc_id") + 3) % 10, lit(".com/q\">second\nlink</a>"),
+    lit(" <a href=\"/rel/"), col("doc_id") % 5, lit("\"><b>rel</b></a></p>"))
 
   /** Per-dir WordPiece seed vocabulary (frequency-seeded two-class
     * candidates, [[graft.text.WordPiece.seedVocab]]).
@@ -3031,6 +3050,15 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 2, '/rel/' || (doc_id % 5), '<b>rel</b>' FROM documents)
         |SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, href, anchor
         |FROM l ORDER BY doc_id, link_idx""".stripMargin,
+    "q_anchors" ->
+      """WITH u AS (
+        |  SELECT 'http://h' || (doc_id % 10) || '.com/p' || doc_id AS url_canon,
+        |    'first link ' || doc_id AS a FROM documents
+        |  UNION ALL SELECT 'http://h' || ((doc_id + 3) % 10) || '.com/q',
+        |    'second link' FROM documents)
+        |SELECT url_canon, CAST(count(*) AS BIGINT) AS n_inlinks,
+        |  array_to_string(list_sort(list_distinct(list(a)))[1:16], '|') AS anchors
+        |FROM u GROUP BY url_canon ORDER BY url_canon""".stripMargin,
     "q_pagerank" -> {
       def iter(prev: String, cur: String): String =
         s"""c$cur AS (SELECT e.dst, sum(r$prev.rank // d.od) AS s

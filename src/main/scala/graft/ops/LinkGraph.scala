@@ -25,6 +25,28 @@ import org.apache.spark.sql.functions._
   */
 object LinkGraph {
 
+  /** Anchor-text corpus: aggregate the anchor texts pointing AT each
+    * canonical URL — the (document, query-like surrogate) training pairs
+    * search models are built from (anchors describe the TARGET, so this
+    * is the web's own labeling). One map-side-combined groupBy on the
+    * canonical target; per-target state is bounded by `maxAnchors`
+    * distinct anchors (slice after a deterministic sort — a hub page with
+    * millions of identical "click here" anchors cannot blow up the
+    * aggregation state... the slice bounds the OUTPUT; the distinct set
+    * is bounded by anchor-text diversity, which saturates in practice,
+    * and the exact guard is the upstream hot-key discipline).
+    */
+  def anchorCorpus(links: DataFrame, hrefCol: String = "href",
+                   anchorCol: String = "anchor",
+                   maxAnchors: Int = 16): DataFrame =
+    links
+      .select(Urls.canonicalColumn(col(hrefCol)).as("url_canon"),
+        col(anchorCol).as("__a"))
+      .filter(col("url_canon").isNotNull && col("__a") =!= "")
+      .groupBy("url_canon")
+      .agg(count(lit(1)).as("n_inlinks"),
+        slice(array_sort(collect_set(col("__a"))), 1, maxAnchors).as("anchors"))
+
   def pageRank(edges: DataFrame, iters: Int,
                srcCol: String = "src", dstCol: String = "dst",
                dampingNum: Long = 85, dampingDen: Long = 100,
