@@ -1375,6 +1375,11 @@ object SparkEntry {
     * inverts), written executor-side as a handful of .warc.gz shards.
     * Output is invariant to the doc→shard assignment: URLs are unique, so
     * the ingest dedup keeps every record regardless of file layout.
+    *
+    * LOCAL-MODE ONLY by design: the shards write through java.io to a
+    * driver-created temp dir, valid because gate fixtures run single-JVM
+    * (executors share the driver's filesystem). Production never
+    * synthesizes archives — `Warc.readWarcFiles` streams real ones.
     */
   private val corpusWarcDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def corpusWarcDirFor(s: SparkSession, dir: String): String =
@@ -2808,7 +2813,9 @@ object SparkEntry {
          |FROM t ORDER BY doc_id""".stripMargin,
     "q_clean_pipeline" -> cleanPipelineSql,
     "q_corpus_report" ->
-      s"""WITH rep AS (${cleanPipelineSql.replace("ORDER BY doc_id", "")})
+      // the untouched clean-pipeline replay nests as a subquery (DuckDB
+      // permits an ordered subquery) — no textual surgery on generated SQL
+      s"""WITH rep AS (SELECT * FROM ($cleanPipelineSql))
          |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS BIGINT) AS quality_micro,

@@ -500,22 +500,18 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** BPE-encode text with a learned merge table → array<string> (token stream
-  * of every word's subword symbols, words in order, each word ending in its
-  * `</w>`-bearing final symbol). The merge ranks are plan-time constants;
-  * per-word encodings are memoized per expression instance (Zipf: the memo
-  * turns O(tokens) apply-loops into ~O(distinct words) per executor). The
-  * memo is capped — a crawl's unbounded distinct-word tail must not grow an
-  * unbounded executor-side map.
+/** Shared per-word subword-encode kernel: tokenize the text, encode each
+  * word via the concrete tokenizer's [[encodeWord]], emit the concatenated
+  * piece stream. Encodings are memoized per expression instance (Zipf: the
+  * memo turns O(tokens) apply-loops into ~O(distinct words) per executor),
+  * capped — a crawl's unbounded distinct-word tail must not grow an
+  * unbounded executor-side map. One implementation for the whole tokenizer
+  * family (BPE / WordPiece / unigram): memo policy and output assembly
+  * cannot diverge between them.
   */
-case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
-    extends StringKernelExpression {
+abstract class WordEncodeKernelExpression extends StringKernelExpression {
+  protected def encodeWord(w: String): Array[String]
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  @transient private lazy val ranks: java.util.HashMap[String, Int] = {
-    val m = new java.util.HashMap[String, Int]()
-    merges.zipWithIndex.foreach { case ((a, b), r) => m.putIfAbsent(a + " " + b, r) }
-    m
-  }
   @transient private lazy val memo =
     new java.util.HashMap[String, Array[String]]()
   private val MemoCap = 1 << 16
@@ -524,7 +520,7 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     for (w <- TextKernel.tokens(input(v))) {
       var enc = memo.get(w)
       if (enc == null) {
-        enc = graft.text.Bpe.encodeWord(w, ranks)
+        enc = encodeWord(w)
         if (memo.size < MemoCap) memo.put(w, enc)
       }
       var i = 0
@@ -532,7 +528,50 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     }
     new GenericArrayData(out.toArray)
   }
+}
+
+/** BPE-encode text with a learned merge table → array<string> (token stream
+  * of every word's subword symbols, words in order, each word ending in its
+  * `</w>`-bearing final symbol). The merge ranks are plan-time constants.
+  */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends WordEncodeKernelExpression {
+  @transient private lazy val ranks: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    merges.zipWithIndex.foreach { case ((a, b), r) => m.putIfAbsent(a + " " + b, r) }
+    m
+  }
+  protected def encodeWord(w: String): Array[String] = graft.text.Bpe.encodeWord(w, ranks)
   override protected def withNewChildInternal(c: Expression): BpeEncodeExpr = copy(child = c)
+}
+
+/** decode(bytes, charsetName) through the JVM's full charset table →
+  * string. Spark's built-in `decode` rejects everything outside its short
+  * VALID_CHARSETS list (windows-1252 — a top-3 crawl encoding — throws
+  * INVALID_PARAMETER_VALUE.CHARSET), so crawl decoding needs the JVM
+  * seam. Unknown/unsupported names, and undecodable byte sequences, fall
+  * back to UTF-8 with replacement — a crawl row must never fail the job.
+  */
+case class DecodeCharsetExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  @transient private lazy val charsetMemo =
+    new java.util.HashMap[String, java.nio.charset.Charset]()
+  protected override def nullSafeEval(bytesV: Any, charsetV: Any): Any = {
+    val name = charsetV.asInstanceOf[UTF8String].toString
+    var cs = charsetMemo.get(name)
+    if (cs == null) {
+      cs = try java.nio.charset.Charset.forName(name)
+        catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+      charsetMemo.put(name, cs)
+    }
+    // Charset.decode never throws: malformed input becomes U+FFFD
+    UTF8String.fromString(
+      cs.decode(java.nio.ByteBuffer.wrap(bytesV.asInstanceOf[Array[Byte]])).toString)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DecodeCharsetExpr =
+    copy(left = l, right = r)
 }
 
 /** robots.txt decision kernel: allowed(robotsTxt, path) under a constant
@@ -563,31 +602,14 @@ case class RobotsAllowedExpr(left: Expression, right: Expression, agent: String)
 
 /** WordPiece greedy longest-match encode → array<string> (BERT surface:
   * word-initial pieces plain, continuations `##`-prefixed, unmatchable
-  * words as `[UNK]`). Vocab is a plan-time constant; same capped per-word
-  * memo as [[BpeEncodeExpr]].
+  * words as `[UNK]`). Vocab is a plan-time constant.
   */
 case class WordPieceEncodeExpr(child: Expression, initial: Seq[String],
                                cont: Seq[String], maxPieceLen: Int)
-    extends StringKernelExpression {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    extends WordEncodeKernelExpression {
   @transient private lazy val vocab =
     graft.text.WordPiece.Vocab(initial.toSet, cont.toSet, maxPieceLen)
-  @transient private lazy val memo =
-    new java.util.HashMap[String, Array[String]]()
-  private val MemoCap = 1 << 16
-  protected override def nullSafeEval(v: Any): Any = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    for (w <- TextKernel.tokens(input(v))) {
-      var enc = memo.get(w)
-      if (enc == null) {
-        enc = graft.text.WordPiece.encodeWord(w, vocab)
-        if (memo.size < MemoCap) memo.put(w, enc)
-      }
-      var i = 0
-      while (i < enc.length) { out += UTF8String.fromString(enc(i)); i += 1 }
-    }
-    new GenericArrayData(out.toArray)
-  }
+  protected def encodeWord(w: String): Array[String] = graft.text.WordPiece.encodeWord(w, vocab)
   override protected def withNewChildInternal(c: Expression): WordPieceEncodeExpr = copy(child = c)
 }
 
@@ -603,31 +625,14 @@ case class RegistrableDomainExpr(child: Expression) extends StringKernelExpressi
 
 /** Unigram-LM (Kudo 2018) Viterbi encode → array<string> (piece stream of
   * every word, words in order). The piece score table is a plan-time
-  * constant; per-word segmentations are memoized per expression instance
-  * with the same Zipf rationale and cap as [[BpeEncodeExpr]].
+  * constant.
   */
 case class UnigramEncodeExpr(child: Expression, pieces: Seq[(String, Long)],
                              maxPieceLen: Int)
-    extends StringKernelExpression {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    extends WordEncodeKernelExpression {
   @transient private lazy val model =
     graft.text.Unigram.Model(pieces.toMap, maxPieceLen)
-  @transient private lazy val memo =
-    new java.util.HashMap[String, Array[String]]()
-  private val MemoCap = 1 << 16
-  protected override def nullSafeEval(v: Any): Any = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    for (w <- TextKernel.tokens(input(v))) {
-      var enc = memo.get(w)
-      if (enc == null) {
-        enc = graft.text.Unigram.viterbi(w, model)
-        if (memo.size < MemoCap) memo.put(w, enc)
-      }
-      var i = 0
-      while (i < enc.length) { out += UTF8String.fromString(enc(i)); i += 1 }
-    }
-    new GenericArrayData(out.toArray)
-  }
+  protected def encodeWord(w: String): Array[String] = graft.text.Unigram.viterbi(w, model)
   override protected def withNewChildInternal(c: Expression): UnigramEncodeExpr = copy(child = c)
 }
 
@@ -754,4 +759,6 @@ object textkernel {
       v.initial.toSeq.sorted, v.cont.toSeq.sorted, v.maxPieceLen))
   def robots_allowed(robotsTxt: Column, path: Column, agent: String): Column =
     toColumn(RobotsAllowedExpr(toExpression(robotsTxt), toExpression(path), agent))
+  def decode_charset(bytes: Column, charsetName: Column): Column =
+    toColumn(DecodeCharsetExpr(toExpression(bytes), toExpression(charsetName)))
 }

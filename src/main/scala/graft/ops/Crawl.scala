@@ -60,17 +60,14 @@ object Crawl {
         min_by(col("charset"), struct(col("path"), col("rec_idx"))).as("charset"))
     // extraction columns inlined (not Html.extractText) so url_domain rides
     // the same projection — no join back, nothing after the dedup shuffles.
-    // Decode honours the surviving record's declared charset for the
-    // latin-1 family (the common non-UTF-8 crawl encodings — decoding them
-    // as UTF-8 produced mojibake, r8 advice); anything else falls back to
-    // UTF-8 (which also covers its ASCII-compatible supersets well enough
-    // for the text stages — documented boundary, not a full charset table)
+    // Decode honours the surviving record's declared charset through the
+    // JVM's FULL charset table (Spark's built-in `decode` rejects
+    // windows-1252 — a top-3 crawl encoding — with a runtime error);
+    // unknown names and undecodable bytes fall back to UTF-8/U+FFFD — a
+    // crawl row must never fail the job
     val withHtml = deduped.withColumn("html",
-      when(col("charset").isin("iso-8859-1", "iso8859-1", "latin1", "latin-1"),
-        decode(col("body"), "ISO-8859-1"))
-      .when(col("charset").isin("windows-1252", "cp1252"),
-        decode(col("body"), "windows-1252"))
-      .otherwise(decode(col("body"), "UTF-8")))
+      graft.functions.textkernel.decode_charset(col("body"),
+        when(col("charset") === "", lit("utf-8")).otherwise(col("charset"))))
     val extracted = withHtml.select(col("url_canon"), col("url_domain"),
       Html.titleColumn(col("html")).as("title"),
       regexp_count(col("html"), lit("(?i)<a\\b")).cast("long").as("n_links"),

@@ -196,10 +196,13 @@ object Multimodal {
               if (versionBits == 3) { if (mono) 17 else 32 } else { if (mono) 9 else 17 }
             def tag4(off: Int, t: String): Boolean =
               off + 12 <= b.length && (0 until 4).forall(k => b(off + k) == t(k).toByte)
-            val xo = o + 4 + sideInfo
+            // protection bit 0 = a 2-byte CRC sits between header and side
+            // info (ISO 11172-3 §2.4.1.3) — the VBR tags ride after it
+            val crc = if ((h1 & 1) == 0) 2 else 0
+            val xo = o + 4 + crc + sideInfo
             if ((tag4(xo, "Xing") || tag4(xo, "Info")) && (be32(b, xo + 4) & 1) != 0)
               return Row("mp3", null, null, be32(b, xo + 8), rate, channels)
-            val vo = o + 4 + 32
+            val vo = o + 4 + crc + 32
             if (tag4(vo, "VBRI") && vo + 18 <= b.length)
               return Row("mp3", null, null, be32(b, vo + 14), rate, channels)
           }

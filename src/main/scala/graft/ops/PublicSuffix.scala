@@ -111,7 +111,11 @@ object PublicSuffix {
     */
   def registrableDomain(hostPort: String): String = {
     val colon = hostPort.indexOf(':')
-    val host = if (colon >= 0) hostPort.substring(0, colon) else hostPort
+    val host0 = if (colon >= 0) hostPort.substring(0, colon) else hostPort
+    // FQDN trailing dot: 'co.uk.' must behave exactly like 'co.uk' — the
+    // split-labels path drops the empty label but the whole-host suffix
+    // check would miss, yielding a bogus registrable domain
+    val host = if (host0.endsWith(".")) host0.substring(0, host0.length - 1) else host0
     if (host.isEmpty) return ""
     val labels = host.split('.')
     if (labels.length < 2 || labels.exists(_.isEmpty)) return ""

@@ -67,17 +67,20 @@ object Robots {
     // most specific agent match (RFC 9309 §2.2.1, the major-crawler
     // convention): the group token must be a case-insensitive prefix of
     // the product name (exact match included), longest token wins; '*'
-    // matches anything with specificity -1
-    var best: Seq[Rule] = null
-    var bestLen = -2
-    for ((agents, rules) <- groups; tok <- agents) {
-      val len =
+    // matches anything with specificity -1. ALL groups at the winning
+    // specificity merge (the RFC: matching groups' rules MUST be combined
+    // — CMS plugins routinely emit several same-token groups)
+    def specificity(agents: List[String]): Int =
+      agents.iterator.map { tok =>
         if (tok == "*") -1
         else if (a.startsWith(tok)) tok.length
         else -2
-      if (len > bestLen) { bestLen = len; best = rules.toSeq }
-    }
-    if (best == null) Nil else best
+      }.max
+    val bestLen = if (groups.isEmpty) -2
+      else groups.iterator.map(g => specificity(g._1)).max
+    if (bestLen == -2) Nil
+    else groups.iterator.filter(g => specificity(g._1) == bestLen)
+      .flatMap(_._2).toSeq
   }
 
   /** RFC 9309 pattern match: literal prefix with `*` = any octets and a

@@ -83,6 +83,32 @@ class CrawlSpec extends AnyFunSuite {
     } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
   }
 
+  // review finding: Spark's built-in decode() rejects windows-1252 (not in
+  // its VALID_CHARSETS) with a runtime error — the decode must go through
+  // the JVM charset table, and unknown charsets must fall back, not fail
+  test("windows-1252 and unknown charsets decode without failing the job") {
+    val dir = Files.createTempDirectory("crawl_cp1252").toFile
+    try {
+      // € (U+20AC) is 0x80 in windows-1252 — mojibake under latin-1/UTF-8
+      val cpHtml = "<p>price one hundred € in total for everything.</p>"
+      val cpBytes = cpHtml.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+      val http = ("HTTP/1.1 200 X\r\nContent-Type: text/html; charset=windows-1252\r\n\r\n"
+        .getBytes(UTF_8) ++ cpBytes)
+      val rec = WarcRecord("response", "http://cp.example/p", "2024-01-01T00:00:00Z",
+        "<urn:cp>", "application/http; msgtype=response", http)
+      Files.write(new java.io.File(dir, "c.warc.gz").toPath, WarcCodec.writeWarcGz(Seq(
+        rec,
+        respRec("http://weird.example/q",
+          "<p>a page declaring a bogus charset with many words here.</p>",
+          ctype = "text/html; charset=x-no-such-charset"))))
+      val out = Crawl.ingest(spark, dir.getAbsolutePath).orderBy("url_canon").collect()
+      assert(out.map(_.getAs[String]("url_canon")).toSeq ==
+        Seq("http://cp.example/p", "http://weird.example/q"))
+      assert(out(0).getAs[String]("text").contains("one hundred €"),
+        out(0).getAs[String]("text"))
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
+  }
+
   test("plan: one exchange (url dedup), blocklist broadcast, bytes never shuffle") {
     val dir = Files.createTempDirectory("crawl_plan").toFile
     try {

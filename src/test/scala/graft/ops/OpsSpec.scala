@@ -1012,14 +1012,17 @@ class MultimodalSpec extends AnyFunSuite {
     * frames use varying bitrate indices.
     */
   private def goldenVbrMp3(declared: Int, tag: String, mono: Boolean = false,
-                           followBitrateIdxs: Seq[Int] = Seq(5, 9, 12)): Array[Byte] = {
+                           followBitrateIdxs: Seq[Int] = Seq(5, 9, 12),
+                           crcProt: Boolean = false): Array[Byte] = {
     val be32 = (v: Int) => Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
     val v1Rates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
     val out = new java.io.ByteArrayOutputStream()
-    out.write(Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte,
+    // protection bit 0 (0xFA) = a 2-byte CRC precedes the side info
+    out.write(Array[Byte](0xFF.toByte, (if (crcProt) 0xFA else 0xFB).toByte, 0x90.toByte,
       if (mono) 0xC0.toByte else 0x00.toByte))
     val body = new Array[Byte](144 * 128000 / 44100 - 4)
-    val off = if (tag == "VBRI") 32 else (if (mono) 17 else 32)
+    val off = (if (crcProt) 2 else 0) +
+      (if (tag == "VBRI") 32 else (if (mono) 17 else 32))
     tag.getBytes("US-ASCII").copyToArray(body, off)
     if (tag == "VBRI") be32(declared).copyToArray(body, off + 14) // ver/delay/qual/bytes, then frames
     else { be32(1).copyToArray(body, off + 4); be32(declared).copyToArray(body, off + 8) } // flags bit0, frames
@@ -1038,7 +1041,10 @@ class MultimodalSpec extends AnyFunSuite {
       (3L, goldenVbrMp3(99, "VBRI")),                // Fraunhofer variant
       // no tag: the walker must still count a MIXED-bitrate chain exactly
       // (per-frame length from each frame's own bitrate index)
-      (4L, goldenVbrMp3(0, "none", followBitrateIdxs = Seq(5, 9, 12, 14))))
+      (4L, goldenVbrMp3(0, "none", followBitrateIdxs = Seq(5, 9, 12, 14))),
+      // review finding: a CRC-protected frame (protection bit 0) shifts
+      // the tag by the 2-byte CRC — the probe must honour it
+      (5L, goldenVbrMp3(42, "Xing", crcProt = true)))
       .toDF("media_id", "media")
     val got = Multimodal.extractMeta(golden)
       .select("media_id", "meta.format", "meta.n_frames", "meta.sample_rate", "meta.channels")
@@ -1047,6 +1053,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L) == Seq("mp3", 7, 44100, 1), got(2L).toString)
     assert(got(3L) == Seq("mp3", 99, 44100, 2), got(3L).toString)
     assert(got(4L) == Seq("mp3", 5, 44100, 2), got(4L).toString) // 1 first + 4 follow
+    assert(got(5L) == Seq("mp3", 42, 44100, 2), got(5L).toString)
   }
 
   test("dHash image dedup: identical pixels collide, perturbations stay near, hot caps hold") {

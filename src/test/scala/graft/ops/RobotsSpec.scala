@@ -35,6 +35,21 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.rulesFor("User-agent: x\nDisallow: /\n", "y").isEmpty)
   }
 
+  // review finding (RFC 9309 §2.2.1): several groups matching at the same
+  // specificity MUST combine — CMS plugins routinely emit repeated groups
+  test("repeated same-token groups merge their rules") {
+    val txt = "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n"
+    val rules = Robots.rulesFor(txt, "anybot")
+    assert(rules == Seq(Rule(false, "/a"), Rule(false, "/b")))
+    assert(!Robots.isAllowed(rules, "/b/page"))
+    // and the merge happens at the WINNING specificity only: a dedicated
+    // group does not absorb the * group's rules
+    val mixed = "User-agent: graftbot\nDisallow: /x\n\nUser-agent: *\nDisallow: /y\n" +
+      "\nUser-agent: graftbot\nDisallow: /z\n"
+    val g = Robots.rulesFor(mixed, "graftbot")
+    assert(g == Seq(Rule(false, "/x"), Rule(false, "/z")))
+  }
+
   test("longest match wins; Allow wins length ties; no match allows") {
     val rules = Robots.rulesFor(rfcExample, "examplebot")
     assert(Robots.isAllowed(rules, "/other"))          // no rule matches

@@ -60,6 +60,14 @@ class UrlSpec extends AnyFunSuite {
     assert(r(4) == "example.co.jp", r(4))
     assert(r(5) == "", r(5))
     assert(r(6) == "b.gov.uk", r(6))
+    // review finding: the FQDN trailing-dot spelling of a public suffix
+    // must behave exactly like the bare spelling
+    val fq = Urls.canonicalize(Seq(
+      (1L, "http://co.uk./x"),
+      (2L, "http://blog.example.co.uk./y")).toDF("doc_id", "url"))
+      .orderBy("doc_id").collect().map(_.getAs[String]("url_domain"))
+    assert(fq(0) == "", fq(0))
+    assert(fq(1) == "example.co.uk", fq(1))
   }
 
   test("dedupByUrl groups tracking-variant URLs; unparseable rows excluded") {
