@@ -87,6 +87,29 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.rulesFor(txt, "b") == Seq(Rule(false, "/x")))
   }
 
+  test("hostile inputs never throw: garbage robots, paths, hosts, html") {
+    val rnd = new scala.util.Random(17)
+    val garbage = (0 until 200).map { i =>
+      val len = rnd.nextInt(200)
+      new String(Array.fill(len)((rnd.nextInt(94) + 32).toChar)) +
+        (if (i % 3 == 0) "\nUser-agent: *\nDisallow: " else "") +
+        (if (i % 7 == 0) "*$*$**" else "")
+    }
+    garbage.foreach { txt =>
+      val rules = Robots.rulesFor(txt, "bot")   // must not throw
+      Robots.isAllowed(rules, "/some/path")      // nor here (wildcards quoted)
+      Robots.isAllowed(rules, "")                // empty path
+    }
+    // registrable domain on malformed hosts: empty labels, dots, ports
+    Seq("", ".", "..", "a..b", ":8080", "x.", ".x", "a.b.c.d.e.f.g.h:99999")
+      .foreach(h => PublicSuffix.registrableDomain(h)) // must not throw
+    assert(PublicSuffix.registrableDomain("a..b") == "")
+    // extractLinks on broken markup yields rows or nothing, never an error
+    val docs = Seq((1L, "<a href=\"x"), (2L, "<a href=\"\">" ),
+      (3L, "</a></a><a>no href</a>")).toDF("doc_id", "html")
+    assert(Html.extractLinks(docs).collect().forall(_.getString(2) != null))
+  }
+
   test("filterAllowed kernel matches the driver evaluator; projection-only plan") {
     val docs = Seq(
       (1L, rfcExample, "/foo/bar"), (2L, rfcExample, "/foo/baz"),
