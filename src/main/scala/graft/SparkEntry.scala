@@ -1439,14 +1439,23 @@ object SparkEntry {
       survivors
     })
 
+  /** Seed-candidate word budget for the tokenizer gates: the driver
+    * collects AT MOST this many (word, count) rows — pruned
+    * distributed-side to the top-N by (count desc, word asc)
+    * ([[graft.text.Bpe.topWordCounts]]) — at ANY corpus size. The oracle
+    * SQL replays the identical prune (same total order), so gate and
+    * oracle stay lockstep even when the prune bites.
+    */
+  private val TokSeedCap = 50000
+
   /** Per-dir unigram-LM seed model: frequency probabilities over the
     * corpus's substring candidates ([[graft.text.Unigram.seedModel]] — one
-    * distributed word-count pass, bounded driver-side seeding).
+    * distributed word-count pass, [[TokSeedCap]]-bounded driver seeding).
     */
   private val unigramModels = scala.collection.concurrent.TrieMap.empty[String, graft.text.Unigram.Model]
   private def unigramModelFor(s: SparkSession, dir: String): graft.text.Unigram.Model =
     unigramModels.getOrElseUpdate(dir, {
-      val rows = graft.text.Bpe.wordCounts(docsPar(s, dir)).collect()
+      val rows = graft.text.Bpe.topWordCounts(docsPar(s, dir), cap = TokSeedCap).collect()
       graft.text.Unigram.seedModel(
         rows.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq,
         maxPieceLen = 4, seedSize = 200)
@@ -1463,12 +1472,13 @@ object SparkEntry {
     lit(" <a href=\"/rel/"), col("doc_id") % 5, lit("\"><b>rel</b></a></p>"))
 
   /** Per-dir WordPiece seed vocabulary (frequency-seeded two-class
-    * candidates, [[graft.text.WordPiece.seedVocab]]).
+    * candidates, [[graft.text.WordPiece.seedVocab]];
+    * [[TokSeedCap]]-bounded driver collect).
     */
   private val wordpieceVocabs = scala.collection.concurrent.TrieMap.empty[String, graft.text.WordPiece.Vocab]
   private def wordpieceVocabFor(s: SparkSession, dir: String): graft.text.WordPiece.Vocab =
     wordpieceVocabs.getOrElseUpdate(dir, {
-      val rows = graft.text.Bpe.wordCounts(docsPar(s, dir)).collect()
+      val rows = graft.text.Bpe.topWordCounts(docsPar(s, dir), cap = TokSeedCap).collect()
       graft.text.WordPiece.seedVocab(
         rows.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq,
         maxPieceLen = 4, seedSize = 200)
@@ -1803,7 +1813,10 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     s"""WITH wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt
        |   FROM (SELECT unnest($sqlWords) AS word FROM documents) GROUP BY word),
-       | st AS (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS s FROM wc),
+       | wcs AS (SELECT word, cnt FROM (SELECT word, cnt,
+       |   row_number() OVER (ORDER BY cnt DESC, word ASC) AS rn FROM wc)
+       |   WHERE rn <= $TokSeedCap),
+       | st AS (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS s FROM wcs),
        | pc AS (SELECT word, cnt, s,
        |   unnest(range(1, least($maxPiece, length(word) - s + 1) + 1)) AS l FROM st),
        | seed0 AS (SELECT substr(word, s, l) AS piece, CAST(sum(cnt) AS BIGINT) AS pcnt
@@ -1846,7 +1859,10 @@ object SparkEntry {
     }.mkString(",\n ")
     s"""WITH wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt
        |   FROM (SELECT unnest($sqlWords) AS word FROM documents) GROUP BY word),
-       | st AS (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS s FROM wc),
+       | wcs AS (SELECT word, cnt FROM (SELECT word, cnt,
+       |   row_number() OVER (ORDER BY cnt DESC, word ASC) AS rn FROM wc)
+       |   WHERE rn <= $TokSeedCap),
+       | st AS (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS s FROM wcs),
        | pc AS (SELECT word, cnt, s,
        |   unnest(range(1, least($maxPiece, length(word) - s + 1) + 1)) AS l FROM st),
        | seed0 AS (SELECT substr(word, s, l) AS raw, s > 1 AS is_cont,

@@ -21,7 +21,10 @@ import graft.functions.textkernel._
   *    and a 1 GB crawl both collapse to a few million distinct words).
   *    This is how the original subword-nmt trains; a per-merge distributed
   *    recount would cost `numMerges` shuffles for no added correctness. The
-  *    collect fails loudly past [[Bpe.train]]'s `maxVocab`.
+  *    collect is BOUNDED by a distributed top-`maxVocab` frequency prune
+  *    ([[topWordCounts]]) — past the cap it loud-prunes by default
+  *    (`strict = true` restores loud-abort), so the driver never holds more
+  *    than `maxVocab + 1` rows at any corpus size.
   *  - encoding is a compiled per-row kernel ([[graft.functions.textkernel
   *    .bpe_tokens]]) with the merge table broadcast in the plan — scan
   *    speed, no shuffle, with a per-executor word→tokens memo (word
@@ -48,6 +51,20 @@ object Bpe {
   def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(word_tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Top-`cap` rows of [[wordCounts]] by (count desc, word asc) — the
+    * DISTRIBUTED prune that bounds every driver-side vocabulary collect.
+    * (cnt desc, word asc) is a total order (words are distinct after the
+    * groupBy), so the kept set is deterministic at any corpus size; Spark
+    * compiles orderBy+limit to TakeOrderedAndProject (per-partition top-cap
+    * heaps, driver merges cap rows per partition — never the full table).
+    * This is the SentencePiece/WordPiece seeding posture: candidates come
+    * from the most frequent words, and at 100 TB the tail of the Zipf
+    * distribution contributes nothing to frequency-ranked seeds.
+    */
+  def topWordCounts(docs: DataFrame, textCol: String = "text",
+                    cap: Int = 4_000_000): DataFrame =
+    wordCounts(docs, textCol).orderBy(desc("cnt"), asc("word")).limit(cap)
 
   /** Adjacent-symbol pair counts of the INITIAL (round-0) symbolization —
     * per word: characters plus the trailing [[Eow]] symbol, each adjacent
@@ -87,15 +104,35 @@ object Bpe {
     * pair seen once memorizes a single word).
     */
   def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
-            minCount: Long = 2L, maxVocab: Int = 4_000_000): Seq[Merge] = {
+            minCount: Long = 2L, maxVocab: Int = 4_000_000,
+            strict: Boolean = false): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges must be non-negative: $numMerges")
-    val rows = wordCounts(docs, textCol).limit(maxVocab + 1).collect()
-    require(rows.length <= maxVocab,
-      s"vocabulary exceeds maxVocab=$maxVocab distinct words; raise the cap " +
-        "or pre-filter the corpus")
-    trainFromVocab(
-      rows.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq,
+    trainFromVocab(collectVocab(docs, textCol, maxVocab, strict, "Bpe.train"),
       numMerges, minCount)
+  }
+
+  /** Bounded vocabulary collect shared by the three trainers: the
+    * distributed top-(maxVocab+1) prune ([[topWordCounts]]) means the
+    * driver NEVER receives more than maxVocab+1 rows regardless of corpus
+    * size; the +1 sentinel detects overflow without a second count pass.
+    * Default posture is loud-PRUNE (keep the top-maxVocab words by
+    * frequency and warn — real 100 TB vocabularies don't fit any cap, and
+    * frequency-ranked pruning is exactly what SentencePiece/WordPiece
+    * training does); `strict = true` restores the loud-abort.
+    */
+  private[text] def collectVocab(docs: DataFrame, textCol: String,
+                                 maxVocab: Int, strict: Boolean,
+                                 who: String): Seq[(String, Long)] = {
+    val rows = topWordCounts(docs, textCol, maxVocab + 1).collect()
+    if (rows.length > maxVocab) {
+      val msg = s"$who: vocabulary exceeds maxVocab=$maxVocab distinct words" +
+        (if (strict) "; raise the cap or pre-filter the corpus"
+         else s" — pruned to the top $maxVocab by (count desc, word asc)")
+      if (strict) throw new IllegalArgumentException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+    rows.iterator.take(maxVocab)
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
   }
 
   /** The driver-side merge loop on an explicit (word, count) vocabulary. */

@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *    ([[Bpe.wordCounts]]): one map-side-combined groupBy; EM runs on the
   *    collected (word, count) VOCABULARY, bounded by the language, not the
   *    corpus (this is how SentencePiece itself trains — on a sentence/word
-  *    frequency table). The collect fails loudly past `maxVocab`.
+  *    frequency table). The collect is bounded by a distributed
+  *    top-`maxVocab` frequency prune (loud-prune; `strict` aborts).
   *  - encoding is a compiled per-row kernel
   *    ([[graft.functions.textkernel.unigram_encode]]) with the piece table
   *    a plan-time constant and a capped per-executor word memo — scan
@@ -248,18 +249,16 @@ object Unigram {
   }
 
   /** Train over a corpus: one distributed word-count pass, then the bounded
-    * driver-side loop (the [[Bpe.train]] posture, same `maxVocab` guard).
+    * driver-side loop (the [[Bpe.collectVocab]] posture — distributed
+    * top-`maxVocab` frequency prune, loud-prune by default, `strict = true`
+    * for loud-abort).
     */
   def train(docs: DataFrame, vocabSize: Int, textCol: String = "text",
             maxPieceLen: Int = 4, seedSize: Int = 1000, emIters: Int = 2,
-            maxVocab: Int = 4_000_000): Model = {
-    val rows = Bpe.wordCounts(docs, textCol).limit(maxVocab + 1).collect()
-    require(rows.length <= maxVocab,
-      s"vocabulary exceeds maxVocab=$maxVocab distinct words; raise the cap " +
-        "or pre-filter the corpus")
-    trainFromVocab(rows.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq,
+            maxVocab: Int = 4_000_000, strict: Boolean = false): Model =
+    trainFromVocab(
+      Bpe.collectVocab(docs, textCol, maxVocab, strict, "Unigram.train"),
       vocabSize, maxPieceLen, seedSize, emIters)
-  }
 
   /** Viterbi-encode a corpus: per document, the concatenated piece stream of
     * its words plus the learned-token count. One compiled kernel pass.

@@ -174,16 +174,16 @@ object WordPiece {
   private def stripCont(s: String): String =
     if (s.startsWith(ContPrefix)) s.substring(ContPrefix.length) else s
 
-  /** Train over a corpus (one word-count pass, bounded driver loop). */
+  /** Train over a corpus (one word-count pass, bounded driver loop; the
+    * [[Bpe.collectVocab]] posture — distributed top-`maxVocab` frequency
+    * prune, loud-prune by default, `strict = true` for loud-abort).
+    */
   def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
-            maxVocab: Int = 4_000_000): (Vocab, Seq[Merge]) = {
-    val rows = Bpe.wordCounts(docs, textCol).limit(maxVocab + 1).collect()
-    require(rows.length <= maxVocab,
-      s"vocabulary exceeds maxVocab=$maxVocab distinct words; raise the cap " +
-        "or pre-filter the corpus")
-    trainFromVocab(rows.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq,
+            maxVocab: Int = 4_000_000,
+            strict: Boolean = false): (Vocab, Seq[Merge]) =
+    trainFromVocab(
+      Bpe.collectVocab(docs, textCol, maxVocab, strict, "WordPiece.train"),
       numMerges)
-  }
 
   /** Greedy-encode a corpus: concatenated piece stream per document plus
     * the learned-token count. One compiled kernel pass.

@@ -95,11 +95,48 @@ class BpeSpec extends AnyFunSuite {
     assert(packed(10L) == ((8L, 4L)))
   }
 
-  test("maxVocab cap fails loudly") {
+  test("maxVocab cap fails loudly in strict mode") {
     val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
-      Bpe.train(docs, numMerges = 1, maxVocab = 3)
+      Bpe.train(docs, numMerges = 1, maxVocab = 3, strict = true)
     }
     assert(e.getMessage.contains("maxVocab"))
+  }
+
+  test("maxVocab overflow loud-prunes to top-maxVocab by frequency (default)") {
+    // vocabulary 10x the cap: 30 distinct filler words (each once) + 3 hot
+    // words; cap = 3 keeps exactly the hot words, so training matches
+    // trainFromVocab on the hand-pruned vocabulary and the driver never
+    // sees more than cap+1 rows
+    val filler = (1 to 30).map(i => f"w$i%02d").mkString(" ")
+    val docs = (1L to 5L).map(i => (i, "low lowest newest"))
+      .toDF("doc_id", "text").union(Seq((99L, filler)).toDF("doc_id", "text"))
+    assert(Bpe.topWordCounts(docs, cap = 3).collect().length == 3)
+    assert(Bpe.topWordCounts(docs, cap = 4).count() == 4L)
+    val pruned = Bpe.train(docs, numMerges = 3, maxVocab = 3)
+    val manual = Bpe.trainFromVocab(
+      Seq(("low", 5L), ("lowest", 5L), ("newest", 5L)), numMerges = 3)
+    assert(pruned == manual)
+    // deterministic tie-break: equal counts rank by word asc
+    val top = Bpe.topWordCounts(docs, cap = 5).collect().map(_.getString(0))
+    assert(top.take(3).sorted.sameElements(Array("low", "lowest", "newest")))
+    assert(top.slice(3, 5).sameElements(Array("w01", "w02")))
+  }
+
+  test("WordPiece and Unigram trainers share the bounded-prune posture") {
+    val filler = (1 to 30).map(i => f"w$i%02d").mkString(" ")
+    val docs = (1L to 5L).map(i => (i, "low lowest newest"))
+      .toDF("doc_id", "text").union(Seq((99L, filler)).toDF("doc_id", "text"))
+    val hand = Seq(("low", 5L), ("lowest", 5L), ("newest", 5L))
+    val (v, m) = graft.text.WordPiece.train(docs, numMerges = 2, maxVocab = 3)
+    assert((v, m) == graft.text.WordPiece.trainFromVocab(hand, numMerges = 2))
+    val um = graft.text.Unigram.train(docs, vocabSize = 20, maxVocab = 3)
+    assert(um == graft.text.Unigram.trainFromVocab(hand, vocabSize = 20))
+    intercept[IllegalArgumentException] {
+      graft.text.WordPiece.train(docs, numMerges = 1, maxVocab = 3, strict = true)
+    }
+    intercept[IllegalArgumentException] {
+      graft.text.Unigram.train(docs, vocabSize = 20, maxVocab = 3, strict = true)
+    }
   }
 }
