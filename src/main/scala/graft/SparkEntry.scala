@@ -764,6 +764,16 @@ object SparkEntry {
           emb.filter(col("label") === 0), threshold = 0.3)
         .orderBy("vec_id")
     },
+    // ANN-accelerated decontamination: eval rows routed as IVF probes —
+    // corpus items are scored only against eval rows probing their cell
+    // (the oracle replays seed-centroid assignment + probe-cell selection
+    // + the probed-cell-only max); exact stays above as the full-width twin
+    "q_semantic_decontam_ann" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Dedup.semanticDecontaminateAnn(emb.filter(col("label") =!= 0),
+          emb.filter(col("label") === 0), threshold = 0.3, nCells = 16, nProbe = 4)
+        .orderBy("vec_id")
+    },
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(docsPar(s, dir)).orderBy("content_hash")
         .select(col("content_hash"), col("n_dups").cast("long").as("n_dups"), col("canonical_id"))
@@ -3313,6 +3323,23 @@ object SparkEntry {
          | mx AS (SELECT vec_id, max(cs) AS max_cos FROM sc GROUP BY vec_id)
          |SELECT vec_id, max_cos, max_cos >= 0.3 AS contaminated
          |FROM mx ORDER BY vec_id""".stripMargin,
+    "q_semantic_decontam_ann" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE label <> 0
+         |   ORDER BY ${sqlHex60("'ivf:' || vec_id")} ASC, vec_id ASC LIMIT 16),
+         | ad AS (SELECT e.vec_id, e.embedding, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist
+         |   FROM embeddings e, c WHERE e.label <> 0),
+         | assign AS (SELECT vec_id, embedding, cid AS cell FROM (SELECT vec_id, embedding, cid,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM ad) WHERE rn = 1),
+         | pd AS (SELECT e.vec_id AS qid, e.embedding AS qv, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist
+         |   FROM embeddings e, c WHERE e.label = 0),
+         | pc AS (SELECT qid, qv, cid AS cell FROM (SELECT qid, qv, cid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rn FROM pd) WHERE rn <= 4),
+         | sc AS (SELECT a.vec_id, round(${sqlCos("a.embedding", "pc.qv")}, 6) AS cs
+         |   FROM assign a JOIN pc ON a.cell = pc.cell),
+         | mx AS (SELECT vec_id, max(cs) AS max_cos FROM sc GROUP BY vec_id)
+         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, mx.max_cos,
+         |  coalesce(mx.max_cos >= 0.3, FALSE) AS contaminated
+         |FROM assign a LEFT JOIN mx USING (vec_id) ORDER BY a.vec_id""".stripMargin,
     "q_stratified" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${sqlHex60("'sample:' || doc_id")} / 1152921504606846976.0

@@ -392,6 +392,52 @@ object Dedup {
       .withColumn("contaminated", col("max_cos") >= threshold)
   }
 
+  /** ANN-accelerated semantic decontamination — the 100 TB path for
+    * [[semanticDecontaminate]]'s O(N·E) kernel sweep: route the EVAL rows
+    * as probes through the same deterministic IVF clustering the ANN
+    * family uses. Each eval row selects its `nProbe` nearest cells
+    * (driver-side centroid table, one kernel projection); a corpus item is
+    * scored ONLY against eval rows probing its cell, so the kernel work
+    * drops from N·E to Σ_{probed cells} |cell|·|probes(cell)| — at
+    * nCells ≈ √N and a benchmark-sized eval set that is ~E·N/nCells·nProbe
+    * ≪ N·E, and items in unprobed cells are never touched by a cosine at
+    * all. `nProbe = nCells` degenerates to the exact semantics (parity
+    * pinned by spec); smaller nProbe trades recall for cost exactly like
+    * every other IVF search here.
+    *
+    * Plan shape: one kernel-projection scan (cell assignment), one
+    * BROADCAST of the eval probe-cell table (eval sets are bounded by
+    * construction — a fixed benchmark suite), one map-side-combined
+    * per-(id, cell) max. The corpus is never self-joined, never shuffled
+    * by anything eval-sized, and the single exchange carries one row per
+    * corpus item (the left join keeps unprobed items with a NULL max —
+    * `contaminated` coalesces to false, the honest "not checked ≈ not
+    * close" ANN posture).
+    *
+    * Output: (idCol, cell, max_cos — null when no eval probe reached the
+    * item's cell, contaminated).
+    */
+  def semanticDecontaminateAnn(corpus: DataFrame, evalSet: DataFrame,
+                               threshold: Double = 0.95,
+                               nCells: Int = 16, nProbe: Int = 4,
+                               idCol: String = "vec_id", vecCol: String = "embedding",
+                               lloydIters: Int = 0): DataFrame = {
+    val (assigned, centroids) = graft.ops.SimilaritySearch.ivfAssign(
+      corpus, nCells, itemId = idCol, itemVec = vecCol, lloydIters = lloydIters)
+    val (cvs, cids) = graft.ops.SimilaritySearch.collectCentroids(centroids)
+    val probeCells = evalSet
+      .select(explode(nearest_cells(col(vecCol), cvs, cids, nProbe)).as("cell"),
+        col(vecCol).as("__ev"))
+    assigned.select(col(idCol), col("cell").cast("long").as("cell"), col(vecCol))
+      .join(broadcast(probeCells.withColumn("cell", col("cell").cast("long"))),
+        Seq("cell"), "left")
+      .select(col(idCol), col("cell"),
+        round(vec_cosine(col(vecCol), col("__ev")), 6).as("__c"))
+      .groupBy(col(idCol), col("cell"))
+      .agg(max(col("__c")).as("max_cos"))
+      .withColumn("contaminated", coalesce(col("max_cos") >= threshold, lit(false)))
+  }
+
   /** Embedding near-dup when NO natural blocking attribute exists — the
     * content-derived scale path: block by the random-hyperplane LSH bucket
     * of the vector itself ([[SimilaritySearch.lshBucket]], the same md5

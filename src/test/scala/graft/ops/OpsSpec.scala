@@ -44,6 +44,44 @@ class DedupSpec extends AnyFunSuite {
     assert(r(3L) == ((0.0, false)))
   }
 
+  test("semanticDecontaminateAnn: parity with exact at nProbe = nCells; pruning skips unprobed cells") {
+    // 40 corpus vectors in two tight clusters around e1 and e3 + 2 eval
+    // rows near e1 only — at nProbe = nCells every (item, eval) pair is
+    // scored, so max_cos/contaminated must equal the exact kernel sweep
+    val corpus = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Seq(1f, 0.01f * i, 0f, 0f) else Seq(0f, 0.01f * i, 1f, 0f)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val ev = Seq((100L, Seq(1f, 0f, 0f, 0f)), (101L, Seq(0.99f, 0.1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val exact = Dedup.semanticDecontaminate(corpus, ev, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    val full = Dedup.semanticDecontaminateAnn(corpus, ev, threshold = 0.9,
+      nCells = 4, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(full.keySet == exact.keySet)
+    full.foreach { case (id, v) => assert(v == exact(id), s"id $id: $v vs ${exact(id)}") }
+    // narrow probing: eval rows sit on the e1 cluster, so with nProbe = 1
+    // the e3-cluster cells are never probed — those items come back with
+    // NULL max_cos and contaminated = false (never a false positive)
+    val pruned = Dedup.semanticDecontaminateAnn(corpus, ev, threshold = 0.9,
+      nCells = 4, nProbe = 1).collect()
+    assert(pruned.length == 40)
+    val unprobed = pruned.filter(_.isNullAt(2))
+    assert(unprobed.nonEmpty)
+    assert(unprobed.forall(!_.getBoolean(3)))
+    // every flagged-by-ANN item is flagged by exact (pruning only loses)
+    pruned.filter(_.getBoolean(3)).foreach(r => assert(exact(r.getLong(0))._2))
+    // the eval side rides BROADCAST on an equi-key (cell): no nested loop,
+    // no cartesian — the corpus is never shuffled by anything eval-sized
+    val plan = Dedup.semanticDecontaminateAnn(corpus, ev, threshold = 0.9,
+      nCells = 4, nProbe = 1).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("minhash LSH finds the exact and near duplicate, not the unrelated doc") {
     val pairs = Dedup.minhashLsh(docs, threshold = 0.3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
