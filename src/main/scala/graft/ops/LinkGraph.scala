@@ -28,24 +28,33 @@ object LinkGraph {
   /** Anchor-text corpus: aggregate the anchor texts pointing AT each
     * canonical URL — the (document, query-like surrogate) training pairs
     * search models are built from (anchors describe the TARGET, so this
-    * is the web's own labeling). One map-side-combined groupBy on the
-    * canonical target; per-target state is bounded by `maxAnchors`
-    * distinct anchors (slice after a deterministic sort — a hub page with
-    * millions of identical "click here" anchors cannot blow up the
-    * aggregation state... the slice bounds the OUTPUT; the distinct set
-    * is bounded by anchor-text diversity, which saturates in practice,
-    * and the exact guard is the upstream hot-key discipline).
+    * is the web's own labeling). One map-side-combined aggregation on the
+    * canonical target whose per-group STATE is bounded by `maxAnchors`
+    * ([[graft.functions.TopKAggregator.MinKDistinct]] — total inlink count
+    * plus the maxAnchors lexicographically-least distinct anchors in a
+    * capped buffer): a hub page with millions of DISTINCT anchor texts
+    * costs maxAnchors strings of memory and shuffle, not
+    * diversity-proportional collect_set state. Result is bit-identical to
+    * the `(count(*), slice(array_sort(collect_set), 1, k))` formulation
+    * this replaces (byte-wise UTF-8 ordering, pinned by LinkGraphSpec).
     */
   def anchorCorpus(links: DataFrame, hrefCol: String = "href",
                    anchorCol: String = "anchor",
-                   maxAnchors: Int = 16): DataFrame =
+                   maxAnchors: Int = 16): DataFrame = {
+    val spark = links.sparkSession
+    import spark.implicits._
     links
       .select(Urls.canonicalColumn(col(hrefCol)).as("url_canon"),
         col(anchorCol).as("__a"))
       .filter(col("url_canon").isNotNull && col("__a") =!= "")
-      .groupBy("url_canon")
-      .agg(count(lit(1)).as("n_inlinks"),
-        slice(array_sort(collect_set(col("__a"))), 1, maxAnchors).as("anchors"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.TopKAggregator.minKDistinct(maxAnchors).name("__agg"))
+      .select(col("key").as("url_canon"),
+        col("__agg.n").as("n_inlinks"),
+        col("__agg.items").as("anchors"))
+  }
 
   def pageRank(edges: DataFrame, iters: Int,
                srcCol: String = "src", dstCol: String = "dst",

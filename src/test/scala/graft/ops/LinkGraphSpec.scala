@@ -53,6 +53,41 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("anchorCorpus: bounded aggregation state, bit-identical to the collect_set form") {
+    // one hub target with 100k DISTINCT anchors (the diversity blow-up
+    // case) + one normal target with few anchors incl. duplicates and a
+    // UTF-8-vs-UTF-16 ordering probe (U+1F600 is F0.. in UTF-8 — sorts
+    // AFTER U+FFFD's EF.. bytes, but BEFORE it by Java compareTo)
+    val hub = spark.range(100000).select(
+      lit("http://hub.com/x").as("href"),
+      concat(lit("anchor "), format_string("%06d", col("id"))).as("anchor"))
+    val small = Seq(
+      ("http://s.com/a", "zeta"), ("http://s.com/a", "zeta"),
+      ("http://s.com/a", "😀"), ("http://s.com/a", "�"),
+      ("http://s.com/a", "alpha")).toDF("href", "anchor")
+    val links = hub.unionByName(small)
+    val out = LinkGraph.anchorCorpus(links, maxAnchors = 16)
+    // per-group state is the capped typed buffer: no collect_set anywhere
+    // in the plan, and the shuffle carries <= 16 anchors per group
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_set"), plan)
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+    val r = out.collect().map(x =>
+      x.getString(0) -> ((x.getLong(1), x.getSeq[String](2)))).toMap
+    assert(r("http://hub.com/x")._1 == 100000L)
+    assert(r("http://hub.com/x")._2 == (0 until 16).map(i => f"anchor $i%06d"))
+    // bit-identical to the unbounded collect_set formulation it replaced
+    val legacy = links
+      .select(Urls.canonicalColumn(col("href")).as("url_canon"), col("anchor").as("__a"))
+      .filter(col("url_canon").isNotNull && col("__a") =!= "")
+      .groupBy("url_canon")
+      .agg(count(lit(1)).as("n_inlinks"),
+        slice(array_sort(collect_set(col("__a"))), 1, 16).as("anchors"))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getSeq[String](2)))).toMap
+    assert(r == legacy)
+    assert(r("http://s.com/a")._2 == Seq("alpha", "zeta", "�", "😀"))
+  }
+
   test("extractLinks golden: positional alignment, messy whitespace, inner markup") {
     val docs = Seq(
       (1L, "<p><a href=\"http://a.com/1\">one</a> <a class=\"z\" href=\"http://b.com\">two\n words</a></p>"),
