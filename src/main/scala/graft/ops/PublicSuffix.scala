@@ -15,9 +15,11 @@ package graft.ops
   * has no egress to fetch the full ~10k-line list): the multi-label ICANN
   * suffixes of the most common ccTLD registries. Single-label TLDs are
   * covered by the PSL's default `*` rule (any TLD is a suffix), which needs
-  * no table. Wildcard (`*.ck`) and exception (`!www.ck`) rules are NOT in
-  * the subset — swapping in the full list behind this seam is a data
-  * change, not a code change.
+  * no table. Wildcard rules (`*.ck` — [[WildcardSuffixes]] holds the
+  * parent) and exception rules (`!www.ck` — [[ExceptionRules]]) are
+  * evaluated per the published algorithm: exceptions prevail over
+  * everything, otherwise the matching rule with the most labels wins,
+  * otherwise `*`. Swapping in the full list is still a data change only.
   */
 object PublicSuffix {
 
@@ -98,16 +100,42 @@ object PublicSuffix {
     "com.es", "nom.es", "org.es", "gob.es", "edu.es",
     "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr")
 
-  /** Longest label count of any entry in [[MultiLabelSuffixes]]. */
-  private val MaxSuffixLabels: Int =
-    MultiLabelSuffixes.iterator.map(_.count(_ == '.') + 1).max
+  /** Wildcard rule parents (`*.ck` stored as "ck") — registries where
+    * EVERY second-level label is itself a public suffix. ICANN-section
+    * wildcard rules from the published list: national registries selling
+    * only third-level names, plus the Japanese geographic prefectures.
+    */
+  val WildcardSuffixes: Set[String] = Set(
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
+    // Japan geographic (city-level) wildcards
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp")
+
+  /** Exception rules (`!www.ck` stored as "www.ck") — hosts carved OUT of
+    * a wildcard rule: the public suffix is the exception minus its
+    * leftmost label, so the exception host itself is registrable.
+    */
+  val ExceptionRules: Set[String] = Set(
+    "www.ck",
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp")
+
+  /** Longest label count any rule can match (wildcards match parent+1). */
+  private val MaxRuleLabels: Int = (
+    MultiLabelSuffixes.iterator.map(_.count(_ == '.') + 1) ++
+      WildcardSuffixes.iterator.map(_.count(_ == '.') + 2) ++
+      ExceptionRules.iterator.map(_.count(_ == '.') + 1)).max
 
   /** PSL algorithm over the snapshot: the registrable domain of a
-    * (lowercased) `host[:port]` authority — longest matching public suffix
-    * plus one label; the default `*` rule makes every bare TLD a suffix.
-    * A host that IS a public suffix, or a single label, yields "" (no
-    * registrable part — same contract as the old heuristic's single-label
-    * case). The port never rides along.
+    * (lowercased) `host[:port]` authority. Exception rules prevail (public
+    * suffix = exception minus its leftmost label); otherwise the matching
+    * rule with the most labels (explicit or wildcard) wins; otherwise the
+    * default `*` rule makes every bare TLD a suffix. The registrable
+    * domain is the public suffix plus one label; a host that IS a public
+    * suffix, or a single label, yields "" (no registrable part — same
+    * contract as the old heuristic's single-label case). The port never
+    * rides along.
     */
   def registrableDomain(hostPort: String): String = {
     val colon = hostPort.indexOf(':')
@@ -119,15 +147,27 @@ object PublicSuffix {
     if (host.isEmpty) return ""
     val labels = host.split('.')
     if (labels.length < 2 || labels.exists(_.isEmpty)) return ""
-    // a host that IS a public suffix has no registrable part
-    if (MultiLabelSuffixes.contains(host)) return ""
-    var k = math.min(labels.length - 1, MaxSuffixLabels)
-    while (k >= 2) {
-      if (MultiLabelSuffixes.contains(labels.takeRight(k).mkString("."))) {
-        return labels.takeRight(k + 1).mkString(".")
-      }
+    val n = labels.length
+    def tail(k: Int): String = labels.takeRight(k).mkString(".")
+    // exception rules take absolute priority (PSL: "If more than one rule
+    // matches, the prevailing rule is the one which is an exception rule")
+    var ps = -1
+    var k = math.min(n, MaxRuleLabels)
+    while (k >= 2 && ps < 0) {
+      if (ExceptionRules.contains(tail(k))) ps = k - 1
       k -= 1
     }
-    labels.takeRight(2).mkString(".") // default rule: TLD is a suffix
+    if (ps < 0) {
+      // longest matching rule: explicit multi-label entry, or a wildcard
+      // whose parent is the (k-1)-label tail (the `*` consumes label k)
+      ps = 1 // default `*` rule: the bare TLD
+      k = math.min(n, MaxRuleLabels)
+      while (k >= 2 && ps == 1) {
+        if (MultiLabelSuffixes.contains(tail(k)) ||
+            WildcardSuffixes.contains(tail(k - 1))) ps = k
+        k -= 1
+      }
+    }
+    if (n <= ps) "" else tail(ps + 1)
   }
 }

@@ -70,6 +70,32 @@ class UrlSpec extends AnyFunSuite {
     assert(fq(1) == "example.co.uk", fq(1))
   }
 
+  test("PSL wildcard and exception rules: *.ck / !www.ck / Japanese city wildcards") {
+    import PublicSuffix.registrableDomain
+    // wildcard *.ck: every second-level label is itself a public suffix
+    assert(registrableDomain("foo.bar.ck") == "foo.bar.ck")
+    assert(registrableDomain("bar.ck") == "")          // IS a public suffix
+    assert(registrableDomain("deep.foo.bar.ck") == "foo.bar.ck")
+    // exception !www.ck carves www back out: www.ck is registrable
+    assert(registrableDomain("www.ck") == "www.ck")
+    assert(registrableDomain("sub.www.ck") == "www.ck")
+    // *.kawasaki.jp with !city.kawasaki.jp
+    assert(registrableDomain("foo.bar.kawasaki.jp") == "foo.bar.kawasaki.jp")
+    assert(registrableDomain("bar.kawasaki.jp") == "")
+    assert(registrableDomain("city.kawasaki.jp") == "city.kawasaki.jp")
+    assert(registrableDomain("sub.city.kawasaki.jp") == "city.kawasaki.jp")
+    // kawasaki.jp itself: no rule matches a 2-label host against *.kawasaki.jp,
+    // so the default * rule prevails and kawasaki.jp is registrable
+    assert(registrableDomain("kawasaki.jp") == "kawasaki.jp")
+    // wildcard registries still compose with ports and FQDN dots
+    assert(registrableDomain("foo.bar.ck:8080") == "foo.bar.ck")
+    assert(registrableDomain("www.ck.") == "www.ck")
+    // *.bd: the explicit snapshot entries and the wildcard agree
+    assert(registrableDomain("example.com.bd") == "example.com.bd")
+    assert(registrableDomain("example.anything.bd") == "example.anything.bd")
+    assert(registrableDomain("anything.bd") == "")
+  }
+
   test("dedupByUrl groups tracking-variant URLs; unparseable rows excluded") {
     val docs = Seq(
       (1L, "http://a.com/x?utm_source=tw"),
