@@ -1071,6 +1071,22 @@ object SparkEntry {
         .filter(col("src") =!= col("dst"))
       ops.LinkGraph.pageRank(edges, iters = 3).orderBy("node")
     },
+    // PageRank with dangling-mass redistribution: only EVEN doc_ids emit
+    // edges, so odd nodes (reached as dst) are dangling — each iteration
+    // their summed rank is integer-divided by the node count and fed back
+    // into every node's incoming sum (the oracle replays every iteration
+    // including the dangling term)
+    "q_pagerank_dangling" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select("doc_id")
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val edges = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .select(col("src"), ((col("src") * 31 + col("j") * 7 + 1) % n).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      ops.LinkGraph.pageRank(edges, iters = 3, redistributeDangling = true)
+        .orderBy("node")
+    },
     // robots.txt politeness decisions (RFC 9309): two robots shapes (one
     // with a dedicated graftbot group whose '*' group disallows all — group
     // selection matters; one '*'-only) × six path shapes exercising
@@ -3106,6 +3122,31 @@ object SparkEntry {
          | nodes AS (SELECT DISTINCT node FROM
          |   (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
          | od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY src),
+         | r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         | ${iter("0", "1")},
+         | ${iter("1", "2")},
+         | ${iter("2", "3")}
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin
+    },
+    "q_pagerank_dangling" -> {
+      def iter(prev: String, cur: String): String =
+        s"""dm$cur AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dm
+           |   FROM r$prev WHERE node NOT IN (SELECT src FROM e)),
+           | c$cur AS (SELECT e.dst, sum(r$prev.rank // d.od) AS s
+           |   FROM e JOIN r$prev ON r$prev.node = e.src JOIN od d ON d.src = e.src
+           |   GROUP BY e.dst),
+           | r$cur AS (SELECT nodes.node,
+           |   150000 + (85 * (coalesce(c$cur.s, 0) + dm$cur.dm // cnt.nn)) // 100 AS rank
+           |   FROM nodes LEFT JOIN c$cur ON c$cur.dst = nodes.node, dm$cur, cnt)""".stripMargin
+      s"""WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         | e AS (SELECT DISTINCT src, dst FROM (
+         |   SELECT doc_id AS src, (doc_id * 31 + j * 7 + 1) % n.n AS dst
+         |   FROM documents, n, (SELECT unnest([1, 2, 3]) AS j)
+         |   WHERE doc_id % 2 = 0) WHERE src <> dst),
+         | nodes AS (SELECT DISTINCT node FROM
+         |   (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         | od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY src),
+         | cnt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
          | r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
          | ${iter("0", "1")},
          | ${iter("1", "2")},

@@ -56,30 +56,72 @@ object LinkGraph {
         col("__agg.items").as("anchors"))
   }
 
+  /** Fixed-point-integer PageRank. Production shape:
+    *
+    *  - **Pre-bucketed co-partitioned iteration**: the adjacency
+    *    (edges pre-joined with outdegree) is hash-repartitioned on `src`
+    *    and PERSISTED once; the node table likewise on `node`. Each
+    *    iteration's rank state leaves the previous iteration hash-
+    *    partitioned on `node` (the aggregate/join output partitioning),
+    *    which after the rename IS the `src` partitioning the adjacency
+    *    join needs, and the contribution aggregate's output partitioning
+    *    on `dst` IS the `node` partitioning the rank-update join needs —
+    *    so the ONLY exchange per iteration is the map-side-combined
+    *    contribution sum (≤ one row per distinct dst per task; rank rows,
+    *    never edge rows). Pinned by PlanSpec. Edges are read, shuffled
+    *    and cached exactly once for the whole run.
+    *  - **Dangling mass**: by default dropped (floor-division spec, oracle
+    *    replays exactly). `redistributeDangling = true` adds the classic
+    *    uniform redistribution — each iteration the summed rank of
+    *    out-degree-0 nodes is divided (integer `div`) by the node count
+    *    and added to every node's incoming sum before damping; the
+    *    dangling sum is a one-row broadcast, deterministic integer
+    *    arithmetic end-to-end, replayed by the q_pagerank_dangling oracle.
+    */
   def pageRank(edges: DataFrame, iters: Int,
                srcCol: String = "src", dstCol: String = "dst",
                dampingNum: Long = 85, dampingDen: Long = 100,
                scale: Long = 1_000_000L,
-               checkpointEvery: Int = 0): DataFrame = {
+               checkpointEvery: Int = 0,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 0, s"iters must be non-negative: $iters")
     require(dampingNum >= 0 && dampingNum <= dampingDen, "damping must be in [0, 1]")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).dropDuplicates("src", "dst")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    // one-time bucketing: adjacency clustered by src, nodes by node — the
+    // iteration reuses both cached partitionings on every join
+    val adj = e.join(outdeg, "src").repartition(col("src")).persist()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+      .repartition(col("node")).persist()
+    // dangling = nodes with no outgoing edge (never a src)
+    lazy val dangling = nodes.join(
+      outdeg.select(col("src").as("node")), Seq("node"), "left_anti").persist()
+    lazy val nNodes = math.max(1L, nodes.count())
     val base = scale * (dampingDen - dampingNum) / dampingDen
     var ranks = nodes.withColumn("rank", lit(scale))
     var it = 1
     while (it <= iters) {
-      val contribs = e.join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
+      val contribs = adj.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("rank div od").as("__c"))
       val sums = contribs.groupBy("dst").agg(sum("__c").as("__s"))
-      ranks = nodes.join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($dampingNum * coalesce(__s, 0L)) div $dampingDen"))
-            .as("rank"))
+        .withColumnRenamed("dst", "node")
+      val joined = nodes.join(sums, Seq("node"), "left")
+      ranks =
+        if (!redistributeDangling)
+          joined.select(col("node"),
+            (lit(base) + expr(s"($dampingNum * coalesce(__s, 0L)) div $dampingDen"))
+              .as("rank"))
+        else {
+          val dm = ranks.join(dangling, Seq("node"), "left_semi")
+            .agg(coalesce(sum("rank"), lit(0L)).as("__dm"))
+          joined.crossJoin(broadcast(dm))
+            .select(col("node"),
+              (lit(base) + expr(
+                s"($dampingNum * (coalesce(__s, 0L) + __dm div $nNodes)) div $dampingDen"))
+                .as("rank"))
+        }
       if (checkpointEvery > 0 && it % checkpointEvery == 0)
         ranks = ranks.localCheckpoint()
       it += 1

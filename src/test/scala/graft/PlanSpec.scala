@@ -19,11 +19,48 @@ class PlanSpec extends AnyFunSuite {
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
   private val nonEmptyPartitionFilter = "PartitionFilters: \\[[^\\]]".r
 
+  /** Shuffle-exchange count by TREE walk (through adaptive/stage wrappers,
+    * NOT into InMemoryRelation internals — a cached table's build-time
+    * exchanges happen once, so they don't count against a per-iteration
+    * budget the way a string grep of the plan would re-count them).
+    */
+  private def shuffleCount(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val extra = p match {
+      case a: AdaptiveSparkPlanExec => shuffleCount(a.executedPlan)
+      case q: QueryStageExec => shuffleCount(q.plan)
+      case _ => 0
+    }
+    val self = p match {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+      case _ => 0
+    }
+    self + extra + p.children.map(shuffleCount).sum
+  }
+
   private val rnd = new scala.util.Random(7)
   private lazy val items = (0L until 200L)
     .map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
   private lazy val probes = items.filter(col("vec_id") < 3)
     .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  test("pageRank pre-bucketed iteration: exactly one shuffle exchange per iteration") {
+    // adjacency and node tables are repartitioned+persisted once; the rank
+    // state leaves each iteration partitioned on node ≡ src, so the only
+    // per-iteration exchange is the map-side-combined contribution sum
+    val edges = (0L until 200L)
+      .flatMap(i => Seq((i, (i * 31 + 8) % 200), (i, (i * 31 + 15) % 200)))
+      .toDF("src", "dst")
+    def shufflesAt(iters: Int): Int = {
+      val df = graft.ops.LinkGraph.pageRank(edges, iters)
+      df.collect() // finalize the adaptive plan before walking it
+      shuffleCount(df.queryExecution.executedPlan)
+    }
+    val s2 = shufflesAt(2)
+    val s5 = shufflesAt(5)
+    assert(s2 == 2, s"expected 1 exchange/iteration at 2 iters, got $s2")
+    assert(s5 - s2 == 3, s"per-iteration budget grew: iters2=$s2 iters5=$s5")
+  }
 
   test("knn plans as TakeOrderedAndProject — per-partition top-k, no global sort") {
     val index = items.select(col("vec_id").as("doc_id"), col("embedding").as("vector"))

@@ -45,6 +45,27 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(ranksOf(edges, 3) == ranksOf(edges, 3, checkpointEvery = 1))
   }
 
+  test("dangling-mass redistribution: hand-computed iteration; default still drops") {
+    // 1 -> 2; node 2 is dangling (no outlinks). scale 1e6, damping 85/100,
+    // base 150000, nNodes 2.
+    // iter 1 with redistribution: dm = rank(2) = 1000000, dm div 2 = 500000
+    //   rank(1) = 150000 + 85*(0 + 500000) div 100      = 575000
+    //   rank(2) = 150000 + 85*(1000000 + 500000) div 100 = 1425000
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val r = LinkGraph.pageRank(edges, 1, redistributeDangling = true)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 575000L, 2L -> 1425000L), r.toString)
+    // default drops the dangling mass: node 1 gets base only
+    val d = LinkGraph.pageRank(edges, 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(d == Map(1L -> 150000L, 2L -> 1000000L), d.toString)
+    // with redistribution, total mass is conserved up to floor-division
+    // residue: sum(ranks) stays within nNodes of the initial total
+    val r3 = LinkGraph.pageRank(edges, 3, redistributeDangling = true)
+      .collect().map(_.getLong(1)).sum
+    assert(r3 <= 2000000L && r3 > 2000000L - 3 * 2 - 2 * 15000, r3.toString)
+  }
+
   test("plan: equi-joins + partial aggregation, no cartesian") {
     val edges = (0L until 100L).map(i => (i, (i * 7 + 1) % 100)).toDF("src", "dst")
     val df = LinkGraph.pageRank(edges, iters = 2)
