@@ -30,9 +30,20 @@ import graft.sources.Warc
   */
 object Crawl {
 
+  /** @param robots optional politeness table `(host, robots_txt)` — one
+    *   row per site authority (RFC 9309 scopes robots.txt per authority;
+    *   pass registrable domains as hosts if that's the crawl's fetch
+    *   granularity). Broadcast-joined on the canonical host BEFORE the
+    *   URL-dedup exchange, so disallowed records neither shuffle their
+    *   bodies nor reach extraction; hosts absent from the table are
+    *   allowed (no robots.txt ⇒ everything crawlable, RFC 9309 §2.3.1.2).
+    * @param agent product token the rules are evaluated for.
+    */
   def ingest(spark: SparkSession, warcDir: String,
              blockedDomains: Option[DataFrame] = None,
-             minTextChars: Int = 1): DataFrame = {
+             minTextChars: Int = 1,
+             robots: Option[DataFrame] = None,
+             agent: String = "graftbot"): DataFrame = {
     // header names/values are case-insensitive (RFC 9110): match
     // 'Text/HTML' too, and honour a declared charset parameter
     val records = Warc.readWarcFiles(spark, warcDir)
@@ -51,10 +62,29 @@ object Crawl {
           Seq("url_domain"), "left_anti")
       case None => canon
     }
+    // robots.txt politeness: broadcast the per-host robots bodies, evaluate
+    // the longest-match rules with the compiled kernel on the URL's
+    // path+query, keep rows with no robots row (allowed by default) or an
+    // allow verdict. Runs before the dedup exchange: disallowed bodies
+    // never shuffle.
+    val polite = robots match {
+      case Some(rb) =>
+        require(rb.columns.contains("host") && rb.columns.contains("robots_txt"),
+          s"robots table needs (host, robots_txt) columns: ${rb.columns.mkString(",")}")
+        allowed
+          .join(broadcast(rb.select(lower(col("host")).as("url_host"),
+            col("robots_txt").as("__robots"))), Seq("url_host"), "left")
+          .filter(col("__robots").isNull ||
+            Robots.allowedColumn(col("__robots"),
+              coalesce(nullif(regexp_extract(col("url_canon"),
+                "^[a-z]+://[^/]+(/.*)?$", 1), lit("")), lit("/")), agent))
+          .drop("__robots")
+      case None => allowed
+    }
     // first-per-canonical-URL: min_by keyed on (path, rec_idx) — one
     // map-side-combined exchange on the canonical URL; deterministic
     // because (archive name, record ordinal) totally orders the crawl
-    val deduped = allowed
+    val deduped = polite
       .groupBy("url_canon", "url_domain")
       .agg(min_by(col("body"), struct(col("path"), col("rec_idx"))).as("body"),
         min_by(col("charset"), struct(col("path"), col("rec_idx"))).as("charset"))

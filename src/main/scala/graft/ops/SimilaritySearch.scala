@@ -257,22 +257,38 @@ object SimilaritySearch {
     } else topKByProbe(scored, k, probeId, itemId)
   }
 
+  /** Auto cell count for [[ivfAssign]]: ≈ √N (the FAISS `IVF√N` heuristic —
+    * balances cells-scanned-per-probe against items-per-cell, keeping BOTH
+    * at O(√N) as the corpus grows; a fixed nCells keeps recall only at the
+    * corpus size it was tuned for). One count job at index-build time.
+    */
+  def autoCells(items: DataFrame): Int = {
+    val n = items.count()
+    math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
+  }
+
   /** IVF: pick `nCells` deterministic centroid seeds (lowest md5 of id —
     * a deterministic uniform sample; collected to the driver, tiny by
     * design), then assign every item to its nearest centroid with ONE
     * per-row kernel projection — zero joins, zero exchanges before the
     * output (vs. the crossJoin+window argmin this replaces). The cell id is
     * the partition key at scale.
+    *
+    * `nCells <= 0` selects [[autoCells]] (≈ √N, the FAISS heuristic): a
+    * corpus that grows 100× gets 10× the cells instead of 100×-fatter
+    * cells, so per-probe work AND recall-at-fixed-nProbe stay on the
+    * design curve (measured in SCALING.md's recall table).
     */
-  def ivfAssign(items: DataFrame, nCells: Int = 16,
+  def ivfAssign(items: DataFrame, nCells: Int = 0,
                 itemId: String = "vec_id", itemVec: String = "embedding",
                 lloydIters: Int = 0, seedSample: Int = 0): (DataFrame, DataFrame) = {
+    val cells = if (nCells > 0) nCells else autoCells(items)
     val ordered = items
       .withColumn("__h", graft.functions.textfn.hexhash60(concat(lit("ivf:"), col(itemId))))
       .orderBy(col("__h").asc, col(itemId).asc)
       .select(col(itemId).cast("long").as("cid"), col(itemVec).as("cv"))
     val seeds =
-      if (seedSample <= 0) ordered.limit(nCells)
+      if (seedSample <= 0) ordered.limit(cells)
       else {
         // kmeans++-flavoured deterministic seeding: farthest-first over an
         // md5-min sample (one job; the sample is driver-resident). Spreads
@@ -280,7 +296,7 @@ object SimilaritySearch {
         // sample drop two seeds in one cluster and none in another.
         val spark = items.sparkSession
         import spark.implicits._
-        val sample = ordered.limit(math.max(nCells, seedSample)).collect()
+        val sample = ordered.limit(math.max(cells, seedSample)).collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
         def d2(a: Array[Float], b: Array[Float]): Double = {
@@ -288,7 +304,7 @@ object SimilaritySearch {
           while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
           s
         }
-        while (chosen.size < math.min(nCells, sample.length)) {
+        while (chosen.size < math.min(cells, sample.length)) {
           // farthest point from its nearest chosen seed; ties → smaller id
           val next = sample.filterNot(s => chosen.exists(_._1 == s._1))
             .map(s => (s, chosen.map(c => d2(s._2, c._2)).min))
