@@ -71,7 +71,8 @@ object TopKAggregator {
       x.length - y.length
     }
     private def insert(buf: List[String], in: String): List[String] =
-      if (buf.contains(in)) buf
+      if (k <= 0) buf // legacy slice(sort(collect_set), 1, 0) → empty array
+      else if (buf.contains(in)) buf
       else if (buf.length >= k && leq(in, buf.last) >= 0) buf
       else {
         val (smaller, rest) = buf.span(leq(_, in) < 0)

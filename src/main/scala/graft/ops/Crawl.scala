@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Warc
@@ -29,6 +29,21 @@ import graft.sources.Warc
   * shuffle carries (url, small fields), never archive bytes.
   */
 object Crawl {
+
+  /** Request target for robots-rule matching: everything from the first
+    * `/` or `?` after the authority (RFC 9309 matches on path + query).
+    * The authority match stops at `?`/`#` too, so a query-only canonical
+    * URL (`scheme://host?q=1`) yields `/?q=1` — wildcard Disallow rules
+    * targeting the query apply — instead of the query being swallowed into
+    * the host and the rule silently bypassed. Empty/no match defaults
+    * to `/`.
+    */
+  private[ops] def robotsPath(urlCanon: Column): Column = {
+    val tail = regexp_extract(urlCanon, "^[a-z]+://[^/?#]+([/?].*)?$", 1)
+    when(tail === "", lit("/"))
+      .when(tail.startsWith("?"), concat(lit("/"), tail))
+      .otherwise(tail)
+  }
 
   /** @param robots optional politeness table `(host, robots_txt)` — one
     *   row per site authority (RFC 9309 scopes robots.txt per authority;
@@ -75,9 +90,7 @@ object Crawl {
           .join(broadcast(rb.select(lower(col("host")).as("url_host"),
             col("robots_txt").as("__robots"))), Seq("url_host"), "left")
           .filter(col("__robots").isNull ||
-            Robots.allowedColumn(col("__robots"),
-              coalesce(nullif(regexp_extract(col("url_canon"),
-                "^[a-z]+://[^/]+(/.*)?$", 1), lit("")), lit("/")), agent))
+            Robots.allowedColumn(col("__robots"), robotsPath(col("url_canon")), agent))
           .drop("__robots")
       case None => allowed
     }

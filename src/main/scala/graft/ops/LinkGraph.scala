@@ -77,13 +77,22 @@ object LinkGraph {
     *    and added to every node's incoming sum before damping; the
     *    dangling sum is a one-row broadcast, deterministic integer
     *    arithmetic end-to-end, replayed by the q_pagerank_dangling oracle.
+    *  - **Cache lifecycle**: the adjacency/node tables are persisted for
+    *    the run only. With `releaseCache = true` (default) the final ranks
+    *    are materialized (`localCheckpoint`, cutting lineage) and all
+    *    persisted inputs unpersisted before returning — repeated calls in
+    *    a long-lived session never accumulate CacheManager entries. Pass
+    *    `releaseCache = false` to get the lazy iterative plan back (plan
+    *    inspection, or callers managing materialization themselves — the
+    *    returned frame then pins adj/nodes until it is garbage-collected).
     */
   def pageRank(edges: DataFrame, iters: Int,
                srcCol: String = "src", dstCol: String = "dst",
                dampingNum: Long = 85, dampingDen: Long = 100,
                scale: Long = 1_000_000L,
                checkpointEvery: Int = 0,
-               redistributeDangling: Boolean = false): DataFrame = {
+               redistributeDangling: Boolean = false,
+               releaseCache: Boolean = true): DataFrame = {
     require(iters >= 0, s"iters must be non-negative: $iters")
     require(dampingNum >= 0 && dampingNum <= dampingDen, "damping must be in [0, 1]")
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -126,6 +135,12 @@ object LinkGraph {
         ranks = ranks.localCheckpoint()
       it += 1
     }
-    ranks
+    if (releaseCache) {
+      val out = ranks.localCheckpoint() // eager: result no longer references the caches
+      adj.unpersist()
+      nodes.unpersist()
+      if (redistributeDangling && iters > 0) dangling.unpersist()
+      out
+    } else ranks
   }
 }

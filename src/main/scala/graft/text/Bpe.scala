@@ -22,9 +22,9 @@ import graft.functions.textkernel._
   *    This is how the original subword-nmt trains; a per-merge distributed
   *    recount would cost `numMerges` shuffles for no added correctness. The
   *    collect is BOUNDED by a distributed top-`maxVocab` frequency prune
-  *    ([[topWordCounts]]) — past the cap it loud-prunes by default
-  *    (`strict = true` restores loud-abort), so the driver never holds more
-  *    than `maxVocab + 1` rows at any corpus size.
+  *    ([[topWordCounts]]) — past the cap it loud-aborts by default
+  *    (`strict = false` opts into loud-prune), so the driver never holds
+  *    more than `maxVocab + 1` rows at any corpus size.
   *  - encoding is a compiled per-row kernel ([[graft.functions.textkernel
   *    .bpe_tokens]]) with the merge table broadcast in the plan — scan
   *    speed, no shuffle, with a per-executor word→tokens memo (word
@@ -105,7 +105,7 @@ object Bpe {
     */
   def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
             minCount: Long = 2L, maxVocab: Int = 4_000_000,
-            strict: Boolean = false): Seq[Merge] = {
+            strict: Boolean = true): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges must be non-negative: $numMerges")
     trainFromVocab(collectVocab(docs, textCol, maxVocab, strict, "Bpe.train"),
       numMerges, minCount)
@@ -115,14 +115,18 @@ object Bpe {
     * distributed top-(maxVocab+1) prune ([[topWordCounts]]) means the
     * driver NEVER receives more than maxVocab+1 rows regardless of corpus
     * size; the +1 sentinel detects overflow without a second count pass.
-    * Default posture is loud-PRUNE (keep the top-maxVocab words by
-    * frequency and warn — real 100 TB vocabularies don't fit any cap, and
-    * frequency-ranked pruning is exactly what SentencePiece/WordPiece
-    * training does); `strict = true` restores the loud-abort.
+    * Default posture is loud-ABORT at the cap (the original contract —
+    * training on a silently truncated vocabulary is a correctness hazard);
+    * `strict = false` opts into loud-PRUNE (keep the top-maxVocab words by
+    * frequency and warn — frequency-ranked pruning is exactly what
+    * SentencePiece/WordPiece training does, and real 100 TB vocabularies
+    * don't fit any cap).
     */
   private[text] def collectVocab(docs: DataFrame, textCol: String,
                                  maxVocab: Int, strict: Boolean,
                                  who: String): Seq[(String, Long)] = {
+    require(maxVocab > 0 && maxVocab < Int.MaxValue,
+      s"$who: maxVocab must be in [1, Int.MaxValue): $maxVocab")
     val rows = topWordCounts(docs, textCol, maxVocab + 1).collect()
     if (rows.length > maxVocab) {
       val msg = s"$who: vocabulary exceeds maxVocab=$maxVocab distinct words" +

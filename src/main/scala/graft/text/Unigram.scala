@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   *    collected (word, count) VOCABULARY, bounded by the language, not the
   *    corpus (this is how SentencePiece itself trains — on a sentence/word
   *    frequency table). The collect is bounded by a distributed
-  *    top-`maxVocab` frequency prune (loud-prune; `strict` aborts).
+  *    top-`maxVocab` frequency prune (loud-abort at the cap by default;
+  *    `strict = false` loud-prunes).
   *  - encoding is a compiled per-row kernel
   *    ([[graft.functions.textkernel.unigram_encode]]) with the piece table
   *    a plan-time constant and a capped per-executor word memo — scan
@@ -250,12 +251,12 @@ object Unigram {
 
   /** Train over a corpus: one distributed word-count pass, then the bounded
     * driver-side loop (the [[Bpe.collectVocab]] posture — distributed
-    * top-`maxVocab` frequency prune, loud-prune by default, `strict = true`
-    * for loud-abort).
+    * top-`maxVocab` frequency prune; loud-abort at the cap by default,
+    * `strict = false` for loud-prune).
     */
   def train(docs: DataFrame, vocabSize: Int, textCol: String = "text",
             maxPieceLen: Int = 4, seedSize: Int = 1000, emIters: Int = 2,
-            maxVocab: Int = 4_000_000, strict: Boolean = false): Model =
+            maxVocab: Int = 4_000_000, strict: Boolean = true): Model =
     trainFromVocab(
       Bpe.collectVocab(docs, textCol, maxVocab, strict, "Unigram.train"),
       vocabSize, maxPieceLen, seedSize, emIters)

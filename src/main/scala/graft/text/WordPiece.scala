@@ -176,11 +176,12 @@ object WordPiece {
 
   /** Train over a corpus (one word-count pass, bounded driver loop; the
     * [[Bpe.collectVocab]] posture — distributed top-`maxVocab` frequency
-    * prune, loud-prune by default, `strict = true` for loud-abort).
+    * prune; loud-abort at the cap by default, `strict = false` for
+    * loud-prune).
     */
   def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
             maxVocab: Int = 4_000_000,
-            strict: Boolean = false): (Vocab, Seq[Merge]) =
+            strict: Boolean = true): (Vocab, Seq[Merge]) =
     trainFromVocab(
       Bpe.collectVocab(docs, textCol, maxVocab, strict, "WordPiece.train"),
       numMerges)

@@ -52,7 +52,7 @@ class PlanSpec extends AnyFunSuite {
       .flatMap(i => Seq((i, (i * 31 + 8) % 200), (i, (i * 31 + 15) % 200)))
       .toDF("src", "dst")
     def shufflesAt(iters: Int): Int = {
-      val df = graft.ops.LinkGraph.pageRank(edges, iters)
+      val df = graft.ops.LinkGraph.pageRank(edges, iters, releaseCache = false)
       df.collect() // finalize the adaptive plan before walking it
       shuffleCount(df.queryExecution.executedPlan)
     }

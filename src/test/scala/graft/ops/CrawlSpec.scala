@@ -109,6 +109,40 @@ class CrawlSpec extends AnyFunSuite {
     } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
   }
 
+  test("robots table: disallowed paths dropped end-to-end, incl. query-only URLs") {
+    val dir = Files.createTempDirectory("crawl_robots").toFile
+    try {
+      val robotsTxt = "User-agent: *\nDisallow: /private\nDisallow: /*?\n"
+      Files.write(new java.io.File(dir, "r.warc.gz").toPath, WarcCodec.writeWarcGz(Seq(
+        respRec("http://polite.example/ok",
+          "<p>a public page with plenty of ordinary words in it.</p>"),
+        respRec("http://polite.example/private/x",
+          "<p>a private page that the crawler must not ingest at all.</p>"),
+        // query-only canonical URL (scheme://host?q=1): the r10-advice case —
+        // the path regex swallowed '?q=1' into the authority and Disallow: /*?
+        // was silently bypassed
+        respRec("http://polite.example?q=1",
+          "<p>a tracked query variant page with several words inside.</p>"),
+        respRec("http://norobots.example/z",
+          "<p>a host with no robots row is allowed by default here.</p>"))))
+      val robots = Seq(("polite.example", robotsTxt)).toDF("host", "robots_txt")
+      val out = Crawl.ingest(spark, dir.getAbsolutePath, robots = Some(robots))
+        .orderBy("url_canon").collect()
+      assert(out.map(_.getAs[String]("url_canon")).toSeq ==
+        Seq("http://norobots.example/z", "http://polite.example/ok"))
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
+  }
+
+  test("robotsPath: request target for rule matching") {
+    val in = Seq(
+      "http://a.com/x/y?q=1", "http://a.com/x", "http://a.com/",
+      "http://a.com", "http://a.com?q=1", "http://a.com?q=1&r=2")
+      .toDF("u")
+    val got = in.select(Crawl.robotsPath(org.apache.spark.sql.functions.col("u")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("/x/y?q=1", "/x", "/", "/", "/?q=1", "/?q=1&r=2"))
+  }
+
   test("plan: one exchange (url dedup), blocklist broadcast, bytes never shuffle") {
     val dir = Files.createTempDirectory("crawl_plan").toFile
     try {
@@ -118,7 +152,9 @@ class CrawlSpec extends AnyFunSuite {
         Files.write(new java.io.File(dir, s"p$f.warc.gz").toPath,
           WarcCodec.writeWarcGz(Seq(respRec(s"http://a$f.com/1", "<p>words here</p>")))))
       val df = Crawl.ingest(spark, dir.getAbsolutePath,
-        blockedDomains = Some(Seq("x.y").toDF("domain")))
+        blockedDomains = Some(Seq("x.y").toDF("domain")),
+        robots = Some(Seq(("x.y", "User-agent: *\nDisallow: /p\n"))
+          .toDF("host", "robots_txt")))
       val plan = df.queryExecution.executedPlan.toString
       val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
       assert(nHash == 1, s"want exactly the dedup exchange, got $nHash:\n$plan")

@@ -68,7 +68,7 @@ class LinkGraphSpec extends AnyFunSuite {
 
   test("plan: equi-joins + partial aggregation, no cartesian") {
     val edges = (0L until 100L).map(i => (i, (i * 7 + 1) % 100)).toDF("src", "dst")
-    val df = LinkGraph.pageRank(edges, iters = 2)
+    val df = LinkGraph.pageRank(edges, iters = 2, releaseCache = false)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("HashAggregate"), p)
@@ -107,6 +107,37 @@ class LinkGraphSpec extends AnyFunSuite {
       .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getSeq[String](2)))).toMap
     assert(r == legacy)
     assert(r("http://s.com/a")._2 == Seq("alpha", "zeta", "�", "😀"))
+  }
+
+  test("pageRank releases its caches by default: no CacheManager residue per call") {
+    // r10 advice: adj/nodes/dangling were persisted and never unpersisted —
+    // every pageRank call in a long-lived session pinned CacheManager
+    // entries forever. Default posture now: materialize (lineage cut) +
+    // unpersist before returning; values identical to the lazy plan.
+    val edges = (0L until 60L).map(i => (i, (i * 7 + 1) % 60)).toDF("src", "dst")
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache() // deterministic baseline (caches are perf-only)
+    val released = LinkGraph.pageRank(edges, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cm.isEmpty, "pageRank left persisted frames in the CacheManager")
+    val redis = LinkGraph.pageRank(edges, 2, redistributeDangling = true).collect()
+    assert(redis.nonEmpty && cm.isEmpty,
+      "redistributeDangling path left persisted frames in the CacheManager")
+    val lazyRanks = LinkGraph.pageRank(edges, 2, releaseCache = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(released == lazyRanks)
+    cm.clearCache() // release the lazy variant's pins
+  }
+
+  test("anchorCorpus with maxAnchors = 0 matches the legacy empty-slice contract") {
+    // r10 advice: MinKDistinct.insert hit Nil.last for k <= 0; the legacy
+    // slice(array_sort(collect_set), 1, 0) returned an empty array. Counts
+    // still accumulate; the item buffer stays empty.
+    val links = Seq(("http://s.com/a", "x"), ("http://s.com/a", "y"))
+      .toDF("href", "anchor")
+    val r = LinkGraph.anchorCorpus(links, maxAnchors = 0).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 2L && r(0).getSeq[String](2).isEmpty)
   }
 
   test("extractLinks golden: positional alignment, messy whitespace, inner markup") {

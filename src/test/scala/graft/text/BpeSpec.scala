@@ -95,15 +95,22 @@ class BpeSpec extends AnyFunSuite {
     assert(packed(10L) == ((8L, 4L)))
   }
 
-  test("maxVocab cap fails loudly in strict mode") {
+  test("maxVocab cap fails loudly in strict mode (the default)") {
     val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
-      Bpe.train(docs, numMerges = 1, maxVocab = 3, strict = true)
+      Bpe.train(docs, numMerges = 1, maxVocab = 3)
     }
     assert(e.getMessage.contains("maxVocab"))
+    // degenerate caps are rejected up front (maxVocab + 1 must not overflow)
+    intercept[IllegalArgumentException] {
+      Bpe.train(docs, numMerges = 1, maxVocab = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.train(docs, numMerges = 1, maxVocab = Int.MaxValue)
+    }
   }
 
-  test("maxVocab overflow loud-prunes to top-maxVocab by frequency (default)") {
+  test("maxVocab overflow loud-prunes to top-maxVocab by frequency (opt-in)") {
     // vocabulary 10x the cap: 30 distinct filler words (each once) + 3 hot
     // words; cap = 3 keeps exactly the hot words, so training matches
     // trainFromVocab on the hand-pruned vocabulary and the driver never
@@ -113,7 +120,7 @@ class BpeSpec extends AnyFunSuite {
       .toDF("doc_id", "text").union(Seq((99L, filler)).toDF("doc_id", "text"))
     assert(Bpe.topWordCounts(docs, cap = 3).collect().length == 3)
     assert(Bpe.topWordCounts(docs, cap = 4).count() == 4L)
-    val pruned = Bpe.train(docs, numMerges = 3, maxVocab = 3)
+    val pruned = Bpe.train(docs, numMerges = 3, maxVocab = 3, strict = false)
     val manual = Bpe.trainFromVocab(
       Seq(("low", 5L), ("lowest", 5L), ("newest", 5L)), numMerges = 3)
     assert(pruned == manual)
@@ -128,9 +135,11 @@ class BpeSpec extends AnyFunSuite {
     val docs = (1L to 5L).map(i => (i, "low lowest newest"))
       .toDF("doc_id", "text").union(Seq((99L, filler)).toDF("doc_id", "text"))
     val hand = Seq(("low", 5L), ("lowest", 5L), ("newest", 5L))
-    val (v, m) = graft.text.WordPiece.train(docs, numMerges = 2, maxVocab = 3)
+    val (v, m) = graft.text.WordPiece.train(docs, numMerges = 2, maxVocab = 3,
+      strict = false)
     assert((v, m) == graft.text.WordPiece.trainFromVocab(hand, numMerges = 2))
-    val um = graft.text.Unigram.train(docs, vocabSize = 20, maxVocab = 3)
+    val um = graft.text.Unigram.train(docs, vocabSize = 20, maxVocab = 3,
+      strict = false)
     assert(um == graft.text.Unigram.trainFromVocab(hand, vocabSize = 20))
     intercept[IllegalArgumentException] {
       graft.text.WordPiece.train(docs, numMerges = 1, maxVocab = 3, strict = true)
