@@ -921,6 +921,11 @@ object SparkEntry {
     "q_repetition" -> { (s, dir) =>
       TextAnalysis.repetitionSignals(docsPar(s, dir)).orderBy("doc_id")
     },
+    // the Gopher quality rule set (Rae et al. 2021 Table A1): per-doc
+    // signals + one boolean per rule + keep, one kernel pass, no shuffle
+    "q_gopher_filter" -> { (s, dir) =>
+      TextAnalysis.gopherFilter(docsPar(s, dir)).orderBy("doc_id")
+    },
     // benchmark decontamination: eval set = every 7th document, 3-gram
     // collision (13-gram default shrunk to the fixture's ~60-word docs)
     "q_decontam" -> { (s, dir) =>
@@ -3004,6 +3009,44 @@ object SparkEntry {
          |  round(CASE WHEN len(w) <= 2 THEN 0.0 ELSE coalesce(tric.dup_occ, 0) / CAST(len(w) - 2 AS DOUBLE) END, 6) AS dup_trigram_frac
          |FROM t LEFT JOIN bigc USING (doc_id) LEFT JOIN tric USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q_gopher_filter" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |   list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '') AS wsw,
+         |   $sqlWords AS aw,
+         |   string_split(text, chr(10)) AS lines FROM documents),
+         | m AS (SELECT doc_id,
+         |   CAST(len(wsw) AS BIGINT) AS n_words,
+         |   CAST(coalesce(list_sum(list_transform(wsw, w -> length(w))), 0) AS DOUBLE) AS word_chars,
+         |   CAST(len(list_filter(wsw, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) AS n_alpha,
+         |   CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS n_hash,
+         |   CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) AS n_ell,
+         |   CAST(len(lines) AS DOUBLE) AS n_lines,
+         |   CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \\t]*[-*•]'))) AS DOUBLE) AS n_bullet,
+         |   CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$$'))) AS DOUBLE) AS n_ell_end,
+         |   CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         |     sw -> list_contains(aw, sw))) AS BIGINT) AS n_stop_distinct
+         |  FROM t),
+         | r AS (SELECT doc_id, n_words,
+         |   round(CASE WHEN n_words = 0 THEN 0.0 ELSE word_chars / n_words END, 6) AS mean_word_len,
+         |   round(CASE WHEN n_words = 0 THEN 0.0 ELSE (n_hash + n_ell) / n_words END, 6) AS symbol_ratio,
+         |   round(CASE WHEN n_words = 0 THEN 0.0 ELSE n_alpha / n_words END, 6) AS alpha_word_frac,
+         |   round(CASE WHEN n_lines = 0 THEN 0.0 ELSE n_bullet / n_lines END, 6) AS bullet_line_frac,
+         |   round(CASE WHEN n_lines = 0 THEN 0.0 ELSE n_ell_end / n_lines END, 6) AS ellipsis_line_frac,
+         |   n_stop_distinct FROM m)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+         |  bullet_line_frac, ellipsis_line_frac, n_stop_distinct,
+         |  (n_words >= 50 AND n_words <= 100000) AS rule_words,
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_word_len,
+         |  (symbol_ratio <= 0.1) AS rule_symbol,
+         |  (bullet_line_frac <= 0.9) AS rule_bullet,
+         |  (ellipsis_line_frac <= 0.3) AS rule_ellipsis,
+         |  (alpha_word_frac >= 0.8) AS rule_alpha,
+         |  (n_stop_distinct >= 2) AS rule_stop,
+         |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0
+         |   AND mean_word_len <= 10.0 AND symbol_ratio <= 0.1
+         |   AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+         |   AND alpha_word_frac >= 0.8 AND n_stop_distinct >= 2) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q_decontam" -> {
       val shingles3 = "list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
       s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),

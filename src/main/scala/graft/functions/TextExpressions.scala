@@ -248,6 +248,82 @@ object TextKernel {
       math.max(0, n - 2).toLong, dupTri)
   }
 
+  /** The eight English indicator words of the Gopher stopword rule
+    * (Rae et al. 2021, Table A1: "contains at least two of ...").
+    */
+  val GopherStops: Array[String] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** One-pass counters behind the Gopher quality rules (Rae et al. 2021,
+    * Table A1). Word model for counts/lengths/alpha is WHITESPACE tokens
+    * (the paper's), lengths in Unicode code points (DuckDB `length`
+    * semantics, so the oracle replays astral characters exactly); the
+    * stopword rule reuses the engine's lowercase-alphanumeric token model
+    * ([[tokens]]) so "The," still hits "the" and the SQL twin reuses the
+    * shared word expression. Ellipsis = non-overlapping left-to-right
+    * "..." or U+2026 (RE2 `regexp_extract_all` scan order). Bullet lines:
+    * first non-space/tab char in {-, *, U+2022}; ellipsis-ended lines
+    * strip trailing space/tab first. Returns
+    * [nWords, wordChars, alphaWords, nHash, nEllipsis, nLines,
+    *  bulletLines, ellipsisEndLines, stopDistinct].
+    */
+  def gopherStats(s: String): Array[Long] = {
+    def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' ||
+      c == '\u000B' || c == '\f' || c == '\r'
+    var nWords = 0L; var wordChars = 0L; var alphaWords = 0L
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      if (!isWs(s.charAt(i))) {
+        var hasAlpha = false
+        var cp = 0L
+        while (i < n && !isWs(s.charAt(i))) {
+          val c = s.charAt(i)
+          if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+          if (!Character.isLowSurrogate(c)) cp += 1
+          i += 1
+        }
+        nWords += 1; wordChars += cp; if (hasAlpha) alphaWords += 1
+      } else i += 1
+    }
+    var nHash = 0L; var nEll = 0L
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '#') { nHash += 1; i += 1 }
+      else if (c == '…') { nEll += 1; i += 1 }
+      else if (c == '.' && i + 2 < n && s.charAt(i + 1) == '.' && s.charAt(i + 2) == '.') {
+        nEll += 1; i += 3
+      } else i += 1
+    }
+    val lines = s.split("\n", -1)
+    var bullet = 0L; var ellEnd = 0L
+    var li = 0
+    while (li < lines.length) {
+      val l = lines(li)
+      var j = 0
+      while (j < l.length && (l.charAt(j) == ' ' || l.charAt(j) == '\t')) j += 1
+      if (j < l.length && (l.charAt(j) == '-' || l.charAt(j) == '*' || l.charAt(j) == '•'))
+        bullet += 1
+      var e = l.length
+      while (e > 0 && (l.charAt(e - 1) == ' ' || l.charAt(e - 1) == '\t')) e -= 1
+      if (e >= 1 && l.charAt(e - 1) == '…') ellEnd += 1
+      else if (e >= 3 && l.charAt(e - 1) == '.' && l.charAt(e - 2) == '.' &&
+        l.charAt(e - 3) == '.') ellEnd += 1
+      li += 1
+    }
+    var mask = 0
+    for (w <- tokens(s)) {
+      var k = 0
+      while (k < GopherStops.length) {
+        if (GopherStops(k) == w) mask |= 1 << k
+        k += 1
+      }
+    }
+    Array(nWords, wordChars, alphaWords, nHash, nEll, lines.length.toLong,
+      bullet, ellEnd, java.lang.Integer.bitCount(mask).toLong)
+  }
+
   /** Winnowing fingerprint: min over char 5-gram windows of the normalized
     * (space-joined token) text of hex60; whole-text hash when shorter than 5.
     *
@@ -376,6 +452,26 @@ case class TokenStatsExpr(child: Expression) extends StringKernelExpression {
       TextKernel.naiveTokens(s), TextKernel.wsTokens(s), TextKernel.bpeishTokens(s))
   }
   override protected def withNewChildInternal(c: Expression): TokenStatsExpr = copy(child = c)
+}
+
+/** one-pass Gopher-rule counters → struct (see TextKernel.gopherStats). */
+case class GopherStatsExpr(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("word_chars", LongType, nullable = false),
+    StructField("n_alpha_words", LongType, nullable = false),
+    StructField("n_hash", LongType, nullable = false),
+    StructField("n_ellipsis", LongType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_bullet_lines", LongType, nullable = false),
+    StructField("n_ellipsis_end_lines", LongType, nullable = false),
+    StructField("n_stop_distinct", LongType, nullable = false)))
+  protected override def nullSafeEval(v: Any): Any = {
+    val c = TextKernel.gopherStats(input(v))
+    org.apache.spark.sql.catalyst.InternalRow(
+      c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7), c(8))
+  }
+  override protected def withNewChildInternal(c: Expression): GopherStatsExpr = copy(child = c)
 }
 
 /** one-pass repetition counters → struct (see TextKernel.repetitionStats). */
@@ -747,6 +843,7 @@ object textkernel {
   def simhash_fast(c: Column, bits: Int): Column = toColumn(SimHashExpr(toExpression(c), bits))
   def winnow_fp(c: Column): Column = toColumn(WinnowFpExpr(toExpression(c)))
   def repetition_stats(c: Column): Column = toColumn(RepetitionStatsExpr(toExpression(c)))
+  def gopher_stats(c: Column): Column = toColumn(GopherStatsExpr(toExpression(c)))
   def bpe_tokens(c: Column, merges: Seq[(String, String)]): Column =
     toColumn(BpeEncodeExpr(toExpression(c), merges))
   def unigram_encode(c: Column, m: graft.text.Unigram.Model): Column =

@@ -131,7 +131,14 @@ object LinkGraph {
                 s"($dampingNum * (coalesce(__s, 0L) + __dm div $nNodes)) div $dampingDen"))
                 .as("rank"))
         }
-      if (checkpointEvery > 0 && it % checkpointEvery == 0)
+      // the dangling branch reads the PREVIOUS ranks twice per iteration
+      // (contribution join + dangling-mass sum): without a per-iteration
+      // lineage cut the dm subtree recomputes every earlier iteration —
+      // O(iters²) work. Checkpoint each iteration (partitioning preserved,
+      // so the exchange budget is unchanged); blocks are GC-reclaimed.
+      if (redistributeDangling)
+        ranks = ranks.localCheckpoint()
+      else if (checkpointEvery > 0 && it % checkpointEvery == 0)
         ranks = ranks.localCheckpoint()
       it += 1
     }

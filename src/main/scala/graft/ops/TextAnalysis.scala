@@ -175,6 +175,74 @@ object TextAnalysis {
           6).as("dup_trigram_frac"))
   }
 
+  /** Gopher quality-filter rules (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analyses & Insights from Training Gopher", Table A1 —
+    * the published rule set MassiveText was cleaned with, and the de-facto
+    * baseline every later corpus pipeline starts from). Per document:
+    * the measured signals, one boolean per rule, and `keep` = all rules
+    * pass. Defaults are the paper's thresholds; every bound is a
+    * parameter because downstream corpora retune them.
+    *
+    *  - `rule_words`: word count in [minWords, maxWords];
+    *  - `rule_word_len`: mean word length (code points) in
+    *    [minMeanWordLen, maxMeanWordLen];
+    *  - `rule_symbol`: (hash + ellipsis) / words ≤ maxSymbolRatio;
+    *  - `rule_bullet`: fraction of lines starting with a bullet
+    *    ≤ maxBulletLineFrac;
+    *  - `rule_ellipsis`: fraction of lines ending with an ellipsis
+    *    ≤ maxEllipsisLineFrac;
+    *  - `rule_alpha`: fraction of words containing an alphabetic char
+    *    ≥ minAlphaWordFrac;
+    *  - `rule_stop`: ≥ minStopwords DISTINCT hits among the paper's eight
+    *    indicator words ([[graft.functions.TextKernel.GopherStops]]).
+    *
+    * The paper's repetition rules (dup line/paragraph/n-gram fractions)
+    * live in [[repetitionSignals]] — compose the two frames on doc_id.
+    *
+    * Scale shape: ONE compiled kernel pass per row
+    * ([[graft.functions.textkernel.gopher_stats]]) + a projection — zero
+    * exchanges; the rules compare the ROUNDED fractions so the DuckDB
+    * oracle replays keep decisions bit-exactly.
+    */
+  def gopherFilter(docs: DataFrame, textCol: String = "text",
+                   minWords: Long = 50, maxWords: Long = 100000,
+                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1,
+                   maxBulletLineFrac: Double = 0.9,
+                   maxEllipsisLineFrac: Double = 0.3,
+                   minAlphaWordFrac: Double = 0.8,
+                   minStopwords: Int = 2): DataFrame = {
+    val g = gopher_stats(col(textCol)).as("__g")
+    val nW = col("__g.n_words").cast("double")
+    def frac(num: Column): Column =
+      round(when(nW === 0, lit(0.0)).otherwise(num.cast("double") / nW), 6)
+    val nLines = col("__g.n_lines").cast("double")
+    def lineFrac(num: Column): Column =
+      round(when(nLines === 0, lit(0.0)).otherwise(num.cast("double") / nLines), 6)
+    docs.select(col("doc_id"), g)
+      .select(col("doc_id"),
+        col("__g.n_words").as("n_words"),
+        frac(col("__g.word_chars")).as("mean_word_len"),
+        frac(col("__g.n_hash") + col("__g.n_ellipsis")).as("symbol_ratio"),
+        frac(col("__g.n_alpha_words")).as("alpha_word_frac"),
+        lineFrac(col("__g.n_bullet_lines")).as("bullet_line_frac"),
+        lineFrac(col("__g.n_ellipsis_end_lines")).as("ellipsis_line_frac"),
+        col("__g.n_stop_distinct").as("n_stop_distinct"))
+      .withColumn("rule_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("rule_word_len",
+        col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("rule_symbol", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("rule_bullet", col("bullet_line_frac") <= maxBulletLineFrac)
+      .withColumn("rule_ellipsis", col("ellipsis_line_frac") <= maxEllipsisLineFrac)
+      .withColumn("rule_alpha", col("alpha_word_frac") >= minAlphaWordFrac)
+      .withColumn("rule_stop", col("n_stop_distinct") >= minStopwords)
+      .withColumn("keep",
+        col("rule_words") && col("rule_word_len") && col("rule_symbol") &&
+          col("rule_bullet") && col("rule_ellipsis") && col("rule_alpha") &&
+          col("rule_stop"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing word
     * n-grams with an evaluation set (the GPT-3 appendix-C / PaLM method —
     * exact n-gram collision against the benchmark, n=13 there; n is a
