@@ -839,6 +839,17 @@ object SparkEntry {
         rowsPerBand = 2, shingleSize = 3, hotBucketCap = HotBucketCap)
         .select("doc_id").orderBy("doc_id")
     },
+    // cross-corpus dedup: the new "dump" (doc_id % 3 <> 0) flagged against
+    // the reference corpus (doc_id % 3 = 0) — exact fingerprint semi-join +
+    // asymmetric capped minhash banding, new-vs-ref pairs only
+    "q_cross_dedup" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      Dedup.crossCorpusDedup(docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0), threshold = 0.7,
+          numHashes = 8, rowsPerBand = 2, shingleSize = 3,
+          hotRefCap = HotBucketCap)
+        .orderBy("doc_id")
+    },
     // sequence packing under a 512-token budget — the global cumsum is a
     // parallel prefix sum over data-derived id-range groups, never a
     // single-partition window (targetGroups forced > 1 at this corpus size)
@@ -1775,6 +1786,50 @@ object SparkEntry {
     s"""WITH ${minhashPairCtes(0.0)}
        |SELECT id_a, id_b, jaccard FROM vp
        |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
+
+  /** DuckDB twin of Dedup.crossCorpusDedup at (new = doc_id % 3 <> 0,
+    * ref = doc_id % 3 = 0, 8 hashes × 4 bands, 3-shingles, threshold 0.7,
+    * capped ref buckets).
+    */
+  private val crossDedupSql: String = {
+    val shingles = s"list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
+    val mhCols = (0 until 8).map(j =>
+      s"list_min(list_transform(sh, s -> ${sqlHex60(s"'$j:' || s")})) AS mh$j").mkString(", ")
+    def bandRows(src: String) = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '_' || mh${2 * b + 1}) AS bucket FROM $src")
+      .mkString(" UNION ALL ")
+    s"""WITH tn AS (SELECT doc_id, $sqlWords AS w FROM documents WHERE doc_id % 3 <> 0),
+       | tr AS (SELECT doc_id, $sqlWords AS w FROM documents WHERE doc_id % 3 = 0),
+       | fn AS (SELECT doc_id, md5(array_to_string(w, ' ')) AS fp FROM tn),
+       | fr AS (SELECT DISTINCT md5(array_to_string(w, ' ')) AS fp FROM tr),
+       | shn AS (SELECT doc_id, $shingles AS sh FROM tn),
+       | shr AS (SELECT doc_id, $shingles AS sh FROM tr),
+       | sign AS (SELECT doc_id, sh, $mhCols FROM shn WHERE len(sh) > 0),
+       | sigr AS (SELECT doc_id, sh, $mhCols FROM shr WHERE len(sh) > 0),
+       | bn AS (${bandRows("sign")}),
+       | br AS (${bandRows("sigr")}),
+       | brc AS (SELECT doc_id, band, bucket FROM (
+       |   SELECT doc_id, band, bucket,
+       |     row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn FROM br)
+       |   WHERE rn <= $HotBucketCap),
+       | cand AS (SELECT DISTINCT n.doc_id, r.doc_id AS ref_id
+       |   FROM bn n JOIN brc r ON n.band = r.band AND n.bucket = r.bucket),
+       | hn AS (SELECT doc_id, list_transform(sh, s -> ${sqlHex60("s")}) AS h FROM shn),
+       | hr AS (SELECT doc_id, list_transform(sh, s -> ${sqlHex60("s")}) AS h FROM shr),
+       | vp AS (SELECT c.doc_id,
+       |   round(CASE WHEN len(list_distinct(a.h || b.h)) = 0 THEN 0.0
+       |     ELSE len(list_intersect(a.h, b.h)) / CAST(len(list_distinct(a.h || b.h)) AS DOUBLE) END, 6) AS j
+       |   FROM cand c JOIN hn a ON a.doc_id = c.doc_id JOIN hr b ON b.doc_id = c.ref_id),
+       | agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ref_candidates,
+       |   max(j) AS max_jaccard FROM vp GROUP BY doc_id)
+       |SELECT fn.doc_id,
+       |  (fr.fp IS NOT NULL) AS exact_dup,
+       |  coalesce(agg.n_ref_candidates, 0) AS n_ref_candidates,
+       |  coalesce(agg.max_jaccard, 0.0) AS max_jaccard,
+       |  (fr.fp IS NOT NULL OR coalesce(agg.max_jaccard, 0.0) >= 0.7) AS dup
+       |FROM fn LEFT JOIN fr ON fn.fp = fr.fp LEFT JOIN agg ON agg.doc_id = fn.doc_id
+       |ORDER BY fn.doc_id""".stripMargin
+  }
 
   /** End-to-end corpus dedup oracle: verified pairs at 0.7 → connected
     * components (recursive reachability, min label — the fixpoint of
@@ -2941,6 +2996,7 @@ object SparkEntry {
     "q_simhash" -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_lsh_pairs" -> lshPairsSql,
+    "q_cross_dedup" -> crossDedupSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_near_dup_lsh" -> nearDupLshSql,
     "q_near_dup_lsh_multi" -> nearDupLshSqlFor(2),

@@ -78,14 +78,15 @@ object Dedup {
   /** Candidate-pair stage of [[minhashLsh]], exposed so specs can assert the
     * candidate count stays O(B) on a hot bucket (not B²/2).
     */
-  private[graft] def minhashLshCandidates(docs: DataFrame, textCol: String, numHashes: Int,
-                                          rowsPerBand: Int, shingleSize: Int,
-                                          hotBucketCap: Int): DataFrame = {
+  /** MinHash band buckets per document: (doc_id, band, bucket). Carries ids
+    * and bucket hashes ONLY — the shingle sets do NOT ride the ×numBands
+    * explode through the shuffle (at scale that payload dominates shuffle
+    * bytes); they are joined back by id on the already-deduped candidate
+    * pairs for the verify step.
+    */
+  private[graft] def bandBuckets(docs: DataFrame, textCol: String, numHashes: Int,
+                                 rowsPerBand: Int, shingleSize: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    // candidate generation carries (doc_id, band, bucket) ONLY — the shingle
-    // sets do NOT ride the ×numBands explode through the shuffle (at scale
-    // that payload dominates shuffle bytes); they are joined back by id on
-    // the already-deduped candidate pairs for the verify step
     val sig = docs
       .withColumn("__sig", minhash_sig(col(textCol), numHashes, shingleSize))
       .filter(col("__sig").isNotNull)
@@ -93,10 +94,15 @@ object Dedup {
       val parts = (0 until rowsPerBand).map(r => element_at(col("__sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), md5(concat_ws("_", parts: _*)).as("bucket"))
     }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    cappedBucketPairs(buckets, hotBucketCap)
   }
+
+  private[graft] def minhashLshCandidates(docs: DataFrame, textCol: String, numHashes: Int,
+                                          rowsPerBand: Int, shingleSize: Int,
+                                          hotBucketCap: Int): DataFrame =
+    cappedBucketPairs(
+      bandBuckets(docs, textCol, numHashes, rowsPerBand, shingleSize), hotBucketCap)
 
   /** MinHash+LSH near-dup candidate pairs with exact Jaccard verification.
     *
@@ -352,6 +358,70 @@ object Dedup {
     val losers = dupClusters(pairs.select(col("id_a"), col("id_b")))
       .filter(col("doc_id") =!= col("cluster_id")) // canonical survives
     docs.join(losers.select(col("doc_id")), Seq("doc_id"), "left_anti")
+  }
+
+  /** Cross-corpus dedup: flag documents of a NEW corpus that duplicate a
+    * REFERENCE corpus — the "dedup this crawl against every previous dump"
+    * operation a recurring 100 TB ingest runs (CommonCrawl-derived corpora
+    * dedup each snapshot against the union of prior snapshots; the new
+    * side is one dump, the reference side is everything already kept).
+    *
+    * Two layers, both asymmetric (new-vs-ref only — never ref×ref, whose
+    * pair space is the quadratic blow-up this exists to avoid):
+    *
+    *  1. **Exact**: normalized-text fingerprint (md5 of the lower-cased
+    *     word stream, the [[TextAnalysis.fingerprint]] key) — a semi-join
+    *     of new fingerprints against DISTINCT reference fingerprints.
+    *  2. **Fuzzy**: MinHash band buckets on both sides ([[bandBuckets]]);
+    *     candidates = (new, ref) pairs sharing any (band, bucket). The
+    *     REFERENCE side of each bucket is capped to the `hotRefCap`
+    *     smallest doc_ids (rank ≤ cap compiles to WindowGroupLimit —
+    *     map-side bounded state), so a degenerate bucket (boilerplate
+    *     shared by millions of ref pages) costs each new doc ≤ cap
+    *     comparisons instead of bucket-size; the kept representatives are
+    *     deterministic. Candidates are verified with exact Jaccard over
+    *     shingle hash sets.
+    *
+    * Returns one row per NEW document: `exact_dup`, `n_ref_candidates`,
+    * `max_jaccard` (0.0 when no candidates), and
+    * `dup = exact_dup OR max_jaccard >= threshold`. The reference corpus
+    * never moves whole: its shuffles carry (id, band, bucket) triples and
+    * candidate-matched shingle arrays only.
+    */
+  def crossCorpusDedup(newDocs: DataFrame, refDocs: DataFrame,
+                       textCol: String = "text", threshold: Double = 0.5,
+                       numHashes: Int = 8, rowsPerBand: Int = 2,
+                       shingleSize: Int = 3, hotRefCap: Int = 64): DataFrame = {
+    require(hotRefCap > 0, s"hotRefCap must be positive: $hotRefCap")
+    def fp(df: DataFrame) = df.select(col("doc_id"),
+      md5(concat_ws(" ", word_tokens(col(textCol)))).as("__fp"))
+    val exactDup = fp(newDocs)
+      .join(fp(refDocs).select("__fp").distinct(), Seq("__fp"), "left_semi")
+      .select(col("doc_id"), lit(true).as("__exact"))
+    val nb = bandBuckets(newDocs, textCol, numHashes, rowsPerBand, shingleSize)
+    val rb = bandBuckets(refDocs, textCol, numHashes, rowsPerBand, shingleSize)
+    val w = Window.partitionBy("band", "bucket").orderBy(col("doc_id").asc)
+    val rbCapped = rb.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= hotRefCap)
+      .select(col("doc_id").as("ref_id"), col("band"), col("bucket"))
+    val cand = nb.join(rbCapped, Seq("band", "bucket"))
+      .select(col("doc_id"), col("ref_id")).distinct()
+    val shNew = newDocs.select(col("doc_id"),
+      shingle_hashes(col(textCol), shingleSize).as("__sha"))
+    val shRef = refDocs.select(col("doc_id").as("ref_id"),
+      shingle_hashes(col(textCol), shingleSize).as("__shb"))
+    val verified = cand.join(shNew, Seq("doc_id")).join(shRef, Seq("ref_id"))
+      .select(col("doc_id"), round(jaccard_sorted(col("__sha"), col("__shb")), 6).as("__j"))
+    val agg = verified.groupBy("doc_id").agg(
+      count(lit(1)).as("n_ref_candidates"), max("__j").as("max_jaccard"))
+    newDocs.select(col("doc_id"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__exact"), lit(false)).as("exact_dup"),
+        coalesce(col("n_ref_candidates"), lit(0L)).as("n_ref_candidates"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
+      .withColumn("dup", col("exact_dup") || col("max_jaccard") >= threshold)
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key (label / LSH

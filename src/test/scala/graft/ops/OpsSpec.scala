@@ -109,6 +109,50 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.simhashPairs(hot, hotBucketCap = 64).count() === (n - 1).toLong)
   }
 
+  test("crossCorpusDedup: exact + fuzzy flags against the reference only") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val ref = Seq(
+      (100L, base),
+      (101L, "completely different reference content about cooking pasta at home"))
+      .toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "The QUICK brown fox jumps over the lazy dog near the river bank today"), // exact (normalized)
+      (2L, base.replace("today", "tonight")),                                        // fuzzy near-dup
+      (3L, "an entirely unrelated new document about astronomy and telescopes"),
+      (4L, "shared new text one"), (5L, "shared new text one"))                      // new×new dup: NOT flagged
+      .toDF("doc_id", "text")
+    val r = Dedup.crossCorpusDedup(neu, ref, threshold = 0.5)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("exact_dup") && r(1L).getAs[Boolean]("dup"))
+    assert(!r(2L).getAs[Boolean]("exact_dup") && r(2L).getAs[Boolean]("dup"),
+      r(2L).toString)
+    assert(r(2L).getAs[Double]("max_jaccard") >= 0.5)
+    assert(!r(3L).getAs[Boolean]("dup"))
+    // asymmetry: duplicates WITHIN the new corpus are not this operator's job
+    assert(!r(4L).getAs[Boolean]("dup") && !r(5L).getAs[Boolean]("dup"))
+    assert(r.size == 5) // one row per new doc, non-candidates included
+  }
+
+  test("crossCorpusDedup: hot reference bucket capped to deterministic representatives") {
+    // 10k identical ref docs: a new doc landing in that bucket must compare
+    // against <= cap refs (the cap smallest ids), never the whole bucket
+    val n = 10000
+    val text = "same boilerplate text repeated verbatim on every single page here"
+    // substring(id, 1, 0) = "" keeps the text identical while making the
+    // column non-foldable (a literal text constant-folds the fp join key
+    // into a conditionless BNLJ — a fixture artifact, not a plan property)
+    val ref = spark.range(1000, 1000 + n).select(col("id").as("doc_id"),
+      concat(lit(text), substring(col("id").cast("string"), 1, 0)).as("text"))
+    val neu = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Dedup.crossCorpusDedup(neu, ref, threshold = 0.5, hotRefCap = 5).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_ref_candidates") == 5L, r(0).toString)
+    assert(r(0).getAs[Boolean]("exact_dup") && r(0).getAs[Boolean]("dup"))
+    val plan = Dedup.crossCorpusDedup(neu, ref, threshold = 0.5, hotRefCap = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("capped bucket pairs keep exact all-pairs below the cap and match uncapped results") {
     val uncapped = Dedup.minhashLsh(docs, threshold = 0.3, hotBucketCap = Int.MaxValue)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
