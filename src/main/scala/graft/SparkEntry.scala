@@ -937,6 +937,14 @@ object SparkEntry {
     "q_gopher_filter" -> { (s, dir) =>
       TextAnalysis.gopherFilter(docsPar(s, dir)).orderBy("doc_id")
     },
+    // the C4 line-level cleaning rules (Raffel et al. 2020 §2.2): terminal
+    // punctuation / >=5-word / no-javascript lines, lorem-ipsum + brace +
+    // >=3-sentence page rules; cleaned text hashed to keep gate rows small
+    "q_c4_filter" -> { (s, dir) =>
+      TextAnalysis.c4Filter(docsPar(s, dir))
+        .withColumn("clean_md5", md5(col("clean_text"))).drop("clean_text")
+        .orderBy("doc_id")
+    },
     // benchmark decontamination: eval set = every 7th document, 3-gram
     // collision (13-gram default shrunk to the fixture's ~60-word docs)
     "q_decontam" -> { (s, dir) =>
@@ -3103,6 +3111,27 @@ object SparkEntry {
          |   AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
          |   AND alpha_word_frac >= 0.8 AND n_stop_distinct >= 2) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+    "q_c4_filter" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, chr(10)) AS rawlines FROM documents),
+         | l AS (SELECT doc_id, text,
+         |   list_transform(rawlines, x -> trim(x, ' ' || chr(9) || chr(13))) AS lines FROM t),
+         | k AS (SELECT doc_id, text, CAST(len(lines) AS BIGINT) AS n_lines,
+         |   list_filter(lines, x ->
+         |     (right(x, 1) IN ('.', '!', '?', '"'))
+         |     AND len(list_filter(string_split_regex(x, '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '')) >= 5
+         |     AND NOT contains(lower(x), 'javascript')) AS kept FROM l),
+         | c AS (SELECT doc_id, text, n_lines, CAST(len(kept) AS BIGINT) AS n_lines_kept,
+         |   array_to_string(kept, chr(10)) AS clean FROM k)
+         |SELECT doc_id, n_lines, n_lines_kept,
+         |  CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT) AS n_sentences,
+         |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+         |  contains(text, '{') AS has_brace,
+         |  false AS has_bad_word,
+         |  (len(regexp_extract_all(clean, '[.!?]')) >= 3
+         |   AND NOT contains(lower(text), 'lorem ipsum')
+         |   AND NOT contains(text, '{')) AS keep,
+         |  md5(clean) AS clean_md5
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q_decontam" -> {
       val shingles3 = "list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
       s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),

@@ -324,6 +324,90 @@ object TextKernel {
       bullet, ellEnd, java.lang.Integer.bitCount(mask).toLong)
   }
 
+  /** One-pass C4 line-filter counters + cleaned text (Raffel et al. 2020,
+    * §2.2): a line (split on \n, trimmed of spaces/tabs) is KEPT iff it has
+    * ≥ `minLineWords` whitespace words, ends in terminal punctuation
+    * (`.`, `!`, `?`, or a closing `"`), and does not contain "javascript"
+    * (case-insensitive substring — the published heuristic). Returns
+    * [nLines, nKept, nSentences] plus the cleaned text (kept trimmed lines
+    * joined by \n); nSentences counts `[.!?]` occurrences in the cleaned
+    * text (the page-level "at least 3 sentences" rule's approximation,
+    * replayable in SQL).
+    */
+  def c4LineStats(s: String, minLineWords: Int): (Array[Long], String) = {
+    val lines = s.split("\n", -1)
+    val kept = new java.lang.StringBuilder()
+    var nKept = 0L
+    var li = 0
+    while (li < lines.length) {
+      val raw = lines(li)
+      // trim space/tab/\r both ends (\r so CRLF corpora don't lose every
+      // line to a trailing carriage return failing the terminal-punct rule)
+      def isTrim(c: Char) = c == ' ' || c == '\t' || c == '\r'
+      var b = 0
+      var e = raw.length
+      while (b < e && isTrim(raw.charAt(b))) b += 1
+      while (e > b && isTrim(raw.charAt(e - 1))) e -= 1
+      val l = raw.substring(b, e)
+      val terminal = l.nonEmpty && {
+        val last = l.charAt(l.length - 1)
+        last == '.' || last == '!' || last == '?' || last == '"'
+      }
+      if (terminal && wsWordCount(l) >= minLineWords &&
+        !containsIgnoreCaseAscii(l, "javascript")) {
+        if (nKept > 0) kept.append('\n')
+        kept.append(l)
+        nKept += 1
+      }
+      li += 1
+    }
+    val clean = kept.toString
+    var nSent = 0L
+    var i = 0
+    while (i < clean.length) {
+      val c = clean.charAt(i)
+      if (c == '.' || c == '!' || c == '?') nSent += 1
+      i += 1
+    }
+    (Array(lines.length.toLong, nKept, nSent), clean)
+  }
+
+  /** Whitespace word count: number of maximal non-whitespace runs — the
+    * per-line twin of `len(list_filter(split_on_ws, _ != ""))`.
+    */
+  private def wsWordCount(l: String): Int = {
+    def isS(c: Char) = c == ' ' || c == '\t' || c == '\n' ||
+      c == '\u000B' || c == '\f' || c == '\r'
+    var n = 0
+    var inWord = false
+    var i = 0
+    while (i < l.length) {
+      if (isS(l.charAt(i))) inWord = false
+      else { if (!inWord) n += 1; inWord = true }
+      i += 1
+    }
+    n
+  }
+
+  /** ASCII case-insensitive substring test (the needle is ASCII lowercase). */
+  private def containsIgnoreCaseAscii(hay: String, needle: String): Boolean = {
+    val n = needle.length
+    if (n == 0) return true
+    var i = 0
+    while (i + n <= hay.length) {
+      var j = 0
+      var ok = true
+      while (ok && j < n) {
+        val c = hay.charAt(i + j)
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        if (lc != needle.charAt(j)) ok = false else j += 1
+      }
+      if (ok) return true
+      i += 1
+    }
+    false
+  }
+
   /** Winnowing fingerprint: min over char 5-gram windows of the normalized
     * (space-joined token) text of hex60; whole-text hash when shorter than 5.
     *
@@ -472,6 +556,24 @@ case class GopherStatsExpr(child: Expression) extends StringKernelExpression {
       c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7), c(8))
   }
   override protected def withNewChildInternal(c: Expression): GopherStatsExpr = copy(child = c)
+}
+
+/** one-pass C4 line-filter counters + cleaned text → struct
+  * (see TextKernel.c4LineStats).
+  */
+case class C4LineStatsExpr(child: Expression, minLineWords: Int)
+    extends StringKernelExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_lines_kept", LongType, nullable = false),
+    StructField("n_sentences", LongType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+  protected override def nullSafeEval(v: Any): Any = {
+    val (c, clean) = TextKernel.c4LineStats(input(v), minLineWords)
+    org.apache.spark.sql.catalyst.InternalRow(
+      c(0), c(1), c(2), UTF8String.fromString(clean))
+  }
+  override protected def withNewChildInternal(c: Expression): C4LineStatsExpr = copy(child = c)
 }
 
 /** one-pass repetition counters → struct (see TextKernel.repetitionStats). */
@@ -844,6 +946,8 @@ object textkernel {
   def winnow_fp(c: Column): Column = toColumn(WinnowFpExpr(toExpression(c)))
   def repetition_stats(c: Column): Column = toColumn(RepetitionStatsExpr(toExpression(c)))
   def gopher_stats(c: Column): Column = toColumn(GopherStatsExpr(toExpression(c)))
+  def c4_line_stats(c: Column, minLineWords: Int): Column =
+    toColumn(C4LineStatsExpr(toExpression(c), minLineWords))
   def bpe_tokens(c: Column, merges: Seq[(String, String)]): Column =
     toColumn(BpeEncodeExpr(toExpression(c), merges))
   def unigram_encode(c: Column, m: graft.text.Unigram.Model): Column =

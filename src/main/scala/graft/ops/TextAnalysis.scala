@@ -243,6 +243,46 @@ object TextAnalysis {
           col("rule_stop"))
   }
 
+  /** C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning...", §2.2 — the line-level filter the C4 corpus was
+    * built with; the complement of the doc-level [[gopherFilter]]).
+    *
+    * Line rules (a line is trimmed of space/tab/CR; kept iff ALL hold):
+    * ends in terminal punctuation (`.` `!` `?` `"`), has ≥ `minLineWords`
+    * whitespace words, and does not contain "javascript"
+    * (case-insensitive). Page rules on the ORIGINAL text: no
+    * "lorem ipsum" (case-insensitive), no `{` (the code heuristic), and
+    * the CLEANED text must contain ≥ `minSentences` sentence marks
+    * (`[.!?]` count — the replayable approximation of C4's ≥ 3 sentences).
+    * C4's bad-words list is a data seam (`blockedWords` over the
+    * lowercase-alnum token model); its 3-sentence span dedup is
+    * [[graft.ops.Dedup.spanDedup]] — compose on doc_id.
+    *
+    * Returns per document: line/sentence counters, the page-rule flags,
+    * `keep`, and the cleaned text (kept lines joined by newline). One
+    * compiled kernel pass + scalar projections — zero exchanges.
+    */
+  def c4Filter(docs: DataFrame, textCol: String = "text",
+               minLineWords: Int = 5, minSentences: Int = 3,
+               blockedWords: Seq[String] = Nil): DataFrame = {
+    val g = c4_line_stats(col(textCol), minLineWords).as("__c4")
+    val badWordHit: Column =
+      if (blockedWords.isEmpty) lit(false)
+      else marker_hits(col(textCol), blockedWords.map(_.toLowerCase)) > 0
+    docs.select(col("doc_id"), col(textCol).as("__t"), g)
+      .select(col("doc_id"),
+        col("__c4.n_lines").as("n_lines"),
+        col("__c4.n_lines_kept").as("n_lines_kept"),
+        col("__c4.n_sentences").as("n_sentences"),
+        contains(lower(col("__t")), lit("lorem ipsum")).as("has_lorem"),
+        contains(col("__t"), lit("{")).as("has_brace"),
+        badWordHit.as("has_bad_word"),
+        col("__c4.clean_text").as("clean_text"))
+      .withColumn("keep",
+        col("n_sentences") >= minSentences &&
+          !col("has_lorem") && !col("has_brace") && !col("has_bad_word"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing word
     * n-grams with an evaluation set (the GPT-3 appendix-C / PaLM method —
     * exact n-gram collision against the benchmark, n=13 there; n is a
