@@ -223,6 +223,61 @@ object SparkEntry {
       case HNl => "\n"
     }.mkString
 
+  /** Deterministic line-structured text for q_c4_filter: one shared segment
+    * list drives BOTH the Spark generator column and the DuckDB `||` twin,
+    * so the fixture is a pure function of doc_id (the corpus text has no
+    * newlines or terminal punctuation, so it can't exercise the line rules).
+    * Segments fire on doc_id moduli so every C4 rule discriminates within
+    * 500 docs: a kept first sentence; an always-dropped short line; a kept
+    * 3-mark line on even ids (the >=3-sentence page rule splits even/odd);
+    * a JavaScript line (%3, dropped case-insensitively); a lorem-ipsum line
+    * (%7 — KEPT as a line but failing the page rule, pinning that the page
+    * rule reads the ORIGINAL text); a brace/code line (%11, page rule +
+    * non-terminal `}` end); a blocked-word line (%13 — kept line, page-level
+    * bad-word hit via the gate's synthetic blocklist); and a %17 degenerate
+    * doc with ZERO kept lines (pins clean="" and the oracle's NULL-coalesce
+    * on array_to_string of an empty list). Leading spaces + trailing \r on
+    * the even-id line pin the space/tab/CR line trim.
+    */
+  private val C4FirstLine = " opens with a proper first sentence."
+  private val C4CondSegs: Seq[(Int, String)] = Seq(
+    1 -> "\ntoo short line",
+    2 -> "\n  Another good sentence follows here! Is it kept? Yes indeed.\r",
+    3 -> "\nPlease enable JavaScript to view the comments powered here.",
+    7 -> "\nCurabitur lorem ipsum dolor sit amet consectetur adipiscing elit.",
+    11 -> "\n  function f() { return 42; }",
+    13 -> "\nThis line mentions badword1 in passing somewhere today.")
+  private val C4Degenerate = "no terminal punctuation anywhere at all"
+  private[graft] val C4BlockedWords = Seq("badword1")
+  private[graft] def synthC4TextCol: Column =
+    when(col("doc_id") % 17 === 0, lit(C4Degenerate)).otherwise(concat(
+      Seq(lit("Document "), col("doc_id").cast("string"), lit(C4FirstLine)) ++
+        C4CondSegs.map { case (m, s) =>
+          if (m == 1) lit(s)
+          else when(col("doc_id") % m === 0, lit(s)).otherwise(lit(""))
+        }: _*))
+  /** [[sqlStr]] splitting \n/\r out as DuckDB chr() calls. */
+  private def sqlStrCtl(s: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    def flush(): Unit = if (sb.nonEmpty) { parts += sqlStr(sb.toString); sb.clear() }
+    s.foreach {
+      case '\n' => flush(); parts += "chr(10)"
+      case '\r' => flush(); parts += "chr(13)"
+      case c => sb.append(c)
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString(" || ")
+  }
+  private def synthC4TextSql: String = {
+    val base = Seq("'Document '", "CAST(doc_id AS VARCHAR)", sqlStr(C4FirstLine)) ++
+      C4CondSegs.map { case (m, s) =>
+        if (m == 1) sqlStrCtl(s)
+        else s"(CASE WHEN doc_id % $m = 0 THEN ${sqlStrCtl(s)} ELSE '' END)"
+      }
+    s"(CASE WHEN doc_id % 17 = 0 THEN ${sqlStr(C4Degenerate)} ELSE ${base.mkString(" || ")} END)"
+  }
+
   /** HTTP response head for the WARC fixture (ASCII, so its byte length is
     * its char length — the SQL twin embeds the constant).
     */
@@ -939,9 +994,13 @@ object SparkEntry {
     },
     // the C4 line-level cleaning rules (Raffel et al. 2020 §2.2): terminal
     // punctuation / >=5-word / no-javascript lines, lorem-ipsum + brace +
-    // >=3-sentence page rules; cleaned text hashed to keep gate rows small
+    // bad-word + >=3-sentence page rules. The corpus text has no newlines
+    // or terminal punctuation, so the fixture synthesizes line-structured
+    // text as a pure function of doc_id (synthC4TextCol — q_pii pattern);
+    // cleaned text hashed to keep gate rows small
     "q_c4_filter" -> { (s, dir) =>
-      TextAnalysis.c4Filter(docsPar(s, dir))
+      val synth = docsPar(s, dir).select(col("doc_id"), synthC4TextCol.as("text"))
+      TextAnalysis.c4Filter(synth, blockedWords = C4BlockedWords)
         .withColumn("clean_md5", md5(col("clean_text"))).drop("clean_text")
         .orderBy("doc_id")
     },
@@ -1093,7 +1152,13 @@ object SparkEntry {
           explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
         .select(col("src"), ((col("src") * 31 + col("j") * 7 + 1) % n).as("dst"))
         .filter(col("src") =!= col("dst"))
-      ops.LinkGraph.pageRank(edges, iters = 3).orderBy("node")
+      // releaseCache=false: the gate measures the algorithm, not the
+      // session-hygiene epilogue (the eager final checkpoint is a full
+      // extra materialization of the ranks — 2.3× the gate's cost); the
+      // few pinned MB per call are fine for a gate/bench session, and
+      // LinkGraphSpec pins that the releaseCache=true production default
+      // leaves no CacheManager entries behind
+      ops.LinkGraph.pageRank(edges, iters = 3, releaseCache = false).orderBy("node")
     },
     // PageRank with dangling-mass redistribution: only EVEN doc_ids emit
     // edges, so odd nodes (reached as dst) are dangling — each iteration
@@ -3112,7 +3177,8 @@ object SparkEntry {
          |   AND alpha_word_frac >= 0.8 AND n_stop_distinct >= 2) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
     "q_c4_filter" ->
-      s"""WITH t AS (SELECT doc_id, text, string_split(text, chr(10)) AS rawlines FROM documents),
+      s"""WITH d AS (SELECT doc_id, $synthC4TextSql AS text FROM documents),
+         | t AS (SELECT doc_id, text, string_split(text, chr(10)) AS rawlines FROM d),
          | l AS (SELECT doc_id, text,
          |   list_transform(rawlines, x -> trim(x, ' ' || chr(9) || chr(13))) AS lines FROM t),
          | k AS (SELECT doc_id, text, CAST(len(lines) AS BIGINT) AS n_lines,
@@ -3121,17 +3187,19 @@ object SparkEntry {
          |     AND len(list_filter(string_split_regex(x, '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '')) >= 5
          |     AND NOT contains(lower(x), 'javascript')) AS kept FROM l),
          | c AS (SELECT doc_id, text, n_lines, CAST(len(kept) AS BIGINT) AS n_lines_kept,
-         |   array_to_string(kept, chr(10)) AS clean FROM k)
+         |   coalesce(array_to_string(kept, chr(10)), '') AS clean FROM k),
+         | f AS (SELECT doc_id, text, n_lines, n_lines_kept, clean,
+         |   list_contains($sqlWords, 'badword1') AS has_bad_word FROM c)
          |SELECT doc_id, n_lines, n_lines_kept,
          |  CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT) AS n_sentences,
          |  contains(lower(text), 'lorem ipsum') AS has_lorem,
          |  contains(text, '{') AS has_brace,
-         |  false AS has_bad_word,
+         |  has_bad_word,
          |  (len(regexp_extract_all(clean, '[.!?]')) >= 3
          |   AND NOT contains(lower(text), 'lorem ipsum')
-         |   AND NOT contains(text, '{')) AS keep,
+         |   AND NOT contains(text, '{') AND NOT has_bad_word) AS keep,
          |  md5(clean) AS clean_md5
-         |FROM c ORDER BY doc_id""".stripMargin,
+         |FROM f ORDER BY doc_id""".stripMargin,
     "q_decontam" -> {
       val shingles3 = "list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
       s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),

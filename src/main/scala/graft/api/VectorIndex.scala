@@ -302,9 +302,9 @@ final class VectorIndex(
         val cfg = graft.ops.ProductQuantization.PqConfig(config.dims, m, ksub)
         val resolved = VersionedDir.resolve(spark, annIvfPqPath)
         val (cvs, cids) = SimilaritySearch.collectCentroids(
-          spark.read.parquet(s"$resolved/_centroids"))
+          VersionedDir.readSide(spark, s"$resolved/_centroids"))
         val cbs = graft.ops.ProductQuantization.collectCodebooks(
-          spark.read.parquet(s"$resolved/_codebooks"), cfg)
+          VersionedDir.readSide(spark, s"$resolved/_codebooks"), cfg)
         val adds = changedDocs1.select(col("doc_id"),
             graft.functions.vector.nearest_centroid(col("vector"), cvs, cids).as("cell"),
             graft.functions.vector.pq_encode(col("vector"), cbs, cfg.dsub).as("codes"),
@@ -318,10 +318,10 @@ final class VectorIndex(
         // retrain on a 1-row upsert (the FAISS IVFPQ add path)
         val cfg = graft.ops.ProductQuantization.PqConfig(config.dims, m, ksub)
         val resolved = VersionedDir.resolve(spark, annRpqPath)
-        val centroidsDf = spark.read.parquet(s"$resolved/_centroids")
+        val centroidsDf = VersionedDir.readSide(spark, s"$resolved/_centroids")
         val (cvs, cids) = SimilaritySearch.collectCentroids(centroidsDf)
         val cbs = graft.ops.ProductQuantization.collectCodebooks(
-          spark.read.parquet(s"$resolved/_codebooks"), cfg)
+          VersionedDir.readSide(spark, s"$resolved/_codebooks"), cfg)
         val assigned = changedDocs1.select(col("doc_id"), col("vector"),
           graft.functions.vector.nearest_centroid(col("vector"), cvs, cids).as("cell"))
         val adds = graft.ops.ProductQuantization.residualize(assigned, centroidsDf,
@@ -451,7 +451,7 @@ final class VectorIndex(
       case SearchMode.Sq(refine) =>
         val resolved = VersionedDir.resolve(spark, annSqPath)
         val (mins, maxs) = graft.ops.ScalarQuantization.collectParams(
-          spark.read.parquet(s"$resolved/_sqparams"))
+          VersionedDir.readSide(spark, s"$resolved/_sqparams"))
         val codes = annCodesOverlay(
           spark.read.parquet(resolved).select(col("doc_id"), col("sq")),
           annDeltaRead(annSqPath), "sq")
@@ -460,7 +460,7 @@ final class VectorIndex(
       case SearchMode.Bq(refine) =>
         val resolved = VersionedDir.resolve(spark, annBqPath)
         val thr = graft.ops.BinaryQuantization.collectThresholds(
-          spark.read.parquet(s"$resolved/_bqparams"))
+          VersionedDir.readSide(spark, s"$resolved/_bqparams"))
         val codes = annCodesOverlay(
           spark.read.parquet(resolved).select(col("doc_id"), col("bq")),
           annDeltaRead(annBqPath), "bq")

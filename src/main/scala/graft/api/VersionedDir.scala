@@ -265,7 +265,7 @@ final class VersionedDir(spark: SparkSession, val root: String, keepVersions: In
       // the compacted version stays self-contained
       f.listStatus(new Path(src)).filter(s => s.isDirectory && s.getPath.getName.startsWith("_"))
         .foreach { s =>
-          spark.read.parquet(s.getPath.toString).coalesce(1)
+          VersionedDir.readSide(spark, s.getPath.toString).coalesce(1)
             .write.mode("overwrite").parquet(s"$dir/${s.getPath.getName}")
         }
     }
@@ -287,4 +287,28 @@ object VersionedDir {
     */
   def resolve(spark: SparkSession, root: String): String =
     new VersionedDir(spark, root).currentDir.getOrElse(root)
+
+  /** Read an underscore-prefixed side table (`_centroids`/`_codebooks`/…)
+    * by its DATA FILES' exact paths: pointing `spark.read.parquet` at the
+    * `_`-prefixed directory itself trips Spark's hidden-path filter and
+    * logs "All paths were ignored" on EVERY read — hundreds of WARN lines
+    * per bench run across the quantized-index tiers. Listing the part
+    * files and handing Spark concrete file paths reads the same data
+    * silently (the `_` filter applies to path basenames; plain
+    * `part-*.parquet` names pass).
+    */
+  def readSide(spark: SparkSession, dir: String): DataFrame = {
+    val p = new Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (!f.exists(p)) Array.empty[String]
+      else f.listStatus(p).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
+      }.map(_.getPath.toString)
+    // empty/missing dir: fall through to the directory read so the caller
+    // gets Spark's usual unable-to-infer-schema error, not a new one
+    if (files.isEmpty) spark.read.parquet(dir)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
 }

@@ -143,7 +143,14 @@ object LinkGraph {
       it += 1
     }
     if (releaseCache) {
-      val out = ranks.localCheckpoint() // eager: result no longer references the caches
+      // eager materialization so the result no longer references the caches
+      // — except when the loop's last step ALREADY checkpointed (dangling
+      // path, or checkpointEvery landing on the final iteration): ranks is
+      // then materialized and cache-free, and a second checkpoint would be
+      // a pure extra pass over the result
+      val alreadyCut = iters > 0 && (redistributeDangling ||
+        (checkpointEvery > 0 && iters % checkpointEvery == 0))
+      val out = if (alreadyCut) ranks else ranks.localCheckpoint()
       adj.unpersist()
       nodes.unpersist()
       if (redistributeDangling && iters > 0) dangling.unpersist()

@@ -156,8 +156,8 @@ object ProductQuantization {
     import spark.implicits._
     val resolved = graft.api.VersionedDir.resolve(spark, indexPath)
     val (cvs, cids) = SimilaritySearch.collectCentroids(
-      spark.read.parquet(s"$resolved/_centroids"))
-    val cbs = collectCodebooks(spark.read.parquet(s"$resolved/_codebooks"), cfg)
+      graft.api.VersionedDir.readSide(spark, s"$resolved/_centroids"))
+    val cbs = collectCodebooks(graft.api.VersionedDir.readSide(spark, s"$resolved/_codebooks"), cfg)
     val expanded = probes.flatMap { case (qid, qv) =>
       SimilaritySearch.nearestCellsLocal(qv, cvs, cids, nProbe).map { c =>
         val cv = cvs(cids.indexOf(c))
@@ -187,7 +187,7 @@ object ProductQuantization {
 
   /** Codebooks of the ACTIVE index version. */
   def pqCodebooksRead(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"${graft.api.VersionedDir.resolve(spark, path)}/_codebooks")
+    graft.api.VersionedDir.readSide(spark, s"${graft.api.VersionedDir.resolve(spark, path)}/_codebooks")
 
   /** The per-probe ADC lookup table, flattened (`lut[s*ksub + j]`):
     * scaled-long partial L2² between the probe's subvector `s` and codeword
@@ -281,8 +281,8 @@ object ProductQuantization {
     import spark.implicits._
     val resolved = graft.api.VersionedDir.resolve(spark, indexPath)
     val (cvs, cids) = SimilaritySearch.collectCentroids(
-      spark.read.parquet(s"$resolved/_centroids"))
-    val cbs = collectCodebooks(spark.read.parquet(s"$resolved/_codebooks"), cfg)
+      graft.api.VersionedDir.readSide(spark, s"$resolved/_centroids"))
+    val cbs = collectCodebooks(graft.api.VersionedDir.readSide(spark, s"$resolved/_codebooks"), cfg)
     val expanded = probes.flatMap { case (qid, qv) =>
       val lut = adcLut(qv, cbs, cfg).toSeq
       SimilaritySearch.nearestCellsLocal(qv, cvs, cids, nProbe)

@@ -137,8 +137,8 @@ object ScalarQuantization {
     import spark.implicits._
     val resolved = graft.api.VersionedDir.resolve(spark, indexPath)
     val (cvs, cids) = SimilaritySearch.collectCentroids(
-      spark.read.parquet(s"$resolved/_centroids"))
-    val (mins, maxs) = collectParams(spark.read.parquet(s"$resolved/_sqparams"))
+      graft.api.VersionedDir.readSide(spark, s"$resolved/_centroids"))
+    val (mins, maxs) = collectParams(graft.api.VersionedDir.readSide(spark, s"$resolved/_sqparams"))
     val expanded = probes.flatMap { case (qid, qv) =>
       val lut = sqLut(qv, mins, maxs).toSeq
       SimilaritySearch.nearestCellsLocal(qv, cvs, cids, nProbe)
@@ -162,7 +162,7 @@ object ScalarQuantization {
 
   /** Params of the ACTIVE index version. */
   def sqParamsRead(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"${graft.api.VersionedDir.resolve(spark, path)}/_sqparams")
+    graft.api.VersionedDir.readSide(spark, s"${graft.api.VersionedDir.resolve(spark, path)}/_sqparams")
 }
 
 /** Binary quantization (BQ) — the most aggressive quantization tier
@@ -268,8 +268,8 @@ object BinaryQuantization {
     import spark.implicits._
     val resolved = graft.api.VersionedDir.resolve(spark, indexPath)
     val (cvs, cids) = SimilaritySearch.collectCentroids(
-      spark.read.parquet(s"$resolved/_centroids"))
-    val thr = collectThresholds(spark.read.parquet(s"$resolved/_bqparams"))
+      graft.api.VersionedDir.readSide(spark, s"$resolved/_centroids"))
+    val thr = collectThresholds(graft.api.VersionedDir.readSide(spark, s"$resolved/_bqparams"))
     val expanded = probes.flatMap { case (qid, qv) =>
       val qb = bqEncodeLocal(qv, thr)
       SimilaritySearch.nearestCellsLocal(qv, cvs, cids, nProbe)
@@ -293,5 +293,5 @@ object BinaryQuantization {
 
   /** Thresholds of the ACTIVE index version. */
   def bqParamsRead(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"${graft.api.VersionedDir.resolve(spark, path)}/_bqparams")
+    graft.api.VersionedDir.readSide(spark, s"${graft.api.VersionedDir.resolve(spark, path)}/_bqparams")
 }

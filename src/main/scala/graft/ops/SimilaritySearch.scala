@@ -363,7 +363,7 @@ object SimilaritySearch {
     * ACTIVE version (guaranteed consistent with that version's cells).
     */
   def ivfCentroidsRead(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"${graft.api.VersionedDir.resolve(spark, path)}/_centroids")
+    graft.api.VersionedDir.readSide(spark, s"${graft.api.VersionedDir.resolve(spark, path)}/_centroids")
 
   /** Probe-side IVF search: each probe selects its `nProbe` nearest cells
     * with one kernel projection (array of cell ids, exploded), then an

@@ -255,7 +255,10 @@ object TextAnalysis {
     * the CLEANED text must contain ≥ `minSentences` sentence marks
     * (`[.!?]` count — the replayable approximation of C4's ≥ 3 sentences).
     * C4's bad-words list is a data seam (`blockedWords` over the
-    * lowercase-alnum token model); its 3-sentence span dedup is
+    * lowercase-alnum token model): the published pipeline ships the
+    * "List of Dirty, Naughty, Obscene..." blocklist, which we deliberately
+    * do NOT vendor — callers supply their list; the gate query exercises
+    * the mechanism with a synthetic token. C4's 3-sentence span dedup is
     * [[graft.ops.Dedup.spanDedup]] — compose on doc_id.
     *
     * Returns per document: line/sentence counters, the page-rule flags,
@@ -266,9 +269,11 @@ object TextAnalysis {
                minLineWords: Int = 5, minSentences: Int = 3,
                blockedWords: Seq[String] = Nil): DataFrame = {
     val g = c4_line_stats(col(textCol), minLineWords).as("__c4")
+    // evaluated in the SECOND projection, where textCol is already renamed
+    // to __t — must reference __t, not textCol (C4Spec pins a non-empty list)
     val badWordHit: Column =
       if (blockedWords.isEmpty) lit(false)
-      else marker_hits(col(textCol), blockedWords.map(_.toLowerCase)) > 0
+      else marker_hits(col("__t"), blockedWords.map(_.toLowerCase)) > 0
     docs.select(col("doc_id"), col(textCol).as("__t"), g)
       .select(col("doc_id"),
         col("__c4.n_lines").as("n_lines"),
