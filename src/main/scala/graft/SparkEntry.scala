@@ -896,10 +896,26 @@ object SparkEntry {
     },
     // cross-corpus dedup: the new "dump" (doc_id % 3 <> 0) flagged against
     // the reference corpus (doc_id % 3 = 0) — exact fingerprint semi-join +
-    // asymmetric capped minhash banding, new-vs-ref pairs only
+    // asymmetric capped minhash banding, new-vs-ref pairs only. The raw
+    // corpus shares no FUZZY near-dups across the split (only exact
+    // replicas), so every doc_id % 9 == 1 new doc becomes a mutated-SUFFIX
+    // copy of ref doc (doc_id - 1): J = (n-2)/(n+7) for an n-word ref —
+    // fuzzy-band territory (≈0.87 at the fixture's ~60 words), never exact,
+    // so the banding+verify path discriminates, not just the semi-join
     "q_cross_dedup" -> { (s, dir) =>
       val docs = docsPar(s, dir)
-      Dedup.crossCorpusDedup(docs.filter(col("doc_id") % 3 =!= 0),
+      val refT = docs.select(col("doc_id").as("__rid"), col("text").as("__rt"))
+      val newSide = docs.filter(col("doc_id") % 3 =!= 0)
+        .withColumn("__key",
+          when(col("doc_id") % 9 === 1, col("doc_id") - 1)
+            .when(col("doc_id") % 9 === 2, col("doc_id") - 2)
+            .otherwise(lit(-1L)))
+        .join(refT, col("__key") === col("__rid"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 9 === 1, concat(col("__rt"), lit(CrossDedupSuffix)))
+            .when(col("doc_id") % 9 === 2, col("__rt")) // verbatim → exact path
+            .otherwise(col("text")).as("text"))
+      Dedup.crossCorpusDedup(newSide,
           docs.filter(col("doc_id") % 3 === 0), threshold = 0.7,
           numHashes = 8, rowsPerBand = 2, shingleSize = 3,
           hotRefCap = HotBucketCap)
@@ -1864,6 +1880,10 @@ object SparkEntry {
     * ref = doc_id % 3 = 0, 8 hashes × 4 bands, 3-shingles, threshold 0.7,
     * capped ref buckets).
     */
+  /** Appended to ref-doc text to build the gate's fuzzy-only near-dups (a
+    * pure suffix mutation keeps all original shingles → J = (n-2)/(n+7)).
+    */
+  private val CrossDedupSuffix = " entirely fresh suffix words appended for the mutation test"
   private val crossDedupSql: String = {
     val shingles = s"list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
     val mhCols = (0 until 8).map(j =>
@@ -1871,7 +1891,15 @@ object SparkEntry {
     def bandRows(src: String) = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '_' || mh${2 * b + 1}) AS bucket FROM $src")
       .mkString(" UNION ALL ")
-    s"""WITH tn AS (SELECT doc_id, $sqlWords AS w FROM documents WHERE doc_id % 3 <> 0),
+    s"""WITH tn0 AS (SELECT a.doc_id,
+       |   CASE WHEN a.doc_id % 9 = 1 THEN b.text || ${sqlStr(CrossDedupSuffix)}
+       |        WHEN a.doc_id % 9 = 2 THEN b.text
+       |        ELSE a.text END AS text
+       |   FROM documents a LEFT JOIN documents b ON b.doc_id =
+       |     (CASE WHEN a.doc_id % 9 = 1 THEN a.doc_id - 1
+       |           WHEN a.doc_id % 9 = 2 THEN a.doc_id - 2 ELSE -1 END)
+       |   WHERE a.doc_id % 3 <> 0),
+       | tn AS (SELECT doc_id, $sqlWords AS w FROM tn0),
        | tr AS (SELECT doc_id, $sqlWords AS w FROM documents WHERE doc_id % 3 = 0),
        | fn AS (SELECT doc_id, md5(array_to_string(w, ' ')) AS fp FROM tn),
        | fr AS (SELECT DISTINCT md5(array_to_string(w, ' ')) AS fp FROM tr),

@@ -133,6 +133,30 @@ class DedupSpec extends AnyFunSuite {
     assert(r.size == 5) // one row per new doc, non-candidates included
   }
 
+  test("crossCorpusDedup: fuzzy-only dup at J≈0.82 proves the banding path") {
+    // 33 distinct words → 31 distinct 3-shingles; mutating MIDDLE word 17
+    // changes exactly the 3 windows covering it: J = 28/34 = 0.823529 —
+    // fuzzy-band territory the fingerprint semi-join cannot flag. An
+    // unmodified replica rides the exact path with verify J = 1.0.
+    val words = (1 to 33).map(i => s"w$i")
+    val ref = Seq((100L, words.mkString(" ")),
+      (101L, "unrelated reference page about gardens and growing tomatoes"))
+      .toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, words.updated(16, "mutated").mkString(" ")), // fuzzy-only
+      (2L, words.mkString(" ")),                        // exact replica
+      (3L, "astronomy telescopes and star charts for the night sky"))
+      .toDF("doc_id", "text")
+    val r = Dedup.crossCorpusDedup(neu, ref, threshold = 0.7)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r(1L).getAs[Boolean]("exact_dup"), r(1L).toString)
+    assert(r(1L).getAs[Double]("max_jaccard") == 0.823529, r(1L).toString)
+    assert(r(1L).getAs[Boolean]("dup"))
+    assert(r(2L).getAs[Boolean]("exact_dup") && r(2L).getAs[Boolean]("dup"))
+    assert(r(2L).getAs[Double]("max_jaccard") == 1.0)
+    assert(!r(3L).getAs[Boolean]("dup") && r(3L).getAs[Double]("max_jaccard") == 0.0)
+  }
+
   test("crossCorpusDedup: hot reference bucket capped to deterministic representatives") {
     // 10k identical ref docs: a new doc landing in that bucket must compare
     // against <= cap refs (the cap smallest ids), never the whole bucket
