@@ -223,6 +223,35 @@ object SparkEntry {
       case HNl => "\n"
     }.mkString
 
+  /** One 16-bit mono PCM WAV per id-key for q_audio_dedup: a sawtooth-ish
+    * integer waveform `s(i) = ((i·k) mod 65536) − 32768` with id-derived
+    * step `k = 17 + 3·(id%25)` and length `n = 400 + (id%25)·40` frames at
+    * 8 kHz — every sample, window boundary and energy is exact integer
+    * arithmetic, so the oracle recomputes the 64-bit audio fingerprint
+    * ([[ops.Multimodal.audioFingerprint64]]) from this formula alone and a
+    * hash match proves RIFF parse + sample decode + the whole fingerprint
+    * pipeline. n ≥ 400 ≥ 65 keeps every energy window non-empty.
+    */
+  private[graft] def synthWav(id: Long): Array[Byte] = {
+    val k = 17 + 3 * (id % 25)
+    val n = (400 + (id % 25) * 40).toInt
+    val le16 = (v: Int) => Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val le32 = (v: Int) => Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((i * k) % 65536 - 32768).toInt
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+  }
+
   /** Deterministic line-structured text for q_c4_filter: one shared segment
     * list drives BOTH the Spark generator column and the DuckDB `||` twin,
     * so the fixture is a pure function of doc_id (the corpus text has no
@@ -1286,6 +1315,21 @@ object SparkEntry {
         .map(id => (id, synthPng(id % 25)))
         .toDF("doc_id", "media")
       Multimodal.imageDedup(media, "doc_id").orderBy("doc_id")
+    },
+    // Audio-level perceptual dedup over REAL decoded PCM: 25 distinct
+    // synthetic WAVs shared by ~4 ids each (id % 25 keys the generator) are
+    // RIFF-parsed, sample-decoded and energy-fingerprinted — 65 equal
+    // windows, Σ sample² per window, one bit per adjacent-window energy
+    // gradient — then grouped. The oracle replays samples/windows/energies/
+    // bits/grouping from the generator formula (all integer arithmetic), so
+    // a match proves decode AND the whole fingerprint pipeline
+    "q_audio_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthWav(id % 25)))
+        .toDF("doc_id", "media")
+      Multimodal.audioDedup(media, "doc_id").orderBy("doc_id")
     },
     // REAL GIF pixel decode, gated like q_png_decode: a grayscale-palette
     // GIF is synthesized per doc (pixels a pure function of doc_id; LZW is
@@ -3445,6 +3489,25 @@ object SparkEntry {
         |   min(doc_id) AS canonical_id FROM r0 GROUP BY 1, 2)
         |SELECT r0.doc_id, r0.dhash_hi, r0.dhash_lo, grp.n_dups, grp.canonical_id
         |FROM r0 JOIN grp USING (dhash_hi, dhash_lo) ORDER BY r0.doc_id""".stripMargin,
+    "q_audio_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 25 AS k FROM documents WHERE doc_id < 100),
+        | p AS (SELECT DISTINCT k, 17 + 3 * k AS step, 400 + k * 40 AS n FROM d),
+        | s AS (SELECT p.k, p.n, g.i, ((g.i * p.step) % 65536) - 32768 AS v
+        |   FROM p, (SELECT unnest(generate_series(0, 1359)) AS i) g
+        |   WHERE g.i < p.n),
+        | en AS MATERIALIZED (SELECT k, (i * 65) // n AS win, sum(v * v) AS e
+        |   FROM s GROUP BY k, (i * 65) // n),
+        | bits AS (SELECT a.k, a.win, CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+        |   FROM en a JOIN en b ON a.k = b.k AND b.win = a.win + 1 WHERE a.win < 64),
+        | fp AS MATERIALIZED (SELECT k,
+        |   CAST(sum(CASE WHEN win >= 32 AND bit = 1 THEN (CAST(1 AS BIGINT) << (win - 32)) ELSE 0 END) AS BIGINT) AS afp_hi,
+        |   CAST(sum(CASE WHEN win < 32 AND bit = 1 THEN (CAST(1 AS BIGINT) << win) ELSE 0 END) AS BIGINT) AS afp_lo
+        |  FROM bits GROUP BY k),
+        | r0 AS (SELECT d.doc_id, fp.afp_hi, fp.afp_lo FROM d JOIN fp USING (k)),
+        | grp AS (SELECT afp_hi, afp_lo, CAST(count(*) AS BIGINT) AS n_dups,
+        |   min(doc_id) AS canonical_id FROM r0 GROUP BY 1, 2)
+        |SELECT r0.doc_id, r0.afp_hi, r0.afp_lo, grp.n_dups, grp.canonical_id
+        |FROM r0 JOIN grp USING (afp_hi, afp_lo) ORDER BY r0.doc_id""".stripMargin,
     "q_png_decode" ->
       """WITH d AS (SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS width,
         |    CAST(3 + doc_id % 7 AS BIGINT) AS height

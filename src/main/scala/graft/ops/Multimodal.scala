@@ -294,8 +294,10 @@ object Multimodal {
     private def le32(b: Array[Byte], i: Int): Int =
       (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
 
-    /** None for anything that is not an uncompressed PCM WAV. */
-    def decode(b: Array[Byte]): Option[Pcm] = {
+    private final case class Header(fmt: Int, channels: Int, rate: Int,
+                                    bits: Int, dataOff: Int, dataLen: Int)
+
+    private def parseHeader(b: Array[Byte]): Option[Header] = {
       if (b.length < 12 || HeaderCodec.sniffFormat(b) != "wav" ||
           !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
       var fmt = 0; var channels = 0; var rate = 0; var bits = 0
@@ -323,27 +325,62 @@ object Multimodal {
       val supported = (fmt == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) ||
         (fmt == 3 && bits == 32)
       if (!supported || channels <= 0 || dataOff < 0) None
-      else {
-        val bytesPer = bits / 8
-        val n = dataLen / bytesPer
-        val out = new Array[Float](n)
-        var j = 0
-        while (j < n) {
-          val o = dataOff + j * bytesPer
-          out(j) = bits match {
-            case 8  => ((b(o) & 0xFF) - 128).toFloat / 128f
-            case 16 => le16(b, o).toShort.toFloat / 32768f
-            case 24 =>
-              val u = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16)
-              (if ((u & 0x800000) != 0) u - 0x1000000 else u).toFloat / 8388608f
-            case _ =>
-              if (fmt == 3) java.lang.Float.intBitsToFloat(le32(b, o))
-              else le32(b, o).toFloat / 2147483648f
-          }
-          j += 1
+      else Some(Header(fmt, channels, rate, bits, dataOff, dataLen))
+    }
+
+    /** None for anything that is not an uncompressed PCM WAV. */
+    def decode(b: Array[Byte]): Option[Pcm] = parseHeader(b).map { h =>
+      val bytesPer = h.bits / 8
+      val n = h.dataLen / bytesPer
+      val out = new Array[Float](n)
+      var j = 0
+      while (j < n) {
+        val o = h.dataOff + j * bytesPer
+        out(j) = h.bits match {
+          case 8  => ((b(o) & 0xFF) - 128).toFloat / 128f
+          case 16 => le16(b, o).toShort.toFloat / 32768f
+          case 24 =>
+            val u = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16)
+            (if ((u & 0x800000) != 0) u - 0x1000000 else u).toFloat / 8388608f
+          case _ =>
+            if (h.fmt == 3) java.lang.Float.intBitsToFloat(le32(b, o))
+            else le32(b, o).toFloat / 2147483648f
         }
-        Some(Pcm(channels, rate, bits, out))
+        j += 1
       }
+      Pcm(h.channels, h.rate, h.bits, out)
+    }
+
+    /** Interleaved INTEGER samples at a common 16-bit reference scale
+      * (8-bit recentred then <<8, 24/32-bit arithmetic-shifted down, float
+      * PCM rounded and clamped to the 16-bit range). Integer-exact for the
+      * integer formats, so downstream fingerprints are replayable by an SQL
+      * oracle; None for anything that is not an uncompressed PCM WAV.
+      */
+    final case class IntPcm(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                            samples: Array[Long])
+    def decodeInt16(b: Array[Byte]): Option[IntPcm] = parseHeader(b).map { h =>
+      val bytesPer = h.bits / 8
+      val n = h.dataLen / bytesPer
+      val out = new Array[Long](n)
+      var j = 0
+      while (j < n) {
+        val o = h.dataOff + j * bytesPer
+        out(j) = h.bits match {
+          case 8  => (((b(o) & 0xFF) - 128) << 8).toLong
+          case 16 => le16(b, o).toShort.toLong
+          case 24 =>
+            val u = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16)
+            (if ((u & 0x800000) != 0) u - 0x1000000 else u).toLong >> 8
+          case _ =>
+            if (h.fmt == 3) {
+              val v = java.lang.Float.intBitsToFloat(le32(b, o))
+              math.max(-32768L, math.min(32767L, math.rint(v * 32768f).toLong))
+            } else le32(b, o).toLong >> 16
+        }
+        j += 1
+      }
+      IntPcm(h.channels, h.rate, h.bits, out)
     }
 
     /** Per-frame features over `frameSize` sample-frame windows (channel-
@@ -687,6 +724,107 @@ object Multimodal {
     val cand = Dedup.cappedBucketPairs(bands, hotBucketCap)
     val ha = hashed.select(col("doc_id").as("id_a"), col("dhash").as("__ha"))
     val hb = hashed.select(col("doc_id").as("id_b"), col("dhash").as("__hb"))
+    cand.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit audio difference-fingerprint — the audio twin of [[dhash64]]
+    * (energy envelope instead of luma grid): interleaved 16-bit-reference
+    * integer samples are mono-mixed by per-frame channel SUM (no division —
+    * replayable), split into 65 equal time windows (window of frame i =
+    * `i*65/n`, integer arithmetic), each window's energy = Σ (frame sum)²,
+    * and bit b says `energy[b] < energy[b+1]`. Like dHash, comparing
+    * ADJACENT windows makes the fingerprint invariant to uniform gain
+    * (scaling every sample scales every energy by the same factor) and to
+    * container/bit-depth re-encodes of the same signal, while reorderings
+    * and different material flip bits. Everything is exact Long arithmetic
+    * (worst case: |frame sum| ≤ 2¹⁵·ch, squared ≤ 2³⁰·ch², summed over a
+    * window — 2⁵² at a million frames stereo), so the q_audio_dedup DuckDB
+    * oracle replays the hash bit-for-bit from the fixture generator.
+    * Returns 0 for an empty sample stream.
+    */
+  private[ops] def audioFingerprint64(samples: Array[Long], channels: Int): Long = {
+    val n = samples.length / math.max(1, channels)
+    if (n == 0) return 0L
+    val energy = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      var s = 0L
+      var c = 0
+      while (c < channels) { s += samples(i * channels + c); c += 1 }
+      energy(((i.toLong * 65L) / n).toInt) += s * s
+      i += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (energy(b) < energy(b + 1)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** Per-clip fingerprint rows: (id, sample_rate, n_frames, afp). Decode +
+    * hash run inside the partition — only ~28 bytes per clip flow on (the
+    * audio bytes never cross a shuffle); non-PCM/corrupt rows yield
+    * nothing, like [[audioFrameFeatures]].
+    */
+  def audioFingerprintDF(df: DataFrame, idCol: String, binaryCol: String = "media"): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("sample_rate", LongType),
+      StructField("n_frames", LongType),
+      StructField("afp", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else scala.util.Try(PcmCodec.decodeInt16(bytes)).toOption.flatten.iterator.map { p =>
+          Row(r.get(idIdx), p.sampleRate.toLong,
+            (p.samples.length / math.max(1, p.channels)).toLong,
+            audioFingerprint64(p.samples, p.channels))
+        }
+      }
+    }
+  }
+
+  /** Audio-level perceptual dedup: group by fingerprint — the audio twin of
+    * [[imageDedup]], same posture (one map-side-combined exchange of 8-byte
+    * hashes, keeper = min id; the hash rides as two non-negative 32-bit
+    * halves so integer replays never touch the sign bit).
+    */
+  def audioDedup(df: DataFrame, idCol: String, binaryCol: String = "media"): DataFrame = {
+    val hashed = audioFingerprintDF(df, idCol, binaryCol)
+      .select(col(idCol), shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
+        col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
+    val groups = hashed.groupBy("afp_hi", "afp_lo")
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
+    hashed.join(groups, Seq("afp_hi", "afp_lo"))
+      .select(col(idCol), col("afp_hi"), col("afp_lo"),
+        col("n_dups"), col("canonical_id"))
+  }
+
+  /** Near-duplicate audio pairs by fingerprint Hamming distance: 16-bit
+    * bands block candidates (exact cover for Hamming ≤ 3), capped hot
+    * buckets, exact popcount verify — the audio twin of
+    * [[imageNearDupPairs]].
+    */
+  def audioNearDupPairs(df: DataFrame, idCol: String, binaryCol: String = "media",
+                        maxHamming: Int = 3, hotBucketCap: Int = 64): DataFrame = {
+    val hashed = audioFingerprintDF(df, idCol, binaryCol)
+      .select(col(idCol).as("doc_id"), col("afp"))
+    val bands = (0 until 4).map(bnd =>
+      hashed.select(col("doc_id"), lit(bnd.toLong).as("band"),
+        shiftrightunsigned(col("afp"), bnd * 16).bitwiseAND(lit(0xFFFFL)).as("bucket")))
+      .reduce(_.unionByName(_))
+    val cand = Dedup.cappedBucketPairs(bands, hotBucketCap)
+    val ha = hashed.select(col("doc_id").as("id_a"), col("afp").as("__ha"))
+    val hb = hashed.select(col("doc_id").as("id_b"), col("afp").as("__hb"))
     cand.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
