@@ -38,6 +38,25 @@ class PlanSpec extends AnyFunSuite {
     self + extra + p.children.map(shuffleCount).sum
   }
 
+  /** Output column names of every shuffle exchange in the tree (through
+    * adaptive/stage wrappers) — for pinning WHAT crosses the wire, not
+    * just how often.
+    */
+  private def exchangeOutputs(p: org.apache.spark.sql.execution.SparkPlan): Seq[Seq[String]] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = p match {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        Seq(e.output.map(_.name))
+      case _ => Nil
+    }
+    val extra = p match {
+      case a: AdaptiveSparkPlanExec => exchangeOutputs(a.executedPlan)
+      case q: QueryStageExec => exchangeOutputs(q.plan)
+      case _ => Nil
+    }
+    here ++ extra ++ p.children.flatMap(exchangeOutputs)
+  }
+
   private val rnd = new scala.util.Random(7)
   private lazy val items = (0L until 200L)
     .map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
@@ -223,6 +242,40 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Dedup.minhashLshCandidates(docs, "text", numHashes = 8,
       rowsPerBand = 2, shingleSize = 3, hotBucketCap = 64))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("media dedup: payload bytes never cross an exchange (hash rows only)") {
+    // the 100 TB posture of image/audio dedup: decode + fingerprint run
+    // inside the scan partition and only ~28-byte (id, hash) rows shuffle —
+    // a media column leaking into an exchange would ship the corpus bytes
+    val clips = (0 until 40).map(i => (i.toLong, SparkEntry.synthWav(i % 5)))
+      .toDF("doc_id", "media")
+    val audio = graft.ops.Multimodal.audioDedup(clips, "doc_id")
+    audio.collect()
+    val aEx = exchangeOutputs(audio.queryExecution.executedPlan)
+    assert(aEx.nonEmpty && aEx.forall(cols => !cols.contains("media")), aEx.toString)
+    val imgs = (0 until 40).map(i => (i.toLong, SparkEntry.synthPng(i % 5)))
+      .toDF("doc_id", "media")
+    val image = graft.ops.Multimodal.imageDedup(imgs, "doc_id")
+    image.collect()
+    val iEx = exchangeOutputs(image.queryExecution.executedPlan)
+    assert(iEx.nonEmpty && iEx.forall(cols => !cols.contains("media")), iEx.toString)
+  }
+
+  test("crossCorpusDedup: text never crosses an exchange; ref cap is map-side") {
+    val docs = (0L until 50L).map(i =>
+      (i, s"words making up document number $i with a shared tail of tokens"))
+      .toDF("doc_id", "text")
+    val df = Dedup.crossCorpusDedup(docs.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(col("doc_id") % 3 === 0), threshold = 0.5)
+    df.collect()
+    val p = plan(df)
+    // hot-ref capping must stay a WindowGroupLimit (bounded per-task state),
+    // and the document text itself must never ride a shuffle — exchanges
+    // carry (id, band, bucket) triples and candidate shingle arrays only
+    assert(p.contains("WindowGroupLimit"), p)
+    val ex = exchangeOutputs(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty && ex.forall(cols => !cols.contains("text")), ex.toString)
   }
 
   test("repetitionSignals is one kernel scan — zero exchanges") {
