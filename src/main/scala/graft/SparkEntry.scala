@@ -307,6 +307,40 @@ object SparkEntry {
     s"(CASE WHEN doc_id % 17 = 0 THEN ${sqlStr(C4Degenerate)} ELSE ${base.mkString(" || ")} END)"
   }
 
+  /** doc_id-conditional suffixes for q_gopher_filter (same shared-segment
+    * discipline as [[synthC4TextCol]]): the corpus text is single-line with
+    * ZERO Gopher stopwords, so without synthesis only the word-count rule
+    * discriminates (round-11 run: rule_stop false and keep=false for all
+    * 500 docs, five rules constant-true). Each segment pushes one rule
+    * across its threshold for a doc_id stratum, with margins that hold
+    * across the fixture's 10–99-word range: non-%5 docs gain a
+    * stopword-rich tail (rule_stop true; %5 docs keep the stopword-free
+    * base → false), %7 floods 150 one-char words (mean word length < 3),
+    * %11 floods `a###` words (120 hash chars → symbol ratio > 0.1, still
+    * alpha so rules stay decoupled), %19 floods digit words (alpha
+    * fraction < 0.8), %13 appends 12 bullet lines (bullet fraction
+    * 12/13 > 0.9), %17 appends an ellipsis-terminated line (1/2 > 0.3).
+    * `(modulus, fireOnEquals, segment)`; both the Column and the SQL twin
+    * derive from this one list.
+    */
+  private val GopherSegs: Seq[(Int, Boolean, String)] = Seq(
+    (5, false, " we kept the rest of that story"),
+    (7, true, " " + Seq.fill(150)("a").mkString(" ")),
+    (11, true, " " + Seq.fill(40)("a###").mkString(" ")),
+    (19, true, " " + Seq.fill(40)("1234").mkString(" ")),
+    (13, true, (1 to 12).map(i => s"\n- bullet item $i").mkString),
+    (17, true, "\nAnd the tale continued on..."))
+  private def gopherSynthCol: Column = concat(col("text") +: GopherSegs.map {
+    case (m, eq, s) =>
+      val cond = if (eq) col("doc_id") % m === 0 else col("doc_id") % m =!= 0
+      when(cond, lit(s)).otherwise(lit(""))
+  }: _*)
+  private def gopherSynthSql: String = "text || " + GopherSegs.map {
+    case (m, eq, s) =>
+      val op = if (eq) "=" else "<>"
+      s"(CASE WHEN doc_id % $m $op 0 THEN ${sqlStrCtl(s)} ELSE '' END)"
+  }.mkString(" || ")
+
   /** HTTP response head for the WARC fixture (ASCII, so its byte length is
     * its char length — the SQL twin embeds the constant).
     */
@@ -1033,9 +1067,13 @@ object SparkEntry {
       TextAnalysis.repetitionSignals(docsPar(s, dir)).orderBy("doc_id")
     },
     // the Gopher quality rule set (Rae et al. 2021 Table A1): per-doc
-    // signals + one boolean per rule + keep, one kernel pass, no shuffle
+    // signals + one boolean per rule + keep, one kernel pass, no shuffle.
+    // doc_id-conditional suffixes (GopherSegs) make every rule fire both
+    // ways across the fixture — the raw corpus text exercised only the
+    // word-count rule
     "q_gopher_filter" -> { (s, dir) =>
-      TextAnalysis.gopherFilter(docsPar(s, dir)).orderBy("doc_id")
+      val synth = docsPar(s, dir).select(col("doc_id"), gopherSynthCol.as("text"))
+      TextAnalysis.gopherFilter(synth).orderBy("doc_id")
     },
     // the C4 line-level cleaning rules (Raffel et al. 2020 §2.2): terminal
     // punctuation / >=5-word / no-javascript lines, lorem-ipsum + brace +
@@ -3211,10 +3249,11 @@ object SparkEntry {
          |FROM t LEFT JOIN bigc USING (doc_id) LEFT JOIN tric USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "q_gopher_filter" ->
-      s"""WITH t AS (SELECT doc_id, text,
+      s"""WITH d AS (SELECT doc_id, $gopherSynthSql AS text FROM documents),
+         | t AS (SELECT doc_id, text,
          |   list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '') AS wsw,
          |   $sqlWords AS aw,
-         |   string_split(text, chr(10)) AS lines FROM documents),
+         |   string_split(text, chr(10)) AS lines FROM d),
          | m AS (SELECT doc_id,
          |   CAST(len(wsw) AS BIGINT) AS n_words,
          |   CAST(coalesce(list_sum(list_transform(wsw, w -> length(w))), 0) AS DOUBLE) AS word_chars,
