@@ -341,6 +341,69 @@ object SparkEntry {
       s"(CASE WHEN doc_id % $m $op 0 THEN ${sqlStrCtl(s)} ELSE '' END)"
   }.mkString(" || ")
 
+  /** q_lang_id fixture: the corpus is English-only (de/fr/es hits were 0
+    * for every doc), so doc_id strata append 3× a language's full marker
+    * list — 30 target-language hits dominate both the base English hits
+    * and the cross-language marker overlap (fr/es share `la un que`: 9
+    * hits), flipping lang_pred per stratum while %4==0 docs keep the
+    * base en/und behavior.
+    */
+  private def langMarkerSuffix(lang: String): String =
+    " " + Seq.fill(3)(ops.TextAnalysis.LangMarkers(lang).mkString(" ")).mkString(" ")
+  private def langIdSynthCol: Column = concat(col("text"),
+    when(col("doc_id") % 4 === 1, lit(langMarkerSuffix("de")))
+      .when(col("doc_id") % 4 === 2, lit(langMarkerSuffix("fr")))
+      .when(col("doc_id") % 4 === 3, lit(langMarkerSuffix("es")))
+      .otherwise(lit("")))
+  private def langIdSynthSql: String =
+    s"""text || (CASE WHEN doc_id % 4 = 1 THEN ${sqlStr(langMarkerSuffix("de"))}
+       |  WHEN doc_id % 4 = 2 THEN ${sqlStr(langMarkerSuffix("fr"))}
+       |  WHEN doc_id % 4 = 3 THEN ${sqlStr(langMarkerSuffix("es"))}
+       |  ELSE '' END)""".stripMargin
+
+  /** q_quality fixture: the corpus text has zero punctuation (punct_ratio
+    * was 0.0 for every doc), so %6==0 docs gain a punctuation-dense tail —
+    * the penalty branch of the quality formula finally discriminates.
+    */
+  private val QualityPunctTail = " well, punctuated; more: (text)! and the end of it."
+  private def qualitySynthCol: Column = concat(col("text"),
+    when(col("doc_id") % 6 === 0, lit(QualityPunctTail)).otherwise(lit("")))
+  private def qualitySynthSql: String =
+    s"text || (CASE WHEN doc_id % 6 = 0 THEN ${sqlStr(QualityPunctTail)} ELSE '' END)"
+
+  /** Exact-dup injection shared by q_clean_pipeline / q_corpus_report
+    * (the raw corpus has no exact duplicates): %11==1 docs repeat
+    * doc_id-1 verbatim, so the pipeline's canonical/dedup stage and the
+    * report's n_dups column discriminate at the gate.
+    */
+  private def dupInjectedDocs(docs: DataFrame): DataFrame = {
+    val refT = docs.select(col("doc_id").as("__rid"), col("text").as("__rt"))
+    docs
+      .withColumn("__key",
+        when(col("doc_id") % 11 === 1, col("doc_id") - 1).otherwise(lit(-1L)))
+      .join(refT, col("__key") === col("__rid"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 1, col("__rt")).otherwise(col("text")).as("text"))
+  }
+
+  /** q_boilerplate fixture: every doc's extracted page kept exactly 2
+    * lines (the shared HTML template is structurally constant), so the
+    * keep/drop rule never discriminated. doc_id strata append extra lines
+    * INSIDE the wrapped text — a 3-word nav-ish line that the filter must
+    * drop plus terminal-punctuated sentences it must keep — so
+    * n_lines_kept varies {2,3,4} across docs and the dropped-line path is
+    * exercised mid-document.
+    */
+  private val BoilerSegs: Seq[(Int, String)] = Seq(
+    (3, "\nnav menu link\nThis extra paragraph sentence is long enough to keep."),
+    (7, "\nAnother kept sentence arrives at the very end!"))
+  private def boilerSynthCol: Column = concat(col("text") +: BoilerSegs.map {
+    case (m, s) => when(col("doc_id") % m === 0, lit(s)).otherwise(lit(""))
+  }: _*)
+  private def boilerSynthSql: String = "text || " + BoilerSegs.map {
+    case (m, s) => s"(CASE WHEN doc_id % $m = 0 THEN ${sqlStrCtl(s)} ELSE '' END)"
+  }.mkString(" || ")
+
   /** HTTP response head for the WARC fixture (ASCII, so its byte length is
     * its char length — the SQL twin embeds the constant).
     */
@@ -892,8 +955,25 @@ object SparkEntry {
           emb.filter(col("label") === 0), threshold = 0.3, nCells = 16, nProbe = 4)
         .orderBy("vec_id")
     },
+    // the raw corpus has zero exact duplicates, so the fixture injects
+    // them: %11==1 docs repeat doc_id-1 verbatim and %13==2 docs repeat
+    // doc_id-2 UPPERCASED — the latter collides only because Dedup.exact
+    // hashes the normalized (lowercase-token) stream, proving the
+    // normalization, not just the groupBy
     "q_dedup_exact" -> { (s, dir) =>
-      Dedup.exact(docsPar(s, dir)).orderBy("content_hash")
+      val docs = docsPar(s, dir)
+      val refT = docs.select(col("doc_id").as("__rid"), col("text").as("__rt"))
+      val synth = docs
+        .withColumn("__key",
+          when(col("doc_id") % 11 === 1, col("doc_id") - 1)
+            .when(col("doc_id") % 13 === 2, col("doc_id") - 2)
+            .otherwise(lit(-1L)))
+        .join(refT, col("__key") === col("__rid"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 1, col("__rt"))
+            .when(col("doc_id") % 13 === 2, upper(col("__rt")))
+            .otherwise(col("text")).as("text"))
+      Dedup.exact(synth).orderBy("content_hash")
         .select(col("content_hash"), col("n_dups").cast("long").as("n_dups"), col("canonical_id"))
     },
     // SemDeDup (Abbas et al. 2023): IVF-cluster the embeddings, drop items
@@ -1020,8 +1100,13 @@ object SparkEntry {
         .orderBy("doc_id")
     },
     // fused one-scan keep/drop decision pass (lang + quality + tokens + canonicality)
+    // %11==1 docs repeat doc_id-1 verbatim (q_dedup_exact pattern): the
+    // raw corpus has no exact dups, so is_canonical was 1 for all 500
+    // rows and the pipeline's dedup stage proved nothing at the gate.
+    // q_corpus_report uses the SAME synthesized input (its oracle wraps
+    // this gate's SQL), so its n_dups column is non-zero too
     "q_clean_pipeline" -> { (s, dir) =>
-      TextAnalysis.cleanPipeline(docsPar(s, dir))
+      TextAnalysis.cleanPipeline(dupInjectedDocs(docsPar(s, dir)))
         .select(col("doc_id"), col("lang_pred"), col("quality"),
           col("n_tokens").cast("long").as("n_tokens"), col("exact_fp"),
           col("is_canonical").cast("int").as("is_canonical"),
@@ -1032,7 +1117,7 @@ object SparkEntry {
     // exact micro-unit quality sum in ONE aggregation over the fused clean
     // pass — the executive-summary scan a curation run starts from
     "q_corpus_report" -> { (s, dir) =>
-      TextAnalysis.cleanPipeline(docsPar(s, dir))
+      TextAnalysis.cleanPipeline(dupInjectedDocs(docsPar(s, dir)))
         .groupBy("lang_pred")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("n_tokens"),
@@ -1046,10 +1131,12 @@ object SparkEntry {
       TextAnalysis.tokenStats(docsPar(s, dir)).orderBy("doc_id")
     },
     "q_quality" -> { (s, dir) =>
-      TextAnalysis.qualityScore(docsPar(s, dir)).orderBy("doc_id")
+      val synth = docsPar(s, dir).select(col("doc_id"), qualitySynthCol.as("text"))
+      TextAnalysis.qualityScore(synth).orderBy("doc_id")
     },
     "q_lang_id" -> { (s, dir) =>
-      TextAnalysis.langId(docsPar(s, dir))
+      val synth = docsPar(s, dir).select(col("doc_id"), langIdSynthCol.as("text"))
+      TextAnalysis.langId(synth)
         .select(col("doc_id"), col("en_hits").cast("long").as("en_hits"),
           col("de_hits").cast("long").as("de_hits"), col("fr_hits").cast("long").as("fr_hits"),
           col("es_hits").cast("long").as("es_hits"), col("lang_pred"))
@@ -1139,7 +1226,12 @@ object SparkEntry {
           lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
           lit(".1 tel +1 555-01"),
-          lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("text"))
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          // a second email for every third doc so the COUNTS discriminate
+          // (n_emails was 1 for all 500 rows)
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" cc alt"), col("doc_id").cast("string"), lit("@test.org")))
+            .otherwise(lit(""))).as("text"))
       TextAnalysis.redactPii(withPii)
         .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
           md5(col("redacted")).as("redacted_md5"))
@@ -1297,7 +1389,7 @@ object SparkEntry {
     // line-level boilerplate filter over the extracted text (jusText-lite:
     // a line survives with >= 5 words or terminal punctuation)
     "q_boilerplate" -> { (s, dir) =>
-      val html = docsPar(s, dir).select(col("doc_id"), col("text"))
+      val html = docsPar(s, dir).select(col("doc_id"), boilerSynthCol.as("text"))
         .withColumn("html", synthHtmlCol)
       val filtered = ops.Html.dropBoilerplateLines(ops.Html.extractText(html))
       filtered.select(col("doc_id"),
@@ -2220,7 +2312,11 @@ object SparkEntry {
   private val cleanPipelineSql: String = {
     def h(lang: String, markers: Seq[String]): String =
       s"CAST(len(list_filter(w, x -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], x))) AS BIGINT) AS ${lang}_hits"
-    s"""WITH t AS (SELECT doc_id, text, $sqlWords AS w FROM documents),
+    s"""WITH d AS (SELECT a.doc_id,
+       |   CASE WHEN a.doc_id % 11 = 1 THEN b.text ELSE a.text END AS text
+       |   FROM documents a LEFT JOIN documents b ON b.doc_id =
+       |     (CASE WHEN a.doc_id % 11 = 1 THEN a.doc_id - 1 ELSE -1 END)),
+       | t AS (SELECT doc_id, text, $sqlWords AS w FROM d),
        | m AS (SELECT doc_id, text, w,
        |   CAST(len(w) AS DOUBLE) AS n_words,
        |   CAST(len(regexp_extract_all(text, '[.,;:!?''"()]')) AS DOUBLE) AS punct,
@@ -3169,9 +3265,16 @@ object SparkEntry {
     "q_incremental_diff" ->
       "SELECT doc_id FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id",
     "q_dedup_exact" ->
-      s"""SELECT md5(array_to_string($sqlWords, ' ')) AS content_hash,
+      s"""WITH d AS (SELECT a.doc_id,
+         |   CASE WHEN a.doc_id % 11 = 1 THEN b.text
+         |        WHEN a.doc_id % 13 = 2 THEN upper(b.text)
+         |        ELSE a.text END AS text
+         |   FROM documents a LEFT JOIN documents b ON b.doc_id =
+         |     (CASE WHEN a.doc_id % 11 = 1 THEN a.doc_id - 1
+         |           WHEN a.doc_id % 13 = 2 THEN a.doc_id - 2 ELSE -1 END))
+         |SELECT md5(array_to_string($sqlWords, ' ')) AS content_hash,
          |  CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS canonical_id
-         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+         |FROM d GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "q_semdedup" -> semDedupSql,
     "q_unigram_encode" -> unigramEncodeSql,
     "q_wordpiece" -> wordpieceSql,
@@ -3195,7 +3298,8 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_quality" ->
-      s"""WITH t AS (SELECT doc_id, text, $sqlWords AS w FROM documents),
+      s"""WITH d AS (SELECT doc_id, $qualitySynthSql AS text FROM documents),
+         | t AS (SELECT doc_id, text, $sqlWords AS w FROM d),
          | m AS (SELECT doc_id,
          |   CAST(len(w) AS DOUBLE) AS n_words,
          |   CAST(len(regexp_extract_all(text, '[.,;:!?''"()]')) AS DOUBLE) AS punct,
@@ -3210,7 +3314,8 @@ object SparkEntry {
     "q_lang_id" -> {
       def h(lang: String, markers: Seq[String]): String =
         s"CAST(len(list_filter(w, x -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], x))) AS BIGINT) AS ${lang}_hits"
-      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+      s"""WITH d AS (SELECT doc_id, $langIdSynthSql AS text FROM documents),
+         | t AS (SELECT doc_id, $sqlWords AS w FROM d),
          | m AS (SELECT doc_id, ${h("en", TextAnalysis.LangMarkers("en"))}, ${h("de", TextAnalysis.LangMarkers("de"))},
          |   ${h("fr", TextAnalysis.LangMarkers("fr"))}, ${h("es", TextAnalysis.LangMarkers("es"))} FROM t)
          |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
@@ -3337,7 +3442,9 @@ object SparkEntry {
       val phone = "\\+\\d[\\d\\- ]{5,}\\d"
       s"""WITH p AS (SELECT doc_id, text || ' contact user' || doc_id ||
          |   '@example.com or 10.0.' || (doc_id % 256) || '.1 tel +1 555-01' ||
-         |   lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text FROM documents),
+         |   lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+         |   (CASE WHEN doc_id % 3 = 0 THEN ' cc alt' || doc_id || '@test.org' ELSE '' END) AS text
+         |  FROM documents),
          | s1 AS (SELECT doc_id, len(regexp_extract_all(text, '$email')) AS n_emails,
          |   regexp_replace(text, '$email', '[EMAIL]', 'g') AS t1 FROM p),
          | s2 AS (SELECT doc_id, n_emails, len(regexp_extract_all(t1, '$ip')) AS n_ipv4,
@@ -3481,7 +3588,8 @@ object SparkEntry {
          |FROM c GROUP BY url_canon ORDER BY url_canon""".stripMargin,
     "q_boilerplate" -> {
       val (ctes, last) = htmlExtractSqlCtes
-      s"""WITH h AS (SELECT doc_id, $synthHtmlSql AS t FROM documents),
+      s"""WITH b AS (SELECT doc_id, $boilerSynthSql AS text FROM documents),
+         | h AS (SELECT doc_id, $synthHtmlSql AS t FROM b),
          | ${ctes.mkString(",\n ")},
          | kept AS (SELECT doc_id, array_to_string(list_filter(string_split(t, chr(10)),
          |   ln -> len(regexp_extract_all(ln, '[^ ]+')) >= 5 OR regexp_matches(ln, '[.!?]${"$"}')), chr(10)) AS t
