@@ -1064,6 +1064,19 @@ object SparkEntry {
           hotRefCap = HotBucketCap)
         .orderBy("doc_id")
     },
+    // cross-corpus SEMANTIC dedup: the new "dump" embeddings (vec_id % 3
+    // <> 0) flagged against the reference (vec_id % 3 = 0) — both sides
+    // hyperplane-LSH-bucketed (2 rotations), ref side capped, new-vs-ref
+    // cosine verify only; threshold 0.3 where the fixture has real
+    // cross-split neighbors
+    "q_cross_dedup_semantic" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Dedup.crossCorpusNearDupEmbedding(
+          emb.filter(col("vec_id") % 3 =!= 0), emb.filter(col("vec_id") % 3 === 0),
+          dims = 64, bits = 8, threshold = 0.3,
+          hotRefCap = HotBucketCap, rotations = 2)
+        .orderBy("doc_id")
+    },
     // sequence packing under a 512-token budget — the global cumsum is a
     // parallel prefix sum over data-derived id-range groups, never a
     // single-partition window (targetGroups forced > 1 at this corpus size)
@@ -2277,6 +2290,35 @@ object SparkEntry {
   }
   private val nearDupLshSql: String = nearDupLshSqlFor(1)
 
+  /** DuckDB twin of q_cross_dedup_semantic: both corpus halves bucketed by
+    * the same md5-hyperplane LSH as the Spark side, reference side capped
+    * per (band, bucket), new-vs-ref candidates only, exact cosine verify.
+    */
+  private val crossDedupSemanticSql: String = {
+    def bands(src: String) = (0 until 2).map { r =>
+      s"SELECT doc_id, $r AS band, ${lshBucketSql("embedding", planeOffset = r * 8)} AS bucket FROM $src"
+    }.mkString(" UNION ALL ")
+    s"""WITH nw AS (SELECT vec_id AS doc_id, embedding FROM embeddings WHERE vec_id % 3 <> 0),
+       | rf AS (SELECT vec_id AS doc_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+       | bn AS (${bands("nw")}),
+       | br AS (${bands("rf")}),
+       | brc AS (SELECT doc_id, band, bucket FROM (
+       |   SELECT doc_id, band, bucket,
+       |     row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn FROM br)
+       |   WHERE rn <= $HotBucketCap),
+       | cand AS (SELECT DISTINCT n.doc_id, r.doc_id AS ref_id
+       |   FROM bn n JOIN brc r ON n.band = r.band AND n.bucket = r.bucket),
+       | agg AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_ref_candidates,
+       |   max(round(${sqlCos("a.embedding", "b.embedding")}, 6)) AS max_cos
+       |   FROM cand c JOIN nw a ON a.doc_id = c.doc_id JOIN rf b ON b.doc_id = c.ref_id
+       |   GROUP BY c.doc_id)
+       |SELECT nw.doc_id,
+       |  coalesce(agg.n_ref_candidates, 0) AS n_ref_candidates,
+       |  coalesce(agg.max_cos, 0.0) AS max_cos,
+       |  (coalesce(agg.max_cos, 0.0) >= 0.3) AS dup
+       |FROM nw LEFT JOIN agg USING (doc_id) ORDER BY nw.doc_id""".stripMargin
+  }
+
   private val ngramJaccardSql: String = {
     val shingles = s"list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
     s"""WITH t AS (SELECT doc_id, lang, $sqlWords AS w FROM documents WHERE doc_id % 5 = 0),
@@ -3283,6 +3325,7 @@ object SparkEntry {
     "q_simhash_pairs" -> simhashPairsSql,
     "q_lsh_pairs" -> lshPairsSql,
     "q_cross_dedup" -> crossDedupSql,
+    "q_cross_dedup_semantic" -> crossDedupSemanticSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_near_dup_lsh" -> nearDupLshSql,
     "q_near_dup_lsh_multi" -> nearDupLshSqlFor(2),

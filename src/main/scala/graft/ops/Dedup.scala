@@ -544,6 +544,57 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Cross-corpus SEMANTIC dedup: flag NEW-corpus embeddings whose cosine
+    * to ANY reference embedding reaches `threshold` — the embedding twin of
+    * [[crossCorpusDedup]] (dedup this dump's vectors against every prior
+    * dump) and the cross-corpus cell of the near-dup family matrix
+    * (text×within = [[minhashLsh]], text×cross = [[crossCorpusDedup]],
+    * embedding×within = [[embeddingNearDupLsh]], embedding×cross = this).
+    *
+    * Both sides are corpus-scale, so neither is broadcast (that posture is
+    * [[semanticDecontaminate]]'s, where the eval side is benchmark-sized):
+    * both sides bucket by the shared random-hyperplane LSH
+    * ([[graft.ops.SimilaritySearch.lshBucket]], `rotations` independent
+    * bands for recall), the REFERENCE side of each (band, bucket) is
+    * capped to the `hotRefCap` smallest ids (rank ≤ cap compiles to
+    * WindowGroupLimit — bounded per-task state, deterministic
+    * representatives), candidates are (new, ref) pairs only — never
+    * ref×ref — and exact cosine verifies. Returns one row per NEW item:
+    * `n_ref_candidates`, `max_cos` (0.0 when no candidates), and
+    * `dup = max_cos >= threshold`.
+    */
+  def crossCorpusNearDupEmbedding(newEmb: DataFrame, refEmb: DataFrame,
+                                  dims: Int, bits: Int = 8,
+                                  threshold: Double = 0.9,
+                                  idCol: String = "vec_id", vecCol: String = "embedding",
+                                  hotRefCap: Int = 64, rotations: Int = 1): DataFrame = {
+    require(rotations >= 1, s"need >= 1 rotation, got $rotations")
+    require(hotRefCap > 0, s"hotRefCap must be positive: $hotRefCap")
+    def buckets(df: DataFrame) = (0 until rotations).map { r =>
+      df.select(col(idCol).as("doc_id"), lit(r).as("band"),
+        graft.ops.SimilaritySearch.lshBucket(col(vecCol), dims, bits,
+          planeOffset = r * bits).as("bucket"))
+    }.reduce(_.unionByName(_))
+    val w = Window.partitionBy("band", "bucket").orderBy(col("doc_id").asc)
+    val rbCapped = buckets(refEmb).withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= hotRefCap)
+      .select(col("doc_id").as("ref_id"), col("band"), col("bucket"))
+    val cand = buckets(newEmb).join(rbCapped, Seq("band", "bucket"))
+      .select(col("doc_id"), col("ref_id")).distinct()
+    val vn = newEmb.select(col(idCol).as("doc_id"), col(vecCol).as("__va"))
+    val vr = refEmb.select(col(idCol).as("ref_id"), col(vecCol).as("__vb"))
+    val agg = cand.join(vn, Seq("doc_id")).join(vr, Seq("ref_id"))
+      .select(col("doc_id"), round(vec_cosine(col("__va"), col("__vb")), 6).as("__c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ref_candidates"), max("__c").as("max_cos"))
+    newEmb.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ref_candidates"), lit(0L)).as("n_ref_candidates"),
+        coalesce(col("max_cos"), lit(0.0)).as("max_cos"))
+      .withColumn("dup", col("max_cos") >= threshold)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-based SEMANTIC
     * corpus dedup, the method used on LAION/LLM-scale corpora — k-means
     * cluster the embeddings (the SAME deterministic IVF assignment the ANN

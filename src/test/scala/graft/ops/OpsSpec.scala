@@ -157,6 +157,42 @@ class DedupSpec extends AnyFunSuite {
     assert(!r(3L).getAs[Boolean]("dup") && r(3L).getAs[Double]("max_jaccard") == 0.0)
   }
 
+  test("crossCorpusNearDupEmbedding: cross-side flags only, new×new ignored") {
+    // 4-dim toy vectors: new 1 ≈ ref 100 (cos ~0.999), new 2 == new 3
+    // (identical WITHIN the new corpus — must NOT be flagged), new 4
+    // orthogonal to everything
+    // 70 identical filler refs alongside the 2 meaningful ones: ref×ref is
+    // never compared (asymmetry), and 72 refs × 2 bands = 144 banded rows
+    // keeps the rank cap meaningful — Spark only plans a WindowGroupLimit
+    // when the child CAN exceed the limit (child.maxRows > 64)
+    val ref = (Seq(
+      (100L, Seq(1f, 0f, 0f, 0f)),
+      (101L, Seq(0f, 1f, 0f, 0f))) ++
+      (200L until 270L).map(i => (i, Seq(0f, 0f, 1f, -1f))))
+      .toDF("vec_id", "embedding")
+    val neu = Seq(
+      (1L, Seq(0.99f, 0.01f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 0.7f, 0.7f)),
+      (3L, Seq(0f, 0f, 0.7f, 0.7f)),
+      (4L, Seq(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.crossCorpusNearDupEmbedding(neu, ref, dims = 4, bits = 4,
+      threshold = 0.9, rotations = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.size == 4) // one row per NEW vector, non-candidates included
+    assert(r(1L).getAs[Boolean]("dup") && r(1L).getAs[Double]("max_cos") >= 0.99,
+      r(1L).toString)
+    // asymmetry: the identical new×new pair is not this operator's job
+    assert(!r(2L).getAs[Boolean]("dup") && !r(3L).getAs[Boolean]("dup"))
+    assert(!r(4L).getAs[Boolean]("dup"))
+    val df = Dedup.crossCorpusNearDupEmbedding(neu, ref, dims = 4, bits = 4,
+      threshold = 0.9, rotations = 2)
+    df.collect() // finalize the adaptive plan before walking it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("crossCorpusDedup: hot reference bucket capped to deterministic representatives") {
     // 10k identical ref docs: a new doc landing in that bucket must compare
     // against <= cap refs (the cap smallest ids), never the whole bucket
