@@ -831,6 +831,37 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Append the 64-bit perceptual fingerprint as a COLUMN, preserving all
+    * other columns — the row-preserving (and therefore streaming-friendly)
+    * form of [[audioFingerprintDF]] / [[imageDHash]]: `kind = "audio"`
+    * energy-fingerprints PCM WAV, `kind = "image"` dHashes decodable
+    * images. Undecodable/corrupt/null rows get a null fingerprint (no
+    * dedup identity); decode runs inside the partition, bytes never
+    * shuffle.
+    */
+  def withMediaFingerprint(df: DataFrame, binaryCol: String = "media",
+                           outCol: String = "media_fp",
+                           kind: String = "audio"): DataFrame = {
+    require(kind == "audio" || kind == "image", s"unknown media kind: $kind")
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val fp: Any =
+          if (bytes == null) null
+          else if (kind == "audio")
+            scala.util.Try(PcmCodec.decodeInt16(bytes)).toOption.flatten
+              .map(p => audioFingerprint64(p.samples, p.channels)).orNull
+          else
+            scala.util.Try(decodeImage(bytes)).toOption.flatten
+              .map(dhash64).orNull
+        Row.fromSeq(r.toSeq :+ fp)
+      }
+    }
+  }
+
   /** Column-only metadata over binary media (no decode): byte size + digest.
     * Fully codegen'd, SQL-expressible — this is what a catalog scan over
     * 100 TB of media would run (no bytes ever decoded).

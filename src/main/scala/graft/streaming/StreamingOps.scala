@@ -113,6 +113,24 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("url_canon")
 
+  /** Streaming media-level perceptual dedup for a live media crawl:
+    * fingerprint each arriving clip/image inside the partition
+    * ([[graft.ops.Multimodal.withMediaFingerprint]] — audio energy
+    * fingerprint for PCM WAV, dHash for decodable images) and keep the
+    * first arrival per fingerprint within the watermark. The media BYTES
+    * never enter the state store — state is one row per distinct 8-byte
+    * fingerprint inside the horizon, evicted as event time advances (the
+    * same bounded-state trade as [[streamingExactDedup]]). Undecodable
+    * rows drop — they carry no dedup identity.
+    */
+  def streamingMediaDedup(media: DataFrame, binaryCol: String = "media",
+                          tsCol: String = "ts", watermark: String = "1 hour",
+                          kind: String = "audio"): DataFrame =
+    graft.ops.Multimodal.withMediaFingerprint(media, binaryCol, "media_fp", kind)
+      .filter(col("media_fp").isNotNull)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("media_fp")
+
   final case class BucketRep(repId: Long, sig: Seq[Long])
   final case class NearDupCand(id_a: Long, id_b: Long, band: Int, est_jaccard: Double)
 

@@ -157,6 +157,29 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == Set(1L, 3L)) // 2 (same batch) and 4 (later batch) deduped
   }
 
+  test("streamingMediaDedup: identical clips collapse, junk dropped, state keyed by fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val t0 = ts("2024-03-01 12:00:00")
+    def plus(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    val q = StreamingOps.streamingMediaDedup(
+        input.toDF().toDF("doc_id", "media", "ts"), kind = "audio", watermark = "1 hour")
+      .writeStream.format("memory").queryName("smedia").outputMode("append").start()
+    val wavA = graft.SparkEntry.synthWav(3)
+    val wavB = graft.SparkEntry.synthWav(7)
+    input.addData(
+      (1L, wavA, t0),
+      (2L, wavA, plus(10)),                 // same-batch perceptual dup
+      (3L, wavB, plus(20)),                 // distinct signal survives
+      (4L, "not audio".getBytes, plus(25))) // no identity → dropped
+    q.processAllAvailable()
+    input.addData((5L, wavA, plus(60)))     // later batch, inside watermark
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM smedia").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept == Set(1L, 3L))
+  }
+
   test("streamingUrlDedup: tracking variants collapse on the stream; front-end ops run stateless") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
