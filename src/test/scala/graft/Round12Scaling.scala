@@ -47,7 +47,17 @@ object Round12Scaling {
             .write.format("noop").mode("overwrite").save()
         }
       }
-      println(f"[r12scale] $dir docs=$n cross_dedup cold=${passesX.head}%.2f min=${passesX.min}%.2f  audio_dedup cold=${passesA.head}%.2f min=${passesA.min}%.2f")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nv = emb.count()
+      val passesS = (1 to 3).map { _ =>
+        time {
+          graft.ops.Dedup.crossCorpusNearDupEmbedding(
+            emb.filter(col("vec_id") % 3 =!= 0), emb.filter(col("vec_id") % 3 === 0),
+            dims = 64, bits = 8, threshold = 0.3, hotRefCap = 64, rotations = 2)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      println(f"[r12scale] $dir docs=$n cross_dedup cold=${passesX.head}%.2f min=${passesX.min}%.2f  audio_dedup cold=${passesA.head}%.2f min=${passesA.min}%.2f  cross_sem vecs=$nv cold=${passesS.head}%.2f min=${passesS.min}%.2f")
     }
     spark.stop()
   }
