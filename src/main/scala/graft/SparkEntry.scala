@@ -1316,6 +1316,14 @@ object SparkEntry {
           .withColumn("html", synthLinksHtml))
         .orderBy("doc_id", "link_idx")
     },
+    // media-reference extraction (extractLinks' twin for binary assets —
+    // the rows a media-fetch + Multimodal decode/dedup pipeline starts
+    // from): img/audio/video/source src attributes in document order
+    "q_media_links" -> { (s, dir) =>
+      ops.Html.extractMediaRefs(docsPar(s, dir).select(col("doc_id"))
+          .withColumn("html", synthMediaHtml))
+        .orderBy("doc_id", "media_idx")
+    },
     // anchor-text corpus: anchors aggregated per canonical TARGET url (the
     // web's own document labeling — search-training pairs). The /q target
     // is shared by ~a tenth of the corpus (many inlinks, one distinct
@@ -1783,6 +1791,25 @@ object SparkEntry {
     * attributes before/after href, messy inner whitespace, a relative
     * href, inner markup.
     */
+  /** Media-markup wrapper for q_media_links (q_links discipline: the
+    * oracle PREDICTS the extracted rows from this generator): every doc an
+    * UPPERCASE <IMG> (pins case-insensitive matching + tag lowering) plus
+    * a src-less img that must NOT match; %2 docs a video with a poster
+    * attribute BEFORE src (pins attribute skipping) and a nested <source>;
+    * %3 docs an audio element.
+    */
+  private def synthMediaHtml: Column = concat(
+    lit("<p>media <IMG src=\"http://img.h"), col("doc_id") % 10,
+    lit(".com/i"), col("doc_id"), lit(".png\"> <img alt=\"no source here\">"),
+    when(col("doc_id") % 2 === 0, concat(
+      lit("<video poster=\"p.jpg\" src=\"http://v.example/v"), col("doc_id"),
+      lit(".mp4\"><source src=\"http://v.example/v"), col("doc_id"),
+      lit(".webm\"></video>"))).otherwise(lit("")),
+    when(col("doc_id") % 3 === 0, concat(
+      lit("<audio src=\"http://a.example/a"), col("doc_id"),
+      lit(".mp3\"></audio>"))).otherwise(lit("")),
+    lit("</p>"))
+
   private def synthLinksHtml: Column = concat(
     lit("<p>see <a href=\"http://h"), col("doc_id") % 10, lit(".com/p"), col("doc_id"),
     lit("\">first  link "), col("doc_id"), lit("</a> then <a class=\"x\" href=\"http://h"),
@@ -3556,6 +3583,18 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 2, '/rel/' || (doc_id % 5), '<b>rel</b>' FROM documents)
         |SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, href, anchor
         |FROM l ORDER BY doc_id, link_idx""".stripMargin,
+    "q_media_links" ->
+      """WITH m AS (
+        |  SELECT doc_id, 0 AS media_idx, 'img' AS tag,
+        |    'http://img.h' || (doc_id % 10) || '.com/i' || doc_id || '.png' AS src FROM documents
+        |  UNION ALL SELECT doc_id, 1, 'video',
+        |    'http://v.example/v' || doc_id || '.mp4' FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 2, 'source',
+        |    'http://v.example/v' || doc_id || '.webm' FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END, 'audio',
+        |    'http://a.example/a' || doc_id || '.mp3' FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, CAST(media_idx AS BIGINT) AS media_idx, tag, src
+        |FROM m ORDER BY doc_id, media_idx""".stripMargin,
     "q_anchors" ->
       """WITH u AS (
         |  SELECT 'http://h' || (doc_id % 10) || '.com/p' || doc_id AS url_canon,

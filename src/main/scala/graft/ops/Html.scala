@@ -133,4 +133,29 @@ object Html {
         col("__p.0").as("href"),
         trim(regexp_replace(col("__p.1"), "[ \\t\\r\\n]+", " ")).as("anchor"))
   }
+
+  /** Media-reference pattern shared by the Spark extraction and the DuckDB
+    * twin (Java-regex ∩ RE2 subset, like [[AnchorRe]]): the four src-bearing
+    * media elements, double-quoted src.
+    */
+  val MediaRe = "(?is)<(img|audio|video|source)\\b[^>]*src=\"([^\"]*)\"[^>]*>"
+
+  /** Media-reference extraction — [[extractLinks]]' twin for BINARY assets:
+    * the producer feeding a media-fetch pipeline
+    * ([[graft.ops.Multimodal]] decode/dedup runs on what this finds). One
+    * row per `img`/`audio`/`video`/`source` element with a `src`
+    * attribute: (id, media_idx, tag lower-cased, src). Same positional
+    * `arrays_zip` construction — both captures come from ONE pattern's
+    * match sequence — and explode is the only row-multiplying step; the
+    * plan stays exchange-free.
+    */
+  def extractMediaRefs(docs: DataFrame, htmlCol: String = "html",
+                       idCol: String = "doc_id"): DataFrame = {
+    val pairs = arrays_zip(
+      regexp_extract_all(col(htmlCol), lit(MediaRe), lit(1)),
+      regexp_extract_all(col(htmlCol), lit(MediaRe), lit(2)))
+    docs.select(col(idCol), posexplode(pairs).as(Seq("media_idx", "__p")))
+      .select(col(idCol), col("media_idx").cast("long").as("media_idx"),
+        lower(col("__p.0")).as("tag"), col("__p.1").as("src"))
+  }
 }

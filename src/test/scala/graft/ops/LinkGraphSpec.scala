@@ -155,4 +155,22 @@ class LinkGraphSpec extends AnyFunSuite {
     val p = Html.extractLinks(docs).queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p)
   }
+
+  test("extractMediaRefs golden: four media tags, case folding, src-less skipped") {
+    val docs = Seq(
+      (1L, "<IMG src=\"http://i.co/a.png\"> <img alt=\"none\"> " +
+        "<video poster=\"p.jpg\" src=\"http://v.co/b.mp4\"><source src=\"http://v.co/b.webm\"></video>"),
+      (2L, "plain text, no media"),
+      (3L, "<audio controls src=\"http://a.co/c.mp3\"></audio>"))
+      .toDF("doc_id", "html")
+    val out = Html.extractMediaRefs(docs).orderBy("doc_id", "media_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "img", "http://i.co/a.png"),
+      (1L, 1L, "video", "http://v.co/b.mp4"),
+      (1L, 2L, "source", "http://v.co/b.webm"),
+      (3L, 0L, "audio", "http://a.co/c.mp3")))
+    val p = Html.extractMediaRefs(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
 }
