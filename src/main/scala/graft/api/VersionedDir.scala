@@ -300,12 +300,21 @@ object VersionedDir {
   def readSide(spark: SparkSession, dir: String): DataFrame = {
     val p = new Path(dir)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files =
-      if (!f.exists(p)) Array.empty[String]
-      else f.listStatus(p).filter { s =>
-        val n = s.getPath.getName
-        s.isFile && !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
-      }.map(_.getPath.toString)
+    val status = if (f.exists(p)) f.listStatus(p) else Array.empty[org.apache.hadoop.fs.FileStatus]
+    // FLAT-LAYOUT CONTRACT: side tables are written as a single directory
+    // of part files (coalesce(1), no partitionBy) — this helper lists only
+    // immediate plain files, so a PARTITIONED side table (subdirectories)
+    // would silently fall back to the directory read and reintroduce the
+    // hidden-path WARN flood this exists to avoid. Fail loudly instead.
+    val subdirs = status.filter(s => s.isDirectory && !s.getPath.getName.startsWith("_")
+      && !s.getPath.getName.startsWith("."))
+    require(subdirs.isEmpty,
+      s"readSide($dir): side tables must be written flat (no partitionBy); " +
+      s"found subdirectories: ${subdirs.map(_.getPath.getName).mkString(", ")}")
+    val files = status.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
+    }.map(_.getPath.toString)
     // empty/missing dir: fall through to the directory read so the caller
     // gets Spark's usual unable-to-infer-schema error, not a new one
     if (files.isEmpty) spark.read.parquet(dir)

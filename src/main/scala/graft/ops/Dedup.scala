@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,12 +56,29 @@ object Dedup {
     * The bucket-size window and the self-join hash-partition on the same
     * (band, bucket) key, so the stats pass adds no extra shuffle over the r2
     * all-pairs plan. Output keeps the id_a < id_b invariant (rep = min id).
+    *
+    * SATURATION TELEMETRY: the hot path drops candidates BY DESIGN — at
+    * 100 TB that loss must be visible, not silent. Pass `saturation` (a
+    * fresh [[org.apache.spark.sql.Observation]] per run — Spark binds an
+    * Observation to exactly one action) and, when the query that consumes
+    * the returned pairs runs, `saturation.get` carries:
+    *  - `saturated_buckets`: how many (band, bucket) groups exceeded the cap
+    *  - `skipped_pairs`: Σ over those buckets of (B·(B−1)/2 − (B−1)) — the
+    *    all-pairs candidates the representative-star pairing did NOT emit,
+    *    i.e. the upper bound on recall loss from capping.
+    * Implemented as a CollectMetrics node on the hot branch only (rows flow
+    * through it exactly once; the small branch self-join never touches it),
+    * with one marker row per saturated bucket (the second-smallest id, a
+    * min-over-window — no sort added). Zero plan change when None.
     */
-  private[graft] def cappedBucketPairs(buckets: DataFrame, hotBucketCap: Int): DataFrame = {
+  private[graft] def cappedBucketPairs(buckets: DataFrame, hotBucketCap: Int,
+                                       saturation: Option[Observation] = None): DataFrame = {
     val w = Window.partitionBy("band", "bucket")
-    val sized = buckets
+    val base = buckets
       .withColumn("__bsz", count(lit(1)).over(w))
       .withColumn("__rep", min("doc_id").over(w))
+    val sized = saturation.fold(base)(_ => base.withColumn("__snd",
+      min(when(col("doc_id") =!= col("__rep"), col("doc_id"))).over(w)))
     val small = sized.filter(col("__bsz") <= hotBucketCap)
     val a = small.as("a")
     val b = small.as("b")
@@ -69,9 +86,14 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val hotPairs = sized
-      .filter(col("__bsz") > hotBucketCap && col("doc_id") =!= col("__rep"))
-      .select(col("__rep").as("id_a"), col("doc_id").as("id_b"))
+    val hot = sized.filter(col("__bsz") > hotBucketCap && col("doc_id") =!= col("__rep"))
+    val hotObserved = saturation.fold(hot)(obs => hot.observe(obs,
+      coalesce(sum(when(col("doc_id") === col("__snd"), lit(1L))), lit(0L))
+        .as("saturated_buckets"),
+      coalesce(sum(when(col("doc_id") === col("__snd"),
+        col("__bsz") * (col("__bsz") - lit(1L)) / lit(2L) - (col("__bsz") - lit(1L)))), lit(0L))
+        .as("skipped_pairs")))
+    val hotPairs = hotObserved.select(col("__rep").as("id_a"), col("doc_id").as("id_b"))
     smallPairs.union(hotPairs).dropDuplicates("id_a", "id_b")
   }
 
@@ -100,9 +122,10 @@ object Dedup {
 
   private[graft] def minhashLshCandidates(docs: DataFrame, textCol: String, numHashes: Int,
                                           rowsPerBand: Int, shingleSize: Int,
-                                          hotBucketCap: Int): DataFrame =
+                                          hotBucketCap: Int,
+                                          saturation: Option[Observation] = None): DataFrame =
     cappedBucketPairs(
-      bandBuckets(docs, textCol, numHashes, rowsPerBand, shingleSize), hotBucketCap)
+      bandBuckets(docs, textCol, numHashes, rowsPerBand, shingleSize), hotBucketCap, saturation)
 
   /** MinHash+LSH near-dup candidate pairs with exact Jaccard verification.
     *
@@ -116,9 +139,10 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, textCol: String = "text", threshold: Double = 0.5,
                  numHashes: Int = 16, rowsPerBand: Int = 2, shingleSize: Int = 3,
-                 hotBucketCap: Int = 64): DataFrame = {
+                 hotBucketCap: Int = 64,
+                 saturation: Option[Observation] = None): DataFrame = {
     val candidates = minhashLshCandidates(docs, textCol, numHashes, rowsPerBand,
-      shingleSize, hotBucketCap)
+      shingleSize, hotBucketCap, saturation)
     val shingles = docs.select(col("doc_id"), shingle_hashes(col(textCol), shingleSize).as("__sh"))
     candidates
       .join(shingles.select(col("doc_id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
@@ -136,7 +160,8 @@ object Dedup {
     * hot-bucket O(B) spec.
     */
   private[graft] def simhashCandidates(docs: DataFrame, textCol: String, bits: Int,
-                                       bandBits: Int, hotBucketCap: Int): DataFrame = {
+                                       bandBits: Int, hotBucketCap: Int,
+                                       saturation: Option[Observation] = None): DataFrame = {
     val sh = simhashDocs(docs, textCol, bits)
     val numBands = bits / bandBits
     val mask = (1L << bandBits) - 1
@@ -144,7 +169,7 @@ object Dedup {
       struct(lit(bi).as("band"), shiftright(col("simhash"), bi * bandBits).bitwiseAND(lit(mask)).as("bucket")))
     val banded = sh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    cappedBucketPairs(banded, hotBucketCap)
+    cappedBucketPairs(banded, hotBucketCap, saturation)
   }
 
   /** SimHash near-dup pairs: band the fingerprint into `bits/bandBits`
@@ -156,9 +181,10 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, textCol: String = "text",
                    bits: Int = 16, bandBits: Int = 4, maxHamming: Int = 3,
-                   hotBucketCap: Int = 64): DataFrame = {
+                   hotBucketCap: Int = 64,
+                   saturation: Option[Observation] = None): DataFrame = {
     val sh = simhashDocs(docs, textCol, bits)
-    val candidates = simhashCandidates(docs, textCol, bits, bandBits, hotBucketCap)
+    val candidates = simhashCandidates(docs, textCol, bits, bandBits, hotBucketCap, saturation)
     candidates
       .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
@@ -352,9 +378,10 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, textCol: String = "text",
                   threshold: Double = 0.7, numHashes: Int = 16,
                   rowsPerBand: Int = 2, shingleSize: Int = 3,
-                  hotBucketCap: Int = 64): DataFrame = {
+                  hotBucketCap: Int = 64,
+                  saturation: Option[Observation] = None): DataFrame = {
     val pairs = minhashLsh(docs, textCol, threshold, numHashes, rowsPerBand,
-      shingleSize, hotBucketCap)
+      shingleSize, hotBucketCap, saturation)
     val losers = dupClusters(pairs.select(col("id_a"), col("id_b")))
       .filter(col("doc_id") =!= col("cluster_id")) // canonical survives
     docs.join(losers.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -391,7 +418,8 @@ object Dedup {
   def crossCorpusDedup(newDocs: DataFrame, refDocs: DataFrame,
                        textCol: String = "text", threshold: Double = 0.5,
                        numHashes: Int = 8, rowsPerBand: Int = 2,
-                       shingleSize: Int = 3, hotRefCap: Int = 64): DataFrame = {
+                       shingleSize: Int = 3, hotRefCap: Int = 64,
+                       saturation: Option[Observation] = None): DataFrame = {
     require(hotRefCap > 0, s"hotRefCap must be positive: $hotRefCap")
     def fp(df: DataFrame) = df.select(col("doc_id"),
       md5(concat_ws(" ", word_tokens(col(textCol)))).as("__fp"))
@@ -401,7 +429,17 @@ object Dedup {
     val nb = bandBuckets(newDocs, textCol, numHashes, rowsPerBand, shingleSize)
     val rb = bandBuckets(refDocs, textCol, numHashes, rowsPerBand, shingleSize)
     val w = Window.partitionBy("band", "bucket").orderBy(col("doc_id").asc)
-    val rbCapped = rb.withColumn("__rn", row_number().over(w))
+    val rbRanked = rb.withColumn("__rn", row_number().over(w))
+    // saturation telemetry on the PRE-filter stream (rows flow once):
+    // `saturated_buckets` = ref buckets that overflowed the cap (one marker
+    // row each at rank cap+1), `dropped_refs` = ref members above the cap —
+    // the candidates a new doc can no longer be compared against.
+    val rbObserved = saturation.fold(rbRanked)(obs => rbRanked.observe(obs,
+      coalesce(sum(when(col("__rn") === hotRefCap + 1, lit(1L))), lit(0L))
+        .as("saturated_buckets"),
+      coalesce(sum(when(col("__rn") > hotRefCap, lit(1L))), lit(0L))
+        .as("dropped_refs")))
+    val rbCapped = rbObserved
       .filter(col("__rn") <= hotRefCap)
       .select(col("doc_id").as("ref_id"), col("band"), col("bucket"))
     val cand = nb.join(rbCapped, Seq("band", "bucket"))
@@ -524,18 +562,30 @@ object Dedup {
     * another chance in the next (the vector analog of MinHash banding;
     * P[blocked together] = 1-(1-p)^r for per-rotation collision p).
     * Cross-rotation duplicate candidates collapse in [[cappedBucketPairs]].
+    *
+    * `bits <= 0` selects [[SimilaritySearch.autoBits]] (≈ log₂(N / cap),
+    * the hyperplane analog of the IVF √N heuristic): a FIXED bits keeps
+    * recall only at the corpus size it was tuned for — at 1000× the data
+    * every bucket saturates `hotBucketCap` and each vector is paired with
+    * the same capped representative set, a silent recall floor (measured
+    * in SCALING.md). Auto-sizing grows the bucket count with the corpus so
+    * expected occupancy stays ≈ cap. One count job, like `autoCells`.
+    * Pass `saturation` to observe how many buckets still overflowed.
     */
   def embeddingNearDupLsh(emb: DataFrame, dims: Int, bits: Int = 8,
                           threshold: Double = 0.9,
                           idCol: String = "vec_id", vecCol: String = "embedding",
-                          hotBucketCap: Int = 64, rotations: Int = 1): DataFrame = {
+                          hotBucketCap: Int = 64, rotations: Int = 1,
+                          saturation: Option[Observation] = None): DataFrame = {
     require(rotations >= 1, s"need >= 1 rotation, got $rotations")
+    val b = if (bits > 0) bits
+            else graft.ops.SimilaritySearch.autoBits(emb.count(), hotBucketCap)
     val buckets = (0 until rotations).map { r =>
       emb.select(col(idCol).as("doc_id"), lit(r).as("band"),
-        graft.ops.SimilaritySearch.lshBucket(col(vecCol), dims, bits,
-          planeOffset = r * bits).as("bucket"))
+        graft.ops.SimilaritySearch.lshBucket(col(vecCol), dims, b,
+          planeOffset = r * b).as("bucket"))
     }.reduce(_.unionByName(_))
-    val cand = cappedBucketPairs(buckets, hotBucketCap)
+    val cand = cappedBucketPairs(buckets, hotBucketCap, saturation)
     val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
@@ -560,23 +610,46 @@ object Dedup {
     * WindowGroupLimit — bounded per-task state, deterministic
     * representatives), candidates are (new, ref) pairs only — never
     * ref×ref — and exact cosine verifies. Returns one row per NEW item:
-    * `n_ref_candidates`, `max_cos` (0.0 when no candidates), and
-    * `dup = max_cos >= threshold`.
+    * `n_ref_candidates` (counted post-`distinct`, i.e. band-collapsed
+    * (new, ref) pairs, not per-band collisions), `max_cos` (0.0 when no
+    * candidates), and `dup = max_cos >= threshold`.
+    *
+    * `bits <= 0` selects [[SimilaritySearch.autoBits]] over the REFERENCE
+    * corpus size (the side the cap truncates): fixed bits=8 is 256 buckets
+    * per band forever, so at 2M ref vectors every bucket saturates
+    * `hotRefCap` and each new vector is verified against the same
+    * cap×rotations representatives — a silent recall floor (SCALING.md
+    * documents the 1000× row). Auto-sizing keeps expected ref occupancy
+    * ≈ cap as the reference corpus grows across dumps. Pass `saturation`
+    * (fresh Observation per run) for `saturated_buckets`/`dropped_refs`
+    * counts; note telemetry computes the full rank (the rank-limit
+    * pushdown, WindowGroupLimit, cannot skip past the metrics node), so
+    * leave it None on runs where the pinned capped plan matters more than
+    * visibility.
     */
   def crossCorpusNearDupEmbedding(newEmb: DataFrame, refEmb: DataFrame,
                                   dims: Int, bits: Int = 8,
                                   threshold: Double = 0.9,
                                   idCol: String = "vec_id", vecCol: String = "embedding",
-                                  hotRefCap: Int = 64, rotations: Int = 1): DataFrame = {
+                                  hotRefCap: Int = 64, rotations: Int = 1,
+                                  saturation: Option[Observation] = None): DataFrame = {
     require(rotations >= 1, s"need >= 1 rotation, got $rotations")
     require(hotRefCap > 0, s"hotRefCap must be positive: $hotRefCap")
+    val b = if (bits > 0) bits
+            else graft.ops.SimilaritySearch.autoBits(refEmb.count(), hotRefCap)
     def buckets(df: DataFrame) = (0 until rotations).map { r =>
       df.select(col(idCol).as("doc_id"), lit(r).as("band"),
-        graft.ops.SimilaritySearch.lshBucket(col(vecCol), dims, bits,
-          planeOffset = r * bits).as("bucket"))
+        graft.ops.SimilaritySearch.lshBucket(col(vecCol), dims, b,
+          planeOffset = r * b).as("bucket"))
     }.reduce(_.unionByName(_))
     val w = Window.partitionBy("band", "bucket").orderBy(col("doc_id").asc)
-    val rbCapped = buckets(refEmb).withColumn("__rn", row_number().over(w))
+    val rbRanked = buckets(refEmb).withColumn("__rn", row_number().over(w))
+    val rbObserved = saturation.fold(rbRanked)(obs => rbRanked.observe(obs,
+      coalesce(sum(when(col("__rn") === hotRefCap + 1, lit(1L))), lit(0L))
+        .as("saturated_buckets"),
+      coalesce(sum(when(col("__rn") > hotRefCap, lit(1L))), lit(0L))
+        .as("dropped_refs")))
+    val rbCapped = rbObserved
       .filter(col("__rn") <= hotRefCap)
       .select(col("doc_id").as("ref_id"), col("band"), col("bucket"))
     val cand = buckets(newEmb).join(rbCapped, Seq("band", "bucket"))
@@ -618,12 +691,13 @@ object Dedup {
     */
   def semDedup(emb: DataFrame, nCells: Int = 16, threshold: Double = 0.9,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               lloydIters: Int = 0, hotCellCap: Int = 64): DataFrame = {
+               lloydIters: Int = 0, hotCellCap: Int = 64,
+               saturation: Option[Observation] = None): DataFrame = {
     val (assigned, _) = graft.ops.SimilaritySearch.ivfAssign(emb, nCells,
       itemId = idCol, itemVec = vecCol, lloydIters = lloydIters)
     val buckets = assigned.select(col(idCol).as("doc_id"),
       lit(0L).as("band"), col("cell").cast("long").as("bucket"))
-    val cand = cappedBucketPairs(buckets, hotCellCap)
+    val cand = cappedBucketPairs(buckets, hotCellCap, saturation)
     val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     val drops = cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))

@@ -136,9 +136,13 @@ object Html {
 
   /** Media-reference pattern shared by the Spark extraction and the DuckDB
     * twin (Java-regex ∩ RE2 subset, like [[AnchorRe]]): the four src-bearing
-    * media elements, double-quoted src.
+    * media elements, double-quoted src. The `[\s"']` delimiter before `src`
+    * keeps attributes that merely END in src (`data-src="lazy.png"`,
+    * `poster-src=...` — routine lazy-loading markup) from being extracted
+    * as fetchable references; single-quoted/unquoted src remains out of
+    * scope, same documented limitation as [[AnchorRe]]'s href.
     */
-  val MediaRe = "(?is)<(img|audio|video|source)\\b[^>]*src=\"([^\"]*)\"[^>]*>"
+  val MediaRe = "(?is)<(img|audio|video|source)\\b[^>]*[\\s\"']src=\"([^\"]*)\"[^>]*>"
 
   /** Media-reference extraction — [[extractLinks]]' twin for BINARY assets:
     * the producer feeding a media-fetch pipeline

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Observation, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -707,21 +707,44 @@ object Multimodal {
         col("n_dups"), col("canonical_id"))
   }
 
-  /** Near-duplicate image pairs by dHash Hamming distance: 16-bit bands of
-    * the 64-bit hash block candidates (an exact-cover banding — any pair
-    * within Hamming ≤ 3 shares at least one intact band), capped hot
+  /** Band a 64-bit perceptual hash into `maxHamming + 1` contiguous bit
+    * ranges — the pigeonhole exact cover: a pair differing in at most
+    * `maxHamming` bits must agree on at least one intact band, whatever
+    * bits differ. Deriving the band count from the radius (instead of a
+    * fixed 4×16) keeps the cover guarantee for ANY requested radius; the
+    * trade is visible, not silent — more bands = narrower buckets = more
+    * collisions, which the hot-bucket cap then bounds. `maxHamming` is
+    * capped at 15 (16 bands of ≥4 bits) because beyond that the buckets
+    * are so coarse the blocking does no work.
+    */
+  private[ops] def hammingCoverBands(hashed: DataFrame, hashCol: String,
+                                     maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (16 bands of >= 4 bits): $maxHamming")
+    val nBands = maxHamming + 1
+    (0 until nBands).map { bnd =>
+      val lo = bnd * 64 / nBands
+      val hi = (bnd + 1) * 64 / nBands
+      val mask = if (hi - lo >= 64) -1L else (1L << (hi - lo)) - 1L
+      hashed.select(col("doc_id"), lit(bnd.toLong).as("band"),
+        shiftrightunsigned(col(hashCol), lo).bitwiseAND(lit(mask)).as("bucket"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Near-duplicate image pairs by dHash Hamming distance: the 64-bit hash
+    * is banded into `maxHamming + 1` ranges ([[hammingCoverBands]] — an
+    * exact cover at any radius), bands block candidates, capped hot
     * buckets, exact popcount verify. The image twin of
-    * [[Dedup.simhashPairs]], same scale posture.
+    * [[Dedup.simhashPairs]], same scale posture. Pass `saturation` for
+    * hot-bucket overflow telemetry ([[Dedup.cappedBucketPairs]]).
     */
   def imageNearDupPairs(df: DataFrame, idCol: String, binaryCol: String = "media",
-                        maxHamming: Int = 3, hotBucketCap: Int = 64): DataFrame = {
+                        maxHamming: Int = 3, hotBucketCap: Int = 64,
+                        saturation: Option[Observation] = None): DataFrame = {
     val hashed = imageDHash(df, idCol, binaryCol)
       .select(col(idCol).as("doc_id"), col("dhash"))
-    val bands = (0 until 4).map(bnd =>
-      hashed.select(col("doc_id"), lit(bnd.toLong).as("band"),
-        shiftrightunsigned(col("dhash"), bnd * 16).bitwiseAND(lit(0xFFFFL)).as("bucket")))
-      .reduce(_.unionByName(_))
-    val cand = Dedup.cappedBucketPairs(bands, hotBucketCap)
+    val bands = hammingCoverBands(hashed, "dhash", maxHamming)
+    val cand = Dedup.cappedBucketPairs(bands, hotBucketCap, saturation)
     val ha = hashed.select(col("doc_id").as("id_a"), col("dhash").as("__ha"))
     val hb = hashed.select(col("doc_id").as("id_b"), col("dhash").as("__hb"))
     cand.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
@@ -809,20 +832,18 @@ object Multimodal {
         col("n_dups"), col("canonical_id"))
   }
 
-  /** Near-duplicate audio pairs by fingerprint Hamming distance: 16-bit
-    * bands block candidates (exact cover for Hamming ≤ 3), capped hot
-    * buckets, exact popcount verify — the audio twin of
-    * [[imageNearDupPairs]].
+  /** Near-duplicate audio pairs by fingerprint Hamming distance:
+    * `maxHamming + 1` bands block candidates ([[hammingCoverBands]] — an
+    * exact cover at any radius), capped hot buckets, exact popcount
+    * verify — the audio twin of [[imageNearDupPairs]].
     */
   def audioNearDupPairs(df: DataFrame, idCol: String, binaryCol: String = "media",
-                        maxHamming: Int = 3, hotBucketCap: Int = 64): DataFrame = {
+                        maxHamming: Int = 3, hotBucketCap: Int = 64,
+                        saturation: Option[Observation] = None): DataFrame = {
     val hashed = audioFingerprintDF(df, idCol, binaryCol)
       .select(col(idCol).as("doc_id"), col("afp"))
-    val bands = (0 until 4).map(bnd =>
-      hashed.select(col("doc_id"), lit(bnd.toLong).as("band"),
-        shiftrightunsigned(col("afp"), bnd * 16).bitwiseAND(lit(0xFFFFL)).as("bucket")))
-      .reduce(_.unionByName(_))
-    val cand = Dedup.cappedBucketPairs(bands, hotBucketCap)
+    val bands = hammingCoverBands(hashed, "afp", maxHamming)
+    val cand = Dedup.cappedBucketPairs(bands, hotBucketCap, saturation)
     val ha = hashed.select(col("doc_id").as("id_a"), col("afp").as("__ha"))
     val hb = hashed.select(col("doc_id").as("id_b"), col("afp").as("__hb"))
     cand.join(ha, Seq("id_a")).join(hb, Seq("id_b"))

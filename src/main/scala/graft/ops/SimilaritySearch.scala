@@ -267,6 +267,25 @@ object SimilaritySearch {
     math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
   }
 
+  /** Auto hyperplane-count for [[lshBucket]]-based blocking — the bucketed
+    * analog of [[autoCells]]: pick `bits` so the EXPECTED bucket occupancy
+    * N / 2^bits lands at `targetBucket` (the hot-bucket cap the caller will
+    * apply), i.e. bits = ceil(log2(N / targetBucket)). A fixed `bits` keeps
+    * recall only at the corpus size it was tuned for: at 1000× the data
+    * every bucket saturates its cap and each item is verified against the
+    * same capped representative set — a silent recall floor. Growing bits
+    * with log2(N) keeps per-bucket occupancy (and therefore both recall
+    * under the cap and per-bucket verify cost) on the design curve as the
+    * corpus grows. Clamped to [4, 24]: ≥4 so tiny corpora still split at
+    * all, ≤24 (16M buckets) because beyond that the hyperplane projections
+    * dominate hash time. One count job at call time, same as [[autoCells]].
+    */
+  def autoBits(n: Long, targetBucket: Int): Int = {
+    require(targetBucket > 0, s"targetBucket must be positive: $targetBucket")
+    val raw = math.ceil(math.log(math.max(1L, n).toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
   /** IVF: pick `nCells` deterministic centroid seeds (lowest md5 of id —
     * a deterministic uniform sample; collected to the driver, tiny by
     * design), then assign every item to its nearest centroid with ONE

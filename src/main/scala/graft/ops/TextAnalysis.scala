@@ -288,6 +288,39 @@ object TextAnalysis {
           !col("has_lorem") && !col("has_brace") && !col("has_bad_word"))
   }
 
+  /** Load a bad-words blocklist for [[c4Filter]] from a one-token-per-line
+    * file (the format the published "List of Dirty, Naughty, Obscene..."
+    * lists ship in) — the production form of the `blockedWords` seam, which
+    * stays caller-supplied because this engine deliberately does not vendor
+    * an obscenity list. Lines are trimmed and lower-cased; blank lines and
+    * `#` comments are skipped. Read through the Hadoop filesystem so the
+    * path may live on HDFS/S3 alongside the data; the list is driver-
+    * resident by design (these lists are a few hundred tokens — they ride
+    * to executors inside the [[graft.functions.textkernel.marker_hits]]
+    * literal, the same broadcast-small-side posture as every other LUT
+    * here).
+    */
+  def loadBlockedWords(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim.toLowerCase)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .distinct.toList
+    } finally in.close()
+  }
+
+  /** [[c4Filter]] with the blocklist loaded from `blockedWordsPath` via
+    * [[loadBlockedWords]].
+    */
+  def c4FilterFromFile(docs: DataFrame, blockedWordsPath: String,
+                       textCol: String = "text",
+                       minLineWords: Int = 5, minSentences: Int = 3): DataFrame =
+    c4Filter(docs, textCol, minLineWords, minSentences,
+      loadBlockedWords(docs.sparkSession, blockedWordsPath))
+
   /** Benchmark decontamination: flag training documents sharing word
     * n-grams with an evaluation set (the GPT-3 appendix-C / PaLM method —
     * exact n-gram collision against the benchmark, n=13 there; n is a

@@ -292,4 +292,19 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(store.exists)
     assert(store.read().select("doc_id").as[Long].head() == 7L)
   }
+
+  // readSide's flat-layout contract: side tables are written coalesce(1),
+  // no partitionBy. A partitioned side table would silently regress to the
+  // hidden-path directory read — fail loudly instead.
+  test("readSide reads flat side tables and rejects partitioned layouts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-side").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$tmp/_side_flat")
+    assert(VersionedDir.readSide(spark, s"$tmp/_side_flat").count() == 2L)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.partitionBy("v").parquet(s"$tmp/_side_part")
+    val e = intercept[IllegalArgumentException](
+      VersionedDir.readSide(spark, s"$tmp/_side_part"))
+    assert(e.getMessage.contains("flat"), e.getMessage)
+  }
 }

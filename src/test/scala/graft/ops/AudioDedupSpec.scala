@@ -86,4 +86,41 @@ class AudioDedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) <= 2L, pairs.toString)
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L }) // unrelated
   }
+
+  // The banding cover must hold for ANY requested radius, not just the
+  // default 3: maxHamming + 1 bands guarantee (pigeonhole) that a pair
+  // within the radius agrees on at least one intact band. Spread 5
+  // differing bits so every 16-bit quarter contains one — the old fixed
+  // 4×16 banding would lose this pair at maxHamming = 5.
+  test("hammingCoverBands: exact cover at any radius, radius bound enforced") {
+    val a = 0L
+    val b = (1L << 2) | (1L << 18) | (1L << 34) | (1L << 50) | (1L << 63)
+    assert(java.lang.Long.bitCount(a ^ b) == 5)
+    val hashed = Seq((1L, a), (2L, b)).toDF("doc_id", "h")
+    def sharedBuckets(maxHamming: Int): Long = {
+      val bands = Multimodal.hammingCoverBands(hashed, "h", maxHamming)
+      bands.as[(Long, Long, Long)].collect().groupBy(r => (r._2, r._3))
+        .count(_._2.map(_._1).toSet == Set(1L, 2L)).toLong
+    }
+    assert(sharedBuckets(3) == 0L, "4 bands cannot cover 5 spread bits")
+    assert(sharedBuckets(5) >= 1L, "6 bands must leave an intact shared band")
+    assertThrows[IllegalArgumentException](
+      Multimodal.hammingCoverBands(hashed, "h", 16))
+    assertThrows[IllegalArgumentException](
+      Multimodal.hammingCoverBands(hashed, "h", -1))
+    // masks tile all 64 bits exactly once: XOR-reassembling the banded
+    // buckets of any hash reproduces the hash
+    val h = 0x5DEADBEEFCAFE123L
+    val one = Seq((1L, h)).toDF("doc_id", "h")
+    for (mh <- Seq(0, 3, 7, 15)) {
+      val nBands = mh + 1
+      val parts = Multimodal.hammingCoverBands(one, "h", mh)
+        .as[(Long, Long, Long)].collect()
+      assert(parts.length == nBands)
+      val rebuilt = parts.map { case (_, band, bucket) =>
+        bucket << (band.toInt * 64 / nBands)
+      }.reduce(_ | _)
+      assert(rebuilt == h, s"maxHamming=$mh bands do not tile the hash")
+    }
+  }
 }

@@ -102,4 +102,24 @@ class C4Spec extends AnyFunSuite {
     assert(!TextAnalysis.c4Filter(docs, minSentences = 3).collect()(0).getAs[Boolean]("keep"))
     assert(TextAnalysis.c4Filter(docs, minSentences = 2).collect()(0).getAs[Boolean]("keep"))
   }
+
+  test("c4FilterFromFile: one-token-per-line blocklist, comments and case folded") {
+    val f = java.nio.file.Files.createTempFile("badwords", ".txt")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      "# the published lists ship one token per line",
+      "  Verboten  ", "", "forbidden", "verboten"))  // dup + blank + comment
+    val docs = Seq(
+      (1L, "This page mentions verboten content in its first sentence here. " +
+        "It keeps going with more words now. And a third sentence closes it."),
+      (2L, "This page is perfectly clean in its first sentence right here. " +
+        "It keeps going with more words now. And a third sentence closes it."))
+      .toDF("doc_id", "text")
+    val words = TextAnalysis.loadBlockedWords(spark, f.toString)
+    assert(words == Seq("verboten", "forbidden"), words.toString)
+    val out = TextAnalysis.c4FilterFromFile(docs, f.toString)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("has_bad_word") && !out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("has_bad_word") && out(2L).getAs[Boolean]("keep"))
+    java.nio.file.Files.delete(f)
+  }
 }

@@ -161,7 +161,10 @@ class LinkGraphSpec extends AnyFunSuite {
       (1L, "<IMG src=\"http://i.co/a.png\"> <img alt=\"none\"> " +
         "<video poster=\"p.jpg\" src=\"http://v.co/b.mp4\"><source src=\"http://v.co/b.webm\"></video>"),
       (2L, "plain text, no media"),
-      (3L, "<audio controls src=\"http://a.co/c.mp3\"></audio>"))
+      (3L, "<audio controls src=\"http://a.co/c.mp3\"></audio>"),
+      // lazy-loading markup: attributes that merely END in src must not be
+      // extracted as fetchable references (the [\s"'] delimiter in MediaRe)
+      (4L, "<img data-src=\"lazy.png\" class=\"ll\"> <video poster-src=\"p2.jpg\"></video>"))
       .toDF("doc_id", "html")
     val out = Html.extractMediaRefs(docs).orderBy("doc_id", "media_idx")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))

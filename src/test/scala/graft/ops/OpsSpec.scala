@@ -319,6 +319,80 @@ class DedupSpec extends AnyFunSuite {
     assert(p1.subsetOf(p2), "rotation-0 pairs must survive adding a rotation")
     assert(p2.size > p1.size, "an independent rotation should block new pairs together")
   }
+
+  // 100 TB visibility guard: the hot-bucket cap drops candidates BY DESIGN —
+  // the telemetry must say how much. One saturated fixture, exact expected
+  // counters (numHashes=8, rowsPerBand=2 → 4 bands; all docs identical → one
+  // bucket of n per band).
+  test("saturation telemetry counts saturated buckets and skipped pairs") {
+    val n = 100
+    val cap = 10
+    val hot = spark.range(1, n + 1).select(col("id").as("doc_id"),
+      lit("same boilerplate text repeated verbatim on every single page here").as("text"))
+    val obs = org.apache.spark.sql.Observation("dedup_saturation")
+    val pairs = Dedup.minhashLsh(hot, threshold = 0.0, numHashes = 8,
+      rowsPerBand = 2, shingleSize = 3, hotBucketCap = cap, saturation = Some(obs))
+    assert(pairs.count() === (n - 1).toLong) // telemetry must not change results
+    val m = obs.get
+    assert(m("saturated_buckets") === 4L, m.toString)
+    // per saturated bucket: all-pairs n(n-1)/2 minus the (n-1) star pairs kept
+    assert(m("skipped_pairs") === 4L * (n.toLong * (n - 1) / 2 - (n - 1)), m.toString)
+
+    // an unsaturated run reports zeros, not nulls
+    val obs0 = org.apache.spark.sql.Observation("dedup_saturation_0")
+    Dedup.minhashLsh(docs, threshold = 0.3, hotBucketCap = 64,
+      saturation = Some(obs0)).count()
+    assert(obs0.get("saturated_buckets") === 0L)
+    assert(obs0.get("skipped_pairs") === 0L)
+  }
+
+  test("cross-corpus saturation telemetry reports dropped reference members") {
+    // 50 identical ref docs + 1 new doc, cap 8: every one of the 4 bands'
+    // single bucket overflows → 4 saturated buckets, 4×(50−8) dropped refs
+    val ref = spark.range(100, 150).select(col("id").as("doc_id"),
+      lit("the quick brown fox jumps over the lazy dog near the river bank").as("text"))
+    val neu = Seq((1L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    val obs = org.apache.spark.sql.Observation("xcorpus_saturation")
+    val out = Dedup.crossCorpusDedup(neu, ref, threshold = 0.5, numHashes = 8,
+      rowsPerBand = 2, shingleSize = 3, hotRefCap = 8, saturation = Some(obs))
+    assert(out.filter(col("dup")).count() === 1L)
+    val m = obs.get
+    assert(m("saturated_buckets") === 4L, m.toString)
+    assert(m("dropped_refs") === 4L * (50 - 8), m.toString)
+  }
+
+  // The autoCells analog for hyperplane blocking: bits grows with log2(N)
+  // so expected bucket occupancy N/2^bits stays at the cap instead of
+  // saturating it cap-fold at 1000× the corpus.
+  test("autoBits keeps expected bucket occupancy at the cap across decades") {
+    import graft.ops.SimilaritySearch.autoBits
+    for (n <- Seq(1L, 2000L, 200000L, 2000000L, 200000000L); cap <- Seq(16, 64, 256)) {
+      val b = autoBits(n, cap)
+      assert(b >= 4 && b <= 24, s"n=$n cap=$cap bits=$b out of clamp")
+      if (b > 4 && b < 24) // inside the clamp the bound must hold exactly
+        assert(n.toDouble / math.pow(2.0, b) <= cap,
+          s"occupancy bound violated: n=$n cap=$cap bits=$b")
+    }
+    assert(autoBits(2000000L, 64) === 15)        // log2(31250) → 15
+    assert(autoBits(100L, 64) === 4)             // clamped low
+    assert(autoBits(1L << 40, 1) === 24)         // clamped high
+    assertThrows[IllegalArgumentException](autoBits(100L, 0))
+  }
+
+  test("bits <= 0 selects auto-sized hyperplane buckets and still finds dups") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f)), (4L, Seq(-1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupLsh(emb, dims = 4, bits = 0, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"identical vectors must pair under auto bits: $pairs")
+    val x = Dedup.crossCorpusNearDupEmbedding(
+      emb.filter(col("vec_id") <= 2), emb.filter(col("vec_id") > 2),
+      dims = 4, bits = 0, threshold = 0.9)
+    assert(x.count() === 2L) // auto path runs end-to-end (one row per new item)
+  }
 }
 
 class DupClustersSpec extends AnyFunSuite {
