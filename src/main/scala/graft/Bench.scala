@@ -69,6 +69,22 @@ object Bench {
     }
     heartbeat(); heartbeat() // warm the heartbeat path itself
 
+    // Warmup: one DISCARDED pass over every measured query before pass 1
+    // (the JMH discipline — warmup iterations are not measurements). The
+    // cold first pass otherwise pays (a) janino codegen + JIT for every
+    // query's generated classes and (b) the one-time per-dir fixture/index
+    // builds the search gates amortize (r12: cold pass 229.6s vs 156.2s
+    // warmed; with a tiny-sf warmup, (a) vanished but (b) kept pass 1 at
+    // 1.5× — ann/corpus fixture builds at measurement scale dominated).
+    // Warming at the MEASUREMENT dir absorbs both, so every measured pass
+    // is steady-state and median ≈ min. Warmup time is reported in the
+    // JSON (`warmup_secs`), never measured. SPARK_GRAFT_BENCH_WARMUP=0
+    // skips; SPARK_GRAFT_WARMUP_DIR redirects (e.g. at a tiny sf to trade
+    // pass-1 cleanliness for wall time).
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", sfDir)
+    val warmupOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0" &&
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmupDir))
+
     // noop sink forces full evaluation of every output column (count() would
     // let Catalyst prune the projections being measured).
     case class Pass(times: Map[String, Double], hbBefore: Map[String, Double],
@@ -93,6 +109,18 @@ object Bench {
         System.err.println(f"[bench] pass $p $name%-28s $dt%8.3f s  (hb $hb%6.3f s)")
       }
       Pass(times.toMap, before.toMap, after.toMap, hbs.toSeq)
+    }
+    val warmupSecs = if (!warmupOn) 0.0 else {
+      val t0 = System.nanoTime()
+      for (name <- names) {
+        try SparkEntry.queries(name)(spark, warmupDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] warmup pass ($warmupDir) $dt%.1f s")
+      dt
     }
     val passes = (1 to nPasses).map(runPass)
 
@@ -144,6 +172,7 @@ object Bench {
       s""""passes":[${passes.map(p => qjson(n => p.times(n).toString)).mkString(",")}],""" +
       s""""suspect":[${passes.map(p => qjson(n => suspect(p, n).toString)).mkString(",")}],""" +
       s""""heartbeats":$hbStats,"heartbeat_threshold":$hbThreshold,""" +
+      s""""warmup_secs":$warmupSecs,"warmup_dir":"${if (warmupOn) warmupDir else ""}",""" +
       s""""config":$config}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))

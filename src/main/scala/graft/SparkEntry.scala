@@ -252,6 +252,53 @@ object SparkEntry {
       "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
   }
 
+  /** One mono MPEG-1 LAYER-I clip per id for q_mp1_decode: 6 + id%3 frames
+    * at 32 kHz / 448 kbps (frame = 672 bytes), subbands 0 and 1 allocated
+    * at nb = 3 (allocation code 2) with scalefactor indices 0 (sf = 2) and
+    * 3 (sf = 1) — POWER-OF-TWO scalefactors and a single nb, so every
+    * dequantized sample is (code−3)·2·sf/7 and every granule energy times
+    * 50176 is the exact integer ((c0−3)²·4 + (c1−3)²)·4096 the DuckDB
+    * oracle recomputes. Sample codes c = (id·5 + f·7 + g·3 (+1 for sb1))
+    * mod 8. A hash match proves header walk, bit-exact payload parse,
+    * requantization and the envelope hash ([[ops.Mp1Codec]]).
+    */
+  private[graft] def synthMp1(id: Long): Array[Byte] = {
+    val nFrames = (6 + id % 3).toInt
+    val frameLen = 672 // (12 * 448000 / 32000) * 4
+    val out = new Array[Byte](nFrames * frameLen)
+    var f = 0
+    while (f < nFrames) {
+      val o = f * frameLen
+      out(o) = 0xFF.toByte     // sync
+      out(o + 1) = 0xFF.toByte // sync(3)+ID=1, layer=11 (I), protection=1 (no CRC)
+      out(o + 2) = 0xE8.toByte // bitrate idx 14 (448k), rate idx 2 (32k), pad 0
+      out(o + 3) = 0xC0.toByte // mode 11 = mono
+      var bitPos = 0
+      def put(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1) {
+            val bi = o + 4 + bitPos / 8
+            out(bi) = (out(bi) | (1 << (7 - bitPos % 8))).toByte
+          }
+          bitPos += 1
+          i -= 1
+        }
+      }
+      put(2, 4); put(2, 4)                       // alloc sb0 = sb1 = 2 → nb 3
+      var sb = 2; while (sb < 32) { put(0, 4); sb += 1 }
+      put(0, 6); put(3, 6)                       // scf idx 0 (sf 2), idx 3 (sf 1)
+      var g = 0
+      while (g < 12) {
+        put(((id * 5 + f * 7 + g * 3) % 8).toInt, 3)
+        put(((id * 5 + f * 7 + g * 3 + 1) % 8).toInt, 3)
+        g += 1
+      }
+      f += 1
+    }
+    out
+  }
+
   /** Deterministic line-structured text for q_c4_filter: one shared segment
     * list drives BOTH the Spark generator column and the DuckDB `||` twin,
     * so the fixture is a pure function of doc_id (the corpus text has no
@@ -1481,6 +1528,62 @@ object SparkEntry {
         .map(id => (id, synthWav(id % 25)))
         .toDF("doc_id", "media")
       Multimodal.audioDedup(media, "doc_id").orderBy("doc_id")
+    },
+    // THE END-TO-END MEDIA PIPELINE (q_corpus_e2e's binary twin): media
+    // references (extractMediaRefs over the shared media markup) →
+    // simulated fetch (bytes keyed doc_id % 25, the SAME generators the
+    // q_image_dedup / q_audio_dedup oracles replay; video fetches an MP4
+    // whose samples can't decode, the webm source ref 404s to null) →
+    // ONE tag-routed in-partition fingerprint pass over the mixed table →
+    // per-(kind, fingerprint) perceptual dedup. The oracle replays refs,
+    // both fingerprint pipelines and the grouping, so a hash match proves
+    // every inter-stage handoff; the non-decodable video/source rows
+    // dropping (null fingerprint = no dedup identity) is part of the
+    // prediction. asset_id = doc_id * 4 + media_idx (idx < 4 by fixture).
+    "q_media_e2e" -> { (s, dir) =>
+      import s.implicits._
+      val refs = ops.Html.extractMediaRefs(
+        tbl(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id")).withColumn("html", synthMediaHtml))
+      val fetched = refs.select(col("doc_id"), col("media_idx"), col("tag"))
+        .as[(Long, Long, String)]
+        .map { case (d, m, tag) =>
+          val bytes = tag match {
+            case "img"   => synthPng(d % 25)
+            case "audio" => synthWav(d % 25)
+            case "video" => synthMp4(d)
+            case _       => null // the webm <source> ref: fetch failed
+          }
+          (d * 4 + m, d, m, tag, bytes)
+        }.toDF("asset_id", "doc_id", "media_idx", "tag", "media")
+      Multimodal.mediaDedup(fetched, "asset_id")
+        .select(col("asset_id"),
+          expr("asset_id div 4").as("doc_id"),
+          (col("asset_id") % 4).as("media_idx"),
+          col("tag"), col("fp_hi"), col("fp_lo"),
+          col("n_dups"), col("canonical_id").as("canonical_asset"))
+        .orderBy("asset_id")
+    },
+    // REAL MPEG-1 Layer-I subband decode (the compressed-audio fingerprint
+    // path): synthesized Layer-I frames (header + bit-packed allocations /
+    // scalefactors / 3-bit sample codes, all a pure function of doc_id)
+    // are frame-walked, bit-parsed and ISO-requantized by Mp1Codec; the
+    // power-of-two scalefactor + single-nb fixture makes every scaled
+    // granule energy an exact integer, so the oracle replays codes →
+    // energies → envelope windows → fingerprint bits outright. Layer II/
+    // III sample decode is a documented descope (README): headers/VBR
+    // meta only.
+    "q_mp1_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthMp1(id)))
+        .toDF("doc_id", "media")
+      Multimodal.mp1EnergyFingerprintDF(media, "doc_id")
+        .select(col("doc_id"), col("sample_rate"), col("n_frames"), col("n_granules"),
+          shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
+          col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
+        .orderBy("doc_id")
     },
     // REAL GIF pixel decode, gated like q_png_decode: a grayscale-palette
     // GIF is synthesized per doc (pixels a pure function of doc_id; LZW is
@@ -3737,6 +3840,88 @@ object SparkEntry {
         |   min(doc_id) AS canonical_id FROM r0 GROUP BY 1, 2)
         |SELECT r0.doc_id, r0.afp_hi, r0.afp_lo, grp.n_dups, grp.canonical_id
         |FROM r0 JOIN grp USING (afp_hi, afp_lo) ORDER BY r0.doc_id""".stripMargin,
+    // the media e2e replay composes the q_image_dedup dHash CTEs, the
+    // q_audio_dedup fingerprint CTEs (bits renamed abits) and the
+    // q_media_links ref rows restricted to the fetchable tags — video/
+    // source rows drop in the pipeline (no decodable samples), so they
+    // never appear in refs here
+    "q_media_e2e" ->
+      """WITH d AS (SELECT doc_id, doc_id % 25 AS k FROM documents WHERE doc_id < 100),
+        | img AS MATERIALIZED (SELECT DISTINCT k, CAST(4 + k % 13 AS BIGINT) AS w,
+        |   CAST(3 + k % 7 AS BIGINT) AS h FROM d),
+        | cb AS (SELECT i.k, i.w, i.h, c.tx, r.ty,
+        |     (c.tx * i.w) // 9 AS sx0, greatest((c.tx * i.w) // 9 + 1, ((c.tx + 1) * i.w) // 9) AS sx1,
+        |     (r.ty * i.h) // 8 AS sy0, greatest((r.ty * i.h) // 8 + 1, ((r.ty + 1) * i.h) // 8) AS sy1
+        |   FROM img i, (SELECT unnest(generate_series(0, 8)) AS tx) c,
+        |        (SELECT unnest(generate_series(0, 7)) AS ty) r),
+        | xs AS (SELECT *, unnest(generate_series(sx0, sx1 - 1)) AS x FROM cb),
+        | ys AS (SELECT *, unnest(generate_series(sy0, sy1 - 1)) AS y FROM xs),
+        | cells AS MATERIALIZED (SELECT k, tx, ty,
+        |   sum((k * 31 + (y * w + x)) % 256) // count(*) AS cv FROM ys GROUP BY k, tx, ty),
+        | bits AS (SELECT a.k, a.ty, a.tx, CASE WHEN a.cv < b.cv THEN 1 ELSE 0 END AS bit
+        |   FROM cells a JOIN cells b ON a.k = b.k AND a.ty = b.ty AND b.tx = a.tx + 1),
+        | dh AS MATERIALIZED (SELECT k,
+        |   CAST(sum(CASE WHEN ty * 8 + tx >= 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << (ty * 8 + tx - 32)) ELSE 0 END) AS BIGINT) AS fp_hi,
+        |   CAST(sum(CASE WHEN ty * 8 + tx < 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << (ty * 8 + tx)) ELSE 0 END) AS BIGINT) AS fp_lo
+        |  FROM bits GROUP BY k),
+        | p AS (SELECT DISTINCT k, 17 + 3 * k AS step, 400 + k * 40 AS n FROM d),
+        | s AS (SELECT p.k, p.n, g.i, ((g.i * p.step) % 65536) - 32768 AS v
+        |   FROM p, (SELECT unnest(generate_series(0, 1359)) AS i) g
+        |   WHERE g.i < p.n),
+        | en AS MATERIALIZED (SELECT k, (i * 65) // n AS win, sum(v * v) AS e
+        |   FROM s GROUP BY k, (i * 65) // n),
+        | abits AS (SELECT a.k, a.win, CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+        |   FROM en a JOIN en b ON a.k = b.k AND b.win = a.win + 1 WHERE a.win < 64),
+        | afp AS MATERIALIZED (SELECT k,
+        |   CAST(sum(CASE WHEN win >= 32 AND bit = 1 THEN (CAST(1 AS BIGINT) << (win - 32)) ELSE 0 END) AS BIGINT) AS fp_hi,
+        |   CAST(sum(CASE WHEN win < 32 AND bit = 1 THEN (CAST(1 AS BIGINT) << win) ELSE 0 END) AS BIGINT) AS fp_lo
+        |  FROM abits GROUP BY k),
+        | refs AS (
+        |   SELECT doc_id, 0 AS media_idx, 'img' AS tag FROM d
+        |   UNION ALL SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END, 'audio'
+        |     FROM d WHERE doc_id % 3 = 0),
+        | fp0 AS (
+        |   SELECT CAST(r.doc_id * 4 + r.media_idx AS BIGINT) AS asset_id, r.doc_id,
+        |     CAST(r.media_idx AS BIGINT) AS media_idx, r.tag,
+        |     CASE WHEN r.tag = 'img' THEN dh.fp_hi ELSE afp.fp_hi END AS fp_hi,
+        |     CASE WHEN r.tag = 'img' THEN dh.fp_lo ELSE afp.fp_lo END AS fp_lo
+        |   FROM refs r
+        |   LEFT JOIN dh ON r.tag = 'img' AND dh.k = r.doc_id % 25
+        |   LEFT JOIN afp ON r.tag = 'audio' AND afp.k = r.doc_id % 25),
+        | grp AS (SELECT tag, fp_hi, fp_lo, CAST(count(*) AS BIGINT) AS n_dups,
+        |   min(asset_id) AS canonical_asset FROM fp0 GROUP BY 1, 2, 3)
+        |SELECT fp0.asset_id, fp0.doc_id, fp0.media_idx, fp0.tag, fp0.fp_hi, fp0.fp_lo,
+        |  grp.n_dups, grp.canonical_asset
+        |FROM fp0 JOIN grp USING (tag, fp_hi, fp_lo) ORDER BY fp0.asset_id""".stripMargin,
+    // Layer-I replay: codes c = (id·5 + f·7 + g·3 (+1)) % 8, granule energy
+    // ×50176 = ((c0−3)²·4 + (c1−3)²)·4096 exactly (power-of-two sf, nb=3),
+    // envelope windows (gi·65)//n over n = 12·(6 + id%3) granules
+    "q_mp1_decode" ->
+      """WITH d AS (SELECT doc_id, 6 + doc_id % 3 AS nf FROM documents WHERE doc_id < 100),
+        | g AS (SELECT doc_id, nf, fr.f, gr.gr,
+        |     (doc_id * 5 + fr.f * 7 + gr.gr * 3) % 8 AS c0,
+        |     (doc_id * 5 + fr.f * 7 + gr.gr * 3 + 1) % 8 AS c1
+        |   FROM d, (SELECT unnest(generate_series(0, 7)) AS f) fr,
+        |        (SELECT unnest(generate_series(0, 11)) AS gr) gr
+        |   WHERE fr.f < nf),
+        | en AS (SELECT doc_id, nf, f * 12 + gr AS gi,
+        |     ((c0 - 3) * (c0 - 3) * 4 + (c1 - 3) * (c1 - 3)) * 4096 AS e FROM g),
+        | win AS (SELECT doc_id, nf, (gi * 65) // (nf * 12) AS w, sum(e) AS we
+        |   FROM en GROUP BY 1, 2, 3),
+        | bits AS (SELECT a.doc_id, a.w, CASE WHEN a.we < b.we THEN 1 ELSE 0 END AS bit
+        |   FROM win a JOIN win b ON a.doc_id = b.doc_id AND b.w = a.w + 1 WHERE a.w < 64),
+        | fp AS (SELECT doc_id,
+        |   CAST(coalesce(sum(CASE WHEN w >= 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << (w - 32)) ELSE 0 END), 0) AS BIGINT) AS afp_hi,
+        |   CAST(coalesce(sum(CASE WHEN w < 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << w) ELSE 0 END), 0) AS BIGINT) AS afp_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(32000 AS BIGINT) AS sample_rate,
+        |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 12 AS BIGINT) AS n_granules,
+        |  fp.afp_hi, fp.afp_lo
+        |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "q_png_decode" ->
       """WITH d AS (SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS width,
         |    CAST(3 + doc_id % 7 AS BIGINT) AS height

@@ -883,6 +883,133 @@ object Multimodal {
     }
   }
 
+  /** 64-bit adjacent-window envelope hash over a non-negative energy
+    * sequence — the [[audioFingerprint64]] comparison discipline one level
+    * up (inputs are already energies, not samples): 65 equal windows over
+    * the sequence (window of value i = i·65/n), each window's energy the
+    * Long sum of its members, bit b = `energy[b] < energy[b+1]`. Exact
+    * integer arithmetic end-to-end, so DuckDB oracles replay it. 0 for an
+    * empty sequence.
+    */
+  private[ops] def envelopeHash64(values: Array[Long]): Long = {
+    val n = values.length
+    if (n == 0) return 0L
+    val energy = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      energy(((i.toLong * 65L) / n).toInt) += values(i)
+      i += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (energy(b) < energy(b + 1)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** Compressed-audio perceptual fingerprint rows via the scoped MPEG-1
+    * Layer-I subband decoder ([[Mp1Codec]]): per clip
+    * (id, sample_rate, n_frames, n_granules, afp). Each granule's subband
+    * energy Σ v² (over all subbands × channels — the energy of the 32 PCM
+    * samples the granule would synthesize, filterbank near-orthonormality)
+    * is scaled by 50176 (= 49·4096/4, chosen so the nb=3 / power-of-two-
+    * scalefactor gate fixture lands on EXACT integers — see q_mp1_decode)
+    * and rounded to a Long; the 64-bit envelope hash over the granule
+    * energies is gain-invariant like the WAV path's. Decode runs inside
+    * the partition (~32 bytes per clip cross the shuffle, bytes never do);
+    * non-Layer-I/corrupt/null rows yield nothing, like
+    * [[audioFingerprintDF]].
+    */
+  def mp1EnergyFingerprintDF(df: DataFrame, idCol: String,
+                             binaryCol: String = "media"): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("sample_rate", LongType),
+      StructField("n_frames", LongType),
+      StructField("n_granules", LongType),
+      StructField("afp", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else Mp1Codec.decode(bytes).iterator.map { d =>
+          val energies = d.granules.map { g =>
+            var e = 0.0
+            var i = 0
+            while (i < g.length) { e += g(i) * g(i); i += 1 }
+            math.round(e * 50176.0)
+          }
+          Row(r.get(idIdx), d.sampleRate.toLong, d.nFrames.toLong,
+            d.granules.length.toLong, envelopeHash64(energies))
+        }
+      }
+    }
+  }
+
+  /** Tag-routed perceptual fingerprint — [[withMediaFingerprint]] for a
+    * MIXED fetched-media table (what a media-fetch pipeline actually
+    * lands): one pass, per-row dispatch on `tagCol` — `img`/`image` rows
+    * dHash through the image decode path, `audio` rows energy-fingerprint
+    * through the PCM path, every other tag (compressed video/audio
+    * containers with no sample-decode path here) and every undecodable row
+    * gets a null fingerprint. Decode runs inside the partition; the bytes
+    * never cross an exchange.
+    */
+  def withMediaFingerprintByTag(df: DataFrame, tagCol: String = "tag",
+                                binaryCol: String = "media",
+                                outCol: String = "media_fp"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val tagIdx = df.schema.fieldIndex(tagCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val tag = r.getAs[String](tagIdx)
+        val fp: Any =
+          if (bytes == null || tag == null) null
+          else tag match {
+            case "img" | "image" =>
+              scala.util.Try(decodeImage(bytes)).toOption.flatten.map(dhash64).orNull
+            case "audio" =>
+              scala.util.Try(PcmCodec.decodeInt16(bytes)).toOption.flatten
+                .map(p => audioFingerprint64(p.samples, p.channels)).orNull
+            case _ => null
+          }
+        Row.fromSeq(r.toSeq :+ fp)
+      }
+    }
+  }
+
+  /** End-to-end media perceptual dedup over a fetched-media table — the
+    * composition [[graft.ops.Html.extractMediaRefs]] feeds: fingerprint by
+    * tag ([[withMediaFingerprintByTag]] — decode in-partition), drop rows
+    * with no fingerprint (non-decodable kinds carry no dedup identity),
+    * then group per (tag, fingerprint) — keeper = min id, the engine-wide
+    * first-wins convention. The only exchanges carry (id, tag, two
+    * non-negative 32-bit fingerprint halves) — ~30 bytes per asset; the
+    * media bytes are projected away BEFORE the shuffle (PlanSpec-pinned).
+    * Output: (idCol, tag, fp_hi, fp_lo, n_dups, canonical_id).
+    */
+  def mediaDedup(fetched: DataFrame, idCol: String, tagCol: String = "tag",
+                 binaryCol: String = "media"): DataFrame = {
+    val hashed = withMediaFingerprintByTag(fetched, tagCol, binaryCol)
+      .filter(col("media_fp").isNotNull)
+      .select(col(idCol), col(tagCol),
+        shiftrightunsigned(col("media_fp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("fp_hi"),
+        col("media_fp").bitwiseAND(lit(0xFFFFFFFFL)).as("fp_lo"))
+    val groups = hashed.groupBy(tagCol, "fp_hi", "fp_lo")
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
+    hashed.join(groups, Seq(tagCol, "fp_hi", "fp_lo"))
+      .select(col(idCol), col(tagCol), col("fp_hi"), col("fp_lo"),
+        col("n_dups"), col("canonical_id"))
+  }
+
   /** Column-only metadata over binary media (no decode): byte size + digest.
     * Fully codegen'd, SQL-expressible — this is what a catalog scan over
     * 100 TB of media would run (no bytes ever decoded).

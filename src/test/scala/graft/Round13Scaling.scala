@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool (test scope): NEAR-DUP RECALL vs corpus growth for the
+  * hyperplane-LSH dedup paths — the measurement the fixed-`bits` design
+  * could not show (r12 verdict: at 1000× every (band, bucket) saturates
+  * `hotRefCap`, so each new vector verifies against the same capped
+  * representative set — a silent recall floor).
+  *
+  * Method: plant exact-copy probes (one per ~n/200 ref vectors, re-id'd
+  * out of the id space), so ground truth is KNOWN — every probe has a
+  * cosine-1.0 partner in the corpus. Recall = flagged / planted, measured
+  * for fixed bits=8 vs auto bits (log2(N/cap)) at 1×/10×/100× the sf0.1
+  * embeddings, for both [[graft.ops.Dedup.crossCorpusNearDupEmbedding]]
+  * (probe-vs-ref) and [[graft.ops.Dedup.embeddingNearDupLsh]]
+  * (within-corpus). Saturation telemetry rides along via Observation.
+  *
+  * `Test/runMain graft.Round13Scaling [dirs...]`; defaults to sf0.1 +
+  * /tmp/graft_sf10x + /tmp/graft_sf100x (built by [[ScalingFixture]]).
+  */
+object Round13Scaling {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/tmp/graft_sf10x", "/tmp/graft_sf100x")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (dir <- dirs) {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val n = emb.count()
+      val stride = math.max(1L, n / 200L)
+      val probes = emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .select((col("vec_id") + 900000000000L).as("vec_id"), col("embedding"))
+      val nProbes = probes.count()
+
+      for ((bits, rot, name) <- Seq((8, 1, "fixed8"), (0, 1, "auto"),
+                                    (0, 2, "auto_r2"), (0, 4, "auto_r4"))) {
+        // cross-corpus: probe-vs-ref, the recurring-dump shape
+        val obs = org.apache.spark.sql.Observation(s"sat_${dir.hashCode}_$name")
+        val t0 = System.nanoTime()
+        val flagged = graft.ops.Dedup.crossCorpusNearDupEmbedding(
+          probes, emb, dims = 64, bits = bits, threshold = 0.999,
+          hotRefCap = 64, rotations = rot, saturation = Some(obs))
+          .filter(col("dup")).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val sat = obs.get
+        // within-corpus: corpus + planted copies, pair recall
+        val t1 = System.nanoTime()
+        val planted = emb.unionByName(probes)
+        val pairs = graft.ops.Dedup.embeddingNearDupLsh(planted, dims = 64,
+          bits = bits, threshold = 0.999, hotBucketCap = 64, rotations = rot)
+        val found = pairs.filter(col("id_b") >= 900000000000L || col("id_a") >= 900000000000L)
+          .select(when(col("id_a") >= 900000000000L, col("id_a")).otherwise(col("id_b")).as("p"))
+          .distinct().count()
+        val dt1 = (System.nanoTime() - t1) / 1e9
+        println(f"[r13recall] $dir n=$n probes=$nProbes bits=$name " +
+          f"cross_recall=${flagged.toDouble / nProbes}%.3f (${dt}%.1fs, " +
+          f"sat_buckets=${sat("saturated_buckets")} dropped_refs=${sat("dropped_refs")}) " +
+          f"within_recall=${found.toDouble / nProbes}%.3f (${dt1}%.1fs)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1477,6 +1477,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats.length == 3)
     assert(stats.forall(_.getLong(1) > 0))
   }
+
+  test("withMediaFingerprintByTag routes by tag; mediaDedup groups per kind, bytes never shuffle") {
+    def png(seed: Int): Array[Byte] = {
+      val px = Array.tabulate(16 * 12)(i => ((seed * 31 + i) % 256).toByte)
+      PngCodec.encode(16, 12, 1, px, _ => 0)
+    }
+    // dHash is a gradient hash — the far image must differ in STRUCTURE
+    val checkerPng = PngCodec.encode(16, 12, 1,
+      Array.tabulate(16 * 12)(i => (if ((i % 16 + i / 16) % 2 == 0) 230 else 20).toByte), _ => 0)
+    def wav(k: Int): Array[Byte] = graft.SparkEntry.synthWav(k)
+    val fetched = Seq(
+      (1L, "img", png(7)), (2L, "img", png(7)), (3L, "img", checkerPng),
+      (4L, "audio", wav(3)), (5L, "audio", wav(3)), (6L, "audio", wav(5)),
+      (7L, "video", wav(3)),            // wrong kind: router yields null fp
+      (8L, "img", "not a png".getBytes),// undecodable
+      (9L, "audio", null: Array[Byte])) // fetch failed
+      .toDF("asset_id", "tag", "media")
+    val fps = Multimodal.withMediaFingerprintByTag(fetched, "tag")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(fps(1L).isDefined && fps(1L) == fps(2L) && fps(1L) != fps(3L))
+    assert(fps(4L).isDefined && fps(4L) == fps(5L) && fps(4L) != fps(6L))
+    assert(fps(7L).isEmpty && fps(8L).isEmpty && fps(9L).isEmpty)
+
+    val out = Multimodal.mediaDedup(fetched, "asset_id")
+    val rows = out.collect().map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), rows.toString)
+    assert(rows(1L) == ((2L, 1L)) && rows(2L) == ((2L, 1L)) && rows(3L)._1 == 1L)
+    assert(rows(4L) == ((2L, 4L)) && rows(5L) == ((2L, 4L)) && rows(6L)._1 == 1L)
+    // scale pin: the media bytes are projected away before every exchange
+    val exchanges = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[Seq[String]] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+            Seq(e.output.map(_.name))
+          case _ => Nil
+        }
+        val extra = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case _ => Nil
+        }
+        here ++ extra ++ p.children.flatMap(walk)
+      }
+      walk(out.queryExecution.executedPlan)
+    }
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(cols => !cols.exists(_.contains("media"))),
+      s"media bytes crossed an exchange: $exchanges")
+  }
 }
 
 class EventsSpec extends AnyFunSuite {
