@@ -19,10 +19,14 @@ import graft.embed.HashEmbeddingBackend
   * own `javax.imageio` readers ([[decodeImage]] — part of the JDK, not an
   * external library). MP3 frame headers (sample rate, channel mode, frame
   * count via the frame-chain walk) and MP4/ISO-BMFF boxes (tkhd
-  * dimensions, mvhd timescale, track count) are REAL parses too — only
-  * the SAMPLE/PIXEL decode of compressed audio/video remains behind
-  * [[StubCodec]]'s deterministic fakes (no JDK codec exists); swap it for
-  * a real decoder (e.g. javacv) to productionize — nothing else changes.
+  * dimensions, mvhd timescale, track count) are REAL parses too, and
+  * MPEG-1 LAYER I decodes to subband samples for real ([[Mp1Codec]] —
+  * the analytic half of the standard, feeding
+  * [[mp1EnergyFingerprintDF]]); only the SAMPLE/PIXEL decode of Layer
+  * II/III audio and video remains behind [[StubCodec]]'s deterministic
+  * fakes (no JDK codec exists; the empirical Layer II/III tables are a
+  * documented README descope); swap it for a real decoder (e.g. javacv)
+  * to productionize — nothing else changes.
   *
   * Scale notes: media bytes never leave their partition (mapPartitions, no
   * shuffle); metadata extraction is projection-shaped; feature vectors are
@@ -955,10 +959,13 @@ object Multimodal {
     * MIXED fetched-media table (what a media-fetch pipeline actually
     * lands): one pass, per-row dispatch on `tagCol` — `img`/`image` rows
     * dHash through the image decode path, `audio` rows energy-fingerprint
-    * through the PCM path, every other tag (compressed video/audio
-    * containers with no sample-decode path here) and every undecodable row
-    * gets a null fingerprint. Decode runs inside the partition; the bytes
-    * never cross an exchange.
+    * through the PCM path, `mp1` rows through the Layer-I subband decoder
+    * ([[mp1EnergyFingerprintDF]]'s kernel — subband-domain envelope, a
+    * DIFFERENT fingerprint domain than PCM, which is fine because the tag
+    * rides in every downstream dedup group key), every other tag
+    * (compressed codecs with no sample-decode path here) and every
+    * undecodable row gets a null fingerprint. Decode runs inside the
+    * partition; the bytes never cross an exchange.
     */
   def withMediaFingerprintByTag(df: DataFrame, tagCol: String = "tag",
                                 binaryCol: String = "media",
@@ -979,6 +986,15 @@ object Multimodal {
             case "audio" =>
               scala.util.Try(PcmCodec.decodeInt16(bytes)).toOption.flatten
                 .map(p => audioFingerprint64(p.samples, p.channels)).orNull
+            case "mp1" =>
+              Mp1Codec.decode(bytes).map { d =>
+                envelopeHash64(d.granules.map { g =>
+                  var e = 0.0
+                  var i = 0
+                  while (i < g.length) { e += g(i) * g(i); i += 1 }
+                  math.round(e * 50176.0)
+                })
+              }.orNull
             case _ => null
           }
         Row.fromSeq(r.toSeq :+ fp)

@@ -33,6 +33,27 @@ object Round13Scaling {
     spark.sparkContext.setLogLevel("WARN")
 
     for (dir <- dirs) {
+      // media e2e path at document scale: every doc an img ref, every %3
+      // doc an audio ref (the q_media_e2e shape without the <100 fetch
+      // budget) — fetch-synthesize, tag-routed fingerprint, dedup
+      import spark.implicits._
+      val docsN = spark.read.parquet(s"$dir/documents.parquet").count()
+      val mediaPasses = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ids = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id")).as[Long]
+        val fetched = ids.flatMap { d =>
+          val img = Iterator((d * 4, "img", SparkEntry.synthPng(d % 25)))
+          val aud = if (d % 3 == 0) Iterator((d * 4 + 1, "audio", SparkEntry.synthWav(d % 25)))
+                    else Iterator.empty
+          img ++ aud
+        }.toDF("asset_id", "tag", "media")
+        graft.ops.Multimodal.mediaDedup(fetched, "asset_id")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[r13media] $dir docs=$docsN media_e2e cold=${mediaPasses.head}%.1f min=${mediaPasses.min}%.1f")
+
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val n = emb.count()

@@ -1492,19 +1492,24 @@ class MultimodalSpec extends AnyFunSuite {
       (4L, "audio", wav(3)), (5L, "audio", wav(3)), (6L, "audio", wav(5)),
       (7L, "video", wav(3)),            // wrong kind: router yields null fp
       (8L, "img", "not a png".getBytes),// undecodable
-      (9L, "audio", null: Array[Byte])) // fetch failed
+      (9L, "audio", null: Array[Byte]), // fetch failed
+      (10L, "mp1", graft.SparkEntry.synthMp1(4L)),  // Layer-I route
+      (11L, "mp1", graft.SparkEntry.synthMp1(4L)),
+      (12L, "mp1", graft.SparkEntry.synthMp1(9L)))
       .toDF("asset_id", "tag", "media")
     val fps = Multimodal.withMediaFingerprintByTag(fetched, "tag")
       .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
     assert(fps(1L).isDefined && fps(1L) == fps(2L) && fps(1L) != fps(3L))
     assert(fps(4L).isDefined && fps(4L) == fps(5L) && fps(4L) != fps(6L))
     assert(fps(7L).isEmpty && fps(8L).isEmpty && fps(9L).isEmpty)
+    assert(fps(10L).isDefined && fps(10L) == fps(11L) && fps(10L) != fps(12L))
 
     val out = Multimodal.mediaDedup(fetched, "asset_id")
     val rows = out.collect().map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
-    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), rows.toString)
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L, 12L), rows.toString)
     assert(rows(1L) == ((2L, 1L)) && rows(2L) == ((2L, 1L)) && rows(3L)._1 == 1L)
     assert(rows(4L) == ((2L, 4L)) && rows(5L) == ((2L, 4L)) && rows(6L)._1 == 1L)
+    assert(rows(10L) == ((2L, 10L)) && rows(11L) == ((2L, 10L)) && rows(12L)._1 == 1L)
     // scale pin: the media bytes are projected away before every exchange
     val exchanges = {
       def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[Seq[String]] = {
