@@ -153,6 +153,82 @@ object FullText {
       .orderBy(desc("score"), col(idCol).asc)
       .limit(k)
 
+  // ------------------------------------------- persisted inverted index
+
+  /** Driver-side twin of [[textfn.hexhash60]] (first 15 hex chars of md5)
+    * — query terms hash to their bucket ON THE DRIVER, so the bucket
+    * filter is a literal list and partition pruning happens at planning.
+    */
+  private[graft] def hexhash60Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Build a PERSISTED posting-list index for BM25 — the lexical twin of
+    * [[SimilaritySearch.lshIndexWrite]]: at 100 TB you tokenize the corpus
+    * ONCE at ingest, not per query. Postings are partitioned by
+    * `bucket = hexhash60(term) % nBuckets`, so a query reads only its
+    * terms' partitions (PartitionFilters — same static pruning as the ANN
+    * indexes). Each posting row is fully DENORMALIZED —
+    * (bucket, term, doc_id, tf, dl, df) — the classic posting-list trade:
+    * a few extra bytes per row buy a query path with ZERO corpus-side
+    * joins (df and doc length ride the row; only the tiny corpus-stats
+    * row joins, broadcast). Written through [[graft.api.VersionedDir]]
+    * (atomic replace, pinned readers survive rebuilds) with the corpus
+    * stats as a flat `_stats` side table.
+    */
+  def invertedIndexWrite(docs: DataFrame, path: String, nBuckets: Int = 64,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         keepVersions: Int = 2): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    new graft.api.VersionedDir(docs.sparkSession, path, keepVersions).replaceWith { dir =>
+      val base = docs.select(col(idCol), textkernel.word_tokens(col(textCol)).as("w"))
+        .select(col(idCol), col("w"), size(col("w")).cast(LongType).as("dl"))
+      val tf = base.select(col(idCol), col("dl"), explode(col("w")).as("term"))
+        .groupBy(col(idCol), col("term"), col("dl")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(df, "term") // term-keyed shuffle join: vocabulary-bound, AQE broadcasts when small
+        .withColumn("bucket", pmod(textfn.hexhash60(col("term")), lit(nBuckets.toLong)))
+        .select(col("bucket"), col("term"), col(idCol), col("tf"), col("dl"), col("df"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_stats")
+    }
+  }
+
+  /** BM25 top-k FROM THE PERSISTED INDEX — score-identical to
+    * [[bm25TopK]] (same formula, same round-then-sum scaled-long
+    * discipline, df fixed at build time = query-time df over the same
+    * corpus), but the plan reads ONLY the query terms' bucket partitions
+    * and does zero corpus-side joins: pruned scan → term filter (pushed)
+    * → broadcast stats → per-doc integer sum → TakeOrderedAndProject.
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      query: String, k: Int = 10,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      nBuckets: Int = 64, idCol: String = "doc_id"): DataFrame = {
+    val terms = queryTerms(query).distinct
+    require(terms.nonEmpty, s"query has no tokens: '$query'")
+    val dir = graft.api.VersionedDir.resolve(spark, path)
+    val buckets = terms.map(t => hexhash60Local(t) % nBuckets).distinct
+    val stats = graft.api.VersionedDir.readSide(spark, s"$dir/_stats")
+    val avgdl = col("tot_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val termScore = idf * col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    spark.read.parquet(dir)
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .join(broadcast(stats))
+      .withColumn("score_micro", round(termScore * Micro).cast(LongType))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("score_micro")) / Micro, 6).as("score"))
+      .orderBy(desc("score"), col(idCol).asc)
+      .limit(k)
+  }
+
   // ------------------------------------------------------------- hybrid RRF
 
   /** Hash-embedding cosine of every document against a literal query, from

@@ -420,4 +420,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!codesScan.contains("embedding"), s"codes scan reads embeddings:\n$codesScan")
     assert(p.contains("pq_adc"), p)
   }
+
+  // the persisted lexical index must behave like the ANN indexes: a query
+  // reads ONLY its terms' bucket partitions (PartitionFilters) with the
+  // term predicate pushed to the scan — losing either silently degrades
+  // to a full-postings scan at 100 TB.
+  test("indexed BM25 reads pruned bucket partitions with the term filter pushed") {
+    import graft.ops.FullText
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planspec-inv").toString + "/idx"
+    val docs = Seq((1L, "spark hash join"), (2L, "window stream fast"),
+      (3L, "spark stream")).toDF("doc_id", "text")
+    FullText.invertedIndexWrite(docs, tmp, nBuckets = 16)
+    val p = plan(FullText.bm25TopKIndexed(spark, tmp, "spark join", k = 5, nBuckets = 16))
+    assert(nonEmptyPartitionFilter.findFirstIn(p).isDefined, p)
+    assert("PushedFilters: \\[[^\\]]*term".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // zero corpus-side joins: the only join is the broadcast stats row
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

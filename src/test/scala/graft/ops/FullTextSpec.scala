@@ -121,4 +121,30 @@ class FullTextSpec extends AnyFunSuite {
     assert(r.nonEmpty && r.map(x => math.abs(x.getLong(2))).sum <= 3)
     assert(r.forall(_.getLong(2) != 0))
   }
+
+  test("indexed BM25 reproduces the full-scan scores from a pruned posting read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-inv").toString + "/idx"
+    FullText.invertedIndexWrite(docs, tmp, nBuckets = 16)
+    for (q <- Seq("hash join", "spark", "fast stream")) {
+      val full = FullText.bm25TopK(docs, q, k = 10).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+      val idx = FullText.bm25TopKIndexed(spark, tmp, q, k = 10, nBuckets = 16).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+      assert(idx == full, s"query '$q': indexed $idx != full $full")
+    }
+    // driver-side bucket twin agrees with the column kernel (pruning
+    // correctness depends on it)
+    val colBuckets = docs.select(explode(graft.functions.textkernel.word_tokens(col("text"))).as("t"))
+      .distinct()
+      .select(col("t"), pmod(graft.functions.textfn.hexhash60(col("t")), lit(16L)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    colBuckets.foreach { case (t, b) =>
+      assert(FullText.hexhash60Local(t) % 16 == b, s"bucket twin diverges on '$t'")
+    }
+    // versioned rebuild: a pinned reader plan built before replaceWith
+    // still resolves (same VersionedDir discipline as the ANN indexes)
+    FullText.invertedIndexWrite(docs.limit(2), tmp, nBuckets = 16)
+    val after = FullText.bm25TopKIndexed(spark, tmp, "spark", k = 10, nBuckets = 16).collect()
+    assert(after.nonEmpty)
+  }
 }
