@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Observation, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -694,9 +695,14 @@ object Multimodal {
     }
   }
 
-  /** Image-level perceptual dedup: group by dHash (one map-side-combined
-    * exchange carrying 8-byte hashes), keeper = min id — the image twin of
-    * [[Dedup.exact]]. Output: (id, dhash_hi, dhash_lo, n_dups,
+  /** Image-level perceptual dedup: group by dHash, keeper = min id — the
+    * image twin of [[Dedup.exact]]. The group stats are WINDOW functions
+    * over the hash (count/min over the unbounded partition), not a
+    * groupBy + join-back: that shape referenced the hashed subtree twice
+    * and re-ran the DECODE pass for each reference (measured in the r13
+    * plan audit — a broadcast join materializes both sides
+    * independently); the window shuffles the ~24-byte hash rows ONCE and
+    * decodes once. Output: (id, dhash_hi, dhash_lo, n_dups,
     * canonical_id); the hash rides as two non-negative 32-bit halves so
     * integer replays never touch the sign bit.
     */
@@ -704,9 +710,10 @@ object Multimodal {
     val hashed = imageDHash(df, idCol, binaryCol)
       .select(col(idCol), shiftrightunsigned(col("dhash"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_hi"),
         col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
-    val groups = hashed.groupBy("dhash_hi", "dhash_lo")
-      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
-    hashed.join(groups, Seq("dhash_hi", "dhash_lo"))
+    val w = Window.partitionBy("dhash_hi", "dhash_lo")
+    hashed
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
       .select(col(idCol), col("dhash_hi"), col("dhash_lo"),
         col("n_dups"), col("canonical_id"))
   }
@@ -821,17 +828,19 @@ object Multimodal {
   }
 
   /** Audio-level perceptual dedup: group by fingerprint — the audio twin of
-    * [[imageDedup]], same posture (one map-side-combined exchange of 8-byte
-    * hashes, keeper = min id; the hash rides as two non-negative 32-bit
-    * halves so integer replays never touch the sign bit).
+    * [[imageDedup]], same posture (ONE exchange of ~24-byte hash rows and
+    * ONE decode pass via window-function group stats, keeper = min id;
+    * the hash rides as two non-negative 32-bit halves so integer replays
+    * never touch the sign bit).
     */
   def audioDedup(df: DataFrame, idCol: String, binaryCol: String = "media"): DataFrame = {
     val hashed = audioFingerprintDF(df, idCol, binaryCol)
       .select(col(idCol), shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
         col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
-    val groups = hashed.groupBy("afp_hi", "afp_lo")
-      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
-    hashed.join(groups, Seq("afp_hi", "afp_lo"))
+    val w = Window.partitionBy("afp_hi", "afp_lo")
+    hashed
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
       .select(col(idCol), col("afp_hi"), col("afp_lo"),
         col("n_dups"), col("canonical_id"))
   }
@@ -1007,9 +1016,11 @@ object Multimodal {
     * tag ([[withMediaFingerprintByTag]] — decode in-partition), drop rows
     * with no fingerprint (non-decodable kinds carry no dedup identity),
     * then group per (tag, fingerprint) — keeper = min id, the engine-wide
-    * first-wins convention. The only exchanges carry (id, tag, two
-    * non-negative 32-bit fingerprint halves) — ~30 bytes per asset; the
-    * media bytes are projected away BEFORE the shuffle (PlanSpec-pinned).
+    * first-wins convention. Group stats are WINDOW functions over
+    * (tag, fp), so the fetched table is scanned — and the decode run —
+    * exactly ONCE; the one exchange carries (id, tag, two non-negative
+    * 32-bit fingerprint halves) — ~30 bytes per asset; the media bytes
+    * are projected away BEFORE the shuffle (PlanSpec-pinned).
     * Output: (idCol, tag, fp_hi, fp_lo, n_dups, canonical_id).
     */
   def mediaDedup(fetched: DataFrame, idCol: String, tagCol: String = "tag",
@@ -1019,9 +1030,10 @@ object Multimodal {
       .select(col(idCol), col(tagCol),
         shiftrightunsigned(col("media_fp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("fp_hi"),
         col("media_fp").bitwiseAND(lit(0xFFFFFFFFL)).as("fp_lo"))
-    val groups = hashed.groupBy(tagCol, "fp_hi", "fp_lo")
-      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
-    hashed.join(groups, Seq(tagCol, "fp_hi", "fp_lo"))
+    val w = Window.partitionBy(tagCol, "fp_hi", "fp_lo")
+    hashed
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
       .select(col(idCol), col(tagCol), col("fp_hi"), col("fp_lo"),
         col("n_dups"), col("canonical_id"))
   }

@@ -1531,6 +1531,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(exchanges.nonEmpty)
     assert(exchanges.forall(cols => !cols.exists(_.contains("media"))),
       s"media bytes crossed an exchange: $exchanges")
+    // the decode pass must run ONCE: the group stats are window functions,
+    // not a groupBy + join-back (which materializes the hashed subtree —
+    // and re-decodes — on both join sides). Tree walk, not a string count
+    // (AQE's toString prints the initial plan too).
+    def countDecodes(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val here = if (p.nodeName.contains("MapPartitions")) 1 else 0
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => countDecodes(a.executedPlan)
+        case q: QueryStageExec => countDecodes(q.plan)
+        case _ => 0
+      }
+      here + extra + p.children.map(countDecodes).sum
+    }
+    val nDecodes = countDecodes(out.queryExecution.executedPlan)
+    assert(nDecodes == 1, s"expected one decode MapPartitions, got $nDecodes")
   }
 }
 
