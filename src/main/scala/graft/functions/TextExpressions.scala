@@ -698,6 +698,64 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** remove_spans(text, spans) — tokenize `text` (TextKernel.tokens), drop
+  * every token whose position falls inside any `[s, e]` span, reassemble the
+  * survivors space-joined → struct(n_tokens, n_kept, clean_text).
+  *
+  * Spans are `array<struct<s:int, e:int>>` and MAY overlap (islands built
+  * from marked window STARTS overlap when two islands sit closer than the
+  * window width); the kernel sorts by start and sweep-merges before
+  * subtracting, so covered positions are counted once. This replaces the
+  * token-level explode → distinct → anti-join → collect_list rebuild with
+  * one per-row loop: the span table rides a doc-keyed join (~16 B per
+  * maximal span) instead of one shuffled row per corpus TOKEN.
+  */
+case class RemoveSpansExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+  override def nullable: Boolean = true
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val ws = TextKernel.tokens(a.asInstanceOf[UTF8String].toString)
+    val n = ws.length
+    val sp = b.asInstanceOf[ArrayData]
+    val m = sp.numElements()
+    // pack (start << 32 | end) so one primitive sort orders the sweep
+    val packed = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val row = sp.getStruct(i, 2)
+      packed(i) = (row.getInt(0).toLong << 32) | (row.getInt(1).toLong & 0xffffffffL)
+      i += 1
+    }
+    java.util.Arrays.sort(packed)
+    val sb = new java.lang.StringBuilder
+    var kept = 0L
+    var pos = 0
+    var si = 0
+    var curEnd = -1 // exclusive sweep frontier: positions < curEnd are covered
+    while (pos < n) {
+      while (si < m && (packed(si) >>> 32).toInt <= pos) {
+        val e = packed(si).toInt
+        if (e >= curEnd) curEnd = e + 1
+        si += 1
+      }
+      if (pos >= curEnd) {
+        if (kept > 0) sb.append(' ')
+        sb.append(ws(pos))
+        kept += 1
+      }
+      pos += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      n.toLong, kept, UTF8String.fromString(sb.toString))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RemoveSpansExpr =
+    copy(left = l, right = r)
+}
+
 /** Shared per-word subword-encode kernel: tokenize the text, encode each
   * word via the concrete tokenizer's [[encodeWord]], emit the concatenated
   * piece stream. Encodings are memoized per expression instance (Zipf: the
@@ -939,6 +997,8 @@ object textkernel {
     toColumn(LshBucketExpr(toExpression(c), dims, bits, planeOffset))
   def jaccard_sorted(a: Column, b: Column): Column =
     toColumn(JaccardSortedExpr(toExpression(a), toExpression(b)))
+  def remove_spans(text: Column, spans: Column): Column =
+    toColumn(RemoveSpansExpr(toExpression(text), toExpression(spans)))
   def word_shingles(c: Column, n: Int): Column = toColumn(WordShinglesExpr(toExpression(c), n))
   def minhash_sig(c: Column, numHashes: Int, shingleSize: Int): Column =
     toColumn(MinHashSigExpr(toExpression(c), numHashes, shingleSize))

@@ -721,14 +721,13 @@ object Dedup {
     * is dropped; surviving segments reassemble in document order.
     *
     * Plan shape: one token-kernel scan → per-segment rows (n/segWords rows
-    * per doc, not per-token) → the min-instance resolution is ONE map-side-
-    * combined groupBy on the segment digest, and the keep-join is an
-    * equi-join of the instance table against that aggregate on the SAME key
-    * (sort-merge at scale; never broadcast — the digest table is
-    * corpus-bound). Reassembly is one groupBy(doc) with an order-restoring
-    * sort_array. Nothing is ever all-pairs, and full text never shuffles
-    * twice: instances carry the segment text only until the digest agg, and
-    * the rebuild joins digests back to surviving instances.
+    * per doc, not per-token) → the min-instance resolution is a WINDOW min
+    * over the segment digest (one digest-keyed exchange marking keepers in
+    * place — a groupBy + join-back would materialize the tokenize+explode
+    * subtree on both sides) → ONE groupBy(doc) computes segment counts and
+    * the order-restoring sort_array reassembly together. Nothing is ever
+    * all-pairs; the corpus is scanned once and the segment text crosses
+    * exactly two exchanges (digest window, doc rebuild).
     *
     * Returns one row per input doc: (doc_id, n_segments, n_kept, clean_text)
     * — clean_text is "" when every segment of the doc was a repeat.
@@ -745,23 +744,27 @@ object Dedup {
         transform(sequence(lit(0), ((size(col("w")) - 1) / segWords).cast("int")),
           i => concat_ws(" ", slice(col("w"), i * segWords + 1, lit(segWords))))))
       .select(col(idCol), col("pos"), md5(col("col")).as("seg_hash"), col("col").as("seg"))
-    // corpus-wide first instance per digest: min over the (doc, pos) pair —
-    // one shuffle keyed by the digest, map-side combined
-    val first = segs.groupBy("seg_hash")
-      .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("f"))
-      .select(col("seg_hash"), col("f.d").as("keep_doc"), col("f.p").as("keep_pos"))
-    val kept = segs.join(first, "seg_hash")
-      .filter(col(idCol) === col("keep_doc") && col("pos") === col("keep_pos"))
-    val rebuilt = kept.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
-        // order restore without a window: sort (pos, seg) structs, then strip
-        concat_ws(" ", transform(sort_array(collect_list(struct(col("pos"), col("seg")))),
+    // corpus-wide first instance per digest as a WINDOW min over the
+    // (doc, pos) pair — the previous groupBy-on-digest + join-back +
+    // separate n_segments groupBy evaluated the tokenize+explode `segs`
+    // subtree THREE times (r13 plan audit, same finding as the media
+    // dedups). One digest-keyed exchange marks keepers in place; ONE
+    // groupBy(doc) then computes n_segments, n_kept and the reassembled
+    // text together (collect_list skips the nulls the `when` leaves on
+    // dropped segments). The corpus is scanned once.
+    val w = Window.partitionBy("seg_hash")
+    val marked = segs
+      .withColumn("__first", min(struct(col(idCol).as("d"), col("pos").as("p"))).over(w))
+      .withColumn("__keep", col("__first.d") === col(idCol) && col("__first.p") === col("pos"))
+    marked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        // order restore without a second window: sort kept (pos, seg)
+        // structs, then strip
+        concat_ws(" ", transform(sort_array(collect_list(
+          when(col("__keep"), struct(col("pos"), col("seg"))))),
           s => s.getField("seg"))).as("clean_text"))
-    segs.groupBy(col(idCol)).agg(count(lit(1)).as("n_segments"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_segments"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .select(col(idCol), col("n_segments"), col("n_kept"), col("clean_text"))
   }
 
   /** Exact SUBSTRING dedup — the repeated-span rule of Lee et al. 2021
@@ -796,40 +799,42 @@ object Dedup {
   def spanDedup(docs: DataFrame, windowWords: Int = 20,
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(windowWords >= 2, s"windowWords must be >= 2: $windowWords")
-    val toks = docs.select(col(idCol),
-      word_tokens(col(textCol)).as("w"),
-      positional_shingle_hashes(col(textCol), windowWords).as("h"))
-    val wins = toks.select(col(idCol), posexplode(col("h")))
+    // r13 rewrite (same plan audit as segmentDedup/mediaDedup): the
+    // groupBy-on-hash + join-back + token-explode + anti-join form evaluated
+    // the tokenize/shingle kernel subtree FOUR times and shuffled one row
+    // per corpus TOKEN through the covered/anti-join exchanges. Now the
+    // hash path alone (8 B rows) finds the spans, and removal happens
+    // in-row via the remove_spans kernel at a single doc-keyed join.
+    val wins = docs
+      .select(col(idCol), posexplode(positional_shingle_hashes(col(textCol), windowWords)))
       .select(col(idCol), col("pos"), col("col").as("win_hash"))
-    // duplicated windows + their corpus-wide first instance, one combined agg
-    val dupFirst = wins.groupBy("win_hash")
-      .agg(count(lit(1)).as("n_inst"),
-        min(struct(col(idCol).as("d"), col("pos").as("p"))).as("f"))
-      .filter(col("n_inst") > 1)
-      .select(col("win_hash"), col("f.d").as("keep_doc"), col("f.p").as("keep_pos"))
-    val marked = wins.join(dupFirst, "win_hash")
-      .filter(!(col(idCol) === col("keep_doc") && col("pos") === col("keep_pos")))
+    // duplicated windows + corpus-wide first instance: ONE window over the
+    // hash marks every non-canonical instance in place (no join-back, no
+    // kernel re-scan); hot hashes co-locate only 16-byte (id, pos) rows
+    val hw = Window.partitionBy("win_hash")
+    val marked = wins
+      .withColumn("__n", count(lit(1)).over(hw))
+      .withColumn("__first", min(struct(col(idCol).as("d"), col("pos").as("p"))).over(hw))
+      .filter(col("__n") > 1 &&
+        !(col("__first.d") === col(idCol) && col("__first.p") === col("pos")))
       .select(col(idCol), col("pos"))
     // islands: consecutive marked positions share (pos - rank); spans are
-    // [min, max + W - 1] per island
+    // [min, max + W - 1] per island — islands closer than W yield
+    // OVERLAPPING spans, merged inside the remove_spans kernel
     val isl = marked.withColumn("g",
       col("pos") - row_number().over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
     val spans = isl.groupBy(col(idCol), col("g"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + windowWords - 1).as("e"))
-    val covered = spans
-      .select(col(idCol), explode(sequence(col("s"), col("e"))).as("pos"))
-      .distinct()
-    val tokens = toks.select(col(idCol), posexplode(col("w")))
-      .select(col(idCol), col("pos"), col("col").as("word"))
-    val kept = tokens.join(covered, Seq(idCol, "pos"), "left_anti")
-    val rebuilt = kept.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(sort_array(collect_list(struct(col("pos"), col("word")))),
-          s => s.getField("word"))).as("clean_text"))
-    toks.select(col(idCol), size(col("w")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
+    // the corpus text crosses exactly ONE exchange (this join); the span
+    // side arrives already id-partitioned from the islands window
+    docs.join(spans, Seq(idCol), "left")
+      .select(col(idCol), remove_spans(col(textCol),
+        coalesce(col("__spans"),
+          array().cast("array<struct<s:int,e:int>>"))).as("r"))
+      .select(col(idCol), col("r.n_tokens").as("n_tokens"),
+        (col("r.n_tokens") - col("r.n_kept")).as("n_removed"),
+        col("r.clean_text").as("clean_text"))
   }
 }

@@ -702,9 +702,16 @@ object Multimodal {
     * and re-ran the DECODE pass for each reference (measured in the r13
     * plan audit — a broadcast join materializes both sides
     * independently); the window shuffles the ~24-byte hash rows ONCE and
-    * decodes once. Output: (id, dhash_hi, dhash_lo, n_dups,
-    * canonical_id); the hash rides as two non-negative 32-bit halves so
-    * integer replays never touch the sign bit.
+    * decodes once. This is the OPPOSITE trade from
+    * [[TextAnalysis.cleanPipeline]]'s agg+join canonicality (r5 rule:
+    * don't window a hot key) — here the re-evaluated side would re-run
+    * the decode (the dominant cost), and the co-located rows are 24-byte
+    * fingerprints, so even a million-fold duplicated asset is ~24 MB in
+    * one task. For corpora where ONE identical asset exceeds ~100M
+    * copies (tracking-pixel scale), pre-aggregate by byte digest
+    * ([[mediaStats]]' md5) before decoding. Output: (id, dhash_hi,
+    * dhash_lo, n_dups, canonical_id); the hash rides as two non-negative
+    * 32-bit halves so integer replays never touch the sign bit.
     */
   def imageDedup(df: DataFrame, idCol: String, binaryCol: String = "media"): DataFrame = {
     val hashed = imageDHash(df, idCol, binaryCol)

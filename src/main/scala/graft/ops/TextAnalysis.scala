@@ -138,6 +138,15 @@ object TextAnalysis {
       col("doc_id"), lang.as("lang_pred"), round(quality, 6).as("quality"),
       token_stats(t).getField("n_tokens_naive").as("n_tokens"),
       md5(concat_ws(" ", ws)).as("exact_fp"))
+    // canonicality stays a map-side-combined agg + broadcast join-back,
+    // NOT a window (r5 verdict: exact_fp is hot by construction on
+    // duplicate-heavy corpora — a window would co-locate every copy of a
+    // boilerplate fingerprint in one task; with the broadcast join the
+    // corpus rows never shuffle at all). The trade is a second kernel
+    // scan on the agg side — cheap here relative to co-locating the
+    // corpus; contrast with Multimodal.mediaDedup, where the re-evaluated
+    // side would re-DECODE the media and the windowed rows are 24-byte
+    // fingerprints, flipping the trade the other way.
     val canon = scanned.groupBy(col("exact_fp"))
       .agg(min(col("doc_id")).as("__canonical_id"))
     scanned.join(canon, Seq("exact_fp"))

@@ -387,11 +387,17 @@ class PlanSpec extends AnyFunSuite {
     // (<=k rows per doc forwarded through the shuffle, not every term)
     val tf = plan(FullText.tfIdfTopTerms(docs, k = 3))
     assert(tf.contains("WindowGroupLimit"), tf)
-    // segment dedup: order restore is sort_array over collected structs —
-    // the plan must contain NO window and no cartesian anything
-    val sd = plan(Dedup.segmentDedup(docs, segWords = 3))
-    assert(!sd.contains("windowspecdefinition"), sd)
+    // segment dedup (r13 rewrite): keeper marking is ONE digest-keyed
+    // window min (the groupBy+join-back form materialized the
+    // tokenize+explode subtree three times), order restore is sort_array
+    // over collected structs — no join, no cartesian anything, and the
+    // whole op is exactly two shuffles (digest window, doc rebuild).
+    val sdDf = Dedup.segmentDedup(docs, segWords = 3)
+    val sd = plan(sdDf)
+    assert(sd.contains("windowspecdefinition"), sd)
+    assert(!sd.contains("Join"), sd)
     assert(!sd.contains("CartesianProduct") && !sd.contains("BroadcastNestedLoopJoin"), sd)
+    assert(shuffleCount(sdDf.queryExecution.executedPlan) == 2, sd)
   }
 
   test("ivfAssign is zero-exchange up to the assignment (per-row kernel argmin)") {

@@ -529,12 +529,21 @@ class CleanPipelineSpec extends AnyFunSuite {
     assert(r(1).getLong(1) == 0L && r(1).getString(3) == "")
   }
 
-  test("spanDedup plan: no corpus-wide window — the only Window partitions by doc") {
+  test("spanDedup plan: no corpus-wide window, one join, kernel removal") {
     val d = Seq((1L, "a b c d e")).toDF("doc_id", "text")
-    val plan = Dedup.spanDedup(d, windowWords = 4).queryExecution.optimizedPlan.toString
-    // row_number over marked positions is per-doc; nothing windows over an
-    // unpartitioned or hash-only-partitioned corpus
+    val qe = Dedup.spanDedup(d, windowWords = 4).queryExecution
+    val plan = qe.optimizedPlan.toString
+    // both windows are keyed (win_hash; doc) — nothing windows over an
+    // unpartitioned corpus
     assert(!plan.contains("windowspecdefinition()"), plan)
+    // r13 shape: the ONLY join is the doc-keyed span attach — no hash
+    // join-back, no token-level anti-join, and removal is the in-row
+    // remove_spans kernel (no posexplode of the token array at all)
+    val exec = qe.executedPlan.toString
+    assert("(?i)join".r.findAllIn(exec).length >= 1, exec)
+    assert(!exec.contains("LeftAnti"), exec)
+    assert(exec.contains("remove_spans") || exec.contains("removespans") ||
+      exec.toLowerCase.contains("removespan"), exec)
   }
 
   test("positional_shingle_hashes: position order, within-doc repeats kept, short-doc empty") {
