@@ -1241,6 +1241,27 @@ object SparkEntry {
       TextAnalysis.decontaminate(docs, docs.filter(col("doc_id") % 7 === 3), n = 3)
         .orderBy("doc_id")
     },
+    // span-level decontamination: 3 synthetic eval phrases (nonsense words
+    // absent from the corpus); every doc_id % 5 == 2 doc gets one phrase
+    // injected after its 8th word — the op must cut exactly the injected 6
+    // tokens (windows straddling the injection boundary contain corpus
+    // words, so only fully-inside windows mark) and nothing else
+    "q_decontam_spans" -> { (s, dir) =>
+      val w = graft.functions.textkernel.word_tokens(col("text"))
+      val phrase = concat(lit("zzqx vvrk wwpl qqmn ttbs "),
+        (col("doc_id") % 3).cast("string"))
+      val injected = docsPar(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 2,
+          concat_ws(" ", concat_ws(" ", slice(w, 1, 8)), phrase,
+            concat_ws(" ", slice(w, 9, 1000000))))
+          .otherwise(col("text")).as("text"))
+      val evalSet = s.range(3).select(
+        concat(lit("zzqx vvrk wwpl qqmn ttbs "), col("id").cast("string")).as("text"))
+      TextAnalysis.decontaminateSpans(injected, evalSet, windowWords = 4)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
     // BPE round-0 pair statistics over the corpus vocabulary (the trainer's
     // first merge decision rides exactly these counts — BpeSpec pins that)
     "q_bpe_pairs" -> { (s, dir) =>
@@ -3620,6 +3641,32 @@ object SparkEntry {
          |  round(CASE WHEN len(t2.sh) = 0 THEN 0.0 ELSE coalesce(hits.n_hits, 0) / CAST(len(t2.sh) AS DOUBLE) END, 6) AS overlap_frac,
          |  CAST(CASE WHEN coalesce(hits.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
          |FROM t2 LEFT JOIN hits ON t2.doc_id = hits.doc_id ORDER BY t2.doc_id""".stripMargin
+    },
+    "q_decontam_spans" -> {
+      val w = 4
+      s"""WITH base AS (SELECT doc_id, $sqlWords AS bw FROM documents),
+         | inj AS (SELECT doc_id, CASE WHEN doc_id % 5 = 2 THEN
+         |     trim(array_to_string(bw[1:8], ' ') || ' zzqx vvrk wwpl qqmn ttbs ' || CAST(doc_id % 3 AS VARCHAR) || ' ' || array_to_string(bw[9:], ' '))
+         |   ELSE array_to_string(bw, ' ') END AS text FROM base),
+         | t AS (SELECT doc_id, $sqlWords AS w FROM inj),
+         | evt AS (SELECT list_value('zzqx', 'vvrk', 'wwpl', 'qqmn', 'ttbs', CAST(k AS VARCHAR)) AS w FROM range(3) r(k)),
+         | evw AS (SELECT DISTINCT ${sqlHex60(s"array_to_string(w[i:i+$w-1], ' ')")} AS h
+         |   FROM (SELECT w, unnest(range(1, len(w) - $w + 2)) AS i FROM evt)),
+         | e AS (SELECT doc_id, w, unnest(range(1, len(w) - $w + 2)) AS i FROM t WHERE len(w) >= $w),
+         | wn AS (SELECT doc_id, i - 1 AS pos, ${sqlHex60(s"array_to_string(w[i:i+$w-1], ' ')")} AS h FROM e),
+         | mk AS (SELECT doc_id, pos FROM wn SEMI JOIN evw USING (h)),
+         | isl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM mk),
+         | sp AS (SELECT doc_id, min(pos) AS s, max(pos) + $w - 1 AS e2 FROM isl GROUP BY doc_id, g),
+         | cov AS (SELECT DISTINCT doc_id, unnest(range(s, e2 + 1)) AS pos FROM sp),
+         | tk AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t),
+         | tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS word FROM tk),
+         | kept AS (SELECT doc_id, pos, word FROM tok ANTI JOIN cov USING (doc_id, pos)),
+         | reb AS (SELECT doc_id, count(*) AS n_kept,
+         |   array_to_string(list(word ORDER BY pos), ' ') AS clean FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.w) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed,
+         |  md5(coalesce(reb.clean, '')) AS clean_md5
+         |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id ORDER BY t.doc_id""".stripMargin
     },
     "q_bpe_pairs" ->
       s"""WITH t AS (SELECT $sqlWords AS w FROM documents),

@@ -818,17 +818,29 @@ object Dedup {
       .filter(col("__n") > 1 &&
         !(col("__first.d") === col(idCol) && col("__first.p") === col("pos")))
       .select(col(idCol), col("pos"))
-    // islands: consecutive marked positions share (pos - rank); spans are
-    // [min, max + W - 1] per island — islands closer than W yield
-    // OVERLAPPING spans, merged inside the remove_spans kernel
+    cutMarkedSpans(docs, marked, windowWords, textCol, idCol)
+  }
+
+  /** Shared tail of [[spanDedup]] and
+    * [[TextAnalysis.decontaminateSpans]]: merge marked window-START
+    * positions into maximal spans and cut them from the documents.
+    *
+    * islands: consecutive marked positions share (pos - rank); spans are
+    * [min, max + W - 1] per island — islands closer than W yield
+    * OVERLAPPING spans, merged inside the remove_spans kernel. The corpus
+    * text crosses exactly ONE exchange (the doc-keyed span attach; the
+    * span side arrives already id-partitioned from the islands window).
+    * Returns (idCol, n_tokens, n_removed, clean_text).
+    */
+  private[ops] def cutMarkedSpans(docs: DataFrame, marked: DataFrame,
+                                  windowWords: Int, textCol: String,
+                                  idCol: String): DataFrame = {
     val isl = marked.withColumn("g",
       col("pos") - row_number().over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
     val spans = isl.groupBy(col(idCol), col("g"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + windowWords - 1).as("e"))
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
-    // the corpus text crosses exactly ONE exchange (this join); the span
-    // side arrives already id-partitioned from the islands window
     docs.join(spans, Seq(idCol), "left")
       .select(col(idCol), remove_spans(col(textCol),
         coalesce(col("__spans"),

@@ -369,6 +369,45 @@ object TextAnalysis {
       .withColumn("contaminated", (col("n_hits") > 0).cast("int"))
   }
 
+  /** Span-level decontamination — where [[decontaminate]] FLAGS documents
+    * overlapping the eval set, this surgically CUTS the overlapping spans
+    * and keeps the rest of the document (the span-removal discipline of
+    * Lee et al. 2021 applied to benchmark contamination: dropping a whole
+    * web page because one paragraph quotes a benchmark question wastes the
+    * other 95% of it). Any stride-1 window of `windowWords` tokens whose
+    * hash appears ANYWHERE in the eval set is marked; runs of marked
+    * window starts merge into maximal spans ([[Dedup.cutMarkedSpans]]) and
+    * are removed in-row by the remove_spans kernel.
+    *
+    * Scale shape: the eval side (a benchmark — thousands of documents) is
+    * reduced to DISTINCT window hashes and BROADCAST, so marking is a
+    * broadcast semi-join on the corpus scan — the corpus is never shuffled
+    * by window hash at all (unlike [[Dedup.spanDedup]], which must
+    * cross-correlate the corpus with itself). Exchanges: the (id, pos)
+    * marked rows for the islands window, and ONE doc-keyed text shuffle
+    * for the span attach.
+    *
+    * Returns one row per corpus document:
+    * (idCol, n_tokens, n_removed, clean_text).
+    */
+  def decontaminateSpans(corpus: DataFrame, evalSet: DataFrame,
+                         windowWords: Int = 13, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         evalTextCol: String = "text"): DataFrame = {
+    require(windowWords >= 2, s"windowWords must be >= 2: $windowWords")
+    val evalWins = broadcast(
+      evalSet.select(explode(
+        positional_shingle_hashes(col(evalTextCol), windowWords)).as("win_hash"))
+        .distinct())
+    val marked = corpus
+      .select(col(idCol),
+        posexplode(positional_shingle_hashes(col(textCol), windowWords)))
+      .select(col(idCol), col("pos"), col("col").as("win_hash"))
+      .join(evalWins, Seq("win_hash"), "left_semi")
+      .select(col(idCol), col("pos"))
+    Dedup.cutMarkedSpans(corpus, marked, windowWords, textCol, idCol)
+  }
+
   /** PII patterns for [[redactPii]]: (kind, regex, replacement), applied in
     * order. Patterns stay inside the Java-regex ∩ RE2 common subset (char
     * classes, bounded quantifiers, ASCII \b) so the DuckDB oracle replays

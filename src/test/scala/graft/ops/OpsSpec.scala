@@ -696,6 +696,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     (3L, "xyzzy plugh")) // no markers
     .toDF("doc_id", "text")
 
+  test("decontaminateSpans cuts exactly the eval-overlapping span; boundary windows don't mark") {
+    val corpus = Seq(
+      (1L, "one two pp qq rr ss three four"), // phrase embedded mid-doc
+      (2L, "plain document with no overlap at all"),
+      (3L, "pp qq"), // shorter than the window: passes through whole
+      (4L, "pp qq rr ss x pp qq rr ss")) // two islands, spans merge around x
+      .toDF("doc_id", "text")
+    val evalSet = Seq("pp qq rr ss").toDF("text")
+    val r = TextAnalysis.decontaminateSpans(corpus, evalSet, windowWords = 3)
+      .orderBy("doc_id").collect()
+    // doc 1: marked starts {2,3} -> island -> span [2,5]; straddling
+    // windows (one two pp / ss three four) contain corpus words -> unmarked
+    assert(r(0).getLong(1) == 8 && r(0).getLong(2) == 4 &&
+      r(0).getString(3) == "one two three four", r(0).toString)
+    assert(r(1).getLong(2) == 0 &&
+      r(1).getString(3) == "plain document with no overlap at all")
+    assert(r(2).getLong(1) == 2 && r(2).getLong(2) == 0 &&
+      r(2).getString(3) == "pp qq")
+    // doc 4: islands {0,1} and {5,6} -> spans [0,3], [5,8]; only x survives
+    assert(r(3).getLong(1) == 9 && r(3).getLong(2) == 8 &&
+      r(3).getString(3) == "x", r(3).toString)
+  }
+
+  test("decontaminateSpans plan: eval side broadcast, corpus never hash-shuffled by window") {
+    val corpus = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val evalSet = Seq("c d e").toDF("text")
+    val qe = TextAnalysis.decontaminateSpans(corpus, evalSet, windowWords = 3)
+      .queryExecution
+    val exec = qe.executedPlan.toString
+    // marking is a broadcast LEFT-SEMI on the corpus scan (the eval side's
+    // own tiny distinct may shuffle by hash; the corpus never does)
+    assert(exec.contains("BroadcastHashJoin") && exec.contains("LeftSemi"), exec)
+    // the only window is keyed per-doc (islands); nothing windows the
+    // corpus unpartitioned
+    assert(!qe.optimizedPlan.toString.contains("windowspecdefinition()"), exec)
+  }
+
   test("tokenStats naive estimator matches the pure Scala counter") {
     val got = TextAnalysis.tokenStats(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
