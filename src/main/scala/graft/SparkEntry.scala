@@ -1262,6 +1262,19 @@ object SparkEntry {
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")
     },
+    // quality-ranked token-budget selection: 7 synthetic quality levels
+    // (doc_id % 7 / 6), budget ~half the fixture's tokens — whole levels
+    // select above the boundary, the boundary level cuts mid-level in
+    // doc-id order, everything below is excluded
+    "q_select_budget" -> { (s, dir) =>
+      val docs = docsPar(s, dir).select(col("doc_id"), col("text"),
+        round((col("doc_id") % 7).cast("double") / 6.0, 4).as("quality"),
+        size(graft.functions.textkernel.word_tokens(col("text")))
+          .cast("long").as("n_toks"))
+      TextAnalysis.selectByBudget(docs, tokenBudget = 13000L,
+        tokenCol = Some("n_toks"))
+        .orderBy("doc_id")
+    },
     // BPE round-0 pair statistics over the corpus vocabulary (the trainer's
     // first merge decision rides exactly these counts — BpeSpec pins that)
     "q_bpe_pairs" -> { (s, dir) =>
@@ -3668,6 +3681,15 @@ object SparkEntry {
          |  md5(coalesce(reb.clean, '')) AS clean_md5
          |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id ORDER BY t.doc_id""".stripMargin
     },
+    "q_select_budget" ->
+      s"""WITH t AS (SELECT doc_id, round((doc_id % 7) / 6.0, 4) AS q_level,
+         |   CAST(len($sqlWords) AS BIGINT) AS n_tokens FROM documents),
+         | c AS (SELECT doc_id, q_level, n_tokens,
+         |   coalesce(sum(n_tokens) OVER (ORDER BY q_level DESC, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb FROM t)
+         |SELECT doc_id, q_level, n_tokens,
+         |  CAST(CASE WHEN tb + n_tokens <= 13000 THEN 1 ELSE 0 END AS INT) AS selected
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q_bpe_pairs" ->
       s"""WITH t AS (SELECT $sqlWords AS w FROM documents),
          | wc AS (SELECT word, count(*) AS wcnt FROM (SELECT unnest(w) AS word FROM t) GROUP BY word),

@@ -619,6 +619,70 @@ object TextAnalysis {
     * window, which would funnel a giant domain into one task). Groups
     * absent from `weights` get weight 1.
     */
+  /** Quality-ranked token-budget selection — "fill a 1T-token training
+    * budget from the best-quality documents first". A document is selected
+    * iff the token sum of every STRICTLY PRECEDING document in
+    * (q_level desc, doc_id asc) order — selected or not — plus its own
+    * tokens, fits `tokenBudget` (q_level = `qualityCol` rounded to
+    * `precision` dp). A doc that overflows is dropped but still advances
+    * the cumulative, so the rule is one deterministic window predicate
+    * (the DuckDB twin is a single running sum), and total selected tokens
+    * never exceed the budget.
+    *
+    * Scale shape — the naive formulation (global sort + running-sum
+    * window) funnels the corpus through ONE window partition; instead:
+    *  1. one map-side-combined groupBy builds the per-level token
+    *     histogram (≤ 10^precision + 1 rows for [0,1] scores; collect is
+    *     guarded like [[packSequences]]' superblocks);
+    *  2. the driver walks levels best-first to find the single BOUNDARY
+    *     level where the cumulative crosses the budget — every better
+    *     level is selected wholesale by a literal comparison (no join,
+    *     no sort);
+    *  3. only the boundary level's docs (one quality level of the corpus)
+    *     pay a prefix sum, and that reuses [[packSequences]]' two-level
+    *     distributed cumsum in doc-id order.
+    * Null quality sorts below everything (selected only if the budget
+    * survives every real level).
+    *
+    * Returns one row per doc: (doc_id, q_level, n_tokens, selected 0/1).
+    */
+  def selectByBudget(docs: DataFrame, tokenBudget: Long,
+                     qualityCol: String = "quality", idCol: String = "doc_id",
+                     textCol: String = "text", tokenCol: Option[String] = None,
+                     precision: Int = 4,
+                     targetGroups: Long = 1024L): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive: $tokenBudget")
+    val tokens = tokenCol.map(c => col(c).cast("long"))
+      .getOrElse(token_stats(col(textCol)).getField("n_tokens_naive"))
+    val sized = docs.select(col(idCol).cast("long").as("doc_id"),
+      coalesce(round(nanvl(col(qualityCol).cast("double"), lit(null)), precision),
+        lit(Double.NegativeInfinity)).as("q_level"),
+      tokens.as("n_tokens"))
+    val levels = sized.groupBy("q_level").agg(sum("n_tokens").as("__t"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    require(levels.length <= 4_000_000,
+      s"quality-level cardinality too large to collect (${levels.length}); lower precision")
+    if (levels.isEmpty) return sized.withColumn("selected", lit(1)).limit(0)
+    var running = 0L
+    var boundary = Option.empty[(Double, Long)] // (level, budget left for it)
+    for ((q, t) <- levels.sortBy(-_._1) if boundary.isEmpty) {
+      if (running + t > tokenBudget) boundary = Some((q, tokenBudget - running))
+      else running += t
+    }
+    boundary match {
+      case None => sized.withColumn("selected", lit(1)) // everything fits
+      case Some((b, budgetLeft)) =>
+        val nonB = sized.filter(col("q_level") =!= b)
+          .withColumn("selected", (col("q_level") > b).cast("int"))
+        val bSub = sized.filter(col("q_level") === b)
+          .select(lit("").as("__gk"), col("doc_id"), col("n_tokens"))
+        val bOut = prefixSum(bSub, targetGroups, "tok_before").get
+          .select(col("doc_id"), lit(b).as("q_level"), col("n_tokens"),
+            (col("tok_before") + col("n_tokens") <= budgetLeft).cast("int").as("selected"))
+        nonB.select("doc_id", "q_level", "n_tokens", "selected").union(bOut)
+    }
+  }
+
   def mixtureOrder(docs: DataFrame, weights: Map[String, Double],
                    groupCol: String, idCol: String = "doc_id",
                    targetGroups: Long = 1024L): DataFrame = {

@@ -719,6 +719,37 @@ class TextAnalysisSpec extends AnyFunSuite {
       r(3).getString(3) == "x", r(3).toString)
   }
 
+  test("selectByBudget: whole levels above the boundary, cumulative cut within it, nothing below") {
+    val d = Seq(
+      (1L, 0.9, 10L), (2L, 0.9, 10L), // level 0.9: 20 tokens, fits whole
+      (3L, 0.5, 10L), (4L, 0.5, 100L), (5L, 0.5, 5L), // boundary level
+      (6L, 0.1, 1L)) // below the boundary: excluded even though tiny
+      .toDF("doc_id", "quality", "n_toks")
+    val r = TextAnalysis.selectByBudget(d, tokenBudget = 40L,
+      tokenCol = Some("n_toks")).orderBy("doc_id").collect()
+    // boundary budget left = 20: doc 3 fits (10); doc 4 overflows (110)
+    // and still advances the cumulative, so doc 5 (cum 115) is out too
+    assert(r.map(x => (x.getLong(0), x.getInt(3))).toSeq ==
+      Seq((1L, 1), (2L, 1), (3L, 1), (4L, 0), (5L, 0), (6L, 0)))
+  }
+
+  test("selectByBudget: budget covering everything selects all; null/NaN quality sorts last") {
+    val d = Seq(
+      (1L, java.lang.Double.valueOf(0.9), 10L),
+      (2L, java.lang.Double.valueOf(Double.NaN), 10L),
+      (3L, null.asInstanceOf[java.lang.Double], 10L))
+      .toDF("doc_id", "quality", "n_toks")
+    val all = TextAnalysis.selectByBudget(d, 1000L, tokenCol = Some("n_toks"))
+      .orderBy("doc_id").collect()
+    assert(all.forall(_.getInt(3) == 1))
+    val cut = TextAnalysis.selectByBudget(d, 15L, tokenCol = Some("n_toks"))
+      .orderBy("doc_id").collect()
+    // only the one real-quality doc fits; null and NaN share the lowest
+    // level and the remaining 5 tokens fit neither
+    assert(cut.map(x => (x.getLong(0), x.getInt(3))).toSeq ==
+      Seq((1L, 1), (2L, 0), (3L, 0)))
+  }
+
   test("decontaminateSpans plan: eval side broadcast, corpus never hash-shuffled by window") {
     val corpus = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
     val evalSet = Seq("c d e").toDF("text")
