@@ -756,6 +756,64 @@ case class RemoveSpansExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** cut_spans_in_set(text) — the zero-exchange decontamination kernel:
+  * tokenize, hash every stride-1 `w`-token window (hex60 of the
+  * space-joined tokens, identical to [[PositionalShingleHashesExpr]]),
+  * mark windows whose hash is in the expression-embedded SORTED eval-hash
+  * array (binary search), merge marked runs into maximal intervals
+  * [start, start + w - 1] on the fly (marked starts arrive in order), and
+  * emit the surviving tokens → struct(n_tokens, n_kept, clean_text).
+  *
+  * This is the entire mark → islands → merge → cut of
+  * [[graft.ops.TextAnalysis.decontaminateSpans]] in one per-row pass:
+  * marking is per-document against a FIXED set, so nothing about it needs
+  * an exchange — the join/window formulation only existed to reuse the
+  * corpus-vs-itself spanDedup machinery.
+  */
+case class CutSpansInSetExpr(child: Expression, hashes: Array[Long], w: Int)
+    extends StringKernelExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+  protected override def nullSafeEval(v: Any): Any = {
+    val ws = TextKernel.tokens(input(v))
+    val n = ws.length
+    var m = 0
+    var ss: Array[Int] = null
+    var ee: Array[Int] = null
+    var i = 0
+    while (i + w <= n) {
+      val sb = new java.lang.StringBuilder(ws(i))
+      var j = 1
+      while (j < w) { sb.append(' ').append(ws(i + j)); j += 1 }
+      if (java.util.Arrays.binarySearch(hashes, TextKernel.hex60(sb.toString)) >= 0) {
+        val e = i + w - 1
+        if (m > 0 && i <= ee(m - 1) + 1) ee(m - 1) = e
+        else {
+          if (ss == null) { ss = new Array[Int](n - i); ee = new Array[Int](n - i) }
+          ss(m) = i; ee(m) = e; m += 1
+        }
+      }
+      i += 1
+    }
+    val out = new java.lang.StringBuilder
+    var kept = 0L
+    var k = 0
+    var p = 0
+    while (p < n) {
+      if (k < m && p >= ss(k)) { p = ee(k) + 1; k += 1 }
+      else {
+        if (kept > 0) out.append(' ')
+        out.append(ws(p)); kept += 1; p += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      n.toLong, kept, UTF8String.fromString(out.toString))
+  }
+  override protected def withNewChildInternal(c: Expression): CutSpansInSetExpr = copy(child = c)
+}
+
 /** Shared per-word subword-encode kernel: tokenize the text, encode each
   * word via the concrete tokenizer's [[encodeWord]], emit the concatenated
   * piece stream. Encodings are memoized per expression instance (Zipf: the
@@ -999,6 +1057,8 @@ object textkernel {
     toColumn(JaccardSortedExpr(toExpression(a), toExpression(b)))
   def remove_spans(text: Column, spans: Column): Column =
     toColumn(RemoveSpansExpr(toExpression(text), toExpression(spans)))
+  def cut_spans_in_set(text: Column, hashes: Array[Long], w: Int): Column =
+    toColumn(CutSpansInSetExpr(toExpression(text), hashes, w))
   def word_shingles(c: Column, n: Int): Column = toColumn(WordShinglesExpr(toExpression(c), n))
   def minhash_sig(c: Column, numHashes: Int, shingleSize: Int): Column =
     toColumn(MinHashSigExpr(toExpression(c), numHashes, shingleSize))

@@ -379,13 +379,16 @@ object TextAnalysis {
     * window starts merge into maximal spans ([[Dedup.cutMarkedSpans]]) and
     * are removed in-row by the remove_spans kernel.
     *
-    * Scale shape: the eval side (a benchmark — thousands of documents) is
-    * reduced to DISTINCT window hashes and BROADCAST, so marking is a
-    * broadcast semi-join on the corpus scan — the corpus is never shuffled
-    * by window hash at all (unlike [[Dedup.spanDedup]], which must
-    * cross-correlate the corpus with itself). Exchanges: the (id, pos)
-    * marked rows for the islands window, and ONE doc-keyed text shuffle
-    * for the span attach.
+    * Scale shape: marking is per-document against a FIXED benchmark, so
+    * with the eval side reduced to DISTINCT window hashes and collected
+    * (sorted, embedded in the kernel — the same bounded-benchmark bet the
+    * n-gram [[decontaminate]] makes when it broadcasts eval grams), the
+    * ENTIRE mark → islands → merge → cut runs in one per-row kernel pass:
+    * ZERO exchanges on the corpus, streaming-compatible for free. A
+    * degenerate eval side with more than `maxEvalWindows` distinct window
+    * hashes falls back to the broadcast-semi + islands-window +
+    * remove_spans plan (identical semantics; the corpus then crosses two
+    * doc-keyed exchanges but is still never hash-shuffled).
     *
     * Returns one row per corpus document:
     * (idCol, n_tokens, n_removed, clean_text).
@@ -393,19 +396,31 @@ object TextAnalysis {
   def decontaminateSpans(corpus: DataFrame, evalSet: DataFrame,
                          windowWords: Int = 13, idCol: String = "doc_id",
                          textCol: String = "text",
-                         evalTextCol: String = "text"): DataFrame = {
+                         evalTextCol: String = "text",
+                         maxEvalWindows: Int = 4_000_000): DataFrame = {
     require(windowWords >= 2, s"windowWords must be >= 2: $windowWords")
-    val evalWins = broadcast(
-      evalSet.select(explode(
-        positional_shingle_hashes(col(evalTextCol), windowWords)).as("win_hash"))
-        .distinct())
-    val marked = corpus
-      .select(col(idCol),
-        posexplode(positional_shingle_hashes(col(textCol), windowWords)))
-      .select(col(idCol), col("pos"), col("col").as("win_hash"))
-      .join(evalWins, Seq("win_hash"), "left_semi")
-      .select(col(idCol), col("pos"))
-    Dedup.cutMarkedSpans(corpus, marked, windowWords, textCol, idCol)
+    val evalWins = evalSet.select(explode(
+      positional_shingle_hashes(col(evalTextCol), windowWords)).as("win_hash"))
+      .distinct()
+    val head = evalWins.limit(maxEvalWindows + 1).collect()
+    if (head.length <= maxEvalWindows) {
+      val hashes = head.map(_.getLong(0))
+      java.util.Arrays.sort(hashes)
+      corpus
+        .select(col(idCol),
+          cut_spans_in_set(col(textCol), hashes, windowWords).as("r"))
+        .select(col(idCol), col("r.n_tokens").as("n_tokens"),
+          (col("r.n_tokens") - col("r.n_kept")).as("n_removed"),
+          col("r.clean_text").as("clean_text"))
+    } else {
+      val marked = corpus
+        .select(col(idCol),
+          posexplode(positional_shingle_hashes(col(textCol), windowWords)))
+        .select(col(idCol), col("pos"), col("col").as("win_hash"))
+        .join(broadcast(evalWins), Seq("win_hash"), "left_semi")
+        .select(col(idCol), col("pos"))
+      Dedup.cutMarkedSpans(corpus, marked, windowWords, textCol, idCol)
+    }
   }
 
   /** PII patterns for [[redactPii]]: (kind, regex, replacement), applied in

@@ -750,18 +750,35 @@ class TextAnalysisSpec extends AnyFunSuite {
       Seq((1L, 1), (2L, 0), (3L, 0)))
   }
 
-  test("decontaminateSpans plan: eval side broadcast, corpus never hash-shuffled by window") {
-    val corpus = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+  test("decontaminateSpans plan: default path is ZERO exchanges on the corpus (one kernel pass)") {
+    // RDD-backed corpus so ConvertToLocalRelation can't constant-fold the
+    // kernel away before the plan assertion sees it
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq((1L, "a b c d e f g"))))
+      .toDF("doc_id", "text")
     val evalSet = Seq("c d e").toDF("text")
     val qe = TextAnalysis.decontaminateSpans(corpus, evalSet, windowWords = 3)
       .queryExecution
     val exec = qe.executedPlan.toString
-    // marking is a broadcast LEFT-SEMI on the corpus scan (the eval side's
-    // own tiny distinct may shuffle by hash; the corpus never does)
-    assert(exec.contains("BroadcastHashJoin") && exec.contains("LeftSemi"), exec)
-    // the only window is keyed per-doc (islands); nothing windows the
-    // corpus unpartitioned
-    assert(!qe.optimizedPlan.toString.contains("windowspecdefinition()"), exec)
+    assert(!exec.contains("Exchange") && !exec.contains("Join"), exec)
+    assert(exec.contains("cutspansinsetexpr"), exec)
+  }
+
+  test("decontaminateSpans fallback (eval over maxEvalWindows): join plan, identical results") {
+    val corpus = Seq(
+      (1L, "one two pp qq rr ss three four"),
+      (2L, "plain document with no overlap at all"),
+      (4L, "pp qq rr ss x pp qq rr ss"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq("pp qq rr ss").toDF("text")
+    val fast = TextAnalysis.decontaminateSpans(corpus, evalSet, windowWords = 3)
+      .orderBy("doc_id").collect().toSeq
+    val slow = TextAnalysis.decontaminateSpans(corpus, evalSet, windowWords = 3,
+      maxEvalWindows = 0).orderBy("doc_id").collect().toSeq
+    assert(fast == slow, s"fast=$fast slow=$slow")
+    val exec = TextAnalysis.decontaminateSpans(corpus, evalSet, windowWords = 3,
+      maxEvalWindows = 0).queryExecution.executedPlan.toString
+    assert(exec.contains("LeftSemi"), exec)
   }
 
   test("tokenStats naive estimator matches the pure Scala counter") {
