@@ -733,6 +733,20 @@ object SparkEntry {
       SimilaritySearch.lshTopK(emb, probes, dims = 64, k = 5, bits = 8, maxHamming = 2)
         .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
     },
+    // retrieval-quality metrics (recall@k / MRR / nDCG): exact cosine top-5
+    // as truth, Hamming-≤1 LSH as the scored route. Probes are REVERSED
+    // corpus vectors (exact float op, engine-identical) so no probe has a
+    // trivial self-hit — recall spans 0/0.2/0.4 and the zero-hit branch
+    // (mrr=0) fires at sf0.01 (FIXTURES.md §C); DCG sums are scaled longs
+    "q_retrieval_metrics" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), reverse(col("embedding")).as("qv"))
+      val truth = SimilaritySearch.bruteForceTopK(emb, probes, k = 5)
+      val retr = SimilaritySearch.lshTopK(emb, probes, dims = 64, k = 5,
+        bits = 8, maxHamming = 1)
+      SimilaritySearch.retrievalMetrics(truth, retr).orderBy("qid")
+    },
     // scale path proper: index written partitionBy(bucket), probe buckets
     // computed driver-side → static partition pruning on the scan (S5).
     // The bucketed index is INGEST state, built once per (dir) like any
@@ -760,6 +774,17 @@ object SparkEntry {
     "q_ann_ivf_assign" -> { (s, dir) =>
       val (assigned, _) = SimilaritySearch.ivfAssign(tbl(s, dir, "embeddings"), nCells = 16)
       assigned.select(col("vec_id"), col("cell")).orderBy("vec_id")
+    },
+    // SSL-prototypes pruning (Sorscher et al. 2022): distance to the IVF
+    // centroid in ONE kernel pass (struct(cell,dist) — no join), one
+    // cell-keyed window for the within-cell rank; prune the easiest 25%
+    "q_prototypicality" -> { (s, dir) =>
+      SimilaritySearch.prototypicality(tbl(s, dir, "embeddings"),
+          nCells = 16, pruneEasiest = 0.25)
+        .select(col("vec_id"), col("cell"), col("proto_dist"),
+          col("proto_rank").cast("long").as("proto_rank"),
+          col("n_cell").cast("long").as("n_cell"), col("kept").cast("long").as("kept"))
+        .orderBy("vec_id")
     },
     "q_ann_ivf_topk" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
@@ -1094,21 +1119,22 @@ object SparkEntry {
     // so the banding+verify path discriminates, not just the semi-join
     "q_cross_dedup" -> { (s, dir) =>
       val docs = docsPar(s, dir)
-      val refT = docs.select(col("doc_id").as("__rid"), col("text").as("__rt"))
-      val newSide = docs.filter(col("doc_id") % 3 =!= 0)
-        .withColumn("__key",
-          when(col("doc_id") % 9 === 1, col("doc_id") - 1)
-            .when(col("doc_id") % 9 === 2, col("doc_id") - 2)
-            .otherwise(lit(-1L)))
-        .join(refT, col("__key") === col("__rid"), "left")
-        .select(col("doc_id"),
-          when(col("doc_id") % 9 === 1, concat(col("__rt"), lit(CrossDedupSuffix)))
-            .when(col("doc_id") % 9 === 2, col("__rt")) // verbatim → exact path
-            .otherwise(col("text")).as("text"))
-      Dedup.crossCorpusDedup(newSide,
+      Dedup.crossCorpusDedup(crossDedupNewSide(docs),
           docs.filter(col("doc_id") % 3 === 0), threshold = 0.7,
           numHashes = 8, rowsPerBand = 2, shingleSize = 3,
           hotRefCap = HotBucketCap)
+        .orderBy("doc_id")
+    },
+    // Bloom-prefiltered exact cross-corpus dedup: the reference corpus is
+    // summarized ONCE into a persisted-shape Bloom filter; the new dump is
+    // probed at scan speed and only probe survivors enter the verification
+    // semi-join — same EXACT output as the plain semi-join (oracle), with
+    // the shuffle width cut from |new| to matches + fpp share
+    "q_cross_dedup_bloom" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      val refSide = docs.filter(col("doc_id") % 3 === 0)
+      val bf = Dedup.buildFingerprintBloom(refSide, expectedItems = 4096, fpp = 0.01)
+      Dedup.crossCorpusExactDedupBloom(crossDedupNewSide(docs), refSide, bf)
         .orderBy("doc_id")
     },
     // cross-corpus SEMANTIC dedup: the new "dump" embeddings (vec_id % 3
@@ -1158,6 +1184,16 @@ object SparkEntry {
       graft.ops.Sampling.splitAssign(tbl(s, dir, "documents").select("doc_id"),
         Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
         .orderBy("doc_id")
+    },
+    // weighted sampling without replacement (Efraimidis–Spirakis top-k by
+    // ln(u)/w): P[pick] ∝ n_chars; top-k is a per-partition heap, no global
+    // sort — the deterministic "sample a budget's worth ∝ weight" move
+    "q_weighted_sample" -> { (s, dir) =>
+      graft.ops.Sampling.weightedSample(
+          tbl(s, dir, "documents").select("doc_id", "n_chars"),
+          k = 50, weightCol = "n_chars")
+        .select(col("doc_id"), col("n_chars"), col("sample_key"))
+        .orderBy(col("sample_key").desc, col("doc_id").asc)
     },
     // fused one-scan keep/drop decision pass (lang + quality + tokens + canonicality)
     // %11==1 docs repeat doc_id-1 verbatim (q_dedup_exact pattern): the
@@ -2254,6 +2290,25 @@ object SparkEntry {
     * pure suffix mutation keeps all original shingles → J = (n-2)/(n+7)).
     */
   private val CrossDedupSuffix = " entirely fresh suffix words appended for the mutation test"
+
+  /** Synthesized NEW side of the cross-corpus gates (q_cross_dedup,
+    * q_cross_dedup_bloom): doc_id % 3 ≠ 0 rows, with %9==1 rewritten to a
+    * ref doc + fresh suffix (fuzzy path) and %9==2 to a verbatim ref copy
+    * (exact path) — the oracle's tn0 CTE replays the same mutation.
+    */
+  private def crossDedupNewSide(docs: DataFrame): DataFrame = {
+    val refT = docs.select(col("doc_id").as("__rid"), col("text").as("__rt"))
+    docs.filter(col("doc_id") % 3 =!= 0)
+      .withColumn("__key",
+        when(col("doc_id") % 9 === 1, col("doc_id") - 1)
+          .when(col("doc_id") % 9 === 2, col("doc_id") - 2)
+          .otherwise(lit(-1L)))
+      .join(refT, col("__key") === col("__rid"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 9 === 1, concat(col("__rt"), lit(CrossDedupSuffix)))
+          .when(col("doc_id") % 9 === 2, col("__rt")) // verbatim → exact path
+          .otherwise(col("text")).as("text"))
+  }
   private val crossDedupSql: String = {
     val shingles = s"list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
     val mhCols = (0 until 8).map(j =>
@@ -3357,8 +3412,53 @@ object SparkEntry {
          |ORDER BY label, rank""".stripMargin,
     "q_ann_lsh" -> annLshSql,
     "q_ann_lsh_pruned" -> annLshSql,
+    "q_retrieval_metrics" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS b FROM embeddings),
+         | p AS (SELECT vec_id AS qid, list_reverse(embedding) AS qv,
+         |   ${lshBucketSql("list_reverse(embedding)")} AS pb
+         |   FROM embeddings WHERE vec_id < 20),
+         | ts AS (SELECT p.qid, e.vec_id, round(${sqlCos("e.embedding", "p.qv")}, 6) AS score
+         |   FROM embeddings e, p),
+         | truth AS (SELECT qid, vec_id, rank FROM (SELECT qid, vec_id,
+         |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank FROM ts)
+         |   WHERE rank <= 5),
+         | rj AS (SELECT p.qid, e.vec_id, round(${sqlCos("e.embedding", "p.qv")}, 6) AS score
+         |   FROM e JOIN p ON bit_count(xor(e.b, p.pb)) <= 1),
+         | retr AS (SELECT qid, vec_id, rank FROM (SELECT qid, vec_id,
+         |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank FROM rj)
+         |   WHERE rank <= 5),
+         | j AS (SELECT COALESCE(t.qid, r.qid) AS qid, t.rank AS tr, r.rank AS rr
+         |   FROM truth t FULL OUTER JOIN retr r ON t.qid = r.qid AND t.vec_id = r.vec_id),
+         | m AS (SELECT qid,
+         |   count(CASE WHEN tr IS NOT NULL THEN 1 END) AS n_truth,
+         |   count(CASE WHEN tr IS NOT NULL AND rr IS NOT NULL THEN 1 END) AS n_hit,
+         |   min(CASE WHEN tr IS NOT NULL THEN rr END) AS first_hit,
+         |   sum(CASE WHEN tr IS NOT NULL AND rr IS NOT NULL
+         |     THEN CAST(round(1.0/log2(rr + 1) * 1000000) AS BIGINT) ELSE 0 END) AS dcg,
+         |   sum(CASE WHEN tr IS NOT NULL
+         |     THEN CAST(round(1.0/log2(tr + 1) * 1000000) AS BIGINT) ELSE 0 END) AS idcg
+         |   FROM j GROUP BY qid)
+         |SELECT qid, CAST(n_truth AS BIGINT) AS n_truth, CAST(n_hit AS BIGINT) AS n_hit,
+         |  round(n_hit / CAST(n_truth AS DOUBLE), 6) AS recall,
+         |  round(coalesce(1.0 / first_hit, 0.0), 6) AS mrr,
+         |  round(dcg / CAST(idcg AS DOUBLE), 6) AS ndcg
+         |FROM m ORDER BY qid""".stripMargin,
     "q_ann_vi_lsh" -> annViLshSql,
     "q_ann_ivf_assign" -> annIvfSql,
+    "q_prototypicality" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |   ORDER BY ${sqlHex60("'ivf:' || vec_id")} ASC, vec_id ASC LIMIT 16),
+         | d AS (SELECT e.vec_id, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist FROM embeddings e, c),
+         | a AS (SELECT vec_id, cid, dist,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d),
+         | s AS (SELECT vec_id, cid AS cell, round(dist, 6) AS proto_dist FROM a WHERE rn = 1),
+         | r AS (SELECT vec_id, cell, proto_dist,
+         |    row_number() OVER (PARTITION BY cell ORDER BY proto_dist ASC, vec_id ASC) AS proto_rank,
+         |    count(*) OVER (PARTITION BY cell) AS n_cell FROM s)
+         |SELECT vec_id, cell, proto_dist, CAST(proto_rank AS BIGINT) AS proto_rank,
+         |  CAST(n_cell AS BIGINT) AS n_cell,
+         |  CAST(proto_rank > ceil(0.25 * n_cell) AS BIGINT) AS kept
+         |FROM r ORDER BY vec_id""".stripMargin,
     "q_ann_ivf_lloyd" -> annIvfLloydSql,
     "q_ann_ivf_topk" -> annIvfTopkSql,
     "q_ann_ivf_pruned" -> annIvfTopkSql,
@@ -3417,6 +3517,14 @@ object SparkEntry {
          |SELECT doc_id, CASE WHEN u < 0.75 THEN 'train'
          |  WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split
          |FROM t ORDER BY doc_id""".stripMargin,
+    "q_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |    ln((${sqlHex60("'wsample:' || doc_id")} + 1) / 1152921504606846976.0)
+         |      / CAST(n_chars AS DOUBLE) AS k
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         | s AS (SELECT doc_id, n_chars, k FROM t ORDER BY k DESC, doc_id ASC LIMIT 50)
+         |SELECT doc_id, n_chars, round(k, 6) AS sample_key
+         |FROM s ORDER BY round(k, 6) DESC, doc_id ASC""".stripMargin,
     "q_clean_pipeline" -> cleanPipelineSql,
     "q_corpus_report" ->
       // the untouched clean-pipeline replay nests as a subquery (DuckDB
@@ -3508,6 +3616,21 @@ object SparkEntry {
     "q_simhash_pairs" -> simhashPairsSql,
     "q_lsh_pairs" -> lshPairsSql,
     "q_cross_dedup" -> crossDedupSql,
+    "q_cross_dedup_bloom" ->
+      s"""WITH tn0 AS (SELECT a.doc_id,
+         |   CASE WHEN a.doc_id % 9 = 1 THEN b.text || ${sqlStr(CrossDedupSuffix)}
+         |        WHEN a.doc_id % 9 = 2 THEN b.text
+         |        ELSE a.text END AS text
+         |   FROM documents a LEFT JOIN documents b ON b.doc_id =
+         |     (CASE WHEN a.doc_id % 9 = 1 THEN a.doc_id - 1
+         |           WHEN a.doc_id % 9 = 2 THEN a.doc_id - 2 ELSE -1 END)
+         |   WHERE a.doc_id % 3 <> 0),
+         | fn AS (SELECT doc_id, md5(array_to_string($sqlWords, ' ')) AS fp FROM tn0),
+         | fr AS (SELECT DISTINCT md5(array_to_string($sqlWords, ' ')) AS fp
+         |   FROM documents WHERE doc_id % 3 = 0)
+         |SELECT fn.doc_id, (fr.fp IS NOT NULL) AS exact_dup
+         |FROM fn LEFT JOIN fr ON fn.fp = fr.fp
+         |ORDER BY fn.doc_id""".stripMargin,
     "q_cross_dedup_semantic" -> crossDedupSemanticSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_near_dup_lsh" -> nearDupLshSql,

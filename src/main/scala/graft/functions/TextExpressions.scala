@@ -1037,7 +1037,34 @@ case class MarkerHitsExpr(child: Expression, markers: Seq[String]) extends Strin
   override protected def withNewChildInternal(c: Expression): MarkerHitsExpr = copy(child = c)
 }
 
+/** Bloom-filter membership probe over a string column → boolean.
+  *
+  * The filter rides the expression as its SERIALIZED bytes (the stable
+  * `BloomFilter.writeTo` wire format, not Java serialization) and is
+  * deserialized lazily once per executor when the task binary arrives —
+  * the same ship-once-per-stage economics as the other parameterized
+  * kernels here (CutSpansInSetExpr's hash set, LshBucketExpr's plane
+  * matrix). Spark's sketch BloomFilter hashes with seedless Murmur3, so
+  * probe results are deterministic across runs and partitionings.
+  *
+  * One-sided error contract: `true` may be a false positive (rate set at
+  * build time), `false` is always correct — callers use it as a PREFILTER
+  * in front of an exact verification join, never as the verdict.
+  */
+case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
+    extends StringKernelExpression {
+  override def dataType: DataType = BooleanType
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+  protected override def nullSafeEval(v: Any): Any = filter.mightContainString(input(v))
+  override protected def withNewChildInternal(c: Expression): BloomMightContainExpr =
+    copy(child = c)
+}
+
 object textkernel {
+  def bloom_might_contain(c: Column, filterBytes: Array[Byte]): Column =
+    toColumn(BloomMightContainExpr(toExpression(c), filterBytes))
   def word_tokens(c: Column): Column = toColumn(WordTokens(toExpression(c)))
   def marker_hits(c: Column, markers: Seq[String]): Column =
     toColumn(MarkerHitsExpr(toExpression(c), markers))

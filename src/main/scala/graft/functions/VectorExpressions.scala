@@ -196,6 +196,50 @@ case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Float]]
     copy(child = newChild)
 }
 
+/** [[NearestCentroidExpr]] returning BOTH the winning cell id and its L2
+  * distance as struct(cell, dist) — one pass over the centroid table where
+  * assignment-then-distance-lookup would scan it twice. Distance accumulates
+  * exactly like [[L2Distance]], so `dist` is bit-identical to
+  * `l2(v, centroid[cell])` and its DuckDB twin.
+  */
+case class NearestCentroidDistExpr(child: Expression, centroids: Array[Array[Float]], cids: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(centroids.length == cids.length && centroids.nonEmpty, "need >= 1 centroid")
+  override def prettyName: String = "nearest_centroid_dist"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  private def dist(x: ArrayData, c: Array[Float]): Double = {
+    val n = math.min(x.numElements(), c.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - c(i).toDouble
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+  protected override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var bestCid = cids(0)
+    var bestD = dist(x, centroids(0))
+    var j = 1
+    while (j < centroids.length) {
+      val d = dist(x, centroids(j))
+      if (d < bestD || (d == bestD && cids(j) < bestCid)) { bestD = d; bestCid = cids(j) }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestCid, bestD)
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidDistExpr =
+    copy(child = newChild)
+}
+
 /** The `nProbe` nearest centroid ids (L2 asc, id-asc ties), in rank order —
   * the probe-side cell selection of IVF search, again one projection.
   */
@@ -505,6 +549,8 @@ object vector {
     toColumn(NearestCentroidExpr(toExpression(v), centroids, cids))
   def nearest_cells(v: Column, centroids: Array[Array[Float]], cids: Array[Long], nProbe: Int): Column =
     toColumn(NearestCellsExpr(toExpression(v), centroids, cids, nProbe))
+  def nearest_centroid_dist(v: Column, centroids: Array[Array[Float]], cids: Array[Long]): Column =
+    toColumn(NearestCentroidDistExpr(toExpression(v), centroids, cids))
   def pq_encode(v: Column, codebooks: Array[Array[Array[Float]]], dsub: Int): Column =
     toColumn(PqEncodeExpr(toExpression(v), codebooks, dsub))
   def pq_adc(codes: Column, lut: Column, ksub: Int): Column =

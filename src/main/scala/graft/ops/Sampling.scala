@@ -73,6 +73,39 @@ object Sampling {
     df.filter(draw(col(idCol), salt) < frac)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement — Efraimidis &
+    * Spirakis (2006): each row draws key = ln(u)/w for its uniform u and
+    * weight w > 0; the k largest keys are exactly a weighted sample
+    * without replacement (P[first pick = i] = wᵢ/Σw, then renormalized).
+    * The textbook form is u^(1/w); ln(u)/w is the same ordering (ln is
+    * monotone) without the pow. u = (hash+1)/2^60 ∈ (0,1] so ln is finite,
+    * and the draw is the engine-wide md5 discipline — the sample is a pure
+    * function of (salt, id, weight), reproducible on any cluster shape.
+    *
+    * Scale: top-k by key is TakeOrderedAndProject — a per-partition heap of
+    * k rows then one k-row merge on the driver, NO global sort, no shuffle
+    * of the corpus. The standard curation move this serves: pick a token
+    * budget's worth of documents with probability ∝ quality/length weight.
+    *
+    * Rows with non-positive or null weight are excluded (zero-weight items
+    * are unsampleable by definition; negative is a caller bug surfaced by
+    * the exclusion, not silently sampled). Output: the k sampled rows with
+    * `sample_key` (rounded for display; ordering used the full double).
+    */
+  def weightedSample(df: DataFrame, k: Int, weightCol: String,
+                     idCol: String = "doc_id", salt: String = "wsample"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u = (hexhash60(concat(lit(s"$salt:"), col(idCol).cast("string"))) + lit(1L)) /
+      lit(Hex60Range)
+    val key = log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__key", key)
+      .orderBy(col("__key").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("sample_key", round(col("__key"), 6))
+      .drop("__key")
+  }
+
   /** Stable pseudo-random training order: a `shuffle_key` column to sort or
     * range-partition by — the deterministic analog of shuffling the corpus
     * before sequence packing.

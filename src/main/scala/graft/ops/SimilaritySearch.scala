@@ -339,6 +339,92 @@ object SimilaritySearch {
     (assigned, centroids)
   }
 
+  /** Prototypicality pruning — the SSL-prototypes rule of Sorscher et al.
+    * 2022 ("Beyond neural scaling laws", arXiv:2206.14486): score each
+    * embedding by its L2 distance to its cluster centroid and PRUNE the
+    * EASIEST (most prototypical, smallest-distance) fraction of every
+    * cluster — on large corpora, dropping easy examples beats random
+    * pruning. Clustering is the engine's deterministic IVF assignment
+    * ([[ivfAssign]] — one per-row kernel projection, optional Lloyd
+    * refinement), so one clustering can serve the ANN index, SemDeDup, and
+    * this pruner.
+    *
+    * Plan shape: one kernel-projection scan (cell + centroid lookup happen
+    * inside the same expression domain — the centroid table is plan-time
+    * driver state, there is no join at all), then ONE cell-keyed window
+    * exchange for the within-cell rank. Ranking uses the ROUNDED distance
+    * with ascending-id tie-break, so ranks are reproducible bit-for-bit
+    * across engines and partitionings.
+    *
+    * Output: one row per item — (itemId, cell, proto_dist, proto_rank
+    * (1 = most prototypical), n_cell, kept = rank beyond the pruned
+    * fraction). `pruneEasiest` ∈ [0,1]: 0 keeps everything, 1 prunes all.
+    */
+  def prototypicality(emb: DataFrame, nCells: Int = 0, pruneEasiest: Double = 0.5,
+                      itemId: String = "vec_id", itemVec: String = "embedding",
+                      lloydIters: Int = 0): DataFrame = {
+    require(pruneEasiest >= 0.0 && pruneEasiest <= 1.0,
+      s"pruneEasiest must be in [0,1]: $pruneEasiest")
+    val (_, centroids) = ivfAssign(emb, nCells, itemId, itemVec, lloydIters)
+    val (cvs, cids) = collectCentroids(centroids)
+    val w = Window.partitionBy("cell")
+    // assignment + distance in ONE kernel pass (struct(cell, dist)) — the
+    // assign-then-look-up-own-centroid form scans the centroid table twice
+    val scored = emb
+      .select(col(itemId), nearest_centroid_dist(col(itemVec), cvs, cids).as("cd"))
+      .select(col(itemId), col("cd.cell").as("cell"),
+        round(col("cd.dist"), 6).as("proto_dist"))
+    scored
+      .withColumn("proto_rank",
+        row_number().over(w.orderBy(col("proto_dist").asc, col(itemId).asc)))
+      .withColumn("n_cell", count(lit(1)).over(w))
+      .withColumn("kept",
+        (col("proto_rank") > ceil(lit(pruneEasiest) * col("n_cell"))).cast("int"))
+  }
+
+  /** Retrieval-quality metrics — first-class evaluation of an ANN route
+    * against an exact truth set, per probe: recall@k, MRR, nDCG. The ad-hoc
+    * recall math SCALING.md's curves used, promoted to an operator so a
+    * production index can be scored continuously (the "is my index still
+    * good after this dump" check a 100 TB ingest runs after each merge).
+    *
+    * Inputs are two ranked result tables with (qidCol, itemCol, rankCol)
+    * — `truth` (e.g. [[bruteForceTopK]]) and `retrieved` (any ANN route).
+    * Binary relevance: an item is relevant iff it appears in the probe's
+    * truth rows. Per probe:
+    *  - recall  = |truth ∩ retrieved| / |truth|
+    *  - mrr     = 1 / (smallest retrieved rank holding a truth item); 0 when none
+    *  - ndcg    = Σ_{hits} 1/log₂(rank+1)  /  Σ_{r=1..|truth|} 1/log₂(r+1)
+    *
+    * DCG terms sum as SCALED LONGS (round(term·10⁶)) so the aggregation is
+    * order-independent — bit-identical across partitionings and engines
+    * (the Lloyd-step discipline); the final ratios round to 6 dp. Cost: one
+    * (qid,item) equi-join + one per-qid agg over k·|probes| rows — metric
+    * tables are probe-sized, never corpus-sized.
+    */
+  def retrievalMetrics(truth: DataFrame, retrieved: DataFrame,
+                       qidCol: String = "qid", itemCol: String = "vec_id",
+                       rankCol: String = "rank"): DataFrame = {
+    val scale = 1e6
+    def gain(rank: Column): Column =
+      round(lit(1.0) / log2(rank.cast("double") + lit(1.0)) * scale).cast("long")
+    val t = truth.select(col(qidCol), col(itemCol), col(rankCol).cast("int").as("__tr"))
+    val r = retrieved.select(col(qidCol), col(itemCol), col(rankCol).cast("int").as("__rr"))
+    t.join(r, Seq(qidCol, itemCol), "full_outer")
+      .groupBy(col(qidCol))
+      .agg(
+        count(when(col("__tr").isNotNull, lit(1))).as("n_truth"),
+        count(when(col("__tr").isNotNull && col("__rr").isNotNull, lit(1))).as("n_hit"),
+        min(when(col("__tr").isNotNull, col("__rr"))).as("__first"),
+        sum(when(col("__tr").isNotNull && col("__rr").isNotNull, gain(col("__rr")))
+          .otherwise(lit(0L))).as("__dcg"),
+        sum(when(col("__tr").isNotNull, gain(col("__tr"))).otherwise(lit(0L))).as("__idcg"))
+      .select(col(qidCol), col("n_truth"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("mrr"),
+        round(col("__dcg").cast("double") / col("__idcg"), 6).as("ndcg"))
+  }
+
   /** One deterministic Lloyd iteration: assign each item to its nearest
     * current centroid (per-row kernel, no join), then recompute each cell's
     * mean. Per-dimension sums accumulate as SCALED LONGS (round(x·10⁶)) so

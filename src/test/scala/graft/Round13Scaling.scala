@@ -54,6 +54,35 @@ object Round13Scaling {
       }
       println(f"[r13media] $dir docs=$docsN media_e2e cold=${mediaPasses.head}%.1f min=${mediaPasses.min}%.1f")
 
+      // Bloom-prefiltered cross-corpus exact dedup at document scale: ref =
+      // the dir's documents; new dump = same ids re-keyed, 1-in-37 kept
+      // verbatim (planted exact dups), the rest word-salted (never dups).
+      // Measures filter build (one treeAggregate), probe+verify wall time,
+      // and the candidate width the bloom lets through vs n_probed.
+      {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val tb0 = System.nanoTime()
+        val bf = graft.ops.Dedup.buildFingerprintBloom(docs,
+          expectedItems = math.max(1024L, docsN), fpp = 0.01)
+        val buildS = (System.nanoTime() - tb0) / 1e9
+        val newDump = docs.select((col("doc_id") + 700000000000L).as("doc_id"),
+          when(col("doc_id") % 37 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" zq"), col("doc_id"))).as("text"))
+        val passes = (1 to 2).map { i =>
+          val obs = org.apache.spark.sql.Observation(s"bloom_${dir.hashCode}_$i")
+          val t0 = System.nanoTime()
+          val dups = graft.ops.Dedup.crossCorpusExactDedupBloom(
+            newDump, docs, bf, saturation = Some(obs))
+            .filter(col("exact_dup")).count()
+          ((System.nanoTime() - t0) / 1e9, dups, obs.get)
+        }
+        val (dt, dups, m) = passes.minBy(_._1)
+        println(f"[r13bloom] $dir docs=$docsN filter_kb=${bf.length / 1024} " +
+          f"build=${buildS}%.1fs probe_verify=${dt}%.1fs dups=$dups " +
+          f"candidates=${m("n_candidates")}/${m("n_probed")}")
+      }
+
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val n = emb.count()

@@ -23,6 +23,53 @@ class DedupSpec extends AnyFunSuite {
     assert(r.length == 3)
   }
 
+  test("crossCorpusExactDedupBloom matches the plain exact semi-join and survives persistence") {
+    val ref = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "reference only content that the new dump never repeats anywhere at all"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (1L, "The quick  brown FOX jumps over the lazy dog again and again today"), // normalized dup of 10
+      (2L, "entirely new material with no counterpart in the reference corpus"),
+      (3L, "reference only content that the new dump never repeats anywhere at all")) // verbatim dup of 11
+      .toDF("doc_id", "text")
+    val bf = Dedup.buildFingerprintBloom(ref, expectedItems = 64, fpp = 0.01)
+    // persistence round-trip must be byte-stable
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    Dedup.writeBloomFilter(spark, bf, s"$dir/ref.bloom")
+    val loaded = Dedup.readBloomFilter(spark, s"$dir/ref.bloom")
+    assert(java.util.Arrays.equals(bf, loaded))
+    val got = Dedup.crossCorpusExactDedupBloom(newDocs, ref, loaded)
+      .orderBy("doc_id").as[(Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, true), (2L, false), (3L, true)))
+    // verification layer makes the output EXACT even at an absurd fpp: an
+    // intentionally saturated filter (1 expected item for the whole ref)
+    // still yields the same flags
+    val tiny = Dedup.buildFingerprintBloom(ref, expectedItems = 1, fpp = 0.5)
+    val got2 = Dedup.crossCorpusExactDedupBloom(newDocs, ref, tiny)
+      .orderBy("doc_id").as[(Long, Boolean)].collect().toSeq
+    assert(got2 == got)
+  }
+
+  test("bloom prefilter drops non-candidates before the verify join (saturation telemetry)") {
+    val ref = (0L until 200L).map(i => (i, s"reference document number $i with its own unique words"))
+      .toDF("doc_id", "text")
+    // 5 dups + 195 fresh docs: candidates ≈ 5 + fpp·195, far under n_probed
+    val newDocs = (0L until 200L).map { i =>
+      if (i < 5) (1000L + i, s"reference document number $i with its own unique words")
+      else (1000L + i, s"fresh crawl text number $i that the reference has never seen")
+    }.toDF("doc_id", "text")
+    val bf = Dedup.buildFingerprintBloom(ref, expectedItems = 256, fpp = 0.01)
+    val obs = new org.apache.spark.sql.Observation()
+    val out = Dedup.crossCorpusExactDedupBloom(newDocs, ref, bf, saturation = Some(obs))
+    assert(out.filter(col("exact_dup")).count() == 5)
+    val m = obs.get
+    assert(m("n_probed") == 200L)
+    val cands = m("n_candidates").asInstanceOf[Long]
+    assert(cands >= 5L && cands < 30L,
+      s"bloom should pass ~5 dups + ~1% FPs of 195, got $cands")
+  }
+
   test("semanticDecontaminate flags corpus rows near an eval embedding, not orthogonal ones") {
     val corpus = Seq(
       (1L, Seq(1f, 0f, 0f, 0f)),      // identical to eval row → max_cos 1.0
@@ -927,6 +974,65 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(top == 42L)
   }
 
+  test("prototypicality: kernel parity, rank semantics, prune fraction edges") {
+    // one kernel pass must equal assign-then-measure: struct(cell, dist)
+    // vs nearest_centroid + l2-to-own-centroid over the same centroid table
+    val (_, centroids) = SimilaritySearch.ivfAssign(items, nCells = 8)
+    val cents = centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val scored = SimilaritySearch.prototypicality(items, nCells = 8, pruneEasiest = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getLong(4), r.getInt(5)))
+    val vecs = items.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    scored.foreach { case (id, cell, dist, _, _, _) =>
+      val expect = cents.map { case (cid, cv) => (l2(vecs(id), cv), cid) }.min
+      assert(expect._2 == cell, s"item $id assigned to $cell, nearest is ${expect._2}")
+      assert(math.abs(BigDecimal(expect._1).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble - dist) < 1e-9)
+    }
+    // within every cell: rank 1 = smallest dist; kept ⇔ rank > ceil(0.25·n)
+    scored.groupBy(_._2).foreach { case (_, members) =>
+      val byRank = members.sortBy(_._4)
+      assert(byRank.head._3 == members.map(_._3).min)
+      val n = members.length
+      assert(members.forall(m => m._5 == n.toLong))
+      val cut = math.ceil(0.25 * n).toInt
+      members.foreach(m => assert((m._6 == 1) == (m._4 > cut), m.toString))
+    }
+    // fraction edges: 0 keeps everything, 1 prunes everything
+    assert(SimilaritySearch.prototypicality(items, nCells = 8, pruneEasiest = 0.0)
+      .agg(sum("kept")).head().getLong(0) == 100L)
+    assert(SimilaritySearch.prototypicality(items, nCells = 8, pruneEasiest = 1.0)
+      .agg(sum("kept")).head().getLong(0) == 0L)
+  }
+
+  test("retrievalMetrics: hand-computed recall/mrr/ndcg on a fixed fixture") {
+    // truth for probe 1: items 10,11,12 (ranks 1..3); retrieved: 11,99,10
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2)).toDF("qid", "vec_id", "rank")
+    val retr = Seq((1L, 11L, 1), (1L, 99L, 2), (1L, 10L, 3),
+      (2L, 98L, 1), (2L, 97L, 2)).toDF("qid", "vec_id", "rank")
+    val m = SimilaritySearch.retrievalMetrics(truth, retr).orderBy("qid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val (q1, q2) = (m(0), m(1))
+    assert(q1._1 == 1L && q1._2 == 3L && q1._3 == 2L)
+    assert(math.abs(q1._4 - 0.666667) < 1e-9, s"recall: ${q1._4}")
+    assert(q1._5 == 1.0, "first retrieved rank holding a truth item is 1")
+    // dcg = 1/log2(2) + 1/log2(4) = 1.5; idcg = 1 + 1/log2(3) + 0.5
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2)) + 0.5
+    val expNdcg = math.rint(1.5e6) / math.rint(idcg * 1e6).toDouble
+    assert(math.abs(q1._6 - BigDecimal(expNdcg).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"ndcg: ${q1._6}")
+    // probe 2: zero hits → recall 0, mrr 0, ndcg 0
+    assert(q2 == ((2L, 2L, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("lshTopK approximates brute force with decent recall on self-probes") {
     val probes = items.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val exact = SimilaritySearch.bruteForceTopK(items, probes, k = 5)
@@ -1765,5 +1871,33 @@ class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(k1.toSeq == k2.toSeq)
     assert(k1.map(_._2).distinct.length == 1000)
     assert(k1.map(_._1).toSeq != (0L until 1000L).toSeq)
+  }
+
+  test("weightedSample: deterministic, k rows, weight-proportional inclusion") {
+    val df = (0L until 2000L).toDF("doc_id")
+      .withColumn("w", when(col("doc_id") < 1000L, 10.0).otherwise(1.0))
+    val s1 = Sampling.weightedSample(df, 200, "w").select("doc_id").as[Long].collect()
+    val s2 = Sampling.weightedSample(df, 200, "w").select("doc_id").as[Long].collect()
+    assert(s1.toSeq.sorted == s2.toSeq.sorted, "same salt must re-draw identically")
+    assert(s1.length == 200 && s1.distinct.length == 200, "k distinct rows (no replacement)")
+    // 10x-weighted half should dominate: E[heavy share] ≈ 0.88 at this k
+    val heavy = s1.count(_ < 1000L)
+    assert(heavy > 150, s"10x-weighted items under-sampled: $heavy/200")
+    // different salt re-deals
+    val s3 = Sampling.weightedSample(df, 200, "w", salt = "other")
+      .select("doc_id").as[Long].collect()
+    assert(s3.toSeq.sorted != s1.toSeq.sorted)
+  }
+
+  test("weightedSample excludes non-positive/null weights and plans a top-k, not a global sort") {
+    val df = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0), (4L, 2.0)).toDF("doc_id", "w")
+      .union(Seq((5L, Option.empty[Double])).toDF("doc_id", "w"))
+    val got = Sampling.weightedSample(df, 10, "w").select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 4L), s"only positive-weight rows are sampleable: $got")
+    val plan = Sampling.weightedSample((0L until 100L).toDF("doc_id")
+        .withColumn("w", lit(1.0)), 5, "w")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k by key must be a per-partition heap, not a global sort:\n$plan")
   }
 }
