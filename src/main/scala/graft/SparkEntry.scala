@@ -1195,6 +1195,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"), col("sample_key"))
         .orderBy(col("sample_key").desc, col("doc_id").asc)
     },
+    // UniMax budgeting (Chung 2023): 600-doc budget at <=1.5 epochs —
+    // the 4 small langs cap at 1.5, en shares the rest (epochs 0.8119);
+    // per-doc n_copies realizes the quota via the md5 draw (0/1/2 all fire)
+    "q_unimax" -> { (s, dir) =>
+      graft.ops.Sampling.unimaxAssign(
+          tbl(s, dir, "documents").select("doc_id", "lang"),
+          budget = 600.0, maxEpochs = 1.5)
+        .select(col("doc_id"), col("lang"), col("epochs"), col("n_copies"))
+        .orderBy("doc_id")
+    },
     // fused one-scan keep/drop decision pass (lang + quality + tokens + canonicality)
     // %11==1 docs repeat doc_id-1 verbatim (q_dedup_exact pattern): the
     // raw corpus has no exact dups, so is_canonical was 1 for all 500
@@ -1244,6 +1254,12 @@ object SparkEntry {
     "q_word_freq" -> { (s, dir) =>
       TextAnalysis.wordFrequency(docsPar(s, dir), k = 50)
         .select(col("word"), col("cnt").cast("long"))
+    },
+    // heavy-hitter 3-grams by document frequency (boilerplate discovery):
+    // map-side-combined groupBy + TakeOrdered top-k; df spans 5..7 at sf0.01
+    "q_top_ngrams" -> { (s, dir) =>
+      TextAnalysis.topNgrams(docsPar(s, dir), n = 3, k = 50, minDf = 2)
+        .orderBy(desc("df"), col("ngram").asc)
     },
     // Gopher-style repetition filters: one compiled kernel pass per doc
     "q_repetition" -> { (s, dir) =>
@@ -1794,6 +1810,24 @@ object SparkEntry {
     // the src5 slice, λ per bucket in micro-nats, per-doc exact long sums
     "q_dsir" -> { (s, dir) =>
       TextAnalysis.dsirWeightsSlice(docsPar(s, dir), col("source") === "src5")
+        .orderBy("doc_id")
+    },
+    // hashed logistic-regression quality classifier (fastText/CCNet style):
+    // trained IN the gate on a balanced subset (all 'filter scan' positives
+    // + equal count of smallest-id negatives), 2 full-batch GD steps, then
+    // the whole corpus is scored — the oracle replays TRAINING end-to-end
+    // (unrolled iterations of the same exact-long integer pipeline)
+    "q_quality_clf" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      val isPos = col("text").contains("filter scan")
+      val pos = docs.filter(isPos)
+      val np = pos.count().toInt
+      val neg = docs.filter(!isPos).orderBy("doc_id").limit(np)
+      val wts = TextAnalysis.trainQualityClassifier(pos.unionByName(neg), isPos,
+        buckets = 1024, iters = 2, lr = 200.0)
+      TextAnalysis.scoreQualityClassifier(docs, wts)
+        .select(col("doc_id"), col("n_feats"), col("score"),
+          col("pred").cast("long").as("pred"))
         .orderBy("doc_id")
     },
     "q_seg_dedup" -> { (s, dir) =>
@@ -3525,6 +3559,25 @@ object SparkEntry {
          | s AS (SELECT doc_id, n_chars, k FROM t ORDER BY k DESC, doc_id ASC LIMIT 50)
          |SELECT doc_id, n_chars, round(k, 6) AS sample_key
          |FROM s ORDER BY round(k, 6) DESC, doc_id ASC""".stripMargin,
+    "q_unimax" ->
+      s"""WITH s AS (SELECT lang AS g, CAST(count(*) AS BIGINT) AS n, count(*) * 1.5 AS cap
+         |   FROM documents GROUP BY lang),
+         | r AS (SELECT g, n, cap, CAST(row_number() OVER (ORDER BY cap ASC, g ASC) AS BIGINT) AS rn,
+         |   sum(cap) OVER (ORDER BY cap ASC, g ASC ROWS UNBOUNDED PRECEDING) AS pref,
+         |   CAST(count(*) OVER () AS BIGINT) AS m FROM s),
+         | kk AS (SELECT CAST(count(CASE WHEN cap * (m - rn) <= 600 - pref THEN 1 END) AS BIGINT) AS k,
+         |   max(m) AS m FROM r),
+         | sh AS (SELECT k, CASE WHEN k >= m THEN 0.0
+         |   ELSE (600 - coalesce((SELECT pref FROM r JOIN kk ON r.rn = kk.k), 0.0)) / (m - k) END AS share
+         |   FROM kk),
+         | q AS (SELECT g, n, round(CASE WHEN rn <= (SELECT k FROM sh) THEN cap
+         |   ELSE (SELECT share FROM sh) END, 6) AS quota FROM r),
+         | a AS (SELECT d.doc_id, d.lang, q.quota / q.n AS e
+         |   FROM documents d JOIN q ON d.lang = q.g)
+         |SELECT doc_id, lang, round(e, 6) AS epochs,
+         |  CAST(floor(e) + (CASE WHEN ${sqlHex60("'unimax:' || doc_id")} / 1152921504606846976.0
+         |    < e - floor(e) THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+         |FROM a ORDER BY doc_id""".stripMargin,
     "q_clean_pipeline" -> cleanPipelineSql,
     "q_corpus_report" ->
       // the untouched clean-pipeline replay nests as a subquery (DuckDB
@@ -3686,6 +3739,14 @@ object SparkEntry {
       s"""SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
          |FROM (SELECT unnest($sqlWords) AS w FROM documents) WHERE w <> ''
          |GROUP BY w ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+    "q_top_ngrams" ->
+      s"""WITH w AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         | sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+         |   THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |   ELSE [] END)) AS ngram FROM w)
+         |SELECT ngram, CAST(count(*) AS BIGINT) AS df FROM sh
+         |GROUP BY ngram HAVING count(*) >= 2
+         |ORDER BY df DESC, ngram ASC LIMIT 50""".stripMargin,
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
          | big AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
@@ -4276,6 +4337,50 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
          |  coalesce(round(s / 1000000.0, 6), 0.0) AS log_ratio
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_quality_clf" ->
+      s"""WITH lab AS (SELECT doc_id, text, text LIKE '%filter scan%' AS y FROM documents),
+         | npos AS (SELECT count(*) AS np FROM lab WHERE y),
+         | train AS (SELECT doc_id, text, y FROM lab WHERE y
+         |   UNION ALL
+         |   SELECT doc_id, text, y FROM (SELECT *, row_number() OVER (ORDER BY doc_id) AS rn
+         |     FROM lab WHERE NOT y) WHERE rn <= (SELECT np FROM npos)),
+         | t AS (SELECT doc_id, y, $sqlWords AS w FROM train),
+         | uni AS (SELECT doc_id, y, unnest(w) AS f FROM t),
+         | big AS (SELECT doc_id, y,
+         |     unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS f
+         |   FROM t WHERE len(w) >= 2),
+         | feats AS (SELECT doc_id, y, ${sqlHex32("f")} % 1024 AS bucket
+         |   FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+         | db AS (SELECT doc_id, y, bucket, CAST(count(*) AS BIGINT) AS n FROM feats GROUP BY 1,2,3),
+         | pd AS (SELECT doc_id, y, sum(n) AS nd FROM db GROUP BY 1,2),
+         | nn AS (SELECT CAST(count(*) AS BIGINT) AS nd0 FROM pd),
+         | f1 AS (SELECT doc_id,
+         |   CAST(round((0.5 - CASE WHEN y THEN 1.0 ELSE 0.0 END)/nd*1e9) AS BIGINT) AS fn FROM pd),
+         | g1 AS (SELECT bucket, sum(n*fn) AS gn FROM db JOIN f1 USING (doc_id) GROUP BY bucket),
+         | w1 AS (SELECT bucket, 0 - CAST(round(200.0*gn/(1000.0*nn.nd0)) AS BIGINT) AS wm FROM g1, nn),
+         | m2 AS (SELECT db.doc_id, sum(db.n * coalesce(w1.wm, 0)) AS mm
+         |   FROM db LEFT JOIN w1 USING (bucket) GROUP BY db.doc_id),
+         | f2 AS (SELECT pd.doc_id,
+         |   CAST(round((1.0/(1.0+exp(-(m2.mm/(1e6*pd.nd)))) - CASE WHEN y THEN 1.0 ELSE 0.0 END)
+         |     /pd.nd*1e9) AS BIGINT) AS fn
+         |   FROM pd JOIN m2 USING (doc_id)),
+         | g2 AS (SELECT bucket, sum(n*fn) AS gn FROM db JOIN f2 USING (doc_id) GROUP BY bucket),
+         | w2 AS (SELECT coalesce(w1.bucket, g2.bucket) AS bucket,
+         |     coalesce(w1.wm, 0) - CAST(round(200.0*coalesce(g2.gn,0)/(1000.0*(SELECT nd0 FROM nn))) AS BIGINT) AS wm
+         |   FROM w1 FULL OUTER JOIN g2 ON w1.bucket = g2.bucket),
+         | sdb AS (SELECT doc_id, ${sqlHex32("f")} % 1024 AS bucket, CAST(count(*) AS BIGINT) AS n FROM (
+         |   SELECT doc_id, unnest(w) AS f FROM (SELECT doc_id, $sqlWords AS w FROM documents)
+         |   UNION ALL
+         |   SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS f
+         |   FROM (SELECT doc_id, $sqlWords AS w FROM documents) WHERE len(w) >= 2) GROUP BY 1,2),
+         | ms AS (SELECT sdb.doc_id, sum(sdb.n) AS n_feats, sum(sdb.n * coalesce(w2.wm, 0)) AS mm
+         |   FROM sdb LEFT JOIN w2 USING (bucket) GROUP BY sdb.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
+         |  round(CASE WHEN n_feats IS NULL THEN 0.5
+         |    ELSE 1.0/(1.0+exp(-(mm/(1e6*n_feats)))) END, 6) AS score,
+         |  CAST(CASE WHEN (CASE WHEN n_feats IS NULL THEN 0.5
+         |    ELSE 1.0/(1.0+exp(-(mm/(1e6*n_feats)))) END) >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM documents d LEFT JOIN ms USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_semantic_decontam" ->
       s"""WITH ev AS (SELECT embedding AS evv FROM embeddings WHERE label = 0),
          | sc AS (SELECT c.vec_id, round(${sqlCos("c.embedding", "ev.evv")}, 6) AS cs

@@ -106,6 +106,69 @@ object Sampling {
       .drop("__key")
   }
 
+  /** UniMax corpus budgeting (Chung et al. 2023, arXiv:2304.09151):
+    * distribute a total document `budget` across groups (languages/sources)
+    * as EVENLY as possible, except no group repeats more than `maxEpochs`
+    * times — the fairer alternative to temperature sampling for mixing a
+    * heavy-head corpus. Water-filling closed form over groups sorted by
+    * cap = n·maxEpochs ascending: the k smallest groups are capped, the
+    * rest share the remaining budget equally, where k is the count of
+    * groups with cap·(m−rank) ≤ budget − Σcap≤rank (the multiplication
+    * form — exact arithmetic when maxEpochs is binary-exact, so the SQL
+    * twin agrees bit-for-bit; algebraically the greedy loop's test).
+    *
+    * Group stats are a bounded collect by construction (groups are
+    * languages/sources — dozens, not corpus-sized); the corpus itself is
+    * never collected or shuffled here. Returns one row per group:
+    * (groupCol, n_docs, cap, quota, epochs) with quota/epochs rounded 6dp.
+    */
+  def unimaxQuotas(df: DataFrame, budget: Double, maxEpochs: Double,
+                   groupCol: String = "lang"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sizes = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect()
+      .map { case (g, n) => (g, n, n * maxEpochs) }
+      .sortBy { case (g, _, cap) => (cap, g) }
+    val m = sizes.length
+    val prefix = sizes.scanLeft(0.0)(_ + _._3) // S_0..S_m (inclusive at i+1)
+    var k = 0
+    while (k < m && sizes(k)._3 * (m - (k + 1)) <= budget - prefix(k + 1)) k += 1
+    val share = if (k == m) 0.0 else (budget - prefix(k)) / (m - k)
+    spark.createDataset(sizes.zipWithIndex.map { case ((g, n, cap), i) =>
+      val quota = if (i < k) cap else share
+      (g, n, cap, quota, quota / n)
+    }.toSeq).toDF(groupCol, "n_docs", "cap", "quota", "epochs")
+      .select(col(groupCol), col("n_docs"), col("cap"),
+        round(col("quota"), 6).as("quota"), round(col("epochs"), 6).as("epochs"))
+  }
+
+  /** Per-document repeat counts realizing [[unimaxQuotas]]: every document
+    * of a group with epochs e gets ⌊e⌋ copies plus one more iff its
+    * deterministic draw falls under the fractional part — E[group total] =
+    * quota exactly, membership stable under re-runs (md5-draw discipline).
+    * One broadcast-joined quota table over one corpus scan; `n_copies` is
+    * ready for the packing/mixture stages (0 = dropped).
+    */
+  def unimaxAssign(df: DataFrame, budget: Double, maxEpochs: Double,
+                   groupCol: String = "lang", idCol: String = "doc_id",
+                   salt: String = "unimax"): DataFrame = {
+    val quotas = unimaxQuotas(df, budget, maxEpochs, groupCol)
+      .select(col(groupCol), col("n_docs"), col("quota"))
+    // epochs from the UNROUNDED ratio of rounded quota to n — one division,
+    // engine-identical; the 6dp quota is the published contract
+    val epochs = col("quota") / col("n_docs").cast("double")
+    df.join(broadcast(quotas), Seq(groupCol))
+      .withColumn("__e", epochs)
+      .withColumn("n_copies",
+        (floor(col("__e")) + when(draw(col(idCol), salt) < col("__e") - floor(col("__e")),
+          lit(1L)).otherwise(lit(0L))).cast("long"))
+      .withColumn("epochs", round(col("__e"), 6))
+      .drop("__e", "n_docs", "quota")
+  }
+
   /** Stable pseudo-random training order: a `shuffle_key` column to sort or
     * range-partition by — the deterministic analog of shuffling the corpus
     * before sequence packing.

@@ -460,6 +460,27 @@ object TextAnalysis {
       .orderBy(desc("cnt"), col("word").asc)
       .limit(k)
 
+  /** Corpus-wide heavy-hitter n-grams by DOCUMENT frequency — boilerplate
+    * discovery: shingles shared verbatim by many documents are navigation
+    * chrome, license footers, and template text, and the output of this op
+    * is the candidate blocklist the C4/Gopher filters consume. Distinct
+    * shingles PER DOC (word_shingles — a repeat inside one doc is not
+    * boilerplate evidence), so `df` counts documents containing the n-gram.
+    *
+    * Scale: the groupBy is map-side combined (each task emits a shingle at
+    * most once per local doc batch), `minDf` prunes the long tail BEFORE
+    * the top-k, and the top-k is TakeOrderedAndProject (per-partition heap)
+    * — never a global sort. The one exchange carries (shingle, partial
+    * count) pairs for shingles that survive combining, not the corpus.
+    */
+  def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 50, minDf: Long = 2,
+                textCol: String = "text"): DataFrame =
+    docs.select(explode(word_shingles(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(desc("df"), col("ngram").asc)
+      .limit(k)
+
   /** Sequence packing for training-data assembly: documents in
     * deterministic `idCol` order fill fixed-token-budget bins — a document
     * lands in bin `tokens_before div budget` (contiguous greedy fill;
@@ -803,5 +824,100 @@ object TextAnalysis {
     corpus.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(round(col("s") / 1e6, 6), lit(0.0)).as("log_ratio"))
+  }
+
+  // ---- hashed logistic-regression quality classifier ----
+
+  /** Train a hashed-feature logistic-regression text classifier — the
+    * fastText/CCNet move ("train a tiny linear model on wiki-vs-crawl, keep
+    * what scores wiki-like") made a first-class engine op. Features are the
+    * SAME hashed unigram+bigram buckets DSIR uses ([[graft.functions.DsirBucketsExpr]]
+    * — one compiled-kernel pass, 8 B/feature), x = L1-normalized bucket
+    * counts, y = `isPositive`. Full-batch gradient descent, `iters` steps.
+    *
+    * DETERMINISM (the engine-wide scaled-long discipline): the margin is an
+    * EXACT long dot product (feature count × µ-scaled weight); the only
+    * per-doc double math is the sigmoid, immediately re-quantized to a
+    * nano-scaled long factor, so every cross-row aggregation sums LONGS —
+    * bit-identical across partitionings, and the DuckDB twin replays
+    * training outright (unrolled iterations of the same integer pipeline).
+    *
+    * Scale: the feature table materializes ONCE (localCheckpoint) and each
+    * iteration is two map-side-combined aggregations over it (per-doc
+    * margin, per-bucket gradient) plus a BROADCAST of the ≤`buckets`-row
+    * weight table — per-iteration cost is two bounded shuffles, weights
+    * live on the driver (buckets ≈ 2¹⁰⁻²⁰, megabytes at most). Docs with
+    * zero features are excluded from training (no gradient signal) and
+    * score σ(0) = 0.5 at inference.
+    *
+    * Returns the trained weight table (bucket, w_micro) — persist it next
+    * to the corpus like any other model artifact.
+    */
+  def trainQualityClassifier(docs: DataFrame, isPositive: Column,
+                             buckets: Int = 1024, iters: Int = 2, lr: Double = 10.0,
+                             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(buckets > 0 && iters >= 1 && lr > 0,
+      s"need buckets > 0, iters >= 1, lr > 0: $buckets/$iters/$lr")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = docs.select(col(idCol), isPositive.cast("boolean").as("__y"),
+        explode(dsir_buckets(col(textCol), buckets)).as("bucket"))
+      .groupBy(col(idCol), col("__y"), col("bucket")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val perDoc = feats.groupBy(col(idCol), col("__y")).agg(sum("n").as("nd"))
+      .localCheckpoint(true)
+    val nDocs = perDoc.count()
+    require(nDocs > 0, "no documents with features to train on")
+    var w = Map.empty[Long, Long] // bucket -> µ-scaled weight
+    for (_ <- 1 to iters) {
+      val wDf = broadcast(spark.createDataset(
+        if (w.isEmpty) Seq((-1L, 0L)) else w.toSeq).toDF("bucket", "wm"))
+      // exact long margin: Σ n·wm; sigmoid → (p − y)/nd re-quantized to
+      // nano units so the gradient sum below is again exact longs
+      val margins = feats.join(wDf, Seq("bucket"), "left")
+        .groupBy(col(idCol))
+        .agg(sum(col("n") * coalesce(col("wm"), lit(0L))).as("mm"))
+      val factor = perDoc.join(margins, Seq(idCol))
+        .select(col(idCol),
+          round(((lit(1.0) / (lit(1.0) + exp(-(col("mm") / (lit(1e6) * col("nd")))))) -
+            when(col("__y"), lit(1.0)).otherwise(lit(0.0))) / col("nd") * lit(1e9))
+            .cast("long").as("fn"))
+      val grads = feats.join(factor, Seq(idCol))
+        .groupBy(col("bucket"))
+        .agg(sum(col("n") * col("fn")).as("gn"))
+        .as[(Long, Long)].collect()
+      // HALF_UP (away from zero) — the rounding Spark's round() and the
+      // DuckDB twin both use; Math.round would differ on negative .5s
+      def halfUp(x: Double): Long =
+        BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      w = grads.map { case (b, gn) =>
+        b -> (w.getOrElse(b, 0L) - halfUp(lr * gn / (1000.0 * nDocs)))
+      }.toMap ++ (w -- grads.map(_._1)) // untouched buckets keep their weight
+    }
+    spark.createDataset(w.toSeq.sortBy(_._1)).toDF("bucket", "w_micro")
+  }
+
+  /** Score documents with a [[trainQualityClassifier]] weight table:
+    * score = σ(exact-long margin / (10⁶·n_feats)) rounded 6 dp,
+    * pred = score ≥ 0.5. One kernel scan + one broadcast join + one
+    * map-side-combined per-doc sum; zero-feature docs score 0.5.
+    */
+  def scoreQualityClassifier(docs: DataFrame, weights: DataFrame,
+                             buckets: Int = 1024, textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame = {
+    val feats = docs.select(col(idCol),
+        explode(dsir_buckets(col(textCol), buckets)).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("n"))
+    val perDoc = feats.join(broadcast(weights.select(col("bucket"), col("w_micro"))),
+        Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_feats"),
+        sum(col("n") * coalesce(col("w_micro"), lit(0L))).as("mm"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        round(when(col("n_feats").isNull, lit(0.5))
+          .otherwise(lit(1.0) / (lit(1.0) +
+            exp(-(col("mm") / (lit(1e6) * col("n_feats")))))), 6).as("score"))
+      .withColumn("pred", (col("score") >= 0.5).cast("int"))
   }
 }

@@ -918,6 +918,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1L) == 1.0 && r(2L) == 1.0) // full overlap with itself
   }
 
+  test("quality classifier learns a disjoint-vocab split and is partition-invariant") {
+    // positives and negatives share NO vocabulary → 2 GD steps separate them
+    val pos = (0L until 20L).map(i => (i, "excellent prose with careful structure and clear thought", true))
+    val neg = (100L until 120L).map(i => (i, "spam junk click buy now cheap deal offer", false))
+    val train = (pos ++ neg).toDF("doc_id", "text", "y")
+    val wts = TextAnalysis.trainQualityClassifier(train, col("y"), buckets = 256,
+      iters = 2, lr = 200.0)
+    val scored = TextAnalysis.scoreQualityClassifier(train, wts, buckets = 256)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getInt(3)))).toMap
+    pos.foreach { case (id, _, _) => assert(scored(id)._2 == 1, s"$id: ${scored(id)}") }
+    neg.foreach { case (id, _, _) => assert(scored(id)._2 == 0, s"$id: ${scored(id)}") }
+    assert(pos.map(p => scored(p._1)._1).min > neg.map(n => scored(n._1)._1).max + 0.05)
+    // scaled-long discipline ⇒ weights identical under any partitioning
+    val wts1 = wts.orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wts2 = TextAnalysis.trainQualityClassifier(train.repartition(7), col("y"),
+        buckets = 256, iters = 2, lr = 200.0)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(wts1 == wts2, "training must be bit-identical across partitionings")
+    // unseen doc with no overlapping features scores exactly sigma(0) = 0.5
+    val cold = TextAnalysis.scoreQualityClassifier(
+      Seq((999L, "zzz qqq vvv")).toDF("doc_id", "text"), wts, buckets = 256)
+      .collect().head
+    assert(cold.getDouble(2) > 0.3 && cold.getDouble(2) < 0.7,
+      s"out-of-vocab doc should sit near 0.5: ${cold.getDouble(2)}")
+  }
+
+  test("topNgrams counts document frequency (within-doc repeats once), minDf prunes") {
+    val docs = Seq(
+      (1L, "all rights reserved copyright notice here"),
+      (2L, "another page all rights reserved again all rights reserved"), // repeat inside: df +1 only
+      (3L, "all rights reserved footer text"),
+      (4L, "completely unrelated words on this page")).toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(docs, n = 3, k = 10, minDf = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head == (("all rights reserved", 3L)), top.mkString(";"))
+    // every surviving ngram meets minDf, and nothing from doc 4 survives
+    assert(top.forall(_._2 >= 2L))
+    assert(!top.exists(_._1.contains("unrelated")))
+  }
+
   test("dsirWeights: target ≡ corpus cancels to zero; n_feats = 2·words − 1") {
     val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"), (3L, ""))
       .toDF("doc_id", "text")
@@ -1871,6 +1911,48 @@ class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(k1.toSeq == k2.toSeq)
     assert(k1.map(_._2).distinct.length == 1000)
     assert(k1.map(_._1).toSeq != (0L until 1000L).toSeq)
+  }
+
+  test("unimaxQuotas: water-filling caps small groups, shares the rest; all-capped edge") {
+    // groups: a=10, b=20, c=100 docs; maxEpochs 2 → caps 20/40/200; budget 120:
+    // a caps (20·2=40 ≤ 120−20=100 ✓), b caps (40·1=40 ≤ 120−60=60 ✓),
+    // c uncapped → share = 120−60 = 60 → epochs 0.6
+    val df = ((0 until 10).map(i => (i.toLong, "a")) ++
+      (100 until 120).map(i => (i.toLong, "b")) ++
+      (1000 until 1100).map(i => (i.toLong, "c"))).toDF("doc_id", "lang")
+    val q = Sampling.unimaxQuotas(df, budget = 120.0, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(q("a") == ((20.0, 2.0)) && q("b") == ((40.0, 2.0)))
+    assert(q("c") == ((60.0, 0.6)), q.toString)
+    // budget beyond every cap: all groups cap at maxEpochs, surplus unused
+    val all = Sampling.unimaxQuotas(df, budget = 10000.0, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(all.values.forall(_ == 2.0), all.toString)
+    // budget below the fair share of the smallest: nothing caps, equal split
+    val none = Sampling.unimaxQuotas(df, budget = 30.0, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(none.values.forall(_ == 10.0), none.toString)
+  }
+
+  test("unimaxAssign realizes quotas: integer epochs exact, fractional E[sum]=quota, deterministic") {
+    val df = ((0 until 10).map(i => (i.toLong, "a")) ++
+      (1000 until 1100).map(i => (i.toLong, "c"))).toDF("doc_id", "lang")
+    // caps 20/200 at 2 epochs; budget 220 → both capped: every doc exactly 2
+    val capped = Sampling.unimaxAssign(df, budget = 220.0, maxEpochs = 2.0)
+    assert(capped.filter(col("n_copies") =!= 2L).count() == 0)
+    // budget 120 → a capped (2.0), c share 100 → epochs 1.0 exactly
+    val mixed = Sampling.unimaxAssign(df, budget = 120.0, maxEpochs = 2.0)
+      .groupBy("lang").agg(sum("n_copies").as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixed == Map("a" -> 20L, "c" -> 100L), mixed.toString)
+    // fractional epochs: c share 50/100 = 0.5 → ~half get a copy, stable re-run
+    val f1 = Sampling.unimaxAssign(df, budget = 70.0, maxEpochs = 2.0)
+      .filter(col("lang") === "c" && col("n_copies") === 1L)
+      .select("doc_id").as[Long].collect().toSet
+    val f2 = Sampling.unimaxAssign(df, budget = 70.0, maxEpochs = 2.0)
+      .filter(col("lang") === "c" && col("n_copies") === 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(f1 == f2 && f1.size > 30 && f1.size < 70, s"${f1.size}")
   }
 
   test("weightedSample: deterministic, k rows, weight-proportional inclusion") {
