@@ -278,6 +278,56 @@ class PlanSpec extends AnyFunSuite {
     assert(ex.nonEmpty && ex.forall(cols => !cols.contains("text")), ex.toString)
   }
 
+  test("bloom cross-corpus dedup: probe prunes before the verify join; text never shuffles") {
+    // parquet-backed: local relations would fold the whole pipeline at
+    // optimization time and leave nothing to pin
+    val dir = java.nio.file.Files.createTempDirectory("bloomplan").toString
+    (0L until 50L).map(i =>
+      (i, s"words making up document number $i with a shared tail of tokens"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val bf = Dedup.buildFingerprintBloom(ref, expectedItems = 64, fpp = 0.01)
+    val df = Dedup.crossCorpusExactDedupBloom(docs.filter(col("doc_id") % 3 =!= 0), ref, bf)
+    df.collect()
+    val p = plan(df)
+    // the bloom probe is a per-row filter in the scan stage (upstream of the
+    // verify semi-join's exchange), and document text never rides a shuffle
+    assert(p.toLowerCase.contains("bloommightcontain"), p)
+    assert(p.contains("LeftSemi"), p)
+    // at gate size the verify joins broadcast (no shuffle exchange at all);
+    // whatever exchanges exist must not carry the document text
+    val ex = exchangeOutputs(df.queryExecution.executedPlan)
+    assert(ex.forall(cols => !cols.contains("text")), ex.toString)
+  }
+
+  test("prototypicality: one kernel scan, exactly one cell-keyed exchange (the rank window)") {
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 60L).map(i => (i, Seq.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val df = graft.ops.SimilaritySearch.prototypicality(emb, nCells = 4, pruneEasiest = 0.5)
+    df.collect()
+    // AQE plan strings repeat the tree under "== Initial Plan ==" — count
+    // exchanges in the final plan only
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"assignment+distance must be a kernel, not a join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly the cell-window exchange, got $hashEx:\n$p")
+  }
+
+  test("quality classifier scoring broadcasts the weight table; one doc-keyed exchange") {
+    val docs = (0L until 40L).map(i => (i, s"some words for document $i body"))
+      .toDF("doc_id", "text")
+    val wts = graft.ops.TextAnalysis.trainQualityClassifier(docs,
+      col("doc_id") % 2 === 0, buckets = 64, iters = 1, lr = 10.0)
+    val df = graft.ops.TextAnalysis.scoreQualityClassifier(docs, wts, buckets = 64)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must never shuffle by bucket:\n$p")
+  }
+
   test("repetitionSignals is one kernel scan — zero exchanges") {
     val docs = (1L to 40L).map(i => (i, s"words for document $i repeated words"))
       .toDF("doc_id", "text")

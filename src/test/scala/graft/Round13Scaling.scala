@@ -31,6 +31,10 @@ object Round13Scaling {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // re-run one section without paying for the others:
+    // SPARK_GRAFT_SCALING_SECTIONS=media,bloom,recall (default all)
+    val sections = sys.env.getOrElse("SPARK_GRAFT_SCALING_SECTIONS", "media,bloom,recall")
+      .split(",").map(_.trim).toSet
 
     for (dir <- dirs) {
       // media e2e path at document scale: every doc an img ref, every %3
@@ -38,7 +42,7 @@ object Round13Scaling {
       // budget) — fetch-synthesize, tag-routed fingerprint, dedup
       import spark.implicits._
       val docsN = spark.read.parquet(s"$dir/documents.parquet").count()
-      val mediaPasses = (1 to 2).map { _ =>
+      val mediaPasses = if (!sections("media")) Seq(0.0) else (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ids = spark.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id")).as[Long]
@@ -52,14 +56,15 @@ object Round13Scaling {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[r13media] $dir docs=$docsN media_e2e cold=${mediaPasses.head}%.1f min=${mediaPasses.min}%.1f")
+      if (sections("media"))
+        println(f"[r13media] $dir docs=$docsN media_e2e cold=${mediaPasses.head}%.1f min=${mediaPasses.min}%.1f")
 
       // Bloom-prefiltered cross-corpus exact dedup at document scale: ref =
       // the dir's documents; new dump = same ids re-keyed, 1-in-37 kept
       // verbatim (planted exact dups), the rest word-salted (never dups).
       // Measures filter build (one treeAggregate), probe+verify wall time,
       // and the candidate width the bloom lets through vs n_probed.
-      {
+      if (sections("bloom")) {
         val docs = spark.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("text"))
         val tb0 = System.nanoTime()
@@ -83,6 +88,9 @@ object Round13Scaling {
           f"candidates=${m("n_candidates")}/${m("n_probed")}")
       }
 
+      if (!sections("recall")) {
+        // skip the recall section entirely for this dir
+      } else {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val n = emb.count()
@@ -115,6 +123,7 @@ object Round13Scaling {
           f"cross_recall=${flagged.toDouble / nProbes}%.3f (${dt}%.1fs, " +
           f"sat_buckets=${sat("saturated_buckets")} dropped_refs=${sat("dropped_refs")}) " +
           f"within_recall=${found.toDouble / nProbes}%.3f (${dt1}%.1fs)")
+      }
       }
     }
     spark.stop()
