@@ -1731,6 +1731,18 @@ object SparkEntry {
           unix_timestamp(col("session_end")).as("end_s"))
         .orderBy(col("user_id").asc, col("session_index").asc)
     },
+    // JSONL round-trip: documents → gzip JSON-Lines shards → schema'd read
+    // (no inference pass) → md5 per doc equals the parquet original — the
+    // Pile/RedPajama interchange format proven byte-faithful end-to-end
+    "q_jsonl_roundtrip" -> { (s, dir) =>
+      val out = s"/tmp/graft_jsonl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val docs = tbl(s, dir, "documents").select("doc_id", "lang", "text")
+      graft.sources.Jsonl.writeJsonlGz(docs.repartition(4), out)
+      graft.sources.Jsonl.readJsonl(s, out, docs.schema)
+        .filter(col("_corrupt").isNull)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    },
     "q_events_props" -> { (s, dir) =>
       Events.extractProps(eventsTbl(s, dir))
         .groupBy("k").agg(count(lit(1)).as("n")).orderBy(col("k").asc)
@@ -4243,6 +4255,8 @@ object SparkEntry {
         |SELECT user_id, CAST(session_index AS BIGINT) AS session_index, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s, CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
         |FROM s GROUP BY user_id, session_index ORDER BY user_id, session_index""".stripMargin,
+    "q_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
     "q_events_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
