@@ -88,6 +88,26 @@ object Round13Scaling {
           f"candidates=${m("n_candidates")}/${m("n_probed")}")
       }
 
+      // classifier training at document scale: 2 full-batch GD iterations
+      // over the hashed features (label = a content marker so gradients are
+      // non-trivial), then one scoring pass. Cost should be linear in docs:
+      // per iteration = two bounded shuffles over the feature table.
+      if (sections("clf")) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val isPos = col("text").contains("filter")
+        val t0 = System.nanoTime()
+        val wts = graft.ops.TextAnalysis.trainQualityClassifier(docs, isPos,
+          buckets = 1024, iters = 2, lr = 200.0)
+        val trainS = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.ops.TextAnalysis.scoreQualityClassifier(docs, wts)
+          .write.format("noop").mode("overwrite").save()
+        val scoreS = (System.nanoTime() - t1) / 1e9
+        println(f"[r13clf] $dir docs=$docsN train2=${trainS}%.1fs score=${scoreS}%.1fs " +
+          f"weights=${wts.count()}")
+      }
+
       if (!sections("recall")) {
         // skip the recall section entirely for this dir
       } else {
