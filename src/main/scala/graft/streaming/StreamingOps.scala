@@ -96,6 +96,26 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming CROSS-CORPUS exact dedup: drop stream documents whose
+    * normalized fingerprint was already accepted into a persisted
+    * REFERENCE corpus — the live-ingest half of
+    * [[graft.ops.Dedup.crossCorpusExactDedupBloom]]. The reference is a
+    * Bloom filter built once per accepted dump
+    * ([[graft.ops.Dedup.buildFingerprintBloom]]) and probed per row as a
+    * STATELESS filter — no state store at all, so unlike the within-stream
+    * dedups there is no watermark to size and nothing to evict; compose
+    * with [[streamingExactDedup]] afterwards to also dedup the stream
+    * against itself. The bloom side errs toward dropping (fpp false
+    * positives discard a few fresh docs — the cheap, safe direction for
+    * training-data ingest; size fpp accordingly). Returns the stream rows
+    * that are NOT in the reference.
+    */
+  def streamingCrossCorpusDedup(docs: DataFrame, filterBytes: Array[Byte],
+                                textCol: String = "text"): DataFrame =
+    docs.withColumn("__fp", md5(concat_ws(" ", word_tokens(col(textCol)))))
+      .filter(!graft.functions.textkernel.bloom_might_contain(col("__fp"), filterBytes))
+      .drop("__fp")
+
   /** Streaming URL-level dedup for a live crawl feed: canonicalize
     * ([[graft.ops.Urls.canonicalColumn]] — tracking params, fragments,
     * case, default ports all collapse) and keep the first arrival per

@@ -157,6 +157,30 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == Set(1L, 3L)) // 2 (same batch) and 4 (later batch) deduped
   }
 
+  test("streamingCrossCorpusDedup drops reference dups statelessly (no watermark needed)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ref = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "reference only content never in the stream"))
+      .toDF("doc_id", "text")
+    val bf = graft.ops.Dedup.buildFingerprintBloom(ref, expectedItems = 64, fpp = 0.01)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingCrossCorpusDedup(
+        input.toDF().toDF("doc_id", "text"), bf)
+      .writeStream.format("memory").queryName("sxdedup").outputMode("append").start()
+    input.addData(
+      (1L, "THE quick  brown FOX jumps over the lazy dog"), // normalized dup of ref 10
+      (2L, "entirely fresh crawl content"),
+      (3L, "more fresh words not in the reference"))
+    q.processAllAvailable()
+    input.addData((4L, "the quick brown fox jumps over the lazy dog")) // verbatim ref dup
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id FROM sxdedup").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(got == Set(2L, 3L), got.toString)
+  }
+
   test("streamingMediaDedup: identical clips collapse, junk dropped, state keyed by fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
