@@ -1205,6 +1205,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("epochs"), col("n_copies"))
         .orderBy("doc_id")
     },
+    // temperature mixing (p ∝ n^0.5, the mT5-style recipe): small langs
+    // upsample (~1.55 epochs), en downsamples (~0.84); n^α = µ-quantized
+    // exp(α·ln n) so the weight total is an exact long in both engines
+    "q_temperature_mix" -> { (s, dir) =>
+      graft.ops.Sampling.temperatureAssign(
+          tbl(s, dir, "documents").select("doc_id", "lang"),
+          budget = 600.0, alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("epochs"), col("n_copies"))
+        .orderBy("doc_id")
+    },
     // fused one-scan keep/drop decision pass (lang + quality + tokens + canonicality)
     // %11==1 docs repeat doc_id-1 verbatim (q_dedup_exact pattern): the
     // raw corpus has no exact dups, so is_canonical was 1 for all 500
@@ -3571,6 +3581,18 @@ object SparkEntry {
          | s AS (SELECT doc_id, n_chars, k FROM t ORDER BY k DESC, doc_id ASC LIMIT 50)
          |SELECT doc_id, n_chars, round(k, 6) AS sample_key
          |FROM s ORDER BY round(k, 6) DESC, doc_id ASC""".stripMargin,
+    "q_temperature_mix" ->
+      s"""WITH s AS (SELECT lang AS g, CAST(count(*) AS BIGINT) AS n,
+         |   CAST(round(exp(0.5 * ln(count(*))) * 1e6) AS BIGINT) AS wm
+         |   FROM documents GROUP BY lang),
+         | tt AS (SELECT sum(wm) AS total FROM s),
+         | q AS (SELECT g, n, round(600.0 * wm / tt.total, 6) AS quota FROM s, tt),
+         | a AS (SELECT d.doc_id, d.lang, q.quota / q.n AS e
+         |   FROM documents d JOIN q ON d.lang = q.g)
+         |SELECT doc_id, lang, round(e, 6) AS epochs,
+         |  CAST(floor(e) + (CASE WHEN ${sqlHex60("'tempmix:' || doc_id")} / 1152921504606846976.0
+         |    < e - floor(e) THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+         |FROM a ORDER BY doc_id""".stripMargin,
     "q_unimax" ->
       s"""WITH s AS (SELECT lang AS g, CAST(count(*) AS BIGINT) AS n, count(*) * 1.5 AS cap
          |   FROM documents GROUP BY lang),

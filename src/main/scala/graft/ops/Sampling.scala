@@ -154,13 +154,61 @@ object Sampling {
     */
   def unimaxAssign(df: DataFrame, budget: Double, maxEpochs: Double,
                    groupCol: String = "lang", idCol: String = "doc_id",
-                   salt: String = "unimax"): DataFrame = {
-    val quotas = unimaxQuotas(df, budget, maxEpochs, groupCol)
-      .select(col(groupCol), col("n_docs"), col("quota"))
+                   salt: String = "unimax"): DataFrame =
+    assignCopies(df, unimaxQuotas(df, budget, maxEpochs, groupCol),
+      groupCol, idCol, salt)
+
+  /** Temperature-scaled mixture quotas — the standard multilingual recipe
+    * UniMax improves on (sample group l with p ∝ n_l^α; α = 1 is natural
+    * proportion, α → 0 is uniform, mT5 used α = 0.3): quota_l =
+    * budget · n_l^α / Σ n^α. No repeat cap — use [[unimaxQuotas]] when
+    * over-epoching small groups matters.
+    *
+    * Determinism: n^α is computed as exp(α·ln n) in BOTH engines (pow is
+    * not reliably identical across libms; exp/ln already carry the DSIR
+    * and perplexity oracles) and immediately µ-quantized, so the weight
+    * TOTAL is an exact long sum — order-free — and quota is two double
+    * ops from it. Same bounded-collect posture as [[unimaxQuotas]].
+    */
+  def temperatureQuotas(df: DataFrame, budget: Double, alpha: Double,
+                        groupCol: String = "lang"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sizes = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect()
+      .map { case (g, n) =>
+        (g, n, BigDecimal(math.exp(alpha * math.log(n.toDouble)) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }
+      .sortBy(_._1)
+    val total = sizes.map(_._3).sum
+    spark.createDataset(sizes.toSeq.map { case (g, n, wm) =>
+      val quota = budget * wm / total
+      (g, n, wm, quota, quota / n)
+    }).toDF(groupCol, "n_docs", "w_micro", "quota", "epochs")
+      .select(col(groupCol), col("n_docs"), col("w_micro"),
+        round(col("quota"), 6).as("quota"), round(col("epochs"), 6).as("epochs"))
+  }
+
+  /** [[unimaxAssign]]'s realization for [[temperatureQuotas]]. */
+  def temperatureAssign(df: DataFrame, budget: Double, alpha: Double,
+                        groupCol: String = "lang", idCol: String = "doc_id",
+                        salt: String = "tempmix"): DataFrame =
+    assignCopies(df, temperatureQuotas(df, budget, alpha, groupCol),
+      groupCol, idCol, salt)
+
+  /** Shared realization tail: broadcast-join a (group, n_docs, quota)
+    * table, emit ⌊epochs⌋ + fractional-draw copies per document.
+    */
+  private def assignCopies(df: DataFrame, quotas: DataFrame, groupCol: String,
+                           idCol: String, salt: String): DataFrame = {
     // epochs from the UNROUNDED ratio of rounded quota to n — one division,
     // engine-identical; the 6dp quota is the published contract
     val epochs = col("quota") / col("n_docs").cast("double")
-    df.join(broadcast(quotas), Seq(groupCol))
+    df.join(broadcast(quotas.select(col(groupCol), col("n_docs"), col("quota"))),
+        Seq(groupCol))
       .withColumn("__e", epochs)
       .withColumn("n_copies",
         (floor(col("__e")) + when(draw(col(idCol), salt) < col("__e") - floor(col("__e")),

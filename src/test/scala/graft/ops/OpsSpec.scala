@@ -1955,6 +1955,25 @@ class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(f1 == f2 && f1.size > 30 && f1.size < 70, s"${f1.size}")
   }
 
+  test("temperatureQuotas: alpha=1 is proportional, small alpha flattens, assign realizes") {
+    val df = ((0 until 10).map(i => (i.toLong, "a")) ++
+      (1000 until 1160).map(i => (i.toLong, "c"))).toDF("doc_id", "lang")
+    // alpha = 1: quota proportional to n (10/160 of 170)
+    val q1 = Sampling.temperatureQuotas(df, budget = 170.0, alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(q1("a") - 10.0) < 1e-3 && math.abs(q1("c") - 160.0) < 1e-3, q1.toString)
+    // alpha = 0.25: ratio compresses from 16x toward 16^0.25 = 2x
+    val q2 = Sampling.temperatureQuotas(df, budget = 170.0, alpha = 0.25)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(q2("c") / q2("a") < 2.1 && q2("c") / q2("a") > 1.9, q2.toString)
+    assert(math.abs(q2.values.sum - 170.0) < 1e-3, "quotas must exhaust the budget")
+    // realization: group sums land near quota, deterministically
+    val tot = Sampling.temperatureAssign(df, budget = 170.0, alpha = 0.25)
+      .groupBy("lang").agg(sum("n_copies").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(tot("a") - q2("a")) <= 4 && math.abs(tot("c") - q2("c")) <= 8, tot.toString)
+  }
+
   test("weightedSample: deterministic, k rows, weight-proportional inclusion") {
     val df = (0L until 2000L).toDF("doc_id")
       .withColumn("w", when(col("doc_id") < 1000L, 10.0).otherwise(1.0))
