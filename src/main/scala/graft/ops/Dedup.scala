@@ -490,6 +490,35 @@ object Dedup {
     bos.toByteArray
   }
 
+  /** Fold a NEW dump's fingerprints into an existing reference filter —
+    * the recurring-ingest loop closure: dedup dump N against the filter,
+    * accept the survivors, extend the filter with them, ingest dump N+1.
+    * `mergeInPlace` is a bitwise OR, so extension never loses reference
+    * coverage; fpp RISES as the filter fills beyond its built
+    * `expectedItems` (Σ dumps, not one dump — size it for the corpus's
+    * lifetime, or rebuild when the observed candidate share drifts up).
+    */
+  def extendFingerprintBloom(filterBytes: Array[Byte], newDocs: DataFrame,
+                             expectedItems: Long, fpp: Double,
+                             textCol: String = "text"): Array[Byte] = {
+    val base = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+    // the addition is built DISTRIBUTED with the base's ORIGINAL
+    // (expectedItems, fpp) — same geometry ⇒ mergeInPlace is a bitwise OR;
+    // persist those two numbers next to the filter artifact. A mismatch is
+    // a caller bug surfaced loudly, never a driver-side corpus collect.
+    val add = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(
+        buildFingerprintBloom(newDocs, textCol, expectedItems, fpp)))
+    require(add.isCompatible(base),
+      s"filter geometry mismatch: pass the ORIGINAL build params " +
+        s"(expectedItems=$expectedItems, fpp=$fpp do not reproduce the base's shape)")
+    base.mergeInPlace(add)
+    val bos = new java.io.ByteArrayOutputStream()
+    base.writeTo(bos)
+    bos.toByteArray
+  }
+
   /** Persist / load a serialized Bloom filter as a single file through the
     * Hadoop filesystem API (works on local paths, HDFS, and object stores —
     * the filter is a corpus-level artifact, versioned next to the data).

@@ -51,6 +51,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got2 == got)
   }
 
+  test("extendFingerprintBloom folds an accepted dump into the reference filter") {
+    val dump1 = Seq((1L, "first dump document alpha"), (2L, "first dump document beta"))
+      .toDF("doc_id", "text")
+    val dump2 = Seq((3L, "second dump document gamma")).toDF("doc_id", "text")
+    val bf1 = Dedup.buildFingerprintBloom(dump1, expectedItems = 64, fpp = 0.01)
+    val bf2 = Dedup.extendFingerprintBloom(bf1, dump2, expectedItems = 64, fpp = 0.01)
+    // probe: all three docs now flagged as reference members; a fresh doc isn't
+    val probeRef = dump1.unionByName(dump2)
+    val got = Dedup.crossCorpusExactDedupBloom(
+        probeRef.unionByName(Seq((9L, "never seen anywhere")).toDF("doc_id", "text")),
+        probeRef, bf2)
+      .orderBy("doc_id").as[(Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, true), (2L, true), (3L, true), (9L, false)), got.toString)
+    // geometry mismatch is loud, never a silent wrong merge
+    intercept[IllegalArgumentException] {
+      Dedup.extendFingerprintBloom(bf1, dump2, expectedItems = 9999, fpp = 0.2)
+    }
+  }
+
   test("bloom prefilter drops non-candidates before the verify join (saturation telemetry)") {
     val ref = (0L until 200L).map(i => (i, s"reference document number $i with its own unique words"))
       .toDF("doc_id", "text")
