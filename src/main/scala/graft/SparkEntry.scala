@@ -1610,6 +1610,22 @@ object SparkEntry {
         .toDF("doc_id", "media")
       Multimodal.imageDedup(media, "doc_id").orderBy("doc_id")
     },
+    // cross-corpus media dedup: reference = 10 of the 25 synthetic image
+    // identities (doc_id < 30, %3 == 0); new dump = %3 != 0 images probed
+    // through the persisted-shape media bloom + exact fingerprint verify —
+    // dup fires both ways (10/25 identity coverage)
+    "q_media_cross_dedup" -> { (s, dir) =>
+      import s.implicits._
+      def mk(ids: DataFrame) = ids.select(col("doc_id")).as[Long]
+        .map(id => (id, synthPng(id % 25))).toDF("doc_id", "media")
+      val docs = tbl(s, dir, "documents")
+      val ref = mk(docs.filter(col("doc_id") < 30 && col("doc_id") % 3 === 0))
+      val neu = mk(docs.filter(col("doc_id") < 100 && col("doc_id") % 3 =!= 0))
+      val bf = Multimodal.buildMediaFingerprintBloom(ref, "image",
+        expectedItems = 64, fpp = 0.01)
+      Multimodal.crossCorpusMediaDedup(neu, ref, bf, "image", "doc_id")
+        .orderBy("doc_id")
+    },
     // Audio-level perceptual dedup over REAL decoded PCM: 25 distinct
     // synthetic WAVs shared by ~4 ids each (id % 25 keys the generator) are
     // RIFF-parsed, sample-decoded and energy-fingerprinted — 65 equal
@@ -1833,6 +1849,14 @@ object SparkEntry {
     "q_dsir" -> { (s, dir) =>
       TextAnalysis.dsirWeightsSlice(docsPar(s, dir), col("source") === "src5")
         .orderBy("doc_id")
+    },
+    // corpus drift monitor: KL/JS divergence between the non-src5 bulk and
+    // the src5 slice over the hashed feature buckets — nano-nat exact sums
+    "q_distribution_drift" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      TextAnalysis.distributionDrift(
+        docs.filter(col("source") =!= "src5"),
+        docs.filter(col("source") === "src5"))
     },
     // hashed logistic-regression quality classifier (fastText/CCNet style):
     // trained IN the gate on a balanced subset (all 'filter scan' positives
@@ -4127,6 +4151,36 @@ object SparkEntry {
         |   min(doc_id) AS canonical_id FROM r0 GROUP BY 1, 2)
         |SELECT r0.doc_id, r0.dhash_hi, r0.dhash_lo, grp.n_dups, grp.canonical_id
         |FROM r0 JOIN grp USING (dhash_hi, dhash_lo) ORDER BY r0.doc_id""".stripMargin,
+    "q_media_cross_dedup" ->
+      """WITH dn AS (SELECT doc_id, doc_id % 25 AS k FROM documents
+        |   WHERE doc_id < 100 AND doc_id % 3 <> 0),
+        | dref AS (SELECT doc_id, doc_id % 25 AS k FROM documents
+        |   WHERE doc_id < 30 AND doc_id % 3 = 0),
+        | img AS MATERIALIZED (SELECT DISTINCT k, CAST(4 + k % 13 AS BIGINT) AS w,
+        |   CAST(3 + k % 7 AS BIGINT) AS h
+        |   FROM (SELECT k FROM dn UNION SELECT k FROM dref)),
+        | cb AS (SELECT i.k, i.w, i.h, c.tx, r.ty,
+        |     (c.tx * i.w) // 9 AS sx0, greatest((c.tx * i.w) // 9 + 1, ((c.tx + 1) * i.w) // 9) AS sx1,
+        |     (r.ty * i.h) // 8 AS sy0, greatest((r.ty * i.h) // 8 + 1, ((r.ty + 1) * i.h) // 8) AS sy1
+        |   FROM img i, (SELECT unnest(generate_series(0, 8)) AS tx) c,
+        |        (SELECT unnest(generate_series(0, 7)) AS ty) r),
+        | xs AS (SELECT *, unnest(generate_series(sx0, sx1 - 1)) AS x FROM cb),
+        | ys AS (SELECT *, unnest(generate_series(sy0, sy1 - 1)) AS y FROM xs),
+        | cells AS MATERIALIZED (SELECT k, tx, ty,
+        |   sum((k * 31 + (y * w + x)) % 256) // count(*) AS cv FROM ys GROUP BY k, tx, ty),
+        | bits AS (SELECT a.k, a.ty, a.tx, CASE WHEN a.cv < b.cv THEN 1 ELSE 0 END AS bit
+        |   FROM cells a JOIN cells b ON a.k = b.k AND a.ty = b.ty AND b.tx = a.tx + 1),
+        | dh AS MATERIALIZED (SELECT k,
+        |   CAST(sum(CASE WHEN ty * 8 + tx >= 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << (ty * 8 + tx - 32)) ELSE 0 END) AS BIGINT) AS fp_hi,
+        |   CAST(sum(CASE WHEN ty * 8 + tx < 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << (ty * 8 + tx)) ELSE 0 END) AS BIGINT) AS fp_lo
+        |  FROM bits GROUP BY k),
+        | rfp AS (SELECT DISTINCT dh.fp_hi, dh.fp_lo FROM dref JOIN dh USING (k))
+        |SELECT dn.doc_id, dh.fp_hi, dh.fp_lo, (rfp.fp_hi IS NOT NULL) AS dup
+        |FROM dn JOIN dh USING (k)
+        |LEFT JOIN rfp ON dh.fp_hi = rfp.fp_hi AND dh.fp_lo = rfp.fp_lo
+        |ORDER BY dn.doc_id""".stripMargin,
     "q_audio_dedup" ->
       """WITH d AS (SELECT doc_id, doc_id % 25 AS k FROM documents WHERE doc_id < 100),
         | p AS (SELECT DISTINCT k, 17 + 3 * k AS step, 400 + k * 40 AS n FROM d),
@@ -4373,6 +4427,54 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
          |  coalesce(round(s / 1000000.0, 6), 0.0) AS log_ratio
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_distribution_drift" ->
+      s"""WITH ta AS (SELECT doc_id, $sqlWords AS w FROM documents WHERE source <> 'src5'),
+         | tb AS (SELECT doc_id, $sqlWords AS w FROM documents WHERE source = 'src5'),
+         | fa AS (SELECT ${sqlHex32("f")} % 1024 AS bucket FROM (
+         |   SELECT unnest(w) AS f FROM ta
+         |   UNION ALL
+         |   SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS f
+         |   FROM ta WHERE len(w) >= 2)),
+         | fb AS (SELECT ${sqlHex32("f")} % 1024 AS bucket FROM (
+         |   SELECT unnest(w) AS f FROM tb
+         |   UNION ALL
+         |   SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS f
+         |   FROM tb WHERE len(w) >= 2)),
+         | ca AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ca FROM fa GROUP BY bucket),
+         | cbn AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cb FROM fb GROUP BY bucket),
+         | j AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cbn.cb, 0) AS cb
+         |   FROM ca FULL OUTER JOIN cbn USING (bucket)),
+         | tt AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM j),
+         | terms AS (SELECT
+         |   CAST(round(((ca + 1.0) / (na + 1024.0)) *
+         |     ln(((ca + 1.0) / (na + 1024.0)) / ((cb + 1.0) / (nb + 1024.0))) * 1e9) AS BIGINT) AS ab,
+         |   CAST(round(((cb + 1.0) / (nb + 1024.0)) *
+         |     ln(((cb + 1.0) / (nb + 1024.0)) / ((ca + 1.0) / (na + 1024.0))) * 1e9) AS BIGINT) AS ba,
+         |   CAST(round((((ca + 1.0) / (na + 1024.0)) *
+         |       ln(((ca + 1.0) / (na + 1024.0)) /
+         |          (((ca + 1.0) / (na + 1024.0) + (cb + 1.0) / (nb + 1024.0)) / 2.0)) / 2.0 +
+         |     ((cb + 1.0) / (nb + 1024.0)) *
+         |       ln(((cb + 1.0) / (nb + 1024.0)) /
+         |          (((ca + 1.0) / (na + 1024.0) + (cb + 1.0) / (nb + 1024.0)) / 2.0)) / 2.0)
+         |     * 1e9) AS BIGINT) AS js,
+         |   na, nb FROM j, tt),
+         | zt AS (SELECT
+         |   CAST(round(((0 + 1.0) / (na + 1024.0)) *
+         |     ln(((0 + 1.0) / (na + 1024.0)) / ((0 + 1.0) / (nb + 1024.0))) * 1e9) AS BIGINT) AS zab,
+         |   CAST(round(((0 + 1.0) / (nb + 1024.0)) *
+         |     ln(((0 + 1.0) / (nb + 1024.0)) / ((0 + 1.0) / (na + 1024.0))) * 1e9) AS BIGINT) AS zba,
+         |   CAST(round((((0 + 1.0) / (na + 1024.0)) *
+         |       ln(((0 + 1.0) / (na + 1024.0)) /
+         |          (((0 + 1.0) / (na + 1024.0) + (0 + 1.0) / (nb + 1024.0)) / 2.0)) / 2.0 +
+         |     ((0 + 1.0) / (nb + 1024.0)) *
+         |       ln(((0 + 1.0) / (nb + 1024.0)) /
+         |          (((0 + 1.0) / (na + 1024.0) + (0 + 1.0) / (nb + 1024.0)) / 2.0)) / 2.0)
+         |     * 1e9) AS BIGINT) AS zjs FROM tt)
+         |SELECT CAST(na AS BIGINT) AS n_feats_a, CAST(nb AS BIGINT) AS n_feats_b,
+         |  round((sum(ab) + (1024 - count(*)) * (SELECT zab FROM zt)) / 1e9, 6) AS kl_ab,
+         |  round((sum(ba) + (1024 - count(*)) * (SELECT zba FROM zt)) / 1e9, 6) AS kl_ba,
+         |  round((sum(js) + (1024 - count(*)) * (SELECT zjs FROM zt)) / 1e9, 6) AS js
+         |FROM terms GROUP BY na, nb""".stripMargin,
     "q_quality_clf" ->
       s"""WITH lab AS (SELECT doc_id, text, text LIKE '%filter scan%' AS y FROM documents),
          | npos AS (SELECT count(*) AS np FROM lab WHERE y),

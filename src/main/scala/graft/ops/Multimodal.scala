@@ -872,6 +872,58 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Build a Bloom filter over a REFERENCE media corpus's perceptual
+    * fingerprints — the media analog of
+    * [[Dedup.buildFingerprintBloom]]: persist once per accepted dump,
+    * probe every later ingest at scan speed. The filter keys are
+    * `"kind:fingerprint"` strings so audio and image identities never
+    * cross; undecodable assets (null fingerprint) contribute nothing.
+    */
+  def buildMediaFingerprintBloom(refMedia: DataFrame, kind: String,
+                                 expectedItems: Long = 1L << 20, fpp: Double = 0.01,
+                                 binaryCol: String = "media"): Array[Byte] = {
+    val bf = withMediaFingerprint(refMedia, binaryCol, "__fp", kind)
+      .filter(col("__fp").isNotNull)
+      .select(concat_ws(":", lit(kind), col("__fp")).as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Bloom-prefiltered EXACT cross-corpus media dedup: flag NEW assets
+    * whose perceptual fingerprint (audio energy hash / image dHash)
+    * already exists in a REFERENCE corpus — "drop media we already
+    * accepted in a previous dump". Same two-layer shape as
+    * [[Dedup.crossCorpusExactDedupBloom]]: per-row bloom probe at scan
+    * speed, then an exact verification semi-join against the distinct
+    * reference fingerprints, so only probe survivors (matches + fpp
+    * share) ever shuffle and the output is exact. Decode runs once per
+    * side, in-partition; media bytes never cross an exchange. Returns one
+    * row per NEW asset: (idCol, fp_hi, fp_lo — null when undecodable,
+    * dup — undecodable is never a dup, it has no identity).
+    */
+  def crossCorpusMediaDedup(newMedia: DataFrame, refMedia: DataFrame,
+                            filterBytes: Array[Byte], kind: String,
+                            idCol: String, binaryCol: String = "media"): DataFrame = {
+    def keyed(df: DataFrame) = withMediaFingerprint(df, binaryCol, "__fp", kind)
+      .select(col(idCol), col("__fp"),
+        concat_ws(":", lit(kind), col("__fp")).as("__k"))
+    val probed = keyed(newMedia)
+      .withColumn("__cand", col("__fp").isNotNull &&
+        graft.functions.textkernel.bloom_might_contain(col("__k"), filterBytes))
+    val verified = probed.filter(col("__cand"))
+      .join(keyed(refMedia).filter(col("__fp").isNotNull).select("__k").distinct(),
+        Seq("__k"), "left_semi")
+      .select(col(idCol), lit(true).as("__dup"))
+    probed.select(col(idCol),
+        shiftrightunsigned(col("__fp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("fp_hi"),
+        col("__fp").bitwiseAND(lit(0xFFFFFFFFL)).as("fp_lo"))
+      .join(verified, Seq(idCol), "left")
+      .select(col(idCol), col("fp_hi"), col("fp_lo"),
+        coalesce(col("__dup"), lit(false)).as("dup"))
+  }
+
   /** Append the 64-bit perceptual fingerprint as a COLUMN, preserving all
     * other columns — the row-preserving (and therefore streaming-friendly)
     * form of [[audioFingerprintDF]] / [[imageDHash]]: `kind = "audio"`

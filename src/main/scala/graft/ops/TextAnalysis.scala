@@ -826,6 +826,57 @@ object TextAnalysis {
         coalesce(round(col("s") / 1e6, 6), lit(0.0)).as("log_ratio"))
   }
 
+  /** Corpus distribution DRIFT between two document sets over the hashed
+    * unigram+bigram buckets (the DSIR feature space): add-one-smoothed
+    * KL(A‖B), KL(B‖A) and Jensen–Shannon divergence — the "did this dump
+    * shift the corpus" monitor a recurring ingest runs before accepting a
+    * dump (JS near 0 = same distribution; rising JS = topic/language/
+    * boilerplate drift worth a look before training on it).
+    *
+    * Scale: one kernel scan per side → bucket counts (map-side combined,
+    * ≤ `buckets` rows each) → a buckets-sized full-outer join → per-bucket
+    * divergence contributions quantized to NANO-nats and summed as longs
+    * (exact, order-free — the engine discipline), so the DuckDB twin
+    * replays it term by term. Output: one row —
+    * (n_feats_a, n_feats_b, kl_ab, kl_ba, js) in nats, 6 dp.
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame, buckets: Int = 1024,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def cnt(df: DataFrame, out: String) =
+      df.select(explode(dsir_buckets(col(textCol), buckets)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(out))
+    val joined = cnt(a, "ca").join(cnt(b, "cb"), Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tots = joined.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val bD = lit(buckets.toDouble)
+    def terms(caC: Column, cbC: Column) = {
+      val pa = (caC + lit(1.0)) / (col("na") + bD)
+      val pb = (cbC + lit(1.0)) / (col("nb") + bD)
+      val m = (pa + pb) / lit(2.0)
+      def nano(c: Column) = round(c * lit(1e9)).cast("long")
+      (nano(pa * log(pa / pb)), nano(pb * log(pb / pa)),
+        nano(pa * log(pa / m) / lit(2.0) + pb * log(pb / m) / lit(2.0)))
+    }
+    val (tab, tba, tjs) = terms(col("ca"), col("cb"))
+    // buckets seen by NEITHER corpus still carry smoothed mass — when
+    // na ≠ nb their identical per-bucket terms are nonzero (omitting them
+    // can even drive KL negative); they are (buckets − n_present) copies
+    // of the ca=0, cb=0 term, added analytically after the agg
+    val (zab, zba, zjs) = terms(lit(0.0), lit(0.0))
+    joined.crossJoin(broadcast(tots))
+      .select(col("na"), col("nb"),
+        tab.as("__ab"), tba.as("__ba"), tjs.as("__js"))
+      .groupBy("na", "nb")
+      .agg(sum("__ab").as("sab"), sum("__ba").as("sba"), sum("__js").as("sjs"),
+        count(lit(1)).as("__npresent"))
+      .select(col("na").as("n_feats_a"), col("nb").as("n_feats_b"),
+        round((col("sab") + (lit(buckets.toLong) - col("__npresent")) * zab) / 1e9, 6).as("kl_ab"),
+        round((col("sba") + (lit(buckets.toLong) - col("__npresent")) * zba) / 1e9, 6).as("kl_ba"),
+        round((col("sjs") + (lit(buckets.toLong) - col("__npresent")) * zjs) / 1e9, 6).as("js"))
+  }
+
   // ---- hashed logistic-regression quality classifier ----
 
   /** Train a hashed-feature logistic-regression text classifier — the

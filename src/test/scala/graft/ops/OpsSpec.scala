@@ -963,6 +963,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"out-of-vocab doc should sit near 0.5: ${cold.getDouble(2)}")
   }
 
+  test("distributionDrift: zero on identical corpora, positive on disjoint, js symmetric") {
+    val a = Seq((1L, "physics quantum electron field theory"),
+      (2L, "physics quantum particle wave")).toDF("doc_id", "text")
+    val b = Seq((3L, "football soccer goal match referee"),
+      (4L, "football stadium crowd goal")).toDF("doc_id", "text")
+    // few buckets so add-one smoothing doesn't drown the tiny fixtures
+    val self = TextAnalysis.distributionDrift(a, a, buckets = 32).collect().head
+    assert(self.getDouble(2) == 0.0 && self.getDouble(4) == 0.0, self.toString)
+    val ab = TextAnalysis.distributionDrift(a, b, buckets = 32).collect().head
+    assert(ab.getDouble(2) > 0.1 && ab.getDouble(3) > 0.1 && ab.getDouble(4) > 0.05,
+      ab.toString)
+    val ba = TextAnalysis.distributionDrift(b, a, buckets = 32).collect().head
+    assert(ba.getDouble(4) == ab.getDouble(4), "JS must be symmetric")
+    assert(ba.getDouble(2) == ab.getDouble(3), "KL(B||A) flips")
+  }
+
   test("topNgrams counts document frequency (within-doc repeats once), minDf prunes") {
     val docs = Seq(
       (1L, "all rights reserved copyright notice here"),
@@ -1382,6 +1398,22 @@ class MultimodalSpec extends AnyFunSuite {
     (2L, Array[Byte](0xFF.toByte, 0xD8.toByte) ++ Array.fill[Byte](300)(9)),
     (3L, "RIFFdata".getBytes("UTF-8")))
     .toDF("media_id", "media")
+
+  test("crossCorpusMediaDedup: ref-seen fingerprints flag, fresh/undecodable don't") {
+    val ref = Seq((10L, graft.SparkEntry.synthPng(1)), (11L, graft.SparkEntry.synthPng(2)))
+      .toDF("doc_id", "media")
+    val neu = Seq(
+      (1L, graft.SparkEntry.synthPng(1)),      // same pixels as ref 10 → dup
+      (2L, graft.SparkEntry.synthPng(5)),      // fresh identity
+      (3L, Array[Byte](1, 2, 3)))              // undecodable → null fp, never dup
+      .toDF("doc_id", "media")
+    val bf = Multimodal.buildMediaFingerprintBloom(ref, "image", expectedItems = 16, fpp = 0.01)
+    val got = Multimodal.crossCorpusMediaDedup(neu, ref, bf, "image", "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).isDefined, r.getBoolean(3)))
+    assert(got.toSeq == Seq((1L, true, true), (2L, true, false), (3L, false, false)),
+      got.mkString(";"))
+  }
 
   test("extractMeta sniffs formats; malformed headers yield null fields, not failures") {
     val got = Multimodal.extractMeta(media).select("media_id", "meta.format", "meta.width")
