@@ -1102,6 +1102,16 @@ object SparkEntry {
       val pairs = Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), threshold = 0.3)
       Dedup.dupClusters(pairs).orderBy("doc_id")
     },
+    // leakage-free split: near-dup cluster members share one split (the
+    // draw rides the CLUSTER id); singletons equal plain splitAssign
+    "q_leakage_split" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val pairs = Dedup.embeddingNearDup(emb, threshold = 0.3)
+      graft.ops.Sampling.leakageFreeSplit(emb.select("vec_id"), pairs,
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), idCol = "vec_id")
+        .select(col("vec_id"), col("cluster_id"), col("split"))
+        .orderBy("vec_id")
+    },
     // the END-TO-END dedup pipeline (the operator a training-data run
     // actually calls): minhash-LSH pairs at 0.7 → clusters → survivors
     "q_dedup_corpus" -> { (s, dir) =>
@@ -3553,6 +3563,25 @@ object SparkEntry {
     "q_pq_ivf_topk" -> pqIvfTopkSql,
     "q_rpq_ivf_topk" -> rpqIvfTopkSql,
     "q_dup_clusters" -> dupClustersSql,
+    "q_leakage_split" ->
+      s"""WITH RECURSIVE e AS (
+         |   SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |   FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |   WHERE round(${sqlCos("a.embedding", "b.embedding")}, 6) >= 0.3),
+         | und AS (SELECT id_a AS s, id_b AS d FROM e UNION SELECT id_b AS s, id_a AS d FROM e),
+         | n AS (SELECT DISTINCT s AS id FROM und),
+         | reach AS (SELECT id, id AS lbl FROM n
+         |   UNION
+         |   SELECT u.s AS id, r.lbl FROM und u JOIN reach r ON u.d = r.id),
+         | cl AS (SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         | wc AS (SELECT em.vec_id, coalesce(cl.cluster_id, em.vec_id) AS cluster_id
+         |   FROM embeddings em LEFT JOIN cl USING (vec_id)),
+         | t AS (SELECT vec_id, cluster_id,
+         |    ${sqlHex60("'split:' || cluster_id")} / 1152921504606846976.0 AS u
+         |  FROM wc)
+         |SELECT vec_id, cluster_id, CASE WHEN u < 0.75 THEN 'train'
+         |  WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split
+         |FROM t ORDER BY vec_id""".stripMargin,
     "q_dedup_corpus" -> dedupCorpusSql,
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id,

@@ -106,6 +106,33 @@ object Sampling {
       .drop("__key")
   }
 
+  /** LEAKAGE-FREE train/val/test assignment: a near-dup cluster's members
+    * always land in the SAME split — the draw happens on the cluster id,
+    * not the document id, so a paraphrase of a training document can never
+    * leak into the test set through an independent draw (the classic
+    * dedup-then-split methodology bug: splitting first puts near-dups on
+    * both sides).
+    *
+    * `pairs` is any near-dup pair table (id_a, id_b) from the dedup family
+    * ([[graft.ops.Dedup.minhashLsh]], [[graft.ops.Dedup.embeddingNearDupLsh]],
+    * …); clusters resolve via [[graft.ops.Dedup.dupClusters]] (pair-sized,
+    * ≪ corpus) and broadcast onto the corpus scan. Documents in no pair
+    * are their own cluster, so their assignment is IDENTICAL to
+    * [[splitAssign]] — adding pairs only ever moves clustered docs, and
+    * membership stays stable under corpus growth like every other draw.
+    * Output: input rows + (cluster_id, split).
+    */
+  def leakageFreeSplit(df: DataFrame, pairs: DataFrame,
+                       splits: Seq[(String, Double)],
+                       idCol: String = "doc_id", salt: String = "split"): DataFrame = {
+    val clusters = graft.ops.Dedup.dupClusters(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    val withCluster = df
+      .join(broadcast(clusters), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol).cast("long")))
+    splitAssign(withCluster, splits, idCol = "cluster_id", salt = salt)
+  }
+
   /** UniMax corpus budgeting (Chung et al. 2023, arXiv:2304.09151):
     * distribute a total document `budget` across groups (languages/sources)
     * as EVENLY as possible, except no group repeats more than `maxEpochs`

@@ -1964,6 +1964,25 @@ class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(k1.map(_._1).toSeq != (0L until 1000L).toSeq)
   }
 
+  test("leakageFreeSplit: cluster members share a split; singletons equal plain splitAssign") {
+    val docs = (0L until 400L).toDF("doc_id")
+    // chain 0-1-2 and pair 10-11 are clusters; everything else singleton
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val got = Sampling.leakageFreeSplit(docs, pairs, splits)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(0L)._2 == got(1L)._2 && got(1L)._2 == got(2L)._2,
+      "a near-dup chain must never straddle splits")
+    assert(got(10L)._2 == got(11L)._2)
+    assert(got(0L)._1 == 0L && got(11L)._1 == 10L, "cluster id = min member")
+    // singleton assignments are byte-identical to the plain split
+    val plain = Sampling.splitAssign(docs, splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (3L until 400L).filter(i => i != 10L && i != 11L).foreach { i =>
+      assert(got(i)._2 == plain(i), s"singleton $i moved: ${got(i)._2} vs ${plain(i)}")
+    }
+  }
+
   test("unimaxQuotas: water-filling caps small groups, shares the rest; all-capped edge") {
     // groups: a=10, b=20, c=100 docs; maxEpochs 2 → caps 20/40/200; budget 120:
     // a caps (20·2=40 ≤ 120−20=100 ✓), b caps (40·1=40 ≤ 120−60=60 ✓),
