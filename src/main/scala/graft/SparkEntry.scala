@@ -775,6 +775,13 @@ object SparkEntry {
       val (assigned, _) = SimilaritySearch.ivfAssign(tbl(s, dir, "embeddings"), nCells = 16)
       assigned.select(col("vec_id"), col("cell")).orderBy("vec_id")
     },
+    // corpus cartography: per-IVF-cell population + top-3 terms by
+    // within-cell document frequency (rank ≤ k = WindowGroupLimit)
+    "q_cluster_profile" -> { (s, dir) =>
+      SimilaritySearch.clusterProfile(tbl(s, dir, "embeddings"),
+          tbl(s, dir, "documents"), nCells = 16, topTerms = 3)
+        .orderBy("cell", "rank")
+    },
     // SSL-prototypes pruning (Sorscher et al. 2022): distance to the IVF
     // centroid in ONE kernel pass (struct(cell,dist) — no join), one
     // cell-keyed window for the within-cell rank; prune the easiest 25%
@@ -3535,6 +3542,21 @@ object SparkEntry {
          |FROM m ORDER BY qid""".stripMargin,
     "q_ann_vi_lsh" -> annViLshSql,
     "q_ann_ivf_assign" -> annIvfSql,
+    "q_cluster_profile" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |   ORDER BY ${sqlHex60("'ivf:' || vec_id")} ASC, vec_id ASC LIMIT 16),
+         | d AS (SELECT e.vec_id, c.cid, ${sqlL2("e.embedding", "c.cv")} AS dist FROM embeddings e, c),
+         | a AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d),
+         | cells AS (SELECT vec_id AS doc_id, cid AS cell FROM a WHERE rn = 1),
+         | nd AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_docs FROM cells GROUP BY cell),
+         | wt AS (SELECT cells.cell, unnest(list_distinct($sqlWords)) AS term
+         |   FROM cells JOIN documents USING (doc_id)),
+         | dfq AS (SELECT cell, term, CAST(count(*) AS BIGINT) AS df FROM wt GROUP BY cell, term),
+         | r AS (SELECT cell, term, df,
+         |   row_number() OVER (PARTITION BY cell ORDER BY df DESC, term ASC) AS rank FROM dfq)
+         |SELECT r.cell, nd.n_docs, CAST(r.rank AS BIGINT) AS rank, r.term, r.df
+         |FROM r JOIN nd USING (cell) WHERE r.rank <= 3
+         |ORDER BY r.cell, r.rank""".stripMargin,
     "q_prototypicality" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
          |   ORDER BY ${sqlHex60("'ivf:' || vec_id")} ASC, vec_id ASC LIMIT 16),

@@ -382,7 +382,43 @@ object SimilaritySearch {
         (col("proto_rank") > ceil(lit(pruneEasiest) * col("n_cell"))).cast("int"))
   }
 
-  /** Retrieval-quality metrics — first-class evaluation of an ANN route
+  /** Cluster PROFILE — corpus cartography: for each deterministic-IVF cell
+    * of the embedding space, its population and the `topTerms` words that
+    * occur in the most member documents (document frequency within the
+    * cell, within-doc repeats counted once) — the "what IS this cluster"
+    * readout that turns an opaque embedding clustering into an auditable
+    * corpus map (and the label source for SemDeDup/prototypicality
+    * decisions made on the same cells).
+    *
+    * Plan: one kernel-projection scan assigns cells (zero exchanges), one
+    * id equi-join attaches the text (co-partition both tables by id at
+    * scale and it is exchange-free too), one map-side-combined
+    * (cell, word) count, and the per-cell top-k is a rank ≤ k window —
+    * WindowGroupLimit, bounded per-task state. Output one row per
+    * (cell, rank): (cell, n_docs, rank, term, df).
+    */
+  def clusterProfile(emb: DataFrame, docs: DataFrame, nCells: Int = 0,
+                     topTerms: Int = 5,
+                     itemId: String = "vec_id", itemVec: String = "embedding",
+                     docId: String = "doc_id", textCol: String = "text",
+                     lloydIters: Int = 0): DataFrame = {
+    require(topTerms > 0, s"topTerms must be positive: $topTerms")
+    val (assigned, _) = ivfAssign(emb, nCells, itemId, itemVec, lloydIters)
+    val cells = assigned.select(col(itemId).as(docId), col("cell").cast("long").as("cell"))
+    val nDocs = cells.groupBy("cell").agg(count(lit(1)).as("n_docs"))
+    val words = cells.join(docs.select(col(docId),
+        graft.functions.textkernel.word_tokens(col(textCol)).as("__w")), Seq(docId))
+      .select(col("cell"), explode(array_distinct(col("__w"))).as("term"))
+      .groupBy("cell", "term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("cell").orderBy(col("df").desc, col("term").asc)
+    words.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topTerms)
+      .join(nDocs, Seq("cell"))
+      .select(col("cell"), col("n_docs"), col("rank").cast("long").as("rank"),
+        col("term"), col("df"))
+  }
+
+  /** Retrieval-quality metrics — first-class evaluation of any ANN route
     * against an exact truth set, per probe: recall@k, MRR, nDCG. The ad-hoc
     * recall math SCALING.md's curves used, promoted to an operator so a
     * production index can be scored continuously (the "is my index still

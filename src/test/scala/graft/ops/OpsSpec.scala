@@ -1049,6 +1049,28 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(top == 42L)
   }
 
+  test("clusterProfile: within-cell df (repeats once), rank order, population") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f, 0f)),   // cluster around e1
+      (3L, Seq(0f, 0f, 1f, 0f)))                                    // far away
+      .toDF("vec_id", "embedding")
+    val docs = Seq(
+      (1L, "spark spark engine engine query"),   // repeats count once per doc
+      (2L, "spark planner"),
+      (3L, "football stadium"))
+      .toDF("doc_id", "text")
+    val got = SimilaritySearch.clusterProfile(emb, docs, nCells = 2, topTerms = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    val byCell = got.groupBy(_._1)
+    assert(byCell.size == 2)
+    // the 2-doc cell: 'spark' df=2 ranks first; everything else df=1
+    val big = byCell.values.find(_.head._2 == 2L).get.sortBy(_._3)
+    assert(big.head._4 == "spark" && big.head._5 == 2L, big.mkString(";"))
+    assert(big(1)._5 == 1L)
+    val small = byCell.values.find(_.head._2 == 1L).get
+    assert(small.map(_._4).toSet.subsetOf(Set("football", "stadium")))
+  }
+
   test("prototypicality: kernel parity, rank semantics, prune fraction edges") {
     // one kernel pass must equal assign-then-measure: struct(cell, dist)
     // vs nearest_centroid + l2-to-own-centroid over the same centroid table
