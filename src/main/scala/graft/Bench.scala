@@ -85,10 +85,31 @@ object Bench {
     val warmupOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0" &&
       java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmupDir))
 
+    // Inter-pass reclaim (r13 verdict #2: pass totals drifted 163.6 → 188.7s
+    // monotonically within one run). Operator-internal `localCheckpoint`
+    // blocks (dupClusters, PageRank, index builds — one per CALL) are only
+    // released when the ContextCleaner processes the GC'd RDD references,
+    // and with a large driver heap a full GC may never happen mid-run — so
+    // dead blocks accumulate in the block manager across passes, squeezing
+    // unified memory and slowing every later pass. Prompting GC between
+    // passes lets the cleaner drain them; the MEMOIZED fixture checkpoints
+    // stay strongly referenced by SparkEntry's caches and survive. Per-pass
+    // heap/persisted-RDD counts are reported so drift stays diagnosable.
+    def reclaim(): (Long, Int) = {
+      System.gc()
+      Thread.sleep(300)
+      System.gc()
+      Thread.sleep(200)
+      val rt = Runtime.getRuntime
+      ((rt.totalMemory() - rt.freeMemory()) / (1024 * 1024),
+        spark.sparkContext.getPersistentRDDs.size)
+    }
+
     // noop sink forces full evaluation of every output column (count() would
     // let Catalyst prune the projections being measured).
     case class Pass(times: Map[String, Double], hbBefore: Map[String, Double],
-                    hbAfter: Map[String, Double], hbs: Seq[Double])
+                    hbAfter: Map[String, Double], hbs: Seq[Double],
+                    heapMb: Long = 0L, nPersisted: Int = 0)
     def runPass(p: Int): Pass = {
       val order = new scala.util.Random(p).shuffle(names)
       val times = mutable.Map[String, Double]()
@@ -108,7 +129,9 @@ object Bench {
         after(name) = hb
         System.err.println(f"[bench] pass $p $name%-28s $dt%8.3f s  (hb $hb%6.3f s)")
       }
-      Pass(times.toMap, before.toMap, after.toMap, hbs.toSeq)
+      val (heapMb, nPersisted) = reclaim()
+      System.err.println(s"[bench] pass $p reclaim: heap ${heapMb}MB, $nPersisted persisted RDDs")
+      Pass(times.toMap, before.toMap, after.toMap, hbs.toSeq, heapMb, nPersisted)
     }
     val warmupSecs = if (!warmupOn) 0.0 else {
       val t0 = System.nanoTime()
@@ -120,6 +143,7 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] warmup pass ($warmupDir) $dt%.1f s")
+      reclaim()
       dt
     }
     val passes = (1 to nPasses).map(runPass)
@@ -167,6 +191,8 @@ object Bench {
       // drift shows as a wide spread with a stable min, a real regression
       // as a shifted min — distinguishable without a rerun (r8 verdict #6)
       s""""pass_totals":[${passes.map(_.times.values.sum).mkString(",")}],""" +
+      s""""pass_heap_mb":[${passes.map(_.heapMb).mkString(",")}],""" +
+      s""""pass_persisted_rdds":[${passes.map(_.nPersisted).mkString(",")}],""" +
       s""""queries_spread":${qjson { n =>
         val xs = passes.map(_.times(n)); (xs.max - xs.min).toString }},""" +
       s""""passes":[${passes.map(p => qjson(n => p.times(n).toString)).mkString(",")}],""" +

@@ -1040,12 +1040,17 @@ case class MarkerHitsExpr(child: Expression, markers: Seq[String]) extends Strin
 /** Bloom-filter membership probe over a string column → boolean.
   *
   * The filter rides the expression as its SERIALIZED bytes (the stable
-  * `BloomFilter.writeTo` wire format, not Java serialization) and is
-  * deserialized lazily once per executor when the task binary arrives —
-  * the same ship-once-per-stage economics as the other parameterized
-  * kernels here (CutSpansInSetExpr's hash set, LshBucketExpr's plane
-  * matrix). Spark's sketch BloomFilter hashes with seedless Murmur3, so
-  * probe results are deterministic across runs and partitionings.
+  * `BloomFilter.writeTo` wire format, not Java serialization). The
+  * expression tree — filterBytes included — is deserialized in EVERY task,
+  * so a per-instance lazy val would re-run `BloomFilter.readFrom` per task
+  * and hold one bit-array copy per concurrent task: at the documented
+  * sizing (~1.2 GB per 10⁹ fingerprints) 16 concurrent tasks would pin
+  * ~19 GB of duplicate bits. Instead the DESERIALIZED filter lives in an
+  * executor-wide JVM singleton ([[BloomFilterCache]]) keyed by a digest of
+  * the bytes: first task on the executor pays one readFrom, every later
+  * task (and every later stage of the same job) shares the one copy.
+  * Spark's sketch BloomFilter hashes with seedless Murmur3, so probe
+  * results are deterministic across runs and partitionings.
   *
   * One-sided error contract: `true` may be a false positive (rate set at
   * build time), `false` is always correct — callers use it as a PREFILTER
@@ -1055,11 +1060,47 @@ case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
     extends StringKernelExpression {
   override def dataType: DataType = BooleanType
   @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(filterBytes))
+    BloomFilterCache.get(filterBytes)
   protected override def nullSafeEval(v: Any): Any = filter.mightContainString(input(v))
   override protected def withNewChildInternal(c: Expression): BloomMightContainExpr =
     copy(child = c)
+}
+
+/** Executor-wide cache of deserialized bloom filters, keyed by a SHA-256
+  * digest of the serialized bytes (identical bytes → identical filter, so
+  * the digest is a sound identity). Bounded, access-ordered (LRU): a long
+  *-lived executor serving successive ingest runs against successive filter
+  * generations holds at most `MaxEntries` bit arrays, evicting the
+  * least-recently-probed — the cap bounds worst-case heap at
+  * MaxEntries × filter size instead of concurrent-tasks × filter size.
+  */
+object BloomFilterCache {
+  private val MaxEntries = 4
+  private val cache =
+    new java.util.LinkedHashMap[String, org.apache.spark.util.sketch.BloomFilter](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.util.sketch.BloomFilter]): Boolean =
+        size() > MaxEntries
+    }
+
+  def get(filterBytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter = {
+    val key = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-256").digest(filterBytes))
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(filterBytes))
+        cache.put(key, f)
+        f
+      }
+    }
+  }
+
+  /** visible for specs */
+  private[graft] def size: Int = cache.synchronized(cache.size())
 }
 
 object textkernel {

@@ -297,6 +297,9 @@ object Dedup {
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         i += 1
       }
+      // the result is driver-built — the checkpointed pair table is dead;
+      // release its blocks now rather than after the next full driver GC
+      graft.core.Checkpoints.release(directed)
       return spark.createDataset(
           ids.indices.map(s => (ids(s), ids(find(s))))) (
           org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
@@ -320,9 +323,17 @@ object Dedup {
     var labels = edges.filter(col("__self")).select(col("src").as("doc_id"))
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
+    // `edges` checkpoints cut lineage back to `directed` — its blocks are
+    // dead as soon as edges materializes (localCheckpoint(true) is eager)
+    graft.core.Checkpoints.release(directed)
     val changed = spark.sparkContext.longAccumulator("graft.dupClusters.changed")
     var converged = false
     var it = 0
+    // each round's checkpoint supersedes the previous round's — release the
+    // superseded blocks as we go (only the FINAL round's RDD backs the
+    // returned labels)
+    var prevRoundRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    val initialLabels = labels
     while (!converged && it < maxIters) {
       // neighbour-min step: labels only ever DECREASE, toward the component
       // min; the self-loop row carries the node's previous label
@@ -358,9 +369,18 @@ object Dedup {
       rdd.localCheckpoint()
       rdd.count()
       converged = changed.value == 0
+      // this round is materialized — the previous round's checkpoint (or
+      // the initial label table on round 1) is now unreachable from the
+      // result; drop its blocks
+      if (prevRoundRdd != null) prevRoundRdd.unpersist(false)
+      else graft.core.Checkpoints.release(initialLabels)
+      prevRoundRdd = rdd
       labels = spark.createDataFrame(rdd, labelSchema)
       it += 1
     }
+    // edges fed its last join; the returned labels are checkpoint-backed
+    // with no lineage into it
+    graft.core.Checkpoints.release(edges)
     if (!converged) {
       val msg = s"dupClusters did not converge within maxIters=$maxIters " +
         "— labels are NOT final cluster ids (chain deeper than the iteration budget)"

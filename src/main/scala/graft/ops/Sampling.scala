@@ -87,10 +87,13 @@ object Sampling {
     * of the corpus. The standard curation move this serves: pick a token
     * budget's worth of documents with probability ∝ quality/length weight.
     *
-    * Rows with non-positive or null weight are excluded (zero-weight items
-    * are unsampleable by definition; negative is a caller bug surfaced by
-    * the exclusion, not silently sampled). Output: the k sampled rows with
-    * `sample_key` (rounded for display; ordering used the full double).
+    * Rows with non-positive, null, or NaN weight are excluded (zero-weight
+    * items are unsampleable by definition; negative/NaN is a caller bug
+    * surfaced by the exclusion, not silently sampled — NaN needs its own
+    * guard because Spark's total order puts NaN above every number, so
+    * `NaN > 0` is true and a NaN key would sort FIRST under desc and
+    * dominate the sample). Output: the k sampled rows with `sample_key`
+    * (rounded for display; ordering used the full double).
     */
   def weightedSample(df: DataFrame, k: Int, weightCol: String,
                      idCol: String = "doc_id", salt: String = "wsample"): DataFrame = {
@@ -98,7 +101,8 @@ object Sampling {
     val u = (hexhash60(concat(lit(s"$salt:"), col(idCol).cast("string"))) + lit(1L)) /
       lit(Hex60Range)
     val key = log(u) / col(weightCol).cast("double")
-    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    df.filter(col(weightCol).isNotNull && !isnan(col(weightCol).cast("double")) &&
+        col(weightCol) > 0)
       .withColumn("__key", key)
       .orderBy(col("__key").desc, col(idCol).asc)
       .limit(k)
@@ -115,21 +119,32 @@ object Sampling {
     *
     * `pairs` is any near-dup pair table (id_a, id_b) from the dedup family
     * ([[graft.ops.Dedup.minhashLsh]], [[graft.ops.Dedup.embeddingNearDupLsh]],
-    * …); clusters resolve via [[graft.ops.Dedup.dupClusters]] (pair-sized,
-    * ≪ corpus) and broadcast onto the corpus scan. Documents in no pair
-    * are their own cluster, so their assignment is IDENTICAL to
+    * …); clusters resolve via [[graft.ops.Dedup.dupClusters]]. The cluster
+    * table is O(pairs), and at web-scale near-dup rates (30–50%) that is
+    * O(corpus) — so the join carries NO broadcast hint: AQE broadcasts it
+    * when it is small and falls back to sort-merge when it is not, which is
+    * exactly the regime `dupClusters` itself plans for (driver union-find
+    * under `driverCap`, distributed pointer-doubling above it). Documents in
+    * no pair are their own cluster, so their assignment is IDENTICAL to
     * [[splitAssign]] — adding pairs only ever moves clustered docs, and
     * membership stays stable under corpus growth like every other draw.
-    * Output: input rows + (cluster_id, split).
+    *
+    * Ids must be long-castable (the contract `dupClusters` already imposes);
+    * a non-numeric id fails LOUDLY via `raise_error` instead of silently
+    * collapsing to a NULL cluster draw. Output: input rows + (cluster_id,
+    * split).
     */
   def leakageFreeSplit(df: DataFrame, pairs: DataFrame,
                        splits: Seq[(String, Double)],
-                       idCol: String = "doc_id", salt: String = "split"): DataFrame = {
-    val clusters = graft.ops.Dedup.dupClusters(pairs)
+                       idCol: String = "doc_id", salt: String = "split",
+                       driverCap: Long = 1_000_000L): DataFrame = {
+    val clusters = graft.ops.Dedup.dupClusters(pairs, driverCap = driverCap)
       .withColumnRenamed("doc_id", idCol)
     val withCluster = df
-      .join(broadcast(clusters), Seq(idCol), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol).cast("long")))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol).cast("long"),
+        raise_error(concat(lit("leakageFreeSplit: non-long-castable doc id: "),
+          col(idCol).cast("string"))).cast("long")))
     splitAssign(withCluster, splits, idCol = "cluster_id", salt = salt)
   }
 

@@ -456,9 +456,17 @@ object SimilaritySearch {
           .otherwise(lit(0L))).as("__dcg"),
         sum(when(col("__tr").isNotNull, gain(col("__tr"))).otherwise(lit(0L))).as("__idcg"))
       .select(col(qidCol), col("n_truth"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
+        // a qid with NO truth rows (retrieved-only probe, kept deliberately
+        // by the full-outer join) scores 0, not null — null recall/ndcg
+        // from the 0-denominator division would silently drop the probe
+        // from any downstream mean
+        round(when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth")).otherwise(lit(0.0)), 6)
+          .as("recall"),
         round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("mrr"),
-        round(col("__dcg").cast("double") / col("__idcg"), 6).as("ndcg"))
+        round(when(col("__idcg") > 0,
+          col("__dcg").cast("double") / col("__idcg")).otherwise(lit(0.0)), 6)
+          .as("ndcg"))
   }
 
   /** One deterministic Lloyd iteration: assign each item to its nearest

@@ -945,6 +945,12 @@ object TextAnalysis {
         b -> (w.getOrElse(b, 0L) - halfUp(lr * gn / (1000.0 * nDocs)))
       }.toMap ++ (w -- grads.map(_._1)) // untouched buckets keep their weight
     }
+    // the returned weight table is driver-built — the checkpointed feature
+    // tables are dead here; release their blocks NOW instead of waiting for
+    // a driver GC (a bench/ingest loop calling train repeatedly would
+    // otherwise accumulate dead blocks in the block manager)
+    graft.core.Checkpoints.release(feats)
+    graft.core.Checkpoints.release(perDoc)
     spark.createDataset(w.toSeq.sortBy(_._1)).toDF("bucket", "w_micro")
   }
 

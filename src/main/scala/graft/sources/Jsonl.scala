@@ -33,16 +33,23 @@ object Jsonl {
     * columnNameOfCorruptRecord: Spark refuses queries that reference the
     * datasource-internal corrupt column without caching the whole relation
     * first (SPARK-21610) — a non-starter at corpus scale. `from_json`
-    * yields a null struct on an unparseable line, which IS the corrupt
-    * flag, in one scan with no caching requirement.
+    * yields a null struct on an unparseable line, in one scan with no
+    * caching requirement. A null STRUCT carries a null `_corrupt` too —
+    * empty/whitespace-only lines parse to a null struct, not a populated
+    * corrupt row — so `_corrupt` is surfaced explicitly as
+    * coalesce(struct._corrupt, raw-line-when-struct-null): every
+    * unparseable line, blank ones included, lands in quarantine instead of
+    * passing a `_corrupt IS NULL` filter as a phantom all-null row.
     */
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions._
     val withCorrupt = schema.add("_corrupt", org.apache.spark.sql.types.StringType)
     spark.read.text(path)
-      .select(from_json(col("value"), withCorrupt,
+      .select(col("value"), from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("__r"))
-      .select(withCorrupt.fieldNames.map(f => col(s"__r.$f").as(f)).toSeq: _*)
+      .select(schema.fieldNames.map(f => col(s"__r.$f").as(f)).toSeq :+
+        coalesce(col("__r._corrupt"), when(col("__r").isNull, col("value")))
+          .as("_corrupt"): _*)
   }
 
   /** Write a DataFrame as gzip JSON-Lines shards, preserving the input's

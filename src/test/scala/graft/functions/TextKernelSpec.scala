@@ -118,6 +118,30 @@ class TextKernelSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("BloomFilterCache: one deserialized copy per distinct filter, LRU-bounded") {
+    import graft.functions.BloomFilterCache
+    def bytesOf(seed: Int): Array[Byte] = {
+      val f = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+      (0 until 50).foreach(i => f.putString(s"item-$seed-$i"))
+      val bos = new java.io.ByteArrayOutputStream()
+      f.writeTo(bos)
+      bos.toByteArray
+    }
+    val b1 = bytesOf(1)
+    // identical bytes (even a DIFFERENT array instance) → the SAME filter
+    // object: the per-task copies the expression tree deserializes all share
+    // one executor-wide bit array
+    val f1 = BloomFilterCache.get(b1)
+    val f2 = BloomFilterCache.get(b1.clone())
+    assert(f1 eq f2, "same serialized bytes must yield one shared instance")
+    assert(f1.mightContainString("item-1-0") && !f1.mightContainString("nope"))
+    // the cache is bounded: flooding with distinct filters evicts LRU
+    (2 to 10).foreach(s => BloomFilterCache.get(bytesOf(s)))
+    assert(BloomFilterCache.size <= 4, s"cache must stay bounded: ${BloomFilterCache.size}")
+    // an evicted filter still WORKS (re-deserialized on demand)
+    assert(BloomFilterCache.get(b1).mightContainString("item-1-0"))
+  }
+
   test("winnow_fp == array_min of hex60 over char 5-grams of normalized text") {
     val norm = concat_ws(" ", textfn.words(col("text")))
     val grams = when(length(norm) >= 5,

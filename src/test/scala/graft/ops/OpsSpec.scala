@@ -1130,6 +1130,20 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(q2 == ((2L, 2L, 0L, 0.0, 0.0, 0.0)))
   }
 
+  test("retrievalMetrics: a qid with no truth rows scores 0, never null") {
+    // the full-outer join deliberately keeps retrieved-only probes; the
+    // 0-denominator ratios must not become null (a null silently drops the
+    // probe from any downstream avg)
+    val truth = Seq((1L, 10L, 1)).toDF("qid", "vec_id", "rank")
+    val retr = Seq((1L, 10L, 1), (9L, 99L, 1), (9L, 98L, 2)).toDF("qid", "vec_id", "rank")
+    val m = SimilaritySearch.retrievalMetrics(truth, retr).orderBy("qid").collect()
+    assert(m.length == 2)
+    val orphan = m(1)
+    assert(orphan.getLong(0) == 9L && orphan.getLong(1) == 0L)
+    assert(!orphan.isNullAt(3) && orphan.getDouble(3) == 0.0, "recall must be 0, not null")
+    assert(!orphan.isNullAt(5) && orphan.getDouble(5) == 0.0, "ndcg must be 0, not null")
+  }
+
   test("lshTopK approximates brute force with decent recall on self-probes") {
     val probes = items.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val exact = SimilaritySearch.bruteForceTopK(items, probes, k = 5)
@@ -2005,6 +2019,47 @@ class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("leakageFreeSplit: distributed dupClusters regime (pairs > driverCap) is identical") {
+    // driverCap = 1 forces dupClusters' pointer-doubling path — the regime
+    // web-scale dup rates actually run in, where clusters is O(corpus) and
+    // MUST NOT be force-broadcast (AQE decides; the hint would OOM)
+    val docs = (0L until 200L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L), (50L, 51L)).toDF("id_a", "id_b")
+    val splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val dist = asMap(Sampling.leakageFreeSplit(docs, pairs, splits, driverCap = 1L))
+    val drv = asMap(Sampling.leakageFreeSplit(docs, pairs, splits))
+    assert(dist == drv, "both dupClusters regimes must assign identically")
+    assert(dist(0L)._2 == dist(2L)._2 && dist(50L)._2 == dist(51L)._2)
+    // the join carries NO forced broadcast hint: the optimized plan must not
+    // contain a user-supplied broadcast on the cluster side (AQE may still
+    // CHOOSE broadcast at this size — assert the hint's absence in the
+    // analyzed plan, which records hints verbatim)
+    val analyzed = Sampling.leakageFreeSplit(docs, pairs, splits)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("UnresolvedHint") && !analyzed.toLowerCase.contains("broadcasthint")
+      && !analyzed.contains("ResolvedHint"),
+      s"cluster join must stay unhinted (O(corpus) at web dup rates):\n$analyzed")
+  }
+
+  test("leakageFreeSplit: non-long-castable doc ids fail loudly, not silently last-split") {
+    val docs = Seq("alpha", "beta", "gamma").toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val splits = Seq("train" -> 0.5, "test" -> 0.5)
+    val e = intercept[Exception] {
+      Sampling.leakageFreeSplit(docs, pairs, splits).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // under ANSI (Spark 4 default) the long cast itself throws
+    // CAST_INVALID_INPUT; with ANSI off the raise_error branch fires — both
+    // are loud, either message is acceptable
+    assert(messages(e).exists(m => m.contains("non-long-castable")
+        || m.contains("CAST_INVALID_INPUT") || m.toLowerCase.contains("cannot be cast")),
+      s"expected a loud cast failure, got: ${messages(e)}")
+  }
+
   test("unimaxQuotas: water-filling caps small groups, shares the rest; all-capped edge") {
     // groups: a=10, b=20, c=100 docs; maxEpochs 2 → caps 20/40/200; budget 120:
     // a caps (20·2=40 ≤ 120−20=100 ✓), b caps (40·1=40 ≤ 120−60=60 ✓),
@@ -2082,11 +2137,15 @@ class SamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(s3.toSeq.sorted != s1.toSeq.sorted)
   }
 
-  test("weightedSample excludes non-positive/null weights and plans a top-k, not a global sort") {
-    val df = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0), (4L, 2.0)).toDF("doc_id", "w")
+  test("weightedSample excludes non-positive/null/NaN weights and plans a top-k, not a global sort") {
+    // NaN needs its own guard: Spark's total order puts NaN above every
+    // number, so `NaN > 0` is TRUE and an unguarded NaN key (log(u)/NaN =
+    // NaN) would sort first under desc and dominate the sample
+    val df = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0), (4L, 2.0), (6L, Double.NaN))
+      .toDF("doc_id", "w")
       .union(Seq((5L, Option.empty[Double])).toDF("doc_id", "w"))
     val got = Sampling.weightedSample(df, 10, "w").select("doc_id").as[Long].collect().toSet
-    assert(got == Set(1L, 4L), s"only positive-weight rows are sampleable: $got")
+    assert(got == Set(1L, 4L), s"only positive finite-weight rows are sampleable: $got")
     val plan = Sampling.weightedSample((0L until 100L).toDF("doc_id")
         .withColumn("w", lit(1.0)), 5, "w")
       .queryExecution.executedPlan.toString

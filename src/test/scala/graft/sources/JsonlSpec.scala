@@ -40,4 +40,22 @@ class JsonlSpec extends AnyFunSuite {
     val corrupt = df.filter(col("_corrupt").isNotNull).select("_corrupt").as[String].collect()
     assert(corrupt.length == 1 && corrupt.head.contains("missing comma"))
   }
+
+  test("blank and whitespace-only lines are quarantined, not phantom all-null rows") {
+    // from_json maps a blank line to a NULL STRUCT whose _corrupt is also
+    // null — without the explicit coalesce these passed a `_corrupt IS NULL`
+    // filter as phantom rows
+    val dir = java.nio.file.Files.createTempDirectory("jsonlblank")
+    java.nio.file.Files.write(dir.resolve("shard.jsonl"),
+      ("""{"doc_id": 1, "text": "good"}""" + "\n" +
+       "\n" +
+       "   \t  \n" +
+       """{"doc_id": 2, "text": "also good"}""" + "\n").getBytes("UTF-8"))
+    val df = Jsonl.readJsonl(spark, dir.toString, schema)
+    val clean = df.filter(col("_corrupt").isNull)
+    assert(clean.count() == 2, "exactly the two real rows are clean")
+    assert(clean.filter(col("doc_id").isNull).count() == 0, "no phantom all-null rows")
+    assert(df.filter(col("_corrupt").isNotNull).count() == 2,
+      "both blank variants land in quarantine")
+  }
 }
