@@ -299,6 +299,126 @@ object SparkEntry {
     out
   }
 
+  /** One mono MPEG-1 LAYER-II clip per id for q_mp2_decode: 6 + id%3
+    * frames at 32 kHz / 384 kbps (table B.2b, 30 subbands; frame = 1728
+    * bytes), subbands 0 and 1 allocated at code 2 → the 7-level UNGROUPED
+    * class (3-bit codes, like the Layer-I gate). Scalefactor selection
+    * exercises scfsi: sb0 scfsi=0 with indices (0, 3, 6) → sf 2/1/0.5 per
+    * frame third; sb1 scfsi=2 with index 3 → sf 1 throughout. All
+    * power-of-two sfs and v = (2c−6)/7·sf, so each slice energy × 50176
+    * is the exact integer 1024·((2c0−6)²·sf0² + (2c1−6)²) with
+    * 1024·sf0² ∈ {4096, 1024, 256} by frame third — replayed outright by
+    * the DuckDB oracle. Codes c0 = (id·5 + f·7 + g·3 + s) mod 7,
+    * c1 = same + 1 mod 7 (slice = g·3 + s). A hash match proves the
+    * Layer-II header walk, allocation/scfsi/scalefactor parse, sample
+    * read and analytic requantization ([[ops.Mp2Codec]]).
+    */
+  private[graft] def synthMp2(id: Long): Array[Byte] = {
+    val nFrames = (6 + id % 3).toInt
+    val frameLen = 1728 // 144 * 384000 / 32000
+    val out = new Array[Byte](nFrames * frameLen)
+    var f = 0
+    while (f < nFrames) {
+      val o = f * frameLen
+      out(o) = 0xFF.toByte     // sync
+      out(o + 1) = 0xFD.toByte // sync(3)+ID=1, layer=10 (II), protection=1 (no CRC)
+      out(o + 2) = 0xE8.toByte // bitrate idx 14 (384k), rate idx 2 (32k), pad 0
+      out(o + 3) = 0xC0.toByte // mode 11 = mono
+      var bitPos = 0
+      def put(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1) {
+            val bi = o + 4 + bitPos / 8
+            out(bi) = (out(bi) | (1 << (7 - bitPos % 8))).toByte
+          }
+          bitPos += 1
+          i -= 1
+        }
+      }
+      // allocation (table B.2b, mono): sb0 = sb1 = code 2 (7 levels), rest 0
+      put(2, 4); put(2, 4); put(0, 4)            // sb 0-2 (nbal 4)
+      var sb = 3; while (sb < 11) { put(0, 4); sb += 1 }  // sb 3-10 (nbal 4)
+      while (sb < 23) { put(0, 3); sb += 1 }              // sb 11-22 (nbal 3)
+      while (sb < 30) { put(0, 2); sb += 1 }              // sb 23-29 (nbal 2)
+      put(0, 2); put(2, 2)                       // scfsi: sb0 = 0, sb1 = 2
+      put(0, 6); put(3, 6); put(6, 6)            // sb0 sfs: 2.0, 1.0, 0.5
+      put(3, 6)                                  // sb1 sf: 1.0 (all thirds)
+      var g = 0
+      while (g < 12) {
+        var s = 0
+        while (s < 3) {
+          // bitstream order per granule: all 3 of sb0, then all 3 of sb1
+          put(((id * 5 + f * 7 + g * 3 + s) % 7).toInt, 3)
+          s += 1
+        }
+        s = 0
+        while (s < 3) {
+          put(((id * 5 + f * 7 + g * 3 + s + 1) % 7).toInt, 3)
+          s += 1
+        }
+        g += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** One uncompressed-DIB AVI clip per id for q_avi_frames: 2 + id%3
+    * frames of (4 + id%5) × (3 + id%4) gray pixels
+    * v = (id·31 + f·97 + (y·w + x)·7) mod 256 written as B = G = R = v —
+    * bottom-up BGR rows with 4-byte stride padding, full RIFF structure
+    * (hdrl → avih + strl → strh 'vids'/'DIB ' + strf BI_RGB 24bpp, movi →
+    * '00db' chunks). A hash match proves the RIFF walk, stream-format
+    * gate, stride/row-order handling and pixel conversion
+    * ([[ops.AviCodec]]); the oracle replays the generator formula.
+    */
+  private[graft] def synthAvi(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    val nFrames = (2 + id % 3).toInt
+    val stride = ((w * 3 + 3) / 4) * 4
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(ckId: String, data: Array[Byte]): Array[Byte] =
+      fcc(ckId) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      fcc("LIST") ++ le32(4 + children.length) ++ fcc(listType) ++ children
+    val avih = le32(40000L) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(nFrames) ++
+      le32(0) ++ le32(1) ++ le32(0) ++ le32(w) ++ le32(h) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fcc("vids") ++ fcc("DIB ") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++ le32(nFrames) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le16(0) ++ le16(0) ++ le16(0) ++ le16(0)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(stride.toLong * h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val frames = (0 until nFrames).map { f =>
+      val data = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val row = (h - 1 - y) * stride // bottom-up
+        var x = 0
+        while (x < w) {
+          val v = ((id * 31 + f * 97 + (y * w + x) * 7) % 256).toByte
+          data(row + x * 3) = v; data(row + x * 3 + 1) = v; data(row + x * 3 + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+      chunk("00db", data)
+    }.reduce(_ ++ _)
+    val movi = list("movi", frames)
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    bos.write(fcc("RIFF")); bos.write(le32(body.length)); bos.write(body)
+    bos.toByteArray
+  }
+
   /** Deterministic line-structured text for q_c4_filter: one shared segment
     * list drives BOTH the Spark generator column and the DuckDB `||` twin,
     * so the fixture is a pure function of doc_id (the corpus text has no
@@ -1103,6 +1223,15 @@ object SparkEntry {
         threshold = -1.0, hotBucketCap = HotBucketCap, rotations = 2)
         .orderBy(desc("cos"), col("id_a").asc, col("id_b").asc).limit(100)
     },
+    // SATURATED-bucket pair recall: bits=2 (4 buckets/band) with cap 8
+    // forces every bucket hot, exercising the two-level sub-bucket
+    // all-pairs path (member↔member pairs the rep star drops; ⌈bsz/cap⌉
+    // md5-dealt subs per bucket, per-band re-deal) on top of the star
+    "q_near_dup_lsh_sub" -> { (s, dir) =>
+      Dedup.embeddingNearDupLsh(tbl(s, dir, "embeddings"), dims = 64, bits = 2,
+        threshold = -1.0, hotBucketCap = 8, rotations = 2, subBucket = true)
+        .orderBy(desc("cos"), col("id_a").asc, col("id_b").asc).limit(200)
+    },
     // pairs → clusters: connected components, canonical = min id (edges
     // from the blocked embedding near-dup join — cos ≥ 0.3 exists at every SF)
     "q_dup_clusters" -> { (s, dir) =>
@@ -1713,6 +1842,33 @@ object SparkEntry {
           shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
           col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
         .orderBy("doc_id")
+    },
+    // REAL MPEG-1 LAYER-II decode (allocation tables + scfsi + grouped/
+    // ungrouped requantization, all analytic — ops.Mp2Codec); the oracle
+    // replays codes → exact integer slice energies → envelope bits
+    "q_mp2_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthMp2(id)))
+        .toDF("doc_id", "media")
+      Multimodal.mp2EnergyFingerprintDF(media, "doc_id")
+        .select(col("doc_id"), col("sample_rate"), col("n_frames"), col("n_granules"),
+          shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
+          col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
+        .orderBy("doc_id")
+    },
+    // REAL video pixel decode (uncompressed-DIB AVI — ops.AviCodec): RIFF
+    // walk, stream-format gate, bottom-up BGR stride handling; per-frame
+    // pixel stats, oracle-replayed from the generator formula
+    "q_avi_frames" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthAvi(id)))
+        .toDF("doc_id", "media")
+      Multimodal.videoFrameStats(media, "doc_id")
+        .orderBy("doc_id", "frame_index")
     },
     // REAL GIF pixel decode, gated like q_png_decode: a grayscale-palette
     // GIF is synthesized per doc (pixels a pure function of doc_id; LZW is
@@ -2624,6 +2780,46 @@ object SparkEntry {
        |ORDER BY cos DESC, id_a, id_b LIMIT 100""".stripMargin
   }
   private val nearDupLshSql: String = nearDupLshSqlFor(1)
+
+  /** DuckDB twin of Dedup.cappedBucketPairs with `subBucket = true`: the
+    * star + within-sub all-pairs over hot buckets (sub = hex60 of
+    * band:bucket:doc_id mod ⌈bsz/cap⌉, matching the Spark expression).
+    */
+  private def cappedCandSubSql(src: String, cap: Int): String =
+    s""" bsized AS (SELECT doc_id, band, bucket,
+       |   count(*) OVER (PARTITION BY band, bucket) AS bsz,
+       |   min(doc_id) OVER (PARTITION BY band, bucket) AS rep FROM $src),
+       | bsub AS (SELECT doc_id, band, bucket,
+       |   ${sqlHex60("concat('sub:', band::VARCHAR, ':', bucket::VARCHAR, ':', doc_id::VARCHAR)")} % ((bsz + ${cap - 1}) // $cap) AS sub
+       |   FROM bsized WHERE bsz > $cap),
+       | cand AS (SELECT DISTINCT id_a, id_b FROM (
+       |   SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |     FROM bsized a JOIN bsized b ON a.band = b.band AND a.bucket = b.bucket
+       |      AND a.doc_id < b.doc_id WHERE a.bsz <= $cap AND b.bsz <= $cap
+       |   UNION ALL
+       |   SELECT rep AS id_a, doc_id AS id_b FROM bsized
+       |     WHERE bsz > $cap AND doc_id <> rep
+       |   UNION ALL
+       |   SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |     FROM bsub a JOIN bsub b ON a.band = b.band AND a.bucket = b.bucket
+       |      AND a.sub = b.sub AND a.doc_id < b.doc_id))""".stripMargin
+
+  /** q_near_dup_lsh_sub twin: bits=2 per band (every bucket saturates the
+    * cap-8 discipline at sf0.01's 500 vectors), two rotations, sub-bucket
+    * all-pairs on top of the representative star.
+    */
+  private val nearDupLshSubSql: String = {
+    val bands = (0 until 2).map { r =>
+      s"SELECT doc_id, $r AS band, ${lshBucketSql("embedding", bits = 2, planeOffset = r * 2)} AS bucket FROM e"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS doc_id, embedding FROM embeddings),
+       | buckets AS ($bands),
+       |${cappedCandSubSql("buckets", 8)}
+       |SELECT c.id_a, c.id_b, round(${sqlCos("ea.embedding", "eb.embedding")}, 6) AS cos
+       |FROM cand c JOIN e ea ON ea.doc_id = c.id_a JOIN e eb ON eb.doc_id = c.id_b
+       |WHERE round(${sqlCos("ea.embedding", "eb.embedding")}, 6) >= -1.0
+       |ORDER BY cos DESC, id_a, id_b LIMIT 200""".stripMargin
+  }
 
   /** DuckDB twin of q_cross_dedup_semantic: both corpus halves bucketed by
     * the same md5-hyperplane LSH as the Spark side, reference side capped
@@ -3797,6 +3993,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_near_dup_lsh" -> nearDupLshSql,
     "q_near_dup_lsh_multi" -> nearDupLshSqlFor(2),
+    "q_near_dup_lsh_sub" -> nearDupLshSubSql,
     "q_near_dup_embedding" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(${sqlCos("a.embedding", "b.embedding")}, 6) AS cos
          |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -4331,6 +4528,53 @@ object SparkEntry {
         |  FROM bits GROUP BY doc_id)
         |SELECT d.doc_id, CAST(32000 AS BIGINT) AS sample_rate,
         |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 12 AS BIGINT) AS n_granules,
+        |  fp.afp_hi, fp.afp_lo
+        |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // AVI twin: replay the gray-pixel generator per (doc, frame, pixel);
+    // bytes are B=G=R=v so sum triples, min/max are over v directly, and
+    // the order-sensitive weighted sum is Σ v·(9i+3) (byte indices
+    // 3i..3i+2 of TOP-DOWN pixel i — a row-order or stride slip breaks it)
+    "q_avi_frames" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+        |    2 + doc_id % 3 AS nf FROM documents WHERE doc_id < 100),
+        | px AS (SELECT d.doc_id, d.w, d.h, fr.f, g.i,
+        |     (d.doc_id * 31 + fr.f * 97 + g.i * 7) % 256 AS v
+        |   FROM d, (SELECT unnest(generate_series(0, 4)) AS f) fr,
+        |        (SELECT unnest(generate_series(0, 47)) AS i) g
+        |   WHERE fr.f < d.nf AND g.i < d.w * d.h)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_index, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(w * h * 3 AS BIGINT) AS n_px,
+        |  CAST(3 * sum(v) AS BIGINT) AS px_sum,
+        |  CAST(sum(v * (9 * i + 3)) AS BIGINT) AS px_wsum,
+        |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id, f, w, h
+        |ORDER BY doc_id, frame_index""".stripMargin,
+    // Layer-II twin: slice energies ×50176 are exact integers
+    // 1024·((2c0−6)²·sf0² + (2c1−6)²), sf0² by frame third (scfsi=0 side)
+    "q_mp2_decode" ->
+      """WITH d AS (SELECT doc_id, 6 + doc_id % 3 AS nf FROM documents WHERE doc_id < 100),
+        | g AS (SELECT doc_id, nf, fr.f, gr.gr, sl.s,
+        |     (doc_id * 5 + fr.f * 7 + gr.gr * 3 + sl.s) % 7 AS c0,
+        |     (doc_id * 5 + fr.f * 7 + gr.gr * 3 + sl.s + 1) % 7 AS c1,
+        |     CASE gr.gr // 4 WHEN 0 THEN 4096 WHEN 1 THEN 1024 ELSE 256 END AS m0
+        |   FROM d, (SELECT unnest(generate_series(0, 7)) AS f) fr,
+        |        (SELECT unnest(generate_series(0, 11)) AS gr) gr,
+        |        (SELECT unnest(generate_series(0, 2)) AS s) sl
+        |   WHERE fr.f < nf),
+        | en AS (SELECT doc_id, nf, f * 36 + gr * 3 + s AS gi,
+        |     (2*c0 - 6) * (2*c0 - 6) * m0 + (2*c1 - 6) * (2*c1 - 6) * 1024 AS e FROM g),
+        | win AS (SELECT doc_id, nf, (gi * 65) // (nf * 36) AS w, sum(e) AS we
+        |   FROM en GROUP BY 1, 2, 3),
+        | bits AS (SELECT a.doc_id, a.w, CASE WHEN a.we < b.we THEN 1 ELSE 0 END AS bit
+        |   FROM win a JOIN win b ON a.doc_id = b.doc_id AND b.w = a.w + 1 WHERE a.w < 64),
+        | fp AS (SELECT doc_id,
+        |   CAST(coalesce(sum(CASE WHEN w >= 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << (w - 32)) ELSE 0 END), 0) AS BIGINT) AS afp_hi,
+        |   CAST(coalesce(sum(CASE WHEN w < 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << w) ELSE 0 END), 0) AS BIGINT) AS afp_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(32000 AS BIGINT) AS sample_rate,
+        |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 36 AS BIGINT) AS n_granules,
         |  fp.afp_hi, fp.afp_lo
         |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "q_png_decode" ->

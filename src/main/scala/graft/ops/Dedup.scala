@@ -72,7 +72,8 @@ object Dedup {
     * min-over-window — no sort added). Zero plan change when None.
     */
   private[graft] def cappedBucketPairs(buckets: DataFrame, hotBucketCap: Int,
-                                       saturation: Option[Observation] = None): DataFrame = {
+                                       saturation: Option[Observation] = None,
+                                       subBucket: Boolean = false): DataFrame = {
     val w = Window.partitionBy("band", "bucket")
     val base = buckets
       .withColumn("__bsz", count(lit(1)).over(w))
@@ -94,7 +95,32 @@ object Dedup {
         col("__bsz") * (col("__bsz") - lit(1L)) / lit(2L) - (col("__bsz") - lit(1L)))), lit(0L))
         .as("skipped_pairs")))
     val hotPairs = hotObserved.select(col("__rep").as("id_a"), col("doc_id").as("id_b"))
-    smallPairs.union(hotPairs).dropDuplicates("id_a", "id_b")
+    // TWO-LEVEL SUB-BUCKETING (opt-in): the star pairing recovers the
+    // CLUSTER (rep ↔ everyone) but misses member↔member PAIRS — at heavy
+    // saturation pair recall floors near the star fraction (measured at
+    // 0.809 within-corpus at 2M vectors, SCALING.md). With `subBucket`,
+    // every hot-bucket member also lands in a deterministic sub-bucket of
+    // expected size ≈ cap (nsub = ⌈bsz/cap⌉, slot = md5 of
+    // band:bucket:doc_id — so each band re-deals the sub split
+    // independently and rotations compound recall exactly like bands do),
+    // and each sub-bucket does exact all-pairs. Cost stays LINEAR per hot
+    // bucket: B/cap subs × cap²/2 pairs = B·cap/2 — a cap/2 constant over
+    // the star, never the B²/2 explosion the cap exists to prevent.
+    val allPairs = if (!subBucket) smallPairs.union(hotPairs) else {
+      val hotAll = sized.filter(col("__bsz") > hotBucketCap)
+        .withColumn("__nsub", expr(s"(__bsz + ${hotBucketCap - 1}) div $hotBucketCap"))
+        .withColumn("__sub", hexhash60(concat(lit("sub:"), col("band").cast("string"),
+          lit(":"), col("bucket").cast("string"), lit(":"),
+          col("doc_id").cast("string"))) % col("__nsub"))
+      val sa = hotAll.as("sa")
+      val sb = hotAll.as("sb")
+      val subPairs = sa.join(sb,
+          col("sa.band") === col("sb.band") && col("sa.bucket") === col("sb.bucket") &&
+          col("sa.__sub") === col("sb.__sub") && col("sa.doc_id") < col("sb.doc_id"))
+        .select(col("sa.doc_id").as("id_a"), col("sb.doc_id").as("id_b"))
+      smallPairs.union(hotPairs).union(subPairs)
+    }
+    allPairs.dropDuplicates("id_a", "id_b")
   }
 
   /** Candidate-pair stage of [[minhashLsh]], exposed so specs can assert the
@@ -123,9 +149,11 @@ object Dedup {
   private[graft] def minhashLshCandidates(docs: DataFrame, textCol: String, numHashes: Int,
                                           rowsPerBand: Int, shingleSize: Int,
                                           hotBucketCap: Int,
-                                          saturation: Option[Observation] = None): DataFrame =
+                                          saturation: Option[Observation] = None,
+                                          subBucket: Boolean = false): DataFrame =
     cappedBucketPairs(
-      bandBuckets(docs, textCol, numHashes, rowsPerBand, shingleSize), hotBucketCap, saturation)
+      bandBuckets(docs, textCol, numHashes, rowsPerBand, shingleSize), hotBucketCap, saturation,
+      subBucket)
 
   /** MinHash+LSH near-dup candidate pairs with exact Jaccard verification.
     *
@@ -140,9 +168,10 @@ object Dedup {
   def minhashLsh(docs: DataFrame, textCol: String = "text", threshold: Double = 0.5,
                  numHashes: Int = 16, rowsPerBand: Int = 2, shingleSize: Int = 3,
                  hotBucketCap: Int = 64,
-                 saturation: Option[Observation] = None): DataFrame = {
+                 saturation: Option[Observation] = None,
+                 subBucket: Boolean = false): DataFrame = {
     val candidates = minhashLshCandidates(docs, textCol, numHashes, rowsPerBand,
-      shingleSize, hotBucketCap, saturation)
+      shingleSize, hotBucketCap, saturation, subBucket)
     val shingles = docs.select(col("doc_id"), shingle_hashes(col(textCol), shingleSize).as("__sh"))
     candidates
       .join(shingles.select(col("doc_id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
@@ -581,10 +610,22 @@ object Dedup {
     * `n_probed` vs `n_candidates`: candidate share ≈ dup share + fpp, a
     * live health check on filter sizing (a saturated, undersized filter
     * shows up as a candidate share far above the expected dup rate).
+    *
+    * OBSERVED-FPP telemetry: [[extendFingerprintBloom]] documents that fpp
+    * rises as dumps accumulate and says "rebuild when the drift shows" —
+    * `verification` (a second fresh Observation; Spark binds each to one
+    * plan node) gives that rule its NUMBER. It counts `n_verified`, the
+    * candidates the exact semi-join confirmed, so per run:
+    * observed fpp = (n_candidates − n_verified) / (n_probed − n_verified)
+    * — exactly the share of true-negative probes the filter let through
+    * (the denominator excludes real dups, which are not false-positive
+    * material). See [[observedFpp]]. When it drifts above the built fpp,
+    * rebuild the filter at the corpus's current size.
     */
   def crossCorpusExactDedupBloom(newDocs: DataFrame, refDocs: DataFrame,
                                  filterBytes: Array[Byte], textCol: String = "text",
-                                 saturation: Option[Observation] = None): DataFrame = {
+                                 saturation: Option[Observation] = None,
+                                 verification: Option[Observation] = None): DataFrame = {
     def fp(df: DataFrame) = df.select(col("doc_id"),
       md5(concat_ws(" ", word_tokens(col(textCol)))).as("__fp"))
     val probed = fp(newDocs)
@@ -592,12 +633,29 @@ object Dedup {
     val observed = saturation.fold(probed)(obs => probed.observe(obs,
       count(lit(1)).as("n_probed"),
       coalesce(sum(when(col("__cand"), lit(1L))), lit(0L)).as("n_candidates")))
-    val verified = observed.filter(col("__cand"))
+    val semiJoined = observed.filter(col("__cand"))
       .join(fp(refDocs).select("__fp").distinct(), Seq("__fp"), "left_semi")
+    val verified = verification.fold(semiJoined)(obs => semiJoined.observe(obs,
+      count(lit(1)).as("n_verified")))
       .select(col("doc_id"), lit(true).as("__exact"))
     newDocs.select(col("doc_id"))
       .join(verified, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__exact"), lit(false)).as("exact_dup"))
+  }
+
+  /** Observed false-positive rate from the [[crossCorpusExactDedupBloom]]
+    * telemetry pair: the share of NON-dup probes the bloom filter passed to
+    * verification. 0.0 when every probe was a real dup (no false-positive
+    * material). Compare against the filter's BUILT fpp — drift above it
+    * means the filter has filled past its sizing ([[extendFingerprintBloom]]
+    * ingests) and should be rebuilt.
+    */
+  def observedFpp(saturation: Map[String, Any], verification: Map[String, Any]): Double = {
+    val probed = saturation("n_probed").asInstanceOf[Long]
+    val cand = saturation("n_candidates").asInstanceOf[Long]
+    val verified = verification("n_verified").asInstanceOf[Long]
+    val trueNeg = probed - verified
+    if (trueNeg <= 0L) 0.0 else (cand - verified).toDouble / trueNeg
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key (label / LSH
@@ -709,12 +767,19 @@ object Dedup {
     * in SCALING.md). Auto-sizing grows the bucket count with the corpus so
     * expected occupancy stays ≈ cap. One count job, like `autoCells`.
     * Pass `saturation` to observe how many buckets still overflowed.
+    *
+    * `subBucket = true` adds two-level all-pairs INSIDE saturated buckets
+    * (see [[cappedBucketPairs]]): member↔member pairs the star pairing
+    * drops come back at a bounded B·cap/2 per-bucket cost — the knob that
+    * lifts WITHIN-corpus pair recall under saturation (the star already
+    * preserves cluster recall via transitivity).
     */
   def embeddingNearDupLsh(emb: DataFrame, dims: Int, bits: Int = 8,
                           threshold: Double = 0.9,
                           idCol: String = "vec_id", vecCol: String = "embedding",
                           hotBucketCap: Int = 64, rotations: Int = 1,
-                          saturation: Option[Observation] = None): DataFrame = {
+                          saturation: Option[Observation] = None,
+                          subBucket: Boolean = false): DataFrame = {
     require(rotations >= 1, s"need >= 1 rotation, got $rotations")
     val b = if (bits > 0) bits
             else graft.ops.SimilaritySearch.autoBits(emb.count(), hotBucketCap)
@@ -723,7 +788,7 @@ object Dedup {
         graft.ops.SimilaritySearch.lshBucket(col(vecCol), dims, b,
           planeOffset = r * b).as("bucket"))
     }.reduce(_.unionByName(_))
-    val cand = cappedBucketPairs(buckets, hotBucketCap, saturation)
+    val cand = cappedBucketPairs(buckets, hotBucketCap, saturation, subBucket)
     val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))

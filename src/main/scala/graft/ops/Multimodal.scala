@@ -21,13 +21,15 @@ import graft.embed.HashEmbeddingBackend
   * external library). MP3 frame headers (sample rate, channel mode, frame
   * count via the frame-chain walk) and MP4/ISO-BMFF boxes (tkhd
   * dimensions, mvhd timescale, track count) are REAL parses too, and
-  * MPEG-1 LAYER I decodes to subband samples for real ([[Mp1Codec]] —
-  * the analytic half of the standard, feeding
-  * [[mp1EnergyFingerprintDF]]); only the SAMPLE/PIXEL decode of Layer
-  * II/III audio and video remains behind [[StubCodec]]'s deterministic
-  * fakes (no JDK codec exists; the empirical Layer II/III tables are a
-  * documented README descope); swap it for a real decoder (e.g. javacv)
-  * to productionize — nothing else changes.
+  * MPEG-1 LAYER I **and LAYER II** decode to subband samples for real
+  * ([[Mp1Codec]] / [[Mp2Codec]] — requantization is analytic in both;
+  * Layer II's B.2 allocation tables are bitstream FORMAT, not empirical
+  * constants — feeding [[mp1EnergyFingerprintDF]] /
+  * [[mp2EnergyFingerprintDF]]); only the SAMPLE/PIXEL decode of Layer
+  * III audio (Huffman + IMDCT) and video remains behind [[StubCodec]]'s
+  * deterministic fakes (no JDK codec exists; a documented README
+  * descope); swap it for a real decoder (e.g. javacv) to productionize —
+  * nothing else changes.
   *
   * Scale notes: media bytes never leave their partition (mapPartitions, no
   * shuffle); metadata extraction is projection-shaped; feature vectors are
@@ -460,7 +462,9 @@ object Multimodal {
 
   /** Frame sampling for "video" bytes: one output row per sampled frame.
     * Media expansion happens within the partition; only (id, frame_index,
-    * frame feature) rows flow on.
+    * frame feature) rows flow on. Uncompressed-DIB AVI decodes for REAL
+    * ([[AviCodec]] — frame bytes are the top-down RGB pixels); anything
+    * else falls back to [[StubCodec]]'s deterministic stand-in.
     */
   def sampleFrames(df: DataFrame, idCol: String, binaryCol: String = "media",
                    everyN: Int = 4): DataFrame = {
@@ -475,8 +479,66 @@ object Multimodal {
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null) Iterator.empty
-        else StubCodec.sampleFrames(bytes, everyN).zipWithIndex.iterator.map {
-          case (frame, i) => Row(r.get(idIdx), i, frame)
+        else AviCodec.decode(bytes) match {
+          case Some(avi) =>
+            (0 until avi.frames.length by everyN).iterator.map { f =>
+              Row(r.get(idIdx), f, avi.frames(f).pixels)
+            }
+          case None =>
+            StubCodec.sampleFrames(bytes, everyN).zipWithIndex.iterator.map {
+              case (frame, i) => Row(r.get(idIdx), i, frame)
+            }
+        }
+      }
+    }
+  }
+
+  /** REAL per-frame pixel stats over uncompressed-DIB AVI videos
+    * ([[AviCodec]]): one row per sampled frame (every `everyN`th) with the
+    * [[imagePixelStats]] column shape plus `frame_index` — frame sampling
+    * + feature extraction as one in-partition pass, only ~48 B/frame ever
+    * leaving the partition. Non-AVI/compressed/corrupt/null rows yield
+    * nothing (the stub path is for shape-testing, not stats).
+    */
+  def videoFrameStats(df: DataFrame, idCol: String, binaryCol: String = "media",
+                      everyN: Int = 1): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1: $everyN")
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_index", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("n_px", LongType),
+      StructField("px_sum", LongType),
+      // byte-index-weighted sum Σ i·b_i — ORDER-SENSITIVE where px_sum is
+      // not: a bottom-up/top-down or stride slip changes it (the gate's
+      // row-order evidence)
+      StructField("px_wsum", LongType),
+      StructField("px_min", LongType),
+      StructField("px_max", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else AviCodec.decode(bytes).iterator.flatMap { avi =>
+          (0 until avi.frames.length by everyN).iterator.map { f =>
+            val img = avi.frames(f)
+            var sum = 0L; var wsum = 0L; var mn = 255L; var mx = 0L
+            var i = 0
+            while (i < img.pixels.length) {
+              val v = (img.pixels(i) & 0xFF).toLong
+              sum += v
+              wsum += i * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            Row(r.get(idIdx), f.toLong, img.width.toLong, img.height.toLong,
+              img.pixels.length.toLong, sum, wsum, mn, mx)
+          }
         }
       }
     }
@@ -1023,6 +1085,43 @@ object Multimodal {
     }
   }
 
+  /** [[mp1EnergyFingerprintDF]]'s Layer-II twin via [[Mp2Codec]]: per clip
+    * (id, sample_rate, n_frames, n_granules, afp) where a "granule" is one
+    * of the 36 subband time slices per Layer-II frame. Same ×50176 energy
+    * scaling (the 7-level / power-of-two-scalefactor gate fixture lands on
+    * exact integers — see q_mp2_decode) and the same gain-invariant
+    * envelope hash. Decode in-partition; non-Layer-II/corrupt/null rows
+    * yield nothing.
+    */
+  def mp2EnergyFingerprintDF(df: DataFrame, idCol: String,
+                             binaryCol: String = "media"): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("sample_rate", LongType),
+      StructField("n_frames", LongType),
+      StructField("n_granules", LongType),
+      StructField("afp", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else Mp2Codec.decode(bytes).iterator.map { d =>
+          val energies = d.granules.map { g =>
+            var e = 0.0
+            var i = 0
+            while (i < g.length) { e += g(i) * g(i); i += 1 }
+            math.round(e * 50176.0)
+          }
+          Row(r.get(idIdx), d.sampleRate.toLong, d.nFrames.toLong,
+            d.granules.length.toLong, envelopeHash64(energies))
+        }
+      }
+    }
+  }
+
   /** Tag-routed perceptual fingerprint — [[withMediaFingerprint]] for a
     * MIXED fetched-media table (what a media-fetch pipeline actually
     * lands): one pass, per-row dispatch on `tagCol` — `img`/`image` rows
@@ -1062,6 +1161,23 @@ object Multimodal {
                   while (i < g.length) { e += g(i) * g(i); i += 1 }
                   math.round(e * 50176.0)
                 })
+              }.orNull
+            case "mp2" =>
+              Mp2Codec.decode(bytes).map { d =>
+                envelopeHash64(d.granules.map { g =>
+                  var e = 0.0
+                  var i = 0
+                  while (i < g.length) { e += g(i) * g(i); i += 1 }
+                  math.round(e * 50176.0)
+                })
+              }.orNull
+            case "video" | "avi" =>
+              // video identity = the ordered frame dHash sequence folded
+              // into one long (order-sensitive: a re-cut is not a dup)
+              AviCodec.decode(bytes).map { avi =>
+                avi.frames.foldLeft(1125899906842597L) { (h, img) =>
+                  h * 31L ^ dhash64(img)
+                }
               }.orNull
             case _ => null
           }

@@ -554,8 +554,16 @@ object TextAnalysis {
     * distinct aggregation (the naive count-vs-countDistinct probe costs a
     * full extra shuffle of the id set).
     */
-  private def prefixSum(sized: DataFrame, targetGroups: Long,
-                        outCol: String): Option[DataFrame] = {
+  private[graft] def prefixSum(sized: DataFrame, targetGroups: Long,
+                        outCol: String,
+                        /** Driver-collect guard: max non-empty (group,
+                          * superblock) rows. The default (4M rows ≈ ~200 MB
+                          * boxed on the driver) is sized for the 64 GB-heap
+                          * driver class; parameterized so specs can pin the
+                          * failure message and scaling runs can probe the
+                          * boundary without an 8-minute setup.
+                          */
+                        maxSuperblocks: Long = 4_000_000L): Option[DataFrame] = {
     val spark = sized.sparkSession
     import spark.implicits._
     val bounds = sized.agg(min("doc_id"), max("doc_id")).head()
@@ -574,7 +582,7 @@ object TextAnalysis {
     val withSb = totals.withColumn("__sb", expr(s"__grp div $sbSpan"))
     val sbTotals = withSb.groupBy("__gk", "__sb").agg(sum("__t").as("__st"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    require(sbTotals.length <= 4_000_000,
+    require(sbTotals.length <= maxSuperblocks,
       s"group cardinality x id superblocks too large to collect (${sbTotals.length}); lower targetGroups")
     val sbOffsets = sbTotals.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
       rows.toSeq.sortBy(_._2)

@@ -494,4 +494,38 @@ class PlanSpec extends AnyFunSuite {
     // zero corpus-side joins: the only join is the broadcast stats row
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  // The Sampling family's scaladoc claims scan-speed per-row math; pin it:
+  // split/sample assignment must add ZERO exchanges over its input, and
+  // leakageFreeSplit must add only the cluster join's exchanges (the split
+  // draw on cluster_id is a projection, not another shuffle).
+  test("sampling assignments are exchange-free projections; leakage split adds only the join") {
+    import graft.ops.Sampling
+    val docs = (0L until 50L).toDF("doc_id")
+    val splits = Seq("train" -> 0.75, "test" -> 0.25)
+    assert(shuffleCount(Sampling.splitAssign(docs, splits).queryExecution.executedPlan) == 0)
+    assert(shuffleCount(Sampling.sampleFraction(docs, 0.5).queryExecution.executedPlan) == 0)
+    assert(shuffleCount(Sampling.stratifiedSample(
+      docs.withColumn("lang", lit("en")), Map("en" -> 0.5), "lang")
+      .queryExecution.executedPlan) == 0)
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val lf = Sampling.leakageFreeSplit(docs, pairs, splits)
+    val p = plan(lf)
+    // no cartesian anything; the only plan nodes beyond the cluster join
+    // are projections (the md5 draw + interval fold)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  // q_cluster_profile's documented shape: cell assignment is a kernel
+  // projection (no exchange), the per-cell top-k is a rank window whose
+  // <=k filter reaches the window operator as a WindowGroupLimit (bounded
+  // per-task state — never a full per-cell sort forwarded whole).
+  test("clusterProfile: WindowGroupLimit top-k, no cartesian, kernel cell assignment") {
+    val docs = (0L until 60L).map(i => (i, s"topic t${i % 4} words number $i"))
+      .toDF("doc_id", "text")
+    val prof = SimilaritySearch.clusterProfile(items, docs, nCells = 4, topTerms = 3)
+    val p = plan(prof)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool (test scope): round-14 scaling measurements.
+  *
+  * Sections (`SPARK_GRAFT_SCALING_SECTIONS=subrecall,bloomfpp,prefix`,
+  * default all):
+  *
+  *  - **subrecall** — WITHIN-corpus pair recall under bucket saturation
+  *    for [[graft.ops.Dedup.embeddingNearDupLsh]]: r13 measured 0.809 at
+  *    2M vectors with auto bits + 4 rotations, because a saturated bucket
+  *    pairs members against the min-id representative only. This measures
+  *    the `subBucket` fix (two-level all-pairs inside hot buckets) against
+  *    the star-only baseline at the same decades, with wall time — target
+  *    ≥ 0.9 within-recall at 2M at ≤ 1.5× the r4 star cost. Same planted-
+  *    copy method as Round13Scaling (ground truth known by construction).
+  *
+  *  - **bloomfpp** — observed false-positive drift across
+  *    [[graft.ops.Dedup.extendFingerprintBloom]] ingests: build the
+  *    reference filter sized for ONE dump, fold two more dumps in, and
+  *    measure [[graft.ops.Dedup.observedFpp]] after each — the number the
+  *    "rebuild when fpp drifts" rule runs on.
+  *
+  *  - **prefix** — the packing prefix sum's driver-collect boundary
+  *    ([[graft.ops.TextAnalysis.prefixSum]], 4M (group, superblock) cap):
+  *    drive a synthetic corpus to ~0.5M / ~4.0M collected superblock rows
+  *    and past the cap, measuring wall time at each point and pinning that
+  *    the failure is loud with the targetGroups guidance — the boundary is
+  *    measured, not just asserted.
+  *
+  * `Test/runMain graft.Round14Scaling [dirs...]`; defaults to sf0.1 +
+  * /tmp/graft_sf10x + /tmp/graft_sf100x (built by [[ScalingFixture]]).
+  */
+object Round14Scaling {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/tmp/graft_sf10x", "/tmp/graft_sf100x")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sections = sys.env.getOrElse("SPARK_GRAFT_SCALING_SECTIONS",
+      "subrecall,bloomfpp,prefix").split(",").map(_.trim).toSet
+
+    if (sections("subrecall")) for (dir <- dirs) {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val n = emb.count()
+      val stride = math.max(1L, n / 200L)
+      val probes = emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .select((col("vec_id") + 900000000000L).as("vec_id"), col("embedding"))
+      val nProbes = probes.count()
+      val planted = emb.unionByName(probes).localCheckpoint(true)
+      for ((rot, sub, name) <- Seq((4, false, "auto_r4"), (2, true, "auto_r2_sub"),
+                                   (4, true, "auto_r4_sub"))) {
+        val t0 = System.nanoTime()
+        val pairs = graft.ops.Dedup.embeddingNearDupLsh(planted, dims = 64,
+          bits = 0, threshold = 0.999, hotBucketCap = 64, rotations = rot,
+          subBucket = sub)
+        val found = pairs
+          .filter(col("id_b") >= 900000000000L || col("id_a") >= 900000000000L)
+          .select(when(col("id_a") >= 900000000000L, col("id_a"))
+            .otherwise(col("id_b")).as("p"))
+          .distinct().count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[r14subrecall] $dir n=$n probes=$nProbes mode=$name " +
+          f"within_recall=${found.toDouble / nProbes}%.3f time=${dt}%.1fs")
+      }
+      graft.core.Checkpoints.release(planted)
+    }
+
+    if (sections("bloomfpp")) {
+      // three synthetic dumps of 200k distinct fingerprints each; the
+      // filter is sized for exactly ONE dump at 1% — each extension fills
+      // it further and observed fpp must drift up
+      def dump(k: Int) = spark.range(200000)
+        .select((col("id") + k * 1000000L).as("doc_id"),
+          concat(lit(s"dump $k document number "), col("id"),
+            lit(" with distinct content")).as("text"))
+      val d0 = dump(0); val d1 = dump(1); val d2 = dump(2)
+      var bf = graft.ops.Dedup.buildFingerprintBloom(d0,
+        expectedItems = 200000L, fpp = 0.01)
+      // probe dump: 1-in-37 verbatim dump-0 dups (real ingests always carry
+      // some — and a fully-disjoint probe lets AQE's empty-relation
+      // propagation skip the observed branch, starving the Observation),
+      // the rest fresh
+      val probe = spark.range(200000)
+        .select((col("id") + 9000000L).as("doc_id"),
+          when(col("id") % 37 === 0,
+            concat(lit("dump 0 document number "), col("id"), lit(" with distinct content")))
+          .otherwise(concat(lit("probe item "), col("id"), lit(" unseen anywhere"))).as("text"))
+      def measure(ref: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        val sat = org.apache.spark.sql.Observation(s"r14sat_$tag")
+        val ver = org.apache.spark.sql.Observation(s"r14ver_$tag")
+        graft.ops.Dedup.crossCorpusExactDedupBloom(probe, ref, bf,
+          saturation = Some(sat), verification = Some(ver))
+          .filter(col("exact_dup")).count()
+        println(f"[r14bloomfpp] $tag observed_fpp=${graft.ops.Dedup.observedFpp(sat.get, ver.get)}%.5f " +
+          s"candidates=${sat.get("n_candidates")}/${sat.get("n_probed")}")
+      }
+      measure(d0, "built_1dump")
+      bf = graft.ops.Dedup.extendFingerprintBloom(bf, d1, 200000L, 0.01)
+      measure(d0.unionByName(d1), "extended_2dumps")
+      bf = graft.ops.Dedup.extendFingerprintBloom(bf, d2, 200000L, 0.01)
+      measure(d0.unionByName(d1).unionByName(d2), "extended_3dumps")
+    }
+
+    if (sections("prefix")) {
+      // synthetic sized relation: 8M docs, groups interleaved by id. At
+      // targetGroups=8M the span is 1, so superblocks = ⌈8M/1024⌉ = 7813
+      // and (group, superblock) cardinality = 7813·groups: 511 groups →
+      // 3,992,443 (just UNDER the 4M cap — the near-bound measurement),
+      // 520 groups → 4,062,760 (just OVER — the loud-failure pin)
+      def sizedWith(groups: Int) = spark.range(8000000L)
+        .select(concat(lit("g"), pmod(col("id"), lit(groups))).cast("string").as("__gk"),
+          col("id").as("doc_id"), lit(3L).as("n_tokens"))
+        .localCheckpoint(true)
+      val sized = sizedWith(511)
+      for ((tg, tag) <- Seq((1000000L, "0.5M_sb"), (8000000L, "3.99M_sb"))) {
+        val t0 = System.nanoTime()
+        val out = graft.ops.TextAnalysis.prefixSum(sized, tg, "tok_before").get
+        val mx = out.agg(max("tok_before")).head().getLong(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[r14prefix] targetGroups=$tg ($tag) time=${dt}%.1fs max_prefix=$mx")
+      }
+      graft.core.Checkpoints.release(sized)
+      val over = sizedWith(520)
+      val loud = try {
+        graft.ops.TextAnalysis.prefixSum(over, 8000000L, "tok_before")
+          .get.agg(max("tok_before")).head(); "NOT-RAISED"
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.linesIterator.next().take(120) }
+      println(s"[r14prefix] 520 groups x 7813 sb (4.06M) past-cap -> $loud")
+      graft.core.Checkpoints.release(over)
+    }
+    spark.stop()
+  }
+}

@@ -51,6 +51,40 @@ class DedupSpec extends AnyFunSuite {
     assert(got2 == got)
   }
 
+  test("observed-fpp telemetry counts verify-rejected candidates per run") {
+    // 100 distinct ref docs; new dump = 5 real dups + 195 fresh docs. With
+    // a deliberately UNDERSIZED filter (expectedItems=4 for 100 entries)
+    // the bloom passes many fresh docs as candidates; n_verified isolates
+    // the real dups so the false-positive share is computable — the number
+    // the "rebuild when fpp drifts" rule needs.
+    val ref = (0L until 100L).map(i => (i, s"reference document number $i unique words"))
+      .toDF("doc_id", "text")
+    val newDocs = ((0L until 5L).map(i => (1000L + i, s"reference document number $i unique words")) ++
+      (0L until 195L).map(i => (2000L + i, s"fresh dump material item $i nothing shared")))
+      .toDF("doc_id", "text")
+    val saturatedBf = Dedup.buildFingerprintBloom(ref, expectedItems = 4, fpp = 0.01)
+    val sat = org.apache.spark.sql.Observation("fpp_sat")
+    val ver = org.apache.spark.sql.Observation("fpp_ver")
+    val flagged = Dedup.crossCorpusExactDedupBloom(newDocs, ref, saturatedBf,
+      saturation = Some(sat), verification = Some(ver))
+      .filter(col("exact_dup")).count()
+    assert(flagged == 5L, "output stays exact regardless of filter health")
+    val (s, v) = (sat.get, ver.get)
+    assert(s("n_probed") == 200L && v("n_verified") == 5L)
+    val fpp = Dedup.observedFpp(s, v)
+    assert(fpp > 0.05, s"an undersized filter must show measurable fpp drift: $fpp")
+    // a RIGHT-sized filter at the same data shows fpp near its built 1%
+    val goodBf = Dedup.buildFingerprintBloom(ref, expectedItems = 256, fpp = 0.01)
+    val sat2 = org.apache.spark.sql.Observation("fpp_sat2")
+    val ver2 = org.apache.spark.sql.Observation("fpp_ver2")
+    Dedup.crossCorpusExactDedupBloom(newDocs, ref, goodBf,
+      saturation = Some(sat2), verification = Some(ver2))
+      .filter(col("exact_dup")).count()
+    val fpp2 = Dedup.observedFpp(sat2.get, ver2.get)
+    assert(fpp2 <= 0.05, s"a right-sized filter must sit near its built fpp: $fpp2")
+    assert(fpp > fpp2, "drift must be ordered: saturated filter > fresh filter")
+  }
+
   test("extendFingerprintBloom folds an accepted dump into the reference filter") {
     val dump1 = Seq((1L, "first dump document alpha"), (2L, "first dump document beta"))
       .toDF("doc_id", "text")
@@ -173,6 +207,35 @@ class DedupSpec extends AnyFunSuite {
     assert(sCands.count() === (n - 1).toLong)
     // end-to-end: identical docs verify at hamming 0 without a quadratic join
     assert(Dedup.simhashPairs(hot, hotBucketCap = 64).count() === (n - 1).toLong)
+  }
+
+  test("subBucket hot-bucket pairing: superset of the star, bounded near B*cap/2, deterministic") {
+    val n = 10000
+    val cap = 64
+    val hot = spark.range(1, n + 1).select(col("id").as("doc_id"),
+      lit("same boilerplate text repeated verbatim on every single page here").as("text"))
+    val star = Dedup.minhashLshCandidates(hot, "text", numHashes = 8,
+      rowsPerBand = 2, shingleSize = 3, hotBucketCap = cap)
+    val sub = Dedup.minhashLshCandidates(hot, "text", numHashes = 8,
+      rowsPerBand = 2, shingleSize = 3, hotBucketCap = cap, subBucket = true)
+    val starSet = star.as[(Long, Long)].collect().toSet
+    val subRows = sub.as[(Long, Long)].collect()
+    val subSet = subRows.toSet
+    assert(starSet.subsetOf(subSet), "sub-bucket mode must keep every star pair")
+    assert(subSet.size > starSet.size, "sub mode must add member-member pairs")
+    // bound: per (band,bucket) the sub pass adds ≤ nsub · maxSub²/2 pairs;
+    // with md5 dealing maxSub stays near cap, so the TOTAL stays linear in
+    // B with a ~cap/2 constant — assert a generous 2× headroom over
+    // 4 bands · n · cap/2, nowhere near the B²/2 = 5·10⁷ explosion
+    assert(subRows.length < 2L * 4L * n * cap / 2,
+      s"sub-bucket candidates must stay linear per bucket: ${subRows.length}")
+    // deterministic re-deal: same inputs, same pairs
+    val again = Dedup.minhashLshCandidates(hot, "text", numHashes = 8,
+      rowsPerBand = 2, shingleSize = 3, hotBucketCap = cap, subBucket = true)
+      .as[(Long, Long)].collect().toSet
+    assert(again == subSet)
+    // id_a < id_b invariant survives the extra branch
+    assert(subRows.forall(p => p._1 < p._2))
   }
 
   test("crossCorpusDedup: exact + fuzzy flags against the reference only") {
@@ -717,6 +780,23 @@ class CleanPipelineSpec extends AnyFunSuite {
     val aRanks = out.filter(_.getString(0) == "a").sortBy(_.getLong(1))
       .map(_.getLong(2)).toSeq
     assert(aRanks == (1L to 100L))
+  }
+
+  test("prefixSum superblock guard fires loudly with the targetGroups guidance") {
+    // 4 groups × 4096 ids at targetGroups=4096 → span 1, 4 superblocks,
+    // every group in every superblock = 16 (group, sb) combos
+    val sized = (0L until 4096L).map(i => (s"g${i % 4}", i, 1L))
+      .toDF("__gk", "doc_id", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.prefixSum(sized, targetGroups = 4096L, "out", maxSuperblocks = 8L)
+    }
+    assert(e.getMessage.contains("lower targetGroups"),
+      s"the guard must tell the caller the fix: ${e.getMessage}")
+    // exactly at the cap: collect proceeds and the prefix sum is correct
+    val ok = TextAnalysis.prefixSum(sized, 4096L, "out", maxSuperblocks = 16L).get
+    val g0 = ok.filter(col("__gk") === "g0").orderBy("doc_id")
+      .select("out").as[Long].collect().toSeq
+    assert(g0 == (0L until 1024L).toSeq, "per-group running sum unaffected by the guard")
   }
 
   test("packSequences fails loudly on duplicate ids instead of packing nondeterministically") {
