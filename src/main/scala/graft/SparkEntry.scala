@@ -419,6 +419,158 @@ object SparkEntry {
     bos.toByteArray
   }
 
+  /** Spec-conformant baseline JPEG writer for the q_jpeg_decode /
+    * q_mjpeg_frames fixtures: GRAYSCALE, DC-only blocks (every AC run is
+    * an immediate EOB), Annex K.3.1 luma DC codes + the luma AC EOB code
+    * `1010`. DC-only is what makes the pixel values EXACT integers —
+    * block (bx,by) reconstructs flat to `level = 128 + DC·q/8`, and the
+    * generator picks `DC = (level−128)·8/q` with q ∈ {1,2,4,8} dividing 8,
+    * so the DuckDB oracle replays pixels in integer arithmetic while the
+    * decoder still runs the full marker walk, DHT canonical-code build,
+    * Huffman DC decode, EXTEND, restart handling and IDCT. Byte stuffing
+    * (0xFF→0xFF00) and all-ones padding are emitted per spec, so ImageIO
+    * reads these files too (the conformance cross-check in JpegCodecSpec).
+    *
+    * Layout knobs per id: dims (blocks of 8 with a ragged right/bottom
+    * edge on id%5==0 / id%7==0 — pins edge-block cropping), q00 = 2^(id%4)
+    * (pins dequantization), DRI with one restart per block row on odd ids
+    * (pins RSTn realignment + predictor reset). `withDht=false` omits the
+    * DHT segment entirely — the MJPEG convention — forcing the decoder's
+    * Annex K default-table install.
+    */
+  private[graft] def synthJpeg(id: Long, withDht: Boolean = true,
+                               frame: Int = 0): Array[Byte] = {
+    val w = 8 * (2 + id % 3).toInt - (if (id % 5 == 0) 3 else 0)
+    val h = 8 * (1 + id % 2).toInt - (if (id % 7 == 0) 2 else 0)
+    val q = 1 << (id % 4).toInt
+    val nbx = (w + 7) / 8
+    val nby = (h + 7) / 8
+    val ri = if (id % 2 == 1) nbx else 0 // restart every block row on odd ids
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xFF); u8(m) }
+    marker(0xD8) // SOI
+    marker(0xDB); u16(2 + 65); u8(0x00) // DQT: Pq=0 Tq=0
+    u8(q); (1 until 64).foreach(_ => u8(16))
+    if (withDht) {
+      // Annex K.3.1 luma DC: BITS then HUFFVAL 0..11
+      marker(0xC4); u16(2 + 1 + 16 + 12 + 1 + 16 + 162)
+      u8(0x00); Seq(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0).foreach(u8)
+      (0 to 11).foreach(u8)
+      // Annex K.3.2 luma AC (only EOB is ever emitted, but the full table
+      // is written so the decoder's DHT path sees the real thing)
+      u8(0x10); Seq(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D).foreach(u8)
+      KAcLumaHuffVals.foreach(u8)
+    }
+    if (ri > 0) { marker(0xDD); u16(4); u16(ri) } // DRI
+    marker(0xC0); u16(8 + 3) // SOF0: gray
+    u8(8); u16(h); u16(w); u8(1)
+    u8(1); u8(0x11); u8(0) // comp 1, 1x1, qtab 0
+    marker(0xDA); u16(6 + 2) // SOS
+    u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+    // entropy-coded scan: bit writer with 0xFF stuffing
+    var acc = 0; var nacc = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nacc += 1
+        if (nacc == 8) {
+          u8(acc); if (acc == 0xFF) u8(0x00)
+          acc = 0; nacc = 0
+        }
+        i -= 1
+      }
+    }
+    def flushOnes(): Unit = if (nacc > 0) putBits((1 << (8 - nacc)) - 1, 8 - nacc)
+    // Annex K luma DC code per category 0..11
+    val dcCodes = Array((0x0, 2), (0x2, 3), (0x3, 3), (0x4, 3), (0x5, 3), (0x6, 3),
+      (0xE, 4), (0x1E, 5), (0x3E, 6), (0x7E, 7), (0xFE, 8), (0x1FE, 9))
+    var pred = 0
+    var b = 0
+    val nBlocks = nbx * nby
+    while (b < nBlocks) {
+      if (ri > 0 && b > 0 && b % ri == 0) {
+        flushOnes()
+        marker(0xD0 + ((b / ri - 1) % 8)) // RSTn
+        pred = 0
+      }
+      val level = ((id * 31 + frame * 97 + b * 29) % 256).toInt
+      val dc = (level - 128) * 8 / q
+      val diff = dc - pred
+      pred = dc
+      val t = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = dcCodes(t)
+      putBits(code, len)
+      if (t > 0) putBits(if (diff > 0) diff else diff + (1 << t) - 1, t)
+      putBits(0xA, 4) // AC: EOB
+      b += 1
+    }
+    flushOnes()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** The Annex K.3.2 luma AC HUFFVAL list (162 entries) — written verbatim
+    * into [[synthJpeg]]'s DHT segment.
+    */
+  private val KAcLumaHuffVals: Array[Int] = {
+    val firstRows = Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61,
+      0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+      0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25,
+      0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A)
+    val tail = Array(
+      0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+      0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+      0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3,
+      0xB4, 0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+      0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5,
+      0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA)
+    firstRows ++ tail
+  }
+
+  /** One MJPEG AVI clip per id for q_mjpeg_frames: 2 + id%3 frames, each a
+    * [[synthJpeg]] WITHOUT DHT (the MJPEG omitted-tables convention → the
+    * decoder must install Annex K defaults), wrapped in the same RIFF
+    * structure as [[synthAvi]] but with strh/strf fourcc 'MJPG'. Frame f
+    * varies the block levels through synthJpeg's `frame` knob, so frame
+    * ORDER is visible in videoFrameStats' order-sensitive px_wsum.
+    */
+  private[graft] def synthMjpegAvi(id: Long): Array[Byte] = {
+    val nFrames = (2 + id % 3).toInt
+    val w = 8 * (2 + id % 3).toInt - (if (id % 5 == 0) 3 else 0)
+    val h = 8 * (1 + id % 2).toInt - (if (id % 7 == 0) 2 else 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(ckId: String, data: Array[Byte]): Array[Byte] =
+      fcc(ckId) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      fcc("LIST") ++ le32(4 + children.length) ++ fcc(listType) ++ children
+    val avih = le32(40000L) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(nFrames) ++
+      le32(0) ++ le32(1) ++ le32(0) ++ le32(w) ++ le32(h) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++ le32(nFrames) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le16(0) ++ le16(0) ++ le16(0) ++ le16(0)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      fcc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val frames = (0 until nFrames).map { f =>
+      chunk("00dc", synthJpeg(id, withDht = false, frame = f))
+    }.reduce(_ ++ _)
+    val movi = list("movi", frames)
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    bos.write(fcc("RIFF")); bos.write(le32(body.length)); bos.write(body)
+    bos.toByteArray
+  }
+
   /** Deterministic line-structured text for q_c4_filter: one shared segment
     * list drives BOTH the Spark generator column and the DuckDB `||` twin,
     * so the fixture is a pure function of doc_id (the corpus text has no
@@ -1866,6 +2018,31 @@ object SparkEntry {
       val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id")).as[Long]
         .map(id => (id, synthAvi(id)))
+        .toDF("doc_id", "media")
+      Multimodal.videoFrameStats(media, "doc_id")
+        .orderBy("doc_id", "frame_index")
+    },
+    // REAL baseline JPEG decode through our own JpegCodec (T.81 marker
+    // walk, DHT canonical-code build, Huffman DC + EXTEND, restart
+    // markers, IDCT): DC-only fixtures make every pixel an exact integer
+    // (flat block level = 128 + DC·q/8), so the oracle replays the
+    // generator formula like q_png_decode does.
+    "q_jpeg_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthJpeg(id)))
+        .toDF("doc_id", "media")
+      Multimodal.imagePixelStats(media, "doc_id").orderBy("doc_id")
+    },
+    // MJPEG video: AVI 'MJPG' frame chunks are standalone JPEGs with the
+    // DHT segment OMITTED (the MJPEG convention) — decode must install the
+    // Annex K default tables. Order-sensitive px_wsum pins frame order.
+    "q_mjpeg_frames" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthMjpegAvi(id)))
         .toDF("doc_id", "media")
       Multimodal.videoFrameStats(media, "doc_id")
         .orderBy("doc_id", "frame_index")
@@ -4546,6 +4723,43 @@ object SparkEntry {
         |  CAST(h AS BIGINT) AS height, CAST(w * h * 3 AS BIGINT) AS n_px,
         |  CAST(3 * sum(v) AS BIGINT) AS px_sum,
         |  CAST(sum(v * (9 * i + 3)) AS BIGINT) AS px_wsum,
+        |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id, f, w, h
+        |ORDER BY doc_id, frame_index""".stripMargin,
+    // DC-only JPEG: block (bx,by) of ceil(w/8) per row decodes flat to
+    // level = (id·31 + blockIndex·29) mod 256 — the oracle replays the
+    // generator formula per pixel, like q_png_decode
+    "q_jpeg_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 * (2 + doc_id % 3) - CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 0 END AS BIGINT) AS width,
+        |    CAST(8 * (1 + doc_id % 2) - CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END AS BIGINT) AS height
+        |  FROM documents WHERE doc_id < 100),
+        | px AS (SELECT d.doc_id, d.width, d.height,
+        |     (d.doc_id * 31 + (((g.i // d.width) // 8) * ((d.width + 7) // 8)
+        |        + (g.i % d.width) // 8) * 29) % 256 AS v
+        |   FROM d, (SELECT unnest(generate_series(0, 511)) AS i) g
+        |   WHERE g.i < d.width * d.height)
+        |SELECT doc_id, width, height, CAST(1 AS BIGINT) AS channels,
+        |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+        |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+    // MJPEG frames add frame·97 to the block level; px_wsum = Σ v·i is
+    // order-sensitive, pinning frame order and block placement
+    "q_mjpeg_frames" ->
+      """WITH d AS (SELECT doc_id,
+        |    8 * (2 + doc_id % 3) - CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 0 END AS w,
+        |    8 * (1 + doc_id % 2) - CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END AS h,
+        |    2 + doc_id % 3 AS nf FROM documents WHERE doc_id < 100),
+        | px AS (SELECT d.doc_id, d.w, d.h, fr.f, g.i,
+        |     (d.doc_id * 31 + fr.f * 97 + (((g.i // d.w) // 8) * ((d.w + 7) // 8)
+        |        + (g.i % d.w) // 8) * 29) % 256 AS v
+        |   FROM d, (SELECT unnest(generate_series(0, 4)) AS f) fr,
+        |        (SELECT unnest(generate_series(0, 511)) AS i) g
+        |   WHERE fr.f < d.nf AND g.i < d.w * d.h)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_index, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(sum(v) AS BIGINT) AS px_sum,
+        |  CAST(sum(v * i) AS BIGINT) AS px_wsum,
         |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
         |FROM px GROUP BY doc_id, f, w, h
         |ORDER BY doc_id, frame_index""".stripMargin,

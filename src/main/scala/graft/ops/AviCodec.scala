@@ -1,19 +1,21 @@
 package graft.ops
 
-/** Scoped AVI (RIFF) video decoder for UNCOMPRESSED DIB frames — the real
-  * video-pixel path behind frame sampling and video dedup. Like the other
-  * from-scratch codecs here (PngCodec, Mp1Codec/Mp2Codec, the WARC
-  * reader), everything is container FORMAT parsing plus a fully
-  * deterministic pixel layout — no empirical decode:
+/** Scoped AVI (RIFF) video decoder for UNCOMPRESSED DIB and MJPEG
+  * frames — the real video-pixel path behind frame sampling and video
+  * dedup. Like the other from-scratch codecs here (PngCodec,
+  * Mp1Codec/Mp2Codec, the WARC reader), everything is container FORMAT
+  * parsing plus deterministic pixel math:
   *
   *  - RIFF walk: 'RIFF' size 'AVI ', LIST hdrl (avih; LIST strl → strh /
   *    strf), LIST movi with '##db'/'##dc' frame chunks (all sizes
   *    little-endian, chunks padded to even offsets);
   *  - stream checks: first 'vids' stream must be BI_RGB (biCompression 0)
-  *    at 24 bits/pixel — the uncompressed-DIB profile. Compressed video
-  *    (MJPEG, cinepak, h26x…) is a documented descope: those need
-  *    empirical entropy/DCT decoders (see Mp1Codec's rationale), and this
-  *    decoder returns None for them rather than guessing;
+  *    at 24 bits/pixel — the uncompressed-DIB profile — or 'MJPG', whose
+  *    frame chunks are standalone baseline JPEGs decoded by [[JpegCodec]]
+  *    (Annex K default Huffman tables cover the customary omitted DHT).
+  *    Other codecs (cinepak, h26x…) are a documented descope: those need
+  *    empirical inter-frame decoders, and this decoder returns None for
+  *    them rather than guessing;
   *  - frame data: bottom-up BGR rows padded to 4-byte stride, converted
   *    to the engine-wide top-down RGB [[PngCodec.Image]] shape so every
   *    downstream image op (dhash64, pixel stats) applies to video frames
@@ -41,6 +43,9 @@ object AviCodec {
   private def fourcc(b: Array[Byte], i: Int): String =
     if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
 
+  /** biCompression value of the 'MJPG' fourcc (little-endian). */
+  private val MJPG: Long = 'M'.toLong | ('J'.toLong << 8) | ('P'.toLong << 16) | ('G'.toLong << 24)
+
   def decode(bytes: Array[Byte]): Option[AviData] = {
     try {
       if (bytes == null || bytes.length < 24) return None
@@ -54,6 +59,15 @@ object AviCodec {
       val frames = scala.collection.mutable.ArrayBuffer.empty[PngCodec.Image]
 
       def parseFrame(off: Int, size: Int): Unit = {
+        if (compression == MJPG) {
+          // MJPEG frame: the chunk IS a baseline JPEG ([[JpegCodec]] —
+          // Annex K default tables cover the customary omitted DHT).
+          // Frame dims come from the JPEG itself; a corrupt frame is
+          // skipped, keeping the frames already decoded.
+          JpegCodec.decode(java.util.Arrays.copyOfRange(bytes, off, off + size))
+            .foreach(frames += _)
+          return
+        }
         if (width <= 0 || height <= 0 || bitCount != 24) return
         val stride = ((width * 3 + 3) / 4) * 4
         if (size < stride * height || off + stride * height > bytes.length) return
@@ -112,9 +126,11 @@ object AviCodec {
               }
             case other =>
               // frame chunks: '##db' (uncompressed DIB) / '##dc' with
-              // BI_RGB — anything else (MJPEG etc.) is the descope
+              // BI_RGB or MJPG — other codecs (cinepak, h26x…) are the
+              // documented descope
               val kind = other.drop(2)
-              if ((kind == "db" || kind == "dc") && compression == 0L)
+              if ((kind == "db" || kind == "dc") &&
+                (compression == 0L || compression == MJPG))
                 parseFrame(dataStart, dataEnd - dataStart)
           }
           p = dataStart + sz + (sz & 1) // chunks pad to even
@@ -122,7 +138,7 @@ object AviCodec {
       }
 
       walk(12, bytes.length)
-      if (frames.isEmpty || compression != 0L) None
+      if (frames.isEmpty || (compression != 0L && compression != MJPG)) None
       else Some(AviData(width, height, microSec, frames.toArray))
     } catch { case _: Throwable => None }
   }

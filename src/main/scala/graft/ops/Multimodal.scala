@@ -25,11 +25,13 @@ import graft.embed.HashEmbeddingBackend
   * ([[Mp1Codec]] / [[Mp2Codec]] — requantization is analytic in both;
   * Layer II's B.2 allocation tables are bitstream FORMAT, not empirical
   * constants — feeding [[mp1EnergyFingerprintDF]] /
-  * [[mp2EnergyFingerprintDF]]); only the SAMPLE/PIXEL decode of Layer
-  * III audio (Huffman + IMDCT) and video remains behind [[StubCodec]]'s
-  * deterministic fakes (no JDK codec exists; a documented README
-  * descope); swap it for a real decoder (e.g. javacv) to productionize —
-  * nothing else changes.
+  * [[mp2EnergyFingerprintDF]]); baseline JPEG pixels decode through our
+  * own [[JpegCodec]] (T.81 Huffman + IDCT) and AVI video frames decode
+  * for real both uncompressed-DIB and MJPEG ([[AviCodec]]). What remains
+  * behind [[StubCodec]]'s deterministic fakes: Layer-III audio samples
+  * (Huffman + IMDCT + aliasing) and inter-frame video codecs — a
+  * documented README descope; swap in a real decoder (e.g. javacv) to
+  * productionize, nothing else changes.
   *
   * Scale notes: media bytes never leave their partition (mapPartitions, no
   * shuffle); metadata extraction is projection-shaped; feature vectors are
@@ -598,15 +600,15 @@ object Multimodal {
     }
   }
 
-  /** Full image decode for the formats closable WITHOUT external
-    * dependencies: PNG through [[PngCodec]] (our own inflate + unfilter —
-    * deterministic, oracle-gated), everything else through the JDK's own
-    * `javax.imageio` readers (REAL baseline JPEG/BMP/GIF decode — ImageIO
-    * is part of the JDK, not an external library). Only video/MP3 remain
-    * stubbed. Returns 8-bit channel-interleaved samples.
+  /** Full image decode: PNG through [[PngCodec]] (our own inflate +
+    * unfilter), baseline JPEG through [[JpegCodec]] (our own T.81
+    * Huffman + IDCT decoder — both deterministic and oracle-gated), and
+    * the remainder (BMP, GIF, progressive JPEG) through the JDK's own
+    * `javax.imageio` readers (part of the JDK, not an external library).
+    * Returns 8-bit channel-interleaved samples.
     */
   def decodeImage(bytes: Array[Byte]): Option[PngCodec.Image] =
-    PngCodec.decode(bytes).orElse(scala.util.Try {
+    PngCodec.decode(bytes).orElse(JpegCodec.decode(bytes)).orElse(scala.util.Try {
       val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (decoded == null) None
       else {
