@@ -1407,6 +1407,17 @@ object SparkEntry {
         rowsPerBand = 2, shingleSize = 3, hotBucketCap = HotBucketCap)
         .select("doc_id").orderBy("doc_id")
     },
+    // quality-ranked retention: same pairs/clusters, but each cluster
+    // keeps its highest-token-count member (tie → min doc_id) — the
+    // "keep the best copy" production policy instead of min-id
+    "q_dedup_keep_best" -> { (s, dir) =>
+      import graft.functions.textkernel
+      val docs = docsPar(s, dir)
+        .withColumn("n_toks", size(textkernel.word_tokens(col("text"))).cast("long"))
+      Dedup.dedupCorpusKeepBest(docs, "n_toks", threshold = 0.7, numHashes = 8,
+        rowsPerBand = 2, shingleSize = 3, hotBucketCap = HotBucketCap)
+        .select("doc_id", "n_toks").orderBy("doc_id")
+    },
     // cross-corpus dedup: the new "dump" (doc_id % 3 <> 0) flagged against
     // the reference corpus (doc_id % 3 = 0) — exact fingerprint semi-join +
     // asymmetric capped minhash banding, new-vs-ref pairs only. The raw
@@ -2190,6 +2201,14 @@ object SparkEntry {
     "q_perplexity" -> { (s, dir) =>
       FullText.bigramSurprisal(docsPar(s, dir)).orderBy("doc_id")
     },
+    // CCNet head/middle/tail perplexity bucketing: per-language exact
+    // order-statistic thresholds over the MIL-nat integer score histogram
+    // (no global sort — the histogram is langs × score-resolution rows)
+    "q_ccnet_bucket" -> { (s, dir) =>
+      FullText.surprisalBuckets(docsPar(s, dir))
+        .withColumn("bucket", col("bucket").cast("long"))
+        .orderBy("doc_id")
+    },
     "q_stratified" -> { (s, dir) =>
       Sampling.stratifiedSample(tbl(s, dir, "documents"), StratFractions, groupCol = "lang")
         .select(col("doc_id"), col("lang")).orderBy("doc_id")
@@ -2802,6 +2821,27 @@ object SparkEntry {
        | clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
        |SELECT d.doc_id FROM documents d
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Keep-best retention oracle: the q_dedup_corpus cluster machinery with
+    * the winner re-picked by (token count DESC, doc_id ASC) instead of
+    * min-id.
+    */
+  private val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE ${minhashPairCtes(0.7)},
+       | und AS (SELECT id_a AS s, id_b AS d FROM vp UNION SELECT id_b AS s, id_a AS d FROM vp),
+       | n AS (SELECT DISTINCT s AS id FROM und),
+       | reach AS (SELECT id, id AS lbl FROM n
+       |   UNION
+       |   SELECT u.s AS id, r.lbl FROM und u JOIN reach r ON u.d = r.id),
+       | clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       | q AS (SELECT doc_id, CAST(len($sqlWords) AS BIGINT) AS n_toks FROM documents),
+       | ranked AS (SELECT c.doc_id, row_number() OVER (
+       |     PARTITION BY c.cluster_id ORDER BY q.n_toks DESC, c.doc_id ASC) AS rn
+       |   FROM clusters c JOIN q USING (doc_id)),
+       | losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+       |SELECT d.doc_id, q.n_toks FROM documents d JOIN q USING (doc_id)
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
        |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB twin of Dedup.simhashPairs (16 bits, 4-bit bands, maxHamming 3,
@@ -3978,6 +4018,7 @@ object SparkEntry {
          |  WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split
          |FROM t ORDER BY vec_id""".stripMargin,
     "q_dedup_corpus" -> dedupCorpusSql,
+    "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(ceil(greatest(ceil(length(text) / 4.0), ceil(len(regexp_extract_all(text, '[^\w\s]|\w+')) * 0.75))) AS BIGINT) AS n_tokens
@@ -4911,6 +4952,41 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
          |  coalesce(round(s / (n_bigrams * 1000000.0), 6), 0.0) AS avg_neg_logp
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // CCNet bucketing: the q_perplexity integer pipeline, then MIL-nat
+    // floor, per-lang histogram cumsum, t_k = min score with cum·3 ≥ k·n,
+    // bucket = #{k : score > t_k}; no-bigram docs land in tail (bucket 2)
+    "q_ccnet_bucket" ->
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         | inst AS (SELECT doc_id,
+         |     unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+         |     unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+         |   FROM t WHERE len(w) >= 2),
+         | uni AS (SELECT w1, count(*) AS uc FROM (SELECT unnest(w) AS w1 FROM t) GROUP BY w1),
+         | voc AS (SELECT count(*) AS v FROM uni),
+         | big AS (SELECT w1, w2, count(*) AS bc FROM inst GROUP BY w1, w2),
+         | sc AS (SELECT i.doc_id,
+         |     CAST(round(-ln((coalesce(bc, 0) + 1.0) / (coalesce(uc, 0) + v)) * 1000000) AS BIGINT) AS m
+         |   FROM inst i LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1), voc),
+         | agg AS (SELECT doc_id, count(*) AS n, CAST(sum(m) AS BIGINT) AS s FROM sc GROUP BY doc_id),
+         | scored AS (SELECT d.doc_id, d.lang, s // (n * 1000) AS score
+         |   FROM documents d LEFT JOIN agg USING (doc_id)),
+         | hist AS (SELECT lang, score, count(*) AS c FROM scored
+         |   WHERE score IS NOT NULL GROUP BY lang, score),
+         | cum AS (SELECT lang, score,
+         |     sum(c) OVER (PARTITION BY lang ORDER BY score) AS cum,
+         |     sum(c) OVER (PARTITION BY lang) AS n FROM hist),
+         | th AS (SELECT lang,
+         |     min(CASE WHEN cum * 3 >= n * 1 THEN score END) AS t1,
+         |     min(CASE WHEN cum * 3 >= n * 2 THEN score END) AS t2
+         |   FROM cum GROUP BY lang)
+         |SELECT s.doc_id, s.lang, s.score AS score_mnat,
+         |  CAST(CASE WHEN s.score IS NULL THEN 2 ELSE
+         |    (CASE WHEN s.score > t1 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN s.score > t2 THEN 1 ELSE 0 END) END AS BIGINT) AS bucket,
+         |  CASE WHEN s.score IS NULL THEN 'tail'
+         |    WHEN s.score <= t1 THEN 'head'
+         |    WHEN s.score <= t2 THEN 'middle' ELSE 'tail' END AS bucket_name
+         |FROM scored s LEFT JOIN th USING (lang) ORDER BY s.doc_id""".stripMargin,
     // DSIR: full replay — hashed unigram+bigram features, add-one-smoothed
     // bucket models for target (src5) and raw, per-bucket micro-nat
     // log-ratios rounded once, per-doc exact integer sums

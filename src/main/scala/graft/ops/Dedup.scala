@@ -436,6 +436,40 @@ object Dedup {
     docs.join(losers.select(col("doc_id")), Seq("doc_id"), "left_anti")
   }
 
+  /** [[dedupCorpus]] with QUALITY-RANKED retention: instead of the min-id
+    * member, each near-dup cluster keeps its highest-`scoreCol` member
+    * (ties broken by min doc_id — fully deterministic). This is the
+    * standard production policy ("keep the longest / highest-quality copy"
+    * — C4 keeps longest-per-URL, most CommonCrawl-derived sets keep the
+    * best-scored page of a boilerplate cluster); min-id retention throws
+    * away quality signal the pipeline already computed.
+    *
+    * Plan shape on top of [[dedupCorpus]]: one extra shuffle — the
+    * (cluster member → score) join plus a map-side-combined
+    * `max(struct(score, −doc_id))` per cluster (the argmax travels as one
+    * struct; no per-cluster sort, no window over the corpus). Cluster
+    * labels come from [[dupClusters]] unchanged — which label names the
+    * cluster is irrelevant to retention, only membership matters.
+    */
+  def dedupCorpusKeepBest(docs: DataFrame, scoreCol: String,
+                          textCol: String = "text", threshold: Double = 0.7,
+                          numHashes: Int = 16, rowsPerBand: Int = 2,
+                          shingleSize: Int = 3, hotBucketCap: Int = 64,
+                          saturation: Option[Observation] = None): DataFrame = {
+    val pairs = minhashLsh(docs, textCol, threshold, numHashes, rowsPerBand,
+      shingleSize, hotBucketCap, saturation)
+    val clusters = dupClusters(pairs.select(col("id_a"), col("id_b")))
+    val winners = clusters
+      .join(docs.select(col("doc_id"), col(scoreCol).as("__q")), Seq("doc_id"))
+      .groupBy("cluster_id")
+      // lexicographic struct max = (max score, then MIN doc_id via negation)
+      .agg(max(struct(col("__q").as("q"), (-col("doc_id")).as("nid"))).as("__k"))
+      .select((-col("__k.nid")).cast("long").as("doc_id"))
+    val losers = clusters.select("doc_id")
+      .join(winners, Seq("doc_id"), "left_anti")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Cross-corpus dedup: flag documents of a NEW corpus that duplicate a
     * REFERENCE corpus — the "dedup this crawl against every previous dump"
     * operation a recurring 100 TB ingest runs (CommonCrawl-derived corpora

@@ -379,7 +379,19 @@ object FullText {
     * Returns one row per input doc: (doc_id, n_bigrams, avg_neg_logp).
     */
   def bigramSurprisal(docs: DataFrame, textCol: String = "text",
-                      idCol: String = "doc_id"): DataFrame = {
+                      idCol: String = "doc_id"): DataFrame =
+    bigramSurprisalRaw(docs, textCol, idCol)
+      .select(col(idCol), col("n_bigrams"),
+        coalesce(round(col("s") / (col("n_bigrams") * Micro), 6), lit(0.0))
+          .as("avg_neg_logp"))
+
+  /** [[bigramSurprisal]] with the EXACT integer accumulator exposed:
+    * (id, n_bigrams, s) where `s` is the per-doc sum of micro-nat bigram
+    * surprisals (null when the doc has no bigram). The integer form is
+    * what lets downstream consumers ([[surprisalBuckets]]) stay exact.
+    */
+  private[graft] def bigramSurprisalRaw(docs: DataFrame, textCol: String,
+                                        idCol: String): DataFrame = {
     val toks = docs.select(col(idCol), textkernel.word_tokens(col(textCol)).as("w"))
     val pairs = toks.select(col(idCol), explode(when(size(col("w")) >= 2,
         transform(sequence(lit(1), size(col("w")) - 1),
@@ -401,7 +413,63 @@ object FullText {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("neg_logp_micro")).as("s"))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(round(col("s") / (col("n_bigrams") * Micro), 6), lit(0.0))
-          .as("avg_neg_logp"))
+        col("s"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 — the
+    * head/middle/tail split LLaMA-class corpora are built on): per
+    * language, documents are cut into `nBuckets` equal-count bands by
+    * their LM surprisal (here the self-trained bigram LM of
+    * [[bigramSurprisal]], micro-nat integer arithmetic), lowest-surprisal
+    * band first ("head" = most fluent).
+    *
+    * SCALE design — no global sort, no per-language single-partition
+    * window over the corpus: the per-doc score is floored to MIL-nats
+    * (`score_mnat = s / (n·1000)`, an exact integer in [0, ~30000]), and
+    * the band boundaries are exact ORDER STATISTICS read off a
+    * per-(lang, score_mnat) count histogram — a table bounded by
+    * languages × score resolution (~30k rows/lang) regardless of corpus
+    * size. Thresholds: t_k = min score with cumulative count ≥ ⌈k·n/B⌉;
+    * assignment is `bucket = #{k : score > t_k}` via a broadcast
+    * threshold join — ties at a boundary all land in the lower band
+    * (deterministic; band sizes are approximately, not exactly, n/B,
+    * same as value-thresholded CCNet). Documents with no bigram score
+    * land in the WORST band (tail), never silently in head.
+    *
+    * Returns (id, lang, score_mnat, bucket, bucket_name) — bucket_name is
+    * head/middle/tail for the canonical B = 3, "b<i>" otherwise.
+    */
+  def surprisalBuckets(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", langCol: String = "lang",
+                       nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val raw = bigramSurprisalRaw(docs, textCol, idCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    val scored = raw.withColumn("score_mnat",
+      when(col("n_bigrams") > 0, expr("s div (n_bigrams * 1000)")))
+    val hist = scored.filter(col("score_mnat").isNotNull)
+      .groupBy(col(langCol), col("score_mnat")).agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(Window.partitionBy(langCol).orderBy("score_mnat")))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(langCol)))
+    // cum ≥ ⌈k·n/B⌉ ⇔ cum·B ≥ k·n for integer cum — no floats needed
+    val thCols = (1 until nBuckets).map { k =>
+      min(when(col("__cum") * nBuckets >= col("__n") * k, col("score_mnat")))
+        .as(s"__t$k")
+    }
+    val thresholds = cum.groupBy(col(langCol)).agg(thCols.head, thCols.tail: _*)
+    val bucket = (1 until nBuckets).map { k =>
+      when(col("score_mnat") > col(s"__t$k"), 1).otherwise(0)
+    }.reduce(_ + _)
+    val name = if (nBuckets == 3)
+      when(col("bucket") === 0, "head").when(col("bucket") === 1, "middle")
+        .otherwise("tail")
+    else concat(lit("b"), col("bucket").cast("string"))
+    scored.join(broadcast(thresholds), Seq(langCol), "left")
+      .withColumn("bucket",
+        when(col("score_mnat").isNull, lit(nBuckets - 1)).otherwise(bucket))
+      .withColumn("bucket_name", name)
+      .select(col(idCol), col(langCol), col("score_mnat"), col("bucket"),
+        col("bucket_name"))
   }
 }

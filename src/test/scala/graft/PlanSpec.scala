@@ -516,6 +516,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  // q_ccnet_bucket's documented shape: the band thresholds come from a
+  // HISTOGRAM (langs × score-resolution rows) — the per-lang windows run
+  // on that aggregated table, and the threshold table joins back by
+  // BROADCAST. A naive impl would ntile the whole corpus inside per-lang
+  // window partitions; this pins that no corpus-sized window exists (the
+  // plan's Window operators sit above the histogram aggregate) and that
+  // the join-back never degrades to a shuffle join.
+  test("surprisalBuckets: broadcast threshold join-back, windows only above the histogram aggregate") {
+    import graft.ops.FullText
+    val docs = (0L until 40L)
+      .map(i => (i, s"alpha beta w$i x$i", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val df = FullText.surprisalBuckets(docs)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // (BroadcastNestedLoopJoin IS expected once: bigramSurprisal's 1-row
+    // vocab-size stat joins condition-less by broadcast — the accepted
+    // broadcast-stats shape)
+    assert(!p.contains("CartesianProduct"), p)
+    // the windows must consume the (lang, score) aggregate, never raw docs:
+    // every Window node in the tree has a HashAggregate descendant keyed by
+    // score_mnat before any scan of the docs
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def findWindows(sp: SparkPlan): Seq[WindowExec] = sp match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => findWindows(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findWindows(q.plan)
+      case w: WindowExec => w +: w.children.flatMap(findWindows)
+      case other => other.children.flatMap(findWindows)
+    }
+    def hasHistAggBelow(sp: SparkPlan): Boolean = sp match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => hasHistAggBelow(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => hasHistAggBelow(q.plan)
+      case agg: BaseAggregateExec
+        if agg.groupingExpressions.exists(_.toString.contains("score_mnat")) => true
+      case other => other.children.exists(hasHistAggBelow)
+    }
+    val windows = findWindows(df.queryExecution.executedPlan)
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(hasHistAggBelow(w),
+      s"window not above the histogram aggregate:\n$w"))
+  }
+
   // q_cluster_profile's documented shape: cell assignment is a kernel
   // projection (no exchange), the per-cell top-k is a rank window whose
   // <=k filter reaches the window operator as a WindowGroupLimit (bounded

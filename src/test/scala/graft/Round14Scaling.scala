@@ -30,6 +30,19 @@ import org.apache.spark.sql.functions._
   *    the failure is loud with the targetGroups guidance — the boundary is
   *    measured, not just asserted.
   *
+  *  - **jpeg** — [[graft.ops.JpegCodec]] decode throughput inside
+  *    [[graft.ops.Multimodal.imagePixelStats]] across three decades of
+  *    asset count (ImageIO-ENCODED 64×48 gradient JPEGs, full AC
+  *    content — the real Huffman/IDCT path, not the DC-only gate
+  *    fixtures): per-asset µs must stay flat (decode is in-partition;
+  *    only the 48 B stats row shuffles).
+  *
+  *  - **ccnet** — [[graft.ops.FullText.surprisalBuckets]] across three
+  *    decades of corpus size: wall time plus the (lang, score) histogram
+  *    cardinality the thresholds are computed from — the histogram must
+  *    stay bounded by langs × score resolution while the corpus grows
+  *    100× (the "no global sort" claim, measured).
+  *
   * `Test/runMain graft.Round14Scaling [dirs...]`; defaults to sf0.1 +
   * /tmp/graft_sf10x + /tmp/graft_sf100x (built by [[ScalingFixture]]).
   */
@@ -45,7 +58,7 @@ object Round14Scaling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sections = sys.env.getOrElse("SPARK_GRAFT_SCALING_SECTIONS",
-      "subrecall,bloomfpp,prefix").split(",").map(_.trim).toSet
+      "subrecall,bloomfpp,prefix,jpeg,ccnet").split(",").map(_.trim).toSet
 
     if (sections("subrecall")) for (dir <- dirs) {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -137,6 +150,71 @@ object Round14Scaling {
         e.getMessage.linesIterator.next().take(120) }
       println(s"[r14prefix] 520 groups x 7813 sb (4.06M) past-cap -> $loud")
       graft.core.Checkpoints.release(over)
+    }
+    if (sections("jpeg")) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("media", BinaryType)))
+      for (n <- Seq(20000L, 200000L, 2000000L)) {
+        val media = spark.createDataFrame(
+          spark.range(n).rdd.mapPartitions { it =>
+            it.map { boxed =>
+              val id: Long = boxed
+              // 64×48 gradient + texture — full AC coefficients through
+              // the JDK encoder (quality default), varied per id
+              val img = new java.awt.image.BufferedImage(64, 48,
+                java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              var y = 0
+              while (y < 48) {
+                var x = 0
+                while (x < 64) {
+                  img.getRaster.setSample(x, y, 0,
+                    ((x * 3 + y * 5 + id * 13 + (x * y + id.toInt) % 11) % 256).toInt)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "jpeg", bos)
+              Row(id, bos.toByteArray)
+            }
+          }, schema).localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val decoded = graft.ops.Multimodal.imagePixelStats(media, "doc_id")
+          .agg(count(lit(1)), sum("px_sum")).head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[r14jpeg] n=$n decoded=${decoded.getLong(0)} " +
+          f"time=${dt}%.1fs per_asset_us=${dt * 1e6 / n}%.1f")
+        graft.core.Checkpoints.release(media)
+      }
+    }
+
+    if (sections("ccnet")) {
+      // synthetic multilingual corpus: 8 languages, per-doc text whose
+      // surprisal varies with the doc's rare-bigram share (same shape the
+      // spec uses), ~25 words/doc
+      for (n <- Seq(20000L, 200000L, 2000000L)) {
+        val docs = spark.range(n)
+          .select(col("id").as("doc_id"),
+            concat(lit("l"), pmod(col("id"), lit(8))).as("lang"),
+            concat_ws(" ",
+              flatten(transform(sequence(lit(1), lit(10)),
+                i => array(lit("the"), lit("common"), lit("phrase")))),
+              concat(lit("rare"), pmod(col("id"), lit(1000))),
+              concat(lit("tail"), pmod(col("id") * 7, lit(997)))).as("text"))
+          .localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val buckets = graft.ops.FullText.surprisalBuckets(docs)
+        val counts = buckets.groupBy("bucket").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val dt = (System.nanoTime() - t0) / 1e9
+        // the histogram the thresholds came from — must stay tiny
+        val histRows = buckets.select("lang", "score_mnat").distinct().count()
+        println(f"[r14ccnet] n=$n time=${dt}%.1fs bands=${counts.toSeq.sorted.mkString(",")} " +
+          s"hist_rows=$histRows")
+        graft.core.Checkpoints.release(docs)
+      }
     }
     spark.stop()
   }

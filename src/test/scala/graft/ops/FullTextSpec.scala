@@ -147,4 +147,43 @@ class FullTextSpec extends AnyFunSuite {
     val after = FullText.bm25TopKIndexed(spark, tmp, "spark", k = 10, nBuckets = 16).collect()
     assert(after.nonEmpty)
   }
+
+  test("surprisalBuckets: per-lang thirds, no-bigram docs in tail, band order tracks surprisal") {
+    // two languages with very different corpora; en has 9 scoreable docs
+    // (3/3/3 split) plus one no-bigram doc that must land in tail
+    val en = (0 until 9).map { i =>
+      // increasing disfluency: doc i repeats a common bigram 9-i times and
+      // adds i singleton bigrams → surprisal increases with i
+      val common = Seq.fill(9 - i)("the cat").mkString(" ")
+      val rare = (0 until i).map(j => s"w${i}x$j z${i}y$j").mkString(" ")
+      (i.toLong, s"$common $rare", "en")
+    } :+ ((9L, "solo", "en"))
+    val de = (10 until 16).map { i =>
+      val k = i - 10
+      val common = Seq.fill(6 - k)("der hund").mkString(" ")
+      val rare = (0 until k).map(j => s"g${i}a$j q${i}b$j").mkString(" ")
+      (i.toLong, s"$common $rare", "de")
+    }
+    val d = (en ++ de).toDF("doc_id", "text", "lang")
+    val r = FullText.surprisalBuckets(d).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getInt(3).toLong, x.getString(4)))
+      .sortBy(_._1)
+    // no-bigram doc → tail, named
+    assert(r(9) == ((9L, "en", 2L, "tail")))
+    // every bucket name matches its index
+    r.foreach { case (_, _, b, n) =>
+      assert(n == Seq("head", "middle", "tail")(b.toInt)) }
+    // en splits 3/3/3 (+1 forced tail); thresholds are per-language so the
+    // de corpus gets its own bands (6 docs → 2/2/2)
+    val enB = r.filter(_._2 == "en").map(_._3)
+    assert(enB.count(_ == 0L) == 3 && enB.count(_ == 1L) == 3 && enB.count(_ == 2L) == 4)
+    val deB = r.filter(_._2 == "de").map(_._3)
+    assert(deB.count(_ == 0L) == 2 && deB.count(_ == 1L) == 2 && deB.count(_ == 2L) == 2)
+    // band order follows the surprisal order the corpus was built with:
+    // head docs have lower scores than tail docs
+    val byBucket = r.filter(x => x._2 == "en" && x._1 != 9L)
+      .groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket(0L).max < byBucket(2L).min,
+      s"head ids ${byBucket(0L)} must precede tail ids ${byBucket(2L)}")
+  }
 }

@@ -189,6 +189,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dedupCorpusKeepBest keeps the highest-score member; min-id only on ties; singletons untouched") {
+    // docs 1/2 are near-dups (cluster); give 2 the higher score → 2 must
+    // survive where dedupCorpus (min-id) would keep 1; doc 4 is unrelated
+    val scored = docs.withColumn("q",
+      when(col("doc_id") === 2L, lit(10L)).otherwise(lit(1L)))
+    val kept = Dedup.dedupCorpusKeepBest(scored, "q", threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(2L) && !kept.contains(1L), s"kept=$kept")
+    assert(kept.contains(4L))
+    val minId = Dedup.dedupCorpus(docs, threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId.contains(1L) && !minId.contains(2L))
+    // equal scores → deterministic min-id winner, i.e. identical to dedupCorpus
+    val flat = docs.withColumn("q", lit(7L))
+    val keptFlat = Dedup.dedupCorpusKeepBest(flat, "q", threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptFlat == minId, s"tie policy must reduce to min-id: $keptFlat vs $minId")
+  }
+
   // 100 TB scale guard: a single hot (band,bucket) — e.g. boilerplate
   // duplicated across the whole corpus — must generate O(B) candidate pairs
   // (star around the bucket-min representative), never B²/2.
