@@ -102,6 +102,56 @@ object SparkEntry {
     out.toByteArray
   }
 
+  /** Deterministic BMP for q_bmp_decode, cycling the three uncompressed
+    * layouts by id%3 — 24bpp bottom-up, 32bpp TOP-DOWN (negative height),
+    * 8bpp palettized (grayscale BGRA quads) — over the same gray formula
+    * v = (id·31 + i·7) mod 256: one oracle formula, three container
+    * layouts, so a hash match proves stride padding, row order handling
+    * and palette expansion ([[ops.BmpCodec]]).
+    */
+  private[graft] def synthBmp(id: Long): Array[Byte] = {
+    val w = (4 + id % 9).toInt
+    val h = (3 + id % 5).toInt
+    val mode = (id % 3).toInt
+    def le32(v: Long): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val (bypp, bitCount) = mode match { case 0 => (3, 24); case 1 => (4, 32); case _ => (1, 8) }
+    val stride = ((w * bypp + 3) / 4) * 4
+    val palette = if (mode == 2)
+      (0 until 256).flatMap(g => Seq(g.toByte, g.toByte, g.toByte, 0.toByte)).toArray
+    else Array.emptyByteArray
+    val pxOffset = 14 + 40 + palette.length
+    val topDown = mode == 1
+    val px = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val row = (if (topDown) y else h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val v = ((id * 31 + (y * w + x) * 7) % 256).toByte
+        mode match {
+          case 2 => px(row + x) = v
+          case _ =>
+            px(row + x * bypp) = v; px(row + x * bypp + 1) = v; px(row + x * bypp + 2) = v
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('B'); out.write('M')
+    out.write(le32(pxOffset + px.length)); out.write(le32(0)); out.write(le32(pxOffset))
+    out.write(le32(40)); out.write(le32(w))
+    out.write(le32(if (topDown) (-h).toLong & 0xFFFFFFFFL else h))
+    out.write(le16(1)); out.write(le16(bitCount))
+    out.write(le32(0)); out.write(le32(px.length))
+    out.write(le32(2835)); out.write(le32(2835))
+    out.write(le32(if (mode == 2) 256 else 0)); out.write(le32(0))
+    out.write(palette); out.write(px)
+    out.toByteArray
+  }
+
   /** Deterministic MPEG-1 Layer III frame chain for q_mp3_meta (128 kbps,
     * 44.1 kHz → 417-byte frames) behind an ID3v2 tag: frame count, channel
     * mode, and tag padding are pure functions of the doc id, so the oracle
@@ -2032,6 +2082,17 @@ object SparkEntry {
         .toDF("doc_id", "media")
       Multimodal.videoFrameStats(media, "doc_id")
         .orderBy("doc_id", "frame_index")
+    },
+    // REAL BMP decode through our own BmpCodec: one gray formula through
+    // three container layouts (24bpp bottom-up / 32bpp top-down / 8bpp
+    // palette) — stride, row order and palette expansion all pinned
+    "q_bmp_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthBmp(id)))
+        .toDF("doc_id", "media")
+      Multimodal.imagePixelStats(media, "doc_id").orderBy("doc_id")
     },
     // REAL baseline JPEG decode through our own JpegCodec (T.81 marker
     // walk, DHT canonical-code build, Huffman DC + EXTEND, restart
@@ -4767,6 +4828,19 @@ object SparkEntry {
         |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
         |FROM px GROUP BY doc_id, f, w, h
         |ORDER BY doc_id, frame_index""".stripMargin,
+    // BMP: gray v = (id·31 + i·7) mod 256 lands as R=G=B in every layout,
+    // so each pixel contributes 3v regardless of 24/32/8bpp container
+    "q_bmp_decode" ->
+      """WITH d AS (SELECT doc_id, CAST(4 + doc_id % 9 AS BIGINT) AS width,
+        |    CAST(3 + doc_id % 5 AS BIGINT) AS height
+        |  FROM documents WHERE doc_id < 100),
+        | px AS (SELECT d.doc_id, d.width, d.height, (d.doc_id * 31 + g.i * 7) % 256 AS v
+        |   FROM d, (SELECT unnest(generate_series(0, 83)) AS i) g
+        |   WHERE g.i < d.width * d.height)
+        |SELECT doc_id, width, height, CAST(3 AS BIGINT) AS channels,
+        |  CAST(count(*) AS BIGINT) AS n_px, CAST(3 * sum(v) AS BIGINT) AS px_sum,
+        |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
     // DC-only JPEG: block (bx,by) of ceil(w/8) per row decodes flat to
     // level = (id·31 + blockIndex·29) mod 256 — the oracle replays the
     // generator formula per pixel, like q_png_decode

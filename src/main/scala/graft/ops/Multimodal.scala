@@ -600,15 +600,18 @@ object Multimodal {
     }
   }
 
-  /** Full image decode: PNG through [[PngCodec]] (our own inflate +
-    * unfilter), baseline JPEG through [[JpegCodec]] (our own T.81
-    * Huffman + IDCT decoder — both deterministic and oracle-gated), and
-    * the remainder (BMP, GIF, progressive JPEG) through the JDK's own
-    * `javax.imageio` readers (part of the JDK, not an external library).
+  /** Full image decode, all four still formats through OUR OWN codecs:
+    * PNG ([[PngCodec]] — inflate + unfilter), baseline JPEG
+    * ([[JpegCodec]] — T.81 Huffman + IDCT), GIF ([[GifCodec]] — LZW +
+    * palette), BMP ([[BmpCodec]] — DIB rows); every one deterministic and
+    * oracle-gated. The JDK's `javax.imageio` remains only as the fallback
+    * for the documented descopes (progressive JPEG, RLE/bitfield BMP).
     * Returns 8-bit channel-interleaved samples.
     */
   def decodeImage(bytes: Array[Byte]): Option[PngCodec.Image] =
-    PngCodec.decode(bytes).orElse(JpegCodec.decode(bytes)).orElse(scala.util.Try {
+    PngCodec.decode(bytes).orElse(JpegCodec.decode(bytes))
+      .orElse(GifCodec.decode(bytes)).orElse(BmpCodec.decode(bytes))
+      .orElse(scala.util.Try {
       val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (decoded == null) None
       else {

@@ -191,18 +191,20 @@ object Round14Scaling {
     }
 
     if (sections("ccnet")) {
-      // synthetic multilingual corpus: 8 languages, per-doc text whose
-      // surprisal varies with the doc's rare-bigram share (same shape the
-      // spec uses), ~25 words/doc
+      // synthetic multilingual corpus: 8 languages; the doc's share of
+      // RARE bigrams varies with id%13 (0..12 singleton pairs against a
+      // fixed common phrase), so per-doc surprisal genuinely spreads and
+      // every language has non-degenerate bands
       for (n <- Seq(20000L, 200000L, 2000000L)) {
         val docs = spark.range(n)
           .select(col("id").as("doc_id"),
             concat(lit("l"), pmod(col("id"), lit(8))).as("lang"),
             concat_ws(" ",
               flatten(transform(sequence(lit(1), lit(10)),
-                i => array(lit("the"), lit("common"), lit("phrase")))),
-              concat(lit("rare"), pmod(col("id"), lit(1000))),
-              concat(lit("tail"), pmod(col("id") * 7, lit(997)))).as("text"))
+                _ => array(lit("the"), lit("common"), lit("phrase")))),
+              concat_ws(" ", transform(sequence(lit(0), pmod(col("id"), lit(13))),
+                j => concat(lit("r"), pmod(col("id") * 31 + j * 7, lit(4096)),
+                  lit(" s"), pmod(col("id") * 17 + j * 11, lit(4093)))))).as("text"))
           .localCheckpoint(true)
         val t0 = System.nanoTime()
         val buckets = graft.ops.FullText.surprisalBuckets(docs)
