@@ -1055,6 +1055,39 @@ object SparkEntry {
       SimilaritySearch.lshTopK(emb, probes, dims = 64, k = 5, bits = 8, maxHamming = 2)
         .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
     },
+    // persisted HNSW + incremental delta overlay, exact mode: graph built
+    // once (VersionedDir manifest flip), ids 0-2 UPDATED via the sidecar
+    // (reversed vectors — stale graph rows must not surface), 900003
+    // INSERTED; result ≡ brute force over the overlaid corpus
+    "q_ann_hnsw_indexed" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_hnsw_gate").toString
+      ops.Hnsw.hnswIndexWrite(emb, path, dims = 64, m = 8, efConstruction = 48,
+        shards = 8)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val delta = emb.filter(col("vec_id") < 4)
+        .select(when(col("vec_id") === 3, col("vec_id") + lit(900000L))
+          .otherwise(col("vec_id")).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      ops.Hnsw.hnswTopKIndexed(s, path, probes, k = 5, ef = 1 << 20,
+        delta = Some(delta))
+        .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
+    },
+    // sharded HNSW in EXACT mode (ef ≥ shard size; the structural level-0
+    // chain makes full reachability provable, so the result EQUALS the
+    // brute-force top-k and the oracle is the exact SQL) — graph quality
+    // at realistic ef is measured in HnswSpec + SCALING.md, the gate pins
+    // the shard/build/search/merge machinery end to end
+    "q_ann_hnsw" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ops.Hnsw.hnswTopK(emb, probes, dims = 64, k = 5, m = 8,
+        efConstruction = 48, ef = 1 << 20, shards = 8)
+        .orderBy("qid", "rank").select("qid", "vec_id", "rank", "score")
+    },
     // retrieval-quality metrics (recall@k / MRR / nDCG): exact cosine top-5
     // as truth, Hamming-≤1 LSH as the scored route. Probes are REVERSED
     // corpus vectors (exact float op, engine-identical) so no probe has a
@@ -3982,6 +4015,33 @@ object SparkEntry {
          |SELECT label, vec_id, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 3
          |ORDER BY label, rank""".stripMargin,
     "q_ann_lsh" -> annLshSql,
+    // indexed variant: overlay semantics in SQL — ids 0-2 replaced by their
+    // reversed vectors, 900003 inserted, then the same brute-force top-5
+    "q_ann_hnsw_indexed" ->
+      s"""WITH ov AS (
+         |   SELECT vec_id, CASE WHEN vec_id < 3 THEN list_reverse(embedding)
+         |     ELSE embedding END AS embedding FROM embeddings
+         |   UNION ALL
+         |   SELECT vec_id + 900000, list_reverse(embedding) FROM embeddings WHERE vec_id = 3),
+         | p AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         | sc AS (SELECT p.qid, o.vec_id, round(${sqlCos("o.embedding", "p.qv")}, 6) AS score
+         |   FROM ov o, p),
+         | rk AS (SELECT qid, vec_id, score,
+         |     CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+         |   FROM sc)
+         |SELECT qid, vec_id, rank, score FROM rk WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+    // HNSW exact mode ⇒ brute-force equivalence: per-probe top-5 by
+    // (cosine DESC, id ASC), same rounding contract as q_knn_cosine
+    "q_ann_hnsw" ->
+      s"""WITH p AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         | sc AS (SELECT p.qid, e.vec_id, round(${sqlCos("e.embedding", "p.qv")}, 6) AS score
+         |   FROM embeddings e, p),
+         | rk AS (SELECT qid, vec_id, score,
+         |     CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+         |   FROM sc)
+         |SELECT qid, vec_id, rank, score FROM rk WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
     "q_ann_lsh_pruned" -> annLshSql,
     "q_retrieval_metrics" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS b FROM embeddings),

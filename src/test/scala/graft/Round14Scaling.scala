@@ -43,6 +43,12 @@ import org.apache.spark.sql.functions._
   *    stay bounded by langs × score resolution while the corpus grows
   *    100× (the "no global sort" claim, measured).
   *
+  *  - **hnsw** — sharded [[graft.ops.Hnsw]] across three decades of
+  *    synthetic clustered vectors: build+search wall time and recall@10
+  *    at realistic ef vs brute-force truth. The per-shard graph keeps
+  *    build CPU-bound and shuffle-free; recall must hold as shard
+  *    population grows 100×.
+  *
   * `Test/runMain graft.Round14Scaling [dirs...]`; defaults to sf0.1 +
   * /tmp/graft_sf10x + /tmp/graft_sf100x (built by [[ScalingFixture]]).
   */
@@ -58,7 +64,7 @@ object Round14Scaling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sections = sys.env.getOrElse("SPARK_GRAFT_SCALING_SECTIONS",
-      "subrecall,bloomfpp,prefix,jpeg,ccnet").split(",").map(_.trim).toSet
+      "subrecall,bloomfpp,prefix,jpeg,ccnet,hnsw").split(",").map(_.trim).toSet
 
     if (sections("subrecall")) for (dir <- dirs) {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -216,6 +222,32 @@ object Round14Scaling {
         println(f"[r14ccnet] n=$n time=${dt}%.1fs bands=${counts.toSeq.sorted.mkString(",")} " +
           s"hist_rows=$histRows")
         graft.core.Checkpoints.release(docs)
+      }
+    }
+    if (sections("hnsw")) {
+      // clustered synthetic vectors (32 clusters, 64 dims) — the regime
+      // graph search is built for; 20 probes drawn from cluster centers
+      // with noise so true neighbours span shards
+      for (n <- Seq(20000L, 200000L, 2000000L)) {
+        val dims = 64
+        val items = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dims - 1)), d =>
+            (sin(pmod(col("id"), lit(32)) * 31 + d * 7) +
+              cos(col("id") * 13 + d) * 0.05).cast("float")).as("embedding"))
+          .localCheckpoint(true)
+        val probes = items.filter(pmod(col("vec_id"), lit(n / 20)) === 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val truth = graft.ops.SimilaritySearch.bruteForceTopK(items, probes, k = 10)
+          .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val t0 = System.nanoTime()
+        val approx = graft.ops.Hnsw.hnswTopK(items, probes, dims = dims, k = 10,
+          m = 8, efConstruction = 48, ef = 64, shards = 32)
+          .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val dt = (System.nanoTime() - t0) / 1e9
+        val recall = (approx & truth).size.toDouble / truth.size
+        println(f"[r14hnsw] n=$n build+search=${dt}%.1fs recall@10=${recall}%.3f " +
+          f"per_vec_us=${dt * 1e6 / n}%.2f")
+        graft.core.Checkpoints.release(items)
       }
     }
     spark.stop()
