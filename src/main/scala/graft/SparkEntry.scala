@@ -1320,6 +1320,17 @@ object SparkEntry {
         .select(col("doc_id"), col("score"), col("key"))
         .orderBy(desc("score"), col("doc_id").asc)
     },
+    // HNSW through the public API with incremental mutations: graph built
+    // at first ingest, the add rides the sidecar (scored exactly, no
+    // graph row), the delete tombstones its STALE graph row; ef ≥ n ⇒
+    // result is the brute-force top-5 of the live corpus
+    "q_ann_vi_hnsw_incr" -> { (s, dir) =>
+      val vi = viHnswIncrIndexFor(s, dir)
+      vi.searchVector(probeVec(s, dir), k = 5, threshold = -2.0,
+          mode = SearchMode.Hnsw(m = 8, efConstruction = 48, ef = 1 << 20))
+        .select(col("doc_id"), col("score"), col("key"))
+        .orderBy(desc("score"), col("doc_id").asc)
+    },
     // the IVF×PQ variant: the delta row rides the codes index (kernel-encoded
     // against the stored codebooks), search stays cell-pruned ADC + rerank
     "q_ann_vi_pq_incr" -> { (s, dir) =>
@@ -2697,6 +2708,22 @@ object SparkEntry {
         ann = Seq(SearchMode.Lsh(bits = 8, maxHamming = 2))))
     })
 
+  /** HNSW twin — graph-index incremental path: mutations ride the
+    * (id, vector, deleted) sidecar; search suppresses stale graph rows and
+    * scores the live delta exactly. ef = 2^20 ≥ any shard → exact mode,
+    * so the oracle is brute force over the LIVE corpus.
+    */
+  private val viHnswIncrIndexes = scala.collection.concurrent.TrieMap.empty[String, VectorIndex]
+  private def viHnswIncrIndexFor(s: SparkSession, dir: String): VectorIndex =
+    viHnswIncrIndexes.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-vi-hnsw").toString + "/idx"
+      viIncrMutations(s, dir, new VectorIndex(s,
+        IndexConfig("emb_hnsw", "vec_id", Seq(EmbeddingField("text"))),
+        HashEmbeddingBackend(64), graft.embed.EchoChatBackend(),
+        path, "emb", "vec_id",
+        ann = Seq(SearchMode.Hnsw(m = 8, efConstruction = 48, ef = 1 << 20))))
+    })
+
   /** IVF×PQ twin — the most complex incremental path: the delta row's CODES
     * are produced by the compiled encode kernel against the STORED
     * codebooks, and search overlays them into the cell-pruned ADC scan.
@@ -3999,6 +4026,18 @@ object SparkEntry {
     "q_store_fold" -> storeDeltaSql,
     "q_ann_vi_ivf_incr" -> annViIvfIncrSql,
     "q_ann_vi_lsh_incr" -> annViLshIncrSql,
+    // HNSW exact mode over the live corpus (base − deleted 2 + added
+    // 1000001): plain brute-force top-5
+    "q_ann_vi_hnsw_incr" ->
+      s"""WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 2
+         |   UNION ALL SELECT 1000001 AS vec_id, embedding FROM embeddings WHERE vec_id = 1),
+         | p AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         | joined AS (SELECT vec_id, round(${sqlCos("corp.embedding", "p.qv")}, 6) AS score
+         |   FROM corp, p),
+         | ranked AS (SELECT vec_id, score,
+         |   row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rank FROM joined)
+         |SELECT vec_id AS doc_id, score, 'emb:' || vec_id AS key FROM ranked WHERE rank <= 5
+         |ORDER BY score DESC, doc_id""".stripMargin,
     "q_ann_vi_pq_incr" -> annViPqIncrSql,
     "q_ann_vi_rpq_incr" -> annViRpqIncrSql,
     "q_ann_vi_sq_incr" -> annViSqIncrSql,

@@ -48,6 +48,14 @@ object SearchMode {
     * overfetch-rescore recipe of qdrant's binary mode.
     */
   final case class Bq(refine: Int = 4) extends SearchMode
+  /** Sharded HNSW graphs ([[graft.ops.Hnsw]]): per-shard adjacency
+    * persisted under the versioned root, beam search width `ef` at query
+    * time (`ef ≥ shard size` ⇒ exact). Incremental mutations ride the
+    * same (id, vector) delta sidecar as Lsh/Ivf — new wins, stale graph
+    * rows suppressed — until the fold rebuilds the graphs.
+    */
+  final case class Hnsw(m: Int = 8, efConstruction: Int = 48,
+                        ef: Int = 32) extends SearchMode
 }
 
 /** User-facing index handle — the Spark re-expression of the reference's
@@ -175,6 +183,7 @@ final class VectorIndex(
       new VersionedDir(spark, annRpqPath).deleteAll()
       new VersionedDir(spark, annSqPath).deleteAll()
       new VersionedDir(spark, annBqPath).deleteAll()
+      new VersionedDir(spark, annHnswPath).deleteAll()
     }
   }
 
@@ -188,6 +197,7 @@ final class VectorIndex(
   def annRpqPath: String = s"$indexPath/__ann_rpq"
   def annSqPath: String = s"$indexPath/__ann_sq"
   def annBqPath: String = s"$indexPath/__ann_bq"
+  def annHnswPath: String = s"$indexPath/__ann_hnsw"
 
   /** Rebuild every configured ANN structure from the CURRENT documents —
     * called after each mutation, so ANN search always reflects the store.
@@ -199,6 +209,11 @@ final class VectorIndex(
     ann.foreach {
       case SearchMode.Lsh(bits, _) =>
         SimilaritySearch.lshIndexWrite(docs, annLshPath, config.dims, bits, itemVec = "vector")
+      case SearchMode.Hnsw(m, efc, _) =>
+        graft.ops.Hnsw.hnswIndexWrite(docs.select(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("vector")),
+          annHnswPath, config.dims, m, efc, itemId = "doc_id", itemVec = "vector")
       case SearchMode.Ivf(nCells, _, lloydIters) =>
         val (assigned, centroids) = SimilaritySearch.ivfAssign(docs, nCells,
           itemId = "doc_id", itemVec = "vector", lloydIters = lloydIters)
@@ -269,6 +284,7 @@ final class VectorIndex(
       case SearchMode.RpqIvf(_, _, _, _, _, _) => !new VersionedDir(spark, annRpqPath).exists
       case SearchMode.Sq(_)          => !new VersionedDir(spark, annSqPath).exists
       case SearchMode.Bq(_)          => !new VersionedDir(spark, annBqPath).exists
+      case SearchMode.Hnsw(_, _, _)  => !new VersionedDir(spark, annHnswPath).exists
       case SearchMode.Exact          => false
     }
     if (anyMissingBase) { refreshAnn(); return }
@@ -288,6 +304,12 @@ final class VectorIndex(
           lit(null).cast("array<float>").as("vector"),
           lit(null).cast("long").as("bucket"), lit(true).as("deleted"))
         annDeltaWrite(annLshPath, adds.unionByName(tombs))
+      case SearchMode.Hnsw(_, _, _) =>
+        val adds = changedDocs1.select(col("doc_id"), col("vector"),
+          lit(false).as("deleted"))
+        val tombs = tombIds.select(col("doc_id"),
+          lit(null).cast("array<float>").as("vector"), lit(true).as("deleted"))
+        annDeltaWrite(annHnswPath, adds.unionByName(tombs))
       case SearchMode.Ivf(_, _, _) =>
         val (cvs, cids) = SimilaritySearch.collectCentroids(
           SimilaritySearch.ivfCentroidsRead(spark, annIvfPath))
@@ -362,6 +384,7 @@ final class VectorIndex(
       case SearchMode.RpqIvf(_, _, _, _, _, _) => new VersionedDir(spark, annRpqPath).listDeltas.size
       case SearchMode.Sq(_)        => new VersionedDir(spark, annSqPath).listDeltas.size
       case SearchMode.Bq(_)        => new VersionedDir(spark, annBqPath).listDeltas.size
+      case SearchMode.Hnsw(_, _, _) => new VersionedDir(spark, annHnswPath).listDeltas.size
       case SearchMode.Exact        => 0
     }.maxOption.getOrElse(0)
     if (maxPending >= foldEvery) refreshAnn()
@@ -466,6 +489,9 @@ final class VectorIndex(
           annDeltaRead(annBqPath), "bq")
         graft.ops.BinaryQuantization.bqTopK(codes, documents, thr,
           probes, k, refine, itemId = "doc_id", itemVec = "vector")
+      case SearchMode.Hnsw(_, _, ef) =>
+        graft.ops.Hnsw.hnswTopKIndexed(spark, annHnswPath, probes, k, ef,
+          delta = annDeltaRead(annHnswPath), itemId = "doc_id", itemVec = "vector")
       case SearchMode.Exact => throw new IllegalStateException("unreachable")
     }
     broadcast(topk.filter(col("score") >= threshold)

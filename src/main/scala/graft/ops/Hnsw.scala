@@ -194,7 +194,11 @@ object Hnsw {
       import spark.implicits._
       val probeDf = probeArr.toSeq.map { case (qid, qv) => (qid, qv.toSeq) }
         .toDF("qid", "qv").select(col("qid"), col("qv").cast("array<float>"))
-      val deltaScored = d.select(col(itemId).cast("long"), col(itemVec))
+      // VectorIndex-style sidecars carry a `deleted` tombstone column
+      // (null vector): every delta id — live or tombstoned — suppresses
+      // its stale graph row above; only LIVE rows score here
+      val live = if (d.columns.contains("deleted")) d.filter(!col("deleted")) else d
+      val deltaScored = live.select(col(itemId).cast("long"), col(itemVec))
         .crossJoin(broadcast(probeDf))
         .select(col("qid"), col(itemId),
           graft.functions.vector.vec_cosine(col(itemVec), col("qv")).cast("double").as("score"))

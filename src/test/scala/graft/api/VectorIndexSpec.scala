@@ -480,4 +480,39 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(IndexRegistry.rebuildAll(_ => "yes"))
     assert(IndexRegistry.get("reg_c").get.documents.count() == 3)
   }
+
+  test("Hnsw mode: exact parity at ef >= corpus; upsert/delete ride the sidecar, no retrain") {
+    val hnswMode = SearchMode.Hnsw(m = 6, efConstruction = 24, ef = 1 << 20)
+    val idx = annIndex("ann_hnsw", Seq(hnswMode))
+    idx.rebuild(annSource)
+    val vd = new VersionedDir(spark, idx.annHnswPath)
+    val v0 = vd.currentVersion.get
+    val q = "document number 17 about topic3 detail17"
+    val exact = idx.search(q, k = 5, threshold = -1.0)
+      .select(col("doc_id"), round(col("score"), 6)).as[(Long, Double)].collect().toSet
+    val viaGraph = idx.search(q, k = 5, threshold = -1.0, mode = hnswMode)
+      .select(col("doc_id"), round(col("score"), 6)).as[(Long, Double)].collect().toSet
+    assert(viaGraph == exact)
+
+    val newDoc = graft.pipeline.IndexBuild.buildDocuments(
+      Seq((100L, "completely new page about quasars and pulsars today")).toDF("id", "body"),
+      idx.config, idx.backend, "page", "id")
+    idx.upsert(newDoc)
+    assert(vd.currentVersion.contains(v0) && vd.listDeltas.size == 1,
+      "upsert must ride the sidecar, not rebuild the graph")
+    val probe = "completely new page about quasars and pulsars today"
+    val keys = idx.search(probe, k = 3, threshold = -1.0, mode = hnswMode)
+      .select("key").as[String].collect().toSet
+    assert(keys.contains("page:100"), "graph search misses the upserted doc")
+
+    idx.delete(newDoc.select("doc_id").as[Long].collect().toSeq)
+    assert(vd.currentVersion.contains(v0) && vd.listDeltas.size == 2)
+    val after = idx.search(probe, k = 10, threshold = -1.0, mode = hnswMode)
+      .select("key").as[String].collect().toSet
+    assert(!after.contains("page:100"), "tombstoned doc still surfaces")
+    // and exact parity still holds over the (unchanged-net) corpus
+    val again = idx.search(q, k = 5, threshold = -1.0, mode = hnswMode)
+      .select(col("doc_id"), round(col("score"), 6)).as[(Long, Double)].collect().toSet
+    assert(again == exact)
+  }
 }
