@@ -560,6 +560,24 @@ class PlanSpec extends AnyFunSuite {
       s"window not above the histogram aggregate:\n$w"))
   }
 
+  // q_ann_hnsw's documented shape: the only exchanges are the shard
+  // repartition and the bounded top-k merge (TopKAggregator partial agg —
+  // O(shards·probes·k) rows); no window over scored candidates, no
+  // cartesian anything.
+  test("hnswTopK: two exchanges (shard + bounded merge), no candidate window, no cartesian") {
+    import graft.ops.Hnsw
+    val items = (0L until 64L)
+      .map(i => (i, Seq.tabulate(8)(d => (i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val probes = items.limit(2).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val df = Hnsw.hnswTopK(items, probes, dims = 8, k = 3, shards = 4)
+    val p = plan(df)
+    assert(!p.contains("WindowExec") && !p.contains("Window "), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(shuffleCount(df.queryExecution.executedPlan) <= 3, p)
+  }
+
   // q_cluster_profile's documented shape: cell assignment is a kernel
   // projection (no exchange), the per-cell top-k is a rank window whose
   // <=k filter reaches the window operator as a WindowGroupLimit (bounded
