@@ -102,6 +102,58 @@ object SparkEntry {
     out.toByteArray
   }
 
+  /** Deterministic ANIMATED grayscale GIF for q_gif_frames, written by the
+    * JDK's own sequence writer (real multi-frame LZW — an independent
+    * encoder, like synthGif): 2 + id%3 full-canvas frames of
+    * (8 + 2·(id%5)) × (6 + 2·(id%3)) pixels, frame f pixel i =
+    * (id·31 + f·97 + i) mod 256, disposal none, no transparency — so the
+    * composited canvas IS each frame and the oracle replays the formula
+    * per (frame, pixel). Delay = 4 + id%7 cs on every frame (pins GCE
+    * parse).
+    */
+  private[graft] def synthAnimGif(id: Long): Array[Byte] = {
+    val w = (8 + 2 * (id % 5)).toInt
+    val h = (6 + 2 * (id % 3)).toInt
+    val nFrames = (2 + id % 3).toInt
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until nFrames).foreach { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.getRaster.setSample(x, y, 0, ((id * 31 + f * 97 + (y * w + x)) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val param = writer.getDefaultWriteParam
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), param)
+      val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+      val root = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", (4 + id % 7).toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), param)
+    }
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
   /** Deterministic BMP for q_bmp_decode, cycling the three uncompressed
     * layouts by id%3 — 24bpp bottom-up, 32bpp TOP-DOWN (negative height),
     * 8bpp palettized (grayscale BGRA quads) — over the same gray formula
@@ -2150,6 +2202,17 @@ object SparkEntry {
         .map(id => (id, synthJpeg(id)))
         .toDF("doc_id", "media")
       Multimodal.imagePixelStats(media, "doc_id").orderBy("doc_id")
+    },
+    // ANIMATED GIF through the video ops: multi-frame LZW decode +
+    // canvas compositing; px_wsum pins frame order and placement
+    "q_gif_frames" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthAnimGif(id)))
+        .toDF("doc_id", "media")
+      Multimodal.videoFrameStats(media, "doc_id")
+        .orderBy("doc_id", "frame_index")
     },
     // MJPEG video: AVI 'MJPG' frame chunks are standalone JPEGs with the
     // DHT segment OMITTED (the MJPEG convention) — decode must install the
@@ -4957,6 +5020,24 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
         |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
         |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+    // animated GIF: full-canvas gray frames → RGB canvas = the frame, so
+    // per pixel j the three bytes contribute v·(9j+3) to the wsum (same
+    // identity as q_avi_frames)
+    "q_gif_frames" ->
+      """WITH d AS (SELECT doc_id, 8 + 2 * (doc_id % 5) AS w, 6 + 2 * (doc_id % 3) AS h,
+        |    2 + doc_id % 3 AS nf FROM documents WHERE doc_id < 100),
+        | px AS (SELECT d.doc_id, d.w, d.h, fr.f, g.i,
+        |     (d.doc_id * 31 + fr.f * 97 + g.i) % 256 AS v
+        |   FROM d, (SELECT unnest(generate_series(0, 4)) AS f) fr,
+        |        (SELECT unnest(generate_series(0, 159)) AS i) g
+        |   WHERE fr.f < d.nf AND g.i < d.w * d.h)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_index, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(w * h * 3 AS BIGINT) AS n_px,
+        |  CAST(3 * sum(v) AS BIGINT) AS px_sum,
+        |  CAST(sum(v * (9 * i + 3)) AS BIGINT) AS px_wsum,
+        |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id, f, w, h
+        |ORDER BY doc_id, frame_index""".stripMargin,
     // MJPEG frames add frame·97 to the block level; px_wsum = Σ v·i is
     // order-sensitive, pinning frame order and block placement
     "q_mjpeg_frames" ->

@@ -462,11 +462,21 @@ object Multimodal {
     }
   }
 
+  /** Shared REAL video-frame decode: AVI (uncompressed DIB or MJPEG,
+    * [[AviCodec]]) and ANIMATED GIF (full-canvas composited frames,
+    * [[GifCodec.decodeFrames]] — a web "video" format in practice). None
+    * for other codecs.
+    */
+  private def videoFrames(bytes: Array[Byte]): Option[Array[PngCodec.Image]] =
+    AviCodec.decode(bytes).map(_.frames)
+      .orElse(GifCodec.decodeFrames(bytes).map(_.frames))
+
   /** Frame sampling for "video" bytes: one output row per sampled frame.
     * Media expansion happens within the partition; only (id, frame_index,
-    * frame feature) rows flow on. Uncompressed-DIB AVI decodes for REAL
-    * ([[AviCodec]] — frame bytes are the top-down RGB pixels); anything
-    * else falls back to [[StubCodec]]'s deterministic stand-in.
+    * frame feature) rows flow on. Uncompressed-DIB / MJPEG AVI and
+    * animated GIF decode for REAL ([[videoFrames]] — frame bytes are the
+    * top-down RGB pixels); anything else falls back to [[StubCodec]]'s
+    * deterministic stand-in.
     */
   def sampleFrames(df: DataFrame, idCol: String, binaryCol: String = "media",
                    everyN: Int = 4): DataFrame = {
@@ -481,10 +491,10 @@ object Multimodal {
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null) Iterator.empty
-        else AviCodec.decode(bytes) match {
-          case Some(avi) =>
-            (0 until avi.frames.length by everyN).iterator.map { f =>
-              Row(r.get(idIdx), f, avi.frames(f).pixels)
+        else videoFrames(bytes) match {
+          case Some(frames) =>
+            (0 until frames.length by everyN).iterator.map { f =>
+              Row(r.get(idIdx), f, frames(f).pixels)
             }
           case None =>
             StubCodec.sampleFrames(bytes, everyN).zipWithIndex.iterator.map {
@@ -495,12 +505,13 @@ object Multimodal {
     }
   }
 
-  /** REAL per-frame pixel stats over uncompressed-DIB AVI videos
-    * ([[AviCodec]]): one row per sampled frame (every `everyN`th) with the
-    * [[imagePixelStats]] column shape plus `frame_index` — frame sampling
-    * + feature extraction as one in-partition pass, only ~48 B/frame ever
-    * leaving the partition. Non-AVI/compressed/corrupt/null rows yield
-    * nothing (the stub path is for shape-testing, not stats).
+  /** REAL per-frame pixel stats over decodable videos — uncompressed-DIB
+    * / MJPEG AVI and animated GIF ([[videoFrames]]): one row per sampled
+    * frame (every `everyN`th) with the [[imagePixelStats]] column shape
+    * plus `frame_index` — frame sampling + feature extraction as one
+    * in-partition pass, only ~48 B/frame ever leaving the partition.
+    * Undecodable/corrupt/null rows yield nothing (the stub path is for
+    * shape-testing, not stats).
     */
   def videoFrameStats(df: DataFrame, idCol: String, binaryCol: String = "media",
                       everyN: Int = 1): DataFrame = {
@@ -525,9 +536,9 @@ object Multimodal {
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null) Iterator.empty
-        else AviCodec.decode(bytes).iterator.flatMap { avi =>
-          (0 until avi.frames.length by everyN).iterator.map { f =>
-            val img = avi.frames(f)
+        else videoFrames(bytes).iterator.flatMap { frames =>
+          (0 until frames.length by everyN).iterator.map { f =>
+            val img = frames(f)
             var sum = 0L; var wsum = 0L; var mn = 255L; var mx = 0L
             var i = 0
             while (i < img.pixels.length) {
@@ -1176,11 +1187,12 @@ object Multimodal {
                   math.round(e * 50176.0)
                 })
               }.orNull
-            case "video" | "avi" =>
+            case "video" | "avi" | "anim" =>
               // video identity = the ordered frame dHash sequence folded
-              // into one long (order-sensitive: a re-cut is not a dup)
-              AviCodec.decode(bytes).map { avi =>
-                avi.frames.foldLeft(1125899906842597L) { (h, img) =>
+              // into one long (order-sensitive: a re-cut is not a dup);
+              // AVI frames or animated-GIF composited canvases alike
+              videoFrames(bytes).map { frames =>
+                frames.foldLeft(1125899906842597L) { (h, img) =>
                   h * 31L ^ dhash64(img)
                 }
               }.orNull
