@@ -12,7 +12,9 @@ import org.apache.spark.sql.types._
   * graph PER SHARD inside `mapPartitions` (vectors never leave their
   * partition), search every shard with the broadcast probe batch, and
   * merge the per-shard top-k with the bounded [[graft.functions.TopKAggregator]]
-  * (the one shuffle carries O(shards · probes · k) rows). Search cost is
+  * (each shard emits its local top-k, so the one shuffle carries exactly
+  * O(shards · probes · k) rows — the beam width `ef` never reaches the
+  * wire). Search cost is
   * shards × O(ef · log n_shard) instead of one global O(ef · log n) — the
   * classic trade for embarrassing parallelism and incremental shard
   * rebuilds.
@@ -33,8 +35,36 @@ import org.apache.spark.sql.types._
   * shuffle. The build is redone per query batch here (stateless
   * operator); a VersionedDir-persisted variant would serialize adjacency
   * the way the LSH/IVF index writers do.
+  *
+  * Shard COUNT auto-sizing: `shards = defaultParallelism` keeps every
+  * core busy but lets the per-shard population — and with it the
+  * O(n_shard · ef_c · log n_shard) build — grow linearly with the corpus
+  * at fixed cluster size. When `shards` is not given, [[autoShards]]
+  * caps the population at `TargetRowsPerShard` instead: shards =
+  * max(parallelism, ceil(n / target)), so per-shard build cost stays
+  * flat from 10⁵ to 10⁹ vectors and the extra cost surfaces only in the
+  * (cheap, k-bounded) merge.
   */
 object Hnsw {
+
+  /** Default shard-population cap for [[autoShards]]: 256k vectors × 64
+    * dims ≈ 70 MB of floats + ~25 MB of edges per shard — comfortably
+    * inside an executor core's share, and small enough that the
+    * sequential in-shard build stays in the tens-of-µs-per-vector regime
+    * measured in SCALING.md.
+    */
+  val TargetRowsPerShard: Long = 262144L
+
+  /** Shard count for an unsharded call: enough shards that no shard
+    * exceeds `target` vectors, but never fewer than the cluster's
+    * parallelism (one count() job; callers that already know n should
+    * pass `shards` explicitly).
+    */
+  def autoShards(items: DataFrame, target: Long = TargetRowsPerShard): Int = {
+    val n = items.count()
+    val byRows = ((n + target - 1) / target).toInt
+    math.max(items.sparkSession.sparkContext.defaultParallelism, math.max(1, byRows))
+  }
 
   /** Approximate top-k: per-shard HNSW beam search + exact cosine rerank
     * of the beam, merged across shards. `ef ≥ shard size` ⇒ exact.
@@ -43,10 +73,23 @@ object Hnsw {
                m: Int = 8, efConstruction: Int = 48, ef: Int = 32,
                shards: Int = 0,
                itemId: String = "vec_id", itemVec: String = "embedding",
-               probeId: String = "qid", probeVec: String = "qv"): DataFrame = {
+               probeId: String = "qid", probeVec: String = "qv"): DataFrame =
+    SimilaritySearch.topKByProbe(
+      shardBeams(items, probes, k, m, efConstruction, ef, shards,
+        itemId, itemVec, probeId, probeVec)
+        .withColumn("score", round(col("score"), 6)), k, probeId, itemId)
+
+  /** The pre-merge stage of [[hnswTopK]]: per-(shard, probe) local top-k
+    * rows — AT MOST shards · probes · k of them, the entire shuffle the
+    * operator pays (exposed so the bound is spec-pinnable).
+    */
+  private[ops] def shardBeams(items: DataFrame, probes: DataFrame, k: Int,
+                              m: Int, efConstruction: Int, ef: Int, shards: Int,
+                              itemId: String, itemVec: String,
+                              probeId: String, probeVec: String): DataFrame = {
     require(m >= 2 && efConstruction >= m && ef >= 1, s"bad HNSW params m=$m efC=$efConstruction ef=$ef")
     val spark = items.sparkSession
-    val nShards = if (shards > 0) shards else spark.sparkContext.defaultParallelism
+    val nShards = if (shards > 0) shards else autoShards(items)
     val probeRows = probes.select(col(probeId).cast("long"), col(probeVec)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(probeRows.length <= 4096, s"probe batch too large: ${probeRows.length}")
@@ -64,32 +107,37 @@ object Hnsw {
           java.util.Arrays.sort(buf, Ordering.by((t: (Long, Array[Float])) => t._1))
           val g = build(buf, m, efConstruction)
           probesB.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, math.max(ef, k)).take(math.max(ef, k)).map { case (idx, score) =>
+            // beam width ef, but only the shard-local top-k crosses the
+            // shuffle — the merge needs no more than k rows per shard
+            g.search(qv, math.max(ef, k)).take(k).map { case (idx, score) =>
               Row(qid, buf(idx)._1, score)
             }
           }
         }
       }
-    // exact-cosine scores already computed in-shard; merge shard top-ks
-    SimilaritySearch.topKByProbe(
-      beams.withColumn("score", round(col("score"), 6)), k, probeId, itemId)
+    beams
   }
 
   /** Persist the per-shard graphs so recurring query batches skip the
-    * build: one parquet row per node — (shard, pos, vec_id, embedding,
-    * nbrs[level][..]) with neighbour links as in-shard POSITIONS — behind
-    * the same [[graft.api.VersionedDir]] manifest-flip discipline as the
-    * LSH/IVF index writers (readers never see a partial graph).
+    * build: one parquet row per node — (shard, pos, vec_id, level,
+    * embedding, nbrs[0..level][..]) with neighbour links as in-shard
+    * POSITIONS — behind the same [[graft.api.VersionedDir]]
+    * manifest-flip discipline as the LSH/IVF index writers (readers
+    * never see a partial graph). The node's hierarchy level is an
+    * EXPLICIT column (and `nbrs` is trimmed to it): the reader must
+    * reconstruct the same entry point and descent depth the builder
+    * used, and inferring levels from adjacency-array length would read
+    * every node as shard-max-level, collapsing the hierarchical descent.
     */
   def hnswIndexWrite(items: DataFrame, path: String, dims: Int,
                      m: Int = 8, efConstruction: Int = 48, shards: Int = 0,
                      itemId: String = "vec_id", itemVec: String = "embedding",
                      keepVersions: Int = 2): Unit = {
     val spark = items.sparkSession
-    val nShards = if (shards > 0) shards else spark.sparkContext.defaultParallelism
+    val nShards = if (shards > 0) shards else autoShards(items)
     val outSchema = StructType(Seq(
       StructField("shard", IntegerType), StructField("pos", IntegerType),
-      StructField("vec_id", LongType),
+      StructField("vec_id", LongType), StructField("level", IntegerType),
       StructField("embedding", ArrayType(FloatType)),
       StructField("nbrs", ArrayType(ArrayType(IntegerType)))))
     implicit val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
@@ -103,10 +151,11 @@ object Hnsw {
           val g = build(buf, m, efConstruction)
           val shard = org.apache.spark.TaskContext.getPartitionId()
           (0 until buf.length).iterator.map { pos =>
-            val lvls = (0 until g.neighbors.length).map { l =>
+            val level = g.levelOf(pos)
+            val lvls = (0 to level).map { l =>
               Option(g.neighbors(l)(pos)).map(_.toSeq).getOrElse(Seq.empty[Int])
             }
-            Row(shard, pos, buf(pos)._1, buf(pos)._2.toSeq, lvls)
+            Row(shard, pos, buf(pos)._1, level, buf(pos)._2.toSeq, lvls)
           }
         }
       }
@@ -141,7 +190,7 @@ object Hnsw {
       StructField("score", DoubleType)))
     implicit val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     val graphBeams = raw.select(col("shard"), col("pos"), col("vec_id"),
-        col("embedding"), col("nbrs"))
+        col("level"), col("embedding"), col("nbrs"))
       .repartition(col("shard"))
       .mapPartitions { rows =>
         // a partition may hold several whole shards (hash partitioning) —
@@ -150,22 +199,20 @@ object Hnsw {
           val n = nodes.length
           val vecs = new Array[Array[Float]](n)
           val ids = new Array[Long](n)
-          var maxLevel = 0
+          val levels = new Array[Int](n)
           val nbrSeqs = new Array[Seq[Seq[Int]]](n)
           nodes.foreach { r =>
             val pos = r.getInt(1)
             ids(pos) = r.getLong(2)
-            vecs(pos) = r.getSeq[Float](3).toArray
-            val lv = r.getSeq[Seq[Int]](4)
-            nbrSeqs(pos) = lv
-            if (lv.length - 1 > maxLevel) maxLevel = lv.length - 1
+            levels(pos) = r.getInt(3)
+            vecs(pos) = r.getSeq[Float](4).toArray
+            nbrSeqs(pos) = r.getSeq[Seq[Int]](5)
           }
           val norms = vecs.map { v =>
             var s = 0.0; var i = 0
             while (i < v.length) { s += v(i) * v(i); i += 1 }
             math.sqrt(s)
           }
-          val levels = nbrSeqs.map(_.length - 1)
           val g = new Graph(vecs, norms, levels, 0)
           var pos = 0
           while (pos < n) {
@@ -177,15 +224,20 @@ object Hnsw {
             }
             pos += 1
           }
-          // entry = deepest node, lowest pos on ties (the build invariant)
+          // entry = deepest node, lowest pos on ties (the build invariant:
+          // build() only moves the entry on a STRICTLY deeper insert, and
+          // inserts ascend by pos)
           var e = 0; var eL = levels(0)
           var i = 1
           while (i < n) { if (levels(i) > eL) { e = i; eL = levels(i) }; i += 1 }
           g.entry = e
           val stale = deltaIdsB.value
           probesB.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, ef).iterator
+            // beam at width max(ef, k); only the top-k live rows cross
+            // the shuffle into the merge
+            g.search(qv, math.max(ef, k)).iterator
               .filter { case (idx, _) => !stale.contains(ids(idx)) }
+              .take(k)
               .map { case (idx, score) => Row(qid, ids(idx), score) }
           }
         }
@@ -228,6 +280,8 @@ object Hnsw {
       Array.tabulate(maxLevel + 1)(_ => new Array[Array[Int]](n))
     var entry = 0
 
+    def levelOf(i: Int): Int = levels(i)
+
     def cosine(a: Array[Float], i: Int): Double = {
       val b = vecs(i)
       var s = 0.0; var na = 0.0
@@ -237,9 +291,15 @@ object Hnsw {
     }
 
     /** Beam search at one level from `start`, width `ef`, by descending
-      * cosine (ties → lower id first, for determinism).
+      * cosine (ties → lower id first, for determinism). `limit` bounds
+      * the visitable node positions (exclusive): query-time passes `n`;
+      * CONSTRUCTION passes the inserting node's own position so the beam
+      * never walks onto not-yet-inserted nodes (or the query node
+      * itself, which would dominate the beam at cosine 1 and burn a
+      * neighbour slot on a self-edge).
       */
-    def searchLayer(q: Array[Float], start: Int, ef: Int, level: Int): Array[(Int, Double)] = {
+    def searchLayer(q: Array[Float], start: Int, ef: Int, level: Int,
+                    limit: Int = Int.MaxValue): Array[(Int, Double)] = {
       val visited = new java.util.HashSet[Integer]()
       // candidates: best-first by score desc then id asc
       val candOrd = Ordering.by[(Int, Double), (Double, Int)](t => (-t._2, t._1))
@@ -268,7 +328,7 @@ object Hnsw {
               if (nbrs != null && i < nbrs.length) nbrs(i)
               else if (i == deg - 2 || (nbrs == null && i == 0)) c - 1
               else c + 1
-            if (nb >= 0 && nb < n && !visited.contains(nb)) {
+            if (nb >= 0 && nb < n && nb < limit && !visited.contains(nb)) {
               visited.add(nb)
               val sc = cosine(q, nb)
               if (res.size < ef || sc > res.head._2 ||
@@ -319,15 +379,22 @@ object Hnsw {
       var ep = g.entry
       var lvl = entryLevel
       while (lvl > nodeLevel) { // greedy descent above the node's level
-        ep = g.searchLayer(q, ep, 1, lvl).head._1
+        ep = g.searchLayer(q, ep, 1, lvl, limit = i).head._1
         lvl -= 1
       }
       var l = math.min(nodeLevel, entryLevel)
       while (l >= 0) {
-        val cands = g.searchLayer(q, ep, efConstruction, l)
+        // limit = i: candidates come only from already-inserted nodes, so
+        // no self-edges and no back-links onto uninserted nodes (which
+        // the target's own insert would otherwise clobber)
+        val cands = g.searchLayer(q, ep, efConstruction, l, limit = i)
         val mmax = if (l == 0) 2 * m else m
         val sel = cands.take(m).map(_._1)
-        g.neighbors(l)(i) = sel
+        // merge with anything already linked onto i (defensive — the
+        // limit bound makes prior back-links impossible, but merging
+        // keeps the invariant local)
+        val prior = Option(g.neighbors(l)(i)).getOrElse(Array.emptyIntArray)
+        g.neighbors(l)(i) = (sel ++ prior.filterNot(sel.contains)).take(mmax)
         // bidirectional link + prune the neighbour back to mmax by score
         sel.foreach { nb =>
           val cur = Option(g.neighbors(l)(nb)).getOrElse(Array.emptyIntArray)

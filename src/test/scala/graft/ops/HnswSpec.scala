@@ -92,6 +92,55 @@ class HnswSpec extends AnyFunSuite {
     assert(indexed == stateless)
   }
 
+  test("persisted index at REALISTIC ef reproduces the stateless search bit-identically") {
+    // the r14 advice finding: padded adjacency made every persisted node
+    // read back as shard-max level, so the hierarchical descent was a
+    // no-op at realistic ef. With levels persisted explicitly, the
+    // reconstructed graph + entry are the builder's, and the
+    // deterministic beam must agree EXACTLY at every ef — not just in
+    // exact mode.
+    val items = vecs(1200)
+    val probes = (0 until 8).map { i =>
+      (100L + i, Array.tabulate(16)(d => (math.cos(i * 17 + d * 5)).toFloat).toSeq)
+    }
+    val probeDf = probes.toDF("qid", "qv")
+      .select(col("qid"), col("qv").cast("array<float>").as("qv"))
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_idx_ef").toString
+    try {
+      Hnsw.hnswIndexWrite(items, tmp, dims = 16, m = 8, efConstruction = 48, shards = 4)
+      for (ef <- Seq(8, 32)) {
+        val stateless = Hnsw.hnswTopK(items, probeDf, dims = 16, k = 8,
+          m = 8, efConstruction = 48, ef = ef, shards = 4)
+          .select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+        val indexed = Hnsw.hnswTopKIndexed(spark, tmp, probes, k = 8, ef = ef)
+          .select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+        assert(indexed == stateless, s"persisted/stateless diverged at ef=$ef")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("construction never writes self-edges") {
+    // r14 advice: the build-time beam could walk onto the inserting node
+    // itself via the level-0 id chain, burning a neighbour slot on a
+    // self-edge. The limit bound forbids it; verify via the persisted
+    // adjacency (links are in-shard positions, so nbrs must never
+    // contain the node's own pos).
+    val items = vecs(600)
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_selfedge").toString
+    try {
+      Hnsw.hnswIndexWrite(items, tmp, dims = 16, m = 4, efConstruction = 16, shards = 3)
+      val bad = spark.read.parquet(graft.api.VersionedDir.resolve(spark, tmp))
+        .select(col("pos"), explode(col("nbrs")).as("lvl"))
+        .select(col("pos"), explode(col("lvl")).as("nb"))
+        .filter(col("pos") === col("nb")).count()
+      assert(bad == 0L, s"$bad self-edges in the persisted graph")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("persisted index + delta: new wins over stale graph vectors, inserts merge in") {
     val items = vecs(300)
     val probes = Seq((0L, Seq.fill(16)(0.5f)))
@@ -114,6 +163,15 @@ class HnswSpec extends AnyFunSuite {
       probes.toDF("qid", "qv").select(col("qid"), col("qv").cast("array<float>").as("qv")),
       k = 3).select("vec_id", "rank").as[(Long, Int)].collect().toMap
     assert(r == truth)
+  }
+
+  test("merge input is bounded by shards x probes x k rows, independent of ef") {
+    val items = vecs(800)
+    val probes = probesOf(items, 6)
+    val rows = Hnsw.shardBeams(items, probes, k = 5, m = 6, efConstruction = 24,
+      ef = 1 << 20, shards = 4, "vec_id", "embedding", "qid", "qv").count()
+    assert(rows <= 4L * 6 * 5, s"shard beams leaked past k into the merge: $rows")
+    assert(rows >= 6L * 5, s"every probe should surface at least k rows total: $rows")
   }
 
   test("probe-batch bound is loud") {
