@@ -904,6 +904,35 @@ object SparkEntry {
   private def sqlHex60(s: String): String = s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
   private def sqlHex32(s: String): String = s"CAST(concat('0x', substr(md5($s), 1, 8)) AS BIGINT)"
 
+  // ------------------------------------------------------------- scratch
+
+  private val scratchDirs = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+  private lazy val scratchHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.synchronized {
+        scratchDirs.foreach(p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+      }))
+  }
+
+  /** Per-gate index scratch dir, deleted when the JVM exits — a 3-pass
+    * bench (or a Verify run) leaves no /tmp residue. Deletion must be
+    * END-OF-PROCESS, not end-of-gate: the gates return LAZY DataFrames
+    * whose scans read these files after the gate lambda has returned.
+    * `SPARK_GRAFT_SCRATCH` overrides the base (e.g. a bench harness
+    * pointing gates inside its own run dir).
+    */
+  private def gateScratch(tag: String): String = {
+    val base = sys.env.get("SPARK_GRAFT_SCRATCH")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(base)
+    val dir = java.nio.file.Files.createTempDirectory(base, tag)
+    scratchHook
+    scratchDirs.synchronized { scratchDirs += dir }
+    dir.toString
+  }
+
   // ---------------------------------------------------------------- flagship
 
   /** Flagship on sf0.001: full reference lifecycle — chunk the documents
@@ -916,7 +945,7 @@ object SparkEntry {
     val config = IndexConfig(name = "docs", keyColumn = "doc_id",
       fields = Seq(EmbeddingField("source", important = true), EmbeddingField("text")),
       tokenLimit = 64, chunkOverlap = 8, dims = 64)
-    val indexPath = java.nio.file.Files.createTempDirectory("graft-entry").toString + "/docs"
+    val indexPath = gateScratch("graft-entry") + "/docs"
     val index = graft.api.VectorIndex.local(spark, config, indexPath, "documents", "doc_id")
     graft.api.IndexRegistry.register(index, () => docs)
     graft.api.IndexRegistry.rebuildAll()
@@ -1113,7 +1142,7 @@ object SparkEntry {
     // INSERTED; result ≡ brute force over the overlaid corpus
     "q_ann_hnsw_indexed" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft_hnsw_gate").toString
+      val path = gateScratch("graft_hnsw_gate")
       ops.Hnsw.hnswIndexWrite(emb, path, dims = 64, m = 8, efConstruction = 48,
         shards = 8)
       val probes = emb.filter(col("vec_id") < 5)
@@ -1577,6 +1606,24 @@ object SparkEntry {
       Dedup.crossCorpusDedup(crossDedupNewSide(docs),
           docs.filter(col("doc_id") % 3 === 0), threshold = 0.7,
           numHashes = 8, rowsPerBand = 2, shingleSize = 3,
+          hotRefCap = HotBucketCap)
+        .orderBy("doc_id")
+    },
+    // quality-aware cross-corpus retention (r14 verdict #8): same fixture
+    // as q_cross_dedup but each side carries a token-count quality score —
+    // verbatim copies (%9==2) tie their ref's score → ref wins → drop;
+    // suffix-mutated copies (%9==1) are LONGER than their ref → new wins →
+    // replace_ref (the ref id to retire is in best_ref_id); fresh docs
+    // insert. Oracle replays both match layers WITH ref identity, the
+    // (j DESC, ref_id ASC) argmax, and the strict-greater policy.
+    "q_cross_dedup_keep_best" -> { (s, dir) =>
+      import graft.functions.textkernel
+      val docs = docsPar(s, dir)
+      def scored(df: org.apache.spark.sql.DataFrame) = df.withColumn("n_toks",
+        size(textkernel.word_tokens(col("text"))).cast("long"))
+      Dedup.crossCorpusDedupKeepBest(scored(crossDedupNewSide(docs)),
+          scored(docs.filter(col("doc_id") % 3 === 0)), "n_toks",
+          threshold = 0.7, numHashes = 8, rowsPerBand = 2, shingleSize = 3,
           hotRefCap = HotBucketCap)
         .orderBy("doc_id")
     },
@@ -2439,7 +2486,7 @@ object SparkEntry {
   private val lshIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def lshIndexFor(s: SparkSession, dir: String): String =
     lshIndexPaths.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-lsh").toString + "/idx"
+      val path = gateScratch("graft-lsh") + "/idx"
       SimilaritySearch.lshIndexWrite(tbl(s, dir, "embeddings"), path, dims = 64, bits = 8)
       path
     })
@@ -2450,7 +2497,7 @@ object SparkEntry {
   private val invIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def invIndexFor(s: SparkSession, dir: String): String =
     invIndexPaths.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-inv").toString + "/idx"
+      val path = gateScratch("graft-inv") + "/idx"
       ops.FullText.invertedIndexWrite(docsPar(s, dir), path)
       path
     })
@@ -2464,7 +2511,7 @@ object SparkEntry {
   private val viIndexes = scala.collection.concurrent.TrieMap.empty[String, VectorIndex]
   private def viIndexFor(s: SparkSession, dir: String): VectorIndex =
     viIndexes.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-vi").toString + "/idx"
+      val path = gateScratch("graft-vi") + "/idx"
       val vi = new VectorIndex(s,
         IndexConfig("emb", "vec_id", Seq(EmbeddingField("text"))),
         HashEmbeddingBackend(64), graft.embed.EchoChatBackend(),
@@ -2482,7 +2529,7 @@ object SparkEntry {
   private val ivfIndexPaths = scala.collection.concurrent.TrieMap.empty[String, (String, org.apache.spark.sql.DataFrame)]
   private def ivfIndexFor(s: SparkSession, dir: String): (String, org.apache.spark.sql.DataFrame) =
     ivfIndexPaths.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+      val path = gateScratch("graft-ivf") + "/idx"
       val (assigned, centroids) = SimilaritySearch.ivfAssign(tbl(s, dir, "embeddings"), nCells = 16)
       SimilaritySearch.ivfIndexWrite(assigned, path)
       (path, centroids)
@@ -2494,7 +2541,7 @@ object SparkEntry {
   private val pqIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def pqIndexFor(s: SparkSession, dir: String): String =
     pqIndexPaths.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-pq").toString + "/idx"
+      val path = gateScratch("graft-pq") + "/idx"
       val emb = tbl(s, dir, "embeddings")
       val (assigned, centroids) = SimilaritySearch.ivfAssign(emb, nCells = 16)
       val cb = ProductQuantization.pqTrain(emb, PqCfg)
@@ -2519,7 +2566,7 @@ object SparkEntry {
   private val corpusWarcDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def corpusWarcDirFor(s: SparkSession, dir: String): String =
     corpusWarcDirs.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files.createTempDirectory("graft-e2e-warc").toString
+      val out = gateScratch("graft-e2e-warc")
       docsPar(s, dir).select(col("doc_id"), col("text"))
         .rdd.foreachPartition { it =>
           if (it.hasNext) {
@@ -2644,7 +2691,7 @@ object SparkEntry {
   private val rpqIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def rpqIndexFor(s: SparkSession, dir: String): String =
     rpqIndexPaths.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-rpq").toString + "/idx"
+      val path = gateScratch("graft-rpq") + "/idx"
       val emb = tbl(s, dir, "embeddings")
       val (assigned, centroids) = SimilaritySearch.ivfAssign(emb, nCells = 16)
       val res = ProductQuantization.residualize(assigned, centroids)
@@ -2659,7 +2706,7 @@ object SparkEntry {
   private val sqIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def sqIndexFor(s: SparkSession, dir: String): String =
     sqIndexPaths.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-sq").toString + "/idx"
+      val path = gateScratch("graft-sq") + "/idx"
       val emb = tbl(s, dir, "embeddings")
       val (assigned, centroids) = SimilaritySearch.ivfAssign(emb, nCells = 16)
       val (mins, maxs) = ScalarQuantization.collectParams(ScalarQuantization.sqTrain(emb))
@@ -2674,7 +2721,7 @@ object SparkEntry {
   private val bqIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def bqIndexFor(s: SparkSession, dir: String): String =
     bqIndexPaths.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-bq").toString + "/idx"
+      val path = gateScratch("graft-bq") + "/idx"
       val emb = tbl(s, dir, "embeddings")
       val (assigned, centroids) = SimilaritySearch.ivfAssign(emb, nCells = 16)
       val thr = BinaryQuantization.collectThresholds(BinaryQuantization.bqTrain(emb))
@@ -2697,7 +2744,7 @@ object SparkEntry {
   private val deltaStores = scala.collection.concurrent.TrieMap.empty[(String, Boolean), ParquetIndexStore]
   private def deltaStoreFor(s: SparkSession, dir: String, fold: Boolean): ParquetIndexStore =
     deltaStores.getOrElseUpdate((dir, fold), {
-      val path = java.nio.file.Files.createTempDirectory("graft-store").toString + "/idx"
+      val path = gateScratch("graft-store") + "/idx"
       val store = new ParquetIndexStore(s, path)
       val base = tbl(s, dir, "documents").select(
         col("doc_id"),
@@ -2749,7 +2796,7 @@ object SparkEntry {
   private val viIvfIndexes = scala.collection.concurrent.TrieMap.empty[String, VectorIndex]
   private def viIvfIndexFor(s: SparkSession, dir: String): VectorIndex =
     viIvfIndexes.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-vi-ivf").toString + "/idx"
+      val path = gateScratch("graft-vi-ivf") + "/idx"
       viIncrMutations(s, dir, new VectorIndex(s,
         IndexConfig("emb_ivf", "vec_id", Seq(EmbeddingField("text"))),
         HashEmbeddingBackend(64), graft.embed.EchoChatBackend(),
@@ -2763,7 +2810,7 @@ object SparkEntry {
   private val viLshIncrIndexes = scala.collection.concurrent.TrieMap.empty[String, VectorIndex]
   private def viLshIncrIndexFor(s: SparkSession, dir: String): VectorIndex =
     viLshIncrIndexes.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-vi-lshi").toString + "/idx"
+      val path = gateScratch("graft-vi-lshi") + "/idx"
       viIncrMutations(s, dir, new VectorIndex(s,
         IndexConfig("emb_lshi", "vec_id", Seq(EmbeddingField("text"))),
         HashEmbeddingBackend(64), graft.embed.EchoChatBackend(),
@@ -2779,7 +2826,7 @@ object SparkEntry {
   private val viHnswIncrIndexes = scala.collection.concurrent.TrieMap.empty[String, VectorIndex]
   private def viHnswIncrIndexFor(s: SparkSession, dir: String): VectorIndex =
     viHnswIncrIndexes.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-vi-hnsw").toString + "/idx"
+      val path = gateScratch("graft-vi-hnsw") + "/idx"
       viIncrMutations(s, dir, new VectorIndex(s,
         IndexConfig("emb_hnsw", "vec_id", Seq(EmbeddingField("text"))),
         HashEmbeddingBackend(64), graft.embed.EchoChatBackend(),
@@ -2794,7 +2841,7 @@ object SparkEntry {
   private val viPqIncrIndexes = scala.collection.concurrent.TrieMap.empty[String, VectorIndex]
   private def viPqIncrIndexFor(s: SparkSession, dir: String): VectorIndex =
     viPqIncrIndexes.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-vi-pqi").toString + "/idx"
+      val path = gateScratch("graft-vi-pqi") + "/idx"
       viIncrMutations(s, dir, new VectorIndex(s,
         IndexConfig("emb_pqi", "vec_id", Seq(EmbeddingField("text"))),
         HashEmbeddingBackend(64), graft.embed.EchoChatBackend(),
@@ -2810,7 +2857,7 @@ object SparkEntry {
   private val viRpqIncrIndexes = scala.collection.concurrent.TrieMap.empty[String, VectorIndex]
   private def viRpqIncrIndexFor(s: SparkSession, dir: String): VectorIndex =
     viRpqIncrIndexes.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-vi-rpqi").toString + "/idx"
+      val path = gateScratch("graft-vi-rpqi") + "/idx"
       viIncrMutations(s, dir, new VectorIndex(s,
         IndexConfig("emb_rpqi", "vec_id", Seq(EmbeddingField("text"))),
         HashEmbeddingBackend(64), graft.embed.EchoChatBackend(),
@@ -2825,7 +2872,7 @@ object SparkEntry {
   private val viSqIncrIndexes = scala.collection.concurrent.TrieMap.empty[String, VectorIndex]
   private def viSqIncrIndexFor(s: SparkSession, dir: String): VectorIndex =
     viSqIncrIndexes.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-vi-sqi").toString + "/idx"
+      val path = gateScratch("graft-vi-sqi") + "/idx"
       viIncrMutations(s, dir, new VectorIndex(s,
         IndexConfig("emb_sqi", "vec_id", Seq(EmbeddingField("text"))),
         HashEmbeddingBackend(64), graft.embed.EchoChatBackend(),
@@ -2838,7 +2885,7 @@ object SparkEntry {
   private val viBqIncrIndexes = scala.collection.concurrent.TrieMap.empty[String, VectorIndex]
   private def viBqIncrIndexFor(s: SparkSession, dir: String): VectorIndex =
     viBqIncrIndexes.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files.createTempDirectory("graft-vi-bqi").toString + "/idx"
+      val path = gateScratch("graft-vi-bqi") + "/idx"
       viIncrMutations(s, dir, new VectorIndex(s,
         IndexConfig("emb_bqi", "vec_id", Seq(EmbeddingField("text"))),
         HashEmbeddingBackend(64), graft.embed.EchoChatBackend(),
@@ -2988,6 +3035,68 @@ object SparkEntry {
        |  (fr.fp IS NOT NULL OR coalesce(agg.max_jaccard, 0.0) >= 0.7) AS dup
        |FROM fn LEFT JOIN fr ON fn.fp = fr.fp LEFT JOIN agg ON agg.doc_id = fn.doc_id
        |ORDER BY fn.doc_id""".stripMargin
+  }
+
+  /** Keep-best cross-corpus oracle: the q_cross_dedup machinery with ref
+    * identity kept through both layers (exact → min ref id per
+    * fingerprint; fuzzy → verified pairs at ≥ 0.7), argmax by
+    * (jaccard DESC, ref_id ASC), token-count scores on the MUTATED new
+    * text, strict-greater replace policy.
+    */
+  private val crossDedupKeepBestSql: String = {
+    val shingles = s"list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
+    val mhCols = (0 until 8).map(j =>
+      s"list_min(list_transform(sh, s -> ${sqlHex60(s"'$j:' || s")})) AS mh$j").mkString(", ")
+    def bandRows(src: String) = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '_' || mh${2 * b + 1}) AS bucket FROM $src")
+      .mkString(" UNION ALL ")
+    s"""WITH tn0 AS (SELECT a.doc_id,
+       |   CASE WHEN a.doc_id % 9 = 1 THEN b.text || ${sqlStr(CrossDedupSuffix)}
+       |        WHEN a.doc_id % 9 = 2 THEN b.text
+       |        ELSE a.text END AS text
+       |   FROM documents a LEFT JOIN documents b ON b.doc_id =
+       |     (CASE WHEN a.doc_id % 9 = 1 THEN a.doc_id - 1
+       |           WHEN a.doc_id % 9 = 2 THEN a.doc_id - 2 ELSE -1 END)
+       |   WHERE a.doc_id % 3 <> 0),
+       | tn AS (SELECT doc_id, $sqlWords AS w FROM tn0),
+       | tr AS (SELECT doc_id, $sqlWords AS w FROM documents WHERE doc_id % 3 = 0),
+       | fn AS (SELECT doc_id, md5(array_to_string(w, ' ')) AS fp FROM tn),
+       | frm AS (SELECT md5(array_to_string(w, ' ')) AS fp, min(doc_id) AS ref_id
+       |   FROM tr GROUP BY 1),
+       | exm AS (SELECT fn.doc_id, frm.ref_id, 1.0 AS j FROM fn JOIN frm ON fn.fp = frm.fp),
+       | shn AS (SELECT doc_id, $shingles AS sh FROM tn),
+       | shr AS (SELECT doc_id, $shingles AS sh FROM tr),
+       | sign AS (SELECT doc_id, sh, $mhCols FROM shn WHERE len(sh) > 0),
+       | sigr AS (SELECT doc_id, sh, $mhCols FROM shr WHERE len(sh) > 0),
+       | bn AS (${bandRows("sign")}),
+       | br AS (${bandRows("sigr")}),
+       | brc AS (SELECT doc_id, band, bucket FROM (
+       |   SELECT doc_id, band, bucket,
+       |     row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn FROM br)
+       |   WHERE rn <= $HotBucketCap),
+       | cand AS (SELECT DISTINCT n.doc_id, r.doc_id AS ref_id
+       |   FROM bn n JOIN brc r ON n.band = r.band AND n.bucket = r.bucket),
+       | hn AS (SELECT doc_id, list_transform(sh, s -> ${sqlHex60("s")}) AS h FROM shn),
+       | hr AS (SELECT doc_id, list_transform(sh, s -> ${sqlHex60("s")}) AS h FROM shr),
+       | vp AS (SELECT c.doc_id, c.ref_id,
+       |   round(CASE WHEN len(list_distinct(a.h || b.h)) = 0 THEN 0.0
+       |     ELSE len(list_intersect(a.h, b.h)) / CAST(len(list_distinct(a.h || b.h)) AS DOUBLE) END, 6) AS j
+       |   FROM cand c JOIN hn a ON a.doc_id = c.doc_id JOIN hr b ON b.doc_id = c.ref_id),
+       | um AS (SELECT * FROM exm UNION ALL SELECT * FROM vp WHERE j >= 0.7),
+       | best AS (SELECT doc_id, ref_id, j FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, ref_id ASC) AS rn
+       |   FROM um) WHERE rn = 1),
+       | ns AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS new_score FROM tn),
+       | rs AS (SELECT doc_id AS ref_id, CAST(len(w) AS DOUBLE) AS ref_score FROM tr)
+       |SELECT ns.doc_id, ns.new_score, best.ref_id AS best_ref_id,
+       |  coalesce(best.j, 0.0) AS best_jaccard, rs.ref_score,
+       |  (best.ref_id IS NOT NULL) AS dup,
+       |  (best.ref_id IS NOT NULL AND ns.new_score > rs.ref_score) AS new_wins,
+       |  CASE WHEN best.ref_id IS NULL THEN 'insert'
+       |       WHEN ns.new_score > rs.ref_score THEN 'replace_ref'
+       |       ELSE 'drop' END AS action
+       |FROM ns LEFT JOIN best USING (doc_id) LEFT JOIN rs ON rs.ref_id = best.ref_id
+       |ORDER BY ns.doc_id""".stripMargin
   }
 
   /** End-to-end corpus dedup oracle: verified pairs at 0.7 → connected
@@ -4415,6 +4524,7 @@ object SparkEntry {
     "q_simhash_pairs" -> simhashPairsSql,
     "q_lsh_pairs" -> lshPairsSql,
     "q_cross_dedup" -> crossDedupSql,
+    "q_cross_dedup_keep_best" -> crossDedupKeepBestSql,
     "q_cross_dedup_bloom" ->
       s"""WITH tn0 AS (SELECT a.doc_id,
          |   CASE WHEN a.doc_id % 9 = 1 THEN b.text || ${sqlStr(CrossDedupSuffix)}

@@ -509,6 +509,29 @@ object Dedup {
     val exactDup = fp(newDocs)
       .join(fp(refDocs).select("__fp").distinct(), Seq("__fp"), "left_semi")
       .select(col("doc_id"), lit(true).as("__exact"))
+    val verified = crossRefVerified(newDocs, refDocs,
+      crossRefCandidates(newDocs, refDocs, textCol, numHashes, rowsPerBand,
+        shingleSize, hotRefCap, saturation), textCol, shingleSize)
+    val agg = verified.groupBy("doc_id").agg(
+      count(lit(1)).as("n_ref_candidates"), max("__j").as("max_jaccard"))
+    newDocs.select(col("doc_id"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__exact"), lit(false)).as("exact_dup"),
+        coalesce(col("n_ref_candidates"), lit(0L)).as("n_ref_candidates"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
+      .withColumn("dup", col("exact_dup") || col("max_jaccard") >= threshold)
+  }
+
+  /** Asymmetric (new, ref) candidate pairs for the cross-corpus fuzzy
+    * layer: MinHash band buckets on both sides, ref side capped per
+    * bucket (the [[crossCorpusDedup]] shape, factored for reuse).
+    */
+  private def crossRefCandidates(newDocs: DataFrame, refDocs: DataFrame,
+                                 textCol: String, numHashes: Int, rowsPerBand: Int,
+                                 shingleSize: Int, hotRefCap: Int,
+                                 saturation: Option[Observation]): DataFrame = {
     val nb = bandBuckets(newDocs, textCol, numHashes, rowsPerBand, shingleSize)
     val rb = bandBuckets(refDocs, textCol, numHashes, rowsPerBand, shingleSize)
     val w = Window.partitionBy("band", "bucket").orderBy(col("doc_id").asc)
@@ -525,24 +548,91 @@ object Dedup {
     val rbCapped = rbObserved
       .filter(col("__rn") <= hotRefCap)
       .select(col("doc_id").as("ref_id"), col("band"), col("bucket"))
-    val cand = nb.join(rbCapped, Seq("band", "bucket"))
+    nb.join(rbCapped, Seq("band", "bucket"))
       .select(col("doc_id"), col("ref_id")).distinct()
+  }
+
+  /** Exact-Jaccard verification of (doc_id, ref_id) candidate pairs:
+    * shingle hash sets joined in, similarity rounded to 6 places.
+    */
+  private def crossRefVerified(newDocs: DataFrame, refDocs: DataFrame,
+                               cand: DataFrame, textCol: String,
+                               shingleSize: Int): DataFrame = {
     val shNew = newDocs.select(col("doc_id"),
       shingle_hashes(col(textCol), shingleSize).as("__sha"))
     val shRef = refDocs.select(col("doc_id").as("ref_id"),
       shingle_hashes(col(textCol), shingleSize).as("__shb"))
-    val verified = cand.join(shNew, Seq("doc_id")).join(shRef, Seq("ref_id"))
-      .select(col("doc_id"), round(jaccard_sorted(col("__sha"), col("__shb")), 6).as("__j"))
-    val agg = verified.groupBy("doc_id").agg(
-      count(lit(1)).as("n_ref_candidates"), max("__j").as("max_jaccard"))
-    newDocs.select(col("doc_id"))
-      .join(exactDup, Seq("doc_id"), "left")
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("__exact"), lit(false)).as("exact_dup"),
-        coalesce(col("n_ref_candidates"), lit(0L)).as("n_ref_candidates"),
-        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
-      .withColumn("dup", col("exact_dup") || col("max_jaccard") >= threshold)
+    cand.join(shNew, Seq("doc_id")).join(shRef, Seq("ref_id"))
+      .select(col("doc_id"), col("ref_id"),
+        round(jaccard_sorted(col("__sha"), col("__shb")), 6).as("__j"))
+  }
+
+  /** [[crossCorpusDedup]] with QUALITY-AWARE retention — the recurring
+    * ingest with quality RE-scoring: when a new document duplicates a
+    * reference copy but scores HIGHER (`scoreCol`, e.g. a fresher quality
+    * classifier), the right move is to keep the new copy and retire the
+    * reference one, not to always drop the new side.
+    *
+    * Per NEW document this returns the decision, not just a flag:
+    *  - `best_ref_id` — the strongest reference match (highest verified
+    *    Jaccard, exact fingerprint matches count as 1.0; ties broken by
+    *    min ref id — fully deterministic), null when not a dup;
+    *  - `best_jaccard`, `new_score`, `ref_score`;
+    *  - `new_wins` — new_score STRICTLY greater (ties → reference wins,
+    *    so a stable corpus never churns);
+    *  - `action` — `insert` (not a dup), `replace_ref` (dup, new wins:
+    *    keep the new doc, retire `best_ref_id`), `drop` (dup, ref wins).
+    *
+    * Retired reference ids = `filter(action = 'replace_ref')
+    * .select(best_ref_id).distinct()` — feed them to the index
+    * tombstone path. Note the policy is per-PAIR: a new doc that loses
+    * to a ref copy another new doc retires is still dropped this run
+    * (both survivors carry the content; next ingest converges).
+    *
+    * Plan shape: the [[crossCorpusDedup]] layers with ref identity kept —
+    * the exact layer's semi-join becomes an equi-join against
+    * (fingerprint → min ref id), the fuzzy layer's verified pairs keep
+    * ref_id, and the per-doc argmax is one map-side-combined struct-max.
+    * Score joins move (id, score) pairs only; the reference corpus still
+    * never moves whole.
+    */
+  def crossCorpusDedupKeepBest(newDocs: DataFrame, refDocs: DataFrame,
+                               scoreCol: String, textCol: String = "text",
+                               threshold: Double = 0.5, numHashes: Int = 8,
+                               rowsPerBand: Int = 2, shingleSize: Int = 3,
+                               hotRefCap: Int = 64,
+                               saturation: Option[Observation] = None): DataFrame = {
+    require(hotRefCap > 0, s"hotRefCap must be positive: $hotRefCap")
+    def fp(df: DataFrame) = df.select(col("doc_id"),
+      md5(concat_ws(" ", word_tokens(col(textCol)))).as("__fp"))
+    // exact layer WITH identity: fingerprint → deterministic min ref id
+    val refFp = fp(refDocs).groupBy("__fp").agg(min("doc_id").as("ref_id"))
+    val exactM = fp(newDocs).join(refFp, Seq("__fp"))
+      .select(col("doc_id"), col("ref_id"), lit(1.0).as("__j"))
+    val fuzzyM = crossRefVerified(newDocs, refDocs,
+      crossRefCandidates(newDocs, refDocs, textCol, numHashes, rowsPerBand,
+        shingleSize, hotRefCap, saturation), textCol, shingleSize)
+      .filter(col("__j") >= threshold)
+    // strongest match per new doc: lexicographic struct max =
+    // (max jaccard, then MIN ref id via negation)
+    val best = exactM.unionByName(fuzzyM).groupBy("doc_id")
+      .agg(max(struct(col("__j").as("j"), (-col("ref_id")).as("nrid"))).as("__k"))
+      .select(col("doc_id"), col("__k.j").as("best_jaccard"),
+        (-col("__k.nrid")).cast("long").as("best_ref_id"))
+    val refScores = refDocs.select(col("doc_id").as("best_ref_id"),
+      col(scoreCol).cast("double").as("ref_score"))
+    newDocs.select(col("doc_id"), col(scoreCol).cast("double").as("new_score"))
+      .join(best, Seq("doc_id"), "left")
+      .join(refScores, Seq("best_ref_id"), "left")
+      .withColumn("dup", col("best_ref_id").isNotNull)
+      .withColumn("new_wins", col("dup") && col("new_score") > col("ref_score"))
+      .withColumn("action",
+        when(!col("dup"), "insert")
+          .when(col("new_wins"), "replace_ref")
+          .otherwise("drop"))
+      .select(col("doc_id"), col("new_score"), col("best_ref_id"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+        col("ref_score"), col("dup"), col("new_wins"), col("action"))
   }
 
   /** Build a Bloom filter over the REFERENCE corpus's normalized-text
@@ -690,6 +780,47 @@ object Dedup {
     val verified = verification("n_verified").asInstanceOf[Long]
     val trueNeg = probed - verified
     if (trueNeg <= 0L) 0.0 else (cand - verified).toDouble / trueNeg
+  }
+
+  /** [[crossCorpusExactDedupBloom]] with the "rebuild when drift" rule
+    * EXECUTING ITSELF: runs the probe with fresh telemetry, evaluates
+    * [[observedFpp]], and RAISES when it crosses `maxObservedFpp` — the
+    * recurring-ingest loop fails loudly the run the filter outlives its
+    * sizing, instead of silently widening the verification semi-join
+    * forever while a human is supposed to be watching a number.
+    *
+    * `maxObservedFpp` should sit comfortably above the BUILT fpp (e.g.
+    * 3–5× — observed fpp has sampling noise of order √(fpp/n_probed), so
+    * small probe batches need headroom). On raise: rebuild via
+    * [[buildFingerprintBloom]] sized for the corpus's CURRENT cardinality
+    * and retry the ingest; the exception message carries both numbers.
+    *
+    * EAGER by design: the flags are persisted and counted so the
+    * observations are bound before the check — the recurring-ingest
+    * caller consumes the flags next anyway. Returns (flags — cached;
+    * unpersist when done, observed fpp).
+    */
+  def crossCorpusExactDedupBloomChecked(newDocs: DataFrame, refDocs: DataFrame,
+                                        filterBytes: Array[Byte],
+                                        maxObservedFpp: Double,
+                                        textCol: String = "text"): (DataFrame, Double) = {
+    require(maxObservedFpp > 0.0 && maxObservedFpp < 1.0,
+      s"maxObservedFpp must be in (0,1): $maxObservedFpp")
+    val sat = Observation()
+    val ver = Observation()
+    val flags = crossCorpusExactDedupBloom(newDocs, refDocs, filterBytes,
+      textCol, Some(sat), Some(ver))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    flags.count()
+    val f = observedFpp(sat.get, ver.get)
+    if (f > maxObservedFpp) {
+      flags.unpersist()
+      throw new IllegalStateException(
+        f"bloom reference filter fpp drift: observed $f%.6f > allowed $maxObservedFpp%.6f " +
+          "— the filter has filled past its sizing (extendFingerprintBloom ingests); " +
+          "rebuild with buildFingerprintBloom at the corpus's current cardinality and retry")
+    }
+    (flags, f)
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key (label / LSH

@@ -401,8 +401,16 @@ object FullText {
     val uni = toks.select(explode(col("w")).as("w1")).groupBy("w1")
       .agg(count(lit(1)).as("uc"))
     val vocab = uni.agg(count(lit(1)).as("v"))
+    // pre-aggregate occurrences to (doc, w1, w2, k) BEFORE joining the LM
+    // counts: the join input shrinks by within-doc bigram multiplicity,
+    // and — the 100× concern — the Zipf heavy hitters ("of the" in every
+    // doc) join once per document instead of once per occurrence, so the
+    // count-table join stops amplifying on exactly the keys that skew it.
+    // Arithmetic is unchanged: n = Σk, s = Σ k · surprisal(w1,w2).
+    val docPairs = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
     val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
-    val scored = pairs
+    val scored = docPairs
       .join(big, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
       .join(broadcast(vocab))
@@ -410,7 +418,8 @@ object FullText {
         round(-log((coalesce(col("bc"), lit(0L)) + lit(1.0)) /
           (coalesce(col("uc"), lit(0L)) + col("v"))) * Micro).cast(LongType))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("neg_logp_micro")).as("s"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("neg_logp_micro")).as("s"))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("s"))
@@ -445,19 +454,26 @@ object FullText {
     require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
     val raw = bigramSurprisalRaw(docs, textCol, idCol)
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    // NULL langs never equi-join (the r14 advice finding: every __t_k
+    // came back null and all null-lang docs silently landed in "head").
+    // Key the histogram and the threshold join on a coalesced sentinel —
+    // BCP-47 "und" (undetermined) — so unknown-language docs get real
+    // per-group order statistics; the OUTPUT lang column stays original.
+    val langKey = coalesce(col(langCol), lit("und"))
     val scored = raw.withColumn("score_mnat",
       when(col("n_bigrams") > 0, expr("s div (n_bigrams * 1000)")))
+      .withColumn("__lang", langKey)
     val hist = scored.filter(col("score_mnat").isNotNull)
-      .groupBy(col(langCol), col("score_mnat")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__lang"), col("score_mnat")).agg(count(lit(1)).as("__c"))
     val cum = hist.withColumn("__cum",
-      sum(col("__c")).over(Window.partitionBy(langCol).orderBy("score_mnat")))
-      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(langCol)))
+      sum(col("__c")).over(Window.partitionBy(col("__lang")).orderBy("score_mnat")))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col("__lang"))))
     // cum ≥ ⌈k·n/B⌉ ⇔ cum·B ≥ k·n for integer cum — no floats needed
     val thCols = (1 until nBuckets).map { k =>
       min(when(col("__cum") * nBuckets >= col("__n") * k, col("score_mnat")))
         .as(s"__t$k")
     }
-    val thresholds = cum.groupBy(col(langCol)).agg(thCols.head, thCols.tail: _*)
+    val thresholds = cum.groupBy(col("__lang")).agg(thCols.head, thCols.tail: _*)
     val bucket = (1 until nBuckets).map { k =>
       when(col("score_mnat") > col(s"__t$k"), 1).otherwise(0)
     }.reduce(_ + _)
@@ -465,7 +481,7 @@ object FullText {
       when(col("bucket") === 0, "head").when(col("bucket") === 1, "middle")
         .otherwise("tail")
     else concat(lit("b"), col("bucket").cast("string"))
-    scored.join(broadcast(thresholds), Seq(langCol), "left")
+    scored.join(broadcast(thresholds), Seq("__lang"), "left")
       .withColumn("bucket",
         when(col("score_mnat").isNull, lit(nBuckets - 1)).otherwise(bucket))
       .withColumn("bucket_name", name)

@@ -186,4 +186,25 @@ class FullTextSpec extends AnyFunSuite {
     assert(byBucket(0L).max < byBucket(2L).min,
       s"head ids ${byBucket(0L)} must precede tail ids ${byBucket(2L)}")
   }
+
+  test("surprisalBuckets: NULL-lang docs get real per-group thresholds, not free head passes") {
+    // r14 advice finding: null lang never equi-joined, every threshold
+    // came back null and all null-lang docs scored bucket 0. With the
+    // "und" sentinel key they must band among themselves like any
+    // language group (output lang stays null).
+    val nullLang: Option[String] = None
+    val d = ((0 until 9).map { i =>
+      val common = Seq.fill(9 - i)("the cat").mkString(" ")
+      val rare = (0 until i).map(j => s"w${i}x$j z${i}y$j").mkString(" ")
+      (i.toLong, s"$common $rare", nullLang)
+    } :+ ((9L, "solo", nullLang)))
+      .toDF("doc_id", "text", "lang")
+    val r = FullText.surprisalBuckets(d).collect()
+      .map(x => (x.getLong(0), Option(x.getString(1)), x.getInt(3)))
+      .sortBy(_._1)
+    assert(r.forall(_._2.isEmpty), "output lang column must stay original (null)")
+    val bands = r.map(_._3)
+    assert(bands.count(_ == 0) == 3 && bands.count(_ == 1) == 3 &&
+      bands.count(_ == 2) == 4, s"null-lang group must band 3/3/3+tail: ${bands.toSeq}")
+  }
 }

@@ -85,6 +85,29 @@ class DedupSpec extends AnyFunSuite {
     assert(fpp > fpp2, "drift must be ordered: saturated filter > fresh filter")
   }
 
+  test("maxObservedFpp policy: drift past the threshold raises, healthy filters pass flags through") {
+    val ref = (0L until 100L).map(i => (i, s"reference document number $i unique words"))
+      .toDF("doc_id", "text")
+    val newDocs = ((0L until 5L).map(i => (1000L + i, s"reference document number $i unique words")) ++
+      (0L until 195L).map(i => (2000L + i, s"fresh dump material item $i nothing shared")))
+      .toDF("doc_id", "text")
+    // undersized filter → observed fpp well above 5% → the rule EXECUTES
+    val saturatedBf = Dedup.buildFingerprintBloom(ref, expectedItems = 4, fpp = 0.01)
+    val e = intercept[IllegalStateException] {
+      Dedup.crossCorpusExactDedupBloomChecked(newDocs, ref, saturatedBf,
+        maxObservedFpp = 0.05)
+    }
+    assert(e.getMessage.contains("fpp drift") && e.getMessage.contains("rebuild"),
+      e.getMessage)
+    // right-sized filter → passes, returns the exact flags + the measured fpp
+    val goodBf = Dedup.buildFingerprintBloom(ref, expectedItems = 256, fpp = 0.01)
+    val (flags, f) = Dedup.crossCorpusExactDedupBloomChecked(newDocs, ref, goodBf,
+      maxObservedFpp = 0.05)
+    assert(f >= 0.0 && f <= 0.05, s"healthy filter fpp: $f")
+    assert(flags.filter(col("exact_dup")).count() == 5L)
+    flags.unpersist()
+  }
+
   test("extendFingerprintBloom folds an accepted dump into the reference filter") {
     val dump1 = Seq((1L, "first dump document alpha"), (2L, "first dump document beta"))
       .toDF("doc_id", "text")
@@ -279,6 +302,39 @@ class DedupSpec extends AnyFunSuite {
     // asymmetry: duplicates WITHIN the new corpus are not this operator's job
     assert(!r(4L).getAs[Boolean]("dup") && !r(5L).getAs[Boolean]("dup"))
     assert(r.size == 5) // one row per new doc, non-candidates included
+  }
+
+  test("crossCorpusDedupKeepBest: higher-scoring new copies replace refs, ties drop, fresh insert") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val ref = Seq(
+      (100L, base, 10L),
+      (101L, "completely different reference content about cooking pasta at home", 5L),
+      (102L, base, 10L)) // same fingerprint as 100 → exact layer must pick MIN ref id
+      .toDF("doc_id", "text", "quality")
+    val neu = Seq(
+      // verbatim copy, HIGHER score → replace_ref (retire ref 100, the min-id fp owner)
+      (1L, base, 20L),
+      // verbatim copy, EQUAL score → tie → ref wins → drop
+      (2L, base, 10L),
+      // fuzzy near-dup (one word changed), higher score → replace_ref
+      (3L, base.replace("today", "tonight"), 15L),
+      // fresh content → insert
+      (4L, "an entirely unrelated new document about astronomy and telescopes", 1L))
+      .toDF("doc_id", "text", "quality")
+    val r = Dedup.crossCorpusDedupKeepBest(neu, ref, "quality", threshold = 0.5)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[String]("action") == "replace_ref" &&
+      r(1L).getAs[Long]("best_ref_id") == 100L, r(1L).toString)
+    assert(r(1L).getAs[Double]("best_jaccard") == 1.0)
+    assert(r(2L).getAs[String]("action") == "drop", r(2L).toString)
+    assert(r(3L).getAs[String]("action") == "replace_ref" &&
+      r(3L).getAs[Long]("best_ref_id") == 100L, r(3L).toString)
+    assert(r(3L).getAs[Double]("best_jaccard") < 1.0 &&
+      r(3L).getAs[Double]("best_jaccard") >= 0.5)
+    assert(r(4L).getAs[String]("action") == "insert" &&
+      r(4L).isNullAt(r(4L).fieldIndex("best_ref_id")), r(4L).toString)
+    assert(!r(4L).getAs[Boolean]("dup") && !r(4L).getAs[Boolean]("new_wins"))
+    assert(r.size == 4)
   }
 
   test("crossCorpusDedup: fuzzy-only dup at J≈0.82 proves the banding path") {
