@@ -466,6 +466,113 @@ object SparkEntry {
     out
   }
 
+  /** One mono MPEG-1 LAYER-III clip per id for q_mp3_decode: 6 + id%3
+    * frames at 48 kHz / 192 kbps (frame = 576 bytes, 17-byte side info,
+    * main_data_begin = 0, long blocks). Per granule g (2 per frame):
+    * global_gain = 210 + 4·a with a = (id + f + g) % 4 → gain 2^a;
+    * scalefac_compress = 9 (slen 2/2), scalefac_scale = 1, preflag = 0,
+    * so line gains are 2^(a − sf[band]) with sf[b] = (id + 3f + 5g + b)
+    * % 4. big_values = 12 pairs (lines 0–23, sfbs 0–5 at width 4,
+    * Huffman table 1), then 4 count1 quads (lines 24–39, sfbs 6–8 at
+    * width 6, count1 table B = 4-bit complement codes); magnitudes
+    * |is(l)| = (id·7 + f·11 + g·13 + l·3) % 2, signs (id + f + g + l) % 2.
+    * Every dequantized line is ±2^(a − sf), so granule SPECTRAL energies
+    * ×64 are exact integers Σ 4^(3 + a − sf) ∈ [0, 40·4096] — replayed
+    * outright by the DuckDB oracle through the envelope hash. A hash
+    * match proves the Layer-III header/side-info walk, bit-reservoir
+    * positioning, scalefactor decode, Huffman big-values + count1 + sign
+    * parse, region bounding and analytic requantization
+    * ([[ops.Mp3Codec]]).
+    */
+  private[graft] def synthMp3L3(id: Long): Array[Byte] = {
+    val nFrames = (6 + id % 3).toInt
+    val frameLen = 576 // 144 * 192000 / 48000
+    val out = new Array[Byte](nFrames * frameLen)
+    // table 1: (x, y) -> (len, code); count1 B: code = value ^ 0xF, len 4
+    val t1 = Map((0, 0) -> (1, 1), (0, 1) -> (3, 1), (1, 0) -> (2, 1), (1, 1) -> (3, 0))
+    var f = 0
+    while (f < nFrames) {
+      val o = f * frameLen
+      out(o) = 0xFF.toByte     // sync
+      out(o + 1) = 0xFB.toByte // sync(3)+ID=1, layer=01 (III), protection=1 (no CRC)
+      out(o + 2) = 0xB4.toByte // bitrate idx 11 (192k), rate idx 1 (48k), pad 0
+      out(o + 3) = 0xC0.toByte // mode 11 = mono
+      var bitPos = 0
+      def put(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1) {
+            val bi = o + 4 + bitPos / 8
+            out(bi) = (out(bi) | (1 << (7 - bitPos % 8))).toByte
+          }
+          bitPos += 1
+          i -= 1
+        }
+      }
+      def mag(g: Int, l: Int): Int = ((id * 7 + f * 11 + g * 13 + l * 3) % 2).toInt
+      def sgn(g: Int, l: Int): Int = ((id + f + g + l) % 2).toInt
+      // per-granule Huffman bit cost: pairs (code + signs) + quads (4 + signs)
+      def huffBits(g: Int): Int = {
+        var bits = 0
+        var l = 0
+        while (l < 24) {
+          val (x, y) = (mag(g, l), mag(g, l + 1))
+          bits += t1((x, y))._1 + x + y
+          l += 2
+        }
+        l = 24
+        while (l < 40) { bits += 4 + (0 until 4).map(k => mag(g, l + k)).sum; l += 4 }
+        bits
+      }
+      // ---- side info (17 bytes) ----
+      put(0, 9)  // main_data_begin
+      put(0, 5)  // private bits
+      put(0, 4)  // scfsi
+      var g = 0
+      while (g < 2) {
+        put(42 + huffBits(g), 12)              // part2_3_length
+        put(12, 9)                             // big_values
+        put(210 + 4 * ((id + f + g) % 4).toInt, 8) // global_gain
+        put(9, 4)                              // scalefac_compress → slen 2/2
+        put(0, 1)                              // window_switching = 0 (long)
+        put(1, 5); put(0, 5); put(0, 5)        // table_select: 1, 0, 0
+        put(5, 4)                              // region0_count → 6 sfbs = line 24
+        put(3, 3)                              // region1_count
+        put(0, 1)                              // preflag
+        put(1, 1)                              // scalefac_scale = 1 (mult 1)
+        put(1, 1)                              // count1table_select = B
+        g += 1
+      }
+      // ---- main data (starts right after side info; mdb = 0) ----
+      g = 0
+      while (g < 2) {
+        var b = 0
+        while (b < 21) { put(((id + 3 * f + 5 * g + b) % 4).toInt, 2); b += 1 }
+        var l = 0
+        while (l < 24) { // big-values pairs, table 1 + sign bits
+          val (x, y) = (mag(g, l), mag(g, l + 1))
+          val (len, code) = t1((x, y))
+          put(code, len)
+          if (x != 0) put(sgn(g, l), 1)
+          if (y != 0) put(sgn(g, l + 1), 1)
+          l += 2
+        }
+        l = 24
+        while (l < 40) { // count1 quads, table B + sign bits
+          val v = (mag(g, l) << 3) | (mag(g, l + 1) << 2) |
+            (mag(g, l + 2) << 1) | mag(g, l + 3)
+          put(v ^ 0xF, 4)
+          var k = 0
+          while (k < 4) { if (mag(g, l + k) != 0) put(sgn(g, l + k), 1); k += 1 }
+          l += 4
+        }
+        g += 1
+      }
+      f += 1
+    }
+    out
+  }
+
   /** One uncompressed-DIB AVI clip per id for q_avi_frames: 2 + id%3
     * frames of (4 + id%5) × (3 + id%4) gray pixels
     * v = (id·31 + f·97 + (y·w + x)·7) mod 256 written as B = G = R = v —
@@ -2209,6 +2316,22 @@ object SparkEntry {
         .map(id => (id, synthMp2(id)))
         .toDF("doc_id", "media")
       Multimodal.mp2EnergyFingerprintDF(media, "doc_id")
+        .select(col("doc_id"), col("sample_rate"), col("n_frames"), col("n_granules"),
+          shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
+          col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
+        .orderBy("doc_id")
+    },
+    // REAL MPEG-1 LAYER-III decode (side info, scalefactors, Huffman
+    // big-values + count1 + signs, analytic requantization —
+    // ops.Mp3Codec); granule SPECTRAL energies x64 are exact integers the
+    // oracle replays from the generator formulas through the envelope hash
+    "q_mp3_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthMp3L3(id)))
+        .toDF("doc_id", "media")
+      Multimodal.mp3SpectralFingerprintDF(media, "doc_id")
         .select(col("doc_id"), col("sample_rate"), col("n_frames"), col("n_granules"),
           shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
           col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
@@ -5194,6 +5317,44 @@ object SparkEntry {
         |  FROM bits GROUP BY doc_id)
         |SELECT d.doc_id, CAST(32000 AS BIGINT) AS sample_rate,
         |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 36 AS BIGINT) AS n_granules,
+        |  fp.afp_hi, fp.afp_lo
+        |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Layer-III twin: per-granule spectral energies ×64 are exact integers
+    // Σ_l mag(l)·4^(3 + a − sf[band(l)]) with a = (id+f+g)%4 and
+    // sf[b] = (id+3f+5g+b)%4 over lines 0–39 (bands: l/4 below 24, then
+    // width-6 bands 6–8). Only ~2·nf of the 65 envelope windows are
+    // populated, so windows are generated EXHAUSTIVELY with zero fill
+    // before the adjacent-compare (unlike the Layer-II twin where every
+    // window has members).
+    "q_mp3_decode" ->
+      """WITH d AS (SELECT doc_id, 6 + doc_id % 3 AS nf FROM documents WHERE doc_id < 100),
+        | lf AS (SELECT doc_id, nf, fr.f, gr.g, ln.l,
+        |     (doc_id + fr.f + gr.g) % 4 AS a,
+        |     (doc_id + 3*fr.f + 5*gr.g +
+        |       (CASE WHEN ln.l < 24 THEN ln.l // 4 ELSE 6 + (ln.l - 24) // 6 END)) % 4 AS sf,
+        |     (doc_id * 7 + fr.f * 11 + gr.g * 13 + ln.l * 3) % 2 AS v
+        |   FROM d, (SELECT unnest(generate_series(0, 7)) AS f) fr,
+        |        (SELECT unnest(generate_series(0, 1)) AS g) gr,
+        |        (SELECT unnest(generate_series(0, 39)) AS l) ln
+        |   WHERE fr.f < nf),
+        | en AS (SELECT doc_id, nf, f * 2 + g AS gi,
+        |     CAST(sum(v * (CAST(1 AS BIGINT) << CAST(2 * (3 + a - sf) AS INT))) AS BIGINT) AS e
+        |   FROM lf GROUP BY 1, 2, 3),
+        | win0 AS (SELECT doc_id, (gi * 65) // (nf * 2) AS w, sum(e) AS we
+        |   FROM en GROUP BY 1, 2),
+        | wall AS (SELECT d.doc_id, wi.w, coalesce(win0.we, 0) AS we
+        |   FROM d CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS w) wi
+        |   LEFT JOIN win0 ON win0.doc_id = d.doc_id AND win0.w = wi.w),
+        | bits AS (SELECT a.doc_id, a.w, CASE WHEN a.we < b.we THEN 1 ELSE 0 END AS bit
+        |   FROM wall a JOIN wall b ON a.doc_id = b.doc_id AND b.w = a.w + 1 WHERE a.w < 64),
+        | fp AS (SELECT doc_id,
+        |   CAST(coalesce(sum(CASE WHEN w >= 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << CAST(w - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS afp_hi,
+        |   CAST(coalesce(sum(CASE WHEN w < 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << CAST(w AS INT)) ELSE 0 END), 0) AS BIGINT) AS afp_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(48000 AS BIGINT) AS sample_rate,
+        |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 2 AS BIGINT) AS n_granules,
         |  fp.afp_hi, fp.afp_lo
         |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "q_png_decode" ->

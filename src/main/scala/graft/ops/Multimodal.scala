@@ -21,15 +21,18 @@ import graft.embed.HashEmbeddingBackend
   * external library). MP3 frame headers (sample rate, channel mode, frame
   * count via the frame-chain walk) and MP4/ISO-BMFF boxes (tkhd
   * dimensions, mvhd timescale, track count) are REAL parses too, and
-  * MPEG-1 LAYER I **and LAYER II** decode to subband samples for real
-  * ([[Mp1Codec]] / [[Mp2Codec]] — requantization is analytic in both;
-  * Layer II's B.2 allocation tables are bitstream FORMAT, not empirical
+  * MPEG-1 LAYERS I, II **and III** decode for real ([[Mp1Codec]] /
+  * [[Mp2Codec]] / [[Mp3Codec]] — requantization is analytic in all
+  * three; Layer II's B.2 allocation tables and Layer III's side-info/
+  * scalefactor/Huffman structure are bitstream FORMAT, not empirical
   * constants — feeding [[mp1EnergyFingerprintDF]] /
-  * [[mp2EnergyFingerprintDF]]); baseline JPEG pixels decode through our
-  * own [[JpegCodec]] (T.81 Huffman + IDCT) and AVI video frames decode
-  * for real both uncompressed-DIB and MJPEG ([[AviCodec]]). What remains
-  * behind [[StubCodec]]'s deterministic fakes: Layer-III audio samples
-  * (Huffman + IMDCT + aliasing) and inter-frame video codecs — a
+  * [[mp2EnergyFingerprintDF]] / [[mp3SpectralFingerprintDF]]; Layer III
+  * ships Huffman big-values tables 0–1 + both count1 tables and long
+  * blocks — see Mp3Codec's provenance note for the scoped remainder);
+  * baseline JPEG pixels decode through our own [[JpegCodec]] (T.81
+  * Huffman + IDCT) and AVI video frames decode for real both
+  * uncompressed-DIB and MJPEG ([[AviCodec]]). What remains behind
+  * [[StubCodec]]'s deterministic fakes: inter-frame video codecs — a
   * documented README descope; swap in a real decoder (e.g. javacv) to
   * productionize, nothing else changes.
   *
@@ -1109,6 +1112,60 @@ object Multimodal {
     * envelope hash. Decode in-partition; non-Layer-II/corrupt/null rows
     * yield nothing.
     */
+  /** The Layer-III member of the compressed-audio fingerprint family via
+    * [[Mp3Codec]]: per clip (id, sample_rate, n_frames, n_granules, afp)
+    * where a granule is one Layer-III granule (2 per frame) and its
+    * energy is the SPECTRAL energy Σ xr² over the 576 dequantized lines,
+    * summed across channels and scaled ×64 (the ±2^k gate fixture lands
+    * on exact integers — see q_mp3_decode). Spectral rather than
+    * post-IMDCT energy keeps the envelope exactly replayable — by
+    * Parseval the two domains carry the same envelope information, and
+    * the granule grain (~12 ms at 48 kHz) matches the envelope hash's
+    * design grain. Same gain-invariant [[envelopeHash64]]; decode
+    * in-partition; non-Layer-III/corrupt/null rows yield nothing.
+    */
+  def mp3SpectralFingerprintDF(df: DataFrame, idCol: String,
+                               binaryCol: String = "media"): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("sample_rate", LongType),
+      StructField("n_frames", LongType),
+      StructField("n_granules", LongType),
+      StructField("afp", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else Mp3Codec.decode(bytes).iterator.map { d =>
+          Row(r.get(idIdx), d.sampleRate.toLong, d.nFrames.toLong,
+            (d.spectra.length / d.channels).toLong,
+            envelopeHash64(mp3GranuleEnergies(d)))
+        }
+      }
+    }
+  }
+
+  /** Per-granule spectral energies ×64, channels summed (the
+    * [[mp3SpectralFingerprintDF]] kernel, shared with the tag router).
+    */
+  private def mp3GranuleEnergies(d: Mp3Codec.Mp3Data): Array[Long] = {
+    val nG = d.spectra.length / d.channels
+    Array.tabulate(nG) { g =>
+      var e = 0.0
+      var c = 0
+      while (c < d.channels) {
+        val xr = d.spectra(g * d.channels + c)
+        var i = 0
+        while (i < xr.length) { e += xr(i) * xr(i); i += 1 }
+        c += 1
+      }
+      math.round(e * 64.0)
+    }
+  }
+
   def mp2EnergyFingerprintDF(df: DataFrame, idCol: String,
                              binaryCol: String = "media"): DataFrame = {
     val outSchema = StructType(Seq(
@@ -1187,6 +1244,9 @@ object Multimodal {
                   math.round(e * 50176.0)
                 })
               }.orNull
+            case "mp3" =>
+              Mp3Codec.decode(bytes)
+                .map(d => envelopeHash64(mp3GranuleEnergies(d))).orNull
             case "video" | "avi" | "anim" =>
               // video identity = the ordered frame dHash sequence folded
               // into one long (order-sensitive: a re-cut is not a dup);

@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scoped MPEG-1 Layer-III decoder: fixture round-trip against the exact
+  * spectral formula, Huffman table structural integrity (prefix-free +
+  * Kraft-complete — the properties transcription errors break), TDAC
+  * perfect reconstruction through the IMDCT/window/overlap path, alias
+  * butterflies as exact rotations, the bit reservoir, and the
+  * malformed-input contract.
+  */
+class Mp3CodecSpec extends AnyFunSuite {
+
+  // ---- fixture formulas (the synthMp3 contract) ----
+  private def mag(id: Long, f: Int, g: Int, l: Int): Int =
+    ((id * 7 + f * 11 + g * 13 + l * 3) % 2).toInt
+  private def sgn(id: Long, f: Int, g: Int, l: Int): Int =
+    ((id + f + g + l) % 2).toInt
+  private def sfOf(id: Long, f: Int, g: Int, b: Int): Int =
+    ((id + 3 * f + 5 * g + b) % 4).toInt
+  private def bandOf(l: Int): Int = if (l < 24) l / 4 else 6 + (l - 24) / 6
+
+  test("fixture round-trip: every dequantized spectral line matches the formula exactly") {
+    for (id <- Seq(0L, 1L, 7L, 42L)) {
+      val d = Mp3Codec.decode(graft.SparkEntry.synthMp3L3(id))
+        .getOrElse(fail(s"id=$id did not decode"))
+      assert(d.sampleRate == 48000 && d.channels == 1)
+      assert(d.nFrames == (6 + id % 3).toInt)
+      assert(d.spectra.length == d.nFrames * 2)
+      assert(d.granules.length == d.nFrames * 2 * 18)
+      for (f <- 0 until d.nFrames; g <- 0 until 2) {
+        val xr = d.spectra(f * 2 + g)
+        val a = ((id + f + g) % 4).toInt
+        for (l <- 0 until 576) {
+          val expected =
+            if (l >= 40 || mag(id, f, g, l) == 0) 0.0
+            else {
+              val v = math.pow(2.0, a - sfOf(id, f, g, bandOf(l)))
+              if (sgn(id, f, g, l) == 1) -v else v
+            }
+          assert(xr(l) == expected,
+            s"id=$id f=$f g=$g line=$l: got ${xr(l)}, want $expected")
+        }
+      }
+    }
+  }
+
+  test("Huffman tables are prefix-free and Kraft-complete") {
+    def check(name: String, codes: Seq[(Int, Int)]): Unit = { // (len, code)
+      val kraft = codes.map { case (len, _) => math.pow(2.0, -len) }.sum
+      assert(math.abs(kraft - 1.0) < 1e-12, s"$name Kraft sum $kraft != 1")
+      for (Seq((la, ca), (lb, cb)) <- codes.combinations(2)) {
+        val (sl, sc, ll, lc) = if (la <= lb) (la, ca, lb, cb) else (lb, cb, la, ca)
+        assert(!(sl == ll && sc == lc), s"$name duplicate code")
+        assert((lc >> (ll - sl)) != sc,
+          s"$name: ($sl, $sc) is a prefix of ($ll, $lc)")
+      }
+    }
+    check("table1", Mp3Codec.Table1Entries.map(e => (e._3, e._4)))
+    check("count1A", Mp3Codec.Count1AEntries.map(e => (e._2, e._3)))
+    // count1 B is the 4-bit complement block code: trivially complete
+    assert((0 until 16).map(v => v ^ 0xF).toSet == (0 until 16).toSet)
+  }
+
+  test("alias butterflies are exact rotations and reduce inter-band leakage") {
+    for (i <- 0 until 8)
+      assert(math.abs(Mp3Codec.Cs(i) * Mp3Codec.Cs(i) +
+        Mp3Codec.Ca(i) * Mp3Codec.Ca(i) - 1.0) < 1e-12)
+    val rnd = new scala.util.Random(7)
+    val xr = Array.fill(576)(rnd.nextDouble() - 0.5)
+    val before = xr.map(v => v * v).sum
+    Mp3Codec.aliasReduce(xr)
+    val after = xr.map(v => v * v).sum
+    assert(math.abs(before - after) < 1e-9, "rotations must preserve energy")
+  }
+
+  test("IMDCT + sine window + overlap-add achieves TDAC perfect reconstruction (x N/2)") {
+    // forward MDCT (test-local, independent direction): 36 windowed
+    // samples -> 18 coeffs; feeding them back through the decoder's
+    // imdct36 + 50% overlap-add must reproduce the signal scaled by
+    // N/2 = 9 in the steady state — any phase error in the cosine
+    // kernel breaks this everywhere, so it pins the transform exactly.
+    val n = 18
+    def window(i: Int) = math.sin(math.Pi / 36.0 * (i + 0.5))
+    val sig = Array.tabulate(36 * 6)(t =>
+      math.sin(0.37 * t) + 0.5 * math.cos(1.19 * t + 0.3))
+    val blocks = (0 until 5).map { b =>
+      val x = Array.tabulate(36)(i => sig(b * 18 + i) * window(i))
+      Array.tabulate(n)(k => (0 until 36).map(i =>
+        x(i) * math.cos(math.Pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))).sum)
+    }
+    val overlap = new Array[Double](18)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+    blocks.foreach { coeffs =>
+      val xr = new Array[Double](576)
+      System.arraycopy(coeffs, 0, xr, 0, 18)
+      val z = Mp3Codec.imdct36(xr, 0)
+      for (s <- 0 until 18) { out += z(s) + overlap(s); overlap(s) = z(s + 18) }
+    }
+    // steady state: skip the first half-block (no left neighbor)
+    for (t <- 18 until out.length) {
+      val want = 9.0 * sig(t)
+      assert(math.abs(out(t) - want) < 1e-9 * math.max(1.0, math.abs(want)),
+        s"t=$t: ${out(t)} vs $want")
+    }
+  }
+
+  test("bit reservoir: granule data stored in the previous frame decodes identically") {
+    val id = 5L
+    // plain 2-frame stream (mdb = 0 everywhere): the first 2 frames of
+    // the standard fixture
+    val plain = graft.SparkEntry.synthMp3L3(id).take(2 * 576)
+    val base = Mp3Codec.decode(plain).getOrElse(fail("plain did not decode"))
+    assert(base.nFrames == 2)
+
+    // reservoir variant: frame 2's granule bits moved to the TAIL of
+    // frame 1's main-data region; frame 2 carries main_data_begin
+    // pointing back at them and an empty own region
+    val out = new Array[Byte](2 * 576)
+    val t1 = Map((0, 0) -> (1, 1), (0, 1) -> (3, 1), (1, 0) -> (2, 1), (1, 1) -> (3, 0))
+    def huffBits(f: Int, g: Int): Int = {
+      var bits = 0
+      var l = 0
+      while (l < 24) {
+        val (x, y) = (mag(id, f, g, l), mag(id, f, g, l + 1))
+        bits += t1((x, y))._1 + x + y
+        l += 2
+      }
+      l = 24
+      while (l < 40) { bits += 4 + (0 until 4).map(k => mag(id, f, g, l + k)).sum; l += 4 }
+      bits
+    }
+    def part23(f: Int, g: Int) = 42 + huffBits(f, g)
+    // frame 2's two granules, bit-packed from a byte boundary
+    val f2bits = part23(1, 0) + part23(1, 1)
+    val f2len = (f2bits + 7) / 8
+    def writeFrame(f: Int, mdb: Int): Unit = {
+      val o = f * 576
+      out(o) = 0xFF.toByte; out(o + 1) = 0xFB.toByte
+      out(o + 2) = 0xB4.toByte; out(o + 3) = 0xC0.toByte
+      var bitPos = 0
+      def put(v: Int, nb: Int): Unit = {
+        var i = nb - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1) {
+            val bi = o + 4 + bitPos / 8
+            out(bi) = (out(bi) | (1 << (7 - bitPos % 8))).toByte
+          }
+          bitPos += 1; i -= 1
+        }
+      }
+      put(mdb, 9); put(0, 5); put(0, 4)
+      for (g <- 0 until 2) {
+        put(part23(f, g), 12); put(12, 9)
+        put(210 + 4 * ((id + f + g) % 4).toInt, 8)
+        put(9, 4); put(0, 1); put(1, 5); put(0, 5); put(0, 5)
+        put(5, 4); put(3, 3); put(0, 1); put(1, 1); put(1, 1)
+      }
+      if (f == 0) {
+        // own granule data at the region start...
+        for (g <- 0 until 2) writeGranule(0, g, put)
+        // ...then frame 2's data at the region TAIL (byte-aligned start;
+        // put() addresses bits from the side-info start, so skip its 17
+        // bytes plus the main region up to the tail)
+        bitPos = (17 + 555 - f2len) * 8
+        for (g <- 0 until 2) writeGranule(1, g, put)
+      } // frame 1 (f == 1): own region stays zero
+    }
+    def writeGranule(f: Int, g: Int, put: (Int, Int) => Unit): Unit = {
+      for (b <- 0 until 21) put(sfOf(id, f, g, b), 2)
+      var l = 0
+      while (l < 24) {
+        val (x, y) = (mag(id, f, g, l), mag(id, f, g, l + 1))
+        val (len, code) = t1((x, y))
+        put(code, len)
+        if (x != 0) put(sgn(id, f, g, l), 1)
+        if (y != 0) put(sgn(id, f, g, l + 1), 1)
+        l += 2
+      }
+      l = 24
+      while (l < 40) {
+        val v = (mag(id, f, g, l) << 3) | (mag(id, f, g, l + 1) << 2) |
+          (mag(id, f, g, l + 2) << 1) | mag(id, f, g, l + 3)
+        put(v ^ 0xF, 4)
+        for (k <- 0 until 4) if (mag(id, f, g, l + k) != 0) put(sgn(id, f, g, l + k), 1)
+        l += 4
+      }
+    }
+    writeFrame(0, 0)
+    writeFrame(1, f2len)
+    val res = Mp3Codec.decode(out).getOrElse(fail("reservoir stream did not decode"))
+    assert(res.nFrames == 2)
+    for (gi <- 0 until 4; l <- 0 until 576)
+      assert(res.spectra(gi)(l) == base.spectra(gi)(l),
+        s"granule $gi line $l diverged under the reservoir")
+  }
+
+  test("malformed input contract: garbage, empties and truncation never throw") {
+    assert(Mp3Codec.decode(null).isEmpty)
+    assert(Mp3Codec.decode(Array.emptyByteArray).isEmpty)
+    assert(Mp3Codec.decode(Array.fill(300)(0x55.toByte)).isEmpty)
+    val rnd = new scala.util.Random(11)
+    assert(Mp3Codec.decode(Array.fill(4096)(rnd.nextInt().toByte)).forall(_.nFrames >= 0))
+    // truncating the fixture mid-frame keeps the whole frames before it
+    val full = graft.SparkEntry.synthMp3L3(3L)
+    val cut = Mp3Codec.decode(full.take(576 + 100))
+    assert(cut.exists(_.nFrames == 1))
+  }
+
+  test("joint stereo and unshipped Huffman tables are rejected, not mis-decoded") {
+    val js = graft.SparkEntry.synthMp3L3(0L).clone()
+    js(3) = 0x40.toByte // mode 01 = joint stereo
+    assert(Mp3Codec.decode(js).isEmpty)
+    val badTable = graft.SparkEntry.synthMp3L3(0L).clone()
+    // table_select(0) field: side info bits — flip to table 3 (unshipped).
+    // Offset: 4 (header) + 9+5+4 (mdb/priv/scfsi) + 12+9+8+4+1 = 52 bits in
+    // → table_select starts at bit 52 of side info
+    val bitOff = (9 + 5 + 4 + 12 + 9 + 8 + 4 + 1)
+    val byteIdx = 4 + bitOff / 8
+    // write 00011 over the 5 bits at bitOff (big-endian in-byte)
+    var v = 3
+    for (i <- 0 until 5) {
+      val bp = bitOff + i
+      val bit = (v >> (4 - i)) & 1
+      val mask = 1 << (7 - bp % 8)
+      val bi = 4 + bp / 8
+      badTable(bi) = (if (bit == 1) badTable(bi) | mask else badTable(bi) & ~mask).toByte
+    }
+    assert(Mp3Codec.decode(badTable).isEmpty, "unshipped table must reject loudly")
+  }
+}
