@@ -573,6 +573,90 @@ object SparkEntry {
     out
   }
 
+  /** One MPEG-1 VIDEO elementary stream per id for q_mpeg1_iframe:
+    * 2 + id%3 I-pictures of 16·(1 + id%2) × 16 pixels — one slice per
+    * picture, every macroblock intra with DC-ONLY blocks, so each Y
+    * block is the flat value v(f, m, b) = 20 + (id·31 + f·97 +
+    * (m·4 + b)·7) % 200 (m = macroblock index, b = quadrant), chroma
+    * flat 128 ⇒ RGB = (v, v, v) exactly. DC values ride the
+    * differential predictor chain (luma size VLC + offset binary), so a
+    * hash match proves the sequence/picture/slice header walk, the
+    * macroblock address/type VLCs, DC size tables and prediction,
+    * EOB handling, F₀₀ = 8·pred dequantization, IDCT flatness and the
+    * 4:2:0 → RGB path ([[ops.Mpeg1Codec]]); the oracle replays the
+    * generator formula like q_avi_frames.
+    */
+  private[graft] def synthMpeg1(id: Long): Array[Byte] = {
+    val w = 16 * (1 + id % 2).toInt
+    val h = 16
+    val nf = (2 + id % 3).toInt
+    val mbCount = w / 16
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0
+    var nAcc = 0
+    def put(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nAcc += 1
+        if (nAcc == 8) { out.write(acc); acc = 0; nAcc = 0 }
+        i -= 1
+      }
+    }
+    def align(): Unit = if (nAcc > 0) put(0, 8 - nAcc)
+    def startCode(c: Int): Unit = { align(); put(0, 8); put(0, 8); put(1, 8); put(c, 8) }
+    // sequence header (64 bits → self-aligned)
+    startCode(0xB3)
+    put(w, 12); put(h, 12)
+    put(1, 4); put(3, 4)              // aspect 1:1, 25 fps
+    put(0x3FFFF, 18); put(1, 1)       // bitrate "variable", marker
+    put(0, 10); put(0, 1)             // vbv, constrained
+    put(0, 1); put(0, 1)              // no loaded matrices
+    var f = 0
+    while (f < nf) {
+      startCode(0x00)                 // picture
+      put(f, 10); put(1, 3)           // temporal ref, I-picture
+      put(0xFFFF, 16); put(0, 1)      // vbv_delay, extra_bit_picture
+      startCode(0x01)                 // slice, vertical position 1
+      put(8, 5); put(0, 1)            // quantizer_scale, extra_bit_slice
+      var predY = 128
+      var m = 0
+      while (m < mbCount) {
+        put(1, 1); put(1, 1)          // addr increment +1, type intra
+        var b = 0
+        while (b < 4) {               // luma blocks: flat v via DC chain
+          val v = 20 + ((id * 31 + f * 97 + (m * 4 + b) * 7) % 200).toInt
+          val diff = v - predY
+          predY = v
+          val size = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          size match { // dct_dc_size_luminance VLC
+            case 0 => put(0x4, 3)
+            case 1 => put(0x0, 2)
+            case 2 => put(0x1, 2)
+            case 3 => put(0x5, 3)
+            case 4 => put(0x6, 3)
+            case 5 => put(0xE, 4)
+            case 6 => put(0x1E, 5)
+            case 7 => put(0x3E, 6)
+            case _ => put(0x7E, 7)
+          }
+          if (size > 0)
+            put(if (diff > 0) diff else diff + (1 << size) - 1, size)
+          put(0x2, 2)                 // EOB
+          b += 1
+        }
+        // chroma: diff 0 (size code '00') + EOB, twice → flat 128
+        put(0x0, 2); put(0x2, 2)
+        put(0x0, 2); put(0x2, 2)
+        m += 1
+      }
+      f += 1
+    }
+    startCode(0xB7) // sequence end
+    align()
+    out.toByteArray
+  }
+
   /** One uncompressed-DIB AVI clip per id for q_avi_frames: 2 + id%3
     * frames of (4 + id%5) × (3 + id%4) gray pixels
     * v = (id·31 + f·97 + (y·w + x)·7) mod 256 written as B = G = R = v —
@@ -2336,6 +2420,19 @@ object SparkEntry {
           shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
           col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
         .orderBy("doc_id")
+    },
+    // REAL MPEG-1 VIDEO I-frame decode (sequence/picture/slice walk, MB
+    // address/type VLCs, DC size tables + differential prediction, intra
+    // dequant, IDCT, 4:2:0 → RGB — ops.Mpeg1Codec); DC-only fixtures make
+    // every pixel an exact integer the oracle replays from the formula
+    "q_mpeg1_iframe" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthMpeg1(id)))
+        .toDF("doc_id", "media")
+      Multimodal.videoFrameStats(media, "doc_id")
+        .orderBy("doc_id", "frame_index")
     },
     // REAL video pixel decode (uncompressed-DIB AVI — ops.AviCodec): RIFF
     // walk, stream-format gate, bottom-up BGR stride handling; per-frame
@@ -5263,6 +5360,27 @@ object SparkEntry {
         |     (d.doc_id * 31 + fr.f * 97 + g.i) % 256 AS v
         |   FROM d, (SELECT unnest(generate_series(0, 4)) AS f) fr,
         |        (SELECT unnest(generate_series(0, 159)) AS i) g
+        |   WHERE fr.f < d.nf AND g.i < d.w * d.h)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_index, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(w * h * 3 AS BIGINT) AS n_px,
+        |  CAST(3 * sum(v) AS BIGINT) AS px_sum,
+        |  CAST(sum(v * (9 * i + 3)) AS BIGINT) AS px_wsum,
+        |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id, f, w, h
+        |ORDER BY doc_id, frame_index""".stripMargin,
+    // MPEG-1 I-frames: RGB = (v, v, v) per pixel with the flat-block value
+    // v = 20 + (id·31 + f·97 + (m·4 + b)·7) % 200, m = x div 16 (single MB
+    // row), quadrant b = (y div 8)·2 + (x mod 16) div 8 — the same
+    // Σ v·(9i+3) wsum identity as q_gif_frames
+    "q_mpeg1_iframe" ->
+      """WITH d AS (SELECT doc_id, 16 * (1 + doc_id % 2) AS w, 16 AS h,
+        |    2 + doc_id % 3 AS nf FROM documents WHERE doc_id < 100),
+        | px AS (SELECT d.doc_id, d.w, d.h, fr.f, g.i,
+        |     20 + (d.doc_id * 31 + fr.f * 97 +
+        |       (((g.i % d.w) // 16) * 4 + ((g.i // d.w) // 8) * 2
+        |         + ((g.i % d.w) % 16) // 8) * 7) % 200 AS v
+        |   FROM d, (SELECT unnest(generate_series(0, 4)) AS f) fr,
+        |        (SELECT unnest(generate_series(0, 511)) AS i) g
         |   WHERE fr.f < d.nf AND g.i < d.w * d.h)
         |SELECT doc_id, CAST(f AS BIGINT) AS frame_index, CAST(w AS BIGINT) AS width,
         |  CAST(h AS BIGINT) AS height, CAST(w * h * 3 AS BIGINT) AS n_px,

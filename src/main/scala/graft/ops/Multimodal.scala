@@ -473,6 +473,7 @@ object Multimodal {
   private def videoFrames(bytes: Array[Byte]): Option[Array[PngCodec.Image]] =
     AviCodec.decode(bytes).map(_.frames)
       .orElse(GifCodec.decodeFrames(bytes).map(_.frames))
+      .orElse(Mpeg1Codec.decode(bytes).map(_.frames)) // I-frames (keyframes)
 
   /** Frame sampling for "video" bytes: one output row per sampled frame.
     * Media expansion happens within the partition; only (id, frame_index,
