@@ -282,6 +282,8 @@ object Hnsw {
 
     def levelOf(i: Int): Int = levels(i)
 
+    def cosineNodes(a: Int, b: Int): Double = cosine(vecs(a), b)
+
     def cosine(a: Array[Float], i: Int): Double = {
       val b = vecs(i)
       var s = 0.0; var na = 0.0
@@ -291,15 +293,22 @@ object Hnsw {
     }
 
     /** Beam search at one level from `start`, width `ef`, by descending
-      * cosine (ties → lower id first, for determinism). `limit` bounds
-      * the visitable node positions (exclusive): query-time passes `n`;
-      * CONSTRUCTION passes the inserting node's own position so the beam
-      * never walks onto not-yet-inserted nodes (or the query node
-      * itself, which would dominate the beam at cosine 1 and burn a
-      * neighbour slot on a self-edge).
+      * cosine (ties → lower id first, for determinism). CONSTRUCTION
+      * passes `exclude` = the inserting node's own position so the beam
+      * never selects the query node itself (cosine 1 would dominate the
+      * beam and burn a neighbour slot on a self-edge — the r14 advice
+      * defect). Other not-yet-inserted nodes REMAIN visitable during
+      * construction, deliberately: this is a BATCH build (mapPartitions
+      * holds every vector up front), and the level-0 id-chain walk over
+      * the full buffer gives each insert shard-wide candidate
+      * exploration — bounding it to the inserted prefix was measured to
+      * collapse realistic-ef recall at 62.5k-vector shards from ~0.96
+      * to ~0.80 (SCALING.md r15hnswshards). Forward edges to
+      * later-inserted nodes are real edges at query time, and their
+      * insert MERGES rather than overwrites, so nothing is lost.
       */
     def searchLayer(q: Array[Float], start: Int, ef: Int, level: Int,
-                    limit: Int = Int.MaxValue): Array[(Int, Double)] = {
+                    exclude: Int = -1): Array[(Int, Double)] = {
       val visited = new java.util.HashSet[Integer]()
       // candidates: best-first by score desc then id asc
       val candOrd = Ordering.by[(Int, Double), (Double, Int)](t => (-t._2, t._1))
@@ -328,7 +337,7 @@ object Hnsw {
               if (nbrs != null && i < nbrs.length) nbrs(i)
               else if (i == deg - 2 || (nbrs == null && i == 0)) c - 1
               else c + 1
-            if (nb >= 0 && nb < n && nb < limit && !visited.contains(nb)) {
+            if (nb >= 0 && nb < n && nb != exclude && !visited.contains(nb)) {
               visited.add(nb)
               val sc = cosine(q, nb)
               if (res.size < ef || sc > res.head._2 ||
@@ -356,6 +365,38 @@ object Hnsw {
     }
   }
 
+  /** The paper's neighbour-selection heuristic over a beam result:
+    * candidates arrive (score desc, id asc); one is SELECTED only if it
+    * is closer to q than to every neighbour already selected — pruning
+    * same-direction redundancy so the m slots span directions — then
+    * remaining slots fill with the nearest discards (keepPruned), which
+    * preserves degree for the connectivity the exactness chain assumes.
+    */
+  private def selectDiverse(g: Graph, q: Array[Float],
+                            cands: Array[(Int, Double)], m: Int): Array[Int] = {
+    if (cands.length <= m) return cands.map(_._1)
+    val selected = new scala.collection.mutable.ArrayBuffer[Int](m)
+    val discarded = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < cands.length && selected.length < m) {
+      val (e, scoreToQ) = cands(i)
+      var diverse = true
+      var j = 0
+      while (diverse && j < selected.length) {
+        if (g.cosineNodes(e, selected(j)) > scoreToQ) diverse = false
+        j += 1
+      }
+      if (diverse) selected += e else discarded += e
+      i += 1
+    }
+    var d = 0
+    while (selected.length < m && d < discarded.length) {
+      selected += discarded(d)
+      d += 1
+    }
+    selected.toArray
+  }
+
   /** Sequential deterministic HNSW construction over id-sorted members. */
   private def build(buf: Array[(Long, Array[Float])], m: Int,
                     efConstruction: Int): Graph = {
@@ -379,20 +420,25 @@ object Hnsw {
       var ep = g.entry
       var lvl = entryLevel
       while (lvl > nodeLevel) { // greedy descent above the node's level
-        ep = g.searchLayer(q, ep, 1, lvl, limit = i).head._1
+        ep = g.searchLayer(q, ep, 1, lvl, exclude = i).head._1
         lvl -= 1
       }
       var l = math.min(nodeLevel, entryLevel)
       while (l >= 0) {
-        // limit = i: candidates come only from already-inserted nodes, so
-        // no self-edges and no back-links onto uninserted nodes (which
-        // the target's own insert would otherwise clobber)
-        val cands = g.searchLayer(q, ep, efConstruction, l, limit = i)
+        // exclude = i: no self-edges; candidates may include
+        // later-inserted nodes (batch build — see searchLayer's note),
+        // whose own inserts MERGE with these back-links below
+        val cands = g.searchLayer(q, ep, efConstruction, l, exclude = i)
         val mmax = if (l == 0) 2 * m else m
-        val sel = cands.take(m).map(_._1)
-        // merge with anything already linked onto i (defensive — the
-        // limit bound makes prior back-links impossible, but merging
-        // keeps the invariant local)
+        // SELECT-NEIGHBORS-HEURISTIC (Malkov & Yashunin 2016, Alg. 4):
+        // plain top-m selection gives clustered data no long-range edges
+        // and recall collapses as shards grow — keep a candidate only if
+        // it is closer to q than to every already-selected neighbour
+        // (diversity), then fill remaining slots with the nearest
+        // discards (keepPruned), all ties id-broken for determinism
+        val sel = selectDiverse(g, q, cands, m)
+        // MERGE with back-links earlier inserts wrote onto i (the r14
+        // advice defect was overwriting them away), bounded at mmax
         val prior = Option(g.neighbors(l)(i)).getOrElse(Array.emptyIntArray)
         g.neighbors(l)(i) = (sel ++ prior.filterNot(sel.contains)).take(mmax)
         // bidirectional link + prune the neighbour back to mmax by score
@@ -401,8 +447,14 @@ object Hnsw {
           val merged = (cur :+ i).distinct
           g.neighbors(l)(nb) =
             if (merged.length <= mmax) merged
-            else merged.map(x => (x, g.cosine(vecs(nb), x)))
-              .sortBy(t => (-t._2, t._1)).take(mmax).map(_._1)
+            else {
+              // back-link prune with the same diversity heuristic (the
+              // paper applies Alg. 4 on both sides; measured +recall at
+              // saturated shard populations, SCALING.md r15hnswshards)
+              val ranked = merged.map(x => (x, g.cosine(vecs(nb), x)))
+                .sortBy(t => (-t._2, t._1))
+              selectDiverse(g, vecs(nb), ranked, mmax)
+            }
         }
         ep = cands.head._1
         l -= 1
