@@ -573,6 +573,113 @@ object SparkEntry {
     out
   }
 
+  /** [[synthMp3L3]]'s MS JOINT-STEREO twin for q_mp3_ms_decode: same
+    * 48 kHz / 192 kbps / 576-byte frames but mode 01 with mode_extension
+    * '10' (MS on, intensity off) and a 32-byte stereo side info. Channel
+    * c ∈ {0 = mid, 1 = side} varies every formula: gain exponent
+    * a = (id + f + g + 2c) % 4, sf[b] = (id + 3f + 5g + 7c + b) % 4,
+    * |is(l)| = (id·7 + f·11 + g·13 + c·17 + l·3) % 2, signs
+    * (id + f + g + c + l) % 2 — so M and S lines are ±2^k dyadics and
+    * the DECODED channels L = (M+S)/√2, R = (M−S)/√2 have per-granule
+    * energies ×4096 equal to the exact integers Σ (m64 ± s64)²/2 with
+    * m64 = M·64. The per-CHANNEL envelope
+    * ([[ops.Multimodal.mp3ChannelSpectralFingerprintDF]]) pins the MS
+    * rotation itself: channel-summed energy is rotation-invariant, so
+    * only the L/R split can prove the butterfly ran.
+    */
+  private[graft] def synthMp3Ms(id: Long): Array[Byte] = {
+    val nFrames = (6 + id % 3).toInt
+    val frameLen = 576
+    val out = new Array[Byte](nFrames * frameLen)
+    val t1 = Map((0, 0) -> (1, 1), (0, 1) -> (3, 1), (1, 0) -> (2, 1), (1, 1) -> (3, 0))
+    var f = 0
+    while (f < nFrames) {
+      val o = f * frameLen
+      out(o) = 0xFF.toByte
+      out(o + 1) = 0xFB.toByte
+      out(o + 2) = 0xB4.toByte // 192k, 48k, no pad
+      out(o + 3) = 0x60.toByte // mode 01 (joint), mode_ext 10 (MS, no intensity)
+      var bitPos = 0
+      def put(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1) {
+            val bi = o + 4 + bitPos / 8
+            out(bi) = (out(bi) | (1 << (7 - bitPos % 8))).toByte
+          }
+          bitPos += 1
+          i -= 1
+        }
+      }
+      def mag(g: Int, c: Int, l: Int): Int =
+        ((id * 7 + f * 11 + g * 13 + c * 17 + l * 3) % 2).toInt
+      def sgn(g: Int, c: Int, l: Int): Int = ((id + f + g + c + l) % 2).toInt
+      def huffBits(g: Int, c: Int): Int = {
+        var bits = 0
+        var l = 0
+        while (l < 24) {
+          val (x, y) = (mag(g, c, l), mag(g, c, l + 1))
+          bits += t1((x, y))._1 + x + y
+          l += 2
+        }
+        l = 24
+        while (l < 40) { bits += 4 + (0 until 4).map(k => mag(g, c, l + k)).sum; l += 4 }
+        bits
+      }
+      // ---- side info (32 bytes, stereo) ----
+      put(0, 9)  // main_data_begin
+      put(0, 3)  // private bits (stereo)
+      put(0, 8)  // scfsi ch0 + ch1
+      var g = 0
+      while (g < 2) {
+        var c = 0
+        while (c < 2) {
+          put(42 + huffBits(g, c), 12)
+          put(12, 9)
+          put(210 + 4 * ((id + f + g + 2 * c) % 4).toInt, 8)
+          put(9, 4)
+          put(0, 1)
+          put(1, 5); put(0, 5); put(0, 5)
+          put(5, 4); put(3, 3)
+          put(0, 1); put(1, 1); put(1, 1)
+          c += 1
+        }
+        g += 1
+      }
+      // ---- main data ----
+      g = 0
+      while (g < 2) {
+        var c = 0
+        while (c < 2) {
+          var b = 0
+          while (b < 21) { put(((id + 3 * f + 5 * g + 7 * c + b) % 4).toInt, 2); b += 1 }
+          var l = 0
+          while (l < 24) {
+            val (x, y) = (mag(g, c, l), mag(g, c, l + 1))
+            val (len, code) = t1((x, y))
+            put(code, len)
+            if (x != 0) put(sgn(g, c, l), 1)
+            if (y != 0) put(sgn(g, c, l + 1), 1)
+            l += 2
+          }
+          l = 24
+          while (l < 40) {
+            val v = (mag(g, c, l) << 3) | (mag(g, c, l + 1) << 2) |
+              (mag(g, c, l + 2) << 1) | mag(g, c, l + 3)
+            put(v ^ 0xF, 4)
+            var k = 0
+            while (k < 4) { if (mag(g, c, l + k) != 0) put(sgn(g, c, l + k), 1); k += 1 }
+            l += 4
+          }
+          c += 1
+        }
+        g += 1
+      }
+      f += 1
+    }
+    out
+  }
+
   /** One MPEG-1 VIDEO elementary stream per id for q_mpeg1_iframe:
     * 2 + id%3 I-pictures of 16·(1 + id%2) × 16 pixels — one slice per
     * picture, every macroblock intra with DC-ONLY blocks, so each Y
@@ -2416,6 +2523,22 @@ object SparkEntry {
         .map(id => (id, synthMp3L3(id)))
         .toDF("doc_id", "media")
       Multimodal.mp3SpectralFingerprintDF(media, "doc_id")
+        .select(col("doc_id"), col("sample_rate"), col("n_frames"), col("n_granules"),
+          shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
+          col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
+        .orderBy("doc_id")
+    },
+    // MS JOINT-STEREO Layer-III decode: the per-CHANNEL envelope pins the
+    // L = (M+S)/√2 / R = (M−S)/√2 rotation itself (channel-summed energy
+    // is rotation-invariant and could not); (M±S)²/2 stays exact in
+    // units of 1/4096, replayed by the oracle as Σ(m64±s64)²/2
+    "q_mp3_ms_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthMp3Ms(id)))
+        .toDF("doc_id", "media")
+      Multimodal.mp3ChannelSpectralFingerprintDF(media, "doc_id")
         .select(col("doc_id"), col("sample_rate"), col("n_frames"), col("n_granules"),
           shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
           col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
@@ -5368,6 +5491,52 @@ object SparkEntry {
         |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
         |FROM px GROUP BY doc_id, f, w, h
         |ORDER BY doc_id, frame_index""".stripMargin,
+    // MS joint-stereo twin: decoded channels L/R = (M±S)/√2 per line, so
+    // per-granule per-channel energies ×4096 = Σ (m64±s64)²/2 with
+    // m64 = vm·sm·2^(km+6) — every term a multiple of 8, the square of
+    // the sum a multiple of 64, the half exact. Channel-minor granule
+    // order (L, R per granule), nf·4 energies over 65 zero-filled windows.
+    "q_mp3_ms_decode" ->
+      """WITH d AS (SELECT doc_id, 6 + doc_id % 3 AS nf FROM documents WHERE doc_id < 100),
+        | lf AS (SELECT doc_id, nf, fr.f, gr.g, ln.l,
+        |     (CASE WHEN ln.l < 24 THEN ln.l // 4 ELSE 6 + (ln.l - 24) // 6 END) AS band,
+        |     (doc_id * 7 + fr.f * 11 + gr.g * 13 + ln.l * 3) % 2 AS vm,
+        |     (doc_id * 7 + fr.f * 11 + gr.g * 13 + 17 + ln.l * 3) % 2 AS vs,
+        |     CASE WHEN (doc_id + fr.f + gr.g + ln.l) % 2 = 1 THEN -1 ELSE 1 END AS sm,
+        |     CASE WHEN (doc_id + fr.f + gr.g + 1 + ln.l) % 2 = 1 THEN -1 ELSE 1 END AS ss,
+        |     (doc_id + fr.f + gr.g) % 4 AS am,
+        |     (doc_id + fr.f + gr.g + 2) % 4 AS asd
+        |   FROM d, (SELECT unnest(generate_series(0, 7)) AS f) fr,
+        |        (SELECT unnest(generate_series(0, 1)) AS g) gr,
+        |        (SELECT unnest(generate_series(0, 39)) AS l) ln
+        |   WHERE fr.f < nf),
+        | mv AS (SELECT doc_id, nf, f, g,
+        |     vm * sm * (CAST(1 AS BIGINT) << CAST(am - ((doc_id + 3*f + 5*g + band) % 4) + 6 AS INT)) AS m64,
+        |     vs * ss * (CAST(1 AS BIGINT) << CAST(asd - ((doc_id + 3*f + 5*g + 7 + band) % 4) + 6 AS INT)) AS s64
+        |   FROM lf),
+        | eg AS (SELECT doc_id, nf, f * 2 + g AS grn,
+        |     CAST(sum((m64 + s64) * (m64 + s64)) // 2 AS BIGINT) AS el,
+        |     CAST(sum((m64 - s64) * (m64 - s64)) // 2 AS BIGINT) AS er
+        |   FROM mv GROUP BY 1, 2, 3),
+        | en AS (SELECT doc_id, nf, grn * 2 AS gi, el AS e FROM eg
+        |   UNION ALL SELECT doc_id, nf, grn * 2 + 1 AS gi, er AS e FROM eg),
+        | win0 AS (SELECT doc_id, (gi * 65) // (nf * 4) AS w, sum(e) AS we
+        |   FROM en GROUP BY 1, 2),
+        | wall AS (SELECT d.doc_id, wi.w, coalesce(win0.we, 0) AS we
+        |   FROM d CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS w) wi
+        |   LEFT JOIN win0 ON win0.doc_id = d.doc_id AND win0.w = wi.w),
+        | bits AS (SELECT a.doc_id, a.w, CASE WHEN a.we < b.we THEN 1 ELSE 0 END AS bit
+        |   FROM wall a JOIN wall b ON a.doc_id = b.doc_id AND b.w = a.w + 1 WHERE a.w < 64),
+        | fp AS (SELECT doc_id,
+        |   CAST(coalesce(sum(CASE WHEN w >= 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << CAST(w - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS afp_hi,
+        |   CAST(coalesce(sum(CASE WHEN w < 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << CAST(w AS INT)) ELSE 0 END), 0) AS BIGINT) AS afp_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(48000 AS BIGINT) AS sample_rate,
+        |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 2 AS BIGINT) AS n_granules,
+        |  fp.afp_hi, fp.afp_lo
+        |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // MPEG-1 I-frames: RGB = (v, v, v) per pixel with the flat-block value
     // v = 20 + (id·31 + f·97 + (m·4 + b)·7) % 200, m = x div 16 (single MB
     // row), quadrant b = (y div 8)·2 + (x mod 16) div 8 — the same

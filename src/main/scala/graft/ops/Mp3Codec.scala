@@ -42,8 +42,11 @@ package graft.ops
   * a granule selecting them returns no further frames, loudly scoped like
   * Mp2's joint-stereo rejection. Window switching (short/mixed blocks) is
   * likewise out of scope; long-block streams — and everything our
-  * encoder emits — decode fully. Mono, stereo and dual-channel decode;
-  * joint stereo (mode 01: MS/intensity) is rejected as in Layers I/II.
+  * encoder emits — decode fully. Mono, stereo, dual-channel AND MS
+  * joint stereo (mode 01 with mode_extension '10' — the dominant
+  * real-world stereo mode: L = (M+S)/√2, R = (M−S)/√2 on the
+  * requantized spectra, ISO §2.4.3.4) decode; intensity-stereo frames
+  * (mode_extension bit 0) are rejected like Layers I/II's joint modes.
   *
   * Robustness contract (PcmCodec/Mp1Codec/Mp2Codec): malformed, hostile
   * or truncated input yields `None` (or the frames decoded so far),
@@ -184,9 +187,15 @@ object Mp3Codec {
         val rate = SampleRates((bytes(off + 2) >> 2) & 0x3)
         val padding = (bytes(off + 2) >> 1) & 1
         val mode = (bytes(off + 3) >> 6) & 0x3
+        val modeExt = (bytes(off + 3) >> 4) & 0x3
+        // joint stereo: MS-ONLY frames (mode_extension '10') decode for
+        // real — L = (M+S)/√2, R = (M−S)/√2 applied to the requantized
+        // spectra, ISO §2.4.3.4. Intensity stereo (mode_extension bit 0)
+        // remains out of scope and rejects, as in Layers I/II.
+        val msStereo = mode == 1 && modeExt == 2
         val frameLen = 144 * (brKbps * 1000) / rate + padding
         if (frameLen <= 4 || off + frameLen > bytes.length) { ok = false }
-        else if (mode == 1) { ok = false } // joint stereo: out of scope
+        else if (mode == 1 && modeExt != 2) { ok = false } // intensity: out of scope
         else {
           val ch = if (mode == 3) 1 else 2
           if (nFrames == 0) {
@@ -265,6 +274,9 @@ object Mp3Codec {
                     val sfStore = Array.ofDim[Int](ch, 21)
                     g = 0
                     while (g < 2) {
+                      // phase A: parse + requantize every channel of the
+                      // granule (stereo processing needs both spectra)
+                      val xrs = new Array[Array[Double]](ch)
                       c = 0
                       while (c < ch) {
                         val gi = gr(g)(c)
@@ -342,9 +354,28 @@ object Mp3Codec {
                           }
                           i += 1
                         }
+                        xrs(c) = xr
+                        c += 1
+                      }
+                      // phase B: MS stereo reconstruction on the
+                      // requantized spectra (energy-preserving rotation)
+                      if (msStereo) {
+                        val invSqrt2 = 1.0 / math.sqrt(2.0)
+                        var i = 0
+                        while (i < 576) {
+                          val m0 = xrs(0)(i)
+                          val s0 = xrs(1)(i)
+                          xrs(0)(i) = (m0 + s0) * invSqrt2
+                          xrs(1)(i) = (m0 - s0) * invSqrt2
+                          i += 1
+                        }
+                      }
+                      // phase C: per channel — record spectra, alias
+                      // reduce, IMDCT + overlap-add into time slices
+                      c = 0
+                      while (c < ch) {
+                        val xr = xrs(c)
                         spectraBuf += xr.clone() // alias reduce mutates in place
-                        // alias reduction + per-subband IMDCT/overlap →
-                        // 18 time slices (written interleaved below)
                         aliasReduce(xr)
                         val slices = Array.fill(18)(new Array[Double](32 * ch))
                         var sb = 0

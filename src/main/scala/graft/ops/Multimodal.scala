@@ -27,8 +27,9 @@ import graft.embed.HashEmbeddingBackend
   * scalefactor/Huffman structure are bitstream FORMAT, not empirical
   * constants — feeding [[mp1EnergyFingerprintDF]] /
   * [[mp2EnergyFingerprintDF]] / [[mp3SpectralFingerprintDF]]; Layer III
-  * ships Huffman big-values tables 0–1 + both count1 tables and long
-  * blocks — see Mp3Codec's provenance note for the scoped remainder);
+  * ships Huffman big-values tables 0–1 + both count1 tables, long
+  * blocks and MS joint stereo — see Mp3Codec's provenance note for the
+  * scoped remainder);
   * baseline JPEG pixels decode through our own [[JpegCodec]] (T.81
   * Huffman + IDCT) and AVI video frames decode for real both
   * uncompressed-DIB and MJPEG ([[AviCodec]]). What remains behind
@@ -1144,6 +1145,43 @@ object Multimodal {
           Row(r.get(idIdx), d.sampleRate.toLong, d.nFrames.toLong,
             (d.spectra.length / d.channels).toLong,
             envelopeHash64(mp3GranuleEnergies(d)))
+        }
+      }
+    }
+  }
+
+  /** [[mp3SpectralFingerprintDF]] with PER-CHANNEL energies — the gate
+    * surface for stereo processing: channel-summed energy is invariant
+    * under the MS rotation (it is a rotation), so only a per-channel
+    * envelope can pin that L = (M+S)/√2 / R = (M−S)/√2 actually ran.
+    * Energies interleave channel-minor ((g0, L), (g0, R), (g1, L), …)
+    * and scale ×4096 (the MS fixture's (M±S)²/2 terms are exact in
+    * units of 1/4096 — see q_mp3_ms_decode).
+    */
+  def mp3ChannelSpectralFingerprintDF(df: DataFrame, idCol: String,
+                                      binaryCol: String = "media"): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("sample_rate", LongType),
+      StructField("n_frames", LongType),
+      StructField("n_granules", LongType),
+      StructField("afp", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else Mp3Codec.decode(bytes).iterator.map { d =>
+          val energies = d.spectra.map { xr =>
+            var e = 0.0
+            var i = 0
+            while (i < xr.length) { e += xr(i) * xr(i); i += 1 }
+            math.round(e * 4096.0)
+          }
+          Row(r.get(idIdx), d.sampleRate.toLong, d.nFrames.toLong,
+            (d.spectra.length / d.channels).toLong, envelopeHash64(energies))
         }
       }
     }

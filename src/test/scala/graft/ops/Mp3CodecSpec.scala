@@ -195,6 +195,48 @@ class Mp3CodecSpec extends AnyFunSuite {
         s"granule $gi line $l diverged under the reservoir")
   }
 
+  test("MS joint stereo: decoded channels are the exact (M±S)/√2 rotation of the spectra") {
+    def magMs(id: Long, f: Int, g: Int, c: Int, l: Int): Int =
+      ((id * 7 + f * 11 + g * 13 + c * 17 + l * 3) % 2).toInt
+    def sgnMs(id: Long, f: Int, g: Int, c: Int, l: Int): Int =
+      ((id + f + g + c + l) % 2).toInt
+    def sfMs(id: Long, f: Int, g: Int, c: Int, b: Int): Int =
+      ((id + 3 * f + 5 * g + 7 * c + b) % 4).toInt
+    val invSqrt2 = 1.0 / math.sqrt(2.0)
+    for (id <- Seq(0L, 4L, 9L)) {
+      val d = Mp3Codec.decode(graft.SparkEntry.synthMp3Ms(id))
+        .getOrElse(fail(s"id=$id did not decode"))
+      assert(d.channels == 2 && d.sampleRate == 48000)
+      assert(d.nFrames == (6 + id % 3).toInt)
+      assert(d.spectra.length == d.nFrames * 2 * 2)
+      for (f <- 0 until d.nFrames; g <- 0 until 2; l <- 0 until 60) {
+        def raw(c: Int): Double = {
+          if (l >= 40 || magMs(id, f, g, c, l) == 0) 0.0
+          else {
+            val a = ((id + f + g + 2 * c) % 4).toInt
+            val v = math.pow(2.0, a - sfMs(id, f, g, c, bandOf(l)))
+            if (sgnMs(id, f, g, c, l) == 1) -v else v
+          }
+        }
+        val gi = (f * 2 + g) * 2
+        val wantL = (raw(0) + raw(1)) * invSqrt2
+        val wantR = (raw(0) - raw(1)) * invSqrt2
+        assert(d.spectra(gi)(l) == wantL, s"id=$id f=$f g=$g l=$l L")
+        assert(d.spectra(gi + 1)(l) == wantR, s"id=$id f=$f g=$g l=$l R")
+      }
+    }
+  }
+
+  test("intensity-stereo frames are rejected, MS-only accepted") {
+    val ms = graft.SparkEntry.synthMp3Ms(1L)
+    assert(Mp3Codec.decode(ms).isDefined)
+    for (ext <- Seq(0x0, 0x1, 0x3)) { // intensity on, or neither flag
+      val bad = ms.clone()
+      bad(3) = (0x40 | (ext << 4)).toByte // mode 01 with other mode_extension
+      assert(Mp3Codec.decode(bad).isEmpty, s"mode_ext=$ext must reject")
+    }
+  }
+
   test("malformed input contract: garbage, empties and truncation never throw") {
     assert(Mp3Codec.decode(null).isEmpty)
     assert(Mp3Codec.decode(Array.emptyByteArray).isEmpty)
@@ -207,7 +249,7 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(cut.exists(_.nFrames == 1))
   }
 
-  test("joint stereo and unshipped Huffman tables are rejected, not mis-decoded") {
+  test("non-MS joint stereo and unshipped Huffman tables are rejected, not mis-decoded") {
     val js = graft.SparkEntry.synthMp3L3(0L).clone()
     js(3) = 0x40.toByte // mode 01 = joint stereo
     assert(Mp3Codec.decode(js).isEmpty)
