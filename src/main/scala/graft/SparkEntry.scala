@@ -1925,6 +1925,20 @@ object SparkEntry {
           hotRefCap = HotBucketCap)
         .orderBy("doc_id")
     },
+    // the APPLIED ingest step: post-ingest corpus membership — refs
+    // retired by winning replacements drop out, accepted new docs
+    // (insert + replace_ref) come in, drops stay out
+    "q_ingest_keep_best" -> { (s, dir) =>
+      import graft.functions.textkernel
+      val docs = docsPar(s, dir)
+      def scored(df: org.apache.spark.sql.DataFrame) = df.withColumn("n_toks",
+        size(textkernel.word_tokens(col("text"))).cast("long"))
+      Dedup.ingestKeepBest(scored(crossDedupNewSide(docs)),
+          scored(docs.filter(col("doc_id") % 3 === 0)), "n_toks",
+          threshold = 0.7, numHashes = 8, rowsPerBand = 2, shingleSize = 3,
+          hotRefCap = HotBucketCap)
+        .orderBy("doc_id", "src")
+    },
     // Bloom-prefiltered exact cross-corpus dedup: the reference corpus is
     // summarized ONCE into a persisted-shape Bloom filter; the new dump is
     // probed at scan speed and only probe survivors enter the verification
@@ -3386,7 +3400,12 @@ object SparkEntry {
     * (jaccard DESC, ref_id ASC), token-count scores on the MUTATED new
     * text, strict-greater replace policy.
     */
-  private val crossDedupKeepBestSql: String = {
+  /** Shared CTE body for the keep-best cross-corpus oracles (everything
+    * from the mutation replay through the (doc → best ref, scores)
+    * tables); q_cross_dedup_keep_best and q_ingest_keep_best append
+    * different SELECT tails.
+    */
+  private val crossDedupKeepBestCtes: String = {
     val shingles = s"list_distinct(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)"
     val mhCols = (0 until 8).map(j =>
       s"list_min(list_transform(sh, s -> ${sqlHex60(s"'$j:' || s")})) AS mh$j").mkString(", ")
@@ -3430,7 +3449,11 @@ object SparkEntry {
        |   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, ref_id ASC) AS rn
        |   FROM um) WHERE rn = 1),
        | ns AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS new_score FROM tn),
-       | rs AS (SELECT doc_id AS ref_id, CAST(len(w) AS DOUBLE) AS ref_score FROM tr)
+       | rs AS (SELECT doc_id AS ref_id, CAST(len(w) AS DOUBLE) AS ref_score FROM tr)""".stripMargin
+  }
+
+  private val crossDedupKeepBestSql: String =
+    s"""$crossDedupKeepBestCtes
        |SELECT ns.doc_id, ns.new_score, best.ref_id AS best_ref_id,
        |  coalesce(best.j, 0.0) AS best_jaccard, rs.ref_score,
        |  (best.ref_id IS NOT NULL) AS dup,
@@ -3440,7 +3463,22 @@ object SparkEntry {
        |       ELSE 'drop' END AS action
        |FROM ns LEFT JOIN best USING (doc_id) LEFT JOIN rs ON rs.ref_id = best.ref_id
        |ORDER BY ns.doc_id""".stripMargin
-  }
+
+  /** The applied ingest step: surviving corpus = ref minus retired plus
+    * accepted new (insert + replace_ref).
+    */
+  private val ingestKeepBestSql: String =
+    s"""$crossDedupKeepBestCtes,
+       | dec AS (SELECT ns.doc_id, best.ref_id AS best_ref_id,
+       |   CASE WHEN best.ref_id IS NULL THEN 'insert'
+       |        WHEN ns.new_score > rs.ref_score THEN 'replace_ref'
+       |        ELSE 'drop' END AS action
+       |   FROM ns LEFT JOIN best USING (doc_id) LEFT JOIN rs ON rs.ref_id = best.ref_id),
+       | retired AS (SELECT DISTINCT best_ref_id AS doc_id FROM dec WHERE action = 'replace_ref')
+       |SELECT tr.doc_id, 'ref' AS src FROM tr
+       |WHERE tr.doc_id NOT IN (SELECT doc_id FROM retired)
+       |UNION ALL SELECT doc_id, 'new' AS src FROM dec WHERE action <> 'drop'
+       |ORDER BY 1, 2""".stripMargin
 
   /** End-to-end corpus dedup oracle: verified pairs at 0.7 → connected
     * components (recursive reachability, min label — the fixpoint of
@@ -4868,6 +4906,7 @@ object SparkEntry {
     "q_lsh_pairs" -> lshPairsSql,
     "q_cross_dedup" -> crossDedupSql,
     "q_cross_dedup_keep_best" -> crossDedupKeepBestSql,
+    "q_ingest_keep_best" -> ingestKeepBestSql,
     "q_cross_dedup_bloom" ->
       s"""WITH tn0 AS (SELECT a.doc_id,
          |   CASE WHEN a.doc_id % 9 = 1 THEN b.text || ${sqlStr(CrossDedupSuffix)}

@@ -635,6 +635,37 @@ object Dedup {
         col("ref_score"), col("dup"), col("new_wins"), col("action"))
   }
 
+  /** One recurring-ingest STEP under the keep-best policy
+    * ([[crossCorpusDedupKeepBest]] applied): returns the post-ingest
+    * corpus membership — reference docs minus the copies a
+    * higher-scoring new duplicate retires, plus the accepted new docs
+    * (fresh inserts and winning replacements). Output one row per
+    * surviving document: (doc_id, src ∈ ref | new). Feed `src = 'new'`
+    * rows to the index build and the retired ids (ref ∖ output) to the
+    * tombstone path; the next dump ingests against the result.
+    *
+    * Plan shape: the decision table's two slices (retired ref ids —
+    * DISTINCT, small; accepted new ids) are each one projection; the
+    * reference side pays one broadcast-able anti-join on (id) — the
+    * corpus text never moves.
+    */
+  def ingestKeepBest(newDocs: DataFrame, refDocs: DataFrame, scoreCol: String,
+                     textCol: String = "text", threshold: Double = 0.5,
+                     numHashes: Int = 8, rowsPerBand: Int = 2,
+                     shingleSize: Int = 3, hotRefCap: Int = 64,
+                     saturation: Option[Observation] = None): DataFrame = {
+    val decisions = crossCorpusDedupKeepBest(newDocs, refDocs, scoreCol,
+      textCol, threshold, numHashes, rowsPerBand, shingleSize, hotRefCap,
+      saturation)
+    val retired = decisions.filter(col("action") === "replace_ref")
+      .select(col("best_ref_id").as("doc_id")).distinct()
+    val accepted = decisions.filter(col("action") =!= "drop").select("doc_id")
+    refDocs.select(col("doc_id"))
+      .join(retired, Seq("doc_id"), "left_anti")
+      .withColumn("src", lit("ref"))
+      .unionByName(accepted.withColumn("src", lit("new")))
+  }
+
   /** Build a Bloom filter over the REFERENCE corpus's normalized-text
     * fingerprints (the same md5-of-word-stream key [[crossCorpusDedup]]'s
     * exact layer joins on). One treeAggregate over the reference scan —

@@ -337,6 +337,22 @@ class DedupSpec extends AnyFunSuite {
     assert(r.size == 4)
   }
 
+  test("ingestKeepBest: retired refs drop out, accepted new docs come in, drops stay out") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val ref = Seq(
+      (100L, base, 10L),
+      (101L, "completely different reference content about cooking pasta at home", 5L))
+      .toDF("doc_id", "text", "quality")
+    val neu = Seq(
+      (1L, base, 20L),                                                       // replace_ref → retires 100
+      (2L, base, 10L),                                                       // tie → drop
+      (4L, "an entirely unrelated new document about astronomy and telescopes", 1L)) // insert
+      .toDF("doc_id", "text", "quality")
+    val out = Dedup.ingestKeepBest(neu, ref, "quality", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((101L, "ref"), (1L, "new"), (4L, "new")), out.toString)
+  }
+
   test("crossCorpusDedup: fuzzy-only dup at J≈0.82 proves the banding path") {
     // 33 distinct words → 31 distinct 3-shingles; mutating MIDDLE word 17
     // changes exactly the 3 windows covering it: J = 28/34 = 0.823529 —
