@@ -654,9 +654,14 @@ object Dedup {
                      numHashes: Int = 8, rowsPerBand: Int = 2,
                      shingleSize: Int = 3, hotRefCap: Int = 64,
                      saturation: Option[Observation] = None): DataFrame = {
+    // the decision table feeds BOTH output slices — materialize it once
+    // (eager, lineage cut; one small row per new doc) instead of running
+    // the two-layer match chain twice
     val decisions = crossCorpusDedupKeepBest(newDocs, refDocs, scoreCol,
       textCol, threshold, numHashes, rowsPerBand, shingleSize, hotRefCap,
       saturation)
+      .select(col("doc_id"), col("best_ref_id"), col("action"))
+      .localCheckpoint(true)
     val retired = decisions.filter(col("action") === "replace_ref")
       .select(col("best_ref_id").as("doc_id")).distinct()
     val accepted = decisions.filter(col("action") =!= "drop").select("doc_id")
