@@ -65,6 +65,8 @@ object Multimodal {
         bytes(6) == 'y' && bytes(7) == 'p') "mp4"
       else if (bytes.length >= 3 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') "mp3"
       else if (bytes.length >= 4 && isMp3FrameHeader(bytes, 0)) "mp3"
+      else if (bytes.length >= 4 && bytes(0) == 0 && bytes(1) == 0 &&
+        bytes(2) == 1 && bytes(3) == 0xB3.toByte) "mpeg1v"
       else "bin"
 
     /** Full 4-byte MPEG Layer III frame-header validation — a bare sync
@@ -282,12 +284,34 @@ object Multimodal {
     }
 
     def decodeMeta(bytes: Array[Byte]): Row = sniffFormat(bytes) match {
-      case "png"  => png(bytes)
-      case "jpeg" => jpeg(bytes)
-      case "wav"  => wav(bytes)
-      case "mp3"  => mp3(bytes)
-      case "mp4"  => mp4(bytes)
-      case f      => Row(f, null, null, null, null, null)
+      case "png"    => png(bytes)
+      case "jpeg"   => jpeg(bytes)
+      case "wav"    => wav(bytes)
+      case "mp3"    => mp3(bytes)
+      case "mp4"    => mp4(bytes)
+      case "mpeg1v" => mpeg1v(bytes)
+      case f        => Row(f, null, null, null, null, null)
+    }
+
+    /** MPEG-1 video elementary stream: dimensions from the sequence
+      * header (12+12 bits after the B3 start code), n_frames = picture
+      * start codes in the stream (all coding types — a metadata count,
+      * unlike [[Mpeg1Codec]]'s decoded-keyframe output).
+      */
+    private def mpeg1v(b: Array[Byte]): Row = {
+      if (b.length < 8) return Row("mpeg1v", null, null, null, null, null)
+      val w = ((b(4) & 0xFF) << 4) | ((b(5) & 0xFF) >> 4)
+      val h = ((b(5) & 0x0F) << 8) | (b(6) & 0xFF)
+      var pics = 0
+      var i = 4
+      while (i + 3 < b.length) {
+        if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) {
+          if (b(i + 3) == 0) pics += 1
+          i += 4
+        } else i += 1
+      }
+      Row("mpeg1v", if (w > 0) w else null, if (h > 0) h else null,
+        if (pics > 0) pics else null, null, null)
     }
   }
 

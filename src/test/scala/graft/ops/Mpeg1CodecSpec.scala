@@ -190,6 +190,21 @@ class Mpeg1CodecSpec extends AnyFunSuite {
     assert(d.frames(0).pixels.sameElements(iOnly.frames(0).pixels))
   }
 
+  test("HeaderCodec sniffs MPEG-1 video and reports dimensions + picture count") {
+    for (id <- Seq(0L, 1L, 2L)) {
+      val bytes = graft.SparkEntry.synthMpeg1(id)
+      assert(Multimodal.HeaderCodec.sniffFormat(bytes) == "mpeg1v")
+      val m = Multimodal.HeaderCodec.decodeMeta(bytes)
+      assert(m.getString(0) == "mpeg1v")
+      assert(m.getInt(1) == 16 * (1 + id % 2).toInt && m.getInt(2) == 16)
+      assert(m.getInt(3) == (2 + id % 3).toInt, "picture count")
+    }
+    // truncated to just the start code: format sniffs, fields stay null
+    val stub = Array[Byte](0, 0, 1, 0xB3.toByte)
+    assert(Multimodal.HeaderCodec.sniffFormat(stub) == "mpeg1v")
+    assert(Multimodal.HeaderCodec.decodeMeta(stub).isNullAt(1))
+  }
+
   test("malformed input contract: garbage, truncation, absent sequence header") {
     assert(Mpeg1Codec.decode(null).isEmpty)
     assert(Mpeg1Codec.decode(Array.emptyByteArray).isEmpty)
