@@ -278,6 +278,35 @@ class PlanSpec extends AnyFunSuite {
     assert(ex.nonEmpty && ex.forall(cols => !cols.contains("text")), ex.toString)
   }
 
+  test("keep-best ingest: text never crosses an exchange, no cartesian, capped ref window") {
+    val docs = (0L until 50L).map(i =>
+      (i, s"words making up document number $i with a shared tail of tokens", i % 7))
+      .toDF("doc_id", "text", "quality")
+    val neu = docs.filter(col("doc_id") % 3 =!= 0)
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    // the DECISION stage (pre-checkpoint): same contract as
+    // crossCorpusDedup — the ref-side hot-bucket cap is a
+    // WindowGroupLimit, nothing goes cartesian, and the document text
+    // never rides a shuffle
+    val dec = Dedup.crossCorpusDedupKeepBest(neu, ref, "quality", threshold = 0.5)
+    dec.collect()
+    val pd = plan(dec)
+    assert(pd.contains("WindowGroupLimit"), pd)
+    assert(!pd.toLowerCase.contains("cartesian"), pd)
+    val exD = exchangeOutputs(dec.queryExecution.executedPlan)
+    assert(exD.nonEmpty && exD.forall(cols => !cols.contains("text")), exD.toString)
+    // the APPLIED stage (post lineage cut): id-only set operations —
+    // no cartesian, no text on any exchange, and the retire anti-join
+    // broadcasts the small side
+    val df = Dedup.ingestKeepBest(neu, ref, "quality", threshold = 0.5)
+    df.collect()
+    val p = plan(df)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+    assert(p.contains("LeftAnti"), p)
+    val ex = exchangeOutputs(df.queryExecution.executedPlan)
+    assert(ex.forall(cols => !cols.contains("text")), ex.toString)
+  }
+
   test("bloom cross-corpus dedup: probe prunes before the verify join; text never shuffles") {
     // parquet-backed: local relations would fold the whole pipeline at
     // optimization time and leave nothing to pin
