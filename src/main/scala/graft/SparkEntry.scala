@@ -764,6 +764,137 @@ object SparkEntry {
     out.toByteArray
   }
 
+  /** One MPEG-1 VIDEO elementary stream WITH P-PICTURES per id for
+    * q_mpeg1_pframe: 48×16 (3 macroblocks, one slice per picture),
+    * 2 + id%3 pictures — one I then 1–3 P. Every P picture exercises a
+    * different inter-coding path per macroblock:
+    *  - m0: INTRA refresh (DC chain from the slice-reset predictor),
+    *    value 20 + (id·31 + f·97 + b·7) % 200;
+    *  - ODD f: m1 = no-MC coded ('01', cbp 32) adding the escape-coded
+    *    prediction error Δ(f) = 2·((f+id)%5+1)+1 to quadrant Y₀ (the
+    *    non-intra dequant (2L+1)·qscale·W/16 with oddification lands on
+    *    16L+7, whose IDCT rounds to exactly 2L+1); m2 = MC NON-CODED
+    *    ('001') with full-pel motion vector (−8, 0) — a clean
+    *    one-quadrant shift from the previous picture;
+    *  - EVEN f: m1 is SKIPPED (address increment 2 — the zero-vector
+    *    reference copy); m2 = MC CODED ('1'): vector (−8, 0) PLUS the
+    *    Δ(f) error on its Y₀ quadrant.
+    * Pixel values stay in [20, 241] (no clamping), chroma is flat 128
+    * throughout ⇒ RGB = (v, v, v) exactly, and the per-frame value
+    * field is the closed form the DuckDB oracle replays: a hash match
+    * proves the P picture header (full_pel + f_code), the B.1 address
+    * increment VLC incl. skip handling, the B.2b type VLC, the B.4
+    * motion-code VLC with §2.4.4.2 reconstruction, half→full-pel
+    * application, the B.3 cbp VLC, non-intra dequantization and
+    * error ADDITION onto the motion-compensated prediction
+    * ([[ops.Mpeg1Codec]]).
+    */
+  private[graft] def synthMpeg1P(id: Long): Array[Byte] = {
+    val w = 48
+    val h = 16
+    val nf = (2 + id % 3).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0
+    var nAcc = 0
+    def put(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nAcc += 1
+        if (nAcc == 8) { out.write(acc); acc = 0; nAcc = 0 }
+        i -= 1
+      }
+    }
+    def align(): Unit = if (nAcc > 0) put(0, 8 - nAcc)
+    def startCode(c: Int): Unit = { align(); put(0, 8); put(0, 8); put(1, 8); put(c, 8) }
+    def dcLuma(diff: Int): Unit = {
+      val size = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      size match {
+        case 0 => put(0x4, 3)
+        case 1 => put(0x0, 2)
+        case 2 => put(0x1, 2)
+        case 3 => put(0x5, 3)
+        case 4 => put(0x6, 3)
+        case 5 => put(0xE, 4)
+        case 6 => put(0x1E, 5)
+        case 7 => put(0x3E, 6)
+        case _ => put(0x7E, 7)
+      }
+      if (size > 0) put(if (diff > 0) diff else diff + (1 << size) - 1, size)
+    }
+    def vOf(f: Int, m: Int, b: Int): Int =
+      20 + ((id * 31 + f * 97 + (m * 4 + b) * 7) % 200).toInt
+    def intraMb(f: Int, m: Int, pred0: Int): Int = {
+      var pred = pred0
+      var b = 0
+      while (b < 4) {
+        val v = vOf(f, m, b)
+        dcLuma(v - pred)
+        pred = v
+        put(0x2, 2) // EOB
+        b += 1
+      }
+      put(0x0, 2); put(0x2, 2) // Cb: diff 0 + EOB
+      put(0x0, 2); put(0x2, 2) // Cr
+      pred
+    }
+    // sequence header
+    startCode(0xB3)
+    put(w, 12); put(h, 12)
+    put(1, 4); put(3, 4)              // aspect 1:1, 25 fps
+    put(0x3FFFF, 18); put(1, 1)       // bitrate "variable", marker
+    put(0, 10); put(0, 1)             // vbv, constrained
+    put(0, 1); put(0, 1)              // no loaded matrices
+    // I-picture (f = 0)
+    startCode(0x00)
+    put(0, 10); put(1, 3); put(0xFFFF, 16); put(0, 1)
+    startCode(0x01)
+    put(8, 5); put(0, 1)
+    var pred = 128
+    var m = 0
+    while (m < 3) {
+      put(1, 1); put(1, 1) // increment 1, intra
+      pred = intraMb(0, m, pred)
+      m += 1
+    }
+    var f = 1
+    while (f < nf) {
+      val lvl = ((f + id) % 5 + 1).toInt // Δ = 2·lvl + 1 after dequant+IDCT
+      startCode(0x00)
+      put(f, 10); put(2, 3)             // temporal ref, P-picture
+      put(0xFFFF, 16)                   // vbv_delay
+      put(1, 1); put(1, 3)              // full_pel_forward_vector, f_code 1
+      put(0, 1)                         // extra_bit_picture
+      startCode(0x01)
+      put(8, 5); put(0, 1)              // qscale 8
+      put(1, 1); put(0x3, 5)            // m0: increment 1, type intra '00011'
+      intraMb(f, 0, 128)
+      if (f % 2 == 1) {
+        // m1: '01' no-MC coded, cbp 32 (Y₀), escape run 0 level L, EOB
+        put(1, 1); put(0x1, 2)
+        put(0xA, 4)
+        put(0x1, 6); put(0, 6); put(lvl, 8)
+        put(0x2, 2)
+        // m2: '001' MC non-coded, motion (−8, 0): code '0000010111' then '1'
+        put(1, 1); put(0x1, 3)
+        put(0x17, 10); put(1, 1)
+      } else {
+        // skip m1 (increment 2 = '011'); m2: '1' MC coded, vector (−8, 0),
+        // cbp 32, escape level L
+        put(0x3, 3)
+        put(1, 1)
+        put(0x17, 10); put(1, 1)
+        put(0xA, 4)
+        put(0x1, 6); put(0, 6); put(lvl, 8)
+        put(0x2, 2)
+      }
+      f += 1
+    }
+    startCode(0xB7)
+    align()
+    out.toByteArray
+  }
+
   /** One uncompressed-DIB AVI clip per id for q_avi_frames: 2 + id%3
     * frames of (4 + id%5) × (3 + id%4) gray pixels
     * v = (id·31 + f·97 + (y·w + x)·7) mod 256 written as B = G = R = v —
@@ -2567,6 +2698,21 @@ object SparkEntry {
       val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id")).as[Long]
         .map(id => (id, synthMpeg1(id)))
+        .toDF("doc_id", "media")
+      Multimodal.videoFrameStats(media, "doc_id")
+        .orderBy("doc_id", "frame_index")
+    },
+    // REAL MPEG-1 INTER-frame decode (P-pictures with forward motion
+    // compensation — ops.Mpeg1Codec): B.1 address-increment VLC incl.
+    // SKIPPED macroblocks, B.2b type VLC, B.4 motion vectors with the
+    // §2.4.4.2 reconstruction, B.3 coded_block_pattern, non-intra
+    // dequant + prediction-error addition; the fixture's closed-form
+    // pixel evolution is replayed by the oracle
+    "q_mpeg1_pframe" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthMpeg1P(id)))
         .toDF("doc_id", "media")
       Multimodal.videoFrameStats(media, "doc_id")
         .orderBy("doc_id", "frame_index")
@@ -5596,6 +5742,64 @@ object SparkEntry {
         |  CAST(sum(v * (9 * i + 3)) AS BIGINT) AS px_wsum,
         |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
         |FROM px GROUP BY doc_id, f, w, h
+        |ORDER BY doc_id, frame_index""".stripMargin,
+    // MPEG-1 P-pictures: the fixture's three-macroblock evolution has a
+    // CLOSED FORM (see synthMpeg1P) — m0 re-intra'd each frame, m1
+    // accumulating the odd-frame error Δ(k) on its Y₀ quadrant (and
+    // skipped on even frames), m2 a −8 px motion chain whose two-frame
+    // unrolling lands on v0(x−8) / v0(x−16) (+Δ(2) where the even-frame
+    // coded error applies)
+    "q_mpeg1_pframe" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf
+        |   FROM documents WHERE doc_id < 100),
+        | base AS (
+        |   SELECT d.doc_id, fr.f, g.i % 48 AS x, g.i // 48 AS y
+        |   FROM d,
+        |        (SELECT unnest(generate_series(0, 3)) AS f) fr,
+        |        (SELECT unnest(generate_series(0, 767)) AS i) g
+        |   WHERE fr.f < d.nf),
+        | px AS (
+        |   SELECT doc_id, f, x, y,
+        |     CASE
+        |       WHEN x < 16 THEN 20 + (doc_id * 31 + f * 97
+        |         + ((y // 8) * 2 + (x % 16) // 8) * 7) % 200
+        |       WHEN x < 32 THEN
+        |         20 + (doc_id * 31 + ((x // 16) * 4 + (y // 8) * 2
+        |           + ((x % 16) // 8)) * 7) % 200
+        |         + CASE WHEN x < 24 AND y < 8 THEN
+        |             (CASE WHEN f >= 1 THEN 2 * ((1 + doc_id) % 5 + 1) + 1 ELSE 0 END)
+        |           + (CASE WHEN f >= 3 THEN 2 * ((3 + doc_id) % 5 + 1) + 1 ELSE 0 END)
+        |           ELSE 0 END
+        |       ELSE
+        |         CASE f
+        |           WHEN 0 THEN 20 + (doc_id * 31 + ((x // 16) * 4 + (y // 8) * 2
+        |             + ((x % 16) // 8)) * 7) % 200
+        |           WHEN 1 THEN 20 + (doc_id * 31 + (((x - 8) // 16) * 4 + (y // 8) * 2
+        |             + (((x - 8) % 16) // 8)) * 7) % 200
+        |           WHEN 2 THEN (CASE WHEN x < 40
+        |               THEN 20 + (doc_id * 31 + (((x - 8) // 16) * 4 + (y // 8) * 2
+        |                 + (((x - 8) % 16) // 8)) * 7) % 200
+        |               ELSE 20 + (doc_id * 31 + (((x - 16) // 16) * 4 + (y // 8) * 2
+        |                 + (((x - 16) % 16) // 8)) * 7) % 200 END)
+        |             + CASE WHEN x < 40 AND y < 8
+        |                 THEN 2 * ((2 + doc_id) % 5 + 1) + 1 ELSE 0 END
+        |           ELSE (CASE WHEN x < 40
+        |               THEN 20 + (doc_id * 31 + (((x - 8) // 16) * 4 + (y // 8) * 2
+        |                 + (((x - 8) % 16) // 8)) * 7) % 200
+        |               ELSE 20 + (doc_id * 31 + (((x - 16) // 16) * 4 + (y // 8) * 2
+        |                 + (((x - 16) % 16) // 8)) * 7) % 200
+        |                 + CASE WHEN y < 8 THEN 2 * ((2 + doc_id) % 5 + 1) + 1
+        |                   ELSE 0 END END)
+        |         END
+        |     END AS v
+        |   FROM base)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_index,
+        |  CAST(48 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(48 * 16 * 3 AS BIGINT) AS n_px,
+        |  CAST(3 * sum(v) AS BIGINT) AS px_sum,
+        |  CAST(sum(v * (9 * (y * 48 + x) + 3)) AS BIGINT) AS px_wsum,
+        |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id, f
         |ORDER BY doc_id, frame_index""".stripMargin,
     // MJPEG frames add frame·97 to the block level; px_wsum = Σ v·i is
     // order-sensitive, pinning frame order and block placement

@@ -31,11 +31,14 @@ import graft.embed.HashEmbeddingBackend
   * blocks and MS joint stereo — see Mp3Codec's provenance note for the
   * scoped remainder);
   * baseline JPEG pixels decode through our own [[JpegCodec]] (T.81
-  * Huffman + IDCT) and AVI video frames decode for real both
-  * uncompressed-DIB and MJPEG ([[AviCodec]]). What remains behind
-  * [[StubCodec]]'s deterministic fakes: inter-frame video codecs — a
-  * documented README descope; swap in a real decoder (e.g. javacv) to
-  * productionize, nothing else changes.
+  * Huffman + IDCT), AVI video frames decode for real both
+  * uncompressed-DIB and MJPEG ([[AviCodec]]), and MPEG-1 VIDEO decodes
+  * I-pictures AND P-pictures with real forward motion compensation
+  * ([[Mpeg1Codec]] — B-pictures skipped, never mis-decoded). What
+  * remains behind [[StubCodec]]'s deterministic fakes: video codec
+  * families we don't parse at all (H.26x/MP4-payload pixels — the MP4
+  * box walk itself is real) — a documented README descope; swap in a
+  * real decoder (e.g. javacv) to productionize, nothing else changes.
   *
   * Scale notes: media bytes never leave their partition (mapPartitions, no
   * shuffle); metadata extraction is projection-shaped; feature vectors are
@@ -498,7 +501,7 @@ object Multimodal {
   private def videoFrames(bytes: Array[Byte]): Option[Array[PngCodec.Image]] =
     AviCodec.decode(bytes).map(_.frames)
       .orElse(GifCodec.decodeFrames(bytes).map(_.frames))
-      .orElse(Mpeg1Codec.decode(bytes).map(_.frames)) // I-frames (keyframes)
+      .orElse(Mpeg1Codec.decode(bytes).map(_.frames)) // I + P (forward MC)
 
   /** Frame sampling for "video" bytes: one output row per sampled frame.
     * Media expansion happens within the partition; only (id, frame_index,
