@@ -680,6 +680,127 @@ object SparkEntry {
     out
   }
 
+  /** [[synthMp3L3]]'s WINDOW-SWITCHED twin for q_mp3_short: mono
+    * 48 kHz / 192 kbps / 576-byte frames where every frame's granule 0
+    * is a SHORT block (window_switching = 1, block_type 2, non-mixed)
+    * and granule 1 stays long — pinning short and long decode paths
+    * coexisting in one stream. Short granule: global_gain = 210 + 4a
+    * with a = (id + f) % 4, scalefac_compress 5 (slen 1/1) with
+    * sf[b][w] = (id + 3f + b + w) % 2 in band-major window-sub-major
+    * order, subblock_gain[w] = (id + f + w) % 2, scalefac_scale 1.
+    * big_values = 12 pairs cover short bands 0–1 (× 3 windows, width 4
+    * at 48 kHz), 4 count1 quads cover lines 24–39 (band 2 + window 0 of
+    * band 3); magnitudes/signs reuse the q_mp3_decode formulas at g = 0.
+    * Every line dequantizes to ±2^(a − 2·sbg[w] − sf[b][w]), so the
+    * POSITION-WEIGHTED granule sum Σ (r+1)·xr² ×64 — r the reordered
+    * line index 12·(l div 12) + 3·(l mod 4) + (l mod 12) div 4 — is an
+    * exact integer the DuckDB oracle replays. A hash match proves the
+    * window-switched side-info layout, the short scalefactor order, the
+    * fixed 36-line region split, subblock-gain requantization AND the
+    * Huffman→filterbank reorder (the weighted sum is order-sensitive;
+    * plain energy is not — see
+    * [[ops.Multimodal.mp3WeightedSpectralFingerprintDF]]).
+    */
+  private[graft] def synthMp3Short(id: Long): Array[Byte] = {
+    val nFrames = (6 + id % 3).toInt
+    val frameLen = 576
+    val out = new Array[Byte](nFrames * frameLen)
+    val t1 = Map((0, 0) -> (1, 1), (0, 1) -> (3, 1), (1, 0) -> (2, 1), (1, 1) -> (3, 0))
+    var f = 0
+    while (f < nFrames) {
+      val o = f * frameLen
+      out(o) = 0xFF.toByte
+      out(o + 1) = 0xFB.toByte
+      out(o + 2) = 0xB4.toByte // 192k, 48k, no pad
+      out(o + 3) = 0xC0.toByte // mono
+      var bitPos = 0
+      def put(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1) {
+            val bi = o + 4 + bitPos / 8
+            out(bi) = (out(bi) | (1 << (7 - bitPos % 8))).toByte
+          }
+          bitPos += 1
+          i -= 1
+        }
+      }
+      def mag(g: Int, l: Int): Int = ((id * 7 + f * 11 + g * 13 + l * 3) % 2).toInt
+      def sgn(g: Int, l: Int): Int = ((id + f + g + l) % 2).toInt
+      def huffBits(g: Int): Int = {
+        var bits = 0
+        var l = 0
+        while (l < 24) {
+          val (x, y) = (mag(g, l), mag(g, l + 1))
+          bits += t1((x, y))._1 + x + y
+          l += 2
+        }
+        l = 24
+        while (l < 40) { bits += 4 + (0 until 4).map(k => mag(g, l + k)).sum; l += 4 }
+        bits
+      }
+      // ---- side info (17 bytes; the wsf layout is the same width) ----
+      put(0, 9); put(0, 5); put(0, 4) // mdb, private, scfsi
+      // granule 0: SHORT — sf bits = 12 bands × 3 windows × slen 1 = 36
+      put(36 + huffBits(0), 12)
+      put(12, 9)
+      put(210 + 4 * ((id + f) % 4).toInt, 8)
+      put(5, 4)                       // scalefac_compress → slen 1/1
+      put(1, 1)                       // window_switching
+      put(2, 2); put(0, 1)            // block_type 2, not mixed
+      put(1, 5); put(0, 5)            // table_select: 1, 0
+      var w = 0
+      while (w < 3) { put(((id + f + w) % 2).toInt, 3); w += 1 } // subblock_gain
+      put(0, 1); put(1, 1); put(1, 1) // preflag, scalefac_scale, count1 B
+      // granule 1: LONG — q_mp3_decode's granule shape at g = 1
+      put(42 + huffBits(1), 12)
+      put(12, 9)
+      put(210 + 4 * ((id + f + 1) % 4).toInt, 8)
+      put(9, 4)
+      put(0, 1)
+      put(1, 5); put(0, 5); put(0, 5)
+      put(5, 4); put(3, 3)
+      put(0, 1); put(1, 1); put(1, 1)
+      // ---- main data ----
+      // granule 0 scalefactors: band-major, window-sub-major, 1 bit each
+      var b = 0
+      while (b < 12) {
+        w = 0
+        while (w < 3) { put(((id + 3 * f + b + w) % 2).toInt, 1); w += 1 }
+        b += 1
+      }
+      var g = 0
+      while (g < 2) {
+        if (g == 1) {
+          // granule 1 scalefactors: 21 long bands, 2 bits each
+          b = 0
+          while (b < 21) { put(((id + 3 * f + 5 + b) % 4).toInt, 2); b += 1 }
+        }
+        var l = 0
+        while (l < 24) {
+          val (x, y) = (mag(g, l), mag(g, l + 1))
+          val (len, code) = t1((x, y))
+          put(code, len)
+          if (x != 0) put(sgn(g, l), 1)
+          if (y != 0) put(sgn(g, l + 1), 1)
+          l += 2
+        }
+        l = 24
+        while (l < 40) {
+          val v = (mag(g, l) << 3) | (mag(g, l + 1) << 2) |
+            (mag(g, l + 2) << 1) | mag(g, l + 3)
+          put(v ^ 0xF, 4)
+          var k = 0
+          while (k < 4) { if (mag(g, l + k) != 0) put(sgn(g, l + k), 1); k += 1 }
+          l += 4
+        }
+        g += 1
+      }
+      f += 1
+    }
+    out
+  }
+
   /** One MPEG-1 VIDEO elementary stream per id for q_mpeg1_iframe:
     * 2 + id%3 I-pictures of 16·(1 + id%2) × 16 pixels — one slice per
     * picture, every macroblock intra with DC-ONLY blocks, so each Y
@@ -2684,6 +2805,24 @@ object SparkEntry {
         .map(id => (id, synthMp3Ms(id)))
         .toDF("doc_id", "media")
       Multimodal.mp3ChannelSpectralFingerprintDF(media, "doc_id")
+        .select(col("doc_id"), col("sample_rate"), col("n_frames"), col("n_granules"),
+          shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
+          col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
+        .orderBy("doc_id")
+    },
+    // REAL Layer-III WINDOW-SWITCHED decode (short blocks: wsf side-info
+    // layout, B.8 short band table, band-major/window-sub-major
+    // scalefactors, subblock gains, fixed 36-line regions and the
+    // Huffman→filterbank REORDER — ops.Mp3Codec); the position-weighted
+    // spectral fingerprint is order-sensitive, so the reorder itself is
+    // pinned, not just the energies
+    "q_mp3_short" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthMp3Short(id)))
+        .toDF("doc_id", "media")
+      Multimodal.mp3WeightedSpectralFingerprintDF(media, "doc_id")
         .select(col("doc_id"), col("sample_rate"), col("n_frames"), col("n_granules"),
           shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
           col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
@@ -5706,6 +5845,53 @@ object SparkEntry {
         | en AS (SELECT doc_id, nf, grn * 2 AS gi, el AS e FROM eg
         |   UNION ALL SELECT doc_id, nf, grn * 2 + 1 AS gi, er AS e FROM eg),
         | win0 AS (SELECT doc_id, (gi * 65) // (nf * 4) AS w, sum(e) AS we
+        |   FROM en GROUP BY 1, 2),
+        | wall AS (SELECT d.doc_id, wi.w, coalesce(win0.we, 0) AS we
+        |   FROM d CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS w) wi
+        |   LEFT JOIN win0 ON win0.doc_id = d.doc_id AND win0.w = wi.w),
+        | bits AS (SELECT a.doc_id, a.w, CASE WHEN a.we < b.we THEN 1 ELSE 0 END AS bit
+        |   FROM wall a JOIN wall b ON a.doc_id = b.doc_id AND b.w = a.w + 1 WHERE a.w < 64),
+        | fp AS (SELECT doc_id,
+        |   CAST(coalesce(sum(CASE WHEN w >= 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << CAST(w - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS afp_hi,
+        |   CAST(coalesce(sum(CASE WHEN w < 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << CAST(w AS INT)) ELSE 0 END), 0) AS BIGINT) AS afp_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(48000 AS BIGINT) AS sample_rate,
+        |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 2 AS BIGINT) AS n_granules,
+        |  fp.afp_hi, fp.afp_lo
+        |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Layer-III short blocks: granule 0 short (reordered position weight
+    // r+1 with r = 12·(l div 12) + 3·(l mod 4) + (l mod 12) div 4 and
+    // exponent 3 + a − 2·sbg(w) − sf(b,w)), granule 1 long (weight l+1,
+    // exponent 3 + a − sf(band)); the weighted sums ride the same
+    // 65-window envelope hash as q_mp3_decode
+    "q_mp3_short" ->
+      """WITH d AS (SELECT doc_id, 6 + doc_id % 3 AS nf
+        |   FROM documents WHERE doc_id < 100),
+        | fr AS (SELECT unnest(generate_series(0, 7)) AS f),
+        | ln AS (SELECT unnest(generate_series(0, 39)) AS l),
+        | lf AS (
+        |   SELECT doc_id, nf, fr.f, 0 AS g, ln.l,
+        |     (doc_id * 7 + fr.f * 11 + ln.l * 3) % 2 AS v,
+        |     12 * (ln.l // 12) + 3 * (ln.l % 4) + (ln.l % 12) // 4 + 1 AS wt,
+        |     3 + (doc_id + fr.f) % 4
+        |       - 2 * ((doc_id + fr.f + (ln.l % 12) // 4) % 2)
+        |       - (doc_id + 3 * fr.f + ln.l // 12 + (ln.l % 12) // 4) % 2 AS ex
+        |   FROM d, fr, ln WHERE fr.f < nf
+        |   UNION ALL
+        |   SELECT doc_id, nf, fr.f, 1 AS g, ln.l,
+        |     (doc_id * 7 + fr.f * 11 + 13 + ln.l * 3) % 2 AS v,
+        |     ln.l + 1 AS wt,
+        |     3 + (doc_id + fr.f + 1) % 4
+        |       - (doc_id + 3 * fr.f + 5 +
+        |          (CASE WHEN ln.l < 24 THEN ln.l // 4
+        |                ELSE 6 + (ln.l - 24) // 6 END)) % 4 AS ex
+        |   FROM d, fr, ln WHERE fr.f < nf),
+        | en AS (SELECT doc_id, nf, f * 2 + g AS gi,
+        |     CAST(sum(v * wt * (CAST(1 AS BIGINT) << CAST(2 * ex AS INT))) AS BIGINT) AS e
+        |   FROM lf GROUP BY 1, 2, 3),
+        | win0 AS (SELECT doc_id, (gi * 65) // (nf * 2) AS w, sum(e) AS we
         |   FROM en GROUP BY 1, 2),
         | wall AS (SELECT d.doc_id, wi.w, coalesce(win0.we, 0) AS we
         |   FROM d CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS w) wi

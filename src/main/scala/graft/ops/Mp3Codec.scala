@@ -40,9 +40,16 @@ package graft.ops
   * the q_mp3_decode gate round-trips them against our own encoder.
   * Big-values tables 2–31 (and their linbits escapes) are NOT shipped —
   * a granule selecting them returns no further frames, loudly scoped like
-  * Mp2's joint-stereo rejection. Window switching (short/mixed blocks) is
-  * likewise out of scope; long-block streams — and everything our
-  * encoder emits — decode fully. Mono, stereo, dual-channel AND MS
+  * Mp2's joint-stereo rejection. WINDOW SWITCHING decodes for real
+  * (since round 15): block_type 1/3 start/stop windows, block_type 2
+  * SHORT blocks (the short scalefactor-band table B.8, band-major
+  * window-sub-major scalefactors, fixed 36-line region split,
+  * per-window subblock gains 2^(−2·sbg), Huffman→filterbank reorder,
+  * three 12-point short-window IMDCTs overlapped at 6-sample offsets)
+  * and MIXED blocks (long bands 0–7 below line 36, shorts above, alias
+  * reduction on the remaining long boundary only) — gated by
+  * q_mp3_short's order-sensitive weighted-spectral oracle. Mono,
+  * stereo, dual-channel AND MS
   * joint stereo (mode 01 with mode_extension '10' — the dominant
   * real-world stereo mode: L = (M+S)/√2, R = (M−S)/√2 on the
   * requantized spectra, ISO §2.4.3.4) decode; intensity-stereo frames
@@ -89,6 +96,15 @@ object Mp3Codec {
       40, 46, 54, 54, 192),
     32000 -> Array(4, 4, 4, 4, 4, 4, 6, 6, 8, 10, 12, 16, 20, 24, 30, 38, 46,
       56, 68, 84, 102, 26))
+
+  /** SHORT-block scalefactor-band WIDTHS per sample rate (13 bands × 3
+    * windows summing to 3·192 = 576 lines) — ISO 11172-3 Table B.8's
+    * short halves.
+    */
+  private[ops] val SfbWidthsShort: Map[Int, Array[Int]] = Map(
+    44100 -> Array(4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56),
+    48000 -> Array(4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66),
+    32000 -> Array(4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42, 12))
 
   /** Cumulative band START line per rate: boundaries(b) = first line of
     * sfb b; boundaries(22) = 576.
@@ -142,12 +158,18 @@ object Mp3Codec {
     def read1(): Int = read(1)
   }
 
-  /** Per-(granule, channel) side info. */
+  /** Per-(granule, channel) side info. `blockType`/`mixed`/`subblockGain`
+    * only meaningful when `windowSwitching`; a SHORT granule is
+    * `windowSwitching && blockType == 2`.
+    */
   private final case class GrInfo(part23: Int, bigValues: Int, globalGain: Int,
                                   scalefacCompress: Int, tableSelect: Array[Int],
                                   region0: Int, region1: Int, preflag: Int,
                                   scalefacScale: Int, count1Table: Int,
-                                  windowSwitching: Boolean)
+                                  windowSwitching: Boolean, blockType: Int,
+                                  mixed: Boolean, subblockGain: Array[Int]) {
+    def isShort: Boolean = windowSwitching && blockType == 2
+  }
 
   private def isLayer3Header(b: Array[Byte], o: Int): Boolean =
     o + 4 <= b.length &&
@@ -230,14 +252,19 @@ object Mp3Codec {
                   val sfc = side.read(4)
                   val wsf = side.read1()
                   val ts = new Array[Int](3)
+                  val sbg = new Array[Int](3)
                   var r0 = 0; var r1 = 0
+                  var bt = 0
+                  var mixed = false
                   if (wsf == 1) {
-                    // short/mixed blocks: out of scope — consume the
-                    // alternate layout's 22 bits, then reject the frame
-                    side.read(2); side.read(1)
+                    // window switching: block_type + mixed flag + 2 table
+                    // selects + 3 subblock gains (same 22-bit footprint as
+                    // the normal layout's 3 selects + region counts)
+                    bt = side.read(2)
+                    mixed = side.read1() == 1
                     ts(0) = side.read(5); ts(1) = side.read(5)
-                    side.read(3); side.read(3); side.read(3)
-                    badSide = true
+                    sbg(0) = side.read(3); sbg(1) = side.read(3); sbg(2) = side.read(3)
+                    if (bt == 0) badSide = true // reserved: illegal with wsf
                   } else {
                     ts(0) = side.read(5); ts(1) = side.read(5); ts(2) = side.read(5)
                     r0 = side.read(4); r1 = side.read(3)
@@ -246,9 +273,10 @@ object Mp3Codec {
                   val sfScale = side.read1()
                   val c1t = side.read1()
                   gr(g)(c) = GrInfo(part23, bigValues, globalGain, sfc, ts,
-                    r0, r1, pre, sfScale, c1t, wsf == 1)
-                  // only tables 0 and 1 are shipped (provenance note above)
-                  if (wsf == 0 && ts.take(2 + 1).exists(t => t != 0 && t != 1))
+                    r0, r1, pre, sfScale, c1t, wsf == 1, bt, mixed, sbg)
+                  // only tables 0 and 1 are shipped (provenance note above);
+                  // window-switched granules carry 2 selects, long carry 3
+                  if (ts.take(if (wsf == 1) 2 else 3).exists(t => t != 0 && t != 1))
                     badSide = true
                   c += 1
                 }
@@ -283,20 +311,51 @@ object Mp3Codec {
                         val grStartBit = r.bitPos
                         val (slen1, slen2) = SlenTab(gi.scalefacCompress)
                         val sf = new Array[Int](21)
-                        var b = 0
-                        while (b < 21) {
-                          val slen = if (b < 11) slen1 else slen2
-                          val group = if (b < 6) 0 else if (b < 11) 1
-                            else if (b < 16) 2 else 3
-                          if (g == 1 && scfsi(c)(group) == 1) sf(b) = sfStore(c)(b)
-                          else sf(b) = if (slen == 0) 0 else r.read(slen)
-                          b += 1
+                        val sfS = Array.ofDim[Int](12, 3)
+                        if (gi.isShort) {
+                          // short (and the long prefix of mixed) granules
+                          // always read fresh — scfsi only applies when
+                          // both granules are long (ISO §2.4.2.7)
+                          var b = 0
+                          if (gi.mixed) {
+                            while (b < 8) {
+                              sf(b) = if (slen1 == 0) 0 else r.read(slen1)
+                              b += 1
+                            }
+                          }
+                          b = if (gi.mixed) 3 else 0
+                          while (b < 12) {
+                            val slen = if (b < 6) slen1 else slen2
+                            var w = 0
+                            while (w < 3) {
+                              sfS(b)(w) = if (slen == 0) 0 else r.read(slen)
+                              w += 1
+                            }
+                            b += 1
+                          }
+                        } else {
+                          var b = 0
+                          while (b < 21) {
+                            val slen = if (b < 11) slen1 else slen2
+                            val group = if (b < 6) 0 else if (b < 11) 1
+                              else if (b < 16) 2 else 3
+                            if (g == 1 && scfsi(c)(group) == 1) sf(b) = sfStore(c)(b)
+                            else sf(b) = if (slen == 0) 0 else r.read(slen)
+                            b += 1
+                          }
+                          if (g == 0) System.arraycopy(sf, 0, sfStore(c), 0, 21)
                         }
-                        if (g == 0) System.arraycopy(sf, 0, sfStore(c), 0, 21)
                         val is = new Array[Int](576)
-                        // big-values pairs, region-bounded
-                        val r0End = bounds(math.min(gi.region0 + 1, 22))
-                        val r1End = bounds(math.min(gi.region0 + 1 + gi.region1 + 1, 22))
+                        // big-values pairs, region-bounded; window-switched
+                        // granules have fixed regions: 36 lines (= the
+                        // first 8 long / 3-short-×-3 bands at every rate)
+                        // then the rest — only 2 table selects exist
+                        val r0End =
+                          if (gi.windowSwitching) 36
+                          else bounds(math.min(gi.region0 + 1, 22))
+                        val r1End =
+                          if (gi.windowSwitching) 576
+                          else bounds(math.min(gi.region0 + 1 + gi.region1 + 1, 22))
                         var line = 0
                         val bvEnd = math.min(gi.bigValues * 2, 576)
                         while (line < bvEnd) {
@@ -341,20 +400,88 @@ object Mp3Codec {
                         val xr = new Array[Double](576)
                         val gain = math.pow(2.0, (gi.globalGain - 210) / 4.0)
                         val mult = if (gi.scalefacScale == 0) 0.5 else 1.0
-                        var band = 0
-                        var i = 0
-                        while (i < 576) {
-                          while (band < 21 && i >= bounds(band + 1)) band += 1
-                          if (is(i) != 0) {
-                            val sfb = if (band < 21)
-                              sf(band) + gi.preflag * Pretab(band) else 0
-                            val mag = math.pow(math.abs(is(i)).toDouble, 4.0 / 3.0) *
-                              gain * math.pow(2.0, -mult * sfb)
-                            xr(i) = if (is(i) < 0) -mag else mag
+                        if (gi.isShort) {
+                          val sw = SfbWidthsShort(rate)
+                          val longPrefix = if (gi.mixed) 36 else 0
+                          if (gi.mixed) {
+                            // lines 0–35: long bands 0–7 (pretab applies)
+                            var band = 0
+                            var i = 0
+                            while (i < 36) {
+                              while (band < 20 && i >= bounds(band + 1)) band += 1
+                              if (is(i) != 0) {
+                                val sfb = sf(band) + gi.preflag * Pretab(band)
+                                val mag = math.pow(math.abs(is(i)).toDouble, 4.0 / 3.0) *
+                                  gain * math.pow(2.0, -mult * sfb)
+                                xr(i) = if (is(i) < 0) -mag else mag
+                              }
+                              i += 1
+                            }
                           }
-                          i += 1
+                          // short region (HUFFMAN order: band-major,
+                          // window-sub-major): per-window subblock gain
+                          // 2^(−8·sbg/4) = 2^(−2·sbg); no pretab
+                          var b = if (gi.mixed) 3 else 0
+                          var start = longPrefix
+                          while (b < 13 && start < 576) {
+                            val wW = sw(b)
+                            var o = 0
+                            while (o < 3 * wW) {
+                              val i = start + o
+                              if (is(i) != 0) {
+                                val w = o / wW
+                                val sfb = if (b < 12) sfS(b)(w) else 0
+                                val mag = math.pow(math.abs(is(i)).toDouble, 4.0 / 3.0) *
+                                  gain * math.pow(2.0, -2.0 * gi.subblockGain(w)) *
+                                  math.pow(2.0, -mult * sfb)
+                                xr(i) = if (is(i) < 0) -mag else mag
+                              }
+                              o += 1
+                            }
+                            start += 3 * wW
+                            b += 1
+                          }
+                          // REORDER the short region from Huffman order
+                          // (band, window, line) to the filterbank's
+                          // line-interleaved order (band, line, window) —
+                          // band sizes 3·W keep the window ≡ position mod 3
+                          // phase aligned across 18-line subbands
+                          val re = new Array[Double](576)
+                          var i2 = 0
+                          while (i2 < longPrefix) { re(i2) = xr(i2); i2 += 1 }
+                          b = if (gi.mixed) 3 else 0
+                          start = longPrefix
+                          while (b < 13 && start < 576) {
+                            val wW = sw(b)
+                            var li = 0
+                            while (li < wW) {
+                              var w = 0
+                              while (w < 3) {
+                                re(start + 3 * li + w) = xr(start + w * wW + li)
+                                w += 1
+                              }
+                              li += 1
+                            }
+                            start += 3 * wW
+                            b += 1
+                          }
+                          xrs(c) = re
+                        } else {
+                          var band = 0
+                          var i = 0
+                          while (i < 576) {
+                            while (band < 21 && i >= bounds(band + 1)) band += 1
+                            if (is(i) != 0) {
+                              val sfb = if (band < 21)
+                                sf(band) + gi.preflag * Pretab(band) else 0
+                              val mag = math.pow(math.abs(is(i)).toDouble, 4.0 / 3.0) *
+                                gain * math.pow(2.0, -mult * sfb)
+                              xr(i) = if (is(i) < 0) -mag else mag
+                            }
+                            i += 1
+                          }
+                          xrs(c) = xr
                         }
-                        xrs(c) = xr
                         c += 1
                       }
                       // phase B: MS stereo reconstruction on the
@@ -374,13 +501,22 @@ object Mp3Codec {
                       // reduce, IMDCT + overlap-add into time slices
                       c = 0
                       while (c < ch) {
+                        val gi = gr(g)(c)
                         val xr = xrs(c)
                         spectraBuf += xr.clone() // alias reduce mutates in place
-                        aliasReduce(xr)
+                        // alias reduction spans long subband boundaries
+                        // only: none for pure short, the single long/long
+                        // boundary for mixed, all 31 otherwise
+                        val aliasSbs =
+                          if (gi.isShort) (if (gi.mixed) 2 else 0) else 32
+                        aliasReduce(xr, aliasSbs)
                         val slices = Array.fill(18)(new Array[Double](32 * ch))
                         var sb = 0
                         while (sb < 32) {
-                          val block = imdct36(xr, sb * 18)
+                          val shortSb = gi.isShort && (!gi.mixed || sb >= 2)
+                          val block =
+                            if (shortSb) imdct12x3(xr, sb * 18)
+                            else imdct36(xr, sb * 18, windowFor(gi, sb))
                           val ov = overlap(c * 32 + sb)
                           var s = 0
                           while (s < 18) {
@@ -468,12 +604,14 @@ object Mp3Codec {
   private[ops] val Cs = Ci.map(c => 1.0 / math.sqrt(1.0 + c * c))
   private[ops] val Ca = Ci.zip(Cs).map { case (c, s) => c * s }
 
-  /** The 8 anti-alias butterflies across every subband boundary —
-    * exact rotations (cs² + ca² = 1), in place.
+  /** The 8 anti-alias butterflies across long subband boundaries —
+    * exact rotations (cs² + ca² = 1), in place. `maxSb` bounds the
+    * boundaries walked: 32 for all-long granules, 2 for mixed (only the
+    * long/long boundary below the short region), 0 for pure short.
     */
-  private[ops] def aliasReduce(xr: Array[Double]): Unit = {
+  private[ops] def aliasReduce(xr: Array[Double], maxSb: Int = 32): Unit = {
     var sb = 1
-    while (sb < 32) {
+    while (sb < maxSb) {
       var i = 0
       while (i < 8) {
         val lo = sb * 18 - 1 - i
@@ -491,11 +629,38 @@ object Mp3Codec {
   private val Imdct36Cos: Array[Array[Double]] = Array.tabulate(36, 18) {
     (i, k) => math.cos(math.Pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
   }
-  private val LongWindow: Array[Double] =
+  /** block_type 0 — the normal long sine window. */
+  private[ops] val LongWindow: Array[Double] =
     Array.tabulate(36)(i => math.sin(math.Pi / 36.0 * (i + 0.5)))
+  /** block_type 1 — long→short START window (ISO §2.4.3.4.10.3). */
+  private[ops] val StartWindow: Array[Double] = Array.tabulate(36) { i =>
+    if (i < 18) math.sin(math.Pi / 36.0 * (i + 0.5))
+    else if (i < 24) 1.0
+    else if (i < 30) math.sin(math.Pi / 12.0 * (i - 18 + 0.5))
+    else 0.0
+  }
+  /** block_type 3 — short→long STOP window (the start window mirrored). */
+  private[ops] val StopWindow: Array[Double] = Array.tabulate(36) { i =>
+    if (i < 6) 0.0
+    else if (i < 12) math.sin(math.Pi / 12.0 * (i - 6 + 0.5))
+    else if (i < 18) 1.0
+    else math.sin(math.Pi / 36.0 * (i + 0.5))
+  }
+  /** block_type 2 — the 12-point short window. */
+  private[ops] val ShortWindow: Array[Double] =
+    Array.tabulate(12)(j => math.sin(math.Pi / 12.0 * (j + 0.5)))
 
-  /** 36-point IMDCT of 18 spectral lines at `off`, long window applied. */
-  private[ops] def imdct36(xr: Array[Double], off: Int): Array[Double] = {
+  private def windowFor(gi: GrInfo, sb: Int): Array[Double] =
+    if (!gi.windowSwitching) LongWindow
+    else gi.blockType match {
+      case 1 => StartWindow
+      case 3 => StopWindow
+      case _ => LongWindow // mixed short granule, long subbands 0–1
+    }
+
+  /** 36-point IMDCT of 18 spectral lines at `off`, `window` applied. */
+  private[ops] def imdct36(xr: Array[Double], off: Int,
+                           window: Array[Double] = LongWindow): Array[Double] = {
     val out = new Array[Double](36)
     var i = 0
     while (i < 36) {
@@ -506,8 +671,38 @@ object Mp3Codec {
         if (v != 0.0) s += v * Imdct36Cos(i)(k)
         k += 1
       }
-      out(i) = s * LongWindow(i)
+      out(i) = s * window(i)
       i += 1
+    }
+    out
+  }
+
+  private val Imdct12Cos: Array[Array[Double]] = Array.tabulate(12, 6) {
+    (j, k) => math.cos(math.Pi / 24.0 * (2 * j + 1 + 6) * (2 * k + 1))
+  }
+
+  /** Three 12-point IMDCTs of a SHORT subband's 18 lines at `off`
+    * (line-interleaved after the reorder: window w's k-th line sits at
+    * off + 3k + w), short-windowed, overlapped at 6-sample offsets into
+    * the 36-sample block (leading/trailing 6 zeros) — ISO §2.4.3.4.10.2.
+    */
+  private[ops] def imdct12x3(xr: Array[Double], off: Int): Array[Double] = {
+    val out = new Array[Double](36)
+    var w = 0
+    while (w < 3) {
+      var j = 0
+      while (j < 12) {
+        var s = 0.0
+        var k = 0
+        while (k < 6) {
+          val v = xr(off + 3 * k + w)
+          if (v != 0.0) s += v * Imdct12Cos(j)(k)
+          k += 1
+        }
+        out(6 + 6 * w + j) += s * ShortWindow(j)
+        j += 1
+      }
+      w += 1
     }
     out
   }

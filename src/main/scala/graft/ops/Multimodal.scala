@@ -1177,6 +1177,50 @@ object Multimodal {
     }
   }
 
+  /** [[mp3SpectralFingerprintDF]] with POSITION-WEIGHTED energies —
+    * per granule Σ (i+1)·xr(i)² ×64 (channel-summed) instead of the
+    * plain energy. Weighting by the spectral line index makes the
+    * quantity ORDER-SENSITIVE where energy is not: the short-block
+    * Huffman→filterbank reorder is a permutation, invisible to Σ xr²,
+    * so only a weighted sum can pin that reordering (and the band/window
+    * scalefactor + subblock-gain placement) actually ran — the gate
+    * surface for q_mp3_short.
+    */
+  def mp3WeightedSpectralFingerprintDF(df: DataFrame, idCol: String,
+                                       binaryCol: String = "media"): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("sample_rate", LongType),
+      StructField("n_frames", LongType),
+      StructField("n_granules", LongType),
+      StructField("afp", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else Mp3Codec.decode(bytes).iterator.map { d =>
+          val nG = d.spectra.length / d.channels
+          val weighted = Array.tabulate(nG) { g =>
+            var e = 0.0
+            var c = 0
+            while (c < d.channels) {
+              val xr = d.spectra(g * d.channels + c)
+              var i = 0
+              while (i < xr.length) { e += (i + 1) * xr(i) * xr(i); i += 1 }
+              c += 1
+            }
+            math.round(e * 64.0)
+          }
+          Row(r.get(idIdx), d.sampleRate.toLong, d.nFrames.toLong, nG.toLong,
+            envelopeHash64(weighted))
+        }
+      }
+    }
+  }
+
   /** [[mp3SpectralFingerprintDF]] with PER-CHANNEL energies — the gate
     * surface for stereo processing: channel-summed energy is invariant
     * under the MS rotation (it is a rotation), so only a per-channel

@@ -249,6 +249,187 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(cut.exists(_.nFrames == 1))
   }
 
+  // ---- window switching (short / mixed / start / stop) ----
+
+  test("short-block fixture: reordered dequantized lines match the formula exactly") {
+    for (id <- Seq(0L, 1L, 5L, 11L)) {
+      val d = Mp3Codec.decode(graft.SparkEntry.synthMp3Short(id))
+        .getOrElse(fail(s"id=$id did not decode"))
+      assert(d.sampleRate == 48000 && d.channels == 1)
+      assert(d.nFrames == (6 + id % 3).toInt)
+      for (f <- 0 until d.nFrames) {
+        // granule 0: SHORT — Huffman line l lands at reordered position
+        // r = 12·(l/12) + 3·(l%4) + (l%12)/4 with per-window gains
+        val xr0 = d.spectra(f * 2)
+        val a0 = ((id + f) % 4).toInt
+        val want0 = new Array[Double](576)
+        for (l <- 0 until 40 if mag(id, f, 0, l) == 1) {
+          val b = l / 12
+          val w = (l % 12) / 4
+          val rr = 12 * b + 3 * (l % 4) + w
+          val sfs = ((id + 3 * f + b + w) % 2).toInt
+          val sbg = ((id + f + w) % 2).toInt
+          val v = math.pow(2.0, a0 - 2 * sbg - sfs)
+          want0(rr) = if (sgn(id, f, 0, l) == 1) -v else v
+        }
+        for (l <- 0 until 576)
+          assert(xr0(l) == want0(l), s"id=$id f=$f SHORT line=$l")
+        // granule 1: LONG — the q_mp3_decode shape at g = 1
+        val xr1 = d.spectra(f * 2 + 1)
+        val a1 = ((id + f + 1) % 4).toInt
+        for (l <- 0 until 576) {
+          val expected =
+            if (l >= 40 || mag(id, f, 1, l) == 0) 0.0
+            else {
+              val v = math.pow(2.0, a1 - sfOf(id, f, 1, bandOf(l)))
+              if (sgn(id, f, 1, l) == 1) -v else v
+            }
+          assert(xr1(l) == expected, s"id=$id f=$f LONG line=$l")
+        }
+      }
+    }
+  }
+
+  // single-frame bit writer for handcrafted window-switching cases
+  private def l3Frame(body: ((Int, Int) => Unit) => Unit): Array[Byte] = {
+    val out = new Array[Byte](576)
+    out(0) = 0xFF.toByte; out(1) = 0xFB.toByte
+    out(2) = 0xB4.toByte; out(3) = 0xC0.toByte // 192k / 48k / mono
+    var bitPos = 0
+    def put(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        if (((v >> i) & 1) == 1) {
+          val bi = 4 + bitPos / 8
+          out(bi) = (out(bi) | (1 << (7 - bitPos % 8))).toByte
+        }
+        bitPos += 1
+        i -= 1
+      }
+    }
+    body(put)
+    out
+  }
+
+  test("mixed block: long bands below line 36, reordered shorts above") {
+    // granule 0: wsf=1, bt=2, MIXED; granule 1: silent long
+    val a = 2 // global_gain 218
+    val sbg = Array(1, 0, 2)
+    def magM(l: Int): Int = (l + 1) % 2 // even lines carry ±1
+    def sgnM(l: Int): Int = if (l % 3 == 0) 1 else 0
+    def sfL(b: Int): Int = b % 2 // long bands 0..7, slen1=1
+    def sfSS(b: Int, w: Int): Int = (b + w) % 2 // short bands 3..11
+    val pairBits = (0 until 36 by 2).map { l =>
+      val (x, y) = (magM(l), magM(l + 1))
+      Map((0, 0) -> 1, (0, 1) -> 3, (1, 0) -> 2, (1, 1) -> 3)((x, y)) + x + y
+    }.sum
+    val quadBits = 4 + (36 until 40).map(magM).sum // one count1-B quad
+    val part23 = 8 + 27 + pairBits + quadBits // sf: 8 long + 9 short bands ×3
+    val frame = l3Frame { put =>
+      put(0, 9); put(0, 5); put(0, 4)
+      // granule 0 side info
+      put(part23, 12); put(18, 9); put(210 + 4 * a, 8); put(5, 4) // slen 1/1
+      put(1, 1); put(2, 2); put(1, 1)        // wsf, bt 2, MIXED
+      put(1, 5); put(0, 5)                    // tables 1, 0
+      put(sbg(0), 3); put(sbg(1), 3); put(sbg(2), 3)
+      put(0, 1); put(1, 1); put(1, 1)         // pre, sfscale 1, count1 B
+      // granule 1 side info: silent (part23 0, slen 0/0)
+      put(0, 12); put(0, 9); put(210, 8); put(0, 4)
+      put(0, 1); put(0, 5); put(0, 5); put(0, 5); put(0, 4); put(0, 3)
+      put(0, 1); put(0, 1); put(0, 1)
+      // granule 0 main data: long sf 0..7 then short sf 3..11 ×3 windows
+      for (b <- 0 until 8) put(sfL(b), 1)
+      for (b <- 3 until 12; w <- 0 until 3) put(sfSS(b, w), 1)
+      val t1 = Map((0, 0) -> (1, 1), (0, 1) -> (3, 1), (1, 0) -> (2, 1), (1, 1) -> (3, 0))
+      for (l <- 0 until 36 by 2) {
+        val (x, y) = (magM(l), magM(l + 1))
+        val (len, code) = t1((x, y))
+        put(code, len)
+        if (x != 0) put(sgnM(l), 1)
+        if (y != 0) put(sgnM(l + 1), 1)
+      }
+      val v = (magM(36) << 3) | (magM(37) << 2) | (magM(38) << 1) | magM(39)
+      put(v ^ 0xF, 4)
+      for (k <- 36 until 40 if magM(k) == 1) put(sgnM(k), 1)
+    }
+    val d = Mp3Codec.decode(frame).getOrElse(fail("mixed frame did not decode"))
+    val xr = d.spectra(0)
+    val bounds = Mp3Codec.sfbBounds(48000)
+    val want = new Array[Double](576)
+    for (l <- 0 until 36 if magM(l) == 1) { // long part: no reorder
+      var band = 0
+      while (l >= bounds(band + 1)) band += 1
+      val v = math.pow(2.0, a - sfL(band))
+      want(l) = if (sgnM(l) == 1) -v else v
+    }
+    for (l <- 36 until 40 if magM(l) == 1) { // short band 3, window 0
+      val i = l - 36
+      val v = math.pow(2.0, a - 2 * sbg(0) - sfSS(3, 0))
+      want(36 + 3 * i) = if (sgnM(l) == 1) -v else v
+    }
+    for (l <- 0 until 576)
+      assert(xr(l) == want(l), s"mixed line $l: got ${xr(l)}, want ${want(l)}")
+    assert(d.spectra(1).forall(_ == 0.0), "silent long granule stays zero")
+  }
+
+  test("start/stop windows: granule time slices match the windowed IMDCT") {
+    // granule 0: bt=1 (START), granule 1: bt=3 (STOP), one line at 9 each
+    // (safely inside subband 0, away from the alias butterflies)
+    def sideInfo(put: (Int, Int) => Unit, bt: Int, p23: Int): Unit = {
+      put(p23, 12); put(5, 9); put(210 + 12, 8); put(0, 4) // a = 3, slen 0/0
+      put(1, 1); put(bt, 2); put(0, 1)  // wsf, block_type, not mixed
+      put(1, 5); put(0, 5)
+      put(0, 3); put(0, 3); put(0, 3)   // subblock gains (unused: long layout)
+      put(0, 1); put(0, 1); put(1, 1)
+    }
+    def granuleData(put: (Int, Int) => Unit): Unit = {
+      // 5 pairs: lines 0..7 zero (code '1' ×4), pair (0, +1) at lines 8/9
+      for (_ <- 0 until 4) put(1, 1)
+      put(1, 3); put(0, 1) // (0,1) code + positive sign
+    }
+    val p23 = 4 + 4 // four 1-bit pairs + 3-bit pair + sign
+    val frame = l3Frame { put =>
+      put(0, 9); put(0, 5); put(0, 4)
+      sideInfo(put, 1, p23)
+      sideInfo(put, 3, p23)
+      granuleData(put)
+      granuleData(put)
+    }
+    val d = Mp3Codec.decode(frame).getOrElse(fail("start/stop frame did not decode"))
+    val v = math.pow(2.0, 3) // gain 2^3, sf 0
+    assert(d.spectra(0)(9) == v && d.spectra(1)(9) == v)
+    val xr = new Array[Double](576)
+    xr(9) = v
+    Mp3Codec.aliasReduce(xr) // bt 1/3 are long granules: butterflies apply
+    val b0 = Mp3Codec.imdct36(xr, 0, Mp3Codec.StartWindow)
+    val b1 = Mp3Codec.imdct36(xr, 0, Mp3Codec.StopWindow)
+    for (s <- 0 until 18) {
+      assert(math.abs(d.granules(s)(0) - b0(s)) < 1e-12, s"START slice $s")
+      assert(math.abs(d.granules(18 + s)(0) - (b1(s) + b0(18 + s))) < 1e-12,
+        s"STOP slice $s (with the start granule's overlap tail)")
+    }
+    // window structure: start/stop are mirrors; flat and zero regions pinned
+    for (i <- 0 until 36)
+      assert(math.abs(Mp3Codec.StartWindow(i) - Mp3Codec.StopWindow(35 - i)) < 1e-12,
+        s"start/stop mirror at $i")
+    assert(Mp3Codec.StartWindow(20) == 1.0 && Mp3Codec.StartWindow(33) == 0.0)
+    assert(Mp3Codec.StopWindow(2) == 0.0 && Mp3Codec.StopWindow(14) == 1.0)
+  }
+
+  test("wsf with reserved block_type 0 rejects loudly") {
+    val frame = l3Frame { put =>
+      put(0, 9); put(0, 5); put(0, 4)
+      put(0, 12); put(0, 9); put(210, 8); put(0, 4)
+      put(1, 1); put(0, 2); put(0, 1) // wsf=1, block_type 0: reserved
+      put(0, 5); put(0, 5); put(0, 3); put(0, 3); put(0, 3)
+      put(0, 1); put(0, 1); put(0, 1)
+      put(0, 12); put(0, 9); put(210, 8); put(0, 4)
+      put(0, 1); put(0, 5); put(0, 5); put(0, 5); put(0, 4); put(0, 3)
+      put(0, 1); put(0, 1); put(0, 1)
+    }
+    assert(Mp3Codec.decode(frame).isEmpty)
+  }
+
   test("non-MS joint stereo and unshipped Huffman tables are rejected, not mis-decoded") {
     val js = graft.SparkEntry.synthMp3L3(0L).clone()
     js(3) = 0x40.toByte // mode 01 = joint stereo
