@@ -680,6 +680,127 @@ object SparkEntry {
     out
   }
 
+  /** [[synthMp3Ms]]'s INTENSITY-STEREO twin for q_mp3_intensity: mode 01
+    * with mode_extension '01' (intensity on, MS off). The LEFT channel
+    * carries 12 big-values pairs + 4 count1 quads (lines 0–39, the
+    * q_mp3_ms formulas at c = 0); the RIGHT channel carries 12 pairs
+    * ONLY, so its zero part starts at line 24 = the band-6 boundary and
+    * the intensity region is bands 6–21. Right scalefactor bands 6–20
+    * hold the intensity POSITIONS is_pos = 3·((id + f + g + b) % 2) ∈
+    * {0, 3} — exactly the positions whose tan(is_pos·π/12) ratios are
+    * the dyadic splits L = 0 / R = xr and L = R = xr/2, keeping the
+    * per-channel granule energies ×4096 exact integers. Below the bound
+    * both channels decode as plain stereo (mode_extension bit 1 off ⇒
+    * no MS). A hash match on the per-CHANNEL envelope proves the bound
+    * derivation from the right channel's zero part, the is_pos readout
+    * and the ratio split — channel-summed energy can't see any of that.
+    */
+  private[graft] def synthMp3Is(id: Long): Array[Byte] = {
+    val nFrames = (6 + id % 3).toInt
+    val frameLen = 576
+    val out = new Array[Byte](nFrames * frameLen)
+    val t1 = Map((0, 0) -> (1, 1), (0, 1) -> (3, 1), (1, 0) -> (2, 1), (1, 1) -> (3, 0))
+    var f = 0
+    while (f < nFrames) {
+      val o = f * frameLen
+      out(o) = 0xFF.toByte
+      out(o + 1) = 0xFB.toByte
+      out(o + 2) = 0xB4.toByte // 192k, 48k, no pad
+      out(o + 3) = 0x50.toByte // mode 01 (joint), mode_ext 01 (intensity only)
+      var bitPos = 0
+      def put(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1) {
+            val bi = o + 4 + bitPos / 8
+            out(bi) = (out(bi) | (1 << (7 - bitPos % 8))).toByte
+          }
+          bitPos += 1
+          i -= 1
+        }
+      }
+      def mag(g: Int, c: Int, l: Int): Int =
+        ((id * 7 + f * 11 + g * 13 + c * 17 + l * 3) % 2).toInt
+      def sgn(g: Int, c: Int, l: Int): Int = ((id + f + g + c + l) % 2).toInt
+      def pairBits(g: Int, c: Int): Int = {
+        var bits = 0
+        var l = 0
+        while (l < 24) {
+          val (x, y) = (mag(g, c, l), mag(g, c, l + 1))
+          bits += t1((x, y))._1 + x + y
+          l += 2
+        }
+        bits
+      }
+      def quadBits(g: Int, c: Int): Int = {
+        var bits = 0
+        var l = 24
+        while (l < 40) { bits += 4 + (0 until 4).map(k => mag(g, c, l + k)).sum; l += 4 }
+        bits
+      }
+      // ---- side info (32 bytes, stereo) ----
+      put(0, 9); put(0, 3); put(0, 8)
+      var g = 0
+      while (g < 2) {
+        var c = 0
+        while (c < 2) {
+          // right channel: pairs only → its zero part starts at line 24
+          val huff = pairBits(g, c) + (if (c == 0) quadBits(g, c) else 0)
+          put(42 + huff, 12)
+          put(12, 9)
+          put(210 + 4 * ((id + f + g + 2 * c) % 4).toInt, 8)
+          put(9, 4)
+          put(0, 1)
+          put(1, 5); put(0, 5); put(0, 5)
+          put(5, 4); put(3, 3)
+          put(0, 1); put(1, 1); put(1, 1)
+          c += 1
+        }
+        g += 1
+      }
+      // ---- main data ----
+      g = 0
+      while (g < 2) {
+        var c = 0
+        while (c < 2) {
+          var b = 0
+          while (b < 21) {
+            // right bands ≥ 6 carry intensity POSITIONS, not gains
+            val v =
+              if (c == 1 && b >= 6) 3 * ((id + f + g + b) % 2).toInt
+              else ((id + 3 * f + 5 * g + 7 * c + b) % 4).toInt
+            put(v, 2)
+            b += 1
+          }
+          var l = 0
+          while (l < 24) {
+            val (x, y) = (mag(g, c, l), mag(g, c, l + 1))
+            val (len, code) = t1((x, y))
+            put(code, len)
+            if (x != 0) put(sgn(g, c, l), 1)
+            if (y != 0) put(sgn(g, c, l + 1), 1)
+            l += 2
+          }
+          if (c == 0) {
+            l = 24
+            while (l < 40) {
+              val v = (mag(g, c, l) << 3) | (mag(g, c, l + 1) << 2) |
+                (mag(g, c, l + 2) << 1) | mag(g, c, l + 3)
+              put(v ^ 0xF, 4)
+              var k = 0
+              while (k < 4) { if (mag(g, c, l + k) != 0) put(sgn(g, c, l + k), 1); k += 1 }
+              l += 4
+            }
+          }
+          c += 1
+        }
+        g += 1
+      }
+      f += 1
+    }
+    out
+  }
+
   /** [[synthMp3L3]]'s WINDOW-SWITCHED twin for q_mp3_short: mono
     * 48 kHz / 192 kbps / 576-byte frames where every frame's granule 0
     * is a SHORT block (window_switching = 1, block_type 2, non-mixed)
@@ -2803,6 +2924,22 @@ object SparkEntry {
       val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id")).as[Long]
         .map(id => (id, synthMp3Ms(id)))
+        .toDF("doc_id", "media")
+      Multimodal.mp3ChannelSpectralFingerprintDF(media, "doc_id")
+        .select(col("doc_id"), col("sample_rate"), col("n_frames"), col("n_granules"),
+          shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
+          col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
+        .orderBy("doc_id")
+    },
+    // REAL Layer-III INTENSITY-STEREO decode (zero-part bound derivation,
+    // right-channel scalefactors as is_pos, tan(is_pos·π/12) ratio split
+    // — ops.Mp3Codec); dyadic positions {0, 3} keep per-channel energies
+    // exact, and only the per-CHANNEL envelope can see the split
+    "q_mp3_intensity" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthMp3Is(id)))
         .toDF("doc_id", "media")
       Multimodal.mp3ChannelSpectralFingerprintDF(media, "doc_id")
         .select(col("doc_id"), col("sample_rate"), col("n_frames"), col("n_granules"),
@@ -5841,6 +5978,58 @@ object SparkEntry {
         | eg AS (SELECT doc_id, nf, f * 2 + g AS grn,
         |     CAST(sum((m64 + s64) * (m64 + s64)) // 2 AS BIGINT) AS el,
         |     CAST(sum((m64 - s64) * (m64 - s64)) // 2 AS BIGINT) AS er
+        |   FROM mv GROUP BY 1, 2, 3),
+        | en AS (SELECT doc_id, nf, grn * 2 AS gi, el AS e FROM eg
+        |   UNION ALL SELECT doc_id, nf, grn * 2 + 1 AS gi, er AS e FROM eg),
+        | win0 AS (SELECT doc_id, (gi * 65) // (nf * 4) AS w, sum(e) AS we
+        |   FROM en GROUP BY 1, 2),
+        | wall AS (SELECT d.doc_id, wi.w, coalesce(win0.we, 0) AS we
+        |   FROM d CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS w) wi
+        |   LEFT JOIN win0 ON win0.doc_id = d.doc_id AND win0.w = wi.w),
+        | bits AS (SELECT a.doc_id, a.w, CASE WHEN a.we < b.we THEN 1 ELSE 0 END AS bit
+        |   FROM wall a JOIN wall b ON a.doc_id = b.doc_id AND b.w = a.w + 1 WHERE a.w < 64),
+        | fp AS (SELECT doc_id,
+        |   CAST(coalesce(sum(CASE WHEN w >= 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << CAST(w - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS afp_hi,
+        |   CAST(coalesce(sum(CASE WHEN w < 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << CAST(w AS INT)) ELSE 0 END), 0) AS BIGINT) AS afp_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(48000 AS BIGINT) AS sample_rate,
+        |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 2 AS BIGINT) AS n_granules,
+        |  fp.afp_hi, fp.afp_lo
+        |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Layer-III intensity stereo: below line 24 both channels are plain
+    // stereo; bands 6–8 (lines 24–39, the left channel's remaining data)
+    // split by position p = 3·((id+f+g+band)%2): p = 0 → all right,
+    // p = 3 → both at xr/2 (amplitude exponent −1); per-channel energies
+    // ×4096 ride the q_mp3_ms_decode envelope shape
+    "q_mp3_intensity" ->
+      """WITH d AS (SELECT doc_id, 6 + doc_id % 3 AS nf FROM documents WHERE doc_id < 100),
+        | lf AS (SELECT doc_id, nf, fr.f, gr.g, ln.l,
+        |     (CASE WHEN ln.l < 24 THEN ln.l // 4 ELSE 6 + (ln.l - 24) // 6 END) AS band,
+        |     (doc_id * 7 + fr.f * 11 + gr.g * 13 + ln.l * 3) % 2 AS vm,
+        |     (doc_id * 7 + fr.f * 11 + gr.g * 13 + 17 + ln.l * 3) % 2 AS vs,
+        |     (doc_id + fr.f + gr.g) % 4 AS am,
+        |     (doc_id + fr.f + gr.g + 2) % 4 AS asd
+        |   FROM d, (SELECT unnest(generate_series(0, 7)) AS f) fr,
+        |        (SELECT unnest(generate_series(0, 1)) AS g) gr,
+        |        (SELECT unnest(generate_series(0, 39)) AS l) ln
+        |   WHERE fr.f < nf),
+        | mv AS (SELECT doc_id, nf, f, g, l,
+        |     vm, vs,
+        |     CAST(am - ((doc_id + 3*f + 5*g + band) % 4) + 6 AS INT) AS exl,
+        |     CAST(asd - ((doc_id + 3*f + 5*g + 7 + band) % 4) + 6 AS INT) AS exr,
+        |     (doc_id + f + g + band) % 2 AS half
+        |   FROM lf),
+        | eg AS (SELECT doc_id, nf, f * 2 + g AS grn,
+        |     CAST(sum(CASE
+        |       WHEN l < 24 THEN vm * (CAST(1 AS BIGINT) << (2 * exl))
+        |       WHEN half = 1 THEN vm * (CAST(1 AS BIGINT) << (2 * (exl - 1)))
+        |       ELSE 0 END) AS BIGINT) AS el,
+        |     CAST(sum(CASE
+        |       WHEN l < 24 THEN vs * (CAST(1 AS BIGINT) << (2 * exr))
+        |       WHEN half = 1 THEN vm * (CAST(1 AS BIGINT) << (2 * (exl - 1)))
+        |       ELSE vm * (CAST(1 AS BIGINT) << (2 * exl)) END) AS BIGINT) AS er
         |   FROM mv GROUP BY 1, 2, 3),
         | en AS (SELECT doc_id, nf, grn * 2 AS gi, el AS e FROM eg
         |   UNION ALL SELECT doc_id, nf, grn * 2 + 1 AS gi, er AS e FROM eg),

@@ -49,11 +49,16 @@ package graft.ops
   * and MIXED blocks (long bands 0–7 below line 36, shorts above, alias
   * reduction on the remaining long boundary only) — gated by
   * q_mp3_short's order-sensitive weighted-spectral oracle. Mono,
-  * stereo, dual-channel AND MS
-  * joint stereo (mode 01 with mode_extension '10' — the dominant
-  * real-world stereo mode: L = (M+S)/√2, R = (M−S)/√2 on the
-  * requantized spectra, ISO §2.4.3.4) decode; intensity-stereo frames
-  * (mode_extension bit 0) are rejected like Layers I/II's joint modes.
+  * stereo, dual-channel AND every joint-stereo mode decode: MS
+  * (mode_extension bit 1: L = (M+S)/√2, R = (M−S)/√2 on the
+  * requantized spectra, ISO §2.4.3.4), INTENSITY (bit 0, since round
+  * 15: bands above the right channel's zero part reconstruct from the
+  * left spectra via is_ratio = tan(is_pos·π/12) with the right
+  * channel's raw scalefactors as positions, is_pos 7 the illegal
+  * marker and 6 the all-left limit — gated by q_mp3_intensity) and
+  * their combination (bit pattern '11': MS below the intensity bound).
+  * Intensity with SHORT blocks is rejected loudly (per-window
+  * positions are out of scope).
   *
   * Robustness contract (PcmCodec/Mp1Codec/Mp2Codec): malformed, hostile
   * or truncated input yields `None` (or the frames decoded so far),
@@ -210,14 +215,16 @@ object Mp3Codec {
         val padding = (bytes(off + 2) >> 1) & 1
         val mode = (bytes(off + 3) >> 6) & 0x3
         val modeExt = (bytes(off + 3) >> 4) & 0x3
-        // joint stereo: MS-ONLY frames (mode_extension '10') decode for
-        // real — L = (M+S)/√2, R = (M−S)/√2 applied to the requantized
-        // spectra, ISO §2.4.3.4. Intensity stereo (mode_extension bit 0)
-        // remains out of scope and rejects, as in Layers I/II.
-        val msStereo = mode == 1 && modeExt == 2
+        // joint stereo: MS (mode_extension bit 1) rotates the requantized
+        // spectra L = (M+S)/√2, R = (M−S)/√2 (ISO §2.4.3.4); INTENSITY
+        // (bit 0) reconstructs the bands above the right channel's zero
+        // part from the left spectra via is_ratio = tan(is_pos·π/12) —
+        // both decode for real (LONG granules; intensity + short blocks
+        // rejects loudly, see the scope note)
+        val msStereo = mode == 1 && (modeExt & 2) != 0
+        val intensityStereo = mode == 1 && (modeExt & 1) != 0
         val frameLen = 144 * (brKbps * 1000) / rate + padding
         if (frameLen <= 4 || off + frameLen > bytes.length) { ok = false }
-        else if (mode == 1 && modeExt != 2) { ok = false } // intensity: out of scope
         else {
           val ch = if (mode == 3) 1 else 2
           if (nFrames == 0) {
@@ -278,6 +285,10 @@ object Mp3Codec {
                   // window-switched granules carry 2 selects, long carry 3
                   if (ts.take(if (wsf == 1) 2 else 3).exists(t => t != 0 && t != 1))
                     badSide = true
+                  // intensity positions are defined per scalefactor band —
+                  // the short-window variant is out of scope, loudly
+                  if (intensityStereo && wsf == 1 && bt == 2)
+                    badSide = true
                   c += 1
                 }
                 g += 1
@@ -303,8 +314,12 @@ object Mp3Codec {
                     g = 0
                     while (g < 2) {
                       // phase A: parse + requantize every channel of the
-                      // granule (stereo processing needs both spectra)
+                      // granule (stereo processing needs both spectra);
+                      // intensity needs the right channel's RAW long
+                      // scalefactors (as is_pos) and its zero-part start
                       val xrs = new Array[Array[Double]](ch)
+                      val sfRaw = Array.ofDim[Int](ch, 21)
+                      val rzero = new Array[Int](ch)
                       c = 0
                       while (c < ch) {
                         val gi = gr(g)(c)
@@ -396,6 +411,8 @@ object Mp3Codec {
                         }
                         // skip any ancillary slack to the granule boundary
                         r.bitPos = grStartBit + gi.part23
+                        rzero(c) = line
+                        System.arraycopy(sf, 0, sfRaw(c), 0, 21)
                         // requantize
                         val xr = new Array[Double](576)
                         val gain = math.pow(2.0, (gi.globalGain - 210) / 4.0)
@@ -484,17 +501,57 @@ object Mp3Codec {
                         }
                         c += 1
                       }
-                      // phase B: MS stereo reconstruction on the
-                      // requantized spectra (energy-preserving rotation)
+                      // phase B: joint-stereo reconstruction on the
+                      // requantized spectra. Intensity bands start at the
+                      // first scalefactor-band boundary ≥ the right
+                      // channel's zero part; below it MS applies (when
+                      // mode_extension bit 1 is also set), above it
+                      // L = xr·r/(1+r), R = xr/(1+r) with
+                      // r = tan(is_pos·π/12), is_pos the right channel's
+                      // raw scalefactor (7 = illegal marker: left as-is;
+                      // 6 = the r → ∞ limit: L = xr, R = 0; band 21
+                      // reuses band 20's position — ISO §2.4.3.4.4)
+                      val isBound =
+                        if (!(intensityStereo && ch == 2)) 576
+                        else {
+                          var b = 0
+                          while (b < 22 && bounds(b) < rzero(1)) b += 1
+                          bounds(b)
+                        }
                       if (msStereo) {
                         val invSqrt2 = 1.0 / math.sqrt(2.0)
                         var i = 0
-                        while (i < 576) {
+                        while (i < isBound) {
                           val m0 = xrs(0)(i)
                           val s0 = xrs(1)(i)
                           xrs(0)(i) = (m0 + s0) * invSqrt2
                           xrs(1)(i) = (m0 - s0) * invSqrt2
                           i += 1
+                        }
+                      }
+                      if (intensityStereo && ch == 2 && isBound < 576) {
+                        var b = 0
+                        while (bounds(b) < isBound) b += 1
+                        while (b < 22) {
+                          val isPos = sfRaw(1)(math.min(b, 20))
+                          if (isPos != 7) {
+                            val e1 = bounds(b + 1)
+                            var i = bounds(b)
+                            if (isPos == 6) {
+                              while (i < e1) { xrs(1)(i) = 0.0; i += 1 }
+                            } else {
+                              val r0 = math.tan(isPos * math.Pi / 12.0)
+                              val fl = r0 / (1.0 + r0)
+                              val fr = 1.0 / (1.0 + r0)
+                              while (i < e1) {
+                                val v = xrs(0)(i)
+                                xrs(0)(i) = v * fl
+                                xrs(1)(i) = v * fr
+                                i += 1
+                              }
+                            }
+                          }
+                          b += 1
                         }
                       }
                       // phase C: per channel — record spectra, alias

@@ -227,14 +227,86 @@ class Mp3CodecSpec extends AnyFunSuite {
     }
   }
 
-  test("intensity-stereo frames are rejected, MS-only accepted") {
+  test("every joint-stereo mode_extension decodes; intensity is a no-op without a zero part") {
     val ms = graft.SparkEntry.synthMp3Ms(1L)
-    assert(Mp3Codec.decode(ms).isDefined)
-    for (ext <- Seq(0x0, 0x1, 0x3)) { // intensity on, or neither flag
-      val bad = ms.clone()
-      bad(3) = (0x40 | (ext << 4)).toByte // mode 01 with other mode_extension
-      assert(Mp3Codec.decode(bad).isEmpty, s"mode_ext=$ext must reject")
+    val msDec = Mp3Codec.decode(ms).getOrElse(fail("MS fixture did not decode"))
+    // mode_ext 00: plain stereo — spectra stay the raw (unrotated) values
+    val plain = ms.clone()
+    plain(3) = 0x40.toByte
+    val plainDec = Mp3Codec.decode(plain).getOrElse(fail("ext=0 did not decode"))
+    assert(plainDec.spectra.length == msDec.spectra.length)
+    assert(!plainDec.spectra(0).sameElements(msDec.spectra(0)),
+      "plain stereo must differ from the MS rotation")
+    // mode_ext 01: the MS fixture's right channel has data through line 39,
+    // so the intensity bound lands past every nonzero line → no-op ⇒ the
+    // decode equals plain stereo exactly
+    val intOnly = ms.clone()
+    intOnly(3) = 0x50.toByte
+    val intDec = Mp3Codec.decode(intOnly).getOrElse(fail("ext=1 did not decode"))
+    for (i <- plainDec.spectra.indices)
+      assert(intDec.spectra(i).sameElements(plainDec.spectra(i)),
+        s"granule-channel $i: boundless intensity must be a no-op")
+    // mode_ext 11: MS below the (empty) intensity region ⇒ equals pure MS
+    val both = ms.clone()
+    both(3) = 0x70.toByte
+    val bothDec = Mp3Codec.decode(both).getOrElse(fail("ext=3 did not decode"))
+    for (i <- msDec.spectra.indices)
+      assert(bothDec.spectra(i).sameElements(msDec.spectra(i)),
+        s"granule-channel $i: MS+intensity with no zero part must equal MS")
+  }
+
+  test("intensity stereo: zero-part bound, is_pos readout and the ratio split") {
+    def magIs(id: Long, f: Int, g: Int, c: Int, l: Int): Int =
+      ((id * 7 + f * 11 + g * 13 + c * 17 + l * 3) % 2).toInt
+    def sgnIs(id: Long, f: Int, g: Int, c: Int, l: Int): Int =
+      ((id + f + g + c + l) % 2).toInt
+    def sfIs(id: Long, f: Int, g: Int, c: Int, b: Int): Int =
+      ((id + 3 * f + 5 * g + 7 * c + b) % 4).toInt
+    for (id <- Seq(0L, 1L, 4L)) {
+      val d = Mp3Codec.decode(graft.SparkEntry.synthMp3Is(id))
+        .getOrElse(fail(s"id=$id did not decode"))
+      assert(d.channels == 2 && d.sampleRate == 48000)
+      for (f <- 0 until d.nFrames; g <- 0 until 2) {
+        val xl = d.spectra((f * 2 + g) * 2)
+        val xr = d.spectra((f * 2 + g) * 2 + 1)
+        val am = ((id + f + g) % 4).toInt
+        val as = ((id + f + g + 2) % 4).toInt
+        def raw(c: Int, l: Int): Double = {
+          val a = if (c == 0) am else as
+          if (magIs(id, f, g, c, l) == 0) 0.0
+          else {
+            val v = math.pow(2.0, a - sfIs(id, f, g, c, bandOf(l)))
+            if (sgnIs(id, f, g, c, l) == 1) -v else v
+          }
+        }
+        for (l <- 0 until 576) {
+          if (l < 24) {
+            // below the bound: plain stereo (mode_ext bit 1 is OFF)
+            assert(xl(l) == raw(0, l), s"id=$id f=$f g=$g L line $l")
+            assert(xr(l) == raw(1, l), s"id=$id f=$f g=$g R line $l")
+          } else if (l < 40) {
+            val p = 3 * ((id + f + g + bandOf(l)) % 2).toInt
+            val v = raw(0, l)
+            if (p == 0) {
+              assert(xl(l) == 0.0, s"id=$id f=$f g=$g is_pos 0 L line $l")
+              assert(xr(l) == v, s"id=$id f=$f g=$g is_pos 0 R line $l")
+            } else { // is_pos 3: both halves (tan(π/4) within an ulp of 1)
+              assert(math.abs(xl(l) - v / 2) <= math.abs(v) * 1e-14,
+                s"id=$id f=$f g=$g is_pos 3 L line $l")
+              assert(math.abs(xr(l) - v / 2) <= math.abs(v) * 1e-14,
+                s"id=$id f=$f g=$g is_pos 3 R line $l")
+            }
+          } else {
+            assert(xl(l) == 0.0 && xr(l) == 0.0, s"id=$id f=$f g=$g tail line $l")
+          }
+        }
+      }
     }
+    // intensity with SHORT blocks stays out of scope, loudly
+    val shortIs = graft.SparkEntry.synthMp3Short(0L).clone()
+    shortIs(3) = 0x50.toByte // mono fixture remarked joint+intensity: stereo
+    assert(Mp3Codec.decode(shortIs).isEmpty,
+      "intensity + short blocks must reject (and a mono→stereo remark is malformed anyway)")
   }
 
   test("malformed input contract: garbage, empties and truncation never throw") {
@@ -430,10 +502,11 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(Mp3Codec.decode(frame).isEmpty)
   }
 
-  test("non-MS joint stereo and unshipped Huffman tables are rejected, not mis-decoded") {
+  test("malformed channel remarks and unshipped Huffman tables are rejected, not mis-decoded") {
     val js = graft.SparkEntry.synthMp3L3(0L).clone()
-    js(3) = 0x40.toByte // mode 01 = joint stereo
-    assert(Mp3Codec.decode(js).isEmpty)
+    js(3) = 0x40.toByte // mono stream remarked stereo: 17-byte side info
+    assert(Mp3Codec.decode(js).isEmpty, // can't parse as the 32-byte layout
+      "a mono frame remarked joint-stereo is malformed and must reject")
     val badTable = graft.SparkEntry.synthMp3L3(0L).clone()
     // table_select(0) field: side info bits — flip to table 3 (unshipped).
     // Offset: 4 (header) + 9+5+4 (mdb/priv/scfsi) + 12+9+8+4+1 = 52 bits in
