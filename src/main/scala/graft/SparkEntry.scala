@@ -1137,6 +1137,142 @@ object SparkEntry {
     out.toByteArray
   }
 
+  /** One MPEG-1 VIDEO elementary stream WITH B-PICTURES per id for
+    * q_mpeg1_bframe: 48×16, decode order I₀ P₂ B₁ (and P₄ B₃ when id is
+    * odd) — PRESENTATION order I₀ B₁ P₂ (B₃ P₄), which is what the
+    * decoder must emit (anchors delayed one slot, B frames in between).
+    * P pictures: m0 intra refresh (value 20 + (id·31 + f·97 + b·7) %
+    * 200), m1 vector (−8, 0), m2 delta 0 (the predictor CHAIN carries
+    * −8). B pictures exercise every bidirectional path: m0
+    * FORWARD-only (+8, 0) from the past anchor, m1 BACKWARD-only
+    * (+8, 0) from the future anchor — or, in B₃, a SKIPPED macroblock
+    * repeating m0's forward prediction — and m2 INTERPOLATED with both
+    * vectors at (−8, 0) via delta −16 against the +8 predictors,
+    * averaging (fwd + bwd + 1) >> 1. Chroma stays flat 128 ⇒ RGB =
+    * (v, v, v); every pixel has the closed form the DuckDB oracle
+    * replays, so a hash match proves the B.2c type VLC, the dual
+    * f_code header walk, backward/interpolated MC, skipped-B
+    * repetition AND the display reordering ([[ops.Mpeg1Codec]]).
+    */
+  private[graft] def synthMpeg1B(id: Long): Array[Byte] = {
+    val w = 48
+    val h = 16
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0
+    var nAcc = 0
+    def put(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nAcc += 1
+        if (nAcc == 8) { out.write(acc); acc = 0; nAcc = 0 }
+        i -= 1
+      }
+    }
+    def align(): Unit = if (nAcc > 0) put(0, 8 - nAcc)
+    def startCode(c: Int): Unit = { align(); put(0, 8); put(0, 8); put(1, 8); put(c, 8) }
+    def dcLuma(diff: Int): Unit = {
+      val size = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      size match {
+        case 0 => put(0x4, 3)
+        case 1 => put(0x0, 2)
+        case 2 => put(0x1, 2)
+        case 3 => put(0x5, 3)
+        case 4 => put(0x6, 3)
+        case 5 => put(0xE, 4)
+        case 6 => put(0x1E, 5)
+        case 7 => put(0x3E, 6)
+        case _ => put(0x7E, 7)
+      }
+      if (size > 0) put(if (diff > 0) diff else diff + (1 << size) - 1, size)
+    }
+    def vOf(f: Int, m: Int, b: Int): Int =
+      20 + ((id * 31 + f * 97 + (m * 4 + b) * 7) % 200).toInt
+    def intraMb(f: Int, m: Int, pred0: Int): Int = {
+      var pred = pred0
+      var b = 0
+      while (b < 4) {
+        val v = vOf(f, m, b)
+        dcLuma(v - pred)
+        pred = v
+        put(0x2, 2)
+        b += 1
+      }
+      put(0x0, 2); put(0x2, 2)
+      put(0x0, 2); put(0x2, 2)
+      pred
+    }
+    // sequence header
+    startCode(0xB3)
+    put(w, 12); put(h, 12)
+    put(1, 4); put(3, 4)
+    put(0x3FFFF, 18); put(1, 1)
+    put(0, 10); put(0, 1)
+    put(0, 1); put(0, 1)
+    // I-picture (display 0)
+    startCode(0x00)
+    put(0, 10); put(1, 3); put(0xFFFF, 16); put(0, 1)
+    startCode(0x01)
+    put(8, 5); put(0, 1)
+    var pred = 128
+    var m = 0
+    while (m < 3) {
+      put(1, 1); put(1, 1)
+      pred = intraMb(0, m, pred)
+      m += 1
+    }
+    def pPicture(tref: Int, f: Int): Unit = {
+      startCode(0x00)
+      put(tref, 10); put(2, 3); put(0xFFFF, 16)
+      put(1, 1); put(1, 3); put(0, 1) // full_pel 1, f_code 1
+      startCode(0x01)
+      put(8, 5); put(0, 1)
+      put(1, 1); put(0x3, 5)           // m0: intra
+      intraMb(f, 0, 128)
+      put(1, 1); put(0x1, 3)           // m1: '001' MC non-coded
+      put(0x17, 10); put(1, 1)         // vector (−8, 0)
+      put(1, 1); put(0x1, 3)           // m2: '001', delta 0 → −8 again
+      put(1, 1); put(1, 1)
+    }
+    def bPicture(tref: Int, skipM1: Boolean): Unit = {
+      startCode(0x00)
+      put(tref, 10); put(3, 3); put(0xFFFF, 16)
+      put(1, 1); put(1, 3)             // forward: full_pel 1, f_code 1
+      put(1, 1); put(1, 3)             // backward: full_pel 1, f_code 1
+      put(0, 1)
+      startCode(0x01)
+      put(8, 5); put(0, 1)
+      // m0: forward-only non-coded '0010', vector (+8, 0) — row 17
+      put(1, 1); put(0x2, 4)
+      put(0x16, 10); put(1, 1)
+      if (skipM1) {
+        // skip m1: increment 2 ADDRESSES m2 while skipping one macroblock
+        // (the skip repeats m0's forward (+8, 0) prediction)
+        put(0x3, 3)
+      } else {
+        // m1: backward-only non-coded '010', vector (+8, 0)
+        put(1, 1); put(0x2, 3)
+        put(0x16, 10); put(1, 1)
+        put(1, 1) // m2's address increment
+      }
+      // m2: interpolated non-coded '10': forward delta −16 (pred +8 → −8),
+      // backward −8 from pred +8 (delta −16) or from pred 0 (code −8)
+      put(0x2, 2)
+      put(0x19, 11); put(1, 1)         // fwd: motion_code −16 (row 32)
+      if (skipM1) { put(0x17, 10); put(1, 1) } // bwd pred 0 → code −8
+      else { put(0x19, 11); put(1, 1) }        // bwd pred +8 → delta −16
+    }
+    pPicture(2, 2)
+    bPicture(1, skipM1 = false)
+    if (id % 2 == 1) {
+      pPicture(4, 4)
+      bPicture(3, skipM1 = true)
+    }
+    startCode(0xB7)
+    align()
+    out.toByteArray
+  }
+
   /** One uncompressed-DIB AVI clip per id for q_avi_frames: 2 + id%3
     * frames of (4 + id%5) × (3 + id%4) gray pixels
     * v = (id·31 + f·97 + (y·w + x)·7) mod 256 written as B = G = R = v —
@@ -2989,6 +3125,19 @@ object SparkEntry {
       val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id")).as[Long]
         .map(id => (id, synthMpeg1P(id)))
+        .toDF("doc_id", "media")
+      Multimodal.videoFrameStats(media, "doc_id")
+        .orderBy("doc_id", "frame_index")
+    },
+    // REAL MPEG-1 BIDIRECTIONAL decode (B-pictures: B.2c type VLC, dual
+    // f_code headers, forward/backward/interpolated MC with away-from-
+    // zero averaging, skipped-B repetition, and PRESENTATION reordering
+    // — decode order I P B emits I B P); closed-form oracle replay
+    "q_mpeg1_bframe" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthMpeg1B(id)))
         .toDF("doc_id", "media")
       Multimodal.videoFrameStats(media, "doc_id")
         .orderBy("doc_id", "frame_index")
@@ -6166,6 +6315,65 @@ object SparkEntry {
         |                 + CASE WHEN y < 8 THEN 2 * ((2 + doc_id) % 5 + 1) + 1
         |                   ELSE 0 END END)
         |         END
+        |     END AS v
+        |   FROM base)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_index,
+        |  CAST(48 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(48 * 16 * 3 AS BIGINT) AS n_px,
+        |  CAST(3 * sum(v) AS BIGINT) AS px_sum,
+        |  CAST(sum(v * (9 * (y * 48 + x) + 3)) AS BIGINT) AS px_wsum,
+        |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id, f
+        |ORDER BY doc_id, frame_index""".stripMargin,
+    // MPEG-1 B-pictures in PRESENTATION order: frame 1 is the B between
+    // I (frame 0) and P (frame 2) — forward v0(x+8), backward v0(x), and
+    // the interpolated (v0(x−8)+v0(x−16)+1)//2; frames 3/4 (odd ids)
+    // replay the second group with the skipped-B m1 and the intra-refresh
+    // chains i2/i4; px_wsum pins the reordering (frame_index ↔ content)
+    "q_mpeg1_bframe" ->
+      """WITH d AS (SELECT doc_id, 3 + 2 * (doc_id % 2) AS nf
+        |   FROM documents WHERE doc_id < 100),
+        | base AS (
+        |   SELECT d.doc_id, fr.f, g.i % 48 AS x, g.i // 48 AS y
+        |   FROM d,
+        |        (SELECT unnest(generate_series(0, 4)) AS f) fr,
+        |        (SELECT unnest(generate_series(0, 767)) AS i) g
+        |   WHERE fr.f < d.nf),
+        | px AS (
+        |   SELECT doc_id, f, x, y,
+        |     CASE f
+        |       WHEN 0 THEN 20 + (doc_id * 31 + ((x // 16) * 4 + (y // 8) * 2
+        |         + ((x % 16) // 8)) * 7) % 200
+        |       WHEN 1 THEN CASE
+        |         WHEN x < 16 THEN 20 + (doc_id * 31 + (((x + 8) // 16) * 4
+        |           + (y // 8) * 2 + (((x + 8) % 16) // 8)) * 7) % 200
+        |         WHEN x < 32 THEN 20 + (doc_id * 31 + ((x // 16) * 4
+        |           + (y // 8) * 2 + ((x % 16) // 8)) * 7) % 200
+        |         ELSE ((20 + (doc_id * 31 + (((x - 8) // 16) * 4 + (y // 8) * 2
+        |             + (((x - 8) % 16) // 8)) * 7) % 200)
+        |           + (20 + (doc_id * 31 + (((x - 16) // 16) * 4 + (y // 8) * 2
+        |             + (((x - 16) % 16) // 8)) * 7) % 200) + 1) // 2 END
+        |       WHEN 2 THEN CASE
+        |         WHEN x < 16 THEN 20 + (doc_id * 31 + 2 * 97 + ((y // 8) * 2
+        |           + ((x % 16) // 8)) * 7) % 200
+        |         ELSE 20 + (doc_id * 31 + (((x - 8) // 16) * 4 + (y // 8) * 2
+        |           + (((x - 8) % 16) // 8)) * 7) % 200 END
+        |       WHEN 3 THEN CASE
+        |         WHEN x < 8 THEN 20 + (doc_id * 31 + 2 * 97 + ((y // 8) * 2
+        |           + (((x + 8) % 16) // 8)) * 7) % 200
+        |         WHEN x < 32 THEN 20 + (doc_id * 31 + ((x // 16) * 4
+        |           + (y // 8) * 2 + ((x % 16) // 8)) * 7) % 200
+        |         ELSE ((20 + (doc_id * 31 + (((x - 16) // 16) * 4 + (y // 8) * 2
+        |             + (((x - 16) % 16) // 8)) * 7) % 200)
+        |           + (20 + (doc_id * 31 + (((x - 24) // 16) * 4 + (y // 8) * 2
+        |             + (((x - 24) % 16) // 8)) * 7) % 200) + 1) // 2 END
+        |       ELSE CASE
+        |         WHEN x < 16 THEN 20 + (doc_id * 31 + 4 * 97 + ((y // 8) * 2
+        |           + ((x % 16) // 8)) * 7) % 200
+        |         WHEN x < 24 THEN 20 + (doc_id * 31 + 2 * 97 + ((y // 8) * 2
+        |           + (((x - 8) % 16) // 8)) * 7) % 200
+        |         ELSE 20 + (doc_id * 31 + (((x - 16) // 16) * 4 + (y // 8) * 2
+        |           + (((x - 16) % 16) // 8)) * 7) % 200 END
         |     END AS v
         |   FROM base)
         |SELECT doc_id, CAST(f AS BIGINT) AS frame_index,

@@ -35,10 +35,16 @@ package graft.ops
   *    non-intra first-coefficient rule ('1 s' = run 0 level ±1, EOB
   *    cannot lead), and prediction-error ADDITION onto the
   *    motion-compensated block;
-  *  - B- and D-pictures are SKIPPED whole (bidirectional prediction is
-  *    out of scope — B pictures reference two anchors), never
-  *    mis-decoded; anchor (I/P) decode order equals display order
-  *    without B pictures, so emitted frames are in presentation order.
+  *  - **B-pictures** (round 15): the Table B.2c macroblock_type VLC
+  *    (all eleven rows), dual forward/backward f_code picture headers,
+  *    backward MC from the future anchor, INTERPOLATED prediction
+  *    averaging forward and backward pels with away-from-zero rounding,
+  *    skipped-B macroblocks repeating the previous macroblock's
+  *    prediction type and vectors (§2.4.4.4), and PRESENTATION
+  *    REORDERING — anchors are emitted when the next anchor arrives, B
+  *    frames in between, so decode order I₀P₃B₁B₂ comes out I₀B₁B₂P₃;
+  *  - D-pictures are SKIPPED whole (the DC-only preview type), never
+  *    mis-decoded.
   *
   * AC run/level scope (the B.14 analog of Mp3Codec's table note): EOB
   * ('10'), the (run 0, level 1) code ('11'+s — and its non-intra
@@ -118,6 +124,22 @@ object Mpeg1Codec {
     (5, 0x2) -> (1, 1, 1, 0),
     (5, 0x1) -> (1, 0, 1, 0),
     (6, 0x1) -> (1, 0, 0, 1))
+
+  /** Table B.2c — B-picture macroblock_type:
+    * (len, code) -> (quant, motion_forward, motion_backward, pattern, intra).
+    */
+  private[ops] val BMbType: Map[(Int, Int), (Int, Int, Int, Int, Int)] = Map(
+    (2, 0x2) -> (0, 1, 1, 0, 0),
+    (2, 0x3) -> (0, 1, 1, 1, 0),
+    (3, 0x2) -> (0, 0, 1, 0, 0),
+    (3, 0x3) -> (0, 0, 1, 1, 0),
+    (4, 0x2) -> (0, 1, 0, 0, 0),
+    (4, 0x3) -> (0, 1, 0, 1, 0),
+    (5, 0x3) -> (0, 0, 0, 0, 1),
+    (5, 0x2) -> (1, 1, 1, 1, 0),
+    (6, 0x3) -> (1, 1, 0, 1, 0),
+    (6, 0x2) -> (1, 0, 1, 1, 0),
+    (6, 0x1) -> (1, 0, 0, 0, 1))
 
   /** Table B.3 — coded_block_pattern, all 63 rows as (cbp, len, code);
     * bit 32 = Y₀ … bit 1 = Cr. Kraft sum = 1 − 2/512 (the two reserved
@@ -238,7 +260,8 @@ object Mpeg1Codec {
     * illegal in MPEG-1 and throw (caught by the picture walk).
     */
   private def mcCopy(src: Array[Int], dst: Array[Int], planeW: Int, planeH: Int,
-                     ox: Int, oy: Int, dx: Int, dy: Int, size: Int): Unit = {
+                     ox: Int, oy: Int, dx: Int, dy: Int, size: Int,
+                     avg: Boolean = false): Unit = {
     val fx = dx >> 1; val hx = dx & 1
     val fy = dy >> 1; val hy = dy & 1
     if (ox + fx < 0 || oy + fy < 0 ||
@@ -256,7 +279,11 @@ object Mpeg1Codec {
           else if (hx == 0) (src(sy * planeW + sx) + src((sy + 1) * planeW + sx) + 1) >> 1
           else (src(sy * planeW + sx) + src(sy * planeW + sx + 1) +
             src((sy + 1) * planeW + sx) + src((sy + 1) * planeW + sx + 1) + 2) >> 2
-        dst((oy + y) * planeW + ox + x) = p
+        val di = (oy + y) * planeW + ox + x
+        // `avg`: the backward half of an interpolated B prediction —
+        // averaged with the forward pel already written, rounding away
+        // from zero (the spec's "//")
+        dst(di) = if (avg) (dst(di) + p + 1) >> 1 else p
         x += 1
       }
       y += 1
@@ -431,10 +458,19 @@ object Mpeg1Codec {
       val mbW = (width + 15) / 16
       val mbH = (height + 15) / 16
       val frames = scala.collection.mutable.ArrayBuffer.empty[PngCodec.Image]
-      // previous anchor (I/P) planes — the forward prediction reference
+      // anchor (I/P) planes: `ref*` is the most recent anchor (a P
+      // picture's forward reference, a B picture's BACKWARD reference),
+      // `past*` the one before it (a B picture's FORWARD reference)
       var refY: Array[Int] = null
       var refCb: Array[Int] = null
       var refCr: Array[Int] = null
+      var pastY: Array[Int] = null
+      var pastCb: Array[Int] = null
+      var pastCr: Array[Int] = null
+      // presentation reordering: anchors are emitted when the NEXT anchor
+      // arrives (B frames between them come out in between), so decode
+      // order I₀ P₃ B₁ B₂ … emits I₀ B₁ B₂ P₃ … — display order
+      var pendingAnchor: PngCodec.Image = null
       var pos = findStartCode(bytes, sc + 4)
       var ok = true
       while (ok && pos >= 0) {
@@ -445,27 +481,43 @@ object Mpeg1Codec {
         else if (code == 0x00) {
           // ---- picture ----
           val ph = new BitReader(bytes, (pos + 4).toLong * 8, bytes.length.toLong * 8)
-          // a truncated picture HEADER must still keep prior frames
-          val hdr = try {
+          // a truncated picture HEADER must still keep prior frames; a
+          // picture that will be SKIPPED (no anchors yet, or a D picture)
+          // is not parsed past its type at all
+          var pType = -1
+          var fullPel = 0
+          var fCode = 1
+          var fullPelB = 0
+          var fCodeB = 1
+          var decodable = false
+          var hdrOk = true
+          try {
             ph.read(10)
-            val t = ph.read(3)
-            if (t == 2) {
+            pType = ph.read(3)
+            decodable = pType == 1 || (pType == 2 && refY != null) ||
+              (pType == 3 && pastY != null && refY != null)
+            if (decodable && (pType == 2 || pType == 3)) {
               ph.read(16) // vbv_delay
-              val fullPel = ph.read1()
-              val fCode = ph.read(3)
-              if (fCode < 1 || fCode > 7) (-1, 0, 0) else (t, fullPel, fCode)
-            } else (t, 0, 0)
-          } catch { case _: ArrayIndexOutOfBoundsException => (-1, 0, 0) }
-          val (pType, fullPel, fCode) = hdr
-          if (pType < 0) { ok = false; pos = -1 }
-          else if (pType != 1 && (pType != 2 || refY == null)) {
-            // B/D (and a P with no anchor yet): skip the whole picture
+              fullPel = ph.read1()
+              fCode = ph.read(3)
+              if (fCode < 1 || fCode > 7) hdrOk = false
+              if (pType == 3) {
+                fullPelB = ph.read1()
+                fCodeB = ph.read(3)
+                if (fCodeB < 1 || fCodeB > 7) hdrOk = false
+              }
+            }
+          } catch { case _: ArrayIndexOutOfBoundsException => hdrOk = false }
+          if (!hdrOk) { ok = false; pos = -1 }
+          else if (!decodable) {
+            // D pictures (and a P/B without its anchors): skip whole
             var nxt = findStartCode(bytes, pos + 4)
             while (nxt >= 0 && (bytes(nxt + 3) & 0xFF) >= 0x01 &&
               (bytes(nxt + 3) & 0xFF) <= 0xAF) nxt = findStartCode(bytes, nxt + 4)
             pos = nxt
           } else {
             val isP = pType == 2
+            val isB = pType == 3
             // I: fresh planes; P: start from the reference (skipped and
             // uncovered macroblocks keep the zero-vector copy for free)
             val yPlane = if (isP) refY.clone() else new Array[Int](mbW * 16 * mbH * 16)
@@ -487,46 +539,99 @@ object Mpeg1Codec {
               val dcPred = Array(128, 128, 128) // Y, Cb, Cr — QFS units
               var mvX = 0 // forward MV predictors (coded domain)
               var mvY = 0
+              var mvBX = 0 // backward MV predictors (B pictures)
+              var mvBY = 0
+              // skipped-B state: the previous macroblock's prediction
+              // directions (its vectors ARE the current predictors, since
+              // uncoded directions leave predictors untouched)
+              var lastFwd = false
+              var lastBwd = false
+              // apply the (fwd?, bwd?) prediction at macroblock (mx, my):
+              // forward from the PAST anchor (P: the only anchor), backward
+              // from the most recent one; interpolation averages with
+              // away-from-zero rounding
+              def predict(mx: Int, my: Int, fwd: Boolean, bwd: Boolean): Unit = {
+                if (fwd) {
+                  val dxh = mvX * (if (fullPel == 1) 2 else 1)
+                  val dyh = mvY * (if (fullPel == 1) 2 else 1)
+                  val (sy, scb, scr) =
+                    if (isB) (pastY, pastCb, pastCr) else (refY, refCb, refCr)
+                  // P zero-vector predictions are already in the cloned
+                  // planes; B planes start empty, so always copy there
+                  if (isB || dxh != 0 || dyh != 0) {
+                    mcCopy(sy, yPlane, mbW * 16, mbH * 16, mx, my, dxh, dyh, 16)
+                    mcCopy(scb, cbPlane, mbW * 8, mbH * 8, mx / 2, my / 2,
+                      dxh / 2, dyh / 2, 8)
+                    mcCopy(scr, crPlane, mbW * 8, mbH * 8, mx / 2, my / 2,
+                      dxh / 2, dyh / 2, 8)
+                  }
+                }
+                if (bwd) {
+                  val dxh = mvBX * (if (fullPelB == 1) 2 else 1)
+                  val dyh = mvBY * (if (fullPelB == 1) 2 else 1)
+                  mcCopy(refY, yPlane, mbW * 16, mbH * 16, mx, my, dxh, dyh, 16, avg = fwd)
+                  mcCopy(refCb, cbPlane, mbW * 8, mbH * 8, mx / 2, my / 2,
+                    dxh / 2, dyh / 2, 8, avg = fwd)
+                  mcCopy(refCr, crPlane, mbW * 8, mbH * 8, mx / 2, my / 2,
+                    dxh / 2, dyh / 2, 8, avg = fwd)
+                }
+              }
               while (sliceOk && !r.atSliceEnd()) {
                 val inc = readMbaIncrement(r)
-                if (!isP && inc != 1) throw new ArrayIndexOutOfBoundsException(-1)
-                // P: intermediate addresses are SKIPPED macroblocks — the
-                // zero-vector reference copy is already in the planes;
-                // both predictor kinds reset (§2.4.4.4)
+                if (!isP && !isB && inc != 1) throw new ArrayIndexOutOfBoundsException(-1)
                 if (inc > 1) {
-                  mvX = 0; mvY = 0
+                  if (isB) {
+                    // B: skipped macroblocks REPEAT the previous
+                    // macroblock's prediction type and vectors (§2.4.4.4)
+                    // — predictors untouched; a leading skip is illegal
+                    if (!lastFwd && !lastBwd) throw new ArrayIndexOutOfBoundsException(-1)
+                    var k = 1
+                    while (k < inc) {
+                      val a = mbAddr + k
+                      if (a < 0 || a >= mbW * mbH) throw new ArrayIndexOutOfBoundsException(-1)
+                      predict((a % mbW) * 16, (a / mbW) * 16, lastFwd, lastBwd)
+                      k += 1
+                    }
+                  } else {
+                    // P: skipped = zero-vector reference copy (already in
+                    // the cloned planes); both predictor kinds reset
+                    mvX = 0; mvY = 0
+                  }
                   dcPred(0) = 128; dcPred(1) = 128; dcPred(2) = 128
                 }
                 mbAddr += inc
                 if (mbAddr >= mbW * mbH) throw new ArrayIndexOutOfBoundsException(-1)
-                val (quant, forward, pattern, intra) =
-                  if (!isP) {
+                val (quant, forward, backward, pattern, intra) =
+                  if (isB) decodeVlc(r, BMbType, 6)
+                  else if (isP) {
+                    val (q, fw, pat, in) = decodeVlc(r, PMbType, 6)
+                    (q, fw, 0, pat, in)
+                  } else {
                     // macroblock_type (I): '1' intra, '01' intra + quant
-                    if (r.read1() == 1) (0, 0, 0, 1)
-                    else if (r.read1() == 1) (1, 0, 0, 1)
+                    if (r.read1() == 1) (0, 0, 0, 0, 1)
+                    else if (r.read1() == 1) (1, 0, 0, 0, 1)
                     else throw new ArrayIndexOutOfBoundsException(-1)
-                  } else decodeVlc(r, PMbType, 6)
+                  }
                 if (quant == 1) qscale = r.read(5)
                 val mbX = (mbAddr % mbW) * 16
                 val mbY = (mbAddr / mbW) * 16
                 if (intra == 1) {
-                  mvX = 0; mvY = 0 // intra resets the MV predictors
+                  mvX = 0; mvY = 0; mvBX = 0; mvBY = 0 // intra resets MVs
+                  lastFwd = false; lastBwd = false     // and forbids a next skip
                 } else {
-                  // forward MV (or the zero vector for forward == 0)
                   if (forward == 1) {
                     mvX = readMvDelta(r, fCode, mvX)
                     mvY = readMvDelta(r, fCode, mvY)
-                  } else { mvX = 0; mvY = 0 }
-                  val dxh = mvX * (if (fullPel == 1) 2 else 1)
-                  val dyh = mvY * (if (fullPel == 1) 2 else 1)
-                  if (dxh != 0 || dyh != 0) {
-                    mcCopy(refY, yPlane, mbW * 16, mbH * 16, mbX, mbY, dxh, dyh, 16)
-                    // chroma displacement: recon/2 truncated toward zero
-                    val cdx = dxh / 2
-                    val cdy = dyh / 2
-                    mcCopy(refCb, cbPlane, mbW * 8, mbH * 8, mbX / 2, mbY / 2, cdx, cdy, 8)
-                    mcCopy(refCr, crPlane, mbW * 8, mbH * 8, mbX / 2, mbY / 2, cdx, cdy, 8)
+                  } else if (isP) { mvX = 0; mvY = 0 } // P: no-vector ⇒ zero + reset
+                  if (backward == 1) {
+                    mvBX = readMvDelta(r, fCodeB, mvBX)
+                    mvBY = readMvDelta(r, fCodeB, mvBY)
                   }
+                  if (isB && forward == 0 && backward == 0)
+                    throw new ArrayIndexOutOfBoundsException(-1)
+                  predict(mbX, mbY, forward == 1 || isP, backward == 1)
+                  lastFwd = forward == 1
+                  lastBwd = backward == 1
                   // non-intra macroblock: DC predictors reset
                   dcPred(0) = 128; dcPred(1) = 128; dcPred(2) = 128
                 }
@@ -578,14 +683,23 @@ object Mpeg1Codec {
               }
               y += 1
             }
-            frames += PngCodec.Image(width, height, 3, out)
-            refY = yPlane; refCb = cbPlane; refCr = crPlane
-            if (frames.length.toLong * width * height > (1L << 26)) ok = false
+            val img = PngCodec.Image(width, height, 3, out)
+            if (isB) frames += img // B frames display immediately
+            else {
+              // anchors display when the next anchor arrives (any B
+              // frames decoded in between slot in before them)
+              if (pendingAnchor != null) frames += pendingAnchor
+              pendingAnchor = img
+              pastY = refY; pastCb = refCb; pastCr = refCr
+              refY = yPlane; refCb = cbPlane; refCr = crPlane
+            }
+            if ((frames.length + 1).toLong * width * height > (1L << 26)) ok = false
             pos = slicePos
             }
           }
         } else pos = findStartCode(bytes, pos + 4)
       }
+      if (pendingAnchor != null) frames += pendingAnchor // flush the last anchor
       if (frames.isEmpty) None
       else Some(Mpeg1Video(width, height, frames.toArray))
     } catch { case _: Throwable =>

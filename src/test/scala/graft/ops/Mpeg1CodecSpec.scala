@@ -162,7 +162,44 @@ class Mpeg1CodecSpec extends AnyFunSuite {
       "slice 2 must restart DC prediction at 128")
   }
 
-  test("B pictures are skipped whole; garbage P data keeps prior frames") {
+  test("B fixture: presentation reordering and every bidirectional path match the closed form") {
+    for (id <- Seq(0L, 1L, 2L, 3L)) {
+      val nf = (3 + 2 * (id % 2)).toInt
+      val d = Mpeg1Codec.decode(graft.SparkEntry.synthMpeg1B(id))
+        .getOrElse(fail(s"id=$id did not decode"))
+      assert(d.width == 48 && d.height == 16)
+      assert(d.frames.length == nf, s"id=$id: display-order frame count")
+      def v0(x: Int, y: Int): Int =
+        20 + ((id * 31 + ((x / 16) * 4 + (y / 8) * 2 + (x % 16) / 8) * 7) % 200).toInt
+      def intraF(ff: Int, xx: Int, y: Int): Int =
+        20 + ((id * 31 + ff * 97 + ((y / 8) * 2 + (xx % 16) / 8) * 7) % 200).toInt
+      def want(f: Int, x: Int, y: Int): Int = f match {
+        case 0 => v0(x, y)
+        case 1 => // B between I and P: fwd / bwd / interpolated
+          if (x < 16) v0(x + 8, y)
+          else if (x < 32) v0(x, y)
+          else (v0(x - 8, y) + v0(x - 16, y) + 1) >> 1
+        case 2 => if (x < 16) intraF(2, x, y) else v0(x - 8, y)
+        case 3 => // second B: skipped m1 repeats m0's forward prediction
+          if (x < 8) intraF(2, x + 8, y)
+          else if (x < 32) v0(x, y)
+          else (v0(x - 16, y) + v0(x - 24, y) + 1) >> 1
+        case _ =>
+          if (x < 16) intraF(4, x, y)
+          else if (x < 24) intraF(2, x - 8, y)
+          else v0(x - 16, y)
+      }
+      for (f <- 0 until nf; y <- 0 until 16; x <- 0 until 48) {
+        val o = (y * 48 + x) * 3
+        val wv = want(f, x, y)
+        for (c <- 0 until 3)
+          assert((d.frames(f).pixels(o + c) & 0xFF) == wv,
+            s"id=$id f=$f ($x,$y) ch$c: ${d.frames(f).pixels(o + c) & 0xFF} != $wv")
+      }
+    }
+  }
+
+  test("a B picture without both anchors is skipped whole; garbage P data keeps prior frames") {
     val id = 1L
     val iOnly = Mpeg1Codec.decode(graft.SparkEntry.synthMpeg1(id)).get
     def iPicture(e: Enc): Unit = {
