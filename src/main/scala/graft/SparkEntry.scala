@@ -680,6 +680,129 @@ object SparkEntry {
     out
   }
 
+  /** [[synthMp3L3]]'s MULTI-TABLE twin for q_mp3_tables: mono 48 kHz /
+    * 576-byte frames where granule 0 selects big-values tables (2, 3, 5)
+    * across its three regions — region0 = lines 0–23 (bands 0–5),
+    * region1 = 24–41 (bands 6–8), region2 = 42–49 (band 9), bigValues
+    * 25 — followed by two count1-B quads (band 10), and granule 1
+    * selects table 6 with count1 table A (the first gate to ride the
+    * A-codes). Magnitudes stay in {0, 1} so every line is ±2^(a − sf)
+    * and granule energies ×64 are exact integers; a hash match pins the
+    * per-region table dispatch and all four newly-shipped B.7 tables'
+    * small-value codes against the DuckDB replay (the tables' larger
+    * entries are pinned structurally: each is Kraft-complete and
+    * prefix-free in the spec suite, and round-tripped by the spec's own
+    * encoder at full magnitude range).
+    */
+  private[graft] def synthMp3Tables(id: Long): Array[Byte] = {
+    val nFrames = (6 + id % 3).toInt
+    val frameLen = 576
+    val out = new Array[Byte](nFrames * frameLen)
+    // (x, y) -> (len, code) — mag ∈ {0, 1} corners of B.7 tables 2/3/5/6
+    val t2 = Map((0, 0) -> (1, 1), (0, 1) -> (3, 2), (1, 0) -> (3, 3), (1, 1) -> (3, 1))
+    val t3 = Map((0, 0) -> (2, 3), (0, 1) -> (2, 2), (1, 0) -> (3, 1), (1, 1) -> (2, 1))
+    val t5 = Map((0, 0) -> (1, 1), (0, 1) -> (3, 2), (1, 0) -> (3, 3), (1, 1) -> (3, 1))
+    val t6 = Map((0, 0) -> (3, 7), (0, 1) -> (3, 3), (1, 0) -> (3, 6), (1, 1) -> (2, 2))
+    // count1 table A: quad value -> (len, code)
+    val c1a = Map(0 -> (1, 0x1), 1 -> (4, 0x5), 2 -> (4, 0x4), 3 -> (5, 0x5),
+      4 -> (4, 0x6), 5 -> (6, 0x5), 6 -> (5, 0x4), 7 -> (6, 0x4),
+      8 -> (4, 0x7), 9 -> (5, 0x3), 10 -> (5, 0x6), 11 -> (6, 0x0),
+      12 -> (5, 0x7), 13 -> (6, 0x2), 14 -> (6, 0x3), 15 -> (6, 0x1))
+    def tableFor(g: Int, l: Int): Map[(Int, Int), (Int, Int)] =
+      if (g == 1) t6
+      else if (l < 24) t2
+      else if (l < 42) t3
+      else t5
+    var f = 0
+    while (f < nFrames) {
+      val o = f * frameLen
+      out(o) = 0xFF.toByte
+      out(o + 1) = 0xFB.toByte
+      out(o + 2) = 0xB4.toByte // 192k, 48k, no pad
+      out(o + 3) = 0xC0.toByte // mono
+      var bitPos = 0
+      def put(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1) {
+            val bi = o + 4 + bitPos / 8
+            out(bi) = (out(bi) | (1 << (7 - bitPos % 8))).toByte
+          }
+          bitPos += 1
+          i -= 1
+        }
+      }
+      def mag(g: Int, l: Int): Int = ((id * 7 + f * 11 + g * 13 + l * 3) % 2).toInt
+      def sgn(g: Int, l: Int): Int = ((id + f + g + l) % 2).toInt
+      def huffBits(g: Int): Int = {
+        var bits = 0
+        val bvEnd = if (g == 0) 50 else 24
+        var l = 0
+        while (l < bvEnd) {
+          val (x, y) = (mag(g, l), mag(g, l + 1))
+          bits += tableFor(g, l)((x, y))._1 + x + y
+          l += 2
+        }
+        val c1End = if (g == 0) 58 else 40
+        while (l < c1End) {
+          val v = (mag(g, l) << 3) | (mag(g, l + 1) << 2) |
+            (mag(g, l + 2) << 1) | mag(g, l + 3)
+          bits += (if (g == 0) 4 else c1a(v)._1) +
+            (0 until 4).map(k => mag(g, l + k)).sum
+          l += 4
+        }
+        bits
+      }
+      // ---- side info (17 bytes) ----
+      put(0, 9); put(0, 5); put(0, 4)
+      var g = 0
+      while (g < 2) {
+        put(42 + huffBits(g), 12)
+        put(if (g == 0) 25 else 12, 9)          // big_values
+        put(210 + 4 * ((id + f + g) % 4).toInt, 8)
+        put(9, 4)                               // scalefac_compress → 2/2
+        put(0, 1)                               // long blocks
+        if (g == 0) { put(2, 5); put(3, 5); put(5, 5) } // tables 2, 3, 5
+        else { put(6, 5); put(0, 5); put(0, 5) }        // table 6
+        put(5, 4)                               // region0 → 6 bands = line 24
+        put(if (g == 0) 2 else 3, 3)            // region1 → line 42 / 50
+        put(0, 1)                               // preflag
+        put(1, 1)                               // scalefac_scale = 1
+        put(if (g == 0) 1 else 0, 1)            // count1 table: B / A
+        g += 1
+      }
+      // ---- main data ----
+      g = 0
+      while (g < 2) {
+        var b = 0
+        while (b < 21) { put(((id + 3 * f + 5 * g + b) % 4).toInt, 2); b += 1 }
+        val bvEnd = if (g == 0) 50 else 24
+        var l = 0
+        while (l < bvEnd) {
+          val (x, y) = (mag(g, l), mag(g, l + 1))
+          val (len, code) = tableFor(g, l)((x, y))
+          put(code, len)
+          if (x != 0) put(sgn(g, l), 1)
+          if (y != 0) put(sgn(g, l + 1), 1)
+          l += 2
+        }
+        val c1End = if (g == 0) 58 else 40
+        while (l < c1End) {
+          val v = (mag(g, l) << 3) | (mag(g, l + 1) << 2) |
+            (mag(g, l + 2) << 1) | mag(g, l + 3)
+          if (g == 0) put(v ^ 0xF, 4)
+          else { val (len, code) = c1a(v); put(code, len) }
+          var k = 0
+          while (k < 4) { if (mag(g, l + k) != 0) put(sgn(g, l + k), 1); k += 1 }
+          l += 4
+        }
+        g += 1
+      }
+      f += 1
+    }
+    out
+  }
+
   /** [[synthMp3Ms]]'s INTENSITY-STEREO twin for q_mp3_intensity: mode 01
     * with mode_extension '01' (intensity on, MS off). The LEFT channel
     * carries 12 big-values pairs + 4 count1 quads (lines 0–39, the
@@ -3062,6 +3185,21 @@ object SparkEntry {
         .map(id => (id, synthMp3Ms(id)))
         .toDF("doc_id", "media")
       Multimodal.mp3ChannelSpectralFingerprintDF(media, "doc_id")
+        .select(col("doc_id"), col("sample_rate"), col("n_frames"), col("n_granules"),
+          shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
+          col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
+        .orderBy("doc_id")
+    },
+    // REAL Layer-III multi-table Huffman decode (B.7 tables 2/3/5/6
+    // dispatched per region, count1 table A — ops.Mp3Codec); dyadic
+    // magnitudes keep granule energies exact for the DuckDB replay
+    "q_mp3_tables" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthMp3Tables(id)))
+        .toDF("doc_id", "media")
+      Multimodal.mp3SpectralFingerprintDF(media, "doc_id")
         .select(col("doc_id"), col("sample_rate"), col("n_frames"), col("n_granules"),
           shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
           col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
@@ -6131,6 +6269,42 @@ object SparkEntry {
         | en AS (SELECT doc_id, nf, grn * 2 AS gi, el AS e FROM eg
         |   UNION ALL SELECT doc_id, nf, grn * 2 + 1 AS gi, er AS e FROM eg),
         | win0 AS (SELECT doc_id, (gi * 65) // (nf * 4) AS w, sum(e) AS we
+        |   FROM en GROUP BY 1, 2),
+        | wall AS (SELECT d.doc_id, wi.w, coalesce(win0.we, 0) AS we
+        |   FROM d CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS w) wi
+        |   LEFT JOIN win0 ON win0.doc_id = d.doc_id AND win0.w = wi.w),
+        | bits AS (SELECT a.doc_id, a.w, CASE WHEN a.we < b.we THEN 1 ELSE 0 END AS bit
+        |   FROM wall a JOIN wall b ON a.doc_id = b.doc_id AND b.w = a.w + 1 WHERE a.w < 64),
+        | fp AS (SELECT doc_id,
+        |   CAST(coalesce(sum(CASE WHEN w >= 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << CAST(w - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS afp_hi,
+        |   CAST(coalesce(sum(CASE WHEN w < 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << CAST(w AS INT)) ELSE 0 END), 0) AS BIGINT) AS afp_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(48000 AS BIGINT) AS sample_rate,
+        |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 2 AS BIGINT) AS n_granules,
+        |  fp.afp_hi, fp.afp_lo
+        |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Layer-III multi-table fixture: granule 0 spans lines 0–57 (bands
+    // l//4 below 24, 6+(l−24)//6 to 42, then 9 and 10), granule 1 the
+    // q_mp3_decode line range; same dyadic energy replay
+    "q_mp3_tables" ->
+      """WITH d AS (SELECT doc_id, 6 + doc_id % 3 AS nf FROM documents WHERE doc_id < 100),
+        | lf AS (SELECT doc_id, nf, fr.f, gr.g, ln.l,
+        |     (doc_id + fr.f + gr.g) % 4 AS a,
+        |     (doc_id + 3*fr.f + 5*gr.g +
+        |       (CASE WHEN ln.l < 24 THEN ln.l // 4
+        |             WHEN ln.l < 42 THEN 6 + (ln.l - 24) // 6
+        |             WHEN ln.l < 50 THEN 9 ELSE 10 END)) % 4 AS sf,
+        |     (doc_id * 7 + fr.f * 11 + gr.g * 13 + ln.l * 3) % 2 AS v
+        |   FROM d, (SELECT unnest(generate_series(0, 7)) AS f) fr,
+        |        (SELECT unnest(generate_series(0, 1)) AS g) gr,
+        |        (SELECT unnest(generate_series(0, 57)) AS l) ln
+        |   WHERE fr.f < nf AND ln.l < CASE WHEN gr.g = 0 THEN 58 ELSE 40 END),
+        | en AS (SELECT doc_id, nf, f * 2 + g AS gi,
+        |     CAST(sum(v * (CAST(1 AS BIGINT) << CAST(2 * (3 + a - sf) AS INT))) AS BIGINT) AS e
+        |   FROM lf GROUP BY 1, 2, 3),
+        | win0 AS (SELECT doc_id, (gi * 65) // (nf * 2) AS w, sum(e) AS we
         |   FROM en GROUP BY 1, 2),
         | wall AS (SELECT d.doc_id, wi.w, coalesce(win0.we, 0) AS we
         |   FROM d CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS w) wi

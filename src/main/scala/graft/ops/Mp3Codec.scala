@@ -33,14 +33,15 @@ package graft.ops
   *    the envelope fingerprint consumes).
   *
   * TABLE PROVENANCE / SCOPE (stated precisely, like Mp2's B.2 note): the
-  * slen table, pretab, scalefactor-band widths, count1 table A and
-  * big-values table 1 are reconstructions of the published ISO 11172-3
-  * tables (B.8 / B.7); each Huffman table is spec-checked prefix-free and
-  * Kraft-COMPLETE (a structural property transcription errors break), and
-  * the q_mp3_decode gate round-trips them against our own encoder.
-  * Big-values tables 2–31 (and their linbits escapes) are NOT shipped —
-  * a granule selecting them returns no further frames, loudly scoped like
-  * Mp2's joint-stereo rejection. WINDOW SWITCHING decodes for real
+  * slen table, pretab, scalefactor-band widths, both count1 tables and
+  * big-values tables 1, 2, 3, 5 and 6 are reconstructions of the
+  * published ISO 11172-3 tables (B.8 / B.7); each Huffman table is
+  * spec-checked prefix-free and Kraft-COMPLETE (a structural property
+  * transcription errors break), and the q_mp3_decode / q_mp3_tables
+  * gates round-trip them against our own encoder. Big-values tables
+  * 7–31 (and their linbits escapes) are NOT shipped — a granule
+  * selecting them returns no further frames, loudly scoped like Mp2's
+  * joint-stereo rejection (4 and 14 are the spec's own reserved slots). WINDOW SWITCHING decodes for real
   * (since round 15): block_type 1/3 start/stop windows, block_type 2
   * SHORT blocks (the short scalefactor-band table B.8, band-major
   * window-sub-major scalefactors, fixed 36-line region split,
@@ -134,6 +135,42 @@ object Mp3Codec {
   private[ops] val Table1Entries = Seq(
     (0, 0, 1, 0x1), (0, 1, 3, 0x1), (1, 0, 2, 0x1), (1, 1, 3, 0x0))
   private val Table1: PairTable = pairTable(Table1Entries)
+
+  /** Table 2 (3×3, no linbits). */
+  private[ops] val Table2Entries = Seq(
+    (0, 0, 1, 0x1), (0, 1, 3, 0x2), (0, 2, 6, 0x1),
+    (1, 0, 3, 0x3), (1, 1, 3, 0x1), (1, 2, 5, 0x1),
+    (2, 0, 5, 0x3), (2, 1, 5, 0x2), (2, 2, 6, 0x0))
+  private val Table2: PairTable = pairTable(Table2Entries)
+
+  /** Table 3 (3×3, no linbits). */
+  private[ops] val Table3Entries = Seq(
+    (0, 0, 2, 0x3), (0, 1, 2, 0x2), (0, 2, 6, 0x1),
+    (1, 0, 3, 0x1), (1, 1, 2, 0x1), (1, 2, 5, 0x1),
+    (2, 0, 5, 0x3), (2, 1, 5, 0x2), (2, 2, 6, 0x0))
+  private val Table3: PairTable = pairTable(Table3Entries)
+
+  /** Table 5 (4×4, no linbits). */
+  private[ops] val Table5Entries = Seq(
+    (0, 0, 1, 0x1), (0, 1, 3, 0x2), (0, 2, 6, 0x6), (0, 3, 7, 0x5),
+    (1, 0, 3, 0x3), (1, 1, 3, 0x1), (1, 2, 6, 0x4), (1, 3, 7, 0x4),
+    (2, 0, 6, 0x7), (2, 1, 6, 0x5), (2, 2, 7, 0x7), (2, 3, 8, 0x1),
+    (3, 0, 7, 0x6), (3, 1, 6, 0x1), (3, 2, 7, 0x1), (3, 3, 8, 0x0))
+  private val Table5: PairTable = pairTable(Table5Entries)
+
+  /** Table 6 (4×4, no linbits). */
+  private[ops] val Table6Entries = Seq(
+    (0, 0, 3, 0x7), (0, 1, 3, 0x3), (0, 2, 5, 0x5), (0, 3, 7, 0x1),
+    (1, 0, 3, 0x6), (1, 1, 2, 0x2), (1, 2, 4, 0x3), (1, 3, 5, 0x2),
+    (2, 0, 4, 0x5), (2, 1, 4, 0x4), (2, 2, 5, 0x4), (2, 3, 6, 0x1),
+    (3, 0, 6, 0x3), (3, 1, 5, 0x3), (3, 2, 6, 0x2), (3, 3, 7, 0x0))
+  private val Table6: PairTable = pairTable(Table6Entries)
+
+  /** The shipped big-values tables by table_select (0 = the all-zero
+    * table, handled inline; 4 and 14 are the spec's reserved slots).
+    */
+  private val PairTables: Map[Int, PairTable] = Map(
+    1 -> Table1, 2 -> Table2, 3 -> Table3, 5 -> Table5, 6 -> Table6)
 
   /** count1 table A: (v·8 + w·4 + x·2 + y) keyed by (len, code). */
   private[ops] val Count1AEntries = Seq(
@@ -281,9 +318,10 @@ object Mp3Codec {
                   val c1t = side.read1()
                   gr(g)(c) = GrInfo(part23, bigValues, globalGain, sfc, ts,
                     r0, r1, pre, sfScale, c1t, wsf == 1, bt, mixed, sbg)
-                  // only tables 0 and 1 are shipped (provenance note above);
+                  // only the shipped tables decode (provenance note above);
                   // window-switched granules carry 2 selects, long carry 3
-                  if (ts.take(if (wsf == 1) 2 else 3).exists(t => t != 0 && t != 1))
+                  if (ts.take(if (wsf == 1) 2 else 3)
+                        .exists(t => t != 0 && !PairTables.contains(t)))
                     badSide = true
                   // intensity positions are defined per scalefactor band —
                   // the short-window variant is out of scope, loudly
@@ -380,7 +418,7 @@ object Mp3Codec {
                             else gi.tableSelect(2)
                           if (tsel == 0) { is(line) = 0; is(line + 1) = 0 }
                           else {
-                            val (x, y) = decodePair(r, Table1)
+                            val (x, y) = decodePair(r, PairTables(tsel))
                             is(line) = withSign(r, x)
                             is(line + 1) = withSign(r, y)
                           }

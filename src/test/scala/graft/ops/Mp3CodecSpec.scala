@@ -57,9 +57,75 @@ class Mp3CodecSpec extends AnyFunSuite {
       }
     }
     check("table1", Mp3Codec.Table1Entries.map(e => (e._3, e._4)))
+    check("table2", Mp3Codec.Table2Entries.map(e => (e._3, e._4)))
+    check("table3", Mp3Codec.Table3Entries.map(e => (e._3, e._4)))
+    check("table5", Mp3Codec.Table5Entries.map(e => (e._3, e._4)))
+    check("table6", Mp3Codec.Table6Entries.map(e => (e._3, e._4)))
     check("count1A", Mp3Codec.Count1AEntries.map(e => (e._2, e._3)))
     // count1 B is the 4-bit complement block code: trivially complete
     assert((0 until 16).map(v => v ^ 0xF).toSet == (0 until 16).toSet)
+    // every (x, y) cell of each table is present exactly once
+    for ((name, entries, dim) <- Seq(
+      ("table2", Mp3Codec.Table2Entries, 3), ("table3", Mp3Codec.Table3Entries, 3),
+      ("table5", Mp3Codec.Table5Entries, 4), ("table6", Mp3Codec.Table6Entries, 4)))
+      assert(entries.map(e => (e._1, e._2)).toSet ==
+        (for (x <- 0 until dim; y <- 0 until dim) yield (x, y)).toSet, name)
+  }
+
+  test("tables 2/3/5/6 round-trip at full magnitude range") {
+    // one frame per table: 12 big-values pairs cycling through EVERY
+    // (x, y) cell (mags up to 2 or 3 — beyond the oracle gate's dyadic
+    // subset), global_gain 210, scalefac_scale 1, all scalefactors 0 ⇒
+    // xr(l) = ±|is(l)|^(4/3) exactly
+    for ((tid, entries, dim) <- Seq(
+      (2, Mp3Codec.Table2Entries, 3), (3, Mp3Codec.Table3Entries, 3),
+      (5, Mp3Codec.Table5Entries, 4), (6, Mp3Codec.Table6Entries, 4))) {
+      val codeOf = entries.map(e => (e._1, e._2) -> (e._3, e._4)).toMap
+      def pair(l: Int): (Int, Int) = { // deterministic walk over all cells
+        val k = (l / 2) * 7 % (dim * dim)
+        (k / dim, k % dim)
+      }
+      def sgn(l: Int): Int = l % 2
+      val frame = l3Frame { put =>
+        var huffBits = 0
+        for (l <- 0 until 24 by 2) {
+          val (x, y) = pair(l)
+          huffBits += codeOf((x, y))._1 + (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+        }
+        put(0, 9); put(0, 5); put(0, 4)
+        // granule 0: 12 pairs, table `tid`, sfc 0 (slen 0/0 → 0 sf bits)
+        put(huffBits, 12); put(12, 9); put(210, 8); put(0, 4)
+        put(0, 1)
+        put(tid, 5); put(0, 5); put(0, 5)
+        put(5, 4); put(3, 3)
+        put(0, 1); put(1, 1); put(1, 1)
+        // granule 1: silent
+        put(0, 12); put(0, 9); put(210, 8); put(0, 4)
+        put(0, 1); put(0, 5); put(0, 5); put(0, 5); put(0, 4); put(0, 3)
+        put(0, 1); put(0, 1); put(1, 1)
+        for (l <- 0 until 24 by 2) {
+          val (x, y) = pair(l)
+          val (len, code) = codeOf((x, y))
+          put(code, len)
+          if (x != 0) put(sgn(l), 1)
+          if (y != 0) put(sgn(l + 1), 1)
+        }
+      }
+      val d = Mp3Codec.decode(frame)
+        .getOrElse(fail(s"table $tid frame did not decode"))
+      val xr = d.spectra(0)
+      for (l <- 0 until 24) {
+        val m = if (l % 2 == 0) pair(l)._1 else pair(l - 1)._2
+        val expect =
+          if (m == 0) 0.0
+          else {
+            val v = math.pow(m.toDouble, 4.0 / 3.0)
+            if (sgn(l) == 1 && m != 0) -v else v
+          }
+        assert(xr(l) == expect, s"table $tid line $l: ${xr(l)} != $expect")
+      }
+      for (l <- 24 until 576) assert(xr(l) == 0.0, s"table $tid tail $l")
+    }
   }
 
   test("alias butterflies are exact rotations and reduce inter-band leakage") {
@@ -508,13 +574,14 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(Mp3Codec.decode(js).isEmpty, // can't parse as the 32-byte layout
       "a mono frame remarked joint-stereo is malformed and must reject")
     val badTable = graft.SparkEntry.synthMp3L3(0L).clone()
-    // table_select(0) field: side info bits — flip to table 3 (unshipped).
+    // table_select(0) field: side info bits — flip to table 7 (unshipped;
+    // 2/3/5/6 decode since round 15).
     // Offset: 4 (header) + 9+5+4 (mdb/priv/scfsi) + 12+9+8+4+1 = 52 bits in
     // → table_select starts at bit 52 of side info
     val bitOff = (9 + 5 + 4 + 12 + 9 + 8 + 4 + 1)
     val byteIdx = 4 + bitOff / 8
-    // write 00011 over the 5 bits at bitOff (big-endian in-byte)
-    var v = 3
+    // write 00111 over the 5 bits at bitOff (big-endian in-byte)
+    var v = 7
     for (i <- 0 until 5) {
       val bp = bitOff + i
       val bit = (v >> (4 - i)) & 1
