@@ -127,6 +127,38 @@ object Round15Scaling {
       }
     }
 
+    // inter-frame decode throughput: the B fixture runs the FULL motion
+    // pipeline per asset (forward + backward + interpolated MC, skipped
+    // repetition, reordering) — per-asset cost must stay flat like the
+    // intra path
+    if (sections("mpeg1b")) {
+      for (nAssets <- Seq(1000L, 10000L, 100000L)) {
+        val media = spark.range(nAssets).select(col("id").as("doc_id")).as[Long]
+          .map(id => (id, SparkEntry.synthMpeg1B(id)))
+          .toDF("doc_id", "media")
+        val t0 = System.nanoTime()
+        val rows = graft.ops.Multimodal.videoFrameStats(media, "doc_id").count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[r15mpeg1b] assets=$nAssets frameRows=$rows time=$dt%.1fs " +
+          f"perAssetUs=${dt * 1e6 / nAssets}%.1f")
+      }
+    }
+
+    // short-block decode throughput: reorder + 3×12-point IMDCTs per
+    // short granule vs the long path's single 36-point
+    if (sections("mp3short")) {
+      for (nAssets <- Seq(1000L, 10000L, 100000L)) {
+        val media = spark.range(nAssets).select(col("id").as("doc_id")).as[Long]
+          .map(id => (id, SparkEntry.synthMp3Short(id)))
+          .toDF("doc_id", "media")
+        val t0 = System.nanoTime()
+        val rows = graft.ops.Multimodal.mp3WeightedSpectralFingerprintDF(media, "doc_id").count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[r15mp3short] assets=$nAssets decoded=$rows time=$dt%.1fs " +
+          f"perAssetUs=${dt * 1e6 / nAssets}%.1f")
+      }
+    }
+
     spark.stop()
   }
 }
