@@ -1045,6 +1045,82 @@ object SparkEntry {
     out
   }
 
+  /** One REAL PDF per id for q_pdf_extract: 1 + id%3 pages, each page's
+    * content stream drawing two text lines via the full operator set —
+    * `(…) Tj` with \( \) and octal \101 escapes, `T*`, a `TJ` array
+    * whose −250 kern renders as the word gap (and whose +20 kern must
+    * NOT), and a hex-string `Tj` — so page p extracts to exactly
+    * "Doc {id} page {p} (ok) A\nw{a} w{b}! hx" with a = (id·31+p·7)%97,
+    * b = (id·13+p·11)%89. EVEN pages' streams are FlateDecode-compressed
+    * (zlib via the JDK Deflater, the format PdfCodec inflates), odd
+    * pages raw; page 0's /Length is an INDIRECT reference. Full document
+    * skeleton: Catalog → Pages → Kids, a correct classic xref table and
+    * a trailer with /Root (the extractor's primary catalog route). A
+    * hash match proves the object scan, COS parsing incl. escapes/hex,
+    * the page-tree walk, direct+indirect Length, raw+Flate streams and
+    * the BT…ET operator semantics ([[sources.PdfCodec]]).
+    */
+  private[graft] def synthPdf(id: Long): Array[Byte] = {
+    val nPages = (1 + id % 3).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    def w(s: String): Unit = bos.write(ascii(s))
+    val offsets = scala.collection.mutable.HashMap.empty[Int, Int]
+    def beginObj(n: Int): Unit = { offsets(n) = bos.size(); w(s"$n 0 obj\n") }
+    def endObj(): Unit = w("endobj\n")
+    def deflate(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    w("%PDF-1.4\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\n"); endObj()
+    val kids = (0 until nPages).map(p => s"${3 + 2 * p} 0 R").mkString(" ")
+    beginObj(2); w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>\n"); endObj()
+    val lenObjNum = 3 + 2 * nPages
+    var page0FlateLen = 0
+    var p = 0
+    while (p < nPages) {
+      val a = ((id * 31 + p * 7) % 97).toInt
+      val b = ((id * 13 + p * 11) % 89).toInt
+      val content = ascii(
+        s"BT 72 720 Td (Doc $id page $p \\(ok\\) \\101) Tj T* " +
+        s"[(w$a) -250 (w$b) 20 (!)] TJ <206878> Tj ET")
+      beginObj(3 + 2 * p)
+      w(s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * p} 0 R >>\n")
+      endObj()
+      beginObj(4 + 2 * p)
+      if (p % 2 == 0) {
+        val z = deflate(content)
+        if (p == 0) { page0FlateLen = z.length; w(s"<< /Length $lenObjNum 0 R /Filter /FlateDecode >>\n") }
+        else w(s"<< /Length ${z.length} /Filter /FlateDecode >>\n")
+        w("stream\n"); bos.write(z); w("\nendstream\n")
+      } else {
+        w(s"<< /Length ${content.length} >>\n")
+        w("stream\n"); bos.write(content); w("\nendstream\n")
+      }
+      endObj()
+      p += 1
+    }
+    beginObj(lenObjNum); w(s"$page0FlateLen\n"); endObj()
+    // classic xref + trailer (correct offsets; /Root drives the extractor)
+    val xrefAt = bos.size()
+    val maxObj = lenObjNum
+    w(s"xref\n0 ${maxObj + 1}\n")
+    w("0000000000 65535 f \n")
+    var n = 1
+    while (n <= maxObj) {
+      w(f"${offsets(n)}%010d 00000 n \n")
+      n += 1
+    }
+    w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%%%EOF\n")
+    bos.toByteArray
+  }
+
   /** One MPEG-1 VIDEO elementary stream per id for q_mpeg1_iframe:
     * 2 + id%3 I-pictures of 16·(1 + id%2) × 16 pixels — one slice per
     * picture, every macroblock intra with DC-ONLY blocks, so each Y
@@ -3239,6 +3315,26 @@ object SparkEntry {
           col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
         .orderBy("doc_id")
     },
+    // PDFs through the PRODUCT crawl path: gzip→WARC→HTTP walk, the
+    // application/pdf route into the PdfCodec column kernel inside the
+    // same extraction projection as HTML, URL canonicalization +
+    // first-per-URL dedup, and the boilerplate line filter over the
+    // extracted text (which drops each page's short second line)
+    "q_crawl_pdf" -> { (s, dir) =>
+      ops.Crawl.ingest(s, pdfWarcDirFor(s, dir)).orderBy("url_canon")
+    },
+    // REAL PDF text extraction (object scan, COS grammar incl. string
+    // escapes + hex, trailer/Root → page tree, direct + indirect Length,
+    // raw + FlateDecode streams, BT…ET operators with the TJ kern gap —
+    // sources.PdfCodec); the oracle rebuilds the exact extracted text
+    "q_pdf_extract" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthPdf(id)))
+        .toDF("doc_id", "media")
+      graft.sources.PdfCodec.pdfTextDF(media, "doc_id").orderBy("doc_id")
+    },
     // REAL MPEG-1 VIDEO I-frame decode (sequence/picture/slice walk, MB
     // address/type VLCs, DC size tables + differential prediction, intra
     // dequant, IDCT, 4:2:0 → RGB — ops.Mpeg1Codec); DC-only fixtures make
@@ -3629,6 +3725,42 @@ object SparkEntry {
     * (executors share the driver's filesystem). Production never
     * synthesizes archives — `Warc.readWarcFiles` streams real ones.
     */
+  /** One Common-Crawl-shaped PDF record per doc: [[synthPdf]] inside an
+    * HTTP 200 `application/pdf` response inside a WARC record inside its
+    * own gzip member — the crawl-ingest PDF route's input shape.
+    */
+  private[graft] def synthWarcPdfGz(id: Long): Array[Byte] = {
+    import graft.sources.WarcCodec
+    val pdf = synthPdf(id)
+    val head = "HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val http = new Array[Byte](head.length + pdf.length)
+    System.arraycopy(head, 0, http, 0, head.length)
+    System.arraycopy(pdf, 0, http, head.length, pdf.length)
+    WarcCodec.gzipMember(WarcCodec.writeRecord(WarcCodec.WarcRecord(
+      "response", s"http://example.com/pdf/$id", "2024-01-01T00:00:00Z",
+      s"<urn:uuid:pdf-$id>", "application/http; msgtype=response", http)))
+  }
+
+  /** Per-dir synthetic PDF crawl shards for q_crawl_pdf (same local-mode
+    * posture as [[corpusWarcDirFor]]).
+    */
+  private val pdfWarcDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def pdfWarcDirFor(s: SparkSession, dir: String): String =
+    pdfWarcDirs.getOrElseUpdate(dir, {
+      val out = gateScratch("graft-pdf-warc")
+      tbl(s, dir, "documents").filter(col("doc_id") < 100).select(col("doc_id"))
+        .rdd.foreachPartition { it =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val f = new java.io.FileOutputStream(s"$out/part-$pid.warc.gz")
+            try it.foreach(r => f.write(synthWarcPdfGz(r.getLong(0))))
+            finally f.close()
+          }
+        }
+      out
+    })
+
   private val corpusWarcDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def corpusWarcDirFor(s: SparkSession, dir: String): String =
     corpusWarcDirs.getOrElseUpdate(dir, {
@@ -6420,6 +6552,38 @@ object SparkEntry {
         |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 2 AS BIGINT) AS n_granules,
         |  fp.afp_hi, fp.afp_lo
         |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Crawl-ingested PDFs: urls are already canonical, titles/links are
+    // HTML concepts (empty/zero), and the boilerplate filter keeps only
+    // each page's 6-word first line
+    "q_crawl_pdf" ->
+      """WITH d AS (SELECT doc_id AS id, 1 + doc_id % 3 AS np
+        |   FROM documents WHERE doc_id < 100),
+        | pg AS (SELECT id, np, p.p,
+        |     'Doc ' || id || ' page ' || p.p || ' (ok) A' AS t
+        |   FROM d, (SELECT unnest(generate_series(0, 2)) AS p) p
+        |   WHERE p.p < np),
+        | tx AS (SELECT id, string_agg(t, chr(10) ORDER BY p) AS text
+        |   FROM pg GROUP BY id)
+        |SELECT CAST(concat('0x', substr(md5('http://example.com/pdf/' || id), 1, 15)) AS BIGINT) AS doc_id,
+        |  'http://example.com/pdf/' || id AS url_canon,
+        |  'example.com' AS url_domain, '' AS title,
+        |  CAST(0 AS BIGINT) AS n_links, text
+        |FROM tx ORDER BY url_canon""".stripMargin,
+    // PDF extraction: page text has the closed form the generator draws —
+    // the −250 TJ kern is the word gap, +20 is not, octal \101 = 'A',
+    // hex <206878> = ' hx'; pages join with a newline
+    "q_pdf_extract" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS np
+        |   FROM documents WHERE doc_id < 100),
+        | pg AS (SELECT d.doc_id, d.np, p.p,
+        |     'Doc ' || d.doc_id || ' page ' || p.p || ' (ok) A' || chr(10) ||
+        |     'w' || ((d.doc_id * 31 + p.p * 7) % 97) ||
+        |     ' w' || ((d.doc_id * 13 + p.p * 11) % 89) || '! hx' AS t
+        |   FROM d, (SELECT unnest(generate_series(0, 2)) AS p) p
+        |   WHERE p.p < d.np)
+        |SELECT doc_id, CAST(np AS BIGINT) AS n_pages,
+        |  string_agg(t, chr(10) ORDER BY p) AS text
+        |FROM pg GROUP BY doc_id, np ORDER BY doc_id""".stripMargin,
     // MPEG-1 I-frames: RGB = (v, v, v) per pixel with the flat-block value
     // v = 20 + (id·31 + f·97 + (m·4 + b)·7) % 200, m = x div 16 (single MB
     // row), quadrant b = (y div 8)·2 + (x mod 16) div 8 — the same

@@ -888,6 +888,24 @@ case class DecodeCharsetExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** PDF → extracted text kernel ([[graft.sources.PdfCodec]], pages joined
+  * with a newline): NULL when the bytes are not a parseable PDF. The
+  * crawl router's column form — PDF bodies extract inside the same
+  * projection as the HTML path, no second scan, no shuffle of document
+  * bytes.
+  */
+case class PdfTextExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  protected override def nullSafeEval(bytesV: Any): Any =
+    graft.sources.PdfCodec.extractText(bytesV.asInstanceOf[Array[Byte]]) match {
+      case Some(d) => UTF8String.fromString(d.pages.mkString("\n"))
+      case None => null
+    }
+  override protected def withNewChildInternal(c: Expression): PdfTextExpr = copy(child = c)
+}
+
 /** robots.txt decision kernel: allowed(robotsTxt, path) under a constant
   * agent → boolean (RFC 9309 longest-match semantics via
   * [[graft.ops.Robots]]). The PARSE is memoized per distinct robots body
@@ -1150,4 +1168,5 @@ object textkernel {
     toColumn(RobotsAllowedExpr(toExpression(robotsTxt), toExpression(path), agent))
   def decode_charset(bytes: Column, charsetName: Column): Column =
     toColumn(DecodeCharsetExpr(toExpression(bytes), toExpression(charsetName)))
+  def pdf_text(bytes: Column): Column = toColumn(PdfTextExpr(toExpression(bytes)))
 }

@@ -1,0 +1,538 @@
+package graft.sources
+
+import java.util.zip.Inflater
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types._
+
+/** PDF text extraction — the document-source sibling of [[WarcCodec]]:
+  * crawl corpora carry papers/books/reports as PDF, and a training-data
+  * pipeline wants their TEXT on the same extract → langID → quality →
+  * dedup → pack path as HTML. Own from-scratch reader (ISO 32000 / the
+  * classic Adobe PDF spec); the only borrowed machinery is the JDK's
+  * `Inflater` for FlateDecode, the same dependency posture as
+  * [[graft.ops.PngCodec]].
+  *
+  * What parses:
+  *  - indirect objects located by a ROBUST SCAN for `N G obj … endobj`
+  *    (the posture of real-world extractors: xref tables in crawled PDFs
+  *    are routinely wrong — offsets are never trusted);
+  *  - the COS object grammar: dictionaries, arrays, names (with `#xx`
+  *    escapes), literal strings (backslash escapes incl. octal and
+  *    line continuations), hex strings, numbers, booleans, null,
+  *    `N G R` references;
+  *  - the document structure: trailer `/Root` → Catalog → `/Pages` tree
+  *    (`/Kids` recursion, cycle-guarded) → `/Page` leaves in tree order;
+  *    a PDF with a broken/absent trailer falls back to scanning for the
+  *    `/Type /Catalog` object;
+  *  - content streams: `/Length` direct or INDIRECT, raw or
+  *    `/FlateDecode` (zlib, inflated under a hard cap; other filters
+  *    skip that stream), `/Contents` a single stream or an array
+  *    (concatenated in order);
+  *  - the text operators inside BT…ET: `Tj`, `'`, `"`, `TJ` (array show
+  *    — a kern number ≤ −180 thousandths renders as a space, the
+  *    standard word-gap heuristic), with `T*`/`TD`/vertical `Td` treated
+  *    as line breaks (suppressed when nothing has been emitted yet or a
+  *    break just happened).
+  *
+  * ENCODING SCOPE (stated precisely): string bytes map through printable
+  * ASCII + latin-1 high bytes; composite-font CMaps / ToUnicode tables
+  * are NOT interpreted — text from CID-keyed fonts extracts as the raw
+  * code bytes. That covers the simple-font PDFs that dominate crawl
+  * corpora; swap in a CMap layer to widen, nothing else changes.
+  *
+  * Garbage-in contract (family-wide): malformed, hostile or truncated
+  * input yields `None` or the pages that did parse — never a throw, and
+  * never an unbounded allocation (object count, per-stream inflation and
+  * total text are all capped).
+  */
+object PdfCodec {
+
+  final case class PdfDoc(nPages: Int, pages: Array[String])
+
+  private val MaxObjects = 100000
+  private val MaxStreamBytes = 64 << 20
+  private val MaxTextChars = 16 << 20
+  private val MaxKidDepth = 64
+
+  // ---- COS value model ----
+  private[sources] sealed trait Obj
+  private[sources] final case class PNum(v: Double) extends Obj
+  private[sources] final case class PName(v: String) extends Obj
+  private[sources] final case class PStr(bytes: Array[Byte]) extends Obj
+  private[sources] final case class PArr(items: Vector[Obj]) extends Obj
+  private[sources] final case class PDict(m: Map[String, Obj]) extends Obj
+  private[sources] final case class PRef(num: Int) extends Obj
+  private[sources] final case class POp(name: String) extends Obj
+  private[sources] case object PNull extends Obj
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+  private def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** Recursive-descent lexer/parser over a byte window. `parseNext`
+    * returns one object (or operator keyword) and advances `pos`.
+    */
+  private final class Lexer(b: Array[Byte], var pos: Int, val end: Int) {
+    def skipWs(): Unit = {
+      var more = true
+      while (more) {
+        while (pos < end && isWs(b(pos) & 0xFF)) pos += 1
+        if (pos < end && b(pos) == '%') { // comment to EOL
+          while (pos < end && b(pos) != '\n' && b(pos) != '\r') pos += 1
+        } else more = false
+      }
+    }
+    def atEnd: Boolean = { skipWs(); pos >= end }
+
+    def parseNext(depth: Int): Obj = {
+      if (depth > 48) throw new IllegalStateException("depth")
+      skipWs()
+      if (pos >= end) throw new IllegalStateException("eof")
+      val c = b(pos) & 0xFF
+      c match {
+        case '/' => parseName()
+        case '(' => parseLiteralString()
+        case '[' =>
+          pos += 1
+          var items = Vector.empty[Obj]
+          skipWs()
+          while (pos < end && b(pos) != ']') {
+            items :+= parseNext(depth + 1)
+            skipWs()
+          }
+          if (pos < end) pos += 1 // ']'
+          PArr(items)
+        case '<' =>
+          if (pos + 1 < end && b(pos + 1) == '<') parseDict(depth)
+          else parseHexString()
+        case _ if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          parseNumberOrRef()
+        case _ => parseKeyword()
+      }
+    }
+
+    private def parseName(): PName = {
+      pos += 1 // '/'
+      val sb = new StringBuilder
+      while (pos < end && !isWs(b(pos) & 0xFF) && !isDelim(b(pos) & 0xFF)) {
+        val ch = b(pos) & 0xFF
+        if (ch == '#' && pos + 2 < end) {
+          val h = Character.digit(b(pos + 1), 16)
+          val l = Character.digit(b(pos + 2), 16)
+          if (h >= 0 && l >= 0) { sb.append(((h << 4) | l).toChar); pos += 3 }
+          else { sb.append(ch.toChar); pos += 1 }
+        } else { sb.append(ch.toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    private def parseLiteralString(): PStr = {
+      pos += 1 // '('
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (pos < end && depth > 0) {
+        val ch = b(pos) & 0xFF
+        if (ch == '\\' && pos + 1 < end) {
+          val e = b(pos + 1) & 0xFF
+          e match {
+            case 'n' => out.write('\n'); pos += 2
+            case 'r' => out.write('\r'); pos += 2
+            case 't' => out.write('\t'); pos += 2
+            case 'b' => out.write('\b'); pos += 2
+            case 'f' => out.write('\f'); pos += 2
+            case '\r' => // line continuation (swallow optional \n)
+              pos += 2
+              if (pos < end && b(pos) == '\n') pos += 1
+            case '\n' => pos += 2
+            case d if d >= '0' && d <= '7' =>
+              var v = 0
+              var k = 0
+              pos += 1
+              while (k < 3 && pos < end && b(pos) >= '0' && b(pos) <= '7') {
+                v = v * 8 + (b(pos) - '0'); pos += 1; k += 1
+              }
+              out.write(v & 0xFF)
+            case other => out.write(other); pos += 2 // \( \) \\ and unknown
+          }
+        } else {
+          if (ch == '(') depth += 1
+          else if (ch == ')') depth -= 1
+          if (depth > 0) out.write(ch)
+          pos += 1
+        }
+      }
+      PStr(out.toByteArray)
+    }
+
+    private def parseHexString(): PStr = {
+      pos += 1 // '<'
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      while (pos < end && b(pos) != '>') {
+        val d = Character.digit(b(pos), 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { out.write((hi << 4) | d); hi = -1 }
+        }
+        pos += 1
+      }
+      if (hi >= 0) out.write(hi << 4) // odd count: trailing 0 per spec
+      if (pos < end) pos += 1 // '>'
+      PStr(out.toByteArray)
+    }
+
+    private def parseDict(depth: Int): PDict = {
+      pos += 2 // '<<'
+      var m = Map.empty[String, Obj]
+      skipWs()
+      while (pos + 1 < end && !(b(pos) == '>' && b(pos + 1) == '>')) {
+        if (b(pos) != '/') throw new IllegalStateException("dict key")
+        val k = parseName().v
+        val v = parseNext(depth + 1)
+        m += (k -> v)
+        skipWs()
+      }
+      pos = math.min(end, pos + 2) // '>>'
+      PDict(m)
+    }
+
+    private def parseNumberOrRef(): Obj = {
+      val start = pos
+      if (b(pos) == '+' || b(pos) == '-') pos += 1
+      while (pos < end && ((b(pos) >= '0' && b(pos) <= '9') || b(pos) == '.')) pos += 1
+      val s = new String(b, start, pos - start, "ISO-8859-1")
+      val v = try s.toDouble catch { case _: NumberFormatException =>
+        throw new IllegalStateException("num") }
+      // look ahead for "G R" → an indirect reference
+      if (v >= 0 && v == math.floor(v)) {
+        val save = pos
+        skipWs()
+        val gStart = pos
+        while (pos < end && b(pos) >= '0' && b(pos) <= '9') pos += 1
+        if (pos > gStart) {
+          skipWs()
+          if (pos < end && b(pos) == 'R' &&
+            (pos + 1 >= end || isWs(b(pos + 1) & 0xFF) || isDelim(b(pos + 1) & 0xFF))) {
+            pos += 1
+            return PRef(v.toInt)
+          }
+        }
+        pos = save
+      }
+      PNum(v)
+    }
+
+    private def parseKeyword(): Obj = {
+      val start = pos
+      while (pos < end && !isWs(b(pos) & 0xFF) && !isDelim(b(pos) & 0xFF)) pos += 1
+      if (pos == start) { pos += 1; return POp(((b(start) & 0xFF).toChar).toString) }
+      new String(b, start, pos - start, "ISO-8859-1") match {
+        case "true" => PNum(1)
+        case "false" => PNum(0)
+        case "null" => PNull
+        case kw => POp(kw)
+      }
+    }
+  }
+
+  /** One scanned indirect object: the byte window between `obj` and
+    * `endobj` (stream payloads located lazily inside it).
+    */
+  private final case class RawObj(bodyStart: Int, bodyEnd: Int)
+
+  private def findAscii(b: Array[Byte], needle: String, from: Int): Int = {
+    val n = needle.getBytes("ISO-8859-1")
+    var i = math.max(0, from)
+    val last = b.length - n.length
+    while (i <= last) {
+      var j = 0
+      while (j < n.length && b(i + j) == n(j)) j += 1
+      if (j == n.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Extract the page texts of a PDF. None when the bytes are not a
+    * parseable PDF with at least one page.
+    */
+  def extractText(bytes: Array[Byte]): Option[PdfDoc] = {
+    try {
+      if (bytes == null || bytes.length < 16) return None
+      if (findAscii(bytes, "%PDF-", 0) != 0) return None
+
+      // ---- robust object scan: "N G obj" … "endobj" ----
+      val objs = scala.collection.mutable.HashMap.empty[Int, RawObj]
+      var i = 0
+      var found = 0
+      while (i >= 0 && found < MaxObjects) {
+        i = findAscii(bytes, "obj", i)
+        if (i >= 0) {
+          // walk back over "N G " — generation then number
+          var p = i - 1
+          while (p >= 0 && isWs(bytes(p) & 0xFF)) p -= 1
+          val genEnd = p
+          while (p >= 0 && bytes(p) >= '0' && bytes(p) <= '9') p -= 1
+          val genStart = p + 1
+          while (p >= 0 && isWs(bytes(p) & 0xFF)) p -= 1
+          val numEnd = p
+          while (p >= 0 && bytes(p) >= '0' && bytes(p) <= '9') p -= 1
+          val numStart = p + 1
+          if (genEnd >= genStart && numEnd >= numStart && numEnd - numStart < 9) {
+            val num = new String(bytes, numStart, numEnd - numStart + 1, "ISO-8859-1").toInt
+            val bodyStart = i + 3
+            val endObj = findAscii(bytes, "endobj", bodyStart)
+            val bodyEnd = if (endObj < 0) bytes.length else endObj
+            if (!objs.contains(num)) { objs(num) = RawObj(bodyStart, bodyEnd); found += 1 }
+            i = bodyEnd
+          } else i = i + 3
+        }
+      }
+      if (objs.isEmpty) return None
+
+      val parsed = scala.collection.mutable.HashMap.empty[Int, Obj]
+      def objOf(num: Int): Obj = parsed.getOrElseUpdate(num, {
+        objs.get(num) match {
+          case None => PNull
+          case Some(r) =>
+            try new Lexer(bytes, r.bodyStart, r.bodyEnd).parseNext(0)
+            catch { case _: Exception => PNull }
+        }
+      })
+      def deref(o: Obj): Obj = o match {
+        case PRef(n) => objOf(n)
+        case x => x
+      }
+
+      /** The stream payload of object `num`, after /Length resolution and
+        * FlateDecode; None when absent, filtered unsupportedly or broken.
+        */
+      def streamData(num: Int): Option[Array[Byte]] = objs.get(num).flatMap { r =>
+        val dict = objOf(num) match {
+          case d: PDict => d
+          case _ => return None
+        }
+        val sk = findAscii(bytes, "stream", r.bodyStart)
+        if (sk < 0 || sk >= r.bodyEnd) return None
+        var dataStart = sk + 6
+        if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
+        if (dataStart < bytes.length && bytes(dataStart) == '\n') dataStart += 1
+        val endStream = findAscii(bytes, "endstream", dataStart)
+        val hardEnd = if (endStream < 0) r.bodyEnd else endStream
+        val len = deref(dict.m.getOrElse("Length", PNull)) match {
+          case PNum(v) if v >= 0 && v <= (hardEnd - dataStart).toDouble => v.toInt
+          case _ => math.max(0, hardEnd - dataStart) // broken Length: to endstream
+        }
+        val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + len)
+        deref(dict.m.getOrElse("Filter", PNull)) match {
+          case PNull => Some(raw)
+          case PName("FlateDecode") => inflateCapped(raw)
+          case PArr(Vector(PName("FlateDecode"))) => inflateCapped(raw)
+          case _ => None // unsupported filter: skip this stream
+        }
+      }
+
+      // ---- document structure: trailer /Root, else catalog scan ----
+      def catalogNum: Option[Int] = {
+        var t = bytes.length
+        var rootRef: Option[Int] = None
+        while (rootRef.isEmpty && { t = lastIndexOfAscii(bytes, "trailer", t - 1); t >= 0 }) {
+          try {
+            val lx = new Lexer(bytes, t + 7, bytes.length)
+            lx.parseNext(0) match {
+              case PDict(m) => m.get("Root") match {
+                case Some(PRef(n)) => rootRef = Some(n)
+                case _ =>
+              }
+              case _ =>
+            }
+          } catch { case _: Exception => }
+        }
+        rootRef.orElse {
+          objs.keysIterator.toSeq.sorted.find { n =>
+            objOf(n) match {
+              case PDict(m) => m.get("Type").contains(PName("Catalog"))
+              case _ => false
+            }
+          }
+        }
+      }
+
+      val pagesRoot = catalogNum.map(objOf).flatMap {
+        case PDict(m) => m.get("Pages")
+        case _ => None
+      }
+
+      // ---- page-tree walk (cycle-guarded, order-preserving) ----
+      val pageDicts = scala.collection.mutable.ArrayBuffer.empty[PDict]
+      val visited = scala.collection.mutable.HashSet.empty[Int]
+      def walk(o: Obj, depth: Int): Unit = {
+        if (depth > MaxKidDepth || pageDicts.length > 100000) return
+        val node = o match {
+          case PRef(n) =>
+            if (!visited.add(n)) return
+            objOf(n)
+          case x => x
+        }
+        node match {
+          case d @ PDict(m) =>
+            m.get("Type") match {
+              case Some(PName("Page")) => pageDicts += d
+              case _ =>
+                deref(m.getOrElse("Kids", PNull)) match {
+                  case PArr(kids) => kids.foreach(k => walk(k, depth + 1))
+                  case _ =>
+                    // untyped leaf with /Contents: treat as a page
+                    if (m.contains("Contents")) pageDicts += d
+                }
+            }
+          case _ =>
+        }
+      }
+      pagesRoot.foreach(walk(_, 0))
+      if (pageDicts.isEmpty) {
+        // last resort: any object that LOOKS like a page
+        objs.keysIterator.toSeq.sorted.foreach { n =>
+          objOf(n) match {
+            case d @ PDict(m) if m.get("Type").contains(PName("Page")) => pageDicts += d
+            case _ =>
+          }
+        }
+      }
+      if (pageDicts.isEmpty) return None
+
+      // ---- per-page content → text ----
+      var totalChars = 0
+      val pages = pageDicts.iterator.map { pd =>
+        val contentRefs: Seq[Int] = pd.m.get("Contents") match {
+          case Some(PRef(n)) => Seq(n)
+          case Some(PArr(items)) => items.collect { case PRef(n) => n }
+          case _ => Seq.empty
+        }
+        val data = contentRefs.flatMap(streamData).foldLeft(Array.emptyByteArray)(_ ++ _)
+        val t = if (data.isEmpty) "" else extractTextOps(data, MaxTextChars - totalChars)
+        totalChars += t.length
+        t
+      }.toArray
+      Some(PdfDoc(pages.length, pages))
+    } catch { case _: Throwable => None }
+  }
+
+  private def lastIndexOfAscii(b: Array[Byte], needle: String, from: Int): Int = {
+    val n = needle.getBytes("ISO-8859-1")
+    var i = math.min(from, b.length - n.length)
+    while (i >= 0) {
+      var j = 0
+      while (j < n.length && b(i + j) == n(j)) j += 1
+      if (j == n.length) return i
+      i -= 1
+    }
+    -1
+  }
+
+  /** Inflate a zlib stream under [[MaxStreamBytes]]; None on any stall,
+    * truncation, FDICT header or cap hit.
+    */
+  private def inflateCapped(in: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new Inflater()
+    inf.setInput(in)
+    val out = new java.io.ByteArrayOutputStream(math.min(in.length * 4, 1 << 20))
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) return None // truncated / FDICT / stall
+        out.write(buf, 0, n)
+        if (out.size() > MaxStreamBytes) return None
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** Run the BT…ET text operators of a content stream. Kern ≤ −180
+    * thousandths in TJ renders as a space; T* / TD / vertical Td break
+    * lines (suppressed at start / after a break).
+    */
+  private[sources] def extractTextOps(data: Array[Byte], maxChars: Int): String = {
+    val sb = new StringBuilder
+    def newline(): Unit =
+      if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    def show(s: Array[Byte]): Unit = {
+      var i = 0
+      while (i < s.length && sb.length < maxChars) {
+        val c = s(i) & 0xFF
+        if (c == '\n' || c == '\r') newline()
+        else if (c == '\t') sb.append(' ')
+        else if (c >= 0x20 && c != 0x7F) sb.append(c.toChar)
+        i += 1
+      }
+    }
+    val lx = new Lexer(data, 0, data.length)
+    val operands = scala.collection.mutable.ArrayBuffer.empty[Obj]
+    try {
+      while (!lx.atEnd && sb.length < maxChars) {
+        lx.parseNext(0) match {
+          case POp(op) =>
+            op match {
+              case "Tj" => operands.lastOption.collect { case PStr(s) => show(s) }
+              case "'" =>
+                newline()
+                operands.lastOption.collect { case PStr(s) => show(s) }
+              case "\"" =>
+                newline()
+                operands.lastOption.collect { case PStr(s) => show(s) }
+              case "TJ" => operands.lastOption.collect { case PArr(items) =>
+                items.foreach {
+                  case PStr(s) => show(s)
+                  case PNum(v) if v <= -180 =>
+                    if (sb.nonEmpty && sb.charAt(sb.length - 1) != ' ') sb.append(' ')
+                  case _ =>
+                }
+              }
+              case "T*" => newline()
+              case "TD" => newline()
+              case "Td" => operands.lastOption.collect {
+                case PNum(ty) if ty != 0 => newline()
+              }
+              case _ => // positioning/state/path operators: no text
+            }
+            operands.clear()
+          case v => operands += v
+        }
+      }
+    } catch { case _: Exception => /* malformed tail: keep what we have */ }
+    sb.toString
+  }
+
+  // ---- Spark surface ----
+
+  /** (id, n_pages, text) per decodable PDF — extraction is partition-
+    * local (`mapPartitions`, document bytes never shuffle; only the text
+    * column flows on, into the standard text-pipeline operators).
+    * Undecodable rows yield nothing. Pages join with a single newline.
+    */
+  def pdfTextDF(df: DataFrame, idCol: String, binaryCol: String = "media"): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("n_pages", LongType),
+      StructField("text", StringType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else extractText(bytes).iterator.map { d =>
+          Row(r.get(idIdx), d.nPages.toLong, d.pages.mkString("\n"))
+        }
+      }
+    }
+  }
+}

@@ -144,6 +144,21 @@ object Round15Scaling {
       }
     }
 
+    // PDF extraction throughput: object scan + COS parse + inflate +
+    // operator walk per document — partition-local like the media codecs
+    if (sections("pdf")) {
+      for (nAssets <- Seq(1000L, 10000L, 100000L)) {
+        val media = spark.range(nAssets).select(col("id").as("doc_id")).as[Long]
+          .map(id => (id, SparkEntry.synthPdf(id)))
+          .toDF("doc_id", "media")
+        val t0 = System.nanoTime()
+        val rows = graft.sources.PdfCodec.pdfTextDF(media, "doc_id").count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[r15pdf] assets=$nAssets parsed=$rows time=$dt%.1fs " +
+          f"perAssetUs=${dt * 1e6 / nAssets}%.1f")
+      }
+    }
+
     // short-block decode throughput: reorder + 3×12-point IMDCTs per
     // short granule vs the long path's single 36-point
     if (sections("mp3short")) {

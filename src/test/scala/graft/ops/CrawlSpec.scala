@@ -21,6 +21,40 @@ class CrawlSpec extends AnyFunSuite {
       "application/http; msgtype=response", http)
   }
 
+  test("mixed archive: PDFs route through PdfCodec beside HTML, same pipeline") {
+    val dir = Files.createTempDirectory("crawl_pdf_spec").toFile
+    try {
+      val html = "<html><body><p>An ordinary html page with plenty of words here.</p></body></html>"
+      val pdfBytes = graft.SparkEntry.synthPdf(5L) // 3 pages
+      val pdfRec = {
+        val http = ("HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n").getBytes(UTF_8) ++ pdfBytes
+        WarcRecord("response", "http://mix.com/paper", "2024-01-01T00:00:00Z",
+          "<urn:pdf>", "application/http; msgtype=response", http)
+      }
+      val broken = {
+        val http = ("HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n").getBytes(UTF_8) ++
+          "not really a pdf".getBytes(UTF_8)
+        WarcRecord("response", "http://mix.com/corrupt", "2024-01-01T00:00:00Z",
+          "<urn:bad>", "application/http; msgtype=response", http)
+      }
+      Files.write(new java.io.File(dir, "m.warc.gz").toPath, WarcCodec.writeWarcGz(Seq(
+        respRec("http://mix.com/page", html), pdfRec, broken)))
+      val out = Crawl.ingest(spark, dir.getAbsolutePath).orderBy("url_canon").collect()
+      // the corrupt PDF extracts to "" and is length-filtered out
+      assert(out.map(_.getAs[String]("url_canon")).toSeq ==
+        Seq("http://mix.com/page", "http://mix.com/paper"))
+      val paper = out(1)
+      // boilerplate filter keeps each page's 6-word first line only
+      assert(paper.getAs[String]("text") ==
+        (0 until 3).map(p => s"Doc 5 page $p (ok) A").mkString("\n"))
+      assert(paper.getAs[String]("title") == "" && paper.getAs[Long]("n_links") == 0L)
+      val page = out(0)
+      assert(page.getAs[String]("text").contains("ordinary html page"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("end-to-end: archives to clean deduplicated training docs") {
     val dir = Files.createTempDirectory("crawl_spec").toFile
     try {
