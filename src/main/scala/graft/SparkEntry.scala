@@ -1121,6 +1121,36 @@ object SparkEntry {
     bos.toByteArray
   }
 
+  /** One REAL DOCX per id for q_docx_extract: a ZIP (stored
+    * [Content_Types].xml + DEFLATED word/document.xml with correct CRCs
+    * and central directory) whose document body carries 2 + id%3
+    * paragraphs — paragraph 0 exercises split runs with `<w:tab/>` and
+    * `&lt;…&gt;` entities ("Head {id} tail <x>"), later paragraphs the
+    * attributed `<w:t xml:space>` form with `&amp;`
+    * ("Paragraph {p} of doc {id} & w{(id·17+p·5)%61}"). A hash match
+    * proves the EOCD/central-directory walk, local-header offsets, raw
+    * deflate, the WordprocessingML pass and entity decoding
+    * ([[sources.ZipCodec]] / [[sources.DocxCodec]]).
+    */
+  private[graft] def synthDocx(id: Long): Array[Byte] = {
+    val nPars = (2 + id % 3).toInt
+    val pars = (0 until nPars).map { p =>
+      if (p == 0)
+        s"<w:p><w:r><w:t>Head $id</w:t><w:tab/><w:t>tail &lt;x&gt;</w:t></w:r></w:p>"
+      else {
+        val a = ((id * 17 + p * 5) % 61).toInt
+        s"""<w:p><w:r><w:t xml:space="preserve">Paragraph $p of doc $id &amp; w$a</w:t></w:r></w:p>"""
+      }
+    }.mkString
+    val doc = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\">" +
+      s"<w:body>$pars<w:sectPr/></w:body></w:document>"
+    val ctypes = "<?xml version=\"1.0\"?><Types xmlns=\"http://schemas.openxmlformats.org/package/2006/content-types\"/>"
+    graft.sources.DocxCodec.writeZip(Seq(
+      ("[Content_Types].xml", ctypes.getBytes("UTF-8"), false),
+      ("word/document.xml", doc.getBytes("UTF-8"), true)))
+  }
+
   /** One MPEG-1 VIDEO elementary stream per id for q_mpeg1_iframe:
     * 2 + id%3 I-pictures of 16·(1 + id%2) × 16 pixels — one slice per
     * picture, every macroblock intra with DC-ONLY blocks, so each Y
@@ -3314,6 +3344,17 @@ object SparkEntry {
           shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
           col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
         .orderBy("doc_id")
+    },
+    // REAL DOCX text extraction (own ZIP reader: EOCD + central
+    // directory + local headers + raw deflate; WordprocessingML pass
+    // with entity decode — sources.ZipCodec / DocxCodec)
+    "q_docx_extract" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthDocx(id)))
+        .toDF("doc_id", "media")
+      graft.sources.DocxCodec.docxTextDF(media, "doc_id").orderBy("doc_id")
     },
     // PDFs through the PRODUCT crawl path: gzip→WARC→HTTP walk, the
     // application/pdf route into the PdfCodec column kernel inside the
@@ -6552,6 +6593,20 @@ object SparkEntry {
         |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 2 AS BIGINT) AS n_granules,
         |  fp.afp_hi, fp.afp_lo
         |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // DOCX: paragraph 0 joins two runs across a tab, later paragraphs
+    // carry decoded entities; lines join with a newline
+    "q_docx_extract" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS np
+        |   FROM documents WHERE doc_id < 100),
+        | pg AS (SELECT d.doc_id, d.np, p.p,
+        |     CASE WHEN p.p = 0 THEN 'Head ' || d.doc_id || ' tail <x>'
+        |       ELSE 'Paragraph ' || p.p || ' of doc ' || d.doc_id || ' & w'
+        |         || ((d.doc_id * 17 + p.p * 5) % 61) END AS t
+        |   FROM d, (SELECT unnest(generate_series(0, 4)) AS p) p
+        |   WHERE p.p < d.np)
+        |SELECT doc_id, CAST(np AS BIGINT) AS n_paragraphs,
+        |  string_agg(t, chr(10) ORDER BY p) AS text
+        |FROM pg GROUP BY doc_id, np ORDER BY doc_id""".stripMargin,
     // Crawl-ingested PDFs: urls are already canonical, titles/links are
     // HTML concepts (empty/zero), and the boilerplate filter keeps only
     // each page's 6-word first line
