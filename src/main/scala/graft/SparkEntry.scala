@@ -3364,6 +3364,12 @@ object SparkEntry {
     "q_crawl_pdf" -> { (s, dir) =>
       ops.Crawl.ingest(s, pdfWarcDirFor(s, dir)).orderBy("url_canon")
     },
+    // DOCX through the PRODUCT crawl path (the q_crawl_pdf shape for the
+    // OOXML route: the DocxCodec kernel in the same projection; the
+    // boilerplate filter drops each doc's short first paragraph)
+    "q_crawl_docx" -> { (s, dir) =>
+      ops.Crawl.ingest(s, docxWarcDirFor(s, dir)).orderBy("url_canon")
+    },
     // REAL PDF text extraction (object scan, COS grammar incl. string
     // escapes + hex, trailer/Root → page tree, direct + indirect Length,
     // raw + FlateDecode streams, BT…ET operators with the TJ kern gap —
@@ -3796,6 +3802,40 @@ object SparkEntry {
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val f = new java.io.FileOutputStream(s"$out/part-$pid.warc.gz")
             try it.foreach(r => f.write(synthWarcPdfGz(r.getLong(0))))
+            finally f.close()
+          }
+        }
+      out
+    })
+
+  /** One Common-Crawl-shaped DOCX record per doc ([[synthDocx]] inside an
+    * HTTP 200 OOXML-typed response) — the crawl-ingest DOCX route's
+    * input shape.
+    */
+  private[graft] def synthWarcDocxGz(id: Long): Array[Byte] = {
+    import graft.sources.WarcCodec
+    val docx = synthDocx(id)
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: " +
+      "application/vnd.openxmlformats-officedocument.wordprocessingml.document\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val http = new Array[Byte](head.length + docx.length)
+    System.arraycopy(head, 0, http, 0, head.length)
+    System.arraycopy(docx, 0, http, head.length, docx.length)
+    WarcCodec.gzipMember(WarcCodec.writeRecord(WarcCodec.WarcRecord(
+      "response", s"http://example.com/docx/$id", "2024-01-01T00:00:00Z",
+      s"<urn:uuid:docx-$id>", "application/http; msgtype=response", http)))
+  }
+
+  private val docxWarcDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def docxWarcDirFor(s: SparkSession, dir: String): String =
+    docxWarcDirs.getOrElseUpdate(dir, {
+      val out = gateScratch("graft-docx-warc")
+      tbl(s, dir, "documents").filter(col("doc_id") < 100).select(col("doc_id"))
+        .rdd.foreachPartition { it =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val f = new java.io.FileOutputStream(s"$out/part-$pid.warc.gz")
+            try it.foreach(r => f.write(synthWarcDocxGz(r.getLong(0))))
             finally f.close()
           }
         }
@@ -6593,6 +6633,24 @@ object SparkEntry {
         |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 2 AS BIGINT) AS n_granules,
         |  fp.afp_hi, fp.afp_lo
         |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Crawl-ingested DOCX: paragraph 0 ("Head {id} tail <x>", 4 words,
+    // no terminal punctuation) is boilerplate-dropped; paragraphs ≥ 1
+    // survive the line filter
+    "q_crawl_docx" ->
+      """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 3 AS np
+        |   FROM documents WHERE doc_id < 100),
+        | pg AS (SELECT id, np, p.p,
+        |     'Paragraph ' || p.p || ' of doc ' || id || ' & w'
+        |       || ((id * 17 + p.p * 5) % 61) AS t
+        |   FROM d, (SELECT unnest(generate_series(1, 4)) AS p) p
+        |   WHERE p.p < np),
+        | tx AS (SELECT id, string_agg(t, chr(10) ORDER BY p) AS text
+        |   FROM pg GROUP BY id)
+        |SELECT CAST(concat('0x', substr(md5('http://example.com/docx/' || id), 1, 15)) AS BIGINT) AS doc_id,
+        |  'http://example.com/docx/' || id AS url_canon,
+        |  'example.com' AS url_domain, '' AS title,
+        |  CAST(0 AS BIGINT) AS n_links, text
+        |FROM tx ORDER BY url_canon""".stripMargin,
     // DOCX: paragraph 0 joins two runs across a tab, later paragraphs
     // carry decoded entities; lines join with a newline
     "q_docx_extract" ->

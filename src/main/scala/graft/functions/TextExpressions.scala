@@ -906,6 +906,22 @@ case class PdfTextExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): PdfTextExpr = copy(child = c)
 }
 
+/** DOCX → extracted text kernel ([[graft.sources.DocxCodec]]): NULL when
+  * the bytes are not a readable DOCX — the crawl router's column form,
+  * like [[PdfTextExpr]].
+  */
+case class DocxTextExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  protected override def nullSafeEval(bytesV: Any): Any =
+    graft.sources.DocxCodec.extractText(bytesV.asInstanceOf[Array[Byte]]) match {
+      case Some(d) => UTF8String.fromString(d.text)
+      case None => null
+    }
+  override protected def withNewChildInternal(c: Expression): DocxTextExpr = copy(child = c)
+}
+
 /** robots.txt decision kernel: allowed(robotsTxt, path) under a constant
   * agent → boolean (RFC 9309 longest-match semantics via
   * [[graft.ops.Robots]]). The PARSE is memoized per distinct robots body
@@ -1169,4 +1185,5 @@ object textkernel {
   def decode_charset(bytes: Column, charsetName: Column): Column =
     toColumn(DecodeCharsetExpr(toExpression(bytes), toExpression(charsetName)))
   def pdf_text(bytes: Column): Column = toColumn(PdfTextExpr(toExpression(bytes)))
+  def docx_text(bytes: Column): Column = toColumn(DocxTextExpr(toExpression(bytes)))
 }

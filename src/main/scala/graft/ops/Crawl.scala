@@ -61,15 +61,19 @@ object Crawl {
              agent: String = "graftbot"): DataFrame = {
     // header names/values are case-insensitive (RFC 9110): match
     // 'Text/HTML' too, and honour a declared charset parameter. PDFs
-    // (application/pdf) ride the SAME pipeline — URL canonicalization,
-    // blocklist, robots, first-per-URL dedup — and route to the
-    // PdfCodec text kernel at extraction instead of the HTML passes.
+    // (application/pdf) and DOCX (the wordprocessingml OOXML type) ride
+    // the SAME pipeline — URL canonicalization, blocklist, robots,
+    // first-per-URL dedup — and route to the PdfCodec / DocxCodec text
+    // kernels at extraction instead of the HTML passes.
+    val DocxType = "application/vnd.openxmlformats-officedocument.wordprocessingml"
     val records = Warc.readWarcFiles(spark, warcDir)
       .filter(col("http_status") === 200 &&
         (lower(col("http_content_type")).startsWith("text/html") ||
-          lower(col("http_content_type")).startsWith("application/pdf")))
+          lower(col("http_content_type")).startsWith("application/pdf") ||
+          lower(col("http_content_type")).startsWith(DocxType)))
       .select(col("path"), col("rec_idx"), col("target_uri").as("url"), col("body"),
         lower(col("http_content_type")).startsWith("application/pdf").as("is_pdf"),
+        lower(col("http_content_type")).startsWith(DocxType).as("is_docx"),
         lower(regexp_extract(col("http_content_type"),
           "(?i)charset=\"?([A-Za-z0-9_\\-]+)", 1)).as("charset"))
     val canon = Urls.canonicalize(records).filter(col("url_canon").isNotNull)
@@ -106,7 +110,8 @@ object Crawl {
       .groupBy("url_canon", "url_domain")
       .agg(min_by(col("body"), struct(col("path"), col("rec_idx"))).as("body"),
         min_by(col("charset"), struct(col("path"), col("rec_idx"))).as("charset"),
-        min_by(col("is_pdf"), struct(col("path"), col("rec_idx"))).as("is_pdf"))
+        min_by(col("is_pdf"), struct(col("path"), col("rec_idx"))).as("is_pdf"),
+        min_by(col("is_docx"), struct(col("path"), col("rec_idx"))).as("is_docx"))
     // extraction columns inlined (not Html.extractText) so url_domain rides
     // the same projection — no join back, nothing after the dedup shuffles.
     // Decode honours the surviving record's declared charset through the
@@ -114,21 +119,24 @@ object Crawl {
     // windows-1252 — a top-3 crawl encoding — with a runtime error);
     // unknown names and undecodable bytes fall back to UTF-8/U+FFFD — a
     // crawl row must never fail the job
+    val isDoc = col("is_pdf") || col("is_docx")
     val withHtml = deduped.withColumn("html",
-      when(col("is_pdf"), lit(null).cast("string")).otherwise(
+      when(isDoc, lit(null).cast("string")).otherwise(
         graft.functions.textkernel.decode_charset(col("body"),
           when(col("charset") === "", lit("utf-8")).otherwise(col("charset")))))
-    // PDF rows extract through the PdfCodec kernel in the SAME projection
-    // (coalesce: an unparseable PDF yields empty text and is length-
-    // filtered out below, the garbage-in posture); titles/links are HTML
-    // concepts — empty/zero for PDFs
+    // PDF/DOCX rows extract through their codec kernels in the SAME
+    // projection (coalesce: an unparseable document yields empty text and
+    // is length-filtered out below, the garbage-in posture); titles/links
+    // are HTML concepts — empty/zero for documents
     val extracted = withHtml.select(col("url_canon"), col("url_domain"),
-      when(col("is_pdf"), lit("")).otherwise(
+      when(isDoc, lit("")).otherwise(
         Html.titleColumn(col("html"))).as("title"),
-      when(col("is_pdf"), lit(0L)).otherwise(
+      when(isDoc, lit(0L)).otherwise(
         regexp_count(col("html"), lit("(?i)<a\\b")).cast("long")).as("n_links"),
       when(col("is_pdf"),
         coalesce(graft.functions.textkernel.pdf_text(col("body")), lit("")))
+        .when(col("is_docx"),
+          coalesce(graft.functions.textkernel.docx_text(col("body")), lit("")))
         .otherwise(Html.extractColumn(col("html"))).as("text"))
     Html.dropBoilerplateLines(extracted)
       .filter(length(col("text")) >= minTextChars)

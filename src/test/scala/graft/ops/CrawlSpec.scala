@@ -37,17 +37,28 @@ class CrawlSpec extends AnyFunSuite {
         WarcRecord("response", "http://mix.com/corrupt", "2024-01-01T00:00:00Z",
           "<urn:bad>", "application/http; msgtype=response", http)
       }
+      val docxRec = {
+        val http = ("HTTP/1.1 200 OK\r\nContent-Type: application/vnd.openxmlformats-" +
+          "officedocument.wordprocessingml.document\r\n\r\n").getBytes(UTF_8) ++
+          graft.SparkEntry.synthDocx(4L) // 3 paragraphs
+        WarcRecord("response", "http://mix.com/report", "2024-01-01T00:00:00Z",
+          "<urn:docx>", "application/http; msgtype=response", http)
+      }
       Files.write(new java.io.File(dir, "m.warc.gz").toPath, WarcCodec.writeWarcGz(Seq(
-        respRec("http://mix.com/page", html), pdfRec, broken)))
+        respRec("http://mix.com/page", html), pdfRec, broken, docxRec)))
       val out = Crawl.ingest(spark, dir.getAbsolutePath).orderBy("url_canon").collect()
       // the corrupt PDF extracts to "" and is length-filtered out
       assert(out.map(_.getAs[String]("url_canon")).toSeq ==
-        Seq("http://mix.com/page", "http://mix.com/paper"))
+        Seq("http://mix.com/page", "http://mix.com/paper", "http://mix.com/report"))
       val paper = out(1)
       // boilerplate filter keeps each page's 6-word first line only
       assert(paper.getAs[String]("text") ==
         (0 until 3).map(p => s"Doc 5 page $p (ok) A").mkString("\n"))
       assert(paper.getAs[String]("title") == "" && paper.getAs[Long]("n_links") == 0L)
+      val report = out(2)
+      // docx: paragraph 0 is short (boilerplate-dropped), 1..2 survive
+      assert(report.getAs[String]("text") ==
+        (1 until 3).map(p => s"Paragraph $p of doc 4 & w${(4 * 17 + p * 5) % 61}").mkString("\n"))
       val page = out(0)
       assert(page.getAs[String]("text").contains("ordinary html page"))
     } finally {
