@@ -1055,10 +1055,14 @@ object SparkEntry {
     * (zlib via the JDK Deflater, the format PdfCodec inflates), odd
     * pages raw; page 0's /Length is an INDIRECT reference. Full document
     * skeleton: Catalog → Pages → Kids, a correct classic xref table and
-    * a trailer with /Root (the extractor's primary catalog route). A
-    * hash match proves the object scan, COS parsing incl. escapes/hex,
-    * the page-tree walk, direct+indirect Length, raw+Flate streams and
-    * the BT…ET operator semantics ([[sources.PdfCodec]]).
+    * a trailer with /Root (the extractor's primary catalog route) — and
+    * for ODD ids the catalog/pages/page dicts live inside a
+    * Flate-compressed OBJECT STREAM (/Type /ObjStm with its N/First
+    * header pairs), the PDF 1.5+ layout modern writers emit. A hash
+    * match proves the object scan, COS parsing incl. escapes/hex, the
+    * page-tree walk THROUGH object streams, direct+indirect Length,
+    * raw+Flate streams and the BT…ET operator semantics
+    * ([[sources.PdfCodec]]).
     */
   private[graft] def synthPdf(id: Long): Array[Byte] = {
     val nPages = (1 + id % 3).toInt
@@ -1078,9 +1082,19 @@ object SparkEntry {
       out.toByteArray
     }
     w("%PDF-1.4\n")
-    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\n"); endObj()
+    // ODD ids store the document structure (catalog, pages node, page
+    // dicts) inside a Flate-compressed OBJECT STREAM — the PDF 1.5+
+    // layout modern writers emit; even ids use classic top-level objects
+    val inObjStm = id % 2 == 1
     val kids = (0 until nPages).map(p => s"${3 + 2 * p} 0 R").mkString(" ")
-    beginObj(2); w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>\n"); endObj()
+    val structBodies: Seq[(Int, String)] =
+      (1, s"<< /Type /Catalog /Pages 2 0 R >>") +:
+      (2, s"<< /Type /Pages /Kids [$kids] /Count $nPages >>") +:
+      (0 until nPages).map(p =>
+        (3 + 2 * p, s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * p} 0 R >>"))
+    if (!inObjStm) structBodies.foreach { case (n, body) =>
+      beginObj(n); w(body + "\n"); endObj()
+    }
     val lenObjNum = 3 + 2 * nPages
     var page0FlateLen = 0
     var p = 0
@@ -1090,9 +1104,6 @@ object SparkEntry {
       val content = ascii(
         s"BT 72 720 Td (Doc $id page $p \\(ok\\) \\101) Tj T* " +
         s"[(w$a) -250 (w$b) 20 (!)] TJ <206878> Tj ET")
-      beginObj(3 + 2 * p)
-      w(s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * p} 0 R >>\n")
-      endObj()
       beginObj(4 + 2 * p)
       if (p % 2 == 0) {
         val z = deflate(content)
@@ -1107,16 +1118,29 @@ object SparkEntry {
       p += 1
     }
     beginObj(lenObjNum); w(s"$page0FlateLen\n"); endObj()
-    // classic xref + trailer (correct offsets; /Root drives the extractor)
-    val xrefAt = bos.size()
-    val maxObj = lenObjNum
-    w(s"xref\n0 ${maxObj + 1}\n")
-    w("0000000000 65535 f \n")
-    var n = 1
-    while (n <= maxObj) {
-      w(f"${offsets(n)}%010d 00000 n \n")
-      n += 1
+    var maxObj = lenObjNum
+    if (inObjStm) {
+      // serialize the structure objects: header pairs then bodies
+      val bodies = structBodies.map { case (n, b) => (n, b + " ") }
+      val offs = bodies.scanLeft(0)((acc, nb) => acc + nb._2.length).init
+      val header = bodies.zip(offs).map { case ((n, _), o) => s"$n $o" }.mkString(" ") + " "
+      val payload = ascii(header + bodies.map(_._2).mkString)
+      val z = deflate(payload)
+      maxObj = lenObjNum + 1
+      beginObj(maxObj)
+      w(s"<< /Type /ObjStm /N ${bodies.length} /First ${header.length} " +
+        s"/Length ${z.length} /Filter /FlateDecode >>\n")
+      w("stream\n"); bos.write(z); w("\nendstream\n")
+      endObj()
     }
+    // classic xref + trailer (correct offsets for the top-level objects;
+    // /Root drives the extractor — for odd ids it resolves INTO the
+    // object stream)
+    val xrefAt = bos.size()
+    val tops = offsets.keys.toSeq.sorted
+    w(s"xref\n")
+    w("0 1\n0000000000 65535 f \n")
+    tops.foreach { n => w(s"$n 1\n"); w(f"${offsets(n)}%010d 00000 n \n") }
     w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%%%EOF\n")
     bos.toByteArray
   }

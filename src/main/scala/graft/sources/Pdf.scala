@@ -295,12 +295,15 @@ object PdfCodec {
       if (objs.isEmpty) return None
 
       val parsed = scala.collection.mutable.HashMap.empty[Int, Obj]
+      // objects living INSIDE object streams (PDF 1.5+ /Type /ObjStm):
+      // (objnum → pre-parsed value), filled by the pre-pass below
+      val inStream = scala.collection.mutable.HashMap.empty[Int, Obj]
       def objOf(num: Int): Obj = parsed.getOrElseUpdate(num, {
         objs.get(num) match {
-          case None => PNull
+          case None => inStream.getOrElse(num, PNull)
           case Some(r) =>
             try new Lexer(bytes, r.bodyStart, r.bodyEnd).parseNext(0)
-            catch { case _: Exception => PNull }
+            catch { case _: Exception => inStream.getOrElse(num, PNull) }
         }
       })
       def deref(o: Obj): Obj = o match {
@@ -336,6 +339,49 @@ object PdfCodec {
         }
       }
 
+      // ---- pre-pass: surface objects stored INSIDE object streams
+      // (PDF 1.5+ /Type /ObjStm — modern writers put the catalog, page
+      // tree and page dicts there): inflate, read the N (objnum, offset)
+      // header pairs, parse each object out of the decompressed buffer
+      // at /First + offset. Top-level objects win on number collisions.
+      objs.keysIterator.toSeq.sorted.foreach { n =>
+        objOf(n) match {
+          case PDict(m) if m.get("Type").contains(PName("ObjStm")) =>
+            val nObjs = deref(m.getOrElse("N", PNull)) match {
+              case PNum(v) if v >= 0 && v <= MaxObjects => v.toInt
+              case _ => 0
+            }
+            val first = deref(m.getOrElse("First", PNull)) match {
+              case PNum(v) if v >= 0 && v < Int.MaxValue => v.toInt
+              case _ => -1
+            }
+            if (nObjs > 0 && first >= 0) streamData(n).foreach { data =>
+              try {
+                val hdr = new Lexer(data, 0, math.min(first, data.length))
+                val pairs = new Array[(Int, Int)](nObjs)
+                var i = 0
+                var okH = true
+                while (i < nObjs && okH) {
+                  (hdr.parseNext(0), hdr.parseNext(0)) match {
+                    case (PNum(on), PNum(off)) => pairs(i) = (on.toInt, off.toInt)
+                    case _ => okH = false
+                  }
+                  i += 1
+                }
+                if (okH) pairs.foreach { case (on, off) =>
+                  val p = first.toLong + off
+                  if (p >= 0 && p < data.length && !objs.contains(on) &&
+                    !inStream.contains(on)) {
+                    try inStream(on) = new Lexer(data, p.toInt, data.length).parseNext(0)
+                    catch { case _: Exception => }
+                  }
+                }
+              } catch { case _: Exception => }
+            }
+          case _ =>
+        }
+      }
+
       // ---- document structure: trailer /Root, else catalog scan ----
       def catalogNum: Option[Int] = {
         var t = bytes.length
@@ -355,6 +401,13 @@ object PdfCodec {
         rootRef.orElse {
           objs.keysIterator.toSeq.sorted.find { n =>
             objOf(n) match {
+              case PDict(m) => m.get("Type").contains(PName("Catalog"))
+              case _ => false
+            }
+          }
+        }.orElse {
+          inStream.keysIterator.toSeq.sorted.find { n =>
+            inStream(n) match {
               case PDict(m) => m.get("Type").contains(PName("Catalog"))
               case _ => false
             }
@@ -395,12 +448,11 @@ object PdfCodec {
       }
       pagesRoot.foreach(walk(_, 0))
       if (pageDicts.isEmpty) {
-        // last resort: any object that LOOKS like a page
-        objs.keysIterator.toSeq.sorted.foreach { n =>
-          objOf(n) match {
-            case d @ PDict(m) if m.get("Type").contains(PName("Page")) => pageDicts += d
-            case _ =>
-          }
+        // last resort: any object that LOOKS like a page (either store)
+        (objs.keysIterator.toSeq.sorted.map(objOf) ++
+          inStream.keysIterator.toSeq.sorted.map(inStream(_))).foreach {
+          case d @ PDict(m) if m.get("Type").contains(PName("Page")) => pageDicts += d
+          case _ =>
         }
       }
       if (pageDicts.isEmpty) return None
@@ -500,6 +552,18 @@ object PdfCodec {
               case "Td" => operands.lastOption.collect {
                 case PNum(ty) if ty != 0 => newline()
               }
+              case "BI" =>
+                // inline image: binary payload would derail the
+                // tokenizer — skip to the whitespace-delimited EI
+                var q = lx.pos
+                var found = -1
+                while (found < 0 && q + 1 < data.length) {
+                  if (data(q) == 'E' && data(q + 1) == 'I' &&
+                    (q == 0 || isWs(data(q - 1) & 0xFF)) &&
+                    (q + 2 >= data.length || isWs(data(q + 2) & 0xFF))) found = q + 2
+                  q += 1
+                }
+                lx.pos = if (found < 0) data.length else found
               case _ => // positioning/state/path operators: no text
             }
             operands.clear()
