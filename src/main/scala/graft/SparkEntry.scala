@@ -401,6 +401,128 @@ object SparkEntry {
     out
   }
 
+  /** [[synthMp1]]'s JOINT-STEREO twin for q_mp1_js_decode: mode 01 with
+    * mode_extension 0 → intensity bound = subband 4. Subband 0 (below
+    * the bound) carries per-channel allocations and codes; subband 4
+    * carries ONE shared allocation + ONE code per granule, reconstructed
+    * with per-channel scalefactors (sf 1 vs 0.5). All power-of-two sfs ⇒
+    * per-channel granule energies ×50176 stay exact integers; the
+    * per-CHANNEL envelope pins the intensity sf assignment (a summed
+    * envelope could not).
+    */
+  private[graft] def synthMp1Js(id: Long): Array[Byte] = {
+    val nFrames = (6 + id % 3).toInt
+    val frameLen = 672
+    val out = new Array[Byte](nFrames * frameLen)
+    var f = 0
+    while (f < nFrames) {
+      val o = f * frameLen
+      out(o) = 0xFF.toByte
+      out(o + 1) = 0xFF.toByte
+      out(o + 2) = 0xE8.toByte // 448k, 32k, no pad
+      out(o + 3) = 0x40.toByte // mode 01 (joint), mode_extension 00 → bound 4
+      var bitPos = 0
+      def put(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1) {
+            val bi = o + 4 + bitPos / 8
+            out(bi) = (out(bi) | (1 << (7 - bitPos % 8))).toByte
+          }
+          bitPos += 1
+          i -= 1
+        }
+      }
+      // allocation: sb0 per channel (2, 2); sb1–3 per channel zeros;
+      // sb4 SHARED (one 4-bit field); sb5–31 shared zeros
+      put(2, 4); put(2, 4)
+      var sb = 1
+      while (sb < 4) { put(0, 4); put(0, 4); sb += 1 }
+      put(2, 4)
+      sb = 5
+      while (sb < 32) { put(0, 4); sb += 1 }
+      // scalefactors: per channel wherever allocated (incl. the shared sb)
+      put(0, 6); put(3, 6) // sb0: ch0 sf 2, ch1 sf 1
+      put(3, 6); put(6, 6) // sb4: ch0 sf 1, ch1 sf 0.5
+      var g = 0
+      while (g < 12) {
+        put(((id * 5 + f * 7 + g * 3) % 8).toInt, 3)     // sb0 ch0
+        put(((id * 5 + f * 7 + g * 3 + 1) % 8).toInt, 3) // sb0 ch1
+        put(((id * 5 + f * 7 + g * 3 + 2) % 8).toInt, 3) // sb4 SHARED
+        g += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** [[synthMp2]]'s JOINT-STEREO twin for q_mp2_js_decode: mode 01 /
+    * mode_extension 0 (bound = 4) at 384 kbps stereo (same B.2b table).
+    * Subband 0: per-channel 7-level allocations with scfsi 0 / 2
+    * (sf 2,1,0.5 by third vs flat 1); subband 4: ONE shared allocation
+    * (code 3 → the same 7-level class via row B) + ONE sample stream,
+    * per-channel scalefactors with scfsi 2 / 0 (flat 0.5 vs 2,1,0.5).
+    * Exact per-channel slice energies ×50176 as in q_mp2_decode.
+    */
+  private[graft] def synthMp2Js(id: Long): Array[Byte] = {
+    val nFrames = (6 + id % 3).toInt
+    val frameLen = 1728
+    val out = new Array[Byte](nFrames * frameLen)
+    var f = 0
+    while (f < nFrames) {
+      val o = f * frameLen
+      out(o) = 0xFF.toByte
+      out(o + 1) = 0xFD.toByte
+      out(o + 2) = 0xE8.toByte // 384k, 32k, no pad
+      out(o + 3) = 0x40.toByte // mode 01 (joint), mode_extension 00 → bound 4
+      var bitPos = 0
+      def put(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1) {
+            val bi = o + 4 + bitPos / 8
+            out(bi) = (out(bi) | (1 << (7 - bitPos % 8))).toByte
+          }
+          bitPos += 1
+          i -= 1
+        }
+      }
+      // allocation (B.2b stereo, 30 subbands): sb0 per channel code 2
+      // (row A → 7-level ungrouped); sb1–3 per channel zeros; sb4 SHARED
+      // code 3 (row B → the same class); sb5–10 shared zeros (nbal 4),
+      // sb11–22 (nbal 3), sb23–29 (nbal 2)
+      put(2, 4); put(2, 4)
+      var sb = 1
+      while (sb < 4) { put(0, 4); put(0, 4); sb += 1 }
+      put(3, 4)
+      sb = 5
+      while (sb < 11) { put(0, 4); sb += 1 }
+      while (sb < 23) { put(0, 3); sb += 1 }
+      while (sb < 30) { put(0, 2); sb += 1 }
+      // scfsi per channel where allocated: sb0 (0, 2), sb4 (2, 0)
+      put(0, 2); put(2, 2)
+      put(2, 2); put(0, 2)
+      // scalefactors: sb0 ch0 thirds (2, 1, 0.5); sb0 ch1 flat 1;
+      // sb4 ch0 flat 0.5; sb4 ch1 thirds (2, 1, 0.5)
+      put(0, 6); put(3, 6); put(6, 6)
+      put(3, 6)
+      put(6, 6)
+      put(0, 6); put(3, 6); put(6, 6)
+      var g = 0
+      while (g < 12) {
+        var s = 0
+        while (s < 3) { put(((id * 5 + f * 7 + g * 3 + s) % 7).toInt, 3); s += 1 } // sb0 ch0
+        s = 0
+        while (s < 3) { put(((id * 5 + f * 7 + g * 3 + s + 1) % 7).toInt, 3); s += 1 } // sb0 ch1
+        s = 0
+        while (s < 3) { put(((id * 5 + f * 7 + g * 3 + s + 2) % 7).toInt, 3); s += 1 } // sb4 SHARED
+        g += 1
+      }
+      f += 1
+    }
+    out
+  }
+
   /** One mono MPEG-1 LAYER-II clip per id for q_mp2_decode: 6 + id%3
     * frames at 32 kHz / 384 kbps (table B.2b, 30 subbands; frame = 1728
     * bytes), subbands 0 and 1 allocated at code 2 → the 7-level UNGROUPED
@@ -3273,6 +3395,37 @@ object SparkEntry {
           col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
         .orderBy("doc_id")
     },
+    // REAL Layer-I JOINT (intensity) stereo: shared allocation + shared
+    // sample codes above the mode_extension bound, per-channel
+    // scalefactors — only the per-CHANNEL envelope can pin the sf
+    // assignment (ops.Mp1Codec)
+    "q_mp1_js_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthMp1Js(id)))
+        .toDF("doc_id", "media")
+      Multimodal.mp1ChannelEnergyFingerprintDF(media, "doc_id")
+        .select(col("doc_id"), col("sample_rate"), col("n_frames"), col("n_granules"),
+          shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
+          col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
+        .orderBy("doc_id")
+    },
+    // REAL Layer-II JOINT (intensity) stereo: shared row-B allocation +
+    // one sample stream above the bound, per-channel scalefactors with
+    // scfsi thirds (ops.Mp2Codec)
+    "q_mp2_js_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthMp2Js(id)))
+        .toDF("doc_id", "media")
+      Multimodal.mp2ChannelEnergyFingerprintDF(media, "doc_id")
+        .select(col("doc_id"), col("sample_rate"), col("n_frames"), col("n_granules"),
+          shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
+          col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
+        .orderBy("doc_id")
+    },
     // REAL MPEG-1 LAYER-II decode (allocation tables + scfsi + grouped/
     // ungrouped requantization, all analytic — ops.Mp2Codec); the oracle
     // replays codes → exact integer slice energies → envelope bits
@@ -3387,6 +3540,12 @@ object SparkEntry {
     // extracted text (which drops each page's short second line)
     "q_crawl_pdf" -> { (s, dir) =>
       ops.Crawl.ingest(s, pdfWarcDirFor(s, dir)).orderBy("url_canon")
+    },
+    // text/plain through the PRODUCT crawl path: the decoded body IS the
+    // text (no HTML pass), boilerplate rules apply — both predicates
+    // (word count, terminal punctuation) pinned by the fixture lines
+    "q_crawl_text" -> { (s, dir) =>
+      ops.Crawl.ingest(s, txtWarcDirFor(s, dir)).orderBy("url_canon")
     },
     // DOCX through the PRODUCT crawl path (the q_crawl_pdf shape for the
     // OOXML route: the DocxCodec kernel in the same projection; the
@@ -3860,6 +4019,42 @@ object SparkEntry {
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val f = new java.io.FileOutputStream(s"$out/part-$pid.warc.gz")
             try it.foreach(r => f.write(synthWarcDocxGz(r.getLong(0))))
+            finally f.close()
+          }
+        }
+      out
+    })
+
+  /** One Common-Crawl-shaped text/plain record per doc: three lines — a
+    * punctuation-less 9-word line (kept by the word-count rule), a
+    * 2-word line (dropped) and a terminal-punctuated 1-word line (kept
+    * by the sentence rule) — pinning both boilerplate predicates on the
+    * plain-text route.
+    */
+  private[graft] def synthWarcTxtGz(id: Long): Array[Byte] = {
+    import graft.sources.WarcCodec
+    val body = (s"plain text document $id carries five or more words\n" +
+      s"short $id\nEnd!").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val head = "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=UTF-8\r\n\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val http = new Array[Byte](head.length + body.length)
+    System.arraycopy(head, 0, http, 0, head.length)
+    System.arraycopy(body, 0, http, head.length, body.length)
+    WarcCodec.gzipMember(WarcCodec.writeRecord(WarcCodec.WarcRecord(
+      "response", s"http://example.com/txt/$id", "2024-01-01T00:00:00Z",
+      s"<urn:uuid:txt-$id>", "application/http; msgtype=response", http)))
+  }
+
+  private val txtWarcDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def txtWarcDirFor(s: SparkSession, dir: String): String =
+    txtWarcDirs.getOrElseUpdate(dir, {
+      val out = gateScratch("graft-txt-warc")
+      tbl(s, dir, "documents").filter(col("doc_id") < 100).select(col("doc_id"))
+        .rdd.foreachPartition { it =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val f = new java.io.FileOutputStream(s"$out/part-$pid.warc.gz")
+            try it.foreach(r => f.write(synthWarcTxtGz(r.getLong(0))))
             finally f.close()
           }
         }
@@ -6409,6 +6604,75 @@ object SparkEntry {
         |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 12 AS BIGINT) AS n_granules,
         |  fp.afp_hi, fp.afp_lo
         |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Layer-I joint stereo: per-channel energies ×50176 — ch0 carries
+    // sb0's code at sf 2 + the SHARED sb4 code at sf 1; ch1 the same
+    // shared code at sf 0.5 — (2c−6)² = 4(c−3)², so coefficients are
+    // 16384/4096/1024 per sf² ∈ {4, 1, ¼}
+    "q_mp1_js_decode" ->
+      """WITH d AS (SELECT doc_id, 6 + doc_id % 3 AS nf FROM documents WHERE doc_id < 100),
+        | g AS (SELECT doc_id, nf, fr.f, gr.gr,
+        |     (doc_id * 5 + fr.f * 7 + gr.gr * 3) % 8 AS c0,
+        |     (doc_id * 5 + fr.f * 7 + gr.gr * 3 + 1) % 8 AS c1,
+        |     (doc_id * 5 + fr.f * 7 + gr.gr * 3 + 2) % 8 AS c2
+        |   FROM d, (SELECT unnest(generate_series(0, 7)) AS f) fr,
+        |        (SELECT unnest(generate_series(0, 11)) AS gr) gr
+        |   WHERE fr.f < nf),
+        | en AS (
+        |   SELECT doc_id, nf, (f * 12 + gr) * 2 AS gi,
+        |     (c0 - 3) * (c0 - 3) * 16384 + (c2 - 3) * (c2 - 3) * 4096 AS e FROM g
+        |   UNION ALL
+        |   SELECT doc_id, nf, (f * 12 + gr) * 2 + 1 AS gi,
+        |     (c1 - 3) * (c1 - 3) * 4096 + (c2 - 3) * (c2 - 3) * 1024 AS e FROM g),
+        | win AS (SELECT doc_id, nf, (gi * 65) // (nf * 24) AS w, sum(e) AS we
+        |   FROM en GROUP BY 1, 2, 3),
+        | bits AS (SELECT a.doc_id, a.w, CASE WHEN a.we < b.we THEN 1 ELSE 0 END AS bit
+        |   FROM win a JOIN win b ON a.doc_id = b.doc_id AND b.w = a.w + 1 WHERE a.w < 64),
+        | fp AS (SELECT doc_id,
+        |   CAST(coalesce(sum(CASE WHEN w >= 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << (w - 32)) ELSE 0 END), 0) AS BIGINT) AS afp_hi,
+        |   CAST(coalesce(sum(CASE WHEN w < 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << w) ELSE 0 END), 0) AS BIGINT) AS afp_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(32000 AS BIGINT) AS sample_rate,
+        |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 12 AS BIGINT) AS n_granules,
+        |  fp.afp_hi, fp.afp_lo
+        |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Layer-II joint stereo: slice energies ×50176 per channel — sb0 ch0
+    // rides scfsi-0 thirds (16384/4096/1024 by part), sb0 ch1 flat 4096;
+    // the SHARED sb4 code lands at flat 1024 on ch0 and thirds on ch1
+    "q_mp2_js_decode" ->
+      """WITH d AS (SELECT doc_id, 6 + doc_id % 3 AS nf FROM documents WHERE doc_id < 100),
+        | t AS (SELECT doc_id, nf, fr.f, gr.gr, sl.s, gr.gr // 4 AS part,
+        |     (doc_id * 5 + fr.f * 7 + gr.gr * 3 + sl.s) % 7 AS c0,
+        |     (doc_id * 5 + fr.f * 7 + gr.gr * 3 + sl.s + 1) % 7 AS c1,
+        |     (doc_id * 5 + fr.f * 7 + gr.gr * 3 + sl.s + 2) % 7 AS c2
+        |   FROM d, (SELECT unnest(generate_series(0, 7)) AS f) fr,
+        |        (SELECT unnest(generate_series(0, 11)) AS gr) gr,
+        |        (SELECT unnest(generate_series(0, 2)) AS s) sl
+        |   WHERE fr.f < nf),
+        | tc AS (SELECT *,
+        |     CASE part WHEN 0 THEN 16384 WHEN 1 THEN 4096 ELSE 1024 END AS coef
+        |   FROM t),
+        | en AS (
+        |   SELECT doc_id, nf, ((f * 12 + gr) * 3 + s) * 2 AS gi,
+        |     (c0 - 3) * (c0 - 3) * coef + (c2 - 3) * (c2 - 3) * 1024 AS e FROM tc
+        |   UNION ALL
+        |   SELECT doc_id, nf, ((f * 12 + gr) * 3 + s) * 2 + 1 AS gi,
+        |     (c1 - 3) * (c1 - 3) * 4096 + (c2 - 3) * (c2 - 3) * coef AS e FROM tc),
+        | win AS (SELECT doc_id, nf, (gi * 65) // (nf * 72) AS w, sum(e) AS we
+        |   FROM en GROUP BY 1, 2, 3),
+        | bits AS (SELECT a.doc_id, a.w, CASE WHEN a.we < b.we THEN 1 ELSE 0 END AS bit
+        |   FROM win a JOIN win b ON a.doc_id = b.doc_id AND b.w = a.w + 1 WHERE a.w < 64),
+        | fp AS (SELECT doc_id,
+        |   CAST(coalesce(sum(CASE WHEN w >= 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << (w - 32)) ELSE 0 END), 0) AS BIGINT) AS afp_hi,
+        |   CAST(coalesce(sum(CASE WHEN w < 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << w) ELSE 0 END), 0) AS BIGINT) AS afp_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(32000 AS BIGINT) AS sample_rate,
+        |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 36 AS BIGINT) AS n_granules,
+        |  fp.afp_hi, fp.afp_lo
+        |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // AVI twin: replay the gray-pixel generator per (doc, frame, pixel);
     // bytes are B=G=R=v so sum triples, min/max are over v directly, and
     // the order-sensitive weighted sum is Σ v·(9i+3) (byte indices
@@ -6657,6 +6921,17 @@ object SparkEntry {
         |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 2 AS BIGINT) AS n_granules,
         |  fp.afp_hi, fp.afp_lo
         |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Crawl-ingested text/plain: line 1 kept by word count, line 2
+    // dropped, line 3 kept by terminal punctuation
+    "q_crawl_text" ->
+      """WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100)
+        |SELECT CAST(concat('0x', substr(md5('http://example.com/txt/' || id), 1, 15)) AS BIGINT) AS doc_id,
+        |  'http://example.com/txt/' || id AS url_canon,
+        |  'example.com' AS url_domain, '' AS title,
+        |  CAST(0 AS BIGINT) AS n_links,
+        |  'plain text document ' || id || ' carries five or more words'
+        |    || chr(10) || 'End!' AS text
+        |FROM d ORDER BY url_canon""".stripMargin,
     // Crawl-ingested DOCX: paragraph 0 ("Head {id} tail <x>", 4 words,
     // no terminal punctuation) is boilerplate-dropped; paragraphs ≥ 1
     // survive the line filter

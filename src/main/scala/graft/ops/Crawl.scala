@@ -69,11 +69,13 @@ object Crawl {
     val records = Warc.readWarcFiles(spark, warcDir)
       .filter(col("http_status") === 200 &&
         (lower(col("http_content_type")).startsWith("text/html") ||
+          lower(col("http_content_type")).startsWith("text/plain") ||
           lower(col("http_content_type")).startsWith("application/pdf") ||
           lower(col("http_content_type")).startsWith(DocxType)))
       .select(col("path"), col("rec_idx"), col("target_uri").as("url"), col("body"),
         lower(col("http_content_type")).startsWith("application/pdf").as("is_pdf"),
         lower(col("http_content_type")).startsWith(DocxType).as("is_docx"),
+        lower(col("http_content_type")).startsWith("text/plain").as("is_txt"),
         lower(regexp_extract(col("http_content_type"),
           "(?i)charset=\"?([A-Za-z0-9_\\-]+)", 1)).as("charset"))
     val canon = Urls.canonicalize(records).filter(col("url_canon").isNotNull)
@@ -111,7 +113,8 @@ object Crawl {
       .agg(min_by(col("body"), struct(col("path"), col("rec_idx"))).as("body"),
         min_by(col("charset"), struct(col("path"), col("rec_idx"))).as("charset"),
         min_by(col("is_pdf"), struct(col("path"), col("rec_idx"))).as("is_pdf"),
-        min_by(col("is_docx"), struct(col("path"), col("rec_idx"))).as("is_docx"))
+        min_by(col("is_docx"), struct(col("path"), col("rec_idx"))).as("is_docx"),
+        min_by(col("is_txt"), struct(col("path"), col("rec_idx"))).as("is_txt"))
     // extraction columns inlined (not Html.extractText) so url_domain rides
     // the same projection — no join back, nothing after the dedup shuffles.
     // Decode honours the surviving record's declared charset through the
@@ -120,23 +123,28 @@ object Crawl {
     // unknown names and undecodable bytes fall back to UTF-8/U+FFFD — a
     // crawl row must never fail the job
     val isDoc = col("is_pdf") || col("is_docx")
+    // `html` = the charset-decoded body for markup AND plain-text rows
+    // (both need the decode; binary documents skip it)
     val withHtml = deduped.withColumn("html",
       when(isDoc, lit(null).cast("string")).otherwise(
         graft.functions.textkernel.decode_charset(col("body"),
           when(col("charset") === "", lit("utf-8")).otherwise(col("charset")))))
     // PDF/DOCX rows extract through their codec kernels in the SAME
     // projection (coalesce: an unparseable document yields empty text and
-    // is length-filtered out below, the garbage-in posture); titles/links
-    // are HTML concepts — empty/zero for documents
+    // is length-filtered out below, the garbage-in posture); text/plain
+    // IS its decoded body; titles/links are HTML concepts — empty/zero
+    // for documents and plain text
+    val isPlainy = isDoc || col("is_txt")
     val extracted = withHtml.select(col("url_canon"), col("url_domain"),
-      when(isDoc, lit("")).otherwise(
+      when(isPlainy, lit("")).otherwise(
         Html.titleColumn(col("html"))).as("title"),
-      when(isDoc, lit(0L)).otherwise(
+      when(isPlainy, lit(0L)).otherwise(
         regexp_count(col("html"), lit("(?i)<a\\b")).cast("long")).as("n_links"),
       when(col("is_pdf"),
         coalesce(graft.functions.textkernel.pdf_text(col("body")), lit("")))
         .when(col("is_docx"),
           coalesce(graft.functions.textkernel.docx_text(col("body")), lit("")))
+        .when(col("is_txt"), col("html"))
         .otherwise(Html.extractColumn(col("html"))).as("text"))
     Html.dropBoilerplateLines(extracted)
       .filter(length(col("text")) >= minTextChars)

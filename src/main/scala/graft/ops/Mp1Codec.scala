@@ -26,9 +26,11 @@ package graft.ops
   *
   * Robustness contract (same as PcmCodec/PngCodec): any malformed, hostile
   * or truncated input yields `None`, never a throw — a 100 TB crawl always
-  * contains garbage. Joint-stereo (mode 01) frames are rejected as
-  * undecodable (the intensity-bound sharing is out of scope); mono, stereo
-  * and dual-channel decode fully.
+  * contains garbage. Mono, stereo, dual-channel AND joint stereo decode:
+  * joint (intensity) mode shares ONE allocation + ONE sample code per
+  * subband at and above bound = 4·(mode_extension+1), reconstructing each
+  * channel with its OWN scalefactor (ISO 11172-3 §2.4.2.3) — gated by
+  * q_mp1_js_decode's per-channel envelope.
   */
 object Mp1Codec {
 
@@ -94,9 +96,12 @@ object Mp1Codec {
         val rate = SampleRates((bytes(off + 2) >> 2) & 0x3)
         val padding = (bytes(off + 2) >> 1) & 1
         val mode = (bytes(off + 3) >> 6) & 0x3
+        val modeExt = (bytes(off + 3) >> 4) & 0x3
+        // joint (intensity) stereo: subbands ≥ this bound carry ONE
+        // allocation + ONE sample code, two scalefactors
+        val jsBound = if (mode == 1) (modeExt + 1) * 4 else 32
         val frameLen = (12 * bitrate / rate + padding) * 4
         if (frameLen <= 4 || off + frameLen > bytes.length) { ok = false }
-        else if (mode == 1) { ok = false } // joint stereo: out of scope
         else {
           val ch = if (mode == 3) 1 else 2
           if (nFrames == 0) { sampleRate = rate; channels = ch }
@@ -108,11 +113,17 @@ object Mp1Codec {
             var valid = true
             var sb = 0
             while (valid && sb < 32) {
-              var c = 0
-              while (valid && c < ch) {
-                val a = r.read(4)
-                if (a == 15) valid = false else alloc(sb)(c) = a
-                c += 1
+              if (sb < jsBound) {
+                var c = 0
+                while (valid && c < ch) {
+                  val a = r.read(4)
+                  if (a == 15) valid = false else alloc(sb)(c) = a
+                  c += 1
+                }
+              } else {
+                val a = r.read(4) // shared: one allocation, both channels
+                if (a == 15) valid = false
+                else { alloc(sb)(0) = a; alloc(sb)(1) = a }
               }
               sb += 1
             }
@@ -136,18 +147,35 @@ object Mp1Codec {
               while (g < 12) {
                 sb = 0
                 while (sb < 32) {
-                  var c = 0
-                  while (c < ch) {
-                    val a = alloc(sb)(c)
+                  if (sb < jsBound) {
+                    var c = 0
+                    while (c < ch) {
+                      val a = alloc(sb)(c)
+                      if (a != 0) {
+                        val nb = a + 1
+                        val code = r.read(nb)
+                        val half = 1 << (nb - 1)
+                        val v = ((code - half).toDouble / half + 1.0 / half) *
+                          ((1 << nb).toDouble / ((1 << nb) - 1)) * sf(sb)(c)
+                        frameGranules(g)(sb * ch + c) = v
+                      }
+                      c += 1
+                    }
+                  } else {
+                    // intensity region: one code, per-channel scalefactors
+                    val a = alloc(sb)(0)
                     if (a != 0) {
                       val nb = a + 1
                       val code = r.read(nb)
                       val half = 1 << (nb - 1)
-                      val v = ((code - half).toDouble / half + 1.0 / half) *
-                        ((1 << nb).toDouble / ((1 << nb) - 1)) * sf(sb)(c)
-                      frameGranules(g)(sb * ch + c) = v
+                      val base = ((code - half).toDouble / half + 1.0 / half) *
+                        ((1 << nb).toDouble / ((1 << nb) - 1))
+                      var c = 0
+                      while (c < ch) {
+                        frameGranules(g)(sb * ch + c) = base * sf(sb)(c)
+                        c += 1
+                      }
                     }
-                    c += 1
                   }
                   sb += 1
                 }

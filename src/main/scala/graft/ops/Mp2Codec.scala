@@ -32,9 +32,12 @@ package graft.ops
   *    scope; its headers/VBR metadata parse via Multimodal.HeaderCodec.
   *
   * Robustness contract (PcmCodec/PngCodec/Mp1Codec): malformed, hostile or
-  * truncated input yields `None`, never a throw. Joint-stereo (mode 01)
-  * frames are rejected as undecodable (intensity-bound sharing out of
-  * scope, as in Layer I); mono, stereo and dual-channel decode fully.
+  * truncated input yields `None`, never a throw. Mono, stereo,
+  * dual-channel AND joint stereo decode: joint (intensity) mode shares
+  * one allocation + one sample stream per subband at and above bound =
+  * 4·(mode_extension+1) (capped at sblimit), reconstructing each channel
+  * with its OWN scalefactors incl. scfsi thirds (ISO §2.4.1.6/2.4.2.6) —
+  * gated by q_mp2_js_decode's per-channel envelope.
   */
 object Mp2Codec {
 
@@ -140,9 +143,9 @@ object Mp2Codec {
         val rate = SampleRates((bytes(off + 2) >> 2) & 0x3)
         val padding = (bytes(off + 2) >> 1) & 1
         val mode = (bytes(off + 3) >> 6) & 0x3
+        val modeExt = (bytes(off + 3) >> 4) & 0x3
         val frameLen = 144 * (brKbps * 1000) / rate + padding
         if (frameLen <= 4 || off + frameLen > bytes.length) { ok = false }
-        else if (mode == 1) { ok = false } // joint stereo: out of scope
         else {
           val ch = if (mode == 3) 1 else 2
           if (nFrames == 0) { sampleRate = rate; channels = ch }
@@ -151,14 +154,25 @@ object Mp2Codec {
             val dataStart = off + 4 + (if (protection == 0) 2 else 0)
             val r = new BitReader(bytes, dataStart, off + frameLen)
             val (sblimit, table) = allocTable(brKbps, ch, rate)
+            // joint (intensity) stereo: subbands >= this bound carry ONE
+            // allocation + ONE sample stream, per-channel scalefactors
+            // (ISO 11172-3 sections 2.4.1.6, 2.4.2.6)
+            val jsBound =
+              if (mode == 1) math.min(4 * (modeExt + 1), sblimit) else sblimit
             val cls = Array.fill(32, ch)(-1)
             var sb = 0
             while (sb < sblimit) {
               val (nbal, row) = table(sb)
-              var c = 0
-              while (c < ch) {
-                cls(sb)(c) = row(r.read(nbal))
-                c += 1
+              if (sb < jsBound) {
+                var c = 0
+                while (c < ch) {
+                  cls(sb)(c) = row(r.read(nbal))
+                  c += 1
+                }
+              } else {
+                val k = row(r.read(nbal)) // shared: both channels
+                cls(sb)(0) = k
+                cls(sb)(1) = k
               }
               sb += 1
             }
@@ -209,28 +223,35 @@ object Mp2Codec {
                 val part = g >> 2
                 sb = 0
                 while (sb < sblimit) {
+                  val chEnd = if (sb < jsBound) ch else 1
                   var c = 0
-                  while (c < ch) {
+                  while (c < chEnd) {
                     val k = cls(sb)(c)
                     if (k >= 0) {
                       val n = ClassLevels(k)
-                      val sfv = sf(sb)(c)(part)
+                      // intensity region: one sample stream reconstructs
+                      // BOTH channels, each with its own scalefactor
+                      val joint = sb >= jsBound && ch == 2
                       if (ClassGrouped(k)) {
                         var code = r.read(ClassBits(k))
                         var s = 0
                         while (s < 3) {
                           val ci = code % n
                           code /= n
-                          frameSlices(g * 3 + s)(sb * ch + c) =
-                            (2 * ci - n + 1).toDouble / n * sfv
+                          val base = (2 * ci - n + 1).toDouble / n
+                          frameSlices(g * 3 + s)(sb * ch + c) = base * sf(sb)(c)(part)
+                          if (joint)
+                            frameSlices(g * 3 + s)(sb * ch + 1) = base * sf(sb)(1)(part)
                           s += 1
                         }
                       } else {
                         var s = 0
                         while (s < 3) {
                           val ci = r.read(ClassBits(k))
-                          frameSlices(g * 3 + s)(sb * ch + c) =
-                            (2 * ci - n + 1).toDouble / n * sfv
+                          val base = (2 * ci - n + 1).toDouble / n
+                          frameSlices(g * 3 + s)(sb * ch + c) = base * sf(sb)(c)(part)
+                          if (joint)
+                            frameSlices(g * 3 + s)(sb * ch + 1) = base * sf(sb)(1)(part)
                           s += 1
                         }
                       }

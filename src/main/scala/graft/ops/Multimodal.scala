@@ -1276,6 +1276,91 @@ object Multimodal {
     }
   }
 
+  /** [[mp1EnergyFingerprintDF]] with PER-CHANNEL granule energies
+    * (channel-minor interleave, same ×50176 scale) — the gate surface
+    * for Layer-I JOINT stereo: the shared-sample intensity region
+    * reconstructs each channel with its OWN scalefactor, and only a
+    * per-channel envelope can pin that assignment (q_mp1_js_decode).
+    */
+  def mp1ChannelEnergyFingerprintDF(df: DataFrame, idCol: String,
+                                    binaryCol: String = "media"): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("sample_rate", LongType),
+      StructField("n_frames", LongType),
+      StructField("n_granules", LongType),
+      StructField("afp", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else Mp1Codec.decode(bytes).iterator.map { d =>
+          val ch = d.channels
+          val energies = new Array[Long](d.granules.length * ch)
+          var g = 0
+          while (g < d.granules.length) {
+            val gr = d.granules(g)
+            var c = 0
+            while (c < ch) {
+              var e = 0.0
+              var sb = 0
+              while (sb < 32) { val v = gr(sb * ch + c); e += v * v; sb += 1 }
+              energies(g * ch + c) = math.round(e * 50176.0)
+              c += 1
+            }
+            g += 1
+          }
+          Row(r.get(idIdx), d.sampleRate.toLong, d.nFrames.toLong,
+            d.granules.length.toLong, envelopeHash64(energies))
+        }
+      }
+    }
+  }
+
+  /** [[mp1ChannelEnergyFingerprintDF]]'s Layer-II twin via [[Mp2Codec]]
+    * (per-channel slice energies ×50176) — q_mp2_js_decode's surface.
+    */
+  def mp2ChannelEnergyFingerprintDF(df: DataFrame, idCol: String,
+                                    binaryCol: String = "media"): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("sample_rate", LongType),
+      StructField("n_frames", LongType),
+      StructField("n_granules", LongType),
+      StructField("afp", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else Mp2Codec.decode(bytes).iterator.map { d =>
+          val ch = d.channels
+          val energies = new Array[Long](d.granules.length * ch)
+          var g = 0
+          while (g < d.granules.length) {
+            val gr = d.granules(g)
+            var c = 0
+            while (c < ch) {
+              var e = 0.0
+              var sb = 0
+              while (sb < 32) { val v = gr(sb * ch + c); e += v * v; sb += 1 }
+              energies(g * ch + c) = math.round(e * 50176.0)
+              c += 1
+            }
+            g += 1
+          }
+          Row(r.get(idIdx), d.sampleRate.toLong, d.nFrames.toLong,
+            d.granules.length.toLong, envelopeHash64(energies))
+        }
+      }
+    }
+  }
+
   def mp2EnergyFingerprintDF(df: DataFrame, idCol: String,
                              binaryCol: String = "media"): DataFrame = {
     val outSchema = StructType(Seq(

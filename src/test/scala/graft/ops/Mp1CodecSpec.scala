@@ -64,9 +64,24 @@ class Mp1CodecSpec extends AnyFunSuite {
     }
   }
 
-  test("joint stereo is a documented descope: decode yields None") {
-    val codes = (0 until 12).map(g => Seq(g % 8, g % 8))
-    assert(Mp1Codec.decode(frame(1, Seq(2, 2), Seq(0, 0), codes)).isEmpty)
+  test("joint stereo: shared codes above the bound, per-channel scalefactors") {
+    val id = 3L
+    val d = Mp1Codec.decode(graft.SparkEntry.synthMp1Js(id))
+      .getOrElse(fail("joint fixture did not decode"))
+    assert(d.channels == 2 && d.nFrames == (6 + id % 3).toInt)
+    for (f <- 0 until d.nFrames; g <- 0 until 12) {
+      val gr = d.granules(f * 12 + g)
+      val m0 = ((id * 5 + f * 7 + g * 3) % 8).toInt
+      val m1 = ((id * 5 + f * 7 + g * 3 + 1) % 8).toInt
+      val m2 = ((id * 5 + f * 7 + g * 3 + 2) % 8).toInt
+      assert(math.abs(gr(0) - v3(m0, 2.0)) < 1e-12, s"f=$f g=$g sb0 ch0")
+      assert(math.abs(gr(1) - v3(m1, 1.0)) < 1e-12, s"f=$f g=$g sb0 ch1")
+      // the SHARED sb4 code lands on both channels with their OWN sf
+      assert(math.abs(gr(4 * 2) - v3(m2, 1.0)) < 1e-12, s"f=$f g=$g sb4 ch0")
+      assert(math.abs(gr(4 * 2 + 1) - v3(m2, 0.5)) < 1e-12, s"f=$f g=$g sb4 ch1")
+      for (sb <- 0 until 32 if sb != 0 && sb != 4; c <- 0 until 2)
+        assert(gr(sb * 2 + c) == 0.0, s"f=$f g=$g sb=$sb ch$c must be silent")
+    }
   }
 
   test("truncation mid-frame keeps the frames already decoded") {

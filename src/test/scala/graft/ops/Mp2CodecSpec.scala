@@ -89,12 +89,34 @@ class Mp2CodecSpec extends AnyFunSuite {
     }
   }
 
-  test("stereo frame decodes both channels; joint stereo is a descope (None)") {
+  test("stereo frame decodes both channels") {
     val codes = (0 until 12).map(_ => 13) // digits (1,1,1) → all zeros
     val d = Mp2Codec.decode(frameC(0, 1, 3, codes)).get
     assert(d.channels == 2 && d.granules.length == 36)
     assert(d.granules.forall(_.forall(_ == 0.0)))
-    assert(Mp2Codec.decode(frameC(1, 1, 3, codes)).isEmpty)
+  }
+
+  test("joint stereo: one shared sample stream above the bound, per-channel scfsi scalefactors") {
+    val id = 4L
+    val d = Mp2Codec.decode(graft.SparkEntry.synthMp2Js(id))
+      .getOrElse(fail("joint fixture did not decode"))
+    assert(d.channels == 2 && d.nFrames == (6 + id % 3).toInt)
+    for (f <- 0 until d.nFrames; g <- 0 until 12; s <- 0 until 3) {
+      val sl = d.granules(f * 36 + g * 3 + s)
+      val part = g / 4
+      val m0 = ((id * 5 + f * 7 + g * 3 + s) % 7).toInt
+      val m1 = ((id * 5 + f * 7 + g * 3 + s + 1) % 7).toInt
+      val m2 = ((id * 5 + f * 7 + g * 3 + s + 2) % 7).toInt
+      val thirds = Array(2.0, 1.0, 0.5)
+      assert(math.abs(sl(0) - vq(m0, 7, thirds(part))) < 1e-12, s"f=$f g=$g s=$s sb0 ch0")
+      assert(math.abs(sl(1) - vq(m1, 7, 1.0)) < 1e-12, s"f=$f g=$g s=$s sb0 ch1")
+      // the SHARED sb4 stream: flat 0.5 on ch0, scfsi-0 thirds on ch1
+      assert(math.abs(sl(4 * 2) - vq(m2, 7, 0.5)) < 1e-12, s"f=$f g=$g s=$s sb4 ch0")
+      assert(math.abs(sl(4 * 2 + 1) - vq(m2, 7, thirds(part))) < 1e-12,
+        s"f=$f g=$g s=$s sb4 ch1")
+      for (sb <- 0 until 32 if sb != 0 && sb != 4; c <- 0 until 2)
+        assert(sl(sb * 2 + c) == 0.0, s"f=$f g=$g s=$s sb=$sb ch$c must be silent")
+    }
   }
 
   test("truncation mid-frame keeps the frames already decoded") {
