@@ -1297,6 +1297,35 @@ object SparkEntry {
       ("word/document.xml", doc.getBytes("UTF-8"), true)))
   }
 
+  /** One REAL EPUB per id for q_epub_extract: the `mimetype` +
+    * `META-INF/container.xml` markers plus 1 + id%3 deflated XHTML
+    * chapters whose body extracts — through EXACTLY the crawl HTML
+    * passes — to "Chapter {k} of {id}\nBody text {a} & more." with
+    * a = (id·7 + k·3) % 53 (head/style dropped, block tags → newlines,
+    * `&amp;` decoded). A hash match proves the zip walk, chapter
+    * selection/order and the shared HTML extraction
+    * ([[sources.EpubCodec]]).
+    */
+  private[graft] def synthEpub(id: Long): Array[Byte] = {
+    val nCh = (1 + id % 3).toInt
+    val container =
+      """<?xml version="1.0"?><container version="1.0"
+        |xmlns="urn:oasis:names:tc:opendocument:xmlns:container"><rootfiles>
+        |<rootfile full-path="content.opf" media-type="application/oebps-package+xml"/>
+        |</rootfiles></container>""".stripMargin
+    val chapters = (0 until nCh).map { k =>
+      val a = ((id * 7 + k * 3) % 53).toInt
+      (f"ch$k%02d.xhtml",
+        ("<html><head><title>t</title><style>x{}</style></head><body>" +
+          s"<h1>Chapter $k of $id</h1><p>Body text $a &amp; more.</p>" +
+          "</body></html>").getBytes("UTF-8"), true)
+    }
+    graft.sources.DocxCodec.writeZip(
+      ("mimetype", "application/epub+zip".getBytes("UTF-8"), false) +:
+      ("META-INF/container.xml", container.getBytes("UTF-8"), false) +:
+      chapters)
+  }
+
   /** One MPEG-1 VIDEO elementary stream per id for q_mpeg1_iframe:
     * 2 + id%3 I-pictures of 16·(1 + id%2) × 16 pixels — one slice per
     * picture, every macroblock intra with DC-ONLY blocks, so each Y
@@ -3540,6 +3569,17 @@ object SparkEntry {
     // extracted text (which drops each page's short second line)
     "q_crawl_pdf" -> { (s, dir) =>
       ops.Crawl.ingest(s, pdfWarcDirFor(s, dir)).orderBy("url_canon")
+    },
+    // REAL EPUB text extraction (zip markers + XHTML chapters through
+    // the SAME strip/entity/space passes as crawled HTML —
+    // sources.EpubCodec)
+    "q_epub_extract" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthEpub(id)))
+        .toDF("doc_id", "media")
+      graft.sources.EpubCodec.epubTextDF(media, "doc_id").orderBy("doc_id")
     },
     // text/plain through the PRODUCT crawl path: the decoded body IS the
     // text (no HTML pass), boilerplate rules apply — both predicates
@@ -6921,6 +6961,19 @@ object SparkEntry {
         |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 2 AS BIGINT) AS n_granules,
         |  fp.afp_hi, fp.afp_lo
         |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // EPUB: chapters in container order, each "Chapter k of id" +
+    // newline + the entity-decoded body line
+    "q_epub_extract" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS nc
+        |   FROM documents WHERE doc_id < 100),
+        | ch AS (SELECT d.doc_id, d.nc, k.k,
+        |     'Chapter ' || k.k || ' of ' || d.doc_id || chr(10) ||
+        |     'Body text ' || ((d.doc_id * 7 + k.k * 3) % 53) || ' & more.' AS t
+        |   FROM d, (SELECT unnest(generate_series(0, 2)) AS k) k
+        |   WHERE k.k < d.nc)
+        |SELECT doc_id, CAST(nc AS BIGINT) AS n_chapters,
+        |  string_agg(t, chr(10) ORDER BY k) AS text
+        |FROM ch GROUP BY doc_id, nc ORDER BY doc_id""".stripMargin,
     // Crawl-ingested text/plain: line 1 kept by word count, line 2
     // dropped, line 3 kept by terminal punctuation
     "q_crawl_text" ->

@@ -239,6 +239,7 @@ object DocxCodec {
   }
 
   // ---- writer (deterministic fixtures + re-archiving) ----
+  // (shared by the DOCX and EPUB fixtures — see writeZip below)
 
   /** A minimal valid ZIP from (name, bytes, deflate?) triples — correct
     * CRCs, local + central headers, EOCD.
@@ -293,5 +294,75 @@ object DocxCodec {
     le16(0); le16(0); le16(written.length); le16(written.length)
     le32(cdSize); le32(cdStart); le16(0)
     bos.toByteArray
+  }
+}
+
+/** EPUB text extraction — the third ZIP-borne document format: an EPUB
+  * is a [[ZipCodec]] container (a `mimetype` entry and/or
+  * `META-INF/container.xml`) of XHTML chapter files. Chapters extract
+  * through EXACTLY the same strip/entity/space passes as the crawl's
+  * HTML route ([[graft.ops.Html]] publishes them as data, applied here
+  * string-side), in container order — OPF spine reordering is a stated
+  * descope (practically the two orders agree).
+  */
+object EpubCodec {
+
+  final case class EpubDoc(nChapters: Int, text: String)
+
+  /** String-side twin of [[graft.ops.Html.extractColumn]] — the same
+    * pass tables, so EPUB chapters and crawled HTML extract identically.
+    */
+  private[sources] def extractHtmlString(html: String): String = {
+    var s = html
+    graft.ops.Html.StripPasses.foreach { case (pat, repl) => s = s.replaceAll(pat, repl) }
+    graft.ops.Html.EntityPasses.foreach { case (from, to) => s = s.replace(from, to) }
+    graft.ops.Html.SpacePasses.foreach { case (pat, repl) => s = s.replaceAll(pat, repl) }
+    s
+  }
+
+  /** Extract chapter texts (newline-joined, container order). None when
+    * the bytes are not an EPUB-shaped zip with at least one chapter.
+    */
+  def extractText(bytes: Array[Byte]): Option[EpubDoc] = {
+    try {
+      ZipCodec.entries(bytes).flatMap { ents =>
+        val isEpub = ents.exists(_.name == "mimetype") ||
+          ents.exists(_.name == "META-INF/container.xml")
+        val chapters = ents.filter { e =>
+          val n = e.name.toLowerCase
+          (n.endsWith(".xhtml") || n.endsWith(".html") || n.endsWith(".htm")) &&
+            !n.startsWith("meta-inf/")
+        }
+        if (!isEpub || chapters.isEmpty) None
+        else {
+          val texts = chapters.flatMap(e => ZipCodec.readEntry(bytes, e.name))
+            .map(b => extractHtmlString(new String(b, "UTF-8")))
+          if (texts.isEmpty) None
+          else Some(EpubDoc(texts.length, texts.mkString("\n")))
+        }
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** (id, n_chapters, text) per decodable EPUB — the
+    * [[DocxCodec.docxTextDF]] shape.
+    */
+  def epubTextDF(df: DataFrame, idCol: String, binaryCol: String = "media"): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("n_chapters", LongType),
+      StructField("text", StringType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else extractText(bytes).iterator.map { d =>
+          Row(r.get(idIdx), d.nChapters.toLong, d.text)
+        }
+      }
+    }
   }
 }

@@ -48,6 +48,27 @@ class ZipDocxSpec extends AnyFunSuite {
       "a&b<c>d\"e'f&bogus;g")
   }
 
+  test("EPUB: chapters extract through the crawl HTML passes, container order") {
+    for (id <- Seq(0L, 1L, 2L, 5L)) {
+      val d = EpubCodec.extractText(graft.SparkEntry.synthEpub(id))
+        .getOrElse(fail(s"id=$id did not parse"))
+      val nCh = (1 + id % 3).toInt
+      assert(d.nChapters == nCh)
+      val want = (0 until nCh).map { k =>
+        s"Chapter $k of $id\nBody text ${(id * 7 + k * 3) % 53} & more."
+      }.mkString("\n")
+      assert(d.text == want, s"id=$id")
+    }
+    // a plain zip without EPUB markers is not an EPUB
+    val notEpub = DocxCodec.writeZip(Seq(("a.xhtml", "<p>x</p>".getBytes, false)))
+    assert(EpubCodec.extractText(notEpub).isEmpty)
+    // the string-side HTML passes are the SAME tables the crawl uses
+    assert(EpubCodec.extractHtmlString(
+      "<html><head><title>T</title></head><body><p>a &amp; b</p></body></html>") == "a & b")
+    assert(EpubCodec.extractText(null).isEmpty)
+    assert(EpubCodec.extractText("junk".getBytes).isEmpty)
+  }
+
   test("malformed input contract: garbage, truncation, lying sizes — never a throw") {
     assert(DocxCodec.extractText(null).isEmpty)
     assert(DocxCodec.extractText(Array.emptyByteArray).isEmpty)
