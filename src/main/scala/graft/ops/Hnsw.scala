@@ -47,13 +47,34 @@ import org.apache.spark.sql.types._
   */
 object Hnsw {
 
-  /** Default shard-population cap for [[autoShards]]: 256k vectors × 64
-    * dims ≈ 70 MB of floats + ~25 MB of edges per shard — comfortably
-    * inside an executor core's share, and small enough that the
-    * sequential in-shard build stays in the tens-of-µs-per-vector regime
-    * measured in SCALING.md.
+  /** Default shard-population cap for [[autoShards]]. 32k sits inside
+    * the measured ≥0.9-recall band of the shard-population knee
+    * (SCALING.md r15hnswshards: recall@10 at ef=64 is 0.180 at
+    * 250k/shard, 0.810 at 62.5k, 1.000 at 15.6k — r16 adds the row AT
+    * THESE DEFAULTS). The r15 default of 256k pinned shards exactly at
+    * the measured-collapse population whenever `autoShards` bound
+    * (n/256k > parallelism, i.e. precisely at the 100× scale-up).
+    * Memory is a non-issue either way: 32k × 64 dims ≈ 9 MB of floats
+    * + ~3 MB of edges per shard; the cost of more shards is only the
+    * k-bounded merge (shards · probes · k rows).
     */
-  val TargetRowsPerShard: Long = 262144L
+  val TargetRowsPerShard: Long = 32768L
+
+  /** Adaptive beam-width floor: the effective search beam is
+    * max(ef, k, shardPop / EfPerShardRows). At fixed ef, recall falls
+    * as the shard population grows (a constant-width beam covers a
+    * shrinking fraction of a growing graph — the measured knee above);
+    * scaling the floor with population holds the covered fraction
+    * constant, so callers who pass a small ef (the SearchMode.Hnsw
+    * default is 32) keep their recall when `autoShards` is overridden
+    * with bigger shards. At the 32k default population the floor is 64.
+    * Exact-mode calls (ef ≥ shard size) are unaffected — max() only
+    * ever widens the beam.
+    */
+  val EfPerShardRows: Int = 512
+
+  private[graft] def effectiveEf(ef: Int, k: Int, shardPop: Int): Int =
+    math.max(math.max(ef, k), shardPop / EfPerShardRows)
 
   /** Shard count for an unsharded call: enough shards that no shard
     * exceeds `target` vectors, but never fewer than the cluster's
@@ -106,10 +127,12 @@ object Hnsw {
         else {
           java.util.Arrays.sort(buf, Ordering.by((t: (Long, Array[Float])) => t._1))
           val g = build(buf, m, efConstruction)
+          val efEff = effectiveEf(ef, k, buf.length)
           probesB.value.iterator.flatMap { case (qid, qv) =>
-            // beam width ef, but only the shard-local top-k crosses the
-            // shuffle — the merge needs no more than k rows per shard
-            g.search(qv, math.max(ef, k)).take(k).map { case (idx, score) =>
+            // beam width scales with shard population (effectiveEf), but
+            // only the shard-local top-k crosses the shuffle — the merge
+            // needs no more than k rows per shard
+            g.search(qv, efEff).take(k).map { case (idx, score) =>
               Row(qid, buf(idx)._1, score)
             }
           }
@@ -232,10 +255,11 @@ object Hnsw {
           while (i < n) { if (levels(i) > eL) { e = i; eL = levels(i) }; i += 1 }
           g.entry = e
           val stale = deltaIdsB.value
+          val efEff = effectiveEf(ef, k, n)
           probesB.value.iterator.flatMap { case (qid, qv) =>
-            // beam at width max(ef, k); only the top-k live rows cross
-            // the shuffle into the merge
-            g.search(qv, math.max(ef, k)).iterator
+            // beam at the population-scaled width; only the top-k live
+            // rows cross the shuffle into the merge
+            g.search(qv, efEff).iterator
               .filter { case (idx, _) => !stale.contains(ids(idx)) }
               .take(k)
               .map { case (idx, score) => Row(qid, ids(idx), score) }
