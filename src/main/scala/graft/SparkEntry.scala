@@ -803,38 +803,46 @@ object SparkEntry {
   }
 
   /** [[synthMp3L3]]'s MULTI-TABLE twin for q_mp3_tables: mono 48 kHz /
-    * 576-byte frames where granule 0 selects big-values tables (2, 3, 5)
+    * 576-byte frames where granule 0 selects three big-values tables
     * across its three regions — region0 = lines 0–23 (bands 0–5),
     * region1 = 24–41 (bands 6–8), region2 = 42–49 (band 9), bigValues
     * 25 — followed by two count1-B quads (band 10), and granule 1
-    * selects table 6 with count1 table A (the first gate to ride the
-    * A-codes). Magnitudes stay in {0, 1} so every line is ±2^(a − sf)
-    * and granule energies ×64 are exact integers; a hash match pins the
-    * per-region table dispatch and all four newly-shipped B.7 tables'
-    * small-value codes against the DuckDB replay (the tables' larger
+    * selects a fourth table with count1 table A. EVEN frames dispatch
+    * the r15 tables (2, 3, 5) / 6; ODD frames the r16 additions
+    * (7, 10, 12) / 13 — the magnitude/sign/gain patterns are
+    * frame-parity-independent, so the DuckDB energy replay is the SAME
+    * for both halves and the oracle pins the dispatch of all eight
+    * tables. Magnitudes stay in {0, 1} so every line is ±2^(a − sf)
+    * and granule energies ×64 are exact integers (the tables' larger
     * entries are pinned structurally: each is Kraft-complete and
-    * prefix-free in the spec suite, and round-tripped by the spec's own
-    * encoder at full magnitude range).
+    * prefix-free in the spec suite, and round-tripped cell-by-cell by
+    * the spec's own encoder at full magnitude range).
     */
   private[graft] def synthMp3Tables(id: Long): Array[Byte] = {
     val nFrames = (6 + id % 3).toInt
     val frameLen = 576
     val out = new Array[Byte](nFrames * frameLen)
     // (x, y) -> (len, code) — mag ∈ {0, 1} corners of B.7 tables 2/3/5/6
+    // (even frames) and of the r16 additions 7/10/12/13 (odd frames)
     val t2 = Map((0, 0) -> (1, 1), (0, 1) -> (3, 2), (1, 0) -> (3, 3), (1, 1) -> (3, 1))
     val t3 = Map((0, 0) -> (2, 3), (0, 1) -> (2, 2), (1, 0) -> (3, 1), (1, 1) -> (2, 1))
     val t5 = Map((0, 0) -> (1, 1), (0, 1) -> (3, 2), (1, 0) -> (3, 3), (1, 1) -> (3, 1))
     val t6 = Map((0, 0) -> (3, 7), (0, 1) -> (3, 3), (1, 0) -> (3, 6), (1, 1) -> (2, 2))
+    val t7 = Map((0, 0) -> (1, 1), (0, 1) -> (3, 2), (1, 0) -> (3, 3), (1, 1) -> (4, 3))
+    val t10 = Map((0, 0) -> (1, 1), (0, 1) -> (3, 2), (1, 0) -> (3, 3), (1, 1) -> (4, 3))
+    val t12 = Map((0, 0) -> (4, 9), (0, 1) -> (3, 6), (1, 0) -> (3, 7), (1, 1) -> (3, 5))
+    val t13 = Map((0, 0) -> (1, 1), (0, 1) -> (4, 5), (1, 0) -> (3, 3), (1, 1) -> (4, 4))
     // count1 table A: quad value -> (len, code)
     val c1a = Map(0 -> (1, 0x1), 1 -> (4, 0x5), 2 -> (4, 0x4), 3 -> (5, 0x5),
       4 -> (4, 0x6), 5 -> (6, 0x5), 6 -> (5, 0x4), 7 -> (6, 0x4),
       8 -> (4, 0x7), 9 -> (5, 0x3), 10 -> (5, 0x6), 11 -> (6, 0x0),
       12 -> (5, 0x7), 13 -> (6, 0x2), 14 -> (6, 0x3), 15 -> (6, 0x1))
-    def tableFor(g: Int, l: Int): Map[(Int, Int), (Int, Int)] =
-      if (g == 1) t6
-      else if (l < 24) t2
-      else if (l < 42) t3
-      else t5
+    def tableFor(f: Int, g: Int, l: Int): Map[(Int, Int), (Int, Int)] =
+      if (f % 2 == 0) {
+        if (g == 1) t6 else if (l < 24) t2 else if (l < 42) t3 else t5
+      } else {
+        if (g == 1) t13 else if (l < 24) t7 else if (l < 42) t10 else t12
+      }
     var f = 0
     while (f < nFrames) {
       val o = f * frameLen
@@ -862,7 +870,7 @@ object SparkEntry {
         var l = 0
         while (l < bvEnd) {
           val (x, y) = (mag(g, l), mag(g, l + 1))
-          bits += tableFor(g, l)((x, y))._1 + x + y
+          bits += tableFor(f, g, l)((x, y))._1 + x + y
           l += 2
         }
         val c1End = if (g == 0) 58 else 40
@@ -884,8 +892,12 @@ object SparkEntry {
         put(210 + 4 * ((id + f + g) % 4).toInt, 8)
         put(9, 4)                               // scalefac_compress → 2/2
         put(0, 1)                               // long blocks
-        if (g == 0) { put(2, 5); put(3, 5); put(5, 5) } // tables 2, 3, 5
-        else { put(6, 5); put(0, 5); put(0, 5) }        // table 6
+        if (g == 0) {
+          // even frames: tables 2, 3, 5; odd: the r16 7, 10, 12
+          if (f % 2 == 0) { put(2, 5); put(3, 5); put(5, 5) }
+          else { put(7, 5); put(10, 5); put(12, 5) }
+        } else if (f % 2 == 0) { put(6, 5); put(0, 5); put(0, 5) } // table 6
+        else { put(13, 5); put(0, 5); put(0, 5) }                  // table 13
         put(5, 4)                               // region0 → 6 bands = line 24
         put(if (g == 0) 2 else 3, 3)            // region1 → line 42 / 50
         put(0, 1)                               // preflag
@@ -902,7 +914,7 @@ object SparkEntry {
         var l = 0
         while (l < bvEnd) {
           val (x, y) = (mag(g, l), mag(g, l + 1))
-          val (len, code) = tableFor(g, l)((x, y))
+          val (len, code) = tableFor(f, g, l)((x, y))
           put(code, len)
           if (x != 0) put(sgn(g, l), 1)
           if (y != 0) put(sgn(g, l + 1), 1)
@@ -2047,14 +2059,29 @@ object SparkEntry {
     * (doc_id, text), so the oracle predicts all parsed fields — a match
     * proves gzip member read, WARC header walk + Content-Length byte math,
     * and the HTTP header/body split against a spec-conformant writer.
+    * Since r16 the HTTP BODY WIRING varies by id stratum — id %% 4 = 0
+    * plain, 1 `Content-Encoding: gzip`, 2 `Transfer-Encoding: chunked`
+    * (7-byte chunks, so multi-chunk and a ragged tail), 3 BOTH (gzip
+    * inside chunked framing, the wire order real servers emit) — and the
+    * decoded body is byte-identical across strata, so every downstream
+    * consumer's oracle (q_warc_extract, the q_corpus_e2e chain) pins the
+    * de-chunk + inflate path without any SQL change.
     */
   private[graft] def synthWarcGz(id: Long, text: String): Array[Byte] = {
     import graft.sources.WarcCodec
     val html = synthHtmlString(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val head = WarcHttpHead.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    val http = new Array[Byte](head.length + html.length)
+    val (extraHead, body) = (id % 4) match {
+      case 1 => ("Content-Encoding: gzip\r\n", WarcCodec.gzipMember(html))
+      case 2 => ("Transfer-Encoding: chunked\r\n", WarcCodec.chunked(html, 7))
+      case 3 => ("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+        WarcCodec.chunked(WarcCodec.gzipMember(html), 7))
+      case _ => ("", html)
+    }
+    val head = (WarcHttpHead.stripSuffix("\r\n") + extraHead + "\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val http = new Array[Byte](head.length + body.length)
     System.arraycopy(head, 0, http, 0, head.length)
-    System.arraycopy(html, 0, http, head.length, html.length)
+    System.arraycopy(body, 0, http, head.length, body.length)
     WarcCodec.gzipMember(WarcCodec.writeRecord(WarcCodec.WarcRecord(
       "response", s"http://example.com/doc/$id", "2024-01-01T00:00:00Z",
       s"<urn:uuid:$id>", "application/http; msgtype=response", http)))
@@ -3144,10 +3171,15 @@ object SparkEntry {
       import s.implicits._
       val warc = docsPar(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => (id, synthWarcGz(id, t)) }.toDF("doc_id", "warc")
+      // body_len is the DECODED body's byte length (the WARC-level
+      // content_length varies with the r16 gzip/chunked wire strata and
+      // is not SQL-predictable): a match proves de-chunk + inflate
+      // reproduce the exact plain bytes on every stratum
       sources.Warc.parseRecords(warc, "doc_id")
         .select(col("doc_id"), col("warc_type"), col("target_uri"),
           col("http_status").cast("long").as("http_status"),
-          col("http_content_type"), col("content_length"),
+          col("http_content_type"),
+          length(col("body")).cast("long").as("body_len"),
           md5(col("body")).as("body_md5"),
           md5(ops.Html.extractColumn(decode(col("body"), "UTF-8"))).as("ext_md5"))
         .orderBy("doc_id")
@@ -3586,6 +3618,12 @@ object SparkEntry {
     // (word count, terminal punctuation) pinned by the fixture lines
     "q_crawl_text" -> { (s, dir) =>
       ops.Crawl.ingest(s, txtWarcDirFor(s, dir)).orderBy("url_canon")
+    },
+    // charset resolution through the PRODUCT crawl path: header charset
+    // param / <meta charset> prescan sniff / UTF-8 default (r16) — all
+    // three strata must decode the é byte(s) identically
+    "q_crawl_charset" -> { (s, dir) =>
+      ops.Crawl.ingest(s, charsetWarcDirFor(s, dir)).orderBy("url_canon")
     },
     // DOCX through the PRODUCT crawl path (the q_crawl_pdf shape for the
     // OOXML route: the DocxCodec kernel in the same projection; the
@@ -4095,6 +4133,52 @@ object SparkEntry {
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val f = new java.io.FileOutputStream(s"$out/part-$pid.warc.gz")
             try it.foreach(r => f.write(synthWarcTxtGz(r.getLong(0))))
+            finally f.close()
+          }
+        }
+      out
+    })
+
+  /** One HTML record per doc in three CHARSET WIRINGS (id % 3): 0 = the
+    * header declares `charset=windows-1252` and the body is cp1252
+    * bytes; 1 = the header carries NO charset parameter and a
+    * `<meta charset="windows-1252">` prescan declaration decides; 2 =
+    * neither, falling to the UTF-8 default (body is UTF-8). All three
+    * decode to the SAME text containing a non-ASCII é (0xE9 in cp1252,
+    * 2 bytes in UTF-8) — so a wrong resolution step yields U+FFFD and a
+    * hash mismatch, pinning the header → meta-sniff → default chain.
+    */
+  private[graft] def synthWarcCharsetGz(id: Long): Array[Byte] = {
+    import graft.sources.WarcCodec
+    val shape = (id % 3).toInt
+    val meta = if (shape == 1) "<meta charset=\"windows-1252\">" else ""
+    val html = s"<html><head>$meta<title>Café $id</title></head>" +
+      s"<body><p>Café document $id carries six words or more today!</p></body></html>"
+    val body = html.getBytes(
+      if (shape == 2) java.nio.charset.StandardCharsets.UTF_8
+      else java.nio.charset.Charset.forName("windows-1252"))
+    val ct = if (shape == 0) "Content-Type: text/html; charset=windows-1252\r\n"
+      else "Content-Type: text/html\r\n"
+    val head = ("HTTP/1.1 200 OK\r\n" + ct + "\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val http = new Array[Byte](head.length + body.length)
+    System.arraycopy(head, 0, http, 0, head.length)
+    System.arraycopy(body, 0, http, head.length, body.length)
+    WarcCodec.gzipMember(WarcCodec.writeRecord(WarcCodec.WarcRecord(
+      "response", s"http://example.com/cs/$id", "2024-01-01T00:00:00Z",
+      s"<urn:uuid:cs-$id>", "application/http; msgtype=response", http)))
+  }
+
+  private val charsetWarcDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def charsetWarcDirFor(s: SparkSession, dir: String): String =
+    charsetWarcDirs.getOrElseUpdate(dir, {
+      val out = gateScratch("graft-cs-warc")
+      tbl(s, dir, "documents").filter(col("doc_id") < 100).select(col("doc_id"))
+        .rdd.foreachPartition { it =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val f = new java.io.FileOutputStream(s"$out/part-$pid.warc.gz")
+            try it.foreach(r => f.write(synthWarcCharsetGz(r.getLong(0))))
             finally f.close()
           }
         }
@@ -6337,7 +6421,7 @@ object SparkEntry {
          |  'http://example.com/doc/' || doc_id AS target_uri,
          |  CAST(200 AS BIGINT) AS http_status,
          |  'text/html; charset=UTF-8' AS http_content_type,
-         |  CAST(${WarcHttpHead.length} + strlen(h.t) AS BIGINT) AS content_length,
+         |  CAST(strlen(h.t) AS BIGINT) AS body_len,
          |  md5(h.t) AS body_md5, md5($last.t) AS ext_md5
          |FROM h JOIN $last USING (doc_id) ORDER BY doc_id""".stripMargin
     },
@@ -6984,6 +7068,17 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_links,
         |  'plain text document ' || id || ' carries five or more words'
         |    || chr(10) || 'End!' AS text
+        |FROM d ORDER BY url_canon""".stripMargin,
+    // Crawl-ingested charset strata: header param / meta-sniff / UTF-8
+    // default all decode the é identically — the SQL predicts the SAME
+    // text for every stratum, which is exactly the claim under test
+    "q_crawl_charset" ->
+      """WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100)
+        |SELECT CAST(concat('0x', substr(md5('http://example.com/cs/' || id), 1, 15)) AS BIGINT) AS doc_id,
+        |  'http://example.com/cs/' || id AS url_canon,
+        |  'example.com' AS url_domain, 'Café ' || id AS title,
+        |  CAST(0 AS BIGINT) AS n_links,
+        |  'Café document ' || id || ' carries six words or more today!' AS text
         |FROM d ORDER BY url_canon""".stripMargin,
     // Crawl-ingested DOCX: paragraph 0 ("Head {id} tail <x>", 4 words,
     // no terminal punctuation) is boilerplate-dropped; paragraphs ≥ 1

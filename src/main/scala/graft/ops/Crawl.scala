@@ -60,7 +60,10 @@ object Crawl {
              robots: Option[DataFrame] = None,
              agent: String = "graftbot"): DataFrame = {
     // header names/values are case-insensitive (RFC 9110): match
-    // 'Text/HTML' too, and honour a declared charset parameter. PDFs
+    // 'Text/HTML' too, and honour a declared charset parameter (with a
+    // <meta charset> prescan fallback below — bodies arrive already
+    // de-chunked and Content-Encoding-inflated from the WARC HTTP
+    // parse). PDFs
     // (application/pdf) and DOCX (the wordprocessingml OOXML type) ride
     // the SAME pipeline — URL canonicalization, blocklist, robots,
     // first-per-URL dedup — and route to the PdfCodec / DocxCodec text
@@ -123,12 +126,24 @@ object Crawl {
     // unknown names and undecodable bytes fall back to UTF-8/U+FFFD — a
     // crawl row must never fail the job
     val isDoc = col("is_pdf") || col("is_docx")
+    // charset resolution chain (HTML spec prescan order): the header's
+    // charset parameter wins; otherwise sniff a `<meta charset=...>` /
+    // `<meta http-equiv content="...charset=..."` declaration from the
+    // first 1024 BODY BYTES decoded as latin-1 (ASCII-superset, never
+    // fails — the prescan window the HTML spec prescribes); otherwise
+    // UTF-8. Runs AFTER the URL dedup so only surviving records pay it.
+    val sniffedCharset = lower(regexp_extract(
+      graft.functions.textkernel.decode_charset(
+        substring(col("body"), 1, 1024), lit("iso-8859-1")),
+      "(?i)<meta[^>]{0,512}?charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)", 1))
+    val effCharset = when(col("charset") =!= "", col("charset"))
+      .when(sniffedCharset =!= "", sniffedCharset)
+      .otherwise(lit("utf-8"))
     // `html` = the charset-decoded body for markup AND plain-text rows
     // (both need the decode; binary documents skip it)
     val withHtml = deduped.withColumn("html",
-      when(isDoc, lit(null).cast("string")).otherwise(
-        graft.functions.textkernel.decode_charset(col("body"),
-          when(col("charset") === "", lit("utf-8")).otherwise(col("charset")))))
+      when(isDoc, lit(null).cast("string"))
+        .otherwise(graft.functions.textkernel.decode_charset(col("body"), effCharset)))
     // PDF/DOCX rows extract through their codec kernels in the SAME
     // projection (coalesce: an unparseable document yields empty text and
     // is length-filtered out below, the garbage-in posture); text/plain

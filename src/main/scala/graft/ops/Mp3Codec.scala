@@ -34,12 +34,20 @@ package graft.ops
   *
   * TABLE PROVENANCE / SCOPE (stated precisely, like Mp2's B.2 note): the
   * slen table, pretab, scalefactor-band widths, both count1 tables and
-  * big-values tables 1, 2, 3, 5 and 6 are reconstructions of the
-  * published ISO 11172-3 tables (B.8 / B.7); each Huffman table is
-  * spec-checked prefix-free and Kraft-COMPLETE (a structural property
-  * transcription errors break), and the q_mp3_decode / q_mp3_tables
-  * gates round-trip them against our own encoder. Big-values tables
-  * 7–31 (and their linbits escapes) are NOT shipped — a granule
+  * big-values tables 1, 2, 3, 5, 6, 7, 8, 9, 10, 12 and 13 are
+  * reconstructions of the published ISO 11172-3 tables (B.8 / B.7); each
+  * Huffman table is spec-checked prefix-free and Kraft-COMPLETE (a
+  * structural property transcription errors break — for the r16
+  * additions three tables needed repairs, each proven the UNIQUE
+  * minimal completion of the transcript under fixed code values), and
+  * the q_mp3_decode / q_mp3_tables gates round-trip them against our
+  * own encoder. The linbits ESCAPE mechanism (magnitude 15 extended by
+  * `linbits` literal bits before the sign, §2.4.3.4.6) is implemented
+  * and spec-exercised, so completing the remaining tables is a
+  * data-only change. Big-values tables 11, 15 and 16–31 are NOT
+  * shipped: their transcriptions FAILED the completeness discipline
+  * (non-unique / unrepairable), and shipping an unverifiable table
+  * risks silent mis-decode — worse than the loud reject. A granule
   * selecting them returns no further frames, loudly scoped like Mp2's
   * joint-stereo rejection (4 and 14 are the spec's own reserved slots). WINDOW SWITCHING decodes for real
   * (since round 15): block_type 1/3 start/stop windows, block_type 2
@@ -128,7 +136,7 @@ object Mp3Codec {
   /** One big-values pair table: (x, y, hlen, hcod). */
   private type PairTable = Map[(Int, Int), (Int, Int)] // (len, code) -> (x, y)
 
-  private def pairTable(entries: Seq[(Int, Int, Int, Int)]): PairTable =
+  private[ops] def pairTable(entries: Seq[(Int, Int, Int, Int)]): PairTable =
     entries.map { case (x, y, len, code) => (len, code) -> (x, y) }.toMap
 
   /** Table 1 (2×2, no linbits). */
@@ -166,11 +174,162 @@ object Mp3Codec {
     (3, 0, 6, 0x3), (3, 1, 5, 0x3), (3, 2, 6, 0x2), (3, 3, 7, 0x0))
   private val Table6: PairTable = pairTable(Table6Entries)
 
-  /** The shipped big-values tables by table_select (0 = the all-zero
-    * table, handled inline; 4 and 14 are the spec's reserved slots).
+  /** Grid-table constructor for the r16 B.7 additions: row-major
+    * (hlen, hcod) arrays over an xlen × ylen value grid.
     */
-  private val PairTables: Map[Int, PairTable] = Map(
-    1 -> Table1, 2 -> Table2, 3 -> Table3, 5 -> Table5, 6 -> Table6)
+  private[ops] def gridEntries(ylen: Int, lens: Array[Int],
+                               codes: Array[Int]): Seq[(Int, Int, Int, Int)] =
+    lens.indices.map(i => (i / ylen, i % ylen, lens(i), codes(i)))
+
+  private[ops] val Table7Lens: Array[Int] = Array(
+    1, 3, 6, 8, 8, 9,
+    3, 4, 6, 7, 7, 8,
+    6, 5, 7, 8, 8, 9,
+    7, 7, 8, 9, 9, 9,
+    7, 7, 8, 9, 9, 10,
+    8, 8, 9, 10, 10, 10)
+  private[ops] val Table7Codes: Array[Int] = Array(
+    1, 2, 10, 19, 16, 10,
+    3, 3, 7, 10, 5, 3,
+    11, 4, 13, 17, 8, 4,
+    12, 11, 18, 15, 11, 2,
+    7, 6, 9, 14, 3, 1,
+    6, 4, 5, 3, 2, 0)
+
+  private[ops] val Table8Lens: Array[Int] = Array(
+    2, 3, 6, 8, 8, 9,
+    3, 2, 4, 8, 8, 8,
+    6, 4, 6, 8, 8, 9,
+    8, 8, 8, 9, 9, 10,
+    8, 7, 8, 9, 10, 10,
+    9, 8, 9, 9, 11, 11)
+  private[ops] val Table8Codes: Array[Int] = Array(
+    3, 4, 6, 18, 12, 5,
+    5, 1, 2, 16, 9, 3,
+    7, 3, 5, 14, 7, 3,
+    19, 17, 15, 13, 10, 4,
+    13, 5, 8, 11, 5, 1,
+    12, 4, 4, 1, 1, 0)
+
+  private[ops] val Table9Lens: Array[Int] = Array(
+    3, 3, 5, 6, 8, 9,
+    3, 3, 4, 5, 6, 8,
+    4, 4, 5, 6, 7, 8,
+    6, 5, 6, 7, 7, 8,
+    7, 6, 7, 7, 8, 9,
+    8, 7, 8, 8, 9, 9)
+  private[ops] val Table9Codes: Array[Int] = Array(
+    7, 5, 9, 14, 15, 7,
+    6, 4, 5, 5, 6, 7,
+    7, 6, 8, 8, 8, 5,
+    15, 6, 9, 10, 5, 1,
+    11, 7, 9, 6, 4, 1,
+    14, 4, 6, 2, 6, 0)
+
+  private[ops] val Table10Lens: Array[Int] = Array(
+    1, 3, 6, 8, 9, 9, 9, 10,
+    3, 4, 6, 7, 8, 9, 8, 8,
+    6, 6, 7, 8, 9, 10, 9, 9,
+    7, 7, 8, 9, 10, 10, 9, 9,
+    8, 8, 9, 10, 10, 10, 10, 10,
+    9, 9, 10, 10, 11, 11, 10, 11,
+    8, 8, 9, 10, 10, 10, 11, 11,
+    9, 8, 10, 10, 11, 10, 11, 11)
+  private[ops] val Table10Codes: Array[Int] = Array(
+    1, 2, 10, 23, 35, 30, 12, 17,
+    3, 3, 8, 12, 18, 21, 12, 7,
+    11, 9, 15, 21, 32, 40, 19, 6,
+    14, 13, 22, 34, 46, 23, 18, 7,
+    20, 19, 33, 47, 27, 22, 9, 3,
+    31, 22, 41, 26, 21, 20, 5, 3,
+    14, 13, 10, 11, 16, 6, 5, 1,
+    9, 8, 7, 8, 4, 4, 2, 0)
+
+  private[ops] val Table12Lens: Array[Int] = Array(
+    4, 3, 5, 7, 8, 9, 9, 9,
+    3, 3, 4, 5, 7, 7, 8, 8,
+    5, 4, 5, 6, 7, 8, 7, 8,
+    6, 5, 6, 6, 7, 8, 8, 8,
+    7, 6, 7, 7, 8, 8, 8, 9,
+    8, 7, 8, 8, 8, 9, 8, 9,
+    8, 7, 7, 8, 8, 9, 9, 10,
+    9, 8, 8, 9, 9, 9, 9, 10)
+  private[ops] val Table12Codes: Array[Int] = Array(
+    9, 6, 16, 33, 41, 39, 38, 26,
+    7, 5, 6, 9, 23, 16, 26, 11,
+    17, 7, 11, 14, 21, 30, 10, 7,
+    17, 10, 15, 12, 18, 28, 14, 5,
+    32, 13, 22, 19, 18, 16, 9, 5,
+    40, 17, 31, 29, 17, 13, 4, 2,
+    27, 12, 11, 15, 10, 7, 4, 1,
+    27, 12, 8, 12, 6, 3, 1, 0)
+
+  private[ops] val Table13Lens: Array[Int] = Array(
+    1, 4, 6, 7, 8, 9, 9, 10, 9, 10, 11, 11, 12, 12, 13, 13,
+    3, 4, 6, 7, 8, 8, 9, 9, 9, 9, 10, 10, 11, 12, 12, 12,
+    6, 6, 7, 8, 9, 9, 10, 10, 9, 10, 10, 11, 11, 12, 13, 13,
+    7, 7, 8, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13, 13,
+    8, 7, 9, 9, 10, 10, 11, 11, 10, 11, 11, 12, 12, 13, 13, 14,
+    9, 8, 9, 10, 10, 10, 11, 11, 11, 11, 12, 11, 13, 13, 14, 14,
+    9, 9, 10, 10, 11, 11, 11, 11, 11, 12, 12, 12, 13, 13, 14, 14,
+    10, 9, 10, 11, 11, 11, 12, 12, 12, 12, 13, 13, 13, 14, 16, 16,
+    9, 8, 9, 10, 10, 11, 11, 12, 12, 12, 12, 13, 13, 14, 15, 15,
+    10, 9, 10, 10, 11, 11, 11, 13, 12, 13, 13, 14, 14, 14, 16, 15,
+    10, 10, 10, 11, 11, 12, 12, 13, 12, 13, 14, 13, 14, 15, 16, 17,
+    11, 10, 10, 11, 12, 12, 12, 12, 13, 13, 13, 14, 15, 15, 15, 16,
+    11, 11, 11, 12, 12, 13, 12, 13, 14, 14, 15, 15, 15, 16, 16, 16,
+    12, 11, 12, 13, 13, 13, 14, 14, 14, 14, 14, 15, 16, 15, 16, 16,
+    13, 12, 12, 13, 13, 13, 15, 14, 14, 17, 15, 15, 15, 17, 16, 16,
+    12, 12, 13, 14, 14, 14, 15, 14, 15, 15, 16, 16, 19, 18, 19, 16)
+  private[ops] val Table13Codes: Array[Int] = Array(
+    1, 5, 14, 21, 34, 51, 46, 71, 42, 52, 68, 52, 67, 44, 43, 19,
+    3, 4, 12, 19, 31, 26, 44, 33, 31, 24, 32, 24, 31, 35, 22, 14,
+    15, 13, 23, 36, 59, 49, 77, 65, 29, 40, 30, 40, 27, 33, 42, 16,
+    22, 20, 37, 61, 56, 79, 73, 64, 43, 76, 56, 37, 26, 31, 25, 14,
+    35, 16, 60, 57, 97, 75, 114, 91, 54, 73, 55, 41, 48, 53, 23, 24,
+    58, 27, 50, 96, 76, 70, 93, 84, 77, 58, 79, 29, 74, 49, 41, 17,
+    47, 45, 78, 74, 115, 94, 90, 79, 69, 83, 71, 50, 59, 38, 36, 15,
+    72, 34, 56, 95, 92, 85, 91, 90, 86, 73, 77, 65, 51, 44, 43, 42,
+    43, 20, 30, 44, 55, 78, 72, 87, 78, 61, 46, 54, 37, 30, 20, 16,
+    53, 25, 41, 37, 44, 59, 54, 81, 66, 76, 57, 54, 37, 18, 39, 11,
+    35, 33, 31, 57, 42, 82, 72, 80, 47, 58, 55, 21, 22, 26, 38, 22,
+    53, 25, 23, 38, 70, 60, 51, 36, 55, 26, 34, 23, 27, 14, 9, 7,
+    34, 32, 28, 39, 49, 75, 30, 52, 48, 40, 52, 28, 18, 17, 9, 5,
+    45, 21, 34, 64, 56, 50, 49, 45, 31, 19, 12, 15, 10, 7, 6, 3,
+    48, 23, 20, 39, 36, 35, 53, 21, 16, 23, 13, 10, 6, 1, 4, 2,
+    16, 15, 17, 27, 25, 20, 29, 11, 17, 12, 16, 8, 1, 1, 0, 1)
+
+  private[ops] val Table7Entries = gridEntries(6, Table7Lens, Table7Codes)
+  private[ops] val Table8Entries = gridEntries(6, Table8Lens, Table8Codes)
+  private[ops] val Table9Entries = gridEntries(6, Table9Lens, Table9Codes)
+  private[ops] val Table10Entries = gridEntries(8, Table10Lens, Table10Codes)
+  private[ops] val Table12Entries = gridEntries(8, Table12Lens, Table12Codes)
+  private[ops] val Table13Entries = gridEntries(16, Table13Lens, Table13Codes)
+
+  /** One big-values table with its escape parameters: `maxVal` is the
+    * grid's top magnitude; tables with `linbits > 0` extend a decoded
+    * magnitude of `maxVal` by `linbits` literal bits BEFORE the sign
+    * bit (ISO 11172-3 §2.4.3.4.6). None of the shipped tables carry
+    * linbits (7–13 are linbits-0 by spec); the mechanism is live in
+    * [[decodeBigPair]] and spec-exercised so the 16–31 completion is a
+    * data-only change.
+    */
+  private[ops] final case class BigTable(pairs: PairTable, maxVal: Int, linbits: Int)
+
+  /** The shipped big-values tables by table_select (0 = the all-zero
+    * table, handled inline; 4 and 14 are the spec's reserved slots;
+    * 11, 15 and 16–31 are descoped — see the provenance note).
+    */
+  private[ops] val BigTables: Map[Int, BigTable] = Map(
+    1 -> BigTable(Table1, 1, 0), 2 -> BigTable(Table2, 2, 0),
+    3 -> BigTable(Table3, 2, 0), 5 -> BigTable(Table5, 3, 0),
+    6 -> BigTable(Table6, 3, 0),
+    7 -> BigTable(pairTable(Table7Entries), 5, 0),
+    8 -> BigTable(pairTable(Table8Entries), 5, 0),
+    9 -> BigTable(pairTable(Table9Entries), 5, 0),
+    10 -> BigTable(pairTable(Table10Entries), 7, 0),
+    12 -> BigTable(pairTable(Table12Entries), 7, 0),
+    13 -> BigTable(pairTable(Table13Entries), 15, 0))
 
   /** count1 table A: (v·8 + w·4 + x·2 + y) keyed by (len, code). */
   private[ops] val Count1AEntries = Seq(
@@ -184,7 +343,7 @@ object Mp3Codec {
   // count1 table B is the fixed 4-bit complement code: value = code ^ 0xF
 
   /** Absolute-position bit reader over the accumulated main-data bytes. */
-  private final class BitReader(b: Array[Byte], var bitPos: Long) {
+  private[ops] final class BitReader(b: Array[Byte], var bitPos: Long) {
     def read(n: Int): Int = {
       var v = 0
       var i = 0
@@ -321,7 +480,7 @@ object Mp3Codec {
                   // only the shipped tables decode (provenance note above);
                   // window-switched granules carry 2 selects, long carry 3
                   if (ts.take(if (wsf == 1) 2 else 3)
-                        .exists(t => t != 0 && !PairTables.contains(t)))
+                        .exists(t => t != 0 && !BigTables.contains(t)))
                     badSide = true
                   // intensity positions are defined per scalefactor band —
                   // the short-window variant is out of scope, loudly
@@ -418,9 +577,9 @@ object Mp3Codec {
                             else gi.tableSelect(2)
                           if (tsel == 0) { is(line) = 0; is(line + 1) = 0 }
                           else {
-                            val (x, y) = decodePair(r, PairTables(tsel))
-                            is(line) = withSign(r, x)
-                            is(line + 1) = withSign(r, y)
+                            val (x, y) = decodeBigPair(r, BigTables(tsel))
+                            is(line) = x
+                            is(line + 1) = y
                           }
                           line += 2
                         }
@@ -663,6 +822,18 @@ object Mp3Codec {
 
   private def withSign(r: BitReader, mag: Int): Int =
     if (mag == 0) 0 else if (r.read1() == 1) -mag else mag
+
+  /** One big-values pair, escapes and signs applied: magnitude
+    * `maxVal` in a linbits table is extended by `linbits` literal bits
+    * before its sign bit, per component, x first (§2.4.3.4.6).
+    */
+  private[ops] def decodeBigPair(r: BitReader, t: BigTable): (Int, Int) = {
+    val (x0, y0) = decodePair(r, t.pairs)
+    val x = if (t.linbits > 0 && x0 == t.maxVal) x0 + r.read(t.linbits) else x0
+    val xs = withSign(r, x)
+    val y = if (t.linbits > 0 && y0 == t.maxVal) y0 + r.read(t.linbits) else y0
+    (xs, withSign(r, y))
+  }
 
   private def decodePair(r: BitReader, table: PairTable): (Int, Int) = {
     var code = 0

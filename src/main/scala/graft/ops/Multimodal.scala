@@ -27,14 +27,15 @@ import graft.embed.HashEmbeddingBackend
   * scalefactor/Huffman structure are bitstream FORMAT, not empirical
   * constants — feeding [[mp1EnergyFingerprintDF]] /
   * [[mp2EnergyFingerprintDF]] / [[mp3SpectralFingerprintDF]]; Layer III
-  * ships Huffman big-values tables 0–1 + both count1 tables, long
-  * blocks and MS joint stereo — see Mp3Codec's provenance note for the
-  * scoped remainder);
+  * ships Huffman big-values tables 0–3, 5–10, 12 and 13 + both count1
+  * tables, window switching (short/start/stop/mixed blocks) and every
+  * joint-stereo mode (MS, intensity, combined) — see Mp3Codec's
+  * provenance note for the scoped remainder, tables 11/15/16–31);
   * baseline JPEG pixels decode through our own [[JpegCodec]] (T.81
   * Huffman + IDCT), AVI video frames decode for real both
   * uncompressed-DIB and MJPEG ([[AviCodec]]), and MPEG-1 VIDEO decodes
-  * I-pictures AND P-pictures with real forward motion compensation
-  * ([[Mpeg1Codec]] — B-pictures skipped, never mis-decoded). What
+  * I-, P- AND B-pictures with real forward/bidirectional motion
+  * compensation and presentation reordering ([[Mpeg1Codec]]). What
   * remains behind [[StubCodec]]'s deterministic fakes: video codec
   * families we don't parse at all (H.26x/MP4-payload pixels — the MP4
   * box walk itself is real) — a documented README descope; swap in a
@@ -322,8 +323,9 @@ object Multimodal {
     * Uncompressed WAV (format 1 integer PCM at 8/16/24/32 bits, format 3
     * IEEE float32) is fully specified by the RIFF header — decode and
     * frame-level feature extraction here are REAL signal processing, not a
-    * stub: only compressed codecs (MP3/AAC/video) remain behind
-    * [[StubCodec]].
+    * stub. MPEG-1 Layer I/II/III audio and MPEG-1 video decode for real
+    * too ([[Mp1Codec]]/[[Mp2Codec]]/[[Mp3Codec]]/[[Mpeg1Codec]]); only
+    * H.26x/MP4-payload video pixels remain behind [[StubCodec]].
     */
   object PcmCodec {
     final case class Pcm(channels: Int, sampleRate: Int, bitsPerSample: Int,

@@ -214,11 +214,94 @@ object WarcCodec {
     }
   }
 
-  /** Split an `application/http; msgtype=response` payload into status /
-    * Content-Type / body. None when no HTTP status line or no blank-line
-    * separator exists (garbage in, None out).
+  /** Decoded-body size cap: a crafted gzip bomb (or a lying chunk size)
+    * can never allocate more than this per record on an executor — the
+    * same 64 MiB ceiling as the PDF/ZIP codecs.
     */
-  def parseHttp(content: Array[Byte]): Option[HttpResponse] = {
+  val MaxDecodedBody: Int = 64 * 1024 * 1024
+
+  /** RFC 9112 §7.1 chunked transfer framing decode: hex-size line
+    * (chunk extensions tolerated) + data + CRLF, repeated; the 0-size
+    * chunk ends the body (trailer fields are discarded). TRUNCATED
+    * input salvages the complete chunks read so far — the same posture
+    * as the WARC payload walk; a malformed size line returns None
+    * (framing garbage must not leak into text).
+    */
+  private[sources] def dechunk(b: Array[Byte],
+                               maxBodyBytes: Int = MaxDecodedBody): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(math.min(b.length, 1 << 16))
+    var i = 0
+    while (true) {
+      var j = i
+      while (j < b.length && b(j) != '\n') j += 1
+      if (j >= b.length) return Some(out.toByteArray) // truncated at a size line
+      var end = j
+      if (end > i && b(end - 1) == '\r') end -= 1
+      val sizeLine = new String(b, i, end - i, US_ASCII)
+      val semi = sizeLine.indexOf(';')
+      val hex = (if (semi >= 0) sizeLine.substring(0, semi) else sizeLine).trim
+      val size = try java.lang.Long.parseLong(hex, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size < 0 || size > maxBodyBytes - out.size) return None
+      i = j + 1
+      if (size == 0) return Some(out.toByteArray)
+      if (i + size > b.length) return Some(out.toByteArray) // truncated mid-chunk
+      out.write(b, i, size.toInt)
+      i += size.toInt
+      if (i < b.length && b(i) == '\r') i += 1
+      if (i < b.length && b(i) == '\n') i += 1
+    }
+    None // unreachable
+  }
+
+  /** Capped gzip-member inflate; truncated/corrupt input salvages the
+    * bytes inflated so far (empty when the header itself is bad).
+    */
+  private[sources] def gunzipCapped(b: Array[Byte],
+                                    maxBodyBytes: Int = MaxDecodedBody): Array[Byte] =
+    inflateStream(try new GZIPInputStream(new ByteArrayInputStream(b), 64 * 1024)
+      catch { case _: java.io.IOException => new ByteArrayInputStream(Array.emptyByteArray) },
+      maxBodyBytes)
+
+  /** Capped `deflate` Content-Encoding inflate: zlib-wrapped per RFC
+    * 9110, with the raw-deflate retry real servers made customary.
+    */
+  private[sources] def inflateCapped(b: Array[Byte],
+                                     maxBodyBytes: Int = MaxDecodedBody): Array[Byte] = {
+    def run(raw: Boolean): Array[Byte] =
+      inflateStream(new java.util.zip.InflaterInputStream(
+        new ByteArrayInputStream(b), new java.util.zip.Inflater(raw), 64 * 1024),
+        maxBodyBytes)
+    val zlib = run(raw = false)
+    if (zlib.nonEmpty) zlib else run(raw = true)
+  }
+
+  private def inflateStream(in: InputStream, cap: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(1 << 16)
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      var n = in.read(buf)
+      while (n > 0 && out.size < cap) {
+        out.write(buf, 0, math.min(n, cap - out.size))
+        n = in.read(buf)
+      }
+    } catch { case _: java.io.IOException => () } // truncated: keep prefix
+    finally { try in.close() catch { case _: java.io.IOException => () } }
+    out.toByteArray
+  }
+
+  /** Split an `application/http; msgtype=response` payload into status /
+    * Content-Type / body, and DECODE the body to its plain bytes:
+    * `Transfer-Encoding: chunked` framing is removed first (wire order),
+    * then `Content-Encoding: gzip`/`x-gzip`/`deflate` is inflated under
+    * [[MaxDecodedBody]]. None when no HTTP status line or no blank-line
+    * separator exists, when chunk framing is malformed, or when the
+    * content coding is one we cannot interpret (br/zstd/...): an
+    * undecodable body must be dropped loudly, never surfaced as garbage
+    * text (garbage in, None out).
+    */
+  def parseHttp(content: Array[Byte],
+                maxBodyBytes: Int = MaxDecodedBody): Option[HttpResponse] = {
     // find the CRLFCRLF (tolerate bare LFLF) header/body boundary
     var i = 0; var boundary = -1; var bodyStart = -1
     while (boundary < 0 && i + 1 < content.length) {
@@ -238,13 +321,44 @@ object WarcCodec {
     val status = if (parts.length >= 2) {
       try parts(1).toInt catch { case _: NumberFormatException => return None }
     } else return None
-    val ctype = lines.iterator.drop(1)
+    def header(name: String): Option[String] = lines.iterator.drop(1)
       .map(l => (l, l.indexOf(':')))
       .collectFirst {
-        case (l, i2) if i2 > 0 && l.substring(0, i2).trim.equalsIgnoreCase("content-type") =>
+        case (l, i2) if i2 > 0 && l.substring(0, i2).trim.equalsIgnoreCase(name) =>
           l.substring(i2 + 1).trim
-      }.getOrElse("")
-    Some(HttpResponse(status, ctype, java.util.Arrays.copyOfRange(content, bodyStart, content.length)))
+      }
+    val ctype = header("content-type").getOrElse("")
+    var body = java.util.Arrays.copyOfRange(content, bodyStart, content.length)
+    if (header("transfer-encoding").exists(_.toLowerCase.contains("chunked")))
+      dechunk(body, maxBodyBytes) match {
+        case Some(d) => body = d
+        case None => return None
+      }
+    header("content-encoding").map(_.toLowerCase) match {
+      case None | Some("") | Some("identity") => ()
+      case Some("gzip") | Some("x-gzip") => body = gunzipCapped(body, maxBodyBytes)
+      case Some("deflate") => body = inflateCapped(body, maxBodyBytes)
+      case Some(_) => return None // br/zstd/...: uninterpretable, drop loudly
+    }
+    Some(HttpResponse(status, ctype, body))
+  }
+
+  /** Chunked transfer framing WRITER (fixtures + re-archiving twins):
+    * lowercase hex sizes, CRLF-delimited, terminated by the 0 chunk.
+    */
+  def chunked(bytes: Array[Byte], chunkSize: Int): Array[Byte] = {
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    val out = new ByteArrayOutputStream(bytes.length + 16 * (bytes.length / chunkSize + 2))
+    var i = 0
+    while (i < bytes.length) {
+      val n = math.min(chunkSize, bytes.length - i)
+      out.write(s"${n.toHexString}\r\n".getBytes(US_ASCII))
+      out.write(bytes, i, n)
+      out.write("\r\n".getBytes(US_ASCII))
+      i += n
+    }
+    out.write("0\r\n\r\n".getBytes(US_ASCII))
+    out.toByteArray
   }
 }
 

@@ -61,15 +61,108 @@ class Mp3CodecSpec extends AnyFunSuite {
     check("table3", Mp3Codec.Table3Entries.map(e => (e._3, e._4)))
     check("table5", Mp3Codec.Table5Entries.map(e => (e._3, e._4)))
     check("table6", Mp3Codec.Table6Entries.map(e => (e._3, e._4)))
+    check("table7", Mp3Codec.Table7Entries.map(e => (e._3, e._4)))
+    check("table8", Mp3Codec.Table8Entries.map(e => (e._3, e._4)))
+    check("table9", Mp3Codec.Table9Entries.map(e => (e._3, e._4)))
+    check("table10", Mp3Codec.Table10Entries.map(e => (e._3, e._4)))
+    check("table12", Mp3Codec.Table12Entries.map(e => (e._3, e._4)))
+    check("table13", Mp3Codec.Table13Entries.map(e => (e._3, e._4)))
     check("count1A", Mp3Codec.Count1AEntries.map(e => (e._2, e._3)))
     // count1 B is the 4-bit complement block code: trivially complete
     assert((0 until 16).map(v => v ^ 0xF).toSet == (0 until 16).toSet)
     // every (x, y) cell of each table is present exactly once
     for ((name, entries, dim) <- Seq(
       ("table2", Mp3Codec.Table2Entries, 3), ("table3", Mp3Codec.Table3Entries, 3),
-      ("table5", Mp3Codec.Table5Entries, 4), ("table6", Mp3Codec.Table6Entries, 4)))
+      ("table5", Mp3Codec.Table5Entries, 4), ("table6", Mp3Codec.Table6Entries, 4),
+      ("table7", Mp3Codec.Table7Entries, 6), ("table8", Mp3Codec.Table8Entries, 6),
+      ("table9", Mp3Codec.Table9Entries, 6), ("table10", Mp3Codec.Table10Entries, 8),
+      ("table12", Mp3Codec.Table12Entries, 8),
+      ("table13", Mp3Codec.Table13Entries, 16)))
       assert(entries.map(e => (e._1, e._2)).toSet ==
         (for (x <- 0 until dim; y <- 0 until dim) yield (x, y)).toSet, name)
+  }
+
+  test("tables 7/8/9/10/12/13 round-trip EVERY cell at full magnitude range") {
+    // one frame per table; granule 0 carries exactly dim² big-values
+    // pairs enumerating every (x, y) cell once (up to 256 pairs = 512
+    // lines for table 13), global_gain 210 and slen 0/0 scalefactors ⇒
+    // xr(l) = ±|is(l)|^(4/3) exactly — the decoder's requant expression
+    // replayed verbatim, so any decode slip in ANY cell's code fails
+    for ((tid, entries, dim) <- Seq(
+      (7, Mp3Codec.Table7Entries, 6), (8, Mp3Codec.Table8Entries, 6),
+      (9, Mp3Codec.Table9Entries, 6), (10, Mp3Codec.Table10Entries, 8),
+      (12, Mp3Codec.Table12Entries, 8), (13, Mp3Codec.Table13Entries, 16))) {
+      val codeOf = entries.map(e => (e._1, e._2) -> (e._3, e._4)).toMap
+      val nPairs = dim * dim
+      def pair(l: Int): (Int, Int) = { val k = l / 2; (k / dim, k % dim) }
+      def sgn(l: Int): Int = l % 2
+      val frame = l3Frame { put =>
+        var huffBits = 0
+        for (l <- 0 until 2 * nPairs by 2) {
+          val (x, y) = pair(l)
+          huffBits += codeOf((x, y))._1 + (if (x != 0) 1 else 0) + (if (y != 0) 1 else 0)
+        }
+        put(0, 9); put(0, 5); put(0, 4)
+        put(huffBits, 12); put(nPairs, 9); put(210, 8); put(0, 4)
+        put(0, 1)
+        put(tid, 5); put(tid, 5); put(tid, 5) // same table, regions moot
+        put(5, 4); put(3, 3)
+        put(0, 1); put(1, 1); put(1, 1)
+        // granule 1: silent
+        put(0, 12); put(0, 9); put(210, 8); put(0, 4)
+        put(0, 1); put(0, 5); put(0, 5); put(0, 5); put(0, 4); put(0, 3)
+        put(0, 1); put(0, 1); put(1, 1)
+        for (l <- 0 until 2 * nPairs by 2) {
+          val (x, y) = pair(l)
+          val (len, code) = codeOf((x, y))
+          put(code, len)
+          if (x != 0) put(sgn(l), 1)
+          if (y != 0) put(sgn(l + 1), 1)
+        }
+      }
+      val d = Mp3Codec.decode(frame)
+        .getOrElse(fail(s"table $tid frame did not decode"))
+      val xr = d.spectra(0)
+      for (l <- 0 until 2 * nPairs) {
+        val m = if (l % 2 == 0) pair(l)._1 else pair(l - 1)._2
+        val expect =
+          if (m == 0) 0.0
+          else {
+            val v = math.pow(m.toDouble, 4.0 / 3.0)
+            if (sgn(l) == 1) -v else v
+          }
+        assert(xr(l) == expect, s"table $tid line $l: ${xr(l)} != $expect")
+      }
+      for (l <- 2 * nPairs until 576) assert(xr(l) == 0.0, s"table $tid tail $l")
+    }
+  }
+
+  test("linbits escape extends magnitude 15 before the sign bit (mechanism)") {
+    // synthetic linbits table (the shipped 7–13 are linbits-0 by spec;
+    // 16–31 are descoped data, not machinery): table 5's codes with
+    // maxVal = 3 treated as the escape and linbits = 4. Bitstream for
+    // the cell (3, 3) (len 8, code 0): 8 code bits, then x's 4 linbits
+    // (0b1010 = 10 → x = 13), x sign (1 = negative), y's 4 linbits
+    // (0b0011 = 3 → y = 6), y sign (0 = positive).
+    val t = Mp3Codec.BigTable(Mp3Codec.pairTable(Mp3Codec.Table5Entries),
+      maxVal = 3, linbits = 4)
+    val bits = "00000000" + "1010" + "1" + "0011" + "0"
+    val bytes = bits.padTo(24, '0').grouped(8)
+      .map(s => Integer.parseInt(s, 2).toByte).toArray
+    val r = new Mp3Codec.BitReader(bytes, 0L)
+    val (x, y) = Mp3Codec.decodeBigPair(r, t)
+    assert(x == -13, s"x = $x")
+    assert(y == 6, s"y = $y")
+    assert(r.bitPos == 18, s"bitPos = ${r.bitPos}")
+    // non-escape magnitudes read no linbits: cell (1, 0) (len 3, code
+    // 0b011) then one sign bit
+    val bits2 = "011" + "1"
+    val bytes2 = bits2.padTo(8, '0').grouped(8)
+      .map(s => Integer.parseInt(s, 2).toByte).toArray
+    val r2 = new Mp3Codec.BitReader(bytes2, 0L)
+    val (x2, y2) = Mp3Codec.decodeBigPair(r2, t)
+    assert(x2 == -1 && y2 == 0, s"($x2, $y2)")
+    assert(r2.bitPos == 4, s"bitPos = ${r2.bitPos}")
   }
 
   test("tables 2/3/5/6 round-trip at full magnitude range") {
@@ -574,14 +667,15 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(Mp3Codec.decode(js).isEmpty, // can't parse as the 32-byte layout
       "a mono frame remarked joint-stereo is malformed and must reject")
     val badTable = graft.SparkEntry.synthMp3L3(0L).clone()
-    // table_select(0) field: side info bits — flip to table 7 (unshipped;
-    // 2/3/5/6 decode since round 15).
+    // table_select(0) field: side info bits — flip to table 16 (unshipped:
+    // the linbits transcriptions failed the completeness discipline;
+    // 2/3/5/6 decode since round 15, 7/8/9/10/12/13 since round 16).
     // Offset: 4 (header) + 9+5+4 (mdb/priv/scfsi) + 12+9+8+4+1 = 52 bits in
     // → table_select starts at bit 52 of side info
     val bitOff = (9 + 5 + 4 + 12 + 9 + 8 + 4 + 1)
     val byteIdx = 4 + bitOff / 8
-    // write 00111 over the 5 bits at bitOff (big-endian in-byte)
-    var v = 7
+    // write 10000 over the 5 bits at bitOff (big-endian in-byte)
+    var v = 16
     for (i <- 0 until 5) {
       val bp = bitOff + i
       val bit = (v >> (4 - i)) & 1

@@ -92,6 +92,63 @@ class WarcSpec extends AnyFunSuite {
     assert(WarcCodec.parseHttp("HTTP/1.1 abc\r\n\r\nx".getBytes(UTF_8)).isEmpty)
   }
 
+  test("http body decode: chunked framing, gzip/deflate codings, caps and salvage") {
+    val plain = ("x" * 2000 + "END").getBytes(UTF_8)
+    def resp(headers: String, body: Array[Byte]): Array[Byte] =
+      s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$headers\r\n".getBytes(UTF_8) ++ body
+    // chunked: multi-chunk with ragged tail + chunk extension tolerated
+    val ch = WarcCodec.chunked(plain, 7)
+    val extIdx = new String(ch, UTF_8).indexOf("\r\n")
+    val withExt = (new String(ch.take(extIdx), UTF_8) + ";ext=1\r\n").getBytes(UTF_8) ++ ch.drop(extIdx + 2)
+    for (b <- Seq(ch, withExt)) {
+      val r = WarcCodec.parseHttp(resp("Transfer-Encoding: chunked\r\n", b))
+      assert(r.exists(_.body.sameElements(plain)))
+    }
+    // gzip + x-gzip content coding
+    for (name <- Seq("gzip", "x-gzip")) {
+      val r = WarcCodec.parseHttp(resp(s"Content-Encoding: $name\r\n", WarcCodec.gzipMember(plain)))
+      assert(r.exists(_.body.sameElements(plain)), name)
+    }
+    // deflate: zlib-wrapped AND raw (both in the wild)
+    def deflate(raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+      d.setInput(plain); d.finish()
+      val buf = new Array[Byte](8192)
+      val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    for (raw <- Seq(false, true)) {
+      val r = WarcCodec.parseHttp(resp("Content-Encoding: deflate\r\n", deflate(raw)))
+      assert(r.exists(_.body.sameElements(plain)), s"raw=$raw")
+    }
+    // chunked OUTSIDE gzip (wire order): de-chunk, then inflate
+    val both = WarcCodec.parseHttp(resp(
+      "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+      WarcCodec.chunked(WarcCodec.gzipMember(plain), 11)))
+    assert(both.exists(_.body.sameElements(plain)))
+    // malformed chunk size line: loud None, never framing garbage as text
+    assert(WarcCodec.parseHttp(resp("Transfer-Encoding: chunked\r\n",
+      "zz\r\nhello\r\n0\r\n\r\n".getBytes(UTF_8))).isEmpty)
+    // unknown coding (br): loud None
+    assert(WarcCodec.parseHttp(resp("Content-Encoding: br\r\n", plain)).isEmpty)
+    // truncated chunked body salvages complete chunks
+    val trunc = WarcCodec.parseHttp(resp("Transfer-Encoding: chunked\r\n", ch.take(18)))
+    assert(trunc.exists(r => r.body.length < plain.length &&
+      plain.startsWith(r.body) && r.body.length >= 7))
+    // truncated gzip salvages the inflated prefix
+    val gz = WarcCodec.gzipMember(plain)
+    val gtr = WarcCodec.parseHttp(resp("Content-Encoding: gzip\r\n", gz.take(gz.length - 6)))
+    assert(gtr.exists(r => plain.startsWith(r.body)))
+    // a lying chunk size larger than the cap is rejected, not allocated
+    assert(WarcCodec.parseHttp(resp("Transfer-Encoding: chunked\r\n",
+      "fffffff0\r\nx".getBytes(UTF_8)), maxBodyBytes = 1 << 20).isEmpty)
+    // decoded-size cap bounds a bomb: 128 MiB of zeros caps at maxBodyBytes
+    val bomb = WarcCodec.gzipMember(new Array[Byte](8 << 20))
+    val capped = WarcCodec.parseHttp(resp("Content-Encoding: gzip\r\n", bomb),
+      maxBodyBytes = 1 << 16)
+    assert(capped.exists(_.body.length == (1 << 16)))
+  }
+
   test("readWarcFiles: executor-opened streaming read over a directory") {
     val dir = Files.createTempDirectory("warc_spec").toFile
     try {
