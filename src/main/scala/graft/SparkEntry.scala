@@ -1179,7 +1179,12 @@ object SparkEntry {
     out
   }
 
-  /** One REAL PDF per id for q_pdf_extract: 1 + id%3 pages, each page's
+  /** One REAL PDF per id for q_pdf_extract: 1 + id%3 simple-font pages
+    * plus (r16) a final CID-KEYED page — a /Type0 font whose /ToUnicode
+    * CMap (Flate-compressed on even ids, raw on odd) maps 2-byte codes
+    * via a multi-unit bfchar ('Cid'), incrementing bfranges (digits,
+    * letters) and single bfchars, shown as one hex string — extracting
+    * to exactly "Cid {id} zy!". The simple pages: 1 + id%3 pages, each page's
     * content stream drawing two text lines via the full operator set —
     * `(…) Tj` with \( \) and octal \101 escapes, `T*`, a `TJ` array
     * whose −250 kern renders as the word gap (and whose +20 kern must
@@ -1199,7 +1204,8 @@ object SparkEntry {
     * ([[sources.PdfCodec]]).
     */
   private[graft] def synthPdf(id: Long): Array[Byte] = {
-    val nPages = (1 + id % 3).toInt
+    val nSimple = (1 + id % 3).toInt
+    val nPages = nSimple + 1 // r16: + one CID-keyed /ToUnicode page
     val bos = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
     def w(s: String): Unit = bos.write(ascii(s))
@@ -1220,19 +1226,27 @@ object SparkEntry {
     // dicts) inside a Flate-compressed OBJECT STREAM — the PDF 1.5+
     // layout modern writers emit; even ids use classic top-level objects
     val inObjStm = id % 2 == 1
-    val kids = (0 until nPages).map(p => s"${3 + 2 * p} 0 R").mkString(" ")
+    val lenObjNum = 3 + 2 * nSimple
+    // r16 CID page: content + ToUnicode CMap + Type0 font + page dict
+    val cidContentNum = lenObjNum + 1
+    val cidCMapNum = lenObjNum + 2
+    val cidFontNum = lenObjNum + 3
+    val cidPageNum = lenObjNum + 4
+    val kids = ((0 until nSimple).map(p => s"${3 + 2 * p} 0 R") :+
+      s"$cidPageNum 0 R").mkString(" ")
     val structBodies: Seq[(Int, String)] =
       (1, s"<< /Type /Catalog /Pages 2 0 R >>") +:
       (2, s"<< /Type /Pages /Kids [$kids] /Count $nPages >>") +:
-      (0 until nPages).map(p =>
-        (3 + 2 * p, s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * p} 0 R >>"))
+      ((0 until nSimple).map(p =>
+        (3 + 2 * p, s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * p} 0 R >>")) :+
+        (cidPageNum, s"<< /Type /Page /Parent 2 0 R /Contents $cidContentNum 0 R " +
+          s"/Resources << /Font << /F9 $cidFontNum 0 R >> >> >>"))
     if (!inObjStm) structBodies.foreach { case (n, body) =>
       beginObj(n); w(body + "\n"); endObj()
     }
-    val lenObjNum = 3 + 2 * nPages
     var page0FlateLen = 0
     var p = 0
-    while (p < nPages) {
+    while (p < nSimple) {
       val a = ((id * 31 + p * 7) % 97).toInt
       val b = ((id * 13 + p * 11) % 89).toInt
       val content = ascii(
@@ -1252,7 +1266,41 @@ object SparkEntry {
       p += 1
     }
     beginObj(lenObjNum); w(s"$page0FlateLen\n"); endObj()
-    var maxObj = lenObjNum
+    // ---- the CID page: 2-byte codes through a /ToUnicode CMap ----
+    // codes: <0200> -> "Cid" (multi-unit bfchar), 0x0030+d -> digits
+    // (bfrange, incrementing dst), 0x0100+k -> 'a'+k (bfrange), <0020>
+    // space and <0021> '!' (bfchars). Text: "Cid {id} zy!"
+    val idDigits = id.toString.map(d => f"00${0x30 + (d - '0')}%02x").mkString
+    val cidCodes = "0200" + "0020" + idDigits + "0020" + "0119" + "0118" + "0021"
+    val cidContent = ascii(s"BT /F9 12 Tf <$cidCodes> Tj ET")
+    beginObj(cidContentNum)
+    w(s"<< /Length ${cidContent.length} >>\n")
+    w("stream\n"); bos.write(cidContent); w("\nendstream\n")
+    endObj()
+    val cmapSrc = ascii(
+      "/CIDInit /ProcSet findresource begin 12 dict begin begincmap\n" +
+      "1 begincodespacerange <0000> <ffff> endcodespacerange\n" +
+      "2 beginbfchar <0020> <0020> <0021> <0021> endbfchar\n" +
+      "1 beginbfchar <0200> <004300690064> endbfchar\n" +
+      "2 beginbfrange <0030> <0039> <0030> <0100> <0119> <0061> endbfrange\n" +
+      "endcmap CMapName currentdict /CMap defineresource pop end end\n")
+    beginObj(cidCMapNum)
+    // the CMap stream itself is Flate-compressed on even ids (real
+    // writers compress it; odd ids keep it raw so both routes pin)
+    if (id % 2 == 0) {
+      val z = deflate(cmapSrc)
+      w(s"<< /Length ${z.length} /Filter /FlateDecode >>\n")
+      w("stream\n"); bos.write(z); w("\nendstream\n")
+    } else {
+      w(s"<< /Length ${cmapSrc.length} >>\n")
+      w("stream\n"); bos.write(cmapSrc); w("\nendstream\n")
+    }
+    endObj()
+    beginObj(cidFontNum)
+    w(s"<< /Type /Font /Subtype /Type0 /BaseFont /Synth " +
+      s"/Encoding /Identity-H /ToUnicode $cidCMapNum 0 R >>\n")
+    endObj()
+    var maxObj = cidPageNum
     if (inObjStm) {
       // serialize the structure objects: header pairs then bodies
       val bodies = structBodies.map { case (n, b) => (n, b + " ") }
@@ -1260,7 +1308,7 @@ object SparkEntry {
       val header = bodies.zip(offs).map { case ((n, _), o) => s"$n $o" }.mkString(" ") + " "
       val payload = ascii(header + bodies.map(_._2).mkString)
       val z = deflate(payload)
-      maxObj = lenObjNum + 1
+      maxObj = cidPageNum + 1
       beginObj(maxObj)
       w(s"<< /Type /ObjStm /N ${bodies.length} /First ${header.length} " +
         s"/Length ${z.length} /Filter /FlateDecode >>\n")
@@ -3619,6 +3667,12 @@ object SparkEntry {
     "q_crawl_text" -> { (s, dir) =>
       ops.Crawl.ingest(s, txtWarcDirFor(s, dir)).orderBy("url_canon")
     },
+    // EPUB through the PRODUCT crawl path (r16 — the q_crawl_pdf shape
+    // for application/epub+zip: the EpubCodec kernel in the same
+    // projection; boilerplate drops each chapter's short heading)
+    "q_crawl_epub" -> { (s, dir) =>
+      ops.Crawl.ingest(s, epubWarcDirFor(s, dir)).orderBy("url_canon")
+    },
     // charset resolution through the PRODUCT crawl path: header charset
     // param / <meta charset> prescan sniff / UTF-8 default (r16) — all
     // three strata must decode the é byte(s) identically
@@ -4133,6 +4187,39 @@ object SparkEntry {
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val f = new java.io.FileOutputStream(s"$out/part-$pid.warc.gz")
             try it.foreach(r => f.write(synthWarcTxtGz(r.getLong(0))))
+            finally f.close()
+          }
+        }
+      out
+    })
+
+  /** One Common-Crawl-shaped EPUB record per doc: [[synthEpub]] inside
+    * an HTTP 200 `application/epub+zip` response — the q_crawl_pdf shape
+    * for the EPUB route (r16).
+    */
+  private[graft] def synthWarcEpubGz(id: Long): Array[Byte] = {
+    import graft.sources.WarcCodec
+    val epub = synthEpub(id)
+    val head = "HTTP/1.1 200 OK\r\nContent-Type: application/epub+zip\r\n\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val http = new Array[Byte](head.length + epub.length)
+    System.arraycopy(head, 0, http, 0, head.length)
+    System.arraycopy(epub, 0, http, head.length, epub.length)
+    WarcCodec.gzipMember(WarcCodec.writeRecord(WarcCodec.WarcRecord(
+      "response", s"http://example.com/epub/$id", "2024-01-01T00:00:00Z",
+      s"<urn:uuid:epub-$id>", "application/http; msgtype=response", http)))
+  }
+
+  private val epubWarcDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def epubWarcDirFor(s: SparkSession, dir: String): String =
+    epubWarcDirs.getOrElseUpdate(dir, {
+      val out = gateScratch("graft-epub-warc")
+      tbl(s, dir, "documents").filter(col("doc_id") < 100).select(col("doc_id"))
+        .rdd.foreachPartition { it =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val f = new java.io.FileOutputStream(s"$out/part-$pid.warc.gz")
+            try it.foreach(r => f.write(synthWarcEpubGz(r.getLong(0))))
             finally f.close()
           }
         }
@@ -7069,6 +7156,23 @@ object SparkEntry {
         |  'plain text document ' || id || ' carries five or more words'
         |    || chr(10) || 'End!' AS text
         |FROM d ORDER BY url_canon""".stripMargin,
+    // Crawl-ingested EPUB: chapter headings ("Chapter k of id", 4
+    // words, unpunctuated) drop at the boilerplate filter; the body
+    // sentences survive
+    "q_crawl_epub" ->
+      """WITH d AS (SELECT doc_id AS id, 1 + doc_id % 3 AS nc
+        |   FROM documents WHERE doc_id < 100),
+        | ch AS (SELECT id, nc, k.k,
+        |     'Body text ' || ((id * 7 + k.k * 3) % 53) || ' & more.' AS t
+        |   FROM d, (SELECT unnest(generate_series(0, 2)) AS k) k
+        |   WHERE k.k < nc),
+        | tx AS (SELECT id, string_agg(t, chr(10) ORDER BY k) AS text
+        |   FROM ch GROUP BY id)
+        |SELECT CAST(concat('0x', substr(md5('http://example.com/epub/' || id), 1, 15)) AS BIGINT) AS doc_id,
+        |  'http://example.com/epub/' || id AS url_canon,
+        |  'example.com' AS url_domain, '' AS title,
+        |  CAST(0 AS BIGINT) AS n_links, text
+        |FROM tx ORDER BY url_canon""".stripMargin,
     // Crawl-ingested charset strata: header param / meta-sniff / UTF-8
     // default all decode the é identically — the SQL predicts the SAME
     // text for every stratum, which is exactly the claim under test
@@ -7113,8 +7217,9 @@ object SparkEntry {
         |  string_agg(t, chr(10) ORDER BY p) AS text
         |FROM pg GROUP BY doc_id, np ORDER BY doc_id""".stripMargin,
     // Crawl-ingested PDFs: urls are already canonical, titles/links are
-    // HTML concepts (empty/zero), and the boilerplate filter keeps only
-    // each page's 6-word first line
+    // HTML concepts (empty/zero), and the boilerplate filter keeps each
+    // simple page's 6-word first line plus the CID page's !-terminated
+    // ToUnicode line (r16)
     "q_crawl_pdf" ->
       """WITH d AS (SELECT doc_id AS id, 1 + doc_id % 3 AS np
         |   FROM documents WHERE doc_id < 100),
@@ -7122,7 +7227,8 @@ object SparkEntry {
         |     'Doc ' || id || ' page ' || p.p || ' (ok) A' AS t
         |   FROM d, (SELECT unnest(generate_series(0, 2)) AS p) p
         |   WHERE p.p < np),
-        | tx AS (SELECT id, string_agg(t, chr(10) ORDER BY p) AS text
+        | tx AS (SELECT id, string_agg(t, chr(10) ORDER BY p)
+        |     || chr(10) || 'Cid ' || id || ' zy!' AS text
         |   FROM pg GROUP BY id)
         |SELECT CAST(concat('0x', substr(md5('http://example.com/pdf/' || id), 1, 15)) AS BIGINT) AS doc_id,
         |  'http://example.com/pdf/' || id AS url_canon,
@@ -7131,7 +7237,10 @@ object SparkEntry {
         |FROM tx ORDER BY url_canon""".stripMargin,
     // PDF extraction: page text has the closed form the generator draws —
     // the −250 TJ kern is the word gap, +20 is not, octal \101 = 'A',
-    // hex <206878> = ' hx'; pages join with a newline
+    // hex <206878> = ' hx'; pages join with a newline. The final page is
+    // the r16 CID-keyed one: 2-byte codes through the /ToUnicode CMap
+    // (multi-unit bfchar 'Cid', incrementing bfranges for digits and
+    // letters) — its exact text proves the CMap route
     "q_pdf_extract" ->
       """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS np
         |   FROM documents WHERE doc_id < 100),
@@ -7141,8 +7250,9 @@ object SparkEntry {
         |     ' w' || ((d.doc_id * 13 + p.p * 11) % 89) || '! hx' AS t
         |   FROM d, (SELECT unnest(generate_series(0, 2)) AS p) p
         |   WHERE p.p < d.np)
-        |SELECT doc_id, CAST(np AS BIGINT) AS n_pages,
-        |  string_agg(t, chr(10) ORDER BY p) AS text
+        |SELECT doc_id, CAST(np + 1 AS BIGINT) AS n_pages,
+        |  string_agg(t, chr(10) ORDER BY p)
+        |    || chr(10) || 'Cid ' || doc_id || ' zy!' AS text
         |FROM pg GROUP BY doc_id, np ORDER BY doc_id""".stripMargin,
     // MPEG-1 I-frames: RGB = (v, v, v) per pixel with the flat-block value
     // v = 20 + (id·31 + f·97 + (m·4 + b)·7) % 200, m = x div 16 (single MB

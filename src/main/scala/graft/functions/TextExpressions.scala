@@ -922,6 +922,22 @@ case class DocxTextExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): DocxTextExpr = copy(child = c)
 }
 
+/** EPUB → extracted text kernel ([[graft.sources.EpubCodec]]): NULL when
+  * the bytes are not a readable EPUB — the crawl router's column form,
+  * like [[PdfTextExpr]].
+  */
+case class EpubTextExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  protected override def nullSafeEval(bytesV: Any): Any =
+    graft.sources.EpubCodec.extractText(bytesV.asInstanceOf[Array[Byte]]) match {
+      case Some(d) => UTF8String.fromString(d.text)
+      case None => null
+    }
+  override protected def withNewChildInternal(c: Expression): EpubTextExpr = copy(child = c)
+}
+
 /** robots.txt decision kernel: allowed(robotsTxt, path) under a constant
   * agent → boolean (RFC 9309 longest-match semantics via
   * [[graft.ops.Robots]]). The PARSE is memoized per distinct robots body
@@ -1186,4 +1202,5 @@ object textkernel {
     toColumn(DecodeCharsetExpr(toExpression(bytes), toExpression(charsetName)))
   def pdf_text(bytes: Column): Column = toColumn(PdfTextExpr(toExpression(bytes)))
   def docx_text(bytes: Column): Column = toColumn(DocxTextExpr(toExpression(bytes)))
+  def epub_text(bytes: Column): Column = toColumn(EpubTextExpr(toExpression(bytes)))
 }

@@ -63,21 +63,24 @@ object Crawl {
     // 'Text/HTML' too, and honour a declared charset parameter (with a
     // <meta charset> prescan fallback below — bodies arrive already
     // de-chunked and Content-Encoding-inflated from the WARC HTTP
-    // parse). PDFs
-    // (application/pdf) and DOCX (the wordprocessingml OOXML type) ride
-    // the SAME pipeline — URL canonicalization, blocklist, robots,
-    // first-per-URL dedup — and route to the PdfCodec / DocxCodec text
-    // kernels at extraction instead of the HTML passes.
+    // parse). PDFs (application/pdf), DOCX (the wordprocessingml OOXML
+    // type) and EPUB (application/epub+zip) ride the SAME pipeline —
+    // URL canonicalization, blocklist, robots, first-per-URL dedup —
+    // and route to the PdfCodec / DocxCodec / EpubCodec text kernels at
+    // extraction instead of the HTML passes.
     val DocxType = "application/vnd.openxmlformats-officedocument.wordprocessingml"
+    val EpubType = "application/epub+zip"
     val records = Warc.readWarcFiles(spark, warcDir)
       .filter(col("http_status") === 200 &&
         (lower(col("http_content_type")).startsWith("text/html") ||
           lower(col("http_content_type")).startsWith("text/plain") ||
           lower(col("http_content_type")).startsWith("application/pdf") ||
+          lower(col("http_content_type")).startsWith(EpubType) ||
           lower(col("http_content_type")).startsWith(DocxType)))
       .select(col("path"), col("rec_idx"), col("target_uri").as("url"), col("body"),
         lower(col("http_content_type")).startsWith("application/pdf").as("is_pdf"),
         lower(col("http_content_type")).startsWith(DocxType).as("is_docx"),
+        lower(col("http_content_type")).startsWith(EpubType).as("is_epub"),
         lower(col("http_content_type")).startsWith("text/plain").as("is_txt"),
         lower(regexp_extract(col("http_content_type"),
           "(?i)charset=\"?([A-Za-z0-9_\\-]+)", 1)).as("charset"))
@@ -117,6 +120,7 @@ object Crawl {
         min_by(col("charset"), struct(col("path"), col("rec_idx"))).as("charset"),
         min_by(col("is_pdf"), struct(col("path"), col("rec_idx"))).as("is_pdf"),
         min_by(col("is_docx"), struct(col("path"), col("rec_idx"))).as("is_docx"),
+        min_by(col("is_epub"), struct(col("path"), col("rec_idx"))).as("is_epub"),
         min_by(col("is_txt"), struct(col("path"), col("rec_idx"))).as("is_txt"))
     // extraction columns inlined (not Html.extractText) so url_domain rides
     // the same projection — no join back, nothing after the dedup shuffles.
@@ -125,7 +129,7 @@ object Crawl {
     // windows-1252 — a top-3 crawl encoding — with a runtime error);
     // unknown names and undecodable bytes fall back to UTF-8/U+FFFD — a
     // crawl row must never fail the job
-    val isDoc = col("is_pdf") || col("is_docx")
+    val isDoc = col("is_pdf") || col("is_docx") || col("is_epub")
     // charset resolution chain (HTML spec prescan order): the header's
     // charset parameter wins; otherwise sniff a `<meta charset=...>` /
     // `<meta http-equiv content="...charset=..."` declaration from the
@@ -159,6 +163,8 @@ object Crawl {
         coalesce(graft.functions.textkernel.pdf_text(col("body")), lit("")))
         .when(col("is_docx"),
           coalesce(graft.functions.textkernel.docx_text(col("body")), lit("")))
+        .when(col("is_epub"),
+          coalesce(graft.functions.textkernel.epub_text(col("body")), lit("")))
         .when(col("is_txt"), col("html"))
         .otherwise(Html.extractColumn(col("html"))).as("text"))
     Html.dropBoilerplateLines(extracted)

@@ -36,11 +36,16 @@ import org.apache.spark.sql.types._
   *    as line breaks (suppressed when nothing has been emitted yet or a
   *    break just happened).
   *
-  * ENCODING SCOPE (stated precisely): string bytes map through printable
-  * ASCII + latin-1 high bytes; composite-font CMaps / ToUnicode tables
-  * are NOT interpreted — text from CID-keyed fonts extracts as the raw
-  * code bytes. That covers the simple-font PDFs that dominate crawl
-  * corpora; swap in a CMap layer to widen, nothing else changes.
+  * ENCODING SCOPE (stated precisely): without a /ToUnicode table,
+  * string bytes map through printable ASCII + latin-1 high bytes.
+  * Fonts that CARRY a /ToUnicode CMap (the CID-keyed output of modern
+  * generators) decode through it since r16: page /Resources → /Font →
+  * /ToUnicode streams parse (codespacerange width, bfchar, bfrange
+  * with incrementing or array destinations), `Tf` tracks the active
+  * font, and show strings map width-byte codes to their UTF-16BE
+  * expansions — unmapped wide codes emit nothing rather than raw code
+  * bytes. Predefined (non-ToUnicode) CMaps like bare Identity-H remain
+  * out of scope: without the table there is nothing to map through.
   *
   * Garbage-in contract (family-wide): malformed, hostile or truncated
   * input yields `None` or the pages that did parse — never a throw, and
@@ -298,14 +303,26 @@ object PdfCodec {
       // objects living INSIDE object streams (PDF 1.5+ /Type /ObjStm):
       // (objnum → pre-parsed value), filled by the pre-pass below
       val inStream = scala.collection.mutable.HashMap.empty[Int, Obj]
-      def objOf(num: Int): Obj = parsed.getOrElseUpdate(num, {
-        objs.get(num) match {
-          case None => inStream.getOrElse(num, PNull)
-          case Some(r) =>
-            try new Lexer(bytes, r.bodyStart, r.bodyEnd).parseNext(0)
-            catch { case _: Exception => inStream.getOrElse(num, PNull) }
-        }
-      })
+      def objOf(num: Int): Obj = parsed.get(num) match {
+        case Some(o) => o
+        case None =>
+          // cache only values that cannot improve later: a successful
+          // top-level parse, or an inStream fallback once the ObjStm
+          // pre-pass has surfaced the number — memoizing a PNull
+          // fallback DURING the pre-pass would pin an object whose only
+          // good copy lives in a not-yet-read object stream (r15 advice)
+          var fallback = false
+          val v = objs.get(num) match {
+            case Some(r) =>
+              try new Lexer(bytes, r.bodyStart, r.bodyEnd).parseNext(0)
+              catch { case _: Exception =>
+                fallback = true; inStream.getOrElse(num, PNull)
+              }
+            case None => fallback = true; inStream.getOrElse(num, PNull)
+          }
+          if (!fallback || inStream.contains(num)) parsed(num) = v
+          v
+      }
       def deref(o: Obj): Obj = o match {
         case PRef(n) => objOf(n)
         case x => x
@@ -315,11 +332,16 @@ object PdfCodec {
         * FlateDecode; None when absent, filtered unsupportedly or broken.
         */
       def streamData(num: Int): Option[Array[Byte]] = objs.get(num).flatMap { r =>
-        val dict = objOf(num) match {
+        // re-lex the dict HERE so the 'stream' keyword search starts at
+        // the dict's end: a name or literal containing the bytes
+        // 'stream' (/Title (my stream notes)) must not misposition the
+        // data window (r15 advice)
+        val lx = new Lexer(bytes, r.bodyStart, r.bodyEnd)
+        val dict = (try lx.parseNext(0) catch { case _: Exception => PNull }) match {
           case d: PDict => d
           case _ => return None
         }
-        val sk = findAscii(bytes, "stream", r.bodyStart)
+        val sk = findAscii(bytes, "stream", lx.pos)
         if (sk < 0 || sk >= r.bodyEnd) return None
         var dataStart = sk + 6
         if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
@@ -370,8 +392,11 @@ object PdfCodec {
                 }
                 if (okH) pairs.foreach { case (on, off) =>
                   val p = first.toLong + off
-                  if (p >= 0 && p < data.length && !objs.contains(on) &&
-                    !inStream.contains(on)) {
+                  // surface EVERY stream copy (first ObjStm wins among
+                  // streams): top-level copies still take precedence in
+                  // objOf's resolution order, but a CORRUPT top-level
+                  // copy now falls back to this one (r15 advice)
+                  if (p >= 0 && p < data.length && !inStream.contains(on)) {
                     try inStream(on) = new Lexer(data, p.toInt, data.length).parseNext(0)
                     catch { case _: Exception => }
                   }
@@ -457,6 +482,28 @@ object PdfCodec {
       }
       if (pageDicts.isEmpty) return None
 
+      /** Per-page font table: /Resources → /Font → (name → ToUnicode
+        * CMap), for the composite-font text path. Fonts without a
+        * usable /ToUnicode stream map to None and keep the byte path.
+        */
+      def pageFonts(pd: PDict): Map[String, UniCMap] =
+        deref(pd.m.getOrElse("Resources", PNull)) match {
+          case PDict(res) => deref(res.getOrElse("Font", PNull)) match {
+            case PDict(fonts) => fonts.flatMap { case (fname, fref) =>
+              deref(fref) match {
+                case PDict(fd) => fd.get("ToUnicode") match {
+                  case Some(PRef(tn)) =>
+                    streamData(tn).flatMap(parseToUnicode).map(fname -> _)
+                  case _ => None
+                }
+                case _ => None
+              }
+            }
+            case _ => Map.empty
+          }
+          case _ => Map.empty
+        }
+
       // ---- per-page content → text ----
       var totalChars = 0
       val pages = pageDicts.iterator.map { pd =>
@@ -465,8 +512,17 @@ object PdfCodec {
           case Some(PArr(items)) => items.collect { case PRef(n) => n }
           case _ => Seq.empty
         }
-        val data = contentRefs.flatMap(streamData).foldLeft(Array.emptyByteArray)(_ ++ _)
-        val t = if (data.isEmpty) "" else extractTextOps(data, MaxTextChars - totalChars)
+        val parts = contentRefs.flatMap(streamData)
+        val data =
+          if (parts.isEmpty) Array.emptyByteArray
+          else if (parts.lengthCompare(1) == 0) parts.head
+          else { // single pre-sized concat: pages carry MANY small streams
+            val out = new java.io.ByteArrayOutputStream(parts.iterator.map(_.length).sum)
+            parts.foreach(out.write)
+            out.toByteArray
+          }
+        val fonts = pageFonts(pd)
+        val t = if (data.isEmpty) "" else extractTextOps(data, MaxTextChars - totalChars, fonts)
         totalChars += t.length
         t
       }.toArray
@@ -507,23 +563,156 @@ object PdfCodec {
     } finally inf.end()
   }
 
+  /** A font's ToUnicode character map: fixed `width`-byte codes (1 or 2,
+    * from the codespacerange — the widths real ToUnicode CMaps declare)
+    * to their Unicode expansions.
+    */
+  private[sources] final case class UniCMap(width: Int, map: Map[Int, String])
+
+  private val MaxCMapEntries = 65536
+
+  /** Parse a /ToUnicode CMap stream (ISO 32000 §9.10.3 / Adobe CMap
+    * grammar subset): `begincodespacerange` fixes the code width,
+    * `beginbfchar` maps single codes, `beginbfrange` maps runs — with
+    * either an incrementing destination string (last UTF-16 unit
+    * advances, per spec) or an explicit destination array. Entry counts
+    * are capped; a CMap with no mappings returns None (byte path).
+    */
+  private[sources] def parseToUnicode(data: Array[Byte]): Option[UniCMap] = {
+    val lx = new Lexer(data, 0, data.length)
+    var width = 0
+    val m = scala.collection.mutable.HashMap.empty[Int, String]
+    def codeOf(b: Array[Byte]): Int = {
+      var v = 0
+      var i = math.max(0, b.length - 4)
+      while (i < b.length) { v = (v << 8) | (b(i) & 0xFF); i += 1 }
+      v
+    }
+    def utf16(b: Array[Byte], delta: Int): String = {
+      if (b.length < 2 || b.length % 2 != 0) return ""
+      val bb = java.util.Arrays.copyOf(b, b.length)
+      if (delta != 0) { // the LAST code unit increments across a bfrange
+        val last = ((bb(bb.length - 2) & 0xFF) << 8 | (bb(bb.length - 1) & 0xFF)) + delta
+        bb(bb.length - 2) = ((last >> 8) & 0xFF).toByte
+        bb(bb.length - 1) = (last & 0xFF).toByte
+      }
+      new String(bb, java.nio.charset.StandardCharsets.UTF_16BE)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Obj]
+    var section = "" // "", codespace, bfchar, bfrange
+    try {
+      while (!lx.atEnd && m.size < MaxCMapEntries) {
+        lx.parseNext(0) match {
+          case POp("begincodespacerange") => section = "codespace"; buf.clear()
+          case POp("beginbfchar") => section = "bfchar"; buf.clear()
+          case POp("beginbfrange") => section = "bfrange"; buf.clear()
+          case POp(op) if op.startsWith("end") => section = ""; buf.clear()
+          case v if section == "codespace" =>
+            buf += v
+            if (buf.length == 2) {
+              (buf(0), buf(1)) match {
+                case (PStr(lo), _) => width = math.max(width, math.min(lo.length, 2))
+                case _ =>
+              }
+              buf.clear()
+            }
+          case v if section == "bfchar" =>
+            buf += v
+            if (buf.length == 2) {
+              (buf(0), buf(1)) match {
+                case (PStr(src), PStr(dst)) => m(codeOf(src)) = utf16(dst, 0)
+                case _ =>
+              }
+              buf.clear()
+            }
+          case v if section == "bfrange" =>
+            buf += v
+            if (buf.length == 3) {
+              (buf(0), buf(1), buf(2)) match {
+                case (PStr(lo), PStr(hi), PStr(dst)) =>
+                  val l = codeOf(lo); val h = codeOf(hi)
+                  var c = l
+                  while (c <= h && c - l < MaxCMapEntries && m.size < MaxCMapEntries) {
+                    m(c) = utf16(dst, c - l); c += 1
+                  }
+                case (PStr(lo), PStr(hi), PArr(dsts)) =>
+                  val l = codeOf(lo); val h = codeOf(hi)
+                  var c = l
+                  while (c <= h && (c - l) < dsts.length && m.size < MaxCMapEntries) {
+                    dsts(c - l) match {
+                      case PStr(d) => m(c) = utf16(d, 0)
+                      case _ =>
+                    }
+                    c += 1
+                  }
+                case _ =>
+              }
+              buf.clear()
+            }
+          case _ => // header boilerplate (/CIDInit, findresource, ...)
+        }
+      }
+    } catch { case _: Exception => /* malformed tail: keep what parsed */ }
+    if (m.isEmpty) None else Some(UniCMap(if (width == 0) 1 else width, m.toMap))
+  }
+
   /** Run the BT…ET text operators of a content stream. Kern ≤ −180
     * thousandths in TJ renders as a space; T* / TD / vertical Td break
-    * lines (suppressed at start / after a break).
+    * lines (suppressed at start / after a break). `fonts` carries the
+    * page's ToUnicode CMaps: after `/Fn size Tf`, show strings decode
+    * through Fn's CMap — `width`-byte big-endian codes to their Unicode
+    * expansions (unmapped wide codes emit nothing rather than garbage;
+    * unmapped 1-byte codes keep the latin-1 path, partial CMaps are
+    * common on simple fonts).
     */
-  private[sources] def extractTextOps(data: Array[Byte], maxChars: Int): String = {
+  private[sources] def extractTextOps(data: Array[Byte], maxChars: Int,
+                                      fonts: Map[String, UniCMap] = Map.empty): String = {
     val sb = new StringBuilder
+    var cmap: Option[UniCMap] = None
     def newline(): Unit =
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
-    def show(s: Array[Byte]): Unit = {
+    def emit(t: String): Unit = {
       var i = 0
-      while (i < s.length && sb.length < maxChars) {
-        val c = s(i) & 0xFF
+      while (i < t.length && sb.length < maxChars) {
+        val c = t.charAt(i)
         if (c == '\n' || c == '\r') newline()
         else if (c == '\t') sb.append(' ')
-        else if (c >= 0x20 && c != 0x7F) sb.append(c.toChar)
+        else if (c >= 0x20 && c != 0x7F) sb.append(c)
         i += 1
       }
+    }
+    def show(s: Array[Byte]): Unit = cmap match {
+      case Some(UniCMap(w, m)) if w > 1 =>
+        var i = 0
+        while (i + w <= s.length && sb.length < maxChars) {
+          var code = 0
+          var j = 0
+          while (j < w) { code = (code << 8) | (s(i + j) & 0xFF); j += 1 }
+          m.get(code).foreach(emit)
+          i += w
+        }
+      case Some(UniCMap(_, m)) =>
+        var i = 0
+        while (i < s.length && sb.length < maxChars) {
+          val c = s(i) & 0xFF
+          m.get(c) match {
+            case Some(t) => emit(t)
+            case None =>
+              if (c == '\n' || c == '\r') newline()
+              else if (c == '\t') sb.append(' ')
+              else if (c >= 0x20 && c != 0x7F) sb.append(c.toChar)
+          }
+          i += 1
+        }
+      case None =>
+        var i = 0
+        while (i < s.length && sb.length < maxChars) {
+          val c = s(i) & 0xFF
+          if (c == '\n' || c == '\r') newline()
+          else if (c == '\t') sb.append(' ')
+          else if (c >= 0x20 && c != 0x7F) sb.append(c.toChar)
+          i += 1
+        }
     }
     val lx = new Lexer(data, 0, data.length)
     val operands = scala.collection.mutable.ArrayBuffer.empty[Obj]
@@ -532,6 +721,9 @@ object PdfCodec {
         lx.parseNext(0) match {
           case POp(op) =>
             op match {
+              case "Tf" => operands.headOption.collect {
+                case PName(f) => cmap = fonts.get(f)
+              }
               case "Tj" => operands.lastOption.collect { case PStr(s) => show(s) }
               case "'" =>
                 newline()

@@ -110,6 +110,14 @@ object ZipCodec {
                 if (n == 0 && !inf.finished()) return None
                 got += n
               }
+              // a central directory UNDERSTATING the real size would
+              // otherwise yield a silently truncated entry: after the
+              // buffer fills the inflater must agree the stream is done
+              // (r15 advice) — probe with a 1-byte sink to settle it
+              if (got == out.length && !inf.finished()) {
+                val probe = new Array[Byte](1)
+                if (inf.inflate(probe) > 0 || !inf.finished()) return None
+              }
               if (got < out.length) None else Some(out)
             } finally inf.end()
           case _ => None // unsupported method

@@ -86,7 +86,8 @@ object Round16Scaling {
         // LSH layer see it; the rest are unique filler
         val cand = spark.range(nCand).select(
           (col("id") + 100000000L).as("doc_id"),
-          when(col("id") % 20 === 0, mkText(col("id") / 20 % nRef, ""))
+          when(col("id") % 20 === 0,
+            mkText(floor(col("id") / 20).cast("long") % nRef, ""))
             .otherwise(mkText(col("id") + 7919L, "u")).as("text"),
           (col("id") % 200).cast("double").as("score"))
           .localCheckpoint(true)

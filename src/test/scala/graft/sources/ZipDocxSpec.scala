@@ -69,6 +69,26 @@ class ZipDocxSpec extends AnyFunSuite {
     assert(EpubCodec.extractText("junk".getBytes).isEmpty)
   }
 
+  test("an understated central-directory size is a loud None, not truncation") {
+    // the CD claims HALF the real uncompressed size: without the
+    // finished() probe the entry would come back silently truncated
+    // (r15 advice)
+    val data = ("payload " * 40).getBytes
+    val z = DocxCodec.writeZip(Seq(("d.txt", data, true)))
+    var i = z.length - 22
+    while (!(z(i) == 'P' && z(i + 1) == 'K' && z(i + 2) == 5 && z(i + 3) == 6)) i -= 1
+    val cd = (z(i + 16) & 0xFF) | ((z(i + 17) & 0xFF) << 8) |
+      ((z(i + 18) & 0xFF) << 16) | ((z(i + 19) & 0xFF) << 24)
+    val lying = z.clone()
+    val small = data.length / 2
+    lying(cd + 24) = (small & 0xFF).toByte
+    lying(cd + 25) = ((small >> 8) & 0xFF).toByte
+    lying(cd + 26) = 0; lying(cd + 27) = 0
+    assert(ZipCodec.readEntry(z, "d.txt").exists(_.sameElements(data)))
+    assert(ZipCodec.readEntry(lying, "d.txt").isEmpty,
+      "an inflate that continues past the declared size must be rejected")
+  }
+
   test("malformed input contract: garbage, truncation, lying sizes — never a throw") {
     assert(DocxCodec.extractText(null).isEmpty)
     assert(DocxCodec.extractText(Array.emptyByteArray).isEmpty)
