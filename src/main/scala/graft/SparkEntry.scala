@@ -1058,6 +1058,111 @@ object SparkEntry {
     out
   }
 
+  /** [[synthMp3Is]]'s SHORT-BLOCK twin for q_mp3_intensity_short (r16):
+    * mode 01 / mode_extension 01, BOTH granules of BOTH channels
+    * window-switched short (wsf = 1, bt = 2, not mixed). The LEFT
+    * channel carries 18 big-values pairs = bands 0–2 (Huffman order:
+    * band-major, window-sub-major — 12 lines per band at 48 kHz); the
+    * RIGHT channel carries 6 all-ones pairs = band 0 only, so every
+    * window's last nonzero right band is 0 and the intensity region is
+    * bands 1–12 PER WINDOW. Right short scalefactors hold the
+    * positions is_pos = 3·((id+f+g+b+w) %% 2) ∈ {0, 3} — the all-right
+    * and equal-split dyadics — while left scalefactors, subblock gains
+    * and global gains keep every xr = ±2^e, so the per-CHANNEL granule
+    * energies ×4096 are exact integers. A hash match proves the
+    * per-window bound derivation in the REORDERED domain, the
+    * per-(band, window) position readout and the ratio split — a
+    * channel-summed or per-granule bound could not.
+    */
+  private[graft] def synthMp3IsShort(id: Long): Array[Byte] = {
+    val nFrames = (6 + id % 3).toInt
+    val frameLen = 576
+    val out = new Array[Byte](nFrames * frameLen)
+    val t1 = Map((0, 0) -> (1, 1), (0, 1) -> (3, 1), (1, 0) -> (2, 1), (1, 1) -> (3, 0))
+    var f = 0
+    while (f < nFrames) {
+      val o = f * frameLen
+      out(o) = 0xFF.toByte
+      out(o + 1) = 0xFB.toByte
+      out(o + 2) = 0xB4.toByte // 192k, 48k, no pad
+      out(o + 3) = 0x50.toByte // mode 01 (joint), mode_ext 01 (intensity only)
+      var bitPos = 0
+      def put(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) == 1) {
+            val bi = o + 4 + bitPos / 8
+            out(bi) = (out(bi) | (1 << (7 - bitPos % 8))).toByte
+          }
+          bitPos += 1
+          i -= 1
+        }
+      }
+      def mag(g: Int, c: Int, l: Int): Int =
+        if (c == 1) 1 else ((id * 7 + f * 11 + g * 13 + l * 3) % 2).toInt
+      def sgn(g: Int, c: Int, l: Int): Int = ((id + f + g + c + l) % 2).toInt
+      def sfL(g: Int, b: Int, w: Int): Int = ((id + 3 * f + 5 * g + b + w) % 4).toInt
+      def sfR(g: Int, b: Int, w: Int): Int = 3 * ((id + f + g + b + w) % 2).toInt
+      def sbg(g: Int, c: Int, w: Int): Int = ((id + f + g + c + w) % 2).toInt
+      def pairBits(g: Int, c: Int): Int = {
+        val end = if (c == 0) 36 else 12
+        (0 until end by 2).map { l =>
+          val (x, y) = (mag(g, c, l), mag(g, c, l + 1))
+          t1((x, y))._1 + x + y
+        }.sum
+      }
+      // ---- side info (32 bytes, stereo) ----
+      put(0, 9); put(0, 3); put(0, 8)
+      var g = 0
+      while (g < 2) {
+        var c = 0
+        while (c < 2) {
+          put(72 + pairBits(g, c), 12) // 12 bands × 3 windows × slen 2
+          put(if (c == 0) 18 else 6, 9)
+          put(210 + 4 * ((id + f + g + 2 * c) % 4).toInt, 8)
+          put(9, 4)                     // scalefac_compress → 2/2
+          put(1, 1)                     // window switching
+          put(2, 2); put(0, 1)          // block_type 2, not mixed
+          put(1, 5); put(0, 5)          // tables 1, 0
+          put(sbg(g, c, 0), 3); put(sbg(g, c, 1), 3); put(sbg(g, c, 2), 3)
+          put(0, 1); put(1, 1); put(1, 1) // preflag, scalefac_scale=1, c1t
+          c += 1
+        }
+        g += 1
+      }
+      // ---- main data ----
+      g = 0
+      while (g < 2) {
+        var c = 0
+        while (c < 2) {
+          var b = 0
+          while (b < 12) {
+            var w = 0
+            while (w < 3) {
+              put(if (c == 0) sfL(g, b, w) else sfR(g, b, w), 2)
+              w += 1
+            }
+            b += 1
+          }
+          val end = if (c == 0) 36 else 12
+          var l = 0
+          while (l < end) {
+            val (x, y) = (mag(g, c, l), mag(g, c, l + 1))
+            val (len, code) = t1((x, y))
+            put(code, len)
+            if (x != 0) put(sgn(g, c, l), 1)
+            if (y != 0) put(sgn(g, c, l + 1), 1)
+            l += 2
+          }
+          c += 1
+        }
+        g += 1
+      }
+      f += 1
+    }
+    out
+  }
+
   /** [[synthMp3L3]]'s WINDOW-SWITCHED twin for q_mp3_short: mono
     * 48 kHz / 192 kbps / 576-byte frames where every frame's granule 0
     * is a SHORT block (window_switching = 1, block_type 2, non-mixed)
@@ -3606,6 +3711,20 @@ object SparkEntry {
       val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id")).as[Long]
         .map(id => (id, synthMp3Is(id)))
+        .toDF("doc_id", "media")
+      Multimodal.mp3ChannelSpectralFingerprintDF(media, "doc_id")
+        .select(col("doc_id"), col("sample_rate"), col("n_frames"), col("n_granules"),
+          shiftrightunsigned(col("afp"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("afp_hi"),
+          col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
+        .orderBy("doc_id")
+    },
+    // intensity stereo with SHORT blocks (r16): per-window bounds and
+    // positions in the reordered domain — dyadic is_pos ∈ {0, 3} splits
+    "q_mp3_intensity_short" -> { (s, dir) =>
+      import s.implicits._
+      val media = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, synthMp3IsShort(id)))
         .toDF("doc_id", "media")
       Multimodal.mp3ChannelSpectralFingerprintDF(media, "doc_id")
         .select(col("doc_id"), col("sample_rate"), col("n_frames"), col("n_granules"),
@@ -7038,6 +7157,55 @@ object SparkEntry {
     // split by position p = 3·((id+f+g+band)%2): p = 0 → all right,
     // p = 3 → both at xr/2 (amplitude exponent −1); per-channel energies
     // ×4096 ride the q_mp3_ms_decode envelope shape
+    // Layer-III SHORT-block intensity: left lines 0..35 are bands
+    // l//12, windows (l%12)//4; band 0 is below every window's bound
+    // (the right channel's all-ones band 0), bands 1-2 split by
+    // is_pos ∈ {0 → all-right, 3 → halves}; per-channel energy ×4096
+    "q_mp3_intensity_short" ->
+      """WITH d AS (SELECT doc_id, 6 + doc_id % 3 AS nf FROM documents WHERE doc_id < 100),
+        | lf AS (SELECT doc_id, nf, fr.f, gr.g, ln.l,
+        |     ln.l // 12 AS b, (ln.l % 12) // 4 AS w,
+        |     (doc_id * 7 + fr.f * 11 + gr.g * 13 + ln.l * 3) % 2 AS vm,
+        |     (doc_id + fr.f + gr.g) % 4 AS al,
+        |     (doc_id + fr.f + gr.g + 2) % 4 AS ar
+        |   FROM d, (SELECT unnest(generate_series(0, 7)) AS f) fr,
+        |        (SELECT unnest(generate_series(0, 1)) AS g) gr,
+        |        (SELECT unnest(generate_series(0, 35)) AS l) ln
+        |   WHERE fr.f < nf),
+        | mv AS (SELECT doc_id, nf, f, g, l, b, w, vm,
+        |     CAST(2 * (al - ((doc_id + 3*f + 5*g + b + w) % 4)
+        |       - 2 * ((doc_id + f + g + w) % 2)) + 12 AS INT) AS shl,
+        |     CAST(2 * (ar - 3 * ((doc_id + f + g + w) % 2)
+        |       - 2 * ((doc_id + f + g + 1 + w) % 2)) + 12 AS INT) AS shr,
+        |     (doc_id + f + g + b + w) % 2 AS half
+        |   FROM lf),
+        | eg AS (SELECT doc_id, nf, f * 2 + g AS grn,
+        |     CAST(sum(CASE WHEN l < 12 THEN vm * (CAST(1 AS BIGINT) << shl)
+        |       WHEN half = 1 THEN vm * (CAST(1 AS BIGINT) << (shl - 2))
+        |       ELSE 0 END) AS BIGINT) AS el,
+        |     CAST(sum(CASE WHEN l < 12 THEN (CAST(1 AS BIGINT) << shr)
+        |       WHEN half = 1 THEN vm * (CAST(1 AS BIGINT) << (shl - 2))
+        |       ELSE vm * (CAST(1 AS BIGINT) << shl) END) AS BIGINT) AS er
+        |   FROM mv GROUP BY 1, 2, 3),
+        | en AS (SELECT doc_id, nf, grn * 2 AS gi, el AS e FROM eg
+        |   UNION ALL SELECT doc_id, nf, grn * 2 + 1 AS gi, er AS e FROM eg),
+        | win0 AS (SELECT doc_id, (gi * 65) // (nf * 4) AS w, sum(e) AS we
+        |   FROM en GROUP BY 1, 2),
+        | wall AS (SELECT d.doc_id, wi.w, coalesce(win0.we, 0) AS we
+        |   FROM d CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS w) wi
+        |   LEFT JOIN win0 ON win0.doc_id = d.doc_id AND win0.w = wi.w),
+        | bits AS (SELECT a.doc_id, a.w, CASE WHEN a.we < b.we THEN 1 ELSE 0 END AS bit
+        |   FROM wall a JOIN wall b ON a.doc_id = b.doc_id AND b.w = a.w + 1 WHERE a.w < 64),
+        | fp AS (SELECT doc_id,
+        |   CAST(coalesce(sum(CASE WHEN w >= 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << CAST(w - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS afp_hi,
+        |   CAST(coalesce(sum(CASE WHEN w < 32 AND bit = 1
+        |     THEN (CAST(1 AS BIGINT) << CAST(w AS INT)) ELSE 0 END), 0) AS BIGINT) AS afp_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(48000 AS BIGINT) AS sample_rate,
+        |  CAST(d.nf AS BIGINT) AS n_frames, CAST(d.nf * 2 AS BIGINT) AS n_granules,
+        |  fp.afp_hi, fp.afp_lo
+        |FROM d JOIN fp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "q_mp3_intensity" ->
       """WITH d AS (SELECT doc_id, 6 + doc_id % 3 AS nf FROM documents WHERE doc_id < 100),
         | lf AS (SELECT doc_id, nf, fr.f, gr.g, ln.l,

@@ -65,9 +65,13 @@ package graft.ops
   * left spectra via is_ratio = tan(is_pos·π/12) with the right
   * channel's raw scalefactors as positions, is_pos 7 the illegal
   * marker and 6 the all-left limit — gated by q_mp3_intensity) and
-  * their combination (bit pattern '11': MS below the intensity bound).
-  * Intensity with SHORT blocks is rejected loudly (per-window
-  * positions are out of scope).
+  * their combination (bit pattern '11': MS below the intensity bound) —
+  * including intensity with SHORT blocks (r16): bounds and positions
+  * are PER WINDOW in the reordered (band, line, window) domain, gated
+  * by q_mp3_intensity_short. The mixed-block and MS-combined short
+  * intensity variants are rejected loudly (a per-window MS bound is
+  * out of scope), as is a long/short channel-layout mismatch under
+  * intensity.
   *
   * Robustness contract (PcmCodec/Mp1Codec/Mp2Codec): malformed, hostile
   * or truncated input yields `None` (or the frames decoded so far),
@@ -482,12 +486,20 @@ object Mp3Codec {
                   if (ts.take(if (wsf == 1) 2 else 3)
                         .exists(t => t != 0 && !BigTables.contains(t)))
                     badSide = true
-                  // intensity positions are defined per scalefactor band —
-                  // the short-window variant is out of scope, loudly
-                  if (intensityStereo && wsf == 1 && bt == 2)
+                  // intensity + SHORT decodes since r16 (per-window
+                  // positions); the mixed-block and MS-combined short
+                  // variants stay out of scope, loudly
+                  if (intensityStereo && wsf == 1 && bt == 2 &&
+                    (mixed || msStereo))
                     badSide = true
                   c += 1
                 }
+                // intensity reconstruction needs one spectral layout
+                // across channels: a long-left/short-right granule has
+                // no well-defined bound — reject, never mis-decode
+                if (intensityStereo && ch == 2 &&
+                  gr(g)(0).isShort != gr(g)(1).isShort)
+                  badSide = true
                 g += 1
               }
               if (badSide) { ok = false }
@@ -516,6 +528,7 @@ object Mp3Codec {
                       // scalefactors (as is_pos) and its zero-part start
                       val xrs = new Array[Array[Double]](ch)
                       val sfRaw = Array.ofDim[Int](ch, 21)
+                      val sfSRaw = Array.ofDim[Int](ch, 12, 3)
                       val rzero = new Array[Int](ch)
                       c = 0
                       while (c < ch) {
@@ -610,6 +623,11 @@ object Mp3Codec {
                         r.bitPos = grStartBit + gi.part23
                         rzero(c) = line
                         System.arraycopy(sf, 0, sfRaw(c), 0, 21)
+                        var sb2 = 0
+                        while (sb2 < 12) {
+                          System.arraycopy(sfS(sb2), 0, sfSRaw(c)(sb2), 0, 3)
+                          sb2 += 1
+                        }
                         // requantize
                         val xr = new Array[Double](576)
                         val gain = math.pow(2.0, (gi.globalGain - 210) / 4.0)
@@ -708,8 +726,9 @@ object Mp3Codec {
                       // raw scalefactor (7 = illegal marker: left as-is;
                       // 6 = the r → ∞ limit: L = xr, R = 0; band 21
                       // reuses band 20's position — ISO §2.4.3.4.4)
+                      val rightShort = ch == 2 && gr(g)(1).isShort
                       val isBound =
-                        if (!(intensityStereo && ch == 2)) 576
+                        if (!(intensityStereo && ch == 2) || rightShort) 576
                         else {
                           var b = 0
                           while (b < 22 && bounds(b) < rzero(1)) b += 1
@@ -726,7 +745,73 @@ object Mp3Codec {
                           i += 1
                         }
                       }
-                      if (intensityStereo && ch == 2 && isBound < 576) {
+                      if (intensityStereo && rightShort) {
+                        // SHORT-block intensity (r16): positions and
+                        // bounds are PER WINDOW (ISO §2.4.3.4.4 — each
+                        // window is processed separately). In the
+                        // reordered (band, line, window) layout, window w
+                        // of band b occupies positions start + 3·li + w.
+                        // The bound for window w is the band above the
+                        // right channel's last nonzero value in that
+                        // window; is_pos = the right channel's short
+                        // scalefactor (7 illegal → untouched, 6 the
+                        // all-left limit; band 12 reuses band 11's
+                        // position, the short analog of 21←20)
+                        val sw = SfbWidthsShort(rate)
+                        val lastNz = Array(-1, -1, -1)
+                        var b = 0
+                        var start = 0
+                        while (b < 13) {
+                          val wW = sw(b)
+                          var li = 0
+                          while (li < wW) {
+                            var w = 0
+                            while (w < 3) {
+                              if (xrs(1)(start + 3 * li + w) != 0.0 && b > lastNz(w))
+                                lastNz(w) = b
+                              w += 1
+                            }
+                            li += 1
+                          }
+                          start += 3 * wW
+                          b += 1
+                        }
+                        b = 0
+                        start = 0
+                        while (b < 13) {
+                          val wW = sw(b)
+                          var w = 0
+                          while (w < 3) {
+                            if (b > lastNz(w)) {
+                              val isPos = sfSRaw(1)(math.min(b, 11))(w)
+                              if (isPos != 7) {
+                                var li = 0
+                                if (isPos == 6) {
+                                  while (li < wW) {
+                                    xrs(1)(start + 3 * li + w) = 0.0
+                                    li += 1
+                                  }
+                                } else {
+                                  val r0 = math.tan(isPos * math.Pi / 12.0)
+                                  val fl = r0 / (1.0 + r0)
+                                  val fr = 1.0 / (1.0 + r0)
+                                  while (li < wW) {
+                                    val p0 = start + 3 * li + w
+                                    val v = xrs(0)(p0)
+                                    xrs(0)(p0) = v * fl
+                                    xrs(1)(p0) = v * fr
+                                    li += 1
+                                  }
+                                }
+                              }
+                            }
+                            w += 1
+                          }
+                          start += 3 * wW
+                          b += 1
+                        }
+                      }
+                      if (intensityStereo && ch == 2 && !rightShort && isBound < 576) {
                         var b = 0
                         while (bounds(b) < isBound) b += 1
                         while (b < 22) {

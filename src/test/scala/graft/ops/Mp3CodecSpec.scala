@@ -461,11 +461,28 @@ class Mp3CodecSpec extends AnyFunSuite {
         }
       }
     }
-    // intensity with SHORT blocks stays out of scope, loudly
+    // pure-short intensity decodes since r16 (q_mp3_intensity_short);
+    // a mono fixture remarked stereo is still malformed and rejects
     val shortIs = graft.SparkEntry.synthMp3Short(0L).clone()
     shortIs(3) = 0x50.toByte // mono fixture remarked joint+intensity: stereo
     assert(Mp3Codec.decode(shortIs).isEmpty,
-      "intensity + short blocks must reject (and a mono→stereo remark is malformed anyway)")
+      "a mono→stereo remark is malformed and must reject")
+    // the r16 fixture round-trips: per-window bounds, {0,3} positions
+    val isShort = Mp3Codec.decode(graft.SparkEntry.synthMp3IsShort(1L))
+      .getOrElse(fail("short-intensity fixture did not decode"))
+    assert(isShort.channels == 2 && isShort.nFrames == 7)
+    // every right-channel granule must carry band-0 data AND intensity
+    // contributions above it (band 1+ positions are strided w mod 3)
+    for (gc <- 0 until 4) {
+      val xrR = isShort.spectra(gc * 2 + 1)
+      assert(xrR.take(12).exists(_ != 0.0), s"gc=$gc right band 0")
+    }
+    // MS + intensity + short stays a loud reject (per-window MS bound
+    // is out of scope), as does mixed + intensity
+    val msIs = graft.SparkEntry.synthMp3IsShort(1L).clone()
+    msIs(3) = 0x70.toByte // mode_ext 11: MS + intensity
+    assert(Mp3Codec.decode(msIs).isEmpty,
+      "MS + intensity + short must reject loudly")
   }
 
   test("malformed input contract: garbage, empties and truncation never throw") {
