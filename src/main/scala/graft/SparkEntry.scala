@@ -4059,6 +4059,12 @@ object SparkEntry {
     "q_perplexity" -> { (s, dir) =>
       FullText.bigramSurprisal(docsPar(s, dir)).orderBy("doc_id")
     },
+    // interpolated Kneser-Ney TRIGRAM surprisal (r16 — the CCNet/KenLM
+    // order class): five count tables derived from one trigram-type agg,
+    // doc side pre-aggregated to (doc, trigram, k) before the joins
+    "q_perplexity_kn" -> { (s, dir) =>
+      FullText.trigramSurprisalKN(docsPar(s, dir)).orderBy("doc_id")
+    },
     // CCNet head/middle/tail perplexity bucketing: per-language exact
     // order-statistic thresholds over the MIL-nat integer score histogram
     // (no global sort — the histogram is langs × score-resolution rows)
@@ -7765,6 +7771,44 @@ object SparkEntry {
          | agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(m) AS s FROM sc GROUP BY doc_id)
          |SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
          |  coalesce(round(s / (n_bigrams * 1000000.0), 6), 0.0) AS avg_neg_logp
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // KN trigram replay: same count derivations (c3 type table -> ctx /
+    // low / ctx2 / cont / totals), same double-expression shapes, same
+    // micro-nat rounding; self-trained so no fallback branch fires, but
+    // the CASEs mirror the Spark plan regardless
+    "q_perplexity_kn" ->
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         | inst AS (SELECT doc_id,
+         |     unnest(list_transform(range(1, len(w) - 1), i -> w[i])) AS w1,
+         |     unnest(list_transform(range(1, len(w) - 1), i -> w[i+1])) AS w2,
+         |     unnest(list_transform(range(1, len(w) - 1), i -> w[i+2])) AS w3
+         |   FROM t WHERE len(w) >= 3),
+         | c3 AS (SELECT w1, w2, w3, count(*) AS tc FROM inst GROUP BY 1, 2, 3),
+         | ctx AS (SELECT w1, w2, sum(tc) AS c2, count(*) AS mid FROM c3 GROUP BY 1, 2),
+         | low AS (SELECT w2, w3, count(*) AS lowc FROM c3 GROUP BY 1, 2),
+         | ctx2 AS (SELECT w2, sum(lowc) AS ctot, count(*) AS ctyp FROM low GROUP BY 1),
+         | cont AS (SELECT w3, count(*) AS cw3 FROM low GROUP BY 1),
+         | tot AS (SELECT (SELECT count(*) FROM low) AS n2types,
+         |     (SELECT count(DISTINCT u) FROM (SELECT unnest(w) AS u FROM t)) AS v),
+         | dt AS (SELECT doc_id, w1, w2, w3, count(*) AS k FROM inst GROUP BY 1, 2, 3, 4),
+         | sc AS (SELECT dt.doc_id, dt.k,
+         |     CAST(round(-ln(
+         |       CASE WHEN coalesce(c2, 0) > 0 THEN
+         |         (greatest(coalesce(tc, 0) - 0.75, 0.0) + 0.75 * coalesce(mid, 0) *
+         |           (CASE WHEN coalesce(ctot, 0) > 0 THEN
+         |             (greatest(coalesce(lowc, 0) - 0.75, 0.0) + 0.75 * coalesce(ctyp, 0) *
+         |               ((coalesce(cw3, 0) + 1.0) / (n2types + v))) / ctot
+         |            ELSE (coalesce(cw3, 0) + 1.0) / (n2types + v) END)) / c2
+         |       WHEN coalesce(ctot, 0) > 0 THEN
+         |         (greatest(coalesce(lowc, 0) - 0.75, 0.0) + 0.75 * coalesce(ctyp, 0) *
+         |           ((coalesce(cw3, 0) + 1.0) / (n2types + v))) / ctot
+         |       ELSE (coalesce(cw3, 0) + 1.0) / (n2types + v) END) * 1000000) AS BIGINT) AS m
+         |   FROM dt LEFT JOIN c3 USING (w1, w2, w3) LEFT JOIN ctx USING (w1, w2)
+         |     LEFT JOIN low USING (w2, w3) LEFT JOIN ctx2 USING (w2)
+         |     LEFT JOIN cont USING (w3), tot),
+         | agg AS (SELECT doc_id, sum(k) AS n_trigrams, sum(k * m) AS s FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(n_trigrams, 0) AS BIGINT) AS n_trigrams,
+         |  coalesce(round(s / (n_trigrams * 1000000.0), 6), 0.0) AS avg_neg_logp
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // CCNet bucketing: the q_perplexity integer pipeline, then MIL-nat
     // floor, per-lang histogram cumsum, t_k = min score with cum·3 ≥ k·n,

@@ -425,6 +425,96 @@ object FullText {
         col("s"))
   }
 
+  /** Interpolated Kneser-Ney TRIGRAM surprisal — the n-gram-LM quality
+    * score at the order class CCNet actually uses (Wenzek et al. 2020
+    * score with a KenLM 5-gram; KN smoothing is KenLM's default), self-
+    * trained like [[bigramSurprisal]]. Standard interpolated KN with a
+    * fixed absolute discount D (Chen & Goodman 1999 eq. 4.22 family):
+    *
+    *   P(w3|w1w2) = (max(c(w1w2w3)−D, 0) + D·N1+(w1w2·)·P(w3|w2)) / c(w1w2·)
+    *   P(w3|w2)   = (max(N1+(·w2w3)−D, 0) + D·N1+(w2·)·Pc(w3)) / N1+(·w2·)
+    *   Pc(w3)     = (N1+(·w3) + 1) / (N1+(··) + V)
+    *
+    * with the continuation counts N1+ taken from the trigram type table
+    * (c(w1w2·) is the trigram-prefix count, so every level is derived
+    * from ONE c3 aggregation), a +1/V Laplace floor on the continuation
+    * distribution (so scoring a FOREIGN corpus against this LM never
+    * hits a zero), and unseen-context fallbacks P→lower order. Per-doc
+    * score = mean −ln P over trigram positions, each position rounded
+    * to LONG micro-nats first (the [[bigramSurprisal]] determinism
+    * discipline — integer sums are order-independent).
+    *
+    * Scale shape (the r15 pre-aggregation trick, both sides): documents
+    * collapse to (doc, w1, w2, w3, k) BEFORE the count joins, so Zipf
+    * heavy hitters join once per doc; the five count tables are
+    * map-side-combined aggs of the c3 table, shuffled on their own join
+    * keys and broadcast when small. Returns one row per input doc:
+    * (idCol, n_trigrams, avg_neg_logp).
+    */
+  def trigramSurprisalKN(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id",
+                         discount: Double = 0.75): DataFrame =
+    trigramSurprisalKNRaw(docs, textCol, idCol, discount)
+      .select(col(idCol), col("n_trigrams"),
+        coalesce(round(col("s") / (col("n_trigrams") * Micro), 6), lit(0.0))
+          .as("avg_neg_logp"))
+
+  /** [[trigramSurprisalKN]] with the exact integer accumulator exposed
+    * ((id, n_trigrams, s) micro-nat sum — the [[bigramSurprisalRaw]]
+    * contract, so [[surprisalBuckets]]-style consumers can stay exact).
+    */
+  private[graft] def trigramSurprisalKNRaw(docs: DataFrame, textCol: String,
+                                           idCol: String,
+                                           discount: Double): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    val d = lit(discount)
+    val toks = docs.select(col(idCol), textkernel.word_tokens(col(textCol)).as("w"))
+    val tris = toks.select(col(idCol), explode(when(size(col("w")) >= 3,
+        transform(sequence(lit(1), size(col("w")) - 2),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2"),
+            element_at(col("w"), i + 2).as("w3"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
+      .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
+    // the LM: one trigram TYPE table, everything else derived from it
+    val c3 = tris.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("tc"))
+    val ctx = c3.groupBy("w1", "w2")
+      .agg(sum("tc").as("c2"), count(lit(1)).as("mid")) // c(w1w2·), N1+(w1w2·)
+    val low = c3.groupBy("w2", "w3").agg(count(lit(1)).as("lowc")) // N1+(·w2w3)
+    val ctx2 = low.groupBy("w2")
+      .agg(sum("lowc").as("ctot"), count(lit(1)).as("ctyp")) // N1+(·w2·), N1+(w2·)
+    val cont = low.groupBy("w3").agg(count(lit(1)).as("cw3")) // N1+(·w3)
+    val totals = low.agg(count(lit(1)).as("n2types"))
+      .crossJoin(toks.select(explode(col("w")).as("u")).agg(count_distinct(col("u")).as("v")))
+    // documents collapse to distinct trigrams with multiplicity first
+    val docTris = tris.groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("k"))
+    val p1 = (coalesce(col("cw3"), lit(0L)) + lit(1.0)) /
+      (col("n2types") + col("v"))
+    val p2 = when(coalesce(col("ctot"), lit(0L)) > 0,
+        (greatest(coalesce(col("lowc"), lit(0L)) - d, lit(0.0)) +
+          d * coalesce(col("ctyp"), lit(0L)) * p1) / col("ctot"))
+      .otherwise(p1)
+    val p3 = when(coalesce(col("c2"), lit(0L)) > 0,
+        (greatest(coalesce(col("tc"), lit(0L)) - d, lit(0.0)) +
+          d * coalesce(col("mid"), lit(0L)) * p2) / col("c2"))
+      .otherwise(p2)
+    val scored = docTris
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .join(low, Seq("w2", "w3"), "left")
+      .join(ctx2, Seq("w2"), "left")
+      .join(cont, Seq("w3"), "left")
+      .join(broadcast(totals))
+      .withColumn("neg_logp_micro", round(-log(p3) * Micro).cast(LongType))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_trigrams"),
+        sum(col("k") * col("neg_logp_micro")).as("s"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("s"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 — the
     * head/middle/tail split LLaMA-class corpora are built on): per
     * language, documents are cut into `nBuckets` equal-count bands by

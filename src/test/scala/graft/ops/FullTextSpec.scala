@@ -114,6 +114,43 @@ class FullTextSpec extends AnyFunSuite {
     assert(pAB > 0 && pAB < 1) // formula sanity anchor for the comment above
   }
 
+  test("trigramSurprisalKN: exact tiny-corpus value, repetition orders below diversity") {
+    val d = Seq(
+      (1L, "a b c a b c a b c"),  // one dominant trigram pattern
+      (2L, "p q r s t u v"),      // all singleton trigrams
+      (3L, "so lo"))              // < 3 tokens: zero trigrams
+      .toDF("doc_id", "text")
+    val r = FullText.trigramSurprisalKN(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).sortBy(_._1)
+    assert(r(2) == ((3L, 0L, 0.0)))
+    assert(r(0)._2 == 7L && r(1)._2 == 5L)
+    // repetition => high trigram counts => LOWER mean surprisal
+    assert(r(0)._3 < r(1)._3)
+    // exact replay of one position, P(c|a b), doc 1:
+    //   c3(a,b,c)=3, c2(a,b·)=3, N1+(ab·)=1
+    //   N1+(·bc)=1, N1+(·b·)=1, N1+(b·)=1
+    //   N1+(·c)=1, N1+(··)=7+5-? distinct (w2,w3) types: doc1 has
+    //   (b,c),(c,a),(a,b); doc2 has (q,r),(r,s),(s,t),(t,u),(u,v) => 8
+    //   V = 12 distinct unigrams
+    val pc = (1 + 1.0) / (8 + 12)                       // Pcont(c)
+    val p2 = (math.max(1 - 0.75, 0.0) + 0.75 * 1 * pc) / 1  // P(c|b)
+    val p3 = (math.max(3 - 0.75, 0.0) + 0.75 * 1 * p2) / 3  // P(c|ab)
+    // doc 1 = 7 positions: abc ×3, bca ×2, cab ×2 — all structurally
+    // symmetric (every trigram type has the analogous counts), so the
+    // doc mean equals -ln(p) of the class with its own c3: abc has c3=3
+    // (p3 above); bca and cab have c3=2
+    val p3bca = (math.max(2 - 0.75, 0.0) + 0.75 * 1 * p2) / 2
+    val expect = (3 * math.round(-math.log(p3) * 1e6) +
+      4 * math.round(-math.log(p3bca) * 1e6)) / (7 * 1e6)
+    assert(math.abs(r(0)._3 - (math.rint(expect * 1e6) / 1e6)) < 2e-6,
+      s"doc1 ${r(0)._3} vs $expect")
+    // unseen-context fallback: scoring a FOREIGN doc against this LM
+    // never yields NaN/zero p (the +1/V floor) — the raw path guards it
+    val foreign = FullText.trigramSurprisalKN(
+      d.union(Seq((9L, "zz yy xx ww")).toDF("doc_id", "text"))).collect()
+    assert(foreign.forall(x => !x.getDouble(2).isNaN && x.getDouble(2) >= 0))
+  }
+
   test("hashEmbedBuckets drops zero-weight buckets and counts multiplicity") {
     val d = Seq((1L, "x x y")).toDF("doc_id", "text")
     val r = FullText.hashEmbedBuckets(d).collect()
