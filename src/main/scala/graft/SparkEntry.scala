@@ -4073,6 +4073,12 @@ object SparkEntry {
         .withColumn("bucket", col("bucket").cast("long"))
         .orderBy("doc_id")
     },
+    // the same CCNet bucketing over the r16 KN trigram LM (order = 3)
+    "q_ccnet_bucket_kn" -> { (s, dir) =>
+      FullText.surprisalBuckets(docsPar(s, dir), order = 3)
+        .withColumn("bucket", col("bucket").cast("long"))
+        .orderBy("doc_id")
+    },
     "q_stratified" -> { (s, dir) =>
       Sampling.stratifiedSample(tbl(s, dir, "documents"), StratFractions, groupCol = "lang")
         .select(col("doc_id"), col("lang")).orderBy("doc_id")
@@ -7806,10 +7812,62 @@ object SparkEntry {
          |   FROM dt LEFT JOIN c3 USING (w1, w2, w3) LEFT JOIN ctx USING (w1, w2)
          |     LEFT JOIN low USING (w2, w3) LEFT JOIN ctx2 USING (w2)
          |     LEFT JOIN cont USING (w3), tot),
-         | agg AS (SELECT doc_id, sum(k) AS n_trigrams, sum(k * m) AS s FROM sc GROUP BY doc_id)
-         |SELECT d.doc_id, CAST(coalesce(n_trigrams, 0) AS BIGINT) AS n_trigrams,
-         |  coalesce(round(s / (n_trigrams * 1000000.0), 6), 0.0) AS avg_neg_logp
+         | agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n, CAST(sum(k * m) AS BIGINT) AS s FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_trigrams,
+         |  coalesce(round(s / (n * 1000000.0), 6), 0.0) AS avg_neg_logp
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // CCNet bucketing over the KN trigram scores: the q_perplexity_kn
+    // CTEs + the q_ccnet_bucket histogram/threshold tail
+    "q_ccnet_bucket_kn" ->
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         | inst AS (SELECT doc_id,
+         |     unnest(list_transform(range(1, len(w) - 1), i -> w[i])) AS w1,
+         |     unnest(list_transform(range(1, len(w) - 1), i -> w[i+1])) AS w2,
+         |     unnest(list_transform(range(1, len(w) - 1), i -> w[i+2])) AS w3
+         |   FROM t WHERE len(w) >= 3),
+         | c3 AS (SELECT w1, w2, w3, count(*) AS tc FROM inst GROUP BY 1, 2, 3),
+         | ctx AS (SELECT w1, w2, sum(tc) AS c2, count(*) AS mid FROM c3 GROUP BY 1, 2),
+         | low AS (SELECT w2, w3, count(*) AS lowc FROM c3 GROUP BY 1, 2),
+         | ctx2 AS (SELECT w2, sum(lowc) AS ctot, count(*) AS ctyp FROM low GROUP BY 1),
+         | cont AS (SELECT w3, count(*) AS cw3 FROM low GROUP BY 1),
+         | tot AS (SELECT (SELECT count(*) FROM low) AS n2types,
+         |     (SELECT count(DISTINCT u) FROM (SELECT unnest(w) AS u FROM t)) AS v),
+         | dt AS (SELECT doc_id, w1, w2, w3, count(*) AS k FROM inst GROUP BY 1, 2, 3, 4),
+         | sc AS (SELECT dt.doc_id, dt.k,
+         |     CAST(round(-ln(
+         |       CASE WHEN coalesce(c2, 0) > 0 THEN
+         |         (greatest(coalesce(tc, 0) - 0.75, 0.0) + 0.75 * coalesce(mid, 0) *
+         |           (CASE WHEN coalesce(ctot, 0) > 0 THEN
+         |             (greatest(coalesce(lowc, 0) - 0.75, 0.0) + 0.75 * coalesce(ctyp, 0) *
+         |               ((coalesce(cw3, 0) + 1.0) / (n2types + v))) / ctot
+         |            ELSE (coalesce(cw3, 0) + 1.0) / (n2types + v) END)) / c2
+         |       WHEN coalesce(ctot, 0) > 0 THEN
+         |         (greatest(coalesce(lowc, 0) - 0.75, 0.0) + 0.75 * coalesce(ctyp, 0) *
+         |           ((coalesce(cw3, 0) + 1.0) / (n2types + v))) / ctot
+         |       ELSE (coalesce(cw3, 0) + 1.0) / (n2types + v) END) * 1000000) AS BIGINT) AS m
+         |   FROM dt LEFT JOIN c3 USING (w1, w2, w3) LEFT JOIN ctx USING (w1, w2)
+         |     LEFT JOIN low USING (w2, w3) LEFT JOIN ctx2 USING (w2)
+         |     LEFT JOIN cont USING (w3), tot),
+         | agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n, CAST(sum(k * m) AS BIGINT) AS s FROM sc GROUP BY doc_id),
+         | scored AS (SELECT d.doc_id, d.lang, s // (n * 1000) AS score
+         |   FROM documents d LEFT JOIN agg USING (doc_id)),
+         | hist AS (SELECT lang, score, count(*) AS c FROM scored
+         |   WHERE score IS NOT NULL GROUP BY lang, score),
+         | cum AS (SELECT lang, score,
+         |     sum(c) OVER (PARTITION BY lang ORDER BY score) AS cum,
+         |     sum(c) OVER (PARTITION BY lang) AS n FROM hist),
+         | th AS (SELECT lang,
+         |     min(CASE WHEN cum * 3 >= n * 1 THEN score END) AS t1,
+         |     min(CASE WHEN cum * 3 >= n * 2 THEN score END) AS t2
+         |   FROM cum GROUP BY lang)
+         |SELECT s.doc_id, s.lang, s.score AS score_mnat,
+         |  CAST(CASE WHEN s.score IS NULL THEN 2 ELSE
+         |    (CASE WHEN s.score > t1 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN s.score > t2 THEN 1 ELSE 0 END) END AS BIGINT) AS bucket,
+         |  CASE WHEN s.score IS NULL THEN 'tail'
+         |    WHEN s.score <= t1 THEN 'head'
+         |    WHEN s.score <= t2 THEN 'middle' ELSE 'tail' END AS bucket_name
+         |FROM scored s LEFT JOIN th USING (lang) ORDER BY s.doc_id""".stripMargin,
     // CCNet bucketing: the q_perplexity integer pipeline, then MIL-nat
     // floor, per-lang histogram cumsum, t_k = min score with cum·3 ≥ k·n,
     // bucket = #{k : score > t_k}; no-bigram docs land in tail (bucket 2)

@@ -476,8 +476,13 @@ object FullText {
             element_at(col("w"), i + 2).as("w3"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
       .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
+    // documents collapse to distinct trigrams with multiplicity FIRST —
+    // every count table below derives from this one aggregation, so the
+    // instance rows are exploded and shuffled exactly once
+    val docTris = tris.groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("k"))
     // the LM: one trigram TYPE table, everything else derived from it
-    val c3 = tris.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("tc"))
+    val c3 = docTris.groupBy("w1", "w2", "w3").agg(sum("k").as("tc"))
     val ctx = c3.groupBy("w1", "w2")
       .agg(sum("tc").as("c2"), count(lit(1)).as("mid")) // c(w1w2·), N1+(w1w2·)
     val low = c3.groupBy("w2", "w3").agg(count(lit(1)).as("lowc")) // N1+(·w2w3)
@@ -486,9 +491,14 @@ object FullText {
     val cont = low.groupBy("w3").agg(count(lit(1)).as("cw3")) // N1+(·w3)
     val totals = low.agg(count(lit(1)).as("n2types"))
       .crossJoin(toks.select(explode(col("w")).as("u")).agg(count_distinct(col("u")).as("v")))
-    // documents collapse to distinct trigrams with multiplicity first
-    val docTris = tris.groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("k"))
+    // consolidate the five stats onto the TYPE table (joins among count
+    // tables, each ≤ the type count) so the DOC side — the big side —
+    // pays ONE (w1,w2,w3)-keyed join instead of five
+    val lm = c3
+      .join(ctx, Seq("w1", "w2"))
+      .join(low, Seq("w2", "w3"))
+      .join(ctx2, Seq("w2"))
+      .join(cont, Seq("w3"))
     val p1 = (coalesce(col("cw3"), lit(0L)) + lit(1.0)) /
       (col("n2types") + col("v"))
     val p2 = when(coalesce(col("ctot"), lit(0L)) > 0,
@@ -500,11 +510,7 @@ object FullText {
           d * coalesce(col("mid"), lit(0L)) * p2) / col("c2"))
       .otherwise(p2)
     val scored = docTris
-      .join(c3, Seq("w1", "w2", "w3"), "left")
-      .join(ctx, Seq("w1", "w2"), "left")
-      .join(low, Seq("w2", "w3"), "left")
-      .join(ctx2, Seq("w2"), "left")
-      .join(cont, Seq("w3"), "left")
+      .join(lm, Seq("w1", "w2", "w3"), "left")
       .join(broadcast(totals))
       .withColumn("neg_logp_micro", round(-log(p3) * Micro).cast(LongType))
       .groupBy(col(idCol))
@@ -540,9 +546,17 @@ object FullText {
     */
   def surprisalBuckets(docs: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id", langCol: String = "lang",
-                       nBuckets: Int = 3): DataFrame = {
+                       nBuckets: Int = 3, order: Int = 2): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
-    val raw = bigramSurprisalRaw(docs, textCol, idCol)
+    require(order == 2 || order == 3, s"order must be 2 (add-one bigram) or 3 (KN trigram): $order")
+    // order 3 buckets on the Kneser-Ney trigram LM (r16) — the same
+    // exact-integer pipeline, scores from [[trigramSurprisalKNRaw]]
+    val raw = (if (order == 2)
+        bigramSurprisalRaw(docs, textCol, idCol)
+          .withColumnRenamed("n_bigrams", "__np")
+      else
+        trigramSurprisalKNRaw(docs, textCol, idCol, 0.75)
+          .withColumnRenamed("n_trigrams", "__np"))
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
     // NULL langs never equi-join (the r14 advice finding: every __t_k
     // came back null and all null-lang docs silently landed in "head").
@@ -551,7 +565,7 @@ object FullText {
     // per-group order statistics; the OUTPUT lang column stays original.
     val langKey = coalesce(col(langCol), lit("und"))
     val scored = raw.withColumn("score_mnat",
-      when(col("n_bigrams") > 0, expr("s div (n_bigrams * 1000)")))
+      when(col("__np") > 0, expr("s div (__np * 1000)")))
       .withColumn("__lang", langKey)
     val hist = scored.filter(col("score_mnat").isNotNull)
       .groupBy(col("__lang"), col("score_mnat")).agg(count(lit(1)).as("__c"))
