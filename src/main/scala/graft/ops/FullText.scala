@@ -459,16 +459,39 @@ object FullText {
         coalesce(round(col("s") / (col("n_trigrams") * Micro), 6), lit(0.0))
           .as("avg_neg_logp"))
 
+  /** [[trigramSurprisalKN]] against a SEPARATE reference LM — the real
+    * CCNet deployment shape (Wenzek et al. train the KenLM on clean
+    * Wikipedia and score the crawl against it): the count tables come
+    * from `train`, the scored positions from `score`. Unseen trigrams /
+    * contexts take the interpolation fallbacks for real here, and a
+    * fully-unseen word bottoms out at the +1/V continuation floor — no
+    * zero probabilities, every score finite.
+    */
+  def trigramSurprisalKNAgainst(train: DataFrame, score: DataFrame,
+                                textCol: String = "text",
+                                idCol: String = "doc_id",
+                                discount: Double = 0.75): DataFrame =
+    trigramSurprisalKNRaw2(train, score, textCol, idCol, discount)
+      .select(col(idCol), col("n_trigrams"),
+        coalesce(round(col("s") / (col("n_trigrams") * Micro), 6), lit(0.0))
+          .as("avg_neg_logp"))
+
   /** [[trigramSurprisalKN]] with the exact integer accumulator exposed
     * ((id, n_trigrams, s) micro-nat sum — the [[bigramSurprisalRaw]]
     * contract, so [[surprisalBuckets]]-style consumers can stay exact).
     */
   private[graft] def trigramSurprisalKNRaw(docs: DataFrame, textCol: String,
                                            idCol: String,
-                                           discount: Double): DataFrame = {
+                                           discount: Double): DataFrame =
+    trigramSurprisalKNRaw2(docs, docs, textCol, idCol, discount)
+
+  private def trigramSurprisalKNRaw2(train: DataFrame, docs: DataFrame,
+                                     textCol: String, idCol: String,
+                                     discount: Double): DataFrame = {
     require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
     val d = lit(discount)
-    val toks = docs.select(col(idCol), textkernel.word_tokens(col(textCol)).as("w"))
+    val toks = train.select(col(idCol), textkernel.word_tokens(col(textCol)).as("w"))
+    val scoreToks = docs.select(col(idCol), textkernel.word_tokens(col(textCol)).as("w"))
     val tris = toks.select(col(idCol), explode(when(size(col("w")) >= 3,
         transform(sequence(lit(1), size(col("w")) - 2),
           i => struct(element_at(col("w"), i).as("w1"),
@@ -476,13 +499,23 @@ object FullText {
             element_at(col("w"), i + 2).as("w3"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
       .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
-    // documents collapse to distinct trigrams with multiplicity FIRST —
-    // every count table below derives from this one aggregation, so the
-    // instance rows are exploded and shuffled exactly once
-    val docTris = tris.groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+    // SCORED documents collapse to distinct trigrams with multiplicity
+    // first (the self-trained path shares one aggregation: train eq docs)
+    val scoreTris =
+      if (docs eq train) tris
+      else scoreToks.select(col(idCol), explode(when(size(col("w")) >= 3,
+          transform(sequence(lit(1), size(col("w")) - 2),
+            i => struct(element_at(col("w"), i).as("w1"),
+              element_at(col("w"), i + 1).as("w2"),
+              element_at(col("w"), i + 2).as("w3"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
+        .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
+    val docTris = scoreTris.groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("k"))
     // the LM: one trigram TYPE table, everything else derived from it
-    val c3 = docTris.groupBy("w1", "w2", "w3").agg(sum("k").as("tc"))
+    val c3 =
+      if (docs eq train) docTris.groupBy("w1", "w2", "w3").agg(sum("k").as("tc"))
+      else tris.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("tc"))
     val ctx = c3.groupBy("w1", "w2")
       .agg(sum("tc").as("c2"), count(lit(1)).as("mid")) // c(w1w2·), N1+(w1w2·)
     val low = c3.groupBy("w2", "w3").agg(count(lit(1)).as("lowc")) // N1+(·w2w3)
@@ -491,10 +524,14 @@ object FullText {
     val cont = low.groupBy("w3").agg(count(lit(1)).as("cw3")) // N1+(·w3)
     val totals = low.agg(count(lit(1)).as("n2types"))
       .crossJoin(toks.select(explode(col("w")).as("u")).agg(count_distinct(col("u")).as("v")))
-    // consolidate the five stats onto the TYPE table (joins among count
-    // tables, each ≤ the type count) so the DOC side — the big side —
-    // pays ONE (w1,w2,w3)-keyed join instead of five
-    val lm = c3
+    // self-trained path: consolidate the five stats onto the TYPE table
+    // (joins among count tables, each ≤ the type count) so the DOC side
+    // — the big side — pays ONE (w1,w2,w3)-keyed join instead of five.
+    // Valid ONLY when every scored trigram exists in the LM (train eq
+    // docs); a FOREIGN corpus needs the per-LEVEL joins below so an
+    // unseen trigram in a SEEN context still reads that context's
+    // c2/mid (true KN backoff), not a null row
+    lazy val lm = c3
       .join(ctx, Seq("w1", "w2"))
       .join(low, Seq("w2", "w3"))
       .join(ctx2, Seq("w2"))
@@ -509,8 +546,15 @@ object FullText {
         (greatest(coalesce(col("tc"), lit(0L)) - d, lit(0.0)) +
           d * coalesce(col("mid"), lit(0L)) * p2) / col("c2"))
       .otherwise(p2)
-    val scored = docTris
-      .join(lm, Seq("w1", "w2", "w3"), "left")
+    val statted =
+      if (docs eq train) docTris.join(lm, Seq("w1", "w2", "w3"), "left")
+      else docTris
+        .join(c3, Seq("w1", "w2", "w3"), "left")
+        .join(ctx, Seq("w1", "w2"), "left")
+        .join(low, Seq("w2", "w3"), "left")
+        .join(ctx2, Seq("w2"), "left")
+        .join(cont, Seq("w3"), "left")
+    val scored = statted
       .join(broadcast(totals))
       .withColumn("neg_logp_micro", round(-log(p3) * Micro).cast(LongType))
       .groupBy(col(idCol))

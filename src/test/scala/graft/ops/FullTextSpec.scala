@@ -151,6 +151,27 @@ class FullTextSpec extends AnyFunSuite {
     assert(foreign.forall(x => !x.getDouble(2).isNaN && x.getDouble(2) >= 0))
   }
 
+  test("trigramSurprisalKNAgainst: true backoff on unseen trigrams in seen contexts") {
+    val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq((9L, "a b d")).toDF("doc_id", "text")
+    val r = FullText.trigramSurprisalKNAgainst(train, score).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 1L)
+    // hand replay: context (a,b) SEEN (c2=2, mid=1), trigram abd unseen
+    // (tc=0 → the discount-zeroed numerator, NOT a fallback to p2);
+    // low(b,d) unseen, ctx2(b)=(1,1); cont(d)=0; n2types=3
+    // ((b,c),(c,a),(a,b)), v=3 (a,b,c)
+    val pc = (0 + 1.0) / (3 + 3)
+    val p2 = (math.max(0 - 0.75, 0.0) + 0.75 * 1 * pc) / 1
+    val p3 = (math.max(0 - 0.75, 0.0) + 0.75 * 1 * p2) / 2
+    val expect = math.round(-math.log(p3) * 1e6) / 1e6
+    assert(math.abs(r(0).getDouble(2) - (math.rint(expect * 1e6) / 1e6)) < 2e-6,
+      s"${r(0).getDouble(2)} vs $expect")
+    // a fully-unseen word never yields zero p / infinite surprisal
+    val far = FullText.trigramSurprisalKNAgainst(train,
+      Seq((8L, "zz yy xx")).toDF("doc_id", "text")).collect()
+    assert(far(0).getDouble(2) > 0 && !far(0).getDouble(2).isInfinite)
+  }
+
   test("hashEmbedBuckets drops zero-weight buckets and counts multiplicity") {
     val d = Seq((1L, "x x y")).toDF("doc_id", "text")
     val r = FullText.hashEmbedBuckets(d).collect()
