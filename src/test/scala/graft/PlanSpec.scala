@@ -589,6 +589,27 @@ class PlanSpec extends AnyFunSuite {
       s"window not above the histogram aggregate:\n$w"))
   }
 
+  // the r16 KN plan claim: the five stat tables consolidate onto the
+  // trigram TYPE table, so the DOC side (the big side at scale) joins
+  // exactly once on (w1,w2,w3) — no per-level re-join of instance rows,
+  // no cartesian (the 1-row totals stat rides the accepted
+  // BroadcastNestedLoopJoin shape), no window anywhere.
+  test("trigramSurprisalKN: doc side joins the consolidated LM once, no cartesian, no window") {
+    import graft.ops.FullText
+    val docs = (0L until 30L)
+      .map(i => (i, s"alpha beta gamma w$i x$i y$i"))
+      .toDF("doc_id", "text")
+    val df = FullText.trigramSurprisalKN(docs)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("WindowExec") && !p.contains("Window ["), p)
+    // exactly ONE join keyed by all three words: the doc-side LM join.
+    // (stat-consolidation joins are keyed by 1-2 words each)
+    val threeWordJoins = "(?s)Join [^\\n]*w1[^\\n]*w2[^\\n]*w3".r
+      .findAllIn(p).size
+    assert(threeWordJoins == 1, s"want 1 three-word join, got $threeWordJoins:\n$p")
+  }
+
   // q_ann_hnsw's documented shape: the only exchanges are the shard
   // repartition and the bounded top-k merge (TopKAggregator partial agg —
   // O(shards·probes·k) rows); no window over scored candidates, no
