@@ -462,6 +462,32 @@ case class WordShinglesExpr(child: Expression, n: Int) extends StringKernelExpre
   override protected def withNewChildInternal(c: Expression): WordShinglesExpr = copy(child = c)
 }
 
+/** ALL word trigrams in order (non-distinct, multiplicity kept) →
+  * array<struct<w1,w2,w3>> — the compiled feed for the KN trigram LM
+  * (a `transform(sequence(...))` HOF is interpreted per element; this
+  * runs one compiled pass per document).
+  */
+case class WordTrigramsExpr(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false),
+    StructField("w3", StringType, nullable = false))), containsNull = false)
+  protected override def nullSafeEval(v: Any): Any = {
+    val t = TextKernel.tokens(input(v))
+    val n = math.max(0, t.length - 2)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(t(i)), UTF8String.fromString(t(i + 1)),
+        UTF8String.fromString(t(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): WordTrigramsExpr = copy(child = c)
+}
+
 /** minhash signature over word shingles → array<long>; NULL when the doc has
   * fewer than `shingleSize` words (matches the HOF/SQL formulation where
   * array_min of an empty list is NULL).
@@ -1178,6 +1204,7 @@ object textkernel {
   def cut_spans_in_set(text: Column, hashes: Array[Long], w: Int): Column =
     toColumn(CutSpansInSetExpr(toExpression(text), hashes, w))
   def word_shingles(c: Column, n: Int): Column = toColumn(WordShinglesExpr(toExpression(c), n))
+  def word_trigrams(c: Column): Column = toColumn(WordTrigramsExpr(toExpression(c)))
   def minhash_sig(c: Column, numHashes: Int, shingleSize: Int): Column =
     toColumn(MinHashSigExpr(toExpression(c), numHashes, shingleSize))
   def simhash_fast(c: Column, bits: Int): Column = toColumn(SimHashExpr(toExpression(c), bits))

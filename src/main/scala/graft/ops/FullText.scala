@@ -491,24 +491,15 @@ object FullText {
     require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
     val d = lit(discount)
     val toks = train.select(col(idCol), textkernel.word_tokens(col(textCol)).as("w"))
-    val scoreToks = docs.select(col(idCol), textkernel.word_tokens(col(textCol)).as("w"))
-    val tris = toks.select(col(idCol), explode(when(size(col("w")) >= 3,
-        transform(sequence(lit(1), size(col("w")) - 2),
-          i => struct(element_at(col("w"), i).as("w1"),
-            element_at(col("w"), i + 1).as("w2"),
-            element_at(col("w"), i + 2).as("w3"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
+    val tris = train.select(col(idCol),
+        explode(textkernel.word_trigrams(col(textCol))).as("t"))
       .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
     // SCORED documents collapse to distinct trigrams with multiplicity
     // first (the self-trained path shares one aggregation: train eq docs)
     val scoreTris =
       if (docs eq train) tris
-      else scoreToks.select(col(idCol), explode(when(size(col("w")) >= 3,
-          transform(sequence(lit(1), size(col("w")) - 2),
-            i => struct(element_at(col("w"), i).as("w1"),
-              element_at(col("w"), i + 1).as("w2"),
-              element_at(col("w"), i + 2).as("w3"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
+      else docs.select(col(idCol),
+          explode(textkernel.word_trigrams(col(textCol))).as("t"))
         .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
     val docTris = scoreTris.groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("k"))
