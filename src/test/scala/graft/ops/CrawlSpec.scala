@@ -156,6 +156,38 @@ class CrawlSpec extends AnyFunSuite {
     } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
   }
 
+  // r16 verdict #8: the prescan contract — when the HTTP header carries no
+  // charset parameter, BOTH `<meta charset=...>` and the legacy
+  // `<meta http-equiv="Content-Type" content="...; charset=...">` form must
+  // be sniffed from the first 1024 body bytes, in either attribute order
+  // and with single or double quotes
+  test("meta charset prescan: both meta forms, both attribute orders, both quote styles") {
+    val dir = Files.createTempDirectory("crawl_meta_charset").toFile
+    try {
+      // € (U+20AC) is 0x80 in windows-1252: only a correct sniff decodes it
+      val metas = Seq(
+        "a" -> """<meta charset="windows-1252">""",
+        "b" -> """<meta charset='windows-1252'>""",
+        "c" -> """<meta http-equiv="Content-Type" content="text/html; charset=windows-1252">""",
+        "d" -> """<meta content='text/html; charset=windows-1252' http-equiv='Content-Type'>""")
+      val recs = metas.map { case (path, meta) =>
+        val html = s"<html><head>$meta</head><body>" +
+          "<p>price one hundred € in total for everything.</p></body></html>"
+        val body = html.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+        // header deliberately carries NO charset parameter → prescan decides
+        val http = "HTTP/1.1 200 X\r\nContent-Type: text/html\r\n\r\n".getBytes(UTF_8) ++ body
+        WarcRecord("response", s"http://meta.example/$path", "2024-01-01T00:00:00Z",
+          s"<urn:meta-$path>", "application/http; msgtype=response", http)
+      }
+      Files.write(new java.io.File(dir, "m.warc.gz").toPath, WarcCodec.writeWarcGz(recs))
+      val out = Crawl.ingest(spark, dir.getAbsolutePath).orderBy("url_canon").collect()
+      assert(out.length == 4, out.map(_.getAs[String]("url_canon")).mkString(","))
+      for (row <- out)
+        assert(row.getAs[String]("text").contains("one hundred €"),
+          s"${row.getAs[String]("url_canon")}: ${row.getAs[String]("text")}")
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
+  }
+
   test("robots table: disallowed paths dropped end-to-end, incl. query-only URLs") {
     val dir = Files.createTempDirectory("crawl_robots").toFile
     try {
