@@ -1285,11 +1285,21 @@ object SparkEntry {
   }
 
   /** One REAL PDF per id for q_pdf_extract: 1 + id%3 simple-font pages
-    * plus (r16) a final CID-KEYED page — a /Type0 font whose /ToUnicode
+    * plus (r16) a CID-KEYED page — a /Type0 font whose /ToUnicode
     * CMap (Flate-compressed on even ids, raw on odd) maps 2-byte codes
     * via a multi-unit bfchar ('Cid'), incrementing bfranges (digits,
     * letters) and single bfchars, shown as one hex string — extracting
-    * to exactly "Cid {id} zy!". The simple pages: 1 + id%3 pages, each page's
+    * to exactly "Cid {id} zy!" — plus (r17) a final DIFFERENCES page: a
+    * simple font whose /Encoding /Differences remaps A→/eacute,
+    * B→/lslash, C→an unresolvable name (suppressed, never the raw
+    * byte), q→/uni0142 (the algorithmic AGL form), with untouched codes
+    * keeping the latin-1 path, and two /ActualText marked-content spans
+    * (a PDFDocEncoding literal carrying the id; a UTF-16BE-with-BOM hex
+    * string) whose replacements are emitted while the enclosed
+    * show-text — including a −400 TJ kern that must NOT leak a word
+    * gap — is suppressed: extracting to exactly
+    * "Diff éłł word gap here real {id}é!".
+    * The simple pages: 1 + id%3 pages, each page's
     * content stream drawing two text lines via the full operator set —
     * `(…) Tj` with \( \) and octal \101 escapes, `T*`, a `TJ` array
     * whose −250 kern renders as the word gap (and whose +20 kern must
@@ -1310,7 +1320,9 @@ object SparkEntry {
     */
   private[graft] def synthPdf(id: Long): Array[Byte] = {
     val nSimple = (1 + id % 3).toInt
-    val nPages = nSimple + 1 // r16: + one CID-keyed /ToUnicode page
+    // r16: + one CID-keyed /ToUnicode page; r17: + one simple-font
+    // /Encoding /Differences page with an /ActualText replacement span
+    val nPages = nSimple + 2
     val bos = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
     def w(s: String): Unit = bos.write(ascii(s))
@@ -1337,15 +1349,22 @@ object SparkEntry {
     val cidCMapNum = lenObjNum + 2
     val cidFontNum = lenObjNum + 3
     val cidPageNum = lenObjNum + 4
-    val kids = ((0 until nSimple).map(p => s"${3 + 2 * p} 0 R") :+
-      s"$cidPageNum 0 R").mkString(" ")
+    // r17 Differences/ActualText page objects
+    val diffContentNum = lenObjNum + 5
+    val diffFontNum = lenObjNum + 6
+    val diffPageNum = lenObjNum + 7
+    val kids = ((0 until nSimple).map(p => s"${3 + 2 * p} 0 R") ++
+      Seq(s"$cidPageNum 0 R", s"$diffPageNum 0 R")).mkString(" ")
     val structBodies: Seq[(Int, String)] =
       (1, s"<< /Type /Catalog /Pages 2 0 R >>") +:
       (2, s"<< /Type /Pages /Kids [$kids] /Count $nPages >>") +:
       ((0 until nSimple).map(p =>
-        (3 + 2 * p, s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * p} 0 R >>")) :+
-        (cidPageNum, s"<< /Type /Page /Parent 2 0 R /Contents $cidContentNum 0 R " +
-          s"/Resources << /Font << /F9 $cidFontNum 0 R >> >> >>"))
+        (3 + 2 * p, s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * p} 0 R >>")) ++
+        Seq(
+          (cidPageNum, s"<< /Type /Page /Parent 2 0 R /Contents $cidContentNum 0 R " +
+            s"/Resources << /Font << /F9 $cidFontNum 0 R >> >> >>"),
+          (diffPageNum, s"<< /Type /Page /Parent 2 0 R /Contents $diffContentNum 0 R " +
+            s"/Resources << /Font << /F7 $diffFontNum 0 R >> >> >>")))
     if (!inObjStm) structBodies.foreach { case (n, body) =>
       beginObj(n); w(body + "\n"); endObj()
     }
@@ -1405,7 +1424,27 @@ object SparkEntry {
     w(s"<< /Type /Font /Subtype /Type0 /BaseFont /Synth " +
       s"/Encoding /Identity-H /ToUnicode $cidCMapNum 0 R >>\n")
     endObj()
-    var maxObj = cidPageNum
+    // ---- the r17 Differences/ActualText page: a simple font whose
+    // /Encoding /Differences remaps A->eacute, B->lslash, C->(an
+    // unresolvable glyph name: suppressed), q->uni0142 (algorithmic);
+    // untouched codes keep the latin-1 path. Two /ActualText spans: a
+    // PDFDocEncoding literal carrying the id and a UTF-16BE (BOM) hex
+    // string — each replaces its span's show-text entirely.
+    // Extracts to: "Diff éłł word gap here real {id}é!"
+    val diffContent = ascii(
+      "BT /F7 12 Tf (Diff ) Tj (AB) Tj (C) Tj (q) Tj ( word gap here ) Tj " +
+      s"/Span << /ActualText (real $id) >> BDC (NOPE) Tj EMC " +
+      "/Span << /ActualText <FEFF00E9> >> BDC [(ZZ) -400 (Z)] TJ EMC (!) Tj ET")
+    beginObj(diffContentNum)
+    w(s"<< /Length ${diffContent.length} >>\n")
+    w("stream\n"); bos.write(diffContent); w("\nendstream\n")
+    endObj()
+    beginObj(diffFontNum)
+    w("<< /Type /Font /Subtype /Type1 /BaseFont /SynthDiff " +
+      "/Encoding << /Type /Encoding /Differences " +
+      "[ 65 /eacute /lslash /xqzzyglyph 113 /uni0142 ] >> >>\n")
+    endObj()
+    var maxObj = diffPageNum
     if (inObjStm) {
       // serialize the structure objects: header pairs then bodies
       val bodies = structBodies.map { case (n, b) => (n, b + " ") }
@@ -1413,7 +1452,7 @@ object SparkEntry {
       val header = bodies.zip(offs).map { case ((n, _), o) => s"$n $o" }.mkString(" ") + " "
       val payload = ascii(header + bodies.map(_._2).mkString)
       val z = deflate(payload)
-      maxObj = cidPageNum + 1
+      maxObj = diffPageNum + 1
       beginObj(maxObj)
       w(s"<< /Type /ObjStm /N ${bodies.length} /First ${header.length} " +
         s"/Length ${z.length} /Filter /FlateDecode >>\n")
@@ -7417,7 +7456,8 @@ object SparkEntry {
         |   FROM d, (SELECT unnest(generate_series(0, 2)) AS p) p
         |   WHERE p.p < np),
         | tx AS (SELECT id, string_agg(t, chr(10) ORDER BY p)
-        |     || chr(10) || 'Cid ' || id || ' zy!' AS text
+        |     || chr(10) || 'Cid ' || id || ' zy!'
+        |     || chr(10) || 'Diff éłł word gap here real ' || id || 'é!' AS text
         |   FROM pg GROUP BY id)
         |SELECT CAST(concat('0x', substr(md5('http://example.com/pdf/' || id), 1, 15)) AS BIGINT) AS doc_id,
         |  'http://example.com/pdf/' || id AS url_canon,
@@ -7439,9 +7479,10 @@ object SparkEntry {
         |     ' w' || ((d.doc_id * 13 + p.p * 11) % 89) || '! hx' AS t
         |   FROM d, (SELECT unnest(generate_series(0, 2)) AS p) p
         |   WHERE p.p < d.np)
-        |SELECT doc_id, CAST(np + 1 AS BIGINT) AS n_pages,
+        |SELECT doc_id, CAST(np + 2 AS BIGINT) AS n_pages,
         |  string_agg(t, chr(10) ORDER BY p)
-        |    || chr(10) || 'Cid ' || doc_id || ' zy!' AS text
+        |    || chr(10) || 'Cid ' || doc_id || ' zy!'
+        |    || chr(10) || 'Diff éłł word gap here real ' || doc_id || 'é!' AS text
         |FROM pg GROUP BY doc_id, np ORDER BY doc_id""".stripMargin,
     // MPEG-1 I-frames: RGB = (v, v, v) per pixel with the flat-block value
     // v = 20 + (id·31 + f·97 + (m·4 + b)·7) % 200, m = x div 16 (single MB

@@ -47,6 +47,21 @@ import org.apache.spark.sql.types._
   * bytes. Predefined (non-ToUnicode) CMaps like bare Identity-H remain
   * out of scope: without the table there is nothing to map through.
   *
+  * Since r17, simple fonts WITHOUT a /ToUnicode consult their
+  * /Encoding dictionary's /Differences array (ISO 32000 §9.6.6.1):
+  * remapped codes resolve through a bounded Adobe-Glyph-List subset
+  * (ASCII names, common Latin accents and punctuation) plus the
+  * algorithmic `uniXXXX` / `uXXXX[XX]` forms; a remapped code whose
+  * glyph name is not resolvable emits NOTHING (never the latin-1 byte
+  * — the glyph is known to be something else), while codes the array
+  * does not touch keep the latin-1 path. /ActualText replacement spans
+  * (§14.9.4) are honored in the content-stream walk: `BDC` with an
+  * inline property dict carrying /ActualText emits the replacement
+  * (UTF-16BE with BOM, else PDFDocEncoding ≈ latin-1 in our printable
+  * scope) and suppresses the enclosed show-text until the matching
+  * `EMC`; named /Properties resources are out of scope (inline dicts
+  * are what tagged-PDF writers emit for replacements).
+  *
   * Garbage-in contract (family-wide): malformed, hostile or truncated
   * input yields `None` or the pages that did parse — never a throw, and
   * never an unbounded allocation (object count, per-stream inflation and
@@ -483,19 +498,30 @@ object PdfCodec {
       if (pageDicts.isEmpty) return None
 
       /** Per-page font table: /Resources → /Font → (name → ToUnicode
-        * CMap), for the composite-font text path. Fonts without a
-        * usable /ToUnicode stream map to None and keep the byte path.
+        * CMap), for the composite-font text path. A font without a
+        * usable /ToUnicode stream falls back to its /Encoding
+        * dictionary's /Differences array (r17, simple fonts); with
+        * neither it maps to None and keeps the byte path.
         */
       def pageFonts(pd: PDict): Map[String, UniCMap] =
         deref(pd.m.getOrElse("Resources", PNull)) match {
           case PDict(res) => deref(res.getOrElse("Font", PNull)) match {
             case PDict(fonts) => fonts.flatMap { case (fname, fref) =>
               deref(fref) match {
-                case PDict(fd) => fd.get("ToUnicode") match {
-                  case Some(PRef(tn)) =>
-                    streamData(tn).flatMap(parseToUnicode).map(fname -> _)
-                  case _ => None
-                }
+                case PDict(fd) =>
+                  val viaToUnicode = fd.get("ToUnicode") match {
+                    case Some(PRef(tn)) => streamData(tn).flatMap(parseToUnicode)
+                    case _ => None
+                  }
+                  val viaDifferences = viaToUnicode.orElse(
+                    deref(fd.getOrElse("Encoding", PNull)) match {
+                      case PDict(enc) => deref(enc.getOrElse("Differences", PNull)) match {
+                        case PArr(items) => differencesCMap(items)
+                        case _ => None
+                      }
+                      case _ => None
+                    })
+                  viaDifferences.map(fname -> _)
                 case _ => None
               }
             }
@@ -656,6 +682,93 @@ object PdfCodec {
     if (m.isEmpty) None else Some(UniCMap(if (width == 0) 1 else width, m.toMap))
   }
 
+  /** Bounded Adobe-Glyph-List subset for /Differences resolution:
+    * ASCII punctuation/digit/letter names, the common Latin accents,
+    * and typographic punctuation — plus the ALGORITHMIC `uniXXXX`
+    * (one or more 4-hex-digit UTF-16 units) and `uXXXX`–`uXXXXXX`
+    * forms. Names outside this subset resolve to None and the caller
+    * suppresses the code (emitting the raw byte for a remapped code
+    * would be wrong by construction).
+    */
+  private val GlyphNames: Map[String, String] = {
+    val ascii = Map(
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+      "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+      "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+      "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+      "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+      "greater" -> ">", "question" -> "?", "at" -> "@",
+      "bracketleft" -> "[", "backslash" -> "\\", "bracketright" -> "]",
+      "asciicircum" -> "^", "underscore" -> "_", "grave" -> "`",
+      "braceleft" -> "{", "bar" -> "|", "braceright" -> "}",
+      "asciitilde" -> "~")
+    val digits = Seq("zero", "one", "two", "three", "four", "five",
+      "six", "seven", "eight", "nine").zipWithIndex
+      .map { case (n, i) => n -> ('0' + i).toChar.toString }.toMap
+    val letters = (('a' to 'z') ++ ('A' to 'Z'))
+      .map(c => c.toString -> c.toString).toMap
+    val latin = Map(
+      "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â",
+      "atilde" -> "ã", "adieresis" -> "ä", "aring" -> "å", "ae" -> "æ",
+      "ccedilla" -> "ç", "egrave" -> "è", "eacute" -> "é",
+      "ecircumflex" -> "ê", "edieresis" -> "ë", "igrave" -> "ì",
+      "iacute" -> "í", "icircumflex" -> "î", "idieresis" -> "ï",
+      "ntilde" -> "ñ", "ograve" -> "ò", "oacute" -> "ó",
+      "ocircumflex" -> "ô", "otilde" -> "õ", "odieresis" -> "ö",
+      "oslash" -> "ø", "ugrave" -> "ù", "uacute" -> "ú",
+      "ucircumflex" -> "û", "udieresis" -> "ü", "yacute" -> "ý",
+      "ydieresis" -> "ÿ", "germandbls" -> "ß", "thorn" -> "þ",
+      "eth" -> "ð", "lslash" -> "ł", "Lslash" -> "Ł",
+      "oe" -> "œ", "OE" -> "Œ", "scaron" -> "š",
+      "Scaron" -> "Š", "zcaron" -> "ž", "Zcaron" -> "Ž",
+      "Euro" -> "€", "bullet" -> "•", "dagger" -> "†",
+      "daggerdbl" -> "‡", "ellipsis" -> "…",
+      "emdash" -> "—", "endash" -> "–",
+      "quoteleft" -> "‘", "quoteright" -> "’",
+      "quotedblleft" -> "“", "quotedblright" -> "”",
+      "guillemotleft" -> "«", "guillemotright" -> "»",
+      "exclamdown" -> "¡", "questiondown" -> "¿", "degree" -> "°",
+      "copyright" -> "©", "registered" -> "®", "trademark" -> "™",
+      "sterling" -> "£", "yen" -> "¥", "cent" -> "¢", "section" -> "§",
+      "paragraph" -> "¶", "mu" -> "µ", "middot" -> "·",
+      "plusminus" -> "±", "multiply" -> "×", "divide" -> "÷")
+    ascii ++ digits ++ letters ++ latin
+  }
+
+  private val UniName = "uni((?:[0-9A-Fa-f]{4})+)".r
+  private val UName = "u([0-9A-Fa-f]{4,6})".r
+
+  private[sources] def glyphToUnicode(name: String): Option[String] =
+    GlyphNames.get(name).orElse(name match {
+      case UniName(hex) =>
+        Some(hex.grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString)
+      case UName(hex) =>
+        val cp = Integer.parseInt(hex, 16)
+        if (cp >= 0 && cp <= 0x10FFFF) Some(new String(Character.toChars(cp)))
+        else None
+      case _ => None
+    })
+
+  /** Build a width-1 [[UniCMap]] from a simple font's /Encoding
+    * /Differences array (ISO 32000 §9.6.6.1): integers set the next
+    * code, names consume one code each. Remapped codes with an
+    * unresolvable glyph name map to "" (suppressed); untouched codes
+    * stay OUT of the map so the latin-1 path still applies to them.
+    */
+  private[sources] def differencesCMap(items: Vector[Obj]): Option[UniCMap] = {
+    var code = -1
+    val m = scala.collection.mutable.HashMap.empty[Int, String]
+    items.foreach {
+      case PNum(v) => code = v.toInt
+      case PName(n) if code >= 0 && code <= 255 =>
+        m(code) = glyphToUnicode(n).getOrElse("")
+        code += 1
+      case _ =>
+    }
+    if (m.isEmpty) None else Some(UniCMap(1, m.toMap))
+  }
+
   /** Run the BT…ET text operators of a content stream. Kern ≤ −180
     * thousandths in TJ renders as a space; T* / TD / vertical Td break
     * lines (suppressed at start / after a break). `fonts` carries the
@@ -669,6 +782,12 @@ object PdfCodec {
                                       fonts: Map[String, UniCMap] = Map.empty): String = {
     val sb = new StringBuilder
     var cmap: Option[UniCMap] = None
+    // /ActualText replacement spans: BDC/BMC nesting depth, and the depth
+    // at which an ActualText span opened (its replacement already emitted
+    // — all show-text until the matching EMC is suppressed)
+    var mcDepth = 0
+    var suppressFrom = -1
+    def suppressed: Boolean = suppressFrom >= 0
     def newline(): Unit =
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
     def emit(t: String): Unit = {
@@ -681,7 +800,7 @@ object PdfCodec {
         i += 1
       }
     }
-    def show(s: Array[Byte]): Unit = cmap match {
+    def show(s: Array[Byte]): Unit = if (!suppressed) cmap match {
       case Some(UniCMap(w, m)) if w > 1 =>
         var i = 0
         while (i + w <= s.length && sb.length < maxChars) {
@@ -735,10 +854,31 @@ object PdfCodec {
                 items.foreach {
                   case PStr(s) => show(s)
                   case PNum(v) if v <= -180 =>
-                    if (sb.nonEmpty && sb.charAt(sb.length - 1) != ' ') sb.append(' ')
+                    if (!suppressed && sb.nonEmpty && sb.charAt(sb.length - 1) != ' ')
+                      sb.append(' ')
                   case _ =>
                 }
               }
+              case "BDC" =>
+                mcDepth += 1
+                // inline property dict with /ActualText: emit the
+                // replacement, suppress the span's own show-text
+                if (!suppressed) operands.lastOption.collect {
+                  case PDict(props) => props.get("ActualText").collect {
+                    case PStr(b) =>
+                      val t = if (b.length >= 2 && (b(0) & 0xFF) == 0xFE &&
+                        (b(1) & 0xFF) == 0xFF)
+                        new String(b, 2, b.length - 2,
+                          java.nio.charset.StandardCharsets.UTF_16BE)
+                      else new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+                      emit(t)
+                      suppressFrom = mcDepth
+                  }
+                }
+              case "BMC" => mcDepth += 1
+              case "EMC" =>
+                if (suppressFrom == mcDepth) suppressFrom = -1
+                if (mcDepth > 0) mcDepth -= 1
               case "T*" => newline()
               case "TD" => newline()
               case "Td" => operands.lastOption.collect {

@@ -52,10 +52,11 @@ class CrawlSpec extends AnyFunSuite {
         Seq("http://mix.com/page", "http://mix.com/paper", "http://mix.com/report"))
       val paper = out(1)
       // boilerplate filter keeps each simple page's 6-word first line
-      // plus the CID page's !-terminated ToUnicode line (r16)
+      // plus the CID page's !-terminated ToUnicode line (r16) and the
+      // Differences/ActualText page's line (r17)
       assert(paper.getAs[String]("text") ==
         (0 until 3).map(p => s"Doc 5 page $p (ok) A").mkString("\n") +
-          "\nCid 5 zy!")
+          "\nCid 5 zy!\nDiff éłł word gap here real 5é!")
       assert(paper.getAs[String]("title") == "" && paper.getAs[Long]("n_links") == 0L)
       val report = out(2)
       // docx: paragraph 0 is short (boilerplate-dropped), 1..2 survive

@@ -28,11 +28,17 @@ class PdfCodecSpec extends AnyFunSuite {
       val d = PdfCodec.extractText(bytes)
         .getOrElse(fail(s"id=$id did not parse"))
       val nSimple = (1 + id % 3).toInt
-      assert(d.nPages == nSimple + 1)
+      assert(d.nPages == nSimple + 2)
       for (p <- 0 until nSimple)
         assert(d.pages(p) == pageText(id, p), s"id=$id page $p")
       // the r16 CID-keyed page: 2-byte codes through the /ToUnicode CMap
       assert(d.pages(nSimple) == s"Cid $id zy!", s"id=$id CID page")
+      // the r17 Differences/ActualText page: A→é, B→ł, C suppressed,
+      // q→ł via uni0142; both ActualText spans replace their show-text
+      // (incl. the −400 kern inside the second span, which must not
+      // leak a space)
+      assert(d.pages(nSimple + 1) == s"Diff éłł word gap here real ${id}é!",
+        s"id=$id Differences page")
     }
   }
 
@@ -64,6 +70,67 @@ class PdfCodecSpec extends AnyFunSuite {
     // without Tf the byte path is unchanged
     assert(PdfCodec.extractTextOps("BT (plain) Tj ET".getBytes("ISO-8859-1"),
       1 << 20, fonts) == "plain")
+  }
+
+  test("glyph names: AGL subset, algorithmic uniXXXX/uXXXXXX, unknowns → None") {
+    assert(PdfCodec.glyphToUnicode("a").contains("a"))
+    assert(PdfCodec.glyphToUnicode("Q").contains("Q"))
+    assert(PdfCodec.glyphToUnicode("seven").contains("7"))
+    assert(PdfCodec.glyphToUnicode("space").contains(" "))
+    assert(PdfCodec.glyphToUnicode("eacute").contains("é"))
+    assert(PdfCodec.glyphToUnicode("germandbls").contains("ß"))
+    assert(PdfCodec.glyphToUnicode("emdash").contains("—"))
+    assert(PdfCodec.glyphToUnicode("uni0142").contains("ł"))
+    assert(PdfCodec.glyphToUnicode("uni00480069").contains("Hi"),
+      "multi-group uniXXXXYYYY concatenates UTF-16 units")
+    assert(PdfCodec.glyphToUnicode("u1F600").contains(
+      new String(Character.toChars(0x1F600))), "uXXXXX takes 4-6 hex digits")
+    assert(PdfCodec.glyphToUnicode("uni014").isEmpty, "wrong digit count")
+    assert(PdfCodec.glyphToUnicode("g123").isEmpty)
+    assert(PdfCodec.glyphToUnicode("xqzzyglyph").isEmpty)
+  }
+
+  test("/Differences array: code counter, remap, unknown-name suppression") {
+    import PdfCodec.{PNum, PName}
+    val cm = PdfCodec.differencesCMap(Vector(
+      PNum(65), PName("eacute"), PName("lslash"), PName("nosuchglyph"),
+      PNum(113), PName("uni0142"))).getOrElse(fail("no cmap"))
+    assert(cm.width == 1)
+    assert(cm.map(65) == "é" && cm.map(66) == "ł", "names consume consecutive codes")
+    assert(cm.map(67) == "", "unresolvable glyph name suppresses, never the raw byte")
+    assert(cm.map(113) == "ł", "an integer resets the code counter")
+    assert(!cm.map.contains(68) && !cm.map.contains(97),
+      "untouched codes stay OUT of the map (latin-1 path)")
+    assert(PdfCodec.differencesCMap(Vector(PName("a"))).isEmpty,
+      "a name before any code integer is ignored")
+    // end-to-end through the operator walk: remapped, suppressed and
+    // untouched codes in one show string
+    val t = PdfCodec.extractTextOps(
+      "BT /F2 9 Tf (xAC!) Tj ET".getBytes("ISO-8859-1"),
+      1 << 20, Map("F2" -> cm))
+    assert(t == "xé!", "x,! latin-1; A→é; C suppressed")
+  }
+
+  test("/ActualText spans: replacement emitted, show-text and kerns suppressed, nesting") {
+    def ops(s: String, fonts: Map[String, PdfCodec.UniCMap] = Map.empty) =
+      PdfCodec.extractTextOps(s.getBytes("ISO-8859-1"), 1 << 20, fonts)
+    // PDFDocEncoding (≈ latin-1) literal replacement
+    assert(ops("BT (a ) Tj /Span << /ActualText (REAL) >> BDC (fake) Tj EMC ( b) Tj ET")
+      == "a REAL b")
+    // UTF-16BE with BOM
+    assert(ops("BT /Span << /ActualText <FEFF00E9> >> BDC (x) Tj EMC ET") == "é")
+    // TJ kerns inside the span must not leak a word gap
+    assert(ops("BT /Span << /ActualText (R) >> BDC [(zz) -400 (z)] TJ EMC (!) Tj ET")
+      == "R!")
+    // nested marked content inside a suppressed span stays suppressed,
+    // incl. an inner ActualText (the OUTER replacement wins)
+    assert(ops("BT /Span << /ActualText (O) >> BDC (x) Tj " +
+      "/Span << /ActualText (inner) >> BDC (y) Tj EMC (z) Tj EMC (k) Tj ET")
+      == "Ok")
+    // BMC/EMC without ActualText: pass-through; unbalanced EMC harmless
+    assert(ops("BT /Tag BMC (kept) Tj EMC EMC (on) Tj ET") == "kepton")
+    // BDC with a name operand (named /Properties resource): pass-through
+    assert(ops("BT /Span /MC0 BDC (kept) Tj EMC ET") == "kept")
   }
 
   test("an ObjStm copy rescues an object whose top-level copy is corrupt") {
