@@ -3825,6 +3825,14 @@ object SparkEntry {
     "q_crawl_text" -> { (s, dir) =>
       ops.Crawl.ingest(s, txtWarcDirFor(s, dir)).orderBy("url_canon")
     },
+    // Common Crawl WET sidecars through the PRODUCT wet front door
+    // (r17): *.warc.wet.gz shards of `conversion` records — warcinfo
+    // header dropped, UTF-8 body IS the text, URL canonicalization +
+    // first-per-URL dedup (id%7==0 docs plant a duplicate that must
+    // lose) + the boilerplate line filter ("menu" drops)
+    "q_crawl_wet" -> { (s, dir) =>
+      ops.Crawl.ingestWet(s, wetDirFor(s, dir)).orderBy("url_canon")
+    },
     // EPUB through the PRODUCT crawl path (r16 — the q_crawl_pdf shape
     // for application/epub+zip: the EpubCodec kernel in the same
     // projection; boilerplate drops each chapter's short heading)
@@ -4367,6 +4375,66 @@ object SparkEntry {
             val f = new java.io.FileOutputStream(s"$out/part-$pid.warc.gz")
             try it.foreach(r => f.write(synthWarcTxtGz(r.getLong(0))))
             finally f.close()
+          }
+        }
+      out
+    })
+
+  /** One WET `conversion` record per doc (r17, q_crawl_wet): UTF-8
+    * plain-text body that IS the extracted page text — line 0 survives
+    * the boilerplate filter (terminal '!', and the multibyte é pins the
+    * UTF-8 decode), "menu" is the nav-crumb line WET famously retains
+    * (1 word, no punctuation — dropped), line 2 survives on word count.
+    * The URL carries an uppercase host + a tracking param so the gate
+    * also pins canonicalization on the WET route. id %% 7 == 0 docs get
+    * a SECOND conversion record at the same URL whose body must NOT
+    * survive the first-per-URL dedup.
+    */
+  private[graft] def synthWetGz(id: Long): Array[Byte] = {
+    import graft.sources.WarcCodec
+    val a = (id * 29) % 83
+    val body = (s"WET extract for doc $id é!\nmenu\n" +
+      s"Crawl text $a keeps flowing words here.")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def rec(b: Array[Byte], tag: String) =
+      WarcCodec.gzipMember(WarcCodec.writeRecord(WarcCodec.WarcRecord(
+        "conversion", s"http://Example.com/wet/$id?utm_source=x",
+        "2024-01-01T00:00:00Z", s"<urn:uuid:wet-$tag-$id>",
+        "text/plain", b)))
+    val first = rec(body, "a")
+    if (id % 7 == 0) {
+      val dup = rec("DUPLICATE that must not survive the url dedup!"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8), "b")
+      first ++ dup
+    } else first
+  }
+
+  /** The per-file `warcinfo` header record real WET shards start with —
+    * written once per fixture file; ingestWet must drop it.
+    */
+  private[graft] def synthWetInfoGz(): Array[Byte] = {
+    import graft.sources.WarcCodec
+    WarcCodec.gzipMember(WarcCodec.writeRecord(WarcCodec.WarcRecord(
+      "warcinfo", "", "2024-01-01T00:00:00Z", "<urn:uuid:wetinfo>",
+      "application/warc-fields",
+      "software: graft-fixture\r\nformat: WARC File Format 1.0\r\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))))
+  }
+
+  private val wetDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def wetDirFor(s: SparkSession, dir: String): String =
+    wetDirs.getOrElseUpdate(dir, {
+      val out = gateScratch("graft-wet")
+      tbl(s, dir, "documents").filter(col("doc_id") < 100).select(col("doc_id"))
+        .rdd.foreachPartition { it =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            // the real shard naming: *.warc.wet.gz
+            val f = new java.io.FileOutputStream(s"$out/part-$pid.warc.wet.gz")
+            try {
+              f.write(synthWetInfoGz())
+              it.foreach(r => f.write(synthWetGz(r.getLong(0))))
+            } finally f.close()
           }
         }
       out
@@ -7383,6 +7451,19 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_links,
         |  'plain text document ' || id || ' carries five or more words'
         |    || chr(10) || 'End!' AS text
+        |FROM d ORDER BY url_canon""".stripMargin,
+    // WET conversion records: the warcinfo record and the planted
+    // id%7==0 duplicate must both vanish, the uppercase-host +
+    // utm-param URL canonicalizes, the é pins UTF-8 decode, "menu"
+    // drops at the boilerplate filter
+    "q_crawl_wet" ->
+      """WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100)
+        |SELECT CAST(concat('0x', substr(md5('http://example.com/wet/' || id), 1, 15)) AS BIGINT) AS doc_id,
+        |  'http://example.com/wet/' || id AS url_canon,
+        |  'example.com' AS url_domain, '' AS title,
+        |  CAST(0 AS BIGINT) AS n_links,
+        |  'WET extract for doc ' || id || ' é!' || chr(10) ||
+        |    'Crawl text ' || (id * 29) % 83 || ' keeps flowing words here.' AS text
         |FROM d ORDER BY url_canon""".stripMargin,
     // Crawl-ingested EPUB: chapter headings ("Chapter k of id", 4
     // words, unpunctuated) drop at the boilerplate filter; the body

@@ -45,6 +45,42 @@ object Crawl {
       .otherwise(tail)
   }
 
+  /** Broadcast anti-join against a `(domain)` blocklist — string ops
+    * only, before any content work or exchange.
+    */
+  private def applyBlocklist(canon: DataFrame,
+                             blockedDomains: Option[DataFrame]): DataFrame =
+    blockedDomains match {
+      case Some(bl) =>
+        require(bl.columns.contains("domain"),
+          s"blocklist needs a 'domain' column: ${bl.columns.mkString(",")}")
+        canon.join(
+          broadcast(bl.select(lower(col("domain")).as("url_domain")).distinct()),
+          Seq("url_domain"), "left_anti")
+      case None => canon
+    }
+
+  /** robots.txt politeness: broadcast the per-host robots bodies, evaluate
+    * the longest-match rules with the compiled kernel on the URL's
+    * path+query, keep rows with no robots row (allowed by default) or an
+    * allow verdict. Runs before the dedup exchange: disallowed bodies
+    * never shuffle.
+    */
+  private def applyRobots(allowed: DataFrame, robots: Option[DataFrame],
+                          agent: String): DataFrame =
+    robots match {
+      case Some(rb) =>
+        require(rb.columns.contains("host") && rb.columns.contains("robots_txt"),
+          s"robots table needs (host, robots_txt) columns: ${rb.columns.mkString(",")}")
+        allowed
+          .join(broadcast(rb.select(lower(col("host")).as("url_host"),
+            col("robots_txt").as("__robots"))), Seq("url_host"), "left")
+          .filter(col("__robots").isNull ||
+            Robots.allowedColumn(col("__robots"), robotsPath(col("url_canon")), agent))
+          .drop("__robots")
+      case None => allowed
+    }
+
   /** @param robots optional politeness table `(host, robots_txt)` — one
     *   row per site authority (RFC 9309 scopes robots.txt per authority;
     *   pass registrable domains as hosts if that's the crawl's fetch
@@ -85,32 +121,7 @@ object Crawl {
         lower(regexp_extract(col("http_content_type"),
           "(?i)charset=\"?([A-Za-z0-9_\\-]+)", 1)).as("charset"))
     val canon = Urls.canonicalize(records).filter(col("url_canon").isNotNull)
-    val allowed = blockedDomains match {
-      case Some(bl) =>
-        require(bl.columns.contains("domain"),
-          s"blocklist needs a 'domain' column: ${bl.columns.mkString(",")}")
-        canon.join(
-          broadcast(bl.select(lower(col("domain")).as("url_domain")).distinct()),
-          Seq("url_domain"), "left_anti")
-      case None => canon
-    }
-    // robots.txt politeness: broadcast the per-host robots bodies, evaluate
-    // the longest-match rules with the compiled kernel on the URL's
-    // path+query, keep rows with no robots row (allowed by default) or an
-    // allow verdict. Runs before the dedup exchange: disallowed bodies
-    // never shuffle.
-    val polite = robots match {
-      case Some(rb) =>
-        require(rb.columns.contains("host") && rb.columns.contains("robots_txt"),
-          s"robots table needs (host, robots_txt) columns: ${rb.columns.mkString(",")}")
-        allowed
-          .join(broadcast(rb.select(lower(col("host")).as("url_host"),
-            col("robots_txt").as("__robots"))), Seq("url_host"), "left")
-          .filter(col("__robots").isNull ||
-            Robots.allowedColumn(col("__robots"), robotsPath(col("url_canon")), agent))
-          .drop("__robots")
-      case None => allowed
-    }
+    val polite = applyRobots(applyBlocklist(canon, blockedDomains), robots, agent)
     // first-per-canonical-URL: min_by keyed on (path, rec_idx) — one
     // map-side-combined exchange on the canonical URL; deterministic
     // because (archive name, record ordinal) totally orders the crawl
@@ -167,6 +178,53 @@ object Crawl {
           coalesce(graft.functions.textkernel.epub_text(col("body")), lit("")))
         .when(col("is_txt"), col("html"))
         .otherwise(Html.extractColumn(col("html"))).as("text"))
+    Html.dropBoilerplateLines(extracted)
+      .filter(length(col("text")) >= minTextChars)
+      .select(
+        graft.functions.textfn.hexhash60(col("url_canon")).as("doc_id"),
+        col("url_canon"), col("url_domain"), col("title"), col("n_links"),
+        col("text"))
+  }
+
+  /** WET front door (r17): Common Crawl's `*.warc.wet.gz` extracted-text
+    * sidecars — the input most training pipelines actually start from
+    * (CCNet, C4 and RefinedWeb all read WET, not raw WARC). A WET shard
+    * is a WARC file whose payload records are `WARC-Type: conversion`
+    * with `Content-Type: text/plain` and a UTF-8 body that IS the page
+    * text (the crawler already ran HTML extraction), prefixed by a
+    * `warcinfo` header record this filter drops.
+    *
+    * The pipeline is [[ingest]] minus the stages WET has already paid —
+    * no HTTP envelope, no content-type routing, no charset chain (WET is
+    * UTF-8 by the format spec), no HTML/codec extraction — and keeps the
+    * ones it has not: URL canonicalization, domain blocklist, robots
+    * politeness, first-per-canonical-URL dedup (re-crawls appear in WET
+    * too) and the line-level boilerplate filter (WET text famously
+    * retains nav/menu lines — the filter is MORE load-bearing here than
+    * on self-extracted text). Same output schema and doc_id derivation
+    * as [[ingest]], so every downstream stage is source-agnostic. Plan
+    * shape: one exchange (the URL dedup), text bytes shuffle once inside
+    * it, everything after is projection-only.
+    */
+  def ingestWet(spark: SparkSession, wetDir: String,
+                blockedDomains: Option[DataFrame] = None,
+                minTextChars: Int = 1,
+                robots: Option[DataFrame] = None,
+                agent: String = "graftbot"): DataFrame = {
+    val records = Warc.readWarcFiles(spark, wetDir)
+      .filter(col("warc_type") === "conversion" &&
+        lower(col("content_type")).startsWith("text/plain") &&
+        col("target_uri").isNotNull && col("target_uri") =!= "")
+      .select(col("path"), col("rec_idx"), col("target_uri").as("url"),
+        col("body"))
+    val canon = Urls.canonicalize(records).filter(col("url_canon").isNotNull)
+    val polite = applyRobots(applyBlocklist(canon, blockedDomains), robots, agent)
+    val deduped = polite
+      .groupBy("url_canon", "url_domain")
+      .agg(min_by(col("body"), struct(col("path"), col("rec_idx"))).as("body"))
+    val extracted = deduped.select(col("url_canon"), col("url_domain"),
+      lit("").as("title"), lit(0L).as("n_links"),
+      graft.functions.textkernel.decode_charset(col("body"), lit("utf-8")).as("text"))
     Html.dropBoilerplateLines(extracted)
       .filter(length(col("text")) >= minTextChars)
       .select(

@@ -428,9 +428,14 @@ object Warc {
       spark.sparkContext.hadoopConfiguration)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // .wet/.wet.gz: Common Crawl's extracted-text sidecars
+    // (*.warc.wet.gz) are WARC files of `conversion` records — same
+    // wire format, same streaming reader
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .filter(s => s.isFile && (s.getPath.getName.endsWith(".warc") ||
-        s.getPath.getName.endsWith(".warc.gz")))
+        s.getPath.getName.endsWith(".warc.gz") ||
+        s.getPath.getName.endsWith(".wet") ||
+        s.getPath.getName.endsWith(".wet.gz")))
       .map(_.getPath.toString).sorted.toSeq
     val par = math.max(if (minPartitions > 0) minPartitions
       else spark.sparkContext.defaultParallelism, 1)

@@ -189,6 +189,41 @@ class CrawlSpec extends AnyFunSuite {
     } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
   }
 
+  // r17: the WET front door — conversion records only, warcinfo dropped,
+  // URL canon + dedup + boilerplate apply, blocklist honored
+  test("ingestWet: conversion records through canon/dedup/boilerplate; warcinfo and blocked domains drop") {
+    val dir = Files.createTempDirectory("crawl_wet").toFile
+    try {
+      def conv(uri: String, text: String, tag: String) =
+        WarcRecord("conversion", uri, "2024-01-01T00:00:00Z", s"<urn:$tag>",
+          "text/plain", text.getBytes(UTF_8))
+      val info = WarcRecord("warcinfo", "", "2024-01-01T00:00:00Z", "<urn:i>",
+        "application/warc-fields", "software: x\r\n".getBytes(UTF_8))
+      val recs = Seq(
+        info,
+        conv("http://Keep.example/a?utm_source=t",
+          "Six words of wet text é!\nmenu\nAnother kept line with five words.", "a1"),
+        // same canonical URL, later record: must lose the dedup
+        conv("http://keep.example/a", "DUPLICATE must not survive!", "a2"),
+        conv("http://blocked.example/b", "Blocked domain text with many words!", "b"),
+        // a stray response record in the same file: ignored by the WET route
+        respRec("http://keep.example/resp", "<p>http response record ignored here.</p>"))
+      Files.write(new java.io.File(dir, "seg.warc.wet.gz").toPath,
+        WarcCodec.writeWarcGz(recs))
+      val blocked = spark.createDataFrame(Seq(Tuple1("blocked.example"))).toDF("domain")
+      val out = Crawl.ingestWet(spark, dir.getAbsolutePath,
+        blockedDomains = Some(blocked)).orderBy("url_canon").collect()
+      assert(out.map(_.getAs[String]("url_canon")).toSeq == Seq("http://keep.example/a"))
+      assert(out(0).getAs[String]("text") ==
+        "Six words of wet text é!\nAnother kept line with five words.")
+      assert(out(0).getAs[String]("title") == "" && out(0).getAs[Long]("n_links") == 0L)
+      // plan shape: ONE exchange (the url dedup); text bytes cross it once
+      val plan = Crawl.ingestWet(spark, dir.getAbsolutePath)
+        .queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
+  }
+
   test("robots table: disallowed paths dropped end-to-end, incl. query-only URLs") {
     val dir = Files.createTempDirectory("crawl_robots").toFile
     try {
