@@ -3833,6 +3833,28 @@ object SparkEntry {
     "q_crawl_wet" -> { (s, dir) =>
       ops.Crawl.ingestWet(s, wetDirFor(s, dir)).orderBy("url_canon")
     },
+    // Mojibake repair (r17): strata garbled IN-PLAN through the real
+    // UTF-8→cp1252 misdecode (the decode_charset kernel) once / twice /
+    // not at all; fix_mojibake must return the identical clean string
+    // for all three — the oracle predicts ONE closed form plus the
+    // was_fixed flag, so a missed fix, an over-fix or a lossy unwind
+    // all hash-mismatch
+    "q_mojibake" -> { (s, dir) =>
+      import graft.functions.textkernel
+      val clean = concat(lit("Café cost €"), pmod(col("doc_id"), lit(50)),
+        lit(" – ‘fine’ résumé… doc "), col("doc_id"), lit("!"))
+      val g1 = textkernel.decode_charset(encode(clean, "UTF-8"), lit("windows-1252"))
+      val g2 = textkernel.decode_charset(encode(g1, "UTF-8"), lit("windows-1252"))
+      val garbled = when(pmod(col("doc_id"), lit(3)) === 0, g1)
+        .when(pmod(col("doc_id"), lit(3)) === 1, g2)
+        .otherwise(clean)
+      tbl(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), garbled.as("garbled"))
+        .select(col("doc_id"),
+          textkernel.fix_mojibake(col("garbled")).as("text"),
+          (textkernel.fix_mojibake(col("garbled")) =!= col("garbled")).as("was_fixed"))
+        .orderBy("doc_id")
+    },
     // EPUB through the PRODUCT crawl path (r16 — the q_crawl_pdf shape
     // for application/epub+zip: the EpubCodec kernel in the same
     // projection; boilerplate drops each chapter's short heading)
@@ -7465,6 +7487,15 @@ object SparkEntry {
         |  'WET extract for doc ' || id || ' é!' || chr(10) ||
         |    'Crawl text ' || (id * 29) % 83 || ' keeps flowing words here.' AS text
         |FROM d ORDER BY url_canon""".stripMargin,
+    // Mojibake repair: every stratum (garbled once / twice / clean)
+    // must come back as the SAME clean closed form; was_fixed marks
+    // the two garbled strata
+    "q_mojibake" ->
+      """SELECT doc_id,
+        |  'Café cost €' || (doc_id % 50) || ' – ‘fine’ résumé… doc '
+        |    || doc_id || '!' AS text,
+        |  doc_id % 3 < 2 AS was_fixed
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
     // Crawl-ingested EPUB: chapter headings ("Chapter k of id", 4
     // words, unpunctuated) drop at the boilerplate filter; the body
     // sentences survive

@@ -914,6 +914,94 @@ case class DecodeCharsetExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Mojibake repair kernel (the ftfy fix real pipelines run before
+  * quality filtering): text that went UTF-8-bytes → cp1252/latin-1
+  * decode → re-encode ("é" surfacing as "Ã©", "—" as "â€"-family
+  * garbage) is reversed by mapping each char back to its byte through
+  * SLOPPY WINDOWS-1252 (cp1252's 0x80–0x9F specials, latin-1 identity
+  * for everything else ≤ 0xFF — the superset ftfy calls
+  * sloppy-windows-1252, so C1-control survivors of a latin-1 decode
+  * reverse too) and STRICTLY re-decoding as UTF-8. The fix applies only
+  * when the whole string maps and the strict decode succeeds AND
+  * changes it — single-encoded "café"/"naïve" fails the strict decode
+  * (0xE9 + ASCII is not a UTF-8 sequence) and passes through untouched,
+  * as does anything with chars outside cp1252; double-encoded text
+  * unwinds across up to 3 iterations. Conservative by construction:
+  * never introduces U+FFFD, never touches clean text.
+  */
+case class FixMojibakeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  protected override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      FixMojibakeExpr.fix(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): FixMojibakeExpr =
+    copy(child = c)
+}
+
+object FixMojibakeExpr {
+  /** char → byte under sloppy windows-1252: cp1252's 0x80–0x9F
+    * punctuation/letter specials, identity for all other chars ≤ 0xFF
+    * (latin-1, INCLUDING the C1 controls cp1252 leaves undefined);
+    * −1 = unmappable.
+    */
+  private val Cp1252Specials: Map[Char, Int] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84, '…' -> 0x85,
+    '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88, '‰' -> 0x89, 'Š' -> 0x8A,
+    '‹' -> 0x8B, 'Œ' -> 0x8C, 'Ž' -> 0x8E, '‘' -> 0x91,
+    '’' -> 0x92, '“' -> 0x93, '”' -> 0x94, '•' -> 0x95,
+    '–' -> 0x96, '—' -> 0x97, '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9A,
+    '›' -> 0x9B, 'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F)
+
+  private def sloppyByte(c: Char): Int =
+    if (c <= 0xFF) c.toInt else Cp1252Specials.getOrElse(c, -1)
+
+  /** One unwind level: None when the string is not whole-string
+    * reversible-and-different (the conservative gate).
+    */
+  private[functions] def fixOnce(s: String): Option[String] = {
+    val n = s.length
+    // fast gate: a multibyte UTF-8 read needs a lead char in 0xC2–0xF4
+    var hasLead = false
+    var i = 0
+    while (i < n && !hasLead) {
+      val c = s.charAt(i)
+      if (c >= 0xC2 && c <= 0xF4) hasLead = true
+      i += 1
+    }
+    if (!hasLead) return None
+    val bytes = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val b = sloppyByte(s.charAt(i))
+      if (b < 0) return None
+      bytes(i) = b.toByte
+      i += 1
+    }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out == s) None else Some(out)
+    } catch { case _: java.nio.charset.CharacterCodingException => None }
+  }
+
+  def fix(s: String): String = {
+    var cur = s
+    var level = 0
+    var continue = true
+    while (level < 3 && continue) {
+      fixOnce(cur) match {
+        case Some(next) => cur = next; level += 1
+        case None => continue = false
+      }
+    }
+    cur
+  }
+}
+
 /** PDF → extracted text kernel ([[graft.sources.PdfCodec]], pages joined
   * with a newline): NULL when the bytes are not a parseable PDF. The
   * crawl router's column form — PDF bodies extract inside the same
@@ -1227,6 +1315,7 @@ object textkernel {
     toColumn(RobotsAllowedExpr(toExpression(robotsTxt), toExpression(path), agent))
   def decode_charset(bytes: Column, charsetName: Column): Column =
     toColumn(DecodeCharsetExpr(toExpression(bytes), toExpression(charsetName)))
+  def fix_mojibake(c: Column): Column = toColumn(FixMojibakeExpr(toExpression(c)))
   def pdf_text(bytes: Column): Column = toColumn(PdfTextExpr(toExpression(bytes)))
   def docx_text(bytes: Column): Column = toColumn(DocxTextExpr(toExpression(bytes)))
   def epub_text(bytes: Column): Column = toColumn(EpubTextExpr(toExpression(bytes)))

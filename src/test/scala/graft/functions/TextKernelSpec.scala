@@ -152,4 +152,47 @@ class TextKernelSpec extends AnyFunSuite {
       array_min(transform(grams, g => textfn.hexhash60(g))).as("h")).collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"winnow mismatch"))
   }
+
+  test("fix_mojibake: unwinds 1-2 levels, never touches clean/ambiguous text") {
+    import java.nio.charset.Charset
+    import java.nio.charset.StandardCharsets.UTF_8
+    val cp1252 = Charset.forName("windows-1252")
+    def garble(s: String): String = new String(s.getBytes(UTF_8), cp1252)
+    // avoids UTF-8 bytes 0x81/0x8D/0x8F/0x90/0x9D: Java's cp1252 decoder
+    // maps those undefined bytes to U+FFFD, which DESTROYS information —
+    // garbling through it is lossy and correctly unfixable (asserted below)
+    // ('—' is also excluded: its LEVEL-1 garble '”' re-garbles through
+    // the lossy 0x9D slot — '–' keeps the dash class double-safe)
+    val clean = "Café cost €42 – ‘fine’, naïve résumé… œuvre!"
+    val once = garble(clean)
+    val twice = garble(once)
+    assert(once != clean && twice != once)
+    // scala-side contract
+    assert(FixMojibakeExpr.fix(once) == clean, once)
+    assert(FixMojibakeExpr.fix(twice) == clean, twice)
+    assert(FixMojibakeExpr.fix(clean) == clean, "clean text untouched")
+    assert(FixMojibakeExpr.fix("plain ascii only!") == "plain ascii only!")
+    // single-encoded latin-1-looking text is NOT valid UTF-8 after the
+    // reverse map — must pass through (the conservative gate)
+    assert(FixMojibakeExpr.fix("naïve café") == "naïve café")
+    // chars outside sloppy-cp1252 (e.g. CJK) block the whole-string map
+    assert(FixMojibakeExpr.fix("Ã© 中文") == "Ã© 中文")
+    assert(FixMojibakeExpr.fix("") == "")
+    // latin-1-decoded mojibake (C1 controls instead of cp1252 specials)
+    // reverses through the sloppy identity path too — INCLUDING chars
+    // whose UTF-8 bytes hit cp1252's undefined slots (”: E2 80 9D)
+    val withQuote = "a “fine” day!"
+    val latin1Garbled = new String(withQuote.getBytes(UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(FixMojibakeExpr.fix(latin1Garbled) == withQuote, "latin-1 flavor")
+    // ...but the JAVA-cp1252-garbled flavor of the same text carries
+    // U+FFFD (byte 0x9D is undefined): information destroyed upstream,
+    // the kernel must refuse rather than guess
+    val lossy = garble(withQuote)
+    assert(lossy.contains('�') && FixMojibakeExpr.fix(lossy) == lossy)
+    // column form
+    val out = Seq(once, twice, clean, "ascii").toDF("t")
+      .select(textkernel.fix_mojibake(col("t"))).as[String].collect()
+    assert(out.toSeq == Seq(clean, clean, clean, "ascii"))
+  }
 }
