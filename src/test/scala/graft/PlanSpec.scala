@@ -364,6 +364,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"repetition must run at scan speed:\n$p")
   }
 
+  test("fix_mojibake is an exchange-free row-local projection") {
+    val docs = (1L to 40L).map(i => (i, s"CafÃ© garbled doc $i")).toDF("doc_id", "text")
+    val p = plan(docs.select(col("doc_id"),
+      graft.functions.textkernel.fix_mojibake(col("text")).as("fixed")))
+    assert(!p.contains("Exchange"), s"mojibake repair must run at scan speed:\n$p")
+  }
+
   test("decontaminate broadcasts the eval grams; corpus shuffles one row per doc") {
     val docs = (1L to 40L).map(i => (i, s"words making up document number $i here"))
       .toDF("doc_id", "text")
