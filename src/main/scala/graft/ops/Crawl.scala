@@ -206,11 +206,19 @@ object Crawl {
     * shape: one exchange (the URL dedup), text bytes shuffle once inside
     * it, everything after is projection-only.
     */
+  /** @param fixMojibake opt-in ftfy-style repair
+    *   ([[graft.functions.textkernel.fix_mojibake]]) applied to the
+    *   decoded text in the SAME projection — old WET vintages carry
+    *   upstream cp1252/UTF-8 double-encodings the crawler baked in.
+    *   Row-local, adds no exchange; off by default so the plan is
+    *   byte-stable for existing callers.
+    */
   def ingestWet(spark: SparkSession, wetDir: String,
                 blockedDomains: Option[DataFrame] = None,
                 minTextChars: Int = 1,
                 robots: Option[DataFrame] = None,
-                agent: String = "graftbot"): DataFrame = {
+                agent: String = "graftbot",
+                fixMojibake: Boolean = false): DataFrame = {
     val records = Warc.readWarcFiles(spark, wetDir)
       .filter(col("warc_type") === "conversion" &&
         lower(col("content_type")).startsWith("text/plain") &&
@@ -222,9 +230,13 @@ object Crawl {
     val deduped = polite
       .groupBy("url_canon", "url_domain")
       .agg(min_by(col("body"), struct(col("path"), col("rec_idx"))).as("body"))
+    val decoded =
+      graft.functions.textkernel.decode_charset(col("body"), lit("utf-8"))
+    val textCol =
+      if (fixMojibake) graft.functions.textkernel.fix_mojibake(decoded)
+      else decoded
     val extracted = deduped.select(col("url_canon"), col("url_domain"),
-      lit("").as("title"), lit(0L).as("n_links"),
-      graft.functions.textkernel.decode_charset(col("body"), lit("utf-8")).as("text"))
+      lit("").as("title"), lit(0L).as("n_links"), textCol.as("text"))
     Html.dropBoilerplateLines(extracted)
       .filter(length(col("text")) >= minTextChars)
       .select(

@@ -217,10 +217,27 @@ class CrawlSpec extends AnyFunSuite {
       assert(out(0).getAs[String]("text") ==
         "Six words of wet text é!\nAnother kept line with five words.")
       assert(out(0).getAs[String]("title") == "" && out(0).getAs[Long]("n_links") == 0L)
-      // plan shape: ONE exchange (the url dedup); text bytes cross it once
-      val plan = Crawl.ingestWet(spark, dir.getAbsolutePath)
-        .queryExecution.executedPlan.toString
-      assert("Exchange".r.findAllIn(plan).length == 1, plan)
+      // fixMojibake = true repairs upstream double-encodings in the same
+      // projection
+      val garbled = new String(
+        "Wet garbled body é with é enough words here!".getBytes(UTF_8),
+        java.nio.charset.Charset.forName("windows-1252"))
+      Files.write(new java.io.File(dir, "g.warc.wet.gz").toPath,
+        WarcCodec.writeWarcGz(Seq(conv("http://garbled.example/g", garbled, "g"))))
+      val fixed = Crawl.ingestWet(spark, dir.getAbsolutePath, fixMojibake = true)
+        .filter(org.apache.spark.sql.functions.col("url_domain") === "garbled.example")
+        .collect()
+      assert(fixed.length == 1)
+      assert(fixed(0).getAs[String]("text") ==
+        "Wet garbled body é with é enough words here!", fixed(0).getAs[String]("text"))
+      // plan shape, with AND without the repair: exactly ONE hash exchange
+      // (the url dedup — two files make its distribution non-trivial, the
+      // ingest pin's convention); text bytes cross it once
+      for (fix <- Seq(false, true)) {
+        val p = Crawl.ingestWet(spark, dir.getAbsolutePath, fixMojibake = fix)
+          .queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, s"fix=$fix:\n$p")
+      }
     } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
   }
 
