@@ -1,7 +1,8 @@
 #!/bin/bash
 # Interleaved A/B bench: r15 closing code vs current (r17) code, same host
-# window, same JVM settings, same gate subset. 2 reps per side, ABBA order
-# to cancel any slow host drift.
+# window, same JVM settings, same gate subset. THREE runs per side,
+# interleaved r15,r17,r17,r15,r17,r15 so each side samples early, middle
+# and late positions of the window (cancels slow host drift).
 set -u
 GATES="q_crawl_docx,q_crawl_pdf,q_crawl_text,q_warc_extract,q_pq_ivf_topk,q_unimax,q_jpeg_decode,q_tfidf,q_pagerank,q_html_extract,q_stratified,q_knn_mip"
 SPARKCP=$(echo /opt/spark/jars/*.jar | tr ' ' ':')
@@ -31,7 +32,7 @@ run_one() {  # $1 = classes dir, $2 = out json
 R15=/tmp/graft_r15/target/scala-2.13/classes
 R17=/root/repo/target/scala-2.13/classes
 mkdir -p /tmp/ab
-# ABBA BAAB: r15 r17 r17 r15 r17 r15 r15 r17
+# six runs, interleaved: r15 r17 r17 r15 r17 r15
 run_one $R15 /tmp/ab/r15_1.json
 run_one $R17 /tmp/ab/r17_1.json
 run_one $R17 /tmp/ab/r17_2.json

@@ -3850,9 +3850,12 @@ object SparkEntry {
         .otherwise(clean)
       tbl(s, dir, "documents").filter(col("doc_id") < 500)
         .select(col("doc_id"), garbled.as("garbled"))
-        .select(col("doc_id"),
-          textkernel.fix_mojibake(col("garbled")).as("text"),
-          (textkernel.fix_mojibake(col("garbled")) =!= col("garbled")).as("was_fixed"))
+        // fix once, derive the flag from the alias — the fallback kernel
+        // is not CSE'd, so naming it avoids a second full unwind per row
+        .select(col("doc_id"), col("garbled"),
+          textkernel.fix_mojibake(col("garbled")).as("text"))
+        .select(col("doc_id"), col("text"),
+          (col("text") =!= col("garbled")).as("was_fixed"))
         .orderBy("doc_id")
     },
     // EPUB through the PRODUCT crawl path (r16 — the q_crawl_pdf shape

@@ -219,7 +219,8 @@ object Crawl {
                 robots: Option[DataFrame] = None,
                 agent: String = "graftbot",
                 fixMojibake: Boolean = false): DataFrame = {
-    val records = Warc.readWarcFiles(spark, wetDir)
+    val records = Warc.readWarcFiles(spark, wetDir,
+        extensions = Seq(".wet", ".wet.gz"))
       .filter(col("warc_type") === "conversion" &&
         lower(col("content_type")).startsWith("text/plain") &&
         col("target_uri").isNotNull && col("target_uri") =!= "")

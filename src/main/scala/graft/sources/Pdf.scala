@@ -742,10 +742,15 @@ object PdfCodec {
   private[sources] def glyphToUnicode(name: String): Option[String] =
     GlyphNames.get(name).orElse(name match {
       case UniName(hex) =>
-        Some(hex.grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString)
+        // AGL: each 4-hex group is a UTF-16 unit EXCLUDING surrogates —
+        // a lone D800-DFFF would make the page text invalid UTF-16
+        val units = hex.grouped(4).map(h => Integer.parseInt(h, 16)).toSeq
+        if (units.exists(u => u >= 0xD800 && u <= 0xDFFF)) None
+        else Some(units.map(_.toChar).mkString)
       case UName(hex) =>
         val cp = Integer.parseInt(hex, 16)
-        if (cp >= 0 && cp <= 0x10FFFF) Some(new String(Character.toChars(cp)))
+        if (cp >= 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+          Some(new String(Character.toChars(cp)))
         else None
       case _ => None
     })
@@ -845,10 +850,10 @@ object PdfCodec {
               }
               case "Tj" => operands.lastOption.collect { case PStr(s) => show(s) }
               case "'" =>
-                newline()
+                if (!suppressed) newline()
                 operands.lastOption.collect { case PStr(s) => show(s) }
               case "\"" =>
-                newline()
+                if (!suppressed) newline()
                 operands.lastOption.collect { case PStr(s) => show(s) }
               case "TJ" => operands.lastOption.collect { case PArr(items) =>
                 items.foreach {
@@ -879,10 +884,14 @@ object PdfCodec {
               case "EMC" =>
                 if (suppressFrom == mcDepth) suppressFrom = -1
                 if (mcDepth > 0) mcDepth -= 1
-              case "T*" => newline()
-              case "TD" => newline()
+              // line breaks are part of the REPLACED rendering inside an
+              // /ActualText span (the canonical use is hyphenation repair
+              // across a T* — "rec-" T* "ognize" replaced by "recognize"),
+              // so they are suppressed with the span's show-text
+              case "T*" => if (!suppressed) newline()
+              case "TD" => if (!suppressed) newline()
               case "Td" => operands.lastOption.collect {
-                case PNum(ty) if ty != 0 => newline()
+                case PNum(ty) if ty != 0 && !suppressed => newline()
               }
               case "BI" =>
                 // inline image: binary payload would derail the

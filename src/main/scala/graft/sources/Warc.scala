@@ -423,19 +423,20 @@ object Warc {
     */
   def readWarcFiles(spark: SparkSession, dir: String,
                     maxRecordBytes: Long = 1L << 30,
-                    minPartitions: Int = 0): DataFrame = {
+                    minPartitions: Int = 0,
+                    extensions: Seq[String] = Seq(".warc", ".warc.gz")): DataFrame = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // .wet/.wet.gz: Common Crawl's extracted-text sidecars
-    // (*.warc.wet.gz) are WARC files of `conversion` records — same
-    // wire format, same streaming reader
+    // `extensions` scopes the listing PER ROUTE: the HTML front door
+    // reads only raw archives and the WET front door only extracted-text
+    // sidecars (.wet/.wet.gz — same wire format, same streaming reader),
+    // so a Common-Crawl-style directory holding both side by side is
+    // never double-scanned by either
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(s => s.isFile && (s.getPath.getName.endsWith(".warc") ||
-        s.getPath.getName.endsWith(".warc.gz") ||
-        s.getPath.getName.endsWith(".wet") ||
-        s.getPath.getName.endsWith(".wet.gz")))
+      .filter(s => s.isFile &&
+        extensions.exists(ext => s.getPath.getName.endsWith(ext)))
       .map(_.getPath.toString).sorted.toSeq
     val par = math.max(if (minPartitions > 0) minPartitions
       else spark.sparkContext.defaultParallelism, 1)

@@ -86,6 +86,11 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(PdfCodec.glyphToUnicode("u1F600").contains(
       new String(Character.toChars(0x1F600))), "uXXXXX takes 4-6 hex digits")
     assert(PdfCodec.glyphToUnicode("uni014").isEmpty, "wrong digit count")
+    // AGL excludes surrogates from both algorithmic forms: a lone
+    // D800-DFFF would make the page text invalid UTF-16
+    assert(PdfCodec.glyphToUnicode("uniD800").isEmpty, "surrogate uni form")
+    assert(PdfCodec.glyphToUnicode("uni0041DFFF").isEmpty, "surrogate in a group")
+    assert(PdfCodec.glyphToUnicode("uD9FF").isEmpty, "surrogate u form")
     assert(PdfCodec.glyphToUnicode("g123").isEmpty)
     assert(PdfCodec.glyphToUnicode("xqzzyglyph").isEmpty)
   }
@@ -131,6 +136,15 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(ops("BT /Tag BMC (kept) Tj EMC EMC (on) Tj ET") == "kepton")
     // BDC with a name operand (named /Properties resource): pass-through
     assert(ops("BT /Span /MC0 BDC (kept) Tj EMC ET") == "kept")
+    // line breaks INSIDE a suppressed span are part of the replaced
+    // rendering — the canonical /ActualText use is hyphenation repair
+    // across a T*; the break must not leak into the output
+    assert(ops("BT (a ) Tj /Span << /ActualText (recognize) >> BDC " +
+      "(rec-) Tj T* (ognize) Tj EMC ( more) Tj ET") == "a recognize more")
+    assert(ops("BT /Span << /ActualText (X) >> BDC (p) ' (q) \" EMC (y) Tj ET")
+      == "Xy", "'/\" breaks suppressed too")
+    // ...and breaks OUTSIDE spans still work
+    assert(ops("BT (l1) Tj T* (l2) Tj ET") == "l1\nl2")
   }
 
   test("an ObjStm copy rescues an object whose top-level copy is corrupt") {
