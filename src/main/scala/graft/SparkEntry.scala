@@ -4154,6 +4154,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0),
         docs.filter(col("doc_id") % 3 =!= 0)).orderBy("doc_id")
     },
+    // KenLM-style count pruning on the foreign-corpus KN path (r17):
+    // minCount = 2 drops singleton trigram types from the doc-side LM
+    // join — their mass rides the context interpolation weight, the
+    // exact backoff path unseen trigrams take; the oracle replays the
+    // pruned numerator (CASE tc >= 2) inside the same CASE ladder
+    "q_perplexity_kn_pruned" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      FullText.trigramSurprisalKNAgainst(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0), minCount = 2).orderBy("doc_id")
+    },
     // the same CCNet bucketing over the r16 KN trigram LM (order = 3)
     "q_ccnet_bucket_kn" -> { (s, dir) =>
       FullText.surprisalBuckets(docsPar(s, dir), order = 3)
@@ -8009,6 +8020,50 @@ object SparkEntry {
          |     CAST(round(-ln(
          |       CASE WHEN coalesce(c2, 0) > 0 THEN
          |         (greatest(coalesce(tc, 0) - 0.75, 0.0) + 0.75 * coalesce(mid, 0) *
+         |           (CASE WHEN coalesce(ctot, 0) > 0 THEN
+         |             (greatest(coalesce(lowc, 0) - 0.75, 0.0) + 0.75 * coalesce(ctyp, 0) *
+         |               ((coalesce(cw3, 0) + 1.0) / (n2types + v))) / ctot
+         |            ELSE (coalesce(cw3, 0) + 1.0) / (n2types + v) END)) / c2
+         |       WHEN coalesce(ctot, 0) > 0 THEN
+         |         (greatest(coalesce(lowc, 0) - 0.75, 0.0) + 0.75 * coalesce(ctyp, 0) *
+         |           ((coalesce(cw3, 0) + 1.0) / (n2types + v))) / ctot
+         |       ELSE (coalesce(cw3, 0) + 1.0) / (n2types + v) END) * 1000000) AS BIGINT) AS m
+         |   FROM dt LEFT JOIN c3 USING (w1, w2, w3) LEFT JOIN ctx USING (w1, w2)
+         |     LEFT JOIN low USING (w2, w3) LEFT JOIN ctx2 USING (w2)
+         |     LEFT JOIN cont USING (w3), tot),
+         | agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n, CAST(sum(k * m) AS BIGINT) AS s FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_trigrams,
+         |  coalesce(round(s / (n * 1000000.0), 6), 0.0) AS avg_neg_logp
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) d
+         |LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // pruned-KN twin: identical CASE ladder, but the trigram-level
+    // discounted count zeroes out below minCount = 2 (singleton types
+    // score through the interpolation weight alone)
+    "q_perplexity_kn_pruned" ->
+      s"""WITH ttr AS (SELECT doc_id, $sqlWords AS w FROM documents WHERE doc_id % 3 = 0),
+         | tsc AS (SELECT doc_id, $sqlWords AS w FROM documents WHERE doc_id % 3 <> 0),
+         | inst AS (SELECT doc_id,
+         |     unnest(list_transform(range(1, len(w) - 1), i -> w[i])) AS w1,
+         |     unnest(list_transform(range(1, len(w) - 1), i -> w[i+1])) AS w2,
+         |     unnest(list_transform(range(1, len(w) - 1), i -> w[i+2])) AS w3
+         |   FROM ttr WHERE len(w) >= 3),
+         | sinst AS (SELECT doc_id,
+         |     unnest(list_transform(range(1, len(w) - 1), i -> w[i])) AS w1,
+         |     unnest(list_transform(range(1, len(w) - 1), i -> w[i+1])) AS w2,
+         |     unnest(list_transform(range(1, len(w) - 1), i -> w[i+2])) AS w3
+         |   FROM tsc WHERE len(w) >= 3),
+         | c3 AS (SELECT w1, w2, w3, count(*) AS tc FROM inst GROUP BY 1, 2, 3),
+         | ctx AS (SELECT w1, w2, sum(tc) AS c2, count(*) AS mid FROM c3 GROUP BY 1, 2),
+         | low AS (SELECT w2, w3, count(*) AS lowc FROM c3 GROUP BY 1, 2),
+         | ctx2 AS (SELECT w2, sum(lowc) AS ctot, count(*) AS ctyp FROM low GROUP BY 1),
+         | cont AS (SELECT w3, count(*) AS cw3 FROM low GROUP BY 1),
+         | tot AS (SELECT (SELECT count(*) FROM low) AS n2types,
+         |     (SELECT count(DISTINCT u) FROM (SELECT unnest(w) AS u FROM ttr)) AS v),
+         | dt AS (SELECT doc_id, w1, w2, w3, count(*) AS k FROM sinst GROUP BY 1, 2, 3, 4),
+         | sc AS (SELECT dt.doc_id, dt.k,
+         |     CAST(round(-ln(
+         |       CASE WHEN coalesce(c2, 0) > 0 THEN
+         |         (greatest((CASE WHEN coalesce(tc, 0) >= 2 THEN tc ELSE 0 END) - 0.75, 0.0) + 0.75 * coalesce(mid, 0) *
          |           (CASE WHEN coalesce(ctot, 0) > 0 THEN
          |             (greatest(coalesce(lowc, 0) - 0.75, 0.0) + 0.75 * coalesce(ctyp, 0) *
          |               ((coalesce(cw3, 0) + 1.0) / (n2types + v))) / ctot

@@ -453,8 +453,9 @@ object FullText {
     */
   def trigramSurprisalKN(docs: DataFrame, textCol: String = "text",
                          idCol: String = "doc_id",
-                         discount: Double = 0.75): DataFrame =
-    trigramSurprisalKNRaw(docs, textCol, idCol, discount)
+                         discount: Double = 0.75,
+                         minCount: Int = 1): DataFrame =
+    trigramSurprisalKNRaw(docs, textCol, idCol, discount, minCount)
       .select(col(idCol), col("n_trigrams"),
         coalesce(round(col("s") / (col("n_trigrams") * Micro), 6), lit(0.0))
           .as("avg_neg_logp"))
@@ -470,8 +471,9 @@ object FullText {
   def trigramSurprisalKNAgainst(train: DataFrame, score: DataFrame,
                                 textCol: String = "text",
                                 idCol: String = "doc_id",
-                                discount: Double = 0.75): DataFrame =
-    trigramSurprisalKNRaw2(train, score, textCol, idCol, discount)
+                                discount: Double = 0.75,
+                                minCount: Int = 1): DataFrame =
+    trigramSurprisalKNRaw2(train, score, textCol, idCol, discount, minCount)
       .select(col(idCol), col("n_trigrams"),
         coalesce(round(col("s") / (col("n_trigrams") * Micro), 6), lit(0.0))
           .as("avg_neg_logp"))
@@ -482,13 +484,30 @@ object FullText {
     */
   private[graft] def trigramSurprisalKNRaw(docs: DataFrame, textCol: String,
                                            idCol: String,
-                                           discount: Double): DataFrame =
-    trigramSurprisalKNRaw2(docs, docs, textCol, idCol, discount)
+                                           discount: Double,
+                                           minCount: Int = 1): DataFrame =
+    trigramSurprisalKNRaw2(docs, docs, textCol, idCol, discount, minCount)
 
+  /** @param minCount KenLM-style count pruning (CCNet ships pruned
+    *   KenLM models): trigram types with tc < minCount score as if
+    *   UNSEEN — the context's interpolation weight D·N1+(w1w2·)/c(w1w2·)
+    *   carries all their mass to the bigram level, exactly the backoff
+    *   path unseen trigrams already take. All lower-order stats stay
+    *   computed from the UNPRUNED type table (KenLM's counts-then-prune
+    *   order). At minCount = 1 the expressions reduce to the unpruned
+    *   originals bit-for-bit. The SCALE effect binds in the
+    *   foreign-corpus path: the doc side's (w1,w2,w3) join reads the
+    *   PRUNED trigram table — on Zipf corpora the singleton fraction is
+    *   the majority of types, so the LM's biggest table shrinks by
+    *   roughly that fraction (measured in SCALING.md r17kncurve) and
+    *   crosses into broadcast range far earlier.
+    */
   private def trigramSurprisalKNRaw2(train: DataFrame, docs: DataFrame,
                                      textCol: String, idCol: String,
-                                     discount: Double): DataFrame = {
+                                     discount: Double,
+                                     minCount: Int = 1): DataFrame = {
     require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
     val d = lit(discount)
     val toks = train.select(col(idCol), textkernel.word_tokens(col(textCol)).as("w"))
     val tris = train.select(col(idCol),
@@ -533,14 +552,27 @@ object FullText {
         (greatest(coalesce(col("lowc"), lit(0L)) - d, lit(0.0)) +
           d * coalesce(col("ctyp"), lit(0L)) * p1) / col("ctot"))
       .otherwise(p1)
+    // pruned types contribute a ZERO discounted-count term (their mass
+    // rides the interpolation weight) — at minCount = 1 this is the
+    // plain coalesce, keeping existing gates bit-identical
+    val tcEff =
+      if (minCount <= 1) coalesce(col("tc"), lit(0L))
+      else when(coalesce(col("tc"), lit(0L)) >= minCount, col("tc"))
+        .otherwise(lit(0L))
     val p3 = when(coalesce(col("c2"), lit(0L)) > 0,
-        (greatest(coalesce(col("tc"), lit(0L)) - d, lit(0.0)) +
+        (greatest(tcEff - d, lit(0.0)) +
           d * coalesce(col("mid"), lit(0L)) * p2) / col("c2"))
       .otherwise(p2)
+    // foreign path: the doc side joins the PRUNED trigram table (absent
+    // rows read tc null -> 0, the same semantics tcEff applies) — the
+    // LM state actually shrinks; the self-trained consolidated join
+    // keeps all rows (scored trigrams all exist in-corpus) and prunes
+    // arithmetically via tcEff
+    val c3Doc = if (minCount <= 1) c3 else c3.filter(col("tc") >= minCount)
     val statted =
       if (docs eq train) docTris.join(lm, Seq("w1", "w2", "w3"), "left")
       else docTris
-        .join(c3, Seq("w1", "w2", "w3"), "left")
+        .join(c3Doc, Seq("w1", "w2", "w3"), "left")
         .join(ctx, Seq("w1", "w2"), "left")
         .join(low, Seq("w2", "w3"), "left")
         .join(ctx2, Seq("w2"), "left")

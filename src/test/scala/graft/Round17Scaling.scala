@@ -79,7 +79,11 @@ object Round17Scaling {
           explode(graft.functions.textkernel.word_trigrams(col("text"))).as("t"))
           .select(col("doc_id"), col("t.w1"), col("t.w2"), col("t.w3"))
         val instances = tris.count()
-        val types = tris.select("w1", "w2", "w3").distinct().count()
+        val typeCounts = tris.groupBy("w1", "w2", "w3").count()
+          .agg(count(lit(1)).as("types"),
+            sum(when(col("count") >= 2, 1L).otherwise(0L)).as("kept2")).collect()(0)
+        val types = typeCounts.getLong(0)
+        val kept2 = typeCounts.getLong(1) // minCount=2 pruned-LM rows
         val docTris = tris.distinct().count()
         val t0 = System.nanoTime()
         val out = graft.ops.FullText.trigramSurprisalKN(docs)
@@ -87,6 +91,7 @@ object Round17Scaling {
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[r17kncurve] scale=${s}%d docs=$nDocs%d instances=$instances%d " +
           f"types=$types%d typeRatio=${instances.toDouble / types}%.2f " +
+          f"minCount2Rows=$kept2%d lmShrink=${1.0 - kept2.toDouble / types}%.2f " +
           f"docTrisRows=$docTris%d docJoinReduction=${instances.toDouble / docTris}%.2f " +
           f"sumTrigrams=${out.getLong(0)}%d time=$secs%.1fs")
         docs.unpersist()

@@ -172,6 +172,40 @@ class FullTextSpec extends AnyFunSuite {
     assert(far(0).getDouble(2) > 0 && !far(0).getDouble(2).isInfinite)
   }
 
+  test("KN pruning: minCount=1 is bit-identical; pruned singletons score as unseen") {
+    // train: "a b c" twice (tc=2) and "a b d" once (tc=1, the singleton)
+    val train = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
+    val score = Seq((9L, "a b d"), (10L, "a b c")).toDF("doc_id", "text")
+    val base = FullText.trigramSurprisalKNAgainst(train, score)
+      .orderBy("doc_id").collect()
+    val mc1 = FullText.trigramSurprisalKNAgainst(train, score, minCount = 1)
+      .orderBy("doc_id").collect()
+    assert(base.map(_.getDouble(2)).toSeq == mc1.map(_.getDouble(2)).toSeq,
+      "minCount=1 must not change a single score")
+    val pruned = FullText.trigramSurprisalKNAgainst(train, score, minCount = 2)
+      .orderBy("doc_id").collect()
+    // the singleton 'a b d' is pruned: its score must RISE (mass now
+    // rides the interpolation weight only) and must equal the score of
+    // a genuinely-unseen trigram in the same context ('a b z' has the
+    // same c2/mid and the same zeroed numerator... but a different
+    // continuation — so instead assert strictly-greater + finite)
+    assert(pruned(0).getDouble(2) > base(0).getDouble(2),
+      s"pruned singleton must score higher: ${pruned(0).getDouble(2)} vs ${base(0).getDouble(2)}")
+    assert(!pruned(0).getDouble(2).isInfinite)
+    // the surviving tc=2 trigram keeps a pruned-but-present LM: its
+    // score changes only through nothing — identical to unpruned
+    assert(pruned(1).getDouble(2) == base(1).getDouble(2),
+      "a type at/above the threshold is untouched")
+    // self-trained path prunes arithmetically (consolidated join keeps
+    // the row): same monotonicity
+    val selfBase = FullText.trigramSurprisalKN(train).orderBy("doc_id").collect()
+    val selfPruned = FullText.trigramSurprisalKN(train, minCount = 2)
+      .orderBy("doc_id").collect()
+    assert(selfPruned(2).getDouble(2) > selfBase(2).getDouble(2),
+      "self-trained doc holding the singleton scores higher under pruning")
+    assert(selfPruned(0).getDouble(2) == selfBase(0).getDouble(2))
+  }
+
   test("hashEmbedBuckets drops zero-weight buckets and counts multiplicity") {
     val d = Seq((1L, "x x y")).toDF("doc_id", "text")
     val r = FullText.hashEmbedBuckets(d).collect()
