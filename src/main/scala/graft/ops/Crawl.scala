@@ -89,12 +89,17 @@ object Crawl {
     *   bodies nor reach extraction; hosts absent from the table are
     *   allowed (no robots.txt ⇒ everything crawlable, RFC 9309 §2.3.1.2).
     * @param agent product token the rules are evaluated for.
+    * @param fixMojibake opt-in ftfy-style repair applied to the
+    *   EXTRACTED text in the same projection (see [[ingestWet]] — here
+    *   it catches pages whose declared charset lies about an upstream
+    *   double-encoding). Off by default: plans stay byte-stable.
     */
   def ingest(spark: SparkSession, warcDir: String,
              blockedDomains: Option[DataFrame] = None,
              minTextChars: Int = 1,
              robots: Option[DataFrame] = None,
-             agent: String = "graftbot"): DataFrame = {
+             agent: String = "graftbot",
+             fixMojibake: Boolean = false): DataFrame = {
     // header names/values are case-insensitive (RFC 9110): match
     // 'Text/HTML' too, and honour a declared charset parameter (with a
     // <meta charset> prescan fallback below — bodies arrive already
@@ -178,7 +183,12 @@ object Crawl {
           coalesce(graft.functions.textkernel.epub_text(col("body")), lit("")))
         .when(col("is_txt"), col("html"))
         .otherwise(Html.extractColumn(col("html"))).as("text"))
-    Html.dropBoilerplateLines(extracted)
+    val repaired =
+      if (fixMojibake)
+        extracted.withColumn("text",
+          graft.functions.textkernel.fix_mojibake(col("text")))
+      else extracted
+    Html.dropBoilerplateLines(repaired)
       .filter(length(col("text")) >= minTextChars)
       .select(
         graft.functions.textfn.hexhash60(col("url_canon")).as("doc_id"),

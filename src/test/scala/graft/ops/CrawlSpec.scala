@@ -189,6 +189,28 @@ class CrawlSpec extends AnyFunSuite {
     } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
   }
 
+  // r17: opt-in mojibake repair on the HTML route — a page whose
+  // declared charset hides an upstream double-encoding
+  test("ingest(fixMojibake = true) repairs double-encoded pages; default untouched") {
+    val dir = Files.createTempDirectory("crawl_moji").toFile
+    try {
+      val clean = "<p>Price was café style €5 total here!</p>"
+      // the server double-encoded: UTF-8 bytes re-read as cp1252 and
+      // re-served as UTF-8 (header truthfully says utf-8 — of the
+      // garbled chars)
+      val garbled = new String(clean.getBytes(UTF_8),
+        java.nio.charset.Charset.forName("windows-1252"))
+      Files.write(new java.io.File(dir, "m.warc.gz").toPath, WarcCodec.writeWarcGz(Seq(
+        respRec("http://moji.example/p", garbled))))
+      val off = Crawl.ingest(spark, dir.getAbsolutePath).collect()
+      assert(off.length == 1 && off(0).getAs[String]("text").contains("cafÃ©"),
+        s"default passes the garble through: ${off(0).getAs[String]("text")}")
+      val on = Crawl.ingest(spark, dir.getAbsolutePath, fixMojibake = true).collect()
+      assert(on.length == 1 && on(0).getAs[String]("text") ==
+        "Price was café style €5 total here!", on(0).getAs[String]("text"))
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
+  }
+
   // r17: the WET front door — conversion records only, warcinfo dropped,
   // URL canon + dedup + boilerplate apply, blocklist honored
   test("ingestWet: conversion records through canon/dedup/boilerplate; warcinfo and blocked domains drop") {
