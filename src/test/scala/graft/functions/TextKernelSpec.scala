@@ -195,4 +195,39 @@ class TextKernelSpec extends AnyFunSuite {
       .select(textkernel.fix_mojibake(col("t"))).as[String].collect()
     assert(out.toSeq == Seq(clean, clean, clean, "ascii"))
   }
+
+  test("fix_mojibake properties: total, idempotent, never introduces U+FFFD") {
+    // deterministic seeded sweep over hostile inputs (the codec-family
+    // discipline): random unicode soup, random latin-1-range strings,
+    // random garbles of random clean strings, control chars, surrogates
+    val rnd = new scala.util.Random(23)
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    def randomString(n: Int, maxCp: Int): String = {
+      val sb = new StringBuilder
+      while (sb.length < n) {
+        val cp = rnd.nextInt(maxCp)
+        if (!(cp >= 0xD800 && cp <= 0xDFFF)) sb.appendAll(Character.toChars(cp))
+      }
+      sb.toString
+    }
+    for (trial <- 0 until 400) {
+      val s = trial % 4 match {
+        case 0 => randomString(1 + rnd.nextInt(60), 0x100)   // latin-1 range
+        case 1 => randomString(1 + rnd.nextInt(60), 0x3000)  // BMP soup
+        case 2 => // a real garble of clean-ish text
+          val base = randomString(1 + rnd.nextInt(40), 0x250)
+          new String(base.getBytes(java.nio.charset.StandardCharsets.UTF_8), cp1252)
+        case _ => // raw bytes latin-1-decoded (any byte soup is a valid string)
+          val b = new Array[Byte](1 + rnd.nextInt(60)); rnd.nextBytes(b)
+          new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+      val f = FixMojibakeExpr.fix(s) // total: must not throw
+      assert(FixMojibakeExpr.fix(f) == f, s"not idempotent on trial $trial")
+      if (!s.contains('�'))
+        assert(!f.contains('�'), s"introduced U+FFFD on trial $trial")
+    }
+    // lone surrogates (invalid UTF-16 input) must pass through untouched
+    val lone = "a\uD800b"
+    assert(FixMojibakeExpr.fix(lone) == lone)
+  }
 }
