@@ -155,6 +155,29 @@ object Dedup {
       bandBuckets(docs, textCol, numHashes, rowsPerBand, shingleSize), hotBucketCap, saturation,
       subBucket)
 
+  /** Band parameters for a target Jaccard threshold (r17): among the
+    * divisors r of `numHashes` (rowsPerBand r, bands b = numHashes/r),
+    * pick the one whose S-curve inflection `t(b, r) = (1/b)^(1/r)` —
+    * the similarity at which a pair's any-band collision probability
+    * `1 − (1 − s^r)^b` crosses ~0.5 — sits closest to `threshold`
+    * (Leskovec/Rajaraman/Ullman ch. 3, the standard tuning rule). Ties
+    * break toward SMALLER r: more bands ⇒ the curve errs on RECALL,
+    * and the exact-Jaccard verify step already removes false positives
+    * for free, while a false negative is gone forever. Feed the result
+    * straight into [[minhashLsh]]'s (numHashes, rowsPerBand).
+    */
+  def lshParams(threshold: Double, numHashes: Int = 16): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold must be in (0,1): $threshold")
+    require(numHashes >= 2, s"numHashes must be >= 2: $numHashes")
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0)
+    val best = candidates.minBy { r =>
+      val b = numHashes / r
+      val t = math.pow(1.0 / b, 1.0 / r)
+      (math.abs(t - threshold), r)
+    }
+    (numHashes / best, best)
+  }
+
   /** MinHash+LSH near-dup candidate pairs with exact Jaccard verification.
     *
     * Banding: `numHashes` hashes in bands of `rowsPerBand`; docs sharing ANY

@@ -441,6 +441,27 @@ class DedupSpec extends AnyFunSuite {
     assert(capped === uncapped) // fixture buckets are all below the cap
   }
 
+  test("lshParams: S-curve inflection closest to the threshold, recall-biased ties") {
+    // numHashes=16 inflections: r=1 t=0.0625, r=2 t=0.354, r=4 t=0.707,
+    // r=8 t=0.917, r=16 t=1.0
+    assert(Dedup.lshParams(0.5, 16) == (8, 2))
+    assert(Dedup.lshParams(0.8, 16) == (4, 4))
+    assert(Dedup.lshParams(0.95, 16) == (2, 8))
+    assert(Dedup.lshParams(0.1, 16) == (16, 1))
+    // at the (floating-point) midpoint of the r=2 / r=4 inflections the
+    // choice follows the closer side; on an EXACT tie the smaller r wins
+    // (more bands, higher recall; the verify step removes the FPs)
+    val t2 = math.pow(1.0 / 8, 1.0 / 2)
+    val t4 = math.pow(1.0 / 4, 1.0 / 4)
+    val mid = (t2 + t4) / 2
+    val expected = if (math.abs(t2 - mid) <= math.abs(t4 - mid)) 2 else 4
+    assert(Dedup.lshParams(mid, 16)._2 == expected)
+    // the default minhashLsh configuration is what 0.5 selects
+    assert(Dedup.lshParams(0.5) == (8, 2))
+    intercept[IllegalArgumentException](Dedup.lshParams(0.0, 16))
+    intercept[IllegalArgumentException](Dedup.lshParams(0.5, 1))
+  }
+
   test("minhash signature of normalized duplicates is identical") {
     val sig = Dedup.minhashSignature(docs, numHashes = 8).drop("__shingles").collect()
       .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i)))
