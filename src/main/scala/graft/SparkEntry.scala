@@ -4137,6 +4137,13 @@ object SparkEntry {
     "q_perplexity_kn" -> { (s, dir) =>
       FullText.trigramSurprisalKN(docsPar(s, dir)).orderBy("doc_id")
     },
+    // interpolated KN at ORDER 4 (r17 — one below the KenLM-5 CCNet
+    // ships): the continuation-count chain c4 → low3 → low2, the same
+    // +1/V floor and consolidation, ONE doc-side (w1..w4) join; the
+    // oracle replays the full four-level interpolation ladder
+    "q_perplexity_kn4" -> { (s, dir) =>
+      FullText.fourgramSurprisalKN(docsPar(s, dir)).orderBy("doc_id")
+    },
     // CCNet head/middle/tail perplexity bucketing: per-language exact
     // order-statistic thresholds over the MIL-nat integer score histogram
     // (no global sort — the histogram is langs × score-resolution rows)
@@ -7990,6 +7997,37 @@ object SparkEntry {
          |     LEFT JOIN cont USING (w3), tot),
          | agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n, CAST(sum(k * m) AS BIGINT) AS s FROM sc GROUP BY doc_id)
          |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_trigrams,
+         |  coalesce(round(s / (n * 1000000.0), 6), 0.0) AS avg_neg_logp
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // order-4 KN twin: the c4 -> low3 -> low2 continuation chain and
+    // the four-level interpolation ladder replayed verbatim
+    "q_perplexity_kn4" ->
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         | inst AS (SELECT doc_id,
+         |     unnest(list_transform(range(1, len(w) - 2), i -> w[i])) AS w1,
+         |     unnest(list_transform(range(1, len(w) - 2), i -> w[i+1])) AS w2,
+         |     unnest(list_transform(range(1, len(w) - 2), i -> w[i+2])) AS w3,
+         |     unnest(list_transform(range(1, len(w) - 2), i -> w[i+3])) AS w4
+         |   FROM t WHERE len(w) >= 4),
+         | c4 AS (SELECT w1, w2, w3, w4, count(*) AS tc FROM inst GROUP BY 1, 2, 3, 4),
+         | ctx AS (SELECT w1, w2, w3, sum(tc) AS c3sum, count(*) AS mid3 FROM c4 GROUP BY 1, 2, 3),
+         | low3 AS (SELECT w2, w3, w4, count(*) AS lowc3 FROM c4 GROUP BY 1, 2, 3),
+         | ctx3 AS (SELECT w2, w3, sum(lowc3) AS ctot3, count(*) AS ctyp3 FROM low3 GROUP BY 1, 2),
+         | low2 AS (SELECT w3, w4, count(*) AS lowc2 FROM low3 GROUP BY 1, 2),
+         | ctx2 AS (SELECT w3, sum(lowc2) AS ctot2, count(*) AS ctyp2 FROM low2 GROUP BY 1),
+         | cont AS (SELECT w4, count(*) AS cw4 FROM low2 GROUP BY 1),
+         | tot AS (SELECT (SELECT count(*) FROM low2) AS n3types,
+         |     (SELECT count(DISTINCT u) FROM (SELECT unnest(w) AS u FROM t)) AS v),
+         | dt AS (SELECT doc_id, w1, w2, w3, w4, count(*) AS k FROM inst GROUP BY 1, 2, 3, 4, 5),
+         | sc AS (SELECT dt.doc_id, dt.k,
+         |     CAST(round(-ln(
+         |       CASE WHEN coalesce(c3sum, 0) > 0 THEN (greatest(coalesce(tc, 0) - 0.75, 0.0) + 0.75 * coalesce(mid3, 0) * (CASE WHEN coalesce(ctot3, 0) > 0 THEN (greatest(coalesce(lowc3, 0) - 0.75, 0.0) + 0.75 * coalesce(ctyp3, 0) * (CASE WHEN coalesce(ctot2, 0) > 0 THEN (greatest(coalesce(lowc2, 0) - 0.75, 0.0) + 0.75 * coalesce(ctyp2, 0) * ((coalesce(cw4, 0) + 1.0) / (n3types + v))) / ctot2 ELSE ((coalesce(cw4, 0) + 1.0) / (n3types + v)) END)) / ctot3 ELSE (CASE WHEN coalesce(ctot2, 0) > 0 THEN (greatest(coalesce(lowc2, 0) - 0.75, 0.0) + 0.75 * coalesce(ctyp2, 0) * ((coalesce(cw4, 0) + 1.0) / (n3types + v))) / ctot2 ELSE ((coalesce(cw4, 0) + 1.0) / (n3types + v)) END) END)) / c3sum ELSE (CASE WHEN coalesce(ctot3, 0) > 0 THEN (greatest(coalesce(lowc3, 0) - 0.75, 0.0) + 0.75 * coalesce(ctyp3, 0) * (CASE WHEN coalesce(ctot2, 0) > 0 THEN (greatest(coalesce(lowc2, 0) - 0.75, 0.0) + 0.75 * coalesce(ctyp2, 0) * ((coalesce(cw4, 0) + 1.0) / (n3types + v))) / ctot2 ELSE ((coalesce(cw4, 0) + 1.0) / (n3types + v)) END)) / ctot3 ELSE (CASE WHEN coalesce(ctot2, 0) > 0 THEN (greatest(coalesce(lowc2, 0) - 0.75, 0.0) + 0.75 * coalesce(ctyp2, 0) * ((coalesce(cw4, 0) + 1.0) / (n3types + v))) / ctot2 ELSE ((coalesce(cw4, 0) + 1.0) / (n3types + v)) END) END) END) * 1000000) AS BIGINT) AS m
+         |   FROM dt LEFT JOIN c4 USING (w1, w2, w3, w4) LEFT JOIN ctx USING (w1, w2, w3)
+         |     LEFT JOIN low3 USING (w2, w3, w4) LEFT JOIN ctx3 USING (w2, w3)
+         |     LEFT JOIN low2 USING (w3, w4) LEFT JOIN ctx2 USING (w3)
+         |     LEFT JOIN cont USING (w4), tot),
+         | agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n, CAST(sum(k * m) AS BIGINT) AS s FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_fourgrams,
          |  coalesce(round(s / (n * 1000000.0), 6), 0.0) AS avg_neg_logp
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // cross-corpus KN: counts from the %3=0 train slice, positions from

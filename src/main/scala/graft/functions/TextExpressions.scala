@@ -488,6 +488,31 @@ case class WordTrigramsExpr(child: Expression) extends StringKernelExpression {
   override protected def withNewChildInternal(c: Expression): WordTrigramsExpr = copy(child = c)
 }
 
+/** word 4-grams → array<struct<w1,w2,w3,w4>> — the order-4 sibling of
+  * [[WordTrigramsExpr]] for the KN n-gram family.
+  */
+case class WordFourgramsExpr(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false),
+    StructField("w3", StringType, nullable = false),
+    StructField("w4", StringType, nullable = false))), containsNull = false)
+  protected override def nullSafeEval(v: Any): Any = {
+    val t = TextKernel.tokens(input(v))
+    val n = math.max(0, t.length - 3)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(t(i)), UTF8String.fromString(t(i + 1)),
+        UTF8String.fromString(t(i + 2)), UTF8String.fromString(t(i + 3)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): WordFourgramsExpr = copy(child = c)
+}
+
 /** minhash signature over word shingles → array<long>; NULL when the doc has
   * fewer than `shingleSize` words (matches the HOF/SQL formulation where
   * array_min of an empty list is NULL).
@@ -1293,6 +1318,7 @@ object textkernel {
     toColumn(CutSpansInSetExpr(toExpression(text), hashes, w))
   def word_shingles(c: Column, n: Int): Column = toColumn(WordShinglesExpr(toExpression(c), n))
   def word_trigrams(c: Column): Column = toColumn(WordTrigramsExpr(toExpression(c)))
+  def word_fourgrams(c: Column): Column = toColumn(WordFourgramsExpr(toExpression(c)))
   def minhash_sig(c: Column, numHashes: Int, shingleSize: Int): Column =
     toColumn(MinHashSigExpr(toExpression(c), numHashes, shingleSize))
   def simhash_fast(c: Column, bits: Int): Column = toColumn(SimHashExpr(toExpression(c), bits))

@@ -588,6 +588,89 @@ object FullText {
         col("s"))
   }
 
+  /** Interpolated Kneser-Ney FOURGRAM surprisal (r17) — one order below
+    * the KenLM-5 CCNet ships, demonstrating the order-recursive shape:
+    *
+    *   P4(w4|w1w2w3) = (max(c4−D,0) + D·N1+(w1w2w3·)·P3(w4|w2w3)) / c(w1w2w3·)
+    *   P3(w4|w2w3)   = (max(N1+(·w2w3w4)−D,0) + D·N1+(w2w3·)·P2(w4|w3)) / N1+(·w2w3·)
+    *   P2(w4|w3)     = (max(N1+(··w3w4)−D,0) + D·N1+(w3·)·Pc(w4)) / N1+(··w3·)
+    *   Pc(w4)        = (N1+(··w4) + 1) / (N1+(···) + V)
+    *
+    * with each level's continuation table an aggregation of the PREVIOUS
+    * level's TYPE table (c4 → low3 by (w2,w3,w4) → low2 by (w3,w4) —
+    * the Kneser-Ney "count of contexts" chain), the same +1/V floor,
+    * micro-nat integer accumulators, self-trained consolidation onto
+    * the fourgram-type table (ONE doc-side (w1,w2,w3,w4) join) and the
+    * same `minCount` pruning lever as [[trigramSurprisalKN]]. Scale
+    * posture is the trigram one with a bigger type table — exactly the
+    * term the measured Zipf amortization (SCALING.md r17kncurve) and
+    * pruning shrink bound.
+    */
+  def fourgramSurprisalKN(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id",
+                          discount: Double = 0.75,
+                          minCount: Int = 1): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val d = lit(discount)
+    val toks = docs.select(col(idCol), textkernel.word_tokens(col(textCol)).as("w"))
+    val quads = docs.select(col(idCol),
+        explode(textkernel.word_fourgrams(col(textCol))).as("t"))
+      .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"), col("t.w4"))
+    val docQuads = quads.groupBy(col(idCol), col("w1"), col("w2"), col("w3"), col("w4"))
+      .agg(count(lit(1)).as("k"))
+    // the LM: one fourgram TYPE table; every stat derives from it
+    val c4 = docQuads.groupBy("w1", "w2", "w3", "w4").agg(sum("k").as("tc"))
+    val ctx = c4.groupBy("w1", "w2", "w3")
+      .agg(sum("tc").as("c3sum"), count(lit(1)).as("mid3")) // c(w1w2w3·), N1+(w1w2w3·)
+    val low3 = c4.groupBy("w2", "w3", "w4").agg(count(lit(1)).as("lowc3")) // N1+(·w2w3w4)
+    val ctx3 = low3.groupBy("w2", "w3")
+      .agg(sum("lowc3").as("ctot3"), count(lit(1)).as("ctyp3")) // N1+(·w2w3·), N1+(w2w3·)
+    val low2 = low3.groupBy("w3", "w4").agg(count(lit(1)).as("lowc2")) // N1+(··w3w4)
+    val ctx2 = low2.groupBy("w3")
+      .agg(sum("lowc2").as("ctot2"), count(lit(1)).as("ctyp2")) // N1+(··w3·), N1+(w3·)
+    val cont = low2.groupBy("w4").agg(count(lit(1)).as("cw4")) // N1+(··w4)
+    val totals = low2.agg(count(lit(1)).as("n3types"))
+      .crossJoin(toks.select(explode(col("w")).as("u")).agg(count_distinct(col("u")).as("v")))
+    // self-trained consolidation (the r16 trigram shape): every stat onto
+    // the type table, doc side pays ONE (w1,w2,w3,w4) join
+    val lm = c4
+      .join(ctx, Seq("w1", "w2", "w3"))
+      .join(low3, Seq("w2", "w3", "w4"))
+      .join(ctx3, Seq("w2", "w3"))
+      .join(low2, Seq("w3", "w4"))
+      .join(ctx2, Seq("w3"))
+      .join(cont, Seq("w4"))
+    val p1 = (coalesce(col("cw4"), lit(0L)) + lit(1.0)) /
+      (col("n3types") + col("v"))
+    val p2 = when(coalesce(col("ctot2"), lit(0L)) > 0,
+        (greatest(coalesce(col("lowc2"), lit(0L)) - d, lit(0.0)) +
+          d * coalesce(col("ctyp2"), lit(0L)) * p1) / col("ctot2"))
+      .otherwise(p1)
+    val p3 = when(coalesce(col("ctot3"), lit(0L)) > 0,
+        (greatest(coalesce(col("lowc3"), lit(0L)) - d, lit(0.0)) +
+          d * coalesce(col("ctyp3"), lit(0L)) * p2) / col("ctot3"))
+      .otherwise(p2)
+    val tcEff =
+      if (minCount <= 1) coalesce(col("tc"), lit(0L))
+      else when(coalesce(col("tc"), lit(0L)) >= minCount, col("tc"))
+        .otherwise(lit(0L))
+    val p4 = when(coalesce(col("c3sum"), lit(0L)) > 0,
+        (greatest(tcEff - d, lit(0.0)) +
+          d * coalesce(col("mid3"), lit(0L)) * p3) / col("c3sum"))
+      .otherwise(p3)
+    val scored = docQuads.join(lm, Seq("w1", "w2", "w3", "w4"), "left")
+      .join(broadcast(totals))
+      .withColumn("neg_logp_micro", round(-log(p4) * Micro).cast(LongType))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_fourgrams"),
+        sum(col("k") * col("neg_logp_micro")).as("s"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_fourgrams"), lit(0L)).as("n_fourgrams"),
+        coalesce(round(col("s") / (col("n_fourgrams") * Micro), 6), lit(0.0))
+          .as("avg_neg_logp"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 — the
     * head/middle/tail split LLaMA-class corpora are built on): per
     * language, documents are cut into `nBuckets` equal-count bands by

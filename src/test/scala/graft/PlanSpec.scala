@@ -617,6 +617,19 @@ class PlanSpec extends AnyFunSuite {
     assert(threeWordJoins == 1, s"want 1 three-word join, got $threeWordJoins:\n$p")
   }
 
+  test("fourgramSurprisalKN: one consolidated four-word doc-side join, no cartesian, no window") {
+    import graft.ops.FullText
+    val docs = (0L until 30L)
+      .map(i => (i, s"alpha beta gamma delta w$i x$i y$i z$i"))
+      .toDF("doc_id", "text")
+    val p = plan(FullText.fourgramSurprisalKN(docs))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("WindowExec") && !p.contains("Window ["), p)
+    val fourWordJoins = "(?s)Join [^\\n]*w1[^\\n]*w2[^\\n]*w3[^\\n]*w4".r
+      .findAllIn(p).size
+    assert(fourWordJoins == 1, s"want 1 four-word join, got $fourWordJoins:\n$p")
+  }
+
   // q_ann_hnsw's documented shape: the only exchanges are the shard
   // repartition and the bounded top-k merge (TopKAggregator partial agg —
   // O(shards·probes·k) rows); no window over scored candidates, no

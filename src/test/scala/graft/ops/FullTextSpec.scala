@@ -172,6 +172,27 @@ class FullTextSpec extends AnyFunSuite {
     assert(far(0).getDouble(2) > 0 && !far(0).getDouble(2).isInfinite)
   }
 
+  test("fourgramSurprisalKN: repetition below diversity, finite, order consistency") {
+    val rep = Seq((1L, "a b c d a b c d a b c d")).toDF("doc_id", "text")
+    val div = Seq((2L, "p q r s t u v w x y z aa")).toDF("doc_id", "text")
+    val r = FullText.fourgramSurprisalKN(rep.union(div)).orderBy("doc_id").collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(1) == 9L && r(1).getLong(1) == 9L, "12 tokens -> 9 fourgrams")
+    assert(r(0).getDouble(2) < r(1).getDouble(2),
+      s"repetition must score below diversity: ${r(0).getDouble(2)} vs ${r(1).getDouble(2)}")
+    assert(r.forall(x => !x.getDouble(2).isInfinite && x.getDouble(2) > 0))
+    // a doc too short for any fourgram scores 0 with n = 0
+    val short = FullText.fourgramSurprisalKN(
+      Seq((3L, "only three words")).toDF("doc_id", "text")).collect()
+    assert(short(0).getLong(1) == 0L && short(0).getDouble(2) == 0.0)
+    // pruning monotonicity carries to order 4: the corpus where every
+    // fourgram is a singleton scores strictly higher under minCount=2
+    val single = Seq((4L, "k l m n o p")).toDF("doc_id", "text")
+    val base = FullText.fourgramSurprisalKN(single).collect()(0).getDouble(2)
+    val pruned = FullText.fourgramSurprisalKN(single, minCount = 2).collect()(0).getDouble(2)
+    assert(pruned > base, s"$pruned vs $base")
+  }
+
   test("KN pruning: minCount=1 is bit-identical; pruned singletons score as unseen") {
     // train: "a b c" twice (tc=2) and "a b d" once (tc=1, the singleton)
     val train = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
