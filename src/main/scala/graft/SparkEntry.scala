@@ -8091,7 +8091,9 @@ object SparkEntry {
          |     unnest(list_transform(range(1, len(w) - 1), i -> w[i+2])) AS w3
          |   FROM tsc WHERE len(w) >= 3),
          | c3 AS (SELECT w1, w2, w3, count(*) AS tc FROM inst GROUP BY 1, 2, 3),
-         | ctx AS (SELECT w1, w2, sum(tc) AS c2, count(*) AS mid FROM c3 GROUP BY 1, 2),
+         | ctx AS (SELECT w1, w2, sum(tc) AS c2, count(*) AS mid,
+         |     sum(CASE WHEN tc < 2 THEN greatest(tc - 0.75, 0.0) ELSE 0.0 END) AS pmass
+         |   FROM c3 GROUP BY 1, 2),
          | low AS (SELECT w2, w3, count(*) AS lowc FROM c3 GROUP BY 1, 2),
          | ctx2 AS (SELECT w2, sum(lowc) AS ctot, count(*) AS ctyp FROM low GROUP BY 1),
          | cont AS (SELECT w3, count(*) AS cw3 FROM low GROUP BY 1),
@@ -8101,7 +8103,7 @@ object SparkEntry {
          | sc AS (SELECT dt.doc_id, dt.k,
          |     CAST(round(-ln(
          |       CASE WHEN coalesce(c2, 0) > 0 THEN
-         |         (greatest((CASE WHEN coalesce(tc, 0) >= 2 THEN tc ELSE 0 END) - 0.75, 0.0) + 0.75 * coalesce(mid, 0) *
+         |         (greatest((CASE WHEN coalesce(tc, 0) >= 2 THEN tc ELSE 0 END) - 0.75, 0.0) + (0.75 * coalesce(mid, 0) + coalesce(pmass, 0.0)) *
          |           (CASE WHEN coalesce(ctot, 0) > 0 THEN
          |             (greatest(coalesce(lowc, 0) - 0.75, 0.0) + 0.75 * coalesce(ctyp, 0) *
          |               ((coalesce(cw3, 0) + 1.0) / (n2types + v))) / ctot

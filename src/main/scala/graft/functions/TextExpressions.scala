@@ -462,55 +462,31 @@ case class WordShinglesExpr(child: Expression, n: Int) extends StringKernelExpre
   override protected def withNewChildInternal(c: Expression): WordShinglesExpr = copy(child = c)
 }
 
-/** ALL word trigrams in order (non-distinct, multiplicity kept) →
-  * array<struct<w1,w2,w3>> — the compiled feed for the KN trigram LM
-  * (a `transform(sequence(...))` HOF is interpreted per element; this
-  * runs one compiled pass per document).
+/** word n-grams → array<struct<w1..wn>> — one parameterized kernel for
+  * the KN n-gram family (order 3 and 4 today; the KenLM-5 target is a
+  * call-site change). Struct fields are w1..wn in position order.
   */
-case class WordTrigramsExpr(child: Expression) extends StringKernelExpression {
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("w1", StringType, nullable = false),
-    StructField("w2", StringType, nullable = false),
-    StructField("w3", StringType, nullable = false))), containsNull = false)
+case class WordNgramsExpr(child: Expression, n: Int) extends StringKernelExpression {
+  require(n >= 2 && n <= 8, s"ngram order out of range: $n")
+  override def dataType: DataType = ArrayType(StructType(
+    (1 to n).map(i => StructField(s"w$i", StringType, nullable = false))),
+    containsNull = false)
   protected override def nullSafeEval(v: Any): Any = {
     val t = TextKernel.tokens(input(v))
-    val n = math.max(0, t.length - 2)
-    val out = new Array[Any](n)
+    val m = math.max(0, t.length - (n - 1))
+    val out = new Array[Any](m)
     var i = 0
-    while (i < n) {
-      out(i) = org.apache.spark.sql.catalyst.InternalRow(
-        UTF8String.fromString(t(i)), UTF8String.fromString(t(i + 1)),
-        UTF8String.fromString(t(i + 2)))
+    while (i < m) {
+      val fields = new Array[Any](n)
+      var j = 0
+      while (j < n) { fields(j) = UTF8String.fromString(t(i + j)); j += 1 }
+      out(i) = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(fields))
       i += 1
     }
     new GenericArrayData(out)
   }
-  override protected def withNewChildInternal(c: Expression): WordTrigramsExpr = copy(child = c)
-}
-
-/** word 4-grams → array<struct<w1,w2,w3,w4>> — the order-4 sibling of
-  * [[WordTrigramsExpr]] for the KN n-gram family.
-  */
-case class WordFourgramsExpr(child: Expression) extends StringKernelExpression {
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("w1", StringType, nullable = false),
-    StructField("w2", StringType, nullable = false),
-    StructField("w3", StringType, nullable = false),
-    StructField("w4", StringType, nullable = false))), containsNull = false)
-  protected override def nullSafeEval(v: Any): Any = {
-    val t = TextKernel.tokens(input(v))
-    val n = math.max(0, t.length - 3)
-    val out = new Array[Any](n)
-    var i = 0
-    while (i < n) {
-      out(i) = org.apache.spark.sql.catalyst.InternalRow(
-        UTF8String.fromString(t(i)), UTF8String.fromString(t(i + 1)),
-        UTF8String.fromString(t(i + 2)), UTF8String.fromString(t(i + 3)))
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
-  override protected def withNewChildInternal(c: Expression): WordFourgramsExpr = copy(child = c)
+  override protected def withNewChildInternal(c: Expression): WordNgramsExpr = copy(child = c)
 }
 
 /** minhash signature over word shingles → array<long>; NULL when the doc has
@@ -1317,8 +1293,8 @@ object textkernel {
   def cut_spans_in_set(text: Column, hashes: Array[Long], w: Int): Column =
     toColumn(CutSpansInSetExpr(toExpression(text), hashes, w))
   def word_shingles(c: Column, n: Int): Column = toColumn(WordShinglesExpr(toExpression(c), n))
-  def word_trigrams(c: Column): Column = toColumn(WordTrigramsExpr(toExpression(c)))
-  def word_fourgrams(c: Column): Column = toColumn(WordFourgramsExpr(toExpression(c)))
+  def word_trigrams(c: Column): Column = toColumn(WordNgramsExpr(toExpression(c), 3))
+  def word_fourgrams(c: Column): Column = toColumn(WordNgramsExpr(toExpression(c), 4))
   def minhash_sig(c: Column, numHashes: Int, shingleSize: Int): Column =
     toColumn(MinHashSigExpr(toExpression(c), numHashes, shingleSize))
   def simhash_fast(c: Column, bits: Int): Column = toColumn(SimHashExpr(toExpression(c), bits))

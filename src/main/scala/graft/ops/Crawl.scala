@@ -185,8 +185,12 @@ object Crawl {
         .otherwise(Html.extractColumn(col("html"))).as("text"))
     val repaired =
       if (fixMojibake)
-        extracted.withColumn("text",
-          graft.functions.textkernel.fix_mojibake(col("text")))
+        extracted
+          .withColumn("text", graft.functions.textkernel.fix_mojibake(col("text")))
+          // the title is extracted from the same garbled markup — repair
+          // it too, or dedup keys/display ship the mojibake the flag
+          // exists to remove
+          .withColumn("title", graft.functions.textkernel.fix_mojibake(col("title")))
       else extracted
     Html.dropBoilerplateLines(repaired)
       .filter(length(col("text")) >= minTextChars)

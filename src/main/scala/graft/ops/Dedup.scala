@@ -163,8 +163,11 @@ object Dedup {
     * (Leskovec/Rajaraman/Ullman ch. 3, the standard tuning rule). Ties
     * break toward SMALLER r: more bands ⇒ the curve errs on RECALL,
     * and the exact-Jaccard verify step already removes false positives
-    * for free, while a false negative is gone forever. Feed the result
-    * straight into [[minhashLsh]]'s (numHashes, rowsPerBand).
+    * for free, while a false negative is gone forever. Returns
+    * **(bands, rowsPerBand)**: call
+    * `minhashLsh(docs, numHashes = <the numHashes you tuned for>,
+    * rowsPerBand = result._2)` — bands is informational
+    * (numHashes / rowsPerBand), NOT a numHashes to pass on.
     */
   def lshParams(threshold: Double, numHashes: Int = 16): (Int, Int) = {
     require(threshold > 0 && threshold < 1, s"threshold must be in (0,1): $threshold")

@@ -489,10 +489,13 @@ object FullText {
     trigramSurprisalKNRaw2(docs, docs, textCol, idCol, discount, minCount)
 
   /** @param minCount KenLM-style count pruning (CCNet ships pruned
-    *   KenLM models): trigram types with tc < minCount score as if
-    *   UNSEEN — the context's interpolation weight D·N1+(w1w2·)/c(w1w2·)
-    *   carries all their mass to the bigram level, exactly the backoff
-    *   path unseen trigrams already take. All lower-order stats stay
+    *   KenLM models): trigram types with tc < minCount lose their
+    *   discounted-count term, and that SAME mass — Σ max(tc−D, 0) over
+    *   the context's pruned types — is folded into the context's
+    *   interpolation weight (D·N1+(w1w2·) + prunedMass), so the pruned
+    *   distribution still sums to 1 over every seen context and routes
+    *   the pruned probability through the bigram level, the KenLM
+    *   renormalize-into-backoff behavior. All lower-order stats stay
     *   computed from the UNPRUNED type table (KenLM's counts-then-prune
     *   order). At minCount = 1 the expressions reduce to the unpruned
     *   originals bit-for-bit. The SCALE effect binds in the
@@ -526,8 +529,21 @@ object FullText {
     val c3 =
       if (docs eq train) docTris.groupBy("w1", "w2", "w3").agg(sum("k").as("tc"))
       else tris.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("tc"))
-    val ctx = c3.groupBy("w1", "w2")
-      .agg(sum("tc").as("c2"), count(lit(1)).as("mid")) // c(w1w2·), N1+(w1w2·)
+    // with pruning, each context also aggregates the discounted mass of
+    // the types `minCount` removes — folded into the interpolation
+    // weight below so the pruned model still sums to 1 over each seen
+    // context (KenLM renormalizes the same mass into its backoff
+    // weights); at minCount = 1 the column is omitted entirely and the
+    // plan is the unpruned one
+    val ctx =
+      if (minCount <= 1)
+        c3.groupBy("w1", "w2")
+          .agg(sum("tc").as("c2"), count(lit(1)).as("mid")) // c(w1w2·), N1+(w1w2·)
+      else
+        c3.groupBy("w1", "w2")
+          .agg(sum("tc").as("c2"), count(lit(1)).as("mid"),
+            sum(when(col("tc") < minCount, greatest(col("tc") - d, lit(0.0)))
+              .otherwise(lit(0.0))).as("prunedMass"))
     val low = c3.groupBy("w2", "w3").agg(count(lit(1)).as("lowc")) // N1+(·w2w3)
     val ctx2 = low.groupBy("w2")
       .agg(sum("lowc").as("ctot"), count(lit(1)).as("ctyp")) // N1+(·w2·), N1+(w2·)
@@ -559,9 +575,12 @@ object FullText {
       if (minCount <= 1) coalesce(col("tc"), lit(0L))
       else when(coalesce(col("tc"), lit(0L)) >= minCount, col("tc"))
         .otherwise(lit(0L))
+    val interpW =
+      if (minCount <= 1) d * coalesce(col("mid"), lit(0L))
+      else d * coalesce(col("mid"), lit(0L)) +
+        coalesce(col("prunedMass"), lit(0.0))
     val p3 = when(coalesce(col("c2"), lit(0L)) > 0,
-        (greatest(tcEff - d, lit(0.0)) +
-          d * coalesce(col("mid"), lit(0L)) * p2) / col("c2"))
+        (greatest(tcEff - d, lit(0.0)) + interpW * p2) / col("c2"))
       .otherwise(p2)
     // foreign path: the doc side joins the PRUNED trigram table (absent
     // rows read tc null -> 0, the same semantics tcEff applies) — the
@@ -605,6 +624,15 @@ object FullText {
     * posture is the trigram one with a bigger type table — exactly the
     * term the measured Zipf amortization (SCALING.md r17kncurve) and
     * pruning shrink bound.
+    *
+    * DESIGN NOTE (stated, not hidden): this hand-unrolls the order-4
+    * ladder in the trigram function's image rather than folding over an
+    * order parameter. Each ladder is oracle-pinned independently
+    * (q_perplexity_kn* / q_perplexity_kn4 replay their full expression
+    * trees in SQL), which is what makes the duplication safe today; the
+    * order-parameterized fold is the right shape for the KenLM-5 step
+    * and should subsume both when it lands — until then any fix must be
+    * applied to BOTH ladders (the r17 pruning renormalization was).
     */
   def fourgramSurprisalKN(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id",
@@ -621,8 +649,15 @@ object FullText {
       .agg(count(lit(1)).as("k"))
     // the LM: one fourgram TYPE table; every stat derives from it
     val c4 = docQuads.groupBy("w1", "w2", "w3", "w4").agg(sum("k").as("tc"))
-    val ctx = c4.groupBy("w1", "w2", "w3")
-      .agg(sum("tc").as("c3sum"), count(lit(1)).as("mid3")) // c(w1w2w3·), N1+(w1w2w3·)
+    val ctx =
+      if (minCount <= 1)
+        c4.groupBy("w1", "w2", "w3")
+          .agg(sum("tc").as("c3sum"), count(lit(1)).as("mid3")) // c(w1w2w3·), N1+(w1w2w3·)
+      else // pruned discounted mass folded into the interpolation weight
+        c4.groupBy("w1", "w2", "w3")
+          .agg(sum("tc").as("c3sum"), count(lit(1)).as("mid3"),
+            sum(when(col("tc") < minCount, greatest(col("tc") - d, lit(0.0)))
+              .otherwise(lit(0.0))).as("prunedMass"))
     val low3 = c4.groupBy("w2", "w3", "w4").agg(count(lit(1)).as("lowc3")) // N1+(·w2w3w4)
     val ctx3 = low3.groupBy("w2", "w3")
       .agg(sum("lowc3").as("ctot3"), count(lit(1)).as("ctyp3")) // N1+(·w2w3·), N1+(w2w3·)
@@ -655,9 +690,12 @@ object FullText {
       if (minCount <= 1) coalesce(col("tc"), lit(0L))
       else when(coalesce(col("tc"), lit(0L)) >= minCount, col("tc"))
         .otherwise(lit(0L))
+    val interpW =
+      if (minCount <= 1) d * coalesce(col("mid3"), lit(0L))
+      else d * coalesce(col("mid3"), lit(0L)) +
+        coalesce(col("prunedMass"), lit(0.0))
     val p4 = when(coalesce(col("c3sum"), lit(0L)) > 0,
-        (greatest(tcEff - d, lit(0.0)) +
-          d * coalesce(col("mid3"), lit(0L)) * p3) / col("c3sum"))
+        (greatest(tcEff - d, lit(0.0)) + interpW * p3) / col("c3sum"))
       .otherwise(p3)
     val scored = docQuads.join(lm, Seq("w1", "w2", "w3", "w4"), "left")
       .join(broadcast(totals))

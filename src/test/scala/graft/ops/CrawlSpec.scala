@@ -194,7 +194,8 @@ class CrawlSpec extends AnyFunSuite {
   test("ingest(fixMojibake = true) repairs double-encoded pages; default untouched") {
     val dir = Files.createTempDirectory("crawl_moji").toFile
     try {
-      val clean = "<p>Price was café style €5 total here!</p>"
+      val clean = "<head><title>Café menu</title></head>" +
+        "<p>Price was café style €5 total here!</p>"
       // the server double-encoded: UTF-8 bytes re-read as cp1252 and
       // re-served as UTF-8 (header truthfully says utf-8 — of the
       // garbled chars)
@@ -208,6 +209,10 @@ class CrawlSpec extends AnyFunSuite {
       val on = Crawl.ingest(spark, dir.getAbsolutePath, fixMojibake = true).collect()
       assert(on.length == 1 && on(0).getAs[String]("text") ==
         "Price was café style €5 total here!", on(0).getAs[String]("text"))
+      // the title column is repaired too (review finding: dedup keys /
+      // display would otherwise keep the garble)
+      assert(on(0).getAs[String]("title") == "Café menu",
+        on(0).getAs[String]("title"))
     } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
   }
 

@@ -205,26 +205,29 @@ class FullTextSpec extends AnyFunSuite {
       "minCount=1 must not change a single score")
     val pruned = FullText.trigramSurprisalKNAgainst(train, score, minCount = 2)
       .orderBy("doc_id").collect()
-    // the singleton 'a b d' is pruned: its score must RISE (mass now
-    // rides the interpolation weight only) and must equal the score of
-    // a genuinely-unseen trigram in the same context ('a b z' has the
-    // same c2/mid and the same zeroed numerator... but a different
-    // continuation — so instead assert strictly-greater + finite)
+    // the singleton 'a b d' is pruned: its discounted-count term is
+    // gone and only the (renormalized) interpolation weight carries it
+    // — the score must RISE and stay finite
     assert(pruned(0).getDouble(2) > base(0).getDouble(2),
       s"pruned singleton must score higher: ${pruned(0).getDouble(2)} vs ${base(0).getDouble(2)}")
     assert(!pruned(0).getDouble(2).isInfinite)
-    // the surviving tc=2 trigram keeps a pruned-but-present LM: its
-    // score changes only through nothing — identical to unpruned
-    assert(pruned(1).getDouble(2) == base(1).getDouble(2),
-      "a type at/above the threshold is untouched")
+    // RENORMALIZATION (mass conservation): the pruned type's discounted
+    // mass max(1−0.75, 0) = 0.25 folds into the context's interpolation
+    // weight, so the SURVIVING tc=2 type gains redistributed weight and
+    // its score strictly DECREASES — the pruned distribution still sums
+    // to 1 over the (a,b) context. Exact replay: numerator goes from
+    // 1.25 + (0.75·2)·p2 to 1.25 + (0.75·2 + 0.25)·p2.
+    assert(pruned(1).getDouble(2) < base(1).getDouble(2),
+      s"kept type must absorb the redistributed weight: ${pruned(1).getDouble(2)} vs ${base(1).getDouble(2)}")
     // self-trained path prunes arithmetically (consolidated join keeps
-    // the row): same monotonicity
+    // the row): same monotonicity both ways
     val selfBase = FullText.trigramSurprisalKN(train).orderBy("doc_id").collect()
     val selfPruned = FullText.trigramSurprisalKN(train, minCount = 2)
       .orderBy("doc_id").collect()
     assert(selfPruned(2).getDouble(2) > selfBase(2).getDouble(2),
       "self-trained doc holding the singleton scores higher under pruning")
-    assert(selfPruned(0).getDouble(2) == selfBase(0).getDouble(2))
+    assert(selfPruned(0).getDouble(2) < selfBase(0).getDouble(2),
+      "self-trained doc holding the kept type absorbs the weight")
   }
 
   test("hashEmbedBuckets drops zero-weight buckets and counts multiplicity") {

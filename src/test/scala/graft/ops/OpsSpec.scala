@@ -456,7 +456,8 @@ class DedupSpec extends AnyFunSuite {
     val mid = (t2 + t4) / 2
     val expected = if (math.abs(t2 - mid) <= math.abs(t4 - mid)) 2 else 4
     assert(Dedup.lshParams(mid, 16)._2 == expected)
-    // the default minhashLsh configuration is what 0.5 selects
+    // the default threshold's selection at the default numHashes=16:
+    // rowsPerBand 2 (minhashLsh's own default rowsPerBand), 8 bands
     assert(Dedup.lshParams(0.5) == (8, 2))
     intercept[IllegalArgumentException](Dedup.lshParams(0.0, 16))
     intercept[IllegalArgumentException](Dedup.lshParams(0.5, 1))
