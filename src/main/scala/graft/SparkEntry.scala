@@ -2334,6 +2334,66 @@ object SparkEntry {
   private def sqlHex60(s: String): String = s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
   private def sqlHex32(s: String): String = s"CAST(concat('0x', substr(md5($s), 1, 8)) AS BIGINT)"
 
+  /** DuckDB replay of the interpolated-KN surprisal at `order`,
+    * self-trained — GENERATED from the same recursion the engine's
+    * [[graft.ops.FullText.ngramSurprisalKN]] folds over (c_n type table →
+    * continuation chain low_{n−1}…low_2 → cont, one CASE ladder level per
+    * backoff order), so the oracle's expression tree deepens with the
+    * order instead of being hand-copied per order. The order-3/4 oracles
+    * predate this generator and stay as literal strings (bit-identity of
+    * shipped gates); order 5+ gates use it.
+    */
+  private def knOracleSql(order: Int): String = {
+    val n = order
+    val ws = (1 to n).map(i => s"w$i")
+    val cnt = n match {
+      case 3 => "n_trigrams"; case 4 => "n_fourgrams"; case 5 => "n_fivegrams"
+      case _ => s"n_${n}grams"
+    }
+    val inst = ws.zipWithIndex.map { case (w, i) =>
+      val idx = if (i == 0) "w[i]" else s"w[i+$i]"
+      s"unnest(list_transform(range(1, len(w) - ${n - 2}), i -> $idx)) AS $w"
+    }.mkString(",\n     ")
+    def grp(k: Int) = (1 to k).mkString(", ")
+    // continuation chain CTEs: low_j keyed on the LAST j words, each an
+    // agg of the level above; ctx_j the context marginals of low_j
+    val chain = ((n - 1) to 2 by -1).map { j =>
+      val src = if (j == n - 1) s"c$n" else s"low${j + 1}"
+      val keys = ws.takeRight(j)
+      val ctxKeys = ws.slice(n - j, n - 1)
+      s""" low$j AS (SELECT ${keys.mkString(", ")}, count(*) AS lowc$j FROM $src GROUP BY ${grp(j)}),
+         | ctx$j AS (SELECT ${ctxKeys.mkString(", ")}, sum(lowc$j) AS ctot$j, count(*) AS ctyp$j FROM low$j GROUP BY ${grp(j - 1)}),""".stripMargin
+    }.mkString("\n")
+    // the interpolation ladder, bottom-up — the engine's exact shapes
+    var p = "(coalesce(cw, 0) + 1.0) / (ntypes + v)"
+    for (j <- 2 to n - 1)
+      p = s"(CASE WHEN coalesce(ctot$j, 0) > 0 THEN (greatest(coalesce(lowc$j, 0) - 0.75, 0.0) + 0.75 * coalesce(ctyp$j, 0) * $p) / ctot$j ELSE $p END)"
+    val pTop = s"CASE WHEN coalesce(csum, 0) > 0 THEN (greatest(coalesce(tc, 0) - 0.75, 0.0) + 0.75 * coalesce(mid, 0) * $p) / csum ELSE $p END"
+    val joins = ((n - 1) to 2 by -1).map { j =>
+      s"LEFT JOIN low$j USING (${ws.takeRight(j).mkString(", ")}) LEFT JOIN ctx$j USING (${ws.slice(n - j, n - 1).mkString(", ")})"
+    }.mkString("\n     ")
+    s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+       | inst AS (SELECT doc_id,
+       |     $inst
+       |   FROM t WHERE len(w) >= $n),
+       | c$n AS (SELECT ${ws.mkString(", ")}, count(*) AS tc FROM inst GROUP BY ${grp(n)}),
+       | ctx AS (SELECT ${ws.init.mkString(", ")}, sum(tc) AS csum, count(*) AS mid FROM c$n GROUP BY ${grp(n - 1)}),
+       |$chain
+       | cont AS (SELECT ${ws.last}, count(*) AS cw FROM low2 GROUP BY 1),
+       | tot AS (SELECT (SELECT count(*) FROM low2) AS ntypes,
+       |     (SELECT count(DISTINCT u) FROM (SELECT unnest(w) AS u FROM t)) AS v),
+       | dt AS (SELECT doc_id, ${ws.mkString(", ")}, count(*) AS k FROM inst GROUP BY ${grp(n + 1)}),
+       | sc AS (SELECT dt.doc_id, dt.k,
+       |     CAST(round(-ln($pTop) * 1000000) AS BIGINT) AS m
+       |   FROM dt LEFT JOIN c$n USING (${ws.mkString(", ")}) LEFT JOIN ctx USING (${ws.init.mkString(", ")})
+       |     $joins
+       |     LEFT JOIN cont USING (${ws.last}), tot),
+       | agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n, CAST(sum(k * m) AS BIGINT) AS s FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS $cnt,
+       |  coalesce(round(s / (n * 1000000.0), 6), 0.0) AS avg_neg_logp
+       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- scratch
 
   private val scratchDirs = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
@@ -4143,6 +4203,15 @@ object SparkEntry {
     // oracle replays the full four-level interpolation ladder
     "q_perplexity_kn4" -> { (s, dir) =>
       FullText.fourgramSurprisalKN(docsPar(s, dir)).orderBy("doc_id")
+    },
+    // interpolated KN at ORDER 5 (r18 — the literal KenLM/CCNet
+    // deployment order, Wenzek et al. 2020): produced by the SAME
+    // order-parameterized fold as kn/kn4 (ngramSurprisalKN), c5 →
+    // low4 → low3 → low2 continuation chain, ONE doc-side (w1..w5)
+    // join; the oracle replays the five-level ladder from a GENERATED
+    // expression tree (knOracleSql), one level deeper than kn4's
+    "q_perplexity_kn5" -> { (s, dir) =>
+      FullText.ngramSurprisalKN(docsPar(s, dir), order = 5).orderBy("doc_id")
     },
     // CCNet head/middle/tail perplexity bucketing: per-language exact
     // order-statistic thresholds over the MIL-nat integer score histogram
@@ -8030,6 +8099,11 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_fourgrams,
          |  coalesce(round(s / (n * 1000000.0), 6), 0.0) AS avg_neg_logp
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // order-5 KN (the KenLM/CCNet deployment order): the oracle SQL is
+    // GENERATED from the same recursion the engine folds over — the
+    // c5 -> low4 -> low3 -> low2 chain and the five-level CASE ladder
+    // come out of knOracleSql(5), not a hand-copied string
+    "q_perplexity_kn5" -> knOracleSql(5),
     // cross-corpus KN: counts from the %3=0 train slice, positions from
     // the score slice — unseen trigrams/contexts walk the same CASE
     // ladder, a fully-unseen word bottoms out at the +1/V floor

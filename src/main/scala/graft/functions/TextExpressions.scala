@@ -1295,6 +1295,7 @@ object textkernel {
   def word_shingles(c: Column, n: Int): Column = toColumn(WordShinglesExpr(toExpression(c), n))
   def word_trigrams(c: Column): Column = toColumn(WordNgramsExpr(toExpression(c), 3))
   def word_fourgrams(c: Column): Column = toColumn(WordNgramsExpr(toExpression(c), 4))
+  def word_ngrams(c: Column, n: Int): Column = toColumn(WordNgramsExpr(toExpression(c), n))
   def minhash_sig(c: Column, numHashes: Int, shingleSize: Int): Column =
     toColumn(MinHashSigExpr(toExpression(c), numHashes, shingleSize))
   def simhash_fast(c: Column, bits: Int): Column = toColumn(SimHashExpr(toExpression(c), bits))

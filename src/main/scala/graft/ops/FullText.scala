@@ -425,149 +425,224 @@ object FullText {
         col("s"))
   }
 
-  /** Interpolated Kneser-Ney TRIGRAM surprisal — the n-gram-LM quality
-    * score at the order class CCNet actually uses (Wenzek et al. 2020
-    * score with a KenLM 5-gram; KN smoothing is KenLM's default), self-
-    * trained like [[bigramSurprisal]]. Standard interpolated KN with a
-    * fixed absolute discount D (Chen & Goodman 1999 eq. 4.22 family):
+  /** Interpolated Kneser-Ney n-gram surprisal at ANY order ≥ 3 — ONE
+    * order-parameterized fold replacing the r16 trigram / r17 fourgram
+    * hand-unrolled ladders (both now delegate here), shipping the KenLM
+    * deployment order 5 (CCNet scores with a KenLM 5-gram; Wenzek et al.
+    * 2020) as a parameter value, not new code. Standard interpolated KN
+    * with a fixed absolute discount D (Chen & Goodman 1999 eq. 4.22
+    * family), self-trained:
     *
-    *   P(w3|w1w2) = (max(c(w1w2w3)−D, 0) + D·N1+(w1w2·)·P(w3|w2)) / c(w1w2·)
-    *   P(w3|w2)   = (max(N1+(·w2w3)−D, 0) + D·N1+(w2·)·Pc(w3)) / N1+(·w2·)
-    *   Pc(w3)     = (N1+(·w3) + 1) / (N1+(··) + V)
+    *   P_n(wₙ|w₁..wₙ₋₁) = (max(c(w₁..wₙ)−D, 0) + W·P_{n−1}) / c(w₁..wₙ₋₁·)
+    *   P_j(wₙ|ctxⱼ)     = (max(N1+(·ctxⱼwₙ)−D, 0) + D·N1+(ctxⱼ·)·P_{j−1}) / N1+(·ctxⱼ·)   (2 ≤ j < n)
+    *   P_1(wₙ)          = (N1+(·wₙ) + 1) / (N1+(··) + V)
     *
-    * with the continuation counts N1+ taken from the trigram type table
-    * (c(w1w2·) is the trigram-prefix count, so every level is derived
-    * from ONE c3 aggregation), a +1/V Laplace floor on the continuation
-    * distribution (so scoring a FOREIGN corpus against this LM never
-    * hits a zero), and unseen-context fallbacks P→lower order. Per-doc
-    * score = mean −ln P over trigram positions, each position rounded
-    * to LONG micro-nats first (the [[bigramSurprisal]] determinism
-    * discipline — integer sums are order-independent).
+    * where W = D·N1+(w₁..wₙ₋₁·) (+ the pruned mass when `minCount` > 1 —
+    * the KenLM renormalize-into-backoff behavior), every level's
+    * continuation table is an aggregation of the PREVIOUS level's type
+    * table (the Kneser-Ney "count of contexts" chain: c_n → low_{n−1} →
+    * … → low_2 → cont), and the +1/V Laplace floor keeps foreign-corpus
+    * scores finite. Per-doc score = mean −ln P over n-gram positions,
+    * each rounded to LONG micro-nats first (integer sums are
+    * order-independent → deterministic).
     *
-    * Scale shape (the r15 pre-aggregation trick, both sides): documents
-    * collapse to (doc, w1, w2, w3, k) BEFORE the count joins, so Zipf
-    * heavy hitters join once per doc; the five count tables are
-    * map-side-combined aggs of the c3 table, shuffled on their own join
-    * keys and broadcast when small. Returns one row per input doc:
-    * (idCol, n_trigrams, avg_neg_logp).
+    * Scale shape (measured for order 3 in SCALING.md r17kncurve; the
+    * fold preserves it at every order): documents collapse to
+    * (doc, w₁..wₙ, k) BEFORE the count joins so Zipf heavy hitters join
+    * once per doc; all count tables are map-side-combined aggs of the
+    * single c_n type aggregation, shuffled on their own join keys; the
+    * self-trained path consolidates every stat onto the type table so
+    * the doc side pays ONE (w₁..wₙ)-keyed join. Pruning (`minCount`)
+    * shrinks the doc-side LM table by the singleton fraction — on Zipf
+    * corpora the majority of types — at every order.
+    *
+    * Returns one row per input doc: (idCol, n_<order>grams,
+    * avg_neg_logp).
+    */
+  def ngramSurprisalKN(docs: DataFrame, order: Int,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       discount: Double = 0.75,
+                       minCount: Int = 1): DataFrame =
+    finishKN(ngramSurprisalKNRaw2(order, docs, docs, textCol, idCol, discount, minCount),
+      order, idCol)
+
+  /** [[ngramSurprisalKN]] against a SEPARATE reference LM — the real
+    * CCNet deployment shape (train the KenLM on clean Wikipedia, score
+    * the crawl against it): count tables from `train`, scored positions
+    * from `score`. Unseen n-grams / contexts take the interpolation
+    * fallbacks for real, and a fully-unseen word bottoms out at the
+    * +1/V continuation floor — no zero probabilities, every score
+    * finite.
+    */
+  def ngramSurprisalKNAgainst(train: DataFrame, score: DataFrame, order: Int,
+                              textCol: String = "text", idCol: String = "doc_id",
+                              discount: Double = 0.75,
+                              minCount: Int = 1): DataFrame =
+    finishKN(ngramSurprisalKNRaw2(order, train, score, textCol, idCol, discount, minCount),
+      order, idCol)
+
+  /** Interpolated Kneser-Ney TRIGRAM surprisal — [[ngramSurprisalKN]]
+    * at order 3 (kept as the named entry point the r16 gates and
+    * [[surprisalBuckets]] bind to).
     */
   def trigramSurprisalKN(docs: DataFrame, textCol: String = "text",
                          idCol: String = "doc_id",
                          discount: Double = 0.75,
                          minCount: Int = 1): DataFrame =
-    trigramSurprisalKNRaw(docs, textCol, idCol, discount, minCount)
-      .select(col(idCol), col("n_trigrams"),
-        coalesce(round(col("s") / (col("n_trigrams") * Micro), 6), lit(0.0))
-          .as("avg_neg_logp"))
+    ngramSurprisalKN(docs, 3, textCol, idCol, discount, minCount)
 
-  /** [[trigramSurprisalKN]] against a SEPARATE reference LM — the real
-    * CCNet deployment shape (Wenzek et al. train the KenLM on clean
-    * Wikipedia and score the crawl against it): the count tables come
-    * from `train`, the scored positions from `score`. Unseen trigrams /
-    * contexts take the interpolation fallbacks for real here, and a
-    * fully-unseen word bottoms out at the +1/V continuation floor — no
-    * zero probabilities, every score finite.
+  /** [[trigramSurprisalKN]] against a SEPARATE reference LM — see
+    * [[ngramSurprisalKNAgainst]].
     */
   def trigramSurprisalKNAgainst(train: DataFrame, score: DataFrame,
                                 textCol: String = "text",
                                 idCol: String = "doc_id",
                                 discount: Double = 0.75,
                                 minCount: Int = 1): DataFrame =
-    trigramSurprisalKNRaw2(train, score, textCol, idCol, discount, minCount)
-      .select(col(idCol), col("n_trigrams"),
-        coalesce(round(col("s") / (col("n_trigrams") * Micro), 6), lit(0.0))
-          .as("avg_neg_logp"))
+    ngramSurprisalKNAgainst(train, score, 3, textCol, idCol, discount, minCount)
+
+  /** Interpolated Kneser-Ney FOURGRAM surprisal — [[ngramSurprisalKN]]
+    * at order 4 (the r17 hand-unrolled ladder, now a parameter value).
+    */
+  def fourgramSurprisalKN(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id",
+                          discount: Double = 0.75,
+                          minCount: Int = 1): DataFrame =
+    ngramSurprisalKN(docs, 4, textCol, idCol, discount, minCount)
 
   /** [[trigramSurprisalKN]] with the exact integer accumulator exposed
     * ((id, n_trigrams, s) micro-nat sum — the [[bigramSurprisalRaw]]
-    * contract, so [[surprisalBuckets]]-style consumers can stay exact).
+    * contract, so [[surprisalBuckets]]-style consumers stay exact).
     */
   private[graft] def trigramSurprisalKNRaw(docs: DataFrame, textCol: String,
                                            idCol: String,
                                            discount: Double,
                                            minCount: Int = 1): DataFrame =
-    trigramSurprisalKNRaw2(docs, docs, textCol, idCol, discount, minCount)
+    ngramSurprisalKNRaw2(3, docs, docs, textCol, idCol, discount, minCount)
 
-  /** @param minCount KenLM-style count pruning (CCNet ships pruned
-    *   KenLM models): trigram types with tc < minCount lose their
-    *   discounted-count term, and that SAME mass — Σ max(tc−D, 0) over
-    *   the context's pruned types — is folded into the context's
-    *   interpolation weight (D·N1+(w1w2·) + prunedMass), so the pruned
-    *   distribution still sums to 1 over every seen context and routes
-    *   the pruned probability through the bigram level, the KenLM
-    *   renormalize-into-backoff behavior. All lower-order stats stay
-    *   computed from the UNPRUNED type table (KenLM's counts-then-prune
-    *   order). At minCount = 1 the expressions reduce to the unpruned
-    *   originals bit-for-bit. The SCALE effect binds in the
-    *   foreign-corpus path: the doc side's (w1,w2,w3) join reads the
-    *   PRUNED trigram table — on Zipf corpora the singleton fraction is
-    *   the majority of types, so the LM's biggest table shrinks by
-    *   roughly that fraction (measured in SCALING.md r17kncurve) and
-    *   crosses into broadcast range far earlier.
+  /** canonical count-column name per order (n_trigrams / n_fourgrams /
+    * n_fivegrams keep the gate schemas the unrolled versions shipped).
     */
-  private def trigramSurprisalKNRaw2(train: DataFrame, docs: DataFrame,
-                                     textCol: String, idCol: String,
-                                     discount: Double,
-                                     minCount: Int = 1): DataFrame = {
+  private def knCountCol(order: Int): String = order match {
+    case 3 => "n_trigrams"
+    case 4 => "n_fourgrams"
+    case 5 => "n_fivegrams"
+    case n => s"n_${n}grams"
+  }
+
+  /** raw (id, n_grams, s) → public (id, n_grams, avg_neg_logp). */
+  private def finishKN(raw: DataFrame, order: Int, idCol: String): DataFrame = {
+    val cnt = knCountCol(order)
+    raw.select(col(idCol), col(cnt),
+      coalesce(round(col("s") / (col(cnt) * Micro), 6), lit(0.0))
+        .as("avg_neg_logp"))
+  }
+
+  /** The order-parameterized KN fold. Emits the EXACT expression trees
+    * the unrolled trigram/fourgram versions built (same aggregation
+    * shapes, same join orders, same double associativity), so the
+    * pre-existing kn/kn4/kn_pruned/kn_xc gates stay bit-identical; the
+    * order shows up only in the number of (low_j, ctx_j) levels the fold
+    * emits and the width of the type-table key.
+    *
+    * @param minCount KenLM-style count pruning (CCNet ships pruned
+    *   KenLM models): top-order types with tc < minCount lose their
+    *   discounted-count term, and that SAME mass — Σ max(tc−D, 0) over
+    *   the context's pruned types — folds into the context's
+    *   interpolation weight, so the pruned distribution still sums to 1
+    *   over every seen context and routes the pruned probability
+    *   through the next level down. Lower-order stats stay computed
+    *   from the UNPRUNED type table (KenLM's counts-then-prune order).
+    *   At minCount = 1 the expressions reduce to the unpruned originals
+    *   bit-for-bit. The SCALE effect binds on the foreign-corpus path:
+    *   the doc side's (w₁..wₙ) join reads the PRUNED type table.
+    */
+  private def ngramSurprisalKNRaw2(order: Int, train: DataFrame, docs: DataFrame,
+                                   textCol: String, idCol: String,
+                                   discount: Double,
+                                   minCount: Int = 1): DataFrame = {
+    require(order >= 3 && order <= 8, s"KN order must be in [3,8]: $order")
     require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val n = order
     val d = lit(discount)
+    val wCols = (1 to n).map(i => s"w$i")
     val toks = train.select(col(idCol), textkernel.word_tokens(col(textCol)).as("w"))
-    val tris = train.select(col(idCol),
-        explode(textkernel.word_trigrams(col(textCol))).as("t"))
-      .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
-    // SCORED documents collapse to distinct trigrams with multiplicity
+    val grams = train.select(col(idCol),
+        explode(textkernel.word_ngrams(col(textCol), n)).as("t"))
+      .select(col(idCol) +: wCols.map(w => col(s"t.$w")): _*)
+    // SCORED documents collapse to distinct n-grams with multiplicity
     // first (the self-trained path shares one aggregation: train eq docs)
-    val scoreTris =
-      if (docs eq train) tris
+    val scoreGrams =
+      if (docs eq train) grams
       else docs.select(col(idCol),
-          explode(textkernel.word_trigrams(col(textCol))).as("t"))
-        .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
-    val docTris = scoreTris.groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+          explode(textkernel.word_ngrams(col(textCol), n)).as("t"))
+        .select(col(idCol) +: wCols.map(w => col(s"t.$w")): _*)
+    val docGrams = scoreGrams.groupBy(col(idCol) +: wCols.map(col): _*)
       .agg(count(lit(1)).as("k"))
-    // the LM: one trigram TYPE table, everything else derived from it
-    val c3 =
-      if (docs eq train) docTris.groupBy("w1", "w2", "w3").agg(sum("k").as("tc"))
-      else tris.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("tc"))
+    // the LM: ONE top-order TYPE table; every stat below derives from it
+    val cN =
+      if (docs eq train) docGrams.groupBy(wCols.map(col): _*).agg(sum("k").as("tc"))
+      else grams.groupBy(wCols.map(col): _*).agg(count(lit(1)).as("tc"))
+    val ctxKeys = wCols.init
     // with pruning, each context also aggregates the discounted mass of
     // the types `minCount` removes — folded into the interpolation
     // weight below so the pruned model still sums to 1 over each seen
-    // context (KenLM renormalizes the same mass into its backoff
-    // weights); at minCount = 1 the column is omitted entirely and the
-    // plan is the unpruned one
+    // context; at minCount = 1 the column is omitted and the plan is
+    // the unpruned one
     val ctx =
       if (minCount <= 1)
-        c3.groupBy("w1", "w2")
-          .agg(sum("tc").as("c2"), count(lit(1)).as("mid")) // c(w1w2·), N1+(w1w2·)
+        cN.groupBy(ctxKeys.map(col): _*)
+          .agg(sum("tc").as("csum"), count(lit(1)).as("mid")) // c(ctx·), N1+(ctx·)
       else
-        c3.groupBy("w1", "w2")
-          .agg(sum("tc").as("c2"), count(lit(1)).as("mid"),
+        cN.groupBy(ctxKeys.map(col): _*)
+          .agg(sum("tc").as("csum"), count(lit(1)).as("mid"),
             sum(when(col("tc") < minCount, greatest(col("tc") - d, lit(0.0)))
               .otherwise(lit(0.0))).as("prunedMass"))
-    val low = c3.groupBy("w2", "w3").agg(count(lit(1)).as("lowc")) // N1+(·w2w3)
-    val ctx2 = low.groupBy("w2")
-      .agg(sum("lowc").as("ctot"), count(lit(1)).as("ctyp")) // N1+(·w2·), N1+(w2·)
-    val cont = low.groupBy("w3").agg(count(lit(1)).as("cw3")) // N1+(·w3)
-    val totals = low.agg(count(lit(1)).as("n2types"))
+    // the Kneser-Ney continuation chain: low_j keyed on the LAST j words,
+    // each level an agg of the level above (c_n → low_{n-1} → … → low_2)
+    val lows = scala.collection.mutable.Map.empty[Int, DataFrame]
+    var prevLevel: DataFrame = cN
+    for (j <- (n - 1) to 2 by -1) {
+      val lj = prevLevel.groupBy(wCols.takeRight(j).map(col): _*)
+        .agg(count(lit(1)).as(s"lowc$j")) // N1+(· last-j-words)
+      lows(j) = lj
+      prevLevel = lj
+    }
+    // ctx_j = the context marginals of low_j: N1+(·ctx·), N1+(ctx·)
+    val ctxs = (2 to n - 1).map { j =>
+      j -> lows(j).groupBy(wCols.slice(n - j, n - 1).map(col): _*)
+        .agg(sum(s"lowc$j").as(s"ctot$j"), count(lit(1)).as(s"ctyp$j"))
+    }.toMap
+    val cont = lows(2).groupBy(col(wCols.last)).agg(count(lit(1)).as("cw")) // N1+(·wₙ)
+    val totals = lows(2).agg(count(lit(1)).as("ntypes"))
       .crossJoin(toks.select(explode(col("w")).as("u")).agg(count_distinct(col("u")).as("v")))
-    // self-trained path: consolidate the five stats onto the TYPE table
+    // self-trained path: consolidate all stats onto the TYPE table
     // (joins among count tables, each ≤ the type count) so the DOC side
-    // — the big side — pays ONE (w1,w2,w3)-keyed join instead of five.
-    // Valid ONLY when every scored trigram exists in the LM (train eq
+    // — the big side — pays ONE (w₁..wₙ)-keyed join instead of 2n−2.
+    // Valid ONLY when every scored n-gram exists in the LM (train eq
     // docs); a FOREIGN corpus needs the per-LEVEL joins below so an
-    // unseen trigram in a SEEN context still reads that context's
-    // c2/mid (true KN backoff), not a null row
-    lazy val lm = c3
-      .join(ctx, Seq("w1", "w2"))
-      .join(low, Seq("w2", "w3"))
-      .join(ctx2, Seq("w2"))
-      .join(cont, Seq("w3"))
-    val p1 = (coalesce(col("cw3"), lit(0L)) + lit(1.0)) /
-      (col("n2types") + col("v"))
-    val p2 = when(coalesce(col("ctot"), lit(0L)) > 0,
-        (greatest(coalesce(col("lowc"), lit(0L)) - d, lit(0.0)) +
-          d * coalesce(col("ctyp"), lit(0L)) * p1) / col("ctot"))
-      .otherwise(p1)
+    // unseen n-gram in a SEEN context still reads that context's
+    // csum/mid (true KN backoff), not a null row
+    lazy val lm = {
+      var t = cN.join(ctx, ctxKeys)
+      for (j <- (n - 1) to 2 by -1) {
+        t = t.join(lows(j), wCols.takeRight(j))
+          .join(ctxs(j), wCols.slice(n - j, n - 1))
+      }
+      t.join(cont, Seq(wCols.last))
+    }
+    // the interpolation ladder, bottom-up: continuation floor, then one
+    // backoff level per order below the top, then the top-order term
+    val p1 = (coalesce(col("cw"), lit(0L)) + lit(1.0)) /
+      (col("ntypes") + col("v"))
+    var p: Column = p1
+    for (j <- 2 to n - 1) {
+      p = when(coalesce(col(s"ctot$j"), lit(0L)) > 0,
+          (greatest(coalesce(col(s"lowc$j"), lit(0L)) - d, lit(0.0)) +
+            d * coalesce(col(s"ctyp$j"), lit(0L)) * p) / col(s"ctot$j"))
+        .otherwise(p)
+    }
     // pruned types contribute a ZERO discounted-count term (their mass
     // rides the interpolation weight) — at minCount = 1 this is the
     // plain coalesce, keeping existing gates bit-identical
@@ -579,134 +654,36 @@ object FullText {
       if (minCount <= 1) d * coalesce(col("mid"), lit(0L))
       else d * coalesce(col("mid"), lit(0L)) +
         coalesce(col("prunedMass"), lit(0.0))
-    val p3 = when(coalesce(col("c2"), lit(0L)) > 0,
-        (greatest(tcEff - d, lit(0.0)) + interpW * p2) / col("c2"))
-      .otherwise(p2)
-    // foreign path: the doc side joins the PRUNED trigram table (absent
+    val pTop = when(coalesce(col("csum"), lit(0L)) > 0,
+        (greatest(tcEff - d, lit(0.0)) + interpW * p) / col("csum"))
+      .otherwise(p)
+    // foreign path: the doc side joins the PRUNED type table (absent
     // rows read tc null -> 0, the same semantics tcEff applies) — the
     // LM state actually shrinks; the self-trained consolidated join
-    // keeps all rows (scored trigrams all exist in-corpus) and prunes
+    // keeps all rows (scored n-grams all exist in-corpus) and prunes
     // arithmetically via tcEff
-    val c3Doc = if (minCount <= 1) c3 else c3.filter(col("tc") >= minCount)
+    val cNDoc = if (minCount <= 1) cN else cN.filter(col("tc") >= minCount)
     val statted =
-      if (docs eq train) docTris.join(lm, Seq("w1", "w2", "w3"), "left")
-      else docTris
-        .join(c3Doc, Seq("w1", "w2", "w3"), "left")
-        .join(ctx, Seq("w1", "w2"), "left")
-        .join(low, Seq("w2", "w3"), "left")
-        .join(ctx2, Seq("w2"), "left")
-        .join(cont, Seq("w3"), "left")
+      if (docs eq train) docGrams.join(lm, wCols, "left")
+      else {
+        var t = docGrams
+          .join(cNDoc, wCols, "left")
+          .join(ctx, ctxKeys, "left")
+        for (j <- (n - 1) to 2 by -1) {
+          t = t.join(lows(j), wCols.takeRight(j), "left")
+            .join(ctxs(j), wCols.slice(n - j, n - 1), "left")
+        }
+        t.join(cont, Seq(wCols.last), "left")
+      }
+    val cnt = knCountCol(n)
     val scored = statted
       .join(broadcast(totals))
-      .withColumn("neg_logp_micro", round(-log(p3) * Micro).cast(LongType))
+      .withColumn("neg_logp_micro", round(-log(pTop) * Micro).cast(LongType))
       .groupBy(col(idCol))
-      .agg(sum(col("k")).as("n_trigrams"),
+      .agg(sum(col("k")).as(cnt),
         sum(col("k") * col("neg_logp_micro")).as("s"))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
-        col("s"))
-  }
-
-  /** Interpolated Kneser-Ney FOURGRAM surprisal (r17) — one order below
-    * the KenLM-5 CCNet ships, demonstrating the order-recursive shape:
-    *
-    *   P4(w4|w1w2w3) = (max(c4−D,0) + D·N1+(w1w2w3·)·P3(w4|w2w3)) / c(w1w2w3·)
-    *   P3(w4|w2w3)   = (max(N1+(·w2w3w4)−D,0) + D·N1+(w2w3·)·P2(w4|w3)) / N1+(·w2w3·)
-    *   P2(w4|w3)     = (max(N1+(··w3w4)−D,0) + D·N1+(w3·)·Pc(w4)) / N1+(··w3·)
-    *   Pc(w4)        = (N1+(··w4) + 1) / (N1+(···) + V)
-    *
-    * with each level's continuation table an aggregation of the PREVIOUS
-    * level's TYPE table (c4 → low3 by (w2,w3,w4) → low2 by (w3,w4) —
-    * the Kneser-Ney "count of contexts" chain), the same +1/V floor,
-    * micro-nat integer accumulators, self-trained consolidation onto
-    * the fourgram-type table (ONE doc-side (w1,w2,w3,w4) join) and the
-    * same `minCount` pruning lever as [[trigramSurprisalKN]]. Scale
-    * posture is the trigram one with a bigger type table — exactly the
-    * term the measured Zipf amortization (SCALING.md r17kncurve) and
-    * pruning shrink bound.
-    *
-    * DESIGN NOTE (stated, not hidden): this hand-unrolls the order-4
-    * ladder in the trigram function's image rather than folding over an
-    * order parameter. Each ladder is oracle-pinned independently
-    * (q_perplexity_kn* / q_perplexity_kn4 replay their full expression
-    * trees in SQL), which is what makes the duplication safe today; the
-    * order-parameterized fold is the right shape for the KenLM-5 step
-    * and should subsume both when it lands — until then any fix must be
-    * applied to BOTH ladders (the r17 pruning renormalization was).
-    */
-  def fourgramSurprisalKN(docs: DataFrame, textCol: String = "text",
-                          idCol: String = "doc_id",
-                          discount: Double = 0.75,
-                          minCount: Int = 1): DataFrame = {
-    require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
-    require(minCount >= 1, s"minCount must be >= 1: $minCount")
-    val d = lit(discount)
-    val toks = docs.select(col(idCol), textkernel.word_tokens(col(textCol)).as("w"))
-    val quads = docs.select(col(idCol),
-        explode(textkernel.word_fourgrams(col(textCol))).as("t"))
-      .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"), col("t.w4"))
-    val docQuads = quads.groupBy(col(idCol), col("w1"), col("w2"), col("w3"), col("w4"))
-      .agg(count(lit(1)).as("k"))
-    // the LM: one fourgram TYPE table; every stat derives from it
-    val c4 = docQuads.groupBy("w1", "w2", "w3", "w4").agg(sum("k").as("tc"))
-    val ctx =
-      if (minCount <= 1)
-        c4.groupBy("w1", "w2", "w3")
-          .agg(sum("tc").as("c3sum"), count(lit(1)).as("mid3")) // c(w1w2w3·), N1+(w1w2w3·)
-      else // pruned discounted mass folded into the interpolation weight
-        c4.groupBy("w1", "w2", "w3")
-          .agg(sum("tc").as("c3sum"), count(lit(1)).as("mid3"),
-            sum(when(col("tc") < minCount, greatest(col("tc") - d, lit(0.0)))
-              .otherwise(lit(0.0))).as("prunedMass"))
-    val low3 = c4.groupBy("w2", "w3", "w4").agg(count(lit(1)).as("lowc3")) // N1+(·w2w3w4)
-    val ctx3 = low3.groupBy("w2", "w3")
-      .agg(sum("lowc3").as("ctot3"), count(lit(1)).as("ctyp3")) // N1+(·w2w3·), N1+(w2w3·)
-    val low2 = low3.groupBy("w3", "w4").agg(count(lit(1)).as("lowc2")) // N1+(··w3w4)
-    val ctx2 = low2.groupBy("w3")
-      .agg(sum("lowc2").as("ctot2"), count(lit(1)).as("ctyp2")) // N1+(··w3·), N1+(w3·)
-    val cont = low2.groupBy("w4").agg(count(lit(1)).as("cw4")) // N1+(··w4)
-    val totals = low2.agg(count(lit(1)).as("n3types"))
-      .crossJoin(toks.select(explode(col("w")).as("u")).agg(count_distinct(col("u")).as("v")))
-    // self-trained consolidation (the r16 trigram shape): every stat onto
-    // the type table, doc side pays ONE (w1,w2,w3,w4) join
-    val lm = c4
-      .join(ctx, Seq("w1", "w2", "w3"))
-      .join(low3, Seq("w2", "w3", "w4"))
-      .join(ctx3, Seq("w2", "w3"))
-      .join(low2, Seq("w3", "w4"))
-      .join(ctx2, Seq("w3"))
-      .join(cont, Seq("w4"))
-    val p1 = (coalesce(col("cw4"), lit(0L)) + lit(1.0)) /
-      (col("n3types") + col("v"))
-    val p2 = when(coalesce(col("ctot2"), lit(0L)) > 0,
-        (greatest(coalesce(col("lowc2"), lit(0L)) - d, lit(0.0)) +
-          d * coalesce(col("ctyp2"), lit(0L)) * p1) / col("ctot2"))
-      .otherwise(p1)
-    val p3 = when(coalesce(col("ctot3"), lit(0L)) > 0,
-        (greatest(coalesce(col("lowc3"), lit(0L)) - d, lit(0.0)) +
-          d * coalesce(col("ctyp3"), lit(0L)) * p2) / col("ctot3"))
-      .otherwise(p2)
-    val tcEff =
-      if (minCount <= 1) coalesce(col("tc"), lit(0L))
-      else when(coalesce(col("tc"), lit(0L)) >= minCount, col("tc"))
-        .otherwise(lit(0L))
-    val interpW =
-      if (minCount <= 1) d * coalesce(col("mid3"), lit(0L))
-      else d * coalesce(col("mid3"), lit(0L)) +
-        coalesce(col("prunedMass"), lit(0.0))
-    val p4 = when(coalesce(col("c3sum"), lit(0L)) > 0,
-        (greatest(tcEff - d, lit(0.0)) + interpW * p3) / col("c3sum"))
-      .otherwise(p3)
-    val scored = docQuads.join(lm, Seq("w1", "w2", "w3", "w4"), "left")
-      .join(broadcast(totals))
-      .withColumn("neg_logp_micro", round(-log(p4) * Micro).cast(LongType))
-      .groupBy(col(idCol))
-      .agg(sum(col("k")).as("n_fourgrams"),
-        sum(col("k") * col("neg_logp_micro")).as("s"))
-    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("n_fourgrams"), lit(0L)).as("n_fourgrams"),
-        coalesce(round(col("s") / (col("n_fourgrams") * Micro), 6), lit(0.0))
-          .as("avg_neg_logp"))
+      .select(col(idCol), coalesce(col(cnt), lit(0L)).as(cnt), col("s"))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 — the

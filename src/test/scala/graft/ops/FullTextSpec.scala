@@ -230,6 +230,131 @@ class FullTextSpec extends AnyFunSuite {
       "self-trained doc holding the kept type absorbs the weight")
   }
 
+  /** Independent pure-Scala interpolated-KN reference (same math, no
+    * Spark, no shared code with the engine's Column fold): the full
+    * continuation chain + ladder computed with plain Maps. Lets the
+    * order-parameterized fold be checked at ANY order on ANY tiny
+    * corpus, not just at hand-replayable golden points.
+    */
+  private def refKN(corpus: Seq[(Long, String)], order: Int,
+                    d: Double = 0.75, minCount: Int = 1): Map[Long, (Long, Double)] =
+    refKNAgainst(corpus, corpus, order, d, minCount)
+
+  private def refKNAgainst(train: Seq[(Long, String)], corpus: Seq[(Long, String)],
+                           order: Int, d: Double = 0.75,
+                           minCount: Int = 1): Map[Long, (Long, Double)] = {
+    import graft.functions.TextKernel
+    def grams(t: String): Seq[Vector[String]] =
+      TextKernel.tokens(t).toSeq.sliding(order).filter(_.length == order).map(_.toVector).toSeq
+    val all = train.flatMap { case (_, t) => grams(t) }
+    val cN = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ctx = cN.groupBy(_._1.init).map { case (k, m) =>
+      k -> ((m.values.sum, m.size.toLong,
+        m.values.filter(_ < minCount).map(tc => math.max(tc - d, 0.0)).sum))
+    }
+    var lows = Map.empty[Int, Map[Vector[String], Long]]
+    var prev: Iterable[Vector[String]] = cN.keys
+    for (j <- (order - 1) to 2 by -1) {
+      val lj = prev.groupBy(_.takeRight(j)).map { case (k, v) => k -> v.size.toLong }
+      lows += j -> lj
+      prev = lj.keys
+    }
+    val ctxs = (2 to order - 1).map { j =>
+      j -> lows(j).groupBy(_._1.init).map { case (k, m) => k -> ((m.values.sum, m.size.toLong)) }
+    }.toMap
+    val cont = lows(2).groupBy(_._1.last).map { case (k, m) => k -> m.size.toLong }
+    val ntypes = lows(2).size
+    val v = train.flatMap { case (_, t) => TextKernel.tokens(t) }.distinct.size
+    def prob(g: Vector[String]): Double = {
+      var p = (cont.getOrElse(g.last, 0L) + 1.0) / (ntypes + v)
+      for (j <- 2 to order - 1) {
+        val (ctot, ctyp) = ctxs(j).getOrElse(g.takeRight(j).init, (0L, 0L))
+        val lowc = lows(j).getOrElse(g.takeRight(j), 0L)
+        if (ctot > 0) p = (math.max(lowc - d, 0.0) + d * ctyp * p) / ctot
+      }
+      val (csum, mid, pmass) = ctx.getOrElse(g.init, (0L, 0L, 0.0))
+      val tc = cN.getOrElse(g, 0L)
+      val tcEff = if (tc >= minCount) tc else 0L
+      if (csum > 0) (math.max(tcEff - d, 0.0) + (d * mid + pmass) * p) / csum else p
+    }
+    corpus.map { case (id, t) =>
+      val gs = grams(t)
+      val n = gs.size.toLong
+      val s = gs.map(g => math.round(-math.log(prob(g)) * 1e6)).sum
+      id -> ((n, if (n == 0) 0.0 else s.toDouble / (n * 1e6)))
+    }.toMap
+  }
+
+  test("ngramSurprisalKN order 5 and 6: engine fold matches the independent reference") {
+    val corpus = Seq(
+      (1L, "a b c d e a b c d e a b c d e"), // dominant repeated 5-grams
+      (2L, "p q r s t u v w x y z"),          // all singleton 5-grams
+      (3L, "a b c d e f g a b c d e f g"),    // overlapping repeats
+      (4L, "one two three four"))              // < 5 tokens: no 5-grams
+    val df = corpus.toDF("doc_id", "text")
+    for (order <- Seq(5, 6); mc <- Seq(1, 2)) {
+      val got = FullText.ngramSurprisalKN(df, order, minCount = mc)
+        .orderBy("doc_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      val want = refKN(corpus, order, minCount = mc)
+      for ((id, n, s) <- got) {
+        val (wn, ws) = want(id)
+        assert(n == wn, s"order=$order mc=$mc doc=$id ngram count $n vs $wn")
+        assert(math.abs(s - ws) < 2e-6, s"order=$order mc=$mc doc=$id score $s vs $ws")
+      }
+    }
+    // repetition scores below diversity at order 5 too
+    val r5 = FullText.ngramSurprisalKN(df, 5).orderBy("doc_id").collect()
+    assert(r5(0).getDouble(2) < r5(1).getDouble(2))
+    assert(r5(3).getLong(1) == 0L && r5(3).getDouble(2) == 0.0)
+  }
+
+  test("ngramSurprisalKN: orders 3/4 delegate — named entry points unchanged") {
+    val a = FullText.trigramSurprisalKN(docs).orderBy("doc_id").collect()
+    val b = FullText.ngramSurprisalKN(docs, 3).orderBy("doc_id").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val c = FullText.fourgramSurprisalKN(docs).orderBy("doc_id").collect()
+    val d4 = FullText.ngramSurprisalKN(docs, 4).orderBy("doc_id").collect()
+    assert(c.map(_.toSeq).toSeq == d4.map(_.toSeq).toSeq)
+    // the generic fold reproduces the trigram hand-replay corpus too
+    val tiny = Seq((1L, "a b c a b c a b c"), (2L, "p q r s t u v"))
+    val got = FullText.ngramSurprisalKN(tiny.toDF("doc_id", "text"), 3)
+      .orderBy("doc_id").collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    val want = refKN(tiny, 3)
+    for ((id, n, s) <- got) {
+      assert(n == want(id)._1)
+      assert(math.abs(s - want(id)._2) < 2e-6, s"doc=$id $s vs ${want(id)._2}")
+    }
+  }
+
+  test("ngramSurprisalKNAgainst order 5: foreign scoring finite, pruning renormalizes") {
+    val train = Seq(
+      (1L, "a b c d e a b c d e"),   // tc(abcde)=2 — survives minCount=2
+      (2L, "a b c d f"))             // tc(abcdf)=1 — pruned singleton
+    val score = Seq((9L, "a b c d f"), (10L, "a b c d e"), (11L, "zz yy xx ww vv"))
+    val base = FullText.ngramSurprisalKNAgainst(
+      train.toDF("doc_id", "text"), score.toDF("doc_id", "text"), 5)
+      .orderBy("doc_id").collect()
+    assert(base.forall(x => !x.getDouble(2).isInfinite && x.getDouble(2) > 0))
+    val pruned = FullText.ngramSurprisalKNAgainst(
+      train.toDF("doc_id", "text"), score.toDF("doc_id", "text"), 5, minCount = 2)
+      .orderBy("doc_id").collect()
+    // pruned singleton scores higher; the survivor absorbs the
+    // renormalized mass and scores lower — at order 5, same as order 3
+    assert(pruned(0).getDouble(2) > base(0).getDouble(2))
+    assert(pruned(1).getDouble(2) < base(1).getDouble(2))
+    // both runs match the independent foreign-scoring reference exactly
+    for ((rows, mc) <- Seq((base, 1), (pruned, 2))) {
+      val want = refKNAgainst(train, score, 5, minCount = mc)
+      for (x <- rows) {
+        val (wn, ws) = want(x.getLong(0))
+        assert(x.getLong(1) == wn, s"mc=$mc doc=${x.getLong(0)}")
+        assert(math.abs(x.getDouble(2) - ws) < 2e-6,
+          s"mc=$mc doc=${x.getLong(0)} ${x.getDouble(2)} vs $ws")
+      }
+    }
+  }
+
   test("hashEmbedBuckets drops zero-weight buckets and counts multiplicity") {
     val d = Seq((1L, "x x y")).toDF("doc_id", "text")
     val r = FullText.hashEmbedBuckets(d).collect()
