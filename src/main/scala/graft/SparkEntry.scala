@@ -2334,6 +2334,110 @@ object SparkEntry {
   private def sqlHex60(s: String): String = s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
   private def sqlHex32(s: String): String = s"CAST(concat('0x', substr(md5($s), 1, 8)) AS BIGINT)"
 
+  /** q_bbpe_encode training depth (8 merges: enough for multi-level
+    * symbols like Ġ+t+a chains without an unreadable oracle). */
+  private val BbpeMergeRounds = 8
+
+  /** q_bbpe_encode fixture: the documents text plus strata exercising
+    * every RE2-replayable pretokenizer branch — contractions, space- and
+    * bare-digit runs, punctuation runs (the !!! run length varies by
+    * doc_id and hits the same-symbol overlap rule). Single spaces only
+    * and no trailing whitespace BY CONSTRUCTION: the GPT-2 lookahead
+    * branch (\s+(?!\S)) is not RE2-expressible, so the oracle's pattern
+    * drops the two whitespace branches — valid exactly because no
+    * whitespace run exists here; the kernel's full-pattern behavior on
+    * runs is pinned in ByteBpeSpec instead.
+    */
+  private def bbpeDocs(s: SparkSession, dir: String): DataFrame =
+    docsPar(s, dir).select(col("doc_id"), concat(col("text"),
+      lit(" it's "), (col("doc_id") % 97).cast("string"),
+      lit(" we'll go"), (col("doc_id") % 10).cast("string"),
+      expr("repeat('!', CAST(2 + doc_id % 3 AS INT))"),
+      lit(" yes... "),
+      when(col("doc_id") % 2 === 0, lit("don't stop"))
+        .otherwise(lit("i'm here"))).as("text"))
+
+  /** q_cross_span_dedup fixture: every doc carries a 20-word planted
+    * span keyed by doc_id%4 inside per-doc-unique surroundings — docs in
+    * the same group share the span VERBATIM but at different offsets
+    * with different neighbors, the case document-level cross dedup
+    * misses and substring-level dedup must catch.
+    */
+  private def crossSpanDocs(s: SparkSession, dir: String): DataFrame =
+    docsPar(s, dir).select(col("doc_id"), concat(col("text"),
+      lit(" begin"), col("doc_id").cast("string"), lit(" "),
+      expr("repeat('sp' || CAST(doc_id % 4 AS STRING) || 'a sp' || " +
+        "CAST(doc_id % 4 AS STRING) || 'b ', 10)"),
+      lit("end"), col("doc_id").cast("string")).as("text"))
+
+  /** DuckDB twin of [[crossSpanDocs]]'s synthesized text. */
+  private val crossSpanSynthSql: String =
+    "text || ' begin' || doc_id || ' ' || " +
+      "repeat('sp' || (doc_id % 4) || 'a sp' || (doc_id % 4) || 'b ', 10) || " +
+      "'end' || doc_id"
+
+  /** DuckDB twin of [[bbpeDocs]]'s synthesized text. */
+  private val bbpeSynthSql: String =
+    "text || ' it''s ' || CAST(doc_id % 97 AS VARCHAR) || ' we''ll go' || " +
+      "CAST(doc_id % 10 AS VARCHAR) || repeat('!', CAST(2 + doc_id % 3 AS INT)) || " +
+      "' yes... ' || CASE WHEN doc_id % 2 = 0 THEN 'don''t stop' ELSE 'i''m here' END"
+
+  /** DuckDB replay of the FULL byte-level-BPE merge walk — GENERATED,
+    * one block of CTEs per training round (the [[knOracleSql]]
+    * discipline): pretokenize (GPT-2 pattern minus the RE2-inexpressible
+    * whitespace branches — see [[bbpeDocs]]), map bytes to the GPT-2
+    * alphabet (space → Ġ = chr(288); everything else in the fixture is
+    * printable ASCII and maps to itself), then per round: adjacent-pair
+    * counts weighted by pretoken frequency → (count desc, pair asc)
+    * argmax → leftmost-nonoverlapping merge apply. The apply's only
+    * sequential part — same-symbol runs (a=b), where leftmost
+    * non-overlap keeps every ODD occurrence — is exact in SQL as run
+    * parity: group consecutive hit positions (pos − row_number), keep
+    * odd ranks. The final symbolization is each pretoken's encode (the
+    * invariant ByteBpeSpec's "training walk consistency" test pins).
+    */
+  private def bbpeOracleSql(rounds: Int): String = {
+    // apostrophes doubled: the pattern rides inside a SQL string literal
+    val pat = """''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+    val roundCtes = (1 to rounds).map { r =>
+      val p = s"s${r - 1}"
+      s""" w$r AS (SELECT pretoken, cnt, pos, sym,
+         |     lead(sym) OVER (PARTITION BY pretoken ORDER BY pos) AS nxt FROM $p),
+         | b$r AS MATERIALIZED (SELECT a, b FROM (SELECT sym AS a, nxt AS b, sum(cnt) AS c
+         |     FROM w$r WHERE nxt IS NOT NULL GROUP BY 1, 2)
+         |   ORDER BY c DESC, a, b LIMIT 1),
+         | m$r AS MATERIALIZED (SELECT w.pretoken, w.cnt, w.pos, w.sym, w.nxt,
+         |     coalesce(w.sym = b.a AND w.nxt = b.b, FALSE) AS hit
+         |   FROM w$r w CROSS JOIN b$r b),
+         | h$r AS MATERIALIZED (SELECT pretoken, pos,
+         |     pos - row_number() OVER (PARTITION BY pretoken ORDER BY pos) AS grp
+         |   FROM m$r WHERE hit),
+         | v$r AS MATERIALIZED (SELECT pretoken, pos FROM (SELECT pretoken, pos,
+         |     row_number() OVER (PARTITION BY pretoken, grp ORDER BY pos) AS pr FROM h$r)
+         |   WHERE pr % 2 = 1),
+         | s$r AS MATERIALIZED (SELECT m.pretoken, m.cnt,
+         |     row_number() OVER (PARTITION BY m.pretoken ORDER BY m.pos) AS pos,
+         |     CASE WHEN v.pos IS NOT NULL THEN m.sym || m.nxt ELSE m.sym END AS sym
+         |   FROM m$r m LEFT JOIN v$r v ON v.pretoken = m.pretoken AND v.pos = m.pos
+         |   WHERE NOT EXISTS (SELECT 1 FROM v$r v2
+         |     WHERE v2.pretoken = m.pretoken AND v2.pos = m.pos - 1)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH base AS (SELECT doc_id, $bbpeSynthSql AS t FROM documents),
+       | pt AS (SELECT unnest(regexp_extract_all(t, '$pat')) AS pretoken FROM base),
+       | vc AS MATERIALIZED (SELECT pretoken, count(*) AS cnt FROM pt GROUP BY 1),
+       | sym0 AS (SELECT pretoken, cnt,
+       |     unnest(range(1, length(pretoken) + 1)) AS pos FROM vc),
+       | s0 AS MATERIALIZED (SELECT pretoken, cnt, CAST(pos AS BIGINT) AS pos,
+       |     CASE WHEN substr(pretoken, CAST(pos AS INT), 1) = ' ' THEN chr(288)
+       |          ELSE substr(pretoken, CAST(pos AS INT), 1) END AS sym FROM sym0),
+       |$roundCtes
+       | fin AS (SELECT pretoken, string_agg(sym, '/' ORDER BY pos) AS pieces,
+       |     CAST(count(*) AS BIGINT) AS n_pieces FROM s$rounds GROUP BY pretoken)
+       |SELECT v.pretoken, f.pieces, f.n_pieces, CAST(v.cnt AS BIGINT) AS cnt
+       |FROM vc v JOIN fin f USING (pretoken) WHERE length(v.pretoken) <= 16
+       |ORDER BY pretoken""".stripMargin
+  }
+
   /** DuckDB replay of the interpolated-KN surprisal at `order`,
     * self-trained — GENERATED from the same recursion the engine's
     * [[graft.ops.FullText.ngramSurprisalKN]] folds over (c_n type table →
@@ -3349,6 +3453,28 @@ object SparkEntry {
       graft.text.Bpe.pairCounts(docsPar(s, dir))
         .orderBy(desc("cnt"), col("pair").asc).limit(100)
     },
+    // byte-level BPE (GPT-2 class, r18): train merges on the GPT-2
+    // pretoken vocabulary of the synthesized strata (contractions,
+    // digit runs, punctuation runs — the !!! stratum exercises the
+    // same-symbol overlap rule), then encode every distinct pretoken.
+    // The oracle replays the ENTIRE merge walk: each training round's
+    // pair counts → (count desc, pair asc) argmax → leftmost-
+    // nonoverlapping apply (run-parity windows for a=b pairs), unrolled
+    // per round from the bbpeOracleSql generator, then reads the final
+    // vocabulary symbolization — which equals the rank-table encode
+    // (the sequential-passes ≡ encode-loop invariant ByteBpeSpec pins)
+    "q_bbpe_encode" -> { (s, dir) =>
+      val docs = bbpeDocs(s, dir)
+      val merges = graft.text.ByteBpe.train(docs, numMerges = BbpeMergeRounds)
+      graft.text.ByteBpe.pretokenCounts(docs)
+        .filter(length(col("pretoken")) <= 16)
+        .select(col("pretoken"), col("cnt"),
+          graft.functions.textkernel.bbpe_tokens(col("pretoken"),
+            merges.map(m => (m.a, m.b))).as("__p"))
+        .select(col("pretoken"), concat_ws("/", col("__p")).as("pieces"),
+          size(col("__p")).cast("long").as("n_pieces"), col("cnt"))
+        .orderBy("pretoken")
+    },
     // WordPiece (BERT) greedy longest-match encode of the corpus
     // vocabulary against the frequency-seeded two-class vocab (initial vs
     // ## continuation pieces). No scores at all — membership + longest
@@ -3441,6 +3567,26 @@ object SparkEntry {
     // occurrence of a duplicated >=10-word span survives
     "q_span_dedup" -> { (s, dir) =>
       Dedup.spanDedup(docsPar(s, dir), windowWords = 10)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    // CROSS-CORPUS span dedup (r18 — the actual Lee et al. deployment:
+    // dedup a new dump against prior dumps at substring granularity).
+    // The fixture plants a 20-word span per doc_id%4 group inside
+    // per-doc-unique surroundings at varying offsets — document-level
+    // fingerprints/minhash stay far apart (DedupSpec pins that contrast)
+    // while the span is verbatim ref leakage. Ref side (doc_id%3=0)
+    // collapses to distinct window hashes; the new side bloom-probes at
+    // scan speed then exact-verifies by semi-join; spans cut in-row
+    "q_cross_span_dedup" -> { (s, dir) =>
+      val docs = crossSpanDocs(s, dir)
+      val ref = docs.filter(col("doc_id") % 3 === 0)
+      val nw = docs.filter(col("doc_id") % 3 =!= 0)
+      val fb = Dedup.buildSpanBloom(ref, windowWords = 10,
+        expectedItems = 1L << 18)
+      Dedup.crossCorpusSpanDedup(nw, ref, windowWords = 10,
+          refFilterBytes = Some(fb))
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")
@@ -6611,6 +6757,9 @@ object SparkEntry {
     "q_semdedup" -> semDedupSql,
     "q_unigram_encode" -> unigramEncodeSql,
     "q_wordpiece" -> wordpieceSql,
+    // byte-level BPE: the GENERATED full-merge-walk replay (pretokenize,
+    // byte-map, 8 training rounds of count/argmax/apply, final encode)
+    "q_bbpe_encode" -> bbpeOracleSql(BbpeMergeRounds),
     "q_minhash_sig" -> minhashSigSql,
     "q_simhash" -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql,
@@ -6892,6 +7041,33 @@ object SparkEntry {
          |  CAST(len(t.w) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed,
          |  md5(coalesce(reb.clean, '')) AS clean_md5
          |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id ORDER BY t.doc_id""".stripMargin
+    },
+    // cross-corpus span dedup: ref (doc_id%3=0) windows → distinct hash
+    // set; new-side windows semi-join it; islands → maximal spans → cut.
+    // Same window-hash replay as q_span_dedup, ref/new split like kn_xc
+    "q_cross_span_dedup" -> {
+      val w = 10
+      val winHash = sqlHex60(s"array_to_string(w[i:i+$w-1], ' ')")
+      s"""WITH d AS (SELECT doc_id, $crossSpanSynthSql AS text FROM documents),
+         | t AS (SELECT doc_id, $sqlWords AS w FROM d),
+         | er AS (SELECT doc_id, w, unnest(range(1, len(w) - $w + 2)) AS i FROM t WHERE doc_id % 3 = 0 AND len(w) >= $w),
+         | rh AS (SELECT DISTINCT $winHash AS h FROM er),
+         | en AS (SELECT doc_id, w, unnest(range(1, len(w) - $w + 2)) AS i FROM t WHERE doc_id % 3 <> 0 AND len(w) >= $w),
+         | wn AS (SELECT doc_id, i - 1 AS pos, $winHash AS h FROM en),
+         | mk AS (SELECT doc_id, pos FROM wn SEMI JOIN rh USING (h)),
+         | isl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM mk),
+         | sp AS (SELECT doc_id, min(pos) AS s, max(pos) + $w - 1 AS e2 FROM isl GROUP BY doc_id, g),
+         | cov AS (SELECT DISTINCT doc_id, unnest(range(s, e2 + 1)) AS pos FROM sp),
+         | tk AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t WHERE doc_id % 3 <> 0),
+         | tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS word FROM tk),
+         | kept AS (SELECT doc_id, pos, word FROM tok ANTI JOIN cov USING (doc_id, pos)),
+         | reb AS (SELECT doc_id, count(*) AS n_kept,
+         |   array_to_string(list(word ORDER BY pos), ' ') AS clean FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.w) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed,
+         |  md5(coalesce(reb.clean, '')) AS clean_md5
+         |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id WHERE t.doc_id % 3 <> 0
+         |ORDER BY t.doc_id""".stripMargin
     },
     // predictions per (robots shape, path shape): shape A obeys the
     // graftbot group (/private disallowed at len 8, /private/pub$ allowed

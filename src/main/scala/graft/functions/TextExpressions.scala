@@ -45,6 +45,30 @@ object TextKernel {
     out.toArray
   }
 
+  /** The published GPT-2 pretokenizer pattern (encoder.py): contractions,
+    * then optionally-space-prefixed letter / digit / punctuation runs,
+    * then whitespace runs (all-but-last space of an interior run via the
+    * lookahead, so the last space prefixes the following word).
+    */
+  val Gpt2PretokenPattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+
+  // UNICODE_CHARACTER_CLASS so \s matches unicode whitespace like the
+  // Python `regex` module GPT-2 uses (\p{L}/\p{N} are unicode by default)
+  private val gpt2Pat = java.util.regex.Pattern.compile(
+    Gpt2PretokenPattern, java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** GPT-2 pretokenization: every char of `s` lands in exactly one
+    * pretoken (the pattern's branches cover all of letter / digit /
+    * other / whitespace), so concatenating the output restores `s`.
+    */
+  def gpt2Pretokens(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val m = gpt2Pat.matcher(s)
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
   // per-thread 16-byte scratch output: MessageDigest.digest() allocates a
   // fresh array per call, and the hex60 consumers (winnowing, shingle
   // hashing) issue one digest per char/word gram — the 1000× SCALING point
@@ -852,13 +876,16 @@ case class CutSpansInSetExpr(child: Expression, hashes: Array[Long], w: Int)
   */
 abstract class WordEncodeKernelExpression extends StringKernelExpression {
   protected def encodeWord(w: String): Array[String]
+  /** unit of encoding: lower-alnum words by default; byte-level BPE
+    * overrides with GPT-2 pretokens. */
+  protected def words(s: String): Array[String] = TextKernel.tokens(s)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   @transient private lazy val memo =
     new java.util.HashMap[String, Array[String]]()
   private val MemoCap = 1 << 16
   protected override def nullSafeEval(v: Any): Any = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    for (w <- TextKernel.tokens(input(v))) {
+    for (w <- words(input(v))) {
       var enc = memo.get(w)
       if (enc == null) {
         enc = encodeWord(w)
@@ -884,6 +911,36 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
   }
   protected def encodeWord(w: String): Array[String] = graft.text.Bpe.encodeWord(w, ranks)
   override protected def withNewChildInternal(c: Expression): BpeEncodeExpr = copy(child = c)
+}
+
+/** GPT-2 pretokenization → array<string> (compiled regex kernel; every
+  * char lands in exactly one pretoken, concatenation restores the input).
+  */
+case class Gpt2PretokensExpr(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  protected override def nullSafeEval(v: Any): Any =
+    strArray(TextKernel.gpt2Pretokens(input(v)))
+  override protected def withNewChildInternal(c: Expression): Gpt2PretokensExpr =
+    copy(child = c)
+}
+
+/** Byte-level-BPE-encode text with a learned merge table → array<string>
+  * (token stream of every GPT-2 pretoken's merged byte symbols, pretokens
+  * in order). The merge ranks are plan-time constants; the pretoken memo
+  * comes from the shared kernel base.
+  */
+case class ByteBpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends WordEncodeKernelExpression {
+  @transient private lazy val ranks: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    merges.zipWithIndex.foreach { case ((a, b), r) => m.putIfAbsent(a + " " + b, r) }
+    m
+  }
+  override protected def words(s: String): Array[String] = TextKernel.gpt2Pretokens(s)
+  protected def encodeWord(w: String): Array[String] =
+    graft.text.ByteBpe.encodePretoken(w, ranks)
+  override protected def withNewChildInternal(c: Expression): ByteBpeEncodeExpr =
+    copy(child = c)
 }
 
 /** decode(bytes, charsetName) through the JVM's full charset table →
@@ -1306,6 +1363,9 @@ object textkernel {
     toColumn(C4LineStatsExpr(toExpression(c), minLineWords))
   def bpe_tokens(c: Column, merges: Seq[(String, String)]): Column =
     toColumn(BpeEncodeExpr(toExpression(c), merges))
+  def gpt2_pretokens(c: Column): Column = toColumn(Gpt2PretokensExpr(toExpression(c)))
+  def bbpe_tokens(c: Column, merges: Seq[(String, String)]): Column =
+    toColumn(ByteBpeEncodeExpr(toExpression(c), merges))
   def unigram_encode(c: Column, m: graft.text.Unigram.Model): Column =
     toColumn(UnigramEncodeExpr(toExpression(c),
       m.scores.toSeq.sortBy(_._1), m.maxPieceLen))

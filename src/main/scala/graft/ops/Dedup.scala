@@ -1251,6 +1251,73 @@ object Dedup {
     cutMarkedSpans(docs, marked, windowWords, textCol, idCol)
   }
 
+  /** Reference-side span filter for [[crossCorpusSpanDedup]]: a Bloom
+    * filter over the reference corpus's stride-1 window hashes (string
+    * form — the [[graft.functions.textkernel.bloom_might_contain]] probe
+    * is string-keyed), built once per reference generation and persisted
+    * via [[writeBloomFilter]] like the fingerprint filter. Size
+    * `expectedItems` for the reference's TOKEN count (one window per
+    * token position), not its doc count.
+    */
+  def buildSpanBloom(refDocs: DataFrame, windowWords: Int = 20,
+                     textCol: String = "text",
+                     expectedItems: Long = 1L << 24,
+                     fpp: Double = 0.01): Array[Byte] = {
+    val bf = refDocs
+      .select(explode(positional_shingle_hashes(col(textCol), windowWords)).as("h"))
+      .select(col("h").cast("string").as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** CROSS-CORPUS exact substring dedup — [[spanDedup]]'s Lee et al. 2021
+    * repeated-span rule pointed at a REFERENCE corpus: any ≥ `windowWords`
+    * word span of a NEW document that also occurs anywhere in the
+    * reference is cut from the new document (the reference is canonical —
+    * its own text is never touched and never self-compared). This is the
+    * actual Lee et al. deployment shape (dedup dump N+1 against dumps
+    * 1..N at substring granularity) and catches what the doc-level
+    * [[crossCorpusDedup]] family provably misses: a copied span at a
+    * DIFFERENT OFFSET inside otherwise-novel text leaves document
+    * fingerprints, minhash signatures and embeddings all far apart while
+    * the span itself is verbatim training leakage.
+    *
+    * Scale shape (the [[spanDedup]] machinery, re-pointed):
+    *  - the reference side collapses to DISTINCT window hashes (8 B rows,
+    *    map-side combined — never window text, never ref×ref pairs);
+    *  - the new side's (id, pos, hash) rows semi-join that set on the
+    *    hash — with `refFilterBytes` (from [[buildSpanBloom]]) the rows
+    *    are bloom-probed at scan speed first, so only true matches plus
+    *    the fpp share enter the exchange (the
+    *    [[crossCorpusExactDedupBloom]] recurring-ingest posture; output
+    *    stays EXACT — probe survivors are verified by the semi-join);
+    *  - marked positions merge into maximal spans and are cut in-row
+    *    ([[cutMarkedSpans]]): the new corpus's text crosses exactly ONE
+    *    exchange, the reference's text crosses none.
+    *
+    * Returns (idCol, n_tokens, n_removed, clean_text) for NEW docs only.
+    */
+  def crossCorpusSpanDedup(newDocs: DataFrame, refDocs: DataFrame,
+                           windowWords: Int = 20, textCol: String = "text",
+                           idCol: String = "doc_id",
+                           refFilterBytes: Option[Array[Byte]] = None): DataFrame = {
+    require(windowWords >= 2, s"windowWords must be >= 2: $windowWords")
+    val newWins = newDocs
+      .select(col(idCol), posexplode(positional_shingle_hashes(col(textCol), windowWords)))
+      .select(col(idCol), col("pos"), col("col").as("win_hash"))
+    val probed = refFilterBytes.fold(newWins) { fb =>
+      newWins.filter(bloom_might_contain(col("win_hash").cast("string"), fb))
+    }
+    val refWins = refDocs
+      .select(explode(positional_shingle_hashes(col(textCol), windowWords)).as("win_hash"))
+      .distinct()
+    val marked = probed.join(refWins, Seq("win_hash"), "left_semi")
+      .select(col(idCol), col("pos"))
+    cutMarkedSpans(newDocs, marked, windowWords, textCol, idCol)
+  }
+
   /** Shared tail of [[spanDedup]] and
     * [[TextAnalysis.decontaminateSpans]]: merge marked window-START
     * positions into maximal spans and cut them from the documents.

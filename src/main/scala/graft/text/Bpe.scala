@@ -141,11 +141,19 @@ object Bpe {
 
   /** The driver-side merge loop on an explicit (word, count) vocabulary. */
   def trainFromVocab(vocab: Seq[(String, Long)], numMerges: Int,
-                     minCount: Long = 2L): Seq[Merge] = {
-    // mutable symbolization per vocab word; counts never change
-    val words = vocab.map { case (w, c) =>
+                     minCount: Long = 2L): Seq[Merge] =
+    trainFromSyms(vocab.map { case (w, c) =>
       (scala.collection.mutable.ArrayBuffer.from(initialSymbols(w)), c)
-    }
+    }, numMerges, minCount)
+
+  /** The merge loop on pre-symbolized words — shared between the
+    * subword-nmt char+</w> symbolization above and [[ByteBpe]]'s
+    * byte-alphabet symbolization (same pair statistics, same
+    * (count desc, pair asc) tie-break, same left-to-right greedy apply).
+    */
+  private[text] def trainFromSyms(
+      words: Seq[(scala.collection.mutable.ArrayBuffer[String], Long)],
+      numMerges: Int, minCount: Long): Seq[Merge] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var round = 0
     while (round < numMerges) {
@@ -190,8 +198,15 @@ object Bpe {
   /** Encode one word with a rank table (lowest rank merges first, repeat to
     * fixpoint) — the standard BPE apply loop. `ranks` keys are "a b".
     */
-  def encodeWord(word: String, ranks: java.util.HashMap[String, Int]): Array[String] = {
-    var syms = initialSymbols(word)
+  def encodeWord(word: String, ranks: java.util.HashMap[String, Int]): Array[String] =
+    encodeSyms(initialSymbols(word), ranks)
+
+  /** The rank-table apply loop on an explicit initial symbolization —
+    * shared with [[ByteBpe]] (whose symbols are mapped bytes, no `</w>`).
+    */
+  private[text] def encodeSyms(initial: Array[String],
+                               ranks: java.util.HashMap[String, Int]): Array[String] = {
+    var syms = initial
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue

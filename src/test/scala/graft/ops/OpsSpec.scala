@@ -771,6 +771,51 @@ class CleanPipelineSpec extends AnyFunSuite {
     assert(r(1).getLong(1) == 0L && r(1).getString(3) == "")
   }
 
+  test("crossCorpusSpanDedup: ref spans cut from new docs; ref never touched; doc-level misses") {
+    // a 5-word ref span replanted at a DIFFERENT offset inside otherwise
+    // novel text: doc-level cross dedup (fingerprint + minhash + verify)
+    // must NOT flag the doc, substring-level cross dedup MUST cut the span
+    val ref = Seq(
+      (100L, "ra rb v w x y z rc rd re rf rg rh ri rj"))
+      .toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, "n1 n2 n3 n4 v w x y z n5 n6 n7 n8 n9 na nb nc nd"), // planted span, novel doc
+      (2L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 ma mb mc md"))            // fully novel
+      .toDF("doc_id", "text")
+    val r = Dedup.crossCorpusSpanDedup(nw, ref, windowWords = 4)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r(0) == ((1L, 18L, 5L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 na nb nc nd")))
+    assert(r(1) == ((2L, 13L, 0L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 ma mb mc md")))
+    // ref docs are not in the output (the reference is canonical)
+    assert(!r.map(_._1).contains(100L))
+    // the CONTRAST: doc-level cross dedup sees neither doc as a dup
+    val doc = Dedup.crossCorpusDedup(nw, ref).orderBy("doc_id").collect()
+    assert(doc.forall(!_.getBoolean(4)),
+      "doc-level cross dedup must miss the offset-replanted span")
+    // bloom-prefiltered path is EXACT (probe survivors verified)
+    val fb = Dedup.buildSpanBloom(ref, windowWords = 4, expectedItems = 1 << 12)
+    val rb = Dedup.crossCorpusSpanDedup(nw, ref, windowWords = 4,
+        refFilterBytes = Some(fb))
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(rb.toSeq == r.toSeq, "bloom path must be exact")
+  }
+
+  test("crossCorpusSpanDedup: within-new repeats survive (only ref collisions cut)") {
+    // the span repeats INSIDE the new corpus but never appears in ref:
+    // cross dedup leaves both copies (within-corpus dedup is spanDedup's
+    // job, a separate policy decision)
+    val ref = Seq((100L, "q1 q2 q3 q4 q5 q6")).toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, "u1 u2 u3 u4 u5 tail"),
+      (2L, "pad u1 u2 u3 u4 u5"))
+      .toDF("doc_id", "text")
+    val r = Dedup.crossCorpusSpanDedup(nw, ref, windowWords = 4)
+      .orderBy("doc_id").collect()
+    assert(r.forall(_.getLong(2) == 0L), "no ref collision -> nothing cut")
+  }
+
   test("spanDedup plan: no corpus-wide window, one join, kernel removal") {
     val d = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val qe = Dedup.spanDedup(d, windowWords = 4).queryExecution
