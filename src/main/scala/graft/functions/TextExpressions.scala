@@ -913,6 +913,20 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(c: Expression): BpeEncodeExpr = copy(child = c)
 }
 
+/** jusText GOOD-block text of an HTML page → string (row-local
+  * segmentation + classification + revise — [[graft.ops.Justext]]; the
+  * relational twin with the DuckDB oracle is Html.justextBlocks, pinned
+  * equal in JustextSpec). Exists so the crawl ingest path can run
+  * block-level boilerplate at scan speed without adding exchanges.
+  */
+case class JustextTextExpr(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = StringType
+  protected override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(graft.ops.Justext.goodText(input(v)))
+  override protected def withNewChildInternal(c: Expression): JustextTextExpr =
+    copy(child = c)
+}
+
 /** GPT-2 pretokenization → array<string> (compiled regex kernel; every
   * char lands in exactly one pretoken, concatenation restores the input).
   */
@@ -983,8 +997,9 @@ case class DecodeCharsetExpr(left: Expression, right: Expression)
   * when the whole string maps and the strict decode succeeds AND
   * changes it — single-encoded "café"/"naïve" fails the strict decode
   * (0xE9 + ASCII is not a UTF-8 sequence) and passes through untouched,
-  * as does anything with chars outside cp1252; double-encoded text
-  * unwinds across up to 3 iterations. Conservative by construction:
+  * as does anything with chars outside cp1252; multi-encoded text
+  * unwinds fully (each accepted level strictly shortens the string, so
+  * the loop terminates on its own). Conservative by construction:
   * never introduces U+FFFD, never touches clean text.
   */
 case class FixMojibakeExpr(child: Expression)
@@ -1047,12 +1062,17 @@ object FixMojibakeExpr {
   }
 
   def fix(s: String): String = {
+    // unwind until fixOnce declines (r18 advice — the former 3-level cap
+    // emitted partially-repaired text on 4+-times-encoded input).
+    // Terminates: every accepted level came from a successful multi-byte
+    // UTF-8 decode of the sloppy-cp1252 byte image, which strictly
+    // SHORTENS the string (an all-single-byte decode returns the input
+    // and fixOnce declines), so levels are bounded by the string length.
     var cur = s
-    var level = 0
     var continue = true
-    while (level < 3 && continue) {
+    while (continue) {
       fixOnce(cur) match {
-        case Some(next) => cur = next; level += 1
+        case Some(next) => cur = next
         case None => continue = false
       }
     }
@@ -1364,6 +1384,7 @@ object textkernel {
   def bpe_tokens(c: Column, merges: Seq[(String, String)]): Column =
     toColumn(BpeEncodeExpr(toExpression(c), merges))
   def gpt2_pretokens(c: Column): Column = toColumn(Gpt2PretokensExpr(toExpression(c)))
+  def justext_text(c: Column): Column = toColumn(JustextTextExpr(toExpression(c)))
   def bbpe_tokens(c: Column, merges: Seq[(String, String)]): Column =
     toColumn(ByteBpeEncodeExpr(toExpression(c), merges))
   def unigram_encode(c: Column, m: graft.text.Unigram.Model): Column =

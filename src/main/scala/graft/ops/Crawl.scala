@@ -93,13 +93,21 @@ object Crawl {
     *   EXTRACTED text in the same projection (see [[ingestWet]] — here
     *   it catches pages whose declared charset lies about an upstream
     *   double-encoding). Off by default: plans stay byte-stable.
+    * @param blockBoilerplate opt-in jusText block-level boilerplate
+    *   (Pomikálek 2011 — [[Justext.goodText]], the CCNet-grade upgrade
+    *   of the line rule): HTML rows classify whole blocks by
+    *   link/length/stopword density with context-sensitive revision,
+    *   IN-ROW via the compiled kernel so the one-exchange ingest plan is
+    *   unchanged; PDF/DOCX/EPUB/plain rows (no markup to segment) keep
+    *   the line rule. Off by default: existing outputs stay byte-stable.
     */
   def ingest(spark: SparkSession, warcDir: String,
              blockedDomains: Option[DataFrame] = None,
              minTextChars: Int = 1,
              robots: Option[DataFrame] = None,
              agent: String = "graftbot",
-             fixMojibake: Boolean = false): DataFrame = {
+             fixMojibake: Boolean = false,
+             blockBoilerplate: Boolean = false): DataFrame = {
     // header names/values are case-insensitive (RFC 9110): match
     // 'Text/HTML' too, and honour a declared charset parameter (with a
     // <meta charset> prescan fallback below — bodies arrive already
@@ -170,7 +178,14 @@ object Crawl {
     // IS its decoded body; titles/links are HTML concepts — empty/zero
     // for documents and plain text
     val isPlainy = isDoc || col("is_txt")
+    // block mode: HTML rows get jusText GOOD-block text straight from the
+    // kernel (already boilerplate-filtered); the line rule below then
+    // applies only to the markup-less routes
+    val htmlText =
+      if (blockBoilerplate) graft.functions.textkernel.justext_text(col("html"))
+      else Html.extractColumn(col("html"))
     val extracted = withHtml.select(col("url_canon"), col("url_domain"),
+      isPlainy.as("__plainy"),
       when(isPlainy, lit("")).otherwise(
         Html.titleColumn(col("html"))).as("title"),
       when(isPlainy, lit(0L)).otherwise(
@@ -182,7 +197,7 @@ object Crawl {
         .when(col("is_epub"),
           coalesce(graft.functions.textkernel.epub_text(col("body")), lit("")))
         .when(col("is_txt"), col("html"))
-        .otherwise(Html.extractColumn(col("html"))).as("text"))
+        .otherwise(htmlText).as("text"))
     val repaired =
       if (fixMojibake)
         extracted
@@ -192,7 +207,13 @@ object Crawl {
           // exists to remove
           .withColumn("title", graft.functions.textkernel.fix_mojibake(col("title")))
       else extracted
-    Html.dropBoilerplateLines(repaired)
+    val boiled =
+      if (blockBoilerplate)
+        repaired.withColumn("text",
+          when(col("__plainy"), Html.keptLinesColumn(col("text")))
+            .otherwise(col("text")))
+      else Html.dropBoilerplateLines(repaired)
+    boiled
       .filter(length(col("text")) >= minTextChars)
       .select(
         graft.functions.textfn.hexhash60(col("url_canon")).as("doc_id"),

@@ -170,6 +170,11 @@ class TextKernelSpec extends AnyFunSuite {
     // scala-side contract
     assert(FixMojibakeExpr.fix(once) == clean, once)
     assert(FixMojibakeExpr.fix(twice) == clean, twice)
+    // r18 advice: the unwind no longer caps at 3 levels — 4×/5×-encoded
+    // text repairs FULLY (the loop self-terminates: each accepted level
+    // strictly shortens the string)
+    assert(FixMojibakeExpr.fix(garble(garble(twice))) == clean, "4 levels")
+    assert(FixMojibakeExpr.fix(garble(garble(garble(twice)))) == clean, "5 levels")
     assert(FixMojibakeExpr.fix(clean) == clean, "clean text untouched")
     assert(FixMojibakeExpr.fix("plain ascii only!") == "plain ascii only!")
     // single-encoded latin-1-looking text is NOT valid UTF-8 after the
