@@ -87,9 +87,16 @@ object Mp3Codec {
     *    time-domain subband slices per granule (post alias/IMDCT/overlap,
     *    the synthesis-filterbank inputs).
     */
+  /** @param rejectedTables per-frame reject telemetry (r18): table_select
+    *   id → number of frames rejected because that B.7 table is not
+    *   available (neither shipped nor runtime-loaded). Names WHICH table
+    *   data a real-world stream needs — the deployment signal for the
+    *   [[Mp3Tables]] loader.
+    */
   final case class Mp3Data(sampleRate: Int, channels: Int, nFrames: Int,
                            spectra: Array[Array[Double]],
-                           granules: Array[Array[Double]])
+                           granules: Array[Array[Double]],
+                           rejectedTables: Map[Int, Int] = Map.empty)
 
   private val BitrateKbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
     160, 192, 224, 256, 320, 0)
@@ -138,7 +145,7 @@ object Mp3Codec {
   // ---- Huffman tables (ISO 11172-3 Table B.7 — see provenance note) ----
 
   /** One big-values pair table: (x, y, hlen, hcod). */
-  private type PairTable = Map[(Int, Int), (Int, Int)] // (len, code) -> (x, y)
+  private[ops] type PairTable = Map[(Int, Int), (Int, Int)] // (len, code) -> (x, y)
 
   private[ops] def pairTable(entries: Seq[(Int, Int, Int, Int)]): PairTable =
     entries.map { case (x, y, len, code) => (len, code) -> (x, y) }.toMap
@@ -318,7 +325,7 @@ object Mp3Codec {
     * [[decodeBigPair]] and spec-exercised so the 16–31 completion is a
     * data-only change.
     */
-  private[ops] final case class BigTable(pairs: PairTable, maxVal: Int, linbits: Int)
+  final case class BigTable(pairs: PairTable, maxVal: Int, linbits: Int)
 
   /** The shipped big-values tables by table_select (0 = the all-zero
     * table, handled inline; 4 and 14 are the spec's reserved slots;
@@ -386,7 +393,23 @@ object Mp3Codec {
   /** Decode every Layer-III frame in `bytes` (ID3v2 skipped, first sync
     * found by scan). None when no decodable frame exists.
     */
-  def decode(bytes: Array[Byte]): Option[Mp3Data] = {
+  def decode(bytes: Array[Byte]): Option[Mp3Data] = decode(bytes, Map.empty)
+
+  /** [[decode]] with runtime-loaded B.7 tables (r18 — the data seam for
+    * tables 11/15/16–31, whose transcriptions are unverifiable in this
+    * environment, README provenance note): `extraTables` comes from
+    * [[Mp3Tables.parseTableFile]], which enforces the SAME structural
+    * validation every shipped table passes (Kraft completeness,
+    * prefix-freeness, per-cell round-trip) and refuses shipped/reserved
+    * ids — verified table data becomes deployment config, never code.
+    */
+  def decode(bytes: Array[Byte], extraTables: Map[Int, BigTable]): Option[Mp3Data] = {
+    require(extraTables.keySet.intersect(BigTables.keySet).isEmpty &&
+      !extraTables.contains(4) && !extraTables.contains(14) &&
+      !extraTables.contains(0),
+      s"extraTables may not override shipped/reserved ids: ${extraTables.keySet}")
+    val tables = BigTables ++ extraTables
+    val rejects = scala.collection.mutable.TreeMap.empty[Int, Int]
     try {
       if (bytes == null || bytes.length < 4) return None
       var off = 0
@@ -449,6 +472,7 @@ object Mp3Codec {
               }
               val gr = Array.ofDim[GrInfo](2, ch)
               var badSide = false
+              val frameMissing = scala.collection.mutable.SortedSet.empty[Int]
               var g = 0
               while (g < 2) {
                 c = 0
@@ -481,11 +505,16 @@ object Mp3Codec {
                   val c1t = side.read1()
                   gr(g)(c) = GrInfo(part23, bigValues, globalGain, sfc, ts,
                     r0, r1, pre, sfScale, c1t, wsf == 1, bt, mixed, sbg)
-                  // only the shipped tables decode (provenance note above);
-                  // window-switched granules carry 2 selects, long carry 3
-                  if (ts.take(if (wsf == 1) 2 else 3)
-                        .exists(t => t != 0 && !BigTables.contains(t)))
+                  // only shipped + runtime-loaded tables decode (provenance
+                  // note above); window-switched granules carry 2 selects,
+                  // long carry 3 — a miss rejects the frame AND records
+                  // which table id it needed (the r18 telemetry)
+                  val missingTs = ts.take(if (wsf == 1) 2 else 3)
+                    .filter(t => t != 0 && !tables.contains(t))
+                  if (missingTs.nonEmpty) {
+                    frameMissing ++= missingTs
                     badSide = true
+                  }
                   // intensity + SHORT decodes since r16 (per-window
                   // positions); the mixed-block and MS-combined short
                   // variants stay out of scope, loudly
@@ -502,7 +531,10 @@ object Mp3Codec {
                   badSide = true
                 g += 1
               }
-              if (badSide) { ok = false }
+              if (badSide) {
+                frameMissing.foreach(t => rejects(t) = rejects.getOrElse(t, 0) + 1)
+                ok = false
+              }
               else {
                 // accumulate this frame's main data, locate granule start
                 val mainStartInRes = reservoir.size() - mainDataBegin
@@ -590,7 +622,7 @@ object Mp3Codec {
                             else gi.tableSelect(2)
                           if (tsel == 0) { is(line) = 0; is(line + 1) = 0 }
                           else {
-                            val (x, y) = decodeBigPair(r, BigTables(tsel))
+                            val (x, y) = decodeBigPair(r, tables(tsel))
                             is(line) = x
                             is(line + 1) = y
                           }
@@ -901,7 +933,7 @@ object Mp3Codec {
       }
       if (nFrames == 0) None
       else Some(Mp3Data(sampleRate, channels, nFrames,
-        spectraBuf.toArray, sliceBuf.toArray))
+        spectraBuf.toArray, sliceBuf.toArray, rejects.toMap))
     } catch { case _: Throwable => None }
   }
 
