@@ -521,7 +521,32 @@ object PdfCodec {
                       }
                       case _ => None
                     })
-                  viaDifferences.map(fname -> _)
+                  // r18: Identity-H composite font WITHOUT /ToUnicode —
+                  // codes are glyph ids; invert the embedded FontFile2's
+                  // own 'cmap' table (descendant → descriptor → font
+                  // program). Unmappable gids keep emitting nothing.
+                  val viaFontFile = viaDifferences.orElse(
+                    deref(fd.getOrElse("Encoding", PNull)) match {
+                      case PName("Identity-H") =>
+                        deref(fd.getOrElse("DescendantFonts", PNull)) match {
+                          case PArr(dfs) if dfs.nonEmpty =>
+                            deref(dfs.head) match {
+                              case PDict(desc) =>
+                                deref(desc.getOrElse("FontDescriptor", PNull)) match {
+                                  case PDict(fdesc) => fdesc.get("FontFile2") match {
+                                    case Some(PRef(fn)) =>
+                                      streamData(fn).flatMap(fontFile2CMap)
+                                    case _ => None
+                                  }
+                                  case _ => None
+                                }
+                              case _ => None
+                            }
+                          case _ => None
+                        }
+                      case _ => None
+                    })
+                  viaFontFile.map(fname -> _)
                 case _ => None
               }
             }
@@ -761,13 +786,144 @@ object PdfCodec {
     * unresolvable glyph name map to "" (suppressed); untouched codes
     * stay OUT of the map so the latin-1 path still applies to them.
     */
+  /** Glyph→unicode table from an embedded TrueType font program
+    * (/FontFile2) — the r18 fallback for Identity-H composite fonts
+    * WITHOUT a /ToUnicode CMap (common in real-world corporate PDFs):
+    * under Identity-H the 2-byte show-string codes are glyph ids, and
+    * the font's own 'cmap' table (unicode → gid) INVERTED recovers the
+    * text. Parses the sfnt table directory, picks the best 'cmap'
+    * subtable (format 12 preferred over 4; Windows-platform preferred),
+    * and inverts deterministically (a gid reachable from several
+    * unicodes keeps the LOWEST). Caps bound hostile fonts (table count,
+    * segment/group counts, total mapped chars); anything malformed
+    * yields None — the byte path stays, nothing throws.
+    */
+  private[sources] def fontFile2CMap(font: Array[Byte]): Option[UniCMap] = {
+    try {
+      def u16(o: Int): Int = ((font(o) & 0xFF) << 8) | (font(o + 1) & 0xFF)
+      def u32(o: Int): Long = ((font(o) & 0xFFL) << 24) | ((font(o + 1) & 0xFFL) << 16) |
+        ((font(o + 2) & 0xFFL) << 8) | (font(o + 3) & 0xFFL)
+      if (font.length < 12) return None
+      val numTables = u16(4)
+      if (numTables <= 0 || numTables > 64) return None
+      var cmapOff = -1
+      var i = 0
+      while (i < numTables) {
+        val rec = 12 + 16 * i
+        if (rec + 16 <= font.length &&
+            font(rec) == 'c' && font(rec + 1) == 'm' &&
+            font(rec + 2) == 'a' && font(rec + 3) == 'p') {
+          val off = u32(rec + 8)
+          if (off < font.length) cmapOff = off.toInt
+        }
+        i += 1
+      }
+      if (cmapOff < 0 || cmapOff + 4 > font.length) return None
+      val nSub = u16(cmapOff + 2)
+      if (nSub <= 0 || nSub > 32) return None
+      var best = -1
+      var bestScore = -1
+      i = 0
+      while (i < nSub) {
+        val rec = cmapOff + 4 + 8 * i
+        if (rec + 8 <= font.length) {
+          val plat = u16(rec)
+          val off = cmapOff + u32(rec + 4).toInt
+          if (off >= 0 && off + 4 <= font.length) {
+            val score = (u16(off), plat) match {
+              case (12, 3) => 5
+              case (12, 0) => 4
+              case (12, _) => 3
+              case (4, 3) => 2
+              case (4, _) => 1
+              case _ => -1
+            }
+            if (score > bestScore) { bestScore = score; best = off }
+          }
+        }
+        i += 1
+      }
+      if (best < 0) return None
+      val gidUni = scala.collection.mutable.HashMap.empty[Int, Int]
+      var mapped = 0
+      val MaxMapped = 1 << 17
+      def record(gid: Int, uni: Int): Unit =
+        if (gid != 0 && mapped < MaxMapped) {
+          val cur = gidUni.get(gid)
+          if (cur.isEmpty || uni < cur.get) gidUni(gid) = uni
+          mapped += 1
+        }
+      u16(best) match {
+        case 4 =>
+          val segCount = u16(best + 6) / 2
+          if (segCount <= 0 || segCount > 2048) return None
+          val endAt = best + 14
+          val startAt = endAt + 2 * segCount + 2 // +2: reservedPad
+          val deltaAt = startAt + 2 * segCount
+          val rangeAt = deltaAt + 2 * segCount
+          if (rangeAt + 2 * segCount > font.length) return None
+          var s = 0
+          while (s < segCount) {
+            val end = u16(endAt + 2 * s)
+            val start = u16(startAt + 2 * s)
+            val delta = u16(deltaAt + 2 * s)
+            val ro = u16(rangeAt + 2 * s)
+            var c = start
+            while (c <= end && c != 0xFFFF) {
+              val gid =
+                if (ro == 0) (c + delta) & 0xFFFF
+                else {
+                  val addr = rangeAt + 2 * s + ro + 2 * (c - start)
+                  if (addr + 2 > font.length) 0
+                  else {
+                    val g0 = u16(addr)
+                    if (g0 == 0) 0 else (g0 + delta) & 0xFFFF
+                  }
+                }
+              record(gid, c)
+              c += 1
+            }
+            s += 1
+          }
+        case 12 =>
+          val nGroups = u32(best + 12)
+          if (nGroups <= 0 || nGroups > 10000) return None
+          var g = 0
+          while (g < nGroups) {
+            val at = best + 16 + 12 * g
+            if (at + 12 > font.length) return None
+            val start = u32(at)
+            val end = u32(at + 4)
+            val startGid = u32(at + 8)
+            if (end >= start && end - start < MaxMapped && end <= 0x10FFFF) {
+              var c = start
+              while (c <= end) {
+                record((startGid + (c - start)).toInt, c.toInt)
+                c += 1
+              }
+            }
+            g += 1
+          }
+        case _ => return None
+      }
+      if (gidUni.isEmpty) None
+      else Some(UniCMap(2, gidUni.map { case (g, u) =>
+        g -> new String(Character.toChars(u))
+      }.toMap))
+    } catch { case _: Exception => None }
+  }
+
   private[sources] def differencesCMap(items: Vector[Obj]): Option[UniCMap] = {
     var code = -1
     val m = scala.collection.mutable.HashMap.empty[Int, String]
     items.foreach {
       case PNum(v) => code = v.toInt
-      case PName(n) if code >= 0 && code <= 255 =>
-        m(code) = glyphToUnicode(n).getOrElse("")
+      case PName(n) =>
+        // ISO 32000 7.8: every name consumes one code slot — the counter
+        // advances even when the current code is out of byte range (or no
+        // integer has appeared yet), so names later in a malformed
+        // /Differences array never misalign to wrong codes (r18 advice)
+        if (code >= 0 && code <= 255) m(code) = glyphToUnicode(n).getOrElse("")
         code += 1
       case _ =>
     }

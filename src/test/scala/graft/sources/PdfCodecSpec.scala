@@ -28,7 +28,7 @@ class PdfCodecSpec extends AnyFunSuite {
       val d = PdfCodec.extractText(bytes)
         .getOrElse(fail(s"id=$id did not parse"))
       val nSimple = (1 + id % 3).toInt
-      assert(d.nPages == nSimple + 2)
+      assert(d.nPages == nSimple + 3)
       for (p <- 0 until nSimple)
         assert(d.pages(p) == pageText(id, p), s"id=$id page $p")
       // the r16 CID-keyed page: 2-byte codes through the /ToUnicode CMap
@@ -39,7 +39,31 @@ class PdfCodecSpec extends AnyFunSuite {
       // leak a space)
       assert(d.pages(nSimple + 1) == s"Diff éłł word gap here real ${id}é!",
         s"id=$id Differences page")
+      // the r18 Identity-H page WITHOUT /ToUnicode: glyph ids invert
+      // through the embedded FontFile2 'cmap' (format 4 even / format 12
+      // + supplementary plane odd); the trailing unmapped gid 999 emits
+      // nothing
+      val emoji = if (id % 2 == 1) "🌍 " else ""
+      assert(d.pages(nSimple + 2) == s"cid ${emoji}go $id!",
+        s"id=$id FontFile2 page")
     }
+  }
+
+  test("fontFile2CMap: format 4 and 12 parse + inversion; malformed fonts -> None") {
+    val f4 = PdfCodec.fontFile2CMap(graft.SparkEntry.synthTtf(2L)).get
+    assert(f4.width == 2)
+    assert(f4.map(30) == "a" && f4.map(55) == "z" && f4.map(3) == " " &&
+      f4.map(4) == "!" && f4.map(10) == "0" && f4.map(19) == "9")
+    assert(!f4.map.contains(60) && !f4.map.contains(0))
+    val f12 = PdfCodec.fontFile2CMap(graft.SparkEntry.synthTtf(3L)).get
+    assert(f12.map(30) == "a" && f12.map(60) == "🌍",
+      "format 12 must map the supplementary-plane group")
+    // malformed: truncation at every prefix must never throw
+    val ttf = graft.SparkEntry.synthTtf(3L)
+    for (n <- 0 until ttf.length)
+      assert(PdfCodec.fontFile2CMap(ttf.take(n)).forall(_.map.nonEmpty))
+    assert(PdfCodec.fontFile2CMap("garbage not a font".getBytes).isEmpty)
+    assert(PdfCodec.fontFile2CMap(Array.emptyByteArray).isEmpty)
   }
 
   test("ToUnicode CMaps: bfchar, incrementing bfrange, array bfrange, widths") {
