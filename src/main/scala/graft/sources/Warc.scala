@@ -78,6 +78,65 @@ object WarcCodec {
     bos.toByteArray
   }
 
+  /** Wrap bytes as one zstd frame — the `.warc.zst` per-record layout
+    * Common Crawl is moving its archives to (iipc warc-specifications:
+    * one frame per record, so readers resume at frame boundaries like
+    * gzip members).
+    */
+  def zstdMember(bytes: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(bytes)
+
+  /** A zstd SKIPPABLE frame (RFC 8878 §3.1.2: LE magic 0x184D2A5n +
+    * LE32 length + opaque payload) — `.warc.zst` archives open with one
+    * carrying the compression dictionary; conformant decoders skip it.
+    */
+  def zstdSkippableFrame(payload: Array[Byte], nibble: Int = 0): Array[Byte] = {
+    require(nibble >= 0 && nibble <= 15, s"skippable magic nibble: $nibble")
+    val out = new Array[Byte](8 + payload.length)
+    val magic = 0x184D2A50 + nibble
+    out(0) = (magic & 0xFF).toByte; out(1) = ((magic >> 8) & 0xFF).toByte
+    out(2) = ((magic >> 16) & 0xFF).toByte; out(3) = ((magic >> 24) & 0xFF).toByte
+    out(4) = (payload.length & 0xFF).toByte; out(5) = ((payload.length >> 8) & 0xFF).toByte
+    out(6) = ((payload.length >> 16) & 0xFF).toByte; out(7) = ((payload.length >> 24) & 0xFF).toByte
+    System.arraycopy(payload, 0, out, 8, payload.length)
+    out
+  }
+
+  /** Serialize records as a `.warc.zst` byte stream: an optional leading
+    * skippable frame (stand-in for the dictionary slot — our members are
+    * dictionary-less, so its payload is opaque metadata the reader must
+    * SKIP) + one zstd frame per record. Dictionary-COMPRESSED archives
+    * are a stated descope: without the dictionary their member frames
+    * fail to decode and the reader ends that file cleanly (counted, not
+    * crashed).
+    */
+  def writeWarcZst(records: Seq[WarcRecord], skippable: Boolean = true): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    if (skippable)
+      bos.write(zstdSkippableFrame("graft-no-dict".getBytes("US-ASCII")))
+    records.foreach(r => bos.write(zstdMember(writeRecord(r))))
+    bos.toByteArray
+  }
+
+  /** Open a continuous zstd stream over concatenated frames (members +
+    * skippable frames — libzstd's streaming decoder skips the latter).
+    */
+  private[sources] def zstdStream(in: InputStream): InputStream = {
+    val z = new com.github.luben.zstd.ZstdInputStream(in)
+    z.setContinuous(true)
+    z
+  }
+
+  /** zstd magic sniff: a compressed frame (LE 0xFD2FB528) or a skippable
+    * frame (LE 0x184D2A50–5F).
+    */
+  private[sources] def looksZstd(b: Array[Byte]): Boolean =
+    b.length >= 4 &&
+      (((b(0) & 0xFF) == 0x28 && (b(1) & 0xFF) == 0xB5 &&
+        (b(2) & 0xFF) == 0x2F && (b(3) & 0xFF) == 0xFD) ||
+       ((b(0) & 0xF0) == 0x50 && (b(1) & 0xFF) == 0x2A &&
+        (b(2) & 0xFF) == 0x4D && (b(3) & 0xFF) == 0x18))
+
   // ---- parser ----
 
   /** Streaming record iterator over raw (already-inflated) WARC bytes.
@@ -190,15 +249,20 @@ object WarcCodec {
       }
     }
 
-  /** Parse a byte array, auto-detecting gzip (0x1f 0x8b magic — plain
-    * `.warc` and per-member `.warc.gz` both work). Corrupt gzip data ends
-    * the iteration cleanly instead of throwing.
+  /** Parse a byte array, auto-detecting gzip (0x1f 0x8b magic) and zstd
+    * (compressed- or skippable-frame magic — `.warc.zst`, r18) — plain
+    * `.warc`, per-member `.warc.gz` and per-frame `.warc.zst` all work.
+    * Corrupt compressed data ends the iteration cleanly instead of
+    * throwing.
     */
   def parseBytes(bytes: Array[Byte], maxRecordBytes: Long = 1L << 30): Iterator[WarcRecord] = {
     if (bytes == null || bytes.length < 2) return Iterator.empty
     val in: InputStream =
       if ((bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B) {
         try new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
+        catch { case _: java.io.IOException => return Iterator.empty }
+      } else if (looksZstd(bytes)) {
+        try zstdStream(new ByteArrayInputStream(bytes))
         catch { case _: java.io.IOException => return Iterator.empty }
       } else new ByteArrayInputStream(bytes)
     val inner = parse(in, maxRecordBytes)
@@ -424,7 +488,7 @@ object Warc {
   def readWarcFiles(spark: SparkSession, dir: String,
                     maxRecordBytes: Long = 1L << 30,
                     minPartitions: Int = 0,
-                    extensions: Seq[String] = Seq(".warc", ".warc.gz")): DataFrame = {
+                    extensions: Seq[String] = Seq(".warc", ".warc.gz", ".warc.zst")): DataFrame = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -463,6 +527,9 @@ object Warc {
           val raw = p.getFileSystem(conf.value).open(p)
           if (pathStr.endsWith(".gz")) {
             try new GZIPInputStream(raw, 64 * 1024)
+            catch { case _: java.io.IOException => raw.close(); new ByteArrayInputStream(Array.emptyByteArray) }
+          } else if (pathStr.endsWith(".zst")) {
+            try WarcCodec.zstdStream(raw)
             catch { case _: java.io.IOException => raw.close(); new ByteArrayInputStream(Array.emptyByteArray) }
           } else raw
         }

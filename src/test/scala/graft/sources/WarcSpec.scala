@@ -6,7 +6,8 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
-import WarcCodec.{WarcRecord, parseBytes, writeRecord, writeWarcGz}
+import WarcCodec.{WarcRecord, parseBytes, writeRecord, writeWarcGz,
+  writeWarcZst, zstdMember, zstdSkippableFrame, gzipMember}
 
 class WarcSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -36,6 +37,29 @@ class WarcSpec extends AnyFunSuite {
     val back = parseBytes(writeWarcGz(recs)).toSeq
     assert(back.size == 20)
     assert(back.zip(recs).forall { case (a, b) => a.content.sameElements(b.content) })
+  }
+
+  test("zstd multi-frame round-trip incl. the skippable dictionary-slot frame (r18)") {
+    val recs = (1 to 15).map(i => rec(i, body = "z" * (i * 53)))
+    // with and without the leading skippable frame
+    for (skip <- Seq(true, false)) {
+      val back = parseBytes(writeWarcZst(recs, skippable = skip)).toSeq
+      assert(back.size == 15, s"skippable=$skip")
+      assert(back.zip(recs).forall { case (a, b) => a.content.sameElements(b.content) })
+    }
+    // magic sniff: compressed frame, skippable-first, gzip, plain
+    assert(WarcCodec.looksZstd(zstdMember(Array[Byte](1, 2, 3))))
+    assert(WarcCodec.looksZstd(zstdSkippableFrame(Array[Byte](9))))
+    assert(!WarcCodec.looksZstd(gzipMember(Array[Byte](1))))
+    assert(!WarcCodec.looksZstd("WARC/1.0\r\n".getBytes))
+    // corrupt zstd ends cleanly like gzip
+    val z = writeWarcZst(Seq(rec(1), rec(2)))
+    val flipped = z.clone(); flipped(z.length / 2) = (flipped(z.length / 2) ^ 0x55).toByte
+    parseBytes(flipped).size // must not throw
+    // truncation sweep never throws
+    (0 until z.length by 11).foreach { cut =>
+      parseBytes(java.util.Arrays.copyOf(z, cut)).size
+    }
   }
 
   test("truncation at every byte boundary never throws, yields only complete records") {
@@ -154,9 +178,11 @@ class WarcSpec extends AnyFunSuite {
     try {
       (0 until 4).foreach { f =>
         val recs = (0 until 5).map(i => rec(f * 100 + i))
-        val bytes = if (f % 2 == 0) writeWarcGz(recs)
-          else recs.flatMap(r => writeRecord(r).toSeq).toArray
-        val name = if (f % 2 == 0) s"part-$f.warc.gz" else s"part-$f.warc"
+        val (bytes, name) = (f % 3) match {
+          case 0 => (writeWarcGz(recs), s"part-$f.warc.gz")
+          case 1 => (recs.flatMap(r => writeRecord(r).toSeq).toArray, s"part-$f.warc")
+          case _ => (writeWarcZst(recs), s"part-$f.warc.zst") // r18
+        }
         Files.write(new java.io.File(dir, name).toPath, bytes)
       }
       // a non-warc file must be ignored
