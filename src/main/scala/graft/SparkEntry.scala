@@ -1318,11 +1318,71 @@ object SparkEntry {
     * raw+Flate streams and the BT…ET operator semantics
     * ([[sources.PdfCodec]]).
     */
+  /** Minimal TrueType font program (sfnt with a single 'cmap' table) for
+    * the r18 Identity-H-without-ToUnicode page: EVEN ids carry a
+    * format-4 (segment-delta) subtable on the Windows BMP slot (3,1),
+    * ODD ids a format-12 (grouped) subtable on (3,10) including a
+    * SUPPLEMENTARY-plane mapping — so both subtable formats the parser
+    * ships are gate-exercised. gids: space→3, '!'→4, '0'–'9'→10+d,
+    * 'a'–'z'→30+k, U+1F30D→60 (format 12 only).
+    */
+  private[graft] def synthTtf(id: Long): Array[Byte] = {
+    val sub = new java.io.ByteArrayOutputStream()
+    def s16(v: Int): Unit = { sub.write((v >> 8) & 0xFF); sub.write(v & 0xFF) }
+    def s32(v: Long): Unit = { s16(((v >> 16) & 0xFFFF).toInt); s16((v & 0xFFFF).toInt) }
+    if (id % 2 == 0) {
+      val segs = Seq((0x20, 0x21, 3), (0x30, 0x39, 10), (0x61, 0x7A, 30))
+      val segCount = segs.length + 1
+      s16(4); s16(16 + 8 * segCount); s16(0)
+      s16(2 * segCount); s16(0); s16(0); s16(0)
+      segs.foreach(s => s16(s._2)); s16(0xFFFF)
+      s16(0)
+      segs.foreach(s => s16(s._1)); s16(0xFFFF)
+      segs.foreach(s => s16((s._3 - s._1) & 0xFFFF)); s16(1)
+      (0 until segCount).foreach(_ => s16(0))
+    } else {
+      val groups = Seq((0x20L, 0x21L, 3L), (0x30L, 0x39L, 10L),
+        (0x61L, 0x7AL, 30L), (0x1F30DL, 0x1F30DL, 60L))
+      s16(12); s16(0); s32(16L + 12 * groups.length); s32(0L); s32(groups.length.toLong)
+      groups.foreach { g => s32(g._1); s32(g._2); s32(g._3) }
+    }
+    val subB = sub.toByteArray
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write((v >> 8) & 0xFF); bos.write(v & 0xFF) }
+    def w32(v: Long): Unit = { w16(((v >> 16) & 0xFFFF).toInt); w16((v & 0xFFFF).toInt) }
+    w32(0x00010000L); w16(1); w16(16); w16(0); w16(0)
+    bos.write("cmap".getBytes("US-ASCII")); w32(0L); w32(28L); w32(8L + subB.length)
+    w16(0); w16(1)
+    if (id % 2 == 0) { w16(3); w16(1) } else { w16(3); w16(10) }
+    w32(12L)
+    bos.write(subB)
+    bos.toByteArray
+  }
+
+  /** gid sequence (hex, 2 bytes per code) of the ff2 page's text under
+    * [[synthTtf]]'s mapping, with one UNMAPPED gid (999) appended that
+    * must emit nothing.
+    */
+  private[graft] def synthFf2Codes(id: Long): String = {
+    def gid(c: Int): Int =
+      if (c == ' ') 3 else if (c == '!') 4
+      else if (c >= '0' && c <= '9') 10 + (c - '0')
+      else if (c >= 'a' && c <= 'z') 30 + (c - 'a')
+      else if (c == 0x1F30D) 60
+      else sys.error(s"unmapped fixture char $c")
+    val msg = (if (id % 2 == 1) Seq('c'.toInt, 'i'.toInt, 'd'.toInt, ' '.toInt, 0x1F30D)
+               else Seq('c'.toInt, 'i'.toInt, 'd'.toInt)) ++
+      s" go $id!".map(_.toInt)
+    (msg.map(gid) :+ 999).map(g => f"$g%04x").mkString
+  }
+
   private[graft] def synthPdf(id: Long): Array[Byte] = {
     val nSimple = (1 + id % 3).toInt
     // r16: + one CID-keyed /ToUnicode page; r17: + one simple-font
-    // /Encoding /Differences page with an /ActualText replacement span
-    val nPages = nSimple + 2
+    // /Encoding /Differences page with an /ActualText replacement span;
+    // r18: + one Identity-H page WITHOUT /ToUnicode whose text decodes
+    // by inverting the embedded FontFile2's own 'cmap' table
+    val nPages = nSimple + 3
     val bos = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
     def w(s: String): Unit = bos.write(ascii(s))
@@ -1353,8 +1413,13 @@ object SparkEntry {
     val diffContentNum = lenObjNum + 5
     val diffFontNum = lenObjNum + 6
     val diffPageNum = lenObjNum + 7
+    // r18 Identity-H-without-ToUnicode page objects
+    val ff2ContentNum = lenObjNum + 8
+    val ff2FontFileNum = lenObjNum + 9
+    val ff2FontNum = lenObjNum + 10
+    val ff2PageNum = lenObjNum + 11
     val kids = ((0 until nSimple).map(p => s"${3 + 2 * p} 0 R") ++
-      Seq(s"$cidPageNum 0 R", s"$diffPageNum 0 R")).mkString(" ")
+      Seq(s"$cidPageNum 0 R", s"$diffPageNum 0 R", s"$ff2PageNum 0 R")).mkString(" ")
     val structBodies: Seq[(Int, String)] =
       (1, s"<< /Type /Catalog /Pages 2 0 R >>") +:
       (2, s"<< /Type /Pages /Kids [$kids] /Count $nPages >>") +:
@@ -1364,7 +1429,9 @@ object SparkEntry {
           (cidPageNum, s"<< /Type /Page /Parent 2 0 R /Contents $cidContentNum 0 R " +
             s"/Resources << /Font << /F9 $cidFontNum 0 R >> >> >>"),
           (diffPageNum, s"<< /Type /Page /Parent 2 0 R /Contents $diffContentNum 0 R " +
-            s"/Resources << /Font << /F7 $diffFontNum 0 R >> >> >>")))
+            s"/Resources << /Font << /F7 $diffFontNum 0 R >> >> >>"),
+          (ff2PageNum, s"<< /Type /Page /Parent 2 0 R /Contents $ff2ContentNum 0 R " +
+            s"/Resources << /Font << /F8 $ff2FontNum 0 R >> >> >>")))
     if (!inObjStm) structBodies.foreach { case (n, body) =>
       beginObj(n); w(body + "\n"); endObj()
     }
@@ -1444,7 +1511,35 @@ object SparkEntry {
       "/Encoding << /Type /Encoding /Differences " +
       "[ 65 /eacute /lslash /xqzzyglyph 113 /uni0142 ] >> >>\n")
     endObj()
-    var maxObj = diffPageNum
+    // ---- the r18 Identity-H page WITHOUT /ToUnicode: 2-byte codes are
+    // glyph ids, decoded by inverting the embedded FontFile2's 'cmap'
+    // (format 4 on even ids, format 12 — incl. a supplementary-plane
+    // char — on odd). Trailing gid 999 is unmapped: emits nothing.
+    // Extracts to "cid go {id}!" / "cid 🌍 go {id}!"
+    val ff2Content = ascii(s"BT /F8 12 Tf <${synthFf2Codes(id)}> Tj ET")
+    beginObj(ff2ContentNum)
+    w(s"<< /Length ${ff2Content.length} >>\n")
+    w("stream\n"); bos.write(ff2Content); w("\nendstream\n")
+    endObj()
+    val ttf = synthTtf(id)
+    beginObj(ff2FontFileNum)
+    // real writers Flate the font program on even ids; odd stay raw
+    if (id % 2 == 0) {
+      val z = deflate(ttf)
+      w(s"<< /Length ${z.length} /Filter /FlateDecode >>\n")
+      w("stream\n"); bos.write(z); w("\nendstream\n")
+    } else {
+      w(s"<< /Length ${ttf.length} >>\n")
+      w("stream\n"); bos.write(ttf); w("\nendstream\n")
+    }
+    endObj()
+    beginObj(ff2FontNum)
+    w(s"<< /Type /Font /Subtype /Type0 /BaseFont /SynthFf2 " +
+      s"/Encoding /Identity-H /DescendantFonts [ << /Type /Font " +
+      s"/Subtype /CIDFontType2 /FontDescriptor " +
+      s"<< /FontFile2 $ff2FontFileNum 0 R >> >> ] >>\n")
+    endObj()
+    var maxObj = ff2PageNum
     if (inObjStm) {
       // serialize the structure objects: header pairs then bodies
       val bodies = structBodies.map { case (n, b) => (n, b + " ") }
@@ -1452,7 +1547,7 @@ object SparkEntry {
       val header = bodies.zip(offs).map { case ((n, _), o) => s"$n $o" }.mkString(" ") + " "
       val payload = ascii(header + bodies.map(_._2).mkString)
       val z = deflate(payload)
-      maxObj = diffPageNum + 1
+      maxObj = ff2PageNum + 1
       beginObj(maxObj)
       w(s"<< /Type /ObjStm /N ${bodies.length} /First ${header.length} " +
         s"/Length ${z.length} /Filter /FlateDecode >>\n")
@@ -2259,7 +2354,8 @@ object SparkEntry {
     * consumer's oracle (q_warc_extract, the q_corpus_e2e chain) pins the
     * de-chunk + inflate path without any SQL change.
     */
-  private[graft] def synthWarcGz(id: Long, text: String): Array[Byte] = {
+  private[graft] def synthWarcGz(id: Long, text: String,
+                                 zstdStratum: Boolean = false): Array[Byte] = {
     import graft.sources.WarcCodec
     val html = synthHtmlString(id, text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val (extraHead, body) = (id % 4) match {
@@ -2274,9 +2370,18 @@ object SparkEntry {
     val http = new Array[Byte](head.length + body.length)
     System.arraycopy(head, 0, http, 0, head.length)
     System.arraycopy(body, 0, http, head.length, body.length)
-    WarcCodec.gzipMember(WarcCodec.writeRecord(WarcCodec.WarcRecord(
+    val rec = WarcCodec.WarcRecord(
       "response", s"http://example.com/doc/$id", "2024-01-01T00:00:00Z",
-      s"<urn:uuid:$id>", "application/http; msgtype=response", http)))
+      s"<urn:uuid:$id>", "application/http; msgtype=response", http)
+    // r18 member-compression stratum (q_warc_extract only — the corpus
+    // shard writers concatenate members into ONE .warc.gz file, and
+    // real archives never mix member compressions within a file):
+    // id%5==2 rows arrive as `.warc.zst`-style frames (leading
+    // skippable frame the reader must SKIP + one zstd frame) — the
+    // oracle is untouched because member compression must be invisible
+    // to everything downstream
+    if (zstdStratum && id % 5 == 2) WarcCodec.writeWarcZst(Seq(rec))
+    else WarcCodec.gzipMember(WarcCodec.writeRecord(rec))
   }
 
   /** Deterministic URL fixture for q_url_canon / q_url_dedup: three
@@ -2356,6 +2461,48 @@ object SparkEntry {
       lit(" yes... "),
       when(col("doc_id") % 2 === 0, lit("don't stop"))
         .otherwise(lit("i'm here"))).as("text"))
+
+  /** q_boilerplate_blocks fixture: nine blocks per page covering every
+    * jusText class and both line-rule/block-rule DISAGREEMENT directions
+    * — a link-dense nav that ends in '.' (line rule keeps, block rule
+    * bad) and a 3-word connector between good paragraphs (line rule
+    * drops, block rule promotes). Block 6 embeds a doc_id-varying slice
+    * of the fixture text so its stopword density (and with it the
+    * short/neargood revise outcomes of blocks 5–7) varies per document.
+    */
+  private def justextDocs(s: SparkSession, dir: String): DataFrame =
+    docsPar(s, dir).select(col("doc_id"), concat(
+      lit("<h1>page "), col("doc_id").cast("string"), lit("</h1><p>"),
+      expr("repeat('it is the case that the run was good and ', CAST(5 + doc_id % 2 AS INT))"),
+      lit("doc "), col("doc_id").cast("string"), lit(" ends here.</p>"),
+      lit("<p>in short yes</p><p>"),
+      expr("repeat('we think that it was a fine day for the work and ', 5)"),
+      lit("all of it was done for doc "), col("doc_id").cast("string"), lit(".</p>"),
+      lit("<div><a href=\"/a\">home page link text goes here</a> " +
+        "<a href=\"/b\">more link text for density</a> go to the next pages now.</div>"),
+      lit("<p>tiny note here</p><p>"),
+      expr("substring(text, 1, CAST(60 + doc_id % 40 AS INT))"),
+      lit(" block six</p>"),
+      lit("<p>the cat and dog ran with mouse on mats they all sat very well here now</p>"),
+      lit("<p>© "), (col("doc_id") % 20 + 2000).cast("string"),
+      lit(" the company and all of the rights that are held by it remain in place.</p>")
+    ).as("html"))
+
+  /** DuckDB twin of [[justextDocs]]'s synthesized page. */
+  private val justextSynthSql: String =
+    "'<h1>page ' || doc_id || '</h1><p>' || " +
+      "repeat('it is the case that the run was good and ', CAST(5 + doc_id % 2 AS INT)) || " +
+      "'doc ' || doc_id || ' ends here.</p>' || " +
+      "'<p>in short yes</p><p>' || " +
+      "repeat('we think that it was a fine day for the work and ', 5) || " +
+      "'all of it was done for doc ' || doc_id || '.</p>' || " +
+      "'<div><a href=\"/a\">home page link text goes here</a> " +
+      "<a href=\"/b\">more link text for density</a> go to the next pages now.</div>' || " +
+      "'<p>tiny note here</p><p>' || " +
+      "substring(text, 1, CAST(60 + doc_id % 40 AS INT)) || ' block six</p>' || " +
+      "'<p>the cat and dog ran with mouse on mats they all sat very well here now</p>' || " +
+      "'<p>© ' || (2000 + doc_id % 20) || " +
+      "' the company and all of the rights that are held by it remain in place.</p>'"
 
   /** q_cross_span_dedup fixture: every doc carries a 20-word planted
     * span keyed by doc_id%4 inside per-doc-unique surroundings — docs in
@@ -3548,7 +3695,8 @@ object SparkEntry {
     "q_warc_extract" -> { (s, dir) =>
       import s.implicits._
       val warc = docsPar(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, t) => (id, synthWarcGz(id, t)) }.toDF("doc_id", "warc")
+        .map { case (id, t) => (id, synthWarcGz(id, t, zstdStratum = true)) }
+        .toDF("doc_id", "warc")
       // body_len is the DECODED body's byte length (the WARC-level
       // content_length varies with the r16 gzip/chunked wire strata and
       // is not SQL-predictable): a match proves de-chunk + inflate
@@ -3718,6 +3866,21 @@ object SparkEntry {
           .otherwise(size(split(col("text"), "\n")).cast("long")).as("n_lines_kept"),
         md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
+    },
+    // jusText PROPER (r18 — block-level boilerplate, Pomikálek 2011):
+    // block segmentation + link-density/length/stopword-density
+    // context-free classes + the two context-sensitive revise passes,
+    // on strata where the line rule and the block rule DISAGREE in both
+    // directions; the oracle replays segmentation, every density and
+    // both revise windows verbatim
+    "q_boilerplate_blocks" -> { (s, dir) =>
+      ops.Html.justextBlocks(justextDocs(s, dir))
+        .select(col("doc_id"), col("block_idx"), col("n_chars"),
+          col("n_words"), col("n_stop"), col("link_chars"),
+          round(col("link_density"), 6).as("link_density"),
+          round(col("stop_density"), 6).as("stop_density"),
+          col("cf_class"), col("final_class"))
+        .orderBy("doc_id", "block_idx")
     },
     // deterministic hash-embedding pipeline, relational form (bucket weights)
     "q_hash_embed" -> { (s, dir) =>
@@ -7182,6 +7345,74 @@ object SparkEntry {
          |  md5(t) AS text_md5
          |FROM kept ORDER BY doc_id""".stripMargin
     },
+    // jusText blocks: segmentation (the shared strip passes), per-block
+    // clean/densities, the context-free CASE ladder, and BOTH revise
+    // windows (short neighborhoods over cf classes, neargood over the
+    // short-resolved classes) replayed verbatim
+    "q_boilerplate_blocks" -> {
+      val pre = graft.ops.Html.StripPasses.take(4).foldLeft("html") {
+        case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+      }
+      val blockTag = graft.ops.Html.StripPasses(4)._1
+      val anchor = graft.ops.Html.AnchorRe
+      val stop = graft.ops.Html.stopwordsSqlList
+      def clean(x: String): String = {
+        val tagless = s"regexp_replace($x, '<[^>]*>', ' ', 'g')"
+        val ent = s"replace(replace(replace(replace(replace(replace($tagless, " +
+          "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+          "'&nbsp;', ' '), '&amp;', '&')"
+        s"trim(regexp_replace($ent, '[ \\t\\r\\n]+', ' ', 'g'))"
+      }
+      def lastGB(src: String, order: String): String =
+        s"coalesce(last_value(CASE WHEN $src IN ('good','bad') THEN $src END IGNORE NULLS) " +
+          s"OVER (PARTITION BY doc_id ORDER BY block_idx $order " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad')"
+      def lastNonShort(order: String): String =
+        "coalesce(last_value(CASE WHEN cf_class <> 'short' THEN cf_class END IGNORE NULLS) " +
+          s"OVER (PARTITION BY doc_id ORDER BY block_idx $order " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad')"
+      s"""WITH h AS (SELECT doc_id, $justextSynthSql AS html FROM documents),
+         | nl AS (SELECT doc_id, string_split(regexp_replace($pre, '$blockTag', chr(10), 'g'), chr(10)) AS l FROM h),
+         | rw AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS i0, unnest(l) AS raw FROM nl),
+         | cl AS (SELECT doc_id, i0, raw, ${clean("raw")} AS text FROM rw),
+         | bl AS MATERIALIZED (SELECT doc_id, raw, text,
+         |   row_number() OVER (PARTITION BY doc_id ORDER BY i0) - 1 AS block_idx
+         |   FROM cl WHERE text <> ''),
+         | st AS MATERIALIZED (SELECT doc_id, block_idx, text,
+         |   CAST(length(text) AS BIGINT) AS n_chars,
+         |   CAST(len($sqlWords) AS BIGINT) AS n_words,
+         |   CAST(len(list_filter($sqlWords, x -> list_contains($stop, x))) AS BIGINT) AS n_stop,
+         |   CAST(coalesce(list_sum(list_transform(regexp_extract_all(raw, '$anchor', 2),
+         |     x -> length(${clean("x")}))), 0) AS BIGINT) AS link_chars
+         |   FROM bl),
+         | de AS (SELECT *, link_chars / n_chars AS ld,
+         |   n_stop / greatest(n_words, 1) AS sd FROM st),
+         | cf AS MATERIALIZED (SELECT *, CASE
+         |     WHEN ld > 0.2 THEN 'bad'
+         |     WHEN contains(text, '©') THEN 'bad'
+         |     WHEN n_chars < 70 THEN (CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END)
+         |     WHEN sd >= 0.32 THEN (CASE WHEN n_chars > 200 THEN 'good' ELSE 'neargood' END)
+         |     WHEN sd >= 0.30 THEN 'neargood'
+         |     ELSE 'bad' END AS cf_class FROM de),
+         | cx AS (SELECT *,
+         |   ${lastGB("cf_class", "ASC")} AS pgb, ${lastGB("cf_class", "DESC")} AS ngb,
+         |   ${lastNonShort("ASC")} AS pany, ${lastNonShort("DESC")} AS nany
+         |   FROM cf),
+         | c2 AS MATERIALIZED (SELECT *, CASE
+         |     WHEN cf_class <> 'short' THEN cf_class
+         |     WHEN pgb = 'good' AND ngb = 'good' THEN 'good'
+         |     WHEN pgb = 'bad' AND ngb = 'bad' THEN 'bad'
+         |     WHEN (pgb = 'bad' AND pany = 'neargood') OR (ngb = 'bad' AND nany = 'neargood') THEN 'good'
+         |     ELSE 'bad' END AS cls2 FROM cx),
+         | fx AS (SELECT *,
+         |   ${lastGB("cls2", "ASC")} AS pgb2, ${lastGB("cls2", "DESC")} AS ngb2
+         |   FROM c2)
+         |SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, n_chars, n_words,
+         |  n_stop, link_chars, round(ld, 6) AS link_density, round(sd, 6) AS stop_density,
+         |  cf_class, CASE WHEN cls2 <> 'neargood' THEN cls2
+         |    WHEN pgb2 = 'bad' AND ngb2 = 'bad' THEN 'bad' ELSE 'good' END AS final_class
+         |FROM fx ORDER BY doc_id, block_idx""".stripMargin
+    },
     "q_hash_embed" ->
       s"""WITH w AS (SELECT doc_id, unnest($sqlWords) AS w FROM documents WHERE doc_id < 100),
          | h AS (SELECT doc_id, ${sqlHex32("w")} % 64 AS bucket,
@@ -7835,7 +8066,9 @@ object SparkEntry {
         |   WHERE p.p < np),
         | tx AS (SELECT id, string_agg(t, chr(10) ORDER BY p)
         |     || chr(10) || 'Cid ' || id || ' zy!'
-        |     || chr(10) || 'Diff éłł word gap here real ' || id || 'é!' AS text
+        |     || chr(10) || 'Diff éłł word gap here real ' || id || 'é!'
+        |     || chr(10) || 'cid ' || CASE WHEN id % 2 = 1 THEN '🌍 ' ELSE '' END
+        |     || 'go ' || id || '!' AS text
         |   FROM pg GROUP BY id)
         |SELECT CAST(concat('0x', substr(md5('http://example.com/pdf/' || id), 1, 15)) AS BIGINT) AS doc_id,
         |  'http://example.com/pdf/' || id AS url_canon,
@@ -7857,10 +8090,12 @@ object SparkEntry {
         |     ' w' || ((d.doc_id * 13 + p.p * 11) % 89) || '! hx' AS t
         |   FROM d, (SELECT unnest(generate_series(0, 2)) AS p) p
         |   WHERE p.p < d.np)
-        |SELECT doc_id, CAST(np + 2 AS BIGINT) AS n_pages,
+        |SELECT doc_id, CAST(np + 3 AS BIGINT) AS n_pages,
         |  string_agg(t, chr(10) ORDER BY p)
         |    || chr(10) || 'Cid ' || doc_id || ' zy!'
-        |    || chr(10) || 'Diff éłł word gap here real ' || doc_id || 'é!' AS text
+        |    || chr(10) || 'Diff éłł word gap here real ' || doc_id || 'é!'
+        |    || chr(10) || 'cid ' || CASE WHEN doc_id % 2 = 1 THEN '🌍 ' ELSE '' END
+        |    || 'go ' || doc_id || '!' AS text
         |FROM pg GROUP BY doc_id, np ORDER BY doc_id""".stripMargin,
     // MPEG-1 I-frames: RGB = (v, v, v) per pixel with the flat-block value
     // v = 20 + (id·31 + f·97 + (m·4 + b)·7) % 200, m = x div 16 (single MB

@@ -163,13 +163,15 @@ object Dedup {
     * (Leskovec/Rajaraman/Ullman ch. 3, the standard tuning rule). Ties
     * break toward SMALLER r: more bands ⇒ the curve errs on RECALL,
     * and the exact-Jaccard verify step already removes false positives
-    * for free, while a false negative is gone forever. Returns
-    * **(bands, rowsPerBand)**: call
+    * for free, while a false negative is gone forever. Returns a named
+    * [[LshParams]] (r18 advice — the former (bands, rowsPerBand) tuple
+    * invited passing `bands` where a numHashes was expected; named
+    * fields make that misuse fail to compile): call
     * `minhashLsh(docs, numHashes = <the numHashes you tuned for>,
-    * rowsPerBand = result._2)` — bands is informational
+    * rowsPerBand = result.rowsPerBand)` — `bands` is informational
     * (numHashes / rowsPerBand), NOT a numHashes to pass on.
     */
-  def lshParams(threshold: Double, numHashes: Int = 16): (Int, Int) = {
+  def lshParams(threshold: Double, numHashes: Int = 16): LshParams = {
     require(threshold > 0 && threshold < 1, s"threshold must be in (0,1): $threshold")
     require(numHashes >= 2, s"numHashes must be >= 2: $numHashes")
     val candidates = (1 to numHashes).filter(numHashes % _ == 0)
@@ -178,8 +180,13 @@ object Dedup {
       val t = math.pow(1.0 / b, 1.0 / r)
       (math.abs(t - threshold), r)
     }
-    (numHashes / best, best)
+    LshParams(bands = numHashes / best, rowsPerBand = best)
   }
+
+  /** [[lshParams]] result: `rowsPerBand` is the value to pass to
+    * [[minhashLsh]]; `bands` = numHashes / rowsPerBand is informational.
+    */
+  final case class LshParams(bands: Int, rowsPerBand: Int)
 
   /** MinHash+LSH near-dup candidate pairs with exact Jaccard verification.
     *

@@ -520,6 +520,14 @@ object FullText {
                                            minCount: Int = 1): DataFrame =
     ngramSurprisalKNRaw2(3, docs, docs, textCol, idCol, discount, minCount)
 
+  /** [[ngramSurprisalKN]] with the exact integer accumulator exposed —
+    * the [[surprisalBuckets]] contract at any order. */
+  private[graft] def ngramSurprisalKNRaw(order: Int, docs: DataFrame,
+                                         textCol: String, idCol: String,
+                                         discount: Double,
+                                         minCount: Int = 1): DataFrame =
+    ngramSurprisalKNRaw2(order, docs, docs, textCol, idCol, discount, minCount)
+
   /** canonical count-column name per order (n_trigrams / n_fourgrams /
     * n_fivegrams keep the gate schemas the unrolled versions shipped).
     */
@@ -713,15 +721,17 @@ object FullText {
                        idCol: String = "doc_id", langCol: String = "lang",
                        nBuckets: Int = 3, order: Int = 2): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
-    require(order == 2 || order == 3, s"order must be 2 (add-one bigram) or 3 (KN trigram): $order")
-    // order 3 buckets on the Kneser-Ney trigram LM (r16) — the same
-    // exact-integer pipeline, scores from [[trigramSurprisalKNRaw]]
+    require(order >= 2 && order <= 8,
+      s"order must be 2 (add-one bigram) or 3..8 (interpolated KN): $order")
+    // order >= 3 buckets on the interpolated-KN LM at that order (the
+    // r18 fold makes 5 — the KenLM/CCNet deployment — a config value);
+    // the same exact-integer pipeline either way
     val raw = (if (order == 2)
         bigramSurprisalRaw(docs, textCol, idCol)
           .withColumnRenamed("n_bigrams", "__np")
       else
-        trigramSurprisalKNRaw(docs, textCol, idCol, 0.75)
-          .withColumnRenamed("n_trigrams", "__np"))
+        ngramSurprisalKNRaw(order, docs, textCol, idCol, 0.75)
+          .withColumnRenamed(knCountCol(order), "__np"))
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
     // NULL langs never equi-join (the r14 advice finding: every __t_k
     // came back null and all null-lang docs silently landed in "head").

@@ -52,11 +52,13 @@ class CrawlSpec extends AnyFunSuite {
         Seq("http://mix.com/page", "http://mix.com/paper", "http://mix.com/report"))
       val paper = out(1)
       // boilerplate filter keeps each simple page's 6-word first line
-      // plus the CID page's !-terminated ToUnicode line (r16) and the
-      // Differences/ActualText page's line (r17)
+      // plus the CID page's !-terminated ToUnicode line (r16), the
+      // Differences/ActualText page's line (r17) and the Identity-H
+      // FontFile2-cmap page's line (r18 — id 5 is odd: format 12 with
+      // the supplementary-plane glyph)
       assert(paper.getAs[String]("text") ==
         (0 until 3).map(p => s"Doc 5 page $p (ok) A").mkString("\n") +
-          "\nCid 5 zy!\nDiff éłł word gap here real 5é!")
+          "\nCid 5 zy!\nDiff éłł word gap here real 5é!\ncid 🌍 go 5!")
       assert(paper.getAs[String]("title") == "" && paper.getAs[Long]("n_links") == 0L)
       val report = out(2)
       // docx: paragraph 0 is short (boilerplate-dropped), 1..2 survive
@@ -67,6 +69,47 @@ class CrawlSpec extends AnyFunSuite {
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
+  }
+
+  test("blockBoilerplate: jusText kernel on HTML rows, line rule on plain rows, one exchange") {
+    val dir = Files.createTempDirectory("crawl_justext").toFile
+    try {
+      val goodPara = "<p>" +
+        "it is the case that the run was good and " * 5 + "the page ends here.</p>"
+      val page = "<html><head><title>T</title></head><body>" + goodPara +
+        "<p>in short yes</p>" + goodPara +
+        "<div><a href=\"/a\">home page link text goes here</a> " +
+        "<a href=\"/b\">more link text for density</a> go to the next pages now.</div>" +
+        "</body></html>"
+      val plainRec = {
+        val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
+          "nav crumb\nA full plain sentence with enough words inside.").getBytes(UTF_8)
+        WarcRecord("response", "http://jt.com/plain", "2024-01-01T00:00:00Z",
+          "<urn:plain>", "application/http; msgtype=response", http)
+      }
+      // two files: the url-dedup exchange's distribution is non-trivial
+      // (the ingest plan pin's convention)
+      Files.write(new java.io.File(dir, "j.warc.gz").toPath,
+        WarcCodec.writeWarcGz(Seq(respRec("http://jt.com/page", page))))
+      Files.write(new java.io.File(dir, "j2.warc.gz").toPath,
+        WarcCodec.writeWarcGz(Seq(plainRec)))
+      val out = Crawl.ingest(spark, dir.getAbsolutePath, blockBoilerplate = true)
+        .orderBy("url_canon").collect()
+      val html = out(0)
+      // good paragraphs kept, promoted short kept, link-dense nav DROPPED
+      // (the line rule would have kept it: ends '.', >= 5 words)
+      val lines = html.getAs[String]("text").split("\n")
+      assert(lines.length == 3 && lines(1) == "in short yes", lines.mkString("|"))
+      assert(!html.getAs[String]("text").contains("next pages"), html.getAs[String]("text"))
+      // plain-text rows (no markup to segment) still ride the LINE rule
+      assert(out(1).getAs[String]("text") ==
+        "A full plain sentence with enough words inside.")
+      // the one-exchange ingest plan survives block mode (the kernel is
+      // in-row; the relational jusText form would have added three)
+      val p = Crawl.ingest(spark, dir.getAbsolutePath, blockBoilerplate = true)
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
   }
 
   test("end-to-end: archives to clean deduplicated training docs") {

@@ -389,6 +389,23 @@ class FullTextSpec extends AnyFunSuite {
     assert(after.nonEmpty)
   }
 
+  test("surprisalBuckets at KN order 5: bands track the order-5 scores (r18 fold as config)") {
+    val docs = (1L to 12L).map { i =>
+      val t = if (i % 2 == 0) "a b c d e a b c d e a b c d e a b c d e"
+              else s"u$i v$i w$i x$i y$i z$i q$i r$i s$i t$i"
+      (i, t, "en")
+    }.toDF("doc_id", "text", "lang")
+    val r = FullText.surprisalBuckets(docs, order = 5).collect()
+      .map(x => (x.getLong(0), x.getInt(3).toLong)).toMap
+    // repetitive (even) docs score lower -> land in an equal-or-lower
+    // band than every diverse (odd) doc
+    val evenMax = (2L to 12L by 2).map(r).max
+    val oddMin = (1L to 11L by 2).map(r).min
+    assert(evenMax <= oddMin, s"even bands ${(2L to 12L by 2).map(r)} vs odd ${(1L to 11L by 2).map(r)}")
+    assert(intercept[IllegalArgumentException](
+      FullText.surprisalBuckets(docs, order = 9)).getMessage.contains("order"))
+  }
+
   test("surprisalBuckets: per-lang thirds, no-bigram docs in tail, band order tracks surprisal") {
     // two languages with very different corpora; en has 9 scoreable docs
     // (3/3/3 split) plus one no-bigram doc that must land in tail

@@ -444,10 +444,10 @@ class DedupSpec extends AnyFunSuite {
   test("lshParams: S-curve inflection closest to the threshold, recall-biased ties") {
     // numHashes=16 inflections: r=1 t=0.0625, r=2 t=0.354, r=4 t=0.707,
     // r=8 t=0.917, r=16 t=1.0
-    assert(Dedup.lshParams(0.5, 16) == (8, 2))
-    assert(Dedup.lshParams(0.8, 16) == (4, 4))
-    assert(Dedup.lshParams(0.95, 16) == (2, 8))
-    assert(Dedup.lshParams(0.1, 16) == (16, 1))
+    assert(Dedup.lshParams(0.5, 16) == Dedup.LshParams(8, 2))
+    assert(Dedup.lshParams(0.8, 16) == Dedup.LshParams(4, 4))
+    assert(Dedup.lshParams(0.95, 16) == Dedup.LshParams(2, 8))
+    assert(Dedup.lshParams(0.1, 16) == Dedup.LshParams(16, 1))
     // at the (floating-point) midpoint of the r=2 / r=4 inflections the
     // choice follows the closer side; on an EXACT tie the smaller r wins
     // (more bands, higher recall; the verify step removes the FPs)
@@ -455,10 +455,10 @@ class DedupSpec extends AnyFunSuite {
     val t4 = math.pow(1.0 / 4, 1.0 / 4)
     val mid = (t2 + t4) / 2
     val expected = if (math.abs(t2 - mid) <= math.abs(t4 - mid)) 2 else 4
-    assert(Dedup.lshParams(mid, 16)._2 == expected)
+    assert(Dedup.lshParams(mid, 16).rowsPerBand == expected)
     // the default threshold's selection at the default numHashes=16:
     // rowsPerBand 2 (minhashLsh's own default rowsPerBand), 8 bands
-    assert(Dedup.lshParams(0.5) == (8, 2))
+    assert(Dedup.lshParams(0.5) == Dedup.LshParams(8, 2))
     intercept[IllegalArgumentException](Dedup.lshParams(0.0, 16))
     intercept[IllegalArgumentException](Dedup.lshParams(0.5, 1))
   }
