@@ -863,13 +863,15 @@ object PdfCodec {
           val rangeAt = deltaAt + 2 * segCount
           if (rangeAt + 2 * segCount > font.length) return None
           var s = 0
-          while (s < segCount) {
+          while (s < segCount && mapped < MaxMapped) {
             val end = u16(endAt + 2 * s)
             val start = u16(startAt + 2 * s)
             val delta = u16(deltaAt + 2 * s)
             val ro = u16(rangeAt + 2 * s)
             var c = start
-            while (c <= end && c != 0xFFFF) {
+            // the cap bounds the WALK, not just the map: a hostile font
+            // with 2048 full-range segments must not spin 134M iterations
+            while (c <= end && c != 0xFFFF && mapped < MaxMapped) {
               val gid =
                 if (ro == 0) (c + delta) & 0xFFFF
                 else {
@@ -889,7 +891,7 @@ object PdfCodec {
           val nGroups = u32(best + 12)
           if (nGroups <= 0 || nGroups > 10000) return None
           var g = 0
-          while (g < nGroups) {
+          while (g < nGroups && mapped < MaxMapped) {
             val at = best + 16 + 12 * g
             if (at + 12 > font.length) return None
             val start = u32(at)
@@ -897,7 +899,7 @@ object PdfCodec {
             val startGid = u32(at + 8)
             if (end >= start && end - start < MaxMapped && end <= 0x10FFFF) {
               var c = start
-              while (c <= end) {
+              while (c <= end && mapped < MaxMapped) {
                 record((startGid + (c - start)).toInt, c.toInt)
                 c += 1
               }

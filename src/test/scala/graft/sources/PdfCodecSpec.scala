@@ -64,6 +64,29 @@ class PdfCodecSpec extends AnyFunSuite {
       assert(PdfCodec.fontFile2CMap(ttf.take(n)).forall(_.map.nonEmpty))
     assert(PdfCodec.fontFile2CMap("garbage not a font".getBytes).isEmpty)
     assert(PdfCodec.fontFile2CMap(Array.emptyByteArray).isEmpty)
+    // hostile walk bound: a format-4 font whose segments each span the
+    // full BMP must stop at the mapped-chars cap instead of walking
+    // 2048 x 65535 iterations; result stays bounded and fast
+    val hostile = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { bos.write((v >> 8) & 0xFF); bos.write(v & 0xFF) }
+      def w32(v: Long): Unit = { w16(((v >> 16) & 0xFFFF).toInt); w16((v & 0xFFFF).toInt) }
+      w32(0x00010000L); w16(1); w16(16); w16(0); w16(0)
+      bos.write("cmap".getBytes("US-ASCII")); w32(0L); w32(28L); w32(2048L)
+      w16(0); w16(1); w16(3); w16(1); w32(12L)
+      val segs = 64
+      w16(4); w16(16 + 8 * segs); w16(0); w16(2 * segs); w16(0); w16(0); w16(0)
+      (0 until segs).foreach(_ => w16(0xFFFE)) // endCode: full BMP each
+      w16(0)
+      (0 until segs).foreach(_ => w16(0x0001)) // startCode
+      (0 until segs).foreach(_ => w16(1))      // idDelta
+      (0 until segs).foreach(_ => w16(0))      // idRangeOffset
+      bos.toByteArray
+    }
+    val t0 = System.nanoTime()
+    val hm = PdfCodec.fontFile2CMap(hostile)
+    assert((System.nanoTime() - t0) / 1e9 < 2.0, "hostile font must not spin")
+    assert(hm.forall(_.map.size <= (1 << 17)))
   }
 
   test("ToUnicode CMaps: bfchar, incrementing bfrange, array bfrange, widths") {
