@@ -3612,7 +3612,12 @@ object SparkEntry {
     // (the sequential-passes ≡ encode-loop invariant ByteBpeSpec pins)
     "q_bbpe_encode" -> { (s, dir) =>
       val docs = bbpeDocs(s, dir)
-      val merges = graft.text.ByteBpe.train(docs, numMerges = BbpeMergeRounds)
+      // minCount = 1: the oracle unconditionally replays all 8 rounds,
+      // so the engine must not stop early on a count-1 top pair (review
+      // finding — at the shipped fixtures all 8 top pairs are >= 2, but
+      // the replay contract should not depend on that)
+      val merges = graft.text.ByteBpe.train(docs, numMerges = BbpeMergeRounds,
+        minCount = 1L)
       graft.text.ByteBpe.pretokenCounts(docs)
         .filter(length(col("pretoken")) <= 16)
         .select(col("pretoken"), col("cnt"),

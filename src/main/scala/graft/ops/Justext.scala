@@ -65,37 +65,42 @@ object Justext {
       }
     }
     val n = bs.length
-    // nearest neighbor scans (page edges read 'bad'), over cf classes
-    def neighbor(i: Int, step: Int, classes: Int => String,
-                 accept: String => Boolean): String = {
-      var j = i + step
-      while (j >= 0 && j < n && !accept(classes(j))) j += step
-      if (j >= 0 && j < n) classes(j) else "bad"
+    // nearest-neighbor classes PRECOMPUTED in one pass per direction
+    // (page edges read 'bad') — the running-last_value shape of the
+    // relational twin. The former per-block rescan was O(n²): a page of
+    // 100k short blocks walked to the edge four times per block (review
+    // finding); these prefix/suffix arrays make the kernel O(n).
+    def nearest(classes: Int => String, accept: String => Boolean): (Array[String], Array[String]) = {
+      val prev = new Array[String](n)
+      val next = new Array[String](n)
+      var last = "bad"
+      var i = 0
+      while (i < n) { prev(i) = last; if (accept(classes(i))) last = classes(i); i += 1 }
+      last = "bad"
+      i = n - 1
+      while (i >= 0) { next(i) = last; if (accept(classes(i))) last = classes(i); i -= 1 }
+      (prev, next)
     }
     val isGB = (c: String) => c == "good" || c == "bad"
     val nonShort = (c: String) => c != "short"
     // revise pass 1: short blocks over context-free classes
+    val (pgb1, ngb1) = nearest(bs(_).cfClass, isGB)
+    val (pns1, nns1) = nearest(bs(_).cfClass, nonShort)
     val c2 = Array.tabulate(n) { i =>
       val cf = bs(i).cfClass
       if (cf != "short") cf
-      else {
-        val pgb = neighbor(i, -1, bs(_).cfClass, isGB)
-        val ngb = neighbor(i, +1, bs(_).cfClass, isGB)
-        if (pgb == "good" && ngb == "good") "good"
-        else if (pgb == "bad" && ngb == "bad") "bad"
-        else if ((pgb == "bad" && neighbor(i, -1, bs(_).cfClass, nonShort) == "neargood") ||
-                 (ngb == "bad" && neighbor(i, +1, bs(_).cfClass, nonShort) == "neargood")) "good"
-        else "bad"
-      }
+      else if (pgb1(i) == "good" && ngb1(i) == "good") "good"
+      else if (pgb1(i) == "bad" && ngb1(i) == "bad") "bad"
+      else if ((pgb1(i) == "bad" && pns1(i) == "neargood") ||
+               (ngb1(i) == "bad" && nns1(i) == "neargood")) "good"
+      else "bad"
     }
     // revise pass 2: neargood over the short-resolved classes
+    val (pgb2, ngb2) = nearest(c2(_), isGB)
     val fin = Array.tabulate(n) { i =>
       if (c2(i) != "neargood") c2(i)
-      else {
-        val pgb = neighbor(i, -1, c2(_), isGB)
-        val ngb = neighbor(i, +1, c2(_), isGB)
-        if (pgb == "bad" && ngb == "bad") "bad" else "good"
-      }
+      else if (pgb2(i) == "bad" && ngb2(i) == "bad") "bad"
+      else "good"
     }
     Array.tabulate(n)(i => bs(i).copy(finalClass = fin(i)))
   }

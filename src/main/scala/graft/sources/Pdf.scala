@@ -845,14 +845,19 @@ object PdfCodec {
       }
       if (best < 0) return None
       val gidUni = scala.collection.mutable.HashMap.empty[Int, Int]
+      // `mapped` counts VISITED codes, not stored entries: a hostile font
+      // whose every lookup lands on gid 0 must still trip the walk bound
+      // (review finding — the gid!=0-only count let 134M-iteration fonts
+      // evade the cap)
       var mapped = 0
       val MaxMapped = 1 << 17
-      def record(gid: Int, uni: Int): Unit =
-        if (gid != 0 && mapped < MaxMapped) {
+      def record(gid: Int, uni: Int): Unit = {
+        mapped += 1
+        if (gid != 0) {
           val cur = gidUni.get(gid)
           if (cur.isEmpty || uni < cur.get) gidUni(gid) = uni
-          mapped += 1
         }
+      }
       u16(best) match {
         case 4 =>
           val segCount = u16(best + 6) / 2

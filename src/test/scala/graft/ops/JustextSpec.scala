@@ -137,6 +137,16 @@ class JustextSpec extends AnyFunSuite {
     }
   }
 
+  test("kernel is O(n) in blocks: a 100k-short-block page finishes fast") {
+    // the review finding: per-block neighbor rescans made an all-short
+    // page quadratic; with prefix/suffix arrays this must be instant
+    val page = "<p>x</p>" * 100000
+    val t0 = System.nanoTime()
+    val out = Justext.goodText(page)
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "all-short page must not be quadratic")
+    assert(out == "", "all-short page between bad edges keeps nothing")
+  }
+
   test("dropBoilerplateBlocks keeps GOOD text only, order-preserving") {
     val html = goodPara + "<p>in short yes</p>" + goodPara +
       "<div><a href=\"/a\">home page link text goes here</a> " +

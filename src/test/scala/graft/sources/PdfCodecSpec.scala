@@ -87,6 +87,19 @@ class PdfCodecSpec extends AnyFunSuite {
     val hm = PdfCodec.fontFile2CMap(hostile)
     assert((System.nanoTime() - t0) / 1e9 < 2.0, "hostile font must not spin")
     assert(hm.forall(_.map.size <= (1 << 17)))
+    // the all-gid-0 evasion (review finding): idRangeOffset pointing past
+    // the font makes every lookup return 0 — the bound must count VISITED
+    // codes, or the walk spins with nothing ever stored
+    val hostile0 = hostile.clone()
+    val roAt = 28 + 12 + 14 + 2 * 64 + 2 + 2 * 64 + 2 * 64
+    for (s <- 0 until 64) { // idRangeOffset = 0x7FFE (far past the end)
+      hostile0(roAt + 2 * s) = 0x7F.toByte
+      hostile0(roAt + 2 * s + 1) = 0xFE.toByte
+    }
+    val t1 = System.nanoTime()
+    val hm0 = PdfCodec.fontFile2CMap(hostile0)
+    assert((System.nanoTime() - t1) / 1e9 < 2.0, "gid-0 hostile font must not spin")
+    assert(hm0.isEmpty, "nothing mappable -> None")
   }
 
   test("ToUnicode CMaps: bfchar, incrementing bfrange, array bfrange, widths") {
