@@ -2292,6 +2292,32 @@ object SparkEntry {
        |  WHEN doc_id % 4 = 3 THEN ${sqlStr(langMarkerSuffix("es"))}
        |  ELSE '' END)""".stripMargin
 
+  /** q_ccnet_lang_split fixture: a MULTILINGUAL page — the fixture body
+    * as line 1 (en or und per its own marker content), a German line on
+    * every doc, a French/Spanish line alternating by parity, an
+    * unclassifiable line on doc_id%3==0, and a repeated-language line
+    * (second German) on doc_id%5==0 so the per-language regroup carries
+    * real multiplicity and ORDER (line indexes 0..4).
+    */
+  private def langSplitSynthCol: Column = concat(col("text"),
+    lit("\n" + langMarkerSuffix("de").trim),
+    when(col("doc_id") % 2 === 0, lit("\n" + langMarkerSuffix("fr").trim))
+      .otherwise(lit("\n" + langMarkerSuffix("es").trim)),
+    when(col("doc_id") % 3 === 0,
+      concat(lit("\nzz qq xx blob "), col("doc_id").cast("string")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      concat(lit("\n"), lit(langMarkerSuffix("de").trim), lit(" nummer "),
+        col("doc_id").cast("string")))
+      .otherwise(lit("")))
+  private def langSplitSynthSql: String =
+    s"""text || chr(10) || ${sqlStr(langMarkerSuffix("de").trim)}
+       | || (CASE WHEN doc_id % 2 = 0 THEN chr(10) || ${sqlStr(langMarkerSuffix("fr").trim)}
+       |     ELSE chr(10) || ${sqlStr(langMarkerSuffix("es").trim)} END)
+       | || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'zz qq xx blob ' || doc_id ELSE '' END)
+       | || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || ${sqlStr(langMarkerSuffix("de").trim)}
+       |     || ' nummer ' || doc_id ELSE '' END)""".stripMargin.replace("\n", " ")
+
   /** q_quality fixture: the corpus text has zero punctuation (punct_ratio
     * was 0.0 for every doc), so %6==0 docs gain a punctuation-dense tail —
     * the penalty branch of the quality formula finally discriminates.
@@ -3517,6 +3543,18 @@ object SparkEntry {
     },
     "q_fingerprint" -> { (s, dir) =>
       TextAnalysis.fingerprint(docsPar(s, dir)).orderBy("doc_id")
+    },
+    // LINE-level language split (r18 — OSCAR/Ungoliant's multilingual-
+    // page treatment): classify each line with the langId marker argmax,
+    // regroup a doc's lines per language in PAGE ORDER; the fixture
+    // interleaves en/de/fr/es/und lines with doc_id-varying presence and
+    // a repeated-language line so multiplicity and order both pin
+    "q_ccnet_lang_split" -> { (s, dir) =>
+      val synth = docsPar(s, dir).select(col("doc_id"), langSplitSynthCol.as("text"))
+      TextAnalysis.splitByLanguage(synth)
+        .select(col("doc_id"), col("lang"), col("n_lines"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id", "lang")
     },
     "q_word_freq" -> { (s, dir) =>
       TextAnalysis.wordFrequency(docsPar(s, dir), k = 50)
@@ -6994,6 +7032,31 @@ object SparkEntry {
          |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
          |       ELSE 'es' END AS lang_pred
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+    // line-level language split: per-line marker hits + the q_lang_id
+    // argmax, regrouped per (doc, lang) with order-preserving rejoin
+    "q_ccnet_lang_split" -> {
+      def wordsOf(c: String): String =
+        s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), w -> w <> '')"
+      def h(lang: String): String = {
+        val ms = graft.ops.TextAnalysis.LangMarkers(lang).map("'" + _ + "'").mkString(",")
+        s"len(list_filter(${wordsOf("line")}, x -> list_contains([$ms], x)))"
+      }
+      s"""WITH d AS (SELECT doc_id, $langSplitSynthSql AS text FROM documents),
+         | l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+         | x AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS i, unnest(ls) AS line FROM l),
+         | f AS (SELECT doc_id, i, line FROM x WHERE length(trim(line)) > 0),
+         | h AS (SELECT doc_id, i, line, ${h("en")} AS en_h, ${h("de")} AS de_h,
+         |   ${h("fr")} AS fr_h, ${h("es")} AS es_h FROM f),
+         | t AS (SELECT doc_id, i, line,
+         |   CASE WHEN greatest(en_h, de_h, fr_h, es_h) = 0 THEN 'und'
+         |        WHEN en_h = greatest(en_h, de_h, fr_h, es_h) THEN 'en'
+         |        WHEN de_h = greatest(en_h, de_h, fr_h, es_h) THEN 'de'
+         |        WHEN fr_h = greatest(en_h, de_h, fr_h, es_h) THEN 'fr'
+         |        ELSE 'es' END AS lang FROM h)
+         |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_lines,
+         |  md5(string_agg(line, chr(10) ORDER BY i)) AS text_md5
+         |FROM t GROUP BY doc_id, lang ORDER BY doc_id, lang""".stripMargin
     },
     "q_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, array_to_string($sqlWords, ' ') AS norm FROM documents),

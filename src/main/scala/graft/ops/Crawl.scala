@@ -255,7 +255,7 @@ object Crawl {
                 agent: String = "graftbot",
                 fixMojibake: Boolean = false): DataFrame = {
     val records = Warc.readWarcFiles(spark, wetDir,
-        extensions = Seq(".wet", ".wet.gz"))
+        extensions = Seq(".wet", ".wet.gz", ".wet.zst"))
       .filter(col("warc_type") === "conversion" &&
         lower(col("content_type")).startsWith("text/plain") &&
         col("target_uri").isNotNull && col("target_uri") =!= "")

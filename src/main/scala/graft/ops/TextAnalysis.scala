@@ -85,6 +85,45 @@ object TextAnalysis {
     withHits.select(col("doc_id"), en, de, fr, es, pred.as("lang_pred"))
   }
 
+  /** LINE-level language split (r18) — the multilingual-page treatment
+    * OSCAR's Ungoliant pipeline runs (Ortiz Suárez et al. / Abadji et
+    * al. 2021: classify each LINE, group a document's lines by
+    * language): a crawled page mixing languages contributes each slice
+    * to ITS language's corpus instead of polluting one, and the output
+    * feeds the per-language stages this engine already ships
+    * (per-language KN perplexity, [[graft.ops.FullText.surprisalBuckets]]
+    * head/middle/tail). Per line: the [[langId]] marker argmax (same
+    * kernel, same en>de>fr>es>und tie-break); per (doc, language): line
+    * count and the lines rejoined in PAGE ORDER.
+    *
+    * Scale shape: one compiled-kernel pass tags lines in-row; the only
+    * exchange is the (doc_id, lang) groupBy — map-side combined, and
+    * line text crosses it once. Returns (doc_id, lang, n_lines, text).
+    */
+  def splitByLanguage(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+      .filter(length(trim(col("line"))) > 0)
+    val hits = multi_marker_hits(col("line"),
+      Seq(LangMarkers("en"), LangMarkers("de"), LangMarkers("fr"), LangMarkers("es")))
+    val tagged = lines.withColumn("__h", hits)
+    val en = col("__h")(0); val de = col("__h")(1)
+    val fr = col("__h")(2); val es = col("__h")(3)
+    val best = greatest(en, de, fr, es)
+    val lang = when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(de === best, lit("de"))
+      .when(fr === best, lit("fr"))
+      .otherwise(lit("es"))
+    tagged.select(col("doc_id"), col("line_idx"), col("line"), lang.as("lang"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_lines"),
+        concat_ws("\n", transform(sort_array(collect_list(
+          struct(col("line_idx"), col("line")))),
+          s => s.getField("line"))).as("text"))
+  }
+
   /** Document fingerprints: (a) md5 of the normalized word stream (exact
     * near-identity after whitespace/case/punct normalization) and (b) a
     * rolling min-hash over character 5-grams of the normalized text

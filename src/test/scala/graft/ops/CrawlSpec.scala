@@ -280,10 +280,17 @@ class CrawlSpec extends AnyFunSuite {
         respRec("http://keep.example/resp", "<p>http response record ignored here.</p>"))
       Files.write(new java.io.File(dir, "seg.warc.wet.gz").toPath,
         WarcCodec.writeWarcGz(recs))
+      // r18: zstd WET sidecar beside the gzip one — same route, same
+      // reader, skippable frame skipped
+      Files.write(new java.io.File(dir, "seg2.warc.wet.zst").toPath,
+        WarcCodec.writeWarcZst(Seq(
+          conv("http://zkeep.example/z", "Zstd wet line with five words.", "z1"))))
       val blocked = spark.createDataFrame(Seq(Tuple1("blocked.example"))).toDF("domain")
       val out = Crawl.ingestWet(spark, dir.getAbsolutePath,
         blockedDomains = Some(blocked)).orderBy("url_canon").collect()
-      assert(out.map(_.getAs[String]("url_canon")).toSeq == Seq("http://keep.example/a"))
+      assert(out.map(_.getAs[String]("url_canon")).toSeq ==
+        Seq("http://keep.example/a", "http://zkeep.example/z"))
+      assert(out(1).getAs[String]("text") == "Zstd wet line with five words.")
       assert(out(0).getAs[String]("text") ==
         "Six words of wet text é!\nAnother kept line with five words.")
       assert(out(0).getAs[String]("title") == "" && out(0).getAs[Long]("n_links") == 0L)

@@ -1102,6 +1102,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L) == "und")
   }
 
+  test("splitByLanguage: lines regroup per language in page order; blanks drop") {
+    val page = Seq((1L,
+      "the cat is in the hat\n" +
+      "der hund ist nicht ein tier\n" +
+      "\n" +                                  // blank line vanishes
+      "the dog is on the mat\n" +
+      "zz qq xx\n" +
+      "und der zweite deutsche satz ist mit auf")) // 'und' is a DE marker
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.splitByLanguage(page).collect()
+      .map(x => (x.getString(1), x.getLong(2), x.getString(3))).sortBy(_._1)
+    assert(r.map(_._1).toSeq == Seq("de", "en", "und"))
+    val de = r(0); val en = r(1); val und = r(2)
+    assert(de._2 == 2L && de._3 ==
+      "der hund ist nicht ein tier\nund der zweite deutsche satz ist mit auf",
+      "German lines keep page order")
+    assert(en._2 == 2L && en._3 == "the cat is in the hat\nthe dog is on the mat")
+    assert(und._2 == 1L && und._3 == "zz qq xx")
+    // a single-language page round-trips whole
+    val mono = TextAnalysis.splitByLanguage(
+      Seq((2L, "the one and only line")).toDF("doc_id", "text")).collect()
+    assert(mono.length == 1 && mono(0).getString(3) == "the one and only line")
+  }
+
   test("quality score is in [0,1] and rewards stopword-rich longer text") {
     val q = TextAnalysis.qualityScore(docs).collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
     assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
