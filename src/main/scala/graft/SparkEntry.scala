@@ -2620,18 +2620,46 @@ object SparkEntry {
     * predate this generator and stay as literal strings (bit-identity of
     * shipped gates); order 5+ gates use it.
     */
-  private def knOracleSql(order: Int): String = {
+  private def knOracleSql(order: Int, foreign: Boolean = false,
+                          minCount: Int = 1): String = {
     val n = order
     val ws = (1 to n).map(i => s"w$i")
     val cnt = n match {
       case 3 => "n_trigrams"; case 4 => "n_fourgrams"; case 5 => "n_fivegrams"
       case _ => s"n_${n}grams"
     }
-    val inst = ws.zipWithIndex.map { case (w, i) =>
+    def instCols = ws.zipWithIndex.map { case (w, i) =>
       val idx = if (i == 0) "w[i]" else s"w[i+$i]"
       s"unnest(list_transform(range(1, len(w) - ${n - 2}), i -> $idx)) AS $w"
     }.mkString(",\n     ")
     def grp(k: Int) = (1 to k).mkString(", ")
+    // base CTEs: self-trained reads one slice for LM and positions;
+    // foreign trains on doc_id%3=0 and scores the rest (the kn_xc split)
+    val base =
+      if (foreign)
+        s"""WITH ttr AS (SELECT doc_id, $sqlWords AS w FROM documents WHERE doc_id % 3 = 0),
+           | tsc AS (SELECT doc_id, $sqlWords AS w FROM documents WHERE doc_id % 3 <> 0),
+           | inst AS (SELECT doc_id,
+           |     $instCols
+           |   FROM ttr WHERE len(w) >= $n),
+           | sinst AS (SELECT doc_id,
+           |     $instCols
+           |   FROM tsc WHERE len(w) >= $n),""".stripMargin
+      else
+        s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+           | inst AS (SELECT doc_id,
+           |     $instCols
+           |   FROM t WHERE len(w) >= $n),""".stripMargin
+    val vocabSrc = if (foreign) "ttr" else "t"
+    val dtSrc = if (foreign) "sinst" else "inst"
+    // pruning: the context CTE also aggregates the discounted mass of the
+    // sub-minCount types (folded into the interpolation weight — the
+    // KenLM renormalize-into-backoff behavior the engine implements)
+    val pmassCol =
+      if (minCount > 1)
+        s",\n |     sum(CASE WHEN tc < $minCount THEN greatest(tc - 0.75, 0.0) ELSE 0.0 END) AS pmass"
+          .stripMargin
+      else ""
     // continuation chain CTEs: low_j keyed on the LAST j words, each an
     // agg of the level above; ctx_j the context marginals of low_j
     val chain = ((n - 1) to 2 by -1).map { j =>
@@ -2641,25 +2669,35 @@ object SparkEntry {
       s""" low$j AS (SELECT ${keys.mkString(", ")}, count(*) AS lowc$j FROM $src GROUP BY ${grp(j)}),
          | ctx$j AS (SELECT ${ctxKeys.mkString(", ")}, sum(lowc$j) AS ctot$j, count(*) AS ctyp$j FROM low$j GROUP BY ${grp(j - 1)}),""".stripMargin
     }.mkString("\n")
-    // the interpolation ladder, bottom-up — the engine's exact shapes
+    // the interpolation ladder, bottom-up — the engine's exact shapes;
+    // with pruning, the top level zeroes the sub-minCount discounted
+    // count and carries the redistributed mass in the weight
     var p = "(coalesce(cw, 0) + 1.0) / (ntypes + v)"
     for (j <- 2 to n - 1)
       p = s"(CASE WHEN coalesce(ctot$j, 0) > 0 THEN (greatest(coalesce(lowc$j, 0) - 0.75, 0.0) + 0.75 * coalesce(ctyp$j, 0) * $p) / ctot$j ELSE $p END)"
-    val pTop = s"CASE WHEN coalesce(csum, 0) > 0 THEN (greatest(coalesce(tc, 0) - 0.75, 0.0) + 0.75 * coalesce(mid, 0) * $p) / csum ELSE $p END"
+    val tcEff =
+      if (minCount > 1) s"(CASE WHEN coalesce(tc, 0) >= $minCount THEN tc ELSE 0 END)"
+      else "coalesce(tc, 0)"
+    val interpW =
+      if (minCount > 1) "(0.75 * coalesce(mid, 0) + coalesce(pmass, 0.0))"
+      else "0.75 * coalesce(mid, 0)"
+    val pTop = s"CASE WHEN coalesce(csum, 0) > 0 THEN (greatest($tcEff - 0.75, 0.0) + $interpW * $p) / csum ELSE $p END"
     val joins = ((n - 1) to 2 by -1).map { j =>
       s"LEFT JOIN low$j USING (${ws.takeRight(j).mkString(", ")}) LEFT JOIN ctx$j USING (${ws.slice(n - j, n - 1).mkString(", ")})"
     }.mkString("\n     ")
-    s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
-       | inst AS (SELECT doc_id,
-       |     $inst
-       |   FROM t WHERE len(w) >= $n),
+    val tail =
+      if (foreign)
+        s"""FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) d
+           |LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+      else "FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"
+    s"""$base
        | c$n AS (SELECT ${ws.mkString(", ")}, count(*) AS tc FROM inst GROUP BY ${grp(n)}),
-       | ctx AS (SELECT ${ws.init.mkString(", ")}, sum(tc) AS csum, count(*) AS mid FROM c$n GROUP BY ${grp(n - 1)}),
+       | ctx AS (SELECT ${ws.init.mkString(", ")}, sum(tc) AS csum, count(*) AS mid$pmassCol FROM c$n GROUP BY ${grp(n - 1)}),
        |$chain
        | cont AS (SELECT ${ws.last}, count(*) AS cw FROM low2 GROUP BY 1),
        | tot AS (SELECT (SELECT count(*) FROM low2) AS ntypes,
-       |     (SELECT count(DISTINCT u) FROM (SELECT unnest(w) AS u FROM t)) AS v),
-       | dt AS (SELECT doc_id, ${ws.mkString(", ")}, count(*) AS k FROM inst GROUP BY ${grp(n + 1)}),
+       |     (SELECT count(DISTINCT u) FROM (SELECT unnest(w) AS u FROM $vocabSrc)) AS v),
+       | dt AS (SELECT doc_id, ${ws.mkString(", ")}, count(*) AS k FROM $dtSrc GROUP BY ${grp(n + 1)}),
        | sc AS (SELECT dt.doc_id, dt.k,
        |     CAST(round(-ln($pTop) * 1000000) AS BIGINT) AS m
        |   FROM dt LEFT JOIN c$n USING (${ws.mkString(", ")}) LEFT JOIN ctx USING (${ws.init.mkString(", ")})
@@ -2668,7 +2706,7 @@ object SparkEntry {
        | agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n, CAST(sum(k * m) AS BIGINT) AS s FROM sc GROUP BY doc_id)
        |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS $cnt,
        |  coalesce(round(s / (n * 1000000.0), 6), 0.0) AS avg_neg_logp
-       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+       |$tail""".stripMargin
   }
 
   // ------------------------------------------------------------- scratch
@@ -4564,6 +4602,19 @@ object SparkEntry {
     // expression tree (knOracleSql), one level deeper than kn4's
     "q_perplexity_kn5" -> { (s, dir) =>
       FullText.ngramSurprisalKN(docsPar(s, dir), order = 5).orderBy("doc_id")
+    },
+    // THE literal CCNet deployment configuration in one gate (r18):
+    // interpolated KN at order 5, KenLM-style count pruning with
+    // mass-conserving renormalization, scored against a FOREIGN
+    // reference LM (train = the %3=0 slice, like kn_xc). The oracle is
+    // the same generated five-level ladder with the pruned numerator
+    // and redistributed interpolation weight — knOracleSql(5, foreign,
+    // minCount = 2)
+    "q_perplexity_kn5_pruned_xc" -> { (s, dir) =>
+      val docs = docsPar(s, dir)
+      FullText.ngramSurprisalKNAgainst(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0), 5, minCount = 2).orderBy("doc_id")
     },
     // CCNet head/middle/tail perplexity bucketing: per-language exact
     // order-statistic thresholds over the MIL-nat integer score histogram
@@ -8583,6 +8634,8 @@ object SparkEntry {
     // c5 -> low4 -> low3 -> low2 chain and the five-level CASE ladder
     // come out of knOracleSql(5), not a hand-copied string
     "q_perplexity_kn5" -> knOracleSql(5),
+    // order-5 + pruned + foreign — the CCNet deployment combo, generated
+    "q_perplexity_kn5_pruned_xc" -> knOracleSql(5, foreign = true, minCount = 2),
     // cross-corpus KN: counts from the %3=0 train slice, positions from
     // the score slice — unseen trigrams/contexts walk the same CASE
     // ladder, a fully-unseen word bottoms out at the +1/V floor
