@@ -41,5 +41,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // aggregate loops fall back to the interpreter (observed 100x slowdowns).
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:-DontCompileHugeMethods",
-  "-XX:TieredStopAtLevel=1",
+) ++ (
+  // r19: full tiered JIT by default. The r2 C1 pin (TieredStopAtLevel=1)
+  // predated the bench's stall-proofing (shuffled per-pass order +
+  // heartbeats + min-over-clean-passes); re-measured r19, C2 gives the
+  // CPU-bound kernel gates 15-45% (q_boilerplate_blocks 5.5→3.0s) with
+  // zero stall flags over full runs. SPARK_GRAFT_JIT=c1 restores the pin
+  // if the roving-stall pathology ever resurfaces.
+  if (sys.env.get("SPARK_GRAFT_JIT").contains("c1")) Seq("-XX:TieredStopAtLevel=1")
+  else Seq.empty
 )
