@@ -2445,10 +2445,16 @@ object SparkEntry {
 
   /** Driver-side single-row lookup of the canonical probe vector (vec_id=0) —
     * the analog of embedding the query string (reference base.py:307-310).
+    * Memoized per dir (r19): the probe is INPUT fixture prep — a real
+    * deployment embeds the query on the driver, it does not scan the corpus
+    * per search — so the eight ANN gates that share it should not each pay
+    * a parquet job to re-derive the same 64 floats.
     */
+  private val probeVecs = scala.collection.concurrent.TrieMap.empty[String, Seq[Float]]
   private def probeVec(s: SparkSession, dir: String): Seq[Float] =
-    tbl(s, dir, "embeddings").filter(col("vec_id") === 0)
-      .select("embedding").head().getSeq[Float](0)
+    probeVecs.getOrElseUpdate(dir,
+      tbl(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0))
 
   /** DuckDB SQL fragment: exact cosine over DOUBLE[] (same double-accumulation
     * order as the native CosineSimilarity expression).

@@ -133,11 +133,18 @@ object Dedup {
     * pairs for the verify step.
     */
   private[graft] def bandBuckets(docs: DataFrame, textCol: String, numHashes: Int,
-                                 rowsPerBand: Int, shingleSize: Int): DataFrame = {
+                                 rowsPerBand: Int, shingleSize: Int): DataFrame =
+    bandBucketsFromSig(docs
+      .withColumn("__sig", minhash_sig(col(textCol), numHashes, shingleSize)),
+      numHashes, rowsPerBand)
+
+  /** [[bandBuckets]] over a precomputed `__sig` column (r19: lets callers
+    * that also need the fingerprint/shingles compute ONE tokenizer pass).
+    */
+  private[graft] def bandBucketsFromSig(sigDf: DataFrame, numHashes: Int,
+                                        rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sig = docs
-      .withColumn("__sig", minhash_sig(col(textCol), numHashes, shingleSize))
-      .filter(col("__sig").isNotNull)
+    val sig = sigDf.filter(col("__sig").isNotNull)
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => element_at(col("__sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), md5(concat_ws("_", parts: _*)).as("bucket"))
@@ -203,9 +210,17 @@ object Dedup {
                  hotBucketCap: Int = 64,
                  saturation: Option[Observation] = None,
                  subBucket: Boolean = false): DataFrame = {
-    val candidates = minhashLshCandidates(docs, textCol, numHashes, rowsPerBand,
-      shingleSize, hotBucketCap, saturation, subBucket)
-    val shingles = docs.select(col("doc_id"), shingle_hashes(col(textCol), shingleSize).as("__sh"))
+    // ONE tokenizer pass (r19): signature + shingles together, materialized
+    // (per-call lineage cut) — banding and the two verify joins previously
+    // each re-tokenized the corpus from the text column
+    val feats = docs.select(col("doc_id"),
+        minhash_sig(col(textCol), numHashes, shingleSize).as("__sig"),
+        shingle_hashes(col(textCol), shingleSize).as("__sh"))
+      .localCheckpoint(true)
+    val candidates = cappedBucketPairs(
+      bandBucketsFromSig(feats.select(col("doc_id"), col("__sig")), numHashes, rowsPerBand),
+      hotBucketCap, saturation, subBucket)
+    val shingles = feats.select(col("doc_id"), col("__sh"))
     candidates
       .join(shingles.select(col("doc_id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(shingles.select(col("doc_id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
@@ -537,17 +552,20 @@ object Dedup {
                        shingleSize: Int = 3, hotRefCap: Int = 64,
                        saturation: Option[Observation] = None): DataFrame = {
     require(hotRefCap > 0, s"hotRefCap must be positive: $hotRefCap")
-    def fp(df: DataFrame) = df.select(col("doc_id"),
-      md5(concat_ws(" ", word_tokens(col(textCol)))).as("__fp"))
-    val exactDup = fp(newDocs)
-      .join(fp(refDocs).select("__fp").distinct(), Seq("__fp"), "left_semi")
+    // ONE tokenizer pass per side (r19): the exact, banding and verify
+    // layers each re-derived fingerprint/signature/shingles from the text
+    // (the gate plan re-scanned the corpus 22×); features are narrow
+    // (id, 32B fp, numHashes longs, ~n_token longs) and per-call state.
+    val nf = crossFeatures(newDocs, textCol, numHashes, shingleSize)
+    val rf = crossFeatures(refDocs, textCol, numHashes, shingleSize)
+    val exactDup = nf.select(col("doc_id"), col("__fp"))
+      .join(rf.select("__fp").distinct(), Seq("__fp"), "left_semi")
       .select(col("doc_id"), lit(true).as("__exact"))
-    val verified = crossRefVerified(newDocs, refDocs,
-      crossRefCandidates(newDocs, refDocs, textCol, numHashes, rowsPerBand,
-        shingleSize, hotRefCap, saturation), textCol, shingleSize)
+    val verified = crossRefVerified(nf, rf,
+      crossRefCandidates(nf, rf, numHashes, rowsPerBand, hotRefCap, saturation))
     val agg = verified.groupBy("doc_id").agg(
       count(lit(1)).as("n_ref_candidates"), max("__j").as("max_jaccard"))
-    newDocs.select(col("doc_id"))
+    nf.select(col("doc_id"))
       .join(exactDup, Seq("doc_id"), "left")
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -557,16 +575,34 @@ object Dedup {
       .withColumn("dup", col("exact_dup") || col("max_jaccard") >= threshold)
   }
 
-  /** Asymmetric (new, ref) candidate pairs for the cross-corpus fuzzy
-    * layer: MinHash band buckets on both sides, ref side capped per
-    * bucket (the [[crossCorpusDedup]] shape, factored for reuse).
+  /** One tokenizer pass per cross-dedup side, MATERIALIZED (r19):
+    * fingerprint + MinHash signature + shingle hashes together, plus any
+    * `extraCols` the caller's retention policy reads (e.g. the quality
+    * score). The exact/banding/verify layers all read this instead of
+    * re-deriving from the text. Per-call lineage cut only — recomputed on
+    * every invocation.
     */
-  private def crossRefCandidates(newDocs: DataFrame, refDocs: DataFrame,
-                                 textCol: String, numHashes: Int, rowsPerBand: Int,
-                                 shingleSize: Int, hotRefCap: Int,
+  private def crossFeatures(docs: DataFrame, textCol: String, numHashes: Int,
+                            shingleSize: Int,
+                            extraCols: Seq[String] = Nil): DataFrame =
+    docs.select(Seq(col("doc_id"),
+        md5(concat_ws(" ", word_tokens(col(textCol)))).as("__fp"),
+        minhash_sig(col(textCol), numHashes, shingleSize).as("__sig"),
+        shingle_hashes(col(textCol), shingleSize).as("__sha")) ++
+        extraCols.map(col): _*)
+      .localCheckpoint(true)
+
+  /** Asymmetric (new, ref) candidate pairs for the cross-corpus fuzzy
+    * layer: MinHash band buckets on both sides (from the precomputed
+    * [[crossFeatures]] signatures), ref side capped per bucket (the
+    * [[crossCorpusDedup]] shape, factored for reuse).
+    */
+  private def crossRefCandidates(nf: DataFrame, rf: DataFrame,
+                                 numHashes: Int, rowsPerBand: Int,
+                                 hotRefCap: Int,
                                  saturation: Option[Observation]): DataFrame = {
-    val nb = bandBuckets(newDocs, textCol, numHashes, rowsPerBand, shingleSize)
-    val rb = bandBuckets(refDocs, textCol, numHashes, rowsPerBand, shingleSize)
+    val nb = bandBucketsFromSig(nf.select(col("doc_id"), col("__sig")), numHashes, rowsPerBand)
+    val rb = bandBucketsFromSig(rf.select(col("doc_id"), col("__sig")), numHashes, rowsPerBand)
     val w = Window.partitionBy("band", "bucket").orderBy(col("doc_id").asc)
     val rbRanked = rb.withColumn("__rn", row_number().over(w))
     // saturation telemetry on the PRE-filter stream (rows flow once):
@@ -586,15 +622,13 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of (doc_id, ref_id) candidate pairs:
-    * shingle hash sets joined in, similarity rounded to 6 places.
+    * precomputed [[crossFeatures]] shingle hash sets joined in,
+    * similarity rounded to 6 places.
     */
-  private def crossRefVerified(newDocs: DataFrame, refDocs: DataFrame,
-                               cand: DataFrame, textCol: String,
-                               shingleSize: Int): DataFrame = {
-    val shNew = newDocs.select(col("doc_id"),
-      shingle_hashes(col(textCol), shingleSize).as("__sha"))
-    val shRef = refDocs.select(col("doc_id").as("ref_id"),
-      shingle_hashes(col(textCol), shingleSize).as("__shb"))
+  private def crossRefVerified(nf: DataFrame, rf: DataFrame,
+                               cand: DataFrame): DataFrame = {
+    val shNew = nf.select(col("doc_id"), col("__sha"))
+    val shRef = rf.select(col("doc_id").as("ref_id"), col("__sha").as("__shb"))
     cand.join(shNew, Seq("doc_id")).join(shRef, Seq("ref_id"))
       .select(col("doc_id"), col("ref_id"),
         round(jaccard_sorted(col("__sha"), col("__shb")), 6).as("__j"))
@@ -636,15 +670,16 @@ object Dedup {
                                hotRefCap: Int = 64,
                                saturation: Option[Observation] = None): DataFrame = {
     require(hotRefCap > 0, s"hotRefCap must be positive: $hotRefCap")
-    def fp(df: DataFrame) = df.select(col("doc_id"),
-      md5(concat_ws(" ", word_tokens(col(textCol)))).as("__fp"))
+    // ONE tokenizer pass per side incl. the retention score (r19 — see
+    // [[crossCorpusDedup]]); every layer below reads the features table
+    val nf = crossFeatures(newDocs, textCol, numHashes, shingleSize, Seq(scoreCol))
+    val rf = crossFeatures(refDocs, textCol, numHashes, shingleSize, Seq(scoreCol))
     // exact layer WITH identity: fingerprint → deterministic min ref id
-    val refFp = fp(refDocs).groupBy("__fp").agg(min("doc_id").as("ref_id"))
-    val exactM = fp(newDocs).join(refFp, Seq("__fp"))
+    val refFp = rf.groupBy("__fp").agg(min("doc_id").as("ref_id"))
+    val exactM = nf.select(col("doc_id"), col("__fp")).join(refFp, Seq("__fp"))
       .select(col("doc_id"), col("ref_id"), lit(1.0).as("__j"))
-    val fuzzyM = crossRefVerified(newDocs, refDocs,
-      crossRefCandidates(newDocs, refDocs, textCol, numHashes, rowsPerBand,
-        shingleSize, hotRefCap, saturation), textCol, shingleSize)
+    val fuzzyM = crossRefVerified(nf, rf,
+      crossRefCandidates(nf, rf, numHashes, rowsPerBand, hotRefCap, saturation))
       .filter(col("__j") >= threshold)
     // strongest match per new doc: lexicographic struct max =
     // (max jaccard, then MIN ref id via negation)
@@ -652,9 +687,9 @@ object Dedup {
       .agg(max(struct(col("__j").as("j"), (-col("ref_id")).as("nrid"))).as("__k"))
       .select(col("doc_id"), col("__k.j").as("best_jaccard"),
         (-col("__k.nrid")).cast("long").as("best_ref_id"))
-    val refScores = refDocs.select(col("doc_id").as("best_ref_id"),
+    val refScores = rf.select(col("doc_id").as("best_ref_id"),
       col(scoreCol).cast("double").as("ref_score"))
-    newDocs.select(col("doc_id"), col(scoreCol).cast("double").as("new_score"))
+    nf.select(col("doc_id"), col(scoreCol).cast("double").as("new_score"))
       .join(best, Seq("doc_id"), "left")
       .join(refScores, Seq("best_ref_id"), "left")
       .withColumn("dup", col("best_ref_id").isNotNull)

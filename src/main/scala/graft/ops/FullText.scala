@@ -91,8 +91,13 @@ object FullText {
     */
   def tfIdfTopTerms(docs: DataFrame, k: Int = 5, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
+    // MATERIALIZED (r19): tf feeds BOTH the document-frequency aggregate
+    // and the scoring join — the lineage cut stops the second
+    // tokenize+explode+aggregate corpus pass (narrow (doc, term, tf) rows;
+    // per-call state only)
     val tf = docs.select(col(idCol), explode(textkernel.word_tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col(idCol)).orderBy(desc("score"), asc("term"))
@@ -652,20 +657,40 @@ object FullText {
     val cont = lows(2).groupBy(col(wCols.last)).agg(count(lit(1)).as("cw")) // N1+(·wₙ)
     val totals = lows(2).agg(count(lit(1)).as("ntypes"))
       .crossJoin(toks.select(explode(col("w")).as("u")).agg(count_distinct(col("u")).as("v")))
-    // self-trained path: consolidate all stats onto the TYPE table
-    // (joins among count tables, each ≤ the type count) so the DOC side
-    // — the big side — pays ONE (w₁..wₙ)-keyed join instead of 2n−2.
-    // Valid ONLY when every scored n-gram exists in the LM (train eq
-    // docs); a FOREIGN corpus needs the per-LEVEL joins below so an
+    // self-trained path: consolidate all stats onto the TYPE table so the
+    // DOC side — the big side — pays ONE (w₁..wₙ)-keyed join instead of
+    // 2n−2. Valid ONLY when every scored n-gram exists in the LM (train
+    // eq docs); a FOREIGN corpus needs the per-LEVEL joins below so an
     // unseen n-gram in a SEEN context still reads that context's
-    // csum/mid (true KN backoff), not a null row
+    // csum/mid (true KN backoff), not a null row.
+    //
+    // r19 (guide §2.4): the context marginals (csum/mid/prunedMass on the
+    // type table, ctot/ctyp on each low_j, cw on low_2) ride their source
+    // tables as WINDOW aggregates instead of groupBy+join — every group
+    // key exists by construction on this path, so the values are
+    // identical row-for-row, and the n-1 marginal joins (each a type-
+    // count-sized broadcast hash build at this sf) disappear: the LM
+    // consolidation is n-2 suffix joins, nothing else.
     lazy val lm = {
-      var t = cN.join(ctx, ctxKeys)
+      val ctxW = Window.partitionBy(ctxKeys.map(col): _*)
+      var t = cN
+        .withColumn("csum", sum("tc").over(ctxW))
+        .withColumn("mid", count(lit(1)).over(ctxW))
+      if (minCount > 1)
+        t = t.withColumn("prunedMass",
+          sum(when(col("tc") < minCount, greatest(col("tc") - d, lit(0.0)))
+            .otherwise(lit(0.0))).over(ctxW))
       for (j <- (n - 1) to 2 by -1) {
-        t = t.join(lows(j), wCols.takeRight(j))
-          .join(ctxs(j), wCols.slice(n - j, n - 1))
+        val cW = Window.partitionBy(wCols.slice(n - j, n - 1).map(col): _*)
+        var lj = lows(j)
+          .withColumn(s"ctot$j", sum(col(s"lowc$j")).over(cW))
+          .withColumn(s"ctyp$j", count(lit(1)).over(cW))
+        if (j == 2)
+          lj = lj.withColumn("cw",
+            count(lit(1)).over(Window.partitionBy(col(wCols.last))))
+        t = t.join(lj, wCols.takeRight(j))
       }
-      t.join(cont, Seq(wCols.last))
+      t
     }
     // the interpolation ladder, bottom-up: continuation floor, then one
     // backoff level per order below the top, then the top-order term

@@ -199,13 +199,17 @@ object Html {
       regexp_replace(c, lit(pat), lit(repl))
     }
     val raws = split(regexp_replace(pre, lit(BlockTagRe), lit("\n")), "\n")
+    // per-block stats are computed HERE, below the doc-keyed window exchange
+    // (r19, guide §2.3): the tokenizer/stopword kernels and the per-anchor
+    // link-text clean run on the scan side's full parallelism (the window
+    // input is tiny, so AQE coalesces the post-shuffle side to ~1 partition
+    // — computing them above the exchange serialized exactly the expensive
+    // columns), and the exchange then carries the five stat longs instead
+    // of the raw block markup
     val blocks = docs
       .select(col(idCol), posexplode(raws).as(Seq("__i0", "__raw")))
       .withColumn("text", cleanBlock(col("__raw")))
       .filter(col("text") =!= "")
-    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__i0"))
-    val stats = blocks
-      .withColumn("block_idx", (row_number().over(byDoc) - 1).cast("long"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("n_words",
         size(graft.functions.textkernel.word_tokens(col("text"))).cast("long"))
@@ -215,6 +219,10 @@ object Html {
         transform(regexp_extract_all(col("__raw"), lit(AnchorRe), lit(2)),
           x => length(cleanBlock(x))),
         lit(0L), (acc, x) => acc + x))
+      .drop("__raw")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__i0"))
+    val stats = blocks
+      .withColumn("block_idx", (row_number().over(byDoc) - 1).cast("long"))
       .withColumn("link_density", col("link_chars") / col("n_chars"))
       .withColumn("stop_density", col("n_stop") / greatest(col("n_words"), lit(1L)))
     val cf = stats.withColumn("cf_class",

@@ -95,15 +95,23 @@ object LinkGraph {
                releaseCache: Boolean = true): DataFrame = {
     require(iters >= 0, s"iters must be non-negative: $iters")
     require(dampingNum >= 0 && dampingNum <= dampingDen, "damping must be in [0, 1]")
+    // r19 (guide §2.4): repartition on src FIRST — hash clustering on src
+    // co-locates every (src, dst) pair, so the dedup aggregation, the
+    // outdegree aggregation AND the adjacency self-join all reuse this ONE
+    // exchange (before: dedup keyed (src,dst), outdeg keyed src and a
+    // final repartition each planned their own)
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).dropDuplicates("src", "dst")
+      col(dstCol).cast("long").as("dst"))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
     // one-time bucketing: adjacency clustered by src, nodes by node — the
     // iteration reuses both cached partitionings on every join
-    val adj = e.join(outdeg, "src").repartition(col("src")).persist()
+    val adj = e.join(outdeg, "src").persist()
+    // distinct() already hash-clusters on node — no re-repartition
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-      .repartition(col("node")).persist()
+      .persist()
     // dangling = nodes with no outgoing edge (never a src)
     lazy val dangling = nodes.join(
       outdeg.select(col("src").as("node")), Seq("node"), "left_anti").persist()
@@ -136,10 +144,15 @@ object LinkGraph {
       // lineage cut the dm subtree recomputes every earlier iteration —
       // O(iters²) work. Checkpoint each iteration (partitioning preserved,
       // so the exchange budget is unchanged); blocks are GC-reclaimed.
+      // LAZY for all but the final iteration (r19): the next iteration's
+      // first job materializes the cut anyway (the dm broadcast subtree
+      // runs first and caches the blocks), so an eager per-iteration job
+      // barrier only serialized the loop; the final cut stays eager so
+      // releaseCache can unpersist the inputs with the result materialized.
       if (redistributeDangling)
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.localCheckpoint(it == iters)
       else if (checkpointEvery > 0 && it % checkpointEvery == 0)
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.localCheckpoint(it == iters)
       it += 1
     }
     if (releaseCache) {

@@ -832,10 +832,15 @@ object TextAnalysis {
   def dsirWeightsSlice(corpus: DataFrame, isTarget: Column, buckets: Int = 1024,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // MATERIALIZED (r19): the per-(doc, bucket) counts feed BOTH the model
+    // count table and the scoring join — without the lineage cut each ran
+    // its own kernel+explode+aggregate pass over the corpus. Narrow rows
+    // (id, bucket, n, tn), ≤ `buckets` per doc; per-call state only.
     val docBuckets = dsirFeatBuckets(corpus, textCol, idCol, buckets, Some(isTarget))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("tn"))
+      .localCheckpoint(true)
     val modelCnt = docBuckets.groupBy("bucket")
       .agg(sum(col("n")).as("rc"), sum(col("tn")).as("tc"))
     dsirScore(corpus, docBuckets.select(col(idCol), col("bucket"), col("n")),

@@ -609,7 +609,12 @@ class PlanSpec extends AnyFunSuite {
     val df = FullText.trigramSurprisalKN(docs)
     val p = plan(df)
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("WindowExec") && !p.contains("Window ["), p)
+    // r19: the context marginals ride the type tables as WINDOW aggregates
+    // (replacing their groupBy+join) — every window must be PARTITIONED
+    // (by context/suffix keys: vocabulary-bound groups, the same
+    // cardinality class the replaced aggregation shuffles handled); a
+    // corpus-keyed or unpartitioned window would be a scale bug
+    assertAllWindowsPartitioned(df)
     // exactly ONE join keyed by all three words: the doc-side LM join.
     // (stat-consolidation joins are keyed by 1-2 words each)
     val threeWordJoins = "(?s)Join [^\\n]*w1[^\\n]*w2[^\\n]*w3".r
@@ -617,14 +622,35 @@ class PlanSpec extends AnyFunSuite {
     assert(threeWordJoins == 1, s"want 1 three-word join, got $threeWordJoins:\n$p")
   }
 
+  /** every WindowExec in the executed plan has a non-empty partitionSpec
+    * containing no doc-id column (windows bounded by data-derived groups,
+    * never the corpus row space).
+    */
+  private def assertAllWindowsPartitioned(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    def findWindows(sp: SparkPlan): Seq[WindowExec] = sp match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => findWindows(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findWindows(q.plan)
+      case w: WindowExec => w +: w.children.flatMap(findWindows)
+      case other => other.children.flatMap(findWindows)
+    }
+    findWindows(df.queryExecution.executedPlan).foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w")
+      assert(!w.partitionSpec.exists(_.toString.contains("doc_id")),
+        s"doc-keyed window in an LM stat plan:\n$w")
+    }
+  }
+
   test("fourgramSurprisalKN: one consolidated four-word doc-side join, no cartesian, no window") {
     import graft.ops.FullText
     val docs = (0L until 30L)
       .map(i => (i, s"alpha beta gamma delta w$i x$i y$i z$i"))
       .toDF("doc_id", "text")
-    val p = plan(FullText.fourgramSurprisalKN(docs))
+    val df4 = FullText.fourgramSurprisalKN(docs)
+    val p = plan(df4)
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("WindowExec") && !p.contains("Window ["), p)
+    assertAllWindowsPartitioned(df4) // r19: see the trigram pin
     val fourWordJoins = "(?s)Join [^\\n]*w1[^\\n]*w2[^\\n]*w3[^\\n]*w4".r
       .findAllIn(p).size
     assert(fourWordJoins == 1, s"want 1 four-word join, got $fourWordJoins:\n$p")
