@@ -15,7 +15,10 @@ SFDIR="${3:-/root/testdata/sf0.1}"
 for d in "$BASE" "$CUR" "$SFDIR"; do
   [ -d "$d" ] || { echo "missing directory: $d" >&2; exit 1; }
 done
-GATES="q_crawl_docx,q_crawl_pdf,q_crawl_text,q_warc_extract,q_pq_ivf_topk,q_unimax,q_jpeg_decode,q_tfidf,q_pagerank,q_html_extract,q_stratified,q_knn_mip"
+# r19 refresh (VERDICT r18 #7): include the current top-of-cost-table gates
+# (KN-5 perplexity, jusText blocks, cross-corpus span dedup, keep-best
+# ingest) so drift attribution covers where the time actually goes.
+GATES="q_crawl_docx,q_crawl_pdf,q_crawl_text,q_warc_extract,q_pq_ivf_topk,q_unimax,q_jpeg_decode,q_tfidf,q_pagerank,q_html_extract,q_stratified,q_knn_mip,q_perplexity_kn5,q_boilerplate_blocks,q_cross_span_dedup,q_ingest_keep_best"
 SPARKCP=$(echo /opt/spark/jars/*.jar | tr ' ' ':')
 run_one() {  # $1 = classes dir, $2 = out json
   SPARK_GRAFT_SF_DIR="$SFDIR" \

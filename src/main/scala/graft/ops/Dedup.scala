@@ -260,8 +260,17 @@ object Dedup {
                    bits: Int = 16, bandBits: Int = 4, maxHamming: Int = 3,
                    hotBucketCap: Int = 64,
                    saturation: Option[Observation] = None): DataFrame = {
-    val sh = simhashDocs(docs, textCol, bits)
-    val candidates = simhashCandidates(docs, textCol, bits, bandBits, hotBucketCap, saturation)
+    // ONE fingerprint pass (r19): the banding stage and both verify joins
+    // previously each re-ran the simhash kernel over the corpus; narrow
+    // (id, long) rows, per-call lineage cut only
+    val sh = simhashDocs(docs, textCol, bits).localCheckpoint(true)
+    val numBands = bits / bandBits
+    val mask = (1L << bandBits) - 1
+    val bandCols = (0 until numBands).map(bi =>
+      struct(lit(bi).as("band"), shiftright(col("simhash"), bi * bandBits).bitwiseAND(lit(mask)).as("bucket")))
+    val banded = sh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val candidates = cappedBucketPairs(banded, hotBucketCap, saturation)
     candidates
       .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
