@@ -209,16 +209,34 @@ object Bench {
     // window with room to spare: totals, per-query min (4 dp), suspect
     // names only. Full detail stays in `outPath`.
     def r4(x: Double): String = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // centisecond resolution for the values-only array: enough to compare
+    // round-over-round (host noise is >> 10ms), compact enough that 176
+    // gates fit the harness's 2000-char stdout tail with room to spare
+    def r2(x: Double): String = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val flaggedNames = names.filter(n => results(n)._3)
-    def compactLine(withQueries: Boolean): String =
+    // "q": per-query min times (seconds, 2 dp) as a VALUES-ONLY array in
+    // lexicographic gate order — names are implied by sorted
+    // SparkEntry.queries order (or SPARK_GRAFT_BENCH_ONLY, sorted, when
+    // set). r19 verdict #1: the full "queries" map can never fit 176 gates
+    // under the 1900-char stdout guard, which left the driver per-query
+    // blind; the array form is ~1 KB. Additions-only: every existing key
+    // keeps its exact meaning, and the full map still lands in `outPath`.
+    val qArr = names.map(n => r2(results(n)._1)).mkString("[", ",", "]")
+    def compactLine(withQueries: Boolean, withQ: Boolean): String =
       s"""{"metric":"total","value":${r4(total)},"value_median":${r4(totalMedian)},""" +
         s""""unit":"sec","queries":${if (withQueries) qjson(n => r4(results(n)._1)) else "{}"},""" +
+        s""""q":${if (withQ) qArr else "[]"},""" +
         s""""sf":"$sfDir","n_passes":$nPasses,""" +
         s""""stall_suspect":${flaggedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""detail":"$outPath"}"""
-    val full = compactLine(withQueries = true)
-    // if the query map ever grows past the window, keep totals parseable
-    println(if (full.length < 1900) full else compactLine(withQueries = false))
+    // widest variant that fits the harness's stdout window wins; the
+    // totals-only fallback keeps the line parseable no matter how many
+    // gates exist
+    val candidates = Seq(
+      compactLine(withQueries = true, withQ = true),
+      compactLine(withQueries = false, withQ = true),
+      compactLine(withQueries = false, withQ = false))
+    println(candidates.find(_.length < 1900).getOrElse(candidates.last))
     System.out.flush()
     spark.stop()
   }

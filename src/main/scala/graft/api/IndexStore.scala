@@ -146,8 +146,18 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
       if (pendingBytes <= cap) broadcast _ else identity _
     }
     val (dels, lives) = deltas.partition(_.kind == "del")
+    // r20 (guide §6): every delta read carries an EXPLICIT schema — "put"/
+    // "add" sidecars are written from index-schema rows by construction and
+    // "del" tombstones are bare doc_id files, so re-inferring each sidecar's
+    // schema from its footers is pure driver overhead repeated on every
+    // merge-on-read (one footer read + file-listing round per delta per
+    // search on the incremental gates).
+    val baseSchema = base.schema
+    val tombSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
     val deltaRows = lives.map { d =>
-      spark.read.parquet(d.path).withColumn("__seq", lit(d.seq)) }
+      spark.read.schema(baseSchema).parquet(d.path).withColumn("__seq", lit(d.seq)) }
       .reduceOption(_.unionByName(_))
     // latest copy per doc_id AMONG DELTAS (an unchanged object re-batched
     // keeps one row); base copies of those ids are shadowed by an anti-join
@@ -164,7 +174,7 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
     val puts = lives.filter(_.kind == "put")
     val unshadowed = if (puts.isEmpty) latest else {
       val touched = puts.map { d =>
-          spark.read.parquet(d.path).select(explode(col("object_keys")).as("__key"), lit(d.seq).as("__tseq")) }
+          spark.read.schema(baseSchema).parquet(d.path).select(explode(col("object_keys")).as("__key"), lit(d.seq).as("__tseq")) }
         .reduce(_.unionByName(_))
         .groupBy("__key").agg(max("__tseq").as("__max_seq"))
       val shadowed = latest
@@ -176,7 +186,7 @@ final class ParquetIndexStore(spark: SparkSession, root: String,
     }
     val surviving = if (dels.isEmpty) unshadowed else {
       val tombs = dels.map { d =>
-          spark.read.parquet(d.path).select(col("doc_id"), lit(d.seq).as("__dseq")) }
+          spark.read.schema(tombSchema).parquet(d.path).select(col("doc_id"), lit(d.seq).as("__dseq")) }
         .reduce(_.unionByName(_))
         .groupBy("doc_id").agg(max("__dseq").as("__dseq"))
       unshadowed.join(hint(tombs), Seq("doc_id"), "left")

@@ -417,8 +417,15 @@ final class VectorIndex(
     val deltas = new VersionedDir(spark, root).listDeltas
     if (deltas.isEmpty) None
     else {
-      val all = deltas.map { d =>
-        spark.read.parquet(d.path).withColumn("__seq", lit(d.seq)) }.reduce(_.unionByName(_))
+      // every sidecar of one ANN structure is written by [[annDeltaWrite]]
+      // with the same row shape — infer the schema from the FIRST delta
+      // only and pin the rest (guide §6: per-read footer inference is
+      // repeated driver work on every incremental search)
+      val first = spark.read.parquet(deltas.head.path)
+      val pinned = first.schema
+      val all = deltas.zipWithIndex.map { case (d, i) =>
+        (if (i == 0) first else spark.read.schema(pinned).parquet(d.path))
+          .withColumn("__seq", lit(d.seq)) }.reduce(_.unionByName(_))
       val latest = all.groupBy("doc_id").agg(max("__seq").as("__seq"))
       Some(all.join(latest, Seq("doc_id", "__seq")).drop("__seq"))
     }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints.MaterializeSyntax
 import graft.functions.textfn._
 import graft.functions.textkernel._
 import graft.functions.vector._
@@ -216,7 +217,7 @@ object Dedup {
     val feats = docs.select(col("doc_id"),
         minhash_sig(col(textCol), numHashes, shingleSize).as("__sig"),
         shingle_hashes(col(textCol), shingleSize).as("__sh"))
-      .localCheckpoint(true)
+      .materialize(true)
     val candidates = cappedBucketPairs(
       bandBucketsFromSig(feats.select(col("doc_id"), col("__sig")), numHashes, rowsPerBand),
       hotBucketCap, saturation, subBucket)
@@ -263,7 +264,7 @@ object Dedup {
     // ONE fingerprint pass (r19): the banding stage and both verify joins
     // previously each re-ran the simhash kernel over the corpus; narrow
     // (id, long) rows, per-call lineage cut only
-    val sh = simhashDocs(docs, textCol, bits).localCheckpoint(true)
+    val sh = simhashDocs(docs, textCol, bits).materialize(true)
     val numBands = bits / bandBits
     val mask = (1L << bandBits) - 1
     val bandCols = (0 until numBands).map(bi =>
@@ -343,7 +344,7 @@ object Dedup {
     // it anyway); its checkpointed count decides the regime for free
     val directed = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .localCheckpoint(true)
+      .materialize(true)
     if (directed.count() <= driverCap) {
       // PRIMITIVE-ARRAY union-find: the only per-node state is a sorted
       // long[] of distinct ids (slot = binary search) and an int[] parent
@@ -402,13 +403,13 @@ object Dedup {
       .union(sym.select(col("src")).distinct()
         .select(col("src"), col("src").as("dst")))
       .withColumn("__self", col("src") === col("dst"))
-      .localCheckpoint(true)
+      .materialize(true)
     val labelSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType, nullable = false)))
     var labels = edges.filter(col("__self")).select(col("src").as("doc_id"))
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
+      .materialize(true)
     // `edges` checkpoints cut lineage back to `directed` — its blocks are
     // dead as soon as edges materializes (localCheckpoint(true) is eager)
     graft.core.Checkpoints.release(directed)
@@ -565,8 +566,13 @@ object Dedup {
     // layers each re-derived fingerprint/signature/shingles from the text
     // (the gate plan re-scanned the corpus 22×); features are narrow
     // (id, 32B fp, numHashes longs, ~n_token longs) and per-call state.
-    val nf = crossFeatures(newDocs, textCol, numHashes, shingleSize)
-    val rf = crossFeatures(refDocs, textCol, numHashes, shingleSize)
+    // r20 (VERDICT r19 #4, guide §2.6): the two sides are INDEPENDENT
+    // eager jobs — run them concurrently so the ref side back-fills the
+    // new side's straggler tail instead of serializing two full corpus
+    // tokenizer passes.
+    val (nf, rf) = graft.core.Concurrent.both(
+      crossFeatures(newDocs, textCol, numHashes, shingleSize),
+      crossFeatures(refDocs, textCol, numHashes, shingleSize))
     val exactDup = nf.select(col("doc_id"), col("__fp"))
       .join(rf.select("__fp").distinct(), Seq("__fp"), "left_semi")
       .select(col("doc_id"), lit(true).as("__exact"))
@@ -599,7 +605,7 @@ object Dedup {
         minhash_sig(col(textCol), numHashes, shingleSize).as("__sig"),
         shingle_hashes(col(textCol), shingleSize).as("__sha")) ++
         extraCols.map(col): _*)
-      .localCheckpoint(true)
+      .materialize(true)
 
   /** Asymmetric (new, ref) candidate pairs for the cross-corpus fuzzy
     * layer: MinHash band buckets on both sides (from the precomputed
@@ -680,9 +686,11 @@ object Dedup {
                                saturation: Option[Observation] = None): DataFrame = {
     require(hotRefCap > 0, s"hotRefCap must be positive: $hotRefCap")
     // ONE tokenizer pass per side incl. the retention score (r19 — see
-    // [[crossCorpusDedup]]); every layer below reads the features table
-    val nf = crossFeatures(newDocs, textCol, numHashes, shingleSize, Seq(scoreCol))
-    val rf = crossFeatures(refDocs, textCol, numHashes, shingleSize, Seq(scoreCol))
+    // [[crossCorpusDedup]]); every layer below reads the features table.
+    // r20 (guide §2.6): both sides materialized as CONCURRENT jobs.
+    val (nf, rf) = graft.core.Concurrent.both(
+      crossFeatures(newDocs, textCol, numHashes, shingleSize, Seq(scoreCol)),
+      crossFeatures(refDocs, textCol, numHashes, shingleSize, Seq(scoreCol)))
     // exact layer WITH identity: fingerprint → deterministic min ref id
     val refFp = rf.groupBy("__fp").agg(min("doc_id").as("ref_id"))
     val exactM = nf.select(col("doc_id"), col("__fp")).join(refFp, Seq("__fp"))
@@ -738,7 +746,7 @@ object Dedup {
       textCol, threshold, numHashes, rowsPerBand, shingleSize, hotRefCap,
       saturation)
       .select(col("doc_id"), col("best_ref_id"), col("action"))
-      .localCheckpoint(true)
+      .materialize(true)
     val retired = decisions.filter(col("action") === "replace_ref")
       .select(col("best_ref_id").as("doc_id")).distinct()
     val accepted = decisions.filter(col("action") =!= "drop").select("doc_id")

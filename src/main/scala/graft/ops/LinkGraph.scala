@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints.MaterializeSyntax
+
 /** Link-graph analytics over crawl edge lists ([[Html.extractLinks]] →
   * canonicalized (src, dst) pairs): PageRank as a corpus quality signal —
   * the classic centrality prior crawl pipelines mix into quality scoring
@@ -150,9 +152,9 @@ object LinkGraph {
       // barrier only serialized the loop; the final cut stays eager so
       // releaseCache can unpersist the inputs with the result materialized.
       if (redistributeDangling)
-        ranks = ranks.localCheckpoint(it == iters)
+        ranks = ranks.materialize(it == iters)
       else if (checkpointEvery > 0 && it % checkpointEvery == 0)
-        ranks = ranks.localCheckpoint(it == iters)
+        ranks = ranks.materialize(it == iters)
       it += 1
     }
     if (releaseCache) {
@@ -163,7 +165,7 @@ object LinkGraph {
       // a pure extra pass over the result
       val alreadyCut = iters > 0 && (redistributeDangling ||
         (checkpointEvery > 0 && iters % checkpointEvery == 0))
-      val out = if (alreadyCut) ranks else ranks.localCheckpoint()
+      val out = if (alreadyCut) ranks else ranks.materialize(true)
       adj.unpersist()
       nodes.unpersist()
       if (redistributeDangling && iters > 0) dangling.unpersist()

