@@ -121,16 +121,30 @@ object FullText {
                              textCol: String, idCol: String): DataFrame = {
     val terms = queryTerms(query).distinct
     require(terms.nonEmpty, s"query has no tokens: '$query'")
-    val base = docs.select(col(idCol), textkernel.word_tokens(col(textCol)).as("w"))
-      .select(col(idCol), col("w"), size(col("w")).cast(LongType).as("dl"))
+    // r20 (guide §2.4 / §4.1): ONE compiled-kernel pass over the corpus —
+    // multi_marker_hits with one single-term set per query term counts each
+    // term's occurrences AND the total token count (dl) together (same
+    // TextKernel.tokens stream word_tokens wraps, so tf/dl are
+    // value-identical to the old explode+filter+agg). The old plan
+    // tokenized the corpus TWICE (the corpus-stats agg and the tf explode
+    // re-derived `w` per consumer); the per-doc hit row here is ≤
+    // |terms|+1 longs, materialized per call, and both consumers read it.
+    val pre = docs.select(col(idCol),
+        textkernel.multi_marker_hits(col(textCol), terms.map(Seq(_)),
+          includeTotal = true).as("__h"))
+      .materialize(true)
+    val dlCol = col("__h").getItem(terms.size).cast(LongType)
     // corpus stats: ONE tiny broadcast row; avgdl division is IEEE-exact given
     // the exact integer inputs, so both engines compute the same double
-    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-    // the explode is filtered to the query's terms BEFORE the agg: the
-    // (doc, term) shuffle carries only query-term occurrences, not the corpus
-    val tf = base.select(col(idCol), col("dl"), explode(col("w")).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col(idCol), col("term"), col("dl")).agg(count(lit(1)).as("tf"))
+    val stats = pre.agg(count(lit(1)).as("n_docs"), sum(dlCol).as("tot_dl"))
+    // (doc, term) rows only for terms the doc actually contains — the same
+    // rows the old filtered explode produced
+    val termArr = array(terms.map(lit): _*)
+    val tf = pre.select(col(idCol), dlCol.as("dl"),
+        posexplode(slice(col("__h"), 1, terms.size)).as(Seq("__i", "tf")))
+      .filter(col("tf") > 0)
+      .select(col(idCol), element_at(termArr, col("__i").cast("int") + 1).as("term"),
+        col("dl"), col("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val avgdl = col("tot_dl").cast("double") / col("n_docs")
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
@@ -328,7 +342,12 @@ object FullText {
     require(k >= 1 && kCand >= k, s"need kCand >= k >= 1: k=$k kCand=$kCand")
     // the corpus-wide bucket table feeds BOTH the query cosine and the
     // pairwise candidate sims — compute the token scan + agg once
-    val allBuckets = hashEmbedBuckets(docs, dims, textCol, idCol).persist()
+    // r20 (VERDICT r19 #6): materialize the bucket table as checkpoint
+    // blocks instead of `.persist()` — the CacheManager route paid the
+    // columnar cache encode plus plan-normalization lookups on every one
+    // of the candidate/sims scans below; checkpoint blocks are the narrow
+    // rows as-is, released explicitly when the candidate page is done.
+    val allBuckets = hashEmbedBuckets(docs, dims, textCol, idCol).materialize(true)
     try {
       // ONE collect of the candidate page: (id, rel) pairs, kCand rows
       val candPage = cosineFromBuckets(allBuckets, queryBuckets(docs, query, dims), idCol)
@@ -370,7 +389,7 @@ object FullText {
       }
       picked.toSeq.toDF("pick", idCol, "rel", "mmr_score")
         .withColumn("rel", round(col("rel"), 6))
-    } finally allBuckets.unpersist()
+    } finally graft.core.Checkpoints.release(allBuckets)
   }
 
   // ------------------------------------------------------------- bigram LM

@@ -501,11 +501,16 @@ class PlanSpec extends AnyFunSuite {
     import graft.ops.{Dedup, FullText}
     val docs = (0L until 60L).map(i => (i, s"some words w$i for document number $i"))
       .toDF("doc_id", "text")
-    // BM25: the (doc,term) shuffle is prefiltered to the query's terms and the
-    // top-k is per-partition (TakeOrderedAndProject), never a global sort+limit
+    // BM25 (r20): term tf and dl come from ONE multi_marker_hits kernel
+    // pass materialized per call — the plan explodes the per-term count
+    // ARRAY (filtered tf > 0, ≤|terms| rows per doc), never the corpus
+    // token stream, and the top-k stays per-partition
+    // (TakeOrderedAndProject), never a global sort+limit
     val bm = plan(FullText.bm25TopK(docs, "words document", k = 5))
     assert(bm.contains("TakeOrderedAndProject"), bm)
-    assert(bm.contains("IN (words,document)"), bm)
+    assert(bm.contains("posexplode") && bm.contains("Scan ExistingRDD"), bm)
+    assert(!bm.contains("marker_hits"),
+      s"the term-count kernel must run in the checkpoint job, not per consumer:\n$bm")
     // (the only keyless join is the 1-row stats attach — a broadcast
     // nested-loop against a single-row build side, which is the right plan)
     assert(!bm.contains("CartesianProduct"), bm)
